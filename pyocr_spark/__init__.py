@@ -1,0 +1,18 @@
+"""pyocr_spark — a from-scratch, PySpark-native web-text extraction engine.
+
+Re-implements the query/data-processing semantics of openpaperwork/pyocr
+(builders, hOCR parsers, box formats, orientation/PSM handling — see
+SURVEY.md §2) over an Iceberg/parquet table of Common-Crawl-style pages,
+replacing pyocr's one-subprocess-per-document execution with Arrow-batched
+pandas UDF stages, salted repartitioning, and checkpoint/lineage resume.
+
+Layout:
+    core/       pure-Python frozen semantics (no Spark imports) + oracle
+    sources/    table readers/writers (parquet locally, Iceberg behind a flag)
+    functions/  vectorized UDFs + built-in-function helpers
+    operators/  dataflow operators (salted repartition, dedup, ANN, resume)
+    plans/      end-to-end pipelines (extract pipeline, metrics, lineage)
+    streaming/  Structured Streaming wrapper (foreachBatch reuse of plans)
+"""
+
+__version__ = "0.1.0"

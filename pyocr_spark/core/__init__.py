@@ -1,0 +1,17 @@
+"""Pure-Python frozen extraction semantics (NO Spark imports allowed here).
+
+This subpackage is the byte-identical surface of the engine (SURVEY.md
+§2.4): Box/LineBox values and their text formats, the builder folds
+(start_line/add_word/end_line/get_output), both hOCR parse dialects,
+makebox parse/serialize, HTML boilerplate-strip segmentation, and the
+orientation struct. The row-at-a-time oracle in ``core.oracle`` executes
+these same functions and is what both pytest and the Spark pipeline are
+compared against.
+
+Provenance note: /root/reference was EMPTY at survey time (SURVEY.md §0);
+semantics follow upstream pyocr 0.8.x public behavior where recalled with
+confidence, and are otherwise frozen here + in tests/fixtures as the
+authoritative definition.
+"""
+
+from pyocr_spark.core.boxes import Box, LineBox  # noqa: F401

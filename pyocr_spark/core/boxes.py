@@ -1,0 +1,130 @@
+"""Box / LineBox value types and their frozen text serializations.
+
+Semantics per ``pyocr/builders.py — class Box (~L40) / class LineBox
+(~L115), upstream 0.8.x, approx`` (reference mount empty; formats frozen
+here + tests/fixtures — SURVEY.md §0, §2.3 B7/B8).
+
+Coordinate convention: ``position = ((x1_left, y1_top), (x2_right,
+y2_bottom))``, pixel ints. Confidence is an int 0–100, default 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def xml_escape(s: str, quote: bool = True) -> str:
+    """Escape text for the hOCR serialization.
+
+    Frozen to match ``xml.dom.minidom``'s writer (pyocr builds word tags
+    with minidom — ``pyocr/builders.py — Box.get_xml_tag ~L90``): ``&``,
+    ``<``, ``>`` always, ``"`` in attribute values.
+    """
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if quote:
+        s = s.replace('"', "&quot;")
+    return s
+
+
+@dataclass
+class Box:
+    """One word (or char) and its bounding box.
+
+    ``pyocr/builders.py — class Box (~L40)``.
+    """
+
+    content: str
+    position: tuple[tuple[int, int], tuple[int, int]]
+    confidence: int = 0
+
+    @property
+    def x1(self) -> int:
+        return self.position[0][0]
+
+    @property
+    def y1(self) -> int:
+        return self.position[0][1]
+
+    @property
+    def x2(self) -> int:
+        return self.position[1][0]
+
+    @property
+    def y2(self) -> int:
+        return self.position[1][1]
+
+    def get_unicode_string(self) -> str:
+        """``"{content} {x1} {y1} {x2} {y2}"`` — frozen byte format."""
+        return "%s %d %d %d %d" % (self.content, self.x1, self.y1, self.x2, self.y2)
+
+    def get_xml_tag(self) -> str:
+        """hOCR word span — frozen byte format (minidom-style escaping)."""
+        return '<span class="ocrx_word" title="bbox %d %d %d %d; x_wconf %d">%s</span>' % (
+            self.x1,
+            self.y1,
+            self.x2,
+            self.y2,
+            self.confidence,
+            xml_escape(self.content),
+        )
+
+    def __lt__(self, other: "Box") -> bool:
+        # Position-based ordering (pyocr compares by position tuple); only
+        # used by tests — the engine itself never re-sorts document order.
+        return (self.position, self.content) < (other.position, other.content)
+
+
+@dataclass
+class LineBox:
+    """One line: ordered word boxes + the line's own bbox.
+
+    ``pyocr/builders.py — class LineBox (~L115)``.
+    """
+
+    word_boxes: list[Box] = field(default_factory=list)
+    position: tuple[tuple[int, int], tuple[int, int]] = ((0, 0), (0, 0))
+
+    @property
+    def content(self) -> str:
+        """Line content = space-join of word contents."""
+        return " ".join(b.content for b in self.word_boxes)
+
+    def get_unicode_string(self) -> str:
+        """Bracketed multi-line form — frozen byte format.
+
+        ``[\\n  <word unicode string>\\n ... ] x1 y1 x2 y2``
+        """
+        txt = "[\n"
+        for box in self.word_boxes:
+            txt += "  " + box.get_unicode_string() + "\n"
+        return "%s] %d %d %d %d" % (
+            txt,
+            self.position[0][0],
+            self.position[0][1],
+            self.position[1][0],
+            self.position[1][1],
+        )
+
+    def get_xml_tag(self) -> str:
+        """hOCR line span wrapping word spans — frozen byte format."""
+        words = "".join(b.get_xml_tag() for b in self.word_boxes)
+        return '<span class="ocr_line" title="bbox %d %d %d %d">%s</span>' % (
+            self.position[0][0],
+            self.position[0][1],
+            self.position[1][0],
+            self.position[1][1],
+            words,
+        )
+
+
+def bbox_union(
+    positions: list[tuple[tuple[int, int], tuple[int, int]]],
+) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Smallest bbox covering all inputs (empty input → ((0,0),(0,0)))."""
+    if not positions:
+        return ((0, 0), (0, 0))
+    x1 = min(p[0][0] for p in positions)
+    y1 = min(p[0][1] for p in positions)
+    x2 = max(p[1][0] for p in positions)
+    y2 = max(p[1][1] for p in positions)
+    return ((x1, y1), (x2, y2))

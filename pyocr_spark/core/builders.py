@@ -1,0 +1,282 @@
+"""Builders — output-shape operators with the incremental fold protocol.
+
+Per ``pyocr/builders.py`` (upstream 0.8.x, approx — SURVEY.md §2.3) and
+the libtesseract event-stream trace (SURVEY.md §3.2), which is the
+normative assembly algorithm: an ordered (line, word) event stream folded
+through ``start_line / add_word / end_line / get_output``.
+
+Each builder here keeps pyocr's four roles where they still make sense:
+incremental sink (the fold), file parser (``read_file``), serializer
+(``write_file_str``), and the mode flags (``tesseract_layout`` = PSM).
+CLI-argument plumbing (tesseract_flags/configs, cuneiform_args) has no
+subprocess to feed in this engine and is kept only as descriptive
+constants for parity checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyocr_spark.core.boxes import Box, LineBox
+from pyocr_spark.core.hocr import parse_hocr, parse_makebox, serialize_makebox
+
+# Frozen digit-token whitelist (FIXTURES.md §2.1): tesseract's `digits`
+# config is engine-side; ours is a token filter on this charset.
+DIGIT_TOKEN_RE = re.compile(r"^[0-9.,:\-]+$")
+
+# Frozen hOCR write_file preamble (SURVEY.md B8 — header bytes frozen here).
+XHTML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN"\n'
+    ' "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">\n'
+    '<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en" lang="en">\n'
+    "<head>\n"
+    "\t<title>OCR output</title>\n"
+    "</head>\n"
+)
+
+
+class BaseBuilder:
+    """Shared fold state. ``pyocr/builders.py — class BaseBuilder (~L200)``."""
+
+    #: output-file extensions the subprocess path would have produced;
+    #: kept for parity documentation only.
+    file_extensions: list[str] = []
+    tesseract_configs: list[str] = []
+    cuneiform_args: list[str] = []
+
+    def __init__(self, tesseract_layout: int = 3):
+        self.tesseract_layout = tesseract_layout  # PSM
+
+    # -- incremental sink protocol (the fold) -----------------------------
+    def start_line(self, box) -> None:
+        raise NotImplementedError
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        raise NotImplementedError
+
+    def end_line(self) -> None:
+        raise NotImplementedError
+
+    def get_output(self):
+        raise NotImplementedError
+
+
+class TextBuilder(BaseBuilder):
+    """Plain-text output. ``pyocr/builders.py — TextBuilder (~L130)``.
+
+    Frozen assembly (SURVEY.md §2.4 item 1): words ``" "``-joined within a
+    line, lines ``"\\n"``-joined, whole document ``.strip()``-ed.
+    """
+
+    file_extensions = ["txt"]
+    cuneiform_args = ["-f", "text"]
+
+    def __init__(self, tesseract_layout: int = 3):
+        super().__init__(tesseract_layout)
+        self.built_text: list[str] = []
+
+    def start_line(self, box) -> None:
+        self.built_text.append("")
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        if self.built_text[-1] != "":
+            self.built_text[-1] += " "
+        self.built_text[-1] += word
+
+    def end_line(self) -> None:
+        pass
+
+    def get_output(self) -> str:
+        return "\n".join(self.built_text).strip()
+
+    @staticmethod
+    def read_file(fd) -> str:
+        """``fd.read().strip()`` — ``pyocr/builders.py ~L150``."""
+        return fd.read().strip()
+
+    @staticmethod
+    def write_file_str(output: str) -> str:
+        return output
+
+
+class DigitBuilder(TextBuilder):
+    """Digits-only text. ``pyocr/builders.py — DigitBuilder (~L230)``.
+
+    Frozen: only tokens fully matching ``[0-9.,:\\-]+`` are kept; lines
+    left with zero digit tokens are dropped from the output entirely.
+    (Not supported by cuneiform upstream — same here: dialect-independent
+    token filter.)
+    """
+
+    tesseract_configs = ["digits"]
+
+    def get_output(self) -> str:
+        return "\n".join(t for t in self.built_text if t != "").strip()
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        if DIGIT_TOKEN_RE.match(word):
+            super().add_word(word, box, confidence)
+
+
+class WordBoxBuilder(BaseBuilder):
+    """Word boxes. ``pyocr/builders.py — WordBoxBuilder (~L280)``."""
+
+    file_extensions = ["html", "hocr"]
+    tesseract_configs = ["hocr"]
+
+    def __init__(self, tesseract_layout: int = 1):
+        super().__init__(tesseract_layout)
+        self.word_boxes: list[Box] = []
+
+    def start_line(self, box) -> None:
+        pass
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        if word != "":
+            self.word_boxes.append(Box(word, box, confidence))
+
+    def end_line(self) -> None:
+        pass
+
+    def get_output(self) -> list[Box]:
+        return self.word_boxes
+
+    @staticmethod
+    def read_file(fd) -> list[Box]:
+        boxes, _lines = parse_hocr(fd.read())
+        return boxes
+
+    @staticmethod
+    def write_file_str(boxes: list[Box]) -> str:
+        """Frozen hOCR serialization: header + one word span per line."""
+        out = [XHTML_HEADER, "<body>\n"]
+        for box in boxes:
+            out.append(box.get_xml_tag())
+            out.append("\n")
+        out.append("</body>\n</html>\n")
+        return "".join(out)
+
+
+class LineBoxBuilder(BaseBuilder):
+    """Line boxes. ``pyocr/builders.py — LineBoxBuilder (~L370)``."""
+
+    file_extensions = ["html", "hocr"]
+    tesseract_configs = ["hocr"]
+
+    def __init__(self, tesseract_layout: int = 1):
+        super().__init__(tesseract_layout)
+        self.lines: list[LineBox] = []
+        self._current: list[Box] | None = None
+        self._current_pos = None
+
+    def start_line(self, box) -> None:
+        self._current = []
+        self._current_pos = box
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        if self._current is None:  # word outside any line: implicit line
+            self.start_line(box)
+        if word != "":
+            self._current.append(Box(word, box, confidence))
+
+    def end_line(self) -> None:
+        if self._current:  # frozen: lines with zero words are dropped
+            self.lines.append(LineBox(self._current, self._current_pos))
+        self._current = None
+        self._current_pos = None
+
+    def get_output(self) -> list[LineBox]:
+        if self._current is not None:
+            self.end_line()
+        return self.lines
+
+    @staticmethod
+    def read_file(fd) -> list[LineBox]:
+        _boxes, lines = parse_hocr(fd.read())
+        return lines
+
+    @staticmethod
+    def write_file_str(lines: list[LineBox]) -> str:
+        out = [XHTML_HEADER, "<body>\n"]
+        for line in lines:
+            out.append(line.get_xml_tag())
+            out.append("\n")
+        out.append("</body>\n</html>\n")
+        return "".join(out)
+
+
+class DigitLineBoxBuilder(LineBoxBuilder):
+    """Line boxes, digit tokens only.
+
+    ``pyocr/builders.py — DigitLineBoxBuilder (~L460)``.
+    """
+
+    tesseract_configs = ["hocr", "digits"]
+
+    def __init__(self, tesseract_layout: int = 3):
+        super().__init__(tesseract_layout)
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        if DIGIT_TOKEN_RE.match(word):
+            super().add_word(word, box, confidence)
+
+
+class CharBoxBuilder(BaseBuilder):
+    """Per-character boxes via the makebox format.
+
+    ``pyocr/tesseract.py — CharBoxBuilder (~L100)`` (tesseract-only
+    upstream). In this engine char boxes are derived from word boxes by
+    splitting each word's bbox evenly across its characters (frozen:
+    integer split, remainder pixels go to the last char).
+    """
+
+    file_extensions = ["box"]
+    tesseract_configs = ["batch.nochop", "makebox"]
+
+    def __init__(self, tesseract_layout: int = 1):
+        super().__init__(tesseract_layout)
+        self.char_boxes: list[Box] = []
+
+    def start_line(self, box) -> None:
+        pass
+
+    def add_word(self, word: str, box, confidence: int = 0) -> None:
+        n = len(word)
+        if n == 0:
+            return
+        (x1, y1), (x2, y2) = box
+        width = x2 - x1
+        for i, ch in enumerate(word):
+            cx1 = x1 + (width * i) // n
+            cx2 = x1 + (width * (i + 1)) // n if i < n - 1 else x2
+            self.char_boxes.append(Box(ch, ((cx1, y1), (cx2, y2)), confidence))
+
+    def end_line(self) -> None:
+        pass
+
+    def get_output(self) -> list[Box]:
+        return self.char_boxes
+
+    @staticmethod
+    def read_file(fd) -> list[Box]:
+        return parse_makebox(fd.read())
+
+    @staticmethod
+    def write_file_str(boxes: list[Box]) -> str:
+        return serialize_makebox(boxes)
+
+
+def fold_events(builder: BaseBuilder, lines: list[LineBox]):
+    """Replay the libtesseract event stream (SURVEY.md §3.2) into a builder.
+
+    ``for line: start_line(bbox); for word: add_word(...); end_line()``
+    then ``get_output()`` — the single normative assembly path shared by
+    every output mode.
+    """
+    for line in lines:
+        builder.start_line(line.position)
+        for word in line.word_boxes:
+            builder.add_word(word.content, word.position, word.confidence)
+        builder.end_line()
+    return builder.get_output()

@@ -1,0 +1,283 @@
+"""hOCR parsing — tesseract dialect and cuneiform dialect — plus makebox.
+
+Semantics per ``pyocr/builders.py — _WordHTMLParser (~L440) /
+_LineHTMLParser (~L545), upstream 0.8.x, approx`` (SURVEY.md E7/E8/E9) and
+``pyocr/tesseract.py — CharBoxBuilder (~L100)`` (SURVEY.md B6). The
+reference mount was empty (SURVEY.md §0); behavior is frozen here + in
+tests/fixtures as the authoritative definition ("pyocr-0.8-compatible
+dialect").
+
+Both parsers use the stdlib ``html.parser.HTMLParser`` with its default
+``convert_charrefs=True`` — entity and character references arrive
+unescaped in ``handle_data`` (frozen: hOCR word content is the unescaped
+text).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyocr_spark.core.boxes import Box, LineBox, bbox_union
+
+# hOCR classes that open a "line" container in the tesseract dialect.
+_LINE_CLASSES = frozenset({"ocr_line", "ocr_header", "ocr_caption", "ocr_textfloat"})
+_WORD_CLASSES = frozenset({"ocrx_word", "ocr_word"})
+
+
+def parse_position(title: str):
+    """``title`` attr → bbox. ``'bbox x1 y1 x2 y2[; ...]'`` → ((x1,y1),(x2,y2)).
+
+    Frozen per SURVEY.md E9: split on ``';'``, take the token starting
+    with ``"bbox"``, parse 4 ints. Returns None when absent/malformed.
+    """
+    for part in title.split(";"):
+        part = part.strip()
+        if part.startswith("bbox"):
+            toks = part.split()
+            if len(toks) >= 5:
+                try:
+                    x1, y1, x2, y2 = (int(t) for t in toks[1:5])
+                except ValueError:
+                    return None
+                return ((x1, y1), (x2, y2))
+    return None
+
+
+def parse_confidence(title: str) -> int:
+    """``'...; x_wconf NN'`` → int NN; missing/malformed → 0 (frozen)."""
+    for part in title.split(";"):
+        part = part.strip()
+        if part.startswith("x_wconf"):
+            toks = part.split()
+            if len(toks) >= 2:
+                try:
+                    return int(toks[1])
+                except ValueError:
+                    return 0
+    return 0
+
+
+class WordHTMLParser(HTMLParser):
+    """Tesseract-dialect hOCR parser (``_WordHTMLParser``, SURVEY.md E7).
+
+    Collects ``self.boxes`` (flat document-order word Boxes) and
+    ``self.lines`` (LineBoxes). Frozen rules:
+      - only ``<span>`` tags are inspected; class decides line vs word;
+      - word content accumulates from handle_data between word open/close
+        (charrefs unescaped, no stripping);
+      - empty-content words are dropped;
+      - a line with zero surviving words is dropped;
+      - words outside any line still land in ``boxes`` (and in no line);
+      - missing bbox → element ignored; missing x_wconf → confidence 0;
+      - document order preserved, never sorted.
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.boxes: list[Box] = []
+        self.lines: list[LineBox] = []
+        self._stack: list[str] = []  # 'line' | 'word' | 'other' per open span
+        self._word_chunks: list[str] = []
+        self._word_pos = None
+        self._word_conf = 0
+        self._line_words: list[Box] = []
+        self._line_pos = None
+        self._in_line = False
+        self._in_word = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "span":
+            return
+        adict = dict(attrs)
+        klass = adict.get("class", "")
+        title = adict.get("title", "") or ""
+        if klass in _LINE_CLASSES and not self._in_line:
+            pos = parse_position(title)
+            if pos is None:
+                self._stack.append("other")
+                return
+            self._in_line = True
+            self._line_pos = pos
+            self._line_words = []
+            self._stack.append("line")
+        elif klass in _WORD_CLASSES and not self._in_word:
+            pos = parse_position(title)
+            if pos is None:
+                self._stack.append("other")
+                return
+            self._in_word = True
+            self._word_pos = pos
+            self._word_conf = parse_confidence(title)
+            self._word_chunks = []
+            self._stack.append("word")
+        else:
+            self._stack.append("other")
+
+    def handle_data(self, data):
+        if self._in_word:
+            self._word_chunks.append(data)
+
+    def handle_endtag(self, tag):
+        if tag != "span" or not self._stack:
+            return
+        kind = self._stack.pop()
+        if kind == "word":
+            self._in_word = False
+            content = "".join(self._word_chunks)
+            if content != "":
+                box = Box(content, self._word_pos, self._word_conf)
+                self.boxes.append(box)
+                if self._in_line:
+                    self._line_words.append(box)
+        elif kind == "line":
+            self._in_line = False
+            if self._line_words:
+                self.lines.append(LineBox(self._line_words, self._line_pos))
+            self._line_words = []
+
+
+class LineHTMLParser(HTMLParser):
+    """Cuneiform-dialect hOCR parser (``_LineHTMLParser``, SURVEY.md E8).
+
+    Cuneiform hOCR tags lines only: ``<span class='ocr_line'>text<span
+    class='ocr_cinfo' title='x_bboxes x1 y1 x2 y2 ...'></span></span>``
+    with 4 ints per *character* of the line text (spaces carry
+    ``-1 -1 -1 -1``). Frozen rules (weakest-recollection item — SURVEY.md
+    §7.4.2 — frozen from our fixtures as pyocr-0.8-compatible):
+      - line text = concatenated handle_data inside the ocr_line span;
+      - words = line text split on ``' '``; empty tokens skipped;
+      - word bbox = min/max over its characters' non-negative bboxes;
+        words whose chars are all ``-1`` boxes are dropped;
+      - each ocr_line becomes one LineBox whose bbox is the union of its
+        word bboxes; confidence is always 0 (cuneiform has none);
+      - short/absent x_bboxes list → remaining chars treated as -1.
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.boxes: list[Box] = []
+        self.lines: list[LineBox] = []
+        self._stack: list[str] = []
+        self._in_line = False
+        self._text_chunks: list[str] = []
+        self._coords: list[int] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "span":
+            return
+        adict = dict(attrs)
+        klass = adict.get("class", "")
+        if klass == "ocr_line" and not self._in_line:
+            self._in_line = True
+            self._text_chunks = []
+            self._coords = None
+            self._stack.append("line")
+        elif klass == "ocr_cinfo" and self._in_line:
+            title = adict.get("title", "") or ""
+            toks = title.split()
+            if toks and toks[0] == "x_bboxes":
+                coords = []
+                for t in toks[1:]:
+                    try:
+                        coords.append(int(t))
+                    except ValueError:
+                        coords.append(-1)
+                self._coords = coords
+            self._stack.append("cinfo")
+        else:
+            self._stack.append("other")
+
+    def handle_data(self, data):
+        # Only text directly inside the line (not inside cinfo) counts.
+        if self._in_line and (not self._stack or self._stack[-1] == "line"):
+            self._text_chunks.append(data)
+
+    def handle_endtag(self, tag):
+        if tag != "span" or not self._stack:
+            return
+        kind = self._stack.pop()
+        if kind != "line":
+            return
+        self._in_line = False
+        text = "".join(self._text_chunks)
+        coords = self._coords or []
+        line_words: list[Box] = []
+        ci = 0  # character index into coords (4 ints per char)
+        for token in text.split(" "):
+            if token == "":
+                ci += 1  # the split-out space still consumes one char slot
+                continue
+            xs1, ys1, xs2, ys2 = [], [], [], []
+            for _ in token:
+                quad = coords[4 * ci : 4 * ci + 4]
+                ci += 1
+                if len(quad) == 4 and quad[0] >= 0:
+                    xs1.append(quad[0])
+                    ys1.append(quad[1])
+                    xs2.append(quad[2])
+                    ys2.append(quad[3])
+            ci += 1  # the space following the token
+            if xs1:
+                box = Box(
+                    token,
+                    ((min(xs1), min(ys1)), (max(xs2), max(ys2))),
+                    0,
+                )
+                line_words.append(box)
+                self.boxes.append(box)
+        if line_words:
+            self.lines.append(
+                LineBox(line_words, bbox_union([b.position for b in line_words]))
+            )
+
+
+def parse_hocr(html_text: str):
+    """Parse hOCR with the frozen fallback order (SURVEY.md B2/B3):
+    tesseract dialect first; if it yields no boxes, cuneiform dialect.
+
+    Returns ``(boxes, lines)``. A trailing empty-content box is popped
+    (``pyocr/builders.py — WordBoxBuilder.read_file ~L310``: "some parsers
+    allow for empty boxes").
+    """
+    for parser_cls in (WordHTMLParser, LineHTMLParser):
+        parser = parser_cls()
+        parser.feed(html_text)
+        parser.close()
+        if parser.boxes:
+            if parser.boxes[-1].content == "":
+                parser.boxes.pop(-1)
+            return parser.boxes, parser.lines
+    return [], []
+
+
+def looks_like_hocr(html_text: str) -> bool:
+    """Dialect sniff: does this page carry hOCR word/line markup?"""
+    return ("ocrx_word" in html_text) or ("ocr_line" in html_text)
+
+
+# ---------------------------------------------------------------------------
+# makebox (char boxes) — SURVEY.md B6, FIXTURES.md §2.3
+# ---------------------------------------------------------------------------
+
+def parse_makebox(text: str) -> list[Box]:
+    """Parse tesseract makebox lines ``"<char> x1 y1 x2 y2 <page>"``.
+
+    Frozen: coords stored exactly as read (makebox's bottom-left y origin
+    is NOT flipped); malformed lines skipped; confidence always 0.
+    """
+    boxes: list[Box] = []
+    for line in text.splitlines():
+        toks = line.split(" ")
+        if len(toks) < 6:
+            continue
+        try:
+            x1, y1, x2, y2 = (int(t) for t in toks[1:5])
+        except ValueError:
+            continue
+        boxes.append(Box(toks[0], ((x1, y1), (x2, y2)), 0))
+    return boxes
+
+
+def serialize_makebox(boxes: list[Box]) -> str:
+    """Inverse of :func:`parse_makebox` — ``"{unicode_string} 0\\n"`` per box."""
+    return "".join(box.get_unicode_string() + " 0\n" for box in boxes)

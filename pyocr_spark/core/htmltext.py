@@ -1,0 +1,138 @@
+"""HTML → (line, word) event stream: the engine's tokenize+classify stage.
+
+This replaces the external OCR binary (SURVEY.md E5): where pyocr shells
+out to tesseract per image, this engine walks the page DOM with the stdlib
+``html.parser`` (the same parser pyocr itself uses for hOCR —
+``pyocr/builders.py`` imports ``from html.parser import HTMLParser``) and
+emits ordered lines of words, which the builder fold (builders.py)
+assembles into every output mode.
+
+All rules frozen (tests/fixtures/page_plain.html):
+
+- decode: ``html.decode("utf-8", errors="replace")`` — U+FFFD insertion,
+  byte-for-byte as pyocr's ``codecs.open(..., errors='replace')``
+  (``pyocr/tesseract.py ~L365``; SURVEY.md E14).
+- dropped subtrees: <script> <style> <noscript> <template> <head>
+  (always), plus the boilerplate containers <nav> <header> <footer>
+  <aside> when ``strip_boilerplate`` (PSM 3/7). Comments ignored.
+- line segmentation: opening OR closing a block-level element flushes the
+  current line; <br> flushes. Words = whitespace-split of accumulated
+  inline text (entities unescaped by the parser).
+- PSM mapping (SURVEY.md E6), frozen meaning for web pages:
+    0 — OSD only: no text events (orientation stage).
+    3 — fully automatic (default): boilerplate stripped, block lines.
+    6 — single uniform block: boilerplate KEPT, block lines.
+    7 — single text line: boilerplate stripped, all words on one line.
+- virtual geometry: HTML has no pixel layout, so word i (0-based, within
+  its line) on line j (0-based) gets bbox
+  ``(10+80*i, 40*j, 80+80*i, 40*j+28)`` and confidence
+  ``60+(i*7+j*3)%40`` (FIXTURES.md §3) — deterministic, so box outputs
+  stay byte-comparable.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyocr_spark.core.boxes import Box, LineBox
+
+DROP_ALWAYS = frozenset({"script", "style", "noscript", "template", "head"})
+BOILERPLATE = frozenset({"nav", "header", "footer", "aside"})
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+        "li", "ul", "ol", "dl", "dt", "dd",
+        "table", "thead", "tbody", "tr", "td", "th",
+        "section", "article", "main", "blockquote", "pre",
+        "figure", "figcaption", "hr", "form", "fieldset",
+        "address", "details", "summary", "body", "html", "title",
+    }
+)
+VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
+
+
+def decode_replace(html: bytes | str) -> str:
+    """Frozen decode discipline (SURVEY.md E14)."""
+    if isinstance(html, str):
+        return html
+    return html.decode("utf-8", errors="replace")
+
+
+class _SegmentingParser(HTMLParser):
+    def __init__(self, strip_boilerplate: bool):
+        super().__init__()
+        self.strip_boilerplate = strip_boilerplate
+        self.drop_depth = 0  # nesting depth inside dropped subtrees
+        self.lines: list[list[str]] = []
+        self._buf: list[str] = []
+
+    def _dropped(self, tag: str) -> bool:
+        return tag in DROP_ALWAYS or (self.strip_boilerplate and tag in BOILERPLATE)
+
+    def _flush(self) -> None:
+        # true concatenation: inline elements never introduce word breaks
+        words = "".join(self._buf).split()
+        self._buf = []
+        if words:
+            self.lines.append(words)
+
+    def handle_starttag(self, tag, attrs):
+        if self._dropped(tag):
+            if tag not in VOID_TAGS:
+                self.drop_depth += 1
+            return
+        if tag == "br" or tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if self._dropped(tag):
+            if tag not in VOID_TAGS and self.drop_depth > 0:
+                self.drop_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self.drop_depth == 0:
+            self._buf.append(data)
+
+    def result(self) -> list[list[str]]:
+        self._flush()
+        return self.lines
+
+
+def virtual_box(i: int, j: int) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Deterministic bbox for word i of line j (FIXTURES.md §3)."""
+    return ((10 + 80 * i, 40 * j), (80 + 80 * i, 40 * j + 28))
+
+
+def virtual_conf(i: int, j: int) -> int:
+    return 60 + (i * 7 + j * 3) % 40
+
+
+def segment_html(html: bytes | str, psm: int = 3) -> list[LineBox]:
+    """Segment a plain web page into LineBoxes with virtual geometry.
+
+    This is the event-stream *source* for non-hOCR pages; hOCR-bearing
+    pages bypass it (their geometry is real — core.hocr.parse_hocr).
+    """
+    if psm == 0:
+        return []
+    text = decode_replace(html)
+    parser = _SegmentingParser(strip_boilerplate=(psm != 6))
+    parser.feed(text)
+    parser.close()
+    word_lines = parser.result()
+    if psm == 7:  # single text line: concatenate in document order
+        flat = [w for line in word_lines for w in line]
+        word_lines = [flat] if flat else []
+    lines: list[LineBox] = []
+    for j, words in enumerate(word_lines):
+        boxes = [Box(w, virtual_box(i, j), virtual_conf(i, j)) for i, w in enumerate(words)]
+        (x1, y1), (_, _) = boxes[0].position
+        (_, _), (x2, y2) = boxes[-1].position
+        lines.append(LineBox(boxes, ((x1, y1), (x2, y2))))
+    return lines

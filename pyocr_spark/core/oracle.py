@@ -1,0 +1,158 @@
+"""Row-at-a-time extraction oracle — the single source of truth.
+
+``extract_page`` runs the complete frozen pipeline for ONE page and
+returns every output mode at once (shared parse, one pass). It is used
+three ways:
+
+1. by pytest, against golden fixtures (tests/);
+2. by datagen, to materialize the ``expected_*`` tables that the DuckDB
+   side of the driver's correctness gate reads;
+3. by the Spark pandas UDF (functions/extract.py), applied per row inside
+   Arrow batches — so Spark output is byte-identical to the oracle *by
+   construction*, and the distributed work is purely batching,
+   partitioning, and skew handling.
+
+Where pyocr raises (``TesseractError`` — ``pyocr/tesseract.py ~L350``),
+this engine records a per-row error instead (SURVEY.md E2): the returned
+dict always has ``status`` ("ok"/"error") and ``error`` (message or None)
+so one bad page never kills a 10^9-row stage.
+"""
+
+from __future__ import annotations
+
+from pyocr_spark.core.boxes import Box, LineBox
+from pyocr_spark.core.builders import (
+    CharBoxBuilder,
+    DigitBuilder,
+    DigitLineBoxBuilder,
+    LineBoxBuilder,
+    TextBuilder,
+    WordBoxBuilder,
+    fold_events,
+)
+from pyocr_spark.core.htmltext import decode_replace, segment_html
+from pyocr_spark.core.hocr import looks_like_hocr, parse_hocr
+from pyocr_spark.core.orientation import NO_SCRIPT_ERROR, detect_orientation
+
+#: languages the engine ships "traineddata" for (SURVEY.md E12 — the
+#: analog of `tesseract --list-langs`); rows outside this set are routed
+#: to the error column, not crashed on.
+SUPPORTED_LANGS = frozenset({"en", "de", "es", "fr", "zh", "eng", "deu", "spa", "fra", "chi_sim"})
+
+#: refuse pages larger than this (bytes) — per-row size cap instead of an
+#: executor OOM (SURVEY.md §7.4.3). 64 MiB is far above any sane page.
+MAX_HTML_BYTES = 64 * 1024 * 1024
+
+ENGINE_VERSION = (0, 1, 0)  # analog of tesseract.get_version() (SURVEY.md E11)
+
+
+def get_version() -> tuple[int, int, int]:
+    return ENGINE_VERSION
+
+
+def get_available_languages() -> list[str]:
+    return sorted(SUPPORTED_LANGS)
+
+
+def page_events(html: bytes | str, psm: int = 3) -> list[LineBox]:
+    """Produce the ordered (line, word) event stream for one page.
+
+    Dialect dispatch (SURVEY.md §3.1 re-trace): pages carrying hOCR
+    markup are parsed with the frozen hOCR parsers (real geometry,
+    tesseract dialect first then cuneiform fallback); plain pages go
+    through boilerplate-strip segmentation with virtual geometry.
+    """
+    text = decode_replace(html)
+    if looks_like_hocr(text):
+        _boxes, lines = parse_hocr(text)
+        if psm == 7:
+            flat = [w for ln in lines for w in ln.word_boxes]
+            if not flat:
+                return []
+            from pyocr_spark.core.boxes import bbox_union
+
+            return [LineBox(flat, bbox_union([b.position for b in flat]))]
+        if psm == 0:
+            return []
+        return lines
+    return segment_html(text, psm=psm)
+
+
+def _box_row(b: Box) -> dict:
+    return {
+        "content": b.content,
+        "x1": b.x1,
+        "y1": b.y1,
+        "x2": b.x2,
+        "y2": b.y2,
+        "confidence": b.confidence,
+    }
+
+
+def _line_row(ln: LineBox) -> dict:
+    return {
+        "x1": ln.position[0][0],
+        "y1": ln.position[0][1],
+        "x2": ln.position[1][0],
+        "y2": ln.position[1][1],
+        "words": [_box_row(b) for b in ln.word_boxes],
+    }
+
+
+def _empty_result(status: str, error: str | None) -> dict:
+    return {
+        "status": status,
+        "error": error,
+        "extracted_text": None,
+        "digits_text": None,
+        "word_boxes": None,
+        "line_boxes": None,
+        "digit_line_boxes": None,
+        "char_boxes": None,
+        "hocr": None,
+        "box_fmt": None,
+        "unicode_boxes": None,
+        "orientation": None,
+        "n_lines": 0,
+        "n_words": 0,
+    }
+
+
+def extract_page(html: bytes | str | None, lang: str | None, psm: int = 3) -> dict:
+    """Full extraction for one page — every builder over one shared parse."""
+    if html is None:
+        return _empty_result("error", "null html")
+    if isinstance(html, (bytes, bytearray)) and len(html) > MAX_HTML_BYTES:
+        return _empty_result("error", f"html too large: {len(html)} bytes")
+    if lang is not None and lang not in SUPPORTED_LANGS:
+        return _empty_result("error", f"unsupported language: {lang}")
+    try:
+        lines = page_events(html, psm=3 if psm == 0 else psm)
+        text = fold_events(TextBuilder(), lines)
+        digits = fold_events(DigitBuilder(), lines)
+        word_boxes = fold_events(WordBoxBuilder(), lines)
+        line_boxes = fold_events(LineBoxBuilder(), lines)
+        digit_lines = fold_events(DigitLineBoxBuilder(), lines)
+        char_boxes = fold_events(CharBoxBuilder(), lines)
+        orient = detect_orientation(decode_replace(html), text)
+        return {
+            "status": "ok",
+            "error": None if orient is not None else NO_SCRIPT_ERROR,
+            "extracted_text": text,
+            "digits_text": digits,
+            "word_boxes": [_box_row(b) for b in word_boxes],
+            "line_boxes": [_line_row(ln) for ln in line_boxes],
+            "digit_line_boxes": [_line_row(ln) for ln in digit_lines],
+            "char_boxes": [
+                {"content": b.content, "x1": b.x1, "y1": b.y1, "x2": b.x2, "y2": b.y2}
+                for b in char_boxes
+            ],
+            "hocr": WordBoxBuilder.write_file_str(word_boxes),
+            "box_fmt": CharBoxBuilder.write_file_str(char_boxes),
+            "unicode_boxes": "\n".join(b.get_unicode_string() for b in word_boxes),
+            "orientation": orient,
+            "n_lines": len(line_boxes),
+            "n_words": len(word_boxes),
+        }
+    except Exception as exc:  # per-row error tolerance (never kill the batch)
+        return _empty_result("error", f"{type(exc).__name__}: {exc}")

@@ -1,0 +1,54 @@
+"""Orientation / script detection (SURVEY.md E10).
+
+pyocr's ``detect_orientation`` runs tesseract at PSM 0 and regex-scans the
+tool output for ``"Orientation in degrees: (\\d+)"`` / ``"Orientation
+confidence: ([\\d.]+)"`` (``pyocr/tesseract.py — detect_orientation
+~L180``), raising ``TesseractError(-1, "No script found in image")`` when
+nothing matches.
+
+For web pages orientation is degenerate (HTML is upright), so the engine
+keeps the exact output *struct* ``{angle:int, confidence:float}`` with a
+frozen deterministic definition:
+
+- if the page embeds an OSD report (hOCR pages may carry the literal
+  tool-output lines), parse it exactly like pyocr does — same regexes;
+- otherwise angle = 0 and confidence = round(100 * letters / max(1,
+  non-space chars), 2) over the PSM-3 extracted text — a script-presence
+  score in [0, 100];
+- a page with NO extracted text and no OSD report is the analog of "no
+  script found": return None (callers record a per-row error instead of
+  raising — SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import re
+
+OSD_ANGLE_RE = re.compile(r"Orientation in degrees: (\d+)")
+OSD_CONF_RE = re.compile(r"Orientation confidence: (\d+\.?\d*)")
+
+NO_SCRIPT_ERROR = "No script found in image"
+
+
+def parse_osd_report(text: str) -> dict | None:
+    """Exact pyocr tool-output parse: both regexes must match."""
+    angle = OSD_ANGLE_RE.search(text)
+    conf = OSD_CONF_RE.search(text)
+    if angle is None or conf is None:
+        return None
+    return {"angle": int(angle.group(1)), "confidence": float(conf.group(1))}
+
+
+def detect_orientation(raw_text: str, extracted_text: str) -> dict | None:
+    """Frozen orientation semantics for web pages (module docstring)."""
+    osd = parse_osd_report(raw_text)
+    if osd is not None:
+        return osd
+    if not extracted_text:
+        return None
+    non_space = [c for c in extracted_text if not c.isspace()]
+    if not non_space:
+        return None
+    letters = sum(1 for c in non_space if c.isalpha())
+    conf = round(100.0 * letters / len(non_space), 2)
+    return {"angle": 0, "confidence": conf}

@@ -1,0 +1,132 @@
+"""Frozen builder-fold and serialization tests (SURVEY.md §2.3, §2.4, §3.2)."""
+
+import io
+from pathlib import Path
+
+from pyocr_spark.core.boxes import Box, LineBox
+from pyocr_spark.core.builders import (
+    XHTML_HEADER,
+    CharBoxBuilder,
+    DigitBuilder,
+    DigitLineBoxBuilder,
+    LineBoxBuilder,
+    TextBuilder,
+    WordBoxBuilder,
+    fold_events,
+)
+from pyocr_spark.core.hocr import parse_hocr
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _lines():
+    html = (FIXTURES / "hocr_tesseract.html").read_text(encoding="utf-8")
+    _, lines = parse_hocr(html)
+    return lines
+
+
+def test_text_builder_fold_golden():
+    # words " "-joined, lines "\n"-joined, .strip() — frozen §2.4 item 1
+    assert fold_events(TextBuilder(), _lines()) == "Hello wörld\n42,17"
+
+
+def test_text_builder_strip_and_spacing():
+    tb = TextBuilder()
+    tb.start_line(None)
+    tb.end_line()  # empty leading line → stripped away
+    tb.start_line(None)
+    tb.add_word("a", ((0, 0), (1, 1)))
+    tb.add_word("b", ((0, 0), (1, 1)))
+    tb.end_line()
+    assert tb.get_output() == "a b"
+
+
+def test_text_builder_read_file():
+    assert TextBuilder.read_file(io.StringIO("  hi there\n")) == "hi there"
+
+
+def test_digit_builder_golden():
+    assert fold_events(DigitBuilder(), _lines()) == "42,17"
+
+
+def test_digit_builder_filter_and_line_drop():
+    lines = [
+        LineBox([Box("abc", ((0, 0), (1, 1))), Box("1,2", ((0, 0), (1, 1)))], ((0, 0), (1, 1))),
+        LineBox([Box("xyz", ((0, 0), (1, 1)))], ((0, 0), (1, 1))),
+        LineBox([Box("-3:4", ((0, 0), (1, 1)))], ((0, 0), (1, 1))),
+    ]
+    # charset frozen to [0-9.,:-]; lines with no digit tokens dropped
+    assert fold_events(DigitBuilder(), lines) == "1,2\n-3:4"
+
+
+def test_word_box_builder_fold():
+    boxes = fold_events(WordBoxBuilder(), _lines())
+    assert [b.content for b in boxes] == ["Hello", "wörld", "42,17"]
+    assert boxes[0].get_unicode_string() == "Hello 33 40 113 72"
+
+
+def test_line_box_builder_fold_and_unicode_string():
+    lines = fold_events(LineBoxBuilder(), _lines())
+    assert len(lines) == 2
+    expected = "[\n  Hello 33 40 113 72\n  wörld 120 40 313 72\n] 33 40 313 72"
+    assert lines[0].get_unicode_string() == expected
+
+
+def test_digit_line_box_builder():
+    lines = fold_events(DigitLineBoxBuilder(), _lines())
+    assert len(lines) == 1
+    assert lines[0].content == "42,17"
+    # the line keeps its ORIGINAL bbox even though non-digit words dropped
+    assert lines[0].position == ((33, 80), (200, 112))
+
+
+def test_char_box_builder_split():
+    boxes = fold_events(CharBoxBuilder(), [
+        LineBox([Box("ab", ((10, 0), (30, 9)), 50)], ((10, 0), (30, 9))),
+    ])
+    assert [(b.content, b.x1, b.x2) for b in boxes] == [("a", 10, 20), ("b", 20, 30)]
+    assert CharBoxBuilder.write_file_str(boxes) == "a 10 0 20 9 0\nb 20 0 30 9 0\n"
+
+
+def test_char_box_uneven_split_remainder_to_last():
+    boxes = fold_events(CharBoxBuilder(), [
+        LineBox([Box("abc", ((0, 0), (10, 9)), 0)], ((0, 0), (10, 9))),
+    ])
+    assert [(b.x1, b.x2) for b in boxes] == [(0, 3), (3, 6), (6, 10)]
+
+
+def test_hocr_write_file_golden_bytes():
+    boxes = fold_events(WordBoxBuilder(), _lines())
+    out = WordBoxBuilder.write_file_str(boxes)
+    assert out.startswith(XHTML_HEADER + "<body>\n")
+    assert out.endswith("</body>\n</html>\n")
+    assert (
+        '<span class="ocrx_word" title="bbox 33 40 113 72; x_wconf 94">Hello</span>\n'
+        in out
+    )
+
+
+def test_hocr_write_read_roundtrip():
+    boxes = fold_events(WordBoxBuilder(), _lines())
+    reparsed = WordBoxBuilder.read_file(io.StringIO(WordBoxBuilder.write_file_str(boxes)))
+    assert [(b.content, b.position, b.confidence) for b in reparsed] == [
+        (b.content, b.position, b.confidence) for b in boxes
+    ]
+
+
+def test_hocr_write_escapes_like_minidom():
+    boxes = [Box('a<b>&"c', ((0, 0), (1, 1)), 3)]
+    out = WordBoxBuilder.write_file_str(boxes)
+    assert "a&lt;b&gt;&amp;&quot;c" in out
+    reparsed = WordBoxBuilder.read_file(io.StringIO(out))
+    assert reparsed[0].content == 'a<b>&"c'
+
+
+def test_linebox_write_read_roundtrip():
+    lines = fold_events(LineBoxBuilder(), _lines())
+    out = LineBoxBuilder.write_file_str(lines)
+    reparsed = LineBoxBuilder.read_file(io.StringIO(out))
+    assert len(reparsed) == len(lines)
+    for got, want in zip(reparsed, lines):
+        assert got.position == want.position
+        assert [b.content for b in got.word_boxes] == [b.content for b in want.word_boxes]

@@ -1,0 +1,128 @@
+"""Golden-fixture tests for the frozen hOCR parse dialects (SURVEY.md E7–E9)."""
+
+from pathlib import Path
+
+from pyocr_spark.core.hocr import (
+    LineHTMLParser,
+    WordHTMLParser,
+    parse_confidence,
+    parse_hocr,
+    parse_makebox,
+    parse_position,
+    serialize_makebox,
+)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def _word_tuple(b):
+    return (b.content, b.x1, b.y1, b.x2, b.y2, b.confidence)
+
+
+def test_parse_position():
+    assert parse_position("bbox 33 40 113 72; x_wconf 94") == ((33, 40), (113, 72))
+    assert parse_position("image input; bbox 0 0 640 480") == ((0, 0), (640, 480))
+    assert parse_position("no bbox here") is None
+    assert parse_position("bbox 1 2") is None
+
+
+def test_parse_confidence():
+    assert parse_confidence("bbox 33 40 113 72; x_wconf 94") == 94
+    assert parse_confidence("bbox 33 40 113 72") == 0  # frozen default
+
+
+def test_tesseract_dialect_golden():
+    html = (FIXTURES / "hocr_tesseract.html").read_text(encoding="utf-8")
+    boxes, lines = parse_hocr(html)
+    assert [_word_tuple(b) for b in boxes] == [
+        ("Hello", 33, 40, 113, 72, 94),
+        ("wörld", 120, 40, 313, 72, 87),  # &#246; unescaped (frozen)
+        ("42,17", 33, 80, 200, 112, 71),
+    ]
+    assert len(lines) == 2
+    assert lines[0].position == ((33, 40), (313, 72))
+    assert [b.content for b in lines[0].word_boxes] == ["Hello", "wörld"]
+    assert lines[1].position == ((33, 80), (200, 112))
+    assert lines[1].content == "42,17"
+
+
+def test_tesseract_dialect_edge_cases():
+    html = (
+        "<span class='ocr_line' title='bbox 0 0 100 10'>"
+        "<span class='ocrx_word' title='bbox 0 0 10 10; x_wconf 5'></span>"  # empty → dropped
+        "<span class='ocrx_word' title='bbox 12 0 20 10'>a&amp;b</span>"  # no wconf → 0
+        "<span class='ocrx_word'>noboxattr</span>"  # no title → ignored
+        "</span>"
+        "<span class='ocr_line' title='bbox 0 20 100 30'>"
+        "<span class='ocrx_word' title='bbox 0 20 10 30; x_wconf 9'> </span>"  # ws content kept
+        "</span>"
+        "<span class='ocr_line' title='bbox 0 40 1 41'></span>"  # empty line → dropped
+    )
+    parser = WordHTMLParser()
+    parser.feed(html)
+    assert [_word_tuple(b) for b in parser.boxes] == [
+        ("a&b", 12, 0, 20, 10, 0),
+        (" ", 0, 20, 10, 30, 9),
+    ]
+    assert len(parser.lines) == 2
+
+
+def test_trailing_empty_box_popped():
+    # read_file pops ONE trailing empty box (pyocr WordBoxBuilder.read_file ~L310)
+    html = (
+        "<span class='ocrx_word' title='bbox 0 0 10 10'>x</span>"
+        "<span class='ocrx_word' title='bbox 12 0 20 10'> </span>"
+    )
+    boxes, _ = parse_hocr(html)
+    assert [b.content for b in boxes] == ["x", " "]
+
+
+def test_cuneiform_dialect_golden():
+    html = (FIXTURES / "hocr_cuneiform.html").read_text(encoding="utf-8")
+    # tesseract dialect finds no ocrx_word boxes → fallback to cuneiform (frozen order)
+    boxes, lines = parse_hocr(html)
+    assert [_word_tuple(b) for b in boxes] == [
+        ("Holy", 10, 40, 62, 68, 0),
+        ("grail", 80, 40, 138, 74, 0),
+        ("route", 10, 86, 72, 108, 0),
+        ("66", 90, 86, 116, 108, 0),
+    ]
+    assert len(lines) == 2
+    assert lines[0].position == ((10, 40), (138, 74))
+    assert lines[1].content == "route 66"
+
+
+def test_cuneiform_parser_direct():
+    parser = LineHTMLParser()
+    parser.feed(
+        '<span class="ocr_line">ab cd<span class="ocr_cinfo" '
+        'title="x_bboxes 0 0 5 9 6 0 11 9 -1 -1 -1 -1 20 0 25 9 26 0 31 9"></span></span>'
+    )
+    assert [_word_tuple(b) for b in parser.boxes] == [
+        ("ab", 0, 0, 11, 9, 0),
+        ("cd", 20, 0, 31, 9, 0),
+    ]
+
+
+def test_cuneiform_short_coords_drops_uncovered_words():
+    parser = LineHTMLParser()
+    parser.feed(
+        '<span class="ocr_line">ab cd<span class="ocr_cinfo" '
+        'title="x_bboxes 0 0 5 9 6 0 11 9"></span></span>'
+    )
+    assert [b.content for b in parser.boxes] == ["ab"]
+
+
+def test_makebox_roundtrip_golden():
+    raw = (FIXTURES / "chars.box").read_text(encoding="utf-8")
+    boxes = parse_makebox(raw)
+    assert [(b.content, b.x1, b.y1, b.x2, b.y2) for b in boxes] == [
+        ("H", 33, 408, 53, 440),  # coords as read — no y-flip (frozen)
+        ("e", 55, 408, 73, 440),
+        ("4", 33, 368, 53, 400),
+    ]
+    assert serialize_makebox(boxes) == raw  # byte-identical round-trip
+
+
+def test_makebox_malformed_lines_skipped():
+    assert parse_makebox("H 1 2 3\nbad\nx 1 2 3 4 0\n") == parse_makebox("x 1 2 3 4 0\n")

@@ -1,0 +1,91 @@
+"""Frozen boilerplate-strip segmentation + PSM tests (SURVEY.md E5/E6)."""
+
+from pathlib import Path
+
+from pyocr_spark.core.builders import TextBuilder, fold_events
+from pyocr_spark.core.htmltext import decode_replace, segment_html, virtual_box, virtual_conf
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+PAGE = (FIXTURES / "page_plain.html").read_bytes()
+
+EXPECTED_PSM3 = (
+    "Hello & welcome\n"
+    "This is the first paragraph.\n"
+    "Second paragraph\n"
+    "with a break.\n"
+    "item one\n"
+    "item 2,5\n"
+    "Trailing div 42"
+)
+
+
+def _text(html, psm=3):
+    return fold_events(TextBuilder(), segment_html(html, psm=psm))
+
+
+def test_psm3_golden():
+    assert _text(PAGE) == EXPECTED_PSM3
+
+
+def test_psm6_keeps_boilerplate():
+    out = _text(PAGE, psm=6)
+    assert out.startswith("Site Header Junk\nHome\nAbout\n")
+    assert out.endswith("Trailing div 42\nfooter junk")
+    assert "Hello & welcome" in out
+
+
+def test_psm7_single_line():
+    out = _text(PAGE, psm=7)
+    assert "\n" not in out
+    assert out == EXPECTED_PSM3.replace("\n", " ")
+
+
+def test_psm0_no_text():
+    assert segment_html(PAGE, psm=0) == []
+
+
+def test_utf8_replace_discipline():
+    # invalid byte → U+FFFD, exactly like codecs errors='replace' (E14)
+    html = b"<p>caf\xe9 ok</p>"
+    assert decode_replace(html) == "<p>caf� ok</p>"
+    assert _text(html) == "caf� ok"
+
+
+def test_inline_tags_do_not_break_lines():
+    assert _text(b"<p>a <b>b</b><i>c</i> d</p>") == "a bc d"
+
+
+def test_br_breaks_lines_and_self_closing():
+    assert _text(b"<div>a<br>b<br/>c</div>") == "a\nb\nc"
+
+
+def test_script_style_comment_dropped():
+    html = b"<body><script>x<p>y</p></script><!-- z --><style>.a{}</style><p>keep</p></body>"
+    assert _text(html) == "keep"
+
+
+def test_nested_boilerplate():
+    html = b"<body><nav><div><p>menu</p></div></nav><p>content</p></body>"
+    assert _text(html) == "content"
+    assert _text(html, psm=6) == "menu\ncontent"
+
+
+def test_whitespace_splitting():
+    assert _text(b"<p>  a\t b\n c  </p>") == "a b c"
+
+
+def test_virtual_geometry_grid():
+    lines = segment_html(b"<p>one two</p><p>three</p>")
+    w0, w1 = lines[0].word_boxes
+    assert w0.position == virtual_box(0, 0) == ((10, 0), (80, 28))
+    assert w1.position == virtual_box(1, 0) == ((90, 0), (160, 28))
+    assert w0.confidence == virtual_conf(0, 0) == 60
+    assert lines[1].word_boxes[0].position == ((10, 40), (80, 68))
+    # line bbox spans first word's top-left to last word's bottom-right
+    assert lines[0].position == ((10, 0), (160, 28))
+
+
+def test_empty_page():
+    assert segment_html(b"") == []
+    assert segment_html(b"<html><head><title>x</title></head></html>") == []

@@ -1,0 +1,97 @@
+"""Oracle (row-at-a-time reference implementation) tests — SURVEY.md §5.2.3."""
+
+from pathlib import Path
+
+from pyocr_spark.core.oracle import extract_page, get_available_languages, get_version
+from pyocr_spark.core.orientation import detect_orientation, parse_osd_report
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def test_plain_page_full_result():
+    html = (FIXTURES / "page_plain.html").read_bytes()
+    out = extract_page(html, "en")
+    assert out["status"] == "ok"
+    assert out["error"] is None
+    assert out["extracted_text"].startswith("Hello & welcome\n")
+    assert out["digits_text"] == "2,5\n42"
+    assert out["n_lines"] == 7
+    assert out["n_words"] == 20
+    assert out["word_boxes"][0]["content"] == "Hello"
+    assert out["orientation"]["angle"] == 0
+    assert out["hocr"].startswith('<?xml version="1.0" encoding="UTF-8"?>')
+
+
+def test_hocr_page_uses_real_geometry():
+    html = (FIXTURES / "hocr_tesseract.html").read_bytes()
+    out = extract_page(html, "en")
+    assert out["extracted_text"] == "Hello wörld\n42,17"
+    assert out["word_boxes"][0] == {
+        "content": "Hello", "x1": 33, "y1": 40, "x2": 113, "y2": 72, "confidence": 94,
+    }
+    assert out["line_boxes"][0]["words"][1]["content"] == "wörld"
+    assert out["unicode_boxes"].splitlines()[0] == "Hello 33 40 113 72"
+
+
+def test_cuneiform_page_fallback():
+    html = (FIXTURES / "hocr_cuneiform.html").read_bytes()
+    out = extract_page(html, "en")
+    assert out["extracted_text"] == "Holy grail\nroute 66"
+    assert out["digits_text"] == "66"
+
+
+def test_error_rows_not_exceptions():
+    assert extract_page(None, "en")["status"] == "error"
+    bad_lang = extract_page(b"<p>x</p>", "xx")
+    assert bad_lang["status"] == "error"
+    assert "unsupported language" in bad_lang["error"]
+    assert bad_lang["extracted_text"] is None
+
+
+def test_null_lang_allowed():
+    # pyocr: lang=None → tool default (no -l flag); here: no lang gate
+    assert extract_page(b"<p>x</p>", None)["extracted_text"] == "x"
+
+
+def test_empty_page_no_script_error_field():
+    out = extract_page(b"<html><body></body></html>", "en")
+    assert out["status"] == "ok"
+    assert out["orientation"] is None
+    assert out["error"] == "No script found in image"
+    assert out["extracted_text"] == ""
+
+
+def test_osd_report_parse():
+    txt = "Page number: 0\nOrientation in degrees: 90\nOrientation confidence: 9.51\n"
+    assert parse_osd_report(txt) == {"angle": 90, "confidence": 9.51}
+    assert parse_osd_report("Orientation in degrees: 90") is None  # both required
+
+
+def test_orientation_heuristic():
+    out = detect_orientation("", "abc 12")
+    # 3 letters of 5 non-space chars → 60.0
+    assert out == {"angle": 0, "confidence": 60.0}
+
+
+def test_embedded_osd_report_wins():
+    html = b"<p>Orientation in degrees: 180</p><p>Orientation confidence: 3.25</p><p>hi</p>"
+    out = extract_page(html, "en")
+    assert out["orientation"] == {"angle": 180, "confidence": 3.25}
+
+
+def test_version_and_langs():
+    assert get_version() == (0, 1, 0)
+    assert "en" in get_available_languages()
+
+
+def test_oversize_page_rejected_per_row():
+    from pyocr_spark.core import oracle
+
+    old = oracle.MAX_HTML_BYTES
+    oracle.MAX_HTML_BYTES = 10
+    try:
+        out = extract_page(b"<p>0123456789012</p>", "en")
+        assert out["status"] == "error"
+        assert "too large" in out["error"]
+    finally:
+        oracle.MAX_HTML_BYTES = old
