@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — exact DuckDB SQL for every SQL-expressible query.
+
+Extraction queries run the REAL Spark pipeline (Arrow-batched UDF over the
+deterministic synthetic pages table derived from documents.parquet —
+pyocr_spark/datagen.py) and are compared against oracle-materialized
+``expected_*`` parquet (read_parquet in the SQL): the driver's value-hash
+equality IS the byte-identical-per-url gate. Non-SQL-expressible ops
+(minhash/simhash/LSH — xxhash64 has no DuckDB twin) get rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +17,428 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+EXPECTED_001 = "/root/repo/.data/pages/sf0.01"  # driver compares at sf0.01
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.sources.pages import read_pages
+
+    pages_dir = ensure_pages(sf_dir)
+    return read_pages(spark, str(pages_dir / "pages.parquet"))
+
+
+def _extracted(spark: SparkSession, sf_dir: str, modes: frozenset) -> DataFrame:
+    from pyocr_spark.plans.pipeline import extract_df
+
+    return extract_df(_pages(spark, sf_dir), modes=modes)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction (text + boxes) over sf0.001 pages."""
+    return _extracted(spark, SF001, frozenset({"text", "words", "lines", "orientation"}))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_text(spark, sf_dir):
+    return _extracted(spark, sf_dir, frozenset({"text"})).select("url", "extracted_text")
+
+
+def _q_extract_digits(spark, sf_dir):
+    return _extracted(spark, sf_dir, frozenset({"digits"})).select("url", "digits_text")
+
+
+def _q_extract_words(spark, sf_dir):
+    df = _extracted(spark, sf_dir, frozenset({"words"}))
+    return df.select(
+        "url", F.posexplode("word_boxes").alias("idx", "w")
+    ).select(
+        "url", "idx",
+        F.col("w.content").alias("content"),
+        F.col("w.x1").alias("x1"), F.col("w.y1").alias("y1"),
+        F.col("w.x2").alias("x2"), F.col("w.y2").alias("y2"),
+        F.col("w.confidence").alias("confidence"),
+    )
+
+
+def _q_extract_lines(spark, sf_dir):
+    df = _extracted(spark, sf_dir, frozenset({"lines"}))
+    lines = df.select("url", F.posexplode("line_boxes").alias("line_idx", "ln"))
+    return lines.select(
+        "url", "line_idx",
+        F.col("ln.x1").alias("lx1"), F.col("ln.y1").alias("ly1"),
+        F.col("ln.x2").alias("lx2"), F.col("ln.y2").alias("ly2"),
+        F.posexplode("ln.words").alias("word_idx", "w"),
+    ).select(
+        "url", "line_idx", "lx1", "ly1", "lx2", "ly2", "word_idx",
+        F.col("w.content").alias("content"),
+        F.col("w.x1").alias("x1"), F.col("w.y1").alias("y1"),
+        F.col("w.x2").alias("x2"), F.col("w.y2").alias("y2"),
+        F.col("w.confidence").alias("confidence"),
+    )
+
+
+def _q_extract_hocr(spark, sf_dir):
+    return _extracted(spark, sf_dir, frozenset({"words", "hocr"})).select("url", "hocr")
+
+
+def _q_extract_boxfmt(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir, frozenset({"box_fmt"}))
+        .select("url", F.col("box_fmt").alias("box_lines"))
+    )
+
+
+def _q_extract_orientation(spark, sf_dir):
+    df = _extracted(spark, sf_dir, frozenset({"text", "orientation"}))
+    return df.select(
+        "url",
+        F.col("orientation.angle").alias("angle"),
+        F.col("orientation.confidence").alias("confidence"),
+    )
+
+
+def _q_extract_stats(spark, sf_dir):
+    df = _extracted(spark, sf_dir, frozenset({"lines"}))
+    return df.select("url", "status", "error", "n_words", "n_lines")
+
+
+def _q_pages_dedup_latest(spark, sf_dir):
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    df = dedup_latest_page(_pages(spark, sf_dir))
+    return df.select("url", F.col("warc_ts").cast("long").alias("ts_epoch"))
+
+
+def _q_doc_token_count(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import doc_token_stats
+
+    return doc_token_stats(_docs(spark, sf_dir))
+
+
+def _q_doc_quality(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact_docs(spark, sf_dir):
+    from pyocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_lang_doc_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def _q_top_docs_per_source(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars", "rn")
+    )
+
+
+def _q_lineitem_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_customer_order_totals(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _q_ann_topk_cosine(spark, sf_dir):
+    from pyocr_spark.operators.ann import topk_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return topk_cosine(emb, qvec, k=10, exclude_id=0)
+
+
+def _q_ann_topk_lsh(spark, sf_dir):
+    from pyocr_spark.operators.ann import topk_cosine_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return topk_cosine_lsh(emb, qvec, k=10)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from pyocr_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+def _q_simhash_docs(spark, sf_dir):
+    from pyocr_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from pyocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _q_embedding_dups(spark, sf_dir):
+    from pyocr_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_pairs(emb, threshold=0.4, lsh_planes=0)
+
+
+def _q_embedding_dups_lsh(spark, sf_dir):
+    from pyocr_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_pairs(emb, threshold=0.4, lsh_planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction surface (byte-identical gate via expected_* parquet)
+        "extract_text": _q_extract_text,
+        "extract_digits": _q_extract_digits,
+        "extract_words": _q_extract_words,
+        "extract_lines": _q_extract_lines,
+        "extract_hocr": _q_extract_hocr,
+        "extract_boxfmt": _q_extract_boxfmt,
+        "extract_orientation": _q_extract_orientation,
+        "extract_stats": _q_extract_stats,
+        "pages_dedup_latest": _q_pages_dedup_latest,
+        # text analysis (training-data pipeline surface)
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "lang_doc_stats": _q_lang_doc_stats,
+        "top_docs_per_source": _q_top_docs_per_source,
+        # relational rim
+        "lineitem_pricing": _q_lineitem_pricing,
+        "customer_order_totals": _q_customer_order_totals,
+        "events_hourly": _q_events_hourly,
+        # similarity / near-dup
+        "ann_topk_cosine": _q_ann_topk_cosine,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_docs": _q_simhash_docs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_dups": _q_embedding_dups,
+        "embedding_dups_lsh": _q_embedding_dups_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — tables region..embeddings are pre-registered views;
+# extraction oracles read the oracle-materialized expected_* parquet.
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    E = EXPECTED_001
+    return {
+        "extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
+        "extract_digits": f"SELECT url, digits_text FROM read_parquet('{E}/expected_digits.parquet')",
+        "extract_words": (
+            f"SELECT url, idx, content, x1, y1, x2, y2, confidence "
+            f"FROM read_parquet('{E}/expected_words.parquet')"
+        ),
+        "extract_lines": (
+            f"SELECT url, line_idx, lx1, ly1, lx2, ly2, word_idx, content, "
+            f"x1, y1, x2, y2, confidence FROM read_parquet('{E}/expected_lines.parquet')"
+        ),
+        "extract_hocr": f"SELECT url, hocr FROM read_parquet('{E}/expected_hocr_out.parquet')",
+        "extract_boxfmt": f"SELECT url, box_lines FROM read_parquet('{E}/expected_boxfmt.parquet')",
+        "extract_orientation": (
+            f"SELECT url, angle, confidence FROM read_parquet('{E}/expected_orient.parquet')"
+        ),
+        "extract_stats": (
+            f"SELECT url, status, error, n_words, n_lines "
+            f"FROM read_parquet('{E}/expected_stats.parquet')"
+        ),
+        "pages_dedup_latest": (
+            f"SELECT url, CAST(epoch(max(warc_ts)) AS BIGINT) AS ts_epoch "
+            f"FROM read_parquet('{E}/pages.parquet') GROUP BY url"
+        ),
+        "doc_token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "length(text) AS n_chars_actual FROM documents"
+        ),
+        "doc_quality": _QUALITY_SQL,
+        "doc_lang_id": _LANG_ID_SQL,
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64) "
+            "|| '|' || CAST(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS VARCHAR)) "
+            "AS fingerprint FROM documents"
+        ),
+        "dedup_exact_docs": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "lang_doc_stats": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang"
+        ),
+        "top_docs_per_source": (
+            "SELECT source, doc_id, n_chars, rn FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 3"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) "
+            "AS sum_disc_price, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "customer_order_totals": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "events_hourly": (
+            "SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY event_type, hour(ts)"
+        ),
+        "ann_topk_cosine": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "embedding_dups": (
+            "SELECT l.vec_id AS left_id, r.vec_id AS right_id, "
+            "round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
+            "WHERE round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
+        ),
+        # ann_topk_lsh / minhash_pairs / simhash_docs / ngram_jaccard /
+        # embedding_dups_lsh: xxhash64-based or recall-approximate → rows-only check
+    }
+
+
+_QUALITY_SQL = """
+WITH b AS (
+  SELECT doc_id, trim(text) AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         length(trim(text)) AS n_chars,
+         length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(' ' || trim(text) || ' ', '(?i)( (the|a|and|of|to|in) )')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0 THEN round(CAST(n_chars AS DOUBLE) / n_tok, 4) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tok > 0 THEN round(CAST(n_stop AS DOUBLE) / n_tok, 4) ELSE 0.0 END AS stop_ratio
+  FROM b
+)
+SELECT doc_id, n_tok AS n_tokens, mean_word_len, punct_ratio, stop_ratio AS stopword_ratio,
+       round((CASE WHEN n_tok >= 5 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 1) AS quality_score
+FROM r
+"""
+
+_LANG_MARKER_EXPRS = {
+    "en": "(the|and|of)",
+    "de": "(der|und|die)",
+    "es": "(el|los|de)",
+    "fr": "(le|les|et)",
+    "zh": "(的|是|了)",
+}
+
+_LANG_ID_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(regexp_extract_all(' ' || trim(text) || ' ', '( {pat.replace(chr(39), '')} )')) AS h_{lang}"
+        for lang, pat in sorted(_LANG_MARKER_EXPRS.items())
+    )
+    + " FROM documents), g AS (SELECT doc_id, greatest(h_de, h_en, h_es, h_fr, h_zh) AS best,"
+    " h_de, h_en, h_es, h_fr, h_zh FROM h)"
+    " SELECT doc_id, CASE WHEN best = 0 THEN 'und'"
+    " WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'"
+    " WHEN h_fr = best THEN 'fr' WHEN h_zh = best THEN 'zh' ELSE 'und' END AS lang_pred,"
+    " best AS best_hits FROM g"
+)

@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Headline: the flagship extraction (text-only modes, the north-star
+docs/sec path) plus the full-surface extraction and the training-data ops,
+on the deterministic bench-scale pages table (documents × replicate).
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR     input scale dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS       local[] parallelism (default 32)
+    SPARK_GRAFT_REPLICATE  pages fan-out factor (default 8 → ~40k pages at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+
+
+def main() -> None:
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.functions.extract import TEXT_ONLY
+    from pyocr_spark.core.oracle import ALL_MODES
+    from pyocr_spark.plans.metrics import StageMetrics
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.pages import read_pages
+    from pyocr_spark.sources.session import build_session
+
+    pages_dir = ensure_pages(SF_DIR, replicate=REPLICATE, expected=False)
+    spark = build_session(
+        master=f"local[{CPUS}]",
+        app_name="pyocr-spark-bench",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "false", "spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = str(pages_dir / "pages.parquet")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    def noop_write(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the JVM + parquet footer cache so q timings measure compute
+    pages = read_pages(spark, pages_path)
+    n_pages = pages.count()
+
+    m_text = StageMetrics(spark, "extract_text")
+    timed(
+        "extract_text",
+        lambda: noop_write(
+            extract_df(read_pages(spark, pages_path), modes=TEXT_ONLY, metrics=m_text,
+                       repartition_to=CPUS * 4)
+        ),
+    )
+    docs = int(m_text.docs.value)
+    extras["docs_per_sec_text"] = round(docs / timings["extract_text"], 2)
+
+    timed(
+        "extract_full",
+        lambda: noop_write(
+            extract_df(read_pages(spark, pages_path), modes=ALL_MODES, repartition_to=CPUS * 4)
+        ),
+    )
+    extras["docs_per_sec_full"] = round(docs / timings["extract_full"], 2)
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    from pyocr_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        simhash,
+    )
+    from pyocr_spark.operators.ann import topk_cosine
+    from pyocr_spark.functions.text_stats import quality_score
+
+    timed("dedup_exact", lambda: exact_dedup(docs_df).count())
+    timed("minhash_pairs", lambda: minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).count())
+    timed("simhash", lambda: noop_write(simhash(docs_df)))
+    timed("quality_score", lambda: noop_write(quality_score(docs_df)))
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect())
+
+    import __spark_entry__ as entrymod
+
+    timed("lineitem_pricing", lambda: entrymod._q_lineitem_pricing(spark, SF_DIR).collect())
+    timed("events_hourly", lambda: entrymod._q_events_hourly(spark, SF_DIR).collect())
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")),
+                "pages": n_pages,
+                "docs_extracted": docs,
+                "cpus": CPUS,
+                "replicate": REPLICATE,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

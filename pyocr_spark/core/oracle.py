@@ -99,27 +99,46 @@ def _line_row(ln: LineBox) -> dict:
     }
 
 
-def _empty_result(status: str, error: str | None) -> dict:
-    return {
-        "status": status,
-        "error": error,
-        "extracted_text": None,
-        "digits_text": None,
-        "word_boxes": None,
-        "line_boxes": None,
-        "digit_line_boxes": None,
-        "char_boxes": None,
-        "hocr": None,
-        "box_fmt": None,
-        "unicode_boxes": None,
-        "orientation": None,
-        "n_lines": 0,
-        "n_words": 0,
+#: every output mode extract_page can produce. The Spark pipeline passes a
+#: subset so unprojected modes are never computed — the UDF-stage analog of
+#: Catalyst column pruning (an hocr/box_fmt string for a 10 MB page is real
+#: work; don't pay it for a text-only query).
+ALL_MODES = frozenset(
+    {
+        "text", "digits", "words", "lines", "digit_lines", "chars",
+        "hocr", "box_fmt", "unicode_boxes", "orientation",
     }
+)
+
+_FIELD_DEFAULTS = {
+    "extracted_text": None,
+    "digits_text": None,
+    "word_boxes": None,
+    "line_boxes": None,
+    "digit_line_boxes": None,
+    "char_boxes": None,
+    "hocr": None,
+    "box_fmt": None,
+    "unicode_boxes": None,
+    "orientation": None,
+    "n_lines": 0,
+    "n_words": 0,
+}
 
 
-def extract_page(html: bytes | str | None, lang: str | None, psm: int = 3) -> dict:
-    """Full extraction for one page — every builder over one shared parse."""
+def _empty_result(status: str, error: str | None) -> dict:
+    out = {"status": status, "error": error}
+    out.update(_FIELD_DEFAULTS)
+    return out
+
+
+def extract_page(
+    html: bytes | str | None,
+    lang: str | None,
+    psm: int = 3,
+    modes: frozenset = ALL_MODES,
+) -> dict:
+    """Extraction for one page — requested builders over one shared parse."""
     if html is None:
         return _empty_result("error", "null html")
     if isinstance(html, (bytes, bytearray)) and len(html) > MAX_HTML_BYTES:
@@ -128,31 +147,44 @@ def extract_page(html: bytes | str | None, lang: str | None, psm: int = 3) -> di
         return _empty_result("error", f"unsupported language: {lang}")
     try:
         lines = page_events(html, psm=3 if psm == 0 else psm)
-        text = fold_events(TextBuilder(), lines)
-        digits = fold_events(DigitBuilder(), lines)
-        word_boxes = fold_events(WordBoxBuilder(), lines)
-        line_boxes = fold_events(LineBoxBuilder(), lines)
-        digit_lines = fold_events(DigitLineBoxBuilder(), lines)
-        char_boxes = fold_events(CharBoxBuilder(), lines)
-        orient = detect_orientation(decode_replace(html), text)
-        return {
-            "status": "ok",
-            "error": None if orient is not None else NO_SCRIPT_ERROR,
-            "extracted_text": text,
-            "digits_text": digits,
-            "word_boxes": [_box_row(b) for b in word_boxes],
-            "line_boxes": [_line_row(ln) for ln in line_boxes],
-            "digit_line_boxes": [_line_row(ln) for ln in digit_lines],
-            "char_boxes": [
-                {"content": b.content, "x1": b.x1, "y1": b.y1, "x2": b.x2, "y2": b.y2}
-                for b in char_boxes
-            ],
-            "hocr": WordBoxBuilder.write_file_str(word_boxes),
-            "box_fmt": CharBoxBuilder.write_file_str(char_boxes),
-            "unicode_boxes": "\n".join(b.get_unicode_string() for b in word_boxes),
-            "orientation": orient,
-            "n_lines": len(line_boxes),
-            "n_words": len(word_boxes),
-        }
+        out = _empty_result("ok", None)
+        need_words = modes & {"words", "hocr", "unicode_boxes"}
+        need_text = modes & {"text", "orientation"}
+        text = fold_events(TextBuilder(), lines) if need_text else None
+        word_boxes = fold_events(WordBoxBuilder(), lines) if need_words else None
+        if "text" in modes:
+            out["extracted_text"] = text
+        if "digits" in modes:
+            out["digits_text"] = fold_events(DigitBuilder(), lines)
+        if "words" in modes:
+            out["word_boxes"] = [_box_row(b) for b in word_boxes]
+        if "lines" in modes:
+            line_boxes = fold_events(LineBoxBuilder(), lines)
+            out["line_boxes"] = [_line_row(ln) for ln in line_boxes]
+            out["n_lines"] = len(line_boxes)
+        if "digit_lines" in modes:
+            out["digit_line_boxes"] = [
+                _line_row(ln) for ln in fold_events(DigitLineBoxBuilder(), lines)
+            ]
+        if modes & {"chars", "box_fmt"}:
+            char_boxes = fold_events(CharBoxBuilder(), lines)
+            if "chars" in modes:
+                out["char_boxes"] = [
+                    {"content": b.content, "x1": b.x1, "y1": b.y1, "x2": b.x2, "y2": b.y2}
+                    for b in char_boxes
+                ]
+            if "box_fmt" in modes:
+                out["box_fmt"] = CharBoxBuilder.write_file_str(char_boxes)
+        if "hocr" in modes:
+            out["hocr"] = WordBoxBuilder.write_file_str(word_boxes)
+        if "unicode_boxes" in modes:
+            out["unicode_boxes"] = "\n".join(b.get_unicode_string() for b in word_boxes)
+        if "orientation" in modes:
+            orient = detect_orientation(decode_replace(html), text)
+            out["orientation"] = orient
+            if orient is None:
+                out["error"] = NO_SCRIPT_ERROR
+        out["n_words"] = sum(len(ln.word_boxes) for ln in lines)
+        return out
     except Exception as exc:  # per-row error tolerance (never kill the batch)
         return _empty_result("error", f"{type(exc).__name__}: {exc}")

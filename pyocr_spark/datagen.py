@@ -1,0 +1,295 @@
+"""Deterministic synthetic `pages` table + oracle-produced expected tables.
+
+FIXTURES.md §1/§3: the engine's input is an Iceberg-style table
+``pages(url, warc_ts, html, text, lang)`` of Common-Crawl-like web pages.
+No such table ships with the sandbox, so it is synthesized — **purely
+deterministically** (no RNG at all: every decision is doc_id arithmetic) —
+from the driver-provided ``documents.parquet`` at each scale factor.
+
+Page mix (all thresholds frozen):
+
+- ``doc_id % 10 <= 6``  → plain-HTML page (boilerplate wrapper, <p> lines)
+- ``doc_id % 10 in {7,8}`` → tesseract-dialect hOCR page (real bboxes on
+  the FIXTURES grid)
+- ``doc_id % 10 == 9``  → cuneiform-dialect hOCR page (x_bboxes per char)
+- ``doc_id % 100 == 55`` → lang column forced to "xx" (unsupported →
+  error-routing row)
+- ``doc_id % 20 == 13`` → text column NULL
+- ``doc_id % 97 == 3``  → html gets a raw invalid-utf8 byte + entity
+  paragraph appended (U+FFFD replace-discipline coverage)
+- ``doc_id % 100 == 7`` → url re-crawled: a second row with warc_ts +1 day
+  and an extra "updated v2" paragraph (dedup-keep-latest coverage)
+- ``doc_id % 200 == 0 and doc_id > 0`` → content repeated ×100 (heavy-tail
+  size skew for the salting test)
+
+The oracle (core.oracle.extract_page) is then run over the DEDUPED set
+(latest warc_ts per url) to materialize ``expected_*`` parquet tables;
+the Spark pipeline is compared against these byte-identically — both in
+pytest and in the driver's DuckDB gate.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyocr_spark.core.oracle import extract_page
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+WORDS_PER_LINE = 8
+SKEW_REPEAT = 100  # content multiplier for every 200th page (FIXTURES.md §1.1)
+
+DATA_ROOT = Path(__file__).resolve().parent.parent / ".data" / "pages"
+
+_PLAIN_TEMPLATE = """<!DOCTYPE html>
+<html><head><title>doc {doc_id}</title>
+<style>body {{ margin: 0; }}</style>
+<script>var page = {doc_id}; track("<p>");</script>
+</head><body>
+<header><h1>Example Site</h1></header>
+<nav><ul><li><a href="/">home</a></li><li><a href="/about">about</a></li></ul></nav>
+<article>
+{content}
+</article>
+<footer>&copy; 2024 example.com — id {doc_id}</footer>
+</body></html>
+"""
+
+
+def _chunk(words: list[str], n: int) -> list[list[str]]:
+    return [words[i : i + n] for i in range(0, len(words), n)]
+
+
+def _plain_content(words: list[str]) -> str:
+    return "\n".join(
+        "<p>" + " ".join(line) + "</p>" for line in _chunk(words, WORDS_PER_LINE)
+    )
+
+
+def _hocr_tesseract_content(words: list[str]) -> str:
+    # FIXTURES.md §3 grid: word i of line j → bbox (10+80i, 40j, 80+80i,
+    # 40j+28), x_wconf 60+(i*7+j*3)%40.
+    out = ["<div class='ocr_page' id='page_1' title='image \"input.bmp\"; bbox 0 0 640 480'>"]
+    for j, line in enumerate(_chunk(words, WORDS_PER_LINE)):
+        x2 = 80 + 80 * (len(line) - 1)
+        out.append(
+            f"<span class='ocr_line' id='line_{j}' title='bbox 10 {40 * j} {x2} {40 * j + 28}'>"
+        )
+        for i, w in enumerate(line):
+            conf = 60 + (i * 7 + j * 3) % 40
+            out.append(
+                f"<span class='ocrx_word' id='word_{j}_{i}' "
+                f"title='bbox {10 + 80 * i} {40 * j} {80 + 80 * i} {40 * j + 28}; "
+                f"x_wconf {conf}'>{w}</span>"
+            )
+        out.append("</span>")
+    out.append("</div>")
+    return "\n".join(out)
+
+
+def _hocr_cuneiform_content(words: list[str]) -> str:
+    # cuneiform dialect: line text + per-char x_bboxes (4 ints per char,
+    # -1 quads for spaces). Chars laid every 8px inside the word's grid box.
+    out = []
+    for j, line in enumerate(_chunk(words, WORDS_PER_LINE)):
+        text = " ".join(line)
+        quads: list[str] = []
+        for i, w in enumerate(line):
+            if i > 0:
+                quads.append("-1 -1 -1 -1")
+            x0 = 10 + 80 * i
+            for k in range(len(w)):
+                quads.append(f"{x0 + 8 * k} {40 * j} {x0 + 8 * k + 7} {40 * j + 28}")
+        out.append(
+            f'<span class="ocr_line">{text}'
+            f'<span class="ocr_cinfo" title="x_bboxes {" ".join(quads)}"></span></span>'
+        )
+    return "\n".join(out)
+
+
+def build_html(doc_id: int, text: str) -> bytes:
+    """The frozen page body for one document (pre-dup/pre-edge variants)."""
+    words = text.split()
+    if doc_id % 200 == 0 and doc_id > 0:
+        words = words * SKEW_REPEAT
+    kind = doc_id % 10
+    if kind <= 6:
+        content = _plain_content(words)
+        page = _PLAIN_TEMPLATE.format(doc_id=doc_id, content=content)
+    elif kind <= 8:
+        content = _hocr_tesseract_content(words)
+        page = _PLAIN_TEMPLATE.format(doc_id=doc_id, content=content)
+    else:
+        content = _hocr_cuneiform_content(words)
+        page = _PLAIN_TEMPLATE.format(doc_id=doc_id, content=content)
+    html = page.encode("utf-8")
+    if doc_id % 97 == 3:
+        html += b"<p>caf\xe9 entity &amp; co</p>"
+    return html
+
+
+def generate_pages(documents: pd.DataFrame, replicate: int = 1) -> pd.DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → pages rows.
+
+    ``replicate > 1`` deterministically fans each document out into N
+    distinct pages (distinct urls, shifted doc_id arithmetic) — used to
+    build bench-scale inputs without external data.
+    """
+    rows = []
+    for doc_id, text, lang, source in zip(
+        documents["doc_id"], documents["text"], documents["lang"], documents["source"]
+    ):
+        base_id = int(doc_id)
+        for rep in range(replicate):
+            doc_id = base_id + 7919 * rep  # shift keeps the page-mix arithmetic varied
+            url = f"https://{source}.example.com/doc/{base_id}" + (
+                f"/rep/{rep}" if rep else ""
+            )
+            ts = EPOCH + timedelta(seconds=doc_id * 9973)
+            html = build_html(doc_id, text)
+            out_lang = "xx" if doc_id % 100 == 55 else lang
+            out_text = None if doc_id % 20 == 13 else text
+            rows.append((url, ts, html, out_text, out_lang))
+            if doc_id % 100 == 7:  # re-crawl: same url, later ts, updated body
+                html2 = html + b"<p>updated v2</p>"
+                rows.append((url, ts + timedelta(days=1), html2, out_text, out_lang))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def dedup_latest(pages: pd.DataFrame) -> pd.DataFrame:
+    """Frozen dedup rule (SURVEY.md P10): keep the row with max warc_ts per
+    url (synthetic data has no ties)."""
+    return (
+        pages.sort_values(["url", "warc_ts"])
+        .groupby("url", as_index=False)
+        .last()[["url", "warc_ts", "html", "text", "lang"]]
+    )
+
+
+def build_expected(pages_dedup: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Run the oracle over deduped pages → expected_* tables (FIXTURES §1.2)."""
+    text_rows, digit_rows, word_rows, line_rows = [], [], [], []
+    orient_rows, hocr_rows, boxfmt_rows, stat_rows = [], [], [], []
+    for url, html, lang in zip(
+        pages_dedup["url"], pages_dedup["html"], pages_dedup["lang"]
+    ):
+        out = extract_page(html, lang)
+        text_rows.append((url, out["extracted_text"]))
+        digit_rows.append((url, out["digits_text"]))
+        stat_rows.append((url, out["status"], out["error"], out["n_words"], out["n_lines"]))
+        o = out["orientation"]
+        orient_rows.append(
+            (url, None if o is None else o["angle"], None if o is None else o["confidence"])
+        )
+        hocr_rows.append((url, out["hocr"]))
+        boxfmt_rows.append((url, out["box_fmt"]))
+        for idx, b in enumerate(out["word_boxes"] or []):
+            word_rows.append(
+                (url, idx, b["content"], b["x1"], b["y1"], b["x2"], b["y2"], b["confidence"])
+            )
+        for li, ln in enumerate(out["line_boxes"] or []):
+            for wi, b in enumerate(ln["words"]):
+                line_rows.append(
+                    (
+                        url, li, ln["x1"], ln["y1"], ln["x2"], ln["y2"],
+                        wi, b["content"], b["x1"], b["y1"], b["x2"], b["y2"], b["confidence"],
+                    )
+                )
+    return {
+        "expected_text": pd.DataFrame(text_rows, columns=["url", "extracted_text"]),
+        "expected_digits": pd.DataFrame(digit_rows, columns=["url", "digits_text"]),
+        "expected_words": pd.DataFrame(
+            word_rows,
+            columns=["url", "idx", "content", "x1", "y1", "x2", "y2", "confidence"],
+        ),
+        "expected_lines": pd.DataFrame(
+            line_rows,
+            columns=[
+                "url", "line_idx", "lx1", "ly1", "lx2", "ly2",
+                "word_idx", "content", "x1", "y1", "x2", "y2", "confidence",
+            ],
+        ),
+        "expected_orient": pd.DataFrame(orient_rows, columns=["url", "angle", "confidence"]),
+        "expected_hocr_out": pd.DataFrame(hocr_rows, columns=["url", "hocr"]),
+        "expected_boxfmt": pd.DataFrame(boxfmt_rows, columns=["url", "box_lines"]),
+        "expected_stats": pd.DataFrame(
+            stat_rows, columns=["url", "status", "error", "n_words", "n_lines"]
+        ),
+    }
+
+
+_EXPECTED_INT32 = {
+    "expected_words": ["idx", "x1", "y1", "x2", "y2", "confidence"],
+    "expected_lines": [
+        "line_idx", "lx1", "ly1", "lx2", "ly2", "word_idx",
+        "x1", "y1", "x2", "y2", "confidence",
+    ],
+    "expected_stats": ["n_words", "n_lines"],
+    "expected_orient": ["angle"],
+}
+
+
+def ensure_pages(
+    sf_dir: str,
+    data_root: Path | None = None,
+    force: bool = False,
+    replicate: int = 1,
+    expected: bool = True,
+) -> Path:
+    """Materialize pages.parquet (+ expected_*.parquet) for one testdata sf dir.
+
+    Idempotent + deterministic: keyed by the sf dir's basename (plus the
+    replicate factor); returns the directory. Safe to call from every
+    queries() entry. Bench-scale dirs (replicate>1) skip the expected
+    tables — correctness is checked at sf0.01, bench at sf0.1.
+    """
+    sf_dir = str(sf_dir).rstrip("/")
+    root = Path(data_root) if data_root else DATA_ROOT
+    name = os.path.basename(sf_dir) + (f"-x{replicate}" if replicate > 1 else "")
+    out_dir = root / name
+    marker = out_dir / "_SUCCESS"
+    if marker.exists() and not force:
+        return out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    documents = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = generate_pages(documents, replicate=replicate)
+    pq.write_table(
+        pa.Table.from_pandas(pages, schema=PAGES_SCHEMA, preserve_index=False),
+        out_dir / "pages.parquet",
+        row_group_size=2048,  # many row groups → parallel scan even from one file
+    )
+    if expected:
+        exp = build_expected(dedup_latest(pages))
+        for name_, df in exp.items():
+            for col in _EXPECTED_INT32.get(name_, []):
+                df[col] = df[col].astype("Int32")
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False), out_dir / f"{name_}.parquet"
+            )
+    marker.write_text("ok\n")
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for sf in args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        d = ensure_pages(sf, force="--force" in sys.argv)
+        print(f"{sf} -> {d}")

@@ -1,0 +1,1 @@
+"""Vectorized UDFs and built-in-function helpers."""

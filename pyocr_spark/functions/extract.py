@@ -1,0 +1,95 @@
+"""The extraction stage — pyocr's whole public API as ONE Arrow-batched UDF.
+
+This replaces pyocr's one-subprocess-per-document execution
+(``pyocr/tesseract.py — image_to_string ~L330``, SURVEY.md E1/P4): the JVM
+ships Arrow batches of (url, html, lang) to a long-lived Python worker,
+which runs the frozen per-document semantics (core.oracle.extract_page —
+the SAME code the test oracle runs, so byte-identity holds by
+construction) and returns one batch of output columns. Process-boundary
+cost: once per ~512-row batch instead of once per document.
+
+Mode pruning: callers request only the output modes they project
+(`MODES`), so a text-only query never pays for char-box explosion or hOCR
+serialization — the UDF-stage analog of column pruning.
+
+Per-row error contract (SURVEY.md E2): a bad page yields
+status='error'/error=<msg>, never a stage failure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyocr_spark.core.oracle import ALL_MODES, extract_page
+
+# Spark DDL fragments per mode (order fixed → stable output schema).
+_BOX_STRUCT = "struct<content:string,x1:int,y1:int,x2:int,y2:int,confidence:int>"
+_LINE_STRUCT = f"struct<x1:int,y1:int,x2:int,y2:int,words:array<{_BOX_STRUCT}>>"
+
+_MODE_FIELDS: list[tuple[str, str, str]] = [
+    # (mode, column name, DDL type)
+    ("text", "extracted_text", "string"),
+    ("digits", "digits_text", "string"),
+    ("words", "word_boxes", f"array<{_BOX_STRUCT}>"),
+    ("lines", "line_boxes", f"array<{_LINE_STRUCT}>"),
+    ("lines", "n_lines", "int"),
+    ("digit_lines", "digit_line_boxes", f"array<{_LINE_STRUCT}>"),
+    ("chars", "char_boxes", "array<struct<content:string,x1:int,y1:int,x2:int,y2:int>>"),
+    ("hocr", "hocr", "string"),
+    ("box_fmt", "box_fmt", "string"),
+    ("unicode_boxes", "unicode_boxes", "string"),
+    ("orientation", "orientation", "struct<angle:int,confidence:double>"),
+]
+
+TEXT_ONLY = frozenset({"text"})
+BOXES = frozenset({"words", "lines"})
+
+
+def output_schema_ddl(modes: frozenset = ALL_MODES, passthrough: str = "url string") -> str:
+    """Build the mapInPandas output schema for a mode subset."""
+    cols = [passthrough, "status string", "error string", "n_words int"]
+    cols += [f"{name} {ddl}" for mode, name, ddl in _MODE_FIELDS if mode in modes]
+    return ", ".join(cols)
+
+
+def _columns_for(modes: frozenset) -> list[str]:
+    cols = ["status", "error", "n_words"]
+    cols += [name for mode, name, _ in _MODE_FIELDS if mode in modes]
+    return cols
+
+
+def make_extract_fn(
+    modes: frozenset = ALL_MODES,
+    psm: int = 3,
+    metrics=None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the mapInPandas function. ``metrics`` is an optional
+    plans.metrics.StageMetrics (driver-side accumulators, SURVEY.md P7)."""
+    out_cols = _columns_for(modes)
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs = pdf["lang"] if "lang" in pdf.columns else [None] * len(pdf)
+            results = [
+                extract_page(html, lang, psm=psm, modes=modes)
+                for html, lang in zip(pdf["html"], langs)
+            ]
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    **{c: [r[c] for r in results] for c in out_cols},
+                }
+            )
+            if metrics is not None:
+                n_err = int(sum(1 for r in results if r["status"] == "error"))
+                metrics.add(
+                    docs=len(results),
+                    errors=n_err,
+                    bytes_in=int(sum(len(h) for h in pdf["html"] if h is not None)),
+                    words=int(sum(r["n_words"] for r in results)),
+                )
+            yield out
+
+    return extract_batches

@@ -1,0 +1,107 @@
+"""Text-analysis functions for the training-data-pipeline surface.
+
+All built-in pyspark.sql.functions (JVM-side, whole-stage codegen — no
+Python in the hot path), designed to be expressible 1:1 in ANSI/DuckDB SQL
+so each has an exact oracle. Token counting, quality scoring, language-ID
+(stopword heuristic), and content fingerprinting over `documents`-shaped
+tables (doc_id, text, lang, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count; empty/blank text → 0."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punct/stopword-ratio quality features + a composite score.
+
+    The composite is a simple frozen formula (not learned): documents are
+    "good" when they have enough tokens, sane mean word length, and some
+    stopword mass — the classic cheap pre-filter for web-scraped text.
+    """
+    t = F.trim(F.col("text"))
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.concat(F.lit(" "), t, F.lit(" ")), F.lit(r"(?i)( (the|a|and|of|to|in) )"), F.lit(0)
+        )
+    )
+    mean_wlen = F.when(n_tok > 0, F.round(n_chars / n_tok, 4)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, F.round(n_stop / n_tok, 4)).otherwise(F.lit(0.0))
+    score = F.round(
+        F.when(n_tok >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0)),
+        1,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+#: tiny frozen stopword lists per language for the n-gram/stopword
+#: language-ID heuristic. Counts are exact-match word counts.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "de"),
+    "fr": ("le", "les", "et"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _marker_count(t: Column, words: tuple[str, ...]) -> Column:
+    pat = "( (" + "|".join(words) + ") )"
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    # overlapping " w1 w2 " pairs: count via extract_all on the padded text
+    return F.size(F.regexp_extract_all(padded, F.lit(pat), F.lit(0)))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword hits.
+
+    Ties (incl. zero hits everywhere) → 'und', deterministically. Returns
+    (doc_id, lang_pred, best_hits).
+    """
+    t = F.trim(F.col("text"))
+    hits = [(lang, _marker_count(t, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[h for _, h in hits])
+    pred = F.lit("und")
+    for lang, h in reversed(hits):  # earlier langs win ties → reversed fold
+        pred = F.when((best > 0) & (h == best), F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("lang_pred"), best.alias("best_hits"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 over a normalized prefix +
+    length — the cheap "same-content" key for exact clustering.
+    """
+    t = F.col("text")
+    norm = F.lower(F.regexp_replace(t, r"\s+", " "))
+    fp = F.md5(F.concat(F.substring(norm, 1, 64), F.lit("|"), F.length(norm).cast("string")))
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,1 @@
+"""Dataflow operators: salted repartition, dedup family, ANN, resume."""

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one narrow scan +
+broadcast query vector + top-k via sort-limit, which Spark executes as
+TakeOrderedAndProject — partial top-k per partition, no full sort). The
+LSH-bucketed variant is the scale path: at 10^9+ vectors the scan is
+pruned to the query's hyperplane bucket (and its Hamming-1 neighbors),
+trading recall for a ~2^planes fan-in reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    Returns (vec_id, cosine) ordered desc, ties broken by id (so the
+    result is fully deterministic and oracle-comparable).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    df = emb.select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return df.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot LSH signature against fixed hyperplanes → int bucket."""
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec, pc) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+def make_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state: pure hash)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"plane:{p}:{i}".encode()).digest()[:4], "big"
+            )
+            comps.append((h % 2000) / 1000.0 - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def topk_cosine_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: prune to the query's LSH bucket ± Hamming-1.
+
+    At small data this returns nearly the exact set; at cluster scale the
+    bucket filter is a partition-pruning predicate when the table is
+    written partitioned by `lsh_bucket` (write-side organization).
+    """
+    planes = make_planes(len(query_vec), n_planes)
+    v = F.col(vec_col).cast("array<double>")
+    with_sig = emb.select(F.col(id_col), v.alias("v"), hyperplane_sig(v, planes).alias("lsh"))
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qsig += 2**p
+    candidates = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        with_sig.filter(F.col("lsh").isin(list(candidates)))
+        .select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,252 @@
+"""Deduplication operators.
+
+``dedup_latest_page`` is the pipeline's re-crawl dedup (SURVEY.md P10).
+The content-dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine) serves the training-data-pipeline surface over the
+``documents`` table — each designed so the expensive comparison only
+happens inside small candidate buckets, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest_page(pages: DataFrame) -> DataFrame:
+    """Keep the latest crawl per url (max warc_ts) — SURVEY.md P10.
+
+    One shuffle on url (window partition). At 10^12 rows this is the
+    right shape: partial aggregation doesn't apply to row_number, but the
+    window shuffle co-partitions with the downstream bucket write, and
+    AQE skew-split handles hot urls.
+    """
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# content dedup family (documents table: doc_id, text, ...)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content dedup: md5 groupBy, keep min id per digest.
+
+    Returns (doc_id, content_hash, dup_count). min/count are partial-agg
+    friendly (map-side combine), so the shuffle carries one row per
+    distinct digest per mapper — not one per document.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingles(text_col: str, k: int):
+    """k-word shingles as an array column (built-in fns only, JVM-side)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # transform over 0..n-k: join words[i..i+k-1]
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures from k-word shingles, entirely with built-in
+    functions (no Python UDF): hash_i(s) = xxhash64(s, seed=i); min over
+    shingles per seed. Returns (id, sig: array<bigint>)."""
+    def _minhash(seed: int):
+        # NB: pyspark HOF lambdas dispatch on arity — a 2-arg lambda would
+        # receive (element, index), so the seed must bind via closure.
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    sigs = F.array(*[_minhash(i) for i in range(num_hashes)])
+    # materialize shingles ONCE via an intermediate projection — Catalyst
+    # does not CSE the shingle construction across the num_hashes branches,
+    # and rebuilding it 16× is a >10× slowdown measured at sf0.1
+    return (
+        df.select(F.col(id_col), _shingles(text_col, k).alias("_sh"))
+        .select(F.col(id_col), sigs.alias("sig"))
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
+
+    Candidate pairs only form inside an LSH band bucket (equi-join on the
+    band hash — shuffle join on a compact key, never all-pairs), then are
+    confirmed by estimated Jaccard = fraction of matching signature
+    components. Returns (left_id, right_id, jaccard_est) with left < right.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, k, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bkey")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.col("l.sig").alias("lsig"),
+            F.col("r.sig").alias("rsig"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    jac = (
+        F.size(F.filter(F.zip_with("lsig", "rsig", lambda a, b: a == b), lambda x: x))
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.withColumn("jaccard_est", jac)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("left_id", "right_id", F.round("jaccard_est", 4).alias("jaccard_est"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per document, built-ins only.
+
+    Each word votes ±1 on each bit of xxhash64(word); the sign vector is
+    the fingerprint. Returns (id, simhash: bigint).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def _vote(bit: int):
+        # seed must bind via closure — see _minhash note on HOF lambda arity
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(b) for b in range(bits)]
+    fp = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing a rare shingle.
+
+    Inverted-index join: explode distinct shingles, join docs sharing one,
+    compute |A∩B| via the shared-shingle count and |A∪B| = |A|+|B|-|A∩B|.
+    Shuffle volume is bounded by dropping stop-shingles (docfreq > 100).
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(_shingles(text_col, n)).alias("sh")
+    ).withColumn("nsh", F.size("sh"))
+    inv = sh.select(id_col, "nsh", F.explode("sh").alias("g"))
+    rare = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_")).filter("df_ <= 100")
+    inv = inv.join(rare.select("g"), "g")
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(r, on=[F.col("l.g") == F.col("r.g"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.col("l.nsh").alias("lnsh"),
+            F.col("r.nsh").alias("rnsh"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("lnsh") + F.col("rnsh") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    lsh_planes: int = 0,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    ``lsh_planes=0`` → exact brute-force self-join (id < id) — quadratic,
+    the correctness baseline with a 1:1 SQL oracle. ``lsh_planes>0`` →
+    random-hyperplane LSH: pairs only form inside a sign-signature bucket
+    (equi-join), the scale path at 10^9 vectors (recall < 1 by design).
+    Cosine is built-in zip_with/aggregate — JVM-side, no Python.
+    """
+    from pyocr_spark.operators.ann import cosine, hyperplane_sig, make_planes
+
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    join_cond = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
+    if lsh_planes > 0:
+        dim = len(emb.select(vec_col).head()[0])
+        planes = make_planes(dim, lsh_planes)
+        v = v.withColumn("lsh", hyperplane_sig(F.col("v"), planes))
+        join_cond.insert(0, F.col("l.lsh") == F.col("r.lsh"))
+    l, r = v.alias("l"), v.alias("r")
+    cos = cosine(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(r, on=join_cond)
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,43 @@
+"""Skew-defeating partitioning (SURVEY.md P3).
+
+Page-size skew is the scale killer for a UDF map stage: Common-Crawl page
+sizes are heavy-tailed, AQE rebalances *shuffle/join* partitions but not a
+map stage's input, and a partition that happens to hold a run of 10 MB
+pages straggles the whole stage. The fix is an explicit shuffle keyed by
+``xxhash64(url)`` — decorrelating page size from partition placement — and
+a persisted ``bucket`` column that doubles as the resume/lineage unit
+(P5/P6): bucket ids are stable across runs and cluster sizes because they
+depend only on the url, never on the partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default lineage-bucket count. At 10^12 docs this would be raised so one
+#: bucket is a few GB (e.g. 2^16 buckets ≈ 15M docs each); the unit-cost of
+#: a bucket is what a resume re-does, so it should stay executor-sized.
+DEFAULT_BUCKETS = 64
+
+
+def with_bucket(df: DataFrame, num_buckets: int = DEFAULT_BUCKETS, key: str = "url") -> DataFrame:
+    """Stable content-addressed bucket id: pmod(xxhash64(key), n)."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int"))
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    key: str = "url",
+) -> DataFrame:
+    """Shuffle rows so partition ↔ page-size correlation is destroyed.
+
+    Keyed on xxhash64(url) rather than raw url so pathological url
+    distributions (one host crawled depth-first → lexically adjacent urls
+    → same partition range under file order) still spread uniformly.
+    """
+    salt = F.xxhash64(F.col(key))
+    if num_partitions is None:
+        return df.repartition(salt)  # let AQE/shuffle.partitions decide count
+    return df.repartition(num_partitions, salt)

@@ -1,0 +1,51 @@
+"""Driver-side metrics accumulators (SURVEY.md P7 / north_star: "driver-side
+metrics accumulator per stage").
+
+Spark accumulators are write-only on executors, readable on the driver —
+exactly the shape for stage counters that must not shuffle anything. The
+extraction UDF increments them per Arrow batch (not per row).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+class StageMetrics:
+    """A named bundle of accumulators for one stage."""
+
+    def __init__(self, spark: SparkSession, stage: str):
+        sc = spark.sparkContext
+        self.stage = stage
+        self.docs = sc.accumulator(0)
+        self.errors = sc.accumulator(0)
+        self.bytes_in = sc.accumulator(0)
+        self.words = sc.accumulator(0)
+        self._t0 = time.monotonic()
+
+    def add(self, docs: int = 0, errors: int = 0, bytes_in: int = 0, words: int = 0) -> None:
+        # called on executors, inside the UDF
+        self.docs.add(docs)
+        self.errors.add(errors)
+        self.bytes_in.add(bytes_in)
+        self.words.add(words)
+
+    # -- driver-side reporting --------------------------------------------
+    def snapshot(self) -> dict:
+        wall = time.monotonic() - self._t0
+        docs = int(self.docs.value)
+        return {
+            "stage": self.stage,
+            "docs": docs,
+            "errors": int(self.errors.value),
+            "bytes_in": int(self.bytes_in.value),
+            "words": int(self.words.value),
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(docs / wall, 2) if wall > 0 else None,
+        }
+
+    def report(self) -> str:
+        return json.dumps(self.snapshot())

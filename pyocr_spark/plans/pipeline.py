@@ -1,0 +1,87 @@
+"""The extraction pipeline — SURVEY.md §3.1 "Spark re-trace".
+
+scan → prune/filter (pushed down) → dedup latest crawl → salted
+repartition → ONE Arrow-batched extraction UDF → select → sink.
+
+Everything between scan and sink is a single narrow stage except the two
+deliberate shuffles: the dedup window (P10) and the salt (P3). No
+collect(), no driver-side loops; the driver only reads accumulators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyocr_spark.core.oracle import ALL_MODES
+from pyocr_spark.functions.extract import make_extract_fn, output_schema_ddl
+from pyocr_spark.operators.dedup import dedup_latest_page
+from pyocr_spark.operators.repartition import DEFAULT_BUCKETS, salted_repartition, with_bucket
+from pyocr_spark.plans.metrics import StageMetrics
+from pyocr_spark.sources.pages import read_pages, with_page_filters
+
+
+def extract_df(
+    pages: DataFrame,
+    modes: frozenset = ALL_MODES,
+    psm: int = 3,
+    metrics: StageMetrics | None = None,
+    repartition_to: int | None = None,
+    dedup: bool = True,
+    keep_bucket: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """pages DataFrame → extraction output DataFrame (lazy; no action)."""
+    df = with_page_filters(pages)
+    if dedup:
+        df = dedup_latest_page(df)
+    cols = ["url", "html", "lang"]  # prune BEFORE the UDF: Arrow ships only these
+    if keep_bucket:
+        df = with_bucket(df, num_buckets)
+        cols.append("bucket")
+    df = df.select(*cols)
+    df = salted_repartition(df, repartition_to)
+    passthrough = "url string" + (", bucket int" if keep_bucket else "")
+    schema = output_schema_ddl(modes, passthrough=passthrough)
+    fn = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
+    if keep_bucket:
+        # bucket must survive the UDF for partitioned/idempotent writes
+        inner = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
+
+        def fn_with_bucket(batches):
+            for pdf in batches:
+                buckets = pdf["bucket"].values
+                for out in inner(iter([pdf])):
+                    out.insert(1, "bucket", buckets[: len(out)])
+                    yield out
+
+        return df.mapInPandas(fn_with_bucket, schema=schema)
+    return df.mapInPandas(fn, schema=schema)
+
+
+def run_extract(
+    spark: SparkSession,
+    pages_location: str,
+    output_location: str | None = None,
+    modes: frozenset = ALL_MODES,
+    psm: int = 3,
+    repartition_to: int | None = None,
+) -> dict:
+    """Full job: read → extract → (optionally) sink; returns metrics."""
+    metrics = StageMetrics(spark, "extract")
+    pages = read_pages(spark, pages_location)
+    out = extract_df(
+        pages,
+        modes=modes,
+        psm=psm,
+        metrics=metrics,
+        repartition_to=repartition_to,
+        keep_bucket=output_location is not None,
+    )
+    if output_location is not None:
+        out.write.mode("overwrite").partitionBy("bucket").parquet(output_location)
+    else:
+        out.write.format("noop").mode("overwrite").save()
+    snap = metrics.snapshot()
+    snap["errors_by_kind"] = None  # extended report available via groupBy status
+    return snap

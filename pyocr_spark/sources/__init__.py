@@ -1,0 +1,1 @@
+"""Table IO: session builder, pages scan/sink, testdata loaders."""

@@ -1,0 +1,85 @@
+"""pages table scan/sink — Iceberg on a real cluster, parquet locally.
+
+The reference hands each document to a subprocess through temp files
+(``pyocr/tesseract.py — temp_dir()/image.save ~L300``, SURVEY.md S4/S5);
+here the ``html: binary`` column replaces that handoff entirely and the
+scan/sink are declarative so Catalyst gets column pruning + predicate
+pushdown for free.
+
+No Iceberg runtime jar ships in this sandbox, so ``format="iceberg"`` is a
+flag (env SPARK_GRAFT_TABLE_FORMAT or argument), exercised only on real
+deployments; everything else is format-agnostic DataFrame code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+def _table_format() -> str:
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def read_pages(spark: SparkSession, location: str, fmt: str | None = None) -> DataFrame:
+    """Scan the pages table. ``location`` is a path (parquet) or a catalog
+    table name (iceberg). Schema is always explicit — never inferred
+    (inference at 10^12 rows is a full scan; SURVEY.md §1.2)."""
+    fmt = fmt or _table_format()
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(location)
+    return spark.read.schema(PAGES_SCHEMA).parquet(location)
+
+
+def write_output(
+    df: DataFrame,
+    location: str,
+    fmt: str | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Sink. Local parquet partitioned by bucket gives idempotent per-bucket
+    overwrite (dynamic partition overwrite) — the resume unit (SURVEY.md P9)."""
+    fmt = fmt or _table_format()
+    if fmt == "iceberg":
+        df.writeTo(location).append()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(location)
+
+
+def with_page_filters(
+    df: DataFrame, max_html_bytes: int | None = None, langs: list[str] | None = None
+) -> DataFrame:
+    """Standard pushdown-friendly pre-filters (SURVEY.md P2): drop null
+    html, optionally cap page size and restrict languages. Applied BEFORE
+    the UDF so they reach the scan (check PushedFilters in .explain)."""
+    out = df.filter(F.col("html").isNotNull())
+    if max_html_bytes is not None:
+        out = out.filter(F.length("html") <= max_html_bytes)
+    if langs:
+        out = out.filter(F.col("lang").isin(langs))
+    return out

@@ -1,0 +1,46 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+These are the knobs SURVEY.md §4.2 calls out: AQE on (runtime coalesce +
+skew-join split), speculation on (straggler re-launch), Arrow batches kept
+small because rows carry multi-KB..multi-MB html blobs (a 10k-row default
+batch of 1 MB pages would be 10 GB in one Python worker).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: rows per Arrow batch entering the Python worker. Pages average a few KB
+#: but the tail is MBs; 512 rows bounds a batch to low tens of MB.
+ARROW_BATCH_ROWS = 512
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "pyocr-spark",
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = ARROW_BATCH_ROWS,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.speculation", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html blobs are incompressible-ish text; lz4 beats snappy on CPU
+        .config("spark.io.compression.codec", "lz4")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

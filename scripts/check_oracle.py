@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count + schema-width + order-insensitive values.
+
+Usage: python scripts/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None or v != v else str(v))
+        else:
+            try:
+                df[c] = df[c].astype("float64")
+            except (TypeError, ValueError):
+                df[c] = df[c].map(str)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def main() -> int:
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.sources.session import build_session
+
+    ensure_pages(SF_DIR)
+    spark = build_session(
+        master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false", "spark.speculation": "false"},
+    )
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[1:] or list(qs)
+    failures = 0
+    for name in names:
+        try:
+            got = qs[name](spark, SF_DIR).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(got)} rows, cols={list(got.columns)}")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error {exc}")
+            failures += 1
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        g, w = normalize(got), normalize(want)
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            print(f"OK   {name}: {len(got)} rows")
+        except AssertionError as exc:
+            print(f"FAIL {name}: value mismatch\n{str(exc)[:500]}")
+            diff = (g != w) & ~(g.isna() & w.isna())
+            bad_rows = diff.any(axis=1)
+            if bad_rows.any():
+                idx = list(bad_rows[bad_rows].index[:3])
+                print("  got:", g.loc[idx].to_dict("records"))
+                print("  want:", w.loc[idx].to_dict("records"))
+            failures += 1
+    spark.stop()
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,22 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyocr_spark.sources.session import build_session
+
+    spark = build_session(
+        master="local[4]",
+        app_name="pyocr-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false", "spark.speculation": "false"},
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def pages_sf0001():
+    from pyocr_spark.datagen import ensure_pages
+
+    return ensure_pages("/root/testdata/sf0.001")

@@ -1,0 +1,117 @@
+"""E2E: Spark pipeline output is byte-identical to the oracle per url
+(SURVEY.md §5.2.3) on the deterministic sf0.001 pages table."""
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.plans.metrics import StageMetrics
+from pyocr_spark.plans.pipeline import extract_df
+from pyocr_spark.sources.pages import read_pages
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages_sf0001):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    metrics = StageMetrics(spark, "extract-test")
+    out = extract_df(pages, metrics=metrics, repartition_to=8).toPandas()
+    return out.set_index("url").sort_index(), metrics
+
+
+def _expected(pages_sf0001, name) -> pd.DataFrame:
+    return pd.read_parquet(pages_sf0001 / f"{name}.parquet")
+
+
+def test_row_count_after_dedup(extracted, pages_sf0001):
+    out, _ = extracted
+    exp = _expected(pages_sf0001, "expected_text")
+    assert len(out) == len(exp) == 500  # 505 crawl rows → 500 urls
+
+
+def test_extracted_text_byte_identical(extracted, pages_sf0001):
+    out, _ = extracted
+    exp = _expected(pages_sf0001, "expected_text").set_index("url").sort_index()
+    assert list(out.index) == list(exp.index)
+    mismatches = [
+        u
+        for u, got, want in zip(out.index, out["extracted_text"], exp["extracted_text"])
+        if (got or "") != (want or "") or (got is None) != (want is None)
+    ]
+    assert mismatches == []
+
+
+def test_digits_hocr_boxfmt_unicode_byte_identical(extracted, pages_sf0001):
+    out, _ = extracted
+    for table, col_out, col_exp in [
+        ("expected_digits", "digits_text", "digits_text"),
+        ("expected_hocr_out", "hocr", "hocr"),
+        ("expected_boxfmt", "box_fmt", "box_lines"),
+    ]:
+        exp = _expected(pages_sf0001, table).set_index("url").sort_index()
+        bad = [
+            u
+            for u, got, want in zip(out.index, out[col_out], exp[col_exp])
+            if got != want and not (got is None and want is None)
+        ]
+        assert bad == [], f"{table}: {bad[:3]}"
+
+
+def test_word_boxes_match_expected(extracted, pages_sf0001):
+    out, _ = extracted
+    exp = _expected(pages_sf0001, "expected_words")
+    got_rows = []
+    for url, boxes in zip(out.index, out["word_boxes"]):
+        if boxes is None:
+            continue
+        for idx, b in enumerate(boxes):
+            got_rows.append((url, idx, b["content"], b["x1"], b["y1"], b["x2"], b["y2"], b["confidence"]))
+    got = pd.DataFrame(got_rows, columns=list(exp.columns)).sort_values(["url", "idx"]).reset_index(drop=True)
+    want = exp.astype({c: "int64" for c in ["idx", "x1", "y1", "x2", "y2", "confidence"]})
+    want = want.sort_values(["url", "idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_orientation_and_stats(extracted, pages_sf0001):
+    out, _ = extracted
+    exp = _expected(pages_sf0001, "expected_orient").set_index("url").sort_index()
+    for u, got, want_angle, want_conf in zip(
+        out.index, out["orientation"], exp["angle"], exp["confidence"]
+    ):
+        if got is None:
+            assert pd.isna(want_angle), u
+        else:
+            assert got["angle"] == want_angle and got["confidence"] == want_conf, u
+    stats = _expected(pages_sf0001, "expected_stats").set_index("url").sort_index()
+    assert list(out["status"]) == list(stats["status"])
+    assert list(out["n_words"]) == list(stats["n_words"])
+
+
+def test_error_rows_routed_not_raised(extracted):
+    out, _ = extracted
+    errs = out[out["status"] == "error"]
+    assert len(errs) > 0  # lang='xx' rows exist by construction
+    assert all("unsupported language" in e for e in errs["error"])
+    assert errs["extracted_text"].isna().all()
+
+
+def test_metrics_accumulators(extracted):
+    out, metrics = extracted
+    snap = metrics.snapshot()
+    assert snap["docs"] == len(out)
+    assert snap["errors"] == int((out["status"] == "error").sum())
+    assert snap["bytes_in"] > 0
+    assert snap["words"] == int(out["n_words"].sum())
+
+
+def test_mode_pruning_schema(spark, pages_sf0001):
+    from pyocr_spark.functions.extract import TEXT_ONLY
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    df = extract_df(pages, modes=TEXT_ONLY)
+    assert df.columns == ["url", "status", "error", "n_words", "extracted_text"]
+
+
+def test_filters_pushed_down_to_scan(spark, pages_sf0001):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    plan = pages.filter("lang = 'en'").select("url", "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+    assert "ReadSchema" in plan and "html" not in plan.split("ReadSchema")[1][:200]
