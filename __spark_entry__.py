@@ -31,10 +31,12 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pages(spark, str(pages_dir / "pages.parquet"))
 
 
-def _extracted(spark: SparkSession, sf_dir: str, modes: frozenset) -> DataFrame:
+def _extracted(
+    spark: SparkSession, sf_dir: str, modes: frozenset, psm: int = 3
+) -> DataFrame:
     from pyocr_spark.plans.pipeline import extract_df
 
-    return extract_df(_pages(spark, sf_dir), modes=modes)
+    return extract_df(_pages(spark, sf_dir), modes=modes, psm=psm)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,6 +113,55 @@ def _q_extract_orientation(spark, sf_dir):
 def _q_extract_stats(spark, sf_dir):
     df = _extracted(spark, sf_dir, frozenset({"lines"}))
     return df.select("url", "status", "error", "n_words", "n_lines")
+
+
+def _q_extract_unicode_boxes(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir, frozenset({"words", "unicode_boxes"}))
+        .select("url", "unicode_boxes")
+    )
+
+
+def _q_extract_text_psm6(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir, frozenset({"text"}), psm=6)
+        .select("url", "extracted_text")
+    )
+
+
+def _q_extract_text_psm7(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir, frozenset({"text"}), psm=7)
+        .select("url", "extracted_text")
+    )
+
+
+def _media(spark, sf_dir):
+    """Deterministic media table derived from documents (binary blobs)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("content"),
+        F.struct(
+            F.col("source").alias("source"), F.lit("application/fake").alias("declared_mime")
+        ).alias("meta"),
+    )
+
+
+def _q_media_decode(spark, sf_dir):
+    from pyocr_spark.functions.multimodal import decode_media
+
+    return decode_media(_media(spark, sf_dir))
+
+
+def _q_media_frames(spark, sf_dir):
+    from pyocr_spark.functions.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir), every_n=16)
 
 
 def _q_pages_dedup_latest(spark, sf_dir):
@@ -215,6 +266,26 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts after a >30 min gap per user;
+    returns per-user session counts + total events (window functions)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp_ltz").cast("long")  # events ts is NTZ parquet
+    gap = ep - F.lag(ep).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def _q_ann_topk_cosine(spark, sf_dir):
     from pyocr_spark.operators.ann import topk_cosine
 
@@ -274,7 +345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boxfmt": _q_extract_boxfmt,
         "extract_orientation": _q_extract_orientation,
         "extract_stats": _q_extract_stats,
+        "extract_unicode_boxes": _q_extract_unicode_boxes,
+        "extract_text_psm6": _q_extract_text_psm6,
+        "extract_text_psm7": _q_extract_text_psm7,
         "pages_dedup_latest": _q_pages_dedup_latest,
+        # multimodal plumbing (fake codec — deterministic; rows-only checks)
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
         # text analysis (training-data pipeline surface)
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -287,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
         # similarity / near-dup
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -325,9 +403,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, status, error, n_words, n_lines "
             f"FROM read_parquet('{E}/expected_stats.parquet')"
         ),
+        "extract_unicode_boxes": (
+            f"SELECT url, unicode_boxes FROM read_parquet('{E}/expected_unicode.parquet')"
+        ),
+        "extract_text_psm6": (
+            f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text_psm6.parquet')"
+        ),
+        "extract_text_psm7": (
+            f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text_psm7.parquet')"
+        ),
         "pages_dedup_latest": (
             f"SELECT url, CAST(epoch(max(warc_ts)) AS BIGINT) AS ts_epoch "
-            f"FROM read_parquet('{E}/pages.parquet') GROUP BY url"
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY url"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
@@ -382,6 +469,32 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
             "FROM embeddings, q WHERE vec_id <> 0 "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "events_sessionize": (
+            "WITH s AS (SELECT user_id, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM events) "
+            "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
+            "FROM s GROUP BY user_id"
+        ),
+        "ngram_jaccard": (
+            "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) "
+            "ELSE [array_to_string(w, ' ')] END AS g FROM words), "
+            "sized AS (SELECT doc_id, g, len(g) AS nsh FROM sh), "
+            "inv AS (SELECT doc_id, nsh, unnest(g) AS gram FROM sized), "
+            "rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), "
+            "inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), "
+            "inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, "
+            "l.nsh AS lnsh, r.nsh AS rnsh, count(*) AS i "
+            "FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id "
+            "GROUP BY 1,2,3,4) "
+            "SELECT left_id, right_id, round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) AS jaccard "
+            "FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5"
         ),
         "embedding_dups": (
             "SELECT l.vec_id AS left_id, r.vec_id AS right_id, "

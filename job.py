@@ -1,0 +1,68 @@
+"""spark-submit entrypoint — the production job.
+
+    python scripts/make_pyfiles.py                 # builds dist/pyocr_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/pyocr_spark.zip \\
+        job.py --input <pages location> --output <dir> \\
+               [--modes text,words,...] [--psm 3] [--num-buckets 64] \\
+               [--buckets-per-wave 16] [--table-format parquet|iceberg]
+
+Runs the resumable extraction (per-bucket lineage; re-running after a
+failure skips completed buckets) and prints the metrics report JSON —
+the driver-side accumulator snapshot per stage — as the last line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="pyocr_spark extraction job")
+    p.add_argument("--input", required=True, help="pages table path (or Iceberg name)")
+    p.add_argument("--output", required=True, help="output directory / table")
+    p.add_argument("--modes", default="all", help="comma list of output modes, or 'all'")
+    p.add_argument("--psm", type=int, default=3, choices=[0, 3, 6, 7])
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--buckets-per-wave", type=int, default=None)
+    p.add_argument("--table-format", default=None, choices=[None, "parquet", "iceberg"])
+    p.add_argument("--fresh", action="store_true", help="ignore existing lineage (full re-run)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+
+    from pyocr_spark.core.oracle import ALL_MODES
+    from pyocr_spark.plans.resume import run_resumable_extract
+    from pyocr_spark.sources.pages import read_pages
+
+    modes = ALL_MODES if args.modes == "all" else frozenset(args.modes.split(","))
+    bad = modes - ALL_MODES
+    if bad:
+        raise SystemExit(f"unknown modes: {sorted(bad)}; valid: {sorted(ALL_MODES)}")
+
+    spark = SparkSession.builder.appName("pyocr-spark-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if args.fresh:
+        import shutil
+
+        shutil.rmtree(f"{args.output}/_lineage", ignore_errors=True)
+    pages = read_pages(spark, args.input, fmt=args.table_format)
+    report = run_resumable_extract(
+        spark,
+        pages,
+        args.output,
+        modes=modes,
+        num_buckets=args.num_buckets,
+        buckets_per_wave=args.buckets_per_wave,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

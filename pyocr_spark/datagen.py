@@ -186,10 +186,16 @@ def build_expected(pages_dedup: pd.DataFrame) -> dict[str, pd.DataFrame]:
     """Run the oracle over deduped pages → expected_* tables (FIXTURES §1.2)."""
     text_rows, digit_rows, word_rows, line_rows = [], [], [], []
     orient_rows, hocr_rows, boxfmt_rows, stat_rows = [], [], [], []
+    unicode_rows, psm6_rows, psm7_rows = [], [], []
     for url, html, lang in zip(
         pages_dedup["url"], pages_dedup["html"], pages_dedup["lang"]
     ):
         out = extract_page(html, lang)
+        psm6 = extract_page(html, lang, psm=6, modes=frozenset({"text"}))
+        psm7 = extract_page(html, lang, psm=7, modes=frozenset({"text"}))
+        psm6_rows.append((url, psm6["extracted_text"]))
+        psm7_rows.append((url, psm7["extracted_text"]))
+        unicode_rows.append((url, out["unicode_boxes"]))
         text_rows.append((url, out["extracted_text"]))
         digit_rows.append((url, out["digits_text"]))
         stat_rows.append((url, out["status"], out["error"], out["n_words"], out["n_lines"]))
@@ -231,6 +237,9 @@ def build_expected(pages_dedup: pd.DataFrame) -> dict[str, pd.DataFrame]:
         "expected_stats": pd.DataFrame(
             stat_rows, columns=["url", "status", "error", "n_words", "n_lines"]
         ),
+        "expected_unicode": pd.DataFrame(unicode_rows, columns=["url", "unicode_boxes"]),
+        "expected_text_psm6": pd.DataFrame(psm6_rows, columns=["url", "extracted_text"]),
+        "expected_text_psm7": pd.DataFrame(psm7_rows, columns=["url", "extracted_text"]),
     }
 
 
@@ -269,11 +278,27 @@ def ensure_pages(
     out_dir.mkdir(parents=True, exist_ok=True)
     documents = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     pages = generate_pages(documents, replicate=replicate)
-    pq.write_table(
-        pa.Table.from_pandas(pages, schema=PAGES_SCHEMA, preserve_index=False),
-        out_dir / "pages.parquet",
-        row_group_size=2048,  # many row groups → parallel scan even from one file
-    )
+    # Shard the table like a real crawl layout (thousands of files, not one
+    # blob): scan parallelism — and therefore the shuffle-write feeding the
+    # extraction stage — is bounded by file splits. One 93 MB file measured
+    # as a 2-task scan that serialized the whole bench.
+    pages_dir = out_dir / "pages.parquet"
+    if pages_dir.exists() and not pages_dir.is_dir():
+        pages_dir.unlink()  # pre-shard layout had a single file here
+    pages_dir.mkdir(parents=True, exist_ok=True)
+    for old in pages_dir.glob("part-*.parquet"):
+        old.unlink()
+    # ≥4 tasks per core on the 32-core sandbox; stride-interleaved so page
+    # size is uncorrelated with shard (a 16-shard layout capped the whole
+    # extraction stage at 16 tasks)
+    shards = min(max(32, len(pages) // 512), 512)
+    for s in range(shards):
+        part = pages.iloc[s::shards]
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=PAGES_SCHEMA, preserve_index=False),
+            pages_dir / f"part-{s:05d}.parquet",
+            row_group_size=1024,
+        )
     if expected:
         exp = build_expected(dedup_latest(pages))
         for name_, df in exp.items():

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing — images/audio/video as opaque binary.
+
+pyocr's input is literally an image (PIL) fed to an external engine; this
+module is where that modality support lives in the Spark engine: media
+travel as ``binary`` columns with typed metadata, and decode / feature
+extraction / resize / frame sampling run as Arrow-batched ``mapInPandas``
+stages, exactly like text extraction.
+
+The sandbox ships no image/audio codecs (no Pillow — SURVEY.md §7.3), so
+the DECODE step is stubbed two ways, both behind real, tested Spark
+plumbing (schemas, batching, partitioning, UDF signatures):
+
+- ``decode=\"strict\"`` raises NotImplementedError per row → routed into
+  the same per-row status/error contract as bad pages (never a stage
+  failure);
+- ``decode=\"fake\"`` (default in tests) produces a deterministic,
+  content-addressed stand-in: dimensions/duration from header-byte
+  hashes, features = 16-d vector of byte-histogram moments — so the whole
+  distributed path is exercised end-to-end and byte-reproducible.
+
+Swapping in a real codec later changes ONE function (``_decode_one``) and
+nothing about the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, kind string, content binary, "
+    "meta struct<source:string, declared_mime:string>"
+)
+
+DECODED_DDL = (
+    "media_id long, status string, error string, "
+    "width int, height int, n_frames int, duration_ms int, "
+    "features array<float>"
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_decode_one(content: bytes, kind: str) -> dict:
+    """Deterministic content-addressed stand-in for a codec."""
+    if not content:
+        raise ValueError("empty media content")
+    digest = hashlib.md5(content).digest()
+    width = 64 + digest[0] * 4
+    height = 64 + digest[1] * 4
+    n_frames = 1 if kind == "image" else 1 + digest[2]
+    duration_ms = 0 if kind == "image" else int.from_bytes(digest[3:5], "big")
+    # byte-histogram moments over 16 buckets → a real reduction over the
+    # blob, representative of decode+featurize cost shape
+    hist = [0] * FEATURE_DIM
+    for b in content:
+        hist[b % FEATURE_DIM] += 1
+    total = float(len(content))
+    features = [round(h / total, 6) for h in hist]
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+        "features": features,
+    }
+
+
+def _decode_one(content: bytes, kind: str, decode: str) -> dict:
+    if decode == "fake":
+        return _fake_decode_one(content, kind)
+    raise NotImplementedError(
+        "no media codec in this environment — install one and implement "
+        "_decode_one (the Spark plan is codec-agnostic)"
+    )
+
+
+def make_decode_fn(decode: str = "fake"):
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                try:
+                    d = _decode_one(content, kind, decode)
+                    rows.append(
+                        (int(mid), "ok", None, d["width"], d["height"],
+                         d["n_frames"], d["duration_ms"], d["features"])
+                    )
+                except Exception as exc:  # per-row error contract
+                    rows.append(
+                        (int(mid), "error", f"{type(exc).__name__}: {exc}",
+                         None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "error", "width", "height",
+                    "n_frames", "duration_ms", "features",
+                ],
+            )
+
+    return decode_batches
+
+
+def decode_media(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """media table → decoded metadata + feature vectors (Arrow-batched)."""
+    pruned = media.select("media_id", "kind", "content")
+    return pruned.mapInPandas(make_decode_fn(decode), schema=DECODED_DDL)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+
+    With the fake codec a "frame" is a deterministic slice digest; a real
+    codec replaces the inner loop only.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if kind != "video" or not content:
+                    continue
+                d = _decode_one(content, kind, decode)
+                for f in range(0, d["n_frames"], every_n):
+                    frame_sig = hashlib.md5(content + f.to_bytes(4, "big")).hexdigest()
+                    rows.append((int(mid), f, frame_sig))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sig"])
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        sample_batches, schema="media_id long, frame_idx int, frame_sig string"
+    )

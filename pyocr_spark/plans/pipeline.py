@@ -40,7 +40,14 @@ def extract_df(
         df = with_bucket(df, num_buckets)
         cols.append("bucket")
     df = df.select(*cols)
-    df = salted_repartition(df, repartition_to)
+    # repartition_to=None → NO shuffle: the map stage parallelizes on file
+    # splits, which real crawl layouts provide in the thousands. Salting is
+    # the opt-in defense for layouts where page size correlates with file
+    # order (depth-first crawls) — it buys balance at the price of one full
+    # shuffle of the html column (measured: the shuffle is the only
+    # non-scaling component on a single box).
+    if repartition_to is not None:
+        df = salted_repartition(df, repartition_to)
     passthrough = "url string" + (", bucket int" if keep_bucket else "")
     schema = output_schema_ddl(modes, passthrough=passthrough)
     fn = make_extract_fn(modes=modes, psm=psm, metrics=metrics)

@@ -1,0 +1,127 @@
+"""Checkpoint / lineage resume (SURVEY.md P5/P6, north rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+Spark checkpointing is not job-level resume, so this is application
+logic:
+
+- work is keyed by a stable content-addressed ``bucket`` id
+  (pmod(xxhash64(url), num_buckets) — operators/repartition.with_bucket):
+  independent of cluster size, partition count, and input file order, so
+  a restart on different hardware resumes the same units;
+- the output is written partitioned by bucket, one atomic directory per
+  bucket (parquet dynamic partition overwrite → a re-run of a bucket
+  replaces, never duplicates);
+- after each successful run, one lineage row per completed bucket is
+  appended to ``<output>/_lineage`` (bucket, status, rows, run_id);
+- on restart, completed buckets are read from the lineage table and the
+  input is pre-filtered with ``~bucket.isin(done)`` — a partition-pruning
+  predicate on a tiny driver-collected set, far cheaper than a row-level
+  anti-join on urls (that alternative stays available for url-granular
+  resume: pages.join(done_urls, "url", "left_anti")).
+
+At 10^12 docs the bucket count is raised so one bucket ≈ a few GB; the
+lineage table stays millions of rows — driver-collectable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyocr_spark.core.oracle import ALL_MODES
+from pyocr_spark.operators.repartition import DEFAULT_BUCKETS
+from pyocr_spark.plans.metrics import StageMetrics
+from pyocr_spark.plans.pipeline import extract_df
+
+LINEAGE_SCHEMA = "bucket int, status string, rows long, run_id string, finished_at double"
+
+
+def _lineage_path(output_location: str) -> str:
+    return os.path.join(output_location, "_lineage")
+
+
+def completed_buckets(spark: SparkSession, output_location: str) -> list[int]:
+    path = _lineage_path(output_location)
+    try:
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(path)
+            .filter("status = 'done'")
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+    except Exception:  # first run: no lineage table yet
+        return []
+    return sorted(r.bucket for r in rows)
+
+
+def run_resumable_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_location: str,
+    modes: frozenset = ALL_MODES,
+    num_buckets: int = DEFAULT_BUCKETS,
+    buckets_per_wave: int | None = None,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Extract with per-bucket checkpointing; safe to re-run after a crash.
+
+    ``buckets_per_wave`` bounds how much work can be lost to a failure
+    (each wave commits its buckets' output + lineage atomically-enough:
+    output first, lineage last, so a crash between the two re-does that
+    wave idempotently). ``fail_after_waves`` injects a crash for tests.
+    """
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.repartition import with_bucket
+    from pyocr_spark.sources.pages import with_page_filters
+
+    run_id = uuid.uuid4().hex[:12]
+    metrics = StageMetrics(spark, f"extract-resume-{run_id}")
+    done = completed_buckets(spark, output_location)
+    # bucket is computed BEFORE the UDF so a wave's bucket filter prunes the
+    # extraction itself (filtering the UDF's output would re-extract every
+    # bucket every wave)
+    base = with_bucket(dedup_latest_page(with_page_filters(pages)), num_buckets).select(
+        "url", "html", "lang", "bucket"
+    )
+    todo = [b for b in range(num_buckets) if b not in set(done)]
+    waves: list[list[int]] = (
+        [todo]
+        if not buckets_per_wave
+        else [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
+    )
+    executed = 0
+    for wave_no, wave in enumerate(waves):
+        if fail_after_waves is not None and wave_no >= fail_after_waves:
+            raise RuntimeError(f"injected failure before wave {wave_no} (run {run_id})")
+        wave_df = extract_df(
+            base.filter(F.col("bucket").isin(wave)),
+            modes=modes,
+            metrics=metrics,
+            dedup=False,  # already deduped in `base`
+            keep_bucket=True,
+            num_buckets=num_buckets,
+        )
+        (
+            wave_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(output_location)
+        )
+        lineage = spark.createDataFrame(
+            [(b, "done", -1, run_id, time.time()) for b in wave],
+            schema=LINEAGE_SCHEMA,
+        )
+        lineage.write.mode("append").parquet(_lineage_path(output_location))
+        executed += len(wave)
+    return {
+        "run_id": run_id,
+        "resumed_buckets_skipped": len(done),
+        "buckets_executed": executed,
+        "metrics": metrics.snapshot(),
+    }

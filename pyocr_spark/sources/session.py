@@ -13,8 +13,10 @@ import os
 from pyspark.sql import SparkSession
 
 #: rows per Arrow batch entering the Python worker. Pages average a few KB
-#: but the tail is MBs; 512 rows bounds a batch to low tens of MB.
-ARROW_BATCH_ROWS = 512
+#: but the tail is MBs; 1024 rows bounds a batch to low tens of MB while
+#: amortizing per-batch overhead (512 vs 2048 measured ~20% throughput at
+#: sf0.1; 2048 wins on small pages but risks memory on MB-page batches).
+ARROW_BATCH_ROWS = 1024
 
 
 def build_session(
@@ -30,6 +32,10 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: driver == executor; the 1g default heap dies at 32
+        # concurrent full-surface tasks whose skew rows carry ~MB hOCR
+        # strings + box arrays per row (observed at replicate=24)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -39,7 +45,9 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs are incompressible-ish text; lz4 beats snappy on CPU
         .config("spark.io.compression.codec", "lz4")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # deterministic NTZ↔epoch conversions, matching the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,63 @@
+"""Streaming extraction — ``readStream`` over the pages table, reusing the
+batch plan per micro-batch.
+
+The reference is synchronous batch-of-one (SURVEY.md §2.7: no streaming
+anywhere in pyocr), and the north rule asks for batch-with-resume; this
+wrapper is the optional continuous-ingest layer: new page files landing in
+the table directory are picked up, run through the SAME extract_df plan
+via ``foreachBatch``, and appended to the output — so semantics stay
+byte-identical with batch by construction.
+
+Dedup scope note: keep-latest dedup inside foreachBatch sees one
+micro-batch at a time. Cross-batch re-crawls are reconciled by the batch
+dedup (or MERGE at the Iceberg sink) downstream — the streaming layer
+guarantees at-least-once per (url, warc_ts), not global keep-latest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyocr_spark.core.oracle import ALL_MODES
+from pyocr_spark.plans.pipeline import extract_df
+from pyocr_spark.sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, location: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(location)
+
+
+def start_extract_stream(
+    spark: SparkSession,
+    input_location: str,
+    output_location: str,
+    checkpoint_location: str,
+    modes: frozenset = ALL_MODES,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming extraction; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in the table then
+    stops — the batch-equivalent trigger used in tests; pass False for a
+    continuous query.
+    """
+    stream = read_pages_stream(spark, input_location, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_df(batch_df, modes=modes, dedup=True)
+        out.write.mode("append").parquet(output_location)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,17 @@
+"""Picklable worker for the no-framework multiprocessing ceiling measurement."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TEXT_ONLY = frozenset({"text"})
+
+
+def work(chunk):
+    from pyocr_spark.core.oracle import extract_page
+
+    n = 0
+    for html, lang in chunk:
+        extract_page(html, lang, modes=TEXT_ONLY)
+        n += 1
+    return n

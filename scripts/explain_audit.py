@@ -1,0 +1,129 @@
+"""Physical-plan audit → PLANS.md.
+
+For each headline query, capture `.explain("formatted")` and assert the
+plan properties the 100 TB design depends on:
+
+- parquet scans show PushedFilters + pruned ReadSchema (no html column in
+  analytics scans, no unused columns in the UDF scan);
+- small-dim joins are BroadcastHashJoin, not SortMerge;
+- aggregations show partial aggregation (map-side combine) before the
+  exchange;
+- the extraction plan has NO Exchange unless dedup/salting asked for one;
+- WholeStageCodegen spans cover the relational rim.
+
+Usage: python scripts/explain_audit.py   (writes PLANS.md, exits nonzero
+on a violated property)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.sources.session import build_session
+
+    ensure_pages(SF_DIR)
+    spark = build_session(
+        master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false", "spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    checks: list[tuple[str, str, bool, str]] = []  # (query, property, ok, evidence)
+    sections: list[tuple[str, str]] = []
+
+    def check(query: str, prop: str, ok: bool, evidence: str = ""):
+        checks.append((query, prop, ok, evidence))
+
+    # 1. extraction plan: map-only after the dedup window; scan pruned
+    df = qs["extract_text"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("extract_text", p))
+    udf_scan = [ln for ln in p.splitlines() if "Scan parquet" in ln and "pages" in ln.lower()]
+    check("extract_text", "UDF scan reads only url/html/lang/warc_ts",
+          "text#" not in p.split("ReadSchema")[-1][:400] if "ReadSchema" in p else False,
+          p.split("ReadSchema")[-1][:160] if "ReadSchema" in p else "no ReadSchema")
+    n_exchanges = p.count("Exchange")
+    check("extract_text", "exactly one Exchange (the dedup window), none for the UDF",
+          n_exchanges <= 2, f"Exchange count={n_exchanges}")
+
+    # 2. analytics scan pruning: token count must not read html/text beyond text
+    df = qs["doc_token_count"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_token_count", p))
+    check("doc_token_count", "ReadSchema pruned to doc_id,text",
+          "lang" not in p.split("ReadSchema:")[-1].splitlines()[0],
+          p.split("ReadSchema:")[-1].splitlines()[0][:160])
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    check("doc_token_count", "WholeStageCodegen present",
+          "*(1)" in exec_plan or "WholeStageCodegen" in exec_plan, exec_plan.splitlines()[0][:100])
+
+    # 3. broadcast join for the small dim
+    df = qs["customer_order_totals"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("customer_order_totals", p))
+    check("customer_order_totals", "BroadcastHashJoin chosen", "BroadcastHashJoin" in p, "")
+    check("customer_order_totals", "partial aggregation before exchange",
+          "partial" in p.lower(), "")
+
+    # 4. lineitem agg: filter pushed to scan + partial agg
+    df = qs["lineitem_pricing"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("lineitem_pricing", p))
+    check("lineitem_pricing", "PushedFilters on l_shipdate",
+          "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[-1][:200],
+          p.split("PushedFilters")[-1][:120] if "PushedFilters" in p else "none")
+    check("lineitem_pricing", "partial aggregation", "partial" in p.lower(), "")
+
+    # 5. ANN top-k: TakeOrderedAndProject (partial top-k), not a global sort
+    df = qs["ann_topk_cosine"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("ann_topk_cosine", p))
+    check("ann_topk_cosine", "TakeOrderedAndProject (no full Sort)",
+          "TakeOrderedAndProject" in p, "")
+
+    # 6. minhash LSH: join on band key, partial dedup
+    df = qs["minhash_pairs"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("minhash_pairs", p))
+    check("minhash_pairs", "equi-join (SortMerge or Hash) on band bucket — not NLJ",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    spark.stop()
+
+    ok_all = all(ok for _, _, ok, _ in checks)
+    lines = ["# PLANS — physical-plan audit (scripts/explain_audit.py)", ""]
+    lines.append("| query | property | ok | evidence |")
+    lines.append("|---|---|---|---|")
+    for q, prop, ok, ev in checks:
+        lines.append(f"| {q} | {prop} | {'✅' if ok else '❌'} | {ev.strip()[:100]} |")
+    lines.append("")
+    for name, p in sections:
+        lines.append(f"## {name}\n\n```\n{p.strip()[:4000]}\n```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(("PASS" if ok_all else "FAIL") + f" — {sum(o for _,_,o,_ in checks)}/{len(checks)} plan properties; wrote PLANS.md")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

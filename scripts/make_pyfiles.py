@@ -1,0 +1,29 @@
+"""Package pyocr_spark for spark-submit --py-files → dist/pyocr_spark.zip."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "pyocr_spark.zip")
+    pkg = os.path.join(REPO, "pyocr_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: decode/feature/frame-sample UDF stages over binary
+columns — fake codec (deterministic), strict mode routes to error rows."""
+
+import pytest
+
+from pyocr_spark.functions.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA_DDL,
+    decode_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes " * 40, ("cam0", "image/png")),
+        (2, "video", b"\x00\x00ftypmp42 fake " * 200, ("cam1", "video/mp4")),
+        (3, "audio", b"RIFF fake wave " * 100, ("mic0", "audio/wav")),
+        (4, "image", b"", ("cam0", "image/png")),  # empty → error row
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA_DDL)
+
+
+def test_fake_decode_deterministic(spark, media):
+    out = decode_media(media).toPandas().set_index("media_id").sort_index()
+    assert list(out["status"]) == ["ok", "ok", "ok", "error"]
+    assert "empty media content" in out.loc[4, "error"]
+    img = out.loc[1]
+    assert img["width"] >= 64 and img["height"] >= 64
+    assert img["n_frames"] == 1 and img["duration_ms"] == 0
+    vid = out.loc[2]
+    assert vid["n_frames"] > 1
+    feats = list(out.loc[1, "features"])
+    assert len(feats) == FEATURE_DIM
+    assert abs(sum(feats) - 1.0) < 1e-3  # histogram normalized over bytes
+    # deterministic: second run bit-identical
+    out2 = decode_media(media).toPandas().set_index("media_id").sort_index()
+    assert list(out2.loc[1, "features"]) == feats
+
+
+def test_strict_decode_routes_errors_not_failures(spark, media):
+    out = decode_media(media, decode="strict").toPandas()
+    assert set(out["status"]) == {"error"}
+    assert all("NotImplementedError" in e for e in out["error"])
+
+
+def test_frame_sampling_video_only(spark, media):
+    frames = sample_frames(media, every_n=50).toPandas()
+    assert set(frames["media_id"]) == {2}
+    assert list(frames["frame_idx"]) == sorted(frames["frame_idx"])
+    assert frames["frame_sig"].nunique() == len(frames)

@@ -1,0 +1,134 @@
+"""Operator unit tests: dedup family, ANN, text stats, salted repartition
+(incl. the skew test, SURVEY.md §5.2.6)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.ann import make_planes, topk_cosine, topk_cosine_lsh
+from pyocr_spark.operators.dedup import (
+    dedup_latest_page,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pyocr_spark.operators.repartition import salted_repartition, with_bucket
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "another unrelated document mentioning databases", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    assert len(out) == 4  # 5 docs, one exact-dup pair
+    dup = out[out["dup_count"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 0
+
+
+def test_minhash_signature_shape_and_dup_equality(spark, docs):
+    sig = minhash_signature(docs, num_hashes=16).toPandas().set_index("doc_id")
+    assert all(len(s) == 16 for s in sig["sig"])
+    assert list(sig.loc[0, "sig"]) == list(sig.loc[1, "sig"])  # exact dups → equal sigs
+    # near dup shares most components; unrelated shares few
+    same_near = sum(a == b for a, b in zip(sig.loc[0, "sig"], sig.loc[2, "sig"]))
+    same_far = sum(a == b for a, b in zip(sig.loc[0, "sig"], sig.loc[3, "sig"]))
+    assert same_near > same_far
+
+
+def test_minhash_lsh_finds_dup_pair(spark, docs):
+    pairs = minhash_lsh_dedup(docs, jaccard_threshold=0.99).toPandas()
+    assert ("left_id", "right_id") and len(pairs) >= 1
+    assert ((pairs["left_id"] == 0) & (pairs["right_id"] == 1)).any()
+
+
+def test_simhash_dup_equal_near_close(spark, docs):
+    out = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert out[0] == out[1]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9).toPandas()
+    assert ((pairs["left_id"] == 0) & (pairs["right_id"] == 1) & (pairs["jaccard"] == 1.0)).any()
+
+
+def test_ann_exact_vs_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = topk_cosine(emb, qvec, k=10, exclude_id=0).toPandas()
+    assert len(exact) == 10
+    assert list(exact["cosine"]) == sorted(exact["cosine"], reverse=True)
+    approx = topk_cosine_lsh(emb, qvec, k=10, n_planes=4).toPandas()
+    # hamming-1 bucket expansion: decent recall on 500 vectors
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.3
+    assert make_planes(4, 2) == make_planes(4, 2)  # deterministic
+
+
+def test_dedup_latest_page(spark):
+    rows = [
+        ("u1", "2024-01-01 00:00:00", b"old"),
+        ("u1", "2024-01-02 00:00:00", b"new"),
+        ("u2", "2024-01-01 00:00:00", b"only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html binary").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    out = dedup_latest_page(df).toPandas().set_index("url")
+    assert len(out) == 2
+    assert bytes(out.loc["u1", "html"]) == b"new"
+
+
+def test_bucket_stability(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+    a = with_bucket(df, 16).toPandas().set_index("url")["bucket"]
+    b = with_bucket(df.repartition(7), 16).toPandas().set_index("url")["bucket"]
+    assert (a.sort_index() == b.sort_index()).all()  # content-addressed, layout-independent
+    assert a.between(0, 15).all()
+
+
+def test_salted_repartition_defeats_size_skew(spark):
+    # correlated layout: big pages adjacent (crawl-order artifact)
+    rows = [(f"https://h/{i:04d}", b"x" * (100_000 if i < 16 else 500)) for i in range(256)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    correlated = df.repartitionByRange(8, "url")  # preserves adjacency → skewed
+
+    def imbalance(d):
+        per = (
+            d.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.sum(F.length("html")).alias("bytes"))
+            .toPandas()["bytes"]
+        )
+        return per.max() / max(per.mean(), 1)
+
+    skew_before = imbalance(correlated)
+    skew_after = imbalance(salted_repartition(correlated, 8))
+    assert skew_before > 3  # the pathological layout really is skewed
+    assert skew_after < skew_before / 2  # salting spreads the giants
+
+
+def test_quality_and_langid_shapes(spark, docs):
+    from pyocr_spark.functions.text_stats import lang_id, quality_score, token_count
+
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    assert (q["quality_score"] >= 0).all() and (q["quality_score"] <= 3).all()
+    lid = lang_id(docs).toPandas().set_index("doc_id")
+    assert lid.loc[0, "lang_pred"] == "en"  # "the ... the" markers
+    tc = docs.select(token_count(F.col("text")).alias("n")).toPandas()["n"]
+    assert tc[0] == 9
+    empty = spark.createDataFrame([("",), ("   ",)], "text string")
+    assert list(empty.select(token_count(F.col("text")).alias("n")).toPandas()["n"]) == [0, 0]

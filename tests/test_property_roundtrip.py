@@ -1,0 +1,96 @@
+"""Property tests (SURVEY.md §5.2.2): serialize→parse round-trips hold for
+arbitrary box content/geometry; the text fold is invariant to how data
+chunks are split. Deterministic (hypothesis derandomized, seed fixed)."""
+
+import io
+
+from hypothesis import given, settings, strategies as st
+
+from pyocr_spark.core.boxes import Box, LineBox
+from pyocr_spark.core.builders import LineBoxBuilder, WordBoxBuilder
+from pyocr_spark.core.hocr import parse_makebox, serialize_makebox
+
+settings.register_profile("ci", derandomize=True, max_examples=60, deadline=None)
+settings.load_profile("ci")
+
+# hOCR word content survives escaping for any printable text without the
+# characters the parser treats as markup-structural after unescaping
+content_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs")),
+    min_size=1,
+    max_size=24,
+).filter(lambda s: s.strip() != "")
+
+coord_st = st.integers(min_value=0, max_value=99999)
+conf_st = st.integers(min_value=0, max_value=100)
+
+
+@st.composite
+def box_st(draw):
+    x1, y1 = draw(coord_st), draw(coord_st)
+    return Box(
+        draw(content_st),
+        ((x1, y1), (x1 + draw(coord_st), y1 + draw(coord_st))),
+        draw(conf_st),
+    )
+
+
+@given(st.lists(box_st(), min_size=1, max_size=8))
+def test_hocr_word_roundtrip(boxes):
+    out = WordBoxBuilder.write_file_str(boxes)
+    reparsed = WordBoxBuilder.read_file(io.StringIO(out))
+    assert [(b.content, b.position, b.confidence) for b in reparsed] == [
+        (b.content, b.position, b.confidence) for b in boxes
+    ]
+
+
+@given(st.lists(st.lists(box_st(), min_size=1, max_size=5), min_size=1, max_size=4))
+def test_hocr_line_roundtrip(lines_words):
+    lines = [
+        LineBox(words, ((0, 40 * j), (500, 40 * j + 28)))
+        for j, words in enumerate(lines_words)
+    ]
+    out = LineBoxBuilder.write_file_str(lines)
+    reparsed = LineBoxBuilder.read_file(io.StringIO(out))
+    assert len(reparsed) == len(lines)
+    for got, want in zip(reparsed, lines):
+        assert got.position == want.position
+        assert [(b.content, b.position, b.confidence) for b in got.word_boxes] == [
+            (b.content, b.position, b.confidence) for b in want.word_boxes
+        ]
+
+
+makebox_char_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs", "Zs"), blacklist_characters="\n\r"),
+    min_size=1,
+    max_size=1,
+)
+
+
+@given(
+    st.lists(
+        st.tuples(makebox_char_st, coord_st, coord_st, coord_st, coord_st),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_makebox_roundtrip(rows):
+    boxes = [Box(c, ((a, b), (x, y)), 0) for c, a, b, x, y in rows]
+    assert [
+        (b.content, b.position) for b in parse_makebox(serialize_makebox(boxes))
+    ] == [(b.content, b.position) for b in boxes]
+
+
+@given(st.lists(st.lists(content_st, min_size=0, max_size=6), min_size=0, max_size=6))
+def test_text_fold_matches_join_spec(lines):
+    """The fold output equals the declarative spec: words ' '-joined,
+    lines '\\n'-joined, final strip."""
+    from pyocr_spark.core.builders import TextBuilder, fold_events
+
+    lbs = [
+        LineBox([Box(w, ((0, 0), (1, 1))) for w in words], ((0, 0), (1, 1)))
+        for words in lines
+    ]
+    got = fold_events(TextBuilder(), lbs)
+    want = "\n".join(" ".join(words) for words in lines).strip()
+    assert got == want

@@ -1,0 +1,76 @@
+"""Kill/resume test (SURVEY.md §5.2.5): crash after K waves, restart,
+assert completed buckets are not recomputed and the final output is
+byte-identical to the expected table."""
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.plans.resume import completed_buckets, run_resumable_extract
+from pyocr_spark.sources.pages import read_pages
+
+MODES = frozenset({"text"})
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "extracted")
+
+
+def test_crash_then_resume_no_recompute(spark, pages_sf0001, out_dir):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable_extract(
+            spark, pages, out_dir, modes=MODES,
+            num_buckets=8, buckets_per_wave=2, fail_after_waves=2,
+        )
+    done_after_crash = completed_buckets(spark, out_dir)
+    assert len(done_after_crash) == 4  # 2 waves × 2 buckets committed
+
+    report = run_resumable_extract(
+        spark, pages, out_dir, modes=MODES, num_buckets=8, buckets_per_wave=2
+    )
+    assert report["resumed_buckets_skipped"] == 4
+    assert report["buckets_executed"] == 4
+    # the resumed run only extracted the remaining buckets' docs
+    assert report["metrics"]["docs"] < 500
+
+    out = spark.read.parquet(out_dir).toPandas().set_index("url").sort_index()
+    exp = (
+        pd.read_parquet(pages_sf0001 / "expected_text.parquet")
+        .set_index("url")
+        .sort_index()
+    )
+    assert len(out) == len(exp) == 500  # no dup rows from overlapping waves
+    bad = [
+        u
+        for u, got, want in zip(out.index, out["extracted_text"], exp["extracted_text"])
+        if got != want and not (got is None and pd.isna(want))
+    ]
+    assert bad == []
+
+
+def test_rerun_of_complete_job_is_noop(spark, pages_sf0001, out_dir):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
+    report = run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
+    assert report["resumed_buckets_skipped"] == 4
+    assert report["buckets_executed"] == 0
+    assert report["metrics"]["docs"] == 0
+    assert spark.read.parquet(out_dir).count() == 500
+
+
+def test_wave_overwrite_is_idempotent(spark, pages_sf0001, out_dir):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
+    # simulate a crash AFTER output write but BEFORE lineage append for
+    # bucket 0: delete its lineage rows, re-run — dynamic partition
+    # overwrite must replace, not duplicate
+    lineage = spark.read.parquet(out_dir + "/_lineage").filter("bucket != 0")
+    lineage.write.mode("overwrite").parquet(out_dir + "/_lineage_tmp")
+    spark.read.parquet(out_dir + "/_lineage_tmp").write.mode("overwrite").parquet(
+        out_dir + "/_lineage"
+    )
+    report = run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
+    assert report["buckets_executed"] == 1
+    assert spark.read.parquet(out_dir).count() == 500

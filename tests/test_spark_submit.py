@@ -1,0 +1,41 @@
+"""E2E through the REAL production surface: spark-submit --py-files
+dist/pyocr_spark.zip job.py (north rule packaging requirement)."""
+
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_pyfiles_job(tmp_path, pages_sf0001):
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    out_dir = str(tmp_path / "out")
+    env = {**os.environ, "PYTHONPATH": ""}
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "job.py"),
+            "--input", str(pages_sf0001 / "pages.parquet"),
+            "--output", out_dir,
+            "--modes", "text,words",
+            "--num-buckets", "8",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["buckets_executed"] == 8
+    assert report["metrics"]["docs"] == 500
+    assert report["metrics"]["docs_per_sec"] > 0
+    # lineage written; output partitioned by bucket
+    assert os.path.isdir(os.path.join(out_dir, "_lineage"))
+    assert any(d.startswith("bucket=") for d in os.listdir(out_dir))
