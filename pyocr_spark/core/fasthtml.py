@@ -1,0 +1,200 @@
+"""Fast HTML tokenizer driving the same handler objects as html.parser.
+
+The stdlib ``HTMLParser.goahead`` loop is ~85% of extraction CPU (profiled
+at sf0.1: 7.9 s of 9.1 s). This module replaces only the TOKENIZER: it
+emits the same event stream (handle_starttag / handle_startendtag /
+handle_endtag / handle_data, charrefs unescaped, script/style content as
+raw data) into the unchanged handler classes, so the frozen semantics
+(SURVEY.md §2.4) live entirely in the handlers and are shared by both
+paths.
+
+Equivalence contract:
+- every golden fixture and property test passes identically through both
+  tokenizers;
+- a differential fuzz test (tests/test_fasthtml_differential.py) asserts
+  event-for-event equality against html.parser on adversarial soup;
+- any exception inside the fast path falls back to the stdlib parser for
+  that page (``feed_html``), so a divergent crash can only make a page
+  SLOWER, never wrong.
+
+Matched stdlib behaviors (convert_charrefs=True defaults):
+- tag and attribute names lowercased; bare attributes get value None;
+- character/entity refs unescaped in data AND attribute values
+  (html.unescape — the same html5 table html.parser uses);
+- <script>/<style> content is CDATA: no tag parsing, no unescaping,
+  terminated only by the matching close tag;
+- comments, <!doctype ...>, <?...?> produce no data;
+- a ``<`` that does not open valid markup is literal text;
+- unterminated markup at EOF is emitted as literal text (close()).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from html import unescape
+
+_TAGNAME = r"[a-zA-Z][-.a-zA-Z0-9:_]*"
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<comment><!--.*?(?:-->|$))                 # comment
+    | (?P<cdata><!\[CDATA\[.*?(?:\]\]>|$))          # CDATA section (no events, like unknown decl)
+    | (?P<decl><![^>]*(?:>|$))                      # doctype / declaration
+    | (?P<pi><\?[^>]*(?:>|$))                       # processing instruction
+    | </(?P<endtag>%(tag)s)\s*[^>]*(?:>|$)          # end tag
+    | (?P<bogusend></(?![a-zA-Z])[^>]*(?:>|$))      # '</' + non-name: bogus comment (swallowed)
+    | <(?P<starttag>%(tag)s)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>  # start tag
+    | (?P<badstart><%(tag)s)                        # start tag that can't complete (open quote / EOF)
+    | (?P<lt><)                                     # stray '<'
+    | (?P<data>[^<]+)                               # text run
+    """
+    % {"tag": _TAGNAME},
+    re.DOTALL | re.VERBOSE,
+)
+
+# attr name charset mirrors stdlib's attrfind_tolerant: anything except
+# whitespace / '/' / '=' / '>' — stdlib happily yields names like '<i' or
+# '"quoted"' for junk markup, and result-equivalence requires the same
+_ATTR_RE = re.compile(
+    r"""([^\s/>=][^\s/=>]*)                # attr name (tolerant)
+        (?:\s*=\s*
+            (?: "([^"]*)" | '([^']*)' | ([^\s>]*) )
+        )?
+    """,
+    re.VERBOSE,
+)
+
+# stdlib CDATA close: `</\s*script` where the tag name ends there (a
+# longer name like </scriptfoo> stays data — html.parser checks
+# cdata_elem equality)
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script(?![-.a-zA-Z0-9:_])", re.IGNORECASE),
+    "style": re.compile(r"</\s*style(?![-.a-zA-Z0-9:_])", re.IGNORECASE),
+}
+
+
+def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
+    attrs: list[tuple[str, str | None]] = []
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if m.group(2) is not None:
+            val = m.group(2)
+        elif m.group(3) is not None:
+            val = m.group(3)
+        elif m.group(4):
+            val = m.group(4)
+        else:
+            val = None
+        if val is not None and ("&" in val):
+            val = unescape(val)
+        attrs.append((name, val))
+    return attrs
+
+
+def fast_feed(text: str, handler) -> None:
+    """Drive ``handler`` (an html.parser.HTMLParser subclass) with the
+    fast tokenizer. Equivalent event stream to handler.feed(text)."""
+    pos = 0
+    n = len(text)
+    match = _TOKEN_RE.match
+    handle_data = handler.handle_data
+    while pos < n:
+        m = match(text, pos)
+        if m is None:  # defensive: cannot happen (data/lt catch everything)
+            handle_data(text[pos:])
+            break
+        pos = m.end()
+        g = m.group
+        # NB: lastgroup is unusable here — a starttag match also sets the
+        # nested "attrs" group, making lastgroup "attrs". Dispatch ordered
+        # by token frequency; .group() calls are the measured hot cost.
+        chunk = g("data")
+        if chunk is not None:
+            if "&" in chunk:
+                chunk = unescape(chunk)
+            handle_data(chunk)
+            continue
+        tag = g("starttag")
+        if tag is not None:  # strictly '>'-terminated by the regex
+            tag = tag.lower()
+            raw_attrs = g("attrs")
+            if raw_attrs:
+                selfclosing = raw_attrs.rstrip().endswith("/")
+                attrs = _parse_attrs(raw_attrs[:-1] if selfclosing else raw_attrs)
+            else:
+                selfclosing = False
+                attrs = []
+            if selfclosing:
+                handler.handle_startendtag(tag, attrs)
+                continue
+            handler.handle_starttag(tag, attrs)
+            if tag in _CDATA_CLOSE:  # script/style: raw until close tag
+                close = _CDATA_CLOSE[tag].search(text, pos)
+                if close is None:
+                    if pos < n:
+                        handle_data(text[pos:])
+                    break
+                if close.start() > pos:
+                    handle_data(text[pos : close.start()])
+                gt = text.find(">", close.start())
+                handler.handle_endtag(tag)
+                pos = n if gt == -1 else gt + 1
+            continue
+        tag = g("endtag")
+        if tag is not None:
+            if pos < n or text.endswith(">"):
+                handler.handle_endtag(tag.lower())
+                continue
+            # fall through: unterminated at EOF → incomplete recovery
+        elif g("lt") is not None:
+            handle_data("<")
+            continue
+        elif g("badstart") is None:
+            # bogusend/comment/decl/pi/CDATA: no events when terminated
+            # (handle_comment is a no-op in every handler this engine uses)
+            raw = m.group(0)
+            if pos < n:
+                continue
+            term = "-->" if g("comment") is not None else (
+                "]]>" if g("cdata") is not None else ">"
+            )
+            if raw.endswith(term):
+                continue
+            # fall through: unterminated at EOF → incomplete recovery
+        # Incomplete markup recovery — exactly stdlib close()'s rule: skip
+        # to the next '>' (even one inside a quote) and emit everything up
+        # to and including it as data (charref-unescaped); failing that,
+        # to the next '<' exclusive; failing that, emit '<' alone. Then
+        # RESUME parsing (so '<!--<p><p>' still yields one <p> start tag).
+        start = m.start()
+        k = text.find(">", start + 1)
+        if k >= 0:
+            k += 1
+        else:
+            k = text.find("<", start + 1)
+            if k < 0:
+                k = start + 1
+        chunk = text[start:k]
+        handle_data(unescape(chunk) if "&" in chunk else chunk)
+        pos = k
+    handler.close()
+
+
+USE_FAST = os.environ.get("PYOCR_SPARK_SLOW_HTML", "") != "1"
+
+
+def feed_html(text: str, handler_factory):
+    """Parse with the fast tokenizer, falling back to stdlib on ANY
+    exception. Returns the handler that completed successfully."""
+    if USE_FAST:
+        handler = handler_factory()
+        try:
+            fast_feed(text, handler)
+            return handler
+        except Exception:
+            pass  # fall through to the reference tokenizer
+    handler = handler_factory()
+    handler.feed(text)
+    handler.close()
+    return handler

@@ -15,6 +15,7 @@ text).
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from pyocr_spark.core.boxes import Box, LineBox, bbox_union
@@ -231,6 +232,137 @@ class LineHTMLParser(HTMLParser):
             )
 
 
+# ---------------------------------------------------------------------------
+# specialized fast scanner for the tesseract dialect — hOCR pages are ~3
+# tokens per word through the general tokenizer; this walks ONLY the span
+# tags (one C-level finditer) and is equivalence-gated by the same
+# differential tests. Guards below bail to the general path whenever a
+# construct could change data semantics between the two approaches.
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKEN = re.compile(
+    r"</span\s*[^>]*>|<span\b((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
+    re.IGNORECASE,
+)
+_SCRIPT_REGION = re.compile(
+    r"<(script|style)\b[^>]*>.*?(?:</\1(?![-.a-zA-Z0-9:_])[^>]*>|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _collect_data(fragment: str) -> str:
+    """Word-content regions containing markup: run the (equivalence-
+    tested) general tokenizer and concatenate its data events."""
+    from pyocr_spark.core.fasthtml import fast_feed
+
+    chunks: list[str] = []
+
+    class _Collector:
+        def handle_starttag(self, tag, attrs):
+            pass
+
+        def handle_endtag(self, tag):
+            pass
+
+        def handle_startendtag(self, tag, attrs):
+            pass
+
+        def handle_data(self, data):
+            chunks.append(data)
+
+        def close(self):
+            pass
+
+    fast_feed(fragment, _Collector())
+    return "".join(chunks)
+
+
+def fast_word_scan(html_text: str):
+    """Tesseract-dialect scan via span-only tokenization.
+
+    Returns (boxes, lines) or None when a guard trips (general path then
+    decides). Semantics identical to WordHTMLParser — verified by the
+    differential fixture/corpus/fuzz tests.
+    """
+    if "<!--" in html_text or "<![CDATA[" in html_text:
+        return None
+    low = html_text.lower()
+    if "<script" in low or "<style" in low:
+        # span tags inside raw-text regions would be data to the stdlib
+        # parser but tags to this scanner — bail if any overlap
+        for m in _SCRIPT_REGION.finditer(html_text):
+            if "<span" in m.group(0)[1:].lower():
+                return None
+    from html import unescape
+
+    from pyocr_spark.core.fasthtml import _parse_attrs
+
+    boxes: list[Box] = []
+    lines: list[LineBox] = []
+    stack: list[str] = []
+    in_line = in_word = False
+    line_pos = None
+    line_words: list[Box] = []
+    word_pos = None
+    word_conf = 0
+    word_start = 0
+    for m in _SPAN_TOKEN.finditer(html_text):
+        raw_attrs = m.group(1)
+        if raw_attrs is None:  # close tag
+            if not stack:
+                continue
+            kind = stack.pop()
+            if kind == "word":
+                in_word = False
+                raw = html_text[word_start : m.start()]
+                if "<" in raw:
+                    content = _collect_data(raw)
+                elif "&" in raw:
+                    content = unescape(raw)
+                else:
+                    content = raw
+                if content != "":
+                    box = Box(content, word_pos, word_conf)
+                    boxes.append(box)
+                    if in_line:
+                        line_words.append(box)
+            elif kind == "line":
+                in_line = False
+                if line_words:
+                    lines.append(LineBox(line_words, line_pos))
+                line_words = []
+            continue
+        selfclosing = raw_attrs.rstrip().endswith("/")
+        adict = dict(_parse_attrs(raw_attrs[:-1] if selfclosing else raw_attrs))
+        klass = adict.get("class", "")
+        title = adict.get("title", "") or ""
+        if klass in _LINE_CLASSES and not in_line:
+            pos = parse_position(title)
+            if pos is None or selfclosing:
+                if not selfclosing:
+                    stack.append("other")
+                continue
+            in_line = True
+            line_pos = pos
+            line_words = []
+            stack.append("line")
+        elif klass in _WORD_CLASSES and not in_word:
+            pos = parse_position(title)
+            if pos is None or selfclosing:
+                if not selfclosing:
+                    stack.append("other")
+                continue
+            in_word = True
+            word_pos = pos
+            word_conf = parse_confidence(title)
+            word_start = m.end()
+            stack.append("word")
+        else:
+            if not selfclosing:
+                stack.append("other")
+    return boxes, lines
+
+
 def parse_hocr(html_text: str):
     """Parse hOCR with the frozen fallback order (SURVEY.md B2/B3):
     tesseract dialect first; if it yields no boxes, cuneiform dialect.
@@ -239,14 +371,25 @@ def parse_hocr(html_text: str):
     (``pyocr/builders.py — WordBoxBuilder.read_file ~L310``: "some parsers
     allow for empty boxes").
     """
-    for parser_cls in (WordHTMLParser, LineHTMLParser):
-        parser = parser_cls()
-        parser.feed(html_text)
-        parser.close()
-        if parser.boxes:
-            if parser.boxes[-1].content == "":
-                parser.boxes.pop(-1)
-            return parser.boxes, parser.lines
+    from pyocr_spark.core.fasthtml import feed_html
+
+    try:
+        result = fast_word_scan(html_text)
+    except Exception:
+        result = None  # any scanner surprise → reference path
+    if result is None:
+        parser = feed_html(html_text, WordHTMLParser)
+        result = (parser.boxes, parser.lines)
+    boxes, lines = result
+    if boxes:
+        if boxes[-1].content == "":
+            boxes.pop(-1)
+        return boxes, lines
+    parser = feed_html(html_text, LineHTMLParser)
+    if parser.boxes:
+        if parser.boxes[-1].content == "":
+            parser.boxes.pop(-1)
+        return parser.boxes, parser.lines
     return [], []
 
 

@@ -121,10 +121,10 @@ def segment_html(html: bytes | str, psm: int = 3) -> list[LineBox]:
     """
     if psm == 0:
         return []
+    from pyocr_spark.core.fasthtml import feed_html
+
     text = decode_replace(html)
-    parser = _SegmentingParser(strip_boilerplate=(psm != 6))
-    parser.feed(text)
-    parser.close()
+    parser = feed_html(text, lambda: _SegmentingParser(strip_boilerplate=(psm != 6)))
     word_lines = parser.result()
     if psm == 7:  # single text line: concatenate in document order
         flat = [w for line in word_lines for w in line]

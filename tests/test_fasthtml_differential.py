@@ -1,0 +1,133 @@
+"""Differential equivalence: the fast tokenizer must produce the SAME
+extraction results as the stdlib html.parser tokenizer — on every golden
+fixture, the whole sf0.001 pages corpus, hand-picked soup, and fuzzed
+HTML-ish strings."""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyocr_spark.core import fasthtml
+from pyocr_spark.core.hocr import LineHTMLParser, WordHTMLParser
+from pyocr_spark.core.htmltext import _SegmentingParser
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+settings.register_profile("diff", derandomize=True, max_examples=200, deadline=None)
+settings.load_profile("diff")
+
+
+def _segment_both(text: str):
+    slow = _SegmentingParser(strip_boilerplate=True)
+    slow.feed(text)
+    slow.close()
+    fast = _SegmentingParser(strip_boilerplate=True)
+    fasthtml.fast_feed(text, fast)
+    return slow.result(), fast.result()
+
+
+def _hocr_both(text: str):
+    out = []
+    for cls in (WordHTMLParser, LineHTMLParser):
+        slow = cls()
+        slow.feed(text)
+        slow.close()
+        fast = cls()
+        fasthtml.fast_feed(text, fast)
+        out.append(
+            (
+                [(b.content, b.position, b.confidence) for b in slow.boxes],
+                [(b.content, b.position, b.confidence) for b in fast.boxes],
+                [(ln.position, ln.content) for ln in slow.lines],
+                [(ln.position, ln.content) for ln in fast.lines],
+            )
+        )
+    return out
+
+
+def assert_equivalent(text: str):
+    s, f = _segment_both(text)
+    assert s == f, f"segmenter diverged on {text!r}"
+    for sb, fb, sl, fl in _hocr_both(text):
+        assert sb == fb and sl == fl, f"hocr parser diverged on {text!r}"
+    # the specialized span scanner must match the stdlib word parser
+    # whenever its guards let it run
+    from pyocr_spark.core.hocr import fast_word_scan
+
+    scan = fast_word_scan(text)
+    if scan is not None:
+        slow = WordHTMLParser()
+        slow.feed(text)
+        slow.close()
+        assert [(b.content, b.position, b.confidence) for b in scan[0]] == [
+            (b.content, b.position, b.confidence) for b in slow.boxes
+        ], f"fast_word_scan boxes diverged on {text!r}"
+        assert [(ln.position, ln.content) for ln in scan[1]] == [
+            (ln.position, ln.content) for ln in slow.lines
+        ], f"fast_word_scan lines diverged on {text!r}"
+
+
+def test_fixtures_equivalent():
+    for p in FIXTURES.glob("*.html"):
+        assert_equivalent(p.read_text(encoding="utf-8"))
+
+
+def test_datagen_corpus_equivalent(pages_sf0001):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(pages_sf0001 / "pages.parquet", columns=["html"])
+    for html in tbl.column("html").to_pylist():
+        assert_equivalent(html.decode("utf-8", errors="replace"))
+
+
+SOUP = [
+    "<p>caf�<div unclosed <span>tail</p>more",
+    "<p>a &amp; b &#246; &notareal; &amp c</p>",
+    "<script>if (a<b && c>d) { x('</div>'); }</script><p>after</p>",
+    "<style>p { content: '<p>no</p>'; }</style><p>yes</p>",
+    "<SCRIPT>x</SCRIPTFOO></script><p>k</p>",
+    "<p title='has > inside'>q</p>",
+    '<p title="mix &quot;quoted&quot;">r</p>',
+    "<p disabled>bare attr</p>",
+    "<br/><br /><p/>selfclose",
+    "<!-- comment with <p>tags</p> --><p>c</p>",
+    "<!DOCTYPE html><?php echo '<p>'; ?><p>d</p>",
+    "<![CDATA[ raw <p>x</p> ]]><p>e</p>",
+    "3 < 5 and <6> &lt;7&gt;",
+    "<p>unterminated <a href=\"x",
+    "<p>trailing open <i",
+    "</p>stray end</i>",
+    "<p>ampersand at end &",
+    "<span class='ocr_line' title='bbox 0 0 9 9'><span class='ocrx_word' title='bbox 0 0 4 9; x_wconf 7'>w&#228;</span></span>",
+    "<span class=ocr_line title=unquoted><span class='ocrx_word' title='bbox 1 2 3 4'>u</span></span>",
+    "<p>\x00null byte</p>",
+    "<p>a<p>b<p>c",  # unclosed nesting
+    "<td>cell</td><p>z",
+    "<P CLASS='X'>UPPER</P>",
+    "<p><= weird</p>",
+    "< p>not a tag</ p>",
+]
+
+
+@pytest.mark.parametrize("text", SOUP)
+def test_handpicked_soup_equivalent(text):
+    assert_equivalent(text)
+
+
+tag_bits = st.sampled_from(
+    ["<p>", "</p>", "<div>", "</div>", "<span class='ocr_line' title='bbox 1 2 3 4'>",
+     "<span class='ocrx_word' title='bbox 1 2 3 4; x_wconf 9'>", "</span>",
+     "<script>", "</script>", "<br>", "<br/>", "<!--", "-->", "<b>", "</b>",
+     "<nav>", "</nav>", "&amp;", "&#65;", "&bogus;", "&", "<", ">", '"', "'", "=",
+     "<img src=x>", "<a href='y'>", "</a>", "<i", "title='t'", " "]
+)
+word_bits = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs")), min_size=1, max_size=8
+)
+
+
+@given(st.lists(st.one_of(tag_bits, word_bits), min_size=0, max_size=30))
+def test_fuzzed_soup_equivalent(bits):
+    assert_equivalent("".join(bits))
