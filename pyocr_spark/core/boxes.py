@@ -26,7 +26,7 @@ def xml_escape(s: str, quote: bool = True) -> str:
     return s
 
 
-@dataclass
+@dataclass(slots=True)
 class Box:
     """One word (or char) and its bounding box.
 
@@ -74,7 +74,7 @@ class Box:
         return (self.position, self.content) < (other.position, other.content)
 
 
-@dataclass
+@dataclass(slots=True)
 class LineBox:
     """One line: ordered word boxes + the line's own bbox.
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyocr_spark.core.boxes import Box, LineBox
 from pyocr_spark.core.builders import (
+    DIGIT_TOKEN_RE,
     CharBoxBuilder,
     DigitBuilder,
     DigitLineBoxBuilder,
@@ -79,22 +80,24 @@ def page_events(html: bytes | str, psm: int = 3) -> list[LineBox]:
 
 
 def _box_row(b: Box) -> dict:
+    (x1, y1), (x2, y2) = b.position
     return {
         "content": b.content,
-        "x1": b.x1,
-        "y1": b.y1,
-        "x2": b.x2,
-        "y2": b.y2,
+        "x1": x1,
+        "y1": y1,
+        "x2": x2,
+        "y2": y2,
         "confidence": b.confidence,
     }
 
 
 def _line_row(ln: LineBox) -> dict:
+    (x1, y1), (x2, y2) = ln.position
     return {
-        "x1": ln.position[0][0],
-        "y1": ln.position[0][1],
-        "x2": ln.position[1][0],
-        "y2": ln.position[1][1],
+        "x1": x1,
+        "y1": y1,
+        "x2": x2,
+        "y2": y2,
         "words": [_box_row(b) for b in ln.word_boxes],
     }
 
@@ -148,33 +151,102 @@ def extract_page(
     try:
         lines = page_events(html, psm=3 if psm == 0 else psm)
         out = _empty_result("ok", None)
-        need_words = modes & {"words", "hocr", "unicode_boxes"}
-        need_text = modes & {"text", "orientation"}
-        text = fold_events(TextBuilder(), lines) if need_text else None
-        word_boxes = fold_events(WordBoxBuilder(), lines) if need_words else None
+
+        # ---- fused fold: ONE pass over the event stream computes every
+        # requested mode. Semantically identical to replaying the stream
+        # through each builder separately (builders.fold_events — the
+        # normative reference implementation, still used by the file
+        # parsers and kept bit-equivalent by
+        # tests/test_core_oracle.py::test_fused_fold_matches_builders).
+        need_text = bool(modes & {"text", "orientation"})
+        need_words = bool(modes & {"words", "hocr", "unicode_boxes"})
+        need_digits = "digits" in modes
+        need_lines = "lines" in modes
+        need_dlines = "digit_lines" in modes
+        want_chars = "chars" in modes
+        want_boxfmt = "box_fmt" in modes
+
+        text_parts: list[str] = []
+        digit_parts: list[str] = []
+        word_boxes: list[Box] = []
+        line_boxes: list[LineBox] = []
+        digit_lines: list[LineBox] = []
+        char_rows: list[dict] = []
+        makebox_parts: list[str] = []
+        n_words = 0
+        digit_match = DIGIT_TOKEN_RE.match
+
+        for ln in lines:
+            W = ln.word_boxes
+            n_words += len(W)
+            if need_text:
+                # TextBuilder.add_word: separator only once the line is
+                # non-empty (empty-content words still trigger it)
+                cur = ""
+                for w in W:
+                    c = w.content
+                    cur = (cur + " " + c) if cur else c
+                text_parts.append(cur)
+            if need_digits or need_dlines:
+                dwords = [w for w in W if digit_match(w.content)]
+                if need_digits:
+                    dcur = ""
+                    for w in dwords:
+                        dcur = (dcur + " " + w.content) if dcur else w.content
+                    digit_parts.append(dcur)
+                if need_dlines and dwords:
+                    digit_lines.append(LineBox(dwords, ln.position))
+            if need_words or need_lines:
+                # Word/LineBoxBuilder both drop empty-content words; reuse
+                # the parsed objects when nothing is dropped.
+                keep = W
+                for w in W:
+                    if w.content == "":
+                        keep = [x for x in W if x.content != ""]
+                        break
+                if need_words:
+                    word_boxes.extend(keep)
+                if need_lines and keep:
+                    line_boxes.append(ln if keep is W else LineBox(keep, ln.position))
+            if want_chars or want_boxfmt:
+                # CharBoxBuilder: split each word bbox evenly per char,
+                # remainder pixels to the last char
+                for w in W:
+                    c = w.content
+                    n = len(c)
+                    if n == 0:
+                        continue
+                    (x1, y1), (x2, y2) = w.position
+                    width = x2 - x1
+                    cx1 = x1
+                    for i in range(n):
+                        cx2 = x1 + (width * (i + 1)) // n if i < n - 1 else x2
+                        if want_chars:
+                            char_rows.append(
+                                {"content": c[i], "x1": cx1, "y1": y1, "x2": cx2, "y2": y2}
+                            )
+                        if want_boxfmt:
+                            makebox_parts.append(
+                                "%s %d %d %d %d 0\n" % (c[i], cx1, y1, cx2, y2)
+                            )
+                        cx1 = cx2
+
+        text = "\n".join(text_parts).strip() if need_text else None
         if "text" in modes:
             out["extracted_text"] = text
-        if "digits" in modes:
-            out["digits_text"] = fold_events(DigitBuilder(), lines)
+        if need_digits:
+            out["digits_text"] = "\n".join(t for t in digit_parts if t != "").strip()
         if "words" in modes:
             out["word_boxes"] = [_box_row(b) for b in word_boxes]
-        if "lines" in modes:
-            line_boxes = fold_events(LineBoxBuilder(), lines)
+        if need_lines:
             out["line_boxes"] = [_line_row(ln) for ln in line_boxes]
             out["n_lines"] = len(line_boxes)
-        if "digit_lines" in modes:
-            out["digit_line_boxes"] = [
-                _line_row(ln) for ln in fold_events(DigitLineBoxBuilder(), lines)
-            ]
-        if modes & {"chars", "box_fmt"}:
-            char_boxes = fold_events(CharBoxBuilder(), lines)
-            if "chars" in modes:
-                out["char_boxes"] = [
-                    {"content": b.content, "x1": b.x1, "y1": b.y1, "x2": b.x2, "y2": b.y2}
-                    for b in char_boxes
-                ]
-            if "box_fmt" in modes:
-                out["box_fmt"] = CharBoxBuilder.write_file_str(char_boxes)
+        if need_dlines:
+            out["digit_line_boxes"] = [_line_row(ln) for ln in digit_lines]
+        if want_chars:
+            out["char_boxes"] = char_rows
+        if want_boxfmt:
+            out["box_fmt"] = "".join(makebox_parts)
         if "hocr" in modes:
             out["hocr"] = WordBoxBuilder.write_file_str(word_boxes)
         if "unicode_boxes" in modes:
@@ -184,7 +256,7 @@ def extract_page(
             out["orientation"] = orient
             if orient is None:
                 out["error"] = NO_SCRIPT_ERROR
-        out["n_words"] = sum(len(ln.word_boxes) for ln in lines)
+        out["n_words"] = n_words
         return out
     except Exception as exc:  # per-row error tolerance (never kill the batch)
         return _empty_result("error", f"{type(exc).__name__}: {exc}")

@@ -95,3 +95,76 @@ def test_oversize_page_rejected_per_row():
         assert "too large" in out["error"]
     finally:
         oracle.MAX_HTML_BYTES = old
+
+
+def _builder_by_builder(html: bytes, lang, psm: int = 3) -> dict:
+    """The pre-fusion reference composition: each output mode produced by
+    replaying the event stream through its own builder via fold_events.
+    The fused single-pass in extract_page must stay bit-equivalent."""
+    from pyocr_spark.core.builders import (
+        CharBoxBuilder,
+        DigitBuilder,
+        DigitLineBoxBuilder,
+        LineBoxBuilder,
+        TextBuilder,
+        WordBoxBuilder,
+        fold_events,
+    )
+    from pyocr_spark.core import oracle as om
+
+    lines = om.page_events(html, psm=3 if psm == 0 else psm)
+    text = fold_events(TextBuilder(), lines)
+    word_boxes = fold_events(WordBoxBuilder(), lines)
+    line_boxes = fold_events(LineBoxBuilder(), lines)
+    char_boxes = fold_events(CharBoxBuilder(), lines)
+    from pyocr_spark.core.htmltext import decode_replace
+    from pyocr_spark.core.orientation import detect_orientation
+
+    return {
+        "extracted_text": text,
+        "digits_text": fold_events(DigitBuilder(), lines),
+        "word_boxes": [om._box_row(b) for b in word_boxes],
+        "line_boxes": [om._line_row(ln) for ln in line_boxes],
+        "n_lines": len(line_boxes),
+        "digit_line_boxes": [om._line_row(ln) for ln in fold_events(DigitLineBoxBuilder(), lines)],
+        "char_boxes": [
+            {"content": b.content, "x1": b.x1, "y1": b.y1, "x2": b.x2, "y2": b.y2}
+            for b in char_boxes
+        ],
+        "box_fmt": CharBoxBuilder.write_file_str(char_boxes),
+        "hocr": WordBoxBuilder.write_file_str(word_boxes),
+        "unicode_boxes": "\n".join(b.get_unicode_string() for b in word_boxes),
+        "orientation": detect_orientation(decode_replace(html), text),
+        "n_words": sum(len(ln.word_boxes) for ln in lines),
+    }
+
+
+def test_fused_fold_matches_builders():
+    corpus = [
+        (FIXTURES / "page_plain.html").read_bytes(),
+        (FIXTURES / "hocr_tesseract.html").read_bytes(),
+        (FIXTURES / "hocr_cuneiform.html").read_bytes(),
+        b"",
+        b"<p>only 42,17 digits: 3.14</p>",
+        # empty-content word spans (tesseract-4 artifact handling)
+        b"<span class='ocr_line' title='bbox 0 0 90 10'>"
+        b"<span class='ocrx_word' title='bbox 0 0 10 10'></span>"
+        b"<span class='ocrx_word' title='bbox 12 0 30 10; x_wconf 81'>mid</span>"
+        b"<span class='ocrx_word' title='bbox 32 0 40 10'></span></span>",
+        # line with ONLY empty words (line dropped by LineBoxBuilder)
+        b"<span class='ocr_line' title='bbox 0 0 9 9'>"
+        b"<span class='ocrx_word' title='bbox 0 0 4 9'></span></span>"
+        b"<span class='ocr_line' title='bbox 0 10 50 20'>"
+        b"<span class='ocrx_word' title='bbox 0 10 50 20; x_wconf 3'>x</span></span>",
+        b"\xe9 broken utf8 <b>51</b>",
+    ]
+    import itertools
+
+    for html, psm in itertools.product(corpus, (0, 3, 6, 7)):
+        ref = _builder_by_builder(html, None, psm=psm)
+        out = extract_page(html, None, psm=psm)
+        assert out["status"] == "ok", (html[:40], psm, out["error"])
+        for k, v in ref.items():
+            if k == "orientation" and v is None:
+                continue  # extract_page also sets the error field; covered elsewhere
+            assert out[k] == v, (k, html[:60], psm)
