@@ -69,19 +69,28 @@ def minhash_signature(
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signatures from k-word shingles, entirely with built-in
-    functions (no Python UDF): hash_i(s) = xxhash64(s, seed=i); min over
-    shingles per seed. Returns (id, sig: array<bigint>)."""
-    def _minhash(seed: int):
-        # NB: pyspark HOF lambdas dispatch on arity — a 2-arg lambda would
-        # receive (element, index), so the seed must bind via closure.
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
-        )
+    functions (no Python UDF): hash_i(s) = xxhash64(s, i); min over
+    shingles per seed. Returns (id, sig: array<bigint>).
 
-    sigs = F.array(*[_minhash(i) for i in range(num_hashes)])
-    # materialize shingles ONCE via an intermediate projection — Catalyst
-    # does not CSE the shingle construction across the num_hashes branches,
-    # and rebuilding it 16× is a >10× slowdown measured at sf0.1
+    ONE aggregate computes all num_hashes minima in a single pass over the
+    shingle array (zip_with against a literal seed array): num_hashes
+    separate array_min(transform(...)) branches rescan the array per seed
+    and compile to a generated method big enough that Janino sometimes
+    dominates small-batch wall time. Value-identical: xxhash64(s, lit(i))
+    hashes the (shingle, seed) pair either way.
+    """
+    seeds = F.array(*[F.lit(i).cast("int") for i in range(num_hashes)])
+    sigs = F.aggregate(
+        F.col("_sh"),
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda m: F.xxhash64(s, m)),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+    # materialize shingles ONCE via an intermediate projection so the
+    # aggregate sees a bound column, not the whole shingle construction
     return (
         df.select(F.col(id_col), _shingles(text_col, k).alias("_sh"))
         .select(F.col(id_col), sigs.alias("sig"))
@@ -159,21 +168,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-
-    def _vote(bit: int):
-        # seed must bind via closure — see _minhash note on HOF lambda arity
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(b) for b in range(bits)]
-    fp = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    # ONE aggregate accumulating all bit votes at once: a per-bit aggregate
+    # (bits × passes over the array) compiles to a generated method so large
+    # that Janino sometimes takes tens of seconds — and it rescans the hash
+    # array `bits` times. votes[b] += ±1 per word via zip_with against the
+    # bit-mask array ((h & mask) != 0 ⟺ shiftright(h, b) & 1 == 1).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
