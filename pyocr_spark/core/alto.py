@@ -1,0 +1,106 @@
+"""ALTO-XML parser — the second box-bearing OCR dialect after hOCR.
+
+ALTO (Analyzed Layout and Text Object, Library of Congress standard;
+emitted by tesseract ≥4.1 `alto` config and by most library-digitization
+OCR stacks) recovers word/line bounding boxes from ``<TextLine>`` /
+``<String>`` elements, the ALTO analog of pyocr's hOCR DOM walk
+(``pyocr/builders.py — _WordHTMLParser ~L440``, SURVEY.md E7). Output
+feeds the same ``Box``/``LineBox`` event stream and builder folds as the
+hOCR dialects, so every output mode works unchanged on ALTO pages.
+
+Frozen semantics (FIXTURES.md §2.5):
+
+- Only ``String`` elements nested (at any depth) inside a ``TextLine``
+  become words, in document order; ``SP``/``HYP`` separators are ignored.
+- Word bbox = ``(HPOS, VPOS, HPOS+WIDTH, VPOS+HEIGHT)``; coordinates are
+  parsed as floats and truncated with ``int()`` (ALTO profiles allow
+  fractional coords); a missing/invalid attribute reads as 0.
+- Word confidence = ``int(round(WC * 100))`` clamped to [0, 100]
+  (ALTO WC is 0..1); missing/invalid → 0.
+- Line bbox from the TextLine's own HPOS/VPOS/WIDTH/HEIGHT when all four
+  are present, else the union of its word bboxes.
+- TextLines with zero String children are dropped.
+- Namespaces are ignored (matching on local names) — every ALTO schema
+  version parses the same.
+- Malformed XML raises ``ALTOError``; extract_page routes it to the
+  per-row error column (SURVEY.md E2), never a stage failure.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyocr_spark.core.boxes import Box, LineBox, bbox_union
+
+
+class ALTOError(ValueError):
+    """Raised on unparseable ALTO bytes (caught per-row by extract_page)."""
+
+
+def looks_like_alto(text: str) -> bool:
+    """Dialect sniff: does this page carry ALTO markup?
+
+    Frozen: the root-element open tag ``<alto`` or the LoC namespace URI
+    anywhere in the document.
+    """
+    return ("<alto" in text) or ("www.loc.gov/standards/alto" in text)
+
+
+def _localname(tag) -> str:
+    if not isinstance(tag, str):  # comments / processing instructions
+        return ""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _coord(el: ET.Element, attr: str) -> int:
+    v = el.get(attr)
+    if v is None:
+        return 0
+    try:
+        return int(float(v))
+    except ValueError:
+        return 0
+
+
+def _confidence(el: ET.Element) -> int:
+    v = el.get("WC")
+    if v is None:
+        return 0
+    try:
+        conf = int(round(float(v) * 100))
+    except ValueError:
+        return 0
+    return min(100, max(0, conf))
+
+
+def _bbox(el: ET.Element):
+    x1 = _coord(el, "HPOS")
+    y1 = _coord(el, "VPOS")
+    return ((x1, y1), (x1 + _coord(el, "WIDTH"), y1 + _coord(el, "HEIGHT")))
+
+
+def parse_alto(text: str) -> tuple[list[Box], list[LineBox]]:
+    """ALTO document → (word boxes, line boxes), document order."""
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:
+        raise ALTOError(f"malformed ALTO XML: {exc}") from exc
+    boxes: list[Box] = []
+    lines: list[LineBox] = []
+    for line_el in root.iter():
+        if _localname(line_el.tag) != "TextLine":
+            continue
+        words: list[Box] = []
+        for el in line_el.iter():
+            if _localname(el.tag) != "String":
+                continue
+            words.append(Box(el.get("CONTENT") or "", _bbox(el), _confidence(el)))
+        if not words:
+            continue
+        if all(line_el.get(a) is not None for a in ("HPOS", "VPOS", "WIDTH", "HEIGHT")):
+            pos = _bbox(line_el)
+        else:
+            pos = bbox_union([w.position for w in words])
+        boxes.extend(words)
+        lines.append(LineBox(words, pos))
+    return boxes, lines

@@ -31,6 +31,7 @@ from pyocr_spark.core.builders import (
     WordBoxBuilder,
     fold_events,
 )
+from pyocr_spark.core.alto import looks_like_alto, parse_alto
 from pyocr_spark.core.htmltext import decode_replace, segment_html
 from pyocr_spark.core.hocr import looks_like_hocr, parse_hocr
 from pyocr_spark.core.orientation import NO_SCRIPT_ERROR, detect_orientation
@@ -64,19 +65,23 @@ def page_events(html: bytes | str, psm: int = 3) -> list[LineBox]:
     through boilerplate-strip segmentation with virtual geometry.
     """
     text = decode_replace(html)
-    if looks_like_hocr(text):
+    if looks_like_alto(text):
+        _boxes, lines = parse_alto(text)
+    elif looks_like_hocr(text):
         _boxes, lines = parse_hocr(text)
-        if psm == 7:
-            flat = [w for ln in lines for w in ln.word_boxes]
-            if not flat:
-                return []
-            from pyocr_spark.core.boxes import bbox_union
-
-            return [LineBox(flat, bbox_union([b.position for b in flat]))]
-        if psm == 0:
+    else:
+        return segment_html(text, psm=psm)
+    # box-bearing dialects (real geometry) share the PSM handling
+    if psm == 7:
+        flat = [w for ln in lines for w in ln.word_boxes]
+        if not flat:
             return []
-        return lines
-    return segment_html(text, psm=psm)
+        from pyocr_spark.core.boxes import bbox_union
+
+        return [LineBox(flat, bbox_union([b.position for b in flat]))]
+    if psm == 0:
+        return []
+    return lines
 
 
 def _box_row(b: Box) -> dict:

@@ -1,0 +1,79 @@
+"""ALTO-XML dialect golden tests — SURVEY.md E7 analog, FIXTURES.md §2.5."""
+
+from pathlib import Path
+
+import pytest
+
+from pyocr_spark.core.alto import ALTOError, looks_like_alto, parse_alto
+from pyocr_spark.core.oracle import extract_page, page_events
+
+FIXTURES = Path(__file__).parent / "fixtures"
+ALTO = (FIXTURES / "alto_tesseract.xml").read_text()
+
+
+def test_sniff():
+    assert looks_like_alto(ALTO)
+    assert looks_like_alto('<x>www.loc.gov/standards/alto/ns-v2#</x>')
+    assert not looks_like_alto("<html><body>plain</body></html>")
+
+
+def test_parse_alto_golden():
+    boxes, lines = parse_alto(ALTO)
+    # line_3 has no Strings and is dropped
+    assert len(lines) == 3
+    assert [len(ln.word_boxes) for ln in lines] == [2, 2, 2]
+    assert len(boxes) == 6
+
+    hello = boxes[0]
+    assert (hello.content, hello.position, hello.confidence) == (
+        "Hello", ((33, 40), (113, 72)), 94)
+    # float coords truncate via int(); WC 0.8657 → round(86.57) = 87
+    world = boxes[1]
+    assert (world.content, world.position, world.confidence) == (
+        "wörld", ((125, 41), (235, 71)), 87)
+    # empty CONTENT preserved at parse layer (builders drop it later)
+    assert boxes[3].content == ""
+    # XML entity unescape + WC clamp / invalid-WC→0
+    assert boxes[4].content == "tail & end"
+    assert boxes[4].confidence == 100
+    assert boxes[5].confidence == 0
+
+    # line bbox from TextLine attrs when present, else union of words
+    assert lines[0].position == ((33, 40), (403, 72))
+    assert lines[2].position == ((10, 198), (120, 224))
+
+
+def test_malformed_alto_raises_and_routes_to_error_row():
+    with pytest.raises(ALTOError):
+        parse_alto("<alto><TextLine><String CONTENT='x'></alto>")
+    out = extract_page(b"<alto><unclosed>", "en")
+    assert out["status"] == "error"
+    assert "ALTOError" in out["error"]
+
+
+def test_alto_through_full_surface():
+    out = extract_page(ALTO.encode("utf-8"), "en")
+    assert out["status"] == "ok"
+    assert out["extracted_text"] == "Hello wörld\n42,17 \ntail & end x"  # empty CONTENT word → TextBuilder separator
+    assert out["digits_text"] == "42,17"
+    assert out["n_lines"] == 3
+    assert out["n_words"] == 6
+    # empty-content word dropped from word/line boxes, counted in n_words
+    assert [w["content"] for w in out["word_boxes"]] == [
+        "Hello", "wörld", "42,17", "tail & end", "x"]
+    assert out["word_boxes"][1] == {
+        "content": "wörld", "x1": 125, "y1": 41, "x2": 235, "y2": 71, "confidence": 87}
+    # hOCR serialization re-escapes the unescaped content
+    assert 'x_wconf 100">tail &amp; end</span>' in out["hocr"]
+    assert out["orientation"]["angle"] == 0
+
+
+def test_alto_psm_modes():
+    page = ALTO.encode("utf-8")
+    assert page_events(page, psm=0) == []
+    one_line = page_events(page, psm=7)
+    assert len(one_line) == 1
+    assert len(one_line[0].word_boxes) == 6
+    assert one_line[0].position == ((10, 40), (235, 224))
+    out7 = extract_page(page, "en", psm=7)
+    assert out7["extracted_text"] == "Hello wörld 42,17  tail & end x"

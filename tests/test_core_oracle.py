@@ -144,6 +144,7 @@ def test_fused_fold_matches_builders():
         (FIXTURES / "page_plain.html").read_bytes(),
         (FIXTURES / "hocr_tesseract.html").read_bytes(),
         (FIXTURES / "hocr_cuneiform.html").read_bytes(),
+        (FIXTURES / "alto_tesseract.xml").read_bytes(),
         b"",
         b"<p>only 42,17 digits: 3.14</p>",
         # empty-content word spans (tesseract-4 artifact handling)
