@@ -116,12 +116,18 @@ def main() -> None:
     )
     extras["docs_per_sec_pipeline"] = round(docs / timings["pipeline_text_dedup_salt"], 2)
 
-    # The sf0.1 dim tables are one small parquet file → 1 input split; at
-    # the target scale these tables arrive in thousands of splits, so give
-    # the operators the parallelism the real layout would (one-time fan-out,
-    # not part of the measured operator shape).
-    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
+    # Bench-scale dim tables: documents fanned out with NEAR-dup copies
+    # (exact replication would make LSH buckets all-pairs cliques) and
+    # embeddings with near-neighbor copies; sharded multi-file layouts so
+    # file splits provide the parallelism, like the real tables would.
+    from pyocr_spark.datagen import ensure_docs_bench, ensure_emb_bench
+
+    docs_dir = ensure_docs_bench(SF_DIR, replicate=REPLICATE)
+    emb_dir = ensure_emb_bench(SF_DIR, replicate=REPLICATE * 2)
+    docs_df = spark.read.parquet(str(docs_dir / "documents.parquet"))
+    emb = spark.read.parquet(str(emb_dir / "embeddings.parquet"))
+    extras["bench_docs"] = docs_df.count()
+    extras["bench_vecs"] = emb.count()
 
     from pyocr_spark.operators.dedup import (
         exact_dedup,
@@ -131,18 +137,18 @@ def main() -> None:
     from pyocr_spark.operators.ann import topk_cosine
     from pyocr_spark.functions.text_stats import quality_score
 
-    timed("dedup_exact", lambda: exact_dedup(docs_df).count())
-    timed("minhash_pairs", lambda: minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).count())
-    timed("simhash", lambda: noop_write(simhash(docs_df)))
-    timed("quality_score", lambda: noop_write(quality_score(docs_df)))
+    timed("dedup_exact", lambda: exact_dedup(docs_df).count(), reps=3)
+    timed("minhash_pairs", lambda: minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).count(), reps=3)
+    timed("simhash", lambda: noop_write(simhash(docs_df)), reps=3)
+    timed("quality_score", lambda: noop_write(quality_score(docs_df)), reps=3)
 
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
-    timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect())
+    timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect(), reps=3)
 
     import __spark_entry__ as entrymod
 
-    timed("lineitem_pricing", lambda: entrymod._q_lineitem_pricing(spark, SF_DIR).collect())
-    timed("events_hourly", lambda: entrymod._q_events_hourly(spark, SF_DIR).collect())
+    timed("lineitem_pricing", lambda: entrymod._q_lineitem_pricing(spark, SF_DIR).collect(), reps=3)
+    timed("events_hourly", lambda: entrymod._q_events_hourly(spark, SF_DIR).collect(), reps=3)
 
     spark.stop()
 

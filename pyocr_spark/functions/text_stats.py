@@ -37,24 +37,35 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stopword mass — the classic cheap pre-filter for web-scraped text.
     """
     t = F.trim(F.col("text"))
-    n_tok = token_count(t)
-    n_chars = F.length(t)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
-    n_stop = F.size(
-        F.regexp_extract_all(
-            F.concat(F.lit(" "), t, F.lit(" ")), F.lit(r"(?i)( (the|a|and|of|to|in) )"), F.lit(0)
-        )
+    # layer the counts in their own projection: each is a regex/split pass
+    # over the text and is referenced several times below — in ONE select
+    # Catalyst would inline (and so re-evaluate) every reference
+    base = docs.select(
+        "doc_id",
+        token_count(t).alias("_n_tok"),
+        F.length(t).alias("_n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).alias("_n_punct"),
+        F.size(
+            F.regexp_extract_all(
+                F.concat(F.lit(" "), t, F.lit(" ")),
+                F.lit(r"(?i)( (the|a|and|of|to|in) )"),
+                F.lit(0),
+            )
+        ).alias("_n_stop"),
     )
+    n_tok, n_chars = F.col("_n_tok"), F.col("_n_chars")
     mean_wlen = F.when(n_tok > 0, F.round(n_chars / n_tok, 4)).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, F.round(n_stop / n_tok, 4)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(F.col("_n_punct") / n_chars, 4)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_tok > 0, F.round(F.col("_n_stop") / n_tok, 4)).otherwise(F.lit(0.0))
     score = F.round(
         F.when(n_tok >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
         + F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0)),
         1,
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         mean_wlen.alias("mean_word_len"),

@@ -115,7 +115,12 @@ def minhash_lsh_dedup(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, k, num_hashes)
-    banded = sig.select(
+    # Materialize signatures before the self-join: both join sides would
+    # otherwise recompute the whole shingle→minhash pipeline. At cluster
+    # scale the same move is writing the signature table once (Iceberg)
+    # and joining it with itself; locally MEMORY_AND_DISK persist.
+    banded = sig.persist()
+    banded = banded.select(
         F.col(id_col),
         F.col("sig"),
         F.explode(
