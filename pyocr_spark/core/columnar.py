@@ -1,0 +1,361 @@
+"""Columnar batch extraction — the Arrow fast path of the extract stage.
+
+``extract_batch`` runs the same frozen per-page semantics as
+``core.oracle.extract_page`` (the row-at-a-time oracle) but writes results
+straight into flat Arrow child arrays + offsets, skipping the per-box
+Python dicts and the pandas object columns the mapInPandas path pays for.
+One C-level ``pa.array`` call per child column per batch replaces hundreds
+of thousands of dict allocations.
+
+Equivalence is gated, not assumed:
+``tests/test_core_columnar.py`` compares this module against
+``extract_page`` element-for-element over the fixture corpus and every
+PSM/mode subset, and the Spark-level test compares the mapInArrow and
+mapInPandas pipelines row-for-row — byte-identical per url either way
+(SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pyocr_spark.core.boxes import Box
+from pyocr_spark.core.builders import DIGIT_TOKEN_RE, WordBoxBuilder
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import (
+    MAX_HTML_BYTES,
+    NO_SCRIPT_ERROR,
+    SUPPORTED_LANGS,
+    page_events,
+)
+from pyocr_spark.core.orientation import detect_orientation
+
+_BOX_FIELDS = [
+    ("content", pa.string()),
+    ("x1", pa.int32()),
+    ("y1", pa.int32()),
+    ("x2", pa.int32()),
+    ("y2", pa.int32()),
+    ("confidence", pa.int32()),
+]
+
+
+class _BoxAcc:
+    """Flat accumulator for an ``array<struct Box>`` column. Null rows are
+    a null start offset — pyarrow renders those list entries null."""
+
+    __slots__ = ("off", "content", "x1", "y1", "x2", "y2", "conf", "n", "with_conf")
+
+    def __init__(self, with_conf: bool = True):
+        self.off: list[int | None] = []
+        self.content: list[str] = []
+        self.x1: list[int] = []
+        self.y1: list[int] = []
+        self.x2: list[int] = []
+        self.y2: list[int] = []
+        self.conf: list[int] = []
+        self.n = 0
+        self.with_conf = with_conf
+
+    def commit_row(self, boxes) -> None:
+        """None → null row; else append all boxes atomically."""
+        if boxes is None:
+            self.off.append(None)
+            return
+        self.off.append(self.n)
+        for b in boxes:
+            (x1, y1), (x2, y2) = b.position
+            self.content.append(b.content)
+            self.x1.append(x1)
+            self.y1.append(y1)
+            self.x2.append(x2)
+            self.y2.append(y2)
+            if self.with_conf:
+                self.conf.append(b.confidence)
+        self.n += len(boxes)
+
+    def build_struct(self) -> pa.StructArray:
+        arrays = [
+            pa.array(self.content, pa.string()),
+            pa.array(self.x1, pa.int32()),
+            pa.array(self.y1, pa.int32()),
+            pa.array(self.x2, pa.int32()),
+            pa.array(self.y2, pa.int32()),
+        ]
+        names = ["content", "x1", "y1", "x2", "y2"]
+        if self.with_conf:
+            arrays.append(pa.array(self.conf, pa.int32()))
+            names.append("confidence")
+        return pa.StructArray.from_arrays(arrays, names=names)
+
+    def build(self) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(self.off + [self.n], pa.int32()), self.build_struct()
+        )
+
+
+class _LineAcc:
+    """Flat accumulator for an ``array<struct LineBox>`` column."""
+
+    __slots__ = ("off", "lx1", "ly1", "lx2", "ly2", "woff", "words", "n_lines")
+
+    def __init__(self):
+        self.off: list[int | None] = []
+        self.lx1: list[int] = []
+        self.ly1: list[int] = []
+        self.lx2: list[int] = []
+        self.ly2: list[int] = []
+        self.woff: list[int] = []
+        self.words = _BoxAcc()
+        self.n_lines = 0
+
+    def commit_row(self, line_list) -> None:
+        """None → null row; else [(position, word boxes)] atomically."""
+        if line_list is None:
+            self.off.append(None)
+            return
+        self.off.append(self.n_lines)
+        for pos, words in line_list:
+            (x1, y1), (x2, y2) = pos
+            self.lx1.append(x1)
+            self.ly1.append(y1)
+            self.lx2.append(x2)
+            self.ly2.append(y2)
+            self.woff.append(self.words.n)
+            self.words.commit_row(words)  # appends one offset too (unused)
+            self.n_lines += 1
+
+    def build(self) -> pa.ListArray:
+        inner = pa.ListArray.from_arrays(
+            pa.array(self.woff + [self.words.n], pa.int32()),
+            self.words.build_struct(),
+        )
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(self.lx1, pa.int32()),
+                pa.array(self.ly1, pa.int32()),
+                pa.array(self.lx2, pa.int32()),
+                pa.array(self.ly2, pa.int32()),
+                inner,
+            ],
+            names=["x1", "y1", "x2", "y2", "words"],
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(self.off + [self.n_lines], pa.int32()), struct
+        )
+
+
+def extract_batch(
+    htmls, langs, modes: frozenset, psm: int = 3
+) -> tuple[dict[str, pa.Array], dict[str, int]]:
+    """One Arrow batch of pages → {column name: pa.Array} + metric counts.
+
+    Same mode pruning, error contract, and frozen semantics as
+    ``extract_page`` (the fused fold), emitted columnar.
+    """
+    need_text = bool(modes & {"text", "orientation"})
+    need_words = bool(modes & {"words", "hocr", "unicode_boxes"})
+    need_digits = "digits" in modes
+    need_lines = "lines" in modes
+    need_dlines = "digit_lines" in modes
+    want_chars = "chars" in modes
+    want_boxfmt = "box_fmt" in modes
+    want_orient = "orientation" in modes
+    digit_match = DIGIT_TOKEN_RE.match
+
+    status: list[str] = []
+    error: list[str | None] = []
+    n_words_col: list[int] = []
+    n_lines_col: list[int] = []
+    text_col: list[str | None] = []
+    digits_col: list[str | None] = []
+    hocr_col: list[str | None] = []
+    boxfmt_col: list[str | None] = []
+    uni_col: list[str | None] = []
+    wb = _BoxAcc()
+    lb = _LineAcc()
+    dlb = _LineAcc()
+    cb = _BoxAcc(with_conf=False)
+    ang_col: list[int] = []
+    oconf_col: list[float] = []
+    omask: list[bool] = []
+
+    n_err = 0
+    words_total = 0
+    bytes_in = 0
+
+    def _error_row(msg: str) -> None:
+        nonlocal n_err
+        n_err += 1
+        status.append("error")
+        error.append(msg)
+        n_words_col.append(0)
+        n_lines_col.append(0)
+        text_col.append(None)
+        digits_col.append(None)
+        hocr_col.append(None)
+        boxfmt_col.append(None)
+        uni_col.append(None)
+        wb.commit_row(None)
+        lb.commit_row(None)
+        dlb.commit_row(None)
+        cb.commit_row(None)
+        ang_col.append(0)
+        oconf_col.append(0.0)
+        omask.append(True)
+
+    for html, lang in zip(htmls, langs):
+        if html is not None:
+            bytes_in += len(html)
+        if html is None:
+            _error_row("null html")
+            continue
+        if isinstance(html, (bytes, bytearray)) and len(html) > MAX_HTML_BYTES:
+            _error_row(f"html too large: {len(html)} bytes")
+            continue
+        if lang is not None and lang not in SUPPORTED_LANGS:
+            _error_row(f"unsupported language: {lang}")
+            continue
+        try:
+            # ---- stage per-row results locally; commit atomically below
+            # (so a mid-parse exception can't leave half a row behind).
+            # Same fused fold as extract_page.
+            lines = page_events(html, psm=3 if psm == 0 else psm)
+            text_parts: list[str] = []
+            digit_parts: list[str] = []
+            word_boxes: list[Box] = []
+            line_rows: list[tuple] = []
+            dline_rows: list[tuple] = []
+            char_rows: list[Box] = []
+            boxfmt_parts: list[str] = []
+            n_words = 0
+            for ln in lines:
+                W = ln.word_boxes
+                n_words += len(W)
+                if need_text:
+                    cur = ""
+                    for w in W:
+                        c = w.content
+                        cur = (cur + " " + c) if cur else c
+                    text_parts.append(cur)
+                if need_digits or need_dlines:
+                    dwords = [w for w in W if digit_match(w.content)]
+                    if need_digits:
+                        dcur = ""
+                        for w in dwords:
+                            dcur = (dcur + " " + w.content) if dcur else w.content
+                        digit_parts.append(dcur)
+                    if need_dlines and dwords:
+                        dline_rows.append((ln.position, dwords))
+                if need_words or need_lines:
+                    keep = W
+                    for w in W:
+                        if w.content == "":
+                            keep = [x for x in W if x.content != ""]
+                            break
+                    if need_words:
+                        word_boxes.extend(keep)
+                    if need_lines and keep:
+                        line_rows.append((ln.position, keep))
+                if want_chars or want_boxfmt:
+                    for w in W:
+                        c = w.content
+                        n = len(c)
+                        if n == 0:
+                            continue
+                        (x1, y1), (x2, y2) = w.position
+                        width = x2 - x1
+                        cx1 = x1
+                        for i in range(n):
+                            cx2 = x1 + (width * (i + 1)) // n if i < n - 1 else x2
+                            if want_chars:
+                                char_rows.append(Box(c[i], ((cx1, y1), (cx2, y2))))
+                            if want_boxfmt:
+                                boxfmt_parts.append(
+                                    "%s %d %d %d %d 0\n" % (c[i], cx1, y1, cx2, y2)
+                                )
+                            cx1 = cx2
+
+            text = "\n".join(text_parts).strip() if need_text else None
+            err: str | None = None
+            if want_orient:
+                orient = detect_orientation(decode_replace(html), text)
+                if orient is None:
+                    ang_col.append(0)
+                    oconf_col.append(0.0)
+                    omask.append(True)
+                    err = NO_SCRIPT_ERROR
+                else:
+                    ang_col.append(orient["angle"])
+                    oconf_col.append(orient["confidence"])
+                    omask.append(False)
+            else:
+                ang_col.append(0)
+                oconf_col.append(0.0)
+                omask.append(True)
+
+            # ---- atomic commit
+            status.append("ok")
+            error.append(err)
+            n_words_col.append(n_words)
+            words_total += n_words
+            n_lines_col.append(len(line_rows))
+            text_col.append(text if "text" in modes else None)
+            digits_col.append(
+                "\n".join(t for t in digit_parts if t != "").strip()
+                if need_digits
+                else None
+            )
+            hocr_col.append(
+                WordBoxBuilder.write_file_str(word_boxes) if "hocr" in modes else None
+            )
+            uni_col.append(
+                "\n".join(b.get_unicode_string() for b in word_boxes)
+                if "unicode_boxes" in modes
+                else None
+            )
+            boxfmt_col.append("".join(boxfmt_parts) if want_boxfmt else None)
+            wb.commit_row(word_boxes if "words" in modes else [])
+            lb.commit_row(line_rows if need_lines else [])
+            dlb.commit_row(dline_rows if need_dlines else [])
+            cb.commit_row(char_rows if want_chars else [])
+        except Exception as exc:  # per-row error tolerance
+            _error_row(f"{type(exc).__name__}: {exc}")
+
+    cols: dict[str, pa.Array] = {
+        "status": pa.array(status, pa.string()),
+        "error": pa.array(error, pa.string()),
+        "n_words": pa.array(n_words_col, pa.int32()),
+    }
+    if "text" in modes:
+        cols["extracted_text"] = pa.array(text_col, pa.string())
+    if need_digits:
+        cols["digits_text"] = pa.array(digits_col, pa.string())
+    if "words" in modes:
+        cols["word_boxes"] = wb.build()
+    if need_lines:
+        cols["line_boxes"] = lb.build()
+        cols["n_lines"] = pa.array(n_lines_col, pa.int32())
+    if need_dlines:
+        cols["digit_line_boxes"] = dlb.build()
+    if want_chars:
+        cols["char_boxes"] = cb.build()
+    if "hocr" in modes:
+        cols["hocr"] = pa.array(hocr_col, pa.string())
+    if want_boxfmt:
+        cols["box_fmt"] = pa.array(boxfmt_col, pa.string())
+    if "unicode_boxes" in modes:
+        cols["unicode_boxes"] = pa.array(uni_col, pa.string())
+    if want_orient:
+        cols["orientation"] = pa.StructArray.from_arrays(
+            [pa.array(ang_col, pa.int32()), pa.array(oconf_col, pa.float64())],
+            names=["angle", "confidence"],
+            mask=pa.array(omask, pa.bool_()),
+        )
+    metrics = {
+        "docs": len(status),
+        "errors": n_err,
+        "bytes_in": bytes_in,
+        "words": words_total,
+    }
+    return cols, metrics

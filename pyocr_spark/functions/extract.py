@@ -93,3 +93,86 @@ def make_extract_fn(
             yield out
 
     return extract_batches
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native path (mapInArrow): columnar construction, no pandas objects
+# ---------------------------------------------------------------------------
+
+_PA_BOX = None  # built lazily so importing this module never needs pyarrow
+
+
+def _pa_types():
+    import pyarrow as pa
+
+    box = pa.struct(
+        [("content", pa.string()), ("x1", pa.int32()), ("y1", pa.int32()),
+         ("x2", pa.int32()), ("y2", pa.int32()), ("confidence", pa.int32())]
+    )
+    char = pa.struct(
+        [("content", pa.string()), ("x1", pa.int32()), ("y1", pa.int32()),
+         ("x2", pa.int32()), ("y2", pa.int32())]
+    )
+    line = pa.struct(
+        [("x1", pa.int32()), ("y1", pa.int32()), ("x2", pa.int32()),
+         ("y2", pa.int32()), ("words", pa.list_(box))]
+    )
+    return {
+        "extracted_text": pa.string(),
+        "digits_text": pa.string(),
+        "word_boxes": pa.list_(box),
+        "line_boxes": pa.list_(line),
+        "n_lines": pa.int32(),
+        "digit_line_boxes": pa.list_(line),
+        "char_boxes": pa.list_(char),
+        "hocr": pa.string(),
+        "box_fmt": pa.string(),
+        "unicode_boxes": pa.string(),
+        "orientation": pa.struct([("angle", pa.int32()), ("confidence", pa.float64())]),
+    }
+
+
+def output_schema_arrow(modes: frozenset = ALL_MODES, passthrough=(("url", None),)):
+    """pyarrow schema mirroring output_schema_ddl (same names, same order)."""
+    import pyarrow as pa
+
+    types = _pa_types()
+    fields = [(n, t if t is not None else pa.string()) for n, t in passthrough]
+    fields += [("status", pa.string()), ("error", pa.string()), ("n_words", pa.int32())]
+    fields += [(name, types[name]) for mode, name, _ in _MODE_FIELDS if mode in modes]
+    return pa.schema(fields)
+
+
+def make_extract_arrow_fn(
+    modes: frozenset = ALL_MODES,
+    psm: int = 3,
+    metrics=None,
+    passthrough=(("url", None),),
+):
+    """mapInArrow variant of make_extract_fn: consumes/produces
+    pyarrow.RecordBatch, building output columns flat via core.columnar —
+    no per-box dicts, no pandas object columns. Row-identical to the
+    pandas path (gated by tests)."""
+    import pyarrow as pa
+
+    from pyocr_spark.core.columnar import extract_batch
+
+    schema = output_schema_arrow(modes, passthrough)
+    pass_names = [n for n, _ in passthrough]
+
+    def extract_batches_arrow(batches):
+        for rb in batches:
+            names = rb.schema.names
+            htmls = rb.column(names.index("html")).to_pylist()
+            if "lang" in names:
+                langs = rb.column(names.index("lang")).to_pylist()
+            else:
+                langs = [None] * rb.num_rows
+            cols, m = extract_batch(htmls, langs, modes=modes, psm=psm)
+            if metrics is not None:
+                metrics.add(**m)
+            arrays = [rb.column(names.index(p)) for p in pass_names]
+            arrays += [cols[f.name] for f in schema if f.name not in pass_names]
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return extract_batches_arrow

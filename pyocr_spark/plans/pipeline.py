@@ -30,8 +30,15 @@ def extract_df(
     dedup: bool = True,
     keep_bucket: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """pages DataFrame → extraction output DataFrame (lazy; no action)."""
+    """pages DataFrame → extraction output DataFrame (lazy; no action).
+
+    ``use_arrow=True`` (default) runs the extraction UDF via mapInArrow
+    with columnar output construction (core.columnar) — row-identical to
+    the mapInPandas path (``use_arrow=False``), which remains as the
+    reference/fallback.
+    """
     df = with_page_filters(pages)
     if dedup:
         df = dedup_latest_page(df)
@@ -50,6 +57,16 @@ def extract_df(
         df = salted_repartition(df, repartition_to)
     passthrough = "url string" + (", bucket int" if keep_bucket else "")
     schema = output_schema_ddl(modes, passthrough=passthrough)
+    if use_arrow:
+        import pyarrow as pa
+
+        from pyocr_spark.functions.extract import make_extract_arrow_fn
+
+        pass_fields = [("url", None)] + ([("bucket", pa.int32())] if keep_bucket else [])
+        afn = make_extract_arrow_fn(
+            modes=modes, psm=psm, metrics=metrics, passthrough=tuple(pass_fields)
+        )
+        return df.mapInArrow(afn, schema=schema)
     fn = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
     if keep_bucket:
         # bucket must survive the UDF for partitioned/idempotent writes

@@ -1,0 +1,75 @@
+"""Columnar (Arrow) batch extraction must match extract_page exactly."""
+
+import itertools
+from pathlib import Path
+
+from pyocr_spark.core.columnar import extract_batch
+from pyocr_spark.core.oracle import ALL_MODES, extract_page
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+CORPUS = [
+    (FIXTURES / "page_plain.html").read_bytes(),
+    (FIXTURES / "hocr_tesseract.html").read_bytes(),
+    (FIXTURES / "hocr_cuneiform.html").read_bytes(),
+    (FIXTURES / "alto_tesseract.xml").read_bytes(),
+    b"",
+    None,
+    b"x" * 10,
+    b"<p>only 42,17 digits: 3.14</p>",
+    b"<span class='ocr_line' title='bbox 0 0 90 10'>"
+    b"<span class='ocrx_word' title='bbox 0 0 10 10'></span>"
+    b"<span class='ocrx_word' title='bbox 12 0 30 10; x_wconf 81'>mid</span>"
+    b"<span class='ocrx_word' title='bbox 32 0 40 10'></span></span>",
+    b"<alto><broken",
+    b"\xe9 broken utf8 <b>51</b>",
+]
+LANGS = ["en", "en", "en", "en", None, "en", "xx", "en", "en", "en", "en"]
+
+_COL_FOR_MODE = {
+    "text": ["extracted_text"],
+    "digits": ["digits_text"],
+    "words": ["word_boxes"],
+    "lines": ["line_boxes", "n_lines"],
+    "digit_lines": ["digit_line_boxes"],
+    "chars": ["char_boxes"],
+    "hocr": ["hocr"],
+    "box_fmt": ["box_fmt"],
+    "unicode_boxes": ["unicode_boxes"],
+    "orientation": ["orientation"],
+}
+
+
+def _compare(modes, psm):
+    cols, metrics = extract_batch(CORPUS, LANGS, modes=modes, psm=psm)
+    ref = [extract_page(h, l, psm=psm, modes=modes) for h, l in zip(CORPUS, LANGS)]
+    assert metrics["docs"] == len(CORPUS)
+    assert metrics["errors"] == sum(1 for r in ref if r["status"] == "error")
+    assert metrics["words"] == sum(r["n_words"] for r in ref)
+    names = ["status", "error", "n_words"] + [
+        c for m in modes for c in _COL_FOR_MODE[m]
+    ]
+    for name in names:
+        got = cols[name].to_pylist()
+        key = name
+        want = [r[key] for r in ref]
+        assert got == want, (name, modes, psm)
+
+
+def test_columnar_matches_oracle_all_modes():
+    for psm in (0, 3, 6, 7):
+        _compare(ALL_MODES, psm)
+
+
+def test_columnar_matches_oracle_mode_subsets():
+    subsets = [
+        frozenset({"text"}),
+        frozenset({"words", "lines"}),
+        frozenset({"digits", "digit_lines"}),
+        frozenset({"chars", "box_fmt"}),
+        frozenset({"hocr", "unicode_boxes"}),
+        frozenset({"orientation"}),
+        frozenset({"text", "words", "hocr"}),
+    ]
+    for modes in subsets:
+        _compare(modes, 3)

@@ -115,3 +115,23 @@ def test_filters_pushed_down_to_scan(spark, pages_sf0001):
     plan = pages.filter("lang = 'en'").select("url", "lang")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan
     assert "ReadSchema" in plan and "html" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_arrow_path_matches_pandas_path(spark, pages_sf0001):
+    """mapInArrow (columnar) and mapInPandas (reference) must agree row-for-row."""
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+
+    def rows(df):
+        return sorted(
+            (r.asDict(recursive=True) for r in df.collect()), key=lambda r: r["url"]
+        )
+
+    a = rows(extract_df(pages, use_arrow=True))
+    p = rows(extract_df(pages, use_arrow=False))
+    assert len(a) == len(p)
+    for ra, rp in zip(a, p):
+        assert set(ra) == set(rp)
+        for col in ra:
+            assert ra[col] == rp[col], (
+                f"url={ra['url']} column {col} differs between arrow and pandas paths"
+            )
