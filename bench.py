@@ -41,10 +41,10 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
-            # smaller splits → ~2 input splits per core on the bench table;
+            # ~100 splits on the 200 MB bench table (≥3 waves at 32 cores);
             # heavy-tail page sizes otherwise leave cores idle behind one
             # straggler split (at crawl scale the file count provides this)
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.maxPartitionBytes": "2m",
             "spark.sql.files.openCostInBytes": "1m",
         },
     )
