@@ -132,6 +132,7 @@ def main() -> None:
     from pyocr_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_dedup,
+        ngram_jaccard_pairs,
         simhash,
     )
     from pyocr_spark.operators.ann import topk_cosine
@@ -140,6 +141,17 @@ def main() -> None:
     timed("dedup_exact", lambda: exact_dedup(docs_df).count(), reps=3)
     timed("minhash_pairs", lambda: minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).count(), reps=3)
     timed("simhash", lambda: noop_write(simhash(docs_df)), reps=3)
+    # exact n-gram Jaccard is the all-pairs-verify heavyweight by design
+    # (LSH above is the scale path): candidate mass grows with the square
+    # of shingle docfreq, and this synthetic corpus has a tiny vocabulary,
+    # so it runs at half the fan-out, labeled separately. Default docfreq
+    # cap — tightening it to 20 drops recall to zero here (median shingle
+    # df is 30-100 in this vocab).
+    docs_ngram = spark.read.parquet(
+        str(ensure_docs_bench(SF_DIR, replicate=max(2, REPLICATE // 4)) / "documents.parquet")
+    )
+    extras["bench_docs_ngram"] = docs_ngram.count()
+    timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_ngram, threshold=0.5).count())
     timed("quality_score", lambda: noop_write(quality_score(docs_df)), reps=3)
 
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
