@@ -320,6 +320,23 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def _q_dup_components(spark, sf_dir):
+    from pyocr_spark.operators.dedup import dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return dup_components(pairs)
+
+
+def _q_host_stats(spark, sf_dir):
+    """Per-host page stats over the crawl — parse_url stays JVM-side."""
+    return (
+        _pages(spark, sf_dir)
+        .select(F.parse_url("url", F.lit("HOST")).alias("host"), F.length("html").alias("b"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("b").alias("total_html_bytes"))
+    )
+
+
 def _q_embedding_dups(spark, sf_dir):
     from pyocr_spark.operators.dedup import embedding_cosine_pairs
 
@@ -371,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_components": _q_dup_components,
+        "host_stats": _q_host_stats,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
     }
@@ -380,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB) — tables region..embeddings are pre-registered views;
 # extraction oracles read the oracle-materialized expected_* parquet.
 # ---------------------------------------------------------------------------
+
+_NGRAM_COMPONENTS_SQL = "WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), sized AS (SELECT doc_id, g, len(g) AS nsh FROM sh), inv AS (SELECT doc_id, nsh, unnest(g) AS gram FROM sized), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, l.nsh AS lnsh, r.nsh AS rnsh, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2,3,4), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+
 
 def oracle_sql() -> dict[str, str]:
     E = EXPECTED_001
@@ -495,6 +517,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1,2,3,4) "
             "SELECT left_id, right_id, round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) AS jaccard "
             "FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5"
+        ),
+        "dup_components": """{}""".format(_NGRAM_COMPONENTS_SQL),
+        "host_stats": (
+            f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            f"count(*) AS n_pages, sum(octet_length(html)) AS total_html_bytes "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY 1"
         ),
         "embedding_dups": (
             "SELECT l.vec_id AS left_id, r.vec_id AS right_id, "

@@ -289,3 +289,59 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (node, comp).
+
+    The standard step AFTER pair generation: near-duplication is
+    transitive in practice (A~B, B~C) but the pair list is not, so dup
+    clusters are the connected components of the pair graph, and every
+    document maps to its component's minimum id (the canonical
+    representative to keep).
+
+    Min-label propagation to fixpoint: each round, every node takes the
+    min of its own and its neighbors' labels — one shuffle join + a
+    partial-agg min per round, rounds bounded by the component diameter
+    (near-dup clusters are small and dense, so a handful). Lineage is
+    truncated per round with localCheckpoint so the plan stays bounded;
+    at 10^9-edge scale swap in the alternating large-star/small-star
+    rewrite, same API. Nodes with no pair are absent (they keep
+    themselves by definition).
+    """
+    a, b = F.col(left_col).alias("a"), F.col(right_col).alias("b")
+    edges = pairs.select(a, b).union(
+        pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_comp") != F.col("node")).join(
+            labels, "node"
+        ).filter(F.col("new_comp") != F.col("comp")).count()
+        labels = new_labels.select("node", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels

@@ -132,3 +132,20 @@ def test_quality_and_langid_shapes(spark, docs):
     assert tc[0] == 9
     empty = spark.createDataFrame([("",), ("   ",)], "text string")
     assert list(empty.select(token_count(F.col("text")).alias("n")).toPandas()["n"]) == [0, 0]
+
+
+def test_dup_components_chain_cycle_isolated(spark):
+    from pyocr_spark.operators.dedup import dup_components
+
+    # chain 1-2-3 (one comp via transitivity), isolated pair 10-11,
+    # cycle 20-21-22 (termination on cycles)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "left_id long, right_id long",
+    )
+    out = sorted((r["node"], r["comp"]) for r in dup_components(pairs).collect())
+    assert out == [
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    ]
