@@ -25,7 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--input", required=True, help="pages table path (or Iceberg name)")
     p.add_argument("--output", required=True, help="output directory / table")
     p.add_argument("--modes", default="all", help="comma list of output modes, or 'all'")
-    p.add_argument("--psm", type=int, default=3, choices=[0, 3, 6, 7])
+    # full tesseract PSM range accepted (pyocr passes the int through);
+    # frozen mapping: 0 = orientation-only, 6 = single block (no
+    # boilerplate strip), 7 = single line, everything else = 3 (auto)
+    p.add_argument("--psm", type=int, default=3, choices=list(range(14)))
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--buckets-per-wave", type=int, default=None)
     p.add_argument("--table-format", default=None, choices=[None, "parquet", "iceberg"])

@@ -114,7 +114,11 @@ def virtual_conf(i: int, j: int) -> int:
 
 
 def segment_html(html: bytes | str, psm: int = 3) -> list[LineBox]:
-    """Segment a plain web page into LineBoxes with virtual geometry.
+    """PSM ints outside {0, 6, 7} run the default auto segmentation
+    (tesseract PSM 3) — the frozen mapping for the full 0-13 range pyocr
+    forwards (``builders.tesseract_layout``).
+
+    Segment a plain web page into LineBoxes with virtual geometry.
 
     This is the event-stream *source* for non-hOCR pages; hOCR-bearing
     pages bypass it (their geometry is real — core.hocr.parse_hocr).
