@@ -61,16 +61,27 @@ def _shingles(text_col: str, k: int):
     )).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def _portable_hash64(col):
+    """64-bit-ish hash computable IDENTICALLY in DuckDB: the first 15 hex
+    chars of md5 as a (nonnegative) bigint. Slower than xxhash64 — used by
+    the ``portable=True`` variants whose whole point is an exact SQL
+    oracle; production keeps xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures from k-word shingles, entirely with built-in
     functions (no Python UDF): hash_i(s) = xxhash64(s, i); min over
     shingles per seed. Returns (id, sig: array<bigint>).
+    ``portable=True`` swaps xxhash64 for the md5-based portable hash of
+    ``s || ':' || seed`` so DuckDB can replay the signature exactly.
 
     ONE aggregate computes all num_hashes minima in a single pass over the
     shingle array (zip_with against a literal seed array): num_hashes
@@ -80,12 +91,18 @@ def minhash_signature(
     hashes the (shingle, seed) pair either way.
     """
     seeds = F.array(*[F.lit(i).cast("int") for i in range(num_hashes)])
+    if portable:
+        def _hash(s, m):
+            return _portable_hash64(F.concat(s, F.lit(":"), m.cast("string")))
+    else:
+        def _hash(s, m):
+            return F.xxhash64(s, m)
     sigs = F.aggregate(
         F.col("_sh"),
         F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
         lambda acc, s: F.zip_with(
             acc,
-            F.transform(seeds, lambda m: F.xxhash64(s, m)),
+            F.transform(seeds, lambda m: _hash(s, m)),
             lambda a, h: F.least(a, h),
         ),
     )
@@ -165,14 +182,24 @@ def minhash_lsh_dedup(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
     """SimHash fingerprint per document, built-ins only.
 
     Each word votes ±1 on each bit of xxhash64(word); the sign vector is
-    the fingerprint. Returns (id, simhash: bigint).
+    the fingerprint. Returns (id, simhash: bigint). ``portable=True``
+    swaps xxhash64 for the md5-based portable hash (exact DuckDB oracle).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    if portable:
+        hashes = F.transform(words, lambda w: _portable_hash64(w))
+    else:
+        hashes = F.transform(words, lambda w: F.xxhash64(w))
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     # ONE aggregate accumulating all bit votes at once: a per-bit aggregate
     # (bits × passes over the array) compiles to a generated method so large
