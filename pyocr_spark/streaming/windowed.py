@@ -1,0 +1,99 @@
+"""Event-time streaming: watermarked windowed aggregation + custom state.
+
+The batch engine covers the north rule; these are the Structured
+Streaming counterparts for continuous ingest over the ``events`` table
+shape (event_id, ts, user_id, event_type, value, props):
+
+- ``windowed_event_counts``: tumbling event-time windows with a watermark
+  — late rows (older than watermark) are DROPPED, and append mode emits
+  a window only once the watermark passes its end, i.e. exactly-once
+  finalized aggregates for the sink.
+- ``running_user_totals``: applyInPandasWithState — the custom stateful
+  operator pattern (per-user running aggregates carried across
+  micro-batches in versioned state, emitted on update).
+
+Both are pure plan builders (readStream DataFrame in, DataFrame out) so
+tests drive them deterministically with file sources + availableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark, location: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(location)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type, late data dropped.
+
+    Append output mode: a window row reaches the sink exactly once, after
+    the watermark (max seen ts - delay) passes the window end — the
+    standard late-data contract. State per open window is bounded by the
+    watermark, so this runs forever at crawl-event volumes.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState.
+
+    The custom-stateful-operator pattern: state (n, total) survives across
+    micro-batches per user; every batch that touches a user emits that
+    user's updated totals (output mode ``update``). No timeout — state
+    lives for the query's lifetime (bound it with event-time timeouts when
+    users churn).
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, tot = state.get
+        else:
+            n, tot = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(tot, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,146 @@
+"""Watermark/late-data and stateful-operator streaming tests.
+
+Deterministic: file source, one file per micro-batch (maxFilesPerTrigger=1,
+oldest-first by mtime), availableNow trigger drains then stops.
+"""
+
+import os
+import time
+from datetime import datetime
+
+import pandas as pd
+
+from pyocr_spark.streaming.windowed import (
+    read_events_stream,
+    running_user_totals,
+    windowed_event_counts,
+)
+
+
+def _write_events(path, rows, mtime):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+    os.utime(path, (mtime, mtime))
+
+
+def _ts(h, m=0):
+    return datetime(2024, 3, 1, h, m)
+
+
+def test_watermark_drops_late_rows_and_finalizes_windows(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    now = time.time()
+    # batch 1: two 10:xx events, one 11:xx event → watermark after batch 1
+    # is 11:05 - 30min = 10:35 (10:00 window NOT yet finalized)
+    _write_events(
+        src / "a.parquet",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (2, _ts(10, 20), 1, "view", 2.0, "{}"),
+            (3, _ts(11, 5), 2, "click", 4.0, "{}"),
+        ],
+        now - 100,
+    )
+    # batch 2: 13:00 event advances the watermark to 12:30 → the [10,11)
+    # and [11,12) windows FINALIZE (watermark passed their end) and are
+    # emitted to the sink
+    _write_events(
+        src / "b.parquet",
+        [(4, _ts(13, 0), 2, "view", 8.0, "{}")],
+        now - 50,
+    )
+    # batch 3: advances the late-row filter's watermark (the filter lags
+    # one batch behind eviction: it uses the watermark active at batch
+    # START, eviction the one computed at batch END)
+    _write_events(
+        src / "c.parquet",
+        [(6, _ts(13, 30), 2, "view", 16.0, "{}")],
+        now - 25,
+    )
+    # batch 4: a 10:30 straggler — its whole window [10:00, 11:00) is now
+    # behind the active watermark, too late to reopen the finalized
+    # window, DROPPED (within the 30-minute delay it would have been
+    # accepted; that is the allowed-lateness contract)
+    _write_events(
+        src / "d.parquet",
+        [(5, _ts(10, 30), 1, "view", 100.0, "{}")],
+        now - 12,
+    )
+
+    out = tmp_path / "out"
+    q = (
+        windowed_event_counts(
+            read_events_stream(spark, str(src), max_files_per_trigger=1)
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # finalized: 10:00 window WITHOUT the late straggler, and 11:00 window
+    assert got[(10, "view")] == (2, 3.0)
+    assert got[(11, "click")] == (1, 4.0)
+    # 13:00 window never finalized (watermark did not pass its end)
+    assert (13, "view") not in got
+
+
+def test_running_user_totals_state_across_batches(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    now = time.time()
+    _write_events(
+        src / "a.parquet",
+        [
+            (1, _ts(10), 1, "view", 1.0, "{}"),
+            (2, _ts(10), 2, "view", 10.0, "{}"),
+        ],
+        now - 100,
+    )
+    _write_events(
+        src / "b.parquet",
+        [
+            (3, _ts(11), 1, "click", 2.5, "{}"),
+            (4, _ts(11), 1, "view", None, "{}"),  # null value counts as 0
+        ],
+        now - 50,
+    )
+
+    sink: list = []
+
+    def collect_batch(df, batch_id):
+        sink.extend((batch_id, r["user_id"], r["n_events"], r["total_value"])
+                    for r in df.collect())
+
+    q = (
+        running_user_totals(
+            read_events_stream(spark, str(src), max_files_per_trigger=1)
+        )
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted version per user == whole-input totals (state carried
+    # across micro-batches, not recomputed per batch)
+    last = {}
+    for batch_id, uid, n, tot in sorted(sink):
+        last[uid] = (n, tot)
+    assert last[1] == (3, 3.5)
+    assert last[2] == (1, 10.0)
+    # user 1 was updated in BOTH batches (proof the state version advanced)
+    assert len([1 for b, u, *_ in sink if u == 1]) == 2
