@@ -335,6 +335,19 @@ def _q_simhash_portable(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), portable=True)
 
 
+def _q_extract_pdf(spark, sf_dir):
+    """Searchable-PDF artifact per url (image_to_pdf analog) — rows-only
+    check (DuckDB cannot render PDFs; bytes are golden-fixtured in
+    tests/test_pdf.py)."""
+    from pyocr_spark.functions.extract import pdf_udf
+
+    return (
+        _extracted(spark, sf_dir, frozenset({"text"}))
+        .withColumn("pdf", pdf_udf()("extracted_text"))
+        .select("url", F.length("pdf").alias("pdf_bytes"))
+    )
+
+
 def _q_dup_components(spark, sf_dir):
     from pyocr_spark.operators.dedup import dup_components, ngram_jaccard_pairs
 
@@ -403,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "extract_pdf": _q_extract_pdf,
         "dup_components": _q_dup_components,
         "minhash_sig_portable": _q_minhash_sig_portable,
         "simhash_portable": _q_simhash_portable,

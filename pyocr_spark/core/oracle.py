@@ -52,6 +52,15 @@ def get_version() -> tuple[int, int, int]:
     return ENGINE_VERSION
 
 
+def get_available_builders() -> list[str]:
+    """Names of the output-shape builders — ``pyocr.tesseract.
+    get_available_builders`` parity (the callers' discovery surface)."""
+    return [
+        "TextBuilder", "WordBoxBuilder", "LineBoxBuilder",
+        "DigitBuilder", "DigitLineBoxBuilder", "CharBoxBuilder",
+    ]
+
+
 def get_available_languages() -> list[str]:
     return sorted(SUPPORTED_LANGS)
 

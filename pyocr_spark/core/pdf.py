@@ -1,0 +1,88 @@
+"""Minimal searchable-PDF serializer — the analog of pyocr's image_to_pdf.
+
+``pyocr/tesseract.py — image_to_pdf (~L400)`` renders the page image with
+an invisible text layer. This engine has no page image (the "image" is
+the html bytes), so the analog emits a deterministic one-page-per-line
+text PDF of the extracted content: same role (a portable, text-searchable
+artifact per document), byte-stable so it can be golden-fixtured.
+
+Pure PDF 1.4, built by hand (public ISO 32000 structure): catalog → page
+tree → one page, one Helvetica font, one content stream of Tj text-show
+operators, a classic xref table. No compression, no external libs.
+"""
+
+from __future__ import annotations
+
+PAGE_W, PAGE_H = 612, 792  # US Letter points
+MARGIN = 72
+LEADING = 14
+FONT_SIZE = 11
+MAX_LINES_PER_PAGE = (PAGE_H - 2 * MARGIN) // LEADING
+
+
+def _esc(text: str) -> str:
+    """Escape a PDF literal string; non-latin-1 chars become '?' (the
+    single-font writer is intentionally minimal — frozen behavior)."""
+    out = []
+    for ch in text:
+        if ch in "\\()":
+            out.append("\\" + ch)
+        else:
+            b = ch.encode("latin-1", "replace")
+            out.append(b.decode("latin-1"))
+    return "".join(out)
+
+
+def text_to_pdf_bytes(text: str) -> bytes:
+    """Extracted text (lines separated by \\n) → deterministic PDF bytes."""
+    lines = text.split("\n") if text else [""]
+    pages = [
+        lines[i : i + MAX_LINES_PER_PAGE]
+        for i in range(0, len(lines), MAX_LINES_PER_PAGE)
+    ] or [[""]]
+
+    objects: list[bytes] = []  # 1-indexed PDF objects, in object-number order
+    n_pages = len(pages)
+    # object layout: 1 catalog, 2 pages-tree, 3 font, then per page i:
+    # (4+2i) page object, (5+2i) content stream
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("latin-1")
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, page_lines in enumerate(pages):
+        content = ["BT", f"/F1 {FONT_SIZE} Tf", f"{LEADING} TL",
+                   f"{MARGIN} {PAGE_H - MARGIN} Td"]
+        for line in page_lines:
+            content.append(f"({_esc(line)}) Tj T*")
+        content.append("ET")
+        stream = "\n".join(content).encode("latin-1")
+        objects.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {page_ids[i] + 1} 0 R >>".encode("latin-1")
+        )
+        objects.append(
+            b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+            + stream + b"\nendstream"
+        )
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, obj in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)

@@ -176,3 +176,18 @@ def make_extract_arrow_fn(
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return extract_batches_arrow
+
+
+def pdf_udf():
+    """Vectorized extracted-text → searchable-PDF bytes formatter
+    (core.pdf — the image_to_pdf analog, SURVEY.md S7). Null text → null."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyocr_spark.core.pdf import text_to_pdf_bytes
+
+    @pandas_udf("binary")
+    def _to_pdf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: None if t is None else text_to_pdf_bytes(t))
+
+    return _to_pdf

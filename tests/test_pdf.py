@@ -1,0 +1,49 @@
+"""Searchable-PDF serializer tests (SURVEY.md S7 analog)."""
+
+from pyocr_spark.core.pdf import MAX_LINES_PER_PAGE, text_to_pdf_bytes
+
+
+def test_pdf_structure_and_determinism():
+    b = text_to_pdf_bytes("Hello wörld\n42,17 (parens) \\ back")
+    assert b.startswith(b"%PDF-1.4\n")
+    assert b.endswith(b"%%EOF\n")
+    assert b == text_to_pdf_bytes("Hello wörld\n42,17 (parens) \\ back")
+    # escapes: parens + backslash, latin-1 umlaut kept, content present
+    assert b"(Hello w\xf6rld) Tj" in b
+    assert rb"(42,17 \(parens\) \\ back) Tj" in b
+    # xref offsets actually point at their objects
+    xref_at = int(b.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert b[xref_at:xref_at + 4] == b"xref"
+
+
+def test_pdf_paginates():
+    n = MAX_LINES_PER_PAGE * 2 + 5
+    b = text_to_pdf_bytes("\n".join(f"line {i}" for i in range(n)))
+    assert b.count(b"/Type /Page ") == 3
+    assert b"/Count 3" in b
+
+
+def test_pdf_empty_text():
+    b = text_to_pdf_bytes("")
+    assert b.startswith(b"%PDF-1.4") and b"/Count 1" in b
+
+
+def test_pdf_udf_over_extraction(spark, pages_sf0001):
+    from pyocr_spark.functions.extract import pdf_udf
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    out = (
+        extract_df(pages, modes=frozenset({"text"}))
+        .withColumn("pdf", pdf_udf()("extracted_text"))
+        .select("url", "extracted_text", "pdf")
+        .limit(20)
+        .collect()
+    )
+    assert out
+    for r in out:
+        if r["extracted_text"] is None:
+            assert r["pdf"] is None
+        else:
+            assert bytes(r["pdf"]).startswith(b"%PDF-1.4")
