@@ -1,0 +1,45 @@
+"""Property-based fuzz: the extraction surface never raises, and the
+columnar (Arrow) twin stays equivalent on adversarial inputs.
+
+The per-row error contract (SURVEY.md E2) promises a 10^9-row stage can't
+be killed by one page; hypothesis hunts for the page that breaks it.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from pyocr_spark.core.columnar import extract_batch
+from pyocr_spark.core.oracle import ALL_MODES, extract_page
+
+# adversarial soup: html-ish fragments, hOCR/ALTO markers, broken utf-8,
+# nulls, control chars
+_FRAGMENTS = st.sampled_from([
+    b"<p>", b"</p>", b"<span class='ocr_line' title='bbox 1 2 3 4'>",
+    b"<span class='ocrx_word' title='bbox", b"' title='x_wconf 200'>",
+    b"</span>", b"<alto>", b"<TextLine>", b"<String CONTENT='x'/>",
+    b"</alto>", b"<script>", b"</script>", b"<!--", b"-->", b"&amp;",
+    b"&#x41;", b"&bogus;", b"\xff\xfe", b"\xe9", b"\x00", b"\r\n",
+    b"title='bbox 1 2 3'", b"x_bboxes 1 2 3 4 -1 -1 -1 -1",
+    b"<span class=\"ocr_cinfo\" title=\"x_bboxes 9 9", b"42,17", b"w\xc3\xb6rd",
+    b"<div class='ocr_page'", b"<body>", b"</body>", b"CONTENT=", b"WC='1.5'",
+])
+_PAGES = st.lists(_FRAGMENTS, min_size=0, max_size=40).map(b" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(page=_PAGES, psm=st.sampled_from([0, 3, 6, 7, 11]))
+def test_extract_page_never_raises(page, psm):
+    out = extract_page(page, "en", psm=psm)
+    assert out["status"] in ("ok", "error")
+    assert isinstance(out["n_words"], int)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pages=st.lists(_PAGES, min_size=1, max_size=6), psm=st.sampled_from([0, 3, 7]))
+def test_columnar_equivalent_on_fuzzed_batch(pages, psm):
+    langs = ["en"] * len(pages)
+    cols, metrics = extract_batch(pages, langs, modes=ALL_MODES, psm=psm)
+    ref = [extract_page(p, "en", psm=psm, modes=ALL_MODES) for p in pages]
+    assert metrics["docs"] == len(pages)
+    for name in ("status", "error", "extracted_text", "word_boxes",
+                 "line_boxes", "hocr", "box_fmt", "n_words"):
+        assert cols[name].to_pylist() == [r[name] for r in ref], name
