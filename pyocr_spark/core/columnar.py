@@ -26,6 +26,7 @@ from pyocr_spark.core.oracle import (
     MAX_HTML_BYTES,
     NO_SCRIPT_ERROR,
     SUPPORTED_LANGS,
+    _extract_text_fast,
     page_events,
 )
 from pyocr_spark.core.orientation import detect_orientation
@@ -217,6 +218,32 @@ def extract_batch(
             _error_row(f"unsupported language: {lang}")
             continue
         try:
+            fast = _extract_text_fast(html, psm, modes)
+            if fast is not None:
+                status.append("ok")
+                error.append(fast["error"])
+                n_words_col.append(fast["n_words"])
+                words_total += fast["n_words"]
+                n_lines_col.append(0)
+                text_col.append(fast["extracted_text"])
+                digits_col.append(fast["digits_text"])
+                hocr_col.append(None)
+                uni_col.append(None)
+                boxfmt_col.append(None)
+                wb.commit_row([])
+                lb.commit_row([])
+                dlb.commit_row([])
+                cb.commit_row([])
+                orient = fast["orientation"]
+                if want_orient and orient is not None:
+                    ang_col.append(orient["angle"])
+                    oconf_col.append(orient["confidence"])
+                    omask.append(False)
+                else:
+                    ang_col.append(0)
+                    oconf_col.append(0.0)
+                    omask.append(True)
+                continue
             # ---- stage per-row results locally; commit atomically below
             # (so a mid-parse exception can't leave half a row behind).
             # Same fused fold as extract_page.

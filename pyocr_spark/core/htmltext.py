@@ -113,6 +113,23 @@ def virtual_conf(i: int, j: int) -> int:
     return 60 + (i * 7 + j * 3) % 40
 
 
+def segment_word_lines(text: str, psm: int = 3) -> list[list[str]]:
+    """Decoded plain page → per-line word lists (no geometry).
+
+    The shared segmentation core: ``segment_html`` wraps it with virtual
+    boxes for the event stream; the text-only fast path consumes it
+    directly (TextBuilder/DigitBuilder never read geometry).
+    """
+    from pyocr_spark.core.fasthtml import feed_html
+
+    parser = feed_html(text, lambda: _SegmentingParser(strip_boilerplate=(psm != 6)))
+    word_lines = parser.result()
+    if psm == 7:  # single text line: concatenate in document order
+        flat = [w for line in word_lines for w in line]
+        word_lines = [flat] if flat else []
+    return word_lines
+
+
 def segment_html(html: bytes | str, psm: int = 3) -> list[LineBox]:
     """PSM ints outside {0, 6, 7} run the default auto segmentation
     (tesseract PSM 3) — the frozen mapping for the full 0-13 range pyocr
@@ -125,14 +142,7 @@ def segment_html(html: bytes | str, psm: int = 3) -> list[LineBox]:
     """
     if psm == 0:
         return []
-    from pyocr_spark.core.fasthtml import feed_html
-
-    text = decode_replace(html)
-    parser = feed_html(text, lambda: _SegmentingParser(strip_boilerplate=(psm != 6)))
-    word_lines = parser.result()
-    if psm == 7:  # single text line: concatenate in document order
-        flat = [w for line in word_lines for w in line]
-        word_lines = [flat] if flat else []
+    word_lines = segment_word_lines(decode_replace(html), psm)
     lines: list[LineBox] = []
     for j, words in enumerate(word_lines):
         boxes = [Box(w, virtual_box(i, j), virtual_conf(i, j)) for i, w in enumerate(words)]

@@ -93,6 +93,50 @@ def page_events(html: bytes | str, psm: int = 3) -> list[LineBox]:
     return lines
 
 
+#: modes servable without any Box/LineBox construction on plain pages
+_TEXT_FAST_MODES = frozenset({"text", "digits", "orientation"})
+
+
+def _extract_text_fast(html, psm: int, modes: frozenset) -> dict | None:
+    """Geometry-free fast path: when only text/digits/orientation are
+    requested and the page is NOT box-bearing (hOCR/ALTO), fold the word
+    lines directly — TextBuilder/DigitBuilder semantics never read the
+    virtual boxes, so building them is pure overhead. Returns None when
+    not applicable; output is bit-identical to the general path (gated by
+    test_text_fast_path_matches_general + the driver's expected tables,
+    which datagen materializes through the general path).
+    """
+    if modes - _TEXT_FAST_MODES:
+        return None
+    text_dec = decode_replace(html)
+    if looks_like_alto(text_dec) or looks_like_hocr(text_dec):
+        return None
+    from pyocr_spark.core.htmltext import segment_word_lines
+
+    word_lines = segment_word_lines(text_dec, psm=3 if psm == 0 else psm)
+    out = _empty_result("ok", None)
+    text = None
+    if modes & {"text", "orientation"}:
+        # words come from str.split() → never empty → " ".join is exactly
+        # the TextBuilder separator rule
+        text = "\n".join(" ".join(w) for w in word_lines).strip()
+    if "text" in modes:
+        out["extracted_text"] = text
+    if "digits" in modes:
+        digit_match = DIGIT_TOKEN_RE.match
+        per_line = (
+            " ".join(t for t in w if digit_match(t)) for w in word_lines
+        )
+        out["digits_text"] = "\n".join(t for t in per_line if t != "").strip()
+    if "orientation" in modes:
+        orient = detect_orientation(text_dec, text)
+        out["orientation"] = orient
+        if orient is None:
+            out["error"] = NO_SCRIPT_ERROR
+    out["n_words"] = sum(len(w) for w in word_lines)
+    return out
+
+
 def _box_row(b: Box) -> dict:
     (x1, y1), (x2, y2) = b.position
     return {
@@ -163,6 +207,9 @@ def extract_page(
     if lang is not None and lang not in SUPPORTED_LANGS:
         return _empty_result("error", f"unsupported language: {lang}")
     try:
+        fast = _extract_text_fast(html, psm, modes)
+        if fast is not None:
+            return fast
         lines = page_events(html, psm=3 if psm == 0 else psm)
         out = _empty_result("ok", None)
 

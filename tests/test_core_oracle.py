@@ -169,3 +169,34 @@ def test_fused_fold_matches_builders():
             if k == "orientation" and v is None:
                 continue  # extract_page also sets the error field; covered elsewhere
             assert out[k] == v, (k, html[:60], psm)
+
+
+def test_text_fast_path_matches_general():
+    """The geometry-free text fast path must be bit-identical to the
+    general fused fold for every fast-servable mode subset."""
+    from pyocr_spark.core import oracle as om
+
+    corpus = [
+        (FIXTURES / "page_plain.html").read_bytes(),
+        b"",
+        b"<p>only 42,17 digits: 3.14</p>",
+        b"\xe9 broken utf8 <b>51</b>",
+        b"<body><nav>junk</nav><p>Real content 42</p><br>next</body>",
+    ]
+    subsets = [
+        frozenset({"text"}),
+        frozenset({"digits"}),
+        frozenset({"orientation"}),
+        frozenset({"text", "digits", "orientation"}),
+    ]
+    import itertools
+
+    for html, modes, psm in itertools.product(corpus, subsets, (0, 3, 6, 7)):
+        fast = om.extract_page(html, "en", psm=psm, modes=modes)
+        assert om._extract_text_fast(html, psm, modes) is not None
+        # force the general path by asking for one extra mode, then
+        # compare the overlapping fields
+        general = om.extract_page(html, "en", psm=psm, modes=modes | {"words"})
+        for key in ("status", "error", "extracted_text", "digits_text",
+                    "orientation", "n_words"):
+            assert fast[key] == general[key], (key, html[:40], sorted(modes), psm)
