@@ -302,6 +302,20 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return topk_cosine_lsh(emb, qvec, k=10)
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN with FULL probe (nprobe=nlist): result is
+    provably identical to the exact scan, so the whole IVF machinery
+    (deterministic k-means, cluster assignment, probe filter, rescore)
+    rides the exact SQL oracle; partial-probe recall is unit-tested."""
+    from pyocr_spark.operators.ann import topk_cosine_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return topk_cosine_ivf(
+        emb, qvec, k=11, nlist=8, nprobe=8
+    ).filter(F.col("vec_id") != 0).limit(10)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     from pyocr_spark.operators.dedup import minhash_lsh_dedup
 
@@ -413,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / near-dup
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -516,6 +531,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, hour(ts)"
         ),
         "ann_topk_cosine": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "ann_topk_ivf": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) / "
             "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "

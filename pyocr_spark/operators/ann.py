@@ -10,6 +10,8 @@ trading recall for a ~2^planes fan-in reduction.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +100,103 @@ def topk_cosine_lsh(
     return (
         with_sig.filter(F.col("lsh").isin(list(candidates)))
         .select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init = the nlist lowest-id vectors (deterministic, no RNG). Each
+    iteration: assignment in a vectorized pandas UDF (numpy argmin over
+    the broadcast centroid matrix — nlist×dim floats, tiny), centroid
+    update via posexplode + partial-agg avg per (cluster, dim). Only the
+    nlist×dim centroid matrix ever reaches the driver.
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    cents = np.stack(
+        [
+            np.asarray(r[vec_col], dtype="float64")
+            for r in emb.orderBy(id_col).limit(nlist).collect()
+        ]
+    )
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(max_iter):
+        assigned = _assign_clusters(v, cents)
+        new = (
+            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their old centroid
+        for r in new:
+            nxt[r["cluster"]][r["d"]] = r["m"]
+        if np.allclose(nxt, cents, atol=1e-9):
+            break
+        cents = nxt
+    return [[float(x) for x in c] for c in cents]
+
+
+def _assign_clusters(v: DataFrame, cents) -> DataFrame:
+    """(id, v) → (id, v, cluster): nearest-centroid id via pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(cents, dtype="float64")
+    cnorm2 = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda x: np.asarray(x, dtype="float64")))
+        # argmin ||x-c||² = argmin (||c||² - 2 x·c); ||x||² is constant per row
+        d = cnorm2[None, :] - 2.0 * (m @ cmat.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return v.withColumn("cluster", nearest("v"))
+
+
+def topk_cosine_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: brute-force cosine
+    only inside the ``nprobe`` lists nearest the query.
+
+    At 10^9 vectors the assignment is materialized once (table partitioned
+    by ``cluster`` → probing is partition pruning); here it is computed
+    inline. ``nprobe=nlist`` degenerates to the exact scan — the recall
+    knob is explicit. Pass ``centroids`` to reuse a trained quantizer.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col, id_col=id_col)
+    cmat = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    d = (cmat * cmat).sum(axis=1) - 2.0 * (cmat @ q)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = _assign_clusters(v, cmat)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col("v"), qcol), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )

@@ -149,3 +149,32 @@ def test_dup_components_chain_cycle_isolated(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     ]
+
+
+def test_ivf_full_probe_exact_and_partial_probe_recall(spark):
+    from pyocr_spark.operators.ann import (
+        topk_cosine,
+        topk_cosine_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = [r["vec_id"] for r in topk_cosine(emb, qvec, k=10, exclude_id=0).collect()]
+    cents = train_ivf_centroids(emb, nlist=8, max_iter=3)
+    # nprobe = nlist → provably identical to the exact scan
+    full = [
+        r["vec_id"]
+        for r in topk_cosine_ivf(emb, qvec, k=11, nlist=8, nprobe=8, centroids=cents).collect()
+        if r["vec_id"] != 0
+    ][:10]
+    assert full == exact
+    # partial probe: the recall knob trades probe fan-in for recall
+    part = [
+        r["vec_id"]
+        for r in topk_cosine_ivf(emb, qvec, k=11, nlist=8, nprobe=2, centroids=cents).collect()
+        if r["vec_id"] != 0
+    ][:10]
+    assert len(set(part) & set(exact)) >= 5
+    # deterministic retrain
+    assert cents == train_ivf_centroids(emb, nlist=8, max_iter=3)
