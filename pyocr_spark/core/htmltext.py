@@ -142,7 +142,12 @@ def segment_html(html: bytes | str, psm: int = 3) -> list[LineBox]:
     """
     if psm == 0:
         return []
-    word_lines = segment_word_lines(decode_replace(html), psm)
+    return word_lines_to_lineboxes(segment_word_lines(decode_replace(html), psm))
+
+
+def word_lines_to_lineboxes(word_lines: list[list[str]]) -> list[LineBox]:
+    """Per-line word lists → LineBox events with virtual geometry (shared
+    by the HTML segmenter and the PDF text dialect)."""
     lines: list[LineBox] = []
     for j, words in enumerate(word_lines):
         boxes = [Box(w, virtual_box(i, j), virtual_conf(i, j)) for i, w in enumerate(words)]

@@ -34,6 +34,7 @@ from pyocr_spark.core.builders import (
 from pyocr_spark.core.alto import looks_like_alto, parse_alto
 from pyocr_spark.core.htmltext import decode_replace, segment_html
 from pyocr_spark.core.hocr import looks_like_hocr, parse_hocr
+from pyocr_spark.core.pdftext import extract_pdf_word_lines, looks_like_pdf
 from pyocr_spark.core.orientation import NO_SCRIPT_ERROR, detect_orientation
 
 #: languages the engine ships "traineddata" for (SURVEY.md E12 — the
@@ -73,6 +74,14 @@ def page_events(html: bytes | str, psm: int = 3) -> list[LineBox]:
     tesseract dialect first then cuneiform fallback); plain pages go
     through boilerplate-strip segmentation with virtual geometry.
     """
+    if looks_like_pdf(html):
+        # PDF dialect (north rule "PDF/layout parse"): text layer with
+        # virtual geometry; sniffed on raw bytes before any decode
+        if psm == 0:
+            return []
+        from pyocr_spark.core.htmltext import word_lines_to_lineboxes
+
+        return word_lines_to_lineboxes(_psm7_flatten(extract_pdf_word_lines(html), psm))
     text = decode_replace(html)
     if looks_like_alto(text):
         _boxes, lines = parse_alto(text)
@@ -108,12 +117,17 @@ def _extract_text_fast(html, psm: int, modes: frozenset) -> dict | None:
     """
     if modes - _TEXT_FAST_MODES:
         return None
-    text_dec = decode_replace(html)
-    if looks_like_alto(text_dec) or looks_like_hocr(text_dec):
-        return None
-    from pyocr_spark.core.htmltext import segment_word_lines
+    eff_psm = 3 if psm == 0 else psm
+    if looks_like_pdf(html):
+        word_lines = _psm7_flatten(extract_pdf_word_lines(html), eff_psm)
+        text_dec = decode_replace(html)  # orientation OSD-scan parity
+    else:
+        text_dec = decode_replace(html)
+        if looks_like_alto(text_dec) or looks_like_hocr(text_dec):
+            return None
+        from pyocr_spark.core.htmltext import segment_word_lines
 
-    word_lines = segment_word_lines(text_dec, psm=3 if psm == 0 else psm)
+        word_lines = segment_word_lines(text_dec, psm=eff_psm)
     out = _empty_result("ok", None)
     text = None
     if modes & {"text", "orientation"}:
@@ -135,6 +149,13 @@ def _extract_text_fast(html, psm: int, modes: frozenset) -> dict | None:
             out["error"] = NO_SCRIPT_ERROR
     out["n_words"] = sum(len(w) for w in word_lines)
     return out
+
+
+def _psm7_flatten(word_lines: list[list[str]], psm: int) -> list[list[str]]:
+    if psm != 7:
+        return word_lines
+    flat = [w for line in word_lines for w in line]
+    return [flat] if flat else []
 
 
 def _box_row(b: Box) -> dict:

@@ -1,0 +1,112 @@
+"""PDF text extraction — the third input dialect (north rule: "HTML
+boilerplate strip, PDF/layout parse, DOM heuristics").
+
+Pages whose ``html`` bytes are a PDF (``%PDF-`` magic) get their text
+layer extracted instead of HTML segmentation. Bounded, frozen subset of
+ISO 32000 sufficient for text-bearing PDFs:
+
+- content streams: raw or /FlateDecode (zlib);
+- text shown with ``Tj`` / ``'`` / ``"`` (literal strings, ``\\``-escapes
+  incl. octal) and ``TJ`` (array form: strings concatenated, kerning
+  numbers ignored) inside BT…ET blocks;
+- hex strings ``<..>`` decoded as latin-1 bytes;
+- line structure: every Tj/'/"/TJ show is one line (matching the frozen
+  writer, ``core.pdf``, which emits one Tj per line — round-tripped in
+  tests);
+- anything unparseable is simply skipped (per-row error tolerance comes
+  from the caller).
+
+Encodings: strings decode as latin-1 (the writer's encoding). Full CMap /
+font-encoding handling is out of scope — documented bound, not a silent
+gap.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_SHOW_RE = re.compile(
+    rb"(\((?:\\.|[^\\()])*\))\s*(Tj|')"  # literal string + show op
+    rb"|(<[0-9A-Fa-f\s]*>)\s*(Tj|')"  # hex string + show op
+    rb"|\[((?:\\.|[^\]])*)\]\s*TJ"  # array form
+)
+_ARRAY_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
+_ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
+
+_ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
+
+
+def looks_like_pdf(data) -> bool:
+    return isinstance(data, (bytes, bytearray)) and bytes(data[:5]) == b"%PDF-"
+
+
+def _unescape_literal(raw: bytes) -> bytes:
+    """PDF literal string body (without outer parens) → bytes."""
+
+    def sub(m: re.Match) -> bytes:
+        g = m.group(1)
+        if g[:1].isdigit() and all(c in b"01234567" for c in g):
+            return bytes([int(g, 8) & 0xFF])
+        return _ESC_MAP.get(g, g)
+
+    return _ESC_RE.sub(sub, raw)
+
+
+def _decode_string_token(tok: bytes) -> str:
+    if tok.startswith(b"("):
+        return _unescape_literal(tok[1:-1]).decode("latin-1")
+    hexbody = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexbody) % 2:
+        hexbody += b"0"  # ISO 32000: odd-length hex string pads with 0
+    try:
+        return bytes.fromhex(hexbody.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
+def _content_streams(data: bytes):
+    """Yield decoded content-stream bytes (raw, or inflated on Flate)."""
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(data, pos)
+        if not m:
+            return
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            return
+        body = data[start:end].rstrip(b"\r\n")
+        pos = end + 9
+        # the object dict immediately precedes "stream"
+        dict_start = data.rfind(b"<<", 0, m.start())
+        obj_dict = data[dict_start : m.start()] if dict_start >= 0 else b""
+        if b"/FlateDecode" in obj_dict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        yield body
+
+
+def extract_pdf_word_lines(data: bytes) -> list[list[str]]:
+    """PDF bytes → per-line word lists (one line per text-show operator)."""
+    lines: list[list[str]] = []
+    for stream in _content_streams(bytes(data)):
+        for block in _BT_ET_RE.finditer(stream):
+            for m in _SHOW_RE.finditer(block.group(1)):
+                if m.group(1) is not None:
+                    text = _decode_string_token(m.group(1))
+                elif m.group(3) is not None:
+                    text = _decode_string_token(m.group(3))
+                else:
+                    text = "".join(
+                        _decode_string_token(t)
+                        for t in _ARRAY_STR_RE.findall(m.group(5))
+                    )
+                words = text.split()
+                if words:
+                    lines.append(words)
+    return lines

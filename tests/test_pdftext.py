@@ -1,0 +1,52 @@
+"""PDF input dialect tests — reader subset + writer round-trip."""
+
+import zlib
+
+from pyocr_spark.core.oracle import ALL_MODES, extract_page
+from pyocr_spark.core.pdf import text_to_pdf_bytes
+from pyocr_spark.core.pdftext import extract_pdf_word_lines, looks_like_pdf
+
+
+def test_roundtrip_writer_to_reader():
+    text = "Hello wörld here\n42,17 (parens) \\ back\nthird line"
+    pdf = text_to_pdf_bytes(text)
+    assert looks_like_pdf(pdf)
+    lines = extract_pdf_word_lines(pdf)
+    assert [" ".join(w) for w in lines] == text.split("\n")
+
+
+def test_roundtrip_through_full_extraction():
+    text = "alpha beta\n42 gamma"
+    out = extract_page(text_to_pdf_bytes(text), "en", modes=ALL_MODES)
+    assert out["status"] == "ok"
+    assert out["extracted_text"] == text
+    assert out["digits_text"] == "42"
+    assert out["n_words"] == 4
+    assert out["word_boxes"][0]["content"] == "alpha"
+    # psm 7: one line
+    assert extract_page(text_to_pdf_bytes(text), "en", psm=7)["extracted_text"] == (
+        "alpha beta 42 gamma"
+    )
+    # psm 0 maps to auto for the text fold (orientation-only is an
+    # events-layer concern) — same rule as every other dialect
+    assert extract_page(text_to_pdf_bytes(text), "en", psm=0)["extracted_text"] == text
+
+
+def test_flate_stream_and_tj_array_and_hex():
+    content = b"BT [(ab) -12 (cd)] TJ <4869> Tj (x\\051y) Tj ET"
+    flate = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(flate)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    lines = extract_pdf_word_lines(pdf)
+    # TJ concatenates array strings; hex 4869 = Hi; \051 = ')'
+    assert lines == [["abcd"], ["Hi"], ["x)y"]]
+
+
+def test_damaged_pdf_is_tolerated():
+    assert extract_pdf_word_lines(b"%PDF-1.4\nstream\n\xff\xfe") == []
+    assert extract_pdf_word_lines(b"%PDF-1.4\n<< /Filter /FlateDecode >>\nstream\nnot-zlib\nendstream") == []
+    out = extract_page(b"%PDF-1.4\ngarbage", "en")
+    assert out["status"] == "ok"
+    assert out["extracted_text"] == ""
