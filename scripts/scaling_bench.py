@@ -241,9 +241,8 @@ memory controllers) is modeled by the framework-relative number below.
 
 Gate (≥ 0.8 N→4N on the north-star text workload): {"**PASS**" if report['pass'] else "**FAIL**"} —
 Spark scales at {report['relative_efficiency_2_to_8']['text']:.0%} of what the
-hardware itself allows going 2→8 workers, and its ABSOLUTE 2→8
-efficiencies ({report['efficiency_2_to_8']['text']} text,
-{report['efficiency_2_to_8']['full']} full) clear the gate as well. On a cluster where each
+hardware itself allows going 2→8 workers. Absolute 2→8 efficiencies this
+run: {report['efficiency_2_to_8']['text']} text, {report['efficiency_2_to_8']['full']} full{" — both clear the gate without the hardware normalization" if min(report['efficiency_2_to_8'].values()) >= 0.8 else " (the local[2] leg runs longest and is the most throttle-exposed configuration — see the raw walls; the hardware baseline scaled only " + str(report['hw_efficiency_2_to_8']) + " on the same rounds)"}. On a cluster where each
 executor brings its own memory bandwidth, the hardware column is ~1.0 by
 construction and the Spark column tracks the relative number: the
 framework adds no sub-linearity of its own — the extraction stage is a
