@@ -362,6 +362,18 @@ def _q_extract_pdf(spark, sf_dir):
     )
 
 
+def _q_doc_normalize(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
+def _q_doc_pii_mask(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import pii_mask
+
+    return pii_mask(_docs(spark, sf_dir))
+
+
 def _q_dup_components(spark, sf_dir):
     from pyocr_spark.operators.dedup import dup_components, ngram_jaccard_pairs
 
@@ -417,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "doc_normalize": _q_doc_normalize,
+        "doc_pii_mask": _q_doc_pii_mask,
         "lang_doc_stats": _q_lang_doc_stats,
         "top_docs_per_source": _q_top_docs_per_source,
         # relational rim
@@ -495,6 +509,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64) "
             "|| '|' || CAST(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS VARCHAR)) "
             "AS fingerprint FROM documents"
+        ),
+        "doc_normalize": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) "
+            "AS text_norm FROM documents"
+        ),
+        "doc_pii_mask": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g') AS text_masked, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9][0-9 ()+.-]{7,}[0-9]')) AS n_numbers FROM documents"
         ),
         "dedup_exact_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "

@@ -116,3 +116,36 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     norm = F.lower(F.regexp_replace(t, r"\s+", " "))
     fp = F.md5(F.concat(F.substring(norm, 1, 64), F.lit("|"), F.length(norm).cast("string")))
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization for training corpora: lowercase,
+    collapse whitespace runs to single spaces, trim. Deterministic,
+    built-ins only (whole-stage codegen), exact SQL oracle. (Unicode NFC
+    is intentionally omitted — Spark SQL has no built-in normalizer and a
+    Python UDF here would put the hot path off the JVM; documented bound.)
+    """
+    t = F.col("text")
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return docs.select("doc_id", norm.alias("text_norm"))
+
+
+def pii_mask(docs: DataFrame) -> DataFrame:
+    """Mask common PII shapes before training: emails and long digit runs
+    (phone/account-like). Frozen patterns kept to the regex subset that
+    Java regex (Spark) and RE2 (DuckDB) evaluate identically, so the op
+    has an exact oracle. Returns (doc_id, text_masked, n_emails, n_numbers).
+    """
+    t = F.col("text")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = r"[0-9][0-9 ()+.-]{7,}[0-9]"
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0)))
+    masked = F.regexp_replace(t, email, "<EMAIL>")
+    n_numbers = F.size(F.regexp_extract_all(masked, F.lit(longnum), F.lit(0)))
+    masked = F.regexp_replace(masked, longnum, "<NUMBER>")
+    return docs.select(
+        "doc_id",
+        masked.alias("text_masked"),
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+    )

@@ -178,3 +178,25 @@ def test_ivf_full_probe_exact_and_partial_probe_recall(spark):
     assert len(set(part) & set(exact)) >= 5
     # deterministic retrain
     assert cents == train_ivf_centroids(emb, nlist=8, max_iter=3)
+
+
+def test_pii_mask_and_normalize(spark):
+    from pyocr_spark.functions.text_stats import normalize_text, pii_mask
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Mail Bob.Smith+x@ex-ample.co.uk  or call +1 (415) 555-0199 now"),
+            (2, "no pii HERE  just   Spaces"),
+            (3, "card 1234 5678 9012 3456 end"),
+        ],
+        "doc_id long, text string",
+    )
+    m = {r["doc_id"]: r for r in pii_mask(docs).collect()}
+    assert m[1]["text_masked"] == "Mail <EMAIL> or call +<NUMBER> now" or \
+           m[1]["text_masked"].count("<EMAIL>") == 1 and m[1]["text_masked"].count("<NUMBER>") == 1
+    assert (m[1]["n_emails"], m[1]["n_numbers"]) == (1, 1)
+    assert (m[2]["n_emails"], m[2]["n_numbers"]) == (0, 0)
+    assert m[3]["text_masked"] == "card <NUMBER> end"
+
+    n = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
+    assert n[2] == "no pii here just spaces"
