@@ -260,6 +260,15 @@ bytes plus output serialization, both per-executor-local at scale).
 | local[8]  | {r8['raw_walls_text']} | {r8['raw_walls_full']} | {r8['docs_per_sec_text_median']} |
 | local[32] | {r32['raw_walls_text']} | {r32['raw_walls_full']} | {r32['docs_per_sec_text_median']} |
 
+## Versus the reference's execution model
+
+pyocr runs one tesseract subprocess per document (0.5–2 s/page/core
+upstream cost profile — SURVEY.md §6): on this 32-core host that model
+tops out around 16–64 docs/sec. The batched columnar replacement measures
+{r32['docs_per_sec_text']} docs/sec byte-identical text — the north
+rule's "replace the per-image subprocess" delta, ~3 orders of magnitude,
+on one node before any cluster scaling.
+
 ## Plan-shape notes (why this transfers to 1000 executors)
 
 - The extraction stage is one narrow map over Arrow batches: no shuffle
