@@ -460,7 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # extraction oracles read the oracle-materialized expected_* parquet.
 # ---------------------------------------------------------------------------
 
-_NGRAM_COMPONENTS_SQL = "WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), sized AS (SELECT doc_id, g, len(g) AS nsh FROM sh), inv AS (SELECT doc_id, nsh, unnest(g) AS gram FROM sized), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, l.nsh AS lnsh, r.nsh AS rnsh, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2,3,4), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+_NGRAM_COMPONENTS_SQL = "WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -587,14 +587,16 @@ def oracle_sql() -> dict[str, str]:
             "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
             "list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) "
             "ELSE [array_to_string(w, ' ')] END AS g FROM words), "
-            "sized AS (SELECT doc_id, g, len(g) AS nsh FROM sh), "
-            "inv AS (SELECT doc_id, nsh, unnest(g) AS gram FROM sized), "
+            "inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), "
             "rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), "
             "inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), "
-            "inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, "
-            "l.nsh AS lnsh, r.nsh AS rnsh, count(*) AS i "
+            "sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), "
+            "inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i "
             "FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id "
-            "GROUP BY 1,2,3,4) "
+            "GROUP BY 1,2), "
+            "inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i "
+            "FROM inter0 JOIN sizes ls ON ls.doc_id = left_id "
+            "JOIN sizes rs ON rs.doc_id = right_id) "
             "SELECT left_id, right_id, round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) AS jaccard "
             "FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5"
         ),

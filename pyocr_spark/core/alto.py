@@ -58,7 +58,7 @@ def _coord(el: ET.Element, attr: str) -> int:
         return 0
     try:
         return int(float(v))
-    except ValueError:
+    except (ValueError, OverflowError):  # 'inf'/'1e999' reads as 0 too
         return 0
 
 
@@ -68,7 +68,7 @@ def _confidence(el: ET.Element) -> int:
         return 0
     try:
         conf = int(round(float(v) * 100))
-    except ValueError:
+    except (ValueError, OverflowError):
         return 0
     return min(100, max(0, conf))
 

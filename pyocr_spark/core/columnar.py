@@ -303,45 +303,50 @@ def extract_batch(
                                 )
                             cx1 = cx2
 
+            # everything below stays in LOCALS until every fallible
+            # computation is done — the append/commit block at the end is
+            # pure list appends, so the except-path _error_row can never
+            # double-append a partially-committed row
             text = "\n".join(text_parts).strip() if need_text else None
             err: str | None = None
             if want_orient:
                 orient = detect_orientation(decode_replace(html), text)
                 if orient is None:
-                    ang_col.append(0)
-                    oconf_col.append(0.0)
-                    omask.append(True)
+                    row_orient = (0, 0.0, True)
                     err = NO_SCRIPT_ERROR
                 else:
-                    ang_col.append(orient["angle"])
-                    oconf_col.append(orient["confidence"])
-                    omask.append(False)
+                    row_orient = (orient["angle"], orient["confidence"], False)
             else:
-                ang_col.append(0)
-                oconf_col.append(0.0)
-                omask.append(True)
+                row_orient = (0, 0.0, True)
+            digits_str = (
+                "\n".join(t for t in digit_parts if t != "").strip()
+                if need_digits
+                else None
+            )
+            hocr_str = (
+                WordBoxBuilder.write_file_str(word_boxes) if "hocr" in modes else None
+            )
+            uni_str = (
+                "\n".join(b.get_unicode_string() for b in word_boxes)
+                if "unicode_boxes" in modes
+                else None
+            )
+            boxfmt_str = "".join(boxfmt_parts) if want_boxfmt else None
 
-            # ---- atomic commit
+            # ---- commit (append-only, no computation)
             status.append("ok")
             error.append(err)
             n_words_col.append(n_words)
             words_total += n_words
             n_lines_col.append(len(line_rows))
             text_col.append(text if "text" in modes else None)
-            digits_col.append(
-                "\n".join(t for t in digit_parts if t != "").strip()
-                if need_digits
-                else None
-            )
-            hocr_col.append(
-                WordBoxBuilder.write_file_str(word_boxes) if "hocr" in modes else None
-            )
-            uni_col.append(
-                "\n".join(b.get_unicode_string() for b in word_boxes)
-                if "unicode_boxes" in modes
-                else None
-            )
-            boxfmt_col.append("".join(boxfmt_parts) if want_boxfmt else None)
+            digits_col.append(digits_str)
+            hocr_col.append(hocr_str)
+            uni_col.append(uni_str)
+            boxfmt_col.append(boxfmt_str)
+            ang_col.append(row_orient[0])
+            oconf_col.append(row_orient[1])
+            omask.append(row_orient[2])
             wb.commit_row(word_boxes if "words" in modes else [])
             lb.commit_row(line_rows if need_lines else [])
             dlb.commit_row(dline_rows if need_dlines else [])

@@ -29,8 +29,8 @@ import zlib
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _SHOW_RE = re.compile(
-    rb"(\((?:\\.|[^\\()])*\))\s*(Tj|')"  # literal string + show op
-    rb"|(<[0-9A-Fa-f\s]*>)\s*(Tj|')"  # hex string + show op
+    rb"(\((?:\\.|[^\\()])*\))\s*(Tj|'|\")"  # literal string + show op
+    rb"|(<[0-9A-Fa-f\s]*>)\s*(Tj|'|\")"  # hex string + show op
     rb"|\[((?:\\.|[^\]])*)\]\s*TJ"  # array form
 )
 _ARRAY_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")

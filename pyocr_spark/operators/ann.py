@@ -50,12 +50,34 @@ def topk_cosine(
 
 
 def hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-dot LSH signature against fixed hyperplanes → int bucket."""
-    sig = F.lit(0)
-    for p, plane in enumerate(planes):
-        pc = F.array(*[F.lit(float(x)) for x in plane])
-        sig = sig + F.when(dot(vec, pc) > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return sig
+    """Sign-of-dot LSH signature against fixed hyperplanes → int bucket.
+
+    Vectorized pandas UDF (one numpy matmul per Arrow batch): the
+    expression form embedded O(n_planes × dim) literal nodes plus
+    n_planes full-array aggregate rescans per row — at 768-dim × 16
+    planes that is the same Janino/codegen blowup the minhash/simhash
+    operators were redesigned around.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64")
+    weights = (2 ** np.arange(len(planes))).astype("int64")
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
+        return pd.Series(((m @ P.T) > 0) @ weights)
+
+    return sig(vec)
+
+
+def query_sig(query_vec: list[float], planes: list[list[float]]) -> int:
+    """The query vector's bucket — same numpy arithmetic as the column
+    signature, so near-zero dots round identically on both sides."""
+    P = np.asarray(planes, dtype="float64")
+    weights = (2 ** np.arange(len(planes))).astype("int64")
+    q = np.asarray(query_vec, dtype="float64")
+    return int(((P @ q) > 0) @ weights)
 
 
 def make_planes(dim: int, n_planes: int) -> list[list[float]]:
@@ -91,10 +113,7 @@ def topk_cosine_lsh(
     planes = make_planes(len(query_vec), n_planes)
     v = F.col(vec_col).cast("array<double>")
     with_sig = emb.select(F.col(id_col), v.alias("v"), hyperplane_sig(v, planes).alias("lsh"))
-    qsig = 0
-    for p, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
-            qsig += 2**p
+    qsig = query_sig(query_vec, planes)
     candidates = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

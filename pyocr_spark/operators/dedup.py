@@ -136,6 +136,9 @@ def minhash_lsh_dedup(
     # otherwise recompute the whole shingle→minhash pipeline. At cluster
     # scale the same move is writing the signature table once (Iceberg)
     # and joining it with itself; locally MEMORY_AND_DISK persist.
+    # (Cache lifecycle: the persisted block is released by Spark's
+    # ContextCleaner once the caller drops the returned DataFrame —
+    # internal persists are GC-bounded, not leaked for the session.)
     banded = sig.persist()
     banded = banded.select(
         F.col(id_col),
@@ -245,15 +248,20 @@ def ngram_jaccard_pairs(
     Inverted-index join: explode distinct shingles, join docs sharing one,
     compute |A∩B| via the shared-shingle count and |A∪B| = |A|+|B|-|A∩B|.
     ``max_docfreq`` is the shuffle-volume knob: shingles shared by more
-    documents are stop-shingles and generate O(df²) candidate rows while
-    contributing only to pairs a rarer shingle would also find — measured
-    here, cap 100 → 111M candidate rows vs cap 20 → 276k on a 40k-doc
-    near-dup corpus. Size it to the corpus vocabulary.
+    documents are stop-shingles and generate O(df²) candidate rows —
+    measured here, cap 100 → 111M candidate rows vs cap 20 → 276k on a
+    40k-doc near-dup corpus. Size it to the corpus vocabulary.
+
+    The Jaccard is computed WITHIN the ≤max_docfreq shingle universe
+    (both the intersection and the set sizes), so the estimate is
+    self-consistent rather than mixing a filtered intersection with
+    unfiltered sizes — stop-shingles carry no discriminative signal
+    either way, they just inflate every set equally.
     """
     sh = df.select(
         F.col(id_col), F.array_distinct(_shingles(text_col, n)).alias("sh")
-    ).withColumn("nsh", F.size("sh"))
-    inv = sh.select(id_col, "nsh", F.explode("sh").alias("g"))
+    )
+    inv = sh.select(id_col, F.explode("sh").alias("g"))
     rare = (
         inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= max_docfreq)
     )
@@ -262,16 +270,17 @@ def ngram_jaccard_pairs(
     # aggregation (measured 97s vs 8s at 40k docs). At cluster scale this
     # is writing the inverted-index table once and self-joining it.
     inv = inv.join(rare.select("g"), "g").persist()
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(r, on=[F.col("l.g") == F.col("r.g"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
         .groupBy(
             F.col(f"l.{id_col}").alias("left_id"),
             F.col(f"r.{id_col}").alias("right_id"),
-            F.col("l.nsh").alias("lnsh"),
-            F.col("r.nsh").alias("rnsh"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col(id_col).alias("left_id"), F.col("nsh").alias("lnsh")), "left_id")
+        .join(sizes.select(F.col(id_col).alias("right_id"), F.col("nsh").alias("rnsh")), "right_id")
     )
     jac = F.col("inter") / (F.col("lnsh") + F.col("rnsh") - F.col("inter"))
     return (
@@ -364,11 +373,37 @@ def dup_components(
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("new_comp") != F.col("node")).join(
-            labels, "node"
-        ).filter(F.col("new_comp") != F.col("comp")).count()
-        labels = new_labels.select("node", F.col("new_comp").alias("comp"))
+        # pointer jumping: replace each label with ITS label's label, so
+        # label distance halves per round — chains converge in O(log
+        # diameter) rounds instead of O(diameter)
+        compressed = (
+            new_labels.alias("x")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("cnode"), F.col("new_comp").alias("ccomp")
+                ),
+                F.col("x.new_comp") == F.col("cnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.new_comp"),
+                    F.coalesce(F.col("ccomp"), F.col("x.new_comp")),
+                ).alias("new_comp"),
+            )
+        )
+        compressed = compressed.localCheckpoint(eager=True)
+        changed = (
+            compressed.join(labels, "node")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = compressed.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dup_components did not converge in {max_iterations} rounds — "
+        "component diameter exceeds 2^rounds; raise max_iterations "
+        "(a silent partial result would split dup clusters)"
+    )

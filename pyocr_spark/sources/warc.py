@@ -35,8 +35,11 @@ def gunzip_members(data: bytes) -> bytes:
     out = []
     while data:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break  # damaged member: keep every record decoded so far
         data = d.unused_data
         if not d.eof:  # trailing garbage / truncated member
             break
@@ -84,6 +87,8 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:  # absent/corrupt/negative → resync at next record
             pos = head_end + 4
             continue
         body_start = head_end + 4
@@ -121,21 +126,34 @@ def read_warc(spark, path: str, metrics=None):
 
     from pyocr_spark.sources.pages import PAGES_SCHEMA
 
+    CHUNK = 2048  # records per emitted batch: bounds peak memory to the
+    # decompressed archive + one chunk, not archive + all records + frame
+
+    def _frame(rows):
+        return pd.DataFrame(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": [r["warc_ts"] for r in rows],
+                "html": [r["html"] for r in rows],
+                "text": [None] * len(rows),
+                "lang": [None] * len(rows),
+            }
+        )
+
     def parse_files(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                rows = list(iter_warc_records(bytes(content)))
+                n_rows, chunk = 0, []
+                for rec in iter_warc_records(bytes(content)):
+                    chunk.append(rec)
+                    if len(chunk) >= CHUNK:
+                        n_rows += len(chunk)
+                        yield _frame(chunk)
+                        chunk = []
+                n_rows += len(chunk)
+                yield _frame(chunk)
                 if metrics is not None:
-                    metrics.add(docs=len(rows), bytes_in=len(content))
-                yield pd.DataFrame(
-                    {
-                        "url": [r["url"] for r in rows],
-                        "warc_ts": [r["warc_ts"] for r in rows],
-                        "html": [r["html"] for r in rows],
-                        "text": [None] * len(rows),
-                        "lang": [None] * len(rows),
-                    }
-                )
+                    metrics.add(docs=n_rows, bytes_in=len(content))
 
     return (
         spark.read.format("binaryFile")

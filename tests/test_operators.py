@@ -149,6 +149,13 @@ def test_dup_components_chain_cycle_isolated(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     ]
+    # a 40-link chain: pointer jumping must converge well inside the
+    # default round budget (plain propagation would need 40 rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "left_id long, right_id long"
+    )
+    out2 = dup_components(chain).collect()
+    assert {r["comp"] for r in out2} == {0} and len(out2) == 41
 
 
 def test_ivf_full_probe_exact_and_partial_probe_recall(spark):
