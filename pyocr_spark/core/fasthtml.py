@@ -38,12 +38,12 @@ _TAGNAME = r"[a-zA-Z][-.a-zA-Z0-9:_]*"
 
 _TOKEN_RE = re.compile(
     r"""
-      (?P<comment><!--.*?(?:-->|$))                 # comment
-    | (?P<cdata><!\[CDATA\[.*?(?:\]\]>|$))          # CDATA section (no events, like unknown decl)
-    | (?P<decl><![^>]*(?:>|$))                      # doctype / declaration
-    | (?P<pi><\?[^>]*(?:>|$))                       # processing instruction
-    | </(?P<endtag>%(tag)s)\s*[^>]*(?:>|$)          # end tag
-    | (?P<bogusend></(?![a-zA-Z])[^>]*(?:>|$))      # '</' + non-name: bogus comment (swallowed)
+      (?P<comment><!--.*?(?:-->|\Z))                 # comment
+    | (?P<cdata><!\[CDATA\[.*?(?:\]\]>|\Z))          # CDATA section (no events, like unknown decl)
+    | (?P<decl><![^>]*(?:>|\Z))                      # doctype / declaration
+    | (?P<pi><\?[^>]*(?:>|\Z))                       # processing instruction
+    | </(?P<endtag>%(tag)s)\s*[^>]*(?:>|\Z)          # end tag
+    | (?P<bogusend></(?![a-zA-Z])[^>]*(?:>|\Z))      # '</' + non-name: bogus comment (swallowed)
     | <(?P<starttag>%(tag)s)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>  # start tag
     | (?P<badstart><%(tag)s)                        # start tag that can't complete (open quote / EOF)
     | (?P<lt><)                                     # stray '<'
@@ -75,8 +75,18 @@ _CDATA_CLOSE = {
 
 
 def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
+    attrs, _end = _parse_attrs_span(raw)
+    return attrs
+
+
+def _parse_attrs_span(raw: str) -> tuple[list[tuple[str, str | None]], int]:
+    """Attrs plus the end offset of the last match — the caller decides
+    self-closing from what remains AFTER the attrs, exactly like stdlib
+    (an unquoted value may legitimately end in '/')."""
     attrs: list[tuple[str, str | None]] = []
+    _end = 0
     for m in _ATTR_RE.finditer(raw):
+        _end = m.end()
         name = m.group(1).lower()
         if m.group(2) is not None:
             val = m.group(2)
@@ -89,7 +99,7 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
         if val is not None and ("&" in val):
             val = unescape(val)
         attrs.append((name, val))
-    return attrs
+    return attrs, _end
 
 
 def fast_feed(text: str, handler) -> None:
@@ -120,8 +130,10 @@ def fast_feed(text: str, handler) -> None:
             tag = tag.lower()
             raw_attrs = g("attrs")
             if raw_attrs:
-                selfclosing = raw_attrs.rstrip().endswith("/")
-                attrs = _parse_attrs(raw_attrs[:-1] if selfclosing else raw_attrs)
+                attrs, attrs_end = _parse_attrs_span(raw_attrs)
+                # self-closing iff a lone '/' remains AFTER the parsed
+                # attrs (stdlib: an unquoted value consumes its own '/')
+                selfclosing = raw_attrs[attrs_end:].strip() == "/"
             else:
                 selfclosing = False
                 attrs = []

@@ -241,7 +241,7 @@ class LineHTMLParser(HTMLParser):
 # ---------------------------------------------------------------------------
 
 _SPAN_TOKEN = re.compile(
-    r"</span\s*[^>]*>|<span\b((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
+    r"</span(?![-.a-zA-Z0-9:_])[^>]*>|<span\b((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.IGNORECASE,
 )
 _SCRIPT_REGION = re.compile(
@@ -291,7 +291,8 @@ def fast_word_scan(html_text: str):
         # span tags inside raw-text regions would be data to the stdlib
         # parser but tags to this scanner — bail if any overlap
         for m in _SCRIPT_REGION.finditer(html_text):
-            if "<span" in m.group(0)[1:].lower():
+            region = m.group(0)[1:].lower()
+            if "<span" in region or "</span" in region:
                 return None
     from html import unescape
 

@@ -85,7 +85,11 @@ class _SegmentingParser(HTMLParser):
             self._flush()
 
     def handle_startendtag(self, tag, attrs):
+        # start + end, exactly like stdlib's default: a self-closing
+        # dropped tag (<script/>) must not leave drop_depth incremented
+        # and silently swallow the rest of the page
         self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if self._dropped(tag):

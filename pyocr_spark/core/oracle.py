@@ -220,10 +220,19 @@ def extract_page(
     psm: int = 3,
     modes: frozenset = ALL_MODES,
 ) -> dict:
-    """Extraction for one page — requested builders over one shared parse."""
+    """Extraction for one page — requested builders over one shared parse.
+
+    Frozen PSM note: ``psm=0`` maps to auto (3) for the text fold — in the
+    reference, PSM 0 is a separate orientation-only *invocation*
+    (``detect_orientation``), not a text call; here orientation is one
+    more output mode of the same call, so text-bearing modes at psm=0
+    behave as auto while ``page_events(psm=0)`` (the events surface the
+    per-mode PSM contract lives on) stays empty.
+    """
     if html is None:
         return _empty_result("error", "null html")
-    if isinstance(html, (bytes, bytearray)) and len(html) > MAX_HTML_BYTES:
+    if len(html) > MAX_HTML_BYTES:  # bytes, or chars for str input — the
+        # per-row OOM guard must hold for both advertised input types
         return _empty_result("error", f"html too large: {len(html)} bytes")
     if lang is not None and lang not in SUPPORTED_LANGS:
         return _empty_result("error", f"unsupported language: {lang}")

@@ -37,27 +37,51 @@ from pyocr_spark.operators.repartition import DEFAULT_BUCKETS
 from pyocr_spark.plans.metrics import StageMetrics
 from pyocr_spark.plans.pipeline import extract_df
 
-LINEAGE_SCHEMA = "bucket int, status string, rows long, run_id string, finished_at double"
+LINEAGE_SCHEMA = (
+    "bucket int, status string, rows long, run_id string, finished_at double, "
+    "num_buckets int"
+)
 
 
 def _lineage_path(output_location: str) -> str:
     return os.path.join(output_location, "_lineage")
 
 
-def completed_buckets(spark: SparkSession, output_location: str) -> list[int]:
+def completed_buckets(
+    spark: SparkSession, output_location: str, num_buckets: int | None = None
+) -> list[int]:
+    """Bucket ids recorded 'done' in the lineage table.
+
+    Only a MISSING lineage table reads as "first run" — a real storage
+    error (corrupt footer, transient FS failure) propagates, because
+    silently returning [] would re-extract a mostly-complete job.
+    ``num_buckets`` (when given) is validated against the recorded
+    scheme: bucket ids are meaningless across different bucket counts.
+    """
+    from pyspark.errors import AnalysisException
+
     path = _lineage_path(output_location)
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
             .parquet(path)
             .filter("status = 'done'")
-            .select("bucket")
+            .select("bucket", "num_buckets")
             .distinct()
             .collect()
         )
-    except Exception:  # first run: no lineage table yet
+    except AnalysisException:  # first run: no lineage table yet
         return []
-    return sorted(r.bucket for r in rows)
+    if num_buckets is not None:
+        recorded = {r.num_buckets for r in rows if r.num_buckets is not None}
+        if recorded and recorded != {num_buckets}:
+            raise ValueError(
+                f"lineage at {path} was written with num_buckets={sorted(recorded)} "
+                f"but this run uses num_buckets={num_buckets}; bucket ids do not "
+                "transfer between schemes — resume with the original bucket count "
+                "or start fresh (--fresh)"
+            )
+    return sorted({r.bucket for r in rows})
 
 
 def run_resumable_extract(
@@ -82,14 +106,15 @@ def run_resumable_extract(
 
     run_id = uuid.uuid4().hex[:12]
     metrics = StageMetrics(spark, f"extract-resume-{run_id}")
-    done = completed_buckets(spark, output_location)
+    done = completed_buckets(spark, output_location, num_buckets=num_buckets)
     # bucket is computed BEFORE the UDF so a wave's bucket filter prunes the
     # extraction itself (filtering the UDF's output would re-extract every
     # bucket every wave)
     base = with_bucket(dedup_latest_page(with_page_filters(pages)), num_buckets).select(
         "url", "html", "lang", "bucket"
     )
-    todo = [b for b in range(num_buckets) if b not in set(done)]
+    done_set = set(done)
+    todo = [b for b in range(num_buckets) if b not in done_set]
     waves: list[list[int]] = (
         [todo]
         if not buckets_per_wave
@@ -114,7 +139,7 @@ def run_resumable_extract(
             .parquet(output_location)
         )
         lineage = spark.createDataFrame(
-            [(b, "done", -1, run_id, time.time()) for b in wave],
+            [(b, "done", -1, run_id, time.time(), num_buckets) for b in wave],
             schema=LINEAGE_SCHEMA,
         )
         lineage.write.mode("append").parquet(_lineage_path(output_location))

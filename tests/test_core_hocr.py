@@ -126,3 +126,21 @@ def test_makebox_roundtrip_golden():
 
 def test_makebox_malformed_lines_skipped():
     assert parse_makebox("H 1 2 3\nbad\nx 1 2 3 4 0\n") == parse_makebox("x 1 2 3 4 0\n")
+
+
+def test_fast_scan_close_tag_boundary_and_script_close_guard():
+    from pyocr_spark.core.fasthtml import feed_html
+    from pyocr_spark.core.hocr import WordHTMLParser, fast_word_scan
+
+    # </spanx> must not close the word on the fast path (stdlib ignores it)
+    page = ('<span class="ocr_line" title="bbox 0 0 99 9">'
+            '<span class="ocrx_word" title="bbox 0 0 10 10">hi</spanx> there</span>'
+            "</span>")
+    ref = feed_html(page, WordHTMLParser)
+    fast = fast_word_scan(page)
+    if fast is not None:
+        assert [b.content for b in fast[0]] == [b.content for b in ref.boxes]
+    # a </span> inside script content must trip the bail-to-stdlib guard
+    page2 = ('<span class="ocrx_word" title="bbox 0 0 10 10">foo'
+             "<script>x</span>y</script>bar</span>")
+    assert fast_word_scan(page2) is None

@@ -200,3 +200,15 @@ def test_text_fast_path_matches_general():
         for key in ("status", "error", "extracted_text", "digits_text",
                     "orientation", "n_words"):
             assert fast[key] == general[key], (key, html[:40], sorted(modes), psm)
+
+
+def test_str_input_size_cap():
+    from pyocr_spark.core import oracle
+
+    old = oracle.MAX_HTML_BYTES
+    oracle.MAX_HTML_BYTES = 10
+    try:
+        out = extract_page("<p>0123456789012</p>", "en")
+        assert out["status"] == "error" and "too large" in out["error"]
+    finally:
+        oracle.MAX_HTML_BYTES = old

@@ -131,3 +131,47 @@ word_bits = st.text(
 @given(st.lists(st.one_of(tag_bits, word_bits), min_size=0, max_size=30))
 def test_fuzzed_soup_equivalent(bits):
     assert_equivalent("".join(bits))
+
+
+def _events(text):
+    from html.parser import HTMLParser
+
+    class Rec(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.ev = []
+        def handle_starttag(self, t, a): self.ev.append(("start", t, a))
+        def handle_endtag(self, t): self.ev.append(("end", t))
+        def handle_startendtag(self, t, a): self.ev.append(("startend", t, a))
+        def handle_data(self, d): self.ev.append(("data", d))
+
+    from pyocr_spark.core.fasthtml import fast_feed
+
+    fast, std = Rec(), Rec()
+    fast_feed(text, fast)
+    std.feed(text); std.close()
+    return fast.ev, std.ev
+
+
+def test_review_regressions_tokenizer_equivalence():
+    cases = [
+        # unterminated comment just before a trailing newline ($ vs \Z)
+        "a <!--unclosed\n",
+        "a <![CDATA[open\n",
+        # unquoted attribute value ending in '/' is NOT self-closing
+        "<script src=http://x/>body</script>",
+        "<p a=foo/>txt",
+        # genuine self-closing after quoted value
+        '<p a="x"/>txt',
+        "<br/>x",
+    ]
+    for text in cases:
+        fast, std = _events(text)
+        assert fast == std, (text, fast, std)
+
+
+def test_self_closing_dropped_tag_does_not_swallow_page():
+    from pyocr_spark.core.htmltext import segment_word_lines
+
+    wl = segment_word_lines('<p>before</p><script src="x"/><p>after text here</p>')
+    assert wl == [["before"], ["after", "text", "here"]]

@@ -74,3 +74,18 @@ def test_wave_overwrite_is_idempotent(spark, pages_sf0001, out_dir):
     report = run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
     assert report["buckets_executed"] == 1
     assert spark.read.parquet(out_dir).count() == 500
+
+
+def test_resume_rejects_changed_num_buckets(spark, pages_sf0001, tmp_path):
+    import pytest
+
+    from pyocr_spark.plans.resume import run_resumable_extract
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    out = str(tmp_path / "out")
+    run_resumable_extract(spark, pages, out, modes=frozenset({"text"}), num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_resumable_extract(
+            spark, pages, out, modes=frozenset({"text"}), num_buckets=16
+        )
