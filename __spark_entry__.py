@@ -91,7 +91,7 @@ def _q_extract_lines(spark, sf_dir):
 
 
 def _q_extract_hocr(spark, sf_dir):
-    return _extracted(spark, sf_dir, frozenset({"words", "hocr"})).select("url", "hocr")
+    return _extracted(spark, sf_dir, frozenset({"hocr"})).select("url", "hocr")
 
 
 def _q_extract_boxfmt(spark, sf_dir):
@@ -102,7 +102,7 @@ def _q_extract_boxfmt(spark, sf_dir):
 
 
 def _q_extract_orientation(spark, sf_dir):
-    df = _extracted(spark, sf_dir, frozenset({"text", "orientation"}))
+    df = _extracted(spark, sf_dir, frozenset({"orientation"}))
     return df.select(
         "url",
         F.col("orientation.angle").alias("angle"),
@@ -117,7 +117,7 @@ def _q_extract_stats(spark, sf_dir):
 
 def _q_extract_unicode_boxes(spark, sf_dir):
     return (
-        _extracted(spark, sf_dir, frozenset({"words", "unicode_boxes"}))
+        _extracted(spark, sf_dir, frozenset({"unicode_boxes"}))
         .select("url", "unicode_boxes")
     )
 
@@ -460,7 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # extraction oracles read the oracle-materialized expected_* parquet.
 # ---------------------------------------------------------------------------
 
-_NGRAM_COMPONENTS_SQL = "WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+_NGRAM_COMPONENTS_SQL = "WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -511,15 +511,15 @@ def oracle_sql() -> dict[str, str]:
             "AS fingerprint FROM documents"
         ),
         "doc_normalize": (
-            "SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) "
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
             "AS text_norm FROM documents"
         ),
         "doc_pii_mask": (
             "SELECT doc_id, "
-            "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             "'[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g') AS text_masked, "
-            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails, "
-            "len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             "'[0-9][0-9 ()+.-]{7,}[0-9]')) AS n_numbers FROM documents"
         ),
         "dedup_exact_docs": (

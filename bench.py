@@ -92,7 +92,10 @@ def main() -> None:
         ),
         reps=3,
     )
-    docs = int(m_text.docs.value) // 3  # metrics accumulate across the 3 reps
+    # rate denominator = exact row count (accumulators are at-least-once
+    # under retries/speculation — see plans/metrics.py); the accumulator
+    # stays as the telemetry cross-check
+    docs = n_pages
     extras["docs_per_sec_text"] = round(docs / timings["extract_text"], 2)
 
     timed(

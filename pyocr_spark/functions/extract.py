@@ -99,9 +99,6 @@ def make_extract_fn(
 # Arrow-native path (mapInArrow): columnar construction, no pandas objects
 # ---------------------------------------------------------------------------
 
-_PA_BOX = None  # built lazily so importing this module never needs pyarrow
-
-
 def _pa_types():
     import pyarrow as pa
 

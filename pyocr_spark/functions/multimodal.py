@@ -84,15 +84,18 @@ def make_decode_fn(decode: str = "fake"):
         for pdf in batches:
             rows = []
             for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                # id conversion outside the handler: a null media_id must
+                # not raise AGAIN inside the except path
+                mid_out = None if pd.isna(mid) else int(mid)
                 try:
                     d = _decode_one(content, kind, decode)
                     rows.append(
-                        (int(mid), "ok", None, d["width"], d["height"],
+                        (mid_out, "ok", None, d["width"], d["height"],
                          d["n_frames"], d["duration_ms"], d["features"])
                     )
                 except Exception as exc:  # per-row error contract
                     rows.append(
-                        (int(mid), "error", f"{type(exc).__name__}: {exc}",
+                        (mid_out, "error", f"{type(exc).__name__}: {exc}",
                          None, None, None, None, None)
                     )
             yield pd.DataFrame(
@@ -123,9 +126,12 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> 
         for pdf in batches:
             rows = []
             for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
-                if kind != "video" or not content:
+                if kind != "video" or not content or pd.isna(mid):
                     continue
-                d = _decode_one(content, kind, decode)
+                try:
+                    d = _decode_one(content, kind, decode)
+                except Exception:  # per-row error contract: a bad video is
+                    continue  # simply frameless, never a stage failure
                 for f in range(0, d["n_frames"], every_n):
                     frame_sig = hashlib.md5(content + f.to_bytes(4, "big")).hexdigest()
                     rows.append((int(mid), f, frame_sig))

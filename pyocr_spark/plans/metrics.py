@@ -4,6 +4,12 @@ metrics accumulator per stage").
 Spark accumulators are write-only on executors, readable on the driver —
 exactly the shape for stage counters that must not shuffle anything. The
 extraction UDF increments them per Arrow batch (not per row).
+
+Accumulator caveat (Spark semantics): updates from inside map
+transformations are applied AT LEAST once — task retries and speculative
+duplicates re-add their counts. These metrics are operational telemetry
+(progress, error mix, bytes seen); exact rates should divide a
+count()/row-count by wall time instead (bench.py does).
 """
 
 from __future__ import annotations

@@ -67,7 +67,6 @@ def extract_df(
             modes=modes, psm=psm, metrics=metrics, passthrough=tuple(pass_fields)
         )
         return df.mapInArrow(afn, schema=schema)
-    fn = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
     if keep_bucket:
         # bucket must survive the UDF for partitioned/idempotent writes
         inner = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
@@ -80,6 +79,7 @@ def extract_df(
                     yield out
 
         return df.mapInPandas(fn_with_bucket, schema=schema)
+    fn = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
     return df.mapInPandas(fn, schema=schema)
 
 
@@ -103,7 +103,11 @@ def run_extract(
         keep_bucket=output_location is not None,
     )
     if output_location is not None:
-        out.write.mode("overwrite").partitionBy("bucket").parquet(output_location)
+        from pyocr_spark.sources.pages import write_output
+
+        # the shared sink: dynamic partition overwrite per bucket — the
+        # idempotent resume unit (SURVEY.md P9) — and the iceberg branch
+        write_output(out, output_location, partition_by=["bucket"], mode="overwrite")
     else:
         out.write.format("noop").mode("overwrite").save()
     snap = metrics.snapshot()
