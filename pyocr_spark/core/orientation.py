@@ -25,7 +25,7 @@ from __future__ import annotations
 import re
 
 OSD_ANGLE_RE = re.compile(r"Orientation in degrees: (\d+)")
-OSD_CONF_RE = re.compile(r"Orientation confidence: (\d+\.?\d*)")
+OSD_CONF_RE = re.compile(r"Orientation confidence: ([\d.]+)")  # pyocr: [\d.]+
 
 NO_SCRIPT_ERROR = "No script found in image"
 
@@ -36,7 +36,11 @@ def parse_osd_report(text: str) -> dict | None:
     conf = OSD_CONF_RE.search(text)
     if angle is None or conf is None:
         return None
-    return {"angle": int(angle.group(1)), "confidence": float(conf.group(1))}
+    try:
+        confidence = float(conf.group(1))
+    except ValueError:  # pyocr's [\d.]+ admits '..' — route to not-found
+        return None
+    return {"angle": int(angle.group(1)), "confidence": confidence}
 
 
 def detect_orientation(raw_text: str, extracted_text: str) -> dict | None:

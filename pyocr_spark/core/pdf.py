@@ -27,6 +27,11 @@ def _esc(text: str) -> str:
     for ch in text:
         if ch in "\\()":
             out.append("\\" + ch)
+        elif ch < " " or ch == "\x7f":
+            # C0 controls as octal escapes: a bare CR inside a literal
+            # string is a line break to conforming readers, which would
+            # extract different text than this engine's own parser
+            out.append("\\%03o" % ord(ch))
         else:
             b = ch.encode("latin-1", "replace")
             out.append(b.decode("latin-1"))

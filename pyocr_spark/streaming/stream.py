@@ -27,7 +27,9 @@ def read_pages_stream(
     spark: SparkSession, location: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     reader = spark.readStream.schema(PAGES_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}")
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(location)
 
@@ -51,7 +53,11 @@ def start_extract_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_df(batch_df, modes=modes, dedup=True)
-        out.write.mode("append").parquet(output_location)
+        # one directory per batch_id, overwritten whole: if the driver
+        # dies between the parquet commit and the checkpoint commit,
+        # Spark replays this batch and the overwrite makes the replay
+        # idempotent (a blind append would duplicate the micro-batch)
+        out.write.mode("overwrite").parquet(f"{output_location}/batch_id={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -47,3 +47,15 @@ def test_pdf_udf_over_extraction(spark, pages_sf0001):
             assert r["pdf"] is None
         else:
             assert bytes(r["pdf"]).startswith(b"%PDF-1.4")
+
+
+def test_pdf_control_chars_escaped_and_roundtrip():
+    from pyocr_spark.core.pdftext import extract_pdf_word_lines
+
+    b = text_to_pdf_bytes("a\rb ctrl\x07bell")
+    # raw C0 bytes never appear inside the literal strings
+    body = b.split(b"stream\n", 1)[1]
+    assert b"\r" not in body.split(b"endstream")[0]
+    lines = extract_pdf_word_lines(b)
+    # \r IS whitespace to the word splitter — same rule as the segmenter
+    assert lines == [["a", "b", "ctrl\x07bell"]]
