@@ -31,7 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--psm", type=int, default=3, choices=list(range(14)))
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--buckets-per-wave", type=int, default=None)
-    p.add_argument("--table-format", default=None, choices=[None, "parquet", "iceberg"])
+    p.add_argument(
+        "--table-format", default=None, choices=[None, "parquet", "iceberg"],
+        help="INPUT table format; output + lineage are parquet directories "
+             "(Iceberg output lands via sources.pages.write_output on real deployments)",
+    )
     p.add_argument("--fresh", action="store_true", help="ignore existing lineage (full re-run)")
     return p.parse_args(argv)
 
@@ -51,15 +55,21 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName("pyocr-spark-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if args.fresh:
-        import shutil
-
-        shutil.rmtree(f"{args.output}/_lineage", ignore_errors=True)
+        # delete output + lineage through the Hadoop FS API so --fresh
+        # works on any filesystem (a local shutil.rmtree silently no-ops
+        # on hdfs:///s3://) and stale bucket dirs from a previous scheme
+        # cannot survive into the new run's output
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(args.output)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
     report = run_resumable_extract(
         spark,
         pages,
         args.output,
         modes=modes,
+        psm=args.psm,
         num_buckets=args.num_buckets,
         buckets_per_wave=args.buckets_per_wave,
     )

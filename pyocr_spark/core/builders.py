@@ -36,6 +36,17 @@ XHTML_HEADER = (
 )
 
 
+def _serialize_hocr(items) -> str:
+    """Frozen hOCR envelope shared by word- and line-box serialization:
+    header + one span per line + footer (each item supplies get_xml_tag)."""
+    out = [XHTML_HEADER, "<body>\n"]
+    for item in items:
+        out.append(item.get_xml_tag())
+        out.append("\n")
+    out.append("</body>\n</html>\n")
+    return "".join(out)
+
+
 class BaseBuilder:
     """Shared fold state. ``pyocr/builders.py — class BaseBuilder (~L200)``."""
 
@@ -150,12 +161,7 @@ class WordBoxBuilder(BaseBuilder):
     @staticmethod
     def write_file_str(boxes: list[Box]) -> str:
         """Frozen hOCR serialization: header + one word span per line."""
-        out = [XHTML_HEADER, "<body>\n"]
-        for box in boxes:
-            out.append(box.get_xml_tag())
-            out.append("\n")
-        out.append("</body>\n</html>\n")
-        return "".join(out)
+        return _serialize_hocr(boxes)
 
 
 class LineBoxBuilder(BaseBuilder):
@@ -198,12 +204,7 @@ class LineBoxBuilder(BaseBuilder):
 
     @staticmethod
     def write_file_str(lines: list[LineBox]) -> str:
-        out = [XHTML_HEADER, "<body>\n"]
-        for line in lines:
-            out.append(line.get_xml_tag())
-            out.append("\n")
-        out.append("</body>\n</html>\n")
-        return "".join(out)
+        return _serialize_hocr(lines)
 
 
 class DigitLineBoxBuilder(LineBoxBuilder):

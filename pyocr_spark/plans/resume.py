@@ -89,6 +89,7 @@ def run_resumable_extract(
     pages: DataFrame,
     output_location: str,
     modes: frozenset = ALL_MODES,
+    psm: int = 3,
     num_buckets: int = DEFAULT_BUCKETS,
     buckets_per_wave: int | None = None,
     fail_after_waves: int | None = None,
@@ -127,6 +128,7 @@ def run_resumable_extract(
         wave_df = extract_df(
             base.filter(F.col("bucket").isin(wave)),
             modes=modes,
+            psm=psm,
             metrics=metrics,
             dedup=False,  # already deduped in `base`
             keep_bucket=True,

@@ -2,7 +2,9 @@
 
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TEXT_ONLY = frozenset({"text"})
 

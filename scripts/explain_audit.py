@@ -18,6 +18,7 @@ on a violated property)
 from __future__ import annotations
 
 import io
+import re
 import os
 import sys
 from contextlib import redirect_stdout
@@ -58,13 +59,20 @@ def main() -> int:
     df = qs["extract_text"](spark, SF_DIR)
     p = plan_of(df)
     sections.append(("extract_text", p))
-    udf_scan = [ln for ln in p.splitlines() if "Scan parquet" in ln and "pages" in ln.lower()]
-    check("extract_text", "UDF scan reads only url/html/lang/warc_ts",
-          "text#" not in p.split("ReadSchema")[-1][:400] if "ReadSchema" in p else False,
-          p.split("ReadSchema")[-1][:160] if "ReadSchema" in p else "no ReadSchema")
+    check(
+        "extract_text",
+        "UDF scan reads only url/html/lang/warc_ts",
+        (lambda schemas: bool(schemas) and not any(
+            re.search(r"[<,]text:", s) for s in schemas
+        ))(re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
+        "; ".join(re.findall(r"ReadSchema: (struct<[^>]*>)", p))[:100],
+    )
+    # formatted explain prints each node twice (tree line + detail header):
+    # one physical Exchange == 2 occurrences. Require EXACTLY one — zero
+    # would mean the dedup window silently vanished (duplicate urls).
     n_exchanges = p.count("Exchange")
     check("extract_text", "exactly one Exchange (the dedup window), none for the UDF",
-          n_exchanges <= 2, f"Exchange count={n_exchanges}")
+          n_exchanges == 2, f"Exchange occurrences={n_exchanges} (2 per physical node)")
 
     # 2. analytics scan pruning: token count must not read html/text beyond text
     df = qs["doc_token_count"](spark, SF_DIR)
@@ -115,7 +123,8 @@ def main() -> int:
     lines.append("| query | property | ok | evidence |")
     lines.append("|---|---|---|---|")
     for q, prop, ok, ev in checks:
-        lines.append(f"| {q} | {prop} | {'✅' if ok else '❌'} | {ev.strip()[:100]} |")
+        ev_flat = ev.strip().replace("\n", " ").replace("|", "\\|")[:100]
+        lines.append(f"| {q} | {prop} | {'✅' if ok else '❌'} | {ev_flat} |")
     lines.append("")
     for name, p in sections:
         lines.append(f"## {name}\n\n```\n{p.strip()[:4000]}\n```\n")

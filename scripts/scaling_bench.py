@@ -60,8 +60,11 @@ def noop(df):
 
 pages = read_pages(spark, P)
 n = pages.count()
-# warm python workers (spawn + imports) so we measure steady state
-noop(extract_df(pages.limit(512), modes=TEXT_ONLY, dedup=False))
+# warm python workers (spawn + imports) so we measure steady state —
+# over the FULL table: limit(512) collapses to one partition and would
+# warm a single worker, leaving cpus-1 cold starts inside the first
+# timed rep (biased proportionally to cpu count)
+noop(extract_df(read_pages(spark, P), modes=TEXT_ONLY, dedup=False))
 
 out = {{"cpus": cpus, "pages": n}}
 for name, modes in [("text", TEXT_ONLY), ("full", ALL_MODES)]:
@@ -99,7 +102,9 @@ def mp_ceiling(pages_path: str, workers: int) -> float:
     rows = list(zip(pdf["html"], pdf["lang"]))
     chunks = [rows[i :: workers * 4] for i in range(workers * 4)]
     with Pool(workers) as p:
-        p.map(_mp_worker.work, [rows[:10]])  # warm imports
+        # warm EVERY pool worker's imports (one tiny task per worker slot,
+        # not a single chunk that only touches one process)
+        p.map(_mp_worker.work, [rows[:2]] * (workers * 2))
         t0 = time.monotonic()
         p.map(_mp_worker.work, chunks)
         dt = time.monotonic() - t0
