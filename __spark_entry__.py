@@ -90,6 +90,39 @@ def _q_extract_lines(spark, sf_dir):
     )
 
 
+def _q_extract_digit_lines(spark, sf_dir):
+    """DigitLineBoxBuilder surface (SURVEY.md §2.3 B5): digit-only line
+    boxes, flattened like extract_lines."""
+    df = _extracted(spark, sf_dir, frozenset({"digit_lines"}))
+    lines = df.select("url", F.posexplode("digit_line_boxes").alias("line_idx", "ln"))
+    return lines.select(
+        "url", "line_idx",
+        F.col("ln.x1").alias("lx1"), F.col("ln.y1").alias("ly1"),
+        F.col("ln.x2").alias("lx2"), F.col("ln.y2").alias("ly2"),
+        F.posexplode("ln.words").alias("word_idx", "w"),
+    ).select(
+        "url", "line_idx", "lx1", "ly1", "lx2", "ly2", "word_idx",
+        F.col("w.content").alias("content"),
+        F.col("w.x1").alias("x1"), F.col("w.y1").alias("y1"),
+        F.col("w.x2").alias("x2"), F.col("w.y2").alias("y2"),
+        F.col("w.confidence").alias("confidence"),
+    )
+
+
+def _q_extract_char_boxes(spark, sf_dir):
+    """CharBoxBuilder surface (SURVEY.md §2.3 B6) as columns (the makebox
+    serialization is covered by extract_boxfmt)."""
+    df = _extracted(spark, sf_dir, frozenset({"chars"}))
+    return df.select(
+        "url", F.posexplode("char_boxes").alias("idx", "c")
+    ).select(
+        "url", "idx",
+        F.col("c.content").alias("content"),
+        F.col("c.x1").alias("x1"), F.col("c.y1").alias("y1"),
+        F.col("c.x2").alias("x2"), F.col("c.y2").alias("y2"),
+    )
+
+
 def _q_extract_hocr(spark, sf_dir):
     return _extracted(spark, sf_dir, frozenset({"hocr"})).select("url", "hocr")
 
@@ -153,9 +186,15 @@ def _media(spark, sf_dir):
 
 
 def _q_media_decode(spark, sf_dir):
+    """Decoded media metadata. The array<float> features column is pinned
+    through its scalar fingerprint (features_sig) — the driver gate
+    canonicalizes scalar columns only."""
     from pyocr_spark.functions.multimodal import decode_media
 
-    return decode_media(_media(spark, sf_dir))
+    return decode_media(_media(spark, sf_dir)).select(
+        "media_id", "status", "error", "width", "height",
+        "n_frames", "duration_ms", "features_sig",
+    )
 
 
 def _q_media_frames(spark, sf_dir):
@@ -350,9 +389,9 @@ def _q_simhash_portable(spark, sf_dir):
 
 
 def _q_extract_pdf(spark, sf_dir):
-    """Searchable-PDF artifact per url (image_to_pdf analog) — rows-only
-    check (DuckDB cannot render PDFs; bytes are golden-fixtured in
-    tests/test_pdf.py)."""
+    """Searchable-PDF artifact per url (image_to_pdf analog) — compared by
+    exact byte length against the oracle-materialized expected_pdf table
+    (the bytes themselves are golden-fixtured in tests/test_pdf.py)."""
     from pyocr_spark.functions.extract import pdf_udf
 
     return (
@@ -412,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_digits": _q_extract_digits,
         "extract_words": _q_extract_words,
         "extract_lines": _q_extract_lines,
+        "extract_digit_lines": _q_extract_digit_lines,
+        "extract_char_boxes": _q_extract_char_boxes,
         "extract_hocr": _q_extract_hocr,
         "extract_boxfmt": _q_extract_boxfmt,
         "extract_orientation": _q_extract_orientation,
@@ -476,6 +517,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, line_idx, lx1, ly1, lx2, ly2, word_idx, content, "
             f"x1, y1, x2, y2, confidence FROM read_parquet('{E}/expected_lines.parquet')"
         ),
+        "extract_digit_lines": (
+            f"SELECT url, line_idx, lx1, ly1, lx2, ly2, word_idx, content, "
+            f"x1, y1, x2, y2, confidence FROM read_parquet('{E}/expected_digit_lines.parquet')"
+        ),
+        "extract_char_boxes": (
+            f"SELECT url, idx, content, x1, y1, x2, y2 "
+            f"FROM read_parquet('{E}/expected_chars.parquet')"
+        ),
+        "extract_pdf": (
+            f"SELECT url, pdf_bytes FROM read_parquet('{E}/expected_pdf.parquet')"
+        ),
+        "media_decode": (
+            f"SELECT media_id, status, error, width, height, n_frames, "
+            f"duration_ms, features_sig "
+            f"FROM read_parquet('{E}/expected_media_decode.parquet')"
+        ),
+        "media_frames": (
+            f"SELECT media_id, frame_idx, frame_sig "
+            f"FROM read_parquet('{E}/expected_media_frames.parquet')"
+        ),
         "extract_hocr": f"SELECT url, hocr FROM read_parquet('{E}/expected_hocr_out.parquet')",
         "extract_boxfmt": f"SELECT url, box_lines FROM read_parquet('{E}/expected_boxfmt.parquet')",
         "extract_orientation": (
@@ -527,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"
         ),
         "lang_doc_stats": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang"
         ),
         "top_docs_per_source": (
@@ -579,7 +640,7 @@ def oracle_sql() -> dict[str, str]:
             "OR epoch(ts) - lag(epoch(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
             "THEN 1 ELSE 0 END AS new_sess FROM events) "
-            "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
+            "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events "
             "FROM s GROUP BY user_id"
         ),
         "ngram_jaccard": (
@@ -605,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": """{}""".format(_NGRAM_COMPONENTS_SQL),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
-            f"count(*) AS n_pages, sum(octet_length(html)) AS total_html_bytes "
+            f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY 1"
         ),
         "embedding_dups": (

@@ -211,7 +211,9 @@ def extract_batch(
         if html is None:
             _error_row("null html")
             continue
-        if isinstance(html, (bytes, bytearray)) and len(html) > MAX_HTML_BYTES:
+        # bytes, or chars for str input — same guard as extract_page so the
+        # bit-identity contract holds for both advertised input types
+        if len(html) > MAX_HTML_BYTES:
             _error_row(f"html too large: {len(html)} bytes")
             continue
         if lang is not None and lang not in SUPPORTED_LANGS:

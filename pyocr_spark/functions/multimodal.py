@@ -39,7 +39,7 @@ MEDIA_SCHEMA_DDL = (
 DECODED_DDL = (
     "media_id long, status string, error string, "
     "width int, height int, n_frames int, duration_ms int, "
-    "features array<float>"
+    "features array<float>, features_sig string"
 )
 
 FEATURE_DIM = 16
@@ -55,18 +55,27 @@ def _fake_decode_one(content: bytes, kind: str) -> dict:
     n_frames = 1 if kind == "image" else 1 + digest[2]
     duration_ms = 0 if kind == "image" else int.from_bytes(digest[3:5], "big")
     # byte-histogram moments over 16 buckets → a real reduction over the
-    # blob, representative of decode+featurize cost shape
-    hist = [0] * FEATURE_DIM
-    for b in content:
-        hist[b % FEATURE_DIM] += 1
+    # blob, representative of decode+featurize cost shape (vectorized:
+    # bincount over the byte view, never a per-byte Python loop)
+    import numpy as np
+
+    arr = np.frombuffer(bytes(content), dtype=np.uint8)
+    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
     total = float(len(content))
-    features = [round(h / total, 6) for h in hist]
+    features = [round(float(h) / total, 6) for h in hist]
+    # canonical scalar rendering of the vector, computed BEFORE the
+    # array<float> (float32) conversion: gives downstream queries a
+    # sortable, oracle-replayable fingerprint of the feature vector
+    features_sig = hashlib.md5(
+        ",".join(f"{v:.6f}" for v in features).encode()
+    ).hexdigest()
     return {
         "width": width,
         "height": height,
         "n_frames": n_frames,
         "duration_ms": duration_ms,
         "features": features,
+        "features_sig": features_sig,
     }
 
 
@@ -91,18 +100,19 @@ def make_decode_fn(decode: str = "fake"):
                     d = _decode_one(content, kind, decode)
                     rows.append(
                         (mid_out, "ok", None, d["width"], d["height"],
-                         d["n_frames"], d["duration_ms"], d["features"])
+                         d["n_frames"], d["duration_ms"], d["features"],
+                         d["features_sig"])
                     )
                 except Exception as exc:  # per-row error contract
                     rows.append(
                         (mid_out, "error", f"{type(exc).__name__}: {exc}",
-                         None, None, None, None, None)
+                         None, None, None, None, None, None)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "status", "error", "width", "height",
-                    "n_frames", "duration_ms", "features",
+                    "n_frames", "duration_ms", "features", "features_sig",
                 ],
             )
 
@@ -115,12 +125,10 @@ def decode_media(media: DataFrame, decode: str = "fake") -> DataFrame:
     return pruned.mapInPandas(make_decode_fn(decode), schema=DECODED_DDL)
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame.
-
-    With the fake codec a "frame" is a deterministic slice digest; a real
-    codec replaces the inner loop only.
-    """
+def make_frames_fn(every_n: int = 10, decode: str = "fake"):
+    """Batch function for frame sampling — shared verbatim by the Spark
+    plan (mapInPandas) and the datagen oracle materializer, so the
+    expected table is the same code path by construction."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,6 +145,15 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> 
                     rows.append((int(mid), f, frame_sig))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sig"])
 
+    return sample_batches
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+
+    With the fake codec a "frame" is a deterministic slice digest; a real
+    codec replaces the inner loop only.
+    """
     return media.select("media_id", "kind", "content").mapInPandas(
-        sample_batches, schema="media_id long, frame_idx int, frame_sig string"
+        make_frames_fn(every_n, decode), schema="media_id long, frame_idx int, frame_sig string"
     )

@@ -136,9 +136,12 @@ def minhash_lsh_dedup(
     # otherwise recompute the whole shingle→minhash pipeline. At cluster
     # scale the same move is writing the signature table once (Iceberg)
     # and joining it with itself; locally MEMORY_AND_DISK persist.
-    # (Cache lifecycle: the persisted block is released by Spark's
-    # ContextCleaner once the caller drops the returned DataFrame —
-    # internal persists are GC-bounded, not leaked for the session.)
+    # Cache lifecycle trade-off: the returned DataFrame still references
+    # this cache lazily, so it cannot be unpersisted here; Spark's
+    # CacheManager holds the entry until an explicit unpersist() or
+    # session end. Long-lived sessions making many calls should
+    # spark.catalog.clearCache() between batches (or write/join the
+    # signature table, the cluster-scale form, which has no cache at all).
     banded = sig.persist()
     banded = banded.select(
         F.col(id_col),
@@ -269,6 +272,9 @@ def ngram_jaccard_pairs(
     # sides would otherwise recompute the full shingle explosion + docfreq
     # aggregation (measured 97s vs 8s at 40k docs). At cluster scale this
     # is writing the inverted-index table once and self-joining it.
+    # Cache lifecycle: held by CacheManager until unpersist()/session end
+    # (the returned plan references it lazily, so it cannot be released
+    # here) — see the note in minhash_lsh_dedup.
     inv = inv.join(rare.select("g"), "g").persist()
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     l, r = inv.alias("l"), inv.alias("r")
@@ -401,7 +407,11 @@ def dup_components(
         )
         labels = compressed.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
+            # labels is localCheckpoint-materialized — it no longer depends
+            # on the edges cache, which can be released immediately
+            edges.unpersist()
             return labels
+    edges.unpersist()
     raise RuntimeError(
         f"dup_components did not converge in {max_iterations} rounds — "
         "component diameter exceeds 2^rounds; raise max_iterations "

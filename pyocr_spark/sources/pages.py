@@ -61,7 +61,16 @@ def write_output(
     overwrite (dynamic partition overwrite) — the resume unit (SURVEY.md P9)."""
     fmt = fmt or _table_format()
     if fmt == "iceberg":
-        df.writeTo(location).append()
+        # honor the mode contract: overwrite = dynamic partition overwrite
+        # (the idempotent per-bucket resume unit), append = plain append.
+        # Silently appending on mode="overwrite" would duplicate every
+        # output row on a re-run.
+        if mode == "overwrite":
+            df.writeTo(location).overwritePartitions()
+        elif mode == "append":
+            df.writeTo(location).append()
+        else:
+            raise ValueError(f"unsupported mode for iceberg sink: {mode!r}")
         return
     writer = df.write.mode(mode)
     if partition_by:

@@ -32,7 +32,11 @@ def read_events_stream(
     spark, location: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     reader = spark.readStream.schema(EVENTS_DDL)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(location)
 
