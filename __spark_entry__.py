@@ -8,8 +8,9 @@ Extraction queries run the REAL Spark pipeline (Arrow-batched UDF over the
 deterministic synthetic pages table derived from documents.parquet —
 pyocr_spark/datagen.py) and are compared against oracle-materialized
 ``expected_*`` parquet (read_parquet in the SQL): the driver's value-hash
-equality IS the byte-identical-per-url gate. Non-SQL-expressible ops
-(minhash/simhash/LSH — xxhash64 has no DuckDB twin) get rows-only checks.
+equality IS the byte-identical-per-url gate. Everything has an exact
+oracle except simhash_docs (xxhash64 has no DuckDB twin; its portable-hash
+twin simhash_portable carries the exact check for the same operator).
 """
 
 from __future__ import annotations
@@ -356,9 +357,13 @@ def _q_ann_topk_ivf(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with the portable (md5) hash family and
+    raw-string band keys — every step has an exact DuckDB twin. The
+    production variant (xxhash64 signatures + F.hash band keys, the
+    bench path) is pytest-pinned in tests/test_operators.py."""
     from pyocr_spark.operators.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
 def _q_simhash_docs(spark, sf_dir):
@@ -405,6 +410,19 @@ def _q_doc_normalize(spark, sf_dir):
     from pyocr_spark.functions.text_stats import normalize_text
 
     return normalize_text(_docs(spark, sf_dir))
+
+
+def _q_doc_nfc(spark, sf_dir):
+    """Opt-in NFC normalization. The synthetic corpus is ASCII (NFC would
+    be the identity), so a deterministic decomposed suffix (combining
+    acute + Angstrom sign) is appended first — the normalizer does real
+    composition work on every row."""
+    from pyocr_spark.functions.text_stats import normalize_text_nfc
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat("text", F.lit(" cafe\u0301 \u212B"))
+    )
+    return normalize_text_nfc(docs)
 
 
 def _q_doc_pii_mask(spark, sf_dir):
@@ -461,7 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm6": _q_extract_text_psm6,
         "extract_text_psm7": _q_extract_text_psm7,
         "pages_dedup_latest": _q_pages_dedup_latest,
-        # multimodal plumbing (fake codec — deterministic; rows-only checks)
+        # multimodal plumbing (fake codec — deterministic, exact oracles
+        # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         # text analysis (training-data pipeline surface)
@@ -471,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_normalize": _q_doc_normalize,
+        "doc_nfc": _q_doc_nfc,
         "doc_pii_mask": _q_doc_pii_mask,
         "lang_doc_stats": _q_lang_doc_stats,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -501,7 +521,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # extraction oracles read the oracle-materialized expected_* parquet.
 # ---------------------------------------------------------------------------
 
-_NGRAM_COMPONENTS_SQL = "WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+def _plane_sig_sql(vec_expr: str, n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression replaying operators.ann.hyperplane_sig exactly:
+    the deterministic md5-derived planes (make_planes) embedded as array
+    literals, sign-of-dot → weighted bit sum. Sign decisions are float64
+    on both sides; plane components are exact 3-decimal doubles."""
+    from pyocr_spark.operators.ann import make_planes
+
+    planes = make_planes(dim, n_planes)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql() -> str:
+    sig_v = _plane_sig_sql("CAST(embedding AS DOUBLE[])", 4)
+    sig_q = _plane_sig_sql("qv", 4)
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), "
+        f"s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig_v} AS sig FROM embeddings), "
+        f"qs AS (SELECT {sig_q} AS qsig FROM q) "
+        "SELECT s.vec_id, round(list_dot_product(s.v, q.qv) / "
+        "(sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+        "FROM s, q, qs "
+        "WHERE s.sig IN (qs.qsig, xor(qs.qsig, 1), xor(qs.qsig, 2), xor(qs.qsig, 4), xor(qs.qsig, 8)) "
+        "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _embedding_dups_lsh_sql() -> str:
+    sig_v = _plane_sig_sql("CAST(embedding AS DOUBLE[])", 6)
+    return (
+        f"WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig_v} AS sig FROM embeddings), "
+        "pr AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id, "
+        "round(list_dot_product(l.v, r.v) / "
+        "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine "
+        "FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id) "
+        "SELECT left_id, right_id, cosine FROM pr WHERE cosine >= 0.4"
+    )
+
+
+_MINHASH_SIG_SQL = "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS g FROM words) SELECT doc_id, seed, list_min(list_transform(g, s -> CAST(('0x' || substr(md5(s || ':' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT))) AS minhash FROM sh, generate_series(0, 15) t(seed)"
+
+_MINHASH_PAIRS_SQL = (
+    f"WITH sig AS ({_MINHASH_SIG_SQL}), "
+    "bands AS (SELECT doc_id, seed // 4 AS band, "
+    "string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bkey "
+    "FROM sig GROUP BY doc_id, seed // 4), "
+    "cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id "
+    "FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id), "
+    "est AS (SELECT c.left_id, c.right_id, "
+    "sum(CASE WHEN ls.minhash = rs.minhash THEN 1 ELSE 0 END) / 16.0 AS j "
+    "FROM cand c JOIN sig ls ON ls.doc_id = c.left_id "
+    "JOIN sig rs ON rs.doc_id = c.right_id AND rs.seed = ls.seed GROUP BY 1, 2) "
+    "SELECT left_id, right_id, round(j, 4) AS jaccard_est FROM est WHERE j >= 0.5"
+)
+
+
+_NGRAM_COMPONENTS_SQL ="WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -574,6 +656,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_normalize": (
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
             "AS text_norm FROM documents"
+        ),
+        "doc_nfc": (
+            "SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)) "
+            "AS text_nfc FROM documents"
         ),
         "doc_pii_mask": (
             "SELECT doc_id, "
@@ -661,7 +747,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT left_id, right_id, round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) AS jaccard "
             "FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5"
         ),
-        "minhash_sig_portable": "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS g FROM words) SELECT doc_id, seed, list_min(list_transform(g, s -> CAST(('0x' || substr(md5(s || ':' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT))) AS minhash FROM sh, generate_series(0, 15) t(seed)",
+        "minhash_sig_portable": _MINHASH_SIG_SQL,
+        "minhash_pairs": _MINHASH_PAIRS_SQL,
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "embedding_dups_lsh": _embedding_dups_lsh_sql(),
         "simhash_portable": "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words), votes AS (SELECT doc_id, sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS v31 FROM hashed GROUP BY doc_id) SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM votes",
         "dup_components": """{}""".format(_NGRAM_COMPONENTS_SQL),
         "host_stats": (
@@ -679,8 +768,9 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
         ),
-        # ann_topk_lsh / minhash_pairs / simhash_docs / ngram_jaccard /
-        # embedding_dups_lsh: xxhash64-based or recall-approximate → rows-only check
+        # simhash_docs: the xxhash64 production path has no DuckDB twin →
+        # rows-only check; its exact-oracle twin is simhash_portable
+        # (same operator, portable hash family).
     }
 
 

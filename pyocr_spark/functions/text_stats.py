@@ -9,6 +9,8 @@ tables (doc_id, text, lang, ...).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -122,12 +124,33 @@ def normalize_text(docs: DataFrame) -> DataFrame:
     """Canonical text normalization for training corpora: lowercase,
     collapse whitespace runs to single spaces, trim. Deterministic,
     built-ins only (whole-stage codegen), exact SQL oracle. (Unicode NFC
-    is intentionally omitted — Spark SQL has no built-in normalizer and a
-    Python UDF here would put the hot path off the JVM; documented bound.)
+    stays OFF the default hot path — Spark SQL has no built-in normalizer;
+    the opt-in Arrow-batched variant is ``normalize_text_nfc``.)
     """
     t = F.col("text")
     norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     return docs.select("doc_id", norm.alias("text_norm"))
+
+
+def normalize_text_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Opt-in Unicode NFC normalization (pandas UDF — unicodedata.normalize
+    over Arrow batches). Deliberately a separate operator from
+    ``normalize_text``: NFC needs the Unicode tables, which Spark SQL does
+    not expose, so this column pays the Python round-trip and callers opt
+    in only when their corpus mixes composition forms. Exact DuckDB oracle
+    via nfc_normalize(). Returns (doc_id, text_nfc).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return docs.select("doc_id", _nfc(F.col(text_col)).alias("text_nfc"))
 
 
 def pii_mask(docs: DataFrame) -> DataFrame:

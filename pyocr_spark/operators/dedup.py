@@ -122,6 +122,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
 
@@ -129,9 +130,21 @@ def minhash_lsh_dedup(
     band hash — shuffle join on a compact key, never all-pairs), then are
     confirmed by estimated Jaccard = fraction of matching signature
     components. Returns (left_id, right_id, jaccard_est) with left < right.
+
+    ``portable=True`` swaps xxhash64 signatures for the md5-based portable
+    hash AND the F.hash band key for the raw concatenated-component string
+    — every step then has an exact DuckDB twin (the production band key
+    stays hashed: a compact long beats a 4×20-char string as a shuffle
+    key at 10^12 rows).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signature(df, text_col, id_col, k, num_hashes, portable=portable)
+
+    def band_key(b: int):
+        comps = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.concat_ws("_", *[c.cast("string") for c in comps])
+        return F.hash(*comps)
     # Materialize signatures before the self-join: both join sides would
     # otherwise recompute the whole shingle→minhash pipeline. At cluster
     # scale the same move is writing the signature table once (Iceberg)
@@ -149,10 +162,7 @@ def minhash_lsh_dedup(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bkey"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
                     for b in range(bands)
                 ]
             )
@@ -302,6 +312,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     lsh_planes: int = 0,
+    max_exact_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold.
 
@@ -310,9 +321,24 @@ def embedding_cosine_pairs(
     random-hyperplane LSH: pairs only form inside a sign-signature bucket
     (equi-join), the scale path at 10^9 vectors (recall < 1 by design).
     Cosine is built-in zip_with/aggregate — JVM-side, no Python.
+
+    The exact variant refuses inputs above ``max_exact_rows`` (a cheap
+    early-stopping ``limit(n+1).count()`` probe): at 10^9 vectors the
+    quadratic join is a cluster-killer, and an accidental default should
+    fail loudly, not launch 10^18 comparisons. Pass ``max_exact_rows=None``
+    (or a larger cap) to override deliberately.
     """
     from pyocr_spark.operators.ann import cosine, hyperplane_sig, make_planes
 
+    if lsh_planes <= 0 and max_exact_rows is not None:
+        probe = emb.limit(max_exact_rows + 1).count()
+        if probe > max_exact_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs(lsh_planes=0) is the exact quadratic "
+                f"baseline; input exceeds max_exact_rows={max_exact_rows}. "
+                f"Use lsh_planes>0 (bucketed LSH, the scale path) or raise "
+                f"max_exact_rows explicitly."
+            )
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     join_cond = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
     if lsh_planes > 0:

@@ -207,3 +207,77 @@ def test_pii_mask_and_normalize(spark):
 
     n = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
     assert n[2] == "no pii here just spaces"
+
+
+def test_minhash_lsh_portable_matches_production_semantics(spark, docs):
+    """Portable variant (md5 hash family + string band keys) finds the
+    same exact-dup pair as production and emits identical columns."""
+    from pyocr_spark.operators.dedup import minhash_lsh_dedup
+
+    prod = minhash_lsh_dedup(docs, jaccard_threshold=0.9).toPandas()
+    port = minhash_lsh_dedup(docs, jaccard_threshold=0.9, portable=True).toPandas()
+    assert list(prod.columns) == list(port.columns) == ["left_id", "right_id", "jaccard_est"]
+    # the exact-dup pair (0,1) has identical signatures under ANY hash
+    # family → jaccard_est 1.0 in both variants
+    for out in (prod, port):
+        row = out[(out["left_id"] == 0) & (out["right_id"] == 1)]
+        assert len(row) == 1 and row.iloc[0]["jaccard_est"] == 1.0
+
+
+def test_embedding_exact_pairs_guard_refuses_large_input(spark):
+    from pyocr_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        embedding_cosine_pairs(emb, max_exact_rows=5)
+    # under the cap, and with the LSH path (no probe at all), it runs
+    assert embedding_cosine_pairs(emb, max_exact_rows=6).count() >= 0
+    assert embedding_cosine_pairs(emb, lsh_planes=2, max_exact_rows=5).count() >= 0
+
+
+def test_normalize_text_nfc(spark):
+    import unicodedata
+
+    from pyocr_spark.functions.text_stats import normalize_text_nfc
+
+    rows = [(0, "café Å plain"), (1, None), (2, "ascii only")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_nfc"] for r in normalize_text_nfc(docs).collect()}
+    assert out[0] == unicodedata.normalize("NFC", rows[0][1]) == "café Å plain"
+    assert out[1] is None
+    assert out[2] == "ascii only"
+
+
+def test_iceberg_sink_mode_dispatch(spark, monkeypatch):
+    """The iceberg branch honors mode without needing the runtime jar:
+    overwrite → overwritePartitions (idempotent per-bucket resume unit),
+    append → append, anything else refuses (ADVICE r1)."""
+    from pyocr_spark.sources.pages import write_output
+
+    calls = []
+
+    class _FakeWriter:
+        def overwritePartitions(self):
+            calls.append("overwritePartitions")
+
+        def append(self):
+            calls.append("append")
+
+    df = spark.range(3)
+    # patch the concrete class (pyspark.sql.classic.DataFrame overrides
+    # the base-class method, so patching pyspark.sql.DataFrame is a no-op)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, loc: _FakeWriter())
+    write_output(df, "cat.db.t", fmt="iceberg", mode="overwrite", partition_by=["bucket"])
+    write_output(df, "cat.db.t", fmt="iceberg", mode="append")
+    assert calls == ["overwritePartitions", "append"]
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_output(df, "cat.db.t", fmt="iceberg", mode="errorifexists")
+
+
+def test_windowed_stream_reader_validates_trigger(spark):
+    from pyocr_spark.streaming.windowed import read_events_stream
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_events_stream(spark, "/tmp/nonexistent", max_files_per_trigger=0)
