@@ -37,6 +37,18 @@ def test_fake_decode_deterministic(spark, media):
     # deterministic: second run bit-identical
     out2 = decode_media(media).toPandas().set_index("media_id").sort_index()
     assert list(out2.loc[1, "features"]) == feats
+    # features_sig pins the vector pre-float32: md5 of the canonical
+    # 6-decimal rendering of the Python-float features
+    import hashlib
+
+    from pyocr_spark.functions.multimodal import _fake_decode_one
+
+    d = _fake_decode_one(b"\x89PNG fake bytes " * 40, "image")
+    expect = hashlib.md5(
+        ",".join(f"{v:.6f}" for v in d["features"]).encode()
+    ).hexdigest()
+    assert out.loc[1, "features_sig"] == expect == d["features_sig"]
+    assert out.loc[4, "features_sig"] is None  # error row
 
 
 def test_strict_decode_routes_errors_not_failures(spark, media):
