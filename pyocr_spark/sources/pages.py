@@ -80,6 +80,33 @@ def write_output(
     writer.parquet(location)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "url",
+    num_buckets: int = 64,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key —
+    the co-located-join organization: two tables bucketed the same way on
+    the same key join with NO Exchange on either side (the bucketed scan
+    already satisfies the join's required distribution), so a 10^12-row
+    pages⋈lineage or pages⋈signatures join moves zero page bytes over the
+    network. Locally this is Spark's native bucketed parquet via
+    saveAsTable (the only API that records bucket metadata; in-memory
+    catalog = session-scoped). On a real deployment the same layout is an
+    Iceberg ``bucket(N, key)`` partition transform + storage-partitioned
+    join, which persists across sessions.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def with_page_filters(
     df: DataFrame, max_html_bytes: int | None = None, langs: list[str] | None = None
 ) -> DataFrame:

@@ -281,3 +281,39 @@ def test_windowed_stream_reader_validates_trigger(spark):
 
     with pytest.raises(ValueError, match="max_files_per_trigger"):
         read_events_stream(spark, "/tmp/nonexistent", max_files_per_trigger=0)
+
+
+def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an Exchange on
+    either side (SURVEY.md §4.2 'bucketing for co-located joins'): the
+    bucketed scan satisfies the join's required distribution, so at
+    10^12 rows zero page bytes cross the network for the join itself."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyocr_spark.sources.pages import write_bucketed
+
+    left = spark.range(200).selectExpr("concat('u', id) AS url", "id AS a")
+    right = spark.range(200).selectExpr("concat('u', id) AS url", "id * 2 AS b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real (sort-merge) join so the Exchange question is live
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(left, "t_bleft", key="url", num_buckets=4,
+                       path=str(tmp_path / "bleft"))
+        write_bucketed(right, "t_bright", key="url", num_buckets=4,
+                       path=str(tmp_path / "bright"))
+        joined = spark.table("t_bleft").join(spark.table("t_bright"), "url")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+        # identical result to the plain (shuffling) join
+        plain = left.join(right, "url")
+        assert sorted(joined.collect()) == sorted(plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
