@@ -326,6 +326,58 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_asof_click(spark, sf_dir):
+    """As-of join: attribute every event to the user's most recent click
+    at-or-before it (null when none). Right side deduped to one row per
+    (user_id, ts) — the operator's documented tie contract."""
+    from pyspark.sql import Window
+
+    from pyocr_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("src_event_id"),
+            F.col("value").alias("src_value"),
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        key="user_id",
+        right_payload=["src_event_id", "src_value"],
+    )
+    return out.select(
+        "event_id",
+        F.col("asof_src_event_id").alias("click_event_id"),
+        F.round("asof_src_value", 6).alias("click_value"),
+    )
+
+
+def _q_docs_sample(spark, sf_dir):
+    """Content-addressed 10% sample (portable hash family → exact oracle);
+    membership is stable across layouts, re-runs and cluster sizes."""
+    from pyocr_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.1, "doc_id", portable=True).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_docs_stratified(spark, sf_dir):
+    """Per-language quota sample (3 docs per lang by hash order)."""
+    from pyocr_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", 3, "doc_id", portable=True
+    ).select("doc_id", "lang")
+
+
 def _q_ann_topk_cosine(spark, sf_dir):
     from pyocr_spark.operators.ann import topk_cosine
 
@@ -499,6 +551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_click": _q_events_asof_click,
+        # deterministic sampling (training-mix construction)
+        "docs_sample": _q_docs_sample,
+        "docs_stratified": _q_docs_stratified,
         # similarity / near-dup
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -728,6 +784,26 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS new_sess FROM events) "
             "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events "
             "FROM s GROUP BY user_id"
+        ),
+        "events_asof_click": (
+            "WITH clicks AS (SELECT user_id, ts, event_id AS src_event_id, value AS src_value "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+            "FROM events WHERE event_type = 'click') WHERE rn = 1) "
+            "SELECT l.event_id, c.src_event_id AS click_event_id, "
+            "round(c.src_value, 6) AS click_value "
+            "FROM events l ASOF LEFT JOIN clicks c "
+            "ON l.user_id = c.user_id AND l.ts >= c.ts"
+        ),
+        "docs_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "% 1000000 < 100000"
+        ),
+        "docs_stratified": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "ngram_jaccard": (
             "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "

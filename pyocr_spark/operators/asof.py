@@ -1,0 +1,77 @@
+"""As-of (most-recent-at-or-before) join — an operator Spark's join set
+lacks natively.
+
+The training-pipeline use: attribute every event/row to the latest prior
+state of its key (a user's last click, a url's most recent crawl, a
+price at order time). The implementation is the union-window form, not a
+join: tag left and right rows, union them, and carry the last right
+payload forward inside a (key, ts)-ordered window. Cost is ONE shuffle
+on the key (the window partition) over left+right — never a per-key
+range join, never a quadratic expansion — so it scales exactly like any
+keyed window at 10^12 rows, with AQE skew-split applying to hot keys.
+
+Exact-oracle twin: DuckDB's native ``ASOF LEFT JOIN`` replays the same
+semantics (greatest right ts <= left ts per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same ``key`` (nulls when no prior
+    right row exists). Right rows tied on (key, ts) must be pre-deduped
+    by the caller — the operator asserts nothing about tie order.
+
+    Returns all left columns plus ``prefix``-renamed right payload
+    columns. Ordering column must be totally ordered per key on the
+    right side for deterministic output.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (key, right_ts)]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {dict(right.dtypes)[c]}" for c in right_payload
+            ) + ">"
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {dict(left.dtypes)[c]}" for c in left.columns
+            ) + ">"
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_r"),
+    )
+    # right rows sort BEFORE left rows at equal ts (_is_left asc), so a
+    # right row at exactly left_ts is visible to that left row (<= rule)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload]
+    return merged.filter(F.col("_is_left") == 1).select(*out_cols)

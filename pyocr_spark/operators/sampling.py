@@ -1,0 +1,80 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is seed-and-partition-layout dependent —
+re-running after a topology change silently changes the sample. These
+operators are content-addressed instead: membership depends only on the
+row's key, so the sample is stable across re-runs, resumes, cluster
+sizes, and file layouts — the property a reproducible training corpus
+actually needs.
+
+- ``hash_sample``: keep a fraction by hash-bucket of the key. A narrow
+  filter (no shuffle); at the scan it composes with predicate pushdown.
+- ``stratified_sample``: at most n rows per stratum, chosen by hash
+  order. One shuffle (window partition by stratum).
+
+Both have ``portable=True`` twins on the md5 hash family with exact
+DuckDB oracles; production uses xxhash64 (JVM-side, faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash-bucket resolution for fraction selection: fraction is quantized
+#: to 1/1e6 (content-addressed sampling cannot do better than its bucket
+#: count; 1e6 gives ppm-level precision).
+BUCKETS = 1_000_000
+
+
+def _sample_hash(col: Column, portable: bool) -> Column:
+    if portable:
+        # first 15 hex chars of md5 as a nonnegative bigint — replayable
+        # in DuckDB (same construction as operators.dedup._portable_hash64)
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.abs(F.xxhash64(col.cast("string")))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key: str,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``fraction`` of buckets.
+
+    Deterministic and layout-independent; disjoint fractions can be
+    carved from the same corpus by hashing with different key prefixes.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cutoff = int(fraction * BUCKETS)
+    bucket = F.pmod(_sample_hash(F.col(key), portable), F.lit(BUCKETS))
+    return df.filter(bucket < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key: str,
+    portable: bool = False,
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, selected by hash order
+    of the key (ties broken by the key itself → fully deterministic).
+
+    The standard quota step for balancing a training mix (per language,
+    per source, per quality band). One shuffle; row_number is not
+    partial-aggregatable but the window co-partitions with any downstream
+    per-stratum write.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    w = Window.partitionBy(strata_col).orderBy(
+        _sample_hash(F.col(key), portable), F.col(key)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

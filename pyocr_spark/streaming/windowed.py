@@ -101,3 +101,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    watermark_delay: str = "30 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: a row is emitted once;
+    re-deliveries of the same key arriving within the watermark window
+    are dropped, and the key's dedup state is evicted once the watermark
+    passes it — so state size is O(keys per watermark window), not
+    O(all keys ever), which is what lets the query run forever over a
+    crawl-event firehose. dropDuplicatesWithinWatermark (vs plain
+    dropDuplicates) is the difference between bounded and unbounded
+    state here.
+    """
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

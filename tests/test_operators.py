@@ -317,3 +317,74 @@ def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_asof_join_matches_most_recent_at_or_before(spark):
+    from pyocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 60, 30.0)],
+        "user_id long, ts long, price double",
+    )
+    out = {
+        r["tag"]: r["asof_price"]
+        for r in asof_join(left, right, key="user_id", right_payload=["price"]).collect()
+    }
+    assert out["a"] == 10.0   # equal ts matches (<= rule)
+    assert out["b"] == 20.0   # most recent prior, not first
+    assert out["c"] is None   # right row is AFTER the left ts
+    assert out["d"] is None   # key has no right rows at all
+
+
+def test_asof_join_is_layout_independent(spark):
+    from pyocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i % 7, i, f"t{i}") for i in range(200)], "user_id long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(i % 7, i * 3, float(i)) for i in range(40)], "user_id long, ts long, v double"
+    )
+    a = sorted(map(tuple, asof_join(left, right, key="user_id").collect()))
+    b = sorted(
+        map(tuple, asof_join(left.repartition(13), right.repartition(3), key="user_id").collect())
+    )
+    assert a == b
+
+
+def test_hash_sample_deterministic_and_bounded(spark):
+    from pyocr_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.25, "doc_id").collect())
+    # layout-independent: same membership after an unrelated repartition
+    b = sorted(r["doc_id"] for r in hash_sample(df.repartition(17), 0.25, "doc_id").collect())
+    assert a == b
+    assert 0.18 < len(a) / 2000 < 0.32  # hash-uniformity sanity band
+    # portable twin selects by the md5 family — also deterministic
+    p = sorted(r["doc_id"] for r in hash_sample(df, 0.25, "doc_id", portable=True).collect())
+    assert p == sorted(r["doc_id"] for r in hash_sample(df.repartition(5), 0.25, "doc_id", portable=True).collect())
+    assert sorted(r["doc_id"] for r in hash_sample(df, 0.0, "doc_id").collect()) == []
+    assert len(hash_sample(df, 1.0, "doc_id").collect()) == 2000
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, 1.5, "doc_id")
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from pyocr_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", 5, "doc_id").toPandas()
+    assert out.groupby("lang").size().to_dict() == {"en": 5, "de": 5, "fr": 5}
+    out2 = stratified_sample(df.repartition(11), "lang", 5, "doc_id").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # quota larger than the stratum → whole stratum, no padding
+    small = stratified_sample(df.filter("doc_id < 4"), "lang", 99, "doc_id").toPandas()
+    assert len(small) == 4
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(df, "lang", 0, "doc_id")

@@ -144,3 +144,48 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
     assert last[2] == (1, 10.0)
     # user 1 was updated in BOTH batches (proof the state version advanced)
     assert len([1 for b, u, *_ in sink if u == 1]) == 2
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    from pyocr_spark.streaming.windowed import dedup_events_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    now = time.time()
+    # batch 1: two distinct events
+    _write_events(
+        src / "a.parquet",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (2, _ts(10, 5), 1, "view", 2.0, "{}"),
+        ],
+        now - 100,
+    )
+    # batch 2: event 1 re-delivered (same event_id, still within the
+    # watermark) + a new event that advances the watermark
+    _write_events(
+        src / "b.parquet",
+        [
+            (1, _ts(10, 0), 1, "view", 1.0, "{}"),
+            (3, _ts(10, 40), 2, "click", 4.0, "{}"),
+        ],
+        now - 50,
+    )
+    out = tmp_path / "out"
+    q = (
+        dedup_events_stream(
+            read_events_stream(spark, str(src), max_files_per_trigger=1),
+            watermark_delay="30 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).toPandas()
+    # exactly one row per event_id: the within-watermark re-delivery of
+    # event 1 was dropped, everything else emitted once
+    assert sorted(got["event_id"]) == [1, 2, 3]
