@@ -217,6 +217,12 @@ def _q_doc_token_count(spark, sf_dir):
     return doc_token_stats(_docs(spark, sf_dir))
 
 
+def _q_doc_bpe_tokens(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
 def _q_doc_quality(spark, sf_dir):
     from pyocr_spark.functions.text_stats import quality_score
 
@@ -537,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         # text analysis (training-data pipeline surface)
         "doc_token_count": _q_doc_token_count,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -701,6 +708,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
             "length(text) AS n_chars_actual FROM documents"
+        ),
+        "doc_bpe_tokens": (
+            "SELECT doc_id, len(list_filter(regexp_extract_all(text, "
+            "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'), "
+            "x -> trim(x) != '')) AS n_bpe_tokens FROM documents"
         ),
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _LANG_ID_SQL,

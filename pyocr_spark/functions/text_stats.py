@@ -110,6 +110,29 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"), best.alias("best_hits"))
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to the regex subset that
+#: Java regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: residual whitespace. No lookarounds (RE2 has none).
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Subword-shaped token count: GPT-2's pre-tokenizer split (the
+    upper bound on BPE token count — every BPE token is a piece of one
+    pre-token), counting non-whitespace pieces. This is the budget
+    number a training pipeline sizes corpora with; whitespace counting
+    (``token_count``) undercounts punctuation-heavy text badly.
+    Built-ins only (regexp_extract_all + HOF filter), exact SQL oracle.
+    Returns (doc_id, n_bpe_tokens).
+    """
+    t = F.col("text")
+    pieces = F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    n = F.size(F.filter(pieces, lambda x: F.trim(x) != ""))
+    # F.size yields -1 on null input; null text should count as null
+    return docs.select("doc_id", F.when(t.isNotNull(), n).alias("n_bpe_tokens"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 over a normalized prefix +
     length — the cheap "same-content" key for exact clustering.

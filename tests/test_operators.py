@@ -388,3 +388,19 @@ def test_stratified_sample_quota_and_determinism(spark):
     assert len(small) == 4
     with pytest.raises(ValueError, match="n_per_stratum"):
         stratified_sample(df, "lang", 0, "doc_id")
+
+
+def test_bpe_token_count_pretokenizer_shapes(spark):
+    from pyocr_spark.functions.text_stats import bpe_token_count
+
+    rows = [
+        # it|'s| fine|,| don|'t|—|stop|!| café| 123  → 11 pieces
+        (0, "it's fine, don't—stop! café 123"),
+        (1, "plain words here"),   # 3
+        (2, ""),                   # 0
+        (3, None),                 # null in, null out
+        (4, "a,b.c"),              # a|,|b|.|c → 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+    assert out == {0: 11, 1: 3, 2: 0, 3: None, 4: 5}
