@@ -585,10 +585,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _plane_sig_sql(vec_expr: str, n_planes: int, dim: int = 64) -> str:
-    """DuckDB expression replaying operators.ann.hyperplane_sig exactly:
-    the deterministic md5-derived planes (make_planes) embedded as array
-    literals, sign-of-dot → weighted bit sum. Sign decisions are float64
-    on both sides; plane components are exact 3-decimal doubles."""
+    """DuckDB expression replaying operators.ann.hyperplane_sig: the
+    deterministic md5-derived planes (make_planes) embedded as array
+    literals, sign-of-dot → weighted bit sum. Both sides decide the sign
+    in float64, but numpy's matmul accumulates in BLAS order while
+    list_dot_product sums sequentially, so a dot within reassociation
+    error of zero (~1e-13 relative for these O(1) dots) could flip
+    between them — measure-zero on real embeddings but not impossible.
+    At deployment the signature column is materialized once (write-side
+    organization), so any oracle there compares stored values and the
+    ambiguity disappears."""
     from pyocr_spark.operators.ann import make_planes
 
     planes = make_planes(dim, n_planes)
@@ -712,7 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": (
             "SELECT doc_id, len(list_filter(regexp_extract_all(text, "
             "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'), "
-            "x -> trim(x) != '')) AS n_bpe_tokens FROM documents"
+            "x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens FROM documents"
         ),
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _LANG_ID_SQL,

@@ -128,7 +128,10 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
     """
     t = F.col("text")
     pieces = F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), F.lit(0))
-    n = F.size(F.filter(pieces, lambda x: F.trim(x) != ""))
+    # whitespace-only pieces (the residual \s+ branch) are not tokens;
+    # a regex test, NOT trim() — trim strips only spaces, so tab/newline
+    # runs would otherwise count as tokens
+    n = F.size(F.filter(pieces, lambda x: ~x.rlike(r"^\s+$")))
     # F.size yields -1 on null input; null text should count as null
     return docs.select("doc_id", F.when(t.isNotNull(), n).alias("n_bpe_tokens"))
 

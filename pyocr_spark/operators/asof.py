@@ -40,6 +40,12 @@ def asof_join(
     """
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (key, right_ts)]
+    # null-key / null-ts right rows can never satisfy "greatest right_ts
+    # <= left_ts for the same key" (SQL comparison semantics — DuckDB's
+    # ASOF JOIN matches neither); dropped here, because a null ts would
+    # otherwise sort FIRST in the window and be silently attributed to
+    # every left row with no real prior match
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),

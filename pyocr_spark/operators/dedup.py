@@ -322,11 +322,14 @@ def embedding_cosine_pairs(
     (equi-join), the scale path at 10^9 vectors (recall < 1 by design).
     Cosine is built-in zip_with/aggregate — JVM-side, no Python.
 
-    The exact variant refuses inputs above ``max_exact_rows`` (a cheap
+    The exact variant refuses inputs above ``max_exact_rows`` (an
     early-stopping ``limit(n+1).count()`` probe): at 10^9 vectors the
     quadratic join is a cluster-killer, and an accidental default should
-    fail loudly, not launch 10^18 comparisons. Pass ``max_exact_rows=None``
-    (or a larger cap) to override deliberately.
+    fail loudly, not launch 10^18 comparisons. The probe is a separate
+    job — cheap on a bare scan, but on a derived input (join/UDF output)
+    it recomputes that lineage once before the join does; callers with
+    expensive upstreams should persist the input or pass
+    ``max_exact_rows=None`` after checking the size themselves.
     """
     from pyocr_spark.operators.ann import cosine, hyperplane_sig, make_planes
 

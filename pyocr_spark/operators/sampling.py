@@ -29,10 +29,13 @@ BUCKETS = 1_000_000
 
 def _sample_hash(col: Column, portable: bool) -> Column:
     if portable:
-        # first 15 hex chars of md5 as a nonnegative bigint — replayable
-        # in DuckDB (same construction as operators.dedup._portable_hash64)
-        return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-    return F.abs(F.xxhash64(col.cast("string")))
+        from pyocr_spark.operators.dedup import _portable_hash64
+
+        return _portable_hash64(col.cast("string"))
+    # raw xxhash64 (possibly negative): pmod handles the sign for
+    # bucketing and ordering only needs determinism — no abs(), which
+    # would be an ANSI-mode overflow on Long.MIN_VALUE
+    return F.xxhash64(col.cast("string"))
 
 
 def hash_sample(
@@ -48,7 +51,9 @@ def hash_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    cutoff = int(fraction * BUCKETS)
+    # round, not truncate: int(0.29 * 1e6) == 289999 under binary floats,
+    # silently selecting one bucket fewer than the stated fraction
+    cutoff = int(round(fraction * BUCKETS))
     bucket = F.pmod(_sample_hash(F.col(key), portable), F.lit(BUCKETS))
     return df.filter(bucket < cutoff)
 

@@ -400,7 +400,21 @@ def test_bpe_token_count_pretokenizer_shapes(spark):
         (2, ""),                   # 0
         (3, None),                 # null in, null out
         (4, "a,b.c"),              # a|,|b|.|c → 5
+        (5, "x\ty\nz"),            # tab/newline runs are NOT tokens → 3
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
-    assert out == {0: 11, 1: 3, 2: 0, 3: None, 4: 5}
+    assert out == {0: 11, 1: 3, 2: 0, 3: None, 4: 5, 5: 3}
+
+
+def test_asof_join_ignores_null_ts_and_null_key_right_rows(spark):
+    from pyocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "a")], "user_id long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (None, 1, 77.0)], "user_id long, ts long, price double"
+    )
+    out = asof_join(left, right, key="user_id", right_payload=["price"]).collect()
+    # neither a null-ts nor a null-key right row can satisfy the as-of
+    # predicate (SQL comparison semantics) — must NOT be attributed
+    assert out[0]["asof_price"] is None
