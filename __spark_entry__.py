@@ -198,6 +198,12 @@ def _q_media_decode(spark, sf_dir):
     )
 
 
+def _q_media_resize(spark, sf_dir):
+    from pyocr_spark.functions.multimodal import resize_media
+
+    return resize_media(_media(spark, sf_dir), width=256, height=256)
+
+
 def _q_media_frames(spark, sf_dir):
     from pyocr_spark.functions.multimodal import sample_frames
 
@@ -541,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
         # text analysis (training-data pipeline surface)
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -687,6 +694,11 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": (
             f"SELECT media_id, frame_idx, frame_sig "
             f"FROM read_parquet('{E}/expected_media_frames.parquet')"
+        ),
+        "media_resize": (
+            f"SELECT media_id, status, error, src_width, src_height, "
+            f"width, height, thumb_sig "
+            f"FROM read_parquet('{E}/expected_media_resize.parquet')"
         ),
         "extract_hocr": f"SELECT url, hocr FROM read_parquet('{E}/expected_hocr_out.parquet')",
         "extract_boxfmt": f"SELECT url, box_lines FROM read_parquet('{E}/expected_boxfmt.parquet')",

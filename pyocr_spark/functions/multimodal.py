@@ -148,6 +148,64 @@ def make_frames_fn(every_n: int = 10, decode: str = "fake"):
     return sample_batches
 
 
+def make_resize_fn(width: int, height: int, decode: str = "fake"):
+    """Batch function for image resize — the Spark-side plumbing (Arrow
+    batch in, fixed-size thumbnail descriptor out) is real; the pixel
+    work is the honest fake codec (a real codec replaces _decode_one
+    only). Shared verbatim by the Spark plan and the datagen oracle.
+
+    Output carries the target geometry plus a content-addressed thumb
+    signature (md5 over source bytes + target dims) standing in for the
+    resized pixels; error rows follow the decode contract.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                mid_out = None if pd.isna(mid) else int(mid)
+                if kind != "image":
+                    continue  # resize is an image op; other kinds pass through frames/decode
+                try:
+                    d = _decode_one(content, kind, decode)
+                    thumb_sig = hashlib.md5(
+                        bytes(content) + f":{width}x{height}".encode()
+                    ).hexdigest()
+                    rows.append(
+                        (mid_out, "ok", None, d["width"], d["height"],
+                         width, height, thumb_sig)
+                    )
+                except Exception as exc:  # per-row error contract
+                    rows.append(
+                        (mid_out, "error", f"{type(exc).__name__}: {exc}",
+                         None, None, width, height, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "error", "src_width", "src_height",
+                    "width", "height", "thumb_sig",
+                ],
+            )
+
+    return resize_batches
+
+
+RESIZED_DDL = (
+    "media_id long, status string, error string, src_width int, src_height int, "
+    "width int, height int, thumb_sig string"
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 256, height: int = 256, decode: str = "fake"
+) -> DataFrame:
+    """Image-resize plumbing stage (mapInPandas over the binary column)."""
+    return media.select("media_id", "kind", "content").mapInPandas(
+        make_resize_fn(width, height, decode), schema=RESIZED_DDL
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
 

@@ -62,3 +62,22 @@ def test_frame_sampling_video_only(spark, media):
     assert set(frames["media_id"]) == {2}
     assert list(frames["frame_idx"]) == sorted(frames["frame_idx"])
     assert frames["frame_sig"].nunique() == len(frames)
+
+
+def test_resize_images_only_with_error_contract(spark, media):
+    from pyocr_spark.functions.multimodal import resize_media
+
+    out = resize_media(media, width=128, height=96).toPandas().set_index("media_id")
+    # image rows only (ids 1 and 4); video/audio pass through other stages
+    assert sorted(out.index) == [1, 4]
+    ok = out.loc[1]
+    assert (ok["status"], ok["width"], ok["height"]) == ("ok", 128, 96)
+    assert ok["src_width"] >= 64 and len(ok["thumb_sig"]) == 32
+    bad = out.loc[4]  # empty content → error row, geometry still recorded
+    assert bad["status"] == "error" and bad["thumb_sig"] is None
+    # content-addressed: same source + dims → same signature
+    out2 = resize_media(media, width=128, height=96).toPandas().set_index("media_id")
+    assert out2.loc[1, "thumb_sig"] == ok["thumb_sig"]
+    # different target dims → different signature
+    out3 = resize_media(media, width=64, height=64).toPandas().set_index("media_id")
+    assert out3.loc[1, "thumb_sig"] != ok["thumb_sig"]
