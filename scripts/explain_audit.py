@@ -116,6 +116,30 @@ def main() -> int:
     check("minhash_pairs", "equi-join (SortMerge or Hash) on band bucket — not NLJ",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 7. as-of join: the union-window form — exactly ONE shuffle (the
+    # window partition over the union), never a join operator at all
+    df = qs["events_asof_click"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("events_asof_click", p))
+    check("events_asof_click", "no join operator (union-window form)",
+          "Join" not in p and "CartesianProduct" not in p, "")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("events_asof_click", "exactly 2 Exchanges (right-dedup window + asof window)",
+          n_exchanges == 2, f"exchanges={n_exchanges}")
+
+    # 8. hash sampling: a narrow filter — NO Exchange anywhere
+    df = qs["docs_sample"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_sample", p))
+    check("docs_sample", "narrow plan (zero Exchange)", "Exchange" not in p, "")
+
+    # 9. stratified sampling: exactly one Exchange (the stratum window)
+    df = qs["docs_stratified"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_stratified", p))
+    check("docs_stratified", "exactly one Exchange (stratum window)",
+          p.count("Exchange") == 2, f"Exchange occurrences={p.count('Exchange')} (2 per node)")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
