@@ -418,3 +418,50 @@ def test_asof_join_ignores_null_ts_and_null_key_right_rows(spark):
     # neither a null-ts nor a null-key right row can satisfy the as-of
     # predicate (SQL comparison semantics) — must NOT be attributed
     assert out[0]["asof_price"] is None
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """Randomized (fixed-seed) differential: the union-window asof must
+    agree row-for-row with pandas.merge_asof (backward, exact matches
+    allowed) — an independent reference implementation."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    left_pd = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 12, 400),
+            "ts": rng.randint(0, 1000, 400),
+            "row_id": np.arange(400),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 12, 150),
+            "ts": rng.randint(0, 1000, 150),
+            "payload": rng.rand(150).round(6),
+        }
+    )
+    # the operator's tie contract: one right row per (key, ts)
+    right_pd = right_pd.drop_duplicates(["user_id", "ts"], keep="last").reset_index(drop=True)
+
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("row_id")["payload"]
+
+    from pyocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = (
+        asof_join(left, right, key="user_id", right_payload=["payload"])
+        .toPandas()
+        .set_index("row_id")["asof_payload"]
+    )
+    for rid in left_pd["row_id"]:
+        e, g = expected.loc[rid], got.loc[rid]
+        assert (pd.isna(e) and pd.isna(g)) or e == g, (rid, e, g)
