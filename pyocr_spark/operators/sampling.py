@@ -69,9 +69,13 @@ def stratified_sample(
     of the key (ties broken by the key itself → fully deterministic).
 
     The standard quota step for balancing a training mix (per language,
-    per source, per quality band). One shuffle; row_number is not
-    partial-aggregatable but the window co-partitions with any downstream
-    per-stratum write.
+    per source, per quality band). One shuffle — and a scale-safe one
+    despite few strata: Spark inserts a PARTIAL WindowGroupLimit before
+    the Exchange (rank-limit pushdown), so every map task pre-prunes to
+    <= n rows per stratum and the shuffle carries at most
+    n x strata x tasks rows, never the corpus. The final per-stratum
+    partition sees only that bounded set (asserted in
+    scripts/explain_audit.py).
     """
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")

@@ -139,6 +139,12 @@ def main() -> int:
     sections.append(("docs_stratified", p))
     check("docs_stratified", "exactly one Exchange (stratum window)",
           p.count("Exchange") == 2, f"Exchange occurrences={p.count('Exchange')} (2 per node)")
+    # the quota must be pre-pruned map-side (Partial WindowGroupLimit
+    # BEFORE the Exchange): with few strata the final window partition is
+    # hot, so the shuffle must carry <= n*strata*tasks rows, not the corpus
+    tree = p.split("(1) Scan")[0]
+    check("docs_stratified", "Partial WindowGroupLimit below the Exchange (map-side quota prune)",
+          bool(re.search(r"Exchange[\s\S]*WindowGroupLimit", tree)) and "Partial" in p, "")
 
     spark.stop()
 
