@@ -74,9 +74,11 @@ def _q_extract_words(spark, sf_dir):
     )
 
 
-def _q_extract_lines(spark, sf_dir):
-    df = _extracted(spark, sf_dir, frozenset({"lines"}))
-    lines = df.select("url", F.posexplode("line_boxes").alias("line_idx", "ln"))
+def _flatten_lines_query(df, array_col: str):
+    """Explode a line-box array column into the flat per-word row shape
+    shared by extract_lines and extract_digit_lines (the Spark twin of
+    datagen._flatten_line_boxes)."""
+    lines = df.select("url", F.posexplode(array_col).alias("line_idx", "ln"))
     return lines.select(
         "url", "line_idx",
         F.col("ln.x1").alias("lx1"), F.col("ln.y1").alias("ly1"),
@@ -91,22 +93,17 @@ def _q_extract_lines(spark, sf_dir):
     )
 
 
+def _q_extract_lines(spark, sf_dir):
+    return _flatten_lines_query(
+        _extracted(spark, sf_dir, frozenset({"lines"})), "line_boxes"
+    )
+
+
 def _q_extract_digit_lines(spark, sf_dir):
     """DigitLineBoxBuilder surface (SURVEY.md §2.3 B5): digit-only line
     boxes, flattened like extract_lines."""
-    df = _extracted(spark, sf_dir, frozenset({"digit_lines"}))
-    lines = df.select("url", F.posexplode("digit_line_boxes").alias("line_idx", "ln"))
-    return lines.select(
-        "url", "line_idx",
-        F.col("ln.x1").alias("lx1"), F.col("ln.y1").alias("ly1"),
-        F.col("ln.x2").alias("lx2"), F.col("ln.y2").alias("ly2"),
-        F.posexplode("ln.words").alias("word_idx", "w"),
-    ).select(
-        "url", "line_idx", "lx1", "ly1", "lx2", "ly2", "word_idx",
-        F.col("w.content").alias("content"),
-        F.col("w.x1").alias("x1"), F.col("w.y1").alias("y1"),
-        F.col("w.x2").alias("x2"), F.col("w.y2").alias("y2"),
-        F.col("w.confidence").alias("confidence"),
+    return _flatten_lines_query(
+        _extracted(spark, sf_dir, frozenset({"digit_lines"})), "digit_line_boxes"
     )
 
 
@@ -727,10 +724,12 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
             "length(text) AS n_chars_actual FROM documents"
         ),
+        # explicit whitespace class [\t\n\f\r ] mirrors
+        # text_stats.BPE_PRETOKEN_RE (Java \s includes \x0B, RE2's does not)
         "doc_bpe_tokens": (
             "SELECT doc_id, len(list_filter(regexp_extract_all(text, "
-            "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'), "
-            "x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens FROM documents"
+            "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\f\\r \\p{L}\\p{N}]+|[\\t\\n\\f\\r ]+'), "
+            "x -> NOT regexp_matches(x, '^[\\t\\n\\f\\r ]+$'))) AS n_bpe_tokens FROM documents"
         ),
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _LANG_ID_SQL,

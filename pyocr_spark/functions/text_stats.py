@@ -113,8 +113,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
 #: GPT-2-style pre-tokenizer pattern, restricted to the regex subset that
 #: Java regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
-#: residual whitespace. No lookarounds (RE2 has none).
-BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: residual whitespace. No lookarounds (RE2 has none), and NO \s — Java's
+#: \s includes \x0B where RE2's does not, so whitespace is the explicit
+#: class [\t\n\f\r ] on both sides (a \x0B therefore counts as a
+#: punctuation token on both engines, consistently).
+_WS = r"\t\n\f\r "
+BPE_PRETOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
+)
 
 
 def bpe_token_count(docs: DataFrame) -> DataFrame:
@@ -128,10 +134,10 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
     """
     t = F.col("text")
     pieces = F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), F.lit(0))
-    # whitespace-only pieces (the residual \s+ branch) are not tokens;
-    # a regex test, NOT trim() — trim strips only spaces, so tab/newline
-    # runs would otherwise count as tokens
-    n = F.size(F.filter(pieces, lambda x: ~x.rlike(r"^\s+$")))
+    # whitespace-only pieces (the residual whitespace branch) are not
+    # tokens; a regex test, NOT trim() — trim strips only spaces, so
+    # tab/newline runs would otherwise count as tokens
+    n = F.size(F.filter(pieces, lambda x: ~x.rlike("^[" + _WS + "]+$")))
     # F.size yields -1 on null input; null text should count as null
     return docs.select("doc_id", F.when(t.isNotNull(), n).alias("n_bpe_tokens"))
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join(
@@ -46,26 +47,22 @@ def asof_join(
     # otherwise sort FIRST in the window and be silently attributed to
     # every left row with no real prior match
     right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+    # null-side struct types from the actual schemas (robust to column
+    # names needing quoting and to dtypes that don't round-trip as DDL)
+    l_struct = StructType([left.schema[c] for c in left.columns])
+    r_struct = StructType([right.schema[c] for c in right_payload])
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast(
-            "struct<" + ", ".join(
-                f"{c}: {dict(right.dtypes)[c]}" for c in right_payload
-            ) + ">"
-        ).alias("_r"),
+        F.lit(None).cast(r_struct).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(
-            "struct<" + ", ".join(
-                f"{c}: {dict(left.dtypes)[c]}" for c in left.columns
-            ) + ">"
-        ).alias("_l"),
+        F.lit(None).cast(l_struct).alias("_l"),
         F.struct(*[F.col(c) for c in right_payload]).alias("_r"),
     )
     # right rows sort BEFORE left rows at equal ts (_is_left asc), so a

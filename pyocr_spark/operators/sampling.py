@@ -66,7 +66,10 @@ def stratified_sample(
     portable: bool = False,
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, selected by hash order
-    of the key (ties broken by the key itself → fully deterministic).
+    of the key, ties broken by the key itself — fully deterministic when
+    ``key`` is unique per row (a primary id). With duplicate key values
+    the survivors at the quota boundary among equal keys are
+    arbitrary-but-valid (no column distinguishes them to order by).
 
     The standard quota step for balancing a training mix (per language,
     per source, per quality band). One shuffle — and a scale-safe one
@@ -82,8 +85,11 @@ def stratified_sample(
     w = Window.partitionBy(strata_col).orderBy(
         _sample_hash(F.col(key), portable), F.col(key)
     )
+    rn = "_rn"
+    while rn in df.columns:  # never clobber a caller's column
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n_per_stratum)
+        .drop(rn)
     )

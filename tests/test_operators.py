@@ -401,10 +401,13 @@ def test_bpe_token_count_pretokenizer_shapes(spark):
         (3, None),                 # null in, null out
         (4, "a,b.c"),              # a|,|b|.|c → 5
         (5, "x\ty\nz"),            # tab/newline runs are NOT tokens → 3
+        # \x0B is deliberately NOT whitespace (Java \s has it, RE2 does
+        # not — the explicit class makes both engines count it as punct)
+        (6, "a\x0bb"),             # a|\x0B|b → 3
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
-    assert out == {0: 11, 1: 3, 2: 0, 3: None, 4: 5, 5: 3}
+    assert out == {0: 11, 1: 3, 2: 0, 3: None, 4: 5, 5: 3, 6: 3}
 
 
 def test_asof_join_ignores_null_ts_and_null_key_right_rows(spark):
