@@ -195,6 +195,18 @@ def _q_media_decode(spark, sf_dir):
     )
 
 
+def _q_corpus_build(spark, sf_dir):
+    """Composed end-to-end corpus construction (extract → content dedup →
+    quality gate → deterministic sample) as ONE plan — two shuffles
+    total, everything else narrow (plans/corpus.py; plan pinned in
+    PLANS.md)."""
+    from pyocr_spark.plans.corpus import build_training_corpus
+
+    return build_training_corpus(
+        _pages(spark, sf_dir), min_tokens=20, sample_fraction=0.5, portable_sample=True
+    )
+
+
 def _q_media_resize(spark, sf_dir):
     from pyocr_spark.functions.multimodal import resize_media
 
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm6": _q_extract_text_psm6,
         "extract_text_psm7": _q_extract_text_psm7,
         "pages_dedup_latest": _q_pages_dedup_latest,
+        "corpus_build": _q_corpus_build,
         # multimodal plumbing (fake codec — deterministic, exact oracles
         # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
@@ -718,6 +731,19 @@ def oracle_sql() -> dict[str, str]:
         "pages_dedup_latest": (
             f"SELECT url, CAST(epoch(max(warc_ts)) AS BIGINT) AS ts_epoch "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY url"
+        ),
+        "corpus_build": (
+            f"WITH ok AS (SELECT url, extracted_text "
+            f"FROM read_parquet('{E}/expected_text.parquet') "
+            "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
+            "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
+            "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn FROM ok), "
+            "gated AS (SELECT url, content_hash, "
+            "CASE WHEN trim(extracted_text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(extracted_text), '\\s+')) END AS n_tokens "
+            "FROM ded WHERE rn = 1) "
+            "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
+            "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

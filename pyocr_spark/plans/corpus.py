@@ -1,0 +1,56 @@
+"""Composed corpus construction — the end-to-end training-data flow as
+ONE declarative plan.
+
+pages → (keep latest crawl) → extract text → content dedup (keep the
+lexicographically-first url per md5) → quality gate (token count) →
+deterministic sample → (url, content_hash, n_tokens).
+
+The whole chain is two shuffles — the two windows (latest-crawl per url,
+content-hash dedup) — everything else is narrow: the quality gate and the
+hash sample are filters, so Catalyst pipelines them into the post-window
+stages. Asserted in scripts/explain_audit.py (exactly 2 Exchanges, no
+join). At 10^12 pages this composition is exactly the plan you want: no
+materialization between steps, AQE coalesce/skew-split applies to both
+windows, and the sample is content-addressed (stable across re-runs and
+cluster sizes — see operators.sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.extract import TEXT_ONLY
+from pyocr_spark.functions.text_stats import token_count
+from pyocr_spark.operators.sampling import hash_sample
+from pyocr_spark.plans.pipeline import extract_df
+
+
+def build_training_corpus(
+    pages: DataFrame,
+    min_tokens: int = 20,
+    sample_fraction: float = 0.5,
+    portable_sample: bool = False,
+) -> DataFrame:
+    """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus."""
+    ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
+    ok = ext.filter(
+        (F.col("status") == "ok")
+        & F.col("extracted_text").isNotNull()
+        & (F.col("extracted_text") != "")
+    )
+    # exact content dedup keeping the first url per digest — a window,
+    # not exact_dedup()'s groupBy, because the surviving ROW must flow on
+    # (the groupBy form would need a join back to recover the text)
+    w = Window.partitionBy("content_hash").orderBy("url")
+    ded = (
+        ok.withColumn("content_hash", F.md5("extracted_text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    gated = ded.withColumn("n_tokens", token_count(F.col("extracted_text"))).filter(
+        F.col("n_tokens") >= min_tokens
+    )
+    sampled = hash_sample(gated, sample_fraction, "url", portable=portable_sample)
+    return sampled.select("url", "content_hash", "n_tokens")

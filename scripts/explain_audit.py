@@ -146,6 +146,18 @@ def main() -> int:
     check("docs_stratified", "Partial WindowGroupLimit below the Exchange (map-side quota prune)",
           bool(re.search(r"Exchange[\s\S]*WindowGroupLimit", tree)) and "Partial" in p, "")
 
+    # 10. composed corpus pipeline: extract → content dedup → quality
+    # gate → sample in ONE plan with exactly TWO shuffles (the two
+    # windows); the gate and sample must fuse as narrow filters
+    df = qs["corpus_build"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("corpus_build", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("corpus_build", "exactly 2 Exchanges (latest-crawl + content-dedup windows)",
+          n_exchanges == 2, f"exchanges={n_exchanges}")
+    check("corpus_build", "no join operator (filters fused, no materialization)",
+          "Join" not in p and "CartesianProduct" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

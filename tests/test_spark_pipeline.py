@@ -135,3 +135,20 @@ def test_arrow_path_matches_pandas_path(spark, pages_sf0001):
             assert ra[col] == rp[col], (
                 f"url={ra['url']} column {col} differs between arrow and pandas paths"
             )
+
+
+def test_build_training_corpus_end_to_end(spark, pages_sf0001):
+    """Composed plan: extract → content dedup → token gate → sample.
+    Deterministic, duplicate-free, gate respected, sample stable."""
+    from pyocr_spark.plans.corpus import build_training_corpus
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    out = build_training_corpus(pages, min_tokens=20, sample_fraction=0.5).toPandas()
+    assert len(out) > 0
+    assert out["content_hash"].is_unique  # content dedup held
+    assert (out["n_tokens"] >= 20).all()  # quality gate held
+    # deterministic: identical membership on a re-run over a re-read
+    pages2 = read_pages(spark, str(pages_sf0001 / "pages.parquet")).repartition(7)
+    out2 = build_training_corpus(pages2, min_tokens=20, sample_fraction=0.5).toPandas()
+    assert sorted(out["url"]) == sorted(out2["url"])
