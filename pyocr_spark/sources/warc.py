@@ -115,19 +115,17 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         }
 
 
-def read_warc(spark, path: str, metrics=None):
-    """WARC/WARC.GZ files at ``path`` → pages DataFrame (text/lang null).
+#: binaryFile's fixed schema — streaming file sources require it explicit
+_BINARYFILE_DDL = "path string, modificationTime timestamp, length long, content binary"
 
-    One ``binaryFile`` row per archive — the natural work unit (crawl
-    segments are ~1 GB, and a real crawl provides millions of them, so
-    file-count is the parallelism exactly as for the parquet layout).
-    """
+_CHUNK = 2048  # records per emitted batch: bounds peak memory to the
+# decompressed archive + one chunk, not archive + all records + frame
+
+
+def make_warc_parse_fn(metrics=None):
+    """mapInPandas batch function (binaryFile rows → pages rows), shared
+    by the batch and streaming readers."""
     import pandas as pd
-
-    from pyocr_spark.sources.pages import PAGES_SCHEMA
-
-    CHUNK = 2048  # records per emitted batch: bounds peak memory to the
-    # decompressed archive + one chunk, not archive + all records + frame
 
     def _frame(rows):
         return pd.DataFrame(
@@ -146,7 +144,7 @@ def read_warc(spark, path: str, metrics=None):
                 n_rows, chunk = 0, []
                 for rec in iter_warc_records(bytes(content)):
                     chunk.append(rec)
-                    if len(chunk) >= CHUNK:
+                    if len(chunk) >= _CHUNK:
                         n_rows += len(chunk)
                         yield _frame(chunk)
                         chunk = []
@@ -155,9 +153,45 @@ def read_warc(spark, path: str, metrics=None):
                 if metrics is not None:
                     metrics.add(docs=n_rows, bytes_in=len(content))
 
+    return parse_files
+
+
+def read_warc(spark, path: str, metrics=None):
+    """WARC/WARC.GZ files at ``path`` → pages DataFrame (text/lang null).
+
+    One ``binaryFile`` row per archive — the natural work unit (crawl
+    segments are ~1 GB, and a real crawl provides millions of them, so
+    file-count is the parallelism exactly as for the parquet layout).
+    """
+    from pyocr_spark.sources.pages import PAGES_SCHEMA
+
     return (
         spark.read.format("binaryFile")
         .load(path)
         .select("content")
-        .mapInPandas(parse_files, schema=PAGES_SCHEMA)
+        .mapInPandas(make_warc_parse_fn(metrics), schema=PAGES_SCHEMA)
+    )
+
+
+def read_warc_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """Continuous crawl ingestion: a STREAMING pages DataFrame over WARC
+    archives landing in ``path`` — new archives become micro-batches
+    (file-discovery source, exactly-once per file via the checkpoint),
+    parsed by the same batch function as ``read_warc``. Compose with
+    ``streaming.stream.start_extract_stream``-style sinks or the
+    watermarked operators in ``streaming.windowed``.
+    """
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_DDL)
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    from pyocr_spark.sources.pages import PAGES_SCHEMA
+
+    return (
+        reader.load(path)
+        .select("content")
+        .mapInPandas(make_warc_parse_fn(), schema=PAGES_SCHEMA)
     )

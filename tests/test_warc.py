@@ -77,3 +77,53 @@ def test_read_warc_to_pages_and_extract(spark, tmp_path):
            for r in extract_df(pages, modes=frozenset({"text"})).collect()}
     assert out["https://b.example.com/x"] == "beta 42"
     assert out["https://a.example.com/"] == "alpha page 1"
+
+
+def test_read_warc_stream_drains_archives_as_batches(spark, tmp_path):
+    """Streaming WARC ingestion: archives landing in a directory become
+    micro-batches of pages rows via the same parse path as batch, then
+    flow into the extraction UDF unchanged."""
+    import os
+    import time
+
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.warc import read_warc_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    now = time.time()
+    (src / "seg-00000.warc").write_bytes(ARCHIVE)
+    os.utime(src / "seg-00000.warc", (now - 100, now - 100))
+    second = _record(
+        "response", "https://c.example.com/y", "2024-03-04T05:06:07Z",
+        b"<p>gamma 7</p>",
+    )
+    (src / "seg-00001.warc.gz").write_bytes(gzip.compress(second))
+    os.utime(src / "seg-00001.warc.gz", (now - 50, now - 50))
+
+    out = tmp_path / "out"
+    q = (
+        extract_df(
+            read_warc_stream(spark, str(src), max_files_per_trigger=1),
+            modes=frozenset({"text"}),
+            dedup=False,  # the dedup window needs watermarks in streaming
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r["extracted_text"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {
+        "https://a.example.com/": "alpha page 1",
+        "https://b.example.com/x": "beta 42",
+        "https://c.example.com/y": "gamma 7",
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        read_warc_stream(spark, str(src), max_files_per_trigger=0)
