@@ -1,14 +1,16 @@
 """Composed corpus construction — the end-to-end training-data flow as
 ONE declarative plan.
 
-pages → (keep latest crawl) → extract text → content dedup (keep the
-lexicographically-first url per md5) → quality gate (token count) →
-deterministic sample → (url, content_hash, n_tokens).
+pages → (keep latest crawl) → extract text → quality gate (token count,
+group-uniform so it commutes with dedup) → content dedup (keep the
+lexicographically-first url per md5) → deterministic sample →
+(url, content_hash, n_tokens).
 
 The whole chain is two shuffles — the two windows (latest-crawl per url,
 content-hash dedup) — everything else is narrow: the quality gate and the
-hash sample are filters, so Catalyst pipelines them into the post-window
-stages. Asserted in scripts/explain_audit.py (exactly 2 Exchanges, no
+hash sample are filters Catalyst pipelines into the surrounding stages,
+and the gate runs BEFORE the dedup window so the second Exchange carries
+(url, content_hash, n_tokens), never the corpus text. Asserted in scripts/explain_audit.py (exactly 2 Exchanges, no
 join). At 10^12 pages this composition is exactly the plan you want: no
 materialization between steps, AQE coalesce/skew-split applies to both
 windows, and the sample is content-addressed (stable across re-runs and
@@ -39,18 +41,24 @@ def build_training_corpus(
         & F.col("extracted_text").isNotNull()
         & (F.col("extracted_text") != "")
     )
+    # hash + token-count + gate BEFORE the dedup window: n_tokens is a
+    # pure function of the text, identical for every row in a digest
+    # group, so gating early keeps exactly the same groups while letting
+    # the text column be dropped pre-shuffle — the Exchange then carries
+    # (url, content_hash, n_tokens), ~70 bytes/row, not the corpus text
+    gated = ok.select(
+        "url",
+        F.md5("extracted_text").alias("content_hash"),
+        token_count(F.col("extracted_text")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= min_tokens)
     # exact content dedup keeping the first url per digest — a window,
     # not exact_dedup()'s groupBy, because the surviving ROW must flow on
-    # (the groupBy form would need a join back to recover the text)
+    # (the groupBy form would need a join back to recover its columns)
     w = Window.partitionBy("content_hash").orderBy("url")
     ded = (
-        ok.withColumn("content_hash", F.md5("extracted_text"))
-        .withColumn("_rn", F.row_number().over(w))
+        gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    gated = ded.withColumn("n_tokens", token_count(F.col("extracted_text"))).filter(
-        F.col("n_tokens") >= min_tokens
-    )
-    sampled = hash_sample(gated, sample_fraction, "url", portable=portable_sample)
+    sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
     return sampled.select("url", "content_hash", "n_tokens")

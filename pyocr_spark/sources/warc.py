@@ -173,7 +173,9 @@ def read_warc(spark, path: str, metrics=None):
     )
 
 
-def read_warc_stream(spark, path: str, max_files_per_trigger: int | None = None):
+def read_warc_stream(
+    spark, path: str, max_files_per_trigger: int | None = None, metrics=None
+):
     """Continuous crawl ingestion: a STREAMING pages DataFrame over WARC
     archives landing in ``path`` — new archives become micro-batches
     (file-discovery source, exactly-once per file via the checkpoint),
@@ -193,5 +195,5 @@ def read_warc_stream(spark, path: str, max_files_per_trigger: int | None = None)
     return (
         reader.load(path)
         .select("content")
-        .mapInPandas(make_warc_parse_fn(), schema=PAGES_SCHEMA)
+        .mapInPandas(make_warc_parse_fn(metrics), schema=PAGES_SCHEMA)
     )

@@ -169,7 +169,10 @@ def main() -> int:
         lines.append(f"| {q} | {prop} | {'✅' if ok else '❌'} | {ev_flat} |")
     lines.append("")
     for name, p in sections:
-        lines.append(f"## {name}\n\n```\n{p.strip()[:4000]}\n```\n")
+        body = p.strip()
+        if len(body) > 12000:  # keep PLANS.md reviewable, but never cut
+            body = body[:12000] + "\n... [SECTION TRUNCATED BY explain_audit.py] ..."
+        lines.append(f"## {name}\n\n```\n{body}\n```\n")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print(("PASS" if ok_all else "FAIL") + f" — {sum(o for _,_,o,_ in checks)}/{len(checks)} plan properties; wrote PLANS.md")

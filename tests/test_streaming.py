@@ -20,7 +20,7 @@ def test_stream_drains_and_checkpoints(spark, pages_sf0001, tmp_path):
         available_now=True,
         max_files_per_trigger=8,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "streaming drain timed out"
     got = spark.read.parquet(out)
     # dedup scope is per micro-batch (documented): every url present, and
     # at most the 5 cross-batch re-crawls appear twice
@@ -37,5 +37,5 @@ def test_stream_drains_and_checkpoints(spark, pages_sf0001, tmp_path):
         spark, str(pages_sf0001 / "pages.parquet"), out, ckpt,
         modes=MODES, available_now=True,
     )
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "streaming drain timed out"
     assert spark.read.parquet(out).count() == n_rows

@@ -83,7 +83,7 @@ def test_watermark_drops_late_rows_and_finalizes_windows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming drain timed out"
 
     got = {
         (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
@@ -133,7 +133,7 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming drain timed out"
 
     # last emitted version per user == whole-input totals (state carried
     # across micro-batches, not recomputed per batch)
@@ -184,7 +184,7 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming drain timed out"
     got = spark.read.parquet(str(out)).toPandas()
     # exactly one row per event_id: the within-watermark re-delivery of
     # event 1 was dropped, everything else emitted once

@@ -115,7 +115,7 @@ def test_read_warc_stream_drains_archives_as_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming drain timed out"
     got = {r["url"]: r["extracted_text"] for r in spark.read.parquet(str(out)).collect()}
     assert got == {
         "https://a.example.com/": "alpha page 1",
