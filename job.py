@@ -37,6 +37,15 @@ def parse_args(argv=None):
              "(Iceberg output lands via sources.pages.write_output on real deployments)",
     )
     p.add_argument("--fresh", action="store_true", help="ignore existing lineage (full re-run)")
+    p.add_argument(
+        "--corpus", action="store_true",
+        help="run the composed corpus-construction plan (extract -> content "
+             "dedup -> token gate -> deterministic sample) instead of the "
+             "resumable full-surface extraction; writes (url, content_hash, "
+             "n_tokens) parquet",
+    )
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--sample-fraction", type=float, default=1.0)
     return p.parse_args(argv)
 
 
@@ -64,6 +73,17 @@ def main(argv=None) -> None:
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
+    if args.corpus:
+        from pyocr_spark.plans.corpus import build_training_corpus
+
+        out = build_training_corpus(
+            pages, min_tokens=args.min_tokens, sample_fraction=args.sample_fraction
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "corpus", "rows": n, "output": args.output}))
+        spark.stop()
+        return
     report = run_resumable_extract(
         spark,
         pages,

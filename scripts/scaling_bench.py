@@ -75,6 +75,16 @@ for name, modes in [("text", TEXT_ONLY), ("full", ALL_MODES)]:
         noop(extract_df(read_pages(spark, P), modes=modes, metrics=m, dedup=False))
         walls.append(round(time.monotonic() - t0, 3))
     out[f"walls_{{name}}"] = walls
+# the composed corpus pipeline: extraction + BOTH windows (latest-crawl
+# dedup + content dedup) + gate + sample — the shuffle-bearing workload,
+# complementing the shuffle-free narrow map above
+from pyocr_spark.plans.corpus import build_training_corpus
+walls = []
+for rep in range({reps}):
+    t0 = time.monotonic()
+    noop(build_training_corpus(read_pages(spark, P), min_tokens=20, sample_fraction=0.5))
+    walls.append(round(time.monotonic() - t0, 3))
+out["walls_corpus"] = walls
 spark.stop()
 print("RESULT " + json.dumps(out))
 """
@@ -127,7 +137,9 @@ def main() -> None:
     # wall across rounds (the host's un-throttled capability), publishing
     # every raw wall alongside.
     ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
-    walls: dict[int, dict[str, list[float]]] = {c: {"text": [], "full": []} for c in (2, 8, 32)}
+    walls: dict[int, dict[str, list[float]]] = {
+        c: {"text": [], "full": [], "corpus": []} for c in (2, 8, 32)
+    }
     pages_n = 0
     ceil_samples: dict[int, list[float]] = {2: [], 8: [], 32: []}
     for rnd in range(ROUNDS):
@@ -136,6 +148,7 @@ def main() -> None:
             pages_n = r["pages"]
             walls[c]["text"] += r["walls_text"]
             walls[c]["full"] += r["walls_full"]
+            walls[c]["corpus"] += r["walls_corpus"]
         if rnd < 2:  # ceiling: 2 interleaved samples per worker count
             for w in (2, 8, 32):
                 ceil_samples[w].append(mp_ceiling(pages, w))
@@ -146,10 +159,13 @@ def main() -> None:
             "pages": pages_n,
             "raw_walls_text": walls[c]["text"],
             "raw_walls_full": walls[c]["full"],
+            "raw_walls_corpus": walls[c]["corpus"],
             "wall_text": min(walls[c]["text"]),
             "wall_full": min(walls[c]["full"]),
+            "wall_corpus": min(walls[c]["corpus"]),
             "docs_per_sec_text": round(pages_n / min(walls[c]["text"]), 2),
             "docs_per_sec_full": round(pages_n / min(walls[c]["full"]), 2),
+            "docs_per_sec_corpus": round(pages_n / min(walls[c]["corpus"]), 2),
             "docs_per_sec_text_median": round(
                 pages_n / sorted(walls[c]["text"])[len(walls[c]["text"]) // 2], 2
             ),
@@ -167,8 +183,8 @@ def main() -> None:
         "input": pages,
         "runs": runs,
         "mp_ceiling_docs_per_sec": ceiling,
-        "efficiency_2_to_8": {n: eff(2, 8, n) for n in ("text", "full")},
-        "efficiency_8_to_32": {n: eff(8, 32, n) for n in ("text", "full")},
+        "efficiency_2_to_8": {n: eff(2, 8, n) for n in ("text", "full", "corpus")},
+        "efficiency_8_to_32": {n: eff(8, 32, n) for n in ("text", "full", "corpus")},
         # the same job with NO framework (raw multiprocessing, results
         # discarded in-process): what the HOST's memory bandwidth gives
         # this workload at the same worker counts
@@ -186,7 +202,7 @@ def main() -> None:
     # by the host's own efficiency at the same worker counts (does the
     # FRAMEWORK add sub-linearity beyond the hardware's?).
     report["relative_efficiency_2_to_8"] = {
-        n: round(eff(2, 8, n) / hw_eff_2_to_8, 3) for n in ("text", "full")
+        n: round(eff(2, 8, n) / hw_eff_2_to_8, 3) for n in ("text", "full", "corpus")
     }
     report["pass"] = report["relative_efficiency_2_to_8"]["text"] >= 0.8
     print(json.dumps(report, indent=2))
@@ -213,11 +229,11 @@ and the text-workload median is reported alongside.
 
 ## Extraction throughput (docs/sec, byte-identical text per url)
 
-| config | text-only | full surface (all builders) |
-|---|---|---|
-| local[2]  | {r2['docs_per_sec_text']} | {r2['docs_per_sec_full']} |
-| local[8]  | {r8['docs_per_sec_text']} | {r8['docs_per_sec_full']} |
-| local[32] | {r32['docs_per_sec_text']} | {r32['docs_per_sec_full']} |
+| config | text-only | full surface (all builders) | corpus pipeline (extract+2 windows+gate+sample) |
+|---|---|---|---|
+| local[2]  | {r2['docs_per_sec_text']} | {r2['docs_per_sec_full']} | {r2['docs_per_sec_corpus']} |
+| local[8]  | {r8['docs_per_sec_text']} | {r8['docs_per_sec_full']} | {r8['docs_per_sec_corpus']} |
+| local[32] | {r32['docs_per_sec_text']} | {r32['docs_per_sec_full']} | {r32['docs_per_sec_corpus']} |
 
 ## Hardware baseline (no framework: raw multiprocessing, same extraction)
 
@@ -239,9 +255,9 @@ memory controllers) is modeled by the framework-relative number below.
 
 ## Scaling efficiency thpt(4N) / (4 × thpt(N))
 
-| step | Spark text | Spark full | hardware (no framework) | Spark ÷ hardware (text) |
-|---|---|---|---|---|
-| 2 → 8 workers | {report['efficiency_2_to_8']['text']} | {report['efficiency_2_to_8']['full']} | {report['hw_efficiency_2_to_8']} | **{report['relative_efficiency_2_to_8']['text']}** |
+| step | Spark text | Spark full | Spark corpus | hardware (no framework) | Spark ÷ hardware (text) |
+|---|---|---|---|---|---|
+| 2 → 8 workers | {report['efficiency_2_to_8']['text']} | {report['efficiency_2_to_8']['full']} | {report['efficiency_2_to_8']['corpus']} | {report['hw_efficiency_2_to_8']} | **{report['relative_efficiency_2_to_8']['text']}** |
 | 8 → 32 workers | {report['efficiency_8_to_32']['text']} | {report['efficiency_8_to_32']['full']} | {report['hw_efficiency_8_to_32']} | {round(report['efficiency_8_to_32']['text'] / report['hw_efficiency_8_to_32'], 3)} |
 
 Gate (≥ 0.8 N→4N on the north-star text workload): {"**PASS**" if report['pass'] else "**FAIL**"} —
@@ -259,11 +275,25 @@ bytes plus output serialization, both per-executor-local at scale).
 
 ## Raw walls (seconds; one entry per interleaved round)
 
-| config | text walls | full walls | text median docs/sec |
-|---|---|---|---|
-| local[2]  | {r2['raw_walls_text']} | {r2['raw_walls_full']} | {r2['docs_per_sec_text_median']} |
-| local[8]  | {r8['raw_walls_text']} | {r8['raw_walls_full']} | {r8['docs_per_sec_text_median']} |
-| local[32] | {r32['raw_walls_text']} | {r32['raw_walls_full']} | {r32['docs_per_sec_text_median']} |
+| config | text walls | full walls | corpus walls | text median docs/sec |
+|---|---|---|---|---|
+| local[2]  | {r2['raw_walls_text']} | {r2['raw_walls_full']} | {r2['raw_walls_corpus']} | {r2['docs_per_sec_text_median']} |
+| local[8]  | {r8['raw_walls_text']} | {r8['raw_walls_full']} | {r8['raw_walls_corpus']} | {r8['docs_per_sec_text_median']} |
+| local[32] | {r32['raw_walls_text']} | {r32['raw_walls_full']} | {r32['raw_walls_corpus']} | {r32['docs_per_sec_text_median']} |
+
+The corpus pipeline is `plans/corpus.build_training_corpus` — extraction
+plus BOTH windows (latest-crawl dedup, content dedup), the token gate and
+the content-addressed sample in one plan (exactly 2 Exchanges, PLANS.md):
+the shuffle-bearing counterpart to the shuffle-free extraction columns,
+showing the windows add no scaling pathology of their own.
+
+## Cross-session comparison rule
+
+The no-framework ceiling itself has moved 1.8× between measurement
+sessions on this host (co-tenant phases), so absolute docs/s is only
+comparable within one session. Across sessions, compare the
+Spark÷hardware column (stable ~0.9–1.0) and the efficiency ratios — the
+numbers that would transfer to a real cluster — never raw throughput.
 
 ## Versus the reference's execution model
 
