@@ -43,18 +43,27 @@ def hash_sample(
     fraction: float,
     key: str,
     portable: bool = False,
+    salt: str = "",
 ) -> DataFrame:
     """Keep rows whose key hashes into the first ``fraction`` of buckets.
 
-    Deterministic and layout-independent; disjoint fractions can be
-    carved from the same corpus by hashing with different key prefixes.
+    Deterministic and layout-independent. ``salt`` re-keys the hash so
+    independent carve-outs come from the same corpus without correlation:
+    ``hash_sample(df, 0.1, "url", salt="eval")`` selects a 10% set
+    (statistically) independent of ``salt="train"``'s — whereas two
+    unsalted calls with fractions 0.1 and 0.5 are NESTED (the 10% set is
+    a subset of the 50% set), which is itself useful for growing a
+    sample monotonically.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     # round, not truncate: int(0.29 * 1e6) == 289999 under binary floats,
     # silently selecting one bucket fewer than the stated fraction
     cutoff = int(round(fraction * BUCKETS))
-    bucket = F.pmod(_sample_hash(F.col(key), portable), F.lit(BUCKETS))
+    keyed = F.col(key).cast("string")
+    if salt:
+        keyed = F.concat(keyed, F.lit(":" + salt))
+    bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
     return df.filter(bucket < cutoff)
 
 

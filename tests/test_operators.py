@@ -468,3 +468,19 @@ def test_asof_join_differential_vs_pandas_merge_asof(spark):
     for rid in left_pd["row_id"]:
         e, g = expected.loc[rid], got.loc[rid]
         assert (pd.isna(e) and pd.isna(g)) or e == g, (rid, e, g)
+
+
+def test_hash_sample_salt_independence_and_nesting(spark):
+    from pyocr_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    a = {r["doc_id"] for r in hash_sample(df, 0.25, "doc_id", salt="train").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, 0.25, "doc_id", salt="eval").collect()}
+    assert a != b
+    # independent salts → overlap near fraction² (6.25%), far from nested (25%)
+    overlap = len(a & b) / 4000
+    assert 0.02 < overlap < 0.12, overlap
+    # unsalted fractions are NESTED: the 10% set is inside the 50% set
+    small = {r["doc_id"] for r in hash_sample(df, 0.1, "doc_id").collect()}
+    big = {r["doc_id"] for r in hash_sample(df, 0.5, "doc_id").collect()}
+    assert small <= big
