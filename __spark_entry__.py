@@ -226,6 +226,71 @@ def _q_pages_dedup_latest(spark, sf_dir):
     return df.select("url", F.col("warc_ts").cast("long").alias("ts_epoch"))
 
 
+def _q_lines_dedup(spark, sf_dir):
+    """Composed CCNet-style boilerplate removal: real extraction feeding
+    line-level corpus dedup (operators/linededup.py) — lines shared by
+    more than one document are stripped from every document."""
+    from pyocr_spark.operators.linededup import line_dedup
+
+    ext = _extracted(spark, sf_dir, frozenset({"text"})).select(
+        "url", "extracted_text"
+    )
+    return line_dedup(ext, text_col="extracted_text", id_col="url", max_docfreq=1)
+
+
+def _q_crawl_delta(spark, sf_dir):
+    """Per-url recrawl classification (operators/snapshot.py): drives
+    incremental re-extraction — only changed/new urls re-enter the
+    pipeline."""
+    from pyocr_spark.operators.snapshot import crawl_delta
+
+    return crawl_delta(_pages(spark, sf_dir))
+
+
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization (operators/urlnorm.py). The pages urls are
+    already canonical, so the query first derives a deterministic mangled
+    variant (uppercase scheme+host, explicit default port, fragment) and
+    normalizes THAT — exercising every normalization rule with an exact
+    SQL replay."""
+    from pyocr_spark.operators.urlnorm import normalize_url, url_host
+
+    u = _pages(spark, sf_dir).select("url").distinct()
+    host = F.regexp_extract("url", r"^https://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1)
+    mangled = F.concat(
+        F.lit("HTTPS://"), F.upper(host), F.lit(":443"), path, F.lit("#frag")
+    )
+    return u.select(
+        "url",
+        mangled.alias("mangled"),
+        normalize_url(mangled).alias("url_norm"),
+        url_host(mangled).alias("host"),
+    )
+
+
+def _q_pages_host_filter(spark, sf_dir):
+    """Host-level spam defense (operators/urlnorm.py): drop every page
+    from hosts contributing more than 25 pages (threshold chosen to bite
+    at sf0.01 — ~25.25 pages/host mean)."""
+    from pyocr_spark.operators.urlnorm import host_spam_filter
+
+    out = host_spam_filter(_pages(spark, sf_dir), max_pages_per_host=25)
+    return out.select("host", "url")
+
+
+def _q_doc_repetition(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_vocab_topk(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import vocab_docfreq
+
+    return vocab_docfreq(_docs(spark, sf_dir), k=100)
+
+
 def _q_doc_token_count(spark, sf_dir):
     from pyocr_spark.functions.text_stats import doc_token_stats
 
@@ -553,6 +618,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm7": _q_extract_text_psm7,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "corpus_build": _q_corpus_build,
+        # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
+        "lines_dedup": _q_lines_dedup,
+        "crawl_delta": _q_crawl_delta,
+        "url_normalize": _q_url_normalize,
+        "pages_host_filter": _q_pages_host_filter,
+        "doc_repetition": _q_doc_repetition,
+        "vocab_topk": _q_vocab_topk,
         # multimodal plumbing (fake codec — deterministic, exact oracles
         # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
@@ -731,6 +803,100 @@ def oracle_sql() -> dict[str, str]:
         "pages_dedup_latest": (
             f"SELECT url, CAST(epoch(max(warc_ts)) AS BIGINT) AS ts_epoch "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY url"
+        ),
+        "lines_dedup": (
+            f"WITH src AS (SELECT url, extracted_text "
+            f"FROM read_parquet('{E}/expected_text.parquet')), "
+            "lines AS (SELECT url, "
+            "unnest(string_split(extracted_text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
+            "FROM src), "
+            "freq AS (SELECT line FROM lines GROUP BY line "
+            "HAVING count(DISTINCT url) > 1), "
+            "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
+            "ANTI JOIN freq f USING (line)), "
+            "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
+            "count(*) AS n_kept FROM kept GROUP BY url) "
+            "SELECT s.url, coalesce(a.clean_text, '') AS clean_text, "
+            "len(string_split(s.extracted_text, chr(10))) AS n_lines, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept "
+            "FROM src s LEFT JOIN agg a USING (url)"
+        ),
+        "crawl_delta": (
+            f"WITH v AS (SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts, "
+            f"md5(lower(hex(html))) AS h "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "f AS (SELECT url, ts, h, n FROM (SELECT url, ts, h, "
+            "row_number() OVER (PARTITION BY url ORDER BY ts, h) AS rn, "
+            "count(*) OVER (PARTITION BY url) AS n FROM v) WHERE rn = 1), "
+            "l AS (SELECT url, ts, h FROM (SELECT url, ts, h, "
+            "row_number() OVER (PARTITION BY url ORDER BY ts DESC, h DESC) AS rn "
+            "FROM v) WHERE rn = 1) "
+            "SELECT f.url, CAST(f.n AS BIGINT) AS n_versions, "
+            "f.ts AS first_ts_epoch, l.ts AS last_ts_epoch, "
+            "CASE WHEN f.n = 1 THEN 'single' WHEN f.h = l.h THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM f JOIN l USING (url)"
+        ),
+        "url_normalize": (
+            f"WITH u AS (SELECT DISTINCT url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "m AS (SELECT url, 'HTTPS://' || upper(regexp_extract(url, '^https://([^/]+)', 1)) "
+            "|| ':443' || regexp_extract(url, '^https://[^/]+(/.*)$', 1) || '#frag' AS mangled "
+            "FROM u), "
+            "st AS (SELECT url, mangled, regexp_replace(mangled, '#.*$', '') AS defrag FROM m), "
+            "hd AS (SELECT *, regexp_extract(defrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head, "
+            "substr(defrag, len(regexp_extract(defrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS tail "
+            "FROM st), "
+            "nm AS (SELECT *, CASE "
+            "WHEN lower(head) LIKE 'http://%' AND lower(head) LIKE '%:80' "
+            "THEN substr(lower(head), 1, len(head) - 3) "
+            "WHEN lower(head) LIKE 'https://%' AND lower(head) LIKE '%:443' "
+            "THEN substr(lower(head), 1, len(head) - 4) "
+            "ELSE lower(head) END AS head_norm, "
+            "CASE WHEN regexp_replace(tail, '\\?$', '') = '' THEN '/' "
+            "ELSE regexp_replace(tail, '\\?$', '') END AS tail_norm FROM hd) "
+            "SELECT url, mangled, "
+            "CASE WHEN head = '' THEN defrag ELSE head_norm || tail_norm END AS url_norm, "
+            "lower(regexp_extract(mangled, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host "
+            "FROM nm"
+        ),
+        "pages_host_filter": (
+            f"WITH p AS (SELECT url, "
+            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "off AS (SELECT host FROM p GROUP BY host HAVING count(*) > 25) "
+            "SELECT host, url FROM p ANTI JOIN off USING (host)"
+        ),
+        "doc_repetition": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(trim(text), ' +') AS toks FROM documents), "
+            "stats AS (SELECT doc_id, len(toks) AS n_tokens, "
+            "CASE WHEN len(toks) > 0 THEN "
+            "round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) "
+            "ELSE 0.0 END AS dup_token_frac FROM base), "
+            "grams AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram "
+            "FROM base, unnest(generate_series(1, len(toks) - 1)) t(i) "
+            "WHERE len(toks) >= 2), "
+            "cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, cnt, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn "
+            "FROM cnts) WHERE rn = 1) "
+            "SELECT s.doc_id, s.n_tokens, s.dup_token_frac, "
+            "t.gram AS top_2gram, CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_2gram_cnt, "
+            "CASE WHEN s.n_tokens >= 2 THEN "
+            "round(CAST(coalesce(t.cnt, 0) AS DOUBLE) / (s.n_tokens - 1), 4) "
+            "ELSE 0.0 END AS top_2gram_frac "
+            "FROM stats s LEFT JOIN top t USING (doc_id)"
+        ),
+        "vocab_topk": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), ' +')) AS token FROM documents), "
+            "per AS (SELECT token, doc_id, count(*) AS tf_doc FROM tok "
+            "WHERE token != '' GROUP BY 1, 2), "
+            "v AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(sum(tf_doc) AS BIGINT) AS tf FROM per GROUP BY token) "
+            "SELECT token, df, tf FROM v ORDER BY df DESC, tf DESC, token LIMIT 100"
         ),
         "corpus_build": (
             f"WITH ok AS (SELECT url, extracted_text "

@@ -185,6 +185,113 @@ def normalize_text_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", _nfc(F.col(text_col)).alias("text_nfc"))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token fraction
+    and most-frequent-2-gram coverage. Machine-generated/SEO spam text is
+    dominated by a few repeated n-grams; these two fractions are the
+    cheap filters that catch it before training.
+
+    dup_token_frac is pure HOFs (no shuffle). The top-2-gram needs a
+    per-(doc, gram) count: explode → two-level aggregate — the
+    (id, gram) count partial-aggregates map-side, and the per-doc argmax
+    is max(struct(cnt, gram)) (deterministic: ties go to the
+    lexicographically largest gram), never a sort. Docs with < 2 tokens
+    get a NULL top gram and 0 counts via the left join from the per-doc
+    stats side.
+
+    Returns (id, n_tokens, dup_token_frac, top_2gram, top_2gram_cnt,
+    top_2gram_frac) where top_2gram_frac = cnt / (n_tokens - 1), the
+    fraction of bigram positions the modal bigram covers.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("toks"),
+    )
+    grams = base.filter(F.col("n_tokens") >= 2).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    # argmax via a sortable packed string (19 zero-padded count digits +
+    # gram; parse is positional, so '|' inside a gram is harmless).
+    # max() over a var-length value runs as partial SortAggregate — but
+    # its input is the already-collapsed (id, gram) count table, and the
+    # map-local sort there is cheap next to the explode shuffle above.
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    mk = F.concat_ws(
+        "|", F.lpad(F.col("cnt").cast("string"), 19, "0"), F.col("gram")
+    )
+    top = (
+        counts.select(id_col, mk.alias("mk"))
+        .groupBy(id_col)
+        .agg(F.max("mk").alias("mk"))
+        .select(
+            id_col,
+            F.substring("mk", 1, 19).cast("long").alias("cnt"),
+            F.col("mk").substr(F.lit(21), F.length("mk")).alias("gram"),
+        )
+        .select(id_col, F.struct("cnt", "gram").alias("m"))
+    )
+    stats = base.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+    )
+    return stats.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        F.col("m.gram").alias("top_2gram"),
+        F.coalesce(F.col("m.cnt"), F.lit(0)).cast("long").alias("top_2gram_cnt"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.round(F.coalesce(F.col("m.cnt"), F.lit(0)) / (F.col("n_tokens") - 1), 4),
+        ).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
+    )
+
+
+def vocab_docfreq(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary with document frequency and total term frequency,
+    top-k by docfreq — the substrate for IDF weighting, stopword
+    discovery, and tokenizer-vocab sizing.
+
+    Two-level aggregate: (token, doc) partial counts combine map-side,
+    then the per-token rollup gets docfreq as a plain count (never
+    countDistinct over the raw explode — the first level already made
+    (token, doc) unique). Top-k goes through orderBy+limit, which Spark
+    executes as TakeOrderedAndProject: no global sort materializes.
+    Total order (df desc, tf desc, token asc) makes the cut deterministic.
+
+    Returns (token, df, tf).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", id_col)
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("df"), F.sum("tf_doc").alias("tf"))
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def pii_mask(docs: DataFrame) -> DataFrame:
     """Mask common PII shapes before training: emails and long digit runs
     (phone/account-like). Frozen patterns kept to the regex subset that

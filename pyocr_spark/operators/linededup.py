@@ -1,0 +1,79 @@
+"""Line-level exact deduplication (CCNet-style boilerplate removal).
+
+Web-crawl boilerplate (nav bars, cookie banners, footers) repeats the SAME
+line across many documents; removing lines whose corpus-wide document
+frequency exceeds a threshold is the classic CCNet/RefinedWeb cleanup pass
+that document-level dedup cannot express. Implemented as three Spark
+stages, all built-ins:
+
+1. posexplode the line array (narrow — no shuffle),
+2. aggregate line→docfreq (ONE shuffle, partial-agg/map-side combined on
+   the md5 line key) and keep only frequent lines,
+3. anti-join the exploded lines against the frequent set (broadcast by
+   default — the frequent set is the boilerplate vocabulary, tiny relative
+   to the corpus) and reassemble each document ordered by line position
+   (ONE shuffle on the doc id).
+
+At 100 TB the docfreq aggregate is the dominant shuffle; it moves one
+(md5, id) pair per line and combines map-side, so its output is bounded by
+the distinct-line count, not the corpus size. Set ``broadcast_frequent=
+False`` when the frequent set itself is too large to broadcast (threshold
+near 1 on a pathological corpus) — the anti-join then degrades to a
+shuffle join on the line key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docfreq: int = 1,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Remove lines appearing in more than ``max_docfreq`` distinct docs.
+
+    Returns one row per input document: (id_col, clean_text, n_lines,
+    n_lines_kept). Documents whose every line is boilerplate survive with
+    ``clean_text = ''`` — a downstream length gate decides their fate, not
+    this operator. Line split is exact ``\\n`` (limit -1: trailing empty
+    lines are lines — Java's default split would silently drop them while
+    a SQL oracle keeps them).
+    """
+    lines_arr = F.split(F.col(text_col), "\n", -1)
+    lines = df.select(
+        F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
+    ).withColumn("k", F.md5("line"))
+
+    freq = (
+        lines.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("docfreq"))
+        .filter(F.col("docfreq") > max_docfreq)
+        .select("k")
+    )
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
+
+    kept = lines.join(freq, "k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+
+    base = df.select(F.col(id_col), F.size(lines_arr).alias("n_lines"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+    )

@@ -1,0 +1,68 @@
+"""Crawl-snapshot delta: classify each url across recrawls.
+
+A continuously-recrawled corpus needs to know, per url, whether the latest
+fetch is new content, changed content, or a byte-identical refetch — the
+decision that drives incremental re-extraction (only 'changed'/'new' urls
+re-enter the pipeline) instead of reprocessing the full 10^12-row table.
+
+Single groupBy(url) with min/max over a sortable (warc_ts, content_hash)
+packed string — ONE shuffle, fully partial-aggregated map-side (each
+mapper contributes at most one candidate per url it sees). No window
+function: a window shuffles every version row and sorts whole reduce
+partitions; the aggregate collapses map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def crawl_delta(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """One row per url: (url, n_versions, first_ts_epoch, last_ts_epoch,
+    status) with status in {'single','unchanged','changed'}.
+
+    Content identity is md5 over the hex of the binary column (hex first:
+    a SQL oracle's md5 only accepts strings). Ties on equal timestamps
+    break on the content hash, so first/last are deterministic even for
+    same-instant refetches.
+    """
+    h = F.md5(F.lower(F.hex(F.col(content_col))))
+    # (ts, h) packed as a sortable fixed-layout string (19 zero-padded
+    # epoch digits order numerically; the md5 tail breaks ts ties).
+    # min/max over a var-length value cannot use HashAggregate (UnsafeRow
+    # aggregation buffers are fixed-size), so the plan is a partial
+    # SortAggregate: each mapper sorts ITS OWN split (in-memory,
+    # split-sized) and ships one row per url it saw — the network still
+    # moves one row per (url × mapper), same as a hash partial. The
+    # alternative that avoids the map-local sort — pre-aggregating on a
+    # numeric 64-bit hash — costs a second full shuffle, which loses
+    # badly at crawl scale.
+    key = F.concat_ws(
+        "|", F.lpad(F.col(ts_col).cast("long").cast("string"), 19, "0"), h
+    )
+    v = pages.select(F.col(url_col).alias("url"), key.alias("k"))
+    g = v.groupBy("url").agg(
+        F.count("*").alias("n_versions"),
+        F.min("k").alias("first_k"),
+        F.max("k").alias("last_k"),
+    )
+    first_h = F.substring("first_k", 21, 32)
+    last_h = F.substring("last_k", 21, 32)
+    status = (
+        F.when(F.col("n_versions") == 1, F.lit("single"))
+        .when(first_h == last_h, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return g.select(
+        "url",
+        "n_versions",
+        F.substring("first_k", 1, 19).cast("long").alias("first_ts_epoch"),
+        F.substring("last_k", 1, 19).cast("long").alias("last_ts_epoch"),
+        status.alias("status"),
+    )

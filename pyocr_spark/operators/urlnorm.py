@@ -1,0 +1,85 @@
+"""URL canonicalization and host-level filtering for crawl tables.
+
+Crawl dedup and politeness both key on a canonical url: the same page
+arrives as ``HTTPS://Example.COM:443/path#frag`` and
+``https://example.com/path``. Normalization is pure column expressions
+(whole-stage codegen, exact SQL oracle): every regex stays inside the
+Java-regex/RE2 common subset and uses no backreferences (Spark spells
+them ``$1`` where RE2 spells ``\\1`` — a silent divergence trap).
+
+Host filtering is the standard spam/SEO-farm defense: drop every page
+from hosts contributing more than a threshold share of the corpus. The
+offender list is computed with one partial-aggregated groupBy(host) and
+anti-joined broadcast — host counts are tiny (10^7 hosts vs 10^12 pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: scheme://authority prefix (no path/query/fragment chars in authority)
+_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical url: strip fragment, lowercase scheme+host, drop default
+    ports (http:80, https:443), drop an empty trailing query '?', and give
+    schemeless-path-free urls a '/' path. Path/query case is preserved
+    (paths are case-sensitive on most servers). Urls without a
+    ``scheme://`` head pass through with only the fragment stripped.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    head = F.regexp_extract(u, _HEAD_RE, 1)
+    tail = u.substr(F.length(head) + 1, F.length(u))
+    head_lc = F.lower(head)
+    head_norm = (
+        F.when(
+            head_lc.rlike("^http://") & head_lc.rlike(":80$"),
+            head_lc.substr(F.lit(1), F.length(head_lc) - 3),
+        )
+        .when(
+            head_lc.rlike("^https://") & head_lc.rlike(":443$"),
+            head_lc.substr(F.lit(1), F.length(head_lc) - 4),
+        )
+        .otherwise(head_lc)
+    )
+    tail_norm = F.regexp_replace(tail, r"\?$", "")
+    tail_norm = F.when(tail_norm == "", F.lit("/")).otherwise(tail_norm)
+    return F.when(head == "", u).otherwise(F.concat(head_norm, tail_norm))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (authority minus port) of a ``scheme://`` url;
+    '' when the url has no scheme head."""
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+
+
+def host_spam_filter(
+    pages: DataFrame, url_col: str = "url", max_pages_per_host: int = 1000
+) -> DataFrame:
+    """Drop all pages from hosts with more than ``max_pages_per_host``
+    pages. Returns the surviving pages with a ``host`` column appended.
+    The offender set (hosts over threshold) is broadcast — it is bounded
+    by corpus_size / max_pages_per_host, small by construction.
+    """
+    with_host = pages.withColumn("host", url_host(F.col(url_col)))
+    offenders = (
+        with_host.groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+        .filter(F.col("n_pages") > max_pages_per_host)
+        .select("host")
+    )
+    return with_host.join(F.broadcast(offenders), "host", "left_anti")
+
+
+def blocklist_filter(
+    pages: DataFrame, blocked_hosts: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Anti-join pages against an explicit blocklist of hosts (one
+    ``host`` column). The blocklist is broadcast: curated blocklists are
+    thousands-to-millions of rows, never corpus-scale."""
+    with_host = pages.withColumn("host", url_host(F.col(url_col)))
+    return with_host.join(
+        F.broadcast(blocked_hosts.select("host")), "host", "left_anti"
+    )

@@ -1,0 +1,229 @@
+"""Unit tests for the web-crawl corpus-hygiene operators: line-level
+dedup, crawl-snapshot delta, url normalization/host filtering, repetition
+stats, and vocabulary docfreq."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import repetition_stats, vocab_docfreq
+from pyocr_spark.operators.linededup import line_dedup
+from pyocr_spark.operators.snapshot import crawl_delta
+from pyocr_spark.operators.urlnorm import (
+    blocklist_filter,
+    host_spam_filter,
+    normalize_url,
+    url_host,
+)
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_shared_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\nfooter"),
+            (2, "cookie banner\nunique beta\nfooter"),
+            (3, "unique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, max_docfreq=1).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha"
+    assert out[2]["clean_text"] == "unique beta"
+    assert out[3]["clean_text"] == "unique gamma"
+    assert out[1]["n_lines"] == 3 and out[1]["n_lines_kept"] == 1
+
+
+def test_line_dedup_preserves_order_and_duplicate_lines_within_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "z line\na line\nz line"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # no cross-doc sharing → nothing removed, original order and the
+    # within-doc duplicate both survive
+    assert out[1]["clean_text"] == "z line\na line\nz line"
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared"), (2, "shared"), (3, "shared\nown")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[3]["clean_text"] == "own"
+    assert len(out) == 3  # every input doc appears exactly once
+
+
+def test_line_dedup_docfreq_threshold(spark):
+    docs = spark.createDataFrame(
+        [(i, "twice\nthrice") for i in (1, 2)] + [(3, "thrice")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_docfreq=2).collect()}
+    # 'twice' df=2 <= 2 kept; 'thrice' df=3 > 2 removed
+    assert out[1]["clean_text"] == "twice"
+    assert out[3]["clean_text"] == ""
+
+
+def test_line_dedup_keeps_trailing_empty_lines(spark):
+    # Java split() default drops trailing empties; the operator must not
+    # (limit=-1) — a SQL oracle counts them as lines
+    docs = spark.createDataFrame([(1, "a\nb\n"), (2, "c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["n_lines"] == 3
+    assert out[1]["clean_text"] == "a\nb\n"
+
+
+# ---------------------------------------------------------------------------
+# crawl_delta
+# ---------------------------------------------------------------------------
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day, tzinfo=dt.timezone.utc)
+
+
+def test_crawl_delta_statuses(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u/single", _ts(1), b"aa"),
+            ("u/unchanged", _ts(1), b"same"),
+            ("u/unchanged", _ts(5), b"same"),
+            ("u/changed", _ts(1), b"v1"),
+            ("u/changed", _ts(5), b"v2"),
+            ("u/changed", _ts(9), b"v3"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = {r["url"]: r for r in crawl_delta(pages).collect()}
+    assert out["u/single"]["status"] == "single"
+    assert out["u/unchanged"]["status"] == "unchanged"
+    assert out["u/changed"]["status"] == "changed"
+    assert out["u/changed"]["n_versions"] == 3
+    assert out["u/changed"]["first_ts_epoch"] < out["u/changed"]["last_ts_epoch"]
+
+
+def test_crawl_delta_middle_version_does_not_mask_refetch(spark):
+    # first and last bytes equal, middle differs → 'unchanged' (the
+    # operator classifies the endpoints; intermediate churn is not a
+    # reason to re-extract the latest fetch)
+    pages = spark.createDataFrame(
+        [("u", _ts(1), b"x"), ("u", _ts(2), b"y"), ("u", _ts(3), b"x")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    assert crawl_delta(pages).collect()[0]["status"] == "unchanged"
+
+
+# ---------------------------------------------------------------------------
+# url normalization / host filtering
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        ("HTTPS://Example.COM:443/Path?q=1#frag", "https://example.com/Path?q=1"),
+        ("http://Host.com:80/", "http://host.com/"),
+        ("http://host.com:8080/x", "http://host.com:8080/x"),
+        ("https://host.com", "https://host.com/"),
+        ("https://host.com/a?", "https://host.com/a"),
+        ("no-scheme/path#f", "no-scheme/path"),
+    ],
+)
+def test_normalize_url_cases(spark, raw, expect):
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(normalize_url(F.col("url")).alias("n"))
+        .head()["n"]
+    )
+    assert got == expect
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://A.B.com:443/x",), ("relative/path",)], "url string"
+    )
+    hosts = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert hosts == ["a.b.com", ""]
+
+
+def test_host_spam_filter_drops_heavy_hosts(spark):
+    rows = [(f"https://spam.com/{i}",) for i in range(5)] + [
+        ("https://ok.com/1",),
+        ("https://ok.com/2",),
+    ]
+    pages = spark.createDataFrame(rows, "url string")
+    out = host_spam_filter(pages, max_pages_per_host=3)
+    hosts = {r["host"] for r in out.collect()}
+    assert hosts == {"ok.com"}
+    assert out.count() == 2
+
+
+def test_blocklist_filter(spark):
+    pages = spark.createDataFrame(
+        [("https://bad.com/a",), ("https://good.com/b",)], "url string"
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "host string")
+    out = blocklist_filter(pages, blocked).collect()
+    assert [r["host"] for r in out] == ["good.com"]
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats / vocab_docfreq
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_flags_spam(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),
+            (2, "all distinct words here today"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    spam, clean = out[1], out[2]
+    assert spam["top_2gram"] == "buy now"
+    assert spam["top_2gram_cnt"] == 3
+    assert spam["dup_token_frac"] > 0.5
+    assert clean["dup_token_frac"] == 0.0
+    assert clean["top_2gram_cnt"] == 1
+    # single-token doc: no bigram, present with zeroed fractions
+    assert out[3]["top_2gram"] is None and out[3]["top_2gram_frac"] == 0.0
+
+
+def test_repetition_stats_tie_breaks_deterministically(spark):
+    docs = spark.createDataFrame([(1, "a b c b a b")], "doc_id long, text string")
+    # bigrams: "a b"×2, "b c", "c b", "b a" → modal is "a b"
+    r = repetition_stats(docs).head()
+    assert r["top_2gram"] == "a b" and r["top_2gram_cnt"] == 2
+
+
+def test_vocab_docfreq_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the bird"), (3, "cat")],
+        "doc_id long, text string",
+    )
+    rows = vocab_docfreq(docs, k=2).collect()
+    # 'the': df=2 (docs 1,2), tf=3; 'cat': df=2 (docs 1,3), tf=2 — order is
+    # (df desc, tf desc, token)
+    assert [(r["token"], r["df"], r["tf"]) for r in rows] == [("the", 2, 3), ("cat", 2, 2)]
+
+
+def test_vocab_docfreq_truncation_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y z"), (3, "z x")], "doc_id long, text string"
+    )
+    a = [r["token"] for r in vocab_docfreq(docs, k=2).collect()]
+    b = [r["token"] for r in vocab_docfreq(docs.repartition(7), k=2).collect()]
+    assert a == b == ["x", "y"]  # all df=2 tf=2 → lexicographic cut
