@@ -157,6 +157,27 @@ def main() -> None:
     timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_ngram, threshold=0.5).count())
     timed("quality_score", lambda: noop_write(quality_score(docs_df)), reps=3)
 
+    from pyocr_spark.functions.text_stats import repetition_stats, vocab_docfreq
+    from pyocr_spark.operators.snapshot import crawl_delta
+    from pyocr_spark.operators.linededup import line_dedup
+
+    timed("repetition_stats", lambda: noop_write(repetition_stats(docs_df)), reps=3)
+    timed("vocab_topk", lambda: vocab_docfreq(docs_df, k=100).collect(), reps=3)
+    timed("crawl_delta", lambda: noop_write(crawl_delta(read_pages(spark, pages_path))), reps=3)
+
+    # composed wall: extraction feeding CCNet-style line dedup (the
+    # replicated bench corpus makes most lines frequent — worst case for
+    # the broadcast frequent-line set, so this wall is an upper bound)
+    def _lines_dedup():
+        ext = extract_df(
+            read_pages(spark, pages_path), modes=TEXT_ONLY, dedup=False
+        ).select("url", "extracted_text")
+        noop_write(
+            line_dedup(ext, text_col="extracted_text", id_col="url", max_docfreq=1)
+        )
+
+    timed("lines_dedup", _lines_dedup)
+
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect(), reps=3)
 

@@ -194,10 +194,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     dup_token_frac is pure HOFs (no shuffle). The top-2-gram needs a
     per-(doc, gram) count: explode → two-level aggregate — the
     (id, gram) count partial-aggregates map-side, and the per-doc argmax
-    is max(struct(cnt, gram)) (deterministic: ties go to the
-    lexicographically largest gram), never a sort. Docs with < 2 tokens
-    get a NULL top gram and 0 counts via the left join from the per-doc
-    stats side.
+    is max() over a sortable packed (count, gram) string (deterministic:
+    ties go to the lexicographically largest gram), never a window sort
+    over the corpus. Docs with < 2 tokens get a NULL top gram and 0
+    counts via the left join from the per-doc stats side.
 
     Returns (id, n_tokens, dup_token_frac, top_2gram, top_2gram_cnt,
     top_2gram_frac) where top_2gram_frac = cnt / (n_tokens - 1), the

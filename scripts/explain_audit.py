@@ -158,6 +158,57 @@ def main() -> int:
     check("corpus_build", "no join operator (filters fused, no materialization)",
           "Join" not in p and "CartesianProduct" not in p, "")
 
+    # 11. line dedup: frequent-line set broadcast into an anti-join; both
+    # aggregations partial; no cartesian anywhere
+    df = qs["lines_dedup"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("lines_dedup", p))
+    check("lines_dedup", "broadcast anti-join for the frequent-line set",
+          bool(re.search(r"BroadcastHashJoin[\s\S]{0,200}LeftAnti", p)), "")
+    check("lines_dedup", "partial aggregation on the docfreq count",
+          "partial" in p.lower(), "")
+
+    # 12. crawl delta: ONE shuffle total (the url aggregate); min/max
+    # over the packed key partial-aggregates map-side (SortAggregate
+    # partial — see operators/snapshot.py for why that beats a second
+    # exchange)
+    df = qs["crawl_delta"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("crawl_delta", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("crawl_delta", "exactly one Exchange (url aggregate)",
+          n_exchanges == 1, f"exchanges={n_exchanges}")
+    check("crawl_delta", "partial aggregation before the exchange",
+          "partial" in p.lower(), "")
+    check("crawl_delta", "no Window operator (aggregate, not row_number)",
+          not re.search(r"^\(\d+\) Window", p, flags=re.M), "")
+
+    # 13. vocab: two-level aggregate + TakeOrderedAndProject top-k
+    df = qs["vocab_topk"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("vocab_topk", p))
+    check("vocab_topk", "TakeOrderedAndProject (no global Sort)",
+          "TakeOrderedAndProject" in p, "")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("vocab_topk", "exactly 2 Exchanges ((token,doc) then token rollup)",
+          n_exchanges == 2, f"exchanges={n_exchanges}")
+
+    # 14. host spam filter: offender set broadcast into an anti-join
+    df = qs["pages_host_filter"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pages_host_filter", p))
+    check("pages_host_filter", "broadcast anti-join for the offender host set",
+          bool(re.search(r"BroadcastHashJoin[\s\S]{0,200}LeftAnti", p)), "")
+
+    # 15. repetition stats: equi-joins only, partial aggregation
+    df = qs["doc_repetition"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_repetition", p))
+    check("doc_repetition", "no cartesian/NLJ anywhere",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("doc_repetition", "partial aggregation on the (doc, gram) count",
+          "partial" in p.lower(), "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
