@@ -279,6 +279,33 @@ def _q_pages_host_filter(spark, sf_dir):
     return out.select("host", "url")
 
 
+def _q_incremental_extract(spark, sf_dir):
+    """Incremental re-extraction (plans/incremental.py): reconstruct the
+    'previous run' from the earliest version per url, extract only
+    NEW/CHANGED urls from the latest crawl, and merge over the previous
+    output. The oracle is expected_text itself — the merge must be
+    byte-identical to a full re-extraction of the latest crawl."""
+    from pyocr_spark.plans.incremental import (
+        content_state,
+        keep_earliest_page,
+        merge_outputs,
+        select_changed,
+    )
+    from pyocr_spark.plans.pipeline import extract_df
+
+    pages = _pages(spark, sf_dir)
+    earliest = keep_earliest_page(pages)
+    prev_state = content_state(earliest)
+    prev_out = extract_df(earliest, modes=frozenset({"text"}), dedup=False).select(
+        "url", "extracted_text"
+    )
+    todo = select_changed(pages, prev_state)
+    fresh = extract_df(todo, modes=frozenset({"text"}), dedup=False).select(
+        "url", "extracted_text"
+    )
+    return merge_outputs(prev_out, fresh)
+
+
 def _q_doc_repetition(spark, sf_dir):
     from pyocr_spark.functions.text_stats import repetition_stats
 
@@ -623,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "url_normalize": _q_url_normalize,
         "pages_host_filter": _q_pages_host_filter,
+        "incremental_extract": _q_incremental_extract,
         "doc_repetition": _q_doc_repetition,
         "vocab_topk": _q_vocab_topk,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -867,6 +895,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
             "off AS (SELECT host FROM p GROUP BY host HAVING count(*) > 25) "
             "SELECT host, url FROM p ANTI JOIN off USING (host)"
+        ),
+        # the incremental path must reproduce the full re-extraction
+        # byte-identically — the oracle IS the full-extraction table
+        "incremental_extract": (
+            f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')"
         ),
         "doc_repetition": (
             "WITH base AS (SELECT doc_id, "

@@ -209,6 +209,17 @@ def main() -> int:
     check("doc_repetition", "partial aggregation on the (doc, gram) count",
           "partial" in p.lower(), "")
 
+    # 16. incremental re-extraction: url-equi joins only (state join +
+    # merge anti-join) — never a cartesian; both extraction stages stay
+    # Exchange-free maps (their inputs are the url-window outputs)
+    df = qs["incremental_extract"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("incremental_extract", p))
+    check("incremental_extract", "equi-joins only (no cartesian/NLJ)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("incremental_extract", "union of kept + fresh present",
+          "Union" in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

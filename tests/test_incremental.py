@@ -1,0 +1,85 @@
+"""Incremental re-extraction plan (plans/incremental.py): delta
+selection, state, and the merge-equals-full-reextract invariant."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import dedup_latest_page
+from pyocr_spark.plans.incremental import (
+    content_state,
+    keep_earliest_page,
+    merge_outputs,
+    select_changed,
+)
+from pyocr_spark.plans.pipeline import extract_df
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day, tzinfo=dt.timezone.utc)
+
+
+def _pages(spark):
+    rows = [
+        # a: single version
+        ("https://h/a", _ts(1), b"<p>alpha one</p>", None, "en"),
+        # b: changed on recrawl
+        ("https://h/b", _ts(1), b"<p>beta one</p>", None, "en"),
+        ("https://h/b", _ts(5), b"<p>beta two</p>", None, "en"),
+        # c: byte-identical refetch
+        ("https://h/c", _ts(1), b"<p>gamma</p>", None, "en"),
+        ("https://h/c", _ts(5), b"<p>gamma</p>", None, "en"),
+        # d: appears only in the later crawl
+        ("https://h/d", _ts(5), b"<p>delta new</p>", None, "en"),
+    ]
+    return spark.createDataFrame(rows, PAGES_DDL)
+
+
+def test_select_changed_picks_new_and_changed_only(spark):
+    pages = _pages(spark)
+    prev_state = content_state(keep_earliest_page(pages).filter(F.col("url") != "https://h/d"))
+    todo = select_changed(pages, prev_state)
+    urls = sorted(r["url"] for r in todo.select("url").collect())
+    # b changed, d is new; a unchanged, c is an identical refetch
+    assert urls == ["https://h/b", "https://h/d"]
+
+
+def test_content_state_tracks_latest_version(spark):
+    pages = _pages(spark)
+    st = {r["url"]: r for r in content_state(pages).collect()}
+    assert len(st) == 4
+    assert st["https://h/b"]["ts_epoch"] == int(_ts(5).timestamp())
+    assert len(st["https://h/a"]["content_hash"]) == 32
+
+
+def test_incremental_merge_equals_full_reextract(spark):
+    pages = _pages(spark)
+    earliest = keep_earliest_page(pages)
+    prev_out = extract_df(earliest, modes=frozenset({"text"}), dedup=False).select(
+        "url", "extracted_text"
+    )
+    todo = select_changed(pages, content_state(earliest))
+    fresh = extract_df(todo, modes=frozenset({"text"}), dedup=False).select(
+        "url", "extracted_text"
+    )
+    merged = merge_outputs(prev_out, fresh)
+
+    full = extract_df(
+        dedup_latest_page(pages), modes=frozenset({"text"}), dedup=False
+    ).select("url", "extracted_text")
+
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) == 4
+
+
+def test_merge_keeps_vanished_urls(spark):
+    ddl = "url string, extracted_text string"
+    prev_out = spark.createDataFrame(
+        [("u/kept", "old text"), ("u/gone", "still here")], ddl
+    )
+    fresh_out = spark.createDataFrame([("u/kept", "new text")], ddl)
+    merged = dict(map(tuple, merge_outputs(prev_out, fresh_out).collect()))
+    assert merged == {"u/kept": "new text", "u/gone": "still here"}
