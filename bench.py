@@ -60,8 +60,11 @@ def main() -> None:
             t0 = time.monotonic()
             fn()
             walls.append(time.monotonic() - t0)
-        walls.sort()
-        timings[name] = round(walls[len(walls) // 2], 3)  # median
+        # BEST wall, per the BENCH/BASELINE.md protocol: the host has
+        # multi-minute co-tenant throttle phases (2.4× swings measured on
+        # a no-framework baseline), so the minimum is the capability
+        # number; a median mixes in whatever phase the run landed on
+        timings[name] = round(min(walls), 3)
 
     def noop_write(df):
         df.write.format("noop").mode("overwrite").save()
@@ -116,6 +119,7 @@ def main() -> None:
             extract_df(read_pages(spark, pages_path), modes=TEXT_ONLY,
                        dedup=True, repartition_to=CPUS * 4)
         ),
+        reps=2,
     )
     extras["docs_per_sec_pipeline"] = round(docs / timings["pipeline_text_dedup_salt"], 2)
 
@@ -154,7 +158,7 @@ def main() -> None:
         str(ensure_docs_bench(SF_DIR, replicate=max(2, REPLICATE // 4)) / "documents.parquet")
     )
     extras["bench_docs_ngram"] = docs_ngram.count()
-    timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_ngram, threshold=0.5).count())
+    timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_ngram, threshold=0.5).count(), reps=2)
     timed("quality_score", lambda: noop_write(quality_score(docs_df)), reps=3)
 
     from pyocr_spark.functions.text_stats import repetition_stats, vocab_docfreq
@@ -176,7 +180,7 @@ def main() -> None:
             line_dedup(ext, text_col="extracted_text", id_col="url", max_docfreq=1)
         )
 
-    timed("lines_dedup", _lines_dedup)
+    timed("lines_dedup", _lines_dedup, reps=2)
 
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect(), reps=3)

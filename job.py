@@ -46,6 +46,17 @@ def parse_args(argv=None):
     )
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--sample-fraction", type=float, default=1.0)
+    p.add_argument(
+        "--incremental", action="store_true",
+        help="incremental re-extraction (plans/incremental): keep a per-url "
+             "content-hash state table beside the output; re-extract only "
+             "NEW/CHANGED urls and merge over the previous output. First run "
+             "(no state yet) extracts everything and seeds the state.",
+    )
+    p.add_argument(
+        "--state", default=None,
+        help="state table path for --incremental (default: <output>_state)",
+    )
     return p.parse_args(argv)
 
 
@@ -73,6 +84,10 @@ def main(argv=None) -> None:
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
+    if args.incremental:
+        run_incremental(spark, pages, args)
+        spark.stop()
+        return
     if args.corpus:
         from pyocr_spark.plans.corpus import build_training_corpus
 
@@ -95,6 +110,73 @@ def main(argv=None) -> None:
     )
     print(json.dumps(report))
     spark.stop()
+
+
+def run_incremental(spark, pages, args) -> None:
+    """Incremental re-extraction: read previous output + state, extract
+    only new/changed urls, merge, then two-step swap (write to
+    *.inprogress, delete old, rename). On Iceberg deployments the swap is
+    a transactional overwrite instead (sources.pages.write_output); the
+    parquet path keeps the job self-contained on any Hadoop filesystem."""
+    from pyocr_spark.core.oracle import ALL_MODES
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.plans.incremental import (
+        content_state,
+        merge_outputs,
+        select_changed,
+    )
+    from pyocr_spark.plans.pipeline import extract_df
+
+    modes = ALL_MODES if args.modes == "all" else frozenset(args.modes.split(","))
+    state_path = args.state or args.output.rstrip("/") + "_state"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _path(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(p):
+        return _path(p).getFileSystem(hconf)
+
+    def _exists(p):
+        return _fs(p).exists(_path(p))
+
+    have_prev = _exists(args.output) and _exists(state_path)
+    n_refreshed: int | None = None
+    if not have_prev:
+        merged = extract_df(
+            dedup_latest_page(pages), modes=modes, psm=args.psm, dedup=False
+        )
+    else:
+        prev_state = spark.read.parquet(state_path)
+        todo = select_changed(pages, prev_state)
+        n_refreshed = todo.count()
+        fresh = extract_df(todo, modes=modes, psm=args.psm, dedup=False)
+        merged = merge_outputs(spark.read.parquet(args.output), fresh)
+
+    # the merged plan READS the previous output, so never overwrite in
+    # place: land in *.inprogress, then swap
+    tmp_out, tmp_state = args.output + ".inprogress", state_path + ".inprogress"
+    merged.write.mode("overwrite").parquet(tmp_out)
+    content_state(pages).write.mode("overwrite").parquet(tmp_state)
+    for final, tmp in ((args.output, tmp_out), (state_path, tmp_state)):
+        fs = _fs(final)
+        if fs.exists(_path(final)):
+            fs.delete(_path(final), True)
+        fs.rename(_path(tmp), _path(final))
+
+    print(
+        json.dumps(
+            {
+                "mode": "incremental",
+                "first_run": not have_prev,
+                "rows_refreshed": n_refreshed,
+                "rows_total": spark.read.parquet(args.output).count(),
+                "output": args.output,
+                "state": state_path,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

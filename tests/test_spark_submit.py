@@ -41,6 +41,83 @@ def test_spark_submit_pyfiles_job(tmp_path, pages_sf0001):
     assert any(d.startswith("bucket=") for d in os.listdir(out_dir))
 
 
+def _write_pages(path, rows):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True)
+    # Spark reads with an explicit µs timestamp schema; pandas defaults
+    # to ns, which the vectorized parquet reader refuses to convert
+    df.to_parquet(path, coerce_timestamps="us")
+
+
+def _submit_job(zip_path, extra_args, cwd):
+    env = {**os.environ, "PYTHONPATH": ""}
+    return subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "job.py"),
+        ] + extra_args,
+        capture_output=True, text=True, timeout=600, env=env, cwd=cwd,
+    )
+
+
+def test_spark_submit_incremental_mode(tmp_path):
+    """Two --incremental runs: the first seeds output+state; the second
+    re-extracts only the changed/new urls and the merged output matches
+    the latest crawl content per url."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    v1, v2 = str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")
+    _write_pages(v1, [
+        ("https://h/a", "2024-01-01", b"<p>alpha one</p>", None, "en"),
+        ("https://h/b", "2024-01-01", b"<p>beta one</p>", None, "en"),
+        ("https://h/c", "2024-01-01", b"<p>gamma one</p>", None, "en"),
+    ])
+    # crawl 2: b changed, c identical refetch at a later ts, d new
+    _write_pages(v2, [
+        ("https://h/a", "2024-01-01", b"<p>alpha one</p>", None, "en"),
+        ("https://h/b", "2024-01-01", b"<p>beta one</p>", None, "en"),
+        ("https://h/b", "2024-01-05", b"<p>beta two</p>", None, "en"),
+        ("https://h/c", "2024-01-01", b"<p>gamma one</p>", None, "en"),
+        ("https://h/c", "2024-01-05", b"<p>gamma one</p>", None, "en"),
+        ("https://h/d", "2024-01-05", b"<p>delta new</p>", None, "en"),
+    ])
+    out_dir = str(tmp_path / "out")
+
+    p1 = _submit_job(zip_path, [
+        "--input", v1, "--output", out_dir, "--modes", "text", "--incremental",
+    ], str(tmp_path))
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    r1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert r1["first_run"] is True and r1["rows_total"] == 3
+
+    p2 = _submit_job(zip_path, [
+        "--input", v2, "--output", out_dir, "--modes", "text", "--incremental",
+    ], str(tmp_path))
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    r2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert r2["first_run"] is False
+    assert r2["rows_refreshed"] == 2  # b (changed) + d (new); NOT c
+    assert r2["rows_total"] == 4
+
+    import pandas as pd
+
+    out = pd.read_parquet(out_dir).set_index("url")["extracted_text"]
+    assert out["https://h/b"] == "beta two"
+    assert out["https://h/d"] == "delta new"
+    assert out["https://h/a"] == "alpha one"
+
+
 def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     zip_path = subprocess.run(
         ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
