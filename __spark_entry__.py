@@ -207,6 +207,23 @@ def _q_corpus_build(spark, sf_dir):
     )
 
 
+def _q_corpus_build_full(spark, sf_dir):
+    """Full-hygiene corpus construction: extract → line-level boilerplate
+    strip → repetition gate → content dedup → token gate → deterministic
+    sample, ONE composed plan (plans/corpus.py with both optional stages
+    on)."""
+    from pyocr_spark.plans.corpus import build_training_corpus
+
+    return build_training_corpus(
+        _pages(spark, sf_dir),
+        min_tokens=20,
+        sample_fraction=0.5,
+        portable_sample=True,
+        line_dedup_docfreq=1,
+        max_dup_token_frac=0.5,
+    )
+
+
 def _q_media_resize(spark, sf_dir):
     from pyocr_spark.functions.multimodal import resize_media
 
@@ -645,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm7": _q_extract_text_psm7,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "corpus_build": _q_corpus_build,
+        "corpus_build_full": _q_corpus_build_full,
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
         "lines_dedup": _q_lines_dedup,
         "crawl_delta": _q_crawl_delta,
@@ -895,6 +913,34 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
             "off AS (SELECT host FROM p GROUP BY host HAVING count(*) > 25) "
             "SELECT host, url FROM p ANTI JOIN off USING (host)"
+        ),
+        "corpus_build_full": (
+            f"WITH src AS (SELECT url, extracted_text "
+            f"FROM read_parquet('{E}/expected_text.parquet') "
+            "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
+            "lines AS (SELECT url, "
+            "unnest(string_split(extracted_text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
+            "FROM src), "
+            "freq AS (SELECT line FROM lines GROUP BY line "
+            "HAVING count(DISTINCT url) > 1), "
+            "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
+            "ANTI JOIN freq f USING (line)), "
+            "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean "
+            "FROM kept GROUP BY url), "
+            "ok AS (SELECT url, clean AS extracted_text FROM agg WHERE clean != ''), "
+            "rep AS (SELECT url, extracted_text FROM (SELECT url, extracted_text, "
+            "regexp_split_to_array(trim(extracted_text), '\\s+') AS t FROM ok) "
+            "WHERE (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) <= 0.5), "
+            "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
+            "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn "
+            "FROM rep), "
+            "gated AS (SELECT url, content_hash, "
+            "CASE WHEN trim(extracted_text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(extracted_text), '\\s+')) END AS n_tokens "
+            "FROM ded WHERE rn = 1) "
+            "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
+            "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
         ),
         # the incremental path must reproduce the full re-extraction
         # byte-identically — the oracle IS the full-extraction table

@@ -10,6 +10,9 @@
 Runs the resumable extraction (per-bucket lineage; re-running after a
 failure skips completed buckets) and prints the metrics report JSON —
 the driver-side accumulator snapshot per stage — as the last line.
+``--corpus`` runs the composed corpus-construction plan instead;
+``--incremental`` runs state-tracked incremental re-extraction (only
+new/changed urls re-enter the UDF; see plans/incremental.py).
 """
 
 from __future__ import annotations

@@ -34,6 +34,7 @@ def line_dedup(
     id_col: str = "doc_id",
     max_docfreq: int = 1,
     broadcast_frequent: bool = True,
+    keep_empty_docs: bool = True,
 ) -> DataFrame:
     """Remove lines appearing in more than ``max_docfreq`` distinct docs.
 
@@ -43,6 +44,15 @@ def line_dedup(
     this operator. Line split is exact ``\\n`` (limit -1: trailing empty
     lines are lines — Java's default split would silently drop them while
     a SQL oracle keeps them).
+
+    ``keep_empty_docs=False`` drops fully-boilerplate documents instead
+    and returns only (id_col, clean_text, n_lines_kept): this skips the
+    join back to the input, so when the input is an UNMATERIALIZED
+    expensive plan (the fused extraction in plans/corpus.py) it is not
+    recomputed a second time just to re-attach empty rows. The docfreq
+    pass and the rebuild pass still each read the input once — two-pass
+    is inherent to corpus-wide line dedup; feed it a materialized table
+    when the upstream is expensive.
     """
     lines_arr = F.split(F.col(text_col), "\n", -1)
     lines = df.select(
@@ -69,6 +79,8 @@ def line_dedup(
         ).alias("clean_text"),
         F.count("*").alias("n_lines_kept"),
     )
+    if not keep_empty_docs:
+        return rebuilt.select(id_col, "clean_text", "n_lines_kept")
 
     base = df.select(F.col(id_col), F.size(lines_arr).alias("n_lines"))
     return base.join(rebuilt, id_col, "left").select(

@@ -33,14 +33,49 @@ def build_training_corpus(
     min_tokens: int = 20,
     sample_fraction: float = 0.5,
     portable_sample: bool = False,
+    line_dedup_docfreq: int | None = None,
+    max_dup_token_frac: float | None = None,
 ) -> DataFrame:
-    """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus."""
+    """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus.
+
+    Optional hygiene stages (both off by default — the base plan keeps
+    its 2-Exchange shape):
+
+    - ``line_dedup_docfreq``: CCNet-style boilerplate strip — lines
+      shared by more than N docs are removed BEFORE content hashing, so
+      near-identical pages differing only in shared boilerplate dedup
+      together. Adds the line-dedup shuffles (docfreq aggregate +
+      positional rebuild) and, because corpus-wide line dedup is
+      inherently two-pass, a second pass over the extraction — at
+      deployment feed the plan a materialized extraction table when this
+      stage is on.
+    - ``max_dup_token_frac``: Gopher-style repetition gate — drops docs
+      whose duplicate-token fraction exceeds the bound. Pure
+      higher-order functions: a narrow filter, no extra shuffle.
+    """
     ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
     ok = ext.filter(
         (F.col("status") == "ok")
         & F.col("extracted_text").isNotNull()
         & (F.col("extracted_text") != "")
     )
+    if line_dedup_docfreq is not None:
+        from pyocr_spark.operators.linededup import line_dedup
+
+        cleaned = line_dedup(
+            ok.select("url", "extracted_text"),
+            text_col="extracted_text",
+            id_col="url",
+            max_docfreq=line_dedup_docfreq,
+            keep_empty_docs=False,
+        )
+        ok = cleaned.filter(F.col("clean_text") != "").select(
+            "url", F.col("clean_text").alias("extracted_text")
+        )
+    if max_dup_token_frac is not None:
+        t = F.split(F.trim(F.col("extracted_text")), r"\s+")
+        dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
+        ok = ok.filter(dup_frac <= max_dup_token_frac)
     # hash + token-count + gate BEFORE the dedup window: n_tokens is a
     # pure function of the text, identical for every row in a digest
     # group, so gating early keeps exactly the same groups while letting

@@ -209,6 +209,25 @@ def main() -> int:
     check("doc_repetition", "partial aggregation on the (doc, gram) count",
           "partial" in p.lower(), "")
 
+    # 15b. full-hygiene corpus: exactly 6 Exchanges, each accounted for —
+    # the latest-crawl window appears TWICE (corpus-wide line dedup is
+    # two-pass, and the fused extraction is recomputed per pass — the
+    # documented trade; a materialized extraction input drops it to one),
+    # the docfreq countDistinct is a two-exchange aggregate ((key,doc)
+    # distinct then key rollup), plus the positional rebuild and the
+    # content-dedup window. The frequent-line set stays a broadcast
+    # anti-join and the repetition gate fuses as a narrow filter (no
+    # Exchange of its own).
+    df = qs["corpus_build_full"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("corpus_build_full", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("corpus_build_full",
+          "exactly 6 Exchanges (2× crawl window [two-pass], 2 docfreq distinct, rebuild, content dedup)",
+          n_exchanges == 6, f"exchanges={n_exchanges}")
+    check("corpus_build_full", "broadcast anti-join for the frequent-line set",
+          bool(re.search(r"BroadcastHashJoin[\s\S]{0,200}LeftAnti", p)), "")
+
     # 16. incremental re-extraction: url-equi joins only (state join +
     # merge anti-join) — never a cartesian; both extraction stages stay
     # Exchange-free maps (their inputs are the url-window outputs)

@@ -177,6 +177,31 @@ def test_blocklist_filter(spark):
     assert [r["host"] for r in out] == ["good.com"]
 
 
+def test_line_dedup_drop_empty_docs_mode(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared"), (2, "shared"), (3, "shared\nown")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, keep_empty_docs=False).collect()}
+    # fully-boilerplate docs 1 and 2 are dropped entirely
+    assert set(out) == {3}
+    assert out[3]["clean_text"] == "own" and out[3]["n_lines_kept"] == 1
+
+
+def test_corpus_full_hygiene_stages_bite(spark, pages_sf0001):
+    from pyocr_spark.plans.corpus import build_training_corpus
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    base = build_training_corpus(pages, portable_sample=True)
+    full = build_training_corpus(
+        pages, portable_sample=True, line_dedup_docfreq=1, max_dup_token_frac=0.5
+    )
+    nb, nf = base.count(), full.count()
+    assert 0 < nf < nb  # both hygiene stages removed documents
+    assert base.columns == full.columns
+
+
 # ---------------------------------------------------------------------------
 # repetition_stats / vocab_docfreq
 # ---------------------------------------------------------------------------
