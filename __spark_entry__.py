@@ -857,8 +857,8 @@ def oracle_sql() -> dict[str, str]:
             "unnest(string_split(extracted_text, chr(10))) AS line, "
             "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
             "FROM src), "
-            "freq AS (SELECT line FROM lines GROUP BY line "
-            "HAVING count(DISTINCT url) > 1), "
+            "freq AS (SELECT line FROM lines WHERE trim(line) != '' "
+            "GROUP BY line HAVING count(DISTINCT url) > 1), "
             "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
             "ANTI JOIN freq f USING (line)), "
             "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
@@ -869,8 +869,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM src s LEFT JOIN agg a USING (url)"
         ),
         "crawl_delta": (
-            f"WITH v AS (SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts, "
-            f"md5(lower(hex(html))) AS h "
+            f"WITH v AS (SELECT url, coalesce(CAST(epoch(warc_ts) AS BIGINT), 0) AS ts, "
+            f"md5(lower(hex(coalesce(html, ''::BLOB)))) AS h "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
             "f AS (SELECT url, ts, h, n FROM (SELECT url, ts, h, "
             "row_number() OVER (PARTITION BY url ORDER BY ts, h) AS rn, "
@@ -900,17 +900,27 @@ def oracle_sql() -> dict[str, str]:
             "WHEN lower(head) LIKE 'https://%' AND lower(head) LIKE '%:443' "
             "THEN substr(lower(head), 1, len(head) - 4) "
             "ELSE lower(head) END AS head_norm, "
-            "CASE WHEN regexp_replace(tail, '\\?$', '') = '' THEN '/' "
-            "ELSE regexp_replace(tail, '\\?$', '') END AS tail_norm FROM hd) "
+            "CASE WHEN regexp_matches(tail, '^[^?]*\\?$') "
+            "THEN CASE WHEN substr(tail, 1, len(tail) - 1) = '' THEN '/' "
+            "ELSE substr(tail, 1, len(tail) - 1) END "
+            "WHEN tail = '' THEN '/' ELSE tail END AS tail_norm FROM hd), "
+            "au AS (SELECT *, regexp_replace("
+            "regexp_extract(mangled, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), "
+            "'^[^@]*@', '') AS a2 FROM nm) "
             "SELECT url, mangled, "
             "CASE WHEN head = '' THEN defrag ELSE head_norm || tail_norm END AS url_norm, "
-            "lower(regexp_extract(mangled, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host "
-            "FROM nm"
+            "lower(CASE WHEN a2 LIKE '[%' THEN regexp_extract(a2, '^(\\[[^\\]]*\\])', 1) "
+            "ELSE regexp_replace(a2, ':[0-9]*$', '') END) AS host "
+            "FROM au"
         ),
         "pages_host_filter": (
-            f"WITH p AS (SELECT url, "
-            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host "
+            f"WITH a AS (SELECT url, regexp_replace("
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), "
+            "'^[^@]*@', '') AS a2 "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "p AS (SELECT url, "
+            "lower(CASE WHEN a2 LIKE '[%' THEN regexp_extract(a2, '^(\\[[^\\]]*\\])', 1) "
+            "ELSE regexp_replace(a2, ':[0-9]*$', '') END) AS host FROM a), "
             "off AS (SELECT host FROM p GROUP BY host HAVING count(*) > 25) "
             "SELECT host, url FROM p ANTI JOIN off USING (host)"
         ),
@@ -922,15 +932,15 @@ def oracle_sql() -> dict[str, str]:
             "unnest(string_split(extracted_text, chr(10))) AS line, "
             "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
             "FROM src), "
-            "freq AS (SELECT line FROM lines GROUP BY line "
-            "HAVING count(DISTINCT url) > 1), "
+            "freq AS (SELECT line FROM lines WHERE trim(line) != '' "
+            "GROUP BY line HAVING count(DISTINCT url) > 1), "
             "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
             "ANTI JOIN freq f USING (line)), "
             "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean "
             "FROM kept GROUP BY url), "
             "ok AS (SELECT url, clean AS extracted_text FROM agg WHERE clean != ''), "
             "rep AS (SELECT url, extracted_text FROM (SELECT url, extracted_text, "
-            "regexp_split_to_array(trim(extracted_text), '\\s+') AS t FROM ok) "
+            "regexp_split_to_array(trim(extracted_text), '[\\t\\n\\f\\r ]+') AS t FROM ok) "
             "WHERE (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) <= 0.5), "
             "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
             "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn "
@@ -949,7 +959,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_repetition": (
             "WITH base AS (SELECT doc_id, "
-            "string_split_regex(trim(text), ' +') AS toks FROM documents), "
+            "string_split_regex(trim(text), '[\\t\\n\\f\\r ]+') AS toks FROM documents), "
             "stats AS (SELECT doc_id, len(toks) AS n_tokens, "
             "CASE WHEN len(toks) > 0 THEN "
             "round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) "
@@ -970,7 +980,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_topk": (
             "WITH tok AS (SELECT doc_id, "
-            "unnest(string_split_regex(trim(text), ' +')) AS token FROM documents), "
+            "unnest(string_split_regex(trim(text), '[\\t\\n\\f\\r ]+')) AS token FROM documents), "
             "per AS (SELECT token, doc_id, count(*) AS tf_doc FROM tok "
             "WHERE token != '' GROUP BY 1, 2), "
             "v AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "

@@ -122,9 +122,9 @@ def run_incremental(spark, pages, args) -> None:
     a transactional overwrite instead (sources.pages.write_output); the
     parquet path keeps the job self-contained on any Hadoop filesystem."""
     from pyocr_spark.core.oracle import ALL_MODES
-    from pyocr_spark.operators.dedup import dedup_latest_page
     from pyocr_spark.plans.incremental import (
         content_state,
+        latest_pages,
         merge_outputs,
         select_changed,
     )
@@ -146,15 +146,24 @@ def run_incremental(spark, pages, args) -> None:
 
     have_prev = _exists(args.output) and _exists(state_path)
     n_refreshed: int | None = None
+    fresh_dir = args.output.rstrip("/") + ".fresh"
     if not have_prev:
         merged = extract_df(
-            dedup_latest_page(pages), modes=modes, psm=args.psm, dedup=False
+            latest_pages(pages), modes=modes, psm=args.psm, dedup=False
         )
     else:
         prev_state = spark.read.parquet(state_path)
         todo = select_changed(pages, prev_state)
-        n_refreshed = todo.count()
-        fresh = extract_df(todo, modes=modes, psm=args.psm, dedup=False)
+        # materialize the delta BEFORE merging: merge_outputs consumes the
+        # fresh side twice (anti-join probe + union), which would run the
+        # extraction UDF twice per changed url on an unmaterialized plan;
+        # the written delta is also the natural audit trail of what this
+        # run re-extracted, and its row count is free
+        extract_df(todo, modes=modes, psm=args.psm, dedup=False).write.mode(
+            "overwrite"
+        ).parquet(fresh_dir)
+        fresh = spark.read.parquet(fresh_dir)
+        n_refreshed = fresh.count()
         merged = merge_outputs(spark.read.parquet(args.output), fresh)
 
     # the merged plan READS the previous output, so never overwrite in
@@ -167,6 +176,8 @@ def run_incremental(spark, pages, args) -> None:
         if fs.exists(_path(final)):
             fs.delete(_path(final), True)
         fs.rename(_path(tmp), _path(final))
+    if _exists(fresh_dir):
+        _fs(fresh_dir).delete(_path(fresh_dir), True)
 
     print(
         json.dumps(

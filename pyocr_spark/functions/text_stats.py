@@ -202,8 +202,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     Returns (id, n_tokens, dup_token_frac, top_2gram, top_2gram_cnt,
     top_2gram_frac) where top_2gram_frac = cnt / (n_tokens - 1), the
     fraction of bigram positions the modal bigram covers.
+
+    Tokenization uses the explicit whitespace class ``[\\t\\n\\f\\r ]+``
+    (the Java-regex/RE2 common subset — see BPE_PRETOKEN_RE), not ' +':
+    newline-separated spam ("buy now\\nbuy now") must tokenize into
+    repeated words, not glued "now\\nbuy" tokens that hide the repetition.
     """
-    toks = F.split(F.trim(F.col(text_col)), " +")
+    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
@@ -277,7 +282,7 @@ def vocab_docfreq(
 
     Returns (token, df, tf).
     """
-    toks = F.split(F.trim(F.col(text_col)), " +")
+    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
     per_doc = (
         docs.select(F.col(id_col), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")

@@ -41,7 +41,10 @@ def line_dedup(
     Returns one row per input document: (id_col, clean_text, n_lines,
     n_lines_kept). Documents whose every line is boilerplate survive with
     ``clean_text = ''`` — a downstream length gate decides their fate, not
-    this operator. Line split is exact ``\\n`` (limit -1: trailing empty
+    this operator. Blank (whitespace-only) lines are never removed:
+    they mark paragraph boundaries and are shared by almost every
+    document, so counting them as boilerplate would strip structure
+    corpus-wide. Line split is exact ``\\n`` (limit -1: trailing empty
     lines are lines — Java's default split would silently drop them while
     a SQL oracle keeps them).
 
@@ -59,8 +62,13 @@ def line_dedup(
         F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
     ).withColumn("k", F.md5("line"))
 
+    # blank (whitespace-only) lines are exempt from the frequent set:
+    # empty lines are shared by virtually every document, so without the
+    # exemption every paragraph boundary in the corpus would be stripped
+    # the moment two docs contain one
     freq = (
-        lines.groupBy("k")
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("k")
         .agg(F.countDistinct(id_col).alias("docfreq"))
         .filter(F.col("docfreq") > max_docfreq)
         .select("k")

@@ -14,8 +14,30 @@ partitions; the aggregate collapses map-side first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def content_hash(content_col: str) -> Column:
+    """md5 over the hex of a binary column (hex first: a SQL oracle's md5
+    only accepts strings). NULL content hashes like empty content — a
+    fetch-failure row and an empty body are the same 'nothing fetched'
+    state for change detection."""
+    return F.md5(
+        F.lower(F.hex(F.coalesce(F.col(content_col), F.lit(b""))))
+    )
+
+
+def packed_ts_hash_key(ts_col: str, content_col: str) -> Column:
+    """Sortable fixed-layout (ts, content-hash) string: 19 zero-padded
+    epoch digits (numeric order; NULL ts sorts first as 0) + '|' + 32-char
+    md5. Fixed layout is load-bearing — substring parses at [1,19] and
+    [21,32] and min/max ordering both depend on it, which is why NULLs are
+    coalesced INSIDE the key instead of letting concat_ws silently drop a
+    segment and shift the layout. Shared by crawl_delta and
+    plans/incremental (state + delta must agree byte-for-byte)."""
+    ts = F.coalesce(F.col(ts_col).cast("long"), F.lit(0))
+    return F.concat_ws("|", F.lpad(ts.cast("string"), 19, "0"), content_hash(content_col))
 
 
 def crawl_delta(
@@ -32,20 +54,15 @@ def crawl_delta(
     break on the content hash, so first/last are deterministic even for
     same-instant refetches.
     """
-    h = F.md5(F.lower(F.hex(F.col(content_col))))
-    # (ts, h) packed as a sortable fixed-layout string (19 zero-padded
-    # epoch digits order numerically; the md5 tail breaks ts ties).
-    # min/max over a var-length value cannot use HashAggregate (UnsafeRow
-    # aggregation buffers are fixed-size), so the plan is a partial
-    # SortAggregate: each mapper sorts ITS OWN split (in-memory,
-    # split-sized) and ships one row per url it saw — the network still
-    # moves one row per (url × mapper), same as a hash partial. The
-    # alternative that avoids the map-local sort — pre-aggregating on a
-    # numeric 64-bit hash — costs a second full shuffle, which loses
-    # badly at crawl scale.
-    key = F.concat_ws(
-        "|", F.lpad(F.col(ts_col).cast("long").cast("string"), 19, "0"), h
-    )
+    # min/max over the packed key: a var-length value cannot use
+    # HashAggregate (UnsafeRow aggregation buffers are fixed-size), so the
+    # plan is a partial SortAggregate: each mapper sorts ITS OWN split
+    # (in-memory, split-sized) and ships one row per url it saw — the
+    # network still moves one row per (url × mapper), same as a hash
+    # partial. The alternative that avoids the map-local sort —
+    # pre-aggregating on a numeric 64-bit hash — costs a second full
+    # shuffle, which loses badly at crawl scale.
+    key = packed_ts_hash_key(ts_col, content_col)
     v = pages.select(F.col(url_col).alias("url"), key.alias("k"))
     g = v.groupBy("url").agg(
         F.count("*").alias("n_versions"),

@@ -44,15 +44,28 @@ def normalize_url(url: Column) -> Column:
         )
         .otherwise(head_lc)
     )
-    tail_norm = F.regexp_replace(tail, r"\?$", "")
+    # drop the query ONLY when it is entirely empty (tail ends in a '?'
+    # that is also the query start) — a '?' ending a non-empty query is
+    # data and stripping it would alias two distinct resources
+    tail_norm = F.when(
+        tail.rlike(r"^[^?]*\?$"), tail.substr(F.lit(1), F.length(tail) - 1)
+    ).otherwise(tail)
     tail_norm = F.when(tail_norm == "", F.lit("/")).otherwise(tail_norm)
     return F.when(head == "", u).otherwise(F.concat(head_norm, tail_norm))
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host (authority minus port) of a ``scheme://`` url;
-    '' when the url has no scheme head."""
-    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    """Lowercased host of a ``scheme://`` url; '' when the url has no
+    scheme head. Strips userinfo (everything through the first '@' —
+    'https://x@evil.com/' must resolve to 'evil.com', or blocklists are
+    trivially evadable) and the port; bracketed IPv6 literals keep their
+    brackets (the ':' inside them is not a port separator)."""
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.when(
+        auth.startswith("["), F.regexp_extract(auth, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.regexp_replace(auth, r":[0-9]*$", ""))
+    return F.lower(host)
 
 
 def host_spam_filter(

@@ -30,12 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: packed sortable (ts, hash) key — 19 zero-padded epoch digits + md5 hex
-def _packed_key(ts_col: str, content_col: str):
-    h = F.md5(F.lower(F.hex(F.col(content_col))))
-    return F.concat_ws(
-        "|", F.lpad(F.col(ts_col).cast("long").cast("string"), 19, "0"), h
-    )
+from pyocr_spark.operators.snapshot import content_hash, packed_ts_hash_key
 
 
 def content_state(
@@ -51,7 +46,7 @@ def content_state(
     g = (
         pages.select(
             F.col(url_col).alias("url"),
-            _packed_key(ts_col, content_col).alias("k"),
+            packed_ts_hash_key(ts_col, content_col).alias("k"),
         )
         .groupBy("url")
         .agg(F.max("k").alias("k"))
@@ -63,11 +58,41 @@ def content_state(
     )
 
 
-def keep_earliest_page(pages: DataFrame) -> DataFrame:
-    """Earliest crawl per url — the twin of dedup_latest_page, used to
-    reconstruct a 'previous run' from a multi-version pages table in
-    tests and the oracle query (production keeps real state tables)."""
-    w = Window.partitionBy("url").orderBy(F.asc("warc_ts"))
+def latest_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """Latest version per url under the SAME total order content_state
+    aggregates with (ts, then content hash): a same-instant double-fetch
+    must resolve to the same row here and in the state, or the persisted
+    hash would describe a version the output never extracted and the
+    url would mis-classify on every later run. (dedup_latest_page orders
+    by ts alone — fine for extraction, not for state tracking.)"""
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc(packed_ts_hash_key(ts_col, content_col))
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def keep_earliest_page(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """Earliest crawl per url (ascending twin of latest_pages, same
+    tie-break) — used to reconstruct a 'previous run' from a
+    multi-version pages table in tests and the oracle query (production
+    keeps real state tables)."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.asc(packed_ts_hash_key(ts_col, content_col))
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -84,21 +109,19 @@ def select_changed(
 ) -> DataFrame:
     """Latest-version page rows that are NEW (url absent from prev_state)
     or CHANGED (content hash differs). Output shape == pages shape, ready
-    for the extraction UDF."""
-    from pyocr_spark.operators.dedup import dedup_latest_page
-
-    latest = dedup_latest_page(pages).withColumn(
-        "_h", F.md5(F.lower(F.hex(F.col(content_col))))
+    for the extraction UDF. Null-safe: a url with NULL content hashes as
+    empty content (see snapshot.content_hash), so a fetch-failure row
+    neither crashes the compare nor silently classifies as unchanged
+    against real previous content."""
+    latest = latest_pages(pages, url_col, ts_col, content_col).withColumn(
+        "_h", content_hash(content_col)
     )
     prev = prev_state.select(
         F.col("url").alias("_prev_url"), F.col("content_hash").alias("_prev_h")
     )
     joined = latest.join(prev, latest[url_col] == prev["_prev_url"], "left")
-    return (
-        joined.filter(
-            F.col("_prev_h").isNull() | (F.col("_h") != F.col("_prev_h"))
-        )
-        .drop("_h", "_prev_url", "_prev_h")
+    return joined.filter(~F.col("_h").eqNullSafe(F.col("_prev_h"))).drop(
+        "_h", "_prev_url", "_prev_h"
     )
 
 
@@ -108,7 +131,12 @@ def merge_outputs(
     """Previous extraction output with re-extracted urls replaced by the
     fresh rows: (prev ANTI fresh.urls) ∪ fresh. Urls that vanished from
     the crawl keep their previous rows — retention policy is a separate
-    concern from extraction."""
+    concern from extraction.
+
+    ``fresh_output`` is consumed TWICE (anti-join probe + union): pass a
+    materialized table, not an unmaterialized extraction plan, or the
+    UDF runs twice per fresh url (job.py writes the delta to
+    ``<output>.fresh`` first for exactly this reason)."""
     fresh_urls = fresh_output.select(url_col)
     kept = prev_output.join(fresh_urls, url_col, "left_anti")
     return kept.unionByName(fresh_output)

@@ -75,6 +75,43 @@ def test_incremental_merge_equals_full_reextract(spark):
     assert got == want and len(got) == 4
 
 
+def test_select_changed_null_html_is_a_change(spark):
+    # a fetch-failure row (html NULL) after real content must be
+    # re-processed, not silently classified unchanged by a null compare
+    v1 = spark.createDataFrame(
+        [("u", _ts(1), b"<p>real</p>", None, "en")], PAGES_DDL
+    )
+    v2 = spark.createDataFrame(
+        [("u", _ts(1), b"<p>real</p>", None, "en"), ("u", _ts(5), None, None, "en")],
+        PAGES_DDL,
+    )
+    todo = select_changed(v2, content_state(v1))
+    assert [r["url"] for r in todo.collect()] == ["u"]
+    # and two null fetches in a row are NOT a change
+    todo2 = select_changed(v2, content_state(v2))
+    assert todo2.count() == 0
+
+
+def test_state_and_latest_pick_agree_on_timestamp_ties(spark):
+    # same-instant double fetch with different bytes: the extracted row
+    # and the persisted state hash must describe the SAME version, or the
+    # url mis-classifies forever after
+    from pyocr_spark.plans.incremental import latest_pages
+    from pyocr_spark.operators.snapshot import content_hash
+
+    pages = spark.createDataFrame(
+        [("u", _ts(1), b"<p>aa</p>", None, "en"), ("u", _ts(1), b"<p>bb</p>", None, "en")],
+        PAGES_DDL,
+    )
+    state_hash = content_state(pages).head()["content_hash"]
+    picked_hash = (
+        latest_pages(pages).select(content_hash("html").alias("h")).head()["h"]
+    )
+    assert state_hash == picked_hash
+    # and the agreed pick makes the crawl idempotent: nothing to re-do
+    assert select_changed(pages, content_state(pages)).count() == 0
+
+
 def test_merge_keeps_vanished_urls(spark):
     ddl = "url string, extracted_text string"
     prev_out = spark.createDataFrame(

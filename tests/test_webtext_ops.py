@@ -156,6 +156,36 @@ def test_url_host(spark):
     assert hosts == ["a.b.com", ""]
 
 
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        # userinfo must not mask the real host (blocklist evasion)
+        ("https://x@Evil.com/page", "evil.com"),
+        ("https://u:p@evil.com:8443/", "evil.com"),
+        # bracketed IPv6 keeps brackets; inner ':' is not a port
+        ("http://[2001:db8::1]:8080/x", "[2001:db8::1]"),
+        ("http://[2001:db8::1]/x", "[2001:db8::1]"),
+    ],
+)
+def test_url_host_userinfo_and_ipv6(spark, raw, expect):
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(url_host(F.col("url")).alias("h"))
+        .head()["h"]
+    )
+    assert got == expect
+
+
+def test_normalize_url_keeps_query_ending_in_question_mark(spark):
+    # a '?' terminating a NON-empty query is data, not an empty query
+    got = (
+        spark.createDataFrame([("https://h/p?a=b?",)], "url string")
+        .select(normalize_url(F.col("url")).alias("n"))
+        .head()["n"]
+    )
+    assert got == "https://h/p?a=b?"
+
+
 def test_host_spam_filter_drops_heavy_hosts(spark):
     rows = [(f"https://spam.com/{i}",) for i in range(5)] + [
         ("https://ok.com/1",),
@@ -175,6 +205,18 @@ def test_blocklist_filter(spark):
     blocked = spark.createDataFrame([("bad.com",)], "host string")
     out = blocklist_filter(pages, blocked).collect()
     assert [r["host"] for r in out] == ["good.com"]
+
+
+def test_line_dedup_preserves_blank_lines(spark):
+    # paragraph boundaries ('' lines) are shared by every doc but must
+    # never be stripped as boilerplate
+    docs = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "other\n\nmore")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "para one\n\npara two"
+    assert out[2]["clean_text"] == "other\n\nmore"
 
 
 def test_line_dedup_drop_empty_docs_mode(spark):
@@ -225,6 +267,18 @@ def test_repetition_stats_flags_spam(spark):
     assert clean["top_2gram_cnt"] == 1
     # single-token doc: no bigram, present with zeroed fractions
     assert out[3]["top_2gram"] is None and out[3]["top_2gram_frac"] == 0.0
+
+
+def test_repetition_stats_sees_through_newlines(spark):
+    # newline-separated spam must tokenize into repeated words, not
+    # glued "now\nbuy" tokens that hide the repetition
+    docs = spark.createDataFrame(
+        [(1, "buy now\nbuy now\nbuy now")], "doc_id long, text string"
+    )
+    r = repetition_stats(docs).head()
+    assert r["n_tokens"] == 6
+    assert r["dup_token_frac"] > 0.6
+    assert r["top_2gram"] == "buy now" and r["top_2gram_cnt"] == 3
 
 
 def test_repetition_stats_tie_breaks_deterministically(spark):
