@@ -182,6 +182,22 @@ def main() -> None:
 
     timed("lines_dedup", _lines_dedup, reps=2)
 
+    from pyocr_spark.plans.corpus import build_training_corpus
+
+    timed(
+        "corpus_build_full",
+        lambda: noop_write(
+            build_training_corpus(
+                read_pages(spark, pages_path),
+                min_tokens=20,
+                sample_fraction=0.5,
+                line_dedup_docfreq=1,
+                max_dup_token_frac=0.5,
+            )
+        ),
+        reps=2,
+    )
+
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect(), reps=3)
 
