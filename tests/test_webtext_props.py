@@ -1,0 +1,131 @@
+"""Batch property tests for the crawl-hygiene operators: one seeded
+random corpus per property, ONE Spark job, assertions over every row
+(hypothesis-per-example would pay a Spark job per example)."""
+
+import datetime as dt
+import hashlib
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.linededup import line_dedup
+from pyocr_spark.operators.snapshot import crawl_delta
+from pyocr_spark.operators.urlnorm import normalize_url
+
+RNG = random.Random(0x5EED)
+
+_SCHEMES = ["http", "HTTP", "https", "HTTPS", "ftp"]
+_HOSTS = ["Example.com", "a.b.C.org", "xn--bcher-kva.de", "[2001:db8::1]", "10.0.0.7"]
+_PORTS = ["", ":80", ":443", ":8080", ":0"]
+_PATHS = ["", "/", "/A/b", "/p%20q", "/a//b/"]
+_QUERIES = ["", "?", "?a=1", "?a=1&b=2", "?a=b?"]
+_FRAGS = ["", "#", "#frag", "#a#b"]
+_USERINFO = ["", "user@", "u:p@"]
+
+
+def _random_urls(n=300):
+    urls = []
+    for _ in range(n):
+        urls.append(
+            RNG.choice(_SCHEMES)
+            + "://"
+            + RNG.choice(_USERINFO)
+            + RNG.choice(_HOSTS)
+            + RNG.choice(_PORTS)
+            + RNG.choice(_PATHS)
+            + RNG.choice(_QUERIES)
+            + RNG.choice(_FRAGS)
+        )
+    urls += ["relative/path#f", "", "no scheme at all", "mailto:x@y.z"]
+    return urls
+
+
+def test_normalize_url_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) for adversarial urls —
+    canonical forms must be fixed points or crawl dedup churns forever."""
+    df = spark.createDataFrame([(u,) for u in _random_urls()], "url string")
+    out = df.select(
+        normalize_url(F.col("url")).alias("n1"),
+    ).select("n1", normalize_url(F.col("n1")).alias("n2"))
+    bad = [tuple(r) for r in out.filter(F.col("n1") != F.col("n2")).collect()]
+    assert bad == []
+
+
+def test_normalize_url_strips_fragment_always(spark):
+    df = spark.createDataFrame([(u,) for u in _random_urls()], "url string")
+    out = df.select(normalize_url(F.col("url")).alias("n"))
+    assert out.filter(F.col("n").contains("#")).count() == 0
+
+
+def _random_multiline_texts(n=120):
+    words = ["alpha", "beta", "gamma", "delta", "x", "longer-token", "7"]
+    texts = []
+    for i in range(n):
+        lines = []
+        for _ in range(RNG.randint(0, 6)):
+            lines.append(" ".join(RNG.choices(words, k=RNG.randint(0, 5))))
+        # doc-unique marker guarantees some never-shared lines too
+        lines.append(f"unique-{i}")
+        text = "\n".join(lines)
+        if RNG.random() < 0.3:
+            text += "\n"  # trailing newline: trailing empty line is a line
+        texts.append((i, text))
+    return texts
+
+
+def test_line_dedup_with_huge_threshold_is_identity(spark):
+    """With max_docfreq above the corpus size nothing is frequent, so the
+    split→explode→reassemble round-trip must reproduce every document
+    byte-identically (order, within-doc duplicates, trailing empties)."""
+    rows = _random_multiline_texts()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(df, max_docfreq=10**9).collect()
+    got = {r["doc_id"]: r["clean_text"] for r in out}
+    assert got == dict(rows)
+    for r in out:
+        assert r["n_lines"] == r["n_lines_kept"]
+
+
+def test_line_dedup_output_lines_are_subsequence(spark):
+    """At any threshold, each cleaned doc's lines are a subsequence of the
+    original doc's lines (dedup only deletes; never reorders or edits)."""
+    rows = _random_multiline_texts()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in line_dedup(df, max_docfreq=1).collect()}
+    for doc_id, text in rows:
+        orig = text.split("\n")
+        kept = got[doc_id].split("\n") if got[doc_id] != "" else []
+        it = iter(orig)
+        assert all(line in it for line in kept), (doc_id, orig, kept)
+
+
+def test_crawl_delta_matches_reference_model(spark):
+    """crawl_delta over a random version table agrees with a plain-pandas
+    reference computed from the same rows."""
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for u in range(60):
+        url = f"https://h/{u}"
+        n = RNG.randint(1, 4)
+        ts_pool = RNG.sample(range(100), n)
+        for ts in ts_pool:
+            body = RNG.choice([b"one", b"two", b"three"])
+            rows.append((url, base + dt.timedelta(hours=ts), body))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = {r["url"]: r for r in crawl_delta(df).collect()}
+
+    pdf = pd.DataFrame(rows, columns=["url", "ts", "html"])
+    pdf["h"] = pdf["html"].map(lambda b: hashlib.md5(b.hex().encode()).hexdigest())
+    for url, g in pdf.groupby("url"):
+        g = g.sort_values(["ts", "h"])
+        first_h, last_h = g.iloc[0]["h"], g.iloc[-1]["h"]
+        want = (
+            "single" if len(g) == 1
+            else ("unchanged" if first_h == last_h else "changed")
+        )
+        r = got[url]
+        assert r["status"] == want, url
+        assert r["n_versions"] == len(g)
+        assert r["first_ts_epoch"] == int(g.iloc[0]["ts"].timestamp())
+        assert r["last_ts_epoch"] == int(g.iloc[-1]["ts"].timestamp())
