@@ -50,6 +50,21 @@ def parse_args(argv=None):
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--sample-fraction", type=float, default=1.0)
     p.add_argument(
+        "--line-dedup-docfreq", type=int, default=None,
+        help="--corpus: strip lines shared by more than N docs (CCNet-style "
+             "boilerplate removal) before content hashing",
+    )
+    p.add_argument(
+        "--max-dup-token-frac", type=float, default=None,
+        help="--corpus: drop docs whose duplicate-token fraction exceeds "
+             "this bound (Gopher-style repetition gate)",
+    )
+    p.add_argument(
+        "--blocklist", default=None,
+        help="text file of blocked hosts (one per line); pages from these "
+             "hosts are dropped before any processing mode",
+    )
+    p.add_argument(
         "--incremental", action="store_true",
         help="incremental re-extraction (plans/incremental): keep a per-url "
              "content-hash state table beside the output; re-extract only "
@@ -87,6 +102,11 @@ def main(argv=None) -> None:
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
+    if args.blocklist:
+        from pyocr_spark.operators.urlnorm import blocklist_filter
+
+        blocked = spark.read.text(args.blocklist).withColumnRenamed("value", "host")
+        pages = blocklist_filter(pages, blocked).drop("host")
     if args.incremental:
         run_incremental(spark, pages, args)
         spark.stop()
@@ -95,7 +115,11 @@ def main(argv=None) -> None:
         from pyocr_spark.plans.corpus import build_training_corpus
 
         out = build_training_corpus(
-            pages, min_tokens=args.min_tokens, sample_fraction=args.sample_fraction
+            pages,
+            min_tokens=args.min_tokens,
+            sample_fraction=args.sample_fraction,
+            line_dedup_docfreq=args.line_dedup_docfreq,
+            max_dup_token_frac=args.max_dup_token_frac,
         )
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

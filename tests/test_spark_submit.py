@@ -124,22 +124,15 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
         capture_output=True, text=True, check=True, cwd=REPO,
     ).stdout.strip()
     out_dir = str(tmp_path / "corpus")
-    env = {**os.environ, "PYTHONPATH": ""}
-    proc = subprocess.run(
-        [
-            "spark-submit",
-            "--master", "local[4]",
-            "--conf", "spark.sql.shuffle.partitions=8",
-            "--conf", "spark.ui.enabled=false",
-            "--conf", "spark.ui.showConsoleProgress=false",
-            "--py-files", zip_path,
-            os.path.join(REPO, "job.py"),
-            "--input", str(pages_sf0001 / "pages.parquet"),
-            "--output", out_dir,
-            "--corpus", "--min-tokens", "20", "--sample-fraction", "0.5",
-        ],
-        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
-    )
+    blocklist = tmp_path / "blocked_hosts.txt"
+    blocklist.write_text("src0.example.com\n")
+    proc = _submit_job(zip_path, [
+        "--input", str(pages_sf0001 / "pages.parquet"),
+        "--output", out_dir,
+        "--corpus", "--min-tokens", "20", "--sample-fraction", "0.5",
+        "--line-dedup-docfreq", "1", "--max-dup-token-frac", "0.9",
+        "--blocklist", str(blocklist),
+    ], str(tmp_path))
     assert proc.returncode == 0, proc.stderr[-3000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["mode"] == "corpus" and report["rows"] > 0
@@ -148,3 +141,5 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     out = pd.read_parquet(out_dir)
     assert list(out.columns) == ["url", "content_hash", "n_tokens"]
     assert out["content_hash"].is_unique and (out["n_tokens"] >= 20).all()
+    # the blocklisted host contributed zero rows
+    assert not out["url"].str.startswith("https://src0.example.com/").any()
