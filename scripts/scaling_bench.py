@@ -258,7 +258,7 @@ memory controllers) is modeled by the framework-relative number below.
 | step | Spark text | Spark full | Spark corpus | hardware (no framework) | Spark ÷ hardware (text) |
 |---|---|---|---|---|---|
 | 2 → 8 workers | {report['efficiency_2_to_8']['text']} | {report['efficiency_2_to_8']['full']} | {report['efficiency_2_to_8']['corpus']} | {report['hw_efficiency_2_to_8']} | **{report['relative_efficiency_2_to_8']['text']}** |
-| 8 → 32 workers | {report['efficiency_8_to_32']['text']} | {report['efficiency_8_to_32']['full']} | {report['hw_efficiency_8_to_32']} | {round(report['efficiency_8_to_32']['text'] / report['hw_efficiency_8_to_32'], 3)} |
+| 8 → 32 workers | {report['efficiency_8_to_32']['text']} | {report['efficiency_8_to_32']['full']} | {report['efficiency_8_to_32']['corpus']} | {report['hw_efficiency_8_to_32']} | {round(report['efficiency_8_to_32']['text'] / report['hw_efficiency_8_to_32'], 3)} |
 
 Gate (≥ 0.8 N→4N on the north-star text workload): {"**PASS**" if report['pass'] else "**FAIL**"} —
 Spark scales at {report['relative_efficiency_2_to_8']['text']:.0%} of what the
@@ -270,8 +270,7 @@ framework adds no sub-linearity of its own — the extraction stage is a
 shuffle-free narrow map, so cross-executor communication is zero.
 
 Spark at local[32] reaches **{report['spark_vs_hw_ceiling_at_32']:.0%}** of
-the in-process upper bound (the gap is the Arrow transfer of the html
-bytes plus output serialization, both per-executor-local at scale).
+the in-process upper bound{" (the gap is the Arrow transfer of the html bytes plus output serialization, both per-executor-local at scale)" if report['spark_vs_hw_ceiling_at_32'] <= 1.0 else ". A ratio above 1.0 is physically impossible un-throttled: it means the ceiling's own interleaved samples landed in throttle phases this session — read it as 'Spark matched whatever the host could do', and compare the efficiency ratios, not this cell, across sessions"}.
 
 ## Raw walls (seconds; one entry per interleaved round)
 
