@@ -329,6 +329,21 @@ def _q_doc_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_containment_dups(spark, sf_dir):
+    """Shingle containment (doc-contains-doc detector, operators/dedup.py
+    containment_pairs): same inverted-index plan as ngram_jaccard, score
+    |A∩B|/min(|A|,|B|)."""
+    from pyocr_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_corpus_length_stats(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import corpus_length_stats
+
+    return corpus_length_stats(_docs(spark, sf_dir))
+
+
 def _q_vocab_topk(spark, sf_dir):
     from pyocr_spark.functions.text_stats import vocab_docfreq
 
@@ -670,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_filter": _q_pages_host_filter,
         "incremental_extract": _q_incremental_extract,
         "doc_repetition": _q_doc_repetition,
+        "containment_dups": _q_containment_dups,
+        "corpus_length_stats": _q_corpus_length_stats,
         "vocab_topk": _q_vocab_topk,
         # multimodal plumbing (fake codec — deterministic, exact oracles
         # via expected_media_* tables built from the same batch functions)
@@ -977,6 +994,34 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(coalesce(t.cnt, 0) AS DOUBLE) / (s.n_tokens - 1), 4) "
             "ELSE 0.0 END AS top_2gram_frac "
             "FROM stats s LEFT JOIN top t USING (doc_id)"
+        ),
+        "containment_dups": (
+            "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(w)-2), "
+            "i -> array_to_string(w[i:i+2], ' '))) "
+            "ELSE [array_to_string(w, ' ')] END AS g FROM words), "
+            "inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), "
+            "rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), "
+            "inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), "
+            "sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), "
+            "inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i "
+            "FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), "
+            "inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i "
+            "FROM inter0 JOIN sizes ls ON ls.doc_id = left_id "
+            "JOIN sizes rs ON rs.doc_id = right_id) "
+            "SELECT left_id, right_id, "
+            "round(CAST(i AS DOUBLE) / least(lnsh, rnsh), 4) AS containment "
+            "FROM inter WHERE round(CAST(i AS DOUBLE) / least(lnsh, rnsh), 4) >= 0.8"
+        ),
+        "corpus_length_stats": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "round(quantile_cont(length(text), 0.5), 4) AS p50, "
+            "round(quantile_cont(length(text), 0.9), 4) AS p90, "
+            "round(quantile_cont(length(text), 0.99), 4) AS p99 "
+            "FROM documents GROUP BY lang"
         ),
         "vocab_topk": (
             "WITH tok AS (SELECT doc_id, "

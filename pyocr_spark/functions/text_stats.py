@@ -297,6 +297,32 @@ def vocab_docfreq(
     )
 
 
+def corpus_length_stats(
+    docs: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group corpus profiling: doc counts, total characters, and
+    EXACT length percentiles (p50/p90/p99) — the distribution a pipeline
+    sizes its length gates and batch shapes from.
+
+    Exact ``percentile`` (sort-within-group), not approx_percentile: the
+    profiling runs once per corpus build and the group cardinality (langs,
+    domains) is small, so per-group sorts are bounded and the numbers are
+    reproducible against a SQL oracle bit-for-bit (both engines use
+    type-7 linear interpolation). For percentiles over a high-cardinality
+    group key, switch to approx_percentile and drop the oracle to
+    rows-only. Returns (group, n_docs, total_chars, p50, p90, p99).
+    """
+    n = F.length(F.col(text_col))
+    base = docs.select(F.col(group_col), n.alias("n"))
+    return base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_chars"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 def pii_mask(docs: DataFrame) -> DataFrame:
     """Mask common PII shapes before training: emails and long digit runs
     (phone/account-like). Frozen patterns kept to the regex subset that

@@ -271,6 +271,23 @@ def ngram_jaccard_pairs(
     unfiltered sizes — stop-shingles carry no discriminative signal
     either way, they just inflate every set equally.
     """
+    inter = _shingle_pair_counts(df, text_col, id_col, n, max_docfreq)
+    jac = F.col("inter") / (F.col("lnsh") + F.col("rnsh") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_docfreq: int
+) -> DataFrame:
+    """Shared inverted-index skeleton for the exact set-overlap family:
+    (left_id, right_id, inter, lnsh, rnsh) for every pair sharing a
+    ≤max_docfreq shingle. Set sizes count the SAME filtered shingle
+    universe as the intersection, so downstream scores are
+    self-consistent."""
     sh = df.select(
         F.col(id_col), F.array_distinct(_shingles(text_col, n)).alias("sh")
     )
@@ -288,7 +305,7 @@ def ngram_jaccard_pairs(
     inv = inv.join(rare.select("g"), "g").persist()
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     l, r = inv.alias("l"), inv.alias("r")
-    inter = (
+    return (
         l.join(r, on=[F.col("l.g") == F.col("r.g"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
         .groupBy(
             F.col(f"l.{id_col}").alias("left_id"),
@@ -298,11 +315,33 @@ def ngram_jaccard_pairs(
         .join(sizes.select(F.col(id_col).alias("left_id"), F.col("nsh").alias("lnsh")), "left_id")
         .join(sizes.select(F.col(id_col).alias("right_id"), F.col("nsh").alias("rnsh")), "right_id")
     )
-    jac = F.col("inter") / (F.col("lnsh") + F.col("rnsh") - F.col("inter"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docfreq: int = 100,
+) -> DataFrame:
+    """Shingle containment |A∩B| / min(|A|, |B|): the doc-contains-doc
+    detector Jaccard structurally misses — a page quoted whole inside a
+    10× longer page has Jaccard ≤ 0.1 but containment 1.0. The standard
+    companion pass to near-dup removal for training corpora (quote farms,
+    scraped aggregators, boilerplate-wrapped reposts).
+
+    Same inverted-index plan (and the same ``max_docfreq``
+    shuffle-volume knob) as ngram_jaccard_pairs; only the score differs.
+    Returns (left_id, right_id, containment) for pairs at or above the
+    threshold.
+    """
+    inter = _shingle_pair_counts(df, text_col, id_col, n, max_docfreq)
+    cont = F.col("inter") / F.least(F.col("lnsh"), F.col("rnsh"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", "jaccard")
+        inter.withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("left_id", "right_id", "containment")
     )
 
 

@@ -228,6 +228,24 @@ def main() -> int:
     check("corpus_build_full", "broadcast anti-join for the frequent-line set",
           bool(re.search(r"BroadcastHashJoin[\s\S]{0,200}LeftAnti", p)), "")
 
+    # 15c. containment: must reuse the ngram inverted-index plan shape —
+    # equi-join on the shingle, never a cartesian
+    df = qs["containment_dups"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("containment_dups", p))
+    check("containment_dups", "equi-join on shingle (no cartesian/NLJ)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # 15d. length profiling: one aggregate, partial before the exchange
+    df = qs["corpus_length_stats"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("corpus_length_stats", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("corpus_length_stats", "exactly one Exchange (group aggregate)",
+          n_exchanges == 1, f"exchanges={n_exchanges}")
+    check("corpus_length_stats", "partial aggregation before the exchange",
+          "partial" in p.lower(), "")
+
     # 16. incremental re-extraction: url-equi joins only (state join +
     # merge anti-join) — never a cartesian; both extraction stages stay
     # Exchange-free maps (their inputs are the url-window outputs)

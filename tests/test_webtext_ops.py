@@ -288,6 +288,43 @@ def test_repetition_stats_tie_breaks_deterministically(spark):
     assert r["top_2gram"] == "a b" and r["top_2gram_cnt"] == 2
 
 
+def test_containment_catches_doc_inside_doc(spark):
+    from pyocr_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    wrapper = (
+        "intro words here nothing shared one two three four five six seven "
+        + quoted
+        + " outro tail more filler eight nine ten eleven twelve thirteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, wrapper), (3, "totally unrelated content words")],
+        "doc_id long, text string",
+    )
+    cont = {(r["left_id"], r["right_id"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert cont == {(1, 2): 1.0}  # every shingle of 1 appears in 2
+    # Jaccard misses the same pair at any near-dup threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_corpus_length_stats_exact_percentiles(spark):
+    from pyocr_spark.functions.text_stats import corpus_length_stats
+
+    docs = spark.createDataFrame(
+        [(i, "x" * n, "en") for i, n in enumerate([10, 20, 30, 40])]
+        + [(99, "y" * 7, "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in corpus_length_stats(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 4 and en["total_chars"] == 100
+    assert en["p50"] == 25.0  # type-7 linear interpolation between 20 and 30
+    assert en["p90"] == 37.0
+    assert out["de"]["p50"] == 7.0
+
+
 def test_vocab_docfreq_counts_and_order(spark):
     docs = spark.createDataFrame(
         [(1, "the cat the dog"), (2, "the bird"), (3, "cat")],
