@@ -329,6 +329,23 @@ def _q_doc_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_docs_weighted_mix(spark, sf_dir):
+    """Training-mix construction (operators/sampling.weighted_sample):
+    per-source sampling rates in one narrow content-addressed filter —
+    no shuffle, composes with scan pushdown."""
+    from pyocr_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(
+        _docs(spark, sf_dir),
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        strata_col="source",
+        key="doc_id",
+        default_fraction=0.05,
+        portable=True,
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_containment_dups(spark, sf_dir):
     """Shingle containment (doc-contains-doc detector, operators/dedup.py
     containment_pairs): same inverted-index plan as ngram_jaccard, score
@@ -685,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_filter": _q_pages_host_filter,
         "incremental_extract": _q_incremental_extract,
         "doc_repetition": _q_doc_repetition,
+        "docs_weighted_mix": _q_docs_weighted_mix,
         "containment_dups": _q_containment_dups,
         "corpus_length_stats": _q_corpus_length_stats,
         "vocab_topk": _q_vocab_topk,
@@ -994,6 +1012,12 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(coalesce(t.cnt, 0) AS DOUBLE) / (s.n_tokens - 1), 4) "
             "ELSE 0.0 END AS top_2gram_frac "
             "FROM stats s LEFT JOIN top t USING (doc_id)"
+        ),
+        "docs_weighted_mix": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "% 1000000 < CASE source WHEN 'src0' THEN 1000000 "
+            "WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 ELSE 50000 END"
         ),
         "containment_dups": (
             "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "

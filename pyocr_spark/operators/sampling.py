@@ -67,6 +67,47 @@ def hash_sample(
     return df.filter(bucket < cutoff)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    key: str,
+    default_fraction: float = 0.0,
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sampling RATES (training-mix construction): keep each
+    stratum at its own fraction — e.g. ``{"wiki": 1.0, "crawl": 0.1}`` —
+    in ONE content-addressed narrow filter. Unlike ``stratified_sample``
+    (absolute quota per stratum, needs a window shuffle), rate-based
+    mixing needs no shuffle at all: the per-stratum cutoff is a literal
+    map lookup fused into the scan, so it composes with predicate
+    pushdown and costs nothing at 10^12 rows.
+
+    Strata absent from ``weights`` fall back to ``default_fraction``
+    (0.0 = drop — an explicit mix is usually a whitelist). Same
+    nesting/salt semantics as ``hash_sample``: within one stratum a 0.1
+    mix is a subset of a 0.5 mix unless ``salt`` re-keys it.
+    """
+    for stratum, frac in weights.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"weight for {stratum!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    pairs = []
+    for stratum, frac in sorted(weights.items()):
+        pairs += [F.lit(stratum), F.lit(int(round(frac * BUCKETS)))]
+    cutoff = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("int"),
+        F.lit(int(round(default_fraction * BUCKETS))),
+    )
+    keyed = F.col(key).cast("string")
+    if salt:
+        keyed = F.concat(keyed, F.lit(":" + salt))
+    bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
+    return df.filter(bucket < cutoff)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -228,6 +228,13 @@ def main() -> int:
     check("corpus_build_full", "broadcast anti-join for the frequent-line set",
           bool(re.search(r"BroadcastHashJoin[\s\S]{0,200}LeftAnti", p)), "")
 
+    # 15b2. weighted mix: rate-based training-mix sampling must stay a
+    # narrow filter — zero Exchange, fused with the scan
+    df = qs["docs_weighted_mix"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_weighted_mix", p))
+    check("docs_weighted_mix", "narrow plan (zero Exchange)", "Exchange" not in p, "")
+
     # 15c. containment: must reuse the ngram inverted-index plan shape —
     # equi-join on the shingle, never a cartesian
     df = qs["containment_dups"](spark, SF_DIR)

@@ -288,6 +288,47 @@ def test_repetition_stats_tie_breaks_deterministically(spark):
     assert r["top_2gram"] == "a b" and r["top_2gram_cnt"] == 2
 
 
+def test_weighted_sample_rates_and_determinism(spark):
+    from pyocr_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "keep" if i % 2 == 0 else "half") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = weighted_sample(
+        docs, {"keep": 1.0, "half": 0.5}, strata_col="stratum", key="doc_id"
+    )
+    counts = {r["stratum"]: r["cnt"] for r in out.groupBy("stratum").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert counts["keep"] == 1000  # rate 1.0 keeps everything
+    assert 380 <= counts["half"] <= 620  # ~50% content-addressed
+    # layout-independent: same rows regardless of partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(
+        docs.repartition(13), {"keep": 1.0, "half": 0.5},
+        strata_col="stratum", key="doc_id").collect())
+    assert a == b
+
+
+def test_weighted_sample_default_fraction_drops_unlisted(spark):
+    from pyocr_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, "listed"), (2, "unlisted")], "doc_id long, stratum string"
+    )
+    out = weighted_sample(docs, {"listed": 1.0}, strata_col="stratum", key="doc_id")
+    assert [r["stratum"] for r in out.collect()] == ["listed"]
+
+
+def test_weighted_sample_validates_fractions(spark):
+    from pyocr_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame([(1, "s")], "doc_id long, stratum string")
+    with pytest.raises(ValueError):
+        weighted_sample(docs, {"s": 1.5}, strata_col="stratum", key="doc_id")
+    with pytest.raises(ValueError):
+        weighted_sample(docs, {"s": 0.5}, strata_col="stratum", key="doc_id",
+                        default_fraction=-0.1)
+
+
 def test_containment_catches_doc_inside_doc(spark):
     from pyocr_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
 
