@@ -125,6 +125,47 @@ def select_changed(
     )
 
 
+def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two (url, ts_epoch, content_hash) state tables keeping the
+    newest version per url (same packed-key total order as
+    content_state). One partial-aggregated shuffle."""
+    def packed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "url",
+            F.concat_ws(
+                "|",
+                F.lpad(F.col("ts_epoch").cast("string"), 19, "0"),
+                F.col("content_hash"),
+            ).alias("k"),
+        )
+
+    g = packed(a).unionByName(packed(b)).groupBy("url").agg(F.max("k").alias("k"))
+    return g.select(
+        "url",
+        F.substring("k", 1, 19).cast("long").alias("ts_epoch"),
+        F.substring("k", 21, 32).alias("content_hash"),
+    )
+
+
+def swap_write(df: DataFrame, final: str) -> None:
+    """Write ``df`` to ``<final>.inprogress`` then delete-and-rename over
+    ``final`` — the parquet-directory 'transaction' used whenever the
+    plan being written READS the current contents of ``final`` (a naive
+    overwrite would truncate its own input mid-read). Iceberg replaces
+    this with a real transactional overwrite at deployment."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tmp = final.rstrip("/") + ".inprogress"
+    df.write.mode("overwrite").parquet(tmp)
+    fp = jvm.org.apache.hadoop.fs.Path(final)
+    tp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = fp.getFileSystem(hconf)
+    if fs.exists(fp):
+        fs.delete(fp, True)
+    fs.rename(tp, fp)
+
+
 def merge_outputs(
     prev_output: DataFrame, fresh_output: DataFrame, url_col: str = "url"
 ) -> DataFrame:

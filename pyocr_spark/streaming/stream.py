@@ -67,3 +67,71 @@ def start_extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_stream(
+    spark: SparkSession,
+    input_location: str,
+    output_location: str,
+    state_location: str,
+    checkpoint_location: str,
+    modes: frozenset = ALL_MODES,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous incremental ingest: each micro-batch extracts only urls
+    that are NEW or CHANGED relative to the persistent (url, ts, content
+    hash) state table, appends the fresh rows under ``batch_id=N``, and
+    advances the state — the streaming twin of ``job.py --incremental``
+    (plans/incremental.py). A url refetched byte-identically in a later
+    crawl file costs a hash compare, never an extraction.
+
+    Crash semantics (at-least-once, state-converging): the batch output
+    is written BEFORE the state advances, and an empty delta skips the
+    write entirely — so a replay after a crash either recomputes the
+    same delta (state not yet advanced → same bytes, idempotent
+    overwrite) or finds the delta empty (state advanced → the earlier
+    write survives untouched). A crash between output and state at worst
+    re-extracts those urls when they next reappear; downstream
+    keep-latest dedup reconciles the duplicate rows.
+    """
+    from pyocr_spark.plans.incremental import (
+        content_state,
+        latest_pages,
+        merge_states,
+        select_changed,
+        swap_write,
+    )
+
+    stream = read_pages_stream(spark, input_location, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        sp = jvm.org.apache.hadoop.fs.Path(state_location)
+        have_state = sp.getFileSystem(hconf).exists(sp)
+        if have_state:
+            prev = spark.read.parquet(state_location)
+            todo = select_changed(batch_df, prev)
+        else:
+            prev = None
+            todo = latest_pages(batch_df)
+        if not todo.isEmpty():
+            out = extract_df(todo, modes=modes, dedup=False)
+            out.write.mode("overwrite").parquet(
+                f"{output_location}/batch_id={batch_id}"
+            )
+        batch_state = content_state(batch_df)
+        new_state = (
+            merge_states(prev, batch_state) if have_state else batch_state
+        )
+        swap_write(new_state, state_location)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

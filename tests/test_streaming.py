@@ -1,9 +1,13 @@
 """Streaming wrapper: availableNow drain of the pages table through the
 same extract plan; checkpointed — a second start processes nothing new."""
 
+import glob
+import os
+
+import pandas as pd
 from pyspark.sql import functions as F
 
-from pyocr_spark.streaming.stream import start_extract_stream
+from pyocr_spark.streaming.stream import start_extract_stream, start_incremental_stream
 
 MODES = frozenset({"text"})
 
@@ -39,3 +43,81 @@ def test_stream_drains_and_checkpoints(spark, pages_sf0001, tmp_path):
     )
     assert q2.awaitTermination(300), "streaming drain timed out"
     assert spark.read.parquet(out).count() == n_rows
+
+
+def _write_crawl_file(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyocr_spark.datagen import PAGES_SCHEMA
+
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"], utc=True)
+    # explicit schema: an all-None text column would otherwise be
+    # type-inferred and mismatch Spark's explicit string schema
+    pq.write_table(pa.Table.from_pandas(df, schema=PAGES_SCHEMA), str(path))
+
+
+def test_incremental_stream_skips_unchanged_refetches(spark, tmp_path):
+    """Two availableNow drains with new crawl files landing between them:
+    the second drain extracts ONLY the changed and new urls — the
+    byte-identical refetch costs a hash compare, not an extraction."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_crawl_file(inp / "crawl1.parquet", [
+        ("https://h/a", "2024-01-01", b"<p>alpha one</p>", None, "en"),
+        ("https://h/b", "2024-01-01", b"<p>beta one</p>", None, "en"),
+        ("https://h/c", "2024-01-01", b"<p>gamma one</p>", None, "en"),
+    ])
+    q = start_incremental_stream(spark, str(inp), out, state, ckpt, modes=MODES)
+    assert q.awaitTermination(300)
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+
+    # crawl 2: b changed, c refetched byte-identical, d new
+    _write_crawl_file(inp / "crawl2.parquet", [
+        ("https://h/b", "2024-01-05", b"<p>beta two</p>", None, "en"),
+        ("https://h/c", "2024-01-05", b"<p>gamma one</p>", None, "en"),
+        ("https://h/d", "2024-01-05", b"<p>delta new</p>", None, "en"),
+    ])
+    q2 = start_incremental_stream(spark, str(inp), out, state, ckpt, modes=MODES)
+    assert q2.awaitTermination(300)
+
+    batch_dirs = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert len(batch_dirs) == 2
+    fresh = spark.read.parquet(batch_dirs[-1])
+    got = {r["url"]: r["extracted_text"] for r in fresh.collect()}
+    # only the changed and the new url were extracted; NOT the refetch
+    assert got == {"https://h/b": "beta two", "https://h/d": "delta new"}
+
+    # state advanced to the latest versions for every url seen
+    st = {r["url"]: r for r in spark.read.parquet(state).collect()}
+    assert len(st) == 4
+    assert st["https://h/b"]["ts_epoch"] > st["https://h/a"]["ts_epoch"]
+
+
+def test_incremental_stream_empty_delta_writes_no_batch_dir(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_crawl_file(inp / "c1.parquet", [
+        ("https://h/a", "2024-01-01", b"<p>alpha</p>", None, "en"),
+    ])
+    q = start_incremental_stream(spark, str(inp), out, state, ckpt, modes=MODES)
+    assert q.awaitTermination(300)
+    # identical refetch only → second drain's delta is empty → no new dir
+    _write_crawl_file(inp / "c2.parquet", [
+        ("https://h/a", "2024-01-09", b"<p>alpha</p>", None, "en"),
+    ])
+    q2 = start_incremental_stream(spark, str(inp), out, state, ckpt, modes=MODES)
+    assert q2.awaitTermination(300)
+    assert len(glob.glob(os.path.join(out, "batch_id=*"))) == 1
+    # but the state still advanced to the newer timestamp
+    st = spark.read.parquet(state).head()
+    import datetime as dt
+    assert st["ts_epoch"] == int(dt.datetime(2024, 1, 9, tzinfo=dt.timezone.utc).timestamp())
