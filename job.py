@@ -151,6 +151,7 @@ def run_incremental(spark, pages, args) -> None:
         latest_pages,
         merge_outputs,
         select_changed,
+        swap_write,
     )
     from pyocr_spark.plans.pipeline import extract_df
 
@@ -191,15 +192,9 @@ def run_incremental(spark, pages, args) -> None:
         merged = merge_outputs(spark.read.parquet(args.output), fresh)
 
     # the merged plan READS the previous output, so never overwrite in
-    # place: land in *.inprogress, then swap
-    tmp_out, tmp_state = args.output + ".inprogress", state_path + ".inprogress"
-    merged.write.mode("overwrite").parquet(tmp_out)
-    content_state(pages).write.mode("overwrite").parquet(tmp_state)
-    for final, tmp in ((args.output, tmp_out), (state_path, tmp_state)):
-        fs = _fs(final)
-        if fs.exists(_path(final)):
-            fs.delete(_path(final), True)
-        fs.rename(_path(tmp), _path(final))
+    # place (plans/incremental.swap_write)
+    swap_write(merged, args.output)
+    swap_write(content_state(pages), state_path)
     if _exists(fresh_dir):
         _fs(fresh_dir).delete(_path(fresh_dir), True)
 
