@@ -148,8 +148,10 @@ def run_incremental(spark, pages, args) -> None:
     from pyocr_spark.core.oracle import ALL_MODES
     from pyocr_spark.plans.incremental import (
         content_state,
+        hadoop_path,
         latest_pages,
         merge_outputs,
+        path_exists,
         select_changed,
         swap_write,
     )
@@ -157,19 +159,7 @@ def run_incremental(spark, pages, args) -> None:
 
     modes = ALL_MODES if args.modes == "all" else frozenset(args.modes.split(","))
     state_path = args.state or args.output.rstrip("/") + "_state"
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _path(p):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    def _fs(p):
-        return _path(p).getFileSystem(hconf)
-
-    def _exists(p):
-        return _fs(p).exists(_path(p))
-
-    have_prev = _exists(args.output) and _exists(state_path)
+    have_prev = path_exists(spark, args.output) and path_exists(spark, state_path)
     n_refreshed: int | None = None
     fresh_dir = args.output.rstrip("/") + ".fresh"
     if not have_prev:
@@ -195,8 +185,9 @@ def run_incremental(spark, pages, args) -> None:
     # place (plans/incremental.swap_write)
     swap_write(merged, args.output)
     swap_write(content_state(pages), state_path)
-    if _exists(fresh_dir):
-        _fs(fresh_dir).delete(_path(fresh_dir), True)
+    if path_exists(spark, fresh_dir):
+        fp, fs = hadoop_path(spark, fresh_dir)
+        fs.delete(fp, True)
 
     print(
         json.dumps(

@@ -28,16 +28,40 @@ def content_hash(content_col: str) -> Column:
     )
 
 
+#: md5 of empty content — what content_hash(NULL) evaluates to; also the
+#: coalesce target for a NULL hash re-entering the packed key from an
+#: externally-produced state row
+EMPTY_CONTENT_HASH = "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def pack_epoch_hash(ts_epoch: Column, h: Column) -> Column:
+    """THE packed sortable (ts, content-hash) key: 19 zero-padded epoch
+    digits (numeric order; NULL ts sorts first as 0) + '|' + 32-char md5
+    (NULL hash → the empty-content md5). Fixed layout is load-bearing —
+    ``unpack_*`` parses at [1,19] and [21,32] and min/max ordering depends
+    on it, which is why NULLs are coalesced INSIDE the key instead of
+    letting concat_ws silently drop a segment and shift the layout. Every
+    pack/unpack in the engine goes through here (crawl_delta, content
+    state, state merge) so the layout cannot drift between them."""
+    ts = F.coalesce(ts_epoch.cast("long"), F.lit(0))
+    return F.concat_ws(
+        "|",
+        F.lpad(ts.cast("string"), 19, "0"),
+        F.coalesce(h, F.lit(EMPTY_CONTENT_HASH)),
+    )
+
+
+def unpack_epoch(k) -> Column:
+    return F.substring(k, 1, 19).cast("long")
+
+
+def unpack_hash(k) -> Column:
+    return F.substring(k, 21, 32)
+
+
 def packed_ts_hash_key(ts_col: str, content_col: str) -> Column:
-    """Sortable fixed-layout (ts, content-hash) string: 19 zero-padded
-    epoch digits (numeric order; NULL ts sorts first as 0) + '|' + 32-char
-    md5. Fixed layout is load-bearing — substring parses at [1,19] and
-    [21,32] and min/max ordering both depend on it, which is why NULLs are
-    coalesced INSIDE the key instead of letting concat_ws silently drop a
-    segment and shift the layout. Shared by crawl_delta and
-    plans/incremental (state + delta must agree byte-for-byte)."""
-    ts = F.coalesce(F.col(ts_col).cast("long"), F.lit(0))
-    return F.concat_ws("|", F.lpad(ts.cast("string"), 19, "0"), content_hash(content_col))
+    """pack_epoch_hash over raw pages columns (timestamp + binary)."""
+    return pack_epoch_hash(F.col(ts_col), content_hash(content_col))
 
 
 def crawl_delta(
@@ -69,8 +93,8 @@ def crawl_delta(
         F.min("k").alias("first_k"),
         F.max("k").alias("last_k"),
     )
-    first_h = F.substring("first_k", 21, 32)
-    last_h = F.substring("last_k", 21, 32)
+    first_h = unpack_hash("first_k")
+    last_h = unpack_hash("last_k")
     status = (
         F.when(F.col("n_versions") == 1, F.lit("single"))
         .when(first_h == last_h, F.lit("unchanged"))
@@ -79,7 +103,7 @@ def crawl_delta(
     return g.select(
         "url",
         "n_versions",
-        F.substring("first_k", 1, 19).cast("long").alias("first_ts_epoch"),
-        F.substring("last_k", 1, 19).cast("long").alias("last_ts_epoch"),
+        unpack_epoch("first_k").alias("first_ts_epoch"),
+        unpack_epoch("last_k").alias("last_ts_epoch"),
         status.alias("status"),
     )

@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyocr_spark.operators.snapshot import content_hash, packed_ts_hash_key
+from pyocr_spark.operators.snapshot import (
+    content_hash,
+    pack_epoch_hash,
+    packed_ts_hash_key,
+    unpack_epoch,
+    unpack_hash,
+)
 
 
 def content_state(
@@ -53,8 +59,8 @@ def content_state(
     )
     return g.select(
         "url",
-        F.substring("k", 1, 19).cast("long").alias("ts_epoch"),
-        F.substring("k", 21, 32).alias("content_hash"),
+        unpack_epoch("k").alias("ts_epoch"),
+        unpack_hash("k").alias("content_hash"),
     )
 
 
@@ -127,24 +133,42 @@ def select_changed(
 
 def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two (url, ts_epoch, content_hash) state tables keeping the
-    newest version per url (same packed-key total order as
-    content_state). One partial-aggregated shuffle."""
-    def packed(df: DataFrame) -> DataFrame:
-        return df.select(
-            "url",
-            F.concat_ws(
-                "|",
-                F.lpad(F.col("ts_epoch").cast("string"), 19, "0"),
-                F.col("content_hash"),
-            ).alias("k"),
-        )
+    newest version per url. One partial-aggregated shuffle."""
+    return reduce_state(a.unionByName(b))
 
-    g = packed(a).unionByName(packed(b)).groupBy("url").agg(F.max("k").alias("k"))
+
+def reduce_state(df: DataFrame) -> DataFrame:
+    """Collapse a state table with possibly many rows per url (e.g. a
+    directory of per-batch state deltas) to the newest version per url —
+    the same pack_epoch_hash total order as content_state, so a NULL
+    ts/hash from an externally-produced state row cannot shift the key
+    layout."""
+    g = (
+        df.select(
+            "url",
+            pack_epoch_hash(F.col("ts_epoch"), F.col("content_hash")).alias("k"),
+        )
+        .groupBy("url")
+        .agg(F.max("k").alias("k"))
+    )
     return g.select(
         "url",
-        F.substring("k", 1, 19).cast("long").alias("ts_epoch"),
-        F.substring("k", 21, 32).alias("content_hash"),
+        unpack_epoch("k").alias("ts_epoch"),
+        unpack_hash("k").alias("content_hash"),
     )
+
+
+def hadoop_path(spark, p: str):
+    """(Path, FileSystem) pair for a location string — the one place the
+    py4j Hadoop FS boilerplate lives."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm_path, fs
+
+
+def path_exists(spark, p: str) -> bool:
+    jvm_path, fs = hadoop_path(spark, p)
+    return fs.exists(jvm_path)
 
 
 def swap_write(df: DataFrame, final: str) -> None:
@@ -152,18 +176,25 @@ def swap_write(df: DataFrame, final: str) -> None:
     ``final`` — the parquet-directory 'transaction' used whenever the
     plan being written READS the current contents of ``final`` (a naive
     overwrite would truncate its own input mid-read). Iceberg replaces
-    this with a real transactional overwrite at deployment."""
+    this with a real transactional overwrite at deployment.
+
+    Hadoop ``rename`` reports failure by RETURNING FALSE, not raising —
+    and by this point the old table is already deleted, so an unchecked
+    rename would silently destroy it (a caller like the streaming state
+    swap has no later read to notice). Checked and raised here.
+    """
     spark = df.sparkSession
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
     tmp = final.rstrip("/") + ".inprogress"
     df.write.mode("overwrite").parquet(tmp)
-    fp = jvm.org.apache.hadoop.fs.Path(final)
-    tp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = fp.getFileSystem(hconf)
+    fp, fs = hadoop_path(spark, final)
+    tp, _ = hadoop_path(spark, tmp)
     if fs.exists(fp):
         fs.delete(fp, True)
-    fs.rename(tp, fp)
+    if not fs.rename(tp, fp):
+        raise IOError(
+            f"swap_write: rename {tmp} -> {final} failed; the previous "
+            f"table was already removed — recover from {tmp}"
+        )
 
 
 def merge_outputs(

@@ -49,8 +49,6 @@ def start_extract_stream(
     stops — the batch-equivalent trigger used in tests; pass False for a
     continuous query.
     """
-    stream = read_pages_stream(spark, input_location, max_files_per_trigger)
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_df(batch_df, modes=modes, dedup=True)
         # one directory per batch_id, overwritten whole: if the driver
@@ -59,6 +57,22 @@ def start_extract_stream(
         # idempotent (a blind append would duplicate the micro-batch)
         out.write.mode("overwrite").parquet(f"{output_location}/batch_id={batch_id}")
 
+    return _start_pages_stream(
+        spark, input_location, checkpoint_location, process_batch,
+        available_now, max_files_per_trigger,
+    )
+
+
+def _start_pages_stream(
+    spark: SparkSession,
+    input_location: str,
+    checkpoint_location: str,
+    process_batch,
+    available_now: bool,
+    max_files_per_trigger: int | None,
+):
+    """Shared reader/writer scaffolding for the foreachBatch streams."""
+    stream = read_pages_stream(spark, input_location, max_files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_location)
@@ -78,6 +92,7 @@ def start_incremental_stream(
     modes: frozenset = ALL_MODES,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int = 16,
 ):
     """Continuous incremental ingest: each micro-batch extracts only urls
     that are NEW or CHANGED relative to the persistent (url, ts, content
@@ -86,52 +101,83 @@ def start_incremental_stream(
     (plans/incremental.py). A url refetched byte-identically in a later
     crawl file costs a hash compare, never an extraction.
 
+    State is a directory of per-batch DELTAS (``delta_id=N``), reduced on
+    read (plans/incremental.reduce_state) and compacted every
+    ``compact_every`` batches: writing only the batch-sized delta per
+    trigger keeps state maintenance O(batch), not O(total-state) — a
+    continuous stream rewriting the full multi-TB state table every
+    trigger would spend more on state than on extraction. The read side
+    pays one reduce aggregate per trigger, bounded by compaction.
+
     Crash semantics (at-least-once, state-converging): the batch output
-    is written BEFORE the state advances, and an empty delta skips the
-    write entirely — so a replay after a crash either recomputes the
-    same delta (state not yet advanced → same bytes, idempotent
-    overwrite) or finds the delta empty (state advanced → the earlier
-    write survives untouched). A crash between output and state at worst
-    re-extracts those urls when they next reappear; downstream
-    keep-latest dedup reconciles the duplicate rows.
+    is written BEFORE the state delta, and an empty delta skips the
+    output write entirely — so a replay after a crash either recomputes
+    the same delta (state not yet advanced → same bytes, idempotent
+    per-batch-dir overwrite) or finds the delta empty (state advanced →
+    the earlier write survives untouched). Compaction is a swap_write
+    into the current delta dir followed by deleting the older ones —
+    every step idempotent under replay; a leftover ``.inprogress`` from
+    a mid-compaction crash is read back as subsumed duplicate rows that
+    the reduce collapses.
     """
     from pyocr_spark.plans.incremental import (
         content_state,
+        hadoop_path,
         latest_pages,
-        merge_states,
+        path_exists,
+        reduce_state,
         select_changed,
         swap_write,
     )
 
-    stream = read_pages_stream(spark, input_location, max_files_per_trigger)
+    def _read_state(_spark):
+        return reduce_state(
+            _spark.read.parquet(state_location).drop("delta_id")
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        sp = jvm.org.apache.hadoop.fs.Path(state_location)
-        have_state = sp.getFileSystem(hconf).exists(sp)
-        if have_state:
-            prev = spark.read.parquet(state_location)
-            todo = select_changed(batch_df, prev)
-        else:
-            prev = None
-            todo = latest_pages(batch_df)
-        if not todo.isEmpty():
-            out = extract_df(todo, modes=modes, dedup=False)
-            out.write.mode("overwrite").parquet(
-                f"{output_location}/batch_id={batch_id}"
+        # the micro-batch feeds three consumers (delta select, extraction,
+        # state delta) — persist it once instead of re-reading the source
+        # files per consumer (the standard foreachBatch reuse pattern)
+        batch_df.persist()
+        try:
+            have_state = path_exists(spark, state_location)
+            todo = (
+                select_changed(batch_df, _read_state(spark))
+                if have_state
+                else latest_pages(batch_df)
             )
-        batch_state = content_state(batch_df)
-        new_state = (
-            merge_states(prev, batch_state) if have_state else batch_state
-        )
-        swap_write(new_state, state_location)
+            todo.persist()
+            try:
+                if not todo.isEmpty():  # isEmpty + extraction share the persist
+                    extract_df(todo, modes=modes, dedup=False).write.mode(
+                        "overwrite"
+                    ).parquet(f"{output_location}/batch_id={batch_id}")
+            finally:
+                todo.unpersist()
+            content_state(batch_df).write.mode("overwrite").parquet(
+                f"{state_location}/delta_id={batch_id}"
+            )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                _compact_state(spark, state_location, batch_id, _read_state)
+        finally:
+            batch_df.unpersist()
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_location)
-        .outputMode("append")
+    def _compact_state(_spark, location: str, keep_id: int, read_state) -> None:
+        # reduce the whole directory, swap it into the current batch's
+        # delta dir (its contents are subsumed), then drop older deltas
+        swap_write(read_state(_spark), f"{location}/delta_id={keep_id}")
+        lp, fs = hadoop_path(_spark, location)
+        for st in fs.listStatus(lp):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("delta_id=")
+                and name != f"delta_id={keep_id}"
+            ):
+                fs.delete(st.getPath(), True)
+
+    return _start_pages_stream(
+        spark, input_location, checkpoint_location, process_batch,
+        available_now, max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

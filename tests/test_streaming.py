@@ -93,8 +93,12 @@ def test_incremental_stream_skips_unchanged_refetches(spark, tmp_path):
     # only the changed and the new url were extracted; NOT the refetch
     assert got == {"https://h/b": "beta two", "https://h/d": "delta new"}
 
-    # state advanced to the latest versions for every url seen
-    st = {r["url"]: r for r in spark.read.parquet(state).collect()}
+    # state (a delta directory, reduced on read) advanced to the latest
+    # versions for every url seen
+    from pyocr_spark.plans.incremental import reduce_state
+
+    st_df = reduce_state(spark.read.parquet(state).drop("delta_id"))
+    st = {r["url"]: r for r in st_df.collect()}
     assert len(st) == 4
     assert st["https://h/b"]["ts_epoch"] > st["https://h/a"]["ts_epoch"]
 
@@ -118,6 +122,32 @@ def test_incremental_stream_empty_delta_writes_no_batch_dir(spark, tmp_path):
     assert q2.awaitTermination(300)
     assert len(glob.glob(os.path.join(out, "batch_id=*"))) == 1
     # but the state still advanced to the newer timestamp
-    st = spark.read.parquet(state).head()
+    from pyocr_spark.plans.incremental import reduce_state
+
+    st = reduce_state(spark.read.parquet(state).drop("delta_id")).head()
     import datetime as dt
     assert st["ts_epoch"] == int(dt.datetime(2024, 1, 9, tzinfo=dt.timezone.utc).timestamp())
+
+
+def test_incremental_stream_compacts_state_deltas(spark, tmp_path):
+    from pyocr_spark.plans.incremental import reduce_state
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for i, day in enumerate([1, 3, 5]):
+        _write_crawl_file(inp / f"c{i}.parquet", [
+            (f"https://h/{i}", f"2024-01-0{day}", f"<p>doc {i}</p>".encode(), None, "en"),
+        ])
+    # one file per trigger -> batch ids 0,1,2; compact_every=2 fires at batch 2
+    q = start_incremental_stream(
+        spark, str(inp), out, state, ckpt, modes=MODES,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    assert q.awaitTermination(300)
+    deltas = sorted(os.path.basename(d) for d in glob.glob(os.path.join(state, "delta_id=*")))
+    assert deltas == ["delta_id=2"]  # older deltas compacted away
+    st = reduce_state(spark.read.parquet(state).drop("delta_id"))
+    assert st.count() == 3  # and no url was lost in compaction
