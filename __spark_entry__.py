@@ -468,6 +468,30 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_cube(spark, sf_dir):
+    """Multi-dimensional aggregate (CUBE over event_type × hour):
+    the grouping-sets family SURVEY §2.7 lists as absent in the
+    reference; subtotal rows carry NULL dimensions. The decimal-cast sum
+    keeps the aggregate order-independent (float addition is not
+    associative), exactly as events_hourly does."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.cube("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+def _q_events_user_segments(spark, sf_dir):
+    """Set operations (EXCEPT / INTERSECT — SURVEY §2.7 set-ops row):
+    segment users by morning-only vs both-halves activity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    am = ev.filter(F.hour("ts") < 12).select("user_id").distinct()
+    pm = ev.filter(F.hour("ts") >= 12).select("user_id").distinct()
+    return am.subtract(pm).withColumn("segment", F.lit("am_only")).unionByName(
+        am.intersect(pm).withColumn("segment", F.lit("both"))
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Sessionization: a new session starts after a >30 min gap per user;
     returns per-user session counts + total events (window functions)."""
@@ -727,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
+        "events_cube": _q_events_cube,
+        "events_user_segments": _q_events_user_segments,
         "events_sessionize": _q_events_sessionize,
         "events_asof_click": _q_events_asof_click,
         # deterministic sampling (training-mix construction)
@@ -1137,6 +1163,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY event_type, hour(ts)"
+        ),
+        "events_cube": (
+            "SELECT event_type, CAST(hour(ts) AS INT) AS hr, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY CUBE (event_type, hour(ts))"
+        ),
+        "events_user_segments": (
+            "WITH am AS (SELECT DISTINCT user_id FROM events WHERE hour(ts) < 12), "
+            "pm AS (SELECT DISTINCT user_id FROM events WHERE hour(ts) >= 12) "
+            "SELECT user_id, 'am_only' AS segment FROM (SELECT user_id FROM am "
+            "EXCEPT SELECT user_id FROM pm) "
+            "UNION ALL SELECT user_id, 'both' AS segment FROM (SELECT user_id FROM am "
+            "INTERSECT SELECT user_id FROM pm)"
         ),
         "ann_topk_cosine": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
