@@ -481,6 +481,24 @@ def _q_events_cube(spark, sf_dir):
     )
 
 
+def _q_events_json_agg(spark, sf_dir):
+    """JSON scalar functions (SURVEY §2.7 string/json row): parse the
+    props JSON column JVM-side (get_json_object — no Python) and
+    aggregate the extracted field per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_events_user_segments(spark, sf_dir):
     """Set operations (EXCEPT / INTERSECT — SURVEY §2.7 set-ops row):
     segment users by morning-only vs both-halves activity."""
@@ -752,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
         "events_cube": _q_events_cube,
+        "events_json_agg": _q_events_json_agg,
         "events_user_segments": _q_events_user_segments,
         "events_sessionize": _q_events_sessionize,
         "events_asof_click": _q_events_asof_click,
@@ -1169,6 +1188,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY CUBE (event_type, hour(ts))"
+        ),
+        "events_json_agg": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+            "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
         "events_user_segments": (
             "WITH am AS (SELECT DISTINCT user_id FROM events WHERE hour(ts) < 12), "
