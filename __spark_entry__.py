@@ -8,9 +8,9 @@ Extraction queries run the REAL Spark pipeline (Arrow-batched UDF over the
 deterministic synthetic pages table derived from documents.parquet —
 pyocr_spark/datagen.py) and are compared against oracle-materialized
 ``expected_*`` parquet (read_parquet in the SQL): the driver's value-hash
-equality IS the byte-identical-per-url gate. Everything has an exact
-oracle except simhash_docs (xxhash64 has no DuckDB twin; its portable-hash
-twin simhash_portable carries the exact check for the same operator).
+equality IS the byte-identical-per-url gate. EVERY query has an exact
+oracle — including the xxhash64 production SimHash, whose expected table
+is computed by an independent pure-Python XXH64 (core/xxh.py).
 """
 
 from __future__ import annotations
@@ -1289,9 +1289,14 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
         ),
-        # simhash_docs: the xxhash64 production path has no DuckDB twin →
-        # rows-only check; its exact-oracle twin is simhash_portable
-        # (same operator, portable hash family).
+        # simhash_docs: DuckDB has no xxhash64, so the oracle is an
+        # expected table computed by an INDEPENDENT pure-Python XXH64
+        # (core/xxh.py, bit-exact vs Spark — tested) replaying the word
+        # votes in datagen.build_simhash_expected
+        "simhash_docs": (
+            f"SELECT doc_id, simhash "
+            f"FROM read_parquet('{E}/expected_simhash.parquet')"
+        ),
     }
 
 

@@ -1,0 +1,48 @@
+"""core/xxh.py differential tests: the pure-Python XXH64 must be
+bit-exact with Spark's xxhash64 (seed 42) — it is the independent oracle
+for the production SimHash path (datagen.build_simhash_expected)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from pyocr_spark.core.xxh import xxh64, xxh64_signed
+
+
+def test_xxh64_known_edges():
+    # hand-checked against Spark F.xxhash64 (seed 42)
+    assert xxh64_signed(b"") == -7444071767201028348
+    assert xxh64_signed(b"the") == -7881039948661331430
+
+
+def test_xxh64_matches_spark_on_edge_and_random_strings(spark):
+    rng = random.Random(7)
+    words = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "x" * 31, "x" * 32, "x" * 33, "y" * 100,
+        "é-unicode-ü", "汉字テキスト", "mixed é 漢 z",
+    ]
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 éü漢"
+    words += [
+        "".join(rng.choices(alphabet, k=rng.randint(0, 80))) for _ in range(60)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"] for r in df.select("w", F.xxhash64("w").alias("h")).collect()}
+    for w in set(words):
+        assert got[w] == xxh64_signed(w.encode("utf-8")), repr(w)
+
+
+def test_expected_simhash_matches_spark_operator(spark):
+    """End-to-end: datagen's independent expected table equals the real
+    Spark simhash over the same documents (sf0.001)."""
+    import pandas as pd
+
+    from pyocr_spark.datagen import build_simhash_expected
+    from pyocr_spark.operators.dedup import simhash
+
+    docs_pd = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    exp = build_simhash_expected(docs_pd)
+    want = dict(zip(exp["doc_id"], exp["simhash"]))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got == want
