@@ -131,12 +131,6 @@ def select_changed(
     )
 
 
-def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Union two (url, ts_epoch, content_hash) state tables keeping the
-    newest version per url. One partial-aggregated shuffle."""
-    return reduce_state(a.unionByName(b))
-
-
 def reduce_state(df: DataFrame) -> DataFrame:
     """Collapse a state table with possibly many rows per url (e.g. a
     directory of per-batch state deltas) to the newest version per url —
@@ -156,6 +150,37 @@ def reduce_state(df: DataFrame) -> DataFrame:
         unpack_epoch("k").alias("ts_epoch"),
         unpack_hash("k").alias("content_hash"),
     )
+
+
+def read_state(spark, location: str) -> DataFrame | None:
+    """Read a state-delta directory (``delta_id=N`` subdirs) down to the
+    reduced (url, ts_epoch, content_hash) table, or None when no
+    COMPLETE delta exists.
+
+    Only subdirectories holding a ``_SUCCESS`` marker are read: a crashed
+    first delta write can leave the directory existing but containing no
+    committed parquet (only ``_temporary`` debris), and a naive
+    ``read.parquet(location)`` would then raise schema-inference errors
+    on every restart — wedging a stream in a crash loop. Reading the
+    committed subdirs by explicit path also keeps ``.inprogress``
+    leftovers from a mid-compaction crash out of the scan entirely."""
+    if not path_exists(spark, location):
+        return None
+    lp, fs = hadoop_path(spark, location)
+    jvm_path_cls = spark._jvm.org.apache.hadoop.fs.Path
+    complete = []
+    for st in fs.listStatus(lp):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("delta_id=")
+            and not name.endswith(".inprogress")
+            and fs.exists(jvm_path_cls(st.getPath(), "_SUCCESS"))
+        ):
+            complete.append(st.getPath().toString())
+    if not complete:
+        return None
+    return reduce_state(spark.read.parquet(*complete))
 
 
 def hadoop_path(spark, p: str):

@@ -114,26 +114,24 @@ def start_incremental_stream(
     output write entirely — so a replay after a crash either recomputes
     the same delta (state not yet advanced → same bytes, idempotent
     per-batch-dir overwrite) or finds the delta empty (state advanced →
-    the earlier write survives untouched). Compaction is a swap_write
-    into the current delta dir followed by deleting the older ones —
-    every step idempotent under replay; a leftover ``.inprogress`` from
-    a mid-compaction crash is read back as subsumed duplicate rows that
-    the reduce collapses.
+    the earlier write survives untouched). The delta write itself is
+    skipped when its directory is already COMMITTED (_SUCCESS): on a
+    replayed compaction batch that directory holds the compacted FULL
+    state whose older deltas are gone — rewriting it with batch-only
+    rows would silently lose every url not in this batch. State reads go
+    through plans/incremental.read_state, which scans only committed
+    delta dirs (a crashed first write leaves the directory existing but
+    unreadable to a naive whole-dir read — a restart crash loop).
     """
     from pyocr_spark.plans.incremental import (
         content_state,
         hadoop_path,
         latest_pages,
         path_exists,
-        reduce_state,
+        read_state,
         select_changed,
         swap_write,
     )
-
-    def _read_state(_spark):
-        return reduce_state(
-            _spark.read.parquet(state_location).drop("delta_id")
-        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the micro-batch feeds three consumers (delta select, extraction,
@@ -141,10 +139,10 @@ def start_incremental_stream(
         # files per consumer (the standard foreachBatch reuse pattern)
         batch_df.persist()
         try:
-            have_state = path_exists(spark, state_location)
+            prev = read_state(spark, state_location)
             todo = (
-                select_changed(batch_df, _read_state(spark))
-                if have_state
+                select_changed(batch_df, prev)
+                if prev is not None
                 else latest_pages(batch_df)
             )
             todo.persist()
@@ -155,18 +153,21 @@ def start_incremental_stream(
                     ).parquet(f"{output_location}/batch_id={batch_id}")
             finally:
                 todo.unpersist()
-            content_state(batch_df).write.mode("overwrite").parquet(
-                f"{state_location}/delta_id={batch_id}"
-            )
+            delta_dir = f"{state_location}/delta_id={batch_id}"
+            if not path_exists(spark, f"{delta_dir}/_SUCCESS"):
+                content_state(batch_df).write.mode("overwrite").parquet(delta_dir)
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-                _compact_state(spark, state_location, batch_id, _read_state)
+                _compact_state(spark, state_location, batch_id)
         finally:
             batch_df.unpersist()
 
-    def _compact_state(_spark, location: str, keep_id: int, read_state) -> None:
-        # reduce the whole directory, swap it into the current batch's
-        # delta dir (its contents are subsumed), then drop older deltas
-        swap_write(read_state(_spark), f"{location}/delta_id={keep_id}")
+    def _compact_state(_spark, location: str, keep_id: int) -> None:
+        # reduce the committed deltas, swap the result into the current
+        # batch's delta dir (its contents are subsumed), then drop every
+        # other delta dir — including incomplete debris. Each step is
+        # idempotent under replay: re-compaction reduces whatever deltas
+        # remain (all subsumed by the kept dir) to the same table.
+        swap_write(read_state(_spark, location), f"{location}/delta_id={keep_id}")
         lp, fs = hadoop_path(_spark, location)
         for st in fs.listStatus(lp):
             name = st.getPath().getName()

@@ -95,10 +95,9 @@ def test_incremental_stream_skips_unchanged_refetches(spark, tmp_path):
 
     # state (a delta directory, reduced on read) advanced to the latest
     # versions for every url seen
-    from pyocr_spark.plans.incremental import reduce_state
+    from pyocr_spark.plans.incremental import read_state
 
-    st_df = reduce_state(spark.read.parquet(state).drop("delta_id"))
-    st = {r["url"]: r for r in st_df.collect()}
+    st = {r["url"]: r for r in read_state(spark, state).collect()}
     assert len(st) == 4
     assert st["https://h/b"]["ts_epoch"] > st["https://h/a"]["ts_epoch"]
 
@@ -122,15 +121,15 @@ def test_incremental_stream_empty_delta_writes_no_batch_dir(spark, tmp_path):
     assert q2.awaitTermination(300)
     assert len(glob.glob(os.path.join(out, "batch_id=*"))) == 1
     # but the state still advanced to the newer timestamp
-    from pyocr_spark.plans.incremental import reduce_state
+    from pyocr_spark.plans.incremental import read_state
 
-    st = reduce_state(spark.read.parquet(state).drop("delta_id")).head()
+    st = read_state(spark, state).head()
     import datetime as dt
     assert st["ts_epoch"] == int(dt.datetime(2024, 1, 9, tzinfo=dt.timezone.utc).timestamp())
 
 
 def test_incremental_stream_compacts_state_deltas(spark, tmp_path):
-    from pyocr_spark.plans.incremental import reduce_state
+    from pyocr_spark.plans.incremental import read_state
 
     inp = tmp_path / "in"
     inp.mkdir()
@@ -149,5 +148,29 @@ def test_incremental_stream_compacts_state_deltas(spark, tmp_path):
     assert q.awaitTermination(300)
     deltas = sorted(os.path.basename(d) for d in glob.glob(os.path.join(state, "delta_id=*")))
     assert deltas == ["delta_id=2"]  # older deltas compacted away
-    st = reduce_state(spark.read.parquet(state).drop("delta_id"))
+    st = read_state(spark, state)
     assert st.count() == 3  # and no url was lost in compaction
+
+
+def test_read_state_ignores_uncommitted_debris(spark, tmp_path):
+    """A crashed first delta write leaves the state dir existing but with
+    no committed parquet — read_state must report 'no state' instead of
+    raising on every restart; .inprogress leftovers are skipped too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyocr_spark.plans.incremental import read_state
+
+    state = tmp_path / "state"
+    # debris only: an uncommitted delta (no _SUCCESS) and a swap leftover
+    (state / "delta_id=0").mkdir(parents=True)
+    (state / "delta_id=7.inprogress").mkdir()
+    assert read_state(spark, str(state)) is None
+
+    # one committed delta appears -> state is readable, debris still ignored
+    tbl = pa.table({"url": ["u"], "ts_epoch": [5], "content_hash": ["h" * 32]})
+    (state / "delta_id=1").mkdir()
+    pq.write_table(tbl, state / "delta_id=1" / "part-0.parquet")
+    (state / "delta_id=1" / "_SUCCESS").touch()
+    st = read_state(spark, str(state))
+    assert [r["url"] for r in st.collect()] == ["u"]
