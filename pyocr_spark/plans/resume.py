@@ -39,7 +39,7 @@ from pyocr_spark.plans.pipeline import extract_df
 
 LINEAGE_SCHEMA = (
     "bucket int, status string, rows long, run_id string, finished_at double, "
-    "num_buckets int"
+    "num_buckets int, modes string, psm int"
 )
 
 
@@ -48,15 +48,23 @@ def _lineage_path(output_location: str) -> str:
 
 
 def completed_buckets(
-    spark: SparkSession, output_location: str, num_buckets: int | None = None
+    spark: SparkSession,
+    output_location: str,
+    num_buckets: int | None = None,
+    modes_str: str | None = None,
+    psm: int | None = None,
 ) -> list[int]:
     """Bucket ids recorded 'done' in the lineage table.
 
     Only a MISSING lineage table reads as "first run" — a real storage
     error (corrupt footer, transient FS failure) propagates, because
     silently returning [] would re-extract a mostly-complete job.
-    ``num_buckets`` (when given) is validated against the recorded
-    scheme: bucket ids are meaningless across different bucket counts.
+    ``num_buckets``/``modes_str``/``psm`` (when given) are validated
+    against the recorded scheme: bucket ids do not transfer between
+    bucket counts, and resuming with DIFFERENT extraction parameters
+    would leave the already-done bucket partitions with a different
+    schema/content than the remainder — a silently half-converted output
+    table.
     """
     from pyspark.errors import AnalysisException
 
@@ -66,21 +74,25 @@ def completed_buckets(
             spark.read.schema(LINEAGE_SCHEMA)
             .parquet(path)
             .filter("status = 'done'")
-            .select("bucket", "num_buckets")
+            .select("bucket", "num_buckets", "modes", "psm")
             .distinct()
             .collect()
         )
     except AnalysisException:  # first run: no lineage table yet
         return []
-    if num_buckets is not None:
-        recorded = {r.num_buckets for r in rows if r.num_buckets is not None}
-        if recorded and recorded != {num_buckets}:
+
+    def _check(name: str, want, got: set) -> None:
+        if want is not None and got and got != {want}:
             raise ValueError(
-                f"lineage at {path} was written with num_buckets={sorted(recorded)} "
-                f"but this run uses num_buckets={num_buckets}; bucket ids do not "
-                "transfer between schemes — resume with the original bucket count "
-                "or start fresh (--fresh)"
+                f"lineage at {path} was written with {name}={sorted(got)} but "
+                f"this run uses {name}={want!r}; completed buckets would not "
+                "match the new parameters — re-run with the original "
+                f"{name} or start fresh (--fresh)"
             )
+
+    _check("num_buckets", num_buckets, {r.num_buckets for r in rows if r.num_buckets is not None})
+    _check("modes", modes_str, {r.modes for r in rows if r.modes is not None})
+    _check("psm", psm, {r.psm for r in rows if r.psm is not None})
     return sorted({r.bucket for r in rows})
 
 
@@ -103,11 +115,18 @@ def run_resumable_extract(
     """
     from pyocr_spark.operators.dedup import dedup_latest_page
     from pyocr_spark.operators.repartition import with_bucket
-    from pyocr_spark.sources.pages import with_page_filters
+    from pyocr_spark.sources.pages import with_page_filters, write_output
 
+    if buckets_per_wave is not None and buckets_per_wave < 1:
+        # -1 would make the wave list EMPTY (range with negative step) and
+        # the job would report success having done nothing
+        raise ValueError(f"buckets_per_wave must be >= 1, got {buckets_per_wave}")
     run_id = uuid.uuid4().hex[:12]
+    modes_str = ",".join(sorted(modes))
     metrics = StageMetrics(spark, f"extract-resume-{run_id}")
-    done = completed_buckets(spark, output_location, num_buckets=num_buckets)
+    done = completed_buckets(
+        spark, output_location, num_buckets=num_buckets, modes_str=modes_str, psm=psm
+    )
     # bucket is computed BEFORE the UDF so a wave's bucket filter prunes the
     # extraction itself (filtering the UDF's output would re-extract every
     # bucket every wave)
@@ -116,9 +135,13 @@ def run_resumable_extract(
     )
     done_set = set(done)
     todo = [b for b in range(num_buckets) if b not in done_set]
+    # fully-resumed run → zero waves: no empty extract job, no overwrite
+    # of nothing, no zero-row lineage append accumulating per re-run
     waves: list[list[int]] = (
-        [todo]
-        if not buckets_per_wave
+        []
+        if not todo
+        else [todo]
+        if buckets_per_wave is None
         else [todo[i : i + buckets_per_wave] for i in range(0, len(todo), buckets_per_wave)]
     )
     executed = 0
@@ -134,14 +157,16 @@ def run_resumable_extract(
             keep_bucket=True,
             num_buckets=num_buckets,
         )
-        (
-            wave_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(output_location)
-        )
+        # the SHARED sink (sources/pages.write_output): parquet = dynamic
+        # per-bucket partition overwrite, iceberg = overwritePartitions —
+        # an inline writer here would silently diverge from run_extract's
+        # sink against the same table
+        write_output(wave_df, output_location, partition_by=["bucket"], mode="overwrite")
         lineage = spark.createDataFrame(
-            [(b, "done", -1, run_id, time.time(), num_buckets) for b in wave],
+            [
+                (b, "done", -1, run_id, time.time(), num_buckets, modes_str, psm)
+                for b in wave
+            ],
             schema=LINEAGE_SCHEMA,
         )
         lineage.write.mode("append").parquet(_lineage_path(output_location))

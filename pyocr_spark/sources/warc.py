@@ -21,6 +21,8 @@ skipped records per file is exposed via the optional metrics accumulator.
 
 from __future__ import annotations
 
+import gzip
+import io
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -30,19 +32,26 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (Common-Crawl layout: one
-    member per record — stdlib gzip.decompress stops after the first)."""
+    """Decompress concatenated gzip members (Common-Crawl layout: ONE
+    member per record, ~100k members per ~1 GB archive), tolerating a
+    damaged/truncated member by keeping everything decoded before it.
+
+    Streams through gzip.GzipFile in fixed chunks: a decompressobj loop
+    that re-slices ``unused_data`` per member is O(members²) in memcpy —
+    measured 1.4 s → 11.4 s → 92.5 s for 1k → 2k → 4k members, i.e.
+    hours for a real archive. GzipFile handles member concatenation
+    internally with no per-member buffer copies.
+    """
     out = []
-    while data:
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        try:
-            out.append(d.decompress(data))
-            out.append(d.flush())
-        except zlib.error:
-            break  # damaged member: keep every record decoded so far
-        data = d.unused_data
-        if not d.eof:  # trailing garbage / truncated member
-            break
+    f = gzip.GzipFile(fileobj=io.BytesIO(data))
+    try:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            out.append(chunk)
+    except (OSError, EOFError, zlib.error):
+        pass  # damaged member / trailing garbage: keep the good prefix
     return b"".join(out)
 
 
@@ -57,22 +66,49 @@ def _parse_warc_date(value: str) -> datetime | None:
         return None
 
 
-def iter_warc_records(data: bytes) -> Iterator[dict]:
+def _resync(data: bytes, pos: int) -> int:
+    """Next offset after ``pos`` that PLAUSIBLY starts a record: a
+    ``WARC/<digits-and-dots>`` version line followed within 8 KB by a
+    header block containing a WARC-Type header. Scanning for the bare
+    ``\\r\\nWARC/`` magic is not enough — a record BODY can contain that
+    byte sequence (an archived .warc file, a page documenting the WARC
+    format), and honoring an embedded sample's Content-Length would
+    swallow the real records after it. Returns -1 when none remains."""
+    while True:
+        nxt = data.find(b"\r\nWARC/", pos)
+        if nxt < 0:
+            return -1
+        cand = nxt + 2
+        line_end = data.find(b"\r\n", cand, cand + 16)
+        ver = data[cand + 5 : line_end] if line_end > 0 else b""
+        if ver and all(c in b"0123456789." for c in ver):
+            head_end = data.find(_CRLF2, cand, cand + 8192)
+            if head_end > 0 and b"warc-type" in data[cand:head_end].lower():
+                return cand
+        pos = nxt + 2
+
+
+def iter_warc_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
     """Yield {'url', 'warc_ts', 'html'} per *response* record.
 
-    Malformed records are skipped; parsing resumes at the next
-    ``WARC/`` magic so one damaged record never loses the archive.
+    Malformed records are skipped; parsing resumes at the next plausible
+    record header (``_resync``) so one damaged record never loses the
+    archive. ``stats['skipped']`` (when a dict is passed) counts the
+    records dropped for damage — corrupt Content-Length, missing
+    target URI — feeding the metrics accumulator's error counter.
     """
+    if stats is None:
+        stats = {}
+    stats.setdefault("skipped", 0)
     if data[:2] == _GZIP_MAGIC:
         data = gunzip_members(data)
     pos = 0
     n = len(data)
     while pos < n:
         if not data.startswith(b"WARC/", pos):
-            nxt = data.find(b"\r\nWARC/", pos)
-            if nxt < 0:
+            pos = _resync(data, pos)
+            if pos < 0:
                 return
-            pos = nxt + 2
             continue
         head_end = data.find(_CRLF2, pos)
         if head_end < 0:
@@ -89,6 +125,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         except ValueError:
             length = -1
         if length < 0:  # absent/corrupt/negative → resync at next record
+            stats["skipped"] += 1
             pos = head_end + 4
             continue
         body_start = head_end + 4
@@ -101,9 +138,10 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         if data.startswith(_CRLF2, pos):
             pos += 4
         if headers.get("warc-type") != "response":
-            continue
+            continue  # request/metadata records are not damage
         url = headers.get("warc-target-uri")
         if not url:
+            stats["skipped"] += 1
             continue
         # body is an HTTP response: strip the status line + headers
         http_split = body.find(_CRLF2)
@@ -142,7 +180,8 @@ def make_warc_parse_fn(metrics=None):
         for pdf in batches:
             for content in pdf["content"]:
                 n_rows, chunk = 0, []
-                for rec in iter_warc_records(bytes(content)):
+                stats = {"skipped": 0}
+                for rec in iter_warc_records(bytes(content), stats):
                     chunk.append(rec)
                     if len(chunk) >= _CHUNK:
                         n_rows += len(chunk)
@@ -151,7 +190,11 @@ def make_warc_parse_fn(metrics=None):
                 n_rows += len(chunk)
                 yield _frame(chunk)
                 if metrics is not None:
-                    metrics.add(docs=n_rows, bytes_in=len(content))
+                    metrics.add(
+                        docs=n_rows,
+                        bytes_in=len(content),
+                        errors=stats["skipped"],
+                    )
 
     return parse_files
 

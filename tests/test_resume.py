@@ -89,3 +89,40 @@ def test_resume_rejects_changed_num_buckets(spark, pages_sf0001, tmp_path):
         run_resumable_extract(
             spark, pages, out, modes=frozenset({"text"}), num_buckets=16
         )
+
+
+def test_resume_rejects_changed_modes_or_psm(spark, pages_sf0001, tmp_path):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    out = str(tmp_path / "out")
+    run_resumable_extract(spark, pages, out, modes=MODES, num_buckets=4)
+    # resuming with a wider mode set would leave buckets 0..3 without the
+    # new columns — must refuse, not silently half-convert the table
+    with pytest.raises(ValueError, match="modes"):
+        run_resumable_extract(
+            spark, pages, out, modes=frozenset({"text", "words"}), num_buckets=4
+        )
+    with pytest.raises(ValueError, match="psm"):
+        run_resumable_extract(spark, pages, out, modes=MODES, num_buckets=4, psm=6)
+
+
+def test_buckets_per_wave_validated(spark, pages_sf0001, out_dir):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="buckets_per_wave"):
+            run_resumable_extract(
+                spark, pages, out_dir, modes=MODES, num_buckets=4,
+                buckets_per_wave=bad,
+            )
+
+
+def test_fully_resumed_run_appends_no_lineage(spark, pages_sf0001, out_dir):
+    import glob
+    import os
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
+    files_before = set(glob.glob(os.path.join(out_dir, "_lineage", "*.parquet")))
+    report = run_resumable_extract(spark, pages, out_dir, modes=MODES, num_buckets=4)
+    assert report["buckets_executed"] == 0
+    # zero waves ran: no empty lineage part files accumulate per re-run
+    assert set(glob.glob(os.path.join(out_dir, "_lineage", "*.parquet"))) == files_before

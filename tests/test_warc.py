@@ -127,3 +127,57 @@ def test_read_warc_stream_drains_archives_as_batches(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_files_per_trigger"):
         read_warc_stream(spark, str(src), max_files_per_trigger=0)
+
+
+def test_gunzip_many_members_scales():
+    """The member loop must be linear: 2000 one-record members (the real
+    Common-Crawl layout) decode fully — the old unused_data re-slicing
+    loop was O(members^2) and took ~11 s here."""
+    import gzip as _gzip
+    import time
+
+    members = b"".join(
+        _gzip.compress(
+            _record("response", f"https://m/{i}", "2024-01-01T00:00:00Z",
+                    b"<p>" + str(i).encode() * 30 + b"</p>")
+        )
+        for i in range(2000)
+    )
+    t0 = time.monotonic()
+    recs = list(iter_warc_records(members))
+    wall = time.monotonic() - t0
+    assert len(recs) == 2000
+    assert recs[1999]["url"] == "https://m/1999"
+    # generous bound (host throttle swings): the quadratic version took 10x+
+    assert wall < 20
+
+
+def test_skipped_records_counted():
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad/len\r\nContent-Length: nope\r\n\r\n"
+    )
+    no_uri = _record("response", "https://x/", "2024-01-01T00:00:00Z", b"<p>z</p>")
+    no_uri = no_uri.replace(b"WARC-Target-URI: https://x/\r\n", b"")
+    good = _record("response", "https://ok/", "2024-01-01T00:00:00Z", b"<p>ok</p>")
+    stats = {}
+    recs = list(iter_warc_records(bad_len + no_uri + good, stats))
+    assert [r["url"] for r in recs] == ["https://ok/"]
+    assert stats["skipped"] == 2
+
+
+def test_resync_ignores_warc_magic_inside_body():
+    """After damage, resync must not treat a 'WARC/1.0' sample embedded
+    in page CONTENT as a record header — only a plausible header block
+    (version line + WARC-Type) re-anchors the parser."""
+    damaged = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://damaged/\r\nContent-Length: broken\r\n\r\n"
+        b"<html>this page documents the format:\r\nWARC/1.0\r\n"
+        b"Content-Length: 999999\r\n\r\nnot a real record</html>\r\n\r\n"
+    )
+    good = _record("response", "https://after/", "2024-03-01T00:00:00Z", b"<p>ok</p>")
+    recs = list(iter_warc_records(damaged + good))
+    # the embedded sample (no WARC-Type header) was not honored; the real
+    # record after the damaged region survives
+    assert [r["url"] for r in recs] == ["https://after/"]
