@@ -248,7 +248,14 @@ def extract_batch(
                 continue
             # ---- stage per-row results locally; commit atomically below
             # (so a mid-parse exception can't leave half a row behind).
-            # Same fused fold as extract_page.
+            # DELIBERATE DUPLICATION of extract_page's fused fold
+            # (oracle.py — the block marked with the same banner): a
+            # shared helper would have to emit representation-neutral
+            # intermediates and re-convert them per caller in the hottest
+            # loop in the engine. Any edit to the frozen per-line
+            # semantics MUST be applied to both copies — the equivalence
+            # corpus (test_core_columnar, incl. PDF/hOCR/ALTO rows) fails
+            # on a one-sided change.
             lines = page_events(html, psm=3 if psm == 0 else psm)
             text_parts: list[str] = []
             digit_parts: list[str] = []

@@ -120,7 +120,9 @@ def _extract_text_fast(html, psm: int, modes: frozenset) -> dict | None:
     eff_psm = 3 if psm == 0 else psm
     if looks_like_pdf(html):
         word_lines = _psm7_flatten(extract_pdf_word_lines(html), eff_psm)
-        text_dec = decode_replace(html)  # orientation OSD-scan parity
+        # decoded bytes feed ONLY the orientation OSD scan — text/digits
+        # come from the PDF text layer; don't decode megabytes for nothing
+        text_dec = decode_replace(html) if "orientation" in modes else None
     else:
         text_dec = decode_replace(html)
         if looks_like_alto(text_dec) or looks_like_hocr(text_dec):
@@ -257,6 +259,9 @@ def extract_page(
         want_chars = "chars" in modes
         want_boxfmt = "box_fmt" in modes
 
+        # DELIBERATE DUPLICATION with columnar.extract_batch's fold (see
+        # the matching banner there): edits to the per-line semantics
+        # must land in both copies; the equivalence corpus gates it.
         text_parts: list[str] = []
         digit_parts: list[str] = []
         word_boxes: list[Box] = []

@@ -13,8 +13,12 @@ frozen deterministic definition:
 - if the page embeds an OSD report (hOCR pages may carry the literal
   tool-output lines), parse it exactly like pyocr does — same regexes;
 - otherwise angle = 0 and confidence = round(100 * letters / max(1,
-  non-space chars), 2) over the PSM-3 extracted text — a script-presence
-  score in [0, 100];
+  non-space chars), 2) over the text extracted AT THE REQUESTED PSM — a
+  script-presence score in [0, 100]. Confidence is therefore
+  PSM-dependent on pages where segmentation changes the kept text
+  (psm=6 keeps boilerplate that psm=3 strips), deliberately mirroring
+  "the text this call actually saw" rather than a fixed segmentation;
+  psm=0 (OSD-only) scores the psm-3 text, since 0 extracts nothing;
 - a page with NO extracted text and no OSD report is the analog of "no
   script found": return None (callers record a per-row error instead of
   raising — SURVEY.md §3.3).

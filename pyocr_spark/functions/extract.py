@@ -47,8 +47,20 @@ TEXT_ONLY = frozenset({"text"})
 BOXES = frozenset({"words", "lines"})
 
 
+def validate_modes(modes: frozenset) -> None:
+    """Reject unknown mode names LOUDLY: a typo'd mode ('digit_line')
+    would otherwise set no builder flag and emit no column — a
+    multi-hour extraction 'succeeds' without the requested output."""
+    bad = set(modes) - ALL_MODES
+    if bad:
+        raise ValueError(
+            f"unknown extraction modes {sorted(bad)}; valid: {sorted(ALL_MODES)}"
+        )
+
+
 def output_schema_ddl(modes: frozenset = ALL_MODES, passthrough: str = "url string") -> str:
     """Build the mapInPandas output schema for a mode subset."""
+    validate_modes(modes)
     cols = [passthrough, "status string", "error string", "n_words int"]
     cols += [f"{name} {ddl}" for mode, name, ddl in _MODE_FIELDS if mode in modes]
     return ", ".join(cols)
@@ -67,6 +79,7 @@ def make_extract_fn(
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Build the mapInPandas function. ``metrics`` is an optional
     plans.metrics.StageMetrics (driver-side accumulators, SURVEY.md P7)."""
+    validate_modes(modes)
     out_cols = _columns_for(modes)
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -130,8 +143,12 @@ def _pa_types():
 
 
 def output_schema_arrow(modes: frozenset = ALL_MODES, passthrough=(("url", None),)):
-    """pyarrow schema mirroring output_schema_ddl (same names, same order)."""
+    """pyarrow schema mirroring output_schema_ddl (same names, same order;
+    equality with the DDL schema is pinned by a test to prevent the two
+    definitions drifting)."""
     import pyarrow as pa
+
+    validate_modes(modes)
 
     types = _pa_types()
     fields = [(n, t if t is not None else pa.string()) for n, t in passthrough]

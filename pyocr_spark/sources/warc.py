@@ -205,6 +205,9 @@ def read_warc(spark, path: str, metrics=None):
     One ``binaryFile`` row per archive — the natural work unit (crawl
     segments are ~1 GB, and a real crawl provides millions of them, so
     file-count is the parallelism exactly as for the parquet layout).
+    Bound: binaryFile materializes a whole archive as one row, and Spark
+    caps a single binary value at 2 GB — standard crawl segments fit;
+    re-shard anything bigger before ingestion.
     """
     from pyocr_spark.sources.pages import PAGES_SCHEMA
 

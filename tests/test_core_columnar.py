@@ -24,7 +24,16 @@ CORPUS = [
     b"<alto><broken",
     b"\xe9 broken utf8 <b>51</b>",
 ]
-LANGS = ["en", "en", "en", "en", None, "en", "xx", "en", "en", "en", "en"]
+
+# PDF dialect rows: the equivalence gate must cover extract_batch's PDF
+# branch (fast path AND general path), not assume it
+from pyocr_spark.core.pdf import text_to_pdf_bytes  # noqa: E402
+
+CORPUS += [
+    text_to_pdf_bytes("pdf words 42 here\nsecond line 7"),
+    b"%PDF-1.4 truncated garbage",
+]
+LANGS = ["en", "en", "en", "en", None, "en", "xx", "en", "en", "en", "en", "en", "en"]
 
 _COL_FOR_MODE = {
     "text": ["extracted_text"],

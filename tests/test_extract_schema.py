@@ -1,0 +1,45 @@
+"""functions/extract schema contracts: DDL↔Arrow schema equivalence
+(two definitions of the same 11 columns must never drift) and loud
+rejection of unknown mode names."""
+
+import pytest
+
+from pyocr_spark.core.oracle import ALL_MODES
+from pyocr_spark.functions.extract import (
+    make_extract_fn,
+    output_schema_arrow,
+    output_schema_ddl,
+    validate_modes,
+)
+
+
+def test_arrow_schema_matches_ddl_schema_exactly(spark):
+    # _parse_datatype_string delegates DDL parsing to the JVM
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    for modes in (ALL_MODES, frozenset({"text"}), frozenset({"lines", "chars"})):
+        ddl_struct = _parse_datatype_string(output_schema_ddl(modes))
+        arrow = output_schema_arrow(modes)
+        assert [f.name for f in ddl_struct.fields] == arrow.names
+        for f, a in zip(ddl_struct.fields, arrow):
+            assert to_arrow_type(f.dataType) == a.type, f.name
+
+
+@pytest.mark.parametrize("bad", [{"digit_line"}, {"text", "wrds"}, {"TEXT"}])
+def test_unknown_modes_rejected(bad):
+    with pytest.raises(ValueError, match="unknown extraction modes"):
+        validate_modes(frozenset(bad))
+    with pytest.raises(ValueError, match="unknown extraction modes"):
+        output_schema_ddl(frozenset(bad))
+    with pytest.raises(ValueError, match="unknown extraction modes"):
+        make_extract_fn(frozenset(bad))
+
+
+def test_extract_df_rejects_unknown_modes(spark, pages_sf0001):
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    with pytest.raises(ValueError, match="unknown extraction modes"):
+        extract_df(pages, modes=frozenset({"text", "digit_line"}))
