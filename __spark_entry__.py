@@ -957,12 +957,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY url) AS n FROM v) WHERE rn = 1), "
             "l AS (SELECT url, ts, h FROM (SELECT url, ts, h, "
             "row_number() OVER (PARTITION BY url ORDER BY ts DESC, h DESC) AS rn "
-            "FROM v) WHERE rn = 1) "
+            "FROM v) WHERE rn = 1), "
+            "hr AS (SELECT url, min(h) AS min_h, max(h) AS max_h "
+            "FROM v GROUP BY url) "
             "SELECT f.url, CAST(f.n AS BIGINT) AS n_versions, "
             "f.ts AS first_ts_epoch, l.ts AS last_ts_epoch, "
-            "CASE WHEN f.n = 1 THEN 'single' WHEN f.h = l.h THEN 'unchanged' "
+            "CASE WHEN f.n = 1 THEN 'single' "
+            "WHEN hr.min_h = hr.max_h THEN 'unchanged' "
             "ELSE 'changed' END AS status "
-            "FROM f JOIN l USING (url)"
+            "FROM f JOIN l USING (url) JOIN hr USING (url)"
         ),
         "url_normalize": (
             f"WITH u AS (SELECT DISTINCT url "
@@ -986,7 +989,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN tail = '' THEN '/' ELSE tail END AS tail_norm FROM hd), "
             "au AS (SELECT *, regexp_replace("
             "regexp_extract(mangled, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), "
-            "'^[^@]*@', '') AS a2 FROM nm) "
+            "'^.*@', '') AS a2 FROM nm) "
             "SELECT url, mangled, "
             "CASE WHEN head = '' THEN defrag ELSE head_norm || tail_norm END AS url_norm, "
             "lower(CASE WHEN a2 LIKE '[%' THEN regexp_extract(a2, '^(\\[[^\\]]*\\])', 1) "
@@ -996,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_filter": (
             f"WITH a AS (SELECT url, regexp_replace("
             "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), "
-            "'^[^@]*@', '') AS a2 "
+            "'^.*@', '') AS a2 "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
             "p AS (SELECT url, "
             "lower(CASE WHEN a2 LIKE '[%' THEN regexp_extract(a2, '^(\\[[^\\]]*\\])', 1) "

@@ -143,7 +143,13 @@ def train_ivf_centroids(
     update via posexplode + partial-agg avg per (cluster, dim). Only the
     nlist×dim centroid matrix ever reaches the driver.
     """
-    dim = len(emb.select(vec_col).head()[0])
+    first = emb.select(vec_col).head()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "train_ivf_centroids requires a non-empty input whose first "
+            f"row has a non-NULL {vec_col!r} (cannot infer the dimension)"
+        )
+    dim = len(first[0])
     cents = np.stack(
         [
             np.asarray(r[vec_col], dtype="float64")

@@ -22,10 +22,13 @@ def dedup_latest_page(pages: DataFrame) -> DataFrame:
     AQE skew-split handles hot urls.
     """
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    rn = "_rn"
+    while rn in pages.columns:  # never clobber a caller's column
+        rn += "_"
     return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        pages.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 
@@ -137,6 +140,15 @@ def minhash_lsh_dedup(
     stays hashed: a compact long beats a 4×20-char string as a shuffle
     key at 10^12 rows).
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make rows_per_band 0: an empty band key
+        # puts EVERY document in one LSH bucket — the quadratic self-join
+        # the banding exists to prevent; a non-dividing bands silently
+        # ignores the trailing num_hashes % bands signature components.
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, k, num_hashes, portable=portable)
 
@@ -210,7 +222,14 @@ def simhash(
     Each word votes ±1 on each bit of xxhash64(word); the sign vector is
     the fingerprint. Returns (id, simhash: bigint). ``portable=True``
     swaps xxhash64 for the md5-based portable hash (exact DuckDB oracle).
+
+    ``bits`` is capped at 63: the fingerprint is a signed bigint and the
+    bit-mask literals are built as positive longs, so 1 << 63 would
+    overflow the literal. 32 (the default) is the standard web-dedup
+    width; callers needing 64 should shard into two 32-bit fingerprints.
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     if portable:
         hashes = F.transform(words, lambda w: _portable_hash64(w))
@@ -384,7 +403,30 @@ def embedding_cosine_pairs(
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     join_cond = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
     if lsh_planes > 0:
-        dim = len(emb.select(vec_col).head()[0])
+        first = emb.select(vec_col).head()
+        if first is None:
+            # empty input: no pairs by definition (the exact path already
+            # returns empty naturally; the LSH path needs the dimension
+            # probe guarded or head()[0] raises an opaque TypeError)
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            idt = emb.schema[id_col].dataType
+            return emb.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("left_id", idt),
+                        StructField("right_id", idt),
+                        StructField("cosine", DoubleType()),
+                    ]
+                ),
+            )
+        if first[0] is None:
+            raise ValueError(
+                f"embedding_cosine_pairs: first row's {vec_col!r} is NULL — "
+                "cannot infer the embedding dimension for LSH planes"
+            )
+        dim = len(first[0])
         planes = make_planes(dim, lsh_planes)
         v = v.withColumn("lsh", hyperplane_sig(F.col("v"), planes))
         join_cond.insert(0, F.col("l.lsh") == F.col("r.lsh"))

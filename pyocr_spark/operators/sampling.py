@@ -28,14 +28,21 @@ BUCKETS = 1_000_000
 
 
 def _sample_hash(col: Column, portable: bool) -> Column:
+    # NULL keys: coalesce to a sentinel BEFORE hashing so both variants
+    # keep NULL-key rows in the same deterministic bucket. Without this
+    # the portable path (md5(NULL) → NULL → `bucket < cutoff` is NULL)
+    # silently DROPS every NULL-key row — even at fraction=1.0 — while
+    # xxhash64 keeps them (NULL hashes to the seed), so the two variants
+    # would select different populations from the same data.
+    keyed = F.coalesce(col.cast("string"), F.lit("\x00null"))
     if portable:
         from pyocr_spark.operators.dedup import _portable_hash64
 
-        return _portable_hash64(col.cast("string"))
+        return _portable_hash64(keyed)
     # raw xxhash64 (possibly negative): pmod handles the sign for
     # bucketing and ordering only needs determinism — no abs(), which
     # would be an ANSI-mode overflow on Long.MIN_VALUE
-    return F.xxhash64(col.cast("string"))
+    return F.xxhash64(keyed)
 
 
 def hash_sample(
@@ -60,7 +67,10 @@ def hash_sample(
     # round, not truncate: int(0.29 * 1e6) == 289999 under binary floats,
     # silently selecting one bucket fewer than the stated fraction
     cutoff = int(round(fraction * BUCKETS))
-    keyed = F.col(key).cast("string")
+    # coalesce BEFORE the salt concat: concat(NULL, salt) is NULL, which
+    # would erase the salt for NULL-key rows and correlate their
+    # membership across supposedly-independent carve-outs
+    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
     if salt:
         keyed = F.concat(keyed, F.lit(":" + salt))
     bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
@@ -101,7 +111,10 @@ def weighted_sample(
         F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("int"),
         F.lit(int(round(default_fraction * BUCKETS))),
     )
-    keyed = F.col(key).cast("string")
+    # coalesce BEFORE the salt concat: concat(NULL, salt) is NULL, which
+    # would erase the salt for NULL-key rows and correlate their
+    # membership across supposedly-independent carve-outs
+    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
     if salt:
         keyed = F.concat(keyed, F.lit(":" + salt))
     bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))

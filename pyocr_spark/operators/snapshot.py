@@ -77,6 +77,14 @@ def crawl_delta(
     a SQL oracle's md5 only accepts strings). Ties on equal timestamps
     break on the content hash, so first/last are deterministic even for
     same-instant refetches.
+
+    'unchanged' means the content hash never varied across ANY version —
+    min(h) == max(h) over the bare hashes, not first-vs-last. Comparing
+    first/last alone would classify an A→B→A revert (page temporarily
+    replaced, then restored) as unchanged, leaving a consumer that
+    extracted B holding stale output; min/max over the hash catches any
+    variation while staying a pure partial-aggregable min/max (no
+    count-distinct expand, no extra shuffle).
     """
     # min/max over the packed key: a var-length value cannot use
     # HashAggregate (UnsafeRow aggregation buffers are fixed-size), so the
@@ -86,18 +94,22 @@ def crawl_delta(
     # partial. The alternative that avoids the map-local sort —
     # pre-aggregating on a numeric 64-bit hash — costs a second full
     # shuffle, which loses badly at crawl scale.
-    key = packed_ts_hash_key(ts_col, content_col)
-    v = pages.select(F.col(url_col).alias("url"), key.alias("k"))
+    h = content_hash(content_col)
+    v = pages.select(
+        F.col(url_col).alias("url"),
+        pack_epoch_hash(F.col(ts_col), h).alias("k"),
+        h.alias("h"),
+    )
     g = v.groupBy("url").agg(
         F.count("*").alias("n_versions"),
         F.min("k").alias("first_k"),
         F.max("k").alias("last_k"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
     )
-    first_h = unpack_hash("first_k")
-    last_h = unpack_hash("last_k")
     status = (
         F.when(F.col("n_versions") == 1, F.lit("single"))
-        .when(first_h == last_h, F.lit("unchanged"))
+        .when(F.col("min_h") == F.col("max_h"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return g.select(

@@ -56,12 +56,15 @@ def normalize_url(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """Lowercased host of a ``scheme://`` url; '' when the url has no
-    scheme head. Strips userinfo (everything through the first '@' —
-    'https://x@evil.com/' must resolve to 'evil.com', or blocklists are
-    trivially evadable) and the port; bracketed IPv6 literals keep their
-    brackets (the ':' inside them is not a port separator)."""
+    scheme head. Strips userinfo through the LAST '@' (WHATWG: the host
+    starts after the final '@', so 'https://a@b@evil.com/' must resolve
+    to 'evil.com' — stripping only the first '@' would let a blocked
+    host evade filtering by inserting a second one) and the port;
+    bracketed IPv6 literals keep their brackets (the ':' inside them is
+    not a port separator). Greedy '.*@' is safe here because the
+    authority capture already excludes '/', '?', '#'."""
     auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    auth = F.regexp_replace(auth, r"^[^@]*@", "")
+    auth = F.regexp_replace(auth, r"^.*@", "")
     host = F.when(
         auth.startswith("["), F.regexp_extract(auth, r"^(\[[^\]]*\])", 1)
     ).otherwise(F.regexp_replace(auth, r":[0-9]*$", ""))

@@ -23,15 +23,27 @@ from pyocr_spark.plans.pipeline import extract_df
 from pyocr_spark.sources.pages import PAGES_SCHEMA
 
 
-def read_pages_stream(
-    spark: SparkSession, location: str, max_files_per_trigger: int | None = None
+def read_file_stream(
+    spark: SparkSession,
+    location: str,
+    schema,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    reader = spark.readStream.schema(PAGES_SCHEMA)
+    """Shared file-source reader scaffolding (schema + trigger-rate
+    validation) for every parquet readStream in the engine — one place
+    for the bounds check so the readers cannot drift."""
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         if max_files_per_trigger < 1:
             raise ValueError(f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}")
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(location)
+
+
+def read_pages_stream(
+    spark: SparkSession, location: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    return read_file_stream(spark, location, PAGES_SCHEMA, max_files_per_trigger)
 
 
 def start_extract_stream(

@@ -31,14 +31,9 @@ EVENTS_DDL = (
 def read_events_stream(
     spark, location: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    reader = spark.readStream.schema(EVENTS_DDL)
-    if max_files_per_trigger is not None:
-        if max_files_per_trigger < 1:
-            raise ValueError(
-                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
-            )
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(location)
+    from pyocr_spark.streaming.stream import read_file_stream
+
+    return read_file_stream(spark, location, EVENTS_DDL, max_files_per_trigger)
 
 
 def windowed_event_counts(

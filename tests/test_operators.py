@@ -484,3 +484,75 @@ def test_hash_sample_salt_independence_and_nesting(spark):
     small = {r["doc_id"] for r in hash_sample(df, 0.1, "doc_id").collect()}
     big = {r["doc_id"] for r in hash_sample(df, 0.5, "doc_id").collect()}
     assert small <= big
+
+
+def test_minhash_lsh_rejects_bad_band_split(spark, docs):
+    # bands > num_hashes → rows_per_band 0 → empty band key → every doc in
+    # ONE bucket → the quadratic self-join banding exists to prevent;
+    # non-dividing bands silently drops trailing signature components
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_dedup(docs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_dedup(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_dedup(docs, num_hashes=16, bands=0)
+
+
+def test_simhash_rejects_out_of_range_bits(spark, docs):
+    # 64 would overflow the signed-long mask literal (1 << 63)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs, bits=64)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs, bits=0)
+    # 63 is the documented ceiling and must still work
+    out = simhash(docs, bits=63).toPandas().set_index("doc_id")["simhash"]
+    assert out[0] == out[1]
+
+
+def test_embedding_lsh_pairs_empty_input(spark):
+    from pyocr_spark.operators.dedup import embedding_cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_cosine_pairs(empty, lsh_planes=8)
+    assert out.count() == 0
+    assert out.columns == ["left_id", "right_id", "cosine"]
+    # exact path already returned empty naturally — both paths now agree
+    assert embedding_cosine_pairs(empty, lsh_planes=0).count() == 0
+
+
+def test_train_ivf_centroids_empty_input_raises(spark):
+    from pyocr_spark.operators.ann import train_ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty"):
+        train_ivf_centroids(empty, nlist=2)
+
+
+def test_hash_sample_null_keys_kept_consistently(spark):
+    # md5(NULL) is NULL in the portable path — without the sentinel
+    # coalesce a 100% "sample" would silently DROP every NULL-key row
+    # while the xxhash64 path kept them: two variants, two populations
+    from pyocr_spark.operators.sampling import hash_sample
+
+    rows = [(i, f"k{i}") for i in range(100)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    assert hash_sample(df, 1.0, "key", portable=True).count() == 102
+    assert hash_sample(df, 1.0, "key", portable=False).count() == 102
+    # NULL-key rows land in ONE deterministic bucket, same in both variants
+    for frac in (0.3, 0.7):
+        p = {r["doc_id"] for r in hash_sample(df, frac, "key", portable=True).collect()}
+        x = {r["doc_id"] for r in hash_sample(df, frac, "key", portable=False).collect()}
+        assert ({100, 101} <= p) == ({100, 101} & p != set())  # all-or-none
+        assert ({100, 101} <= x) == ({100, 101} & x != set())
+
+
+def test_dedup_latest_page_preserves_caller_rn_column(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [("u", t, 7), ("u", t.replace(day=2), 8)],
+        "url string, warc_ts timestamp, _rn int",
+    )
+    out = dedup_latest_page(pages).collect()
+    assert len(out) == 1 and out[0]["_rn"] == 8  # caller's column survives

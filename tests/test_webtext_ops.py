@@ -112,15 +112,20 @@ def test_crawl_delta_statuses(spark):
     assert out["u/changed"]["first_ts_epoch"] < out["u/changed"]["last_ts_epoch"]
 
 
-def test_crawl_delta_middle_version_does_not_mask_refetch(spark):
-    # first and last bytes equal, middle differs → 'unchanged' (the
-    # operator classifies the endpoints; intermediate churn is not a
-    # reason to re-extract the latest fetch)
+def test_crawl_delta_revert_is_changed(spark):
+    # A→B→A revert: first and last bytes equal but the content DID vary —
+    # classifying on endpoints alone would report 'unchanged' and leave a
+    # consumer that extracted the middle version holding stale output
+    # forever. min/max over the bare hash catches any variation.
     pages = spark.createDataFrame(
         [("u", _ts(1), b"x"), ("u", _ts(2), b"y"), ("u", _ts(3), b"x")],
         "url string, warc_ts timestamp, html binary",
     )
-    assert crawl_delta(pages).collect()[0]["status"] == "unchanged"
+    row = crawl_delta(pages).collect()[0]
+    assert row["status"] == "changed"
+    assert row["n_versions"] == 3
+    # endpoints still report the true first/last fetch times
+    assert row["first_ts_epoch"] < row["last_ts_epoch"]
 
 
 # ---------------------------------------------------------------------------
@@ -162,6 +167,10 @@ def test_url_host(spark):
         # userinfo must not mask the real host (blocklist evasion)
         ("https://x@Evil.com/page", "evil.com"),
         ("https://u:p@evil.com:8443/", "evil.com"),
+        # WHATWG: host starts after the LAST '@' — a second '@' in the
+        # userinfo must not shield the real host from a blocklist
+        ("https://a@b@evil.com/x", "evil.com"),
+        ("https://a@b@c@evil.com:8443/x", "evil.com"),
         # bracketed IPv6 keeps brackets; inner ':' is not a port
         ("http://[2001:db8::1]:8080/x", "[2001:db8::1]"),
         ("http://[2001:db8::1]/x", "[2001:db8::1]"),
