@@ -1030,7 +1030,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM rep), "
             "gated AS (SELECT url, content_hash, "
             "CASE WHEN trim(extracted_text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(extracted_text), '\\s+')) END AS n_tokens "
+            "len(regexp_split_to_array(trim(extracted_text), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
             "FROM ded WHERE rn = 1) "
             "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
@@ -1112,14 +1112,14 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn FROM ok), "
             "gated AS (SELECT url, content_hash, "
             "CASE WHEN trim(extracted_text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(extracted_text), '\\s+')) END AS n_tokens "
+            "len(regexp_split_to_array(trim(extracted_text), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
             "FROM ded WHERE rn = 1) "
             "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "len(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) END AS n_tokens, "
             "length(text) AS n_chars_actual FROM documents"
         ),
         # explicit whitespace class [\t\n\f\r ] mirrors
@@ -1132,12 +1132,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": (
-            "SELECT doc_id, md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64) "
-            "|| '|' || CAST(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS VARCHAR)) "
+            "SELECT doc_id, md5(substr(lower(regexp_replace(text, '[\\t\\n\\f\\r ]+', ' ', 'g')), 1, 64) "
+            "|| '|' || CAST(length(lower(regexp_replace(text, '[\\t\\n\\f\\r ]+', ' ', 'g'))) AS VARCHAR)) "
             "AS fingerprint FROM documents"
         ),
         "doc_normalize": (
-            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            "SELECT doc_id, trim(regexp_replace(lower(text), '[\\t\\n\\f\\r ]+', ' ', 'g')) "
             "AS text_norm FROM documents"
         ),
         "doc_nfc": (
@@ -1307,10 +1307,11 @@ _QUALITY_SQL = """
 WITH b AS (
   SELECT doc_id, trim(text) AS t,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+              ELSE len(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) END AS n_tok,
          length(trim(text)) AS n_chars,
          length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS n_punct,
-         len(regexp_extract_all(' ' || trim(text) || ' ', '(?i)( (the|a|and|of|to|in) )')) AS n_stop
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '[\\t\\n\\f\\r ]+'),
+             x -> list_contains(['the','a','and','of','to','in'], x))) AS n_stop
   FROM documents
 ), r AS (
   SELECT doc_id, n_tok,
@@ -1326,19 +1327,37 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, punct_ratio, stop_ratio AS stop
 FROM r
 """
 
-_LANG_MARKER_EXPRS = {
-    "en": "(the|and|of)",
-    "de": "(der|und|die)",
-    "es": "(el|los|de)",
-    "fr": "(le|les|et)",
-    "zh": "(的|是|了)",
+_LANG_MARKERS_SQL = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "de"),
+    "fr": ("le", "les", "et"),
+    "zh": ("的", "是", "了"),
 }
+
+
+def _lang_hits_sql(lang: str, words: tuple[str, ...]) -> str:
+    """Replays text_stats._marker_count: exact-token membership for
+    space-delimited scripts, substring occurrence counting for zh (a
+    tokenizer split can never see a marker inside unsegmented CJK)."""
+    if lang == "zh":
+        terms = " + ".join(
+            f"(length(trim(text)) - length(replace(trim(text), '{w}', ''))) / {len(w)}"
+            for w in words
+        )
+        return f"CAST({terms} AS INT) AS h_{lang}"
+    in_list = ",".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+'), "
+        f"x -> list_contains([{in_list}], x))) AS h_{lang}"
+    )
+
 
 _LANG_ID_SQL = (
     "WITH h AS (SELECT doc_id, "
     + ", ".join(
-        f"len(regexp_extract_all(' ' || trim(text) || ' ', '( {pat.replace(chr(39), '')} )')) AS h_{lang}"
-        for lang, pat in sorted(_LANG_MARKER_EXPRS.items())
+        _lang_hits_sql(lang, words)
+        for lang, words in sorted(_LANG_MARKERS_SQL.items())
     )
     + " FROM documents), g AS (SELECT doc_id, greatest(h_de, h_en, h_es, h_fr, h_zh) AS best,"
     " h_de, h_en, h_es, h_fr, h_zh FROM h)"

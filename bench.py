@@ -24,6 +24,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
 
 
+def _sf_of(sf_dir: str) -> float:
+    """Scale factor from the directory name ('sf0.1' -> 0.1); 0.0 for a
+    custom directory name — a parse failure here would otherwise crash
+    AFTER the whole suite ran and lose the output JSON line."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
 def main() -> None:
     from pyocr_spark.datagen import ensure_pages
     from pyocr_spark.functions.extract import TEXT_ONLY
@@ -198,7 +209,11 @@ def main() -> None:
         reps=2,
     )
 
-    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    # guard the probe: a regenerated embeddings table without vec_id=0
+    # would otherwise crash here AFTER the whole suite ran, losing the
+    # one JSON line the driver records
+    qrow = emb.filter("vec_id = 0").head() or emb.head()
+    qvec = [float(x) for x in qrow["embedding"]]
     timed("ann_topk", lambda: topk_cosine(emb, qvec, k=10, exclude_id=0).collect(), reps=3)
 
     import __spark_entry__ as entrymod
@@ -216,7 +231,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")),
+                "sf": _sf_of(SF_DIR),
                 "pages": n_pages,
                 "docs_extracted": docs,
                 "cpus": CPUS,

@@ -103,12 +103,23 @@ def main(argv=None) -> None:
         fs.delete(hpath, True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
     if args.blocklist:
+        from pyspark.sql import functions as F
+
         from pyocr_spark.operators.urlnorm import blocklist_filter
 
-        blocked = spark.read.text(args.blocklist).withColumnRenamed("value", "host")
+        # normalize the file the same way url_host normalizes the page
+        # side (lowercase, trimmed) or mixed-case entries silently never
+        # match; drop blank lines — '' equals url_host()'s result for
+        # any schemeless url, so one trailing newline would anti-join
+        # every such page out of the input
+        blocked = (
+            spark.read.text(args.blocklist)
+            .select(F.lower(F.trim("value")).alias("host"))
+            .filter(F.col("host") != "")
+        )
         pages = blocklist_filter(pages, blocked).drop("host")
     if args.incremental:
-        run_incremental(spark, pages, args)
+        run_incremental(spark, pages, args, modes)
         spark.stop()
         return
     if args.corpus:
@@ -139,27 +150,42 @@ def main(argv=None) -> None:
     spark.stop()
 
 
-def run_incremental(spark, pages, args) -> None:
+def run_incremental(spark, pages, args, modes) -> None:
     """Incremental re-extraction: read previous output + state, extract
     only new/changed urls, merge, then two-step swap (write to
     *.inprogress, delete old, rename). On Iceberg deployments the swap is
     a transactional overwrite instead (sources.pages.write_output); the
     parquet path keeps the job self-contained on any Hadoop filesystem."""
-    from pyocr_spark.core.oracle import ALL_MODES
     from pyocr_spark.plans.incremental import (
         content_state,
         hadoop_path,
         latest_pages,
         merge_outputs,
         path_exists,
+        read_extract_params,
         select_changed,
         swap_write,
+        write_extract_params,
     )
     from pyocr_spark.plans.pipeline import extract_df
 
-    modes = ALL_MODES if args.modes == "all" else frozenset(args.modes.split(","))
+    params = {"modes": sorted(modes), "psm": args.psm}
     state_path = args.state or args.output.rstrip("/") + "_state"
     have_prev = path_exists(spark, args.output) and path_exists(spark, state_path)
+    if have_prev:
+        # content hashes ignore extraction parameters, so without this
+        # guard a re-run with a different --psm/--modes would re-extract
+        # only NEW/CHANGED urls and silently merge rows produced under
+        # two configurations into one table
+        prev_params = read_extract_params(spark, state_path)
+        if prev_params is not None and prev_params != params:
+            raise SystemExit(
+                f"--incremental parameter mismatch: state at {state_path} "
+                f"was built with {prev_params}, this run requests {params}. "
+                "Re-run with the matching --modes/--psm, or delete the "
+                "output and state to re-extract everything under the new "
+                "parameters."
+            )
     n_refreshed: int | None = None
     fresh_dir = args.output.rstrip("/") + ".fresh"
     if not have_prev:
@@ -181,10 +207,34 @@ def run_incremental(spark, pages, args) -> None:
         n_refreshed = fresh.count()
         merged = merge_outputs(spark.read.parquet(args.output), fresh)
 
+    if have_prev and n_refreshed == 0:
+        # nothing new or changed: merged == previous output exactly, and
+        # the state's content hashes are already current (only a
+        # same-content refetch's ts could differ, which select_changed
+        # never reads) — skip both swaps instead of rewriting 100% of
+        # the output per unchanged crawl, the full-table cost this plan
+        # exists to avoid
+        fp, fs = hadoop_path(spark, fresh_dir)
+        fs.delete(fp, True)
+        print(
+            json.dumps(
+                {
+                    "mode": "incremental",
+                    "first_run": False,
+                    "rows_refreshed": 0,
+                    "rows_total": spark.read.parquet(args.output).count(),
+                    "output": args.output,
+                    "state": state_path,
+                }
+            )
+        )
+        return
+
     # the merged plan READS the previous output, so never overwrite in
     # place (plans/incremental.swap_write)
     swap_write(merged, args.output)
     swap_write(content_state(pages), state_path)
+    write_extract_params(spark, state_path, params)
     if path_exists(spark, fresh_dir):
         fp, fs = hadoop_path(spark, fresh_dir)
         fs.delete(fp, True)

@@ -134,15 +134,20 @@ def make_frames_fn(every_n: int = 10, decode: str = "fake"):
         for pdf in batches:
             rows = []
             for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
-                if kind != "video" or not content or pd.isna(mid):
+                if kind != "video" or not content:
                     continue
                 try:
                     d = _decode_one(content, kind, decode)
                 except Exception:  # per-row error contract: a bad video is
                     continue  # simply frameless, never a stage failure
+                # NULL media_id keeps its frames with a NULL id — the
+                # same row-preserving contract decode_media/resize follow
+                # (silently dropping it would make a metadata-vs-frames
+                # join misread the video as frameless)
+                mid_out = None if pd.isna(mid) else int(mid)
                 for f in range(0, d["n_frames"], every_n):
                     frame_sig = hashlib.md5(content + f.to_bytes(4, "big")).hexdigest()
-                    rows.append((int(mid), f, frame_sig))
+                    rows.append((mid_out, f, frame_sig))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sig"])
 
     return sample_batches

@@ -16,9 +16,16 @@ from pyspark.sql import functions as F
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace-token count; empty/blank text → 0."""
+    """Whitespace-token count; empty/blank text → 0.
+
+    Splits on the explicit class ``[\\t\\n\\f\\r ]+`` (the Java-regex/RE2
+    common subset, see ``_WS``), never ``\\s+`` — Java's ``\\s`` includes
+    ``\\x0B`` where RE2/DuckDB's does not, so ``\\s+`` here would make the
+    SQL oracle diverge on vertical-tab input AND tokenize differently
+    from the dup-token gate in plans/corpus.py that shares one plan with
+    this count."""
     return F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
+        F.size(F.split(F.trim(text), "[" + _WS + "]+"))
     )
 
 
@@ -47,13 +54,13 @@ def quality_score(docs: DataFrame) -> DataFrame:
         token_count(t).alias("_n_tok"),
         F.length(t).alias("_n_chars"),
         (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).alias("_n_punct"),
-        F.size(
-            F.regexp_extract_all(
-                F.concat(F.lit(" "), t, F.lit(" ")),
-                F.lit(r"(?i)( (the|a|and|of|to|in) )"),
-                F.lit(0),
-            )
-        ).alias("_n_stop"),
+        # token-membership count, case-insensitive via lower(): a regex
+        # over padded text (' (the|a|...) ') counts NON-overlapping
+        # matches, so ' a of the ' scored 2 instead of 3 — the match
+        # consumes the shared separator space
+        _token_hits(F.lower(t), ("the", "a", "and", "of", "to", "in")).alias(
+            "_n_stop"
+        ),
     )
     n_tok, n_chars = F.col("_n_tok"), F.col("_n_chars")
     mean_wlen = F.when(n_tok > 0, F.round(n_chars / n_tok, 4)).otherwise(F.lit(0.0))
@@ -78,7 +85,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 #: tiny frozen stopword lists per language for the n-gram/stopword
-#: language-ID heuristic. Counts are exact-match word counts.
+#: language-ID heuristic. Counts are exact-match word counts for
+#: space-delimited scripts; space-free scripts (zh) count marker
+#: substring occurrences instead — a tokenizer split can never match a
+#: marker inside unsegmented CJK text.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),
@@ -87,12 +97,35 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "zh": ("的", "是", "了"),
 }
 
+#: languages whose markers are counted as substrings (no word boundaries)
+_SUBSTR_LANGS = frozenset({"zh"})
 
-def _marker_count(t: Column, words: tuple[str, ...]) -> Column:
-    pat = "( (" + "|".join(words) + ") )"
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    # overlapping " w1 w2 " pairs: count via extract_all on the padded text
-    return F.size(F.regexp_extract_all(padded, F.lit(pat), F.lit(0)))
+
+def _token_hits(t: Column, words: tuple[str, ...]) -> Column:
+    """Exact-token membership count: split on the explicit whitespace
+    class and count tokens equal to a marker. Unlike a regex over padded
+    text ('( (w1|w2) )'), adjacent markers all count — the regex consumes
+    the shared separator space and silently undercounts runs."""
+    toks = F.split(F.trim(t), "[" + _WS + "]+")
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def _substr_hits(t: Column, words: tuple[str, ...]) -> Column:
+    """Marker occurrence count for space-free scripts: length delta under
+    per-marker deletion. Exactly replayable in SQL as
+    (length(t) - length(replace(t, m, ''))) / length(m)."""
+    total: Column = F.lit(0.0)
+    for m in words:
+        total = total + (
+            F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+    return total.cast("int")
+
+
+def _marker_count(lang: str, t: Column, words: tuple[str, ...]) -> Column:
+    if lang in _SUBSTR_LANGS:
+        return _substr_hits(t, words)
+    return _token_hits(t, words)
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -102,7 +135,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     (doc_id, lang_pred, best_hits).
     """
     t = F.trim(F.col("text"))
-    hits = [(lang, _marker_count(t, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    hits = [(lang, _marker_count(lang, t, words)) for lang, words in sorted(LANG_MARKERS.items())]
     best = F.greatest(*[h for _, h in hits])
     pred = F.lit("und")
     for lang, h in reversed(hits):  # earlier langs win ties → reversed fold
@@ -147,7 +180,9 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     length — the cheap "same-content" key for exact clustering.
     """
     t = F.col("text")
-    norm = F.lower(F.regexp_replace(t, r"\s+", " "))
+    # explicit whitespace class — same Java/RE2-portability rule as
+    # token_count; \s+ would diverge from the SQL oracle on \x0B
+    norm = F.lower(F.regexp_replace(t, "[" + _WS + "]+", " "))
     fp = F.md5(F.concat(F.substring(norm, 1, 64), F.lit("|"), F.length(norm).cast("string")))
     return docs.select("doc_id", fp.alias("fingerprint"))
 
@@ -160,7 +195,9 @@ def normalize_text(docs: DataFrame) -> DataFrame:
     the opt-in Arrow-batched variant is ``normalize_text_nfc``.)
     """
     t = F.col("text")
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    # explicit whitespace class — same Java/RE2-portability rule as
+    # token_count; \s+ would diverge from the SQL oracle on \x0B
+    norm = F.trim(F.regexp_replace(F.lower(t), "[" + _WS + "]+", " "))
     return docs.select("doc_id", norm.alias("text_norm"))
 
 

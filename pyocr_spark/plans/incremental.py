@@ -222,6 +222,42 @@ def swap_write(df: DataFrame, final: str) -> None:
         )
 
 
+def write_extract_params(spark, state_path: str, params: dict) -> None:
+    """Persist the extraction parameters (modes, psm) beside the state
+    table as a tiny one-row text table at ``<state>_params`` — the
+    incremental guard rail: state records WHICH extraction produced the
+    previous output, so a later run with different parameters cannot
+    silently merge rows extracted under two configurations into one
+    table (the same hazard plans/resume.py guards via bucket lineage).
+    Written as a DataFrame (not a raw FS stream) so it works unchanged
+    on any Hadoop filesystem."""
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps(params, sort_keys=True),)], "v string"
+    ).coalesce(1).write.mode("overwrite").text(_params_path(state_path))
+
+
+def read_extract_params(spark, state_path: str) -> dict | None:
+    """Read back the params sidecar; None when absent (state predating
+    the guard — callers should treat that as unknown-but-compatible)."""
+    import json as _json
+
+    p = _params_path(state_path)
+    if not path_exists(spark, p):
+        return None
+    rows = spark.read.text(p).collect()
+    if not rows:
+        return None
+    return _json.loads(rows[0]["value"])
+
+
+def _params_path(state_path: str) -> str:
+    # beside the state dir, not inside it: the state swap_write replaces
+    # the whole directory and a parquet scan must never see the sidecar
+    return state_path.rstrip("/") + "_params"
+
+
 def merge_outputs(
     prev_output: DataFrame, fresh_output: DataFrame, url_col: str = "url"
 ) -> DataFrame:

@@ -120,3 +120,62 @@ def test_merge_keeps_vanished_urls(spark):
     fresh_out = spark.createDataFrame([("u/kept", "new text")], ddl)
     merged = dict(map(tuple, merge_outputs(prev_out, fresh_out).collect()))
     assert merged == {"u/kept": "new text", "u/gone": "still here"}
+
+
+def test_extract_params_sidecar_roundtrip(spark, tmp_path):
+    from pyocr_spark.plans.incremental import (
+        read_extract_params,
+        write_extract_params,
+    )
+
+    state = str(tmp_path / "state")
+    assert read_extract_params(spark, state) is None  # absent → unknown
+    params = {"modes": ["text", "words"], "psm": 3}
+    write_extract_params(spark, state, params)
+    assert read_extract_params(spark, state) == params
+    # overwrite with new params (the post-swap refresh path)
+    write_extract_params(spark, state, {"modes": ["text"], "psm": 6})
+    assert read_extract_params(spark, state) == {"modes": ["text"], "psm": 6}
+
+
+def test_job_incremental_param_guard_and_noop_shortcircuit(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """job.py --incremental: a re-run with different --psm must refuse
+    (state records the extraction parameters), and a no-change re-run
+    must short-circuit without rewriting the output."""
+    import json
+    import os
+
+    import pytest
+
+    import job
+
+    # job.main stops its session on exit; in-process here that session IS
+    # the shared fixture — neuter stop() so later test files keep it
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    from pyocr_spark.sources.pages import PAGES_SCHEMA
+
+    t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [("https://a.example/x", t, bytearray(b"<p>hello world</p>"), None, "en")],
+        PAGES_SCHEMA,
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "out")
+    args = ["--input", src, "--output", out, "--incremental", "--modes", "text"]
+    job.main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["first_run"] is True and r1["rows_total"] == 1
+    mtime = max(
+        os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    )
+    job.main(args)  # unchanged input → short-circuit
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows_refreshed"] == 0 and r2["rows_total"] == 1
+    assert max(
+        os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    ) == mtime  # output untouched — no swap happened
+    with pytest.raises(SystemExit, match="parameter mismatch"):
+        job.main(args + ["--psm", "6"])

@@ -119,10 +119,12 @@ def test_crawl_delta_matches_reference_model(spark):
     pdf["h"] = pdf["html"].map(lambda b: hashlib.md5(b.hex().encode()).hexdigest())
     for url, g in pdf.groupby("url"):
         g = g.sort_values(["ts", "h"])
-        first_h, last_h = g.iloc[0]["h"], g.iloc[-1]["h"]
+        # 'unchanged' = the hash never varied across ANY version (an
+        # A→B→A revert is 'changed'), matching crawl_delta's min/max
+        # over the bare hash
         want = (
             "single" if len(g) == 1
-            else ("unchanged" if first_h == last_h else "changed")
+            else ("unchanged" if g["h"].nunique() == 1 else "changed")
         )
         r = got[url]
         assert r["status"] == want, url
