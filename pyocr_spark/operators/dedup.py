@@ -54,8 +54,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingles(text_col: str, k: int):
-    """k-word shingles as an array column (built-in fns only, JVM-side)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    """k-word shingles as an array column (built-in fns only, JVM-side).
+
+    Splits on the explicit class [\\t\\n\\f\\r ] (Java-regex/RE2 common
+    subset, same rule as functions/text_stats._WS): Java's \\s matches
+    \\x0B where RE2/DuckDB's does not, so \\s+ would silently give the
+    SQL oracles — and datagen's pure-Python expected-table replay, which
+    already uses the explicit class — a different shingle set."""
+    words = F.split(F.trim(F.col(text_col)), "[\t\n\f\r ]+")
     n = F.size(words)
     # transform over 0..n-k: join words[i..i+k-1]
     return F.when(n >= k, F.transform(
@@ -230,7 +236,9 @@ def simhash(
     """
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # explicit whitespace class — same Java/RE2-portability rule as
+    # _shingles (the expected-table replay already tokenizes this way)
+    words = F.split(F.trim(F.col(text_col)), "[\t\n\f\r ]+")
     if portable:
         hashes = F.transform(words, lambda w: _portable_hash64(w))
     else:

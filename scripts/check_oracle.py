@@ -68,6 +68,15 @@ def main() -> int:
     from pyocr_spark.datagen import ensure_pages
     from pyocr_spark.sources.session import build_session
 
+    # reject unknown query names BEFORE paying Spark startup + datagen —
+    # a typo otherwise surfaces minutes later as a misleading
+    # "spark error KeyError"
+    known = set(entrymod.queries())
+    unknown = [n for n in sys.argv[1:] if n not in known]
+    if unknown:
+        print(f"unknown queries: {unknown}; valid: {sorted(known)}")
+        return 2
+
     ensure_pages(SF_DIR)
     spark = build_session(
         master="local[8]", shuffle_partitions=8,
