@@ -50,8 +50,20 @@ def normalize_pair(g: pd.DataFrame, w: pd.DataFrame):
     w = w[sorted(w.columns)].copy()
     for c in g.columns:
         kinds = {g[c].dtype.kind, w[c].dtype.kind}
+        as_int = kinds <= set("iu")
+        if not as_int and kinds <= set("iuf"):
+            # a nullable BIGINT arrives as float64 from BOTH engines
+            # (pandas has no NaN-able int64), which would sneak 60-bit
+            # hash values into the lossy 53-bit mantissa compare — the
+            # exact false-PASS the int path exists to prevent. If every
+            # non-null value on both sides is integral, it IS an integer
+            # column; compare as exact int strings.
+            as_int = all(
+                df[c].dropna().map(lambda v: float(v).is_integer()).all()
+                for df in (g, w)
+            )
         for df in (g, w):
-            if kinds <= set("iu"):
+            if as_int:
                 df[c] = df[c].map(lambda v: None if pd.isna(v) else str(int(v)))
             elif kinds <= set("iuf"):
                 df[c] = df[c].astype("float64")
