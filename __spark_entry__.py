@@ -367,6 +367,25 @@ def _q_vocab_topk(spark, sf_dir):
     return vocab_docfreq(_docs(spark, sf_dir), k=100)
 
 
+def _q_doc_tfidf_topk(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def _q_docs_lang_pivot(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import source_lang_matrix
+
+    return source_lang_matrix(_docs(spark, sf_dir))
+
+
+def _q_events_hopping(spark, sf_dir):
+    from pyocr_spark.streaming.windowed import hopping_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_event_counts(ev)
+
+
 def _q_doc_token_count(spark, sf_dir):
     from pyocr_spark.functions.text_stats import doc_token_stats
 
@@ -748,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dups": _q_containment_dups,
         "corpus_length_stats": _q_corpus_length_stats,
         "vocab_topk": _q_vocab_topk,
+        "doc_tfidf_topk": _q_doc_tfidf_topk,
+        "docs_lang_pivot": _q_docs_lang_pivot,
         # multimodal plumbing (fake codec — deterministic, exact oracles
         # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
@@ -774,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_segments": _q_events_user_segments,
         "events_sessionize": _q_events_sessionize,
         "events_asof_click": _q_events_asof_click,
+        "events_hopping": _q_events_hopping,
         # deterministic sampling (training-mix construction)
         "docs_sample": _q_docs_sample,
         "docs_stratified": _q_docs_stratified,
@@ -1103,6 +1125,45 @@ def oracle_sql() -> dict[str, str]:
             "v AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
             "CAST(sum(tf_doc) AS BIGINT) AS tf FROM per GROUP BY token) "
             "SELECT token, df, tf FROM v ORDER BY df DESC, tf DESC, token LIMIT 100"
+        ),
+        "doc_tfidf_topk": (
+            # Rounded-before-rank contract (see functions.text_stats.tfidf_topk):
+            # the window orders by round(tfidf,6) then token, so a last-ulp
+            # ln() difference between engines cannot flip the top-k cut.
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '[\\t\\n\\f\\r ]+')) AS token FROM documents), "
+            "per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok "
+            "WHERE token != '' GROUP BY 1, 2), "
+            "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY token), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "scored AS (SELECT per.doc_id, per.token, per.tf, dfreq.df, "
+            "round(per.tf * ln((n.n_docs + 1) / (dfreq.df + 1)), 6) AS tfidf "
+            "FROM per JOIN dfreq USING (token), n) "
+            "SELECT doc_id, token, tf, df, tfidf, rn FROM ("
+            "SELECT *, CAST(row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rn "
+            "FROM scored) WHERE rn <= 5"
+        ),
+        "docs_lang_pivot": (
+            "SELECT source, "
+            "CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de, "
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en, "
+            "CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es, "
+            "CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr, "
+            "CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh "
+            "FROM documents GROUP BY source"
+        ),
+        "events_hopping": (
+            # Replays Spark's epoch-aligned hopping windows (width 3600s,
+            # slide 1800s, startTime=0): each event belongs to exactly the
+            # two slide-aligned starts covering it.
+            "WITH h AS (SELECT event_type, value, "
+            "CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - s.off AS ws "
+            "FROM events, (VALUES (0), (1800)) s(off)) "
+            "SELECT ws AS win_start, ws + 3600 AS win_end, event_type, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM h GROUP BY ws, event_type"
         ),
         "corpus_build": (
             f"WITH ok AS (SELECT url, extracted_text "

@@ -334,6 +334,81 @@ def vocab_docfreq(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the standard keyword-extraction
+    / topic-fingerprint op for a training corpus.
+
+    Shape: (token, doc) partial counts combine map-side (same two-level
+    aggregate as vocab_docfreq); docfreq is a second rollup of that already
+    (token, doc)-unique table; idf joins back on token as a shuffle
+    equi-join (the docfreq table is corpus-vocabulary-sized, so it is NOT
+    broadcast — at web scale the vocabulary alone can be billions of rows);
+    the corpus doc count rides in as a broadcast of a 1-row aggregate, not
+    a driver-side collect. Top-k per doc is a row_number window over the
+    per-doc partition — bounded work per key, no global sort.
+
+    Determinism contract for the SQL oracle: the score is rounded to 6
+    places BEFORE ranking, and the window orders by (rounded score desc,
+    token asc) — a total order, so a last-ulp difference in ``ln`` between
+    the JVM and the oracle engine cannot flip which rows make the cut.
+    IDF is the smoothed ln((N+1)/(df+1)): integer-ratio inputs evaluate
+    bit-identically in both engines before the log.
+
+    Returns (doc_id, token, tf, df, tfidf, rn).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = per_doc.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        per_doc.join(docfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "rn")
+    )
+
+
+def source_lang_matrix(
+    docs: DataFrame, langs: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
+) -> DataFrame:
+    """Pivot: doc counts as a source × lang matrix — the corpus-composition
+    dashboard table (which sources feed which languages).
+
+    ``pivot`` with an EXPLICIT value list: without it Spark runs an extra
+    job to collect distinct langs to the driver before planning — at
+    10^12 docs that is a full extra aggregate just to name the columns.
+    With the list, this is one hash aggregate. Absent (source, lang)
+    cells coalesce to 0 so the output matches the SQL conditional-sum
+    twin exactly. Returns (source, <lang columns...>).
+    """
+    counted = docs.groupBy("source").pivot("lang", list(langs)).agg(
+        F.count(F.lit(1))
+    )
+    return counted.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(l) for l in langs],
+    )
+
+
 def corpus_length_stats(
     docs: DataFrame, text_col: str = "text", group_col: str = "lang"
 ) -> DataFrame:

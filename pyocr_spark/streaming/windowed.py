@@ -65,6 +65,51 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each event lands in
+    window/slide overlapping windows (2 for the 1h/30m default).
+
+    ``F.window`` with a slide shorter than the width is the one windowing
+    family tumbling windows can't express; Spark plans it as a generator
+    (explode of the per-row window list) feeding ONE hash aggregate — no
+    self-union, no double scan. Works identically over a batch DataFrame
+    (as here, with an exact SQL oracle) and a stream (add a watermark
+    upstream for append-mode finalization).
+
+    Window starts are epoch-aligned (Spark's default startTime=0), so the
+    oracle reproduces them with floor(epoch/slide) arithmetic. Boundaries
+    project as epoch-second longs — timezone-proof against the NTZ
+    parquet ts. The decimal-cast sum keeps the aggregate
+    order-independent, exactly as windowed_event_counts' batch twins do.
+
+    Returns (win_start, win_end, event_type, n_events, total_value).
+    """
+    ep = F.col("w.start").cast("timestamp_ltz").cast("long")
+    return (
+        events.groupBy(
+            F.window("ts", window_duration, slide_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            ep.alias("win_start"),
+            F.col("w.end").cast("timestamp_ltz").cast("long").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals via applyInPandasWithState.
 

@@ -393,3 +393,67 @@ def test_vocab_docfreq_truncation_is_deterministic(spark):
     a = [r["token"] for r in vocab_docfreq(docs, k=2).collect()]
     b = [r["token"] for r in vocab_docfreq(docs.repartition(7), k=2).collect()]
     assert a == b == ["x", "y"]  # all df=2 tf=2 → lexicographic cut
+
+
+def test_tfidf_topk_scores_and_cut(spark):
+    from math import log
+
+    from pyocr_spark.functions.text_stats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["token"]): r for r in tfidf_topk(docs, k=5).collect()}
+    # 'apple': tf=2 in doc 1, df=1, N=3 → 2*ln(4/2)
+    r = rows[(1, "apple")]
+    assert (r["tf"], r["df"]) == (2, 1)
+    assert r["tfidf"] == round(2 * log(4 / 2), 6)
+    # 'banana' appears in 2 docs → idf ln(4/3), ranked below apple in doc 1
+    assert rows[(1, "banana")]["rn"] > rows[(1, "apple")]["rn"]
+
+
+def test_tfidf_topk_truncates_deterministically(spark):
+    from pyocr_spark.functions.text_stats import tfidf_topk
+
+    # One doc, four tokens with identical tf and df → all tfidf equal;
+    # the (tfidf desc, token asc) order makes the k=2 cut lexicographic.
+    docs = spark.createDataFrame([(1, "d c b a")], "doc_id long, text string")
+    a = [r["token"] for r in tfidf_topk(docs, k=2).collect()]
+    b = [r["token"] for r in tfidf_topk(docs.repartition(5), k=2).collect()]
+    assert a == b == ["a", "b"]
+
+
+def test_source_lang_matrix_zero_fills(spark):
+    from pyocr_spark.functions.text_stats import source_lang_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "en"), (2, "s1", "en"), (3, "s1", "de"), (4, "s2", "zh")],
+        "doc_id long, source string, lang string",
+    )
+    out = {r["source"]: r for r in source_lang_matrix(docs).collect()}
+    assert out["s1"]["en"] == 2 and out["s1"]["de"] == 1
+    assert out["s1"]["zh"] == 0 and out["s1"]["fr"] == 0  # absent cell → 0, not null
+    assert out["s2"]["zh"] == 1 and out["s2"]["en"] == 0
+    assert set(out["s1"].asDict()) == {"source", "de", "en", "es", "fr", "zh"}
+
+
+def test_hopping_windows_double_count_each_event(spark):
+    import datetime as dt
+
+    from pyocr_spark.streaming.windowed import hopping_event_counts
+
+    base = dt.datetime(2024, 1, 1, 10, 15, 0)  # inside [09:30,10:30) and [10:00,11:00)
+    ev = spark.createDataFrame(
+        [(1, base, 7, "click", 1.5, "{}"), (2, base + dt.timedelta(minutes=20), 7, "click", 2.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {(r["win_start"], r["win_end"]): r for r in hopping_event_counts(ev).collect()}
+    # Every event lands in exactly 2 windows → total n_events = 2 * 2
+    assert sum(r["n_events"] for r in rows.values()) == 4
+    e = lambda h, m: int(dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp())
+    # 10:15 → [09:30,10:30) + [10:00,11:00); 10:35 → [10:00,11:00) + [10:30,11:30)
+    assert rows[(e(9, 30), e(10, 30))]["n_events"] == 1
+    assert rows[(e(10, 0), e(11, 0))]["n_events"] == 2
+    assert rows[(e(10, 30), e(11, 30))]["n_events"] == 1
+    assert rows[(e(10, 0), e(11, 0))]["total_value"] == 3.5
