@@ -386,6 +386,22 @@ def _q_events_hopping(spark, sf_dir):
     return hopping_event_counts(ev)
 
 
+def _q_docs_decontam(spark, sf_dir):
+    from pyocr_spark.operators.decontam import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, ev, n=3)
+
+
+def _q_events_rolling(spark, sf_dir):
+    from pyocr_spark.operators.rolling import rolling_user_activity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_user_activity(ev)
+
+
 def _q_doc_token_count(spark, sf_dir):
     from pyocr_spark.functions.text_stats import doc_token_stats
 
@@ -769,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "docs_lang_pivot": _q_docs_lang_pivot,
+        "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
         # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
@@ -796,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof_click": _q_events_asof_click,
         "events_hopping": _q_events_hopping,
+        "events_rolling": _q_events_rolling,
         # deterministic sampling (training-mix construction)
         "docs_sample": _q_docs_sample,
         "docs_stratified": _q_docs_stratified,
@@ -1144,6 +1162,19 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rn "
             "FROM scored) WHERE rn <= 5"
         ),
+        "docs_decontam": (
+            # Same 3-gram builder as the ngram_jaccard oracle; eval slice =
+            # doc_id % 97 == 0, corpus = the rest (mirrors _q_docs_decontam).
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '[\\t\\n\\f\\r ]+') AS w FROM documents), "
+            "g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) "
+            "ELSE [array_to_string(w, ' ')] END) AS gram FROM toks), "
+            "eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0 AND gram != ''), "
+            "cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 != 0 AND gram != '') "
+            "SELECT doc_id, count(*) AS n_shared_grams "
+            "FROM cg JOIN eg USING (gram) GROUP BY doc_id HAVING count(*) >= 1"
+        ),
         "docs_lang_pivot": (
             "SELECT source, "
             "CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de, "
@@ -1152,6 +1183,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr, "
             "CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh "
             "FROM documents GROUP BY source"
+        ),
+        "events_rolling": (
+            # RANGE frame on truncated epoch seconds — both engines make the
+            # frame [-3600, 0] inclusive and give every ts-peer row the same
+            # result; the decimal-cast sum is intra-frame-order independent.
+            "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+            "count(*) OVER w AS n_trailing, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_trailing "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
         ),
         "events_hopping": (
             # Replays Spark's epoch-aligned hopping windows (width 3600s,

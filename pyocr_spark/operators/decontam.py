@@ -1,0 +1,94 @@
+"""Train/eval decontamination: drop training documents that share n-gram
+content with an evaluation set.
+
+The standard LLM-corpus hygiene step (GPT-3 appendix C / PaLM style):
+an eval document "contaminates" a training document when the two share
+at least ``min_hits`` distinct word n-grams. At production scale the
+eval side is tiny relative to the corpus (thousands of benchmark docs vs
+10^12 training docs), so the eval n-gram set is BROADCAST and both the
+report and the filter are map-side joins against the scan — zero shuffle
+of the corpus. If the eval side ever outgrows broadcast range, pass
+``broadcast_eval=False`` to fall back to a shuffle semi/anti join keyed
+on the n-gram.
+
+Tokenization is the explicit ``[\\t\\n\\f\\r ]+`` whitespace class shared
+by every dedup-family op (see text_stats._WS) so the SQL oracle and the
+corpus pipeline segment identically. Documents with fewer than ``n``
+tokens contribute their whole token sequence as one gram — a short eval
+doc still decontaminates its exact copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import _WS
+
+
+def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """Distinct word n-grams per document: (id, gram), one row per
+    distinct gram. All higher-order functions — no Python, no explode of
+    duplicate grams before the distinct (the transform+array_distinct
+    dedups within the row first, so the explode emits each gram once)."""
+    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_shared_grams) for every corpus doc sharing >= min_hits
+    distinct n-grams with ANY eval doc.
+
+    The eval grams collapse to a distinct gram set (eval doc identity
+    does not matter for the verdict), then join corpus grams on the gram
+    — broadcast by default, see module docstring. The count aggregates
+    per corpus doc with map-side partial aggregation.
+    """
+    eval_grams = _doc_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = _doc_grams(corpus, n, text_col, id_col).join(eval_grams, "gram")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The corpus minus contaminated documents (left-anti join against
+    the report keyed on id — the report side is the small one, so Spark
+    broadcasts it under AQE; at 10^12 docs the anti join is the only
+    corpus-wide movement and it is keyed, not cartesian)."""
+    bad = contamination_report(
+        corpus, eval_docs, n, min_hits, text_col, id_col, broadcast_eval
+    ).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")

@@ -1,0 +1,57 @@
+"""Rolling (RANGE-frame) event-time aggregates.
+
+The window-frame family the lag/row_number ops don't exercise: per key,
+an aggregate over a sliding time RANGE ending at the current row —
+"events and value volume this user produced in the trailing hour, as of
+each event". Unlike hopping windows (fixed epoch-aligned buckets) the
+frame is anchored at every row, so it is the right shape for rate
+limiting, burst detection, and per-entity velocity features.
+
+One shuffle on the partition key; within a partition Spark evaluates the
+RANGE frame with a sliding two-pointer pass over the sorted rows, O(rows)
+amortized per partition — no per-row rescan, no self-join. Per-user event
+counts are bounded in practice, so partitions stay small; a pathological
+hot key would need the same salting story as any keyed window.
+
+Determinism contract: the frame is defined on epoch SECONDS (timestamp
+cast truncates toward the epoch in both engines for post-1970 data) and
+the value sum is decimal-cast before summing so the result is independent
+of intra-frame order — the same contract every events oracle here uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_user_activity(
+    events: DataFrame,
+    frame_seconds: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per event: trailing-``frame_seconds`` count and value sum for the
+    event's key, frame [t - frame_seconds, t] inclusive on both ends
+    (RANGE semantics: all peer rows with equal timestamps share one
+    result, so ties cannot make the output layout-dependent).
+
+    Returns (event_id, user_id, ep, n_trailing, value_trailing).
+    """
+    ep = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ep)
+        .rangeBetween(-frame_seconds, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        F.col(key_col),
+        ep.alias("ep"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_trailing"),
+    )

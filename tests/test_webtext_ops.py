@@ -457,3 +457,82 @@ def test_hopping_windows_double_count_each_event(spark):
     assert rows[(e(10, 0), e(11, 0))]["n_events"] == 2
     assert rows[(e(10, 30), e(11, 30))]["n_events"] == 1
     assert rows[(e(10, 0), e(11, 0))]["total_value"] == 3.5
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    from pyocr_spark.operators.decontam import contamination_report, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares 3-grams with eval
+            (2, "completely unrelated text here"),
+            (3, "quick brown fox"),               # exactly one shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox ran")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r["n_shared_grams"] for r in contamination_report(corpus, ev, n=3).collect()}
+    assert rep == {1: 1, 3: 1}  # both share exactly 'quick brown fox'
+    clean = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=3).collect())
+    assert clean == [2]
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from pyocr_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    # doc 1 shares exactly 1 distinct 3-gram; min_hits=2 keeps it
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=3, min_hits=2).collect())
+    assert kept == [1, 2]
+    kept1 = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=3, min_hits=1).collect())
+    assert kept1 == [2]
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    from pyocr_spark.operators.decontam import decontaminate
+
+    # eval doc shorter than n → its whole token sequence is the gram,
+    # so an exact short copy in the corpus is still removed
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other thing")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    assert sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=3).collect()) == [2]
+
+
+def test_rolling_user_activity_trailing_frame(spark):
+    import datetime as dt
+
+    from pyocr_spark.operators.rolling import rolling_user_activity
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda eid, mins, val: (eid, t0 + dt.timedelta(minutes=mins), 7, "click", val, "{}")
+    ev = spark.createDataFrame(
+        [mk(1, 0, 1.0), mk(2, 30, 2.0), mk(3, 59, 4.0), mk(4, 61, 8.0), mk(5, 200, 16.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["event_id"]: r for r in rolling_user_activity(ev, 3600).collect()}
+    assert out[3]["n_trailing"] == 3 and out[3]["value_trailing"] == 7.0   # events 1,2,3
+    # at +61min, event 1 (exactly 61 min old) fell out of [-3600, 0]
+    assert out[4]["n_trailing"] == 3 and out[4]["value_trailing"] == 14.0  # events 2,3,4
+    assert out[5]["n_trailing"] == 1 and out[5]["value_trailing"] == 16.0
+
+
+def test_rolling_frame_is_inclusive_at_exact_boundary(spark):
+    import datetime as dt
+
+    from pyocr_spark.operators.rolling import rolling_user_activity
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 7, "c", 1.0, "{}"), (2, t0 + dt.timedelta(seconds=3600), 7, "c", 2.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["event_id"]: r for r in rolling_user_activity(ev, 3600).collect()}
+    assert out[2]["n_trailing"] == 2  # exactly-3600s-old row is IN the frame
