@@ -236,6 +236,40 @@ def _q_media_frames(spark, sf_dir):
     return sample_frames(_media(spark, sf_dir), every_n=16)
 
 
+def _q_pages_jsonl_ingest(spark, sf_dir):
+    """JSONL crawl-dump ingest (sources/jsonl.py): the parsed good rows
+    must round-trip byte-identically to the pages.parquet the dump was
+    derived from — url, epoch seconds, html bytes (md5 over hex — the
+    md5(BLOB)-free pattern shared with crawl_delta), text and lang."""
+    from pyocr_spark.datagen import ensure_pages_jsonl
+    from pyocr_spark.sources.jsonl import jsonl_to_pages, read_pages_jsonl
+
+    jdir = ensure_pages_jsonl(sf_dir)
+    pages = jsonl_to_pages(read_pages_jsonl(spark, str(jdir)))
+    return pages.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.md5(F.lower(F.hex("html"))).alias("html_md5"),
+        F.length("html").cast("long").alias("html_bytes"),
+        "text",
+        "lang",
+    )
+
+
+def _q_pages_jsonl_errors(spark, sf_dir):
+    """Corrupt-record routing stats: per-reason count + the lexicographic
+    first rejected line (the sample a feed-damage audit would open)."""
+    from pyocr_spark.datagen import ensure_pages_jsonl
+    from pyocr_spark.sources.jsonl import jsonl_errors, read_pages_jsonl
+
+    jdir = ensure_pages_jsonl(sf_dir)
+    err = jsonl_errors(read_pages_jsonl(spark, str(jdir)))
+    return err.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("raw").alias("sample"),
+    )
+
+
 def _q_pages_dedup_latest(spark, sf_dir):
     from pyocr_spark.operators.dedup import dedup_latest_page
 
@@ -770,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm6": _q_extract_text_psm6,
         "extract_text_psm7": _q_extract_text_psm7,
         "pages_dedup_latest": _q_pages_dedup_latest,
+        "pages_jsonl_ingest": _q_pages_jsonl_ingest,
+        "pages_jsonl_errors": _q_pages_jsonl_errors,
         "corpus_build": _q_corpus_build,
         "corpus_build_full": _q_corpus_build_full,
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
@@ -969,6 +1005,25 @@ def oracle_sql() -> dict[str, str]:
         "pages_dedup_latest": (
             f"SELECT url, CAST(epoch(max(warc_ts)) AS BIGINT) AS ts_epoch "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY url"
+        ),
+        # the ingest oracle is the SOURCE parquet itself: the JSONL dump is
+        # derived from it, so parse+unbase64 must round-trip exactly
+        "pages_jsonl_ingest": (
+            f"SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_epoch, "
+            f"md5(lower(hex(html))) AS html_md5, "
+            f"CAST(octet_length(html) AS BIGINT) AS html_bytes, text, lang "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')"
+        ),
+        # corrupt-line stats replayed from the RAW dump: DuckDB re-parses
+        # every line independently (json_valid / json_extract_string)
+        "pages_jsonl_errors": (
+            f"WITH l AS (SELECT line FROM read_csv('{E}/pages.jsonl/*.jsonl', "
+            "columns={'line': 'VARCHAR'}, delim=chr(1), quote='', header=false)), "
+            "e AS (SELECT line, CASE WHEN NOT json_valid(line) THEN 'bad_json' "
+            "ELSE 'missing_url' END AS reason FROM l "
+            "WHERE NOT json_valid(line) OR json_extract_string(line, '$.url') IS NULL) "
+            "SELECT reason, CAST(count(*) AS BIGINT) AS n_lines, "
+            "min(line) AS sample FROM e GROUP BY reason"
         ),
         "lines_dedup": (
             f"WITH src AS (SELECT url, extracted_text "

@@ -1,0 +1,83 @@
+"""JSONL ingestion — line-delimited JSON crawl dumps → the ``pages`` table.
+
+Web crawls are interchanged not only as WARC (sources/warc.py) but as
+line-delimited JSON — CDX index dumps, WET-derived corpora, vendor
+exports: one object per line, page payload base64-encoded. This module
+reads that layout into the canonical ``pages(url, warc_ts, html, text,
+lang)`` schema (BASELINE.json input_hint) with explicit corrupt-record
+ROUTING — damaged lines are preserved with a reason, not dropped, so a
+crawl audit can quantify and inspect feed damage.
+
+Design (all JVM-side, no Python in the path):
+
+- ``read_pages_jsonl``: ``spark.read.text`` (line-oriented scan —
+  parallel over files, and over in-file splits when uncompressed; .gz
+  inputs are decompressed transparently per file) + ``from_json`` with a
+  corrupt-record column. Reading via text+from_json rather than the JSON
+  datasource keeps ONE parse shared by the good-row and error paths and
+  sidesteps Spark's restriction on queries that reference only the
+  datasource's corrupt-record column (those require caching the input).
+- ``jsonl_to_pages``: parsed rows with a url → pages schema; html is
+  unbase64'd JVM-side, warc_ts cast in the session timezone (UTC).
+- ``jsonl_errors``: rejected raw lines + reason (``bad_json`` — the JSON
+  parser failed; ``missing_url`` — valid JSON without the one mandatory
+  field). Sink them next to the run's output for replay after upstream
+  repair.
+
+At 100 TB the input is millions of .jsonl(.gz) files; the text scan
+parallelizes over them and ingest itself is narrow — the first wide
+operation is whatever the caller composes downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: wire fields, all read as strings — decode/cast happens in
+#: jsonl_to_pages so a bad value damages one column, not the whole row
+JSONL_FIELDS_DDL = (
+    "url string, warc_ts string, html_b64 string, text string, lang string"
+)
+
+_CORRUPT = "_corrupt"
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Raw parse: one row per input line with ``raw`` (the line) and
+    ``rec`` (parsed struct; ``rec._corrupt`` holds the line when the JSON
+    parser failed). Feed the result to jsonl_to_pages / jsonl_errors."""
+    ddl = f"{JSONL_FIELDS_DDL}, {_CORRUPT} string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    return spark.read.text(path).select(
+        F.col("value").alias("raw"),
+        F.from_json("value", ddl, opts).alias("rec"),
+    )
+
+
+def _is_good(parsed: DataFrame):
+    return F.col(f"rec.{_CORRUPT}").isNull() & F.col("rec.url").isNotNull()
+
+
+def jsonl_to_pages(parsed: DataFrame) -> DataFrame:
+    """Good rows → the canonical pages schema. url is the only mandatory
+    field; warc_ts/html/text/lang null-propagate (a crawl row with no
+    payload is representable, same as the parquet table)."""
+    return parsed.filter(_is_good(parsed)).select(
+        F.col("rec.url").alias("url"),
+        F.col("rec.warc_ts").cast("timestamp").alias("warc_ts"),
+        F.unbase64("rec.html_b64").alias("html"),
+        F.col("rec.text").alias("text"),
+        F.col("rec.lang").alias("lang"),
+    )
+
+
+def jsonl_errors(parsed: DataFrame) -> DataFrame:
+    """Rejected lines, routed with a reason — the audit/replay side of the
+    ingest split. Exactly the complement of jsonl_to_pages's input."""
+    return parsed.filter(~_is_good(parsed)).select(
+        "raw",
+        F.when(F.col(f"rec.{_CORRUPT}").isNotNull(), F.lit("bad_json"))
+        .otherwise(F.lit("missing_url"))
+        .alias("reason"),
+    )

@@ -1,0 +1,83 @@
+"""JSONL ingest source: round-trip identity + corrupt-record routing."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.datagen import JSONL_CORRUPT_EVERY, ensure_pages_jsonl
+from pyocr_spark.sources.jsonl import (
+    jsonl_errors,
+    jsonl_to_pages,
+    read_pages_jsonl,
+)
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir():
+    return ensure_pages_jsonl("/root/testdata/sf0.001")
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["url", "warc_ts", "hexhtml"]).reset_index(drop=True)
+
+
+def test_jsonl_roundtrips_pages_parquet(spark, jsonl_dir):
+    """Every good line decodes back to EXACTLY the source parquet row —
+    url, timestamp instant, raw html bytes, text, lang."""
+    got = jsonl_to_pages(read_pages_jsonl(spark, str(jsonl_dir))).toPandas()
+    src = pd.read_parquet(jsonl_dir.parent / "pages.parquet")
+    assert len(got) == len(src)
+    for df in (got, src):
+        df["hexhtml"] = df["html"].map(lambda b: None if b is None else bytes(b).hex())
+    got, src = _canon(got), _canon(src)
+    assert got["url"].tolist() == src["url"].tolist()
+    assert got["hexhtml"].tolist() == src["hexhtml"].tolist()
+    assert got["text"].where(got["text"].notna(), None).tolist() == src[
+        "text"
+    ].where(src["text"].notna(), None).tolist()
+    assert got["lang"].tolist() == src["lang"].tolist()
+    # same instant: source is tz-aware UTC, Spark->pandas is naive UTC
+    # (session timezone) — compare epoch seconds
+    g_ep = got["warc_ts"].map(lambda t: int(t.timestamp()))
+    s_ep = src["warc_ts"].map(lambda t: int(t.timestamp()))
+    assert g_ep.tolist() == s_ep.tolist()
+
+
+def test_jsonl_corrupt_lines_routed_not_dropped(spark, jsonl_dir):
+    parsed = read_pages_jsonl(spark, str(jsonl_dir))
+    err = jsonl_errors(parsed).toPandas()
+    n_data = len(pd.read_parquet(jsonl_dir.parent / "pages.parquet"))
+    n_injected = (n_data + JSONL_CORRUPT_EVERY - 1) // JSONL_CORRUPT_EVERY
+    assert len(err) == n_injected
+    by_reason = err.groupby("reason").size().to_dict()
+    # kinds alternate starting with bad_json
+    assert by_reason["bad_json"] == (n_injected + 1) // 2
+    assert by_reason.get("missing_url", 0) == n_injected // 2
+    # routed lines carry the original bytes for replay
+    bad = err[err["reason"] == "bad_json"]["raw"]
+    assert all(s.startswith('{"url": "https://corrupt.example/') for s in bad)
+    missing = err[err["reason"] == "missing_url"]["raw"]
+    assert all(json.loads(s).get("url") is None for s in missing)
+    # good + error partition the input exactly
+    assert parsed.count() == n_data + n_injected
+
+
+def test_jsonl_good_and_errors_are_complement(spark, tmp_path):
+    lines = [
+        '{"url":"https://a/1","warc_ts":"2024-01-01 00:00:00.000000",'
+        '"html_b64":"aGk=","text":null,"lang":"en"}',
+        '{"url":"https://a/2","html_b64":null,"text":null,"lang":null}',
+        "not json at all",
+        '{"warc_ts":"2024-01-01 00:00:00"}',
+    ]
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    parsed = read_pages_jsonl(spark, str(p))
+    good = jsonl_to_pages(parsed).toPandas().sort_values("url")
+    err = jsonl_errors(parsed).toPandas().sort_values("raw")
+    assert good["url"].tolist() == ["https://a/1", "https://a/2"]
+    # null payload round-trips as null, not empty bytes
+    assert good.iloc[1]["html"] is None
+    assert sorted(err["reason"]) == ["bad_json", "missing_url"]
+    assert bytes(good.iloc[0]["html"]) == b"hi"
