@@ -43,16 +43,40 @@ JSONL_FIELDS_DDL = (
 _CORRUPT = "_corrupt"
 
 
-def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Raw parse: one row per input line with ``raw`` (the line) and
-    ``rec`` (parsed struct; ``rec._corrupt`` holds the line when the JSON
-    parser failed). Feed the result to jsonl_to_pages / jsonl_errors."""
+def _parse_lines(lines: DataFrame) -> DataFrame:
+    """value:string lines → (raw, rec) rows; ``rec._corrupt`` holds the
+    line when the JSON parser failed. Shared by batch and streaming."""
     ddl = f"{JSONL_FIELDS_DDL}, {_CORRUPT} string"
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
-    return spark.read.text(path).select(
+    return lines.select(
         F.col("value").alias("raw"),
         F.from_json("value", ddl, opts).alias("rec"),
     )
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Raw parse: one row per input line with ``raw`` (the line) and
+    ``rec`` (parsed struct). Feed the result to jsonl_to_pages /
+    jsonl_errors."""
+    return _parse_lines(spark.read.text(path))
+
+
+def read_pages_jsonl_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of read_pages_jsonl: new .jsonl files landing in the
+    feed directory are parsed per micro-batch with the SAME projection, so
+    batch and streaming ingest cannot drift. Compose with jsonl_to_pages
+    inside foreachBatch (streaming/stream.py scaffolding) to append into
+    the pages table continuously."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _parse_lines(reader.text(path))
 
 
 def _is_good(parsed: DataFrame):
@@ -69,6 +93,31 @@ def jsonl_to_pages(parsed: DataFrame) -> DataFrame:
         F.unbase64("rec.html_b64").alias("html"),
         F.col("rec.text").alias("text"),
         F.col("rec.lang").alias("lang"),
+    )
+
+
+def write_jsonl(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    """Corpus-export sink: line-delimited JSON, one output file per
+    partition (distributed write — no driver collect). Binary columns are
+    base64'd under a ``_b64`` suffix and timestamps rendered in the
+    session timezone, exactly the wire format read_pages_jsonl expects —
+    a pages table round-trips through write→read byte-identically
+    (tested). Null fields are kept explicit (ignoreNullFields=false) so a
+    re-read distinguishes null text from absent text."""
+    from pyspark.sql.types import BinaryType, TimestampType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, BinaryType):
+            cols.append(F.base64(f.name).alias(f"{f.name}_b64"))
+        elif isinstance(f.dataType, TimestampType):
+            cols.append(
+                F.date_format(f.name, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    df.select(cols).write.mode(mode).option("ignoreNullFields", "false").json(
+        location
     )
 
 

@@ -63,6 +63,69 @@ def test_jsonl_corrupt_lines_routed_not_dropped(spark, jsonl_dir):
     assert parsed.count() == n_data + n_injected
 
 
+def test_write_jsonl_roundtrip(spark, jsonl_dir, tmp_path):
+    """pages → write_jsonl → read_pages_jsonl → identical pages rows
+    (url, instant, html bytes, text, lang): the export sink and the
+    ingest source share one wire format."""
+    from pyocr_spark.sources.jsonl import write_jsonl
+    from pyocr_spark.sources.pages import read_pages
+
+    src = read_pages(spark, str(jsonl_dir.parent / "pages.parquet")).limit(200)
+    out = tmp_path / "export"
+    write_jsonl(src, str(out))
+    back = jsonl_to_pages(read_pages_jsonl(spark, str(out)))
+    a = src.toPandas()
+    b = back.toPandas()
+    assert len(a) == len(b)
+    for df in (a, b):
+        df["hexhtml"] = df["html"].map(lambda x: None if x is None else bytes(x).hex())
+        df["ep"] = df["warc_ts"].map(lambda t: int(t.timestamp()))
+    a = _canon(a)
+    b = _canon(b)
+    for col in ("url", "hexhtml", "lang", "ep"):
+        assert a[col].tolist() == b[col].tolist(), col
+    assert a["text"].where(a["text"].notna(), None).tolist() == b["text"].where(
+        b["text"].notna(), None
+    ).tolist()
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest drains a growing feed directory micro-batch by
+    micro-batch and lands exactly the batch-parse rows."""
+    from pyocr_spark.sources.jsonl import read_pages_jsonl_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text(
+        '{"url":"https://s/1","html_b64":"aGk=","lang":"en"}\n'
+        '{"url": "https://broken", "html_b64": "aG\n'
+    )
+    (feed / "b.jsonl").write_text('{"url":"https://s/2","html_b64":"aG8=","lang":"de"}\n')
+    out: list = []
+
+    def sink(batch_df, batch_id):
+        pages = jsonl_to_pages(batch_df).select("url", "lang").toPandas()
+        errs = jsonl_errors(batch_df).select("reason").toPandas()
+        out.append((batch_id, pages, errs))
+
+    stream = read_pages_jsonl_stream(spark, str(feed), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(out) == 2  # one micro-batch per file
+    urls = sorted(u for _, p, _ in out for u in p["url"])
+    assert urls == ["https://s/1", "https://s/2"]
+    reasons = [r for _, _, e in out for r in e["reason"]]
+    assert reasons == ["bad_json"]
+
+    with pytest.raises(ValueError):
+        read_pages_jsonl_stream(spark, str(feed), max_files_per_trigger=0)
+
+
 def test_jsonl_good_and_errors_are_complement(spark, tmp_path):
     lines = [
         '{"url":"https://a/1","warc_ts":"2024-01-01 00:00:00.000000",'
