@@ -436,6 +436,14 @@ def _q_events_rolling(spark, sf_dir):
     return rolling_user_activity(ev)
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Token-window chunking (operators/chunker.py): 32-token windows
+    every 24 tokens — overlap exercised, final short window kept."""
+    from pyocr_spark.operators.chunker import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+
 def _q_doc_token_count(spark, sf_dir):
     from pyocr_spark.functions.text_stats import doc_token_stats
 
@@ -828,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         # text analysis (training-data pipeline surface)
+        "doc_chunks": _q_doc_chunks,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
@@ -1274,6 +1283,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM ded WHERE rn = 1) "
             "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
+        ),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS toks "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "s AS (SELECT doc_id, toks, "
+            "unnest(generate_series(0, len(toks) - 1, 24)) AS start FROM t) "
+            "SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx, "
+            "array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text, "
+            "CAST(least(32, len(toks) - start) AS INT) AS n_tokens FROM s"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -1,0 +1,62 @@
+"""Token-window chunking — documents → fixed-size training chunks.
+
+An LLM training pipeline does not feed whole documents to the tokenizer;
+it slices them into windows of a target token budget, optionally
+overlapping so no boundary context is lost. This operator is that slice,
+entirely JVM-side (split → start sequence → posexplode → slice/join —
+whole-stage codegen, no Python): a narrow map over the scan, no shuffle,
+so at 100 TB it costs exactly one pass over the text column.
+
+Tokenization is the engine-wide whitespace contract (explicit class
+``[\\t\\n\\f\\r ]+`` — functions/text_stats._WS) so chunk budgets agree
+with doc_token_stats and the corpus gates built on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import _WS
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into whitespace-token windows.
+
+    Windows start every ``stride`` tokens (default ``chunk_tokens`` —
+    non-overlapping; smaller gives overlap) and carry up to
+    ``chunk_tokens`` tokens; the final window may be short but is never
+    empty. Blank/null documents produce no chunks.
+
+    Returns (id_col, chunk_idx, chunk_text, n_tokens).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), "[" + _WS + "]+")
+    d = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    exploded = d.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    window = F.slice("_toks", F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.size("_toks") - F.col("_start"))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -1,0 +1,69 @@
+"""Token-window chunking: window math, overlap, edge cases."""
+
+import pytest
+
+from pyocr_spark.operators.chunker import chunk_documents
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_non_overlapping_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    out = (
+        chunk_documents(_mkdocs(spark, [(1, text)]), chunk_tokens=4)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in out] == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w4 w5 w6 w7", 4),
+        (2, "w8 w9", 2),  # final short window kept, never empty
+    ]
+
+
+def test_overlapping_stride(spark):
+    text = " ".join(f"w{i}" for i in range(7))
+    out = (
+        chunk_documents(_mkdocs(spark, [(1, text)]), chunk_tokens=4, stride=2)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # starts 0,2,4,6 — every token boundary covered twice except the rim
+    assert [r["chunk_text"] for r in out] == [
+        "w0 w1 w2 w3",
+        "w2 w3 w4 w5",
+        "w4 w5 w6",
+        "w6",
+    ]
+    assert [r["n_tokens"] for r in out] == [4, 4, 3, 1]
+
+
+def test_blank_and_null_docs_produce_no_chunks(spark):
+    out = chunk_documents(
+        _mkdocs(spark, [(1, ""), (2, "   "), (3, None), (4, "one two")]),
+        chunk_tokens=5,
+    ).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in out] == [(4, "one two")]
+
+
+def test_tokens_partition_exactly_without_overlap(spark):
+    """Concatenating non-overlapping chunks reconstructs the normalized
+    token stream — nothing lost, nothing duplicated."""
+    text = " ".join(f"t{i}" for i in range(23))
+    rows = (
+        chunk_documents(_mkdocs(spark, [(9, text)]), chunk_tokens=7)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert " ".join(r["chunk_text"] for r in rows) == text
+    assert sum(r["n_tokens"] for r in rows) == 23
+
+
+def test_param_guards(spark):
+    docs = _mkdocs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=0)
