@@ -264,6 +264,25 @@ def main() -> int:
     check("incremental_extract", "union of kept + fresh present",
           "Union" in p, "")
 
+    # 17. JSONL ingest: narrow parse — a text scan feeding from_json with
+    # no Exchange anywhere (ingest is a map; the first shuffle belongs to
+    # whatever the caller composes downstream)
+    df = qs["pages_jsonl_ingest"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pages_jsonl_ingest", p))
+    check("pages_jsonl_ingest", "narrow plan (zero Exchange)", "Exchange" not in p, "")
+    check("pages_jsonl_ingest", "JVM json parse (no Python eval)",
+          "BatchEvalPython" not in p and "ArrowEvalPython" not in p, "")
+
+    # 18. chunking: zero shuffle — split/sequence/explode/slice are all
+    # narrow; Generate (posexplode) present, no Exchange
+    df = qs["doc_chunks"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_chunks", p))
+    check("doc_chunks", "narrow plan (zero Exchange)", "Exchange" not in p, "")
+    check("doc_chunks", "generator-based explode (no Python)",
+          "Generate" in p and "EvalPython" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
