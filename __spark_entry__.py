@@ -1012,27 +1012,34 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text_psm7.parquet')"
         ),
         "pages_dedup_latest": (
-            f"SELECT url, CAST(epoch(max(warc_ts)) AS BIGINT) AS ts_epoch "
+            # floor before CAST: Spark's timestamp->long truncates while a
+            # bare DuckDB double->BIGINT cast rounds (latent — whole-second
+            # fixtures — but the pattern must not be copied with rounding)
+            f"SELECT url, CAST(floor(epoch(max(warc_ts))) AS BIGINT) AS ts_epoch "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY url"
         ),
         # the ingest oracle is the SOURCE parquet itself: the JSONL dump is
         # derived from it, so parse+unbase64 must round-trip exactly
         "pages_jsonl_ingest": (
-            f"SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_epoch, "
+            f"SELECT url, CAST(floor(epoch(warc_ts)) AS BIGINT) AS ts_epoch, "
             f"md5(lower(hex(html))) AS html_md5, "
             f"CAST(octet_length(html) AS BIGINT) AS html_bytes, text, lang "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')"
         ),
         # corrupt-line stats replayed from the RAW dump: DuckDB re-parses
-        # every line independently (json_valid / json_extract_string)
+        # every line independently. bad_json mirrors the Spark parser's
+        # rejection exactly: invalid JSON, blank lines, AND valid-JSON
+        # non-objects (from_json routes scalars/arrays to _corrupt) — the
+        # sequential CASE guards json_type from running on invalid input
         "pages_jsonl_errors": (
             f"WITH l AS (SELECT line FROM read_csv('{E}/pages.jsonl/*.jsonl', "
             "columns={'line': 'VARCHAR'}, delim=chr(1), quote='', header=false)), "
-            "e AS (SELECT line, CASE WHEN NOT json_valid(line) THEN 'bad_json' "
-            "ELSE 'missing_url' END AS reason FROM l "
-            "WHERE NOT json_valid(line) OR json_extract_string(line, '$.url') IS NULL) "
+            "c AS (SELECT line, CASE WHEN NOT json_valid(line) THEN 'bad_json' "
+            "WHEN json_type(line) != 'OBJECT' THEN 'bad_json' "
+            "WHEN json_extract_string(line, '$.url') IS NULL THEN 'missing_url' "
+            "ELSE NULL END AS reason FROM l) "
             "SELECT reason, CAST(count(*) AS BIGINT) AS n_lines, "
-            "min(line) AS sample FROM e GROUP BY reason"
+            "min(line) AS sample FROM c WHERE reason IS NOT NULL GROUP BY reason"
         ),
         "lines_dedup": (
             f"WITH src AS (SELECT url, extracted_text "
@@ -1053,7 +1060,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM src s LEFT JOIN agg a USING (url)"
         ),
         "crawl_delta": (
-            f"WITH v AS (SELECT url, coalesce(CAST(epoch(warc_ts) AS BIGINT), 0) AS ts, "
+            f"WITH v AS (SELECT url, coalesce(CAST(floor(epoch(warc_ts)) AS BIGINT), 0) AS ts, "
             f"md5(lower(hex(coalesce(html, ''::BLOB)))) AS h "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
             "f AS (SELECT url, ts, h, n FROM (SELECT url, ts, h, "

@@ -42,6 +42,13 @@ def chunk_documents(
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
+    if stride > chunk_tokens:
+        # a gap would silently drop tokens between windows from the
+        # training corpus — almost always swapped arguments, so refuse
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would skip "
+            "tokens between windows; pass stride <= chunk_tokens"
+        )
     t = F.col(text_col)
     toks = F.split(F.trim(t), "[" + _WS + "]+")
     d = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(

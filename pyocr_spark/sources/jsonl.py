@@ -79,15 +79,22 @@ def read_pages_jsonl_stream(
     return _parse_lines(reader.text(path))
 
 
-def _is_good(parsed: DataFrame):
-    return F.col(f"rec.{_CORRUPT}").isNull() & F.col("rec.url").isNotNull()
+def _is_bad_json():
+    """Parser-level rejection: ``_corrupt`` set (malformed / non-object
+    JSON — from_json routes scalars and arrays there) or a NULL struct
+    (from_json('') on blank lines returns null, not an all-null row)."""
+    return F.col("rec").isNull() | F.col(f"rec.{_CORRUPT}").isNotNull()
+
+
+def _is_good():
+    return ~_is_bad_json() & F.col("rec.url").isNotNull()
 
 
 def jsonl_to_pages(parsed: DataFrame) -> DataFrame:
     """Good rows → the canonical pages schema. url is the only mandatory
     field; warc_ts/html/text/lang null-propagate (a crawl row with no
     payload is representable, same as the parquet table)."""
-    return parsed.filter(_is_good(parsed)).select(
+    return parsed.filter(_is_good()).select(
         F.col("rec.url").alias("url"),
         F.col("rec.warc_ts").cast("timestamp").alias("warc_ts"),
         F.unbase64("rec.html_b64").alias("html"),
@@ -124,9 +131,9 @@ def write_jsonl(df: DataFrame, location: str, mode: str = "overwrite") -> None:
 def jsonl_errors(parsed: DataFrame) -> DataFrame:
     """Rejected lines, routed with a reason — the audit/replay side of the
     ingest split. Exactly the complement of jsonl_to_pages's input."""
-    return parsed.filter(~_is_good(parsed)).select(
+    return parsed.filter(~_is_good()).select(
         "raw",
-        F.when(F.col(f"rec.{_CORRUPT}").isNotNull(), F.lit("bad_json"))
+        F.when(_is_bad_json(), F.lit("bad_json"))
         .otherwise(F.lit("missing_url"))
         .alias("reason"),
     )

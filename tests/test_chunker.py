@@ -67,3 +67,6 @@ def test_param_guards(spark):
         chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, stride=0)
+    # a gap (stride > chunk_tokens) would silently drop tokens — refused
+    with pytest.raises(ValueError, match="skip"):
+        chunk_documents(docs, chunk_tokens=4, stride=8)

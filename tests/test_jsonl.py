@@ -70,7 +70,13 @@ def test_write_jsonl_roundtrip(spark, jsonl_dir, tmp_path):
     from pyocr_spark.sources.jsonl import write_jsonl
     from pyocr_spark.sources.pages import read_pages
 
-    src = read_pages(spark, str(jsonl_dir.parent / "pages.parquet")).limit(200)
+    # deterministic subset: a bare limit() may pick different rows in the
+    # write action vs the compare action
+    src = (
+        read_pages(spark, str(jsonl_dir.parent / "pages.parquet"))
+        .orderBy("url", "warc_ts")
+        .limit(200)
+    )
     out = tmp_path / "export"
     write_jsonl(src, str(out))
     back = jsonl_to_pages(read_pages_jsonl(spark, str(out)))
@@ -124,6 +130,29 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_pages_jsonl_stream(spark, str(feed), max_files_per_trigger=0)
+
+
+def test_jsonl_blank_and_non_object_lines_route_bad_json(spark, tmp_path):
+    """Blank lines (from_json('') yields a NULL struct, not a corrupt
+    marker) and valid-JSON non-objects (scalars/arrays) are parser-level
+    damage — bad_json, never missing_url. The DuckDB oracle classifies
+    with the same rules (json_valid + json_type != OBJECT)."""
+    p = tmp_path / "edge.jsonl"
+    p.write_text(
+        '{"url":"https://ok/1","html_b64":null,"text":null,"lang":null}\n'
+        "\n"
+        "   \n"
+        "[1, 2]\n"
+        '"just a string"\n'
+        "42\n"
+        "{}\n"
+    )
+    parsed = read_pages_jsonl(spark, str(p))
+    err = jsonl_errors(parsed).toPandas()
+    by_reason = err.groupby("reason").size().to_dict()
+    assert by_reason == {"bad_json": 5, "missing_url": 1}  # {} lacks url only
+    good = jsonl_to_pages(parsed).toPandas()
+    assert good["url"].tolist() == ["https://ok/1"]
 
 
 def test_jsonl_good_and_errors_are_complement(spark, tmp_path):
