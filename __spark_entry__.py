@@ -444,6 +444,17 @@ def _q_doc_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
 
 
+def _q_doc_packed_seqs(spark, sf_dir):
+    """Chunk → sequence packing (operators/chunker.pack_chunks): 32-token
+    non-overlapping chunks concatenated into 128-token training sequences
+    across 8 parallel bucket streams (portable hash family → exact SQL
+    replay of the bucket choice and the running offsets)."""
+    from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=32)
+    return pack_chunks(chunks, seq_tokens=128, n_buckets=8, portable=True)
+
+
 def _q_doc_token_count(spark, sf_dir):
     from pyocr_spark.functions.text_stats import doc_token_stats
 
@@ -837,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         # text analysis (training-data pipeline surface)
         "doc_chunks": _q_doc_chunks,
+        "doc_packed_seqs": _q_doc_packed_seqs,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
@@ -1300,6 +1312,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx, "
             "array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text, "
             "CAST(least(32, len(toks) - start) AS INT) AS n_tokens FROM s"
+        ),
+        "doc_packed_seqs": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS toks "
+            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "s AS (SELECT doc_id, toks, "
+            "unnest(generate_series(0, len(toks) - 1, 32)) AS start FROM t), "
+            "ch AS (SELECT doc_id, CAST(start // 32 AS INT) AS chunk_idx, "
+            "CAST(least(32, len(toks) - start) AS INT) AS n_tokens FROM s), "
+            "b AS (SELECT *, CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) % 8 AS INT) AS bucket FROM ch), "
+            "o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY bucket "
+            "ORDER BY doc_id, chunk_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM b) "
+            "SELECT bucket, CAST(off // 128 AS BIGINT) AS seq_id, doc_id, chunk_idx, "
+            "CAST(off % 128 AS INT) AS offset_in_seq, n_tokens, "
+            "(off % 128 + n_tokens > 128) AS spans_boundary FROM o"
         ),
         "doc_token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -14,7 +14,7 @@ with doc_token_stats and the corpus gates built on it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyocr_spark.functions.text_stats import _WS
@@ -66,4 +66,66 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.size("_toks") - F.col("_start"))
         .cast("int")
         .alias("n_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_tokens: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Concat-then-split sequence packing: assign every chunk its offset
+    in a token stream and the ``seq_tokens``-sized training sequence that
+    offset falls in — the standard packing that concatenates documents
+    and cuts every seq_len, wasting no pad tokens.
+
+    A single global token stream would need one total order (a 1-partition
+    window — a scale killer), so documents are hashed into ``n_buckets``
+    independent streams packed in parallel: ONE shuffle (the bucket
+    window), packing density identical (each bucket is still an unbroken
+    stream), sequence identity is (bucket, seq_id). Buckets also bound
+    what a straggler replays. Size n_buckets ≳ cluster cores at scale.
+
+    A chunk is assigned by its START offset; ``spans_boundary`` marks
+    chunks the seq cut would split (their tail flows into seq_id+1 —
+    consumers that forbid splitting filter or re-window on it).
+
+    Deterministic for a given chunk set: bucket = hash(doc id), order
+    within bucket = (id, chunk_idx). ``portable=True`` swaps xxhash64 for
+    the md5 hash family so the bucket choice replays exactly in SQL
+    (operators/dedup._portable_hash64 — same convention as minhash/
+    sampling)."""
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyocr_spark.operators.dedup import _portable_hash64
+
+    key = F.col(id_col).cast("string")
+    h = _portable_hash64(key) if portable else F.abs(F.xxhash64(key))
+    bucket = (h % n_buckets).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        chunks.withColumn("bucket", bucket)
+        .withColumn("_off", offset)
+        .select(
+            "bucket",
+            F.floor(F.col("_off") / seq_tokens).alias("seq_id"),
+            id_col,
+            idx_col,
+            (F.col("_off") % seq_tokens).cast("int").alias("offset_in_seq"),
+            tokens_col,
+            ((F.col("_off") % seq_tokens) + F.col(tokens_col) > seq_tokens).alias(
+                "spans_boundary"
+            ),
+        )
     )

@@ -283,6 +283,17 @@ def main() -> int:
     check("doc_chunks", "generator-based explode (no Python)",
           "Generate" in p and "EvalPython" not in p, "")
 
+    # 19. sequence packing: exactly ONE Exchange (the bucket window) —
+    # never a 1-partition global window
+    df = qs["doc_packed_seqs"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_packed_seqs", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("doc_packed_seqs", "exactly one Exchange (bucket window)",
+          n_exchanges == 1, f"exchanges={n_exchanges}")
+    check("doc_packed_seqs", "bucket-partitioned window (no single-partition sort)",
+          "SinglePartition" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

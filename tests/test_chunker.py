@@ -1,8 +1,9 @@
-"""Token-window chunking: window math, overlap, edge cases."""
+"""Token-window chunking + sequence packing: window math, overlap,
+packing offsets, edge cases."""
 
 import pytest
 
-from pyocr_spark.operators.chunker import chunk_documents
+from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
 
 
 def _mkdocs(spark, rows):
@@ -59,6 +60,72 @@ def test_tokens_partition_exactly_without_overlap(spark):
     )
     assert " ".join(r["chunk_text"] for r in rows) == text
     assert sum(r["n_tokens"] for r in rows) == 23
+
+
+def test_pack_single_bucket_offsets(spark):
+    """With one bucket the packing is a plain concat-then-split stream:
+    offsets are the running token count in (doc_id, chunk_idx) order and
+    sequences cut exactly every seq_tokens."""
+    docs = _mkdocs(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(10))),  # chunks: 4,4,2
+            (2, " ".join(f"b{i}" for i in range(5))),  # chunks: 4,1
+        ],
+    )
+    chunks = chunk_documents(docs, chunk_tokens=4)
+    out = (
+        pack_chunks(chunks, seq_tokens=6, n_buckets=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    rows = [
+        (r["doc_id"], r["chunk_idx"], r["seq_id"], r["offset_in_seq"], r["spans_boundary"])
+        for r in out
+    ]
+    # stream: 4+4+2+4+1 tokens; seq boundary every 6
+    assert rows == [
+        (1, 0, 0, 0, False),
+        (1, 1, 0, 4, True),   # tokens 4..7 straddle the 6-cut
+        (1, 2, 1, 2, False),
+        (2, 0, 1, 4, True),   # tokens 10..13 straddle the 12-cut
+        (2, 1, 2, 2, False),
+    ]
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_pack_buckets_are_independent_streams(spark):
+    """Offsets restart per bucket and every chunk keeps its tokens —
+    packing loses nothing regardless of the bucket split."""
+    docs = _mkdocs(
+        spark, [(i, " ".join(f"w{i}_{j}" for j in range(9))) for i in range(20)]
+    )
+    chunks = chunk_documents(docs, chunk_tokens=4)
+    packed = pack_chunks(chunks, seq_tokens=8, n_buckets=4, portable=True)
+    pdf = packed.toPandas()
+    assert pdf["n_tokens"].sum() == 20 * 9
+    for _, grp in pdf.groupby("bucket"):
+        grp = grp.sort_values(["doc_id", "chunk_idx"])
+        # offset of each chunk = running sum of all prior chunk tokens
+        run = 0
+        for _, r in grp.iterrows():
+            assert r["seq_id"] == run // 8
+            assert r["offset_in_seq"] == run % 8
+            run += r["n_tokens"]
+    # deterministic: same input → same bucket assignment both runs
+    again = pack_chunks(chunks, seq_tokens=8, n_buckets=4, portable=True).toPandas()
+    a = pdf.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pack_param_guards(spark):
+    docs = _mkdocs(spark, [(1, "a b c")])
+    chunks = chunk_documents(docs, chunk_tokens=2)
+    with pytest.raises(ValueError):
+        pack_chunks(chunks, seq_tokens=0)
+    with pytest.raises(ValueError):
+        pack_chunks(chunks, seq_tokens=8, n_buckets=0)
 
 
 def test_param_guards(spark):
