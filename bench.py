@@ -209,6 +209,23 @@ def main() -> None:
         reps=2,
     )
 
+    # chunk → pack wall: the tokenizer-prep path (narrow chunking + the
+    # packing window's ONE bucket shuffle) over the full bench corpus —
+    # production hash (xxhash64), 4 buckets/core
+    from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
+
+    timed(
+        "chunk_pack",
+        lambda: noop_write(
+            pack_chunks(
+                chunk_documents(docs_df, chunk_tokens=128),
+                seq_tokens=2048,
+                n_buckets=CPUS * 4,
+            )
+        ),
+        reps=3,
+    )
+
     # guard the probe: a regenerated embeddings table without vec_id=0
     # would otherwise crash here AFTER the whole suite ran, losing the
     # one JSON line the driver records
