@@ -782,6 +782,17 @@ def _q_dup_components(spark, sf_dir):
     return dup_components(pairs)
 
 
+def _q_docs_neardup_pruned(spark, sf_dir):
+    """The dedup end product (operators/dedup.dedup_by_components): the
+    corpus with every ngram-Jaccard near-dup cluster collapsed to its
+    min-id representative."""
+    from pyocr_spark.operators.dedup import dedup_by_components, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup_by_components(docs, pairs).select("doc_id", "lang", "source")
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -883,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "extract_pdf": _q_extract_pdf,
         "dup_components": _q_dup_components,
+        "docs_neardup_pruned": _q_docs_neardup_pruned,
         "minhash_sig_portable": _q_minhash_sig_portable,
         "simhash_portable": _q_simhash_portable,
         "host_stats": _q_host_stats,
@@ -1304,9 +1316,15 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
         ),
         "doc_chunks": (
-            "WITH t AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS toks "
-            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            # full-whitespace-class strip, mirroring chunk_documents (NOT
+            # trim(): space-only, and Spark/DuckDB disagree on the trailing
+            # empty token a "\t"-suffixed doc would produce)
+            "WITH st AS (SELECT doc_id, "
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS s "
+            "FROM documents WHERE text IS NOT NULL), "
+            "t AS (SELECT doc_id, "
+            "regexp_split_to_array(s, '[\\t\\n\\f\\r ]+') AS toks "
+            "FROM st WHERE s != ''), "
             "s AS (SELECT doc_id, toks, "
             "unnest(generate_series(0, len(toks) - 1, 24)) AS start FROM t) "
             "SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx, "
@@ -1314,9 +1332,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(32, len(toks) - start) AS INT) AS n_tokens FROM s"
         ),
         "doc_packed_seqs": (
-            "WITH t AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS toks "
-            "FROM documents WHERE text IS NOT NULL AND trim(text) != ''), "
+            "WITH st AS (SELECT doc_id, "
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS s "
+            "FROM documents WHERE text IS NOT NULL), "
+            "t AS (SELECT doc_id, "
+            "regexp_split_to_array(s, '[\\t\\n\\f\\r ]+') AS toks "
+            "FROM st WHERE s != ''), "
             "s AS (SELECT doc_id, toks, "
             "unnest(generate_series(0, len(toks) - 1, 32)) AS start FROM t), "
             "ch AS (SELECT doc_id, CAST(start // 32 AS INT) AS chunk_idx, "
@@ -1490,6 +1511,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),
         "simhash_portable": "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) AS w FROM documents), hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words), votes AS (SELECT doc_id, sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS v31 FROM hashed GROUP BY doc_id) SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM votes",
         "dup_components": _NGRAM_COMPONENTS_SQL,
+        # corpus minus the non-representative cluster members (components
+        # CTE reused verbatim as a subquery)
+        "docs_neardup_pruned": (
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            f"ANTI JOIN (SELECT node FROM ({_NGRAM_COMPONENTS_SQL}) c "
+            "WHERE node != comp) l ON d.doc_id = l.node"
+        ),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

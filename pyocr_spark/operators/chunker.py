@@ -50,8 +50,14 @@ def chunk_documents(
             "tokens between windows; pass stride <= chunk_tokens"
         )
     t = F.col(text_col)
-    toks = F.split(F.trim(t), "[" + _WS + "]+")
-    d = docs.filter(t.isNotNull() & (F.trim(t) != "")).select(
+    # strip the FULL whitespace class, not F.trim (spaces only): a doc
+    # like "\t\n" would otherwise pass the blank filter and tokenize to
+    # empty strings — and Spark's split drops the trailing empty where
+    # DuckDB's regexp_split_to_array keeps it, so the full-class strip is
+    # also what keeps the SQL oracle exact on adversarial whitespace
+    stripped = F.regexp_replace(t, "^[" + _WS + "]+|[" + _WS + "]+$", "")
+    toks = F.split(stripped, "[" + _WS + "]+")
+    d = docs.filter(t.isNotNull() & (stripped != "")).select(
         F.col(id_col), toks.alias("_toks")
     )
     starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))

@@ -535,3 +535,23 @@ def dup_components(
         "component diameter exceeds 2^rounds; raise max_iterations "
         "(a silent partial result would split dup clusters)"
     )
+
+
+def dedup_by_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup END PRODUCT: the corpus with every near-dup cluster
+    collapsed to its canonical representative (the component minimum id —
+    dup_components' label). Documents in no pair survive untouched.
+
+    One anti-join against the loser set (cluster members that are not
+    the representative). Losers are a small fraction of the corpus —
+    near-dup mass, not corpus mass — so at scale AQE turns the anti-join
+    broadcast once the loser side is measured under the threshold; no
+    explicit hint so a pathological all-dup corpus still shuffles safely.
+    """
+    comps = dup_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

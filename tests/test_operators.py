@@ -158,6 +158,22 @@ def test_dup_components_chain_cycle_isolated(spark):
     assert {r["comp"] for r in out2} == {0} and len(out2) == 41
 
 
+def test_dedup_by_components_keeps_representatives(spark):
+    from pyocr_spark.operators.dedup import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # cluster {1,2,3} keeps 1; cluster {5,6} keeps 5; 4 and 7 unpaired
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "left_id long, right_id long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_components(docs, pairs).collect()
+    )
+    assert kept == [1, 4, 5, 7]
+
+
 def test_ivf_full_probe_exact_and_partial_probe_recall(spark):
     from pyocr_spark.operators.ann import (
         topk_cosine,

@@ -131,3 +131,100 @@ def test_crawl_delta_matches_reference_model(spark):
         assert r["n_versions"] == len(g)
         assert r["first_ts_epoch"] == int(g.iloc[0]["ts"].timestamp())
         assert r["last_ts_epoch"] == int(g.iloc[-1]["ts"].timestamp())
+
+
+_WS_CHARS = "\t\n\f\r "
+
+
+def _random_texts(n=120):
+    """Texts with adversarial whitespace mixes, empties, and None."""
+    words = ["alpha", "b", "cc", "Δelta", "e5", "f.f", "--", "号", "'s"]
+    seps = [" ", "  ", "\t", "\n", "\r", "\f", " \t "]
+    out = []
+    for i in range(n):
+        k = RNG.randint(0, 40)
+        text = "".join(RNG.choice(words) + RNG.choice(seps) for _ in range(k))
+        if i % 17 == 0:
+            text = ""
+        elif i % 19 == 0:
+            text = "   \t\n "
+        elif i % 23 == 0:
+            text = None
+        out.append((i, text))
+    return out
+
+
+def test_chunk_pack_matches_reference_model(spark):
+    """chunk_documents + pack_chunks over a random whitespace-adversarial
+    corpus agree with a plain-Python reference: chunk windows are exact
+    token slices, and per-bucket offsets are the running token count in
+    (doc_id, chunk_idx) order with the portable md5 bucket choice."""
+    import re as _re
+
+    from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
+
+    rows = _random_texts()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    CH, ST, SEQ, NB = 7, 5, 16, 4
+    chunks = chunk_documents(docs, chunk_tokens=CH, stride=ST)
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in chunks.collect()}
+
+    want = {}
+    for doc_id, text in rows:
+        if text is None or text.strip(_WS_CHARS) == "":
+            continue
+        toks = _re.split("[" + _WS_CHARS + "]+", text.strip(_WS_CHARS))
+        for ci, start in enumerate(range(0, len(toks), ST)):
+            win = toks[start:start + CH]
+            want[(doc_id, ci)] = (" ".join(win), min(CH, len(toks) - start))
+    assert set(got) == set(want)
+    for key, (wtext, wn) in want.items():
+        assert got[key]["chunk_text"] == wtext, key
+        assert got[key]["n_tokens"] == wn, key
+
+    packed = pack_chunks(chunks, seq_tokens=SEQ, n_buckets=NB, portable=True).collect()
+    by_key = {(r["doc_id"], r["chunk_idx"]): r for r in packed}
+    assert set(by_key) == set(want)
+    buckets = {}
+    for doc_id, ci in sorted(want):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % NB
+        off = buckets.get(b, 0)
+        r = by_key[(doc_id, ci)]
+        assert r["bucket"] == b
+        assert r["seq_id"] == off // SEQ
+        assert r["offset_in_seq"] == off % SEQ
+        assert r["spans_boundary"] == (off % SEQ + r["n_tokens"] > SEQ)
+        buckets[b] = off + want[(doc_id, ci)][1]
+
+
+def test_jsonl_roundtrip_adversarial_payloads(spark, tmp_path):
+    """write_jsonl then read_pages_jsonl round-trips urls/text containing
+    JSON metacharacters, control/unicode chars, and arbitrary html bytes."""
+    from pyocr_spark.sources.jsonl import (
+        jsonl_to_pages,
+        read_pages_jsonl,
+        write_jsonl,
+    )
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    texts = [None, "", 'line"one"\nline\ttwo  end', "日本語", "\\n not a newline"]
+    rows = []
+    for i in range(80):
+        url = f'https://h/{i}?q="quo\\ted"&x=日本'
+        html = bytes(RNG.randrange(256) for _ in range(RNG.randrange(0, 64))) or None
+        rows.append((url, base + dt.timedelta(seconds=i), html, RNG.choice(texts), "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = tmp_path / "adv"
+    write_jsonl(df, str(out))
+    back = jsonl_to_pages(read_pages_jsonl(spark, str(out))).collect()
+    assert len(back) == len(rows)
+    got = {r["url"]: r for r in back}
+    for url, ts, html, text, lang in rows:
+        r = got[url]
+        assert (None if r["html"] is None else bytes(r["html"])) == html, url
+        assert r["text"] == text, url
+        assert r["lang"] == lang
+        got_ep = int(r["warc_ts"].replace(tzinfo=dt.timezone.utc).timestamp())
+        assert got_ep == int(ts.timestamp())
