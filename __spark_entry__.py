@@ -908,6 +908,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # extraction oracles read the oracle-materialized expected_* parquet.
 # ---------------------------------------------------------------------------
 
+# Tokenization oracles strip the FULL whitespace class
+# (regexp_replace(col, '^[\t\n\f\r ]+|[\t\n\f\r ]+$', '', 'g')) — the
+# DuckDB twin of functions/text_stats.ws_strip. NOT trim(): it strips
+# spaces only, and Spark's split drops the trailing empty token a
+# "\t"-suffixed doc would produce where DuckDB's regexp_split keeps it.
+
+
 def _plane_sig_sql(vec_expr: str, n_planes: int, dim: int = 64) -> str:
     """DuckDB expression replaying operators.ann.hyperplane_sig: the
     deterministic md5-derived planes (make_planes) embedded as array
@@ -959,7 +966,7 @@ def _embedding_dups_lsh_sql() -> str:
     )
 
 
-_MINHASH_SIG_SQL = "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS g FROM words) SELECT doc_id, seed, list_min(list_transform(g, s -> CAST(('0x' || substr(md5(s || ':' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT))) AS minhash FROM sh, generate_series(0, 15) t(seed)"
+_MINHASH_SIG_SQL = "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS g FROM words) SELECT doc_id, seed, list_min(list_transform(g, s -> CAST(('0x' || substr(md5(s || ':' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT))) AS minhash FROM sh, generate_series(0, 15) t(seed)"
 
 _MINHASH_PAIRS_SQL = (
     f"WITH sig AS ({_MINHASH_SIG_SQL}), "
@@ -976,7 +983,7 @@ _MINHASH_PAIRS_SQL = (
 )
 
 
-_NGRAM_COMPONENTS_SQL ="WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+_NGRAM_COMPONENTS_SQL ="WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1158,14 +1165,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM kept GROUP BY url), "
             "ok AS (SELECT url, clean AS extracted_text FROM agg WHERE clean != ''), "
             "rep AS (SELECT url, extracted_text FROM (SELECT url, extracted_text, "
-            "regexp_split_to_array(trim(extracted_text), '[\\t\\n\\f\\r ]+') AS t FROM ok) "
+            "regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS t FROM ok) "
             "WHERE (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) <= 0.5), "
             "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
             "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn "
             "FROM rep), "
             "gated AS (SELECT url, content_hash, "
-            "CASE WHEN trim(extracted_text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(extracted_text), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
+            "CASE WHEN regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
             "FROM ded WHERE rn = 1) "
             "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
@@ -1177,7 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_repetition": (
             "WITH base AS (SELECT doc_id, "
-            "string_split_regex(trim(text), '[\\t\\n\\f\\r ]+') AS toks FROM documents), "
+            "string_split_regex(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS toks FROM documents), "
             "stats AS (SELECT doc_id, len(toks) AS n_tokens, "
             "CASE WHEN len(toks) > 0 THEN "
             "round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) "
@@ -1203,7 +1210,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 ELSE 50000 END"
         ),
         "containment_dups": (
-            "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS w "
+            "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w "
             "FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
             "list_distinct(list_transform(generate_series(1, len(w)-2), "
@@ -1232,7 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_topk": (
             "WITH tok AS (SELECT doc_id, "
-            "unnest(string_split_regex(trim(text), '[\\t\\n\\f\\r ]+')) AS token FROM documents), "
+            "unnest(string_split_regex(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) AS token FROM documents), "
             "per AS (SELECT token, doc_id, count(*) AS tf_doc FROM tok "
             "WHERE token != '' GROUP BY 1, 2), "
             "v AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
@@ -1244,7 +1251,7 @@ def oracle_sql() -> dict[str, str]:
             # the window orders by round(tfidf,6) then token, so a last-ulp
             # ln() difference between engines cannot flip the top-k cut.
             "WITH tok AS (SELECT doc_id, "
-            "unnest(string_split_regex(trim(text), '[\\t\\n\\f\\r ]+')) AS token FROM documents), "
+            "unnest(string_split_regex(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) AS token FROM documents), "
             "per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok "
             "WHERE token != '' GROUP BY 1, 2), "
             "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY token), "
@@ -1261,7 +1268,7 @@ def oracle_sql() -> dict[str, str]:
             # Same 3-gram builder as the ngram_jaccard oracle; eval slice =
             # doc_id % 97 == 0, corpus = the rest (mirrors _q_docs_decontam).
             "WITH toks AS (SELECT doc_id, "
-            "string_split_regex(trim(text), '[\\t\\n\\f\\r ]+') AS w FROM documents), "
+            "string_split_regex(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN "
             "list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) "
             "ELSE [array_to_string(w, ' ')] END) AS gram FROM toks), "
@@ -1309,8 +1316,8 @@ def oracle_sql() -> dict[str, str]:
             "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
             "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn FROM ok), "
             "gated AS (SELECT url, content_hash, "
-            "CASE WHEN trim(extracted_text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(extracted_text), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
+            "CASE WHEN regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
             "FROM ded WHERE rn = 1) "
             "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
@@ -1352,8 +1359,8 @@ def oracle_sql() -> dict[str, str]:
             "(off % 128 + n_tokens > 128) AS spans_boundary FROM o"
         ),
         "doc_token_count": (
-            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) END AS n_tokens, "
+            "SELECT doc_id, CASE WHEN regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) END AS n_tokens, "
             "length(text) AS n_chars_actual FROM documents"
         ),
         # explicit whitespace class [\t\n\f\r ] mirrors
@@ -1488,7 +1495,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rn <= 3"
         ),
         "ngram_jaccard": (
-            "WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+') AS w FROM documents), "
+            "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
             "list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) "
             "ELSE [array_to_string(w, ' ')] END AS g FROM words), "
@@ -1509,7 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_PAIRS_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),
-        "simhash_portable": "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) AS w FROM documents), hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words), votes AS (SELECT doc_id, sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS v31 FROM hashed GROUP BY doc_id) SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM votes",
+        "simhash_portable": "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) AS w FROM documents), hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words), votes AS (SELECT doc_id, sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS v31 FROM hashed GROUP BY doc_id) SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM votes",
         "dup_components": _NGRAM_COMPONENTS_SQL,
         # corpus minus the non-representative cluster members (components
         # CTE reused verbatim as a subquery)
@@ -1546,12 +1553,12 @@ def oracle_sql() -> dict[str, str]:
 
 _QUALITY_SQL = """
 WITH b AS (
-  SELECT doc_id, trim(text) AS t,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+')) END AS n_tok,
-         length(trim(text)) AS n_chars,
-         length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS n_punct,
-         len(list_filter(regexp_split_to_array(lower(trim(text)), '[\\t\\n\\f\\r ]+'),
+  SELECT doc_id, regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS t,
+         CASE WHEN regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) END AS n_tok,
+         length(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) AS n_chars,
+         length(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) - length(regexp_replace(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')), '[\\t\\n\\f\\r ]+'),
              x -> list_contains(['the','a','and','of','to','in'], x))) AS n_stop
   FROM documents
 ), r AS (
@@ -1583,13 +1590,13 @@ def _lang_hits_sql(lang: str, words: tuple[str, ...]) -> str:
     tokenizer split can never see a marker inside unsegmented CJK)."""
     if lang == "zh":
         terms = " + ".join(
-            f"(length(trim(text)) - length(replace(trim(text), '{w}', ''))) / {len(w)}"
+            f"(length(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) - length(replace(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '{w}', ''))) / {len(w)}"
             for w in words
         )
         return f"CAST({terms} AS INT) AS h_{lang}"
     in_list = ",".join(f"'{w}'" for w in words)
     return (
-        "len(list_filter(regexp_split_to_array(trim(text), '[\\t\\n\\f\\r ]+'), "
+        "len(list_filter(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
         f"x -> list_contains([{in_list}], x))) AS h_{lang}"
     )
 

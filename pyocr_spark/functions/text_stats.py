@@ -24,8 +24,8 @@ def token_count(text: Column) -> Column:
     SQL oracle diverge on vertical-tab input AND tokenize differently
     from the dup-token gate in plans/corpus.py that shares one plan with
     this count."""
-    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), "[" + _WS + "]+"))
+    return F.when(ws_strip(text) == "", F.lit(0)).otherwise(
+        F.size(ws_tokens(text))
     )
 
 
@@ -45,7 +45,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     "good" when they have enough tokens, sane mean word length, and some
     stopword mass — the classic cheap pre-filter for web-scraped text.
     """
-    t = F.trim(F.col("text"))
+    t = ws_strip(F.col("text"))
     # layer the counts in their own projection: each is a regex/split pass
     # over the text and is referenced several times below — in ONE select
     # Catalyst would inline (and so re-evaluate) every reference
@@ -106,8 +106,7 @@ def _token_hits(t: Column, words: tuple[str, ...]) -> Column:
     class and count tokens equal to a marker. Unlike a regex over padded
     text ('( (w1|w2) )'), adjacent markers all count — the regex consumes
     the shared separator space and silently undercounts runs."""
-    toks = F.split(F.trim(t), "[" + _WS + "]+")
-    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+    return F.size(F.filter(ws_tokens(t), lambda x: x.isin(*words)))
 
 
 def _substr_hits(t: Column, words: tuple[str, ...]) -> Column:
@@ -134,7 +133,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     Ties (incl. zero hits everywhere) → 'und', deterministically. Returns
     (doc_id, lang_pred, best_hits).
     """
-    t = F.trim(F.col("text"))
+    t = ws_strip(F.col("text"))
     hits = [(lang, _marker_count(lang, t, words)) for lang, words in sorted(LANG_MARKERS.items())]
     best = F.greatest(*[h for _, h in hits])
     pred = F.lit("und")
@@ -151,6 +150,27 @@ def lang_id(docs: DataFrame) -> DataFrame:
 #: class [\t\n\f\r ] on both sides (a \x0B therefore counts as a
 #: punctuation token on both engines, consistently).
 _WS = r"\t\n\f\r "
+
+
+def ws_strip(text: Column) -> Column:
+    """Strip the FULL explicit whitespace class from both ends — NOT
+    ``F.trim`` (ASCII space only). A doc padded with tabs/newlines would
+    otherwise keep an empty first token, and on the trailing side Spark's
+    ``split`` drops the empty token where DuckDB's regexp_split keeps it,
+    so trim-based tokenization diverges from the SQL oracle on real
+    webtext. SQL twin:
+    ``regexp_replace(col, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')``."""
+    return F.regexp_replace(text, "^[" + _WS + "]+|[" + _WS + "]+$", "")
+
+
+def ws_tokens(text: Column) -> Column:
+    """THE engine-wide whitespace tokenization: full-class strip, then
+    split on the class. Every operator that counts/compares whitespace
+    tokens routes through this (or replicates it exactly) so token
+    budgets, dedup shingles, and quality gates cannot drift."""
+    return F.split(ws_strip(text), "[" + _WS + "]+")
+
+
 BPE_PRETOKEN_RE = (
     r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
 )
@@ -245,7 +265,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     newline-separated spam ("buy now\\nbuy now") must tokenize into
     repeated words, not glued "now\\nbuy" tokens that hide the repetition.
     """
-    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
+    toks = ws_tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
@@ -319,7 +339,7 @@ def vocab_docfreq(
 
     Returns (token, df, tf).
     """
-    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
+    toks = ws_tokens(F.col(text_col))
     per_doc = (
         docs.select(F.col(id_col), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
@@ -360,7 +380,7 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
+    toks = ws_tokens(F.col(text_col))
     per_doc = (
         docs.select(F.col(id_col), F.explode(toks).alias("token"))
         .filter(F.col("token") != "")

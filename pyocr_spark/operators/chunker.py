@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyocr_spark.functions.text_stats import _WS
+from pyocr_spark.functions.text_stats import ws_strip, ws_tokens
 
 
 def chunk_documents(
@@ -50,15 +50,11 @@ def chunk_documents(
             "tokens between windows; pass stride <= chunk_tokens"
         )
     t = F.col(text_col)
-    # strip the FULL whitespace class, not F.trim (spaces only): a doc
-    # like "\t\n" would otherwise pass the blank filter and tokenize to
-    # empty strings — and Spark's split drops the trailing empty where
-    # DuckDB's regexp_split_to_array keeps it, so the full-class strip is
-    # also what keeps the SQL oracle exact on adversarial whitespace
-    stripped = F.regexp_replace(t, "^[" + _WS + "]+|[" + _WS + "]+$", "")
-    toks = F.split(stripped, "[" + _WS + "]+")
-    d = docs.filter(t.isNotNull() & (stripped != "")).select(
-        F.col(id_col), toks.alias("_toks")
+    # engine-wide tokenization contract (text_stats.ws_tokens): full
+    # whitespace-class strip, then split — a "\t\n" doc is blank, never
+    # a one-empty-token doc
+    d = docs.filter(t.isNotNull() & (ws_strip(t) != "")).select(
+        F.col(id_col), ws_tokens(t).alias("_toks")
     )
     starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
     exploded = d.select(

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyocr_spark.functions.text_stats import _WS
+from pyocr_spark.functions.text_stats import ws_tokens
 
 
 def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
@@ -31,7 +31,7 @@ def _doc_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame
     distinct gram. All higher-order functions — no Python, no explode of
     duplicate grams before the distinct (the transform+array_distinct
     dedups within the row first, so the explode emits each gram once)."""
-    toks = F.split(F.trim(F.col(text_col)), "[" + _WS + "]+")
+    toks = ws_tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(

@@ -61,7 +61,9 @@ def _shingles(text_col: str, k: int):
     \\x0B where RE2/DuckDB's does not, so \\s+ would silently give the
     SQL oracles — and datagen's pure-Python expected-table replay, which
     already uses the explicit class — a different shingle set."""
-    words = F.split(F.trim(F.col(text_col)), "[\t\n\f\r ]+")
+    from pyocr_spark.functions.text_stats import ws_tokens
+
+    words = ws_tokens(F.col(text_col))
     n = F.size(words)
     # transform over 0..n-k: join words[i..i+k-1]
     return F.when(n >= k, F.transform(
@@ -236,9 +238,11 @@ def simhash(
     """
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")
-    # explicit whitespace class — same Java/RE2-portability rule as
-    # _shingles (the expected-table replay already tokenizes this way)
-    words = F.split(F.trim(F.col(text_col)), "[\t\n\f\r ]+")
+    # engine-wide tokenization contract (full-class strip + explicit
+    # whitespace class — the expected-table replay tokenizes this way)
+    from pyocr_spark.functions.text_stats import ws_tokens
+
+    words = ws_tokens(F.col(text_col))
     if portable:
         hashes = F.transform(words, lambda w: _portable_hash64(w))
     else:

@@ -73,12 +73,11 @@ def build_training_corpus(
             "url", F.col("clean_text").alias("extracted_text")
         )
     if max_dup_token_frac is not None:
-        from pyocr_spark.functions.text_stats import _WS
+        from pyocr_spark.functions.text_stats import ws_tokens
 
-        # explicit whitespace class, NOT \s+: Java's \s includes \x0B
-        # where RE2/DuckDB's does not, and the SQL oracle must replay
-        # this gate exactly (same class as repetition_stats)
-        t = F.split(F.trim(F.col("extracted_text")), "[" + _WS + "]+")
+        # engine-wide tokenization contract (same as repetition_stats);
+        # the SQL oracle replays this gate exactly
+        t = ws_tokens(F.col("extracted_text"))
         dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
         ok = ok.filter(dup_frac <= max_dup_token_frac)
     # hash + token-count + gate BEFORE the dedup window: n_tokens is a
