@@ -452,7 +452,11 @@ def _q_doc_packed_seqs(spark, sf_dir):
     from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
 
     chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=32)
-    return pack_chunks(chunks, seq_tokens=128, n_buckets=8, portable=True)
+    packed = pack_chunks(chunks, seq_tokens=128, n_buckets=8, portable=True)
+    return packed.select(
+        "bucket", "seq_id", "doc_id", "chunk_idx",
+        "offset_in_seq", "n_tokens", "spans_boundary",
+    )
 
 
 def _q_doc_token_count(spark, sf_dir):

@@ -60,6 +60,20 @@ def parse_args(argv=None):
              "this bound (Gopher-style repetition gate)",
     )
     p.add_argument(
+        "--pack", action="store_true",
+        help="extract text, slice it into --chunk-tokens windows, and pack "
+             "the chunks into --seq-tokens training sequences (bucket-"
+             "parallel concat-then-split); writes the packed chunk table "
+             "parquet partitioned by bucket",
+    )
+    p.add_argument("--chunk-tokens", type=int, default=1024)
+    p.add_argument("--seq-tokens", type=int, default=4096)
+    p.add_argument(
+        "--pack-buckets", type=int, default=256,
+        help="--pack: independent packing streams (>= cluster cores; each "
+             "is one window partition)",
+    )
+    p.add_argument(
         "--blocklist", default=None,
         help="text file of blocked hosts (one per line); pages from these "
              "hosts are dropped before any processing mode",
@@ -120,6 +134,30 @@ def main(argv=None) -> None:
         pages = blocklist_filter(pages, blocked).drop("host")
     if args.incremental:
         run_incremental(spark, pages, args, modes)
+        spark.stop()
+        return
+    if args.pack:
+        from pyspark.sql import functions as F
+
+        from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
+        from pyocr_spark.plans.pipeline import extract_df
+
+        ext = extract_df(pages, modes=frozenset({"text"}), dedup=True).filter(
+            (F.col("status") == "ok") & F.col("extracted_text").isNotNull()
+        )
+        chunks = chunk_documents(
+            ext, text_col="extracted_text", id_col="url",
+            chunk_tokens=args.chunk_tokens,
+        )
+        packed = pack_chunks(
+            chunks, seq_tokens=args.seq_tokens, id_col="url",
+            n_buckets=args.pack_buckets,
+        )
+        # partition by bucket: a training reader consumes whole packing
+        # streams, so bucket dirs give it partition pruning for free
+        packed.write.mode("overwrite").partitionBy("bucket").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "pack", "rows": n, "output": args.output}))
         spark.stop()
         return
     if args.corpus:

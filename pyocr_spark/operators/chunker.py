@@ -100,7 +100,11 @@ def pack_chunks(
     within bucket = (id, chunk_idx). ``portable=True`` swaps xxhash64 for
     the md5 hash family so the bucket choice replays exactly in SQL
     (operators/dedup._portable_hash64 — same convention as minhash/
-    sampling)."""
+    sampling).
+
+    Returns (bucket, seq_id, <all chunk columns>, offset_in_seq,
+    spans_boundary) — chunk payload columns (chunk_text, …) pass through
+    so the packed table is directly trainable."""
     if seq_tokens < 1:
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
     if n_buckets < 1:
@@ -116,16 +120,15 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    passthrough = [c for c in chunks.columns if c != "bucket"]
     return (
         chunks.withColumn("bucket", bucket)
         .withColumn("_off", offset)
         .select(
             "bucket",
             F.floor(F.col("_off") / seq_tokens).alias("seq_id"),
-            id_col,
-            idx_col,
+            *passthrough,
             (F.col("_off") % seq_tokens).cast("int").alias("offset_in_seq"),
-            tokens_col,
             ((F.col("_off") % seq_tokens) + F.col(tokens_col) > seq_tokens).alias(
                 "spans_boundary"
             ),

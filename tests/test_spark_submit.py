@@ -118,6 +118,41 @@ def test_spark_submit_incremental_mode(tmp_path):
     assert out["https://h/a"] == "alpha one"
 
 
+def test_spark_submit_pack_mode(tmp_path, pages_sf0001):
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    out_dir = str(tmp_path / "packed")
+    proc = _submit_job(zip_path, [
+        "--input", str(pages_sf0001 / "pages.parquet"),
+        "--output", out_dir,
+        "--pack", "--chunk-tokens", "64", "--seq-tokens", "256",
+        "--pack-buckets", "8",
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "pack" and report["rows"] > 0
+    import pandas as pd
+
+    out = pd.read_parquet(out_dir)
+    assert {
+        "seq_id", "url", "chunk_idx", "chunk_text", "n_tokens",
+        "offset_in_seq", "spans_boundary", "bucket",
+    } <= set(out.columns)
+    assert (out["n_tokens"] >= 1).all() and (out["n_tokens"] <= 64).all()
+    assert (out["offset_in_seq"] >= 0).all() and (out["offset_in_seq"] < 256).all()
+    # bucket-partitioned layout for stream-pruned training reads
+    assert any(d.startswith("bucket=") for d in os.listdir(out_dir))
+    # per-bucket offsets are a consistent running sum in (url, chunk) order
+    for _, g in out.groupby("bucket"):
+        g = g.sort_values(["url", "chunk_idx"])
+        run = 0
+        for _, r in g.iterrows():
+            assert r["seq_id"] == run // 256 and r["offset_in_seq"] == run % 256
+            run += r["n_tokens"]
+
+
 def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     zip_path = subprocess.run(
         ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
