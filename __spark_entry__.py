@@ -915,8 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Tokenization oracles strip the FULL whitespace class
 # (regexp_replace(col, '^[\t\n\f\r ]+|[\t\n\f\r ]+$', '', 'g')) — the
 # DuckDB twin of functions/text_stats.ws_strip. NOT trim(): it strips
-# spaces only, and Spark's split drops the trailing empty token a
-# "\t"-suffixed doc would produce where DuckDB's regexp_split keeps it.
+# spaces only, so a tab/newline-padded doc would tokenize with phantom
+# empty edge tokens (identically on both engines — split keeps empties
+# at limit=-1 on each side — but wrong).
 
 
 def _plane_sig_sql(vec_expr: str, n_planes: int, dim: int = 64) -> str:
@@ -1328,8 +1329,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_chunks": (
             # full-whitespace-class strip, mirroring chunk_documents (NOT
-            # trim(): space-only, and Spark/DuckDB disagree on the trailing
-            # empty token a "\t"-suffixed doc would produce)
+            # trim(): space-only — a "\t"-padded doc would chunk phantom
+            # empty tokens on both engines)
             "WITH st AS (SELECT doc_id, "
             "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS s "
             "FROM documents WHERE text IS NOT NULL), "

@@ -103,6 +103,11 @@ def main(argv=None) -> None:
     bad = modes - ALL_MODES
     if bad:
         raise SystemExit(f"unknown modes: {sorted(bad)}; valid: {sorted(ALL_MODES)}")
+    picked = [f for f in ("pack", "corpus", "incremental") if getattr(args, f)]
+    if len(picked) > 1:
+        # each mode writes a different table shape to --output; silently
+        # running only one of the requested modes would hide the conflict
+        raise SystemExit(f"--{' and --'.join(picked)} are mutually exclusive")
 
     spark = SparkSession.builder.appName("pyocr-spark-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -142,7 +147,9 @@ def main(argv=None) -> None:
         from pyocr_spark.operators.chunker import chunk_documents, pack_chunks
         from pyocr_spark.plans.pipeline import extract_df
 
-        ext = extract_df(pages, modes=frozenset({"text"}), dedup=True).filter(
+        ext = extract_df(
+            pages, modes=frozenset({"text"}), psm=args.psm, dedup=True
+        ).filter(
             (F.col("status") == "ok") & F.col("extracted_text").isNotNull()
         )
         chunks = chunk_documents(

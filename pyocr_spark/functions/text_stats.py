@@ -45,22 +45,30 @@ def quality_score(docs: DataFrame) -> DataFrame:
     "good" when they have enough tokens, sane mean word length, and some
     stopword mass — the classic cheap pre-filter for web-scraped text.
     """
-    t = ws_strip(F.col("text"))
+    # materialize the stripped text ONCE in its own projection — every
+    # count below references it several times, and each inlined reference
+    # would re-run the strip regex over the whole document
+    stripped = docs.select("doc_id", ws_strip(F.col("text")).alias("_t"))
+    t = F.col("_t")
     # layer the counts in their own projection: each is a regex/split pass
     # over the text and is referenced several times below — in ONE select
     # Catalyst would inline (and so re-evaluate) every reference
-    base = docs.select(
+    # _t is already stripped, so tokenize with a bare split (token_count/
+    # ws_tokens would re-strip — an extra regex pass over every doc)
+    toks = F.split(t, "[" + _WS + "]+")
+    stop_list = ("the", "a", "and", "of", "to", "in")
+    base = stripped.select(
         "doc_id",
-        token_count(t).alias("_n_tok"),
+        F.when(t == "", F.lit(0)).otherwise(F.size(toks)).alias("_n_tok"),
         F.length(t).alias("_n_chars"),
         (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).alias("_n_punct"),
         # token-membership count, case-insensitive via lower(): a regex
         # over padded text (' (the|a|...) ') counts NON-overlapping
         # matches, so ' a of the ' scored 2 instead of 3 — the match
         # consumes the shared separator space
-        _token_hits(F.lower(t), ("the", "a", "and", "of", "to", "in")).alias(
-            "_n_stop"
-        ),
+        F.size(
+            F.filter(F.split(F.lower(t), "[" + _WS + "]+"), lambda x: x.isin(*stop_list))
+        ).alias("_n_stop"),
     )
     n_tok, n_chars = F.col("_n_tok"), F.col("_n_chars")
     mean_wlen = F.when(n_tok > 0, F.round(n_chars / n_tok, 4)).otherwise(F.lit(0.0))
@@ -155,10 +163,11 @@ _WS = r"\t\n\f\r "
 def ws_strip(text: Column) -> Column:
     """Strip the FULL explicit whitespace class from both ends — NOT
     ``F.trim`` (ASCII space only). A doc padded with tabs/newlines would
-    otherwise keep an empty first token, and on the trailing side Spark's
-    ``split`` drops the empty token where DuckDB's regexp_split keeps it,
-    so trim-based tokenization diverges from the SQL oracle on real
-    webtext. SQL twin:
+    otherwise tokenize with phantom empty tokens at either end (Spark's
+    split keeps leading AND trailing empties at its default limit=-1,
+    and DuckDB's regexp_split_to_array does the same — consistently
+    wrong on both engines), inflating token counts and shingle sets on
+    real webtext. SQL twin:
     ``regexp_replace(col, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')``."""
     return F.regexp_replace(text, "^[" + _WS + "]+|[" + _WS + "]+$", "")
 

@@ -109,6 +109,12 @@ def pack_chunks(
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    reserved = {"bucket", "seq_id", "offset_in_seq", "spans_boundary", "_off"}
+    clash = reserved & set(chunks.columns)
+    if clash:
+        # withColumn would silently overwrite (bucket) or the passthrough
+        # would duplicate the name (seq_id…) and only fail at write time
+        raise ValueError(f"chunks input already has reserved columns: {sorted(clash)}")
     from pyocr_spark.operators.dedup import _portable_hash64
 
     key = F.col(id_col).cast("string")
@@ -120,7 +126,7 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    passthrough = [c for c in chunks.columns if c != "bucket"]
+    passthrough = list(chunks.columns)
     return (
         chunks.withColumn("bucket", bucket)
         .withColumn("_off", offset)

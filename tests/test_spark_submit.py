@@ -118,6 +118,20 @@ def test_spark_submit_incremental_mode(tmp_path):
     assert out["https://h/a"] == "alpha one"
 
 
+def test_job_mode_flags_are_mutually_exclusive(tmp_path):
+    """Conflicting mode flags must fail fast (before any Spark work) —
+    each mode writes a different table shape to --output."""
+    proc = subprocess.run(
+        ["python", os.path.join(REPO, "job.py"),
+         "--input", "x", "--output", str(tmp_path / "o"),
+         "--pack", "--corpus"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode != 0
+    assert "mutually exclusive" in proc.stderr
+
+
 def test_spark_submit_pack_mode(tmp_path, pages_sf0001):
     zip_path = subprocess.run(
         ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
