@@ -436,6 +436,18 @@ def _q_events_rolling(spark, sf_dir):
     return rolling_user_activity(ev)
 
 
+def _q_doc_zlib_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (functions/text_stats.zlib_ratio):
+    Arrow-batched zlib length per doc, ratio computed JVM-side. The
+    oracle is the datagen-materialized expected_zlib table — datagen must
+    have run for this sf (ensure via _pages)."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.functions.text_stats import zlib_ratio
+
+    ensure_pages(sf_dir)  # materializes expected_zlib for the oracle side
+    return zlib_ratio(_docs(spark, sf_dir))
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Token-window chunking (operators/chunker.py): 32-token windows
     every 24 tokens — overlap exercised, final short window kept."""
@@ -862,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         # text analysis (training-data pipeline surface)
+        "doc_zlib_ratio": _q_doc_zlib_ratio,
         "doc_chunks": _q_doc_chunks,
         "doc_packed_seqs": _q_doc_packed_seqs,
         "doc_token_count": _q_doc_token_count,
@@ -1326,6 +1339,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM ded WHERE rn = 1) "
             "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
             "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
+        ),
+        "doc_zlib_ratio": (
+            f"SELECT doc_id, raw_bytes, zlib_bytes, zlib_ratio "
+            f"FROM read_parquet('{E}/expected_zlib.parquet')"
         ),
         "doc_chunks": (
             # full-whitespace-class strip, mirroring chunk_documents (NOT

@@ -251,6 +251,46 @@ def normalize_text_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", _nfc(F.col(text_col)).alias("text_nfc"))
 
 
+def zlib_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """zlib compression-ratio quality signal: highly repetitive or
+    templated text compresses far below ~0.4, natural prose sits higher —
+    the classic cheap spam/boilerplate discriminator that catches
+    repetition ALL n-gram-window stats miss (long-range structure).
+
+    The UDF returns only the compressed LENGTH (one int per doc — minimal
+    Arrow traffic); byte counting and the ratio stay JVM-side. Python is
+    unavoidable here (no zlib in Spark SQL), so it is Arrow-batched like
+    normalize_text_nfc, never row-at-a-time. Exact oracle via the
+    datagen-materialized expected_zlib table (same interpreter's zlib —
+    only lengths are compared). Returns (id, raw_bytes, zlib_bytes,
+    zlib_ratio); null text → null row, empty text → null ratio.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: None if t is None else len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    t = F.col(text_col)
+    raw = F.when(t.isNotNull(), F.octet_length(t))
+    z = _zlen(t)
+    return docs.select(
+        id_col,
+        raw.alias("raw_bytes"),
+        z.alias("zlib_bytes"),
+        # bare IEEE division, no rounding: round() tie-breaking differs
+        # between engines (banker's vs HALF_UP) on exact .5 ties, while
+        # the division itself is bit-identical
+        F.when(raw > 0, z / raw).alias("zlib_ratio"),
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals: duplicate-token fraction
     and most-frequent-2-gram coverage. Machine-generated/SEO spam text is

@@ -197,6 +197,30 @@ def test_chunk_pack_matches_reference_model(spark):
         buckets[b] = off + want[(doc_id, ci)][1]
 
 
+def test_zlib_ratio_matches_python_and_discriminates(spark):
+    """zlib_ratio equals a direct-Python replay and separates repetitive
+    from natural-ish text; null/empty rows follow the documented rule."""
+    import zlib
+
+    from pyocr_spark.functions.text_stats import zlib_ratio
+
+    spammy = "buy now " * 200
+    prose = " ".join(f"word{i} mixes {i*7%13} content" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, spammy), (2, prose), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in zlib_ratio(docs).collect()}
+    for did, text in ((1, spammy), (2, prose)):
+        b = text.encode()
+        assert out[did]["raw_bytes"] == len(b)
+        assert out[did]["zlib_bytes"] == len(zlib.compress(b, 6))
+        assert out[did]["zlib_ratio"] == len(zlib.compress(b, 6)) / len(b)
+    assert out[1]["zlib_ratio"] < 0.1 < out[2]["zlib_ratio"]
+    assert out[3]["raw_bytes"] is None and out[3]["zlib_ratio"] is None
+    assert out[4]["raw_bytes"] == 0 and out[4]["zlib_ratio"] is None
+
+
 def test_jsonl_roundtrip_adversarial_payloads(spark, tmp_path):
     """write_jsonl then read_pages_jsonl round-trips urls/text containing
     JSON metacharacters, control/unicode chars, and arbitrary html bytes."""
