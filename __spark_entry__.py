@@ -716,6 +716,24 @@ def _q_ann_topk_ivf(spark, sf_dir):
     ).filter(F.col("vec_id") != 0).limit(10)
 
 
+def _q_ann_topk_ivf_index(spark, sf_dir):
+    """MATERIALIZED IVF index (operators/ann.build_ivf_index): assignment
+    written once, partitioned by cluster; search prunes list directories.
+    Full probe ≡ the exact scan, so the whole build→write→probe→rescore
+    path rides the exact SQL oracle; partial-probe pruning is asserted
+    against the physical plan in tests."""
+    import os
+
+    from pyocr_spark.datagen import DATA_ROOT
+    from pyocr_spark.operators.ann import build_ivf_index, search_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    path = str(DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-ivf-index"))
+    build_ivf_index(emb, path, nlist=8)
+    return search_ivf_index(spark, path, qvec, k=10, nprobe=8, exclude_id=0)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs with the portable (md5) hash family and
     raw-string band keys — every step has an exact DuckDB twin. The
@@ -906,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_ivf_index": _q_ann_topk_ivf_index,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1479,6 +1498,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "ann_topk_ivf": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # full probe over the MATERIALIZED index ≡ the exact scan
+        "ann_topk_ivf_index": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) / "
             "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "

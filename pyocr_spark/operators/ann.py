@@ -191,6 +191,71 @@ def _assign_clusters(v: DataFrame, cents) -> DataFrame:
     return v.withColumn("cluster", nearest("v"))
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: the cluster assignment is computed ONCE
+    and written as a parquet table PARTITIONED BY cluster — one directory
+    per inverted list — with the centroid matrix as a tiny sibling table
+    (``<path>_centroids``). This is the write-side organization the
+    inline ``topk_cosine_ivf`` docstring promises: searching then probes
+    by reading ONLY the probed lists' directories (partition pruning at
+    the source — asserted against the physical plan in tests), so query
+    cost scales with nprobe/nlist of the corpus, not the corpus.
+
+    Returns the trained centroids (nlist×dim floats — driver-tiny).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col, id_col=id_col)
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = _assign_clusters(v, np.asarray(centroids, dtype="float64"))
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}_centroids")
+    return [[float(x) for x in c] for c in centroids]
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k cosine over a materialized IVF index (build_ivf_index):
+    load the centroid table (nlist rows), rank lists by distance to the
+    query driver-side, and scan ONLY the nprobe nearest cluster
+    directories — the filter is on the partition column, so pruning
+    happens at file listing, before any IO."""
+    cents = (
+        spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
+    )
+    cmat = np.asarray([r["centroid"] for r in cents], dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    d = (cmat * cmat).sum(axis=1) - 2.0 * (cmat @ q)
+    probe = [int(cents[i]["cluster"]) for i in np.argsort(d, kind="stable")[:nprobe]]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        idx.select(F.col(id_col), F.round(cosine(F.col("v"), qcol), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def topk_cosine_ivf(
     emb: DataFrame,
     query_vec: list[float],

@@ -158,6 +158,42 @@ def test_dup_components_chain_cycle_isolated(spark):
     assert {r["comp"] for r in out2} == {0} and len(out2) == 41
 
 
+def test_ivf_index_prunes_partitions_and_full_probe_is_exact(spark, tmp_path):
+    """The materialized IVF index reads ONLY probed cluster dirs (the
+    filter lands in PartitionFilters, before IO) and a full probe equals
+    the exact scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyocr_spark.operators.ann import (
+        build_ivf_index,
+        search_ivf_index,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=8)
+
+    full = search_ivf_index(spark, path, qvec, k=10, nprobe=8, exclude_id=0)
+    exact = topk_cosine(emb, qvec, k=10, exclude_id=0)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in exact.collect()]
+
+    partial = search_ivf_index(spark, path, qvec, k=10, nprobe=2, exclude_id=0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        partial.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    # partial probe returns plausible neighbors (k rows, cosine sorted)
+    rows = partial.collect()
+    assert len(rows) == 10
+    assert [r["cosine"] for r in rows] == sorted(
+        (r["cosine"] for r in rows), reverse=True
+    )
+
+
 def test_dedup_by_components_keeps_representatives(spark):
     from pyocr_spark.operators.dedup import dedup_by_components
 
