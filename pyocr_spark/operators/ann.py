@@ -224,6 +224,26 @@ def build_ivf_index(
     return [[float(x) for x in c] for c in centroids]
 
 
+def append_to_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index growth: assign NEW vectors against the stored
+    centroids (no retrain — the standard IVF maintenance pattern; retrain
+    only on drift) and append them into the existing cluster directories.
+    Cost is one narrow pass over the new batch; existing lists are never
+    rewritten. Callers own dedup of re-ingested ids (pair with
+    operators/dedup or the snapshot delta upstream)."""
+    spark = emb_new.sparkSession
+    cents = spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
+    cmat = np.asarray([r["centroid"] for r in cents], dtype="float64")
+    v = emb_new.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = _assign_clusters(v, cmat)
+    assigned.write.mode("append").partitionBy("cluster").parquet(path)
+
+
 def search_ivf_index(
     spark,
     path: str,

@@ -194,6 +194,29 @@ def test_ivf_index_prunes_partitions_and_full_probe_is_exact(spark, tmp_path):
     )
 
 
+def test_ivf_index_append_then_full_probe_matches_exact_union(spark, tmp_path):
+    """Appending new vectors against the stored centroids (no retrain)
+    grows the index in place: full probe over the grown index equals the
+    exact scan over the whole union."""
+    from pyocr_spark.operators.ann import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    path = str(tmp_path / "ivf_grow")
+    build_ivf_index(old, path, nlist=8)
+    append_to_ivf_index(new, path)
+    got = search_ivf_index(spark, path, qvec, k=10, nprobe=8, exclude_id=0)
+    exact = topk_cosine(emb, qvec, k=10, exclude_id=0)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exact.collect()]
+
+
 def test_dedup_by_components_keeps_representatives(spark):
     from pyocr_spark.operators.dedup import dedup_by_components
 
