@@ -294,6 +294,26 @@ def main() -> int:
     check("doc_packed_seqs", "bucket-partitioned window (no single-partition sort)",
           "SinglePartition" not in p, "")
 
+    # 20. zlib quality signal: the ONLY Python stage is the Arrow-batched
+    # length UDF; no shuffle anywhere
+    df = qs["doc_zlib_ratio"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_zlib_ratio", p))
+    check("doc_zlib_ratio", "narrow plan (zero Exchange)", "Exchange" not in p, "")
+    check("doc_zlib_ratio", "Arrow-batched python (never row-at-a-time)",
+          "ArrowEvalPython" in p and "BatchEvalPython" not in p, "")
+
+    # 21. materialized IVF search: the probe filter must reach the file
+    # listing (PartitionFilters), not the post-scan Filter
+    df = qs["ann_topk_ivf_index"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("ann_topk_ivf_index", p))
+    pf = p.split("PartitionFilters", 1)
+    check("ann_topk_ivf_index", "probe lands in PartitionFilters (pruned at listing)",
+          len(pf) > 1 and "cluster" in pf[1][:200], "")
+    check("ann_topk_ivf_index", "top-k via TakeOrderedAndProject (no global sort)",
+          "TakeOrderedAndProject" in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
