@@ -634,6 +634,15 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Session funnel (operators/funnel.py): view → click → purchase
+    completion depth per session, steps matched in order."""
+    from pyocr_spark.operators.funnel import session_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_funnel(ev)
+
+
 def _q_events_asof_click(spark, sf_dir):
     """As-of join: attribute every event to the user's most recent click
     at-or-before it (null when none). Right side deduped to one row per
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_segments": _q_events_user_segments,
         "events_sessionize": _q_events_sessionize,
         "events_asof_click": _q_events_asof_click,
+        "events_funnel": _q_events_funnel,
         "events_hopping": _q_events_hopping,
         "events_rolling": _q_events_rolling,
         # deterministic sampling (training-mix construction)
@@ -1523,6 +1533,41 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS new_sess FROM events) "
             "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events "
             "FROM s GROUP BY user_id"
+        ),
+        # same sessionization contract as events_sessionize; each funnel
+        # step is a conditional min joined back on the session key
+        "events_funnel": (
+            "WITH s AS (SELECT user_id, event_id, event_type, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM events), "
+            "b AS (SELECT *, CAST(sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ep, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS session_id FROM s), "
+            "r AS (SELECT user_id, session_id, count(*) AS n_events "
+            "FROM b GROUP BY 1, 2), "
+            "s0 AS (SELECT user_id, session_id, min(ep) AS t0 FROM b "
+            "WHERE event_type = 'view' GROUP BY 1, 2), "
+            "r0 AS (SELECT r.*, s0.t0 FROM r LEFT JOIN s0 USING (user_id, session_id)), "
+            "s1 AS (SELECT b.user_id, b.session_id, min(b.ep) AS t1 FROM b "
+            "JOIN r0 USING (user_id, session_id) "
+            "WHERE b.event_type = 'click' AND r0.t0 IS NOT NULL AND b.ep >= r0.t0 "
+            "GROUP BY 1, 2), "
+            "r1 AS (SELECT r0.*, s1.t1 FROM r0 LEFT JOIN s1 USING (user_id, session_id)), "
+            "s2 AS (SELECT b.user_id, b.session_id, min(b.ep) AS t2 FROM b "
+            "JOIN r1 USING (user_id, session_id) "
+            "WHERE b.event_type = 'purchase' AND r1.t1 IS NOT NULL AND b.ep >= r1.t1 "
+            "GROUP BY 1, 2), "
+            "r2 AS (SELECT r1.*, s2.t2 FROM r1 LEFT JOIN s2 USING (user_id, session_id)) "
+            "SELECT user_id, session_id, n_events, t0, t1, t2, "
+            "CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS funnel_depth "
+            "FROM r2"
         ),
         "events_asof_click": (
             "WITH clicks AS (SELECT user_id, ts, event_id AS src_event_id, value AS src_value "

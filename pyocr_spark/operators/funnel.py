@@ -1,0 +1,71 @@
+"""Session funnel analysis — ordered step completion within sessions.
+
+The classic product-analytics question over an event stream: within a
+session, did the user reach view → click → purchase IN ORDER? Steps are
+matched progressively (step i counts only at-or-after step i-1's first
+match), so out-of-order events never inflate depth.
+
+Shape, chosen for scale AND for an exact SQL twin:
+
+- sessionization is the engine's standard lag/gap rule (same contract as
+  the ``events_sessionize`` query) plus a running session counter — ONE
+  shuffle on the user key.
+- each step is a conditional min-timestamp aggregate joined back on the
+  (user, session) key: len(steps) small aggregates, all co-keyed with
+  the session shuffle, so AQE/co-partitioning keeps them cheap; no
+  per-session Python, no collect_list of whole sessions into memory
+  (sessions can be arbitrarily long at crawl scale — a fold over a
+  collected array would cap session size, this never materializes one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Per (user_id, session_id): events in session, first-completion
+    time of each funnel step (epoch seconds, null once the chain breaks),
+    and funnel_depth = how many steps completed in order.
+
+    Session rule: a new session starts after a > ``gap_s`` silence —
+    identical to the sessionize query so the two surfaces agree.
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    base = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("user_id", "event_id", "event_type", ep.alias("ep"), "session_id")
+    key = ["user_id", "session_id"]
+    reached = base.groupBy(*key).agg(F.count(F.lit(1)).alias("n_events"))
+    for i, step in enumerate(steps):
+        cand = base.filter(F.col("event_type") == step).select(*key, "ep")
+        if i > 0:
+            prev = f"t{i - 1}"
+            cand = cand.join(
+                reached.filter(F.col(prev).isNotNull()).select(*key, prev), key
+            ).filter(F.col("ep") >= F.col(prev))
+        t = cand.groupBy(*key).agg(F.min("ep").alias(f"t{i}"))
+        reached = reached.join(t, key, "left")
+    depth = sum(
+        (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0) for i in range(len(steps))),
+        F.lit(0),
+    )
+    return reached.select(
+        *key,
+        "n_events",
+        *[f"t{i}" for i in range(len(steps))],
+        depth.cast("int").alias("funnel_depth"),
+    )

@@ -1,0 +1,61 @@
+"""Session funnel: ordered matching, session boundaries, chain breaks."""
+
+import datetime as dt
+
+import pytest
+
+from pyocr_spark.operators.funnel import session_funnel
+
+BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ev(spark, rows):
+    out = [
+        (i, BASE + dt.timedelta(seconds=sec), uid, et, 0.0, "{}")
+        for i, (uid, sec, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_requires_order(spark):
+    # user 1: click BEFORE view → depth stalls at 1 (view only)
+    # user 2: view → click → purchase in order → depth 3
+    # user 3: view → purchase (no click) → depth 1
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "click"), (1, 10, "view"),
+            (2, 0, "view"), (2, 5, "click"), (2, 9, "purchase"),
+            (3, 0, "view"), (3, 5, "purchase"),
+        ],
+    )
+    out = {(r["user_id"], r["session_id"]): r for r in session_funnel(ev).collect()}
+    assert out[(1, 1)]["funnel_depth"] == 1  # view found, click never after it
+    assert out[(2, 1)]["funnel_depth"] == 3
+    assert out[(3, 1)]["funnel_depth"] == 1
+    assert out[(2, 1)]["t2"] == int((BASE + dt.timedelta(seconds=9)).timestamp())
+
+
+def test_funnel_resets_across_sessions(spark):
+    # view in session 1, click 2h later (new session): the click must NOT
+    # complete step 2 — its session has no view
+    ev = _ev(spark, [(7, 0, "view"), (7, 7200, "click"), (7, 7205, "purchase")])
+    out = {r["session_id"]: r for r in session_funnel(ev).collect()}
+    assert out[1]["funnel_depth"] == 1 and out[1]["n_events"] == 1
+    assert out[2]["funnel_depth"] == 0 and out[2]["n_events"] == 2
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # simultaneous view+click (ep tie): >= threshold admits the tie
+    ev = _ev(spark, [(9, 0, "view"), (9, 0, "click")])
+    (row,) = session_funnel(ev).collect()
+    assert row["funnel_depth"] == 2 and row["t0"] == row["t1"]
+
+
+def test_funnel_empty_steps_rejected(spark):
+    with pytest.raises(ValueError):
+        session_funnel(_ev(spark, [(1, 0, "view")]), steps=())
