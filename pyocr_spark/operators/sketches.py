@@ -1,0 +1,76 @@
+"""Mergeable sketches — the distinct-count / quantile pattern at 100 TB.
+
+Exact COUNT(DISTINCT) over a petabyte corpus shuffles every distinct
+value; the production pattern is a MERGEABLE sketch per partition slice
+(host, day, shard), stored bytes-sized, unioned on demand. Spark ships
+Apache DataSketches HLL (hll_sketch_agg / hll_union_agg /
+hll_sketch_estimate) — everything here is JVM-side partial-aggregating
+built-ins.
+
+Verification class: sketches are APPROXIMATE by construction, so these
+carry error-bound pytest gates against exact counts (HLL lgk=12 → ~1.6%
+RSE; asserted ≤3×RSE) instead of the exact-oracle gate every other
+operator has — documented in COVERAGE.md, deliberate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_distinct_sketches(
+    pages: DataFrame, lgk: int = 12
+) -> DataFrame:
+    """Per-host sketch of distinct urls: (host, n_pages, url_sketch).
+
+    The sketch column is the stored artifact — bytes per host, built with
+    ONE partial-aggregating shuffle. Downstream cardinality questions
+    (per host, per host-group, corpus-wide) merge these instead of
+    re-scanning the crawl.
+    """
+    host = F.parse_url("url", F.lit("HOST")).alias("host")
+    return (
+        pages.select(host, "url")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.hll_sketch_agg("url", F.lit(lgk)).alias("url_sketch"),
+        )
+    )
+
+
+def estimate_distinct(sketches: DataFrame, sketch_col: str = "url_sketch") -> int:
+    """Union the stored per-host sketches → corpus-wide distinct estimate.
+
+    This is the payoff of mergeability: a corpus-wide distinct count from
+    the host table (thousands of rows), never from the crawl (billions).
+    """
+    row = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("est")
+    ).head()
+    return int(row["est"])
+
+
+def length_quantile_sketch(
+    docs: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group approximate length quantiles via percentile_approx
+    (Greenwald-Khanna: one partial-aggregating pass, bounded memory) —
+    the scale twin of corpus_length_stats' exact percentiles, for when
+    the exact sort-based path is too hot. Error ≤ 1/accuracy rank units.
+    """
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile_approx(
+                F.length(text_col), F.array(*[F.lit(q) for q in quantiles]),
+                F.lit(accuracy),
+            ).alias("length_quantiles"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Sketch operators: error-bound gates against exact counts (the
+approximate verification class — see module docstring)."""
+
+from pyocr_spark.operators.sketches import (
+    estimate_distinct,
+    host_distinct_sketches,
+    length_quantile_sketch,
+)
+
+
+def test_hll_host_sketches_estimate_within_bound(spark, pages_sf0001):
+    from pyocr_spark.sources.pages import read_pages
+    from pyspark.sql import functions as F
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    sk = host_distinct_sketches(pages)
+    rows = {r["host"]: r for r in sk.withColumn(
+        "est", F.hll_sketch_estimate("url_sketch")
+    ).collect()}
+    exact = {
+        r["host"]: r["n"]
+        for r in pages.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"), "url"
+        ).groupBy("host").agg(F.countDistinct("url").alias("n")).collect()
+    }
+    assert set(rows) == set(exact)
+    for host, n in exact.items():
+        est = rows[host]["est"]
+        # lgk=12 → ~1.6% RSE; allow 3×RSE (and ±1 for tiny hosts)
+        assert abs(est - n) <= max(1, 0.05 * n), (host, est, n)
+
+    # mergeability: corpus-wide estimate from the host table only
+    total_exact = pages.select("url").distinct().count()
+    total_est = estimate_distinct(sk)
+    assert abs(total_est - total_exact) <= max(1, 0.05 * total_exact)
+
+
+def test_sketches_merge_across_splits_like_partitions(spark, pages_sf0001):
+    """Sketching two disjoint halves then unioning equals (within bound)
+    sketching the whole — the property that makes per-shard/day sketches
+    storable and composable."""
+    from pyocr_spark.sources.pages import read_pages
+    from pyspark.sql import functions as F
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    a = host_distinct_sketches(pages.filter(F.crc32(F.col("url")) % 2 == 0))
+    b = host_distinct_sketches(pages.filter(F.crc32(F.col("url")) % 2 == 1))
+    est_union = estimate_distinct(a.unionByName(b))
+    exact = pages.select("url").distinct().count()
+    assert abs(est_union - exact) <= max(1, 0.05 * exact)
+
+
+def test_length_quantile_sketch_brackets_exact(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 997), "en" if i % 2 else "de") for i in range(4000)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in length_quantile_sketch(docs).collect()}
+    pdf = docs.select("lang", F.length("text").alias("n")).toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        qs = out[lang]["length_quantiles"]
+        for q, got in zip((0.5, 0.9, 0.99), qs):
+            lo, hi = np.quantile(grp["n"], max(q - 0.01, 0)), np.quantile(
+                grp["n"], min(q + 0.01, 1)
+            )
+            assert lo - 1 <= got <= hi + 1, (lang, q, got, lo, hi)
