@@ -825,6 +825,31 @@ def _q_dup_components(spark, sf_dir):
     return dup_components(pairs)
 
 
+def _q_corpus_neardup_pruned(spark, sf_dir):
+    """Composed crawl-scale near-dup removal over REAL extraction: pages
+    → extract → MinHash-LSH pairs (portable family) → connected
+    components → keep-representative anti-join. The flagship dedup
+    composition a training pipeline actually runs; every stage rides the
+    exact SQL replay over expected_text."""
+    from pyocr_spark.operators.dedup import dedup_by_components, minhash_lsh_dedup
+
+    ext = (
+        _extracted(spark, sf_dir, frozenset({"text"}))
+        .filter(
+            (F.col("status") == "ok")
+            & F.col("extracted_text").isNotNull()
+            & (F.col("extracted_text") != "")
+        )
+        .select("url", "extracted_text")
+    )
+    pairs = minhash_lsh_dedup(
+        ext, text_col="extracted_text", id_col="url",
+        jaccard_threshold=0.5, portable=True,
+    )
+    kept = dedup_by_components(ext, pairs, id_col="url")
+    return kept.select("url", F.md5("extracted_text").alias("content_hash"))
+
+
 def _q_docs_neardup_pruned(spark, sf_dir):
     """The dedup end product (operators/dedup.dedup_by_components): the
     corpus with every ngram-Jaccard near-dup cluster collapsed to its
@@ -941,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": _q_extract_pdf,
         "dup_components": _q_dup_components,
         "docs_neardup_pruned": _q_docs_neardup_pruned,
+        "corpus_neardup_pruned": _q_corpus_neardup_pruned,
         "minhash_sig_portable": _q_minhash_sig_portable,
         "simhash_portable": _q_simhash_portable,
         "host_stats": _q_host_stats,
@@ -1031,6 +1057,31 @@ _MINHASH_PAIRS_SQL = (
 
 
 _NGRAM_COMPONENTS_SQL ="WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) ELSE [array_to_string(w, ' ')] END AS g FROM words), inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id), pairs AS (SELECT left_id, right_id FROM inter WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5), edges AS (SELECT left_id AS a, right_id AS b FROM pairs UNION SELECT right_id, left_id FROM pairs), reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+
+
+def _corpus_neardup_sql() -> str:
+    """Full SQL replay of the extract→MinHash-LSH→components→prune chain
+    over expected_text: the minhash-pairs SQL re-pointed at the extracted
+    corpus (its only source reference is `FROM documents` inside the
+    words CTE), then the recursive-CTE components and the
+    keep-representative anti-join."""
+    src = (
+        "src AS (SELECT url AS doc_id, extracted_text AS text "
+        f"FROM read_parquet('{EXPECTED_001}/expected_text.parquet') "
+        "WHERE extracted_text IS NOT NULL AND extracted_text != '')"
+    )
+    pairs = _MINHASH_PAIRS_SQL.replace("FROM documents", "FROM src")
+    return (
+        f"WITH RECURSIVE {src}, pr AS ({pairs}), "
+        "edges AS (SELECT left_id AS a, right_id AS b FROM pr "
+        "UNION SELECT right_id, left_id FROM pr), "
+        "reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges "
+        "UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node), "
+        "comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node), "
+        "losers AS (SELECT node FROM comps WHERE node != comp) "
+        "SELECT doc_id AS url, md5(text) AS content_hash FROM src "
+        "ANTI JOIN losers ON src.doc_id = losers.node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1613,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),
         "simhash_portable": "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) AS w FROM documents), hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words), votes AS (SELECT doc_id, sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS v31 FROM hashed GROUP BY doc_id) SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM votes",
         "dup_components": _NGRAM_COMPONENTS_SQL,
+        "corpus_neardup_pruned": _corpus_neardup_sql(),
         # corpus minus the non-representative cluster members (components
         # CTE reused verbatim as a subquery)
         "docs_neardup_pruned": (
