@@ -621,7 +621,10 @@ def _q_events_sessionize(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ep = F.col("ts").cast("timestamp_ltz").cast("long")  # events ts is NTZ parquet
+    # FULL-precision epoch (double): the oracle computes the gap with
+    # DuckDB's fractional epoch(), so a floored long here would disagree
+    # on a boundary-adjacent sub-second gap (events ts is NTZ parquet)
+    ep = F.col("ts").cast("timestamp_ltz").cast("double")
     gap = ep - F.lag(ep).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.withColumn("new_sess", new_sess)
@@ -1587,37 +1590,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         # same sessionization contract as events_sessionize; each funnel
         # step is a conditional min joined back on the session key
+        # full-precision ts everywhere (gap rule, session order, step
+        # thresholds) — flooring first would admit sub-second
+        # out-of-order steps and shift boundary-adjacent session splits
         "events_funnel": (
-            "WITH s AS (SELECT user_id, event_id, event_type, "
-            "CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+            "WITH s AS (SELECT user_id, event_id, event_type, ts, "
             "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
             "OR epoch(ts) - lag(epoch(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
             "THEN 1 ELSE 0 END AS new_sess FROM events), "
             "b AS (SELECT *, CAST(sum(new_sess) OVER "
-            "(PARTITION BY user_id ORDER BY ep, event_id "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS session_id FROM s), "
             "r AS (SELECT user_id, session_id, count(*) AS n_events "
             "FROM b GROUP BY 1, 2), "
-            "s0 AS (SELECT user_id, session_id, min(ep) AS t0 FROM b "
+            "s0 AS (SELECT user_id, session_id, min(ts) AS t0ts FROM b "
             "WHERE event_type = 'view' GROUP BY 1, 2), "
-            "r0 AS (SELECT r.*, s0.t0 FROM r LEFT JOIN s0 USING (user_id, session_id)), "
-            "s1 AS (SELECT b.user_id, b.session_id, min(b.ep) AS t1 FROM b "
+            "r0 AS (SELECT r.*, s0.t0ts FROM r LEFT JOIN s0 USING (user_id, session_id)), "
+            "s1 AS (SELECT b.user_id, b.session_id, min(b.ts) AS t1ts FROM b "
             "JOIN r0 USING (user_id, session_id) "
-            "WHERE b.event_type = 'click' AND r0.t0 IS NOT NULL AND b.ep >= r0.t0 "
+            "WHERE b.event_type = 'click' AND r0.t0ts IS NOT NULL AND b.ts >= r0.t0ts "
             "GROUP BY 1, 2), "
-            "r1 AS (SELECT r0.*, s1.t1 FROM r0 LEFT JOIN s1 USING (user_id, session_id)), "
-            "s2 AS (SELECT b.user_id, b.session_id, min(b.ep) AS t2 FROM b "
+            "r1 AS (SELECT r0.*, s1.t1ts FROM r0 LEFT JOIN s1 USING (user_id, session_id)), "
+            "s2 AS (SELECT b.user_id, b.session_id, min(b.ts) AS t2ts FROM b "
             "JOIN r1 USING (user_id, session_id) "
-            "WHERE b.event_type = 'purchase' AND r1.t1 IS NOT NULL AND b.ep >= r1.t1 "
+            "WHERE b.event_type = 'purchase' AND r1.t1ts IS NOT NULL AND b.ts >= r1.t1ts "
             "GROUP BY 1, 2), "
-            "r2 AS (SELECT r1.*, s2.t2 FROM r1 LEFT JOIN s2 USING (user_id, session_id)) "
-            "SELECT user_id, session_id, n_events, t0, t1, t2, "
-            "CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) "
-            "+ (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) "
-            "+ (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS funnel_depth "
+            "r2 AS (SELECT r1.*, s2.t2ts FROM r1 LEFT JOIN s2 USING (user_id, session_id)) "
+            "SELECT user_id, session_id, n_events, "
+            "CAST(floor(epoch(t0ts)) AS BIGINT) AS t0, "
+            "CAST(floor(epoch(t1ts)) AS BIGINT) AS t1, "
+            "CAST(floor(epoch(t2ts)) AS BIGINT) AS t2, "
+            "CAST((CASE WHEN t0ts IS NOT NULL THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN t1ts IS NOT NULL THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN t2ts IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS funnel_depth "
             "FROM r2"
         ),
         "events_asof_click": (

@@ -244,6 +244,27 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cluster").parquet(path)
 
 
+def _rank_probes(cmat, query_vec: list[float], nprobe: int) -> list[int]:
+    """THE probe ranking (shared by the inline and materialized IVF
+    paths so they cannot drift): row indexes of the nprobe centroids
+    nearest the query by squared L2, stable-sorted."""
+    q = np.asarray(query_vec, dtype="float64")
+    d = (cmat * cmat).sum(axis=1) - 2.0 * (cmat @ q)
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def _score_topk(scored: DataFrame, query_vec: list[float], k: int, id_col: str) -> DataFrame:
+    """THE rescore/top-k (shared): round-6 cosine against ``v``, total
+    order (cosine desc, id asc) — the rounding and tie-break the SQL
+    oracles replay."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        scored.select(F.col(id_col), F.round(cosine(F.col("v"), qcol), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def search_ivf_index(
     spark,
     path: str,
@@ -262,18 +283,12 @@ def search_ivf_index(
         spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
     )
     cmat = np.asarray([r["centroid"] for r in cents], dtype="float64")
-    q = np.asarray(query_vec, dtype="float64")
-    d = (cmat * cmat).sum(axis=1) - 2.0 * (cmat @ q)
-    probe = [int(cents[i]["cluster"]) for i in np.argsort(d, kind="stable")[:nprobe]]
+    ranked = _rank_probes(cmat, query_vec, nprobe)
+    probe = [int(cents[i]["cluster"]) for i in ranked]
     idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        idx.select(F.col(id_col), F.round(cosine(F.col("v"), qcol), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
-    )
+    return _score_topk(idx, query_vec, k, id_col)
 
 
 def topk_cosine_ivf(
@@ -297,16 +312,10 @@ def topk_cosine_ivf(
     if centroids is None:
         centroids = train_ivf_centroids(emb, nlist=nlist, vec_col=vec_col, id_col=id_col)
     cmat = np.asarray(centroids, dtype="float64")
-    q = np.asarray(query_vec, dtype="float64")
-    d = (cmat * cmat).sum(axis=1) - 2.0 * (cmat @ q)
-    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+    probe = _rank_probes(cmat, query_vec, nprobe)
 
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     assigned = _assign_clusters(v, cmat)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        assigned.filter(F.col("cluster").isin(probe))
-        .select(F.col(id_col), F.round(cosine(F.col("v"), qcol), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
+    return _score_topk(
+        assigned.filter(F.col("cluster").isin(probe)), query_vec, k, id_col
     )

@@ -39,33 +39,43 @@ def session_funnel(
     if not steps:
         raise ValueError("steps must name at least one event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ep = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = ep - F.lag(ep).over(w)
+    # FULL-precision epoch (cast to double keeps fractional seconds) for
+    # the gap rule and all step-order comparisons: flooring first would
+    # let a step that happened sub-second BEFORE the previous step pass
+    # the >= gate, and would put the session boundary off by up to 1s
+    eps = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = eps - F.lag(eps).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     base = events.withColumn(
         "session_id",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).select("user_id", "event_id", "event_type", ep.alias("ep"), "session_id")
+    ).select("user_id", "event_id", "event_type", "ts", "session_id")
     key = ["user_id", "session_id"]
     reached = base.groupBy(*key).agg(F.count(F.lit(1)).alias("n_events"))
     for i, step in enumerate(steps):
-        cand = base.filter(F.col("event_type") == step).select(*key, "ep")
+        cand = base.filter(F.col("event_type") == step).select(*key, "ts")
         if i > 0:
-            prev = f"t{i - 1}"
+            prev = f"_ts{i - 1}"
             cand = cand.join(
                 reached.filter(F.col(prev).isNotNull()).select(*key, prev), key
-            ).filter(F.col("ep") >= F.col(prev))
-        t = cand.groupBy(*key).agg(F.min("ep").alias(f"t{i}"))
+            ).filter(F.col("ts") >= F.col(prev))
+        t = cand.groupBy(*key).agg(F.min("ts").alias(f"_ts{i}"))
         reached = reached.join(t, key, "left")
     depth = sum(
-        (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0) for i in range(len(steps))),
+        (
+            F.when(F.col(f"_ts{i}").isNotNull(), 1).otherwise(0)
+            for i in range(len(steps))
+        ),
         F.lit(0),
     )
     return reached.select(
         *key,
         "n_events",
-        *[f"t{i}" for i in range(len(steps))],
+        *[
+            F.col(f"_ts{i}").cast("timestamp_ltz").cast("long").alias(f"t{i}")
+            for i in range(len(steps))
+        ],
         depth.cast("int").alias("funnel_depth"),
     )

@@ -49,7 +49,8 @@ def estimate_distinct(sketches: DataFrame, sketch_col: str = "url_sketch") -> in
     row = sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("est")
     ).head()
-    return int(row["est"])
+    # zero input sketches (an empty day-shard) → NULL union → 0 distinct
+    return 0 if row is None or row["est"] is None else int(row["est"])
 
 
 def length_quantile_sketch(
