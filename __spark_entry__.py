@@ -637,6 +637,14 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_retention(spark, sf_dir):
+    """Day-N retention cohorts (operators/cohort.py)."""
+    from pyocr_spark.operators.cohort import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
 def _q_events_funnel(spark, sf_dir):
     """Session funnel (operators/funnel.py): view → click → purchase
     completion depth per session, steps matched in order."""
@@ -953,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof_click": _q_events_asof_click,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_hopping": _q_events_hopping,
         "events_rolling": _q_events_rolling,
         # deterministic sampling (training-mix construction)
@@ -1590,6 +1599,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # same sessionization contract as events_sessionize; each funnel
         # step is a conditional min joined back on the session key
+        "events_retention": (
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day "
+            "FROM events GROUP BY user_id), "
+            "sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+            "m AS (SELECT f.cohort_day, CAST(day - cohort_day AS INT) AS day_offset, "
+            "count(DISTINCT a.user_id) AS n_active "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2) "
+            "SELECT CAST(m.cohort_day AS VARCHAR) AS cohort_day, "
+            "m.day_offset, m.n_active, sz.cohort_size, "
+            "m.n_active / CAST(sz.cohort_size AS DOUBLE) AS retention "
+            "FROM m JOIN sz USING (cohort_day)"
+        ),
         # full-precision ts everywhere (gap rule, session order, step
         # thresholds) — flooring first would admit sub-second
         # out-of-order steps and shift boundary-adjacent session splits

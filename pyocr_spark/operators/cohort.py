@@ -1,0 +1,52 @@
+"""Retention cohorts — the day-N activity matrix over an event stream.
+
+Cohort = all users whose FIRST activity fell on a day; retention = the
+fraction of that cohort active again N days later. Two aggregates and
+one join, all co-keyed on user_id, then a small (days × offsets)
+rollup — no window over the event stream, no Python.
+
+At crawl/event scale: the distinct (user, day) projection is the only
+large shuffle and it partial-aggregates map-side; the per-cohort size
+table is days-sized and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset) → active users and retention fraction.
+
+    ``day_offset`` 0 is the cohort's own day (retention 1.0 by
+    construction — kept as the sanity row). The fraction is bare IEEE
+    division (exact same bits in the SQL oracle; round() tie-breaking is
+    not portable between engines).
+    """
+    day = F.to_date(ts_col)
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = events.select(F.col(user_col), day.alias("day")).distinct()
+    out = (
+        active.join(first, user_col)
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count_distinct(user_col).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+    )
+    return out.select(
+        # ISO string, not DATE: engines materialize dates differently
+        # (date object vs midnight datetime64) and the string is the
+        # stable wire form for the comparison gate and downstream tables
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )

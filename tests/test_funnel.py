@@ -56,6 +56,32 @@ def test_funnel_same_timestamp_counts(spark):
     assert row["funnel_depth"] == 2 and row["t0"] == row["t1"]
 
 
+def test_retention_cohorts_reference(spark):
+    """Handcrafted cohorts: users joining on different days, partial
+    return activity — matrix matches the by-hand expectation."""
+    from pyocr_spark.operators.cohort import retention_cohorts
+
+    rows = [
+        # day-0 cohort: u1 active d0,d1,d2; u2 active d0,d2
+        (1, 0, "view"), (1, 86400, "view"), (1, 172800, "view"),
+        (2, 10, "view"), (2, 172810, "view"),
+        # day-1 cohort: u3 active d1 only
+        (3, 86400 + 5, "view"),
+    ]
+    ev = _ev(spark, rows)
+    out = {
+        (r["cohort_day"], r["day_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert out[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert set(out) == {
+        ("2024-01-01", 0), ("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 0),
+    }
+
+
 def test_funnel_empty_steps_rejected(spark):
     with pytest.raises(ValueError):
         session_funnel(_ev(spark, [(1, 0, "view")]), steps=())
