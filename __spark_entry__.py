@@ -436,6 +436,17 @@ def _q_events_rolling(spark, sf_dir):
     return rolling_user_activity(ev)
 
 
+def _q_docs_quality_gated(spark, sf_dir):
+    """Composed multi-signal quality gate (functions/text_stats.
+    quality_gate): token budget + composite score + repetition bound +
+    zlib window in one plan — the filter a corpus ships through."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.functions.text_stats import quality_gate
+
+    ensure_pages(sf_dir)  # expected_zlib for the oracle side
+    return quality_gate(_docs(spark, sf_dir))
+
+
 def _q_doc_zlib_ratio(spark, sf_dir):
     """Compression-ratio quality signal (functions/text_stats.zlib_ratio):
     Arrow-batched zlib length per doc, ratio computed JVM-side. The
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         # text analysis (training-data pipeline surface)
         "doc_zlib_ratio": _q_doc_zlib_ratio,
+        "docs_quality_gated": _q_docs_quality_gated,
         "doc_chunks": _q_doc_chunks,
         "doc_packed_seqs": _q_doc_packed_seqs,
         "doc_token_count": _q_doc_token_count,
@@ -1435,6 +1447,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_zlib_ratio": (
             f"SELECT doc_id, raw_bytes, zlib_bytes, zlib_ratio "
             f"FROM read_parquet('{E}/expected_zlib.parquet')"
+        ),
+        "docs_quality_gated": (
+            f"WITH q AS ({_QUALITY_SQL}), "
+            "rep AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN "
+            "round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) "
+            "ELSE 0.0 END AS dup_token_frac FROM (SELECT doc_id, "
+            "string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+') AS toks FROM documents)), "
+            f"z AS (SELECT doc_id, zlib_ratio FROM read_parquet('{E}/expected_zlib.parquet')) "
+            "SELECT q.doc_id, q.n_tokens, q.quality_score, "
+            "rep.dup_token_frac, z.zlib_ratio "
+            "FROM q JOIN rep USING (doc_id) JOIN z USING (doc_id) "
+            "WHERE q.n_tokens >= 5 AND q.quality_score >= 2.0 "
+            "AND rep.dup_token_frac <= 0.5 AND z.zlib_ratio IS NOT NULL "
+            "AND z.zlib_ratio >= 0.2 AND z.zlib_ratio <= 1.05"
         ),
         "doc_chunks": (
             # full-whitespace-class strip, mirroring chunk_documents (NOT

@@ -291,6 +291,44 @@ def zlib_ratio(
     )
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_score: float = 2.0,
+    max_dup_token_frac: float = 0.5,
+    zlib_bounds: tuple[float, float] = (0.2, 1.05),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composed multi-signal quality filter — the gate a webtext corpus
+    actually ships through: token budget + composite quality score +
+    Gopher repetition bound + zlib-ratio window (too low = templated
+    spam, ≥1 = binary junk). One lazy plan joining the three signal
+    operators on the id (all narrow per-doc signals; the joins co-key on
+    the id and AQE keeps them cheap at scale).
+
+    Returns the SURVIVING rows: (id, n_tokens, quality_score,
+    dup_token_frac, zlib_ratio).
+    """
+    q = quality_score(docs).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    rep = repetition_stats(docs, id_col=id_col).select(id_col, "dup_token_frac")
+    z = zlib_ratio(docs, id_col=id_col).select(id_col, "zlib_ratio")
+    lo, hi = zlib_bounds
+    return (
+        q.join(rep, id_col)
+        .join(z, id_col)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_score)
+            & (F.col("dup_token_frac") <= max_dup_token_frac)
+            & F.col("zlib_ratio").isNotNull()
+            & (F.col("zlib_ratio") >= lo)
+            & (F.col("zlib_ratio") <= hi)
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals: duplicate-token fraction
     and most-frequent-2-gram coverage. Machine-generated/SEO spam text is
