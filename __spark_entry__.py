@@ -747,6 +747,25 @@ def _q_ann_topk_ivf(spark, sf_dir):
     ).filter(F.col("vec_id") != 0).limit(10)
 
 
+def _q_emb_normalize(spark, sf_dir):
+    from pyocr_spark.operators.vectors import l2_normalize
+
+    return l2_normalize(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_emb_truncate(spark, sf_dir):
+    """Matryoshka truncation to 16 dims + re-normalization."""
+    from pyocr_spark.operators.vectors import truncate_dim
+
+    return truncate_dim(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dim=16)
+
+
+def _q_emb_quantize(spark, sf_dir):
+    from pyocr_spark.operators.vectors import quantize_int8
+
+    return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_ann_topk_ivf_index(spark, sf_dir):
     """MATERIALIZED IVF index (operators/ann.build_ivf_index): assignment
     written once, partitioned by cluster; search prunes list directories.
@@ -984,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_index": _q_ann_topk_ivf_index,
+        "emb_normalize": _q_emb_normalize,
+        "emb_truncate": _q_emb_truncate,
+        "emb_quantize": _q_emb_quantize,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1605,6 +1627,35 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
             "FROM embeddings, q WHERE vec_id <> 0 "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # vector post-processing: signatures are md5 over fixed-precision
+        # renderings (array columns crash the driver's canonical sort);
+        # printf('%.6f') ↔ format_number(.,6) agree off exact .5 ties,
+        # which 1/sqrt-normalized doubles do not hit
+        "emb_normalize": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e) "
+            "SELECT vec_id, round(nn, 6) AS norm, "
+            "CASE WHEN nn > 0 THEN md5(array_to_string("
+            "list_transform(v, x -> printf('%.6f', x / nn)), ',')) END AS unit_sig "
+            "FROM n"
+        ),
+        "emb_truncate": (
+            "WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS v "
+            "FROM embeddings), "
+            "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e) "
+            "SELECT vec_id, CAST(len(v) AS INT) AS kept_dim, "
+            "CASE WHEN nn > 0 THEN md5(array_to_string("
+            "list_transform(v, x -> printf('%.6f', x / nn)), ',')) END AS trunc_sig "
+            "FROM n"
+        ),
+        "emb_quantize": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e) "
+            "SELECT vec_id, CASE WHEN amax > 0 THEN round(127.0 / amax, 6) END AS scale, "
+            "CASE WHEN amax > 0 THEN md5(array_to_string("
+            "list_transform(v, x -> CAST(CAST(round(x * (127.0 / amax)) AS INT) AS VARCHAR)), "
+            "',')) END AS q_sig FROM a"
         ),
         # full probe over the MATERIALIZED index ≡ the exact scan
         "ann_topk_ivf_index": (

@@ -1,0 +1,85 @@
+"""Embedding post-processing — normalize / truncate / quantize.
+
+The steps between "model emitted a vector" and "vector is indexed or
+trained on": L2 normalization (cosine becomes dot product), Matryoshka-
+style dimension truncation (train big, serve small), and symmetric int8
+quantization (4× storage cut before ANN indexing). All higher-order
+functions on the array column — JVM-side, narrow, zero shuffle; at
+100 TB these run inside the scan projection.
+
+Array outputs are fingerprinted (``*_sig``: md5 over a fixed-precision
+rendering) for the comparison gate — the driver canonicalizes scalar
+columns only; the arrays themselves stay available to callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _l2(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _render_sig(vec: Column) -> Column:
+    """Deterministic scalar fingerprint of a double array: md5 over the
+    comma-joined 6-decimal rendering (format_number is locale-stable
+    here: plain digits, '.' separator, no grouping below 1000)."""
+    return F.md5(
+        F.array_join(F.transform(vec, lambda x: F.format_number(x, 6)), ",")
+    )
+
+
+def l2_normalize(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Unit-norm vectors: (id, norm, unit_sig). Zero vectors keep norm 0
+    and a NULL fingerprint (there is no unit vector to emit)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = _l2(v)
+    unit = F.transform(v, lambda x: x / n)
+    return emb.select(
+        id_col,
+        F.round(n, 6).alias("norm"),
+        F.when(n > 0, _render_sig(unit)).alias("unit_sig"),
+    )
+
+
+def truncate_dim(
+    emb: DataFrame, dim: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Matryoshka truncation: keep the first ``dim`` components, then
+    re-normalize (the serving-time contract of MRL-trained embeddings).
+    Returns (id, kept_dim, trunc_sig)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    n = _l2(v)
+    unit = F.transform(v, lambda x: x / n)
+    return emb.select(
+        id_col,
+        F.size(v).cast("int").alias("kept_dim"),
+        F.when(n > 0, _render_sig(unit)).alias("trunc_sig"),
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q_i = round(x_i * scale) ∈ [-127, 127]. Returns (id, scale,
+    q_sig) — scale is what a reader needs to dequantize; HALF_UP
+    rounding matches the SQL oracle's round()."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / amax
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return emb.select(
+        id_col,
+        F.when(amax > 0, F.round(scale, 6)).alias("scale"),
+        F.when(
+            amax > 0,
+            F.md5(F.array_join(F.transform(q, lambda x: x.cast("string")), ",")),
+        ).alias("q_sig"),
+    )

@@ -1,0 +1,66 @@
+"""Embedding post-processing: norms, truncation, quantization bounds."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.vectors import l2_normalize, quantize_int8, truncate_dim
+
+
+def _emb(spark):
+    rows = [
+        (1, [3.0, 4.0, 0.0, 0.0]),
+        (2, [-1.0, 1.0, 1.0, -1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (4, [0.001, -0.002, 0.003, 127.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_l2_normalize_norms_and_zero_vector(spark):
+    out = {r["vec_id"]: r for r in l2_normalize(_emb(spark)).collect()}
+    assert out[1]["norm"] == 5.0
+    assert out[2]["norm"] == 2.0
+    assert out[3]["norm"] == 0.0 and out[3]["unit_sig"] is None
+    assert out[1]["unit_sig"] is not None
+
+
+def test_truncate_renormalizes(spark):
+    out = {r["vec_id"]: r for r in truncate_dim(_emb(spark), dim=2).collect()}
+    assert all(r["kept_dim"] == 2 for r in out.values())
+    # v1 truncated to (3,4): same direction as full → same sig as
+    # normalizing (3,4) directly
+    direct = spark.createDataFrame(
+        [(9, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    sig = l2_normalize(direct).head()["unit_sig"]
+    assert out[1]["trunc_sig"] == sig
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    emb = _emb(spark).filter("vec_id != 3")
+    got = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    # recompute q JVM-free and check dequantization error <= 0.5/scale
+    for vid, v in src.items():
+        scale = 127.0 / max(abs(x) for x in v)
+        assert math.isclose(got[vid]["scale"], round(scale, 6), abs_tol=1e-9)
+        for x in v:
+            q = round(x * scale)  # banker's vs HALF_UP differs only at exact .5
+            assert abs(q / scale - x) <= 0.5 / scale + 1e-12
+            assert -127 <= q <= 127
+    # zero vector → null scale and sig
+    z = quantize_int8(_emb(spark).filter("vec_id = 3")).head()
+    assert z["scale"] is None and z["q_sig"] is None
+
+
+def test_vector_ops_are_narrow(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = l2_normalize(_emb(spark))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "EvalPython" not in plan
