@@ -1,0 +1,66 @@
+"""Table maintenance — small-file compaction with optional range layout.
+
+Crawl pipelines accumulate output in waves (resume buckets, streaming
+micro-batches, incremental merges), each wave leaving its own part
+files; after enough waves a read pays thousands of file opens and the
+scheduler drowns in tiny splits. Compaction rewrites a parquet directory
+into ~target-sized files, optionally range-laying the rows so parquet
+min/max stats prune key-range scans afterwards — the write-side
+organization knob (at deployment an Iceberg `rewrite_data_files` does
+this transactionally; this is the plain-directory equivalent using the
+same delete-and-rename swap as the incremental state tables).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from pyocr_spark.plans.incremental import hadoop_path, swap_write
+
+
+def table_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) of a table directory via the Hadoop FS
+    API (works on any filesystem, not just local), counting data files
+    only (hidden/_SUCCESS excluded, like Spark's scan)."""
+    p, fs = hadoop_path(spark, path)
+    total = 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        total += st.getLen()
+        n += 1
+    return total, n
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ``path`` into ceil(bytes / target) files.
+
+    ``sort_by`` switches the rewrite to repartitionByRange + in-partition
+    sort on those columns: rows land key-clustered, so every output file
+    carries tight parquet min/max stats on the key and a later key-range
+    filter skips whole files/row groups. Without it, a plain repartition
+    balances bytes. Returns {files_before, files_after, bytes}.
+    """
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    total, before = table_bytes(spark, path)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_out)
+    swap_write(out, path)
+    _, after = table_bytes(spark, path)
+    return {"files_before": before, "files_after": after, "bytes": total}
