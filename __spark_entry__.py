@@ -1676,8 +1676,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events "
             "FROM s GROUP BY user_id"
         ),
-        # same sessionization contract as events_sessionize; each funnel
-        # step is a conditional min joined back on the session key
         "events_retention": (
             "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day "
             "FROM events GROUP BY user_id), "
@@ -1691,7 +1689,9 @@ def oracle_sql() -> dict[str, str]:
             "m.n_active / CAST(sz.cohort_size AS DOUBLE) AS retention "
             "FROM m JOIN sz USING (cohort_day)"
         ),
-        # full-precision ts everywhere (gap rule, session order, step
+        # same sessionization contract as events_sessionize; each funnel
+        # step is a conditional min joined back on the session key.
+        # Full-precision ts everywhere (gap rule, session order, step
         # thresholds) — flooring first would admit sub-second
         # out-of-order steps and shift boundary-adjacent session splits
         "events_funnel": (

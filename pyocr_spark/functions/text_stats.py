@@ -38,7 +38,9 @@ def doc_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Length/punct/stopword-ratio quality features + a composite score.
 
     The composite is a simple frozen formula (not learned): documents are
@@ -48,7 +50,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     # materialize the stripped text ONCE in its own projection — every
     # count below references it several times, and each inlined reference
     # would re-run the strip regex over the whole document
-    stripped = docs.select("doc_id", ws_strip(F.col("text")).alias("_t"))
+    stripped = docs.select(id_col, ws_strip(F.col(text_col)).alias("_t"))
     t = F.col("_t")
     # layer the counts in their own projection: each is a regex/split pass
     # over the text and is referenced several times below — in ONE select
@@ -58,7 +60,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     toks = F.split(t, "[" + _WS + "]+")
     stop_list = ("the", "a", "and", "of", "to", "in")
     base = stripped.select(
-        "doc_id",
+        id_col,
         F.when(t == "", F.lit(0)).otherwise(F.size(toks)).alias("_n_tok"),
         F.length(t).alias("_n_chars"),
         (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).alias("_n_punct"),
@@ -83,7 +85,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         1,
     )
     return base.select(
-        "doc_id",
+        id_col,
         n_tok.alias("n_tokens"),
         mean_wlen.alias("mean_word_len"),
         punct_ratio.alias("punct_ratio"),
@@ -309,7 +311,7 @@ def quality_gate(
     Returns the SURVIVING rows: (id, n_tokens, quality_score,
     dup_token_frac, zlib_ratio).
     """
-    q = quality_score(docs).select(
+    q = quality_score(docs, id_col=id_col).select(
         id_col, "n_tokens", "quality_score"
     )
     rep = repetition_stats(docs, id_col=id_col).select(id_col, "dup_token_frac")

@@ -37,7 +37,10 @@ def retention_cohorts(
     out = (
         active.join(first, user_col)
         .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
-        .agg(F.count_distinct(user_col).alias("n_active"))
+        # plain count: `active` is distinct (user, day) and `first` is one
+        # row per user, so a user appears at most once per group — a
+        # count_distinct would plan a needless two-phase distinct
+        .agg(F.count(F.lit(1)).alias("n_active"))
         .join(F.broadcast(sizes), "cohort_day")
     )
     return out.select(

@@ -25,17 +25,29 @@ def table_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
     API (works on any filesystem, not just local), counting data files
     only (hidden/_SUCCESS excluded, like Spark's scan)."""
     p, fs = hadoop_path(spark, path)
+    base = str(fs.makeQualified(p))
     total = 0
     n = 0
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        # hide a file if ANY path segment below the base is hidden —
+        # Spark's scan skips _temporary debris whole, not just leaf names
+        rel = str(st.getPath())[len(base):].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             continue
         total += st.getLen()
         n += 1
     return total, n
+
+
+def _partition_dirs(spark: SparkSession, path: str) -> bool:
+    """True when the table root holds Hive-style key=value directories."""
+    p, fs = hadoop_path(spark, path)
+    for st in fs.listStatus(p):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            return True
+    return False
 
 
 def compact_table(
@@ -43,6 +55,7 @@ def compact_table(
     path: str,
     target_mb: int = 256,
     sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` into ceil(bytes / target) files.
 
@@ -50,10 +63,22 @@ def compact_table(
     sort on those columns: rows land key-clustered, so every output file
     carries tight parquet min/max stats on the key and a later key-range
     filter skips whole files/row groups. Without it, a plain repartition
-    balances bytes. Returns {files_before, files_after, bytes}.
+    balances bytes.
+
+    Hive-partitioned tables MUST pass ``partition_by`` (the rewrite keeps
+    the directory layout readers and partition pruning depend on —
+    Iceberg's rewrite_data_files preserves the spec the same way);
+    compacting one without it is refused rather than silently flattened.
+    Returns {files_before, files_after, bytes}.
     """
     if target_mb < 1:
         raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    if partition_by is None and _partition_dirs(spark, path):
+        raise ValueError(
+            f"compact_table: {path} is Hive-partitioned; pass partition_by "
+            "to preserve the directory layout (a flat rewrite would break "
+            "partition pruning and partition-dir readers)"
+        )
     total, before = table_bytes(spark, path)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
@@ -61,6 +86,6 @@ def compact_table(
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_out)
-    swap_write(out, path)
+    swap_write(out, path, partition_by=partition_by)
     _, after = table_bytes(spark, path)
     return {"files_before": before, "files_after": after, "bytes": total}

@@ -196,7 +196,7 @@ def path_exists(spark, p: str) -> bool:
     return fs.exists(jvm_path)
 
 
-def swap_write(df: DataFrame, final: str) -> None:
+def swap_write(df: DataFrame, final: str, partition_by: list[str] | None = None) -> None:
     """Write ``df`` to ``<final>.inprogress`` then delete-and-rename over
     ``final`` — the parquet-directory 'transaction' used whenever the
     plan being written READS the current contents of ``final`` (a naive
@@ -210,7 +210,10 @@ def swap_write(df: DataFrame, final: str) -> None:
     """
     spark = df.sparkSession
     tmp = final.rstrip("/") + ".inprogress"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     fp, fs = hadoop_path(spark, final)
     tp, _ = hadoop_path(spark, tmp)
     if fs.exists(fp):

@@ -6,11 +6,11 @@ from pyspark.sql import functions as F
 from pyocr_spark.operators.maintenance import compact_table, table_bytes
 
 
-def _fragmented(spark, tmp_path, n_files=64):
+def _fragmented(spark, tmp_path, n_files=64, payload_repeat=1):
     df = spark.range(10_000).select(
         F.col("id"),
         F.format_string("https://h%d/p%d", F.col("id") % 7, F.col("id")).alias("url"),
-        F.sha1(F.col("id").cast("string")).alias("payload"),
+        F.repeat(F.sha1(F.col("id").cast("string")), payload_repeat).alias("payload"),
     )
     path = str(tmp_path / "frag")
     df.repartition(n_files).write.parquet(path)
@@ -32,14 +32,11 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
 
 
 def test_compaction_range_layout_clusters_keys(spark, tmp_path):
-    path, _ = _fragmented(spark, tmp_path)
-    # force multiple output files to observe the range layout
-    total, _n = table_bytes(spark, path)
-    target_mb = 1  # small, but the table is ~ a few hundred KB → still 1 file
-    # use 4 range partitions by rewriting with an explicit tiny target:
-    # compute expected n_out ourselves to skip if the table is too small
-    report = compact_table(spark, path, target_mb=target_mb, sort_by=["url"])
-    assert report["files_after"] >= 1
+    # inflate payloads so the table exceeds 1 MB and the rewrite MUST
+    # produce several files — otherwise the disjointness loop is vacuous
+    path, _ = _fragmented(spark, tmp_path, payload_repeat=64)
+    report = compact_table(spark, path, target_mb=1, sort_by=["url"])
+    assert report["files_after"] >= 2, report
     # every output file holds a disjoint url range (file-level min/max
     # do not overlap) — the property that makes stats-based pruning work
     rows = (
@@ -50,8 +47,42 @@ def test_compaction_range_layout_clusters_keys(spark, tmp_path):
         .orderBy("lo")
         .collect()
     )
+    assert len(rows) >= 2
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_compaction_preserves_partitioned_layout(spark, tmp_path):
+    """A Hive-partitioned table is refused without partition_by and keeps
+    its key=value directories (and pruning) with it."""
+    import os
+
+    import pytest
+
+    df = spark.range(2_000).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    path = str(tmp_path / "parts")
+    df.repartition(16).write.partitionBy("bucket").parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_table(spark, path, target_mb=256)
+    report = compact_table(spark, path, target_mb=256, partition_by=["bucket"])
+    assert report["files_before"] > report["files_after"]
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert dirs == {f"bucket={i}" for i in range(4)}
+    assert spark.read.parquet(path).count() == 2_000
+
+
+def test_table_bytes_ignores_hidden_debris(spark, tmp_path):
+    """Files under hidden directories (_temporary crash debris) are not
+    counted — Spark's scan would not read them either."""
+    path, _ = _fragmented(spark, tmp_path, n_files=2)
+    total, n = table_bytes(spark, path)
+    debris = tmp_path / "frag" / "_temporary" / "0"
+    debris.mkdir(parents=True)
+    (debris / "part-0001.parquet").write_bytes(b"x" * 4096)
+    total2, n2 = table_bytes(spark, path)
+    assert (total2, n2) == (total, n)
 
 
 def test_compaction_rejects_bad_target(spark, tmp_path):
