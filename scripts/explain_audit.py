@@ -314,6 +314,27 @@ def main() -> int:
     check("ann_topk_ivf_index", "top-k via TakeOrderedAndProject (no global sort)",
           "TakeOrderedAndProject" in p, "")
 
+    # 22. funnel: equi-joins only (session-key joins), no cartesian
+    df = qs["events_funnel"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("events_funnel", p))
+    check("events_funnel", "equi-joins only (no cartesian/NLJ)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # 23. retention: the days-sized cohort table joins broadcast
+    df = qs["events_retention"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("events_retention", p))
+    check("events_retention", "cohort-size join is broadcast",
+          "BroadcastHashJoin" in p, "")
+
+    # 24. vector post-processing: pure narrow HOF plan
+    df = qs["emb_quantize"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("emb_quantize", p))
+    check("emb_quantize", "narrow plan (zero Exchange, no Python)",
+          "Exchange" not in p and "EvalPython" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
