@@ -155,6 +155,67 @@ def test_jsonl_blank_and_non_object_lines_route_bad_json(spark, tmp_path):
     assert good["url"].tolist() == ["https://ok/1"]
 
 
+def test_jsonl_stream_feeds_extraction_e2e(spark, tmp_path, jsonl_dir):
+    """Continuous ingest end-to-end: JSONL feed → micro-batch parse →
+    the SAME extract_df plan → parquet sink; results byte-match the
+    batch pipeline over the same pages."""
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.jsonl import read_pages_jsonl_stream
+
+    from pyocr_spark.sources.jsonl import write_jsonl
+
+    # recrawl-free feed (urls with ONE version): per-micro-batch dedup
+    # scope then cannot differ from batch dedup, so outputs must match
+    # exactly. Built with the export sink → sink + stream + extraction
+    # all exercised in one loop.
+    all_pages = jsonl_to_pages(read_pages_jsonl(spark, str(jsonl_dir)))
+    single = (
+        all_pages.groupBy("url").count().filter("count = 1").drop("count")
+    )
+    pages1 = all_pages.join(single, "url").limit(200)
+    feed = tmp_path / "feed"
+    write_jsonl(pages1.repartition(4), str(feed))
+    out_dir = tmp_path / "out"
+
+    def sink(batch_df, batch_id):
+        pages = jsonl_to_pages(batch_df)
+        ext = extract_df(pages, modes=frozenset({"text"}), dedup=True).select(
+            "url", "extracted_text"
+        )
+        ext.write.mode("overwrite").parquet(str(out_dir / f"batch_id={batch_id}"))
+
+    stream = read_pages_jsonl_stream(spark, str(feed), max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(str(out_dir))
+        .drop("batch_id")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_df(
+            jsonl_to_pages(read_pages_jsonl(spark, str(feed))),
+            modes=frozenset({"text"}),
+            dedup=True,
+        )
+        .select("url", "extracted_text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
 def test_jsonl_good_and_errors_are_complement(spark, tmp_path):
     lines = [
         '{"url":"https://a/1","warc_ts":"2024-01-01 00:00:00.000000",'
