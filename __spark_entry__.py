@@ -436,6 +436,15 @@ def _q_events_rolling(spark, sf_dir):
     return rolling_user_activity(ev)
 
 
+def _q_corpus_report(spark, sf_dir):
+    """One-row dataset card (functions/text_stats.corpus_report)."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.functions.text_stats import corpus_report
+
+    ensure_pages(sf_dir)  # expected_zlib for the oracle side
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def _q_docs_quality_gated(spark, sf_dir):
     """Composed multi-signal quality gate (functions/text_stats.
     quality_gate): token budget + composite score + repetition bound +
@@ -969,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis (training-data pipeline surface)
         "doc_zlib_ratio": _q_doc_zlib_ratio,
         "docs_quality_gated": _q_docs_quality_gated,
+        "corpus_report": _q_corpus_report,
         "doc_chunks": _q_doc_chunks,
         "doc_packed_seqs": _q_doc_packed_seqs,
         "doc_token_count": _q_doc_token_count,
@@ -1469,6 +1479,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_zlib_ratio": (
             f"SELECT doc_id, raw_bytes, zlib_bytes, zlib_ratio "
             f"FROM read_parquet('{E}/expected_zlib.parquet')"
+        ),
+        "corpus_report": (
+            f"WITH q AS ({_QUALITY_SQL}), "
+            f"z AS (SELECT doc_id, zlib_ratio FROM read_parquet('{E}/expected_zlib.parquet')), "
+            "d AS (SELECT doc_id, lang, "
+            "CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null, "
+            "md5(text) AS content_hash FROM documents), "
+            "j AS (SELECT d.*, q.n_tokens, q.quality_score, z.zlib_ratio "
+            "FROM d JOIN q USING (doc_id) JOIN z USING (doc_id)) "
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(is_null) AS BIGINT) AS n_null_text, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "count(DISTINCT lang) AS n_langs, "
+            "count(DISTINCT content_hash) AS n_unique_texts, "
+            "1.0 - count(DISTINCT content_hash) / CAST(count(content_hash) AS DOUBLE) "
+            "AS dup_fraction, "
+            "CAST(sum(CASE WHEN quality_score >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_quality_pass, "
+            "CAST(sum(CAST(zlib_ratio AS DECIMAL(18,9))) AS DOUBLE) "
+            "/ count(zlib_ratio) AS mean_zlib FROM j"
         ),
         "docs_quality_gated": (
             f"WITH q AS ({_QUALITY_SQL}), "

@@ -331,6 +331,44 @@ def quality_gate(
     )
 
 
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row dataset card: the corpus health numbers a training run is
+    signed off on — size, token budget, language spread, exact-dup mass,
+    quality-pass share, mean compression ratio. One pass of per-doc
+    signals joined on the id, then a single global aggregate (count
+    DISTINCT on lang/hash — both low-cardinality relative to the corpus).
+
+    Determinism for the SQL oracle: ratio columns are integer-count IEEE
+    divisions (exact, no rounding) and the zlib mean sums DECIMAL(18,9)
+    casts (associative) before one double division.
+    """
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.col("text").isNull().cast("int").alias("is_null"),
+        F.md5("text").alias("content_hash"),
+    )
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    z = zlib_ratio(docs).select("doc_id", "zlib_ratio")
+    j = d.join(q, "doc_id").join(z, "doc_id")
+    zdec = F.col("zlib_ratio").cast("decimal(18,9)")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_null").cast("long").alias("n_null_text"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("content_hash").alias("n_unique_texts"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("content_hash") / F.count("content_hash")
+        ).alias("dup_fraction"),
+        F.sum((F.col("quality_score") >= 2.0).cast("int")).cast("long").alias(
+            "n_quality_pass"
+        ),
+        (F.sum(zdec).cast("double") / F.count("zlib_ratio")).alias("mean_zlib"),
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals: duplicate-token fraction
     and most-frequent-2-gram coverage. Machine-generated/SEO spam text is
