@@ -82,6 +82,74 @@ def test_retention_cohorts_reference(spark):
     }
 
 
+def test_funnel_matches_reference_model(spark):
+    """Randomized event streams vs a plain-Python replay of the funnel
+    contract (gap sessions, progressive >= step matching)."""
+    import random
+
+    rng = random.Random(0xF011)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    eid = 0
+    for uid in range(25):
+        t = 0.0
+        for _ in range(rng.randint(1, 30)):
+            t += rng.choice([0.0, 0.5, 1.0, 30.0, 1799.0, 1800.0, 1801.0, 5000.0])
+            rows.append((uid, t, rng.choice(types)))
+            eid += 1
+    ev = _ev_frac(spark, rows)
+    got = {
+        (r["user_id"], r["session_id"]): r for r in session_funnel(ev).collect()
+    }
+
+    # reference: sessionize then progressive min-ts per step
+    want = {}
+    by_user: dict = {}
+    for i, (uid, sec, et) in enumerate(rows):
+        by_user.setdefault(uid, []).append((sec, i, et))
+    for uid, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        sessions: dict = {}
+        for sec, _i, et in evs:
+            if prev is None or sec - prev > 1800:
+                sid += 1
+            prev = sec
+            sessions.setdefault(sid, []).append((sec, et))
+        for sid, sess in sessions.items():
+            thresh, ts_out = 0.0, []
+            ok = True
+            for step in ("view", "click", "purchase"):
+                cand = [s for s, et in sess if et == step and ok and s >= thresh]
+                if cand:
+                    thresh = min(cand)
+                    ts_out.append(int(BASE.timestamp() + thresh))
+                else:
+                    ok = False
+                    ts_out.append(None)
+            depth = sum(1 for x in ts_out if x is not None)
+            want[(uid, sid)] = (len(sess), *ts_out, depth)
+    assert set(got) == set(want)
+    for key, (n, t0, t1, t2, depth) in want.items():
+        r = got[key]
+        assert (
+            r["n_events"], r["t0"], r["t1"], r["t2"], r["funnel_depth"]
+        ) == (n, t0, t1, t2, depth), key
+
+
+def _ev_frac(spark, rows):
+    """(uid, seconds-with-fraction, type) → events rows."""
+    out = [
+        (i, BASE + dt.timedelta(seconds=sec), uid, et, 0.0, "{}")
+        for i, (uid, sec, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
 def test_funnel_empty_steps_rejected(spark):
     with pytest.raises(ValueError):
         session_funnel(_ev(spark, [(1, 0, "view")]), steps=())
