@@ -911,6 +911,40 @@ def _q_docs_neardup_pruned(spark, sf_dir):
     return dedup_by_components(docs, pairs).select("doc_id", "lang", "source")
 
 
+def _outlinks(spark, sf_dir):
+    """Outlinks of the deduped crawl (latest page per url) — the shared
+    substrate of the three web-graph queries."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.webgraph import extract_outlinks
+
+    return extract_outlinks(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_page_outlinks(spark, sf_dir):
+    """Per-page outlink extraction (operators/webgraph.extract_outlinks):
+    document-order http(s) anchor targets, base/relative resolution,
+    fragments dropped, duplicates preserved."""
+    return _outlinks(spark, sf_dir)
+
+
+def _q_host_graph(spark, sf_dir):
+    """Host-level link graph (src_host, dst_host, n_links) — host parse
+    JVM-side, one map-side-combined aggregate."""
+    from pyocr_spark.operators.webgraph import host_graph
+
+    return host_graph(_outlinks(spark, sf_dir))
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the host graph (10 iterations,
+    damping 85/100, lost-mass dangling variant). Integer micro-units make
+    the result bit-identical across partitionings and engines — the
+    oracle replays all 10 iterations in unrolled DuckDB SQL."""
+    from pyocr_spark.operators.webgraph import host_graph, pagerank_hosts
+
+    return pagerank_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=10)
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -1026,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig_portable": _q_minhash_sig_portable,
         "simhash_portable": _q_simhash_portable,
         "host_stats": _q_host_stats,
+        # web graph (outlinks → host edges → integer PageRank)
+        "page_outlinks": _q_page_outlinks,
+        "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
     }
@@ -1137,6 +1175,65 @@ def _corpus_neardup_sql() -> str:
         "losers AS (SELECT node FROM comps WHERE node != comp) "
         "SELECT doc_id AS url, md5(text) AS content_hash FROM src "
         "ANTI JOIN losers ON src.doc_id = losers.node"
+    )
+
+
+def _host_sql(col: str) -> str:
+    """DuckDB replay of operators/urlnorm.url_host (same rules as the
+    pages_host_filter oracle): authority capture, userinfo through the
+    LAST '@' stripped, bracketed IPv6 kept, port dropped, lowercased."""
+    a = (
+        f"regexp_replace(regexp_extract({col}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '')"
+    )
+    return (
+        f"lower(CASE WHEN {a} LIKE '[%' THEN regexp_extract({a}, '^(\\[[^\\]]*\\])', 1) "
+        f"ELSE regexp_replace({a}, ':[0-9]*$', '') END)"
+    )
+
+
+def _host_edges_sql() -> str:
+    """Shared CTE body: expected_links → host-pair rows (pre-aggregation)."""
+    return (
+        f"SELECT {_host_sql('url')} AS src_host, {_host_sql('target_url')} AS dst_host "
+        f"FROM read_parquet('{EXPECTED_001}/expected_links.parquet') "
+        f"WHERE {_host_sql('url')} != '' AND {_host_sql('target_url')} != ''"
+    )
+
+
+def _pagerank_sql(iterations: int = 10) -> str:
+    """Unrolled integer PageRank replay (operators/webgraph.pagerank_hosts):
+    one CTE per iteration, every term floor division on BIGINT — the
+    arithmetic is associative, so Spark and DuckDB agree bit-for-bit.
+    sum() is CAST back to BIGINT (DuckDB sum(BIGINT) → HUGEINT)."""
+    from pyocr_spark.operators.webgraph import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_SCALE,
+    )
+
+    num, den, scale = PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN, PAGERANK_SCALE
+    parts = [
+        f"hp AS ({_host_edges_sql()})",
+        "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp)",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT host, CAST({scale} AS BIGINT) // nn.n AS rank "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT nd.host, "
+            f"(CAST({scale} AS BIGINT) * {den - num} // {den}) // nn.n "
+            "+ coalesce(s.c, CAST(0 AS BIGINT)) AS rank "
+            "FROM nodes nd CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst, CAST(sum((r{i}.rank * {num} // {den}) // deg.d) AS BIGINT) AS c "
+            f"FROM r{i} JOIN deg ON deg.src = r{i}.host JOIN e ON e.src = r{i}.host "
+            "GROUP BY e.dst) s ON s.dst = nd.host)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT host, rank FROM r{iterations}"
     )
 
 
@@ -1811,6 +1908,16 @@ def oracle_sql() -> dict[str, str]:
             f"ANTI JOIN (SELECT node FROM ({_NGRAM_COMPONENTS_SQL}) c "
             "WHERE node != comp) l ON d.doc_id = l.node"
         ),
+        "page_outlinks": (
+            f"SELECT url, link_idx, target_url "
+            f"FROM read_parquet('{E}/expected_links.parquet')"
+        ),
+        "host_graph": (
+            f"WITH hp AS ({_host_edges_sql()}) "
+            "SELECT src_host, dst_host, count(*) AS n_links "
+            "FROM hp GROUP BY src_host, dst_host"
+        ),
+        "host_pagerank": _pagerank_sql(10),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

@@ -248,6 +248,17 @@ def main() -> None:
         reps=3,
     )
 
+    # web-graph wall: outlink extraction (narrow Arrow stage over every
+    # page) → host edges (one agg) → 5-round integer PageRank (one
+    # shuffle per round) — the whole link-analysis path in one number
+    from pyocr_spark.operators.webgraph import extract_outlinks, host_graph, pagerank_hosts
+
+    def _webgraph():
+        links = extract_outlinks(read_pages(spark, pages_path))
+        pagerank_hosts(host_graph(links), iterations=5).count()
+
+    timed("webgraph_pagerank", _webgraph, reps=2)
+
     import __spark_entry__ as entrymod
 
     timed("lineitem_pricing", lambda: entrymod._q_lineitem_pricing(spark, SF_DIR).collect(), reps=3)

@@ -1,0 +1,90 @@
+"""Outlink extraction from crawled pages — the web-graph substrate.
+
+A Common-Crawl-scale corpus is also a graph: ``<a href>`` targets feed
+host-level link analysis (spam detection, centrality quality signals,
+crawl frontier construction). This module is the single-node reference
+parser — the Spark operator (operators/webgraph.py) and the datagen
+expected-table materializer both call exactly this function, so the
+driver's oracle gate checks the distributed plumbing bit-for-bit.
+
+Semantics (frozen):
+
+- decode with the engine's utf-8/replace discipline (core.htmltext
+  .decode_replace — SURVEY.md E14), same size guard as extraction;
+- stdlib html.parser walk (no external deps), collecting ``href`` from
+  ``<a>`` tags in document order, duplicates preserved (multiplicity is
+  graph signal — the host-graph edge weights count them);
+- a ``<base href>`` tag rebinds the resolution base for SUBSEQUENT links
+  (first base wins, per the HTML spec — a second <base> is ignored);
+- resolution via ``urllib.parse.urljoin`` against the page url (or the
+  base), then the fragment is dropped (``#...`` never names a distinct
+  resource for graph purposes);
+- only http/https targets kept: ``mailto:``, ``javascript:``, ``tel:``,
+  ``data:`` and scheme-relative resolution failures are link-ish UI, not
+  web-graph edges;
+- empty href ("" resolves to the page itself) is kept — a self-link is a
+  real edge; whitespace around the href is stripped (browsers do).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urldefrag, urljoin
+
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+_KEPT_SCHEMES = ("http://", "https://")
+
+
+class _LinkParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []  # raw hrefs in document order
+        self.base: str | None = None  # first <base href> wins
+        # index into hrefs where the base starts applying (links BEFORE
+        # the <base> tag resolve against the page url, per spec ordering)
+        self.base_from: int = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value.strip())
+                    break
+        elif tag == "base" and self.base is None:
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.base = value.strip()
+                    self.base_from = len(self.hrefs)
+                    break
+
+
+def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
+    """All http(s) outlink targets of one page, resolved + defragmented,
+    document order, duplicates preserved. Oversized or unparseable input
+    yields no links (an extraction-side error row already accounts for
+    the page; the graph simply has no edges from it)."""
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return []
+    text = decode_replace(html)
+    parser = _LinkParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # html.parser is tolerant by design; a pathological page that
+        # still manages to raise contributes whatever was collected
+        # before the failure (deterministic: same prefix every run)
+        pass
+    base = parser.base
+    out: list[str] = []
+    for i, href in enumerate(parser.hrefs):
+        root = page_url if (base is None or i < parser.base_from) else urljoin(page_url, base)
+        try:
+            resolved = urldefrag(urljoin(root, href))[0]
+        except ValueError:
+            continue  # malformed href (e.g. bad IPv6 literal) — not an edge
+        if resolved.startswith(_KEPT_SCHEMES):
+            out.append(resolved)
+    return out

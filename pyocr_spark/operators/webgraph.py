@@ -1,0 +1,160 @@
+"""Web-graph construction and link analysis over crawled pages.
+
+Three layers, each independently usable:
+
+1. ``extract_outlinks`` — pages(url, html) → (url, link_idx, target_url)
+   via the single-node reference parser (core/links.parse_outlinks)
+   inside an Arrow-batched ``mapInPandas`` stage. Narrow (no shuffle):
+   file splits provide the parallelism, exactly like text extraction.
+2. ``host_graph`` — outlinks → (src_host, dst_host, n_links) edges, host
+   parse JVM-side (operators/urlnorm.url_host — exact SQL twin). ONE
+   partial-aggregated shuffle; at 10^12 pages the edge table is ~10^7-8
+   hosts squared-sparse, orders of magnitude smaller than its input.
+3. ``pagerank_hosts`` — fixed-point integer PageRank over the host graph.
+
+Why integer fixed-point: float PageRank sums in partition order, so the
+result differs in the last ulp run-to-run and engine-to-engine —
+un-oracle-able. Ranks here are BIGINT micro-units of ``scale`` (default
+10^12); every operation (damping 85/100, contribution split, base
+share) is floor division. Integer addition is associative, so the
+result is bit-identical regardless of partitioning, shuffle order, or
+engine — the DuckDB oracle replays all iterations exactly.
+
+Semantics (frozen): damping d=85/100; per-iteration rank =
+``(scale*15//100)//n + Σ_in (r_src*85//100)//outdeg(src)``; mass
+arriving at dangling hosts (no out-edges) is dropped, not redistributed
+— the lost-mass variant. Ranking order is what downstream quality
+gates consume, and floor-division truncation (≤1 unit per term) cannot
+reorder hosts separated by real link mass. Edges are deduplicated
+(multiplicity weights belong to ``host_graph``; classic PageRank is
+over the simple digraph).
+
+Scale notes: each iteration is one groupBy(dst) shuffle (map-side
+combined) plus one left join from the static node set; edges+outdeg are
+computed once and persisted; lineage is truncated with localCheckpoint
+every round (the dup_components pattern), so 10-50 iterations at 10^8
+hosts stay bounded. ``n`` (node count) rides a broadcast 1-row
+aggregate — no driver collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlnorm import url_host
+
+OUTLINKS_DDL = "url string, link_idx int, target_url string"
+
+PAGERANK_SCALE = 10**12
+PAGERANK_DAMP_NUM = 85  # d = 85/100, frozen (oracle replays the literals)
+PAGERANK_DAMP_DEN = 100
+
+
+def _outlink_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.links import parse_outlinks
+
+    for pdf in batches:
+        urls: list[str] = []
+        idxs: list[int] = []
+        targets: list[str] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if url is None:
+                continue  # an edge needs a source
+            for i, target in enumerate(parse_outlinks(html, url)):
+                urls.append(url)
+                idxs.append(i)
+                targets.append(target)
+        yield pd.DataFrame({"url": urls, "link_idx": idxs, "target_url": targets})
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """(url, link_idx, target_url) rows for every http(s) anchor target,
+    document order per page, duplicates preserved. Columns are pruned
+    before the UDF so the scan reads only url+html."""
+    pruned = pages.select("url", "html")
+    return pruned.mapInPandas(_outlink_batches, schema=OUTLINKS_DDL)
+
+
+def host_graph(outlinks: DataFrame) -> DataFrame:
+    """Host-level edge list (src_host, dst_host, n_links) from an
+    outlinks table. Host extraction is pure column expressions; the
+    aggregate is map-side combined. Self-edges (in-site navigation) are
+    kept — callers that want the cross-host graph filter them."""
+    edges = outlinks.select(
+        url_host(F.col("url")).alias("src_host"),
+        url_host(F.col("target_url")).alias("dst_host"),
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    iterations: int = 10,
+    scale: int = PAGERANK_SCALE,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed-point integer PageRank (see module docstring) over a
+    (src, dst) edge table. Returns (host, rank) with rank in integer
+    micro-units of ``scale``; ranks of all hosts sum to ≤ scale (floor
+    truncation + dangling loss make it ≤, never >).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    simple = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        simple.select(F.col("src").alias("host"))
+        .union(simple.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outdeg = simple.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # n rides a broadcast 1-row aggregate: base and r0 become plan-side
+    # expressions, nothing is collected to the driver
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    # integer division: Spark's `/` on longs is a double divide — use the
+    # `div` operator explicitly everywhere so the arithmetic is exact
+    ranks = nodes.crossJoin(n_df).selectExpr(
+        "host", f"CAST({scale} AS BIGINT) div n AS rank", "n"
+    )
+    for i in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks["host"] == outdeg["src"])
+            .join(simple, "src")
+            .selectExpr(
+                "dst",
+                f"(rank * {PAGERANK_DAMP_NUM} div {PAGERANK_DAMP_DEN}) div outdeg AS c",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.crossJoin(n_df)
+            .join(contribs, nodes["host"] == contribs["dst"], "left")
+            .selectExpr(
+                "host",
+                f"(CAST({scale} AS BIGINT) * {PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM} "
+                f"div {PAGERANK_DAMP_DEN}) div n + coalesce(in_mass, CAST(0 AS BIGINT)) "
+                "AS rank",
+                "n",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("host", "rank")
+    simple.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    return out

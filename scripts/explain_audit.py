@@ -335,6 +335,29 @@ def main() -> int:
     check("emb_quantize", "narrow plan (zero Exchange, no Python)",
           "Exchange" not in p and "EvalPython" not in p, "")
 
+    # 25. outlink extraction: narrow Arrow stage after the dedup window —
+    # the ONLY Exchange is the keep-latest window, and the scan is pruned
+    # to url+html (+ the window's warc_ts)
+    df = qs["page_outlinks"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("page_outlinks", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("page_outlinks", "exactly one Exchange (dedup window); UDF stage narrow",
+          n_exchanges == 1, f"exchanges={n_exchanges}")
+    check("page_outlinks", "scan pruned (no text/lang columns)",
+          (lambda s: bool(s) and "text" not in s[-1] and "lang" not in s[-1])(
+              re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
+          "; ".join(re.findall(r"ReadSchema: (struct<[^>]*>)", p))[:100])
+
+    # 26. host graph: map-side-combined aggregate (partial before the
+    # exchange), host parse JVM-side — no Python stage beyond the outlink UDF
+    df = qs["host_graph"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("host_graph", p))
+    check("host_graph", "partial aggregation before exchange", "partial" in p.lower(), "")
+    check("host_graph", "exactly one Python stage (the outlink UDF)",
+          len(re.findall(r"^\(\d+\) .*InPandas", p, flags=re.M)) == 1, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

@@ -1,0 +1,229 @@
+"""Web-graph suite: outlink parsing, host graph, integer PageRank.
+
+The PageRank reference model here is an INDEPENDENT pure-Python
+implementation (dict loops, no Spark, no SQL) of the frozen fixed-point
+semantics — the Spark operator and the DuckDB oracle must both match it
+bit-for-bit because every operation is integer floor division.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.core.links import parse_outlinks
+
+BASE = "https://host.example.com/dir/page.html"
+
+
+def _page(body: str) -> bytes:
+    return f"<html><body>{body}</body></html>".encode()
+
+
+class TestParseOutlinks:
+    def test_absolute_and_relative_resolution(self):
+        html = _page(
+            '<a href="https://other.com/x">a</a>'
+            '<a href="/root">b</a>'
+            '<a href="sibling">c</a>'
+            '<a href="../up">d</a>'
+        )
+        assert parse_outlinks(html, BASE) == [
+            "https://other.com/x",
+            "https://host.example.com/root",
+            "https://host.example.com/dir/sibling",
+            "https://host.example.com/up",
+        ]
+
+    def test_fragment_dropped_query_kept(self):
+        html = _page('<a href="/p?q=1#sec">x</a><a href="#top">y</a>')
+        assert parse_outlinks(html, BASE) == [
+            "https://host.example.com/p?q=1",
+            BASE,  # pure-fragment href resolves to the page itself
+        ]
+
+    def test_non_http_schemes_dropped(self):
+        html = _page(
+            '<a href="mailto:a@b.c">m</a><a href="javascript:void(0)">j</a>'
+            '<a href="tel:+155501">t</a><a href="ftp://f/x">f</a>'
+            '<a href="https://ok.com/">k</a>'
+        )
+        assert parse_outlinks(html, BASE) == ["https://ok.com/"]
+
+    def test_duplicates_preserved_in_document_order(self):
+        html = _page('<a href="/a">1</a><a href="/b">2</a><a href="/a">3</a>')
+        assert [u.rsplit("/", 1)[1] for u in parse_outlinks(html, BASE)] == [
+            "a", "b", "a",
+        ]
+
+    def test_base_tag_applies_only_to_subsequent_links(self):
+        html = _page(
+            '<a href="x">before</a>'
+            '<base href="https://cdn.example.net/assets/">'
+            '<a href="x">after</a>'
+            '<base href="https://second-base.ignored/">'
+            '<a href="y">after2</a>'
+        )
+        assert parse_outlinks(html, BASE) == [
+            "https://host.example.com/dir/x",
+            "https://cdn.example.net/assets/x",
+            "https://cdn.example.net/assets/y",  # first <base> wins
+        ]
+
+    def test_relative_base_resolves_against_page(self):
+        html = _page('<base href="sub/"><a href="x">a</a>')
+        assert parse_outlinks(html, BASE) == ["https://host.example.com/dir/sub/x"]
+
+    def test_anchor_inside_script_is_cdata_not_a_link(self):
+        html = _page('<script>var s = \'<a href="/no">x</a>\';</script><a href="/yes">y</a>')
+        assert parse_outlinks(html, BASE) == ["https://host.example.com/yes"]
+
+    def test_empty_href_is_a_self_link(self):
+        assert parse_outlinks(_page('<a href="">s</a>'), BASE) == [BASE]
+
+    def test_href_whitespace_stripped(self):
+        assert parse_outlinks(_page('<a href=" /a ">s</a>'), BASE) == [
+            "https://host.example.com/a"
+        ]
+
+    def test_invalid_utf8_replace_discipline(self):
+        html = b'<a href="/ok">x</a>\xff\xfe<a href="/ok2">y</a>'
+        assert parse_outlinks(html, BASE) == [
+            "https://host.example.com/ok",
+            "https://host.example.com/ok2",
+        ]
+
+    def test_oversized_and_null_input_yield_no_links(self):
+        from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+        class _Huge(bytes):  # len() lies so the test needn't allocate 64 MB
+            def __len__(self):
+                return MAX_HTML_BYTES + 1
+
+        assert parse_outlinks(None, BASE) == []
+        assert parse_outlinks(_Huge(b"<a href='/x'>y</a>"), BASE) == []
+
+
+def _pagerank_reference(
+    edges: list[tuple[str, str]], iterations: int, scale: int = 10**12
+) -> dict[str, int]:
+    """Independent dict-based replay of the frozen semantics."""
+    simple = sorted(set(edges))
+    nodes = sorted({s for s, _ in simple} | {d for _, d in simple})
+    n = len(nodes)
+    outdeg: dict[str, int] = {}
+    for s, _ in simple:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {h: scale // n for h in nodes}
+    for _ in range(iterations):
+        incoming = {h: 0 for h in nodes}
+        for s, d in simple:
+            incoming[d] += (rank[s] * 85 // 100) // outdeg[s]
+        rank = {h: (scale * 15 // 100) // n + incoming[h] for h in nodes}
+    return rank
+
+
+class TestPagerank:
+    def _run(self, spark, edges, iterations=5):
+        from pyocr_spark.operators.webgraph import pagerank_hosts
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        got = {
+            r["host"]: r["rank"]
+            for r in pagerank_hosts(df, iterations=iterations).collect()
+        }
+        want = _pagerank_reference(edges, iterations)
+        assert got == want
+        return got
+
+    def test_cycle_ranks_equal(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert len(set(got.values())) == 1
+
+    def test_star_center_ranks_highest(self, spark):
+        got = self._run(spark, [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")])
+        assert got["hub"] == max(got.values())
+
+    def test_dangling_mass_dropped_sum_bounded(self, spark):
+        # 'sink' has no out-edges: its damped mass vanishes each round
+        got = self._run(spark, [("a", "sink"), ("b", "sink"), ("a", "b")])
+        assert sum(got.values()) <= 10**12
+
+    def test_duplicate_edges_collapse_to_simple_digraph(self, spark):
+        base = [("a", "b"), ("b", "a")]
+        got_dup = self._run(spark, base + [("a", "b")] * 3)
+        got_simple = self._run(spark, base)
+        assert got_dup == got_simple
+
+    def test_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import pagerank_hosts
+
+        edges = [(f"h{i}", f"h{(i * 7 + 3) % 23}") for i in range(23)]
+        df = spark.createDataFrame(pd.DataFrame(edges, columns=["src_host", "dst_host"]))
+        a = {r["host"]: r["rank"] for r in pagerank_hosts(df, iterations=6).collect()}
+        b = {
+            r["host"]: r["rank"]
+            for r in pagerank_hosts(df.repartition(13), iterations=6).collect()
+        }
+        assert a == b == _pagerank_reference(edges, 6)
+
+    def test_bad_iterations_rejected(self, spark):
+        from pyocr_spark.operators.webgraph import pagerank_hosts
+
+        df = spark.createDataFrame(pd.DataFrame([("a", "b")], columns=["src_host", "dst_host"]))
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank_hosts(df, iterations=0)
+
+
+class TestSparkGraph:
+    def test_extract_outlinks_matches_expected_table(self, spark, pages_sf0001):
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.webgraph import extract_outlinks
+        from pyocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+        got = (
+            extract_outlinks(dedup_latest_page(pages))
+            .toPandas()
+            .sort_values(["url", "link_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.read_parquet(pages_sf0001 / "expected_links.parquet")
+            .sort_values(["url", "link_idx"])
+            .reset_index(drop=True)
+        )
+        got["link_idx"] = got["link_idx"].astype(want["link_idx"].dtype)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_host_graph_counts_multiplicity(self, spark):
+        from pyocr_spark.operators.webgraph import host_graph
+
+        links = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://a.com/1", 0, "https://b.com/x"),
+                    ("https://a.com/1", 1, "https://b.com/y"),
+                    ("https://a.com/2", 0, "https://a.com/3"),  # self-host edge kept
+                    ("https://user@a.com:8443/4", 0, "https://B.COM/z"),  # normalize
+                    ("not-a-url", 0, "https://b.com/x"),  # no host → dropped
+                ],
+                columns=["url", "link_idx", "target_url"],
+            )
+        )
+        got = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_graph(links).collect()
+        }
+        assert got == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
+
+    def test_extract_plan_is_narrow_and_pruned(self, spark, pages_sf0001):
+        from pyocr_spark.operators.webgraph import extract_outlinks
+        from pyocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+        plan = extract_outlinks(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle: file splits parallelize
+        assert "warc_ts" not in plan.split("ReadSchema")[-1]  # pruned scan
