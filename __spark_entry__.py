@@ -911,6 +911,16 @@ def _q_docs_neardup_pruned(spark, sf_dir):
     return dedup_by_components(docs, pairs).select("doc_id", "lang", "source")
 
 
+def _q_extract_main_density(spark, sf_dir):
+    """Density-based main-content extraction (functions/maincontent):
+    the DOM-heuristic strategy — block text-length + link-density
+    classify, div-soup-proof complement to the tag-based strip."""
+    from pyocr_spark.functions.maincontent import extract_main_density
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_main_density(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _outlinks(spark, sf_dir):
     """Outlinks of the deduped crawl (latest page per url) — the shared
     substrate of the three web-graph queries."""
@@ -985,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_unicode_boxes": _q_extract_unicode_boxes,
         "extract_text_psm6": _q_extract_text_psm6,
         "extract_text_psm7": _q_extract_text_psm7,
+        "extract_main_density": _q_extract_main_density,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
@@ -1292,6 +1303,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_text_psm7": (
             f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text_psm7.parquet')"
+        ),
+        "extract_main_density": (
+            f"SELECT url, main_text, n_blocks, n_kept "
+            f"FROM read_parquet('{E}/expected_main.parquet')"
         ),
         "pages_dedup_latest": (
             # floor before CAST: Spark's timestamp->long truncates while a

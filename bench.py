@@ -248,6 +248,16 @@ def main() -> None:
         reps=3,
     )
 
+    # density main-content wall: the DOM-heuristic strategy — same narrow
+    # shape as extract_text, different classify
+    from pyocr_spark.functions.maincontent import extract_main_density
+
+    timed(
+        "extract_main_density",
+        lambda: noop_write(extract_main_density(read_pages(spark, pages_path))),
+        reps=3,
+    )
+
     # web-graph wall: outlink extraction (narrow Arrow stage over every
     # page) → host edges (one agg) → 5-round integer PageRank (one
     # shuffle per round) — the whole link-analysis path in one number

@@ -1,0 +1,123 @@
+"""Density-based main-content extraction — the DOM-heuristic strategy.
+
+The tag-based strategy (core/htmltext.py) strips boilerplate by SEMANTIC
+tag (<nav> <header> <footer> <aside>). Real crawls are full of div-soup:
+menus, footers and share bars built from bare <div>/<span>, invisible to
+tag rules. This module is the complementary Boilerpipe/JusText-style
+heuristic — classify each block-level text run by its OWN shape:
+
+- ``text_chars``: length of the whitespace-normalized block text;
+- ``link_density``: fraction of those chars inside <a> subtrees;
+- a block is CONTENT iff ``text_chars >= MIN_BLOCK_CHARS`` (short runs
+  are navigation labels, copyright lines, button text) and
+  ``link_density <= MAX_LINK_DENSITY`` (link-dominated runs are menus
+  and blogrolls, whatever element they live in).
+
+All thresholds frozen (MIN_BLOCK_CHARS=25, MAX_LINK_DENSITY=0.33 — the
+classic JusText/Boilerpipe operating point). Block segmentation and the
+utf-8/replace decode are shared with the tag-based segmenter, so the two
+strategies differ ONLY in the classify step. Deterministic pure stdlib —
+the Spark stage (functions/maincontent.py) and the datagen expected-table
+materializer call exactly this function.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyocr_spark.core.htmltext import BLOCK_TAGS, DROP_ALWAYS, decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+
+class _BlockParser(HTMLParser):
+    """Block-level (text, link_text) runs in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str]] = []
+        self._buf: list[str] = []
+        self._link_buf: list[str] = []
+        self._drop_depth = 0
+        self._a_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._buf).split())
+        link_text = " ".join("".join(self._link_buf).split())
+        self._buf = []
+        self._link_buf = []
+        if text:
+            self.blocks.append((text, link_text))
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_ALWAYS:
+            self._drop_depth += 1
+            return
+        if tag == "a":
+            self._a_depth += 1
+        elif tag == "br" or tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in DROP_ALWAYS:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if tag == "a":
+            if self._a_depth > 0:
+                self._a_depth -= 1
+        elif tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        self._buf.append(data)
+        if self._a_depth:
+            self._link_buf.append(data)
+
+    def result(self) -> list[tuple[str, str]]:
+        self._flush()
+        return self.blocks
+
+
+def page_blocks(html: bytes | str) -> list[tuple[str, str]]:
+    """All block text runs of a page as (text, link_text) — the classify
+    substrate, exposed for tests and alternative classifiers."""
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return []
+    parser = _BlockParser()
+    try:
+        parser.feed(decode_replace(html))
+        parser.close()
+    except Exception:
+        pass  # tolerate pathological markup: keep what was collected
+    return parser.result()
+
+
+def extract_main_content(html: bytes | str) -> dict:
+    """Density-classified main content of one page.
+
+    Returns ``main_text`` (kept blocks joined by newline, document
+    order), ``n_blocks`` (all text runs) and ``n_kept``. A page of pure
+    boilerplate yields ``main_text=''`` — a signal, not an error.
+    """
+    blocks = page_blocks(html)
+    kept: list[str] = []
+    for text, link_text in blocks:
+        if len(text) < MIN_BLOCK_CHARS:
+            continue
+        if len(link_text) > MAX_LINK_DENSITY * len(text):
+            continue
+        kept.append(text)
+    return {
+        "main_text": "\n".join(kept),
+        "n_blocks": len(blocks),
+        "n_kept": len(kept),
+    }

@@ -1,0 +1,35 @@
+"""Spark stage for density-based main-content extraction.
+
+Same shape as the flagship extraction: prune to url+html, one
+Arrow-batched ``mapInPandas`` over the single-node reference heuristic
+(core/maincontent.extract_main_content), narrow — file splits provide
+the parallelism at crawl scale, no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+MAIN_DDL = "url string, main_text string, n_blocks int, n_kept int"
+
+
+def _main_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.maincontent import extract_main_content
+
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            out = extract_main_content(html)
+            rows.append((url, out["main_text"], out["n_blocks"], out["n_kept"]))
+        yield pd.DataFrame(rows, columns=["url", "main_text", "n_blocks", "n_kept"])
+
+
+def extract_main_density(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, main_text, n_blocks, n_kept) via the
+    frozen density heuristic — the div-soup-proof complement to the
+    tag-based boilerplate strip in plans/pipeline.extract_df."""
+    return pages.select("url", "html").mapInPandas(_main_batches, schema=MAIN_DDL)

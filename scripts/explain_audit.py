@@ -349,6 +349,19 @@ def main() -> int:
               re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
           "; ".join(re.findall(r"ReadSchema: (struct<[^>]*>)", p))[:100])
 
+    # 25b. density main-content: narrow — zero Exchange, one Arrow stage,
+    # scan pruned to url+html
+    df = qs["extract_main_density"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("extract_main_density", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("extract_main_density", "exactly one Exchange (the dedup window)",
+          n_exchanges == 1, f"exchanges={n_exchanges}")
+    check("extract_main_density", "scan pruned (no text/lang)",
+          (lambda s: bool(s) and "text" not in s[-1] and "lang" not in s[-1])(
+              re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
+          "; ".join(re.findall(r"ReadSchema: (struct<[^>]*>)", p))[:100])
+
     # 26. host graph: map-side-combined aggregate (partial before the
     # exchange), host parse JVM-side — no Python stage beyond the outlink UDF
     df = qs["host_graph"](spark, SF_DIR)

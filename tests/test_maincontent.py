@@ -1,0 +1,132 @@
+"""Density-based main-content extraction: the DOM-heuristic classify.
+
+The crucial cases are div-soup — boilerplate built from bare <div>s that
+the tag-based strategy (core/htmltext BOILERPLATE set) cannot see. The
+density heuristic must drop it on shape alone, and must NOT drop long,
+link-light prose wherever it lives.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyocr_spark.core.maincontent import (
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_CHARS,
+    extract_main_content,
+    page_blocks,
+)
+
+PROSE = "This is a long paragraph of genuine article prose with many words."
+
+
+class TestClassify:
+    def test_divsoup_menu_dropped_prose_kept(self):
+        html = (
+            '<div class="menu">'
+            '<a href="/">Home sweet home page</a> <a href="/b">About the site</a>'
+            '<a href="/c">Contact and imprint</a></div>'
+            f"<div>{PROSE}</div>"
+        ).encode()
+        out = extract_main_content(html)
+        assert out["main_text"] == PROSE
+        # the menu IS a block (tag rules would have kept it — no <nav>);
+        # density classified it out
+        assert out["n_blocks"] == 2 and out["n_kept"] == 1
+
+    def test_short_blocks_dropped(self):
+        html = f"<div>© 2024 corp</div><p>{PROSE}</p><div>Share</div>".encode()
+        out = extract_main_content(html)
+        assert out["main_text"] == PROSE
+        assert out["n_blocks"] == 3 and out["n_kept"] == 1
+
+    def test_inline_link_inside_prose_kept(self):
+        # one short citation link inside long prose: link density low → kept
+        html = f'<p>{PROSE} See <a href="/ref">ref</a> for details today.</p>'.encode()
+        out = extract_main_content(html)
+        assert out["n_kept"] == 1
+        assert "See ref for details" in out["main_text"]
+
+    def test_document_order_preserved(self):
+        html = f"<p>{PROSE} One.</p><p>{PROSE} Two.</p>".encode()
+        out = extract_main_content(html)
+        assert out["main_text"].split("\n") == [f"{PROSE} One.", f"{PROSE} Two."]
+
+    def test_all_boilerplate_page_yields_empty_signal(self):
+        html = b'<div><a href="/">Home</a></div><div>Menu</div>'
+        out = extract_main_content(html)
+        assert out["main_text"] == "" and out["n_kept"] == 0 and out["n_blocks"] == 2
+
+    def test_script_style_head_always_dropped(self):
+        html = (
+            f"<head><title>{PROSE}</title></head>"
+            f"<script>var x = '{PROSE}';</script><p>{PROSE}</p>"
+        ).encode()
+        out = extract_main_content(html)
+        assert out["main_text"] == PROSE
+
+    def test_thresholds_are_boundaries(self):
+        # exactly MIN_BLOCK_CHARS chars → kept; one fewer → dropped
+        at = "x" * MIN_BLOCK_CHARS
+        under = "x" * (MIN_BLOCK_CHARS - 1)
+        assert extract_main_content(f"<p>{at}</p>".encode())["n_kept"] == 1
+        assert extract_main_content(f"<p>{under}</p>".encode())["n_kept"] == 0
+        # link density exactly at the threshold → kept, above → dropped
+        text_chars = 99
+        link_chars = int(MAX_LINK_DENSITY * text_chars)  # 32 of 99 ≈ 0.323
+        plain = "y" * (text_chars - link_chars - 1)
+        html_at = f'<p>{plain} <a href="/l">{"z" * link_chars}</a></p>'.encode()
+        assert extract_main_content(html_at)["n_kept"] == 1
+        html_over = (
+            f'<p>{plain[:-8]} <a href="/l">{"z" * (link_chars + 8)}</a></p>'
+        ).encode()
+        assert extract_main_content(html_over)["n_kept"] == 0
+
+    def test_invalid_utf8_and_null(self):
+        out = extract_main_content(b"<p>" + PROSE.encode() + b"\xff</p>")
+        assert out["n_kept"] == 1 and "�" in out["main_text"]
+        assert extract_main_content(None) == {
+            "main_text": "", "n_blocks": 0, "n_kept": 0,
+        }
+
+    def test_blocks_expose_link_text(self):
+        blocks = page_blocks(b'<div>pre <a href="/x">anchor words</a> post</div>')
+        assert blocks == [("pre anchor words post", "anchor words")]
+
+    def test_nested_anchor_depth_balanced(self):
+        # a stray </a> must not make subsequent text count as link text
+        blocks = page_blocks(b"<div></a>free text here</div>")
+        assert blocks == [("free text here", "")]
+
+
+class TestSpark:
+    def test_matches_expected_table(self, spark, pages_sf0001):
+        from pyocr_spark.functions.maincontent import extract_main_density
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+        got = (
+            extract_main_density(dedup_latest_page(pages))
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.read_parquet(pages_sf0001 / "expected_main.parquet")
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        for c in ("n_blocks", "n_kept"):
+            got[c] = got[c].astype(want[c].dtype)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_density_strips_the_footer_blogroll(self, spark, pages_sf0001):
+        # datagen v9 injects a link-dense footer blogroll; density must
+        # classify it out of main_text on every plain page
+        want = pd.read_parquet(pages_sf0001 / "expected_main.parquet")
+        assert len(want) > 0
+        assert not want["main_text"].str.contains("ref alpha").any()
+        # and real article prose survives on plain pages
+        plain = want[want["n_kept"] > 0]
+        assert len(plain) > 0
