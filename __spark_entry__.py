@@ -932,9 +932,18 @@ def _outlinks(spark, sf_dir):
 
 def _q_page_outlinks(spark, sf_dir):
     """Per-page outlink extraction (operators/webgraph.extract_outlinks):
-    document-order http(s) anchor targets, base/relative resolution,
-    fragments dropped, duplicates preserved."""
+    document-order http(s) anchor targets with anchor text, base/relative
+    resolution, fragments dropped, duplicates preserved."""
     return _outlinks(spark, sf_dir)
+
+
+def _q_anchor_text_index(spark, sf_dir):
+    """Per-target anchor-text index (operators/webgraph.anchor_text_index):
+    reference count, distinct referring hosts, modal anchor — what the
+    web calls each url."""
+    from pyocr_spark.operators.webgraph import anchor_text_index
+
+    return anchor_text_index(_outlinks(spark, sf_dir))
 
 
 def _q_host_graph(spark, sf_dir):
@@ -1073,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         # web graph (outlinks → host edges → integer PageRank)
         "page_outlinks": _q_page_outlinks,
+        "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "embedding_dups": _q_embedding_dups,
@@ -1924,8 +1934,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE node != comp) l ON d.doc_id = l.node"
         ),
         "page_outlinks": (
-            f"SELECT url, link_idx, target_url "
+            f"SELECT url, link_idx, target_url, anchor_text "
             f"FROM read_parquet('{E}/expected_links.parquet')"
+        ),
+        "anchor_text_index": (
+            f"WITH s AS (SELECT target_url, {_host_sql('url')} AS src_host, "
+            f"anchor_text FROM read_parquet('{E}/expected_links.parquet')), "
+            "stats AS (SELECT target_url, count(*) AS n_refs, "
+            "count(DISTINCT src_host) AS n_src_hosts FROM s GROUP BY 1), "
+            "m AS (SELECT target_url, anchor_text AS top_anchor FROM ("
+            "SELECT target_url, anchor_text, row_number() OVER ("
+            "PARTITION BY target_url ORDER BY count(*) DESC, anchor_text ASC) AS rn "
+            "FROM s WHERE anchor_text != '' GROUP BY target_url, anchor_text"
+            ") WHERE rn = 1) "
+            "SELECT stats.target_url, n_refs, n_src_hosts, m.top_anchor "
+            "FROM stats LEFT JOIN m USING (target_url)"
         ),
         "host_graph": (
             f"WITH hp AS ({_host_edges_sql()}) "

@@ -41,16 +41,33 @@ class _LinkParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.hrefs: list[str] = []  # raw hrefs in document order
+        self.texts: list[str] = []  # anchor text per href (ws-normalized)
         self.base: str | None = None  # first <base href> wins
         # index into hrefs where the base starts applying (links BEFORE
         # the <base> tag resolve against the page url, per spec ordering)
         self.base_from: int = 0
+        self._a_buf: list[str] | None = None  # open <a>'s text accumulator
+        self._a_open: int | None = None  # index into hrefs, None if no href
+
+    def _close_anchor(self) -> None:
+        if self._a_open is not None:
+            self.texts[self._a_open] = " ".join("".join(self._a_buf).split())
+        self._a_buf = None
+        self._a_open = None
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
+            # a nested <a> is invalid HTML; browsers implicitly close the
+            # open one first — do the same so text never double-counts
+            if self._a_buf is not None:
+                self._close_anchor()
+            self._a_buf = []
+            self._a_open = None
             for name, value in attrs:
                 if name == "href" and value is not None:
                     self.hrefs.append(value.strip())
+                    self.texts.append("")
+                    self._a_open = len(self.hrefs) - 1
                     break
         elif tag == "base" and self.base is None:
             for name, value in attrs:
@@ -59,12 +76,22 @@ class _LinkParser(HTMLParser):
                     self.base_from = len(self.hrefs)
                     break
 
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._a_buf is not None:
+            self._close_anchor()
 
-def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
-    """All http(s) outlink targets of one page, resolved + defragmented,
-    document order, duplicates preserved. Oversized or unparseable input
-    yields no links (an extraction-side error row already accounts for
-    the page; the graph simply has no edges from it)."""
+    def handle_data(self, data: str) -> None:
+        if self._a_buf is not None:
+            self._a_buf.append(data)
+
+
+def parse_outlinks_text(html: bytes | str, page_url: str) -> list[tuple[str, str]]:
+    """All http(s) outlink targets of one page with their anchor text,
+    resolved + defragmented, document order, duplicates preserved.
+    Anchor text is whitespace-normalized ('' for image-only anchors; a
+    nested/unclosed <a> closes implicitly, as browsers do). Oversized or
+    unparseable input yields no links (an extraction-side error row
+    already accounts for the page; the graph simply has no edges)."""
     if html is None or len(html) > MAX_HTML_BYTES:
         return []
     text = decode_replace(html)
@@ -77,8 +104,9 @@ def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
         # still manages to raise contributes whatever was collected
         # before the failure (deterministic: same prefix every run)
         pass
+    parser._close_anchor()  # unclosed trailing <a> keeps its text
     base = parser.base
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     for i, href in enumerate(parser.hrefs):
         root = page_url if (base is None or i < parser.base_from) else urljoin(page_url, base)
         try:
@@ -86,5 +114,10 @@ def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
         except ValueError:
             continue  # malformed href (e.g. bad IPv6 literal) — not an edge
         if resolved.startswith(_KEPT_SCHEMES):
-            out.append(resolved)
+            out.append((resolved, parser.texts[i]))
     return out
+
+
+def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
+    """Targets only — see parse_outlinks_text."""
+    return [t for t, _ in parse_outlinks_text(html, page_url)]

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from pyocr_spark.operators.urlnorm import url_host
 
-OUTLINKS_DDL = "url string, link_idx int, target_url string"
+OUTLINKS_DDL = "url string, link_idx int, target_url string, anchor_text string"
 
 PAGERANK_SCALE = 10**12
 PAGERANK_DAMP_NUM = 85  # d = 85/100, frozen (oracle replays the literals)
@@ -56,28 +56,68 @@ PAGERANK_DAMP_DEN = 100
 
 
 def _outlink_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from pyocr_spark.core.links import parse_outlinks
+    from pyocr_spark.core.links import parse_outlinks_text
 
     for pdf in batches:
         urls: list[str] = []
         idxs: list[int] = []
         targets: list[str] = []
+        anchors: list[str] = []
         for url, html in zip(pdf["url"], pdf["html"]):
             if url is None:
                 continue  # an edge needs a source
-            for i, target in enumerate(parse_outlinks(html, url)):
+            for i, (target, anchor) in enumerate(parse_outlinks_text(html, url)):
                 urls.append(url)
                 idxs.append(i)
                 targets.append(target)
-        yield pd.DataFrame({"url": urls, "link_idx": idxs, "target_url": targets})
+                anchors.append(anchor)
+        yield pd.DataFrame(
+            {"url": urls, "link_idx": idxs, "target_url": targets, "anchor_text": anchors}
+        )
 
 
 def extract_outlinks(pages: DataFrame) -> DataFrame:
-    """(url, link_idx, target_url) rows for every http(s) anchor target,
-    document order per page, duplicates preserved. Columns are pruned
-    before the UDF so the scan reads only url+html."""
+    """(url, link_idx, target_url, anchor_text) rows for every http(s)
+    anchor target, document order per page, duplicates preserved.
+    Columns are pruned before the UDF so the scan reads only url+html."""
     pruned = pages.select("url", "html")
     return pruned.mapInPandas(_outlink_batches, schema=OUTLINKS_DDL)
+
+
+def anchor_text_index(outlinks: DataFrame) -> DataFrame:
+    """Per-target anchor-text index: what the web CALLS each url.
+
+    Returns (target_url, n_refs, n_src_hosts, top_anchor) — reference
+    count, distinct referring hosts, and the modal anchor text (ties
+    broken by count desc then anchor asc, so the result is total-order
+    deterministic). Two-level aggregate: (target, anchor) counts are
+    map-side combined, then a per-target window picks the mode — the
+    same shape as vocab_docfreq, safe at 10^12 edges. Empty anchors
+    (image links) are excluded from the mode but counted as references.
+    """
+    from pyspark.sql import Window
+
+    base = outlinks.select(
+        "target_url",
+        url_host(F.col("url")).alias("src_host"),
+        F.col("anchor_text"),
+    )
+    stats = base.groupBy("target_url").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.desc("n_anchor"), F.asc("anchor_text")
+    )
+    modal = (
+        base.filter(F.col("anchor_text") != "")
+        .groupBy("target_url", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n_anchor"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("target_url", F.col("anchor_text").alias("top_anchor"))
+    )
+    return stats.join(modal, "target_url", "left")
 
 
 def host_graph(outlinks: DataFrame) -> DataFrame:

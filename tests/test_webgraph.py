@@ -104,6 +104,18 @@ class TestParseOutlinks:
         assert parse_outlinks(_Huge(b"<a href='/x'>y</a>"), BASE) == []
 
 
+def parse_outlinks_text_probe():
+    from pyocr_spark.core.links import parse_outlinks_text
+
+    html = _page(
+        '<a href="/a">first <b>link</b></a>'
+        '<a href="/b"><img src="i.png"></a>'
+        '<a href="/c">nested closes <a>implicit</a>'
+        '<a href="/d">unclosed  trailing\nanchor'
+    )
+    return parse_outlinks_text(html, BASE)
+
+
 def _pagerank_reference(
     edges: list[tuple[str, str]], iterations: int, scale: int = 10**12
 ) -> dict[str, int]:
@@ -204,13 +216,13 @@ class TestSparkGraph:
         links = spark.createDataFrame(
             pd.DataFrame(
                 [
-                    ("https://a.com/1", 0, "https://b.com/x"),
-                    ("https://a.com/1", 1, "https://b.com/y"),
-                    ("https://a.com/2", 0, "https://a.com/3"),  # self-host edge kept
-                    ("https://user@a.com:8443/4", 0, "https://B.COM/z"),  # normalize
-                    ("not-a-url", 0, "https://b.com/x"),  # no host → dropped
+                    ("https://a.com/1", 0, "https://b.com/x", "x"),
+                    ("https://a.com/1", 1, "https://b.com/y", "y"),
+                    ("https://a.com/2", 0, "https://a.com/3", ""),  # self-host edge kept
+                    ("https://user@a.com:8443/4", 0, "https://B.COM/z", "z"),  # normalize
+                    ("not-a-url", 0, "https://b.com/x", "x"),  # no host → dropped
                 ],
-                columns=["url", "link_idx", "target_url"],
+                columns=["url", "link_idx", "target_url", "anchor_text"],
             )
         )
         got = {
@@ -218,6 +230,38 @@ class TestSparkGraph:
             for r in host_graph(links).collect()
         }
         assert got == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
+
+    def test_anchor_text_index(self, spark):
+        from pyocr_spark.operators.webgraph import anchor_text_index
+
+        links = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://a.com/1", 0, "https://t.com/p", "click here"),
+                    ("https://a.com/2", 0, "https://t.com/p", "the paper"),
+                    ("https://b.com/1", 0, "https://t.com/p", "the paper"),
+                    ("https://b.com/2", 0, "https://t.com/p", ""),  # image link
+                    ("https://b.com/3", 0, "https://t.com/q", ""),  # only-empty target
+                ],
+                columns=["url", "link_idx", "target_url", "anchor_text"],
+            )
+        )
+        got = {r["target_url"]: r for r in anchor_text_index(links).collect()}
+        p = got["https://t.com/p"]
+        assert (p["n_refs"], p["n_src_hosts"], p["top_anchor"]) == (4, 2, "the paper")
+        q = got["https://t.com/q"]
+        assert (q["n_refs"], q["n_src_hosts"], q["top_anchor"]) == (1, 1, None)
+
+    def test_anchor_text_parsed(self):
+        got = parse_outlinks_text_probe()
+        assert got == [
+            ("https://host.example.com/a", "first link"),
+            ("https://host.example.com/b", ""),  # image-only anchor
+            # the nested (href-less) <a> implicitly closed /c first, so
+            # its text stops before "implicit"
+            ("https://host.example.com/c", "nested closes"),
+            ("https://host.example.com/d", "unclosed trailing anchor"),
+        ]
 
     def test_extract_plan_is_narrow_and_pruned(self, spark, pages_sf0001):
         from pyocr_spark.operators.webgraph import extract_outlinks
