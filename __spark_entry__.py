@@ -407,6 +407,12 @@ def _q_doc_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def _q_doc_bm25(spark, sf_dir):
+    from pyocr_spark.functions.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=10)
+
+
 def _q_docs_lang_pivot(spark, sf_dir):
     from pyocr_spark.functions.text_stats import source_lang_matrix
 
@@ -1022,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_stats": _q_corpus_length_stats,
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
+        "doc_bm25": _q_doc_bm25,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -1154,7 +1161,35 @@ def _embedding_dups_lsh_sql() -> str:
     )
 
 
-_MINHASH_SIG_SQL = "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS g FROM words) SELECT doc_id, seed, list_min(list_transform(g, s -> CAST(('0x' || substr(md5(s || ':' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT))) AS minhash FROM sh, generate_series(0, 15) t(seed)"
+_BM25_QUERY = ("spark", "customer", "window")
+
+# BM25 oracle: same expression shape/parenthesization as functions/search.py
+# (IEEE doubles evaluate identically when the tree matches); constants embed
+# via repr() so both engines parse the exact same doubles; per-term scores go
+# to BIGINT micro-units BEFORE the per-doc sum (order-free integer addition).
+_BM25_SQL = (
+    "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+    "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+    "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+    "base AS (SELECT doc_id, len(w) AS dl, "
+    f"list_filter(w, t -> t IN {_BM25_QUERY!r}) AS q FROM tok), "
+    "stats AS (SELECT count(*) AS n_docs, "
+    "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base), "
+    "m AS (SELECT doc_id, dl, unnest(q) AS token FROM base), "
+    "per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, "
+    "max(dl) AS dl FROM m GROUP BY 1, 2), "
+    "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY token), "
+    "scored AS (SELECT doc_id, CAST(round("
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+    f"((tf * {1.2 + 1.0!r}) / (tf + {1.2!r} * (1.0 - {0.75!r} + {0.75!r} * (dl / avgdl)))) "
+    "* 1000000.0, 0) AS BIGINT) AS term_micro "
+    "FROM per JOIN dfreq USING (token), stats) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, "
+    "CAST(sum(term_micro) AS BIGINT) AS score_micro "
+    "FROM scored GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 10"
+)
+
+_MINHASH_SIG_SQL ="WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS g FROM words) SELECT doc_id, seed, list_min(list_transform(g, s -> CAST(('0x' || substr(md5(s || ':' || CAST(seed AS VARCHAR)),1,15)) AS BIGINT))) AS minhash FROM sh, generate_series(0, 15) t(seed)"
 
 _MINHASH_PAIRS_SQL = (
     f"WITH sig AS ({_MINHASH_SIG_SQL}), "
@@ -1540,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rn "
             "FROM scored) WHERE rn <= 5"
         ),
+        "doc_bm25": _BM25_SQL,
         "docs_decontam": (
             # Same 3-gram builder as the ngram_jaccard oracle; eval slice =
             # doc_id % 97 == 0, corpus = the rest (mirrors _q_docs_decontam).

@@ -1,0 +1,117 @@
+"""Ranked retrieval over the corpus: BM25 top-k search.
+
+Completes the text-analysis substrate (vocab_docfreq -> IDF -> tfidf_topk)
+with the op a corpus user actually runs: "give me the k best documents for
+this query". pyocr itself has no search surface (SURVEY.md section 2.7 —
+no joins/aggregations in the reference); this is an engine addition in the
+section 2.8 text-analysis family.
+
+Scale shape (10^12 docs):
+  * ONE narrow pass computes per-doc length (``F.size`` on the token
+    array — no explode, no aggregate) AND the query-term-filtered token
+    array, so only matching tokens are ever exploded. At web scale the
+    explode output is |query| x matching-docs rows, not corpus tokens.
+  * (doc, term) tf aggregates with map-side combine; per-term docfreq is
+    a second rollup of that already-unique table (<= |query| rows) and
+    broadcasts back — no big-big join anywhere.
+  * Corpus stats (N, avgdl) ride in as a broadcast 1-row aggregate, not
+    a driver collect.
+  * Global top-k is orderBy+limit => TakeOrderedAndProject (per-partition
+    heaps, no full sort).
+
+Determinism contract (the oracle gate hashes values): per-(doc,term) BM25
+partial scores are converted to BIGINT micro-units (round half-away, x1e6)
+BEFORE the per-doc sum, the integer-PageRank trick (operators/webgraph.py)
+— integer addition is order-free, so the score is bit-identical across
+partitionings, shuffle orders, and engines. Float inputs to the per-term
+score are themselves engine-exact: tf/df/dl are integers, avgdl is an
+exact long-sum divided once, and ln() of an identical double agrees
+bitwise between the JVM and DuckDB (the tfidf_topk precedent). The final
+ordering (score_micro DESC, doc_id) is total, so the k-cut cannot flip.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for ``query`` under BM25 (Lucene's formulation).
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    summed in BIGINT micro-units per the module contract. Documents
+    matching no query term are excluded (score would be 0).
+
+    Returns (doc_id, n_terms, score_micro) — n_terms = distinct query
+    terms present, score_micro = BM25 * 1e6 as BIGINT.
+    """
+    if not query:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    is_query_term = lambda t: reduce(or_, [t == F.lit(q) for q in query])  # noqa: E731
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, is_query_term).alias("qtoks"),
+    )
+    # exact avgdl: long sum / count, ONE double division (oracle twin:
+    # CAST(sum AS DOUBLE)/count) — never avg(), whose internal accumulation
+    # DuckDB implements differently.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    per = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("qtoks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    # docfreq as a window over the already-(doc,term)-unique table: a second
+    # tiny shuffle of matched rows only. A groupBy+join-back here would make
+    # Catalyst re-plan (and re-SCAN) the whole corpus subtree — no CSE across
+    # a shared aggregate — tripling full-table scans at 10^12 docs.
+    per = per.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    term_score = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    scored = (
+        per.join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(term_score * F.lit(1_000_000.0), 0)
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
+    )

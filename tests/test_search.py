@@ -1,0 +1,81 @@
+"""BM25 ranked retrieval vs an independent pure-Python reference model."""
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from pyocr_spark.functions.search import bm25_topk
+
+DOCS = [
+    (0, "spark shuffle spark join window", "en", "s0"),
+    (1, "window window window table scan", "en", "s0"),
+    (2, "customer order totals customer", "en", "s1"),
+    (3, "the quick brown fox", "en", "s1"),
+    (4, "spark", "en", "s2"),
+    (5, "  spark\tcustomer  window spark ", "en", "s2"),  # messy whitespace
+    (6, "", "en", "s2"),  # empty doc: counts for N/avgdl, never matches
+    (7, "scan scan scan scan scan scan scan scan", "en", "s3"),
+]
+QUERY = ("spark", "customer", "window")
+
+
+def _round_micro(x: float) -> int:
+    # Spark round(double, 0) = BigDecimal.valueOf(d).setScale(0, HALF_UP),
+    # i.e. HALF_UP on the shortest decimal rendering — mirror exactly.
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _reference(docs, query, k=10, k1=1.2, b=0.75):
+    toks = {d[0]: [t for t in re.split(r"[\t\n\f\r ]+", d[1].strip("\t\n\f\r ")) if t] for d in docs}
+    n = len(docs)
+    avgdl = float(sum(len(t) for t in toks.values())) / n
+    tf = {(i, q): ts.count(q) for i, ts in toks.items() for q in query if q in ts}
+    df = {q: sum(1 for i in toks if (i, q) in tf) for q in query}
+    agg = {}
+    for (i, q), f in tf.items():
+        idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+        score = idf * ((f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * (len(toks[i]) / avgdl))))
+        nt, s = agg.get(i, (0, 0))
+        agg[i] = (nt + 1, s + _round_micro(score * 1_000_000.0))
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return [(i, nt, s) for i, (nt, s) in ranked]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+def test_bm25_matches_reference_model(spark, docs_df):
+    got = [tuple(r) for r in bm25_topk(docs_df, QUERY, k=10).collect()]
+    assert got == _reference(DOCS, QUERY, k=10)
+
+
+def test_bm25_ranking_sanity(spark, docs_df):
+    rows = bm25_topk(docs_df, QUERY, k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 6 not in ids and 3 not in ids and 7 not in ids  # no query term
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[5].n_terms == 3  # hits all three terms despite messy ws
+    # doc 5 matches every term; docs hitting one term can't outrank it
+    assert ids[0] == 5
+    micros = [r.score_micro for r in rows]
+    assert micros == sorted(micros, reverse=True)
+
+
+def test_bm25_bit_identical_across_partitionings(spark, docs_df):
+    a = bm25_topk(docs_df.repartition(1), QUERY, k=10).collect()
+    b = bm25_topk(docs_df.repartition(7, "doc_id"), QUERY, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_k_cut_and_empty_query(spark, docs_df):
+    assert bm25_topk(docs_df, QUERY, k=2).count() == 2
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, ())
+
+
+def test_bm25_no_matches_is_empty(spark, docs_df):
+    assert bm25_topk(docs_df, ("zzzznope",), k=5).count() == 0
