@@ -289,6 +289,28 @@ def _q_lines_dedup(spark, sf_dir):
     return line_dedup(ext, text_col="extracted_text", id_col="url", max_docfreq=1)
 
 
+_BLOOM_M, _BLOOM_K = 1 << 14, 4
+
+
+def _q_bloom_seen_filter(spark, sf_dir):
+    """Bloom seen-set over the 'previous crawl' slice's content digests."""
+    from pyocr_spark.operators.bloom import bloom_build
+
+    seen = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return bloom_build(seen, F.md5(F.col("text")), _BLOOM_M, _BLOOM_K)
+
+
+def _q_bloom_probe_docs(spark, sf_dir):
+    """Probe every document's digest against the seen-set filter."""
+    from pyocr_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    flt = bloom_build(
+        docs.filter(F.col("doc_id") % 3 == 0), F.md5(F.col("text")), _BLOOM_M, _BLOOM_K
+    )
+    return bloom_probe(flt, docs, F.md5(F.col("text")), "doc_id", _BLOOM_M, _BLOOM_K)
+
+
 def _q_crawl_delta(spark, sf_dir):
     """Per-url recrawl classification (operators/snapshot.py): drives
     incremental re-extraction — only changed/new urls re-enter the
@@ -1019,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
         "lines_dedup": _q_lines_dedup,
         "crawl_delta": _q_crawl_delta,
+        "bloom_seen_filter": _q_bloom_seen_filter,
+        "bloom_probe_docs": _q_bloom_probe_docs,
         "url_normalize": _q_url_normalize,
         "pages_host_filter": _q_pages_host_filter,
         "incremental_extract": _q_incremental_extract,
@@ -1160,6 +1184,30 @@ def _embedding_dups_lsh_sql() -> str:
         "SELECT left_id, right_id, cosine FROM pr WHERE cosine >= 0.4"
     )
 
+
+# Bloom filter oracle: 32-bit words in BIGINT (bit 63 would overflow DuckDB's
+# checked <<), portable md5 positions, seeds as the same '0'..'3' strings the
+# Spark side concatenates. The shared CTEs build the filter from the
+# doc_id%3=0 'previous crawl' slice keyed by content digest md5(text).
+_BLOOM_CTES = (
+    "seen AS (SELECT md5(text) AS key FROM documents WHERE doc_id % 3 = 0), "
+    "p AS (SELECT CAST(('0x' || substr(md5(key || ':' || i), 1, 15)) AS BIGINT) % 16384 AS pos "
+    "FROM seen, (VALUES ('0'), ('1'), ('2'), ('3')) t(i)), "
+    "flt AS (SELECT pos // 32 AS word_idx, "
+    "CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS bits "
+    "FROM p GROUP BY 1)"
+)
+_BLOOM_FILTER_SQL = f"WITH {_BLOOM_CTES} SELECT word_idx, bits FROM flt"
+_BLOOM_PROBE_SQL = (
+    f"WITH {_BLOOM_CTES}, "
+    "pr AS (SELECT doc_id, CAST(('0x' || substr(md5(md5(text) || ':' || i), 1, 15)) AS BIGINT) % 16384 AS pos "
+    "FROM documents, (VALUES ('0'), ('1'), ('2'), ('3')) t(i)), "
+    "pj AS (SELECT doc_id, pos // 32 AS word_idx, "
+    "CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask FROM pr), "
+    "j AS (SELECT doc_id, (coalesce(bits, 0) & mask) != 0 AS hit "
+    "FROM pj LEFT JOIN flt USING (word_idx)) "
+    "SELECT doc_id, bool_and(hit) AS maybe_seen FROM j GROUP BY doc_id"
+)
 
 _BM25_QUERY = ("spark", "customer", "window")
 
@@ -1401,6 +1449,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept "
             "FROM src s LEFT JOIN agg a USING (url)"
         ),
+        "bloom_seen_filter": _BLOOM_FILTER_SQL,
+        "bloom_probe_docs": _BLOOM_PROBE_SQL,
         "crawl_delta": (
             f"WITH v AS (SELECT url, coalesce(CAST(floor(epoch(warc_ts)) AS BIGINT), 0) AS ts, "
             f"md5(lower(hex(coalesce(html, ''::BLOB)))) AS h "

@@ -1,0 +1,124 @@
+"""Mergeable Bloom-filter seen-sets for crawl hygiene.
+
+The canonical 10^12-scale use: "has this URL / content digest been crawled
+before?" without materializing a join against the full history. The filter
+is a DataFrame of packed bit words — (word_idx BIGINT, bits BIGINT) — so it
+
+  * builds with ONE shuffle (groupBy word_idx + ``bit_or``, map-side
+    combined: each mapper emits at most one row per word it touched);
+  * merges across crawl snapshots by union + the same ``bit_or`` rollup
+    (Bloom union is exact — build(A ∪ B) == merge(build(A), build(B)),
+    property-tested);
+  * probes via an equi-join on word_idx — broadcast when m is small
+    (2^20 bits = 32K rows), shuffle join when a 10^11-key filter needs
+    m in the 2^40 range.
+
+Words are 32 BITS stored in BIGINT: bit 63 would overflow DuckDB's checked
+``<<`` (and flip signs), while 32-bit masks stay positive and bit-identical
+in both engines — the filter table itself carries an exact SQL oracle.
+
+Hashing is the repo's portable 60-bit md5 scheme (operators/dedup.py
+``_portable_hash64``): position_i = h64(key || ':' || i) % m_bits. No
+false negatives ever (property-tested); the false-positive rate follows
+(1 - e^(-k*n/m))^k — size m at ~10 bits/key for ~1% at k=4.
+
+pyocr has no such surface (SURVEY.md section 2.7 — no joins/aggregations);
+engine addition in the section 2.8 crawl-hygiene family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import _portable_hash64
+
+WORD_BITS = 32
+
+
+def _positions(key: Column, m_bits: int, n_hashes: int) -> Column:
+    """Array of n_hashes bit positions in [0, m_bits) for a key."""
+    return F.array(
+        *[
+            F.pmod(
+                _portable_hash64(F.concat(key, F.lit(":"), F.lit(str(i)))),
+                F.lit(m_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _word_and_mask() -> tuple[Column, Column]:
+    """Word index and 32-bit mask expressions over a column named ``pos``.
+
+    SQL-expr form because pyspark's ``F.shiftleft`` only takes a literal
+    shift count, not a Column. ``pos`` is non-negative (pmod), so ``%``
+    and ``>> 5`` are the plain div/mod.
+    """
+    word = F.shiftright(F.col("pos"), 5).alias("word_idx")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))")
+    return word, mask
+
+
+def bloom_build(
+    df: DataFrame, key: Column, m_bits: int = 1 << 14, n_hashes: int = 4
+) -> DataFrame:
+    """Build the filter: (word_idx, bits), one row per non-zero word.
+
+    Sparse representation — words no key touched are absent (treated as 0
+    by probe/merge), so an oversized m costs nothing on disk.
+    """
+    if m_bits % WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    pos = F.explode(_positions(key, m_bits, n_hashes)).alias("pos")
+    word, mask = _word_and_mask()
+    return (
+        df.select(pos)
+        .select(word, mask.alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union of seen-sets — exact for Bloom filters built with the same
+    (m_bits, n_hashes)."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    filter_df: DataFrame,
+    df: DataFrame,
+    key: Column,
+    id_col: str,
+    m_bits: int = 1 << 14,
+    n_hashes: int = 4,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Membership probe: (id_col, maybe_seen).
+
+    maybe_seen=false is definitive (no false negatives); true is
+    probabilistic at the filter's FP rate. Left-join on word_idx per
+    position (missing word => bits 0 => miss), then bool_and over the
+    key's n_hashes positions — one shuffle on id_col, plus the join
+    (free when ``broadcast``).
+    """
+    pos = F.explode(_positions(key, m_bits, n_hashes)).alias("pos")
+    word, mask = _word_and_mask()
+    probes = df.select(F.col(id_col), pos).select(
+        F.col(id_col), word, mask.alias("mask")
+    )
+    flt = F.broadcast(filter_df) if broadcast else filter_df
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))) != 0
+    return (
+        probes.join(flt, "word_idx", "left")
+        .select(F.col(id_col), hit.alias("hit"))
+        .groupBy(id_col)
+        .agg(F.bool_and("hit").alias("maybe_seen"))
+    )

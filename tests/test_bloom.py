@@ -1,0 +1,60 @@
+"""Bloom-filter seen-set: no false negatives, exact merge, bit-identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.bloom import bloom_build, bloom_merge, bloom_probe
+
+M, K = 1 << 12, 4
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    rows = [(i, f"https://h{i % 17}.example.com/p/{i}") for i in range(200)]
+    return spark.createDataFrame(rows, "id long, url string")
+
+
+def test_no_false_negatives(spark, keys_df):
+    flt = bloom_build(keys_df, F.col("url"), M, K)
+    got = bloom_probe(flt, keys_df, F.col("url"), "id", M, K).collect()
+    assert len(got) == 200 and all(r.maybe_seen for r in got)
+
+
+def test_fp_rate_bounded_and_misses_definitive(spark, keys_df):
+    flt = bloom_build(keys_df, F.col("url"), M, K)
+    other = spark.createDataFrame(
+        [(i, f"https://other.example.com/q/{i}") for i in range(1000)],
+        "id long, url string",
+    )
+    hits = [r.maybe_seen for r in bloom_probe(flt, other, F.col("url"), "id", M, K).collect()]
+    # n=200, m=4096, k=4 => theoretical FP ~ 0.3%; allow generous slack
+    assert sum(hits) < 50
+
+
+def test_merge_equals_build_of_union(spark, keys_df):
+    a = keys_df.filter("id < 100")
+    b = keys_df.filter("id >= 100")
+    merged = bloom_merge(
+        bloom_build(a, F.col("url"), M, K), bloom_build(b, F.col("url"), M, K)
+    )
+    whole = bloom_build(keys_df, F.col("url"), M, K)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bit_identical_across_partitionings(spark, keys_df):
+    a = bloom_build(keys_df.repartition(1), F.col("url"), M, K)
+    b = bloom_build(keys_df.repartition(7, "id"), F.col("url"), M, K)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_masks_stay_positive_32bit(spark, keys_df):
+    rows = bloom_build(keys_df, F.col("url"), M, K).collect()
+    assert rows and all(0 <= r.bits < (1 << 32) for r in rows)
+    assert all(0 <= r.word_idx < M // 32 for r in rows)
+
+
+def test_bad_args(spark, keys_df):
+    with pytest.raises(ValueError):
+        bloom_build(keys_df, F.col("url"), m_bits=100)
+    with pytest.raises(ValueError):
+        bloom_merge()
