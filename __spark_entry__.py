@@ -277,6 +277,31 @@ def _q_pages_dedup_latest(spark, sf_dir):
     return df.select("url", F.col("warc_ts").cast("long").alias("ts_epoch"))
 
 
+def _q_doc_dup_spans(spark, sf_dir):
+    """Cross-document duplicate 10-token spans (Lee-et-al-style exact
+    substring dedup, fingerprint relaxation) over documents."""
+    from pyocr_spark.operators.spandedup import dup_spans
+
+    out = dup_spans(_docs(spark, sf_dir), window=10)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "dup_windows",
+        "dup_tokens",
+    )
+
+
+def _q_extract_charset(spark, sf_dir):
+    """Per-url sniffed charset (BOM / meta declaration / utf-8 fallback) —
+    the decode leg of extraction, checked against the Python oracle's
+    expected_charset table."""
+    from pyocr_spark.functions.extract import charset_udf
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    pages = dedup_latest_page(_pages(spark, sf_dir))
+    return pages.select("url", charset_udf()(F.col("html")).alias("charset"))
+
+
 def _q_lines_dedup(spark, sf_dir):
     """Composed CCNet-style boilerplate removal: real extraction feeding
     line-level corpus dedup (operators/linededup.py) — lines shared by
@@ -1020,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
         "extract_text": _q_extract_text,
+        "extract_charset": _q_extract_charset,
         "extract_digits": _q_extract_digits,
         "extract_words": _q_extract_words,
         "extract_lines": _q_extract_lines,
@@ -1053,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_bm25": _q_doc_bm25,
+        "doc_dup_spans": _q_doc_dup_spans,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -1345,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
     E = EXPECTED_001
     return {
         "extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
+        "extract_charset": f"SELECT url, charset FROM read_parquet('{E}/expected_charset.parquet')",
         "extract_digits": f"SELECT url, digits_text FROM read_parquet('{E}/expected_digits.parquet')",
         "extract_words": (
             f"SELECT url, idx, content, x1, y1, x2, y2, confidence "
@@ -1626,6 +1654,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) WHERE rn <= 5"
         ),
         "doc_bm25": _BM25_SQL,
+        "doc_dup_spans": (
+            # Same tokenize + portable-md5 fingerprint discipline as the
+            # dedup family; windows w[i:i+9] = 10 tokens; dup iff the
+            # fingerprint spans >= 2 distinct docs; interval-union via the
+            # running prev-max-end window (all-integer, order-free).
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "base AS (SELECT doc_id, w, len(w) AS n_tokens FROM tok), "
+            "wins AS (SELECT doc_id, n_tokens, i AS pos, "
+            "CAST(('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15)) AS BIGINT) AS fp "
+            "FROM base, LATERAL unnest(generate_series(1, n_tokens - 9)) t(i) "
+            "WHERE n_tokens >= 10), "
+            "d AS (SELECT doc_id, n_tokens, pos, "
+            "min(doc_id) OVER (PARTITION BY fp) != max(doc_id) OVER (PARTITION BY fp) AS is_dup "
+            "FROM wins), "
+            "dd AS (SELECT doc_id, n_tokens, pos FROM d WHERE is_dup), "
+            "m AS (SELECT doc_id, n_tokens, pos, coalesce(max(pos + 10) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos) AS prev_max "
+            "FROM dd) "
+            "SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS dup_windows, "
+            "CAST(sum(GREATEST(0, pos + 10 - GREATEST(pos, prev_max))) AS BIGINT) AS dup_tokens "
+            "FROM m GROUP BY doc_id"
+        ),
         "docs_decontam": (
             # Same 3-gram builder as the ngram_jaccard oracle; eval slice =
             # doc_id % 97 == 0, corpus = the rest (mirrors _q_docs_decontam).

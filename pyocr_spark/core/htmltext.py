@@ -9,9 +9,15 @@ assembles into every output mode.
 
 All rules frozen (tests/fixtures/page_plain.html):
 
-- decode: ``html.decode("utf-8", errors="replace")`` — U+FFFD insertion,
-  byte-for-byte as pyocr's ``codecs.open(..., errors='replace')``
-  (``pyocr/tesseract.py ~L365``; SURVEY.md E14).
+- decode: charset-sniffed ``html.decode(enc, errors="replace")`` — BOM
+  first (UTF-8 / UTF-16 LE/BE), then a ``charset=``/``encoding=``
+  declaration in the first 1024 raw bytes (HTML5's pre-scan window),
+  else UTF-8. latin-1/iso-8859-1/ascii resolve to windows-1252 per the
+  WHATWG encoding spec; unknown labels fall back to UTF-8. U+FFFD
+  insertion on bad input, byte-for-byte as pyocr's
+  ``codecs.open(..., errors='replace')`` (``pyocr/tesseract.py ~L365``;
+  SURVEY.md E14). A page with no BOM and no declaration decodes exactly
+  as the pre-sniff engine did.
 - dropped subtrees: <script> <style> <noscript> <template> <head>
   (always), plus the boilerplate containers <nav> <header> <footer>
   <aside> when ``strip_boilerplate`` (PSM 3/7). Comments ignored.
@@ -32,6 +38,7 @@ All rules frozen (tests/fixtures/page_plain.html):
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from pyocr_spark.core.boxes import Box, LineBox
@@ -51,11 +58,47 @@ BLOCK_TAGS = frozenset(
 VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
 
 
+#: WHATWG-style label resolution (the subset a crawl actually sees).
+#: HTML5 maps latin-1/iso-8859-1/us-ascii to windows-1252; BOM-less
+#: utf-16 labels mean little-endian in browsers.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "latin-1": "cp1252", "latin1": "cp1252",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252",
+    "ascii": "cp1252", "us-ascii": "cp1252",
+    "utf-16": "utf-16-le", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+#: explicit [\t\n\f\r ] class, never \s — frozen tokenizer discipline
+_CHARSET_RE = re.compile(
+    rb"(?i)(?:charset|encoding)[\t\n\f\r ]*=[\t\n\f\r ]*[\"']?([A-Za-z0-9_.:\-]+)"
+)
+
+_SNIFF_WINDOW = 1024
+
+
+def sniff_charset(html: bytes) -> str:
+    """Charset of a raw page: BOM, else ``charset=``/``encoding=`` label in
+    the first 1024 bytes, else utf-8. Returns a Python codec name; the
+    utf-8-sig / utf-16 codecs consume their BOM so U+FEFF never leaks
+    into extracted text."""
+    if html.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if html.startswith(b"\xff\xfe") or html.startswith(b"\xfe\xff"):
+        return "utf-16"  # codec reads byte order from the BOM itself
+    m = _CHARSET_RE.search(html[:_SNIFF_WINDOW])
+    if m:
+        return _CHARSET_ALIASES.get(m.group(1).decode("ascii").lower(), "utf-8")
+    return "utf-8"
+
+
 def decode_replace(html: bytes | str) -> str:
-    """Frozen decode discipline (SURVEY.md E14)."""
+    """Frozen decode discipline (SURVEY.md E14) + charset sniff (module
+    docstring): declaration-free pages decode exactly as plain utf-8."""
     if isinstance(html, str):
         return html
-    return html.decode("utf-8", errors="replace")
+    return html.decode(sniff_charset(html), errors="replace")
 
 
 class _SegmentingParser(HTMLParser):

@@ -205,3 +205,19 @@ def pdf_udf():
         return texts.map(lambda t: None if t is None else text_to_pdf_bytes(t))
 
     return _to_pdf
+
+
+def charset_udf():
+    """Vectorized charset sniff over raw page bytes (core.htmltext
+    .sniff_charset — the decode leg of SURVEY.md E14's discipline, now
+    BOM/meta-aware). O(first 1 KiB) per row; null html → null."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyocr_spark.core.htmltext import sniff_charset
+
+    @pandas_udf("string")
+    def _charset(htmls: pd.Series) -> pd.Series:
+        return htmls.map(lambda b: None if b is None else sniff_charset(bytes(b)))
+
+    return _charset

@@ -1,0 +1,110 @@
+"""Exact duplicate-SPAN detection across documents (substring dedup).
+
+Document-level near-dup (MinHash/SimHash, operators/dedup.py) misses the
+dominant web-corpus failure mode: long VERBATIM passages (licenses,
+boilerplate paragraphs, quoted articles) embedded in otherwise-distinct
+documents. The reference treatment (Lee et al., "Deduplicating Training
+Data Makes Language Models Better", ACL 2022) builds a suffix array to
+find repeated substrings >= 50 tokens; the Spark-native equivalent here is
+the standard fingerprint relaxation of the same criterion:
+
+  * slide a ``window``-token window (stride ``stride``) over each doc's
+    tokens; fingerprint each window with the portable 60-bit md5 hash;
+  * a window is a duplicate span iff its fingerprint occurs in >= 2
+    DISTINCT documents (min(doc) != max(doc) over a fingerprint
+    partition — never a countDistinct);
+  * per doc, merge overlapping duplicate windows into intervals (running
+    prev-max-end window, sessionize-style) and report the union size.
+
+At stride 1 every duplicated run of >= window tokens is found exactly
+(fingerprint collisions aside: 60-bit md5, deterministic and identical in
+the SQL twin). The fingerprint table is corpus-tokens-sized — the honest
+cost of exact substring dedup, same magnitude as the suffix array; stride
+> 1 divides it at the standard recall trade (a run must cover a full
+aligned window to be seen).
+
+Shuffle shape: explode → ONE Exchange on fingerprint (dup marking) →
+ONE Exchange on doc_id (interval merge); the final per-doc rollup reuses
+the doc_id partitioning, so 2 Exchanges total. All integer outputs —
+bit-identical across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+from pyocr_spark.operators.dedup import _portable_hash64
+
+
+def dup_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span stats.
+
+    Returns (doc_id, n_tokens, dup_windows, dup_tokens) for documents with
+    at least one cross-document duplicate window: dup_windows = duplicate
+    window count, dup_tokens = union size of their token intervals (what a
+    span-removal pass would cut).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), toks.alias("w")).select(
+        F.col(id_col),
+        F.col("w"),
+        F.size("w").alias("n_tokens"),
+    )
+    # 1-based window start positions: 1, 1+stride, ... while pos+window-1 <= n
+    pos_seq = F.when(
+        F.col("n_tokens") >= window,
+        F.sequence(
+            F.lit(1), F.col("n_tokens") - F.lit(window - 1), F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        F.col(id_col),
+        F.col("w"),
+        F.col("n_tokens"),
+        F.explode(pos_seq).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("pos"),
+        _portable_hash64(
+            F.array_join(F.slice("w", F.col("pos"), window), " ")
+        ).alias("fp"),
+    )
+    by_fp = Window.partitionBy("fp")
+    dup = wins.withColumn(
+        "is_dup", F.min(id_col).over(by_fp) != F.max(id_col).over(by_fp)
+    ).filter(F.col("is_dup"))
+    # interval union: contribution = end - max(pos, prev running max end)
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(window)
+    prev_max = F.coalesce(F.max(F.col("pos") + F.lit(window)).over(prev), F.col("pos"))
+    contrib = F.greatest(F.lit(0), end - F.greatest(F.col("pos"), prev_max))
+    merged = dup.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        contrib.alias("contrib"),
+    )
+    return (
+        merged.groupBy(id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("contrib").cast("bigint").alias("dup_tokens"),
+        )
+    )

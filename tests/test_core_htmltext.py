@@ -89,3 +89,58 @@ def test_virtual_geometry_grid():
 def test_empty_page():
     assert segment_html(b"") == []
     assert segment_html(b"<html><head><title>x</title></head></html>") == []
+
+
+# --- charset sniffing (decode leg of E14, BOM/meta-aware) ---------------
+
+def test_sniff_charset_rules():
+    from pyocr_spark.core.htmltext import sniff_charset
+
+    assert sniff_charset(b"<html>plain</html>") == "utf-8"
+    assert sniff_charset(b'<meta charset="windows-1252">') == "cp1252"
+    assert sniff_charset(b'<meta charset=ISO-8859-1>') == "cp1252"
+    assert sniff_charset(b'<meta charset = "Latin1">') == "cp1252"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=us-ascii">'
+        )
+        == "cp1252"  # WHATWG: ascii/latin-1 labels mean windows-1252
+    )
+    assert sniff_charset(b'<?xml version="1.0" encoding="UTF-8"?>') == "utf-8"
+    assert sniff_charset(b'<meta charset="no-such-charset-9">') == "utf-8"
+    assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfex\x00") == "utf-16"
+    assert sniff_charset(b"\xfe\xff\x00x") == "utf-16"
+    # declaration outside the 1 KiB pre-scan window is ignored
+    late = b"<html>" + b" " * 1100 + b'<meta charset="windows-1252">'
+    assert sniff_charset(late) == "utf-8"
+
+
+def test_decode_replace_sniffed():
+    assert decode_replace(b'<meta charset="windows-1252"><p>caf\xe9 \x93q\x94</p>') == (
+        '<meta charset="windows-1252"><p>café “q”</p>'
+    )
+    # BOM consumed, never leaks U+FEFF into the text
+    assert decode_replace("hi".encode("utf-8-sig")) == "hi"
+    assert decode_replace(b"\xff\xfe" + "café".encode("utf-16-le")) == "café"
+    # declaration-free invalid utf-8 still decodes with U+FFFD as before
+    assert decode_replace(b"<p>caf\xe9</p>") == "<p>caf�</p>"
+
+
+def test_charset_variant_pages_extract_native_chars():
+    from pyocr_spark.core.oracle import extract_page
+    from pyocr_spark.datagen import build_html
+
+    cp = build_html(23, "alpha beta gamma delta")
+    assert b"\xe9" in cp  # native cp1252 é byte, invalid as utf-8
+    out = extract_page(cp, "en")
+    assert out["status"] == "ok"
+    assert "café “smart” – dash" in out["extracted_text"]
+    assert "�" not in out["extracted_text"]
+
+    u16 = build_html(45, "alpha beta gamma delta")
+    assert u16.startswith(b"\xff\xfe")
+    out16 = extract_page(u16, "en")
+    assert out16["status"] == "ok"
+    assert "utf16 café block" in out16["extracted_text"]
+    assert "�" not in out16["extracted_text"]

@@ -1,0 +1,76 @@
+"""Duplicate-span detection vs an independent Python interval model."""
+
+import re
+
+import pytest
+
+from pyocr_spark.operators.spandedup import dup_spans
+
+SHARED = "one two three four five six seven eight nine ten"  # 10-token passage
+DOCS = [
+    (0, f"alpha beta {SHARED} gamma delta", "en", "s0"),
+    (1, f"{SHARED} zeta eta theta iota kappa", "en", "s0"),
+    (2, "unrelated text with no shared passage at all here", "en", "s1"),
+    (3, f"pre {SHARED} mid {SHARED} post", "en", "s1"),  # passage twice
+    (4, "short doc", "en", "s2"),
+    (5, "", "en", "s2"),
+]
+W = 5
+
+
+def _reference(docs, window=W, stride=1):
+    toks = {d[0]: [t for t in re.split(r"[\t\n\f\r ]+", d[1].strip("\t\n\f\r ")) if t] for d in docs}
+    wins = {}  # fp -> set(doc)
+    per_doc = {}  # doc -> [pos...]
+    for i, ts in toks.items():
+        for p in range(1, len(ts) - window + 2, stride):
+            fp = " ".join(ts[p - 1 : p - 1 + window])
+            wins.setdefault(fp, set()).add(i)
+            per_doc.setdefault(i, []).append((p, fp))
+    out = {}
+    for i, pws in per_doc.items():
+        dup_pos = sorted(p for p, fp in pws if len(wins[fp]) >= 2)
+        if not dup_pos:
+            continue
+        covered, end = 0, 0
+        for p in dup_pos:
+            covered += max(0, p + window - max(p, end if end else p))
+            end = max(end, p + window)
+        out[i] = (len(toks[i]), len(dup_pos), covered)
+    return {i: (i, n, dw, dt) for i, (n, dw, dt) in out.items()}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+def test_dup_spans_matches_reference(spark, docs_df):
+    got = {r.doc_id: tuple(r) for r in dup_spans(docs_df, window=W).collect()}
+    assert got == _reference(DOCS)
+
+
+def test_dup_spans_semantics(spark, docs_df):
+    got = {r.doc_id: r for r in dup_spans(docs_df, window=W).collect()}
+    assert set(got) == {0, 1, 3}  # docs 2/4/5 have no cross-doc span
+    # the shared 10-token passage yields 6 windows of 5, union 10 tokens
+    assert got[0].dup_windows == 6 and got[0].dup_tokens == 10
+    assert got[1].dup_windows == 6 and got[1].dup_tokens == 10
+    # doc 3 contains the passage twice: both occurrences marked
+    assert got[3].dup_tokens == 20
+    assert got[0].n_tokens == 14
+
+
+def test_dup_spans_stride_and_identity(spark, docs_df):
+    s2 = {r.doc_id: tuple(r) for r in dup_spans(docs_df, window=W, stride=2).collect()}
+    assert s2 == _reference(DOCS, stride=2)
+    a = dup_spans(docs_df.repartition(1), window=W).collect()
+    b = dup_spans(docs_df.repartition(5, "doc_id"), window=W).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dup_spans_args(spark, docs_df):
+    with pytest.raises(ValueError):
+        dup_spans(docs_df, window=1)
+    with pytest.raises(ValueError):
+        dup_spans(docs_df, stride=0)
