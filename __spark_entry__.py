@@ -302,6 +302,33 @@ def _q_extract_charset(spark, sf_dir):
     return pages.select("url", charset_udf()(F.col("html")).alias("charset"))
 
 
+def _q_extract_metadata(spark, sf_dir):
+    """Head-metadata surface (core/dom.py): title / description / robots
+    / canonical (urljoin+defrag-resolved) / og:* / html lang, one row per
+    deduped page, checked against the Python oracle's expected_meta."""
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_metadata(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_extract_headings(spark, sf_dir):
+    """Heading-outline surface (h1–h6, document order)."""
+    from pyocr_spark.functions.dom import extract_headings
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_headings(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_extract_tables(spark, sf_dir):
+    """HTML-table cell surface (innermost-table assignment, implicit
+    closures — core/dom.py frozen rules)."""
+    from pyocr_spark.functions.dom import extract_tables
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_tables(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _q_lines_dedup(spark, sf_dir):
     """Composed CCNet-style boilerplate removal: real extraction feeding
     line-level corpus dedup (operators/linededup.py) — lines shared by
@@ -1059,6 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm6": _q_extract_text_psm6,
         "extract_text_psm7": _q_extract_text_psm7,
         "extract_main_density": _q_extract_main_density,
+        "extract_metadata": _q_extract_metadata,
+        "extract_headings": _q_extract_headings,
+        "extract_tables": _q_extract_tables,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
@@ -1428,6 +1458,18 @@ def oracle_sql() -> dict[str, str]:
         "extract_main_density": (
             f"SELECT url, main_text, n_blocks, n_kept "
             f"FROM read_parquet('{E}/expected_main.parquet')"
+        ),
+        "extract_metadata": (
+            f"SELECT url, title, description, robots, canonical, og_title, "
+            f"og_description, html_lang FROM read_parquet('{E}/expected_meta.parquet')"
+        ),
+        "extract_headings": (
+            f"SELECT url, idx, level, text "
+            f"FROM read_parquet('{E}/expected_headings.parquet')"
+        ),
+        "extract_tables": (
+            f"SELECT url, table_idx, row_idx, col_idx, is_header, cell_text "
+            f"FROM read_parquet('{E}/expected_tables.parquet')"
         ),
         "pages_dedup_latest": (
             # floor before CAST: Spark's timestamp->long truncates while a

@@ -1,0 +1,277 @@
+"""DOM-structure extraction: head metadata, heading outline, HTML tables.
+
+The north rule names "DOM heuristics" as a first-class extraction leg
+beside the boilerplate strip (core/htmltext.py) and the density classify
+(core/maincontent.py). This module is the third leg — STRUCTURE rather
+than prose: what a crawl pipeline needs to index a page (title /
+description / canonical), to build a section outline (h1–h6), and to
+lift tabular data out of markup. pyocr itself has no DOM surface (its
+input is pixels — SURVEY.md §2.7 absence table); these are engine
+additions in the same frozen-single-node-oracle discipline as
+maincontent: ONE stdlib parser, called identically by the Spark stage
+(functions/dom.py) and by the datagen expected-table materializer, so
+the driver gate compares the distributed plan against this exact code.
+
+All rules frozen:
+
+- decode: the engine-wide charset-sniffed replace discipline
+  (core/htmltext.decode_replace) — same bytes in, same text out as every
+  other extraction leg.
+- metadata (first occurrence wins, matching how browsers resolve
+  duplicates; attribute matches are case-insensitive, values are
+  whitespace-normalized):
+  * ``title``        — text inside the first <title>;
+  * ``description``  — <meta name=description content=...>;
+  * ``robots``       — <meta name=robots content=...>;
+  * ``canonical``    — <link rel=canonical href=...>, resolved against
+    the page url with the SAME urljoin+defrag rule as outlink extraction
+    (core/links.py) so the two url surfaces cannot drift;
+  * ``og_title`` / ``og_description`` — <meta property="og:...">;
+  * ``html_lang``    — lang attribute of the <html> tag.
+- headings: every <h1>–<h6> outside <script>/<style>/<noscript>/
+  <template> subtrees, document order, whitespace-normalized text;
+  empty headings are dropped. Nothing is stripped by boilerplate rules —
+  an outline legitimately includes the site header's <h1>.
+- tables: cells of every <table> in OPEN (pre-order) order. A cell
+  belongs to the INNERMOST open table; nested tables get their own
+  table_idx and their text never leaks into the parent cell; the nested
+  table acts as a block boundary in the parent cell's text (a single
+  space, then whitespace-normalized). Implicit
+  closures per the HTML5 tree builder: a new <td>/<th> closes an open
+  cell, a new <tr> closes the open row (and cell), </table> closes
+  everything. ``is_header`` is true for <th> cells. Cells with no text
+  are kept (positional gaps matter for tabular data); rows with no
+  cells are not emitted. colspan/rowspan are NOT expanded — col_idx
+  counts cell ELEMENTS, a deliberate v1 bound documented here.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+_SCRIPTISH = frozenset({"script", "style", "noscript", "template"})
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+#: metadata column order — frozen; the Spark DDL, the expected-table
+#: builder and the oracle SQL all derive from this one list
+META_FIELDS = (
+    "title",
+    "description",
+    "robots",
+    "canonical",
+    "og_title",
+    "og_description",
+    "html_lang",
+)
+
+
+def _norm(text: str) -> str:
+    """Whitespace-normalize exactly like the block segmenters: split on
+    the full class, join with single spaces."""
+    return " ".join(text.split())
+
+
+class _Table:
+    __slots__ = ("idx", "row", "col", "in_row", "in_cell", "is_header", "buf")
+
+    def __init__(self, idx: int) -> None:
+        self.idx = idx
+        self.row = -1
+        self.col = -1
+        self.in_row = False
+        self.in_cell = False
+        self.is_header = False
+        self.buf: list[str] = []
+
+
+class _DomParser(HTMLParser):
+    """One pass collecting metadata + headings + table cells."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: dict[str, str | None] = {k: None for k in META_FIELDS}
+        self.headings: list[tuple[int, str]] = []  # (level, text)
+        self.cells: list[tuple[int, int, int, bool, str]] = []
+        self._drop_depth = 0
+        self._title_buf: list[str] | None = None
+        self._title_done = False
+        self._heading_level = 0
+        self._heading_buf: list[str] = []
+        self._tables: list[_Table] = []  # stack of OPEN tables
+        self._n_tables = 0
+
+    # -- helpers ----------------------------------------------------------
+
+    def _set_once(self, key: str, value: str | None) -> None:
+        if value is not None and self.meta[key] is None:
+            v = _norm(value)
+            if v:
+                self.meta[key] = v
+
+    def _close_cell(self, t: _Table) -> None:
+        if t.in_cell:
+            self.cells.append((t.idx, t.row, t.col, t.is_header, _norm("".join(t.buf))))
+            t.in_cell = False
+            t.buf = []
+
+    def _close_table(self) -> None:
+        if self._tables:
+            self._close_cell(self._tables.pop())
+            if self._tables and self._tables[-1].in_cell:
+                self._tables[-1].buf.append(" ")  # block boundary (see open)
+
+    # -- tag handlers -----------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SCRIPTISH:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        a = None
+        if tag in ("meta", "link", "html"):
+            a = {k.lower(): v for k, v in attrs if v is not None}
+        if tag == "html":
+            self._set_once("html_lang", a.get("lang"))
+        elif tag == "meta":
+            name = (a.get("name") or "").lower()
+            prop = (a.get("property") or "").lower()
+            if name == "description":
+                self._set_once("description", a.get("content"))
+            elif name == "robots":
+                self._set_once("robots", a.get("content"))
+            elif prop == "og:title":
+                self._set_once("og_title", a.get("content"))
+            elif prop == "og:description":
+                self._set_once("og_description", a.get("content"))
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels:
+                self._set_once("canonical", a.get("href"))
+        elif tag == "title":
+            if not self._title_done:
+                self._title_buf = []
+        elif tag in _HEADINGS:
+            if self._heading_level:  # implicit close: headings never nest
+                self._end_heading()
+            self._heading_level = int(tag[1])
+            self._heading_buf = []
+        elif tag == "table":
+            if self._tables and self._tables[-1].in_cell:
+                # a nested table is a block boundary in the parent cell:
+                # text before/after it must not glue ("outertail")
+                self._tables[-1].buf.append(" ")
+            t = _Table(self._n_tables)
+            self._n_tables += 1
+            self._tables.append(t)
+        elif self._tables:
+            t = self._tables[-1]
+            if tag == "tr":
+                self._close_cell(t)
+                t.row += 1
+                t.col = -1
+                t.in_row = True
+            elif tag in ("td", "th"):
+                self._close_cell(t)
+                if not t.in_row:  # orphan cell: HTML5 implies a row
+                    t.row += 1
+                    t.col = -1
+                    t.in_row = True
+                t.col += 1
+                t.in_cell = True
+                t.is_header = tag == "th"
+
+    def handle_startendtag(self, tag, attrs):
+        # void elements (meta/link) arrive here too under XHTML-style "/>"
+        if tag in ("meta", "link", "html"):
+            self.handle_starttag(tag, attrs)
+
+    def _end_heading(self) -> None:
+        text = _norm("".join(self._heading_buf))
+        if text:
+            self.headings.append((self._heading_level, text))
+        self._heading_level = 0
+        self._heading_buf = []
+
+    def handle_endtag(self, tag):
+        if tag in _SCRIPTISH:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            if self._title_buf is not None:
+                self._set_once("title", "".join(self._title_buf))
+                self._title_buf = None
+                self._title_done = True
+        elif tag in _HEADINGS:
+            if self._heading_level:
+                self._end_heading()
+        elif self._tables:
+            t = self._tables[-1]
+            if tag == "table":
+                self._close_table()
+            elif tag == "tr":
+                self._close_cell(t)
+                t.in_row = False
+            elif tag in ("td", "th"):
+                self._close_cell(t)
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._title_buf is not None:
+            self._title_buf.append(data)
+        if self._heading_level:
+            self._heading_buf.append(data)
+        if self._tables and self._tables[-1].in_cell:
+            self._tables[-1].buf.append(data)
+
+    def finish(self) -> None:
+        while self._tables:  # unclosed tables at EOF
+            self._close_table()
+        if self._heading_level:
+            self._end_heading()
+
+
+def parse_dom(html: bytes | str, base_url: str | None = None) -> dict:
+    """DOM structure of one page: ``{"meta": {...META_FIELDS},
+    "headings": [(level, text)...], "cells": [(table_idx, row_idx,
+    col_idx, is_header, text)...]}``. Oversized/None input → empty
+    result (same guard as every extraction leg)."""
+    empty = {
+        "meta": {k: None for k in META_FIELDS},
+        "headings": [],
+        "cells": [],
+    }
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return empty
+    parser = _DomParser()
+    try:
+        parser.feed(decode_replace(html))
+        parser.close()
+    except Exception:
+        pass  # tolerate pathological markup: keep what was collected
+    parser.finish()
+    meta = parser.meta
+    if meta["canonical"] is not None and base_url:
+        meta["canonical"] = _resolve_canonical(base_url, meta["canonical"])
+    return {"meta": meta, "headings": parser.headings, "cells": parser.cells}
+
+
+def _resolve_canonical(base_url: str, href: str) -> str | None:
+    """Same resolve+defrag rule as outlinks (core/links.py): urljoin
+    against the page url, drop the fragment, keep http(s) only."""
+    from urllib.parse import urldefrag, urljoin
+
+    try:
+        absolute, _frag = urldefrag(urljoin(base_url, href))
+    except ValueError:
+        return None
+    if absolute.startswith(("http://", "https://")):
+        return absolute
+    return None

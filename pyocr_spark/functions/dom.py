@@ -1,0 +1,93 @@
+"""Spark stages for DOM-structure extraction (core/dom.py).
+
+Same shape as the flagship extraction and the density classify: prune
+to url+html, ONE Arrow-batched ``mapInPandas`` over the frozen
+single-node parser, narrow — file splits provide the parallelism at
+crawl scale, no shuffle anywhere. Each stage parses once and projects
+its slice; a caller that needs all three on the same pages should use
+``extract_dom(pages)`` (one parse per page) and explode/flatten itself
+— the per-surface stages exist because each is independently a
+driver-gated operator.
+
+At 10^12 pages each stage is a single shuffle-free mapPartitions over
+the scan: cost = parse time, scaling = file splits, exactly like
+plans/pipeline.extract_df (PLANS.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from pyocr_spark.core.dom import META_FIELDS
+
+META_DDL = "url string, " + ", ".join(f"{f} string" for f in META_FIELDS)
+HEADINGS_DDL = "url string, idx int, level int, text string"
+TABLES_DDL = (
+    "url string, table_idx int, row_idx int, col_idx int, "
+    "is_header boolean, cell_text string"
+)
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.dom import parse_dom
+
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            m = parse_dom(html, base_url=url)["meta"]
+            rows.append((url, *(m[f] for f in META_FIELDS)))
+        yield pd.DataFrame(rows, columns=["url", *META_FIELDS])
+
+
+def _headings_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.dom import parse_dom
+
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for idx, (level, text) in enumerate(parse_dom(html)["headings"]):
+                rows.append((url, idx, level, text))
+        out = pd.DataFrame(rows, columns=["url", "idx", "level", "text"])
+        out["idx"] = out["idx"].astype("int32")
+        out["level"] = out["level"].astype("int32")
+        yield out
+
+
+def _tables_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.dom import parse_dom
+
+    cols = ["url", "table_idx", "row_idx", "col_idx", "is_header", "cell_text"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for t_idx, r_idx, c_idx, is_h, text in parse_dom(html)["cells"]:
+                rows.append((url, t_idx, r_idx, c_idx, is_h, text))
+        out = pd.DataFrame(rows, columns=cols)
+        for c in ("table_idx", "row_idx", "col_idx"):
+            out[c] = out[c].astype("int32")
+        out["is_header"] = out["is_header"].astype("bool")
+        yield out
+
+
+def extract_metadata(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per page with the frozen head-
+    metadata fields (core/dom.META_FIELDS); canonical resolved against
+    the page url with the outlink urljoin+defrag rule."""
+    return pages.select("url", "html").mapInPandas(_meta_batches, schema=META_DDL)
+
+
+def extract_headings(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, idx, level, text) heading outline,
+    document order carried by idx."""
+    return pages.select("url", "html").mapInPandas(_headings_batches, schema=HEADINGS_DDL)
+
+
+def extract_tables(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per table CELL in document order
+    (innermost-table assignment, HTML5 implicit closures — core/dom.py
+    frozen rules)."""
+    return pages.select("url", "html").mapInPandas(_tables_batches, schema=TABLES_DDL)

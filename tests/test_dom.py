@@ -1,0 +1,206 @@
+"""DOM-structure extraction (core/dom.py): metadata, headings, tables.
+
+Frozen-rule unit tests on hand-built markup, plus a Spark-stage round
+trip; the driver-gate differential (Spark vs datagen expected tables)
+is exercised by scripts/check_oracle.py over the v13 page mix.
+"""
+
+from __future__ import annotations
+
+from pyocr_spark.core.dom import META_FIELDS, parse_dom
+
+
+def meta(html, url="http://ex.com/a/b"):
+    return parse_dom(html, base_url=url)["meta"]
+
+
+class TestMetadata:
+    def test_all_fields(self):
+        html = (
+            b'<html lang="en-US"><head><title> A  Title </title>'
+            b'<meta name="Description" content=" the   desc ">'
+            b'<meta name="robots" content="noindex">'
+            b'<link rel="canonical" href="/canon?x=1#frag">'
+            b'<meta property="og:title" content="OG T">'
+            b'<meta property="og:description" content="OG D">'
+            b"</head><body></body></html>"
+        )
+        m = meta(html)
+        assert m["title"] == "A Title"
+        assert m["description"] == "the desc"  # ws-normalized
+        assert m["robots"] == "noindex"
+        # urljoin against page url + defrag, same rule as outlinks
+        assert m["canonical"] == "http://ex.com/canon?x=1"
+        assert m["og_title"] == "OG T"
+        assert m["og_description"] == "OG D"
+        assert m["html_lang"] == "en-US"
+
+    def test_first_occurrence_wins(self):
+        html = (
+            b"<title>first</title><title>second</title>"
+            b'<meta name="description" content="d1">'
+            b'<meta name="description" content="d2">'
+        )
+        m = meta(html)
+        assert m["title"] == "first"
+        assert m["description"] == "d1"
+
+    def test_absent_fields_are_none(self):
+        m = meta(b"<p>no head</p>")
+        assert all(m[f] is None for f in META_FIELDS)
+
+    def test_empty_values_stay_none(self):
+        m = meta(b'<title>  </title><meta name="description" content="">')
+        assert m["title"] is None and m["description"] is None
+
+    def test_xhtml_self_closing_meta(self):
+        m = meta(b'<meta name="robots" content="nofollow" />')
+        assert m["robots"] == "nofollow"
+
+    def test_canonical_non_http_dropped(self):
+        assert meta(b'<link rel="canonical" href="ftp://x/y">')["canonical"] is None
+
+    def test_canonical_rel_list(self):
+        m = meta(b'<link rel="alternate canonical" href="http://c.com/p#s">')
+        assert m["canonical"] == "http://c.com/p"
+
+    def test_title_entity_refs(self):
+        assert meta(b"<title>A &amp; B</title>")["title"] == "A & B"
+
+
+class TestHeadings:
+    def test_document_order_and_levels(self):
+        html = b"<h1>One</h1><p>x</p><h3> Three  deep </h3><h2>Two</h2>"
+        assert parse_dom(html)["headings"] == [
+            (1, "One"),
+            (3, "Three deep"),
+            (2, "Two"),
+        ]
+
+    def test_empty_heading_dropped(self):
+        assert parse_dom(b"<h2>   </h2><h4>k</h4>")["headings"] == [(4, "k")]
+
+    def test_script_subtree_excluded(self):
+        html = b"<script><h1>fake</h1></script><h1>real</h1>"
+        assert parse_dom(html)["headings"] == [(1, "real")]
+
+    def test_unclosed_heading_at_eof(self):
+        assert parse_dom(b"<h5>tail")["headings"] == [(5, "tail")]
+
+    def test_heading_never_nests(self):
+        # a new <h*> implicitly closes the open one (browser behavior)
+        html = b"<h1>outer<h2>inner</h2>"
+        assert parse_dom(html)["headings"] == [(1, "outer"), (2, "inner")]
+
+    def test_inline_markup_inside_heading(self):
+        assert parse_dom(b"<h1>a <em>b</em> c</h1>")["headings"] == [(1, "a b c")]
+
+
+class TestTables:
+    def test_basic_grid(self):
+        html = (
+            b"<table><tr><th>k</th><th>v</th></tr>"
+            b"<tr><td>a</td><td>1</td></tr></table>"
+        )
+        assert parse_dom(html)["cells"] == [
+            (0, 0, 0, True, "k"),
+            (0, 0, 1, True, "v"),
+            (0, 1, 0, False, "a"),
+            (0, 1, 1, False, "1"),
+        ]
+
+    def test_implicit_closures(self):
+        # no </td>, no </tr>: new td closes cell, new tr closes row
+        html = b"<table><tr><td>a<td>b<tr><td>c</table>"
+        assert parse_dom(html)["cells"] == [
+            (0, 0, 0, False, "a"),
+            (0, 0, 1, False, "b"),
+            (0, 1, 0, False, "c"),
+        ]
+
+    def test_nested_table_innermost_assignment(self):
+        html = (
+            b"<table><tr><td>outer"
+            b"<table><tr><td>inner</td></tr></table>"
+            b"tail</td><td>next</td></tr></table>"
+        )
+        cells = parse_dom(html)["cells"]
+        # inner table closes first (cell emitted on </table>), then the
+        # outer cell; inner text never leaks into the outer cell
+        assert (1, 0, 0, False, "inner") in cells
+        outer = [c for c in cells if c[0] == 0]
+        assert outer == [(0, 0, 0, False, "outer tail"), (0, 0, 1, False, "next")]
+
+    def test_orphan_cell_implies_row(self):
+        assert parse_dom(b"<table><td>x</td></table>")["cells"] == [
+            (0, 0, 0, False, "x")
+        ]
+
+    def test_empty_cell_kept(self):
+        html = b"<table><tr><td></td><td>b</td></tr></table>"
+        assert parse_dom(html)["cells"] == [
+            (0, 0, 0, False, ""),
+            (0, 0, 1, False, "b"),
+        ]
+
+    def test_unclosed_table_at_eof(self):
+        assert parse_dom(b"<table><tr><td>tail")["cells"] == [(0, 0, 0, False, "tail")]
+
+    def test_sibling_tables_get_distinct_idx(self):
+        html = b"<table><tr><td>a</td></tr></table><table><tr><td>b</td></tr></table>"
+        assert [c[0] for c in parse_dom(html)["cells"]] == [0, 1]
+
+
+class TestGuards:
+    def test_none_and_oversized(self):
+        from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+        for bad in (None, b"x" * (MAX_HTML_BYTES + 1)):
+            out = parse_dom(bad)
+            assert out["headings"] == [] and out["cells"] == []
+            assert all(v is None for v in out["meta"].values())
+
+    def test_bytes_and_str_identical(self):
+        html = '<title>té</title><h1>h</h1>'
+        assert parse_dom(html.encode()) == parse_dom(html)
+
+
+class TestSparkStages:
+    def test_roundtrip_matches_single_node(self, spark, pages_sf0001):
+        import pandas as pd
+
+        from pyocr_spark.functions.dom import (
+            extract_headings,
+            extract_metadata,
+            extract_tables,
+        )
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.sources.pages import read_pages
+
+        pages = dedup_latest_page(read_pages(spark, str(pages_sf0001))).limit(60)
+        local = pages.select("url", "html").toPandas()
+        local["html"] = [None if h is None else bytes(h) for h in local["html"]]
+
+        got_meta = (
+            extract_metadata(pages).toPandas().sort_values("url").reset_index(drop=True)
+        )
+        exp_rows = []
+        for url, html in zip(local["url"], local["html"]):
+            m = parse_dom(html, base_url=url)["meta"]
+            exp_rows.append((url, *(m[f] for f in META_FIELDS)))
+        exp = (
+            pd.DataFrame(exp_rows, columns=["url", *META_FIELDS])
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got_meta, exp)
+
+        # headings + tables: row counts and a content spot-check
+        got_h = extract_headings(pages).toPandas()
+        n_exp_h = sum(
+            len(parse_dom(h)["headings"]) for h in local["html"]
+        )
+        assert len(got_h) == n_exp_h
+        got_t = extract_tables(pages).toPandas()
+        n_exp_t = sum(len(parse_dom(h)["cells"]) for h in local["html"])
+        assert len(got_t) == n_exp_t
