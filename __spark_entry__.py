@@ -329,6 +329,27 @@ def _q_extract_tables(spark, sf_dir):
     return extract_tables(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_pages_robots_gate(spark, sf_dir):
+    """Robots noindex/none gate (operators/metagate.py) over the deduped
+    crawl: pages the publisher opted out of indexing are dropped; the
+    surviving rows carry the robots directive as the audit trail."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.metagate import robots_gate
+
+    return robots_gate(dedup_latest_page(_pages(spark, sf_dir))).select("url", "robots")
+
+
+def _q_pages_canonical_dedup(spark, sf_dir):
+    """Canonical-url mirror collapse (operators/metagate.py): one page
+    per declared rel=canonical target (latest crawl, url tiebreak)."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.metagate import canonical_dedup
+
+    return canonical_dedup(dedup_latest_page(_pages(spark, sf_dir))).select(
+        "url", "canonical", "canon_key"
+    )
+
+
 def _q_lines_dedup(spark, sf_dir):
     """Composed CCNet-style boilerplate removal: real extraction feeding
     line-level corpus dedup (operators/linededup.py) — lines shared by
@@ -1087,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm7": _q_extract_text_psm7,
         "extract_main_density": _q_extract_main_density,
         "extract_metadata": _q_extract_metadata,
+        "pages_robots_gate": _q_pages_robots_gate,
+        "pages_canonical_dedup": _q_pages_canonical_dedup,
         "extract_headings": _q_extract_headings,
         "extract_tables": _q_extract_tables,
         "pages_dedup_latest": _q_pages_dedup_latest,
@@ -1466,6 +1489,30 @@ def oracle_sql() -> dict[str, str]:
         "extract_headings": (
             f"SELECT url, idx, level, text "
             f"FROM read_parquet('{E}/expected_headings.parquet')"
+        ),
+        "pages_robots_gate": (
+            # frozen directive rule: comma split, space trim, lowercase
+            f"SELECT url, robots FROM read_parquet('{E}/expected_meta.parquet') "
+            f"WHERE robots IS NULL OR NOT ("
+            f"list_contains(list_transform(string_split(lower(robots), ','), "
+            f"x -> trim(x)), 'noindex') OR "
+            f"list_contains(list_transform(string_split(lower(robots), ','), "
+            f"x -> trim(x)), 'none'))"
+        ),
+        "pages_canonical_dedup": (
+            # keep-latest per coalesce(canonical, url); expected_meta is
+            # already one row per url (built on the deduped crawl), so
+            # warc_ts joins back from the pages table's max per url
+            f"WITH p AS (SELECT url, max(warc_ts) AS ts "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY url), "
+            f"m AS (SELECT e.url, e.canonical, "
+            f"coalesce(e.canonical, e.url) AS canon_key, p.ts "
+            f"FROM read_parquet('{E}/expected_meta.parquet') e "
+            f"JOIN p ON p.url = e.url) "
+            f"SELECT url, canonical, canon_key FROM ("
+            f"SELECT m.*, row_number() OVER ("
+            f"PARTITION BY canon_key ORDER BY ts DESC, url) AS rn FROM m) "
+            f"WHERE rn = 1"
         ),
         "extract_tables": (
             f"SELECT url, table_idx, row_idx, col_idx, is_header, cell_text "

@@ -73,6 +73,42 @@ def _tables_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def with_dom_meta(pages: DataFrame, fields: tuple[str, ...] = META_FIELDS) -> DataFrame:
+    """Append head-metadata columns to the page rows themselves — the
+    substrate for metadata-driven gates (operators/metagate.py), which
+    must keep the full page row. Same narrow shape as extract_metadata
+    (one mapInPandas over file splits, zero shuffle); all input columns
+    pass through the Arrow boundary untouched, so the stage composes with
+    downstream dedup/extract without a url join (which at 10^12 pages
+    would be a full-crawl shuffle for no reason)."""
+    bad = [f for f in fields if f not in META_FIELDS]
+    if bad:
+        raise ValueError(f"unknown metadata fields: {bad}")
+    for f in fields:
+        if f in pages.columns:
+            raise ValueError(f"column {f!r} already exists on the input")
+    out_schema = ", ".join(
+        [f"{c.name} {c.dataType.simpleString()}" for c in pages.schema.fields]
+        + [f"{f} string" for f in fields]
+    )
+    in_cols = [c.name for c in pages.schema.fields]
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyocr_spark.core.dom import parse_dom
+
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            metas = [
+                parse_dom(html, base_url=url)["meta"]
+                for url, html in zip(pdf["url"], pdf["html"])
+            ]
+            for f in fields:
+                out[f] = pd.Series([m[f] for m in metas], index=out.index, dtype=object)
+            yield out
+
+    return pages.mapInPandas(_batches, schema=out_schema)
+
+
 def extract_metadata(pages: DataFrame) -> DataFrame:
     """pages(url, html, ...) → one row per page with the frozen head-
     metadata fields (core/dom.META_FIELDS); canonical resolved against

@@ -1,0 +1,76 @@
+"""Metadata-driven crawl gates: robots noindex and canonical-url dedup.
+
+Two hygiene steps every crawl corpus applies before training-data use,
+both driven by the head-metadata surface (core/dom.py) rather than the
+url string (operators/urlnorm.py handles that axis):
+
+- ``robots_gate``   — drop pages whose <meta name=robots> carries a
+  ``noindex`` or ``none`` directive. Publishers use it to opt pages out
+  of indexing; a training corpus honors the same signal. Directive
+  parse rule (frozen): split the content on commas, space-trim each
+  token, compare lowercase. Pages with NO robots meta are kept.
+- ``canonical_dedup`` — collapse url-level mirrors: pages that declare
+  the same <link rel=canonical> target are the same logical document
+  even when their urls differ (tracking params, m./www. mirrors,
+  syndication). Key = canonical target if declared, else the page's own
+  url; keep the latest crawl per key (max warc_ts, url tiebreak for
+  determinism across engines).
+
+Shape at 10^12 pages: the metadata columns ride the page rows through
+ONE narrow Arrow stage (functions/dom.with_dom_meta — no url join, no
+shuffle), so robots_gate is shuffle-free; canonical_dedup pays exactly
+one shuffle, on the canonical key — the same shape and cost as the
+url-level keep-latest dedup (operators/dedup.dedup_latest_page), just a
+better key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyocr_spark.functions.dom import with_dom_meta
+
+#: robots directives that exclude a page from the corpus (lowercase)
+NOINDEX_DIRECTIVES = ("noindex", "none")
+
+
+def _robots_excluded(robots: Column) -> Column:
+    """True when the comma-split, space-trimmed, lowercased directive
+    list contains an excluding directive. NULL robots → false (kept)."""
+    toks = F.transform(F.split(F.lower(robots), ","), lambda t: F.trim(t))
+    cond = F.lit(False)
+    for d in NOINDEX_DIRECTIVES:
+        cond = cond | F.array_contains(toks, d)
+    return F.coalesce(cond, F.lit(False))
+
+
+def robots_gate(pages: DataFrame, *, keep_robots_col: bool = True) -> DataFrame:
+    """Drop noindex/none pages; pass everything else through with a
+    ``robots`` column appended (the audit trail — drop it with
+    ``keep_robots_col=False``). Narrow: zero shuffle."""
+    out = with_dom_meta(pages, ("robots",)).filter(~_robots_excluded(F.col("robots")))
+    return out if keep_robots_col else out.drop("robots")
+
+
+def canonical_dedup(pages: DataFrame) -> DataFrame:
+    """Keep one page per canonical target (latest warc_ts, url tiebreak).
+
+    Appends ``canonical`` (the resolved declared target, null when the
+    page declares none) and ``canon_key`` (the dedup key actually used).
+    ONE shuffle, on canon_key; AQE skew-split handles viral canonical
+    targets exactly as it handles hot urls in dedup_latest_page.
+    """
+    with_meta = with_dom_meta(pages, ("canonical",)).withColumn(
+        "canon_key", F.coalesce(F.col("canonical"), F.col("url"))
+    )
+    w = Window.partitionBy("canon_key").orderBy(F.desc("warc_ts"), F.asc("url"))
+    rn = "_rn"
+    while rn in with_meta.columns:
+        rn += "_"
+    return (
+        with_meta.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
+    )

@@ -1,0 +1,128 @@
+"""Metadata-driven crawl gates (operators/metagate.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _pages(spark, rows):
+    """rows: (url, ts_seconds, head_html)"""
+    data = [
+        (
+            url,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts),
+            f"<html><head>{head}</head><body><p>x</p></body></html>".encode(),
+            None,
+            "en",
+        )
+        for url, ts, head in rows
+    ]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+class TestWithDomMeta:
+    def test_passthrough_and_append(self, spark):
+        from pyocr_spark.functions.dom import with_dom_meta
+
+        pages = _pages(
+            spark,
+            [("http://a/", 1, "<title>A</title>"), ("http://b/", 2, "")],
+        )
+        out = with_dom_meta(pages, ("title", "robots"))
+        assert out.columns == ["url", "warc_ts", "html", "text", "lang", "title", "robots"]
+        got = {r["url"]: r for r in out.collect()}
+        assert got["http://a/"]["title"] == "A"
+        assert got["http://a/"]["robots"] is None
+        assert got["http://b/"]["title"] is None
+        # input columns survive the Arrow round trip
+        assert bytes(got["http://a/"]["html"]).startswith(b"<html>")
+        assert got["http://b/"]["warc_ts"] == dt.datetime(2024, 1, 1, 0, 0, 2)
+
+    def test_unknown_field_refused(self, spark):
+        from pyocr_spark.functions.dom import with_dom_meta
+
+        pages = _pages(spark, [("http://a/", 1, "")])
+        with pytest.raises(ValueError, match="unknown"):
+            with_dom_meta(pages, ("nope",))
+
+    def test_column_collision_refused(self, spark):
+        import pyspark.sql.functions as F
+
+        from pyocr_spark.functions.dom import with_dom_meta
+
+        pages = _pages(spark, [("http://a/", 1, "")]).withColumn("robots", F.lit("x"))
+        with pytest.raises(ValueError, match="already exists"):
+            with_dom_meta(pages, ("robots",))
+
+
+class TestRobotsGate:
+    def test_directive_rule(self, spark):
+        from pyocr_spark.operators.metagate import robots_gate
+
+        pages = _pages(
+            spark,
+            [
+                ("http://keep-null/", 1, ""),
+                ("http://keep-follow/", 1, '<meta name="robots" content="index, follow">'),
+                ("http://drop-noindex/", 1, '<meta name="robots" content="noindex, follow">'),
+                ("http://drop-none/", 1, '<meta name="robots" content=" NONE ">'),
+                ("http://drop-upper/", 1, '<meta name="robots" content="NoIndex">'),
+                # 'noindexfoo' is NOT the noindex token: exact match only
+                ("http://keep-prefix/", 1, '<meta name="robots" content="noindexfoo">'),
+            ],
+        )
+        kept = {r["url"] for r in robots_gate(pages).collect()}
+        assert kept == {"http://keep-null/", "http://keep-follow/", "http://keep-prefix/"}
+
+    def test_robots_col_optional(self, spark):
+        from pyocr_spark.operators.metagate import robots_gate
+
+        pages = _pages(spark, [("http://a/", 1, "")])
+        assert "robots" not in robots_gate(pages, keep_robots_col=False).columns
+        assert "robots" in robots_gate(pages).columns
+
+
+class TestCanonicalDedup:
+    CANON = '<link rel="canonical" href="https://c.example.com/one">'
+
+    def test_mirrors_collapse_latest_wins(self, spark):
+        from pyocr_spark.operators.metagate import canonical_dedup
+
+        pages = _pages(
+            spark,
+            [
+                ("http://m1/", 1, self.CANON),
+                ("http://m2/", 5, self.CANON),  # later crawl wins
+                ("http://solo/", 3, ""),  # no canonical: keyed by own url
+            ],
+        )
+        got = {r["url"]: r for r in canonical_dedup(pages).collect()}
+        assert set(got) == {"http://m2/", "http://solo/"}
+        assert got["http://m2/"]["canon_key"] == "https://c.example.com/one"
+        assert got["http://solo/"]["canonical"] is None
+        assert got["http://solo/"]["canon_key"] == "http://solo/"
+
+    def test_tie_breaks_on_url(self, spark):
+        from pyocr_spark.operators.metagate import canonical_dedup
+
+        pages = _pages(
+            spark,
+            [("http://zz/", 7, self.CANON), ("http://aa/", 7, self.CANON)],
+        )
+        assert [r["url"] for r in canonical_dedup(pages).collect()] == ["http://aa/"]
+
+    def test_relative_canonical_resolves_before_keying(self, spark):
+        from pyocr_spark.operators.metagate import canonical_dedup
+
+        rel = '<link rel="canonical" href="/p#frag">'
+        pages = _pages(
+            spark,
+            [("http://h.com/a?x=1", 1, rel), ("http://h.com/b", 2, rel)],
+        )
+        got = canonical_dedup(pages).collect()
+        assert len(got) == 1
+        assert got[0]["canon_key"] == "http://h.com/p"
