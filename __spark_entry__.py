@@ -1089,6 +1089,26 @@ def _q_embedding_dups_lsh(spark, sf_dir):
     return embedding_cosine_pairs(emb, threshold=0.4, lsh_planes=6)
 
 
+def _q_emb_semdedup(spark, sf_dir):
+    """SemDeDup end product (operators/dedup.semantic_dedup): the
+    embedding table with every LSH-bucketed cosine near-dup cluster
+    collapsed to its min-id representative. Same plane family/threshold
+    as embedding_dups_lsh so the oracle replays the identical buckets."""
+    from pyocr_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.4, lsh_planes=6).select("vec_id", "label")
+
+
+def _q_doc_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy (functions/text_stats.
+    unigram_logprob): per-doc mean negative log-prob under the corpus's
+    own unigram model, BIGINT micro-units before the per-doc sum."""
+    from pyocr_spark.functions.text_stats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
@@ -1131,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_stats": _q_corpus_length_stats,
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
+        "doc_unigram_nll": _q_doc_unigram_nll,
         "doc_bm25": _q_doc_bm25,
         "doc_dup_spans": _q_doc_dup_spans,
         "docs_lang_pivot": _q_docs_lang_pivot,
@@ -1198,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
+        "emb_semdedup": _q_emb_semdedup,
     }
 
 
@@ -1262,6 +1284,29 @@ def _embedding_dups_lsh_sql() -> str:
         "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine "
         "FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id) "
         "SELECT left_id, right_id, cosine FROM pr WHERE cosine >= 0.4"
+    )
+
+
+def _emb_semdedup_sql() -> str:
+    """SemDeDup replay: the embedding_dups_lsh pair SQL (same plane
+    literals, same threshold) -> recursive-CTE connected components ->
+    keep-representative anti-join (the docs_neardup_pruned skeleton)."""
+    sig_v = _plane_sig_sql("CAST(embedding AS DOUBLE[])", 6)
+    return (
+        "WITH RECURSIVE s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        f"{sig_v} AS sig FROM embeddings), "
+        "pr AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id "
+        "FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id "
+        "WHERE round(list_dot_product(l.v, r.v) / "
+        "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.4), "
+        "edges AS (SELECT left_id AS a, right_id AS b FROM pr "
+        "UNION SELECT right_id, left_id FROM pr), "
+        "reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges "
+        "UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node), "
+        "comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node), "
+        "losers AS (SELECT node FROM comps WHERE node != comp) "
+        "SELECT e.vec_id, e.label FROM embeddings e "
+        "ANTI JOIN losers l ON e.vec_id = l.node"
     )
 
 
@@ -1743,6 +1788,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) WHERE rn <= 5"
         ),
         "doc_bm25": _BM25_SQL,
+        # unigram NLL: same tok CTE as BM25; per-token micro-units rounded
+        # BEFORE the tf multiply and per-doc sum (order-free integer math);
+        # mean = ONE double division of exact integers
+        "doc_unigram_nll": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "base AS (SELECT doc_id, len(w) AS n_tokens FROM tok), "
+            "pt AS (SELECT doc_id, unnest(w) AS token FROM tok), "
+            "model AS (SELECT token, count(*) AS cnt FROM pt GROUP BY token), "
+            "tot AS (SELECT count(*) AS t_total FROM pt), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM pt GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, tf * CAST(round((ln(CAST(t_total AS DOUBLE)) - "
+            "ln(CAST(cnt AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS m "
+            "FROM tf JOIN model USING (token) CROSS JOIN tot), "
+            "agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS nll_micro "
+            "FROM sc GROUP BY doc_id) "
+            "SELECT b.doc_id, b.n_tokens, a.nll_micro, "
+            "CAST(a.nll_micro AS DOUBLE) / b.n_tokens AS mean_nll_micro "
+            "FROM base b LEFT JOIN agg a USING (doc_id)"
+        ),
         "doc_dup_spans": (
             # Same tokenize + portable-md5 fingerprint discipline as the
             # dedup family; windows w[i:i+9] = 10 tokens; dup iff the
@@ -2151,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_PAIRS_SQL,
         "ann_topk_lsh": _ann_lsh_sql(),
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),
+        "emb_semdedup": _emb_semdedup_sql(),
         "simhash_portable": "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) AS w FROM documents), hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h FROM words), votes AS (SELECT doc_id, sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0, sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1, sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2, sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3, sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4, sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5, sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6, sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7, sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8, sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9, sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10, sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11, sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12, sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13, sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14, sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15, sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS v16, sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS v17, sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS v18, sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS v19, sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS v20, sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS v21, sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS v22, sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS v23, sum(CASE WHEN (h // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS v24, sum(CASE WHEN (h // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS v25, sum(CASE WHEN (h // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS v26, sum(CASE WHEN (h // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS v27, sum(CASE WHEN (h // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS v28, sum(CASE WHEN (h // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS v29, sum(CASE WHEN (h // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS v30, sum(CASE WHEN (h // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS v31 FROM hashed GROUP BY doc_id) SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS simhash FROM votes",
         "dup_components": _NGRAM_COMPONENTS_SQL,
         "corpus_neardup_pruned": _corpus_neardup_sql(),

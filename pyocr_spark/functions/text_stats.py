@@ -601,3 +601,66 @@ def pii_mask(docs: DataFrame) -> DataFrame:
         n_emails.alias("n_emails"),
         n_numbers.alias("n_numbers"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log-probability under the corpus's own unigram model.
+    Fluent prose is made of common words -> low NLL; gibberish, keyword
+    stuffing, and rare-token soup score high. This is the cheap stand-in
+    for the KenLM perplexity filter (Wenzek et al. 2020) when no external
+    LM ships with the engine — the model IS the corpus.
+
+    Shape at 10^12 docs: ONE (token) aggregate builds the model
+    (map-side combined; vocabulary-sized, NOT broadcast — billions of
+    rows at web scale), ONE (doc, token) aggregate builds the tf table
+    (same two-level shape as vocab_docfreq/tfidf_topk), and the model
+    joins back on token as a shuffle equi-join. The corpus token total
+    rides in as a broadcast 1-row aggregate, never a driver collect.
+
+    Determinism contract (the oracle gate hashes values): per-token
+    ln(T)-ln(cnt) is converted to BIGINT micro-units (round half-away,
+    x1e6) BEFORE the tf multiply and per-doc sum — integer arithmetic is
+    order-free, so nll_micro is bit-identical across partitionings and
+    engines (the BM25/integer-PageRank trick). ln() of identical integer
+    inputs agrees bitwise between the JVM and DuckDB (tfidf precedent).
+    mean_nll_micro is ONE double division of exact integers. Docs with
+    zero tokens keep their row with n_tokens=0 and NULL scores.
+
+    Returns (doc_id, n_tokens, nll_micro, mean_nll_micro).
+    """
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_w"))
+    pt = base.select(id_col, F.explode("_w").alias("token"))
+    model = pt.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = pt.agg(F.count(F.lit(1)).alias("t_total"))
+    tf = pt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    token_micro = (
+        F.round(
+            (F.log(F.col("t_total").cast("double")) - F.log(F.col("cnt").cast("double")))
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("bigint")
+    )
+    scored = (
+        tf.join(model, "token")
+        .join(F.broadcast(total))
+        .select(F.col(id_col), (F.col("tf") * token_micro).alias("m"))
+        .groupBy(id_col)
+        .agg(F.sum("m").alias("nll_micro"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "nll_micro",
+            (F.col("nll_micro").cast("double") / F.col("n_tokens")).alias(
+                "mean_nll_micro"
+            ),
+        )
+    )

@@ -559,3 +559,40 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    lsh_planes: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): the embedding
+    table with every semantic-near-dup cluster collapsed to its min-id
+    representative. The embedding twin of the text-side
+    ``dedup_by_components`` end product — "these documents SAY the same
+    thing", the redundancy class MinHash/SimHash structurally miss
+    (paraphrases share meaning, not shingles).
+
+    Composition of the scale-safe pieces in this module: hyperplane-LSH
+    bucketed cosine pairs (quadratic only WITHIN a sign-signature bucket
+    — an equi-join, never corpus x corpus) -> connected components
+    (near-similarity is transitive at high thresholds in practice) ->
+    anti-join against the non-representative members. At 10^9 vectors
+    every stage is a bounded shuffle; the loser side is semantic-dup
+    mass, so AQE broadcasts the final anti-join once measured small.
+
+    ``lsh_planes`` trades recall for bucket size exactly as in
+    ``embedding_cosine_pairs``; recall < 1 by design (a pair must agree
+    on every plane sign to meet). The exact variant (lsh_planes=0) stays
+    available for oracle-scale inputs via the guarded quadratic baseline.
+    """
+    pairs = embedding_cosine_pairs(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        lsh_planes=lsh_planes,
+    )
+    return dedup_by_components(emb, pairs, id_col=id_col)

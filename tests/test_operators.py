@@ -631,3 +631,36 @@ def test_dedup_latest_page_preserves_caller_rn_column(spark):
     )
     out = dedup_latest_page(pages).collect()
     assert len(out) == 1 and out[0]["_rn"] == 8  # caller's column survives
+
+
+def test_semantic_dedup_collapses_cosine_clusters(spark):
+    from pyocr_spark.operators.dedup import semantic_dedup
+
+    # cluster {1,2,3}: tiny perturbations of one direction (pairwise
+    # cosine ~1); 10 and 11 point elsewhere and survive untouched
+    rows = [
+        (1, [1.0, 0.0, 0.01, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [0.999, 0.0, 0.0, 0.002]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.0, -1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.9, lsh_planes=4).collect()
+    )
+    # LSH recall caveat: identical-direction vectors share every plane
+    # sign, so the {1,2,3} cluster cannot be split by bucketing
+    assert kept == [1, 10, 11]
+
+
+def test_semantic_dedup_exact_variant_matches_lsh_on_trivial_input(spark):
+    from pyocr_spark.operators.dedup import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 1e-6]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(
+        r["vec_id"] for r in semantic_dedup(emb, threshold=0.99, lsh_planes=0).collect()
+    )
+    assert exact == [1, 3]

@@ -536,3 +536,45 @@ def test_rolling_frame_is_inclusive_at_exact_boundary(spark):
     )
     out = {r["event_id"]: r for r in rolling_user_activity(ev, 3600).collect()}
     assert out[2]["n_trailing"] == 2  # exactly-3600s-old row is IN the frame
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    import math
+
+    from pyocr_spark.functions.text_stats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the cat"),
+            (2, "the dog"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+
+    # corpus model: the=3, cat=1, dog=1, T=5 — replicate the exact
+    # integer-micro-unit contract (round half-away BEFORE tf multiply)
+    def micro(cnt, total=5):
+        x = (math.log(total) - math.log(cnt)) * 1_000_000.0
+        return int(math.floor(x + 0.5))
+
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["nll_micro"] == 2 * micro(3) + micro(1)
+    assert out[1]["mean_nll_micro"] == out[1]["nll_micro"] / 3
+    assert out[2]["nll_micro"] == micro(3) + micro(1)
+    # empty doc keeps its row with NULL scores
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["nll_micro"] is None and out[3]["mean_nll_micro"] is None
+
+
+def test_unigram_logprob_rare_token_text_scores_higher(spark):
+    from pyocr_spark.functions.text_stats import unigram_logprob
+
+    common = " ".join(["the cat sat on the mat"] * 5)
+    rare = "zyx qwv jkl pnm bgf dtr"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, rare)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["mean_nll_micro"] for r in unigram_logprob(docs).collect()}
+    assert out[3] > out[1]
