@@ -90,34 +90,59 @@ def anchor_text_index(outlinks: DataFrame) -> DataFrame:
     Returns (target_url, n_refs, n_src_hosts, top_anchor) — reference
     count, distinct referring hosts, and the modal anchor text (ties
     broken by count desc then anchor asc, so the result is total-order
-    deterministic). Two-level aggregate: (target, anchor) counts are
-    map-side combined, then a per-target window picks the mode — the
-    same shape as vocab_docfreq, safe at 10^12 edges. Empty anchors
-    (image links) are excluded from the mode but counted as references.
+    deterministic). Empty anchors (image links) are excluded from the
+    mode but counted as references.
+
+    Single-pass shape: ONE (target, src_host, anchor) aggregate
+    (map-side combined), then every per-target stat as a window over
+    that table — a separate stats-aggregate + join-back would make
+    Catalyst re-plan (and re-EXECUTE) the whole upstream subtree twice,
+    including the outlink-parse UDF over full html (no CSE across
+    shared aggregates — the plan-audit caught exactly that regression
+    here). Two Exchanges total: the 3-key aggregate, then ONE
+    repartition on target_url that serves all three windows (the
+    (target, anchor) window's clustering is satisfied by the target
+    partitioning, so it adds a sort, not a shuffle). Safe at 10^12
+    edges: window state per target is its distinct (host, anchor)
+    combinations, already collapsed by the aggregate.
     """
     from pyspark.sql import Window
 
-    base = outlinks.select(
+    lvl = (
+        outlinks.select(
+            "target_url",
+            url_host(F.col("url")).alias("src_host"),
+            F.col("anchor_text"),
+        )
+        .groupBy("target_url", "src_host", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_t = Window.partitionBy("target_url")
+    w_ta = Window.partitionBy("target_url", "anchor_text")
+    enriched = lvl.select(
         "target_url",
-        url_host(F.col("url")).alias("src_host"),
-        F.col("anchor_text"),
+        "anchor_text",
+        F.sum("c").over(w_t).alias("n_refs"),
+        F.size(F.collect_set("src_host").over(w_t)).alias("n_src_hosts"),
+        F.when(
+            F.col("anchor_text") != "", F.sum("c").over(w_ta)
+        ).alias("n_anchor"),
     )
-    stats = base.groupBy("target_url").agg(
-        F.count(F.lit(1)).alias("n_refs"),
-        F.countDistinct("src_host").alias("n_src_hosts"),
+    pick = Window.partitionBy("target_url").orderBy(
+        F.desc_nulls_last("n_anchor"), F.asc("anchor_text")
     )
-    w = Window.partitionBy("target_url").orderBy(
-        F.desc("n_anchor"), F.asc("anchor_text")
-    )
-    modal = (
-        base.filter(F.col("anchor_text") != "")
-        .groupBy("target_url", "anchor_text")
-        .agg(F.count(F.lit(1)).alias("n_anchor"))
-        .withColumn("_rn", F.row_number().over(w))
+    return (
+        enriched.withColumn("_rn", F.row_number().over(pick))
         .filter(F.col("_rn") == 1)
-        .select("target_url", F.col("anchor_text").alias("top_anchor"))
+        .select(
+            "target_url",
+            "n_refs",
+            "n_src_hosts",
+            F.when(F.col("n_anchor").isNotNull(), F.col("anchor_text")).alias(
+                "top_anchor"
+            ),
+        )
     )
-    return stats.join(modal, "target_url", "left")
 
 
 def host_graph(outlinks: DataFrame) -> DataFrame:

@@ -371,6 +371,74 @@ def main() -> int:
     check("host_graph", "exactly one Python stage (the outlink UDF)",
           len(re.findall(r"^\(\d+\) .*InPandas", p, flags=re.M)) == 1, "")
 
+    # BM25: global top-k must be a partial-heap TakeOrdered, never a full
+    # sort; pair generation must stay an equi-join (no NLJ/cartesian)
+    df = qs["doc_bm25"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_bm25", p))
+    check("doc_bm25", "TakeOrderedAndProject (no full Sort for top-k)",
+          "TakeOrderedAndProject" in p, "")
+    # the 1-row corpus-stats aggregate rides in as a broadcast NLJ by
+    # design (no join key exists for a scalar); only an un-broadcast
+    # cartesian would be a defect
+    check("doc_bm25", "no CartesianProduct (1-row stats broadcast is the only NLJ)",
+          "CartesianProduct" not in p, "")
+
+    # unigram NLL: two-level aggregates must partial-combine map-side;
+    # the model joins back as an equi-join, never a cartesian
+    df = qs["doc_unigram_nll"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_unigram_nll", p))
+    check("doc_unigram_nll", "partial aggregation before exchange",
+          "partial" in p.lower(), "")
+    check("doc_unigram_nll", "no CartesianProduct (1-row total broadcast is the only NLJ)",
+          "CartesianProduct" not in p, "")
+
+    # robots gate: narrow over the dedup window — EXACTLY one Exchange
+    # (the keep-latest window), none added by the gate itself
+    df = qs["pages_robots_gate"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pages_robots_gate", p))
+    n_ex = p.count("Exchange")
+    check("pages_robots_gate", "exactly one Exchange (dedup window) — gate adds none",
+          n_ex == 2, f"Exchange occurrences={n_ex} (2 per physical node)")
+
+    # canonical mirror collapse: exactly TWO Exchanges — the keep-latest
+    # window plus the canon_key window, nothing else
+    df = qs["pages_canonical_dedup"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pages_canonical_dedup", p))
+    n_ex = p.count("Exchange")
+    check("pages_canonical_dedup", "exactly two Exchanges (dedup + canon_key windows)",
+          n_ex == 4, f"Exchange occurrences={n_ex} (2 per physical node)")
+
+    # SemDeDup: pairs must form only inside LSH buckets (equi-join) and the
+    # final prune must be an anti-join — never a cartesian anywhere
+    df = qs["emb_semdedup"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("emb_semdedup", p))
+    check("emb_semdedup", "no cartesian/NLJ (bucketed pairs + anti-join)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("emb_semdedup", "LeftAnti prune join present",
+          "LeftAnti" in p, "")
+
+    # anchor-text index: one Python stage (the outlink parse), everything
+    # downstream JVM-side with map-side-combined aggregation
+    df = qs["anchor_text_index"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("anchor_text_index", p))
+    check("anchor_text_index", "exactly one Python stage (the outlink UDF runs ONCE)",
+          len(re.findall(r"^\(\d+\) .*InPandas", p, flags=re.M)) == 1, "")
+    # three Exchanges end-to-end: the substrate's keep-latest dedup
+    # window, the 3-key aggregate, and ONE target repartition that all
+    # three stat windows share (the (target, anchor) window's clustering
+    # is satisfied by the target partitioning — sort only, no shuffle)
+    n_ex = p.count("Exchange")
+    check("anchor_text_index", "exactly three Exchanges (dedup + 3-key agg + shared target windows)",
+          n_ex == 6, f"Exchange occurrences={n_ex} (2 per physical node)")
+    check("anchor_text_index", "partial aggregation before exchange",
+          "partial" in p.lower(), "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
