@@ -488,13 +488,17 @@ def tfidf_topk(
     / topic-fingerprint op for a training corpus.
 
     Shape: (token, doc) partial counts combine map-side (same two-level
-    aggregate as vocab_docfreq); docfreq is a second rollup of that already
-    (token, doc)-unique table; idf joins back on token as a shuffle
-    equi-join (the docfreq table is corpus-vocabulary-sized, so it is NOT
-    broadcast — at web scale the vocabulary alone can be billions of rows);
-    the corpus doc count rides in as a broadcast of a 1-row aggregate, not
-    a driver-side collect. Top-k per doc is a row_number window over the
-    per-doc partition — bounded work per key, no global sort.
+    aggregate as vocab_docfreq); docfreq is a WINDOW over that already
+    (token, doc)-unique table — the bm25_topk trick. A docfreq
+    groupBy+join-back would make Catalyst re-plan (and re-SCAN) the whole
+    corpus subtree, since there is no CSE across a shared aggregate: the
+    plan audit caught exactly that double-execution in anchor_text_index.
+    The window pays one token-keyed shuffle of the (doc, token)-unique
+    table instead (the join would have shuffled the same rows anyway).
+    The corpus doc count rides in as a broadcast of a 1-row aggregate
+    (a narrow count of the doc spine — no explode), not a driver-side
+    collect. Top-k per doc is a row_number window over the per-doc
+    partition — bounded work per key, no global sort.
 
     Determinism contract for the SQL oracle: the score is rounded to 6
     places BEFORE ranking, and the window orders by (rounded score desc,
@@ -514,10 +518,11 @@ def tfidf_topk(
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )
-    docfreq = per_doc.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        per_doc.join(docfreq, "token")
+        per_doc.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -613,12 +618,21 @@ def unigram_logprob(
     for the KenLM perplexity filter (Wenzek et al. 2020) when no external
     LM ships with the engine — the model IS the corpus.
 
-    Shape at 10^12 docs: ONE (token) aggregate builds the model
-    (map-side combined; vocabulary-sized, NOT broadcast — billions of
-    rows at web scale), ONE (doc, token) aggregate builds the tf table
-    (same two-level shape as vocab_docfreq/tfidf_topk), and the model
-    joins back on token as a shuffle equi-join. The corpus token total
-    rides in as a broadcast 1-row aggregate, never a driver collect.
+    Shape at 10^12 docs: the tokenize+explode subtree (the expensive
+    corpus pass) executes ONCE — a single (doc, token) aggregate
+    (map-side combined), persisted, with the model count as a WINDOW
+    sum over it (the bm25 docfreq trick; one token-keyed shuffle of the
+    already-unique tf table, which the model join-back would have paid
+    anyway) and the corpus token total as a 1-row rollup OF the
+    persisted tf table riding in as a broadcast — never a driver
+    collect. Building model/total/tf as three aggregates over the
+    shared explode would make Catalyst execute that corpus subtree
+    three times (no CSE across shared aggregates — the plan audit
+    caught this shape in anchor_text_index). At deployment the persist
+    is "write the tf table once"; the doc spine for zero-token rows is
+    a separate narrow pass (no explode). Cache lifecycle: the returned
+    plan references the cache lazily, so it is held by the CacheManager
+    until unpersist()/session end — the minhash_lsh_dedup trade-off.
 
     Determinism contract (the oracle gate hashes values): per-token
     ln(T)-ln(cnt) is converted to BIGINT micro-units (round half-away,
@@ -631,12 +645,14 @@ def unigram_logprob(
 
     Returns (doc_id, n_tokens, nll_micro, mean_nll_micro).
     """
+    from pyspark.sql import Window
+
     toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
     base = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_w"))
     pt = base.select(id_col, F.explode("_w").alias("token"))
-    model = pt.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = pt.agg(F.count(F.lit(1)).alias("t_total"))
-    tf = pt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = pt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    total = tf.agg(F.sum("tf").alias("t_total"))
+    cnt = F.sum("tf").over(Window.partitionBy("token"))
     token_micro = (
         F.round(
             (F.log(F.col("t_total").cast("double")) - F.log(F.col("cnt").cast("double")))
@@ -646,7 +662,7 @@ def unigram_logprob(
         .cast("bigint")
     )
     scored = (
-        tf.join(model, "token")
+        tf.withColumn("cnt", cnt)
         .join(F.broadcast(total))
         .select(F.col(id_col), (F.col("tf") * token_micro).alias("m"))
         .groupBy(id_col)

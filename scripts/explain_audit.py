@@ -393,6 +393,20 @@ def main() -> int:
           "partial" in p.lower(), "")
     check("doc_unigram_nll", "no CartesianProduct (1-row total broadcast is the only NLJ)",
           "CartesianProduct" not in p, "")
+    n_gen = len(re.findall(r"^\(\d+\) Generate", p, flags=re.M))
+    check("doc_unigram_nll", "tokenize+explode subtree executes ONCE (tf cached, model via window)",
+          n_gen == 1 and "InMemoryTableScan" in p, f"Generate nodes={n_gen}")
+
+    # tfidf: docfreq must be a window over the (doc,token)-unique table,
+    # not a groupBy+join-back that re-executes the corpus explode
+    df = qs["doc_tfidf_topk"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_tfidf_topk", p))
+    n_gen = len(re.findall(r"^\(\d+\) Generate", p, flags=re.M))
+    check("doc_tfidf_topk", "corpus explode executes ONCE (docfreq via window, no join-back)",
+          n_gen == 1, f"Generate nodes={n_gen}")
+    check("doc_tfidf_topk", "no CartesianProduct (1-row n_docs broadcast is the only NLJ)",
+          "CartesianProduct" not in p, "")
 
     # robots gate: narrow over the dedup window — EXACTLY one Exchange
     # (the keep-latest window), none added by the gate itself
