@@ -1109,6 +1109,26 @@ def _q_doc_unigram_nll(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (operators/bpe.learn_bpe_merges):
+    the tokenizer-training core — 30 merge rules from the corpus
+    word-frequency table. Oracled against an independent pure-Python
+    BPE learner (datagen.build_bpe_expected)."""
+    from pyocr_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=30, min_count=2)
+
+
+def _q_doc_bpe_encode(spark, sf_dir):
+    """Learned-tokenizer token counts (operators/bpe.bpe_encode_counts):
+    learn the merge table, broadcast it as ranks, Arrow-batched encode —
+    the real token budget, vs token_count/bpe_token_count's bounds."""
+    from pyocr_spark.operators.bpe import bpe_encode_counts, learn_bpe_merges
+
+    docs = _docs(spark, sf_dir)
+    return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
@@ -1152,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_unigram_nll": _q_doc_unigram_nll,
+        "corpus_bpe_merges": _q_corpus_bpe_merges,
+        "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_bm25": _q_doc_bm25,
         "doc_dup_spans": _q_doc_dup_spans,
         "docs_lang_pivot": _q_docs_lang_pivot,
@@ -1791,6 +1813,18 @@ def oracle_sql() -> dict[str, str]:
         # unigram NLL: same tok CTE as BM25; per-token micro-units rounded
         # BEFORE the tf multiply and per-doc sum (order-free integer math);
         # mean = ONE double division of exact integers
+        # BPE merges: oracled against the independent pure-Python learner
+        # (datagen.build_bpe_expected — same tokenization, tie-break, and
+        # greedy fold, implemented from the Sennrich 2016 algorithm, not
+        # from the Spark code). left/right quoted: SQL keywords in DuckDB.
+        "corpus_bpe_merges": (
+            'SELECT step, "left", "right", pair_count '
+            f"FROM read_parquet('{E}/expected_bpe.parquet')"
+        ),
+        "doc_bpe_encode": (
+            "SELECT doc_id, n_tokens, n_bpe_tokens "
+            f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
+        ),
         "doc_unigram_nll": (
             "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
             "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "

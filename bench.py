@@ -269,6 +269,38 @@ def main() -> None:
 
     timed("webgraph_pagerank", _webgraph, reps=2)
 
+    # anchor-text index wall: pins the single-pass shape (outlink UDF
+    # executes ONCE; all stats as windows over one aggregate) — the
+    # join-back regression this replaced would roughly double this wall
+    from pyocr_spark.operators.webgraph import anchor_text_index
+
+    timed(
+        "anchor_index",
+        lambda: noop_write(
+            anchor_text_index(extract_outlinks(read_pages(spark, pages_path)))
+        ),
+        reps=2,
+    )
+
+    # ranked retrieval + LM-quality walls over the replicated corpus
+    from pyocr_spark.functions.search import bm25_topk
+    from pyocr_spark.functions.text_stats import unigram_logprob
+
+    timed(
+        "bm25_topk",
+        lambda: bm25_topk(docs_df, ("spark", "customer", "window"), k=10).collect(),
+        reps=3,
+    )
+
+    # unigram_logprob persists its tf table: clear it inside the timed
+    # body so every rep pays the real corpus pass (a warm cache would
+    # make best-of-N report the cached replay, not the operator)
+    def _unigram():
+        noop_write(unigram_logprob(docs_df))
+        spark.catalog.clearCache()
+
+    timed("unigram_nll", _unigram, reps=2)
+
     import __spark_entry__ as entrymod
 
     timed("lineitem_pricing", lambda: entrymod._q_lineitem_pricing(spark, SF_DIR).collect(), reps=3)

@@ -1,0 +1,232 @@
+"""Distributed BPE merge learning over the corpus word-frequency table.
+
+The tokenizer-training core of a training-data pipeline: before a model
+trains on a corpus, a subword vocabulary is learned FROM that corpus
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"). pyocr has no tokenizer surface (SURVEY.md section 2.7);
+this is an engine addition in the section 2.8 text-analysis family,
+completing the budget stack: token_count (whitespace) -> bpe_token_count
+(pre-tokenizer upper bound) -> learn_bpe_merges (the actual merge table).
+
+The standard trick makes this tractable: BPE statistics only depend on
+the WORD-FREQUENCY table, never the raw corpus — a corpus of 10^12
+documents collapses to a vocabulary of ~10^8 distinct words with counts,
+and every merge decision is exact over that table. Shapes:
+
+  * ONE corpus pass builds (word, wcount) — explode + map-side-combined
+    aggregate, the vocab_docfreq shape.
+  * Each merge step is ONE vocabulary-table aggregate (pair counts,
+    weighted by wcount, partial-agg map-side) + a 1-row argmax via
+    orderBy+limit(1) => TakeOrderedAndProject — per-partition heaps, a
+    single row reaches the driver (the k-means-centroid precedent in
+    operators/ann.py, NOT a table collect).
+  * The chosen merge applies as a pure HOF fold over each word's symbol
+    array — narrow, zero shuffle — and lineage is truncated per step
+    with localCheckpoint (the pagerank/dup_components pattern; the
+    table is vocabulary-sized, so materialization is cheap).
+
+Honest scale bound: the loop costs O(n_merges) Spark jobs. For the
+hundreds of merges an analysis vocabulary needs, that is fine; for a
+production 30k-100k-merge tokenizer, the documented path is hybrid —
+this module's distributed pass builds the exact word-frequency table,
+then the classic heap-based in-memory learner runs on the top-M words
+(which carry >99.9% of token mass), because 10^5 cluster-wide barriers
+cannot beat one machine scanning 10^8 rows.
+
+Determinism contract (exact-oracle gate): pair selection orders by
+(count DESC, left ASC, right ASC) — a total order; Spark compares
+strings as UTF-8 bytes and the pure-Python oracle compares code points,
+which order identically. The merge fold is greedy left-to-right over
+non-overlapping occurrences, and the fold formulation below is provably
+equivalent to the classic scan (the merged symbol differs from its
+left component, so it can never chain-merge within the same step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+#: merge-table schema, frozen for the oracle gate
+MERGES_SCHEMA = "step int, left string, right string, pair_count bigint"
+
+
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, wcount) over the engine-wide whitespace tokenization —
+    the ONE corpus pass everything tokenizer-related derives from."""
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _merge_fold(left: str, right: str):
+    """HOF applying ONE merge rule to a symbol array: greedy
+    left-to-right fold — append each symbol unless the accumulator's
+    last element is `left` and the incoming one is `right`, in which
+    case the pair collapses to the merged symbol. Equivalent to the
+    classic non-overlapping scan: [a,a,a] under (a,a) -> [aa, a]."""
+    merged = F.lit(left + right)
+
+    def step(acc, s):
+        hit = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left)) & (
+            s == F.lit(right)
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return lambda syms: F.aggregate(
+        syms, F.array().cast("array<string>"), step
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn up to ``n_merges`` BPE merge rules from the corpus. Stops
+    early when the best remaining pair occurs fewer than ``min_count``
+    times (merging hapax pairs memorizes noise). Returns
+    (step, left, right, pair_count) in learning order.
+
+    Symbols start as single code points (regexp one-char extract — a
+    substring loop would split astral-plane characters); no end-of-word
+    marker is appended (frozen choice, mirrored by the oracle).
+    """
+    spark = docs.sparkSession
+    words = word_freq_table(docs, text_col, id_col)
+    syms = words.select(
+        "wcount",
+        F.regexp_extract_all(F.col("word"), F.lit("(.)"), 1).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step_i in range(n_merges):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "wcount",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        )
+        if not best or best[0]["c"] < min_count:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step_i, left, right, cnt))
+        syms = syms.select(
+            "wcount", _merge_fold(left, right)(F.col("syms")).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic BPE encode of one word: repeatedly merge the present pair
+    with the LOWEST learned rank (greedy left-to-right, non-overlapping —
+    the same fold as learning) until no adjacent pair is in the table.
+    Pure Python — shared by the Spark UDF and the datagen oracle spec."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out: list[str] = []
+        for tok in syms:
+            if out and out[-1] == left and tok == right:
+                out[-1] = left + right
+            else:
+                out.append(tok)
+        syms = out
+    return syms
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under a LEARNED merge table — the number
+    a training pipeline actually budgets with once a tokenizer exists
+    (token_count/bpe_token_count are its whitespace / pre-tokenizer
+    bounds). Returns (doc_id, n_tokens, n_bpe_tokens); null text keeps
+    its row with nulls (the token_count contract).
+
+    Shape: the merge table is n_merges rows — it collects to the driver
+    (bounded by construction, the k-means-centroid precedent) and ships
+    to executors as a broadcast rank dict; the encode is ONE
+    Arrow-batched pandas UDF over the corpus (narrow, zero shuffle),
+    with a per-batch word cache — web text repeats words heavily, so
+    each distinct word in a batch is encoded once. Python is the honest
+    cost here: BPE encoding is an inherently sequential per-word loop
+    with no JVM builtin (the zlib_ratio / NFC precedent), and only one
+    int per doc crosses back.
+    """
+    import pandas as pd
+    import re as _re
+
+    from pyspark.sql.types import LongType
+
+    rank_rows = merges.select("step", "left", "right").collect()
+    ranks = {(r["left"], r["right"]): r["step"] for r in rank_rows}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    # no type hints: pd is module-local here, so string annotations would
+    # not resolve during pandas_udf eval-type inference
+    @F.pandas_udf(LongType())
+    def n_bpe(texts):
+        rk = bc.value
+        ws = _re.compile(r"[ \t\n\f\r]+")
+        cache: dict[str, int] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            total = 0
+            for w in ws.split(t.strip("\t\n\f\r ")):
+                if not w:
+                    continue
+                n = cache.get(w)
+                if n is None:
+                    n = len(encode_word(w, rk))
+                    cache[w] = n
+                total += n
+            out.append(total)
+        return pd.Series(out, dtype="object")
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), F.size(toks)).alias("n_tokens"),
+        n_bpe(F.col(text_col)).alias("n_bpe_tokens"),
+    )

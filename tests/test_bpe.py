@@ -1,0 +1,140 @@
+"""BPE merge learning (operators/bpe) vs an inline reference model."""
+
+from pyocr_spark.operators.bpe import learn_bpe_merges, word_freq_table
+
+
+def _reference_bpe(texts, n_merges, min_count=2):
+    """Independent in-test replay of Sennrich-style BPE over a word
+    frequency table (same contract as datagen.build_bpe_expected)."""
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+    wc = Counter()
+    for t in texts:
+        for w in ws.split(t.strip("\t\n\f\r ")):
+            if w:
+                wc[w] += 1
+    vocab = [(list(w), c) for w, c in wc.items()]
+    rows = []
+    for step in range(n_merges):
+        pc = Counter()
+        for s, c in vocab:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_count:
+            break
+        rows.append((step, left, right, cnt))
+        for idx, (s, c) in enumerate(vocab):
+            out = []
+            for tok in s:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            vocab[idx] = (out, c)
+    return rows
+
+
+def _learn(spark, texts, n_merges, **kw):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = learn_bpe_merges(docs, n_merges=n_merges, **kw).collect()
+    return [(r["step"], r["left"], r["right"], r["pair_count"]) for r in got]
+
+
+def test_bpe_matches_reference_on_sennrich_corpus(spark):
+    texts = ["low low low low low lower lower", "newest newest newest newest newest newest widest widest widest"]
+    assert _learn(spark, texts, 8) == _reference_bpe(texts, 8)
+    # the classic first merges: es -> est (the 'newest/widest' suffix)
+    first = _learn(spark, texts, 2)
+    assert (first[0][1], first[0][2]) == ("e", "s")
+    assert (first[1][1], first[1][2]) == ("es", "t")
+
+
+def test_bpe_greedy_fold_nonoverlapping(spark):
+    # "aaaa": pairs (a,a) at 3 positions x 3 words = 9; after the merge
+    # each word is [aa, aa] — the fold must NOT chain the merged symbol
+    # with the next raw 'a' (overlap), so step 2 merges (aa, aa)
+    texts = ["aaaa aaaa aaaa"]
+    got = _learn(spark, texts, 3)
+    assert got == _reference_bpe(texts, 3)
+    assert got[0][1:] == ("a", "a", 9)
+    assert got[1][1:] == ("aa", "aa", 3)
+
+
+def test_bpe_min_count_stops_learning(spark):
+    # every adjacent pair occurs once -> nothing reaches min_count=2
+    assert _learn(spark, ["abc def ghi"], 5) == []
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # 'xy' and 'ab' both occur twice; (a,b) < (x,y) wins the tie
+    got = _learn(spark, ["xy xy ab ab"], 1)
+    assert got == [(0, "a", "b", 2)]
+
+
+def test_word_freq_table_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, " the\tthe\ncat "), (2, "the")], "doc_id long, text string"
+    )
+    wc = {r["word"]: r["wcount"] for r in word_freq_table(docs).collect()}
+    assert wc == {"the": 3, "cat": 1}
+
+
+def test_encode_word_applies_ranks_in_order():
+    from pyocr_spark.operators.bpe import encode_word
+
+    ranks = {("e", "s"): 0, ("es", "t"): 1, ("l", "o"): 2, ("lo", "w"): 3}
+    assert encode_word("lowest", ranks) == ["low", "est"]
+    assert encode_word("low", ranks) == ["low"]
+    assert encode_word("xyz", ranks) == ["x", "y", "z"]
+    # non-overlapping greedy: (a,a) on "aaa" merges once, leaving [aa, a]
+    assert encode_word("aaa", {("a", "a"): 0}) == ["aa", "a"]
+
+
+def test_bpe_encode_counts_matches_manual(spark):
+    from pyocr_spark.operators.bpe import bpe_encode_counts, learn_bpe_merges
+
+    texts = ["low low low lowest lowest", "lowest newest newest newest"]
+    docs = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[1]), (2, None)], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(docs, n_merges=6)
+    out = {r["doc_id"]: r for r in bpe_encode_counts(docs, merges).collect()}
+    assert out[0]["n_tokens"] == 5 and out[1]["n_tokens"] == 4
+    # merged subword count never exceeds character count and never goes
+    # below 1 per word; with 6 merges on this corpus "low" is one token
+    assert out[0]["n_bpe_tokens"] < sum(len(w) for w in texts[0].split())
+    assert out[0]["n_bpe_tokens"] >= 5
+    # null text keeps its row with nulls
+    assert out[2]["n_tokens"] is None and out[2]["n_bpe_tokens"] is None
+
+
+def test_bpe_encode_counts_agrees_with_reference(spark):
+    from pyocr_spark.datagen import build_bpe_encoded_expected
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick quick quick brown brown fox",
+        "lowest newest widest the the the",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want = build_bpe_encoded_expected(pdf, n_merges=10)
+
+    from pyocr_spark.operators.bpe import bpe_encode_counts, learn_bpe_merges
+
+    docs = spark.createDataFrame(pdf)
+    merges = learn_bpe_merges(docs, n_merges=10)
+    got = (
+        bpe_encode_counts(docs, merges)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got["n_bpe_tokens"]) == [int(x) for x in want["n_bpe_tokens"]]
+    assert list(got["n_tokens"]) == [int(x) for x in want["n_tokens"]]
