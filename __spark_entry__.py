@@ -1065,6 +1065,22 @@ def _q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=10)
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
+    outlink targets not yet crawled, deduped, prioritized by target-host
+    PageRank + in-crawl reference count — the query that closes the
+    crawl loop, composing outlinks + crawled-set + PageRank."""
+    from pyocr_spark.operators.webgraph import crawl_frontier, host_graph, pagerank_hosts
+
+    # persist: links feeds BOTH pagerank (eager iterations at build time)
+    # and the candidate aggregate — without it the outlink UDF subtree
+    # executes twice (at deployment the outlink table is materialized
+    # once and both consumers read it)
+    links = _outlinks(spark, sf_dir).persist()
+    ranks = pagerank_hosts(host_graph(links), iterations=10)
+    return crawl_frontier(links, _pages(spark, sf_dir).select("url"), ranks)
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
+        "crawl_frontier": _q_crawl_frontier,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "emb_semdedup": _q_emb_semdedup,
@@ -2285,6 +2302,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM hp GROUP BY src_host, dst_host"
         ),
         "host_pagerank": _pagerank_sql(10),
+        # frontier: candidate agg + anti-join vs crawled urls + rank
+        # lookup, with the full 10-iteration PageRank replay nested as a
+        # derived table
+        "crawl_frontier": (
+            f"WITH cand AS (SELECT target_url, count(*) AS n_refs "
+            f"FROM read_parquet('{E}/expected_links.parquet') GROUP BY 1), "
+            "crawled AS (SELECT DISTINCT url AS target_url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "fresh AS (SELECT c.target_url, c.n_refs FROM cand c "
+            "ANTI JOIN crawled USING (target_url)), "
+            f"fh AS (SELECT target_url, n_refs, {_host_sql('target_url')} AS host "
+            "FROM fresh) "
+            "SELECT fh.target_url, fh.n_refs, fh.host, "
+            "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
+            f"FROM fh LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = fh.host"
+        ),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

@@ -223,3 +223,44 @@ def pagerank_hosts(
     nodes.unpersist()
     outdeg.unpersist()
     return out
+
+
+def crawl_frontier(
+    outlinks: DataFrame,
+    crawled_urls: DataFrame,
+    host_ranks: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Crawl-frontier candidates: outlink targets NOT yet crawled,
+    deduped, prioritized by the target host's PageRank and in-crawl
+    reference count — the query that closes the crawl loop (what to
+    fetch next), composing the three substrates this module already
+    maintains (outlinks, the crawled-url set, host PageRank).
+
+    Returns (target_url, n_refs, host, rank); with ``k`` set, the top-k
+    by (rank DESC, n_refs DESC, target_url) — a total order, planned as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Scale shape: the candidate dedup is ONE map-side-combined aggregate
+    on target_url; the not-yet-crawled check is a url equi-anti-join
+    (bucket-co-locatable with the pages table at deployment; AQE
+    broadcasts whichever side measures small); the rank lookup is a
+    host equi-join — NOT hinted broadcast, because at web scale the
+    host table alone is 10^8 rows. Missing hosts rank 0 (a target whose
+    host never appears as an edge endpoint has no rank evidence).
+    """
+    cand = outlinks.groupBy("target_url").agg(F.count(F.lit(1)).alias("n_refs"))
+    crawled = crawled_urls.select(F.col("url").alias("target_url")).distinct()
+    fresh = cand.join(crawled, "target_url", "left_anti").withColumn(
+        "host", url_host(F.col("target_url"))
+    )
+    out = (
+        fresh.join(host_ranks, "host", "left")
+        .withColumn("rank", F.coalesce(F.col("rank"), F.lit(0).cast("bigint")))
+        .select("target_url", "n_refs", "host", "rank")
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.desc("rank"), F.desc("n_refs"), F.asc("target_url")
+        ).limit(k)
+    return out

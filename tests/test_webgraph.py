@@ -271,3 +271,35 @@ class TestSparkGraph:
         plan = extract_outlinks(pages)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # no shuffle: file splits parallelize
         assert "warc_ts" not in plan.split("ReadSchema")[-1]  # pruned scan
+
+
+def test_crawl_frontier_excludes_crawled_and_ranks(spark):
+    from pyocr_spark.operators.webgraph import crawl_frontier
+
+    outlinks = spark.createDataFrame(
+        [
+            ("http://a.com/1", 0, "http://b.com/x", "b"),
+            ("http://a.com/1", 1, "http://b.com/y", "b"),
+            ("http://a.com/2", 0, "http://b.com/x", "b"),
+            ("http://b.com/x", 0, "http://a.com/1", "a"),  # already crawled
+            ("http://a.com/1", 2, "http://nowhere.org/z", "n"),
+        ],
+        "url string, link_idx int, target_url string, anchor_text string",
+    )
+    crawled = spark.createDataFrame(
+        [("http://a.com/1",), ("http://a.com/2",), ("http://b.com/x",)],
+        "url string",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 700), ("b.com", 300)], "host string, rank long"
+    )
+    rows = {r["target_url"]: r for r in crawl_frontier(outlinks, crawled, ranks).collect()}
+    # crawled urls never appear; duplicate targets dedup with counts
+    assert set(rows) == {"http://b.com/y", "http://nowhere.org/z"}
+    assert rows["http://b.com/y"]["n_refs"] == 1
+    assert rows["http://b.com/y"]["rank"] == 300
+    # a host with no rank evidence scores 0, not null
+    assert rows["http://nowhere.org/z"]["rank"] == 0
+
+    top = crawl_frontier(outlinks, crawled, ranks, k=1).collect()
+    assert [r["target_url"] for r in top] == ["http://b.com/y"]
