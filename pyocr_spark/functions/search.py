@@ -7,10 +7,17 @@ no joins/aggregations in the reference); this is an engine addition in the
 section 2.8 text-analysis family.
 
 Scale shape (10^12 docs):
-  * ONE narrow pass computes per-doc length (``F.size`` on the token
-    array — no explode, no aggregate) AND the query-term-filtered token
-    array, so only matching tokens are ever exploded. At web scale the
-    explode output is |query| x matching-docs rows, not corpus tokens.
+  * The tokenize projection computes per-doc length (``F.size`` on the
+    token array — no explode, no aggregate) AND the query-term-filtered
+    token array, so only matching tokens are ever exploded. At web scale
+    the explode output is |query| x matching-docs rows, not corpus
+    tokens. Precisely: the pruned (doc_id, text) scan executes TWICE —
+    once under the 1-row corpus-stats aggregate (N, avgdl must see every
+    doc) and once under the explode path (no CSE across a shared
+    aggregate) — but the EXPLODE runs once (plan-audited), and both
+    passes are narrow column-pruned scans, deliberately not persisted:
+    caching the full token arrays would cost more memory than the
+    second scan costs IO.
   * (doc, term) tf aggregates with map-side combine; per-term docfreq is
     a second rollup of that already-unique table (<= |query| rows) and
     broadcasts back — no big-big join anywhere.

@@ -408,6 +408,28 @@ def main() -> int:
     check("doc_tfidf_topk", "no CartesianProduct (1-row n_docs broadcast is the only NLJ)",
           "CartesianProduct" not in p, "")
 
+    # BPE encode: ONE Arrow-batched Python stage, narrow — zero Exchange
+    # (the merge table itself is learned eagerly before the plan exists)
+    df = qs["doc_bpe_encode"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_bpe_encode", p))
+    check("doc_bpe_encode", "narrow plan (zero Exchange) — one Arrow-batched encode pass",
+          "Exchange" not in p, "")
+    check("doc_bpe_encode", "exactly one Python stage",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 1, "")
+
+    # crawl frontier: anti-join + rank equi-join, never a cartesian
+    df = qs["crawl_frontier"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("crawl_frontier", p))
+    check("crawl_frontier", "LeftAnti not-yet-crawled join present", "LeftAnti" in p, "")
+    check("crawl_frontier", "no cartesian/NLJ anywhere",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    # the frontier query persists the shared outlinks subtree (and its
+    # eager pagerank materializes the cache); clear it so later audits
+    # see their canonical plans, not cache-substituted ones
+    spark.catalog.clearCache()
+
     # robots gate: narrow over the dedup window — EXACTLY one Exchange
     # (the keep-latest window), none added by the gate itself
     df = qs["pages_robots_gate"](spark, SF_DIR)
