@@ -393,6 +393,15 @@ def _q_crawl_delta(spark, sf_dir):
     return crawl_delta(_pages(spark, sf_dir))
 
 
+def _q_refetch_priority(spark, sf_dir):
+    """Revisit scheduling (operators/snapshot.refetch_priority): per-url
+    change frequency across crawl versions — adjacent-transition count
+    via ONE url-partitioned lag window + reused-partitioning aggregate."""
+    from pyocr_spark.operators.snapshot import refetch_priority
+
+    return refetch_priority(_pages(spark, sf_dir))
+
+
 def _q_url_normalize(spark, sf_dir):
     """URL canonicalization (operators/urlnorm.py). The pages urls are
     already canonical, so the query first derives a deterministic mangled
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
         "lines_dedup": _q_lines_dedup,
         "crawl_delta": _q_crawl_delta,
+        "refetch_priority": _q_refetch_priority,
         "bloom_seen_filter": _q_bloom_seen_filter,
         "bloom_probe_docs": _q_bloom_probe_docs,
         "url_normalize": _q_url_normalize,
@@ -1670,6 +1680,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN hr.min_h = hr.max_h THEN 'unchanged' "
             "ELSE 'changed' END AS status "
             "FROM f JOIN l USING (url) JOIN hr USING (url)"
+        ),
+        # refetch priority: lag-window adjacent-change count, same
+        # (floored ts, content hash) version order as crawl_delta
+        "refetch_priority": (
+            f"WITH v AS (SELECT url, coalesce(CAST(floor(epoch(warc_ts)) AS BIGINT), 0) AS ts, "
+            f"md5(lower(hex(coalesce(html, ''::BLOB)))) AS h "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "c AS (SELECT url, h, ts, lag(h) OVER "
+            "(PARTITION BY url ORDER BY ts, h) AS ph FROM v), "
+            "a AS (SELECT url, count(*) AS n_versions, "
+            "CAST(sum(CASE WHEN ph IS NOT NULL AND ph != h THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_changes, max(ts) AS last_seen FROM c GROUP BY url) "
+            "SELECT url, n_versions, n_changes, "
+            "CASE WHEN n_versions > 1 THEN CAST(n_changes AS DOUBLE) / (n_versions - 1) END "
+            "AS change_rate, last_seen FROM a"
         ),
         "url_normalize": (
             f"WITH u AS (SELECT DISTINCT url "

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def content_hash(content_col: str) -> Column:
@@ -118,4 +119,56 @@ def crawl_delta(
         unpack_epoch("first_k").alias("first_ts_epoch"),
         unpack_epoch("last_k").alias("last_ts_epoch"),
         status.alias("status"),
+    )
+
+
+def refetch_priority(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """Per-url revisit-scheduling statistics: how often a page ACTUALLY
+    changes across crawl versions — the signal an adaptive recrawl
+    policy allocates fetch budget with (frequently-changing pages get
+    short revisit intervals; static ones get long). Complements
+    crawl_delta's binary changed/unchanged with the change FREQUENCY.
+
+    Returns (url, n_versions, n_changes, change_rate, last_seen) where
+    n_changes counts adjacent version transitions whose content hash
+    differs, change_rate = n_changes / (n_versions - 1) (NULL for
+    single-version urls — no evidence), and last_seen is the floored
+    epoch of the newest version.
+
+    ONE shuffle: the lag window partitions on url and the follow-up
+    aggregate reuses that partitioning (no second Exchange). Version
+    order is (floored-epoch ts, content hash) — the crawl_delta
+    contract: same-instant refetches tie-break deterministically, and
+    an equal-hash tie cannot miscount (equal values compare equal under
+    any order).
+    """
+    h = content_hash(content_col)
+    # ts→long FLOORS in Spark, matching the oracle's floor(epoch()) —
+    # the pack_epoch_hash convention
+    ts = F.coalesce(F.col(ts_col).cast("long"), F.lit(0))
+    base = pages.select(F.col(url_col).alias("url"), ts.alias("ts"), h.alias("h"))
+    w = Window.partitionBy("url").orderBy("ts", "h")
+    chg = F.when(
+        F.lag("h").over(w).isNotNull() & (F.lag("h").over(w) != F.col("h")), 1
+    ).otherwise(0)
+    agg = (
+        base.withColumn("chg", chg)
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum("chg").cast("bigint").alias("n_changes"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+    rate = F.when(
+        F.col("n_versions") > 1,
+        F.col("n_changes").cast("double") / (F.col("n_versions") - 1),
+    )
+    return agg.select(
+        "url", "n_versions", "n_changes", rate.alias("change_rate"), "last_seen"
     )

@@ -664,3 +664,26 @@ def test_semantic_dedup_exact_variant_matches_lsh_on_trivial_input(spark):
         r["vec_id"] for r in semantic_dedup(emb, threshold=0.99, lsh_planes=0).collect()
     )
     assert exact == [1, 3]
+
+
+def test_refetch_priority_counts_adjacent_changes(spark):
+    from datetime import datetime
+
+    from pyocr_spark.operators.snapshot import refetch_priority
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: A -> B -> A — two adjacent transitions (the revert counts)
+        ("u1", t(1), b"A"), ("u1", t(2), b"B"), ("u1", t(3), b"A"),
+        # u2: never changes across 3 versions
+        ("u2", t(1), b"X"), ("u2", t(2), b"X"), ("u2", t(3), b"X"),
+        # u3: single version — no evidence
+        ("u3", t(1), b"Z"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = {r["url"]: r for r in refetch_priority(pages).collect()}
+    assert out["u1"]["n_versions"] == 3 and out["u1"]["n_changes"] == 2
+    assert out["u1"]["change_rate"] == 1.0
+    assert out["u2"]["n_changes"] == 0 and out["u2"]["change_rate"] == 0.0
+    assert out["u3"]["n_changes"] == 0 and out["u3"]["change_rate"] is None
+    assert out["u1"]["last_seen"] == int(t(3).timestamp())
