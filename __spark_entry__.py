@@ -903,6 +903,23 @@ def _q_ann_topk_ivf_index(spark, sf_dir):
     return search_ivf_index(spark, path, qvec, k=10, nprobe=8, exclude_id=0)
 
 
+def _q_doc_bm25_index(spark, sf_dir):
+    """MATERIALIZED inverted text index (functions/search.build_text_index):
+    postings written once partitioned by token shard; search lists only
+    the query terms' shard dirs. Search ≡ bm25_topk over the corpus (the
+    IVF full-probe≡exact trick), so the whole build→write→probe path
+    rides the exact _BM25_SQL oracle."""
+    import os
+
+    from pyocr_spark.datagen import DATA_ROOT
+    from pyocr_spark.functions.search import build_text_index, search_text_index
+
+    docs = _docs(spark, sf_dir)
+    path = str(DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-text-index"))
+    build_text_index(docs, path, n_shards=16)
+    return search_text_index(spark, path, _BM25_QUERY, k=10)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs with the portable (md5) hash family and
     raw-string band keys — every step has an exact DuckDB twin. The
@@ -1200,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_nll": _q_doc_unigram_nll,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
         "doc_bpe_encode": _q_doc_bpe_encode,
+        "doc_bm25_index": _q_doc_bm25_index,
         "doc_bm25": _q_doc_bm25,
         "doc_dup_spans": _q_doc_dup_spans,
         "docs_lang_pivot": _q_docs_lang_pivot,
@@ -1852,6 +1870,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) WHERE rn <= 5"
         ),
         "doc_bm25": _BM25_SQL,
+        # materialized-index search must equal the full-corpus BM25 scan
+        # bit-for-bit (same factored score expression) — same oracle
+        "doc_bm25_index": _BM25_SQL,
         # unigram NLL: same tok CTE as BM25; per-token micro-units rounded
         # BEFORE the tf multiply and per-doc sum (order-free integer math);
         # mean = ONE double division of exact integers

@@ -96,6 +96,18 @@ def bm25_topk(
     per = per.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
+    scored = (
+        per.join(F.broadcast(stats))
+        .select(F.col(id_col), _term_micro(k1, b).alias("term_micro"))
+    )
+    return _topk_by_score(scored, id_col, k)
+
+
+def _term_micro(k1: float, b: float):
+    """THE per-(doc, term) BM25 partial score in BIGINT micro-units, from
+    columns (tf, df, dl, n_docs, avgdl). Factored so bm25_topk and the
+    materialized-index search evaluate the IDENTICAL expression tree —
+    IEEE doubles agree bitwise only when the tree matches."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -104,15 +116,12 @@ def bm25_topk(
         F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
     )
     term_score = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
-    scored = (
-        per.join(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            F.round(term_score * F.lit(1_000_000.0), 0)
-            .cast("bigint")
-            .alias("term_micro"),
-        )
-    )
+    return F.round(term_score * F.lit(1_000_000.0), 0).cast("bigint")
+
+
+def _topk_by_score(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Order-free integer per-doc sum, then the total-order top-k cut
+    (TakeOrderedAndProject — per-partition heaps, no global sort)."""
     return (
         scored.groupBy(id_col)
         .agg(
@@ -122,3 +131,83 @@ def bm25_topk(
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index: postings (token, doc_id, tf, dl)
+    written ONCE, parquet-partitioned by ``shard = pmod(xxhash64(token),
+    n_shards)``, plus a sibling 1-row stats table (n_docs, avgdl, and the
+    shard count the searcher must reuse). The text twin of the IVF vector
+    index (operators/ann.build_ivf_index): search touches only the shard
+    directories its query terms hash to — pruning happens at file
+    listing, before any IO.
+
+    Build cost: two corpus passes (the 1-row stats aggregate and the
+    postings aggregate share the tokenize subtree with no CSE across
+    aggregates) — a one-time, amortized cost, the IVF-build precedent.
+    Postings aggregate combines map-side; at 10^12 docs each shard is a
+    self-contained sub-index, so shards also bound per-task memory.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).withColumn("n_shards", F.lit(n_shards))
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    postings = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)))
+    )
+    postings.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/postings"
+    )
+
+
+def search_text_index(
+    spark,
+    path: str,
+    query: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over the materialized index — result IDENTICAL to
+    ``bm25_topk`` over the source corpus (same factored score expression,
+    same stats, same total-order cut; the full-probe≡exact oracle trick).
+
+    The shard filter is computed driver-side with the from-spec XXH64
+    twin (core/xxh.py, differentially tested against Spark's xxhash64),
+    so only |distinct query-term shards| partition directories are ever
+    listed or read; docfreq is a window over the already-(token,doc)-
+    unique postings that survive the term filter.
+    """
+    from pyocr_spark.core.xxh import xxh64_signed
+
+    if not query:
+        raise ValueError("search_text_index needs at least one query term")
+    stats = spark.read.parquet(f"{path}/stats")
+    n_shards = stats.head()["n_shards"]
+    shards = sorted({xxh64_signed(q.encode("utf-8")) % n_shards for q in query})
+    is_query_term = reduce(or_, [F.col("token") == F.lit(q) for q in query])
+    per = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("shard").isin(shards))
+        .filter(is_query_term)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    )
+    scored = per.join(F.broadcast(stats.select("n_docs", "avgdl"))).select(
+        F.col(id_col), _term_micro(k1, b).alias("term_micro")
+    )
+    return _topk_by_score(scored, id_col, k)

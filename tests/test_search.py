@@ -79,3 +79,45 @@ def test_bm25_k_cut_and_empty_query(spark, docs_df):
 
 def test_bm25_no_matches_is_empty(spark, docs_df):
     assert bm25_topk(docs_df, ("zzzznope",), k=5).count() == 0
+
+
+def test_text_index_search_equals_full_scan(spark, docs_df, tmp_path):
+    from pyocr_spark.functions.search import build_text_index, search_text_index
+
+    path = str(tmp_path / "text-index")
+    build_text_index(docs_df, path, n_shards=8)
+    got = search_text_index(spark, path, QUERY, k=10).collect()
+    want = bm25_topk(docs_df, QUERY, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_text_index_search_prunes_shards(spark, docs_df, tmp_path):
+    from pyocr_spark.core.xxh import xxh64_signed
+    from pyocr_spark.functions.search import build_text_index, search_text_index
+
+    path = str(tmp_path / "text-index")
+    build_text_index(docs_df, path, n_shards=8)
+    df = search_text_index(spark, path, ("spark",), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters", 1)[1][:200]
+    # the driver-side twin picked the same shard Spark's xxhash64 would
+    shard = xxh64_signed("spark".encode()) % 8
+    assert str(shard) in plan.split("PartitionFilters", 1)[1][:200]
+    # and the result still matches the full scan
+    got = [tuple(r) for r in df.collect()]
+    want = [tuple(r) for r in bm25_topk(docs_df, ("spark",), k=5).collect()]
+    assert got == want
+
+
+def test_text_index_build_validates_shards(spark, docs_df, tmp_path):
+    import pytest as _pytest
+
+    from pyocr_spark.functions.search import build_text_index, search_text_index
+
+    with _pytest.raises(ValueError):
+        build_text_index(docs_df, str(tmp_path / "x"), n_shards=0)
+    path = str(tmp_path / "text-index")
+    build_text_index(docs_df, path, n_shards=4)
+    with _pytest.raises(ValueError):
+        search_text_index(spark, path, ())
