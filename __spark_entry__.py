@@ -1098,11 +1098,13 @@ def _q_crawl_frontier(spark, sf_dir):
     crawl loop, composing outlinks + crawled-set + PageRank."""
     from pyocr_spark.operators.webgraph import crawl_frontier, host_graph, pagerank_hosts
 
-    # persist: links feeds BOTH pagerank (eager iterations at build time)
-    # and the candidate aggregate — without it the outlink UDF subtree
-    # executes twice (at deployment the outlink table is materialized
-    # once and both consumers read it)
-    links = _outlinks(spark, sf_dir).persist()
+    # localCheckpoint (NOT persist): links feeds BOTH pagerank (eager
+    # iterations at build time) and the candidate aggregate — without
+    # materialization the outlink UDF subtree executes twice. Checkpoint
+    # blocks are released when the RDD is GC'd (ContextCleaner), unlike
+    # CacheManager entries which pin executor storage for the session.
+    # At deployment the outlink table is written once and both read it.
+    links = _outlinks(spark, sf_dir).localCheckpoint(eager=True)
     ranks = pagerank_hosts(host_graph(links), iterations=10)
     return crawl_frontier(links, _pages(spark, sf_dir).select("url"), ranks)
 

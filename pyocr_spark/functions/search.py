@@ -19,8 +19,9 @@ Scale shape (10^12 docs):
     caching the full token arrays would cost more memory than the
     second scan costs IO.
   * (doc, term) tf aggregates with map-side combine; per-term docfreq is
-    a second rollup of that already-unique table (<= |query| rows) and
-    broadcasts back — no big-big join anywhere.
+    a WINDOW over that already-(doc,term)-unique table (a groupBy +
+    join-back would re-execute the corpus subtree — no CSE across shared
+    aggregates) — no big-big join anywhere.
   * Corpus stats (N, avgdl) ride in as a broadcast 1-row aggregate, not
     a driver collect.
   * Global top-k is orderBy+limit => TakeOrderedAndProject (per-partition
@@ -153,16 +154,17 @@ def build_text_index(
     aggregates) — a one-time, amortized cost, the IVF-build precedent.
     Postings aggregate combines map-side; at 10^12 docs each shard is a
     self-contained sub-index, so shards also bound per-task memory.
+
+    Write order: postings FIRST, stats LAST — the stats table (which
+    carries n_shards) is the commit record. A crash between the two
+    overwrites leaves the OLD stats pointing at the old layout rather
+    than new stats describing postings that do not exist yet; a searcher
+    can never read a shard count inconsistent with the postings dirs.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
     base = docs.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    ).withColumn("n_shards", F.lit(n_shards))
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
     postings = (
         base.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("token"))
         .groupBy("token", id_col)
@@ -172,6 +174,11 @@ def build_text_index(
     postings.write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/postings"
     )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).withColumn("n_shards", F.lit(n_shards))
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def search_text_index(

@@ -53,9 +53,7 @@ from pyocr_spark.functions.text_stats import ws_tokens
 MERGES_SCHEMA = "step int, left string, right string, pair_count bigint"
 
 
-def word_freq_table(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wcount) over the engine-wide whitespace tokenization —
     the ONE corpus pass everything tokenizer-related derives from."""
     toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
@@ -95,7 +93,6 @@ def learn_bpe_merges(
     n_merges: int = 30,
     min_count: int = 2,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Learn up to ``n_merges`` BPE merge rules from the corpus. Stops
     early when the best remaining pair occurs fewer than ``min_count``
@@ -103,14 +100,17 @@ def learn_bpe_merges(
     (step, left, right, pair_count) in learning order.
 
     Symbols start as single code points (regexp one-char extract — a
-    substring loop would split astral-plane characters); no end-of-word
-    marker is appended (frozen choice, mirrored by the oracle).
+    substring loop would split astral-plane characters; DOTALL (?s) so
+    Unicode line terminators U+0085/U+2028/U+2029 — which survive the
+    [\\t\\n\\f\\r ] tokenizer split — are kept as symbols exactly like
+    the pure-Python oracle's list(word)); no end-of-word marker is
+    appended (frozen choice, mirrored by the oracle).
     """
     spark = docs.sparkSession
-    words = word_freq_table(docs, text_col, id_col)
+    words = word_freq_table(docs, text_col)
     syms = words.select(
         "wcount",
-        F.regexp_extract_all(F.col("word"), F.lit("(.)"), 1).alias("syms"),
+        F.regexp_extract_all(F.col("word"), F.lit("(?s)(.)"), 1).alias("syms"),
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []

@@ -425,9 +425,10 @@ def main() -> int:
     check("crawl_frontier", "LeftAnti not-yet-crawled join present", "LeftAnti" in p, "")
     check("crawl_frontier", "no cartesian/NLJ anywhere",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
-    # the frontier query persists the shared outlinks subtree (and its
-    # eager pagerank materializes the cache); clear it so later audits
-    # see their canonical plans, not cache-substituted ones
+    # defensive: the frontier query materializes shared subtrees (now via
+    # localCheckpoint, which does not register in the CacheManager, but
+    # pagerank's internals persist edges); clear any cache so later
+    # audits see their canonical plans, not cache-substituted ones
     spark.catalog.clearCache()
 
     # robots gate: narrow over the dedup window — EXACTLY one Exchange
