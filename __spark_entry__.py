@@ -1153,6 +1153,15 @@ def _q_doc_unigram_nll(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_docs_nll_tiers(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (functions/text_stats.
+    nll_quality_tiers): per-doc unigram NLL bucketed by exact corpus
+    percentiles — the perplexity-proxy training-mix knob."""
+    from pyocr_spark.functions.text_stats import nll_quality_tiers
+
+    return nll_quality_tiers(_docs(spark, sf_dir))
+
+
 def _q_corpus_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (operators/bpe.learn_bpe_merges):
     the tokenizer-training core — 30 merge rules from the corpus
@@ -1217,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_unigram_nll": _q_doc_unigram_nll,
+        "docs_nll_tiers": _q_docs_nll_tiers,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
         "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_bm25_index": _q_doc_bm25_index,
@@ -1533,6 +1543,26 @@ def _pagerank_sql(iterations: int = 10) -> str:
     return (
         "WITH " + ", ".join(parts) + f" SELECT host, rank FROM r{iterations}"
     )
+
+
+_UNIGRAM_NLL_SQL = (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "base AS (SELECT doc_id, len(w) AS n_tokens FROM tok), "
+            "pt AS (SELECT doc_id, unnest(w) AS token FROM tok), "
+            "model AS (SELECT token, count(*) AS cnt FROM pt GROUP BY token), "
+            "tot AS (SELECT count(*) AS t_total FROM pt), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM pt GROUP BY 1, 2), "
+            "sc AS (SELECT doc_id, tf * CAST(round((ln(CAST(t_total AS DOUBLE)) - "
+            "ln(CAST(cnt AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS m "
+            "FROM tf JOIN model USING (token) CROSS JOIN tot), "
+            "agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS nll_micro "
+            "FROM sc GROUP BY doc_id) "
+            "SELECT b.doc_id, b.n_tokens, a.nll_micro, "
+            "CAST(a.nll_micro AS DOUBLE) / b.n_tokens AS mean_nll_micro "
+            "FROM base b LEFT JOIN agg a USING (doc_id)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1890,23 +1920,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, n_bpe_tokens "
             f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
         ),
-        "doc_unigram_nll": (
-            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
-            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
-            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
-            "base AS (SELECT doc_id, len(w) AS n_tokens FROM tok), "
-            "pt AS (SELECT doc_id, unnest(w) AS token FROM tok), "
-            "model AS (SELECT token, count(*) AS cnt FROM pt GROUP BY token), "
-            "tot AS (SELECT count(*) AS t_total FROM pt), "
-            "tf AS (SELECT doc_id, token, count(*) AS tf FROM pt GROUP BY 1, 2), "
-            "sc AS (SELECT doc_id, tf * CAST(round((ln(CAST(t_total AS DOUBLE)) - "
-            "ln(CAST(cnt AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS m "
-            "FROM tf JOIN model USING (token) CROSS JOIN tot), "
-            "agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS nll_micro "
-            "FROM sc GROUP BY doc_id) "
-            "SELECT b.doc_id, b.n_tokens, a.nll_micro, "
-            "CAST(a.nll_micro AS DOUBLE) / b.n_tokens AS mean_nll_micro "
-            "FROM base b LEFT JOIN agg a USING (doc_id)"
+        "doc_unigram_nll": _UNIGRAM_NLL_SQL,
+        # CCNet head/middle/tail: exact percentiles of the non-null
+        # NLL means (quantile_cont = Spark percentile, type-7), rounded
+        # to 4 places before the boundary compare on both engines
+        "docs_nll_tiers": (
+            f"WITH u AS ({_UNIGRAM_NLL_SQL}), "
+            "th AS (SELECT "
+            f"round(quantile_cont(mean_nll_micro, 0.3333333333333333), 4) AS t1, "
+            f"round(quantile_cont(mean_nll_micro, 0.6666666666666666), 4) AS t2 "
+            "FROM u WHERE mean_nll_micro IS NOT NULL) "
+            "SELECT doc_id, n_tokens, mean_nll_micro, "
+            "CASE WHEN mean_nll_micro IS NULL THEN NULL "
+            "WHEN mean_nll_micro <= t1 THEN 'head' "
+            "WHEN mean_nll_micro <= t2 THEN 'middle' "
+            "ELSE 'tail' END AS tier FROM u CROSS JOIN th"
         ),
         "doc_dup_spans": (
             # Same tokenize + portable-md5 fingerprint discipline as the

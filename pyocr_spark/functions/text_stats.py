@@ -680,3 +680,48 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def nll_quality_tiers(
+    docs: DataFrame,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket every
+    document by corpus percentiles of its unigram-LM mean NLL — 'head'
+    is the most-fluent third a pipeline trains on first, 'tail' the
+    noisiest. The standard corpus-mix knob once a perplexity proxy
+    exists (``unigram_logprob``).
+
+    Thresholds are EXACT percentiles of the non-null scores (the
+    corpus_length_stats precedent — two threshold values, computed once,
+    riding a broadcast 1-row aggregate; type-7 interpolation in both
+    engines, rounded to 4 places so a last-ulp interpolation divergence
+    cannot flip a boundary doc). Zero-token docs keep their row with a
+    NULL tier. The per-doc NLL table is localCheckpoint-materialized:
+    it feeds BOTH the threshold aggregate and the output spine, and
+    without materialization the corpus subtree would execute twice (no
+    CSE across shared aggregates); at deployment the NLL table is
+    written once and both consumers read it.
+
+    Returns (doc_id, n_tokens, mean_nll_micro, tier).
+    """
+    lo, hi = cuts
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    nll = unigram_logprob(docs, text_col, id_col).localCheckpoint(eager=True)
+    m = F.col("mean_nll_micro")
+    th = nll.filter(m.isNotNull()).agg(
+        F.round(F.percentile("mean_nll_micro", F.lit(lo)), 4).alias("t1"),
+        F.round(F.percentile("mean_nll_micro", F.lit(hi)), 4).alias("t2"),
+    )
+    tier = (
+        F.when(m.isNull(), F.lit(None).cast("string"))
+        .when(m <= F.col("t1"), F.lit("head"))
+        .when(m <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return nll.join(F.broadcast(th)).select(
+        id_col, "n_tokens", "mean_nll_micro", tier.alias("tier")
+    )

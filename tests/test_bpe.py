@@ -138,3 +138,13 @@ def test_bpe_encode_counts_agrees_with_reference(spark):
     )
     assert list(got["n_bpe_tokens"]) == [int(x) for x in want["n_bpe_tokens"]]
     assert list(got["n_tokens"]) == [int(x) for x in want["n_tokens"]]
+
+
+def test_bpe_symbols_keep_unicode_line_terminators(spark):
+    # U+2028 survives the [\t\n\f\r ] tokenizer split, so it must be a
+    # SYMBOL (DOTALL extract) exactly like the oracle's list(word) —
+    # a non-DOTALL '.' would silently drop it and diverge
+    texts = ["a\u2028b a\u2028b xq xq"]
+    assert _learn(spark, texts, 4) == _reference_bpe(texts, 4)
+    got = _learn(spark, texts, 1)
+    assert got == [(0, "a", "\u2028", 2)]

@@ -578,3 +578,38 @@ def test_unigram_logprob_rare_token_text_scores_higher(spark):
     )
     out = {r["doc_id"]: r["mean_nll_micro"] for r in unigram_logprob(docs).collect()}
     assert out[3] > out[1]
+
+
+def test_nll_quality_tiers_buckets_and_nulls(spark):
+    from pyocr_spark.functions.text_stats import nll_quality_tiers
+
+    common = "the cat sat on the mat the cat sat again"
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, common + " with a few extra words"),
+            (4, "zq wx kv jn bp md unique gibberish everywhere"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in nll_quality_tiers(docs).collect()}
+    # the common-prose docs land in head, the rare-token doc in tail
+    assert out[1]["tier"] == "head" and out[2]["tier"] == "head"
+    assert out[4]["tier"] == "tail"
+    assert out[3]["tier"] in ("middle", "tail")
+    # zero-token doc keeps its row with a NULL tier
+    assert out[5]["tier"] is None and out[5]["mean_nll_micro"] is None
+    # every non-null doc got exactly one tier
+    assert all(out[i]["tier"] in ("head", "middle", "tail") for i in (1, 2, 3, 4))
+
+
+def test_nll_quality_tiers_validates_cuts(spark):
+    import pytest as _pytest
+
+    from pyocr_spark.functions.text_stats import nll_quality_tiers
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        nll_quality_tiers(docs, cuts=(0.7, 0.3))
