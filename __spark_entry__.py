@@ -1091,6 +1091,18 @@ def _q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=10)
 
 
+def _q_host_components(spark, sf_dir):
+    """Weakly-connected host clusters (operators/dedup.dup_components over
+    the host link graph): the site-cluster / link-farm detection signal —
+    hosts in one component share link infrastructure. Reuses the generic
+    min-label components with the recursive-CTE oracle skeleton."""
+    from pyocr_spark.operators.dedup import dup_components
+    from pyocr_spark.operators.webgraph import host_graph
+
+    edges = host_graph(_outlinks(spark, sf_dir))
+    return dup_components(edges, left_col="src_host", right_col="dst_host")
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -1296,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "crawl_frontier": _q_crawl_frontier,
+        "host_components": _q_host_components,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "emb_semdedup": _q_emb_semdedup,
@@ -2393,6 +2406,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT fh.target_url, fh.n_refs, fh.host, "
             "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
             f"FROM fh LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = fh.host"
+        ),
+        # weakly-connected host clusters: same recursive-CTE skeleton as
+        # dup_components' oracle, over the host edge pairs
+        "host_components": (
+            f"WITH RECURSIVE hp AS ({_host_edges_sql()}), "
+            "pr AS (SELECT DISTINCT src_host, dst_host FROM hp), "
+            "edges AS (SELECT src_host AS a, dst_host AS b FROM pr "
+            "UNION SELECT dst_host, src_host FROM pr), "
+            "reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges "
+            "UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) "
+            "SELECT node, min(comp) AS comp FROM reach GROUP BY node"
         ),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "

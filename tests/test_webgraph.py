@@ -303,3 +303,11 @@ def test_crawl_frontier_excludes_crawled_and_ranks(spark):
 
     top = crawl_frontier(outlinks, crawled, ranks, k=1).collect()
     assert [r["target_url"] for r in top] == ["http://b.com/y"]
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from pyocr_spark.operators.webgraph import pagerank_hosts
+
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    # no nodes -> no rows; the div-by-n never evaluates on an empty set
+    assert pagerank_hosts(empty, iterations=2).collect() == []
