@@ -1934,14 +1934,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
         ),
         "doc_unigram_nll": _UNIGRAM_NLL_SQL,
-        # CCNet head/middle/tail: exact percentiles of the non-null
-        # NLL means (quantile_cont = Spark percentile, type-7), rounded
-        # to 4 places before the boundary compare on both engines
+        # CCNet head/middle/tail: discrete percentiles of the non-null
+        # NLL means (quantile_disc = Spark percentile_disc: smallest
+        # value with cumulative fraction >= p) — thresholds are actual
+        # column elements, so no interpolation exists to diverge
         "docs_nll_tiers": (
             f"WITH u AS ({_UNIGRAM_NLL_SQL}), "
             "th AS (SELECT "
-            f"round(quantile_cont(mean_nll_micro, 0.3333333333333333), 4) AS t1, "
-            f"round(quantile_cont(mean_nll_micro, 0.6666666666666666), 4) AS t2 "
+            f"quantile_disc(mean_nll_micro, 0.3333333333333333) AS t1, "
+            f"quantile_disc(mean_nll_micro, 0.6666666666666666) AS t2 "
             "FROM u WHERE mean_nll_micro IS NOT NULL) "
             "SELECT doc_id, n_tokens, mean_nll_micro, "
             "CASE WHEN mean_nll_micro IS NULL THEN NULL "

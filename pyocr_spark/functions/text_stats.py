@@ -611,6 +611,16 @@ def pii_mask(docs: DataFrame) -> DataFrame:
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    """Public face of :func:`_unigram_logprob_cached` (full contract
+    there); the internal `(doc, token)` tf cache stays referenced by the
+    returned lazy plan, so no handle is needed here."""
+    out, _tf = _unigram_logprob_cached(docs, text_col, id_col)
+    return out
+
+
+def _unigram_logprob_cached(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
     """CCNet-style language-model quality proxy: per-document mean
     negative log-probability under the corpus's own unigram model.
     Fluent prose is made of common words -> low NLL; gibberish, keyword
@@ -630,9 +640,13 @@ def unigram_logprob(
     three times (no CSE across shared aggregates — the plan audit
     caught this shape in anchor_text_index). At deployment the persist
     is "write the tf table once"; the doc spine for zero-token rows is
-    a separate narrow pass (no explode). Cache lifecycle: the returned
-    plan references the cache lazily, so it is held by the CacheManager
-    until unpersist()/session end — the minhash_lsh_dedup trade-off.
+    a separate narrow pass (no explode). Cache lifecycle: the persisted
+    tf table is returned alongside the result so callers that
+    MATERIALIZE the result (severing the lazy plan's reference, e.g.
+    nll_quality_tiers' eager localCheckpoint) can unpersist it; the
+    plain unigram_logprob path leaves it referenced by the returned
+    plan — the minhash_lsh_dedup trade-off, held until unpersist()/
+    session end.
 
     Determinism contract (the oracle gate hashes values): per-token
     ln(T)-ln(cnt) is converted to BIGINT micro-units (round half-away,
@@ -643,7 +657,7 @@ def unigram_logprob(
     mean_nll_micro is ONE double division of exact integers. Docs with
     zero tokens keep their row with n_tokens=0 and NULL scores.
 
-    Returns (doc_id, n_tokens, nll_micro, mean_nll_micro).
+    Returns ((doc_id, n_tokens, nll_micro, mean_nll_micro), tf_cache).
     """
     from pyspark.sql import Window
 
@@ -668,7 +682,7 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(F.sum("m").alias("nll_micro"))
     )
-    return (
+    out = (
         base.select(id_col, "n_tokens")
         .join(scored, id_col, "left")
         .select(
@@ -680,6 +694,7 @@ def unigram_logprob(
             ),
         )
     )
+    return out, tf
 
 
 def nll_quality_tiers(
@@ -694,27 +709,40 @@ def nll_quality_tiers(
     noisiest. The standard corpus-mix knob once a perplexity proxy
     exists (``unigram_logprob``).
 
-    Thresholds are EXACT percentiles of the non-null scores (the
-    corpus_length_stats precedent — two threshold values, computed once,
-    riding a broadcast 1-row aggregate; type-7 interpolation in both
-    engines, rounded to 4 places so a last-ulp interpolation divergence
-    cannot flip a boundary doc). Zero-token docs keep their row with a
-    NULL tier. The per-doc NLL table is localCheckpoint-materialized:
-    it feeds BOTH the threshold aggregate and the output spine, and
-    without materialization the corpus subtree would execute twice (no
-    CSE across shared aggregates); at deployment the NLL table is
-    written once and both consumers read it.
+    Thresholds are DISCRETE percentiles of the non-null scores
+    (`percentile_disc` = DuckDB `quantile_disc`: smallest value whose
+    cumulative fraction >= p — verified element-identical across both
+    engines for n=1..9 and duplicate-heavy inputs): each threshold is an
+    ACTUAL element of the column, so no interpolation arithmetic exists
+    to diverge by an ulp between engines — `mean_nll_micro` itself is
+    one double division of exact integers, bit-identical everywhere.
+    (The earlier type-7 `percentile` + round-to-4 variant only shrank
+    the interpolation-divergence window; this closes it.) Zero-token
+    docs keep their row with a NULL tier. The per-doc NLL table is
+    localCheckpoint-materialized: it feeds BOTH the threshold aggregate
+    and the output spine, and without materialization the corpus
+    subtree would execute twice (no CSE across shared aggregates); at
+    deployment the NLL table is written once and both consumers read
+    it. Materializing severs the plan's reference to unigram_logprob's
+    internal tf cache, so it is unpersisted here instead of stranding
+    in the CacheManager (the dup_components discipline).
 
     Returns (doc_id, n_tokens, mean_nll_micro, tier).
     """
     lo, hi = cuts
     if not (0.0 < lo < hi < 1.0):
         raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
-    nll = unigram_logprob(docs, text_col, id_col).localCheckpoint(eager=True)
+    nll_lazy, tf_cache = _unigram_logprob_cached(docs, text_col, id_col)
+    nll = nll_lazy.localCheckpoint(eager=True)
+    tf_cache.unpersist()
     m = F.col("mean_nll_micro")
     th = nll.filter(m.isNotNull()).agg(
-        F.round(F.percentile("mean_nll_micro", F.lit(lo)), 4).alias("t1"),
-        F.round(F.percentile("mean_nll_micro", F.lit(hi)), 4).alias("t2"),
+        F.expr(
+            f"percentile_disc({lo!r}) WITHIN GROUP (ORDER BY mean_nll_micro)"
+        ).alias("t1"),
+        F.expr(
+            f"percentile_disc({hi!r}) WITHIN GROUP (ORDER BY mean_nll_micro)"
+        ).alias("t2"),
     )
     tier = (
         F.when(m.isNull(), F.lit(None).cast("string"))

@@ -605,6 +605,21 @@ def test_nll_quality_tiers_buckets_and_nulls(spark):
     assert all(out[i]["tier"] in ("head", "middle", "tail") for i in (1, 2, 3, 4))
 
 
+def test_nll_quality_tiers_releases_tf_cache(spark):
+    """The eager localCheckpoint severs the plan's reference to
+    unigram_logprob's internal tf cache, so nll_quality_tiers must
+    unpersist it — otherwise every call strands a corpus-scale cache
+    entry in the CacheManager for the session lifetime."""
+    from pyocr_spark.functions.text_stats import nll_quality_tiers
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zq wx kv")], "doc_id long, text string"
+    )
+    nll_quality_tiers(docs).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_nll_quality_tiers_validates_cuts(spark):
     import pytest as _pytest
 
