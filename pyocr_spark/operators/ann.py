@@ -57,6 +57,11 @@ def hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
     n_planes full-array aggregate rescans per row — at 768-dim × 16
     planes that is the same Janino/codegen blowup the minhash/simhash
     operators were redesigned around.
+
+    NULL vectors get a NULL signature (nullable Int64 batch), so they
+    fall out of every downstream bucket filter/equi-join — the same
+    exclusion the exact-scan path applies via its NULL-cosine filter,
+    instead of np.stack crashing the executor on the first NULL row.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -65,8 +70,13 @@ def hyperplane_sig(vec: Column, planes: list[list[float]]) -> Column:
 
     @pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
-        return pd.Series(((m @ P.T) > 0) @ weights)
+        mask = vecs.notna().to_numpy()
+        out = pd.array(np.zeros(len(vecs), dtype="int64"), dtype="Int64")
+        if mask.any():
+            m = np.stack([np.asarray(x, dtype="float64") for x in vecs[mask]])
+            out[mask] = ((m @ P.T) > 0) @ weights
+        out[~mask] = pd.NA
+        return pd.Series(out)
 
     return sig(vec)
 
@@ -143,18 +153,23 @@ def train_ivf_centroids(
     update via posexplode + partial-agg avg per (cluster, dim). Only the
     nlist×dim centroid matrix ever reaches the driver.
     """
-    first = emb.select(vec_col).head()
-    if first is None or first[0] is None:
+    seeds = emb.filter(F.col(vec_col).isNotNull())
+    first = seeds.select(vec_col).head()
+    if first is None:
         raise ValueError(
-            "train_ivf_centroids requires a non-empty input whose first "
-            f"row has a non-NULL {vec_col!r} (cannot infer the dimension)"
+            "train_ivf_centroids requires at least one row with a "
+            f"non-NULL {vec_col!r} (cannot infer the dimension)"
         )
     dim = len(first[0])
+    seed_rows = seeds.orderBy(id_col).limit(nlist).collect()
+    bad = [r[id_col] for r in seed_rows if len(r[vec_col]) != dim]
+    if bad:
+        raise ValueError(
+            f"train_ivf_centroids: seed vectors {bad} have a different "
+            f"dimension than the first vector (dim={dim})"
+        )
     cents = np.stack(
-        [
-            np.asarray(r[vec_col], dtype="float64")
-            for r in emb.orderBy(id_col).limit(nlist).collect()
-        ]
+        [np.asarray(r[vec_col], dtype="float64") for r in seed_rows]
     )
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     for _ in range(max_iter):
@@ -175,7 +190,10 @@ def train_ivf_centroids(
 
 
 def _assign_clusters(v: DataFrame, cents) -> DataFrame:
-    """(id, v) → (id, v, cluster): nearest-centroid id via pandas UDF."""
+    """(id, v) → (id, v, cluster): nearest-centroid id via pandas UDF.
+
+    NULL vectors get a NULL cluster (nullable Int32 batch) and fall out
+    of downstream explodes/equi-joins, mirroring hyperplane_sig."""
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(cents, dtype="float64")
@@ -183,10 +201,15 @@ def _assign_clusters(v: DataFrame, cents) -> DataFrame:
 
     @pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.map(lambda x: np.asarray(x, dtype="float64")))
-        # argmin ||x-c||² = argmin (||c||² - 2 x·c); ||x||² is constant per row
-        d = cnorm2[None, :] - 2.0 * (m @ cmat.T)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        mask = vecs.notna().to_numpy()
+        out = pd.array(np.zeros(len(vecs), dtype="int32"), dtype="Int32")
+        if mask.any():
+            m = np.stack([np.asarray(x, dtype="float64") for x in vecs[mask]])
+            # argmin ||x-c||² = argmin (||c||² - 2 x·c); ||x||² constant/row
+            d = cnorm2[None, :] - 2.0 * (m @ cmat.T)
+            out[mask] = d.argmin(axis=1).astype("int32")
+        out[~mask] = pd.NA
+        return pd.Series(out)
 
     return v.withColumn("cluster", nearest("v"))
 

@@ -41,6 +41,15 @@ def asof_join(
     """
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (key, right_ts)]
+    clash = {f"{prefix}{c}" for c in right_payload} & set(left.columns)
+    if clash:
+        # a duplicate output name would only surface as a far-away
+        # AMBIGUOUS_REFERENCE on later by-name access (e.g. chaining a
+        # second asof_join pass) — fail here, at the cause
+        raise ValueError(
+            f"asof_join output columns {sorted(clash)} collide with left "
+            "columns; pass a different prefix or narrower right_payload"
+        )
     # null-key / null-ts right rows can never satisfy "greatest right_ts
     # <= left_ts for the same key" (SQL comparison semantics — DuckDB's
     # ASOF JOIN matches neither); dropped here, because a null ts would

@@ -118,8 +118,14 @@ def pack_chunks(
     from pyocr_spark.operators.dedup import _portable_hash64
 
     key = F.col(id_col).cast("string")
-    h = _portable_hash64(key) if portable else F.abs(F.xxhash64(key))
-    bucket = (h % n_buckets).cast("int")
+    # pmod, not abs(...)%n: abs(Long.MIN_VALUE) is MIN_VALUE under
+    # non-ANSI (negative bucket) and an overflow error under ANSI —
+    # the exact trap sampling._sample_hash documents
+    bucket = (
+        (_portable_hash64(key) % n_buckets)
+        if portable
+        else F.pmod(F.xxhash64(key), F.lit(n_buckets))
+    ).cast("int")
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col, idx_col)

@@ -39,7 +39,7 @@ def dedup_latest_page(pages: DataFrame) -> DataFrame:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-content dedup: md5 groupBy, keep min id per digest.
 
-    Returns (doc_id, content_hash, dup_count). min/count are partial-agg
+    Returns (content_hash, keep_id, dup_count). min/count are partial-agg
     friendly (map-side combine), so the shuffle carries one row per
     distinct digest per mapper — not one per document.
     """

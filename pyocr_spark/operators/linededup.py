@@ -90,7 +90,17 @@ def line_dedup(
     if not keep_empty_docs:
         return rebuilt.select(id_col, "clean_text", "n_lines_kept")
 
-    base = df.select(F.col(id_col), F.size(lines_arr).alias("n_lines"))
+    # F.size(NULL) is config-dependent: NULL under ANSI (Spark 4
+    # default), -1 under legacy mode. Pin NULL-text docs to a NULL line
+    # count explicitly so the semantics (and the SQL oracle, where
+    # len(string_split(NULL)) is NULL) hold under either setting — never
+    # a -1 that poisons downstream kept/total ratios
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(lines_arr))
+        .alias("n_lines"),
+    )
     return base.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

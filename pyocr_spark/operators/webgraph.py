@@ -174,6 +174,10 @@ def pagerank_hosts(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError at the modulo below (after persists
+        # were already taken); negatives would silently never checkpoint
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     simple = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()

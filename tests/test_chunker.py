@@ -137,3 +137,15 @@ def test_param_guards(spark):
     # a gap (stride > chunk_tokens) would silently drop tokens — refused
     with pytest.raises(ValueError, match="skip"):
         chunk_documents(docs, chunk_tokens=4, stride=8)
+
+
+def test_pack_buckets_nonnegative_xxhash_path(spark):
+    """xxhash64 path must use pmod, not abs(...)%n: abs(Long.MIN_VALUE)
+    stays negative under non-ANSI Spark (overflow error under ANSI), so
+    the bucket invariant is bucket in [0, n_buckets) for EVERY key."""
+    chunks = spark.createDataFrame(
+        [(i, 0, 4) for i in range(500)], "doc_id long, chunk_idx int, n_tokens int"
+    )
+    packed = pack_chunks(chunks, seq_tokens=8, n_buckets=7, portable=False)
+    buckets = [r["bucket"] for r in packed.select("bucket").distinct().collect()]
+    assert all(0 <= b < 7 for b in buckets)

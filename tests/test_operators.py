@@ -599,8 +599,43 @@ def test_train_ivf_centroids_empty_input_raises(spark):
     from pyocr_spark.operators.ann import train_ivf_centroids
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
-    with pytest.raises(ValueError, match="non-empty"):
+    with pytest.raises(ValueError, match="at least one row"):
         train_ivf_centroids(empty, nlist=2)
+
+
+def test_ann_lsh_and_ivf_tolerate_null_embeddings(spark):
+    """A NULL embedding must be EXCLUDED (null signature / null cluster),
+    matching the exact path's null-cosine filter — not crash np.stack
+    inside the pandas UDF and kill the job."""
+    from pyocr_spark.operators.ann import (
+        topk_cosine_ivf,
+        topk_cosine_lsh,
+        train_ivf_centroids,
+    )
+    from pyocr_spark.operators.dedup import embedding_cosine_pairs
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, None), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_cosine_pairs(emb, lsh_planes=4, threshold=0.9)
+    ids = {i for r in pairs.collect() for i in (r["left_id"], r["right_id"])}
+    assert 2 not in ids and (0, 1) in {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    got = topk_cosine_lsh(emb, [1.0, 0.0], k=4, n_planes=2)
+    assert 2 not in {r["vec_id"] for r in got.collect()}
+    cents = train_ivf_centroids(emb, nlist=2)  # null seed candidate skipped
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+    hits = topk_cosine_ivf(emb, [1.0, 0.0], k=4, centroids=cents, nprobe=2)
+    assert 2 not in {r["vec_id"] for r in hits.collect()}
+
+
+def test_train_ivf_centroids_ragged_seed_dimension_raises(spark):
+    from pyocr_spark.operators.ann import train_ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="different.*dimension|dimension"):
+        train_ivf_centroids(emb, nlist=2)
 
 
 def test_hash_sample_null_keys_kept_consistently(spark):
@@ -687,3 +722,19 @@ def test_refetch_priority_counts_adjacent_changes(spark):
     assert out["u2"]["n_changes"] == 0 and out["u2"]["change_rate"] == 0.0
     assert out["u3"]["n_changes"] == 0 and out["u3"]["change_rate"] is None
     assert out["u1"]["last_seen"] == int(t(3).timestamp())
+
+
+def test_asof_join_prefix_clash_raises(spark):
+    """A left column named like a prefixed payload column would produce
+    a duplicate output name that only fails on later by-name access —
+    the operator must fail at the cause instead."""
+    from pyocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 99.0)], "user_id long, ts long, asof_price double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.5)], "user_id long, ts long, price double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="user_id", right_payload=["price"])

@@ -311,3 +311,15 @@ def test_pagerank_empty_graph_returns_empty(spark):
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     # no nodes -> no rows; the div-by-n never evaluates on an empty set
     assert pagerank_hosts(empty, iterations=2).collect() == []
+
+
+def test_pagerank_validates_checkpoint_every(spark):
+    import pytest
+
+    from pyocr_spark.operators.webgraph import pagerank_hosts
+
+    edges = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank_hosts(edges, iterations=2, checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank_hosts(edges, iterations=2, checkpoint_every=-3)

@@ -628,3 +628,18 @@ def test_nll_quality_tiers_validates_cuts(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         nll_quality_tiers(docs, cuts=(0.7, 0.3))
+
+
+def test_line_dedup_null_text_has_null_line_count(spark):
+    """F.size(split(NULL)) is NULL under ANSI (Spark 4 default) but -1
+    under legacy mode; the operator pins NULL explicitly so a NULL-text
+    doc reports an unknown (NULL) line count — matching the SQL oracle's
+    len(string_split(NULL)) — never a -1 that poisons kept/total
+    ratios downstream."""
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_docfreq=5).collect()}
+    assert out[2]["n_lines"] is None and out[2]["n_lines_kept"] == 0
+    assert out[2]["clean_text"] == ""
+    assert out[1]["n_lines"] == 2
