@@ -1103,6 +1103,19 @@ def _q_host_components(spark, sf_dir):
     return dup_components(edges, left_col="src_host", right_col="dst_host")
 
 
+def _q_host_components_star(spark, sf_dir):
+    """Same weakly-connected host clusters via the web-scale algorithm
+    (operators/dedup.components_star — alternating large-star/small-star
+    over the edge list, O(log²n) rounds independent of component
+    diameter). Shares host_components' recursive-CTE oracle: the two
+    algorithms must agree exactly."""
+    from pyocr_spark.operators.dedup import components_star
+    from pyocr_spark.operators.webgraph import host_graph
+
+    edges = host_graph(_outlinks(spark, sf_dir))
+    return components_star(edges, left_col="src_host", right_col="dst_host")
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -1309,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "host_components": _q_host_components,
+        "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "emb_semdedup": _q_emb_semdedup,
@@ -1580,6 +1594,18 @@ _UNIGRAM_NLL_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     E = EXPECTED_001
+    # shared by host_components (label propagation) and
+    # host_components_star (large-star/small-star) — the two algorithms
+    # must produce identical components, so they share one oracle
+    host_components_sql = (
+        f"WITH RECURSIVE hp AS ({_host_edges_sql()}), "
+        "pr AS (SELECT DISTINCT src_host, dst_host FROM hp), "
+        "edges AS (SELECT src_host AS a, dst_host AS b FROM pr "
+        "UNION SELECT dst_host, src_host FROM pr), "
+        "reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges "
+        "UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) "
+        "SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+    )
     return {
         "extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
         "extract_charset": f"SELECT url, charset FROM read_parquet('{E}/expected_charset.parquet')",
@@ -2409,16 +2435,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM fh LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = fh.host"
         ),
         # weakly-connected host clusters: same recursive-CTE skeleton as
-        # dup_components' oracle, over the host edge pairs
-        "host_components": (
-            f"WITH RECURSIVE hp AS ({_host_edges_sql()}), "
-            "pr AS (SELECT DISTINCT src_host, dst_host FROM hp), "
-            "edges AS (SELECT src_host AS a, dst_host AS b FROM pr "
-            "UNION SELECT dst_host, src_host FROM pr), "
-            "reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges "
-            "UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) "
-            "SELECT node, min(comp) AS comp FROM reach GROUP BY node"
-        ),
+        # dup_components' oracle, over the host edge pairs; the star
+        # variant runs a different algorithm against the SAME oracle
+        "host_components": host_components_sql,
+        "host_components_star": host_components_sql,
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

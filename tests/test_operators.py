@@ -158,6 +158,53 @@ def test_dup_components_chain_cycle_isolated(spark):
     assert {r["comp"] for r in out2} == {0} and len(out2) == 41
 
 
+def test_components_star_matches_label_propagation(spark):
+    """components_star (alternating large-star/small-star over the edge
+    list) must produce EXACTLY dup_components' labels — same contract,
+    different algorithm — on chains, cycles, stars, and a seeded random
+    graph, for both numeric and string node ids."""
+    import random
+
+    from pyocr_spark.operators.dedup import components_star, dup_components
+
+    cases = [
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],  # mixed
+        [(i, i + 1) for i in range(40)],  # long chain: O(log²n) rounds
+        [(0, i) for i in range(1, 9)],  # star centered on the minimum
+        [(8, i) for i in range(8)],  # star centered on the MAXIMUM
+    ]
+    rng = random.Random(7)
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(80)])
+    for pairs_data in cases:
+        pairs = spark.createDataFrame(
+            [p for p in pairs_data if p[0] != p[1]] or [(0, 1)],
+            "left_id long, right_id long",
+        )
+        want = sorted((r["node"], r["comp"]) for r in dup_components(pairs).collect())
+        got = sorted((r["node"], r["comp"]) for r in components_star(pairs).collect())
+        assert got == want
+
+    # string ids (host graphs) order lexicographically — same contract
+    hosts = spark.createDataFrame(
+        [("b.com", "a.com"), ("b.com", "c.com"), ("z.org", "y.org")],
+        "left_id string, right_id string",
+    )
+    got = sorted((r["node"], r["comp"]) for r in components_star(hosts).collect())
+    assert got == [
+        ("a.com", "a.com"), ("b.com", "a.com"), ("c.com", "a.com"),
+        ("y.org", "y.org"), ("z.org", "y.org"),
+    ]
+
+    # empty and null-endpoint inputs
+    empty = spark.createDataFrame([], "left_id long, right_id long")
+    assert components_star(empty).collect() == []
+    nulls = spark.createDataFrame(
+        [(1, 2), (3, None)], "left_id long, right_id long"
+    )
+    got = sorted((r["node"], r["comp"]) for r in components_star(nulls).collect())
+    assert got == [(1, 1), (2, 1)]
+
+
 def test_ivf_index_prunes_partitions_and_full_probe_is_exact(spark, tmp_path):
     """The materialized IVF index reads ONLY probed cluster dirs (the
     filter lands in PartitionFilters, before IO) and a full probe equals
