@@ -350,6 +350,25 @@ def _q_pages_canonical_dedup(spark, sf_dir):
     )
 
 
+def _q_pages_robots_txt(spark, sf_dir):
+    """robots.txt PROTOCOL verdicts (operators/robotstxt): RFC 9309
+    longest-match over the per-host /robots.txt table — parse once per
+    host (Arrow UDF over the hosts-sized table), then a host equi-join
+    and a purely JVM-side HOF longest-match on the crawl. Oracle =
+    expected_robots, computed by datagen's INDEPENDENT greedy wildcard
+    matcher over the structural rules (never by parsing the text — that
+    parse is exactly what this query checks)."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.robotstxt import robots_txt_verdict
+
+    d = ensure_pages(sf_dir)
+    pages = _pages(spark, sf_dir).select("url").distinct()
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return robots_txt_verdict(pages, robots, agent=ROBOTS_AGENT).select(
+        "url", "robots_allowed"
+    )
+
+
 def _q_lines_dedup(spark, sf_dir):
     """Composed CCNet-style boilerplate removal: real extraction feeding
     line-level corpus dedup (operators/linededup.py) — lines shared by
@@ -1134,6 +1153,25 @@ def _q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(links, _pages(spark, sf_dir).select("url"), ranks)
 
 
+def _q_crawl_frontier_polite(spark, sf_dir):
+    """The frontier a POLITE crawler may actually fetch: crawl_frontier
+    candidates with the robots.txt protocol verdict applied to each
+    TARGET url (operators/robotstxt over not-yet-crawled urls) — the
+    full crawl loop: extract → outlinks → rank → frontier → robots gate
+    → fetch. Oracle composes the frontier SQL with datagen's
+    independent-matcher expected_robots verdicts."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.robotstxt import robots_txt_gate
+    from pyocr_spark.operators.webgraph import crawl_frontier, host_graph, pagerank_hosts
+
+    d = ensure_pages(sf_dir)
+    links = _outlinks(spark, sf_dir).localCheckpoint(eager=True)
+    ranks = pagerank_hosts(host_graph(links), iterations=10)
+    frontier = crawl_frontier(links, _pages(spark, sf_dir).select("url"), ranks)
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return robots_txt_gate(frontier, robots, agent=ROBOTS_AGENT, url_col="target_url")
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -1228,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": _q_extract_metadata,
         "pages_robots_gate": _q_pages_robots_gate,
         "pages_canonical_dedup": _q_pages_canonical_dedup,
+        "pages_robots_txt": _q_pages_robots_txt,
         "extract_headings": _q_extract_headings,
         "extract_tables": _q_extract_tables,
         "pages_dedup_latest": _q_pages_dedup_latest,
@@ -1321,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "crawl_frontier": _q_crawl_frontier,
+        "crawl_frontier_polite": _q_crawl_frontier_polite,
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
@@ -1681,6 +1721,18 @@ def oracle_sql() -> dict[str, str]:
             f"x -> trim(x)), 'noindex') OR "
             f"list_contains(list_transform(string_split(lower(robots), ','), "
             f"x -> trim(x)), 'none'))"
+        ),
+        # robots.txt PROTOCOL verdicts: datagen's independent wildcard
+        # matcher materialized the longest-match outcome per url
+        "pages_robots_txt": (
+            # expected_robots also covers outlink targets (for the
+            # polite frontier) — restrict to the crawled urls this
+            # query verdicts
+            f"SELECT er.url, er.robots_allowed "
+            f"FROM read_parquet('{E}/expected_robots.parquet') er "
+            f"JOIN (SELECT DISTINCT url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')) p "
+            f"ON p.url = er.url"
         ),
         "pages_canonical_dedup": (
             # keep-latest per coalesce(canonical, url); expected_meta is
@@ -2433,6 +2485,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT fh.target_url, fh.n_refs, fh.host, "
             "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
             f"FROM fh LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = fh.host"
+        ),
+        # the polite frontier: same plan, target urls gated by the
+        # robots-protocol verdict (expected_robots covers outlink
+        # targets too — datagen computes verdicts for them explicitly)
+        "crawl_frontier_polite": (
+            f"WITH cand AS (SELECT target_url, count(*) AS n_refs "
+            f"FROM read_parquet('{E}/expected_links.parquet') GROUP BY 1), "
+            "crawled AS (SELECT DISTINCT url AS target_url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "fresh AS (SELECT c.target_url, c.n_refs FROM cand c "
+            "ANTI JOIN crawled USING (target_url)), "
+            f"fh AS (SELECT target_url, n_refs, {_host_sql('target_url')} AS host "
+            "FROM fresh), "
+            "gated AS (SELECT fh.* FROM fh "
+            f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
+            "ON er.url = fh.target_url "
+            "WHERE coalesce(er.robots_allowed, TRUE)) "
+            "SELECT gated.target_url, gated.n_refs, gated.host, "
+            "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
+            f"FROM gated LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = gated.host"
         ),
         # weakly-connected host clusters: same recursive-CTE skeleton as
         # dup_components' oracle, over the host edge pairs; the star

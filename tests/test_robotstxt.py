@@ -1,0 +1,195 @@
+"""robots.txt protocol gate (operators/robotstxt) — frozen-spec tests.
+
+The matching spec is pinned in the module docstring; the datagen oracle
+replays it with an independent greedy wildcard matcher
+(datagen._wild_prefix_match). The differential test here is the bridge:
+Spark's regex-compiled path and the oracle's matcher must agree on a
+pattern×path grid, so the two sides cannot drift apart silently.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyocr_spark.datagen import _wild_prefix_match
+from pyocr_spark.operators.robotstxt import (
+    parse_robots_txt,
+    robots_txt_gate,
+    robots_txt_verdict,
+)
+
+
+def test_parse_group_selection_and_merge():
+    txt = (
+        "﻿# header comment\n"
+        "User-agent: alphabot\n"
+        "Disallow: /a\n"
+        "\n"
+        "User-Agent: SPARKBOT\n"
+        "User-agent: betabot\n"  # consecutive agents share the group
+        "Disallow: /b\n"
+        "Crawl-delay: 10\n"  # unknown keys ignored
+        "\n"
+        "User-agent: sparkbot\n"  # repeated group for same agent MERGES
+        "Allow: /b/ok\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    # exact (case-insensitive) agent match beats '*'; merged rules
+    assert parse_robots_txt(txt, "sparkbot") == [
+        ("^/b", False, 2),
+        ("^/b/ok", True, 5),
+    ]
+    assert parse_robots_txt(txt, "betabot") == [("^/b", False, 2)]
+    # unmatched agent falls back to '*'
+    assert parse_robots_txt(txt, "otherbot") == [("^/", False, 1)]
+    # no group at all → no rules → allowed
+    assert parse_robots_txt("User-agent: x\nDisallow: /\n", "sparkbot") == []
+
+
+def test_parse_wildcards_anchors_and_empty_rules():
+    txt = "User-agent: *\nDisallow: /doc/*3\nAllow: /doc/1$\nDisallow:\n"
+    rules = parse_robots_txt(txt, "anybot")
+    # '*' → '.*', trailing '$' anchors, empty Disallow dropped; plen is
+    # the RAW pattern length (wildcards and anchor counted)
+    assert rules == [("^/doc/.*3", False, 7), ("^/doc/1$", True, 7)]
+    # mid-pattern '$' is literal, regex metachars escaped
+    rules2 = parse_robots_txt("User-agent: *\nDisallow: /a$b.c\n", "x")
+    assert rules2 == [("^/a\\$b\\.c", False, 6)]
+
+
+@pytest.mark.parametrize(
+    "pattern,path,want",
+    [
+        ("/doc/1", "/doc/1", True),
+        ("/doc/1", "/doc/12", True),  # prefix semantics
+        ("/doc/1", "/doc/2", False),
+        ("/doc/1$", "/doc/1", True),
+        ("/doc/1$", "/doc/12", False),  # anchored
+        ("/doc/*3", "/doc/3", True),  # '*' matches empty
+        ("/doc/*3", "/doc/123", True),
+        ("/doc/*3", "/doc/124", False),  # no 3 → no prefix match...
+        ("/doc/*3", "/doc/1234", True),  # ...but a later 3 matches
+        ("/a*b*c", "/axxbyyczz", True),
+        ("/a*b*c$", "/axxbyyczz", False),
+        ("/a*b*c$", "/axxbyyc", True),
+        ("/", "/anything", True),
+        ("/x", "/", False),
+    ],
+)
+def test_independent_matcher_pins_the_spec(pattern, path, want):
+    assert _wild_prefix_match(pattern, path) is want
+
+
+def test_spark_matcher_equals_independent_matcher(spark):
+    """Differential grid: the regex route (Spark) and the greedy
+    wildcard route (oracle) must produce identical verdicts."""
+    patterns = [
+        "/doc/1", "/doc/1$", "/doc/*3", "/a*b*c", "/a*b*c$", "/",
+        "/doc/2*4", "/*9$",
+    ]
+    paths = [
+        "/doc/1", "/doc/12", "/doc/123", "/doc/124", "/doc/3", "/doc/9",
+        "/axxbyyczz", "/axxbyyc", "/", "/doc/234", "/doc/24",
+    ]
+    # one host per pattern, every path probed against it
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", f"User-agent: *\nDisallow: {p}\n") for i, p in enumerate(patterns)],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.com{path}",) for i in range(len(patterns)) for path in paths],
+        "url string",
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="anybot").collect()
+    }
+    for i, p in enumerate(patterns):
+        for path in paths:
+            want = not _wild_prefix_match(p, path)
+            assert got[f"https://h{i}.com{path}"] is want, (p, path)
+
+
+def test_verdict_longest_match_tie_and_defaults(spark):
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\n"
+                "Disallow: /doc/2\n"
+                "Allow: /doc/2*4\n"
+                "Disallow: /doc/2$\n"
+                "Disallow: /doc/9\n"
+                "Allow: /doc/9\n",
+            ),
+            ("b.com", None),  # NULL robots text → allowed
+        ],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/doc/2",),  # anchored len-7 deny beats len-6 deny
+            ("https://a.com/doc/24",),  # len-8 wildcard allow wins
+            ("https://a.com/doc/21",),  # only len-6 deny matches
+            ("https://a.com/doc/9",),  # exact length tie → Allow wins
+            ("https://a.com/other",),  # no rule matches → allowed
+            ("https://b.com/doc/2",),  # NULL robots
+            ("https://c.com/doc/2",),  # host absent from robots table
+            ("https://a.com",),  # bare host → path '/'
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="sparkbot").collect()
+    }
+    assert got["https://a.com/doc/2"] is False
+    assert got["https://a.com/doc/24"] is True
+    assert got["https://a.com/doc/21"] is False
+    assert got["https://a.com/doc/9"] is True
+    assert got["https://a.com/other"] is True
+    assert got["https://b.com/doc/2"] is True
+    assert got["https://c.com/doc/2"] is True
+    assert got["https://a.com"] is True
+
+
+def test_gate_filters_and_preserves_columns(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/no/1", 7), ("https://a.com/yes", 8)],
+        "url string, payload int",
+    )
+    out = robots_txt_gate(pages, robots, agent="anybot")
+    assert out.columns == ["url", "payload"]
+    assert [(r["url"], r["payload"]) for r in out.collect()] == [
+        ("https://a.com/yes", 8)
+    ]
+
+
+def test_agent_specific_group_shadows_deny_all(spark):
+    txt = "User-agent: sparkbot\nDisallow: /doc/*3\n\nUser-agent: *\nDisallow: /\n"
+    robots = spark.createDataFrame(
+        [("a.com", txt)], "host string, robots_txt string"
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/doc/13",), ("https://a.com/doc/14",)], "url string"
+    )
+    sparkbot = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="sparkbot").collect()
+    }
+    assert sparkbot == {
+        "https://a.com/doc/13": False,
+        "https://a.com/doc/14": True,
+    }
+    # any other agent hits the '*' deny-all group
+    other = {
+        r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="otherbot").collect()
+    }
+    assert other == {False}
