@@ -449,6 +449,23 @@ def main() -> int:
     check("pages_canonical_dedup", "exactly two Exchanges (dedup + canon_key windows)",
           n_ex == 4, f"Exchange occurrences={n_ex} (2 per physical node)")
 
+    # robots.txt PROTOCOL verdict: the parse UDF touches ONLY the
+    # hosts-sized robots table (one Python stage); the crawl-sized side
+    # is a pruned scan + equi-join + JVM-side HOF longest-match
+    df = qs["pages_robots_txt"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pages_robots_txt", p))
+    check("pages_robots_txt", "exactly one Python stage (robots parse, hosts-sized)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 1, "")
+    pages_schemas = [
+        s for s in re.findall(r"ReadSchema: (struct<[^>]*>)", p) if "url" in s
+    ]
+    check("pages_robots_txt", "pages scan pruned to url only",
+          bool(pages_schemas) and all(s == "struct<url:string>" for s in pages_schemas),
+          "; ".join(pages_schemas)[:100])
+    check("pages_robots_txt", "no cartesian/NLJ (host equi-join)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     # SemDeDup: pairs must form only inside LSH buckets (equi-join) and the
     # final prune must be an anti-join — never a cartesian anywhere
     df = qs["emb_semdedup"](spark, SF_DIR)
