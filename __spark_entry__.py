@@ -1172,6 +1172,18 @@ def _q_crawl_frontier_polite(spark, sf_dir):
     return robots_txt_gate(frontier, robots, agent=ROBOTS_AGENT, url_col="target_url")
 
 
+def _q_crawl_fetch_rounds(spark, sf_dir):
+    """Politeness scheduling (operators/webgraph.fetch_rounds): the
+    polite frontier split into per-host-capped fetch rounds — the
+    host window is the ONLY added shuffle, and round assignment is pure
+    integer math (row_number + floor division), engine-bit-identical."""
+    from pyocr_spark.operators.webgraph import fetch_rounds
+
+    return fetch_rounds(
+        _q_crawl_frontier_polite(spark, sf_dir), per_host_per_round=4
+    )
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -1361,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
+        "crawl_fetch_rounds": _q_crawl_fetch_rounds,
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
@@ -1645,6 +1658,25 @@ def oracle_sql() -> dict[str, str]:
         "reach AS (SELECT DISTINCT a AS node, a AS comp FROM edges "
         "UNION SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node) "
         "SELECT node, min(comp) AS comp FROM reach GROUP BY node"
+    )
+    # shared by crawl_frontier_polite and crawl_fetch_rounds (which adds
+    # the per-host round window on top)
+    polite_frontier_sql = (
+        f"WITH cand AS (SELECT target_url, count(*) AS n_refs "
+        f"FROM read_parquet('{E}/expected_links.parquet') GROUP BY 1), "
+        "crawled AS (SELECT DISTINCT url AS target_url "
+        f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+        "fresh AS (SELECT c.target_url, c.n_refs FROM cand c "
+        "ANTI JOIN crawled USING (target_url)), "
+        f"fh AS (SELECT target_url, n_refs, {_host_sql('target_url')} AS host "
+        "FROM fresh), "
+        "gated AS (SELECT fh.* FROM fh "
+        f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
+        "ON er.url = fh.target_url "
+        "WHERE coalesce(er.robots_allowed, TRUE)) "
+        "SELECT gated.target_url, gated.n_refs, gated.host, "
+        "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
+        f"FROM gated LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = gated.host"
     )
     return {
         "extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
@@ -2489,22 +2521,15 @@ def oracle_sql() -> dict[str, str]:
         # the polite frontier: same plan, target urls gated by the
         # robots-protocol verdict (expected_robots covers outlink
         # targets too — datagen computes verdicts for them explicitly)
-        "crawl_frontier_polite": (
-            f"WITH cand AS (SELECT target_url, count(*) AS n_refs "
-            f"FROM read_parquet('{E}/expected_links.parquet') GROUP BY 1), "
-            "crawled AS (SELECT DISTINCT url AS target_url "
-            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
-            "fresh AS (SELECT c.target_url, c.n_refs FROM cand c "
-            "ANTI JOIN crawled USING (target_url)), "
-            f"fh AS (SELECT target_url, n_refs, {_host_sql('target_url')} AS host "
-            "FROM fresh), "
-            "gated AS (SELECT fh.* FROM fh "
-            f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
-            "ON er.url = fh.target_url "
-            "WHERE coalesce(er.robots_allowed, TRUE)) "
-            "SELECT gated.target_url, gated.n_refs, gated.host, "
-            "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
-            f"FROM gated LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = gated.host"
+        "crawl_frontier_polite": polite_frontier_sql,
+        # politeness scheduling on top: per-host fetch rounds via the
+        # frontier's own priority order, integer round assignment
+        "crawl_fetch_rounds": (
+            "SELECT target_url, n_refs, host, rank, "
+            "CAST(floor((row_number() OVER (PARTITION BY host "
+            "ORDER BY rank DESC, n_refs DESC, target_url ASC) - 1) / 4.0) "
+            "AS INT) AS fetch_round "
+            f"FROM ({polite_frontier_sql})"
         ),
         # weakly-connected host clusters: same recursive-CTE skeleton as
         # dup_components' oracle, over the host edge pairs; the star

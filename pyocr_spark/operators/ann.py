@@ -154,19 +154,22 @@ def train_ivf_centroids(
     nlist×dim centroid matrix ever reaches the driver.
     """
     seeds = emb.filter(F.col(vec_col).isNotNull())
-    first = seeds.select(vec_col).head()
-    if first is None:
+    # ONE job: the dimension comes from the seeds themselves (min-id
+    # order, so which row anchors 'dim' is deterministic — a separate
+    # head() would both cost an extra pass and blame partition-order-
+    # dependent ids on ragged inputs)
+    seed_rows = seeds.orderBy(id_col).limit(nlist).collect()
+    if not seed_rows:
         raise ValueError(
             "train_ivf_centroids requires at least one row with a "
             f"non-NULL {vec_col!r} (cannot infer the dimension)"
         )
-    dim = len(first[0])
-    seed_rows = seeds.orderBy(id_col).limit(nlist).collect()
+    dim = len(seed_rows[0][vec_col])
     bad = [r[id_col] for r in seed_rows if len(r[vec_col]) != dim]
     if bad:
         raise ValueError(
             f"train_ivf_centroids: seed vectors {bad} have a different "
-            f"dimension than the first vector (dim={dim})"
+            f"dimension than the min-id seed (dim={dim})"
         )
     cents = np.stack(
         [np.asarray(r[vec_col], dtype="float64") for r in seed_rows]

@@ -583,10 +583,20 @@ def components_star(
     """
     a = F.col(left_col).alias("a")
     b = F.col(right_col).alias("b")
+    endpoints = pairs.select(a, b).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    # every endpoint must get a label — a node whose only pair is a
+    # self-loop (host_graph keeps intra-host edges) has no star edge at
+    # the fixpoint and would otherwise vanish, diverging from
+    # dup_components and the shared recursive-CTE oracle
+    nodes = (
+        endpoints.select(F.col("a").alias("node"))
+        .union(endpoints.select(F.col("b").alias("node")))
+        .distinct()
+    )
     edges = (
-        pairs.select(a, b)
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .filter(F.col("a") != F.col("b"))
+        endpoints.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -636,15 +646,16 @@ def components_star(
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _sig(edges)
         if cur == prev:
-            # fixpoint: edges form (child, component-min) stars; the
-            # label table is children + the centers themselves
+            # fixpoint: edges form (child, component-min) stars — each
+            # non-root appears exactly once as a child. Roots and
+            # self-loop-only nodes have no child row; the left join
+            # labels them with themselves
             children = edges.select(
                 F.col("a").alias("node"), F.col("b").alias("comp")
             )
-            roots = edges.select(
-                F.col("b").alias("node"), F.col("b").alias("comp")
-            ).distinct()
-            return children.union(roots).distinct()
+            return nodes.join(children, "node", "left").select(
+                "node", F.coalesce("comp", "node").alias("comp")
+            )
         prev = cur
     raise RuntimeError(
         f"components_star did not converge in {max_iterations} rounds "

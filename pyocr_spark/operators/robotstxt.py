@@ -84,9 +84,14 @@ def parse_robots_txt(text: str, agent: str) -> list[tuple[str, bool, int]]:
     for pattern, allow in chosen:
         anchored = pattern.endswith("$")
         body = pattern[:-1] if anchored else pattern
-        rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+        # (?s): '*' must match ANY octet sequence — without DOTALL, Java
+        # '.' refuses line terminators (\n \r U+0085 U+2028 U+2029) and
+        # the verdict diverges from the independent greedy matcher on
+        # urls containing them. '$' must also not match before a
+        # trailing \n, so the end anchor is \z, not Java's default '$'
+        rx = "(?s)^" + ".*".join(re.escape(part) for part in body.split("*"))
         if anchored:
-            rx += "$"
+            rx += r"\z"
         out.append((rx, allow, len(pattern)))
     return out
 
@@ -116,8 +121,9 @@ def parsed_robots(
             dtype="object",
         )
 
+    # host keys lowered to match url_host's normalization of page urls
     return robots.select(
-        F.col(host_col).alias("host"),
+        F.lower(F.col(host_col)).alias("host"),
         compile_rules(F.col(robots_col)).alias("rules"),
     )
 
@@ -138,12 +144,32 @@ def robots_txt_verdict(
     longest pattern wins and allow=1 beats allow=0 on a tie — exactly
     the RFC tie-break, no UDF in the crawl-sized path).
     """
+    from pyocr_spark.operators.urlnorm import url_host
+
+    reserved = {"_host", "rules", "robots_allowed"} & set(pages.columns)
+    if reserved:
+        # '_host'/'rules' would be clobbered or ambiguous, and a caller
+        # 'robots_allowed' would be silently overwritten — fail at the
+        # cause (same discipline as asof_join's clash guard)
+        raise ValueError(
+            f"robots_txt_verdict: input columns {sorted(reserved)} are "
+            "reserved by the operator; rename them first"
+        )
     rules = parsed_robots(robots, agent, host_col=host_col, robots_col=robots_col)
-    path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    joined = pages.withColumn(
-        "_host", F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
-    ).join(
+    # path+query (fragment stripped) — the RFC match target. The
+    # authority is stripped with the SAME charset rule as url_host so
+    # the two surfaces cannot disagree about where the path starts
+    # (ports, userinfo, IPv6 brackets)
+    path = F.regexp_replace(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    path = F.regexp_replace(path, r"(?s)#.*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(~path.startswith("/"), F.concat(F.lit("/"), path)).otherwise(path)
+    )
+    # url_host, not a local regex: lowercases, strips port + userinfo —
+    # a robots rule must not be evadable via 'https://A.COM:443/…'
+    joined = pages.withColumn("_host", url_host(F.col(url_col))).join(
         rules.select(F.col("host").alias("_host"), "rules"), "_host", "left"
     )
     best = F.array_max(

@@ -268,3 +268,50 @@ def crawl_frontier(
             F.desc("rank"), F.desc("n_refs"), F.asc("target_url")
         ).limit(k)
     return out
+
+
+def fetch_rounds(
+    frontier: DataFrame,
+    per_host_per_round: int = 8,
+    url_col: str = "target_url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness scheduling: assign frontier candidates to fetch
+    rounds so no host appears more than ``per_host_per_round`` times in
+    any round — the step between "what to fetch" (crawl_frontier) and a
+    fetching fleet that must not hammer a single origin.
+
+    Within a host, candidates are ordered by (rank DESC, n_refs DESC,
+    url ASC) — the frontier's own priority order, made total by the url
+    tiebreak — so the best targets land in the earliest rounds.
+    ``fetch_round`` is 0-based; a round's worth of urls is the filter
+    ``fetch_round == r`` (at deployment, partitioning the output by
+    fetch_round makes each wave a pruned scan).
+
+    ONE shuffle (the host window). A hot host with millions of
+    candidates is exactly the case the cap exists for: its rounds count
+    grows, not its per-round load — and AQE skew-split handles the
+    window partition itself. Integer math only (row_number + floor
+    division), so round assignment is bit-identical across
+    partitionings and engines.
+    """
+    if per_host_per_round < 1:
+        raise ValueError(
+            f"per_host_per_round must be >= 1, got {per_host_per_round}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc("rank"), F.desc("n_refs"), F.asc(url_col)
+    )
+    rn = "_rn"
+    while rn in frontier.columns:  # never clobber a caller's column
+        rn += "_"
+    return (
+        frontier.withColumn(rn, F.row_number().over(w))
+        .withColumn(
+            "fetch_round",
+            F.floor((F.col(rn) - 1) / per_host_per_round).cast("int"),
+        )
+        .drop(rn)
+    )

@@ -172,14 +172,15 @@ def test_components_star_matches_label_propagation(spark):
         [(i, i + 1) for i in range(40)],  # long chain: O(log²n) rounds
         [(0, i) for i in range(1, 9)],  # star centered on the minimum
         [(8, i) for i in range(8)],  # star centered on the MAXIMUM
+        # self-loop-only nodes must still be labeled (host_graph keeps
+        # intra-host edges) — 5 is ONLY in a self-loop, 1 also has one
+        [(5, 5), (1, 1), (1, 2), (7, 8)],
     ]
     rng = random.Random(7)
+    # random graph INCLUDING self-loops (~1/60 of draws collide)
     cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(80)])
     for pairs_data in cases:
-        pairs = spark.createDataFrame(
-            [p for p in pairs_data if p[0] != p[1]] or [(0, 1)],
-            "left_id long, right_id long",
-        )
+        pairs = spark.createDataFrame(pairs_data, "left_id long, right_id long")
         want = sorted((r["node"], r["comp"]) for r in dup_components(pairs).collect())
         got = sorted((r["node"], r["comp"]) for r in components_star(pairs).collect())
         assert got == want

@@ -38,12 +38,12 @@ def test_parse_group_selection_and_merge():
     )
     # exact (case-insensitive) agent match beats '*'; merged rules
     assert parse_robots_txt(txt, "sparkbot") == [
-        ("^/b", False, 2),
-        ("^/b/ok", True, 5),
+        ("(?s)^/b", False, 2),
+        ("(?s)^/b/ok", True, 5),
     ]
-    assert parse_robots_txt(txt, "betabot") == [("^/b", False, 2)]
+    assert parse_robots_txt(txt, "betabot") == [("(?s)^/b", False, 2)]
     # unmatched agent falls back to '*'
-    assert parse_robots_txt(txt, "otherbot") == [("^/", False, 1)]
+    assert parse_robots_txt(txt, "otherbot") == [("(?s)^/", False, 1)]
     # no group at all → no rules → allowed
     assert parse_robots_txt("User-agent: x\nDisallow: /\n", "sparkbot") == []
 
@@ -51,12 +51,13 @@ def test_parse_group_selection_and_merge():
 def test_parse_wildcards_anchors_and_empty_rules():
     txt = "User-agent: *\nDisallow: /doc/*3\nAllow: /doc/1$\nDisallow:\n"
     rules = parse_robots_txt(txt, "anybot")
-    # '*' → '.*', trailing '$' anchors, empty Disallow dropped; plen is
-    # the RAW pattern length (wildcards and anchor counted)
-    assert rules == [("^/doc/.*3", False, 7), ("^/doc/1$", True, 7)]
+    # '*' → DOTALL '.*', trailing '$' anchors via \z (not Java's
+    # before-trailing-newline '$'), empty Disallow dropped; plen is the
+    # RAW pattern length (wildcards and anchor counted)
+    assert rules == [("(?s)^/doc/.*3", False, 7), ("(?s)^/doc/1\\z", True, 7)]
     # mid-pattern '$' is literal, regex metachars escaped
     rules2 = parse_robots_txt("User-agent: *\nDisallow: /a$b.c\n", "x")
-    assert rules2 == [("^/a\\$b\\.c", False, 6)]
+    assert rules2 == [("(?s)^/a\\$b\\.c", False, 6)]
 
 
 @pytest.mark.parametrize(
@@ -169,6 +170,92 @@ def test_gate_filters_and_preserves_columns(spark):
     assert [(r["url"], r["payload"]) for r in out.collect()] == [
         ("https://a.com/yes", 8)
     ]
+
+
+def test_host_normalization_cannot_evade_rules(spark):
+    """Rules must bind through url_host's normalization: uppercase
+    hosts, explicit ports, and userinfo must not dodge the robots row —
+    and an uppercase robots-table key must still match."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /secret\n"),
+         ("B.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://A.COM/secret",),
+            ("https://a.com:8080/secret",),
+            ("https://user@a.com/secret",),
+            ("https://b.com/x",),
+            ("https://a.com/open",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="anybot").collect()
+    }
+    assert got["https://A.COM/secret"] is False
+    assert got["https://a.com:8080/secret"] is False
+    assert got["https://user@a.com/secret"] is False
+    assert got["https://b.com/x"] is False
+    assert got["https://a.com/open"] is True
+
+
+def test_line_terminators_in_path_match_dotall(spark):
+    """'*' matches ANY octet sequence — a path containing a line
+    terminator must produce the same verdict as the independent greedy
+    matcher (the (?s)/\\z regex discipline, same class as the DOTALL BPE
+    fix)."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /a*b\nDisallow: /plain$\n")],
+        "host string, robots_txt string",
+    )
+    weird = "/a\nx b"
+    assert _wild_prefix_match("/a*b", weird) is True
+    # Java '$' matches before a trailing \n; \z must not
+    assert _wild_prefix_match("/plain$", "/plain\n") is False
+    pages = spark.createDataFrame(
+        [(f"https://a.com{weird}",), ("https://a.com/plain\n",)], "url string"
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="x").collect()
+    }
+    assert got[f"https://a.com{weird}"] is False
+    assert got["https://a.com/plain\n"] is True
+
+
+def test_reserved_columns_rejected(spark):
+    import pytest as _pytest
+
+    robots = spark.createDataFrame(
+        [("a.com", None)], "host string, robots_txt string"
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/x", 1)], "url string, rules int"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        robots_txt_verdict(pages, robots)
+
+
+def test_fragment_stripped_query_kept(spark):
+    """RFC match target is path+query; fragments are client-side only."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p?q=1\nDisallow: /frag#x\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/p?q=12",), ("https://a.com/frag",)], "url string"
+    )
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_txt_verdict(pages, robots, agent="x").collect()
+    }
+    # query participates in matching
+    assert got["https://a.com/p?q=12"] is False
+    # the RULE's '#x' was a robots-file comment → pattern '/frag'
+    assert got["https://a.com/frag"] is False
 
 
 def test_agent_specific_group_shadows_deny_all(spark):

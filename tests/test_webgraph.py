@@ -313,6 +313,54 @@ def test_pagerank_empty_graph_returns_empty(spark):
     assert pagerank_hosts(empty, iterations=2).collect() == []
 
 
+def test_fetch_rounds_caps_per_host_and_orders_by_priority(spark):
+    """No host exceeds the per-round cap; higher-priority targets land
+    in earlier rounds; the cap guard rejects nonsense."""
+    import pytest
+
+    from pyocr_spark.operators.webgraph import fetch_rounds
+
+    frontier = spark.createDataFrame(
+        [
+            # host a: 5 candidates, ranks descending with url tiebreak
+            ("https://a.com/1", 1, "a.com", 50),
+            ("https://a.com/2", 1, "a.com", 40),
+            ("https://a.com/3", 9, "a.com", 30),
+            ("https://a.com/4", 1, "a.com", 30),
+            ("https://a.com/5", 1, "a.com", 10),
+            # host b: 1 candidate
+            ("https://b.com/1", 1, "b.com", 99),
+        ],
+        "target_url string, n_refs long, host string, rank long",
+    )
+    out = {
+        r["target_url"]: r["fetch_round"]
+        for r in fetch_rounds(frontier, per_host_per_round=2).collect()
+    }
+    # a.com priority order: /1 (50), /2 (40), /3 (30, n_refs 9), /4
+    # (30), /5 (10) → rounds 0,0,1,1,2; b.com alone → round 0
+    assert out == {
+        "https://a.com/1": 0,
+        "https://a.com/2": 0,
+        "https://a.com/3": 1,
+        "https://a.com/4": 1,
+        "https://a.com/5": 2,
+        "https://b.com/1": 0,
+    }
+    # invariant over a bigger synthetic frontier: per (host, round) ≤ cap
+    big = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/{i}", 1, f"h{i % 3}.com", i % 7) for i in range(60)],
+        "target_url string, n_refs long, host string, rank long",
+    )
+    rows = fetch_rounds(big, per_host_per_round=4).collect()
+    from collections import Counter
+
+    per = Counter((r["host"], r["fetch_round"]) for r in rows)
+    assert max(per.values()) <= 4 and len(rows) == 60
+    with pytest.raises(ValueError, match="per_host_per_round"):
+        fetch_rounds(frontier, per_host_per_round=0)
+
+
 def test_pagerank_validates_checkpoint_every(spark):
     import pytest
 
