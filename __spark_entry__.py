@@ -1172,6 +1172,34 @@ def _q_crawl_frontier_polite(spark, sf_dir):
     return robots_txt_gate(frontier, robots, agent=ROBOTS_AGENT, url_col="target_url")
 
 
+def _q_sitemap_entries(spark, sf_dir):
+    """Sitemap ingestion (operators/sitemap): per-host sitemap XML →
+    (entry_idx, entry_type, loc, lastmod_epoch, changefreq, priority)
+    in document order — urlset AND sitemapindex documents, malformed
+    XML → zero rows. Oracle = expected_sitemap, built from the
+    structural entries datagen rendered (epoch computed BEFORE the
+    lastmod text, so the W3C datetime parse is genuinely checked)."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.sitemap import sitemap_entries
+
+    d = ensure_pages(sf_dir)
+    sitemaps = spark.read.parquet(str(d / "sitemaps.parquet"))
+    return sitemap_entries(sitemaps)
+
+
+def _q_sitemap_stale(spark, sf_dir):
+    """Site-driven refetch set (operators/sitemap.sitemap_stale_urls):
+    sitemap urls whose declared lastmod beats our latest crawl of the
+    same url — the freshness complement to refetch_priority's
+    observed-change signal."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.sitemap import sitemap_stale_urls
+
+    d = ensure_pages(sf_dir)
+    sitemaps = spark.read.parquet(str(d / "sitemaps.parquet"))
+    return sitemap_stale_urls(sitemaps, _pages(spark, sf_dir))
+
+
 def _q_crawl_fetch_rounds(spark, sf_dir):
     """Politeness scheduling (operators/webgraph.fetch_rounds): the
     polite frontier split into per-host-capped fetch rounds — the
@@ -1374,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "crawl_fetch_rounds": _q_crawl_fetch_rounds,
+        "sitemap_entries": _q_sitemap_entries,
+        "sitemap_stale": _q_sitemap_stale,
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
@@ -2522,6 +2552,25 @@ def oracle_sql() -> dict[str, str]:
         # robots-protocol verdict (expected_robots covers outlink
         # targets too — datagen computes verdicts for them explicitly)
         "crawl_frontier_polite": polite_frontier_sql,
+        # sitemap parse: the expected table IS the structural truth the
+        # XML/W3C parse must recover
+        "sitemap_entries": (
+            "SELECT host, entry_idx, entry_type, loc, lastmod_epoch, "
+            "changefreq, priority "
+            f"FROM read_parquet('{E}/expected_sitemap.parquet')"
+        ),
+        # staleness: declared lastmod vs our latest crawl of the url
+        "sitemap_stale": (
+            "WITH sm AS (SELECT loc, lastmod_epoch "
+            f"FROM read_parquet('{E}/expected_sitemap.parquet') "
+            "WHERE entry_type = 'url' AND lastmod_epoch IS NOT NULL), "
+            "c AS (SELECT url AS loc, CAST(max(epoch(warc_ts)) AS BIGINT) "
+            f"AS crawled_epoch FROM read_parquet('{E}/pages.parquet/*.parquet') "
+            "GROUP BY 1) "
+            "SELECT sm.loc, sm.lastmod_epoch, c.crawled_epoch "
+            "FROM sm JOIN c USING (loc) "
+            "WHERE sm.lastmod_epoch > c.crawled_epoch"
+        ),
         # politeness scheduling on top: per-host fetch rounds via the
         # frontier's own priority order, integer round assignment
         "crawl_fetch_rounds": (

@@ -79,6 +79,16 @@ def parse_args(argv=None):
              "hosts are dropped before any processing mode",
     )
     p.add_argument(
+        "--robots", default=None,
+        help="parquet table (host, robots_txt) of per-host /robots.txt "
+             "bodies; pages the protocol disallows for --robots-agent are "
+             "dropped before any processing mode (RFC 9309 longest-match)",
+    )
+    p.add_argument(
+        "--robots-agent", default="*",
+        help="product token for robots.txt group selection (default '*')",
+    )
+    p.add_argument(
         "--incremental", action="store_true",
         help="incremental re-extraction (plans/incremental): keep a per-url "
              "content-hash state table beside the output; re-extract only "
@@ -137,6 +147,12 @@ def main(argv=None) -> None:
             .filter(F.col("host") != "")
         )
         pages = blocklist_filter(pages, blocked).drop("host")
+    if args.robots:
+        from pyocr_spark.operators.robotstxt import robots_txt_gate
+
+        pages = robots_txt_gate(
+            pages, spark.read.parquet(args.robots), agent=args.robots_agent
+        )
     if args.incremental:
         run_incremental(spark, pages, args, modes)
         spark.stop()

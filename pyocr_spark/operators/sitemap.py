@@ -1,0 +1,200 @@
+"""Sitemap ingestion (sitemaps.org protocol) — the crawl's pull signal.
+
+robots.txt says what a crawler must NOT fetch; sitemaps say what a site
+WANTS fetched, and when it last changed. Over a ``(host, sitemap_xml)``
+table this module yields the per-host url inventory with freshness
+metadata, and the staleness join against the crawl's own timestamps —
+the site-driven half of refetch scheduling (the observation-driven half
+is ``operators/snapshot.refetch_priority``).
+
+Frozen parse spec (datagen's oracle builds expected entries from the
+STRUCTURAL data it rendered — the XML parse below is exactly what the
+gate checks):
+
+- ``<urlset>`` documents yield ``entry_type='url'`` rows from each
+  ``<url>`` block's ``<loc>``; ``<sitemapindex>`` documents yield
+  ``entry_type='sitemap'`` rows from each ``<sitemap>`` block's
+  ``<loc>`` (child sitemap references — fetch and re-parse upstream)
+- entries keep DOCUMENT ORDER (``entry_idx``); blocks without a
+  ``<loc>`` are dropped; ``<loc>`` text is whitespace-trimmed
+- ``lastmod`` → ``lastmod_epoch`` (BIGINT seconds, UTC): W3C datetime
+  subset ``YYYY-MM-DD``, ``YYYY-MM-DDThh:mm(:ss)?(Z|±hh:mm)?`` (no tz =
+  UTC); unparseable or absent → NULL
+- ``changefreq`` lowercased+trimmed; ``priority`` parsed as double;
+  absent / unparseable → NULL (the spec's 0.5 default is the CONSUMER's
+  choice, not baked into the table)
+- namespace-agnostic: tags match on local name, any (or no) xmlns
+- a document that is not well-formed XML yields zero rows (damaged
+  sitemap = no signal, never a crash — same error discipline as WARC)
+
+Scale shape: parsing is one Arrow-batched pandas UDF over the
+hosts-sized sitemap table (XML has no JVM builtin here), exploded
+JVM-side; the staleness check is a url equi-join against the crawl —
+bucket-co-locatable, AQE-broadcastable. No per-row Python ever touches
+the crawl-sized side.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENTRY_DDL = (
+    "array<struct<entry_type:string,loc:string,lastmod_epoch:bigint,"
+    "changefreq:string,priority:double>>"
+)
+
+_W3C_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[Tt](\d{2}):(\d{2})(?::(\d{2})(?:\.\d+)?)?"
+    r"(Z|z|[+-]\d{2}:\d{2})?)?$"
+)
+
+
+def parse_w3c_datetime(text: str) -> int | None:
+    """W3C datetime subset → epoch seconds (UTC), None if unparseable."""
+    m = _W3C_RE.match(text.strip())
+    if not m:
+        return None
+    y, mo, d, hh, mi, ss, tz = m.groups()
+    try:
+        dt = datetime(
+            int(y), int(mo), int(d), int(hh or 0), int(mi or 0), int(ss or 0),
+            tzinfo=timezone.utc,
+        )
+    except ValueError:  # e.g. month 13 — shape matched, values invalid
+        return None
+    epoch = int(dt.timestamp())
+    if tz and tz not in ("Z", "z"):
+        sign = 1 if tz[0] == "+" else -1
+        epoch -= sign * (int(tz[1:3]) * 3600 + int(tz[4:6]))
+    return epoch
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap_xml(xml_text: str) -> list[tuple]:
+    """One sitemap document → [(entry_type, loc, lastmod_epoch,
+    changefreq, priority)] in document order. Pure Python; the pandas
+    UDF in ``sitemap_entries`` maps it over the sitemap table."""
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+    root_kind = _local(root.tag)
+    if root_kind == "urlset":
+        block_tag, entry_type = "url", "url"
+    elif root_kind == "sitemapindex":
+        block_tag, entry_type = "sitemap", "sitemap"
+    else:
+        return []
+    out = []
+    for block in root:
+        if _local(block.tag) != block_tag:
+            continue
+        loc = lastmod = changefreq = priority = None
+        for child in block:
+            name = _local(child.tag)
+            text = (child.text or "").strip()
+            if name == "loc" and text:
+                loc = text
+            elif name == "lastmod" and text:
+                lastmod = parse_w3c_datetime(text)
+            elif name == "changefreq" and text:
+                changefreq = text.lower()
+            elif name == "priority" and text:
+                try:
+                    priority = float(text)
+                except ValueError:
+                    priority = None
+        if loc is not None:
+            out.append((entry_type, loc, lastmod, changefreq, priority))
+    return out
+
+
+def sitemap_entries(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """(host, sitemap_xml) → (host, entry_idx, entry_type, loc,
+    lastmod_epoch, changefreq, priority), document order per host.
+
+    One Arrow-batched parse over the hosts-sized table; the explode and
+    everything downstream is JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ENTRY_DDL)
+    def parse_all(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else [
+                    {
+                        "entry_type": et,
+                        "loc": loc,
+                        "lastmod_epoch": lm,
+                        "changefreq": cf,
+                        "priority": pr,
+                    }
+                    for et, loc, lm, cf, pr in parse_sitemap_xml(t)
+                ]
+                for t in texts
+            ],
+            dtype="object",
+        )
+
+    parsed = sitemaps.select(
+        F.col(host_col).alias("host"), parse_all(F.col(xml_col)).alias("_entries")
+    )
+    return parsed.select(
+        "host",
+        F.posexplode_outer("_entries").alias("entry_idx", "_e"),
+    ).select(
+        "host",
+        "entry_idx",
+        F.col("_e.entry_type").alias("entry_type"),
+        F.col("_e.loc").alias("loc"),
+        F.col("_e.lastmod_epoch").alias("lastmod_epoch"),
+        F.col("_e.changefreq").alias("changefreq"),
+        F.col("_e.priority").alias("priority"),
+    ).filter(F.col("loc").isNotNull())
+
+
+def sitemap_stale_urls(
+    sitemaps: DataFrame,
+    pages: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap urls whose declared lastmod is NEWER than our latest
+    crawl of that url — the site-driven refetch set. Returns (loc,
+    lastmod_epoch, crawled_epoch) for url entries with a lastmod that
+    beat our latest ``warc_ts``.
+
+    Urls we never crawled are the FRONTIER's business (they surface via
+    crawl_frontier); this operator is the freshness delta over what we
+    have. ONE crawl-sized shuffle: the per-url max-warc_ts aggregate
+    (map-side combined); the sitemap side is hosts-sized.
+    """
+    entries = sitemap_entries(sitemaps, host_col=host_col, xml_col=xml_col)
+    urls = entries.filter(
+        (F.col("entry_type") == "url") & F.col("lastmod_epoch").isNotNull()
+    ).select("loc", "lastmod_epoch")
+    crawled = pages.groupBy(F.col("url").alias("loc")).agg(
+        F.max(F.col("warc_ts").cast("long")).alias("crawled_epoch")
+    )
+    return (
+        urls.join(crawled, "loc")
+        .filter(F.col("lastmod_epoch") > F.col("crawled_epoch"))
+        .select("loc", "lastmod_epoch", "crawled_epoch")
+    )

@@ -1,0 +1,122 @@
+"""Sitemap ingestion (operators/sitemap) — frozen-spec tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyocr_spark.operators.sitemap import (
+    parse_sitemap_xml,
+    parse_w3c_datetime,
+    sitemap_entries,
+    sitemap_stale_urls,
+)
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("2024-01-01", 1704067200),
+        ("2024-01-01T06:30:00Z", 1704090600),
+        ("2024-01-01T06:30Z", 1704090600),  # seconds optional
+        ("2024-01-01T08:30:00+02:00", 1704090600),  # offset normalizes
+        ("2024-01-01T04:30:00-02:00", 1704090600),
+        ("2024-01-01T06:30:00", 1704090600),  # no tz = UTC
+        ("2024-01-01T06:30:00.500Z", 1704090600),  # fraction dropped
+        (" 2024-01-01 ", 1704067200),  # trimmed
+        ("not-a-date", None),
+        ("2024-13-01", None),  # shape ok, month invalid
+        ("01/02/2024", None),
+    ],
+)
+def test_w3c_datetime_subset(text, want):
+    assert parse_w3c_datetime(text) == want
+
+
+def test_parse_urlset_document_order_and_fields():
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://a.com/1 </loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>DAILY</changefreq><priority>0.8</priority></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # loc-less: dropped
+        "<url><loc>https://a.com/2</loc><lastmod>junk</lastmod></url>"
+        "<other>ignored</other>"
+        "</urlset>"
+    )
+    got = parse_sitemap_xml(xml)
+    # loc trimmed, changefreq lowercased, bad lastmod → None, the
+    # loc-less block consumes NO index
+    assert got == [
+        ("url", "https://a.com/1", 1704067200, "daily", 0.8),
+        ("url", "https://a.com/2", None, None, None),
+    ]
+
+
+def test_parse_sitemapindex_and_damage():
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.com/s2.xml</loc>"
+        "<lastmod>2024-01-01</lastmod></sitemap></sitemapindex>"
+    )
+    assert parse_sitemap_xml(idx) == [
+        ("sitemap", "https://a.com/s1.xml", None, None, None),
+        ("sitemap", "https://a.com/s2.xml", 1704067200, None, None),
+    ]
+    assert parse_sitemap_xml("<urlset><url><loc>x") == []  # malformed
+    assert parse_sitemap_xml("<rss>wrong root</rss>") == []
+
+
+def test_sitemap_entries_spark(spark):
+    sitemaps = spark.createDataFrame(
+        [
+            ("a.com", "<urlset><url><loc>https://a.com/1</loc>"
+                      "<priority>0.5</priority></url>"
+                      "<url><loc>https://a.com/2</loc></url></urlset>"),
+            ("b.com", None),  # NULL xml → no rows
+            ("c.com", "broken <"),  # damaged → no rows
+        ],
+        "host string, sitemap_xml string",
+    )
+    rows = sorted(
+        (r["host"], r["entry_idx"], r["loc"], r["priority"])
+        for r in sitemap_entries(sitemaps).collect()
+    )
+    assert rows == [
+        ("a.com", 0, "https://a.com/1", 0.5),
+        ("a.com", 1, "https://a.com/2", None),
+    ]
+
+
+def test_stale_join_semantics(spark):
+    from datetime import datetime, timezone
+
+    t = lambda s: datetime.fromtimestamp(s, timezone.utc)
+    sitemaps = spark.createDataFrame(
+        [(
+            "a.com",
+            "<urlset>"
+            "<url><loc>https://a.com/stale</loc>"
+            "<lastmod>2024-01-02T00:00:00Z</lastmod></url>"
+            "<url><loc>https://a.com/fresh</loc>"
+            "<lastmod>2024-01-01T00:00:00Z</lastmod></url>"
+            "<url><loc>https://a.com/never-crawled</loc>"
+            "<lastmod>2024-01-02T00:00:00Z</lastmod></url>"
+            "<url><loc>https://a.com/no-lastmod</loc></url>"
+            "</urlset>",
+        )],
+        "host string, sitemap_xml string",
+    )
+    day1, day2 = 1704067200, 1704153600
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/stale", t(day1)),  # declared day2 > crawled day1
+            ("https://a.com/fresh", t(day1)),  # declared == crawled: NOT stale
+            # re-crawl: latest ts wins, so day2 crawl beats the day2 lastmod
+            ("https://a.com/fresh", t(day2)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = [
+        (r["loc"], r["lastmod_epoch"], r["crawled_epoch"])
+        for r in sitemap_stale_urls(sitemaps, pages).collect()
+    ]
+    assert got == [("https://a.com/stale", day2, day1)]

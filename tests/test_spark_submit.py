@@ -118,6 +118,38 @@ def test_spark_submit_incremental_mode(tmp_path):
     assert out["https://h/a"] == "alpha one"
 
 
+def test_spark_submit_robots_gate(tmp_path):
+    """--robots drops protocol-disallowed pages before extraction; the
+    report's doc count proves the gate ran inside the real job."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    pages = str(tmp_path / "pages.parquet")
+    _write_pages(pages, [
+        ("https://h/keep", "2024-01-01", b"<p>kept page</p>", None, "en"),
+        ("https://h/private/x", "2024-01-01", b"<p>secret</p>", None, "en"),
+        ("https://other/keep", "2024-01-01", b"<p>other host</p>", None, "en"),
+    ])
+    import pandas as pd
+
+    robots = str(tmp_path / "robots.parquet")
+    pd.DataFrame(
+        [("h", "User-agent: bot\nDisallow: /private/\n")],
+        columns=["host", "robots_txt"],
+    ).to_parquet(robots)
+    out_dir = str(tmp_path / "out")
+    proc = _submit_job(zip_path, [
+        "--input", pages, "--output", out_dir, "--modes", "text",
+        "--num-buckets", "2", "--robots", robots, "--robots-agent", "bot",
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["metrics"]["docs"] == 2  # /private/x gated out
+    out = pd.read_parquet(out_dir)
+    assert sorted(out["url"]) == ["https://h/keep", "https://other/keep"]
+
+
 def test_job_mode_flags_are_mutually_exclusive(tmp_path):
     """Conflicting mode flags must fail fast (before any Spark work) —
     each mode writes a different table shape to --output."""
