@@ -1187,6 +1187,33 @@ def _q_sitemap_entries(spark, sf_dir):
     return sitemap_entries(sitemaps)
 
 
+def _q_robots_sitemaps(spark, sf_dir):
+    """Sitemap autodiscovery (operators/robotstxt.robots_sitemaps):
+    ``Sitemap:`` directive urls per host from the robots.txt table —
+    entirely JVM-side (split/posexplode/regexp inside codegen). Oracle =
+    expected_robots_sitemaps, the structural per-variant url lists
+    datagen rendered INTO the texts (never re-parsed)."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.robotstxt import robots_sitemaps
+
+    d = ensure_pages(sf_dir)
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return robots_sitemaps(robots)
+
+
+def _q_sitemap_frontier(spark, sf_dir):
+    """Site-advertised frontier (operators/sitemap.sitemap_frontier):
+    sitemap url entries never crawled — LEFT ANTI equi-join on url, the
+    only crawl-sized work. Oracle replays the anti-join over
+    expected_sitemap and the pages table."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.sitemap import sitemap_frontier
+
+    d = ensure_pages(sf_dir)
+    sitemaps = spark.read.parquet(str(d / "sitemaps.parquet"))
+    return sitemap_frontier(sitemaps, _pages(spark, sf_dir))
+
+
 def _q_sitemap_stale(spark, sf_dir):
     """Site-driven refetch set (operators/sitemap.sitemap_stale_urls):
     sitemap urls whose declared lastmod beats our latest crawl of the
@@ -1404,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_rounds": _q_crawl_fetch_rounds,
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_stale": _q_sitemap_stale,
+        "sitemap_frontier": _q_sitemap_frontier,
+        "robots_sitemaps": _q_robots_sitemaps,
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
@@ -2570,6 +2599,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sm.loc, sm.lastmod_epoch, c.crawled_epoch "
             "FROM sm JOIN c USING (loc) "
             "WHERE sm.lastmod_epoch > c.crawled_epoch"
+        ),
+        # Sitemap autodiscovery: structural per-variant directive lists
+        "robots_sitemaps": (
+            "SELECT host, directive_idx, sitemap_url "
+            f"FROM read_parquet('{E}/expected_robots_sitemaps.parquet')"
+        ),
+        # site-advertised frontier: url entries minus the crawled set
+        "sitemap_frontier": (
+            "SELECT e.host, e.loc, e.lastmod_epoch, e.changefreq, e.priority "
+            f"FROM read_parquet('{E}/expected_sitemap.parquet') e "
+            "ANTI JOIN (SELECT DISTINCT url AS loc "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')) c "
+            "USING (loc) WHERE e.entry_type = 'url'"
         ),
         # politeness scheduling on top: per-host fetch rounds via the
         # frontier's own priority order, integer round assignment

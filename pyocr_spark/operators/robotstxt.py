@@ -186,6 +186,59 @@ def robots_txt_verdict(
     return joined.withColumn("robots_allowed", allowed).drop("_host", "rules")
 
 
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directive discovery (sitemaps.org autodiscovery; RFC
+    9309 treats the line as an "other record" outside any group) —
+    (host, directive_idx, sitemap_url) per advertised sitemap, document
+    order. The bridge from the robots gate to ``operators/sitemap``:
+    fetch these urls, parse them with ``sitemap_entries``.
+
+    Frozen spec (datagen's expected table is built from the structural
+    per-variant url lists, never by re-parsing the rendered text):
+
+    - a directive line is ``[BOM]?[\\t ]*sitemap[\\t ]*:`` with a
+      case-insensitive key; lines split on ``\\r\\n``/``\\r``/``\\n``
+    - the value runs to end-of-line, with a ``#`` comment stripped and
+      ``[\\t ]`` trimmed both ends
+    - only absolute ``http(s)://`` values are kept (the protocol
+      requires full urls; relative values are dropped, not resolved)
+    - ``directive_idx`` is the 0-based document order per host;
+      NULL robots_txt / no directive → zero rows
+    - hosts are lowercased (same normalization as ``parsed_robots``)
+
+    Scale shape: entirely JVM-side over the hosts-sized robots table —
+    split + posexplode + regexp_extract inside whole-stage codegen; the
+    one window (per-host directive numbering) shuffles hosts-sized rows,
+    never the crawl.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.posexplode(
+            F.split(F.col(robots_col), r"\r\n|\r|\n")
+        ).alias("line_idx", "line"),
+    )
+    raw = F.regexp_extract(
+        F.col("line"), "^[\uFEFF\t ]*(?i:sitemap)[\t ]*:([^#]*)", 1
+    )
+    url = F.regexp_replace(F.regexp_replace(raw, r"^[\t ]+", ""), r"[\t ]+$", "")
+    w = Window.partitionBy("host").orderBy("line_idx")
+    return (
+        lines.select("host", "line_idx", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike("^(?i:https?)://"))
+        .select(
+            "host",
+            (F.row_number().over(w) - 1).cast("int").alias("directive_idx"),
+            "sitemap_url",
+        )
+    )
+
+
 def robots_txt_gate(
     pages: DataFrame,
     robots: DataFrame,

@@ -170,6 +170,34 @@ def sitemap_entries(
     ).filter(F.col("loc").isNotNull())
 
 
+def sitemap_frontier(
+    sitemaps: DataFrame,
+    pages: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap url entries we have NEVER crawled — the site-advertised
+    half of the frontier (the link-graph half is
+    ``operators/webgraph.crawl_frontier``). Returns (host, loc,
+    lastmod_epoch, changefreq, priority) for ``entry_type='url'`` locs
+    with no crawled row.
+
+    Scale shape: the sitemap side is hosts-sized; the only crawl-sized
+    work is the LEFT ANTI equi-join on url — bucket-co-locatable with
+    the crawl table, and AQE flips it to broadcast when the sitemap side
+    is small. The spec's 0.5 priority default stays the consumer's
+    choice (raw NULL kept), same as ``sitemap_entries``.
+    """
+    entries = sitemap_entries(sitemaps, host_col=host_col, xml_col=xml_col)
+    urls = entries.filter(F.col("entry_type") == "url").select(
+        "host", F.col("loc"), "lastmod_epoch", "changefreq", "priority"
+    )
+    crawled = pages.select(F.col("url").alias("loc"))
+    return urls.join(crawled, "loc", "left_anti").select(
+        "host", "loc", "lastmod_epoch", "changefreq", "priority"
+    )
+
+
 def sitemap_stale_urls(
     sitemaps: DataFrame,
     pages: DataFrame,

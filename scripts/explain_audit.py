@@ -493,6 +493,39 @@ def main() -> int:
     check("anchor_text_index", "partial aggregation before exchange",
           "partial" in p.lower(), "")
 
+    # sitemap autodiscovery: ZERO Python stages (split/regexp JVM-side);
+    # non-directive lines filtered BEFORE the one hosts-sized window
+    # Exchange, so only directive rows shuffle
+    df = qs["robots_sitemaps"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("robots_sitemaps", p))
+    check("robots_sitemaps", "zero Python stages (JVM-side line parse)",
+          not re.search(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M), "")
+    n_ex = p.count("Exchange")
+    check("robots_sitemaps", "exactly one Exchange (hosts-sized directive window)",
+          n_ex == 2, f"Exchange occurrences={n_ex} (2 per physical node)")
+    check("robots_sitemaps", "directive filter BELOW the window Exchange",
+          bool(re.search(r"Filter[\s\S]*Exchange[\s\S]*Window", p.split("* Details *")[0]
+                         if "* Details *" in p else p)), "")
+
+    # sitemap frontier: one Python stage (the hosts-sized XML parse);
+    # the crawl-sized work is ONE LeftAnti url equi-join over a scan
+    # pruned to url only
+    df = qs["sitemap_frontier"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("sitemap_frontier", p))
+    check("sitemap_frontier", "exactly one Python stage (XML parse, hosts-sized)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 1, "")
+    check("sitemap_frontier", "LeftAnti never-crawled join present", "LeftAnti" in p, "")
+    pages_schemas = [
+        s for s in re.findall(r"ReadSchema: (struct<[^>]*>)", p) if "url" in s
+    ]
+    check("sitemap_frontier", "pages scan pruned to url only",
+          bool(pages_schemas) and all(s == "struct<url:string>" for s in pages_schemas),
+          "; ".join(pages_schemas)[:100])
+    check("sitemap_frontier", "no cartesian/NLJ",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

@@ -280,3 +280,43 @@ def test_agent_specific_group_shadows_deny_all(spark):
         for r in robots_txt_verdict(pages, robots, agent="otherbot").collect()
     }
     assert other == {False}
+
+
+def test_robots_sitemaps_discovery(spark):
+    """Sitemap: directive discovery — case-insensitive key, BOM/ws/tab
+    tolerance, comment strip, CRLF lines, relative values dropped,
+    per-host document order, NULL text → zero rows."""
+    from pyocr_spark.operators.robotstxt import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            ("A.com", "﻿SiteMap:\thttps://a.com/m1.xml\t# first\r\n"
+                      "User-agent: *\nDisallow: /x\n"
+                      "  sitemap: HTTPS://a.com/m2.xml\n"
+                      "Sitemap: /relative.xml\n"       # not absolute: dropped
+                      "Sitemap:\n"),                    # empty value: dropped
+            ("b.com", "User-agent: *\nDisallow:\n"),    # no directive
+            ("c.com", None),                            # NULL text
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r["host"], r["directive_idx"], r["sitemap_url"])
+        for r in robots_sitemaps(robots).collect()
+    )
+    assert got == [
+        ("a.com", 0, "https://a.com/m1.xml"),   # host lowered, value verbatim
+        ("a.com", 1, "HTTPS://a.com/m2.xml"),   # scheme case preserved
+    ]
+
+
+def test_robots_sitemap_lines_do_not_disturb_rules():
+    """A mid-group Sitemap line is an 'other record' — it must neither
+    split the group nor start one (RFC 9309 §2.2.4 discards it)."""
+    rules = parse_robots_txt(
+        "User-agent: *\nDisallow: /doc/1\n"
+        "Sitemap: https://x.com/s.xml\n"
+        "Allow: /doc/1$\n",
+        "anybot",
+    )
+    assert [(r[1], r[2]) for r in rules] == [(False, 6), (True, 7)]

@@ -120,3 +120,36 @@ def test_stale_join_semantics(spark):
         for r in sitemap_stale_urls(sitemaps, pages).collect()
     ]
     assert got == [("https://a.com/stale", day2, day1)]
+
+
+def test_sitemap_frontier_uncrawled_only(spark):
+    from datetime import datetime, timezone
+
+    sitemaps = spark.createDataFrame(
+        [(
+            "a.com",
+            "<urlset>"
+            "<url><loc>https://a.com/seen</loc></url>"
+            "<url><loc>https://a.com/new</loc><priority>0.9</priority>"
+            "<changefreq>daily</changefreq></url>"
+            "</urlset>",
+        ), (
+            # index documents advertise child SITEMAPS, not page urls —
+            # they must never leak into the frontier
+            "b.com",
+            "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>"
+            "</sitemap></sitemapindex>",
+        )],
+        "host string, sitemap_xml string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/seen", datetime(2024, 1, 1, tzinfo=timezone.utc))],
+        "url string, warc_ts timestamp",
+    )
+    from pyocr_spark.operators.sitemap import sitemap_frontier
+
+    got = [
+        (r["host"], r["loc"], r["changefreq"], r["priority"])
+        for r in sitemap_frontier(sitemaps, pages).collect()
+    ]
+    assert got == [("a.com", "https://a.com/new", "daily", 0.9)]
