@@ -638,6 +638,27 @@ def _q_doc_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_doc_gopher(spark, sf_dir):
+    """Gopher quality-filter rules (functions/text_stats.gopher_rules —
+    Rae et al. 2021 §A1.1): the canonical web-corpus document filter as
+    ONE codegen pass, no Python, no shuffle. Oracle replays every count
+    and bare-IEEE ratio in DuckDB list/regex builtins."""
+    from pyocr_spark.functions.text_stats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def _q_doc_c4(spark, sf_dir):
+    """C4 line-level cleaning (functions/text_stats.c4_clean — Raffel
+    et al. 2020 §2.2): terminal-punctuation / min-words / javascript
+    line rules + lorem-ipsum / brace / min-kept page rules, one codegen
+    pass, no explode. Oracle replays lines, filters, and the join in
+    DuckDB list builtins."""
+    from pyocr_spark.functions.text_stats import c4_clean
+
+    return c4_clean(_docs(spark, sf_dir))
+
+
 def _q_doc_lang_id(spark, sf_dir):
     from pyocr_spark.functions.text_stats import lang_id
 
@@ -1379,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
+        "doc_gopher": _q_doc_gopher,
+        "doc_c4": _q_doc_c4,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -2291,6 +2314,8 @@ def oracle_sql() -> dict[str, str]:
             "x -> NOT regexp_matches(x, '^[\\t\\n\\f\\r ]+$'))) AS n_bpe_tokens FROM documents"
         ),
         "doc_quality": _QUALITY_SQL,
+        "doc_gopher": _GOPHER_SQL,
+        "doc_c4": _C4_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": (
             "SELECT doc_id, md5(substr(lower(regexp_replace(text, '[\\t\\n\\f\\r ]+', ' ', 'g')), 1, 64) "
@@ -2675,6 +2700,83 @@ SELECT doc_id, n_tok AS n_tokens, mean_word_len, punct_ratio, stop_ratio AS stop
            + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END)
            + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 1) AS quality_score
 FROM r
+"""
+
+_GOPHER_SQL = """
+WITH s AS (
+  SELECT doc_id, text AS raw,
+         regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS t
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN 0
+         ELSE len(regexp_split_to_array(t, '[\\t\\n\\f\\r ]+')) END AS n_words,
+    length(regexp_replace(t, '[\\t\\n\\f\\r ]+', '', 'g')) AS word_chars,
+    (length(t) - length(replace(t, '#', '')))
+      + (length(t) - length(replace(t, '…', '')))
+      + (length(t) - length(replace(t, '...', ''))) // 3 AS n_sym,
+    list_transform(regexp_split_to_array(raw, '\\r\\n|\\r|\\n'),
+        x -> regexp_replace(x, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) AS lines,
+    regexp_split_to_array(t, '[\\t\\n\\f\\r ]+') AS words
+  FROM s
+), c AS (
+  SELECT doc_id, n_words, word_chars, n_sym,
+    len(list_filter(lines, x -> x <> '')) AS n_lines,
+    len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS n_bullet,
+    len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ellip,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    (list_contains(list_transform(words, w -> lower(w)), 'the'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'be'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'to'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'of'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'and'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'that'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'have'))::INT
+      + (list_contains(list_transform(words, w -> lower(w)), 'with'))::INT AS n_stop
+  FROM b
+), r AS (
+  SELECT doc_id, n_words, n_stop,
+    CASE WHEN n_words > 0 THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN n_sym / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN n_lines > 0 THEN n_bullet / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN n_lines > 0 THEN n_ellip / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_frac
+  FROM c
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_stop AS n_stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stop >= 2) AS gopher_keep
+FROM r
+"""
+
+_C4_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+    list_transform(string_split_regex(text, '\\r\\n|\\r|\\n'),
+        x -> regexp_replace(x, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+        AND len(string_split_regex(x, '[\\t\\n\\f\\r ]+')) >= 5
+        AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM s
+)
+SELECT doc_id,
+  len(list_filter(lines, x -> x <> '')) AS n_lines,
+  len(kept) AS n_kept_lines,
+  coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{') AS has_brace,
+  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS c4_keep
+FROM k
 """
 
 _LANG_MARKERS_SQL = {

@@ -94,6 +94,169 @@ def quality_score(
     )
 
 
+#: the Gopher rule stop set (Rae et al. 2021 §A1.1): a doc must contain
+#: at least two of these to pass rule 7
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, §A1.1 "Quality
+    filtering") — the canonical web-corpus document filter, as one
+    whole-stage-codegen pass (no Python, no shuffle):
+
+    1. ``min_words <= n_words <= max_words``
+    2. ``3 <= mean_word_len <= 10``
+    3. symbol-to-word ratio (``#``, ``…``, ``...``) ``<= 0.1``
+    4. ``<= 90%`` of (non-empty) lines start with a bullet (``- * •``)
+    5. ``<= 30%`` of lines end with an ellipsis (``...`` or ``…``)
+    6. ``>= 80%`` of words contain an alphabetic character (``[A-Za-z]``
+       — the paper's rule; English-centric by design, like the stop set)
+    7. at least 2 hits from the 8-word stop set (distinct membership)
+
+    Frozen numeric discipline: counts are exact integers; ratios are
+    bare IEEE divisions (no rounding — bit-identical on any engine);
+    words tokenize via the engine-wide ``ws_tokens`` class; lines split
+    on ``\\r\\n|\\r|\\n`` and are full-class trimmed before testing.
+    ``gopher_keep`` is the conjunction. Thresholds 1's bounds are
+    parameters (the paper's 50/100k defaults); the rest are the paper's
+    constants.
+    """
+    strip_re = "^[" + _WS + "]+|[" + _WS + "]+$"
+    stripped = docs.select(
+        id_col,
+        F.col(text_col).alias("_raw"),
+        ws_strip(F.col(text_col)).alias("_t"),
+    )
+    t = F.col("_t")
+    words = F.split(t, "[" + _WS + "]+")
+    lines = F.transform(
+        F.split(F.col("_raw"), r"\r\n|\r|\n"),
+        lambda l: F.regexp_replace(l, strip_re, ""),
+    )
+    n_sub = lambda needle: F.length(t) - F.length(F.replace(t, F.lit(needle)))
+    base = stripped.select(
+        id_col,
+        F.when(t == "", F.lit(0)).otherwise(F.size(words)).alias("_n_words"),
+        # total word octets = stripped length minus interior whitespace
+        F.length(F.regexp_replace(t, "[" + _WS + "]+", "")).alias("_word_chars"),
+        (n_sub("#") + n_sub("…") + F.floor(n_sub("...") / 3)).alias("_n_sym"),
+        F.size(F.filter(lines, lambda l: l != "")).alias("_n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).alias("_n_bullet"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).alias("_n_ellip"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).alias("_n_alpha"),
+        sum(
+            F.array_contains(
+                F.transform(words, lambda w: F.lower(w)), s
+            ).cast("int")
+            for s in GOPHER_STOPWORDS
+        ).alias("_n_stop"),
+    )
+    n_words, n_lines = F.col("_n_words"), F.col("_n_lines")
+    mean_wlen = F.when(n_words > 0, F.col("_word_chars") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    sym_ratio = F.when(n_words > 0, F.col("_n_sym") / n_words).otherwise(F.lit(0.0))
+    bullet_frac = F.when(n_lines > 0, F.col("_n_bullet") / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    ellip_frac = F.when(n_lines > 0, F.col("_n_ellip") / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha_frac = F.when(n_words > 0, F.col("_n_alpha") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wlen.between(3.0, 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellip_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (F.col("_n_stop") >= 2)
+    )
+    return base.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.col("_n_stop").alias("n_stop_hits"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_kept_lines: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2) — the LINE-level
+    complement to ``gopher_rules``'s document-level signals, as one
+    codegen pass (HOF array ops only — no Python, no shuffle, no
+    explode):
+
+    - a line is KEPT iff it ends in terminal punctuation (``. ! ? "``),
+      has ``>= min_line_words`` whitespace words, and does not contain
+      "javascript" (case-insensitive) — the paper's line rules
+    - the PAGE is dropped (``c4_keep=false``) when it contains
+      "lorem ipsum" (case-insensitive) or a ``{``, or keeps fewer than
+      ``min_kept_lines`` lines (the paper's "fewer than 3 sentences",
+      counted over kept lines — deviation documented here)
+    - ``cleaned_text`` = kept lines joined by ``\\n`` (full-class
+      trimmed, original order); empty string when nothing survives
+
+    The paper's fourth rule (three-sentence-span dedup across the
+    corpus) is the separate ``operators/spandedup`` pass.
+    """
+    strip_re = "^[" + _WS + "]+|[" + _WS + "]+$"
+    lines = F.transform(
+        F.split(F.col(text_col), r"\r\n|\r|\n"),
+        lambda l: F.regexp_replace(l, strip_re, ""),
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, "[" + _WS + "]+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    base = docs.select(
+        id_col,
+        F.size(F.filter(lines, lambda l: l != "")).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").alias("has_brace"),
+    )
+    keep = (
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+    )
+    return base.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "cleaned_text",
+        "has_lorem_ipsum",
+        "has_brace",
+        keep.alias("c4_keep"),
+    )
+
+
 #: tiny frozen stopword lists per language for the n-gram/stopword
 #: language-ID heuristic. Counts are exact-match word counts for
 #: space-delimited scripts; space-free scripts (zh) count marker

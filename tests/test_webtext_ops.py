@@ -643,3 +643,104 @@ def test_line_dedup_null_text_has_null_line_count(spark):
     assert out[2]["n_lines"] is None and out[2]["n_lines_kept"] == 0
     assert out[2]["clean_text"] == ""
     assert out[1]["n_lines"] == 2
+
+
+def test_gopher_rules_each_rule_bites(spark):
+    """One doc per Gopher rule violation; the 'good' doc passes all
+    seven. Thresholds exercised at the failing side of each boundary."""
+    from pyocr_spark.functions.text_stats import gopher_rules
+
+    stop_pad = "the of and that be have with "  # 7 stop hits + words
+    docs = spark.createDataFrame(
+        [
+            ("good", stop_pad + "word " * 60),
+            ("too_short", stop_pad),                               # rule 1
+            ("long_words", stop_pad + "supercalifragilistic " * 60),  # rule 2
+            ("symbols", stop_pad + "# " * 60),                     # rule 3 (and 6)
+            ("bullets", "\n".join([stop_pad + "word " * 60] + ["- b"] * 200)),  # rule 4
+            ("ellipses", "\n".join([stop_pad + "word " * 60] + ["x..."] * 10)),  # rule 5
+            ("digits", stop_pad + "12345 " * 60),                  # rule 6
+            ("no_stops", "word " * 60),                            # rule 7
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert out["good"]["gopher_keep"] is True
+    for bad in ("too_short", "long_words", "symbols", "bullets",
+                "ellipses", "digits", "no_stops", "empty"):
+        assert out[bad]["gopher_keep"] is False, bad
+    assert out["too_short"]["n_words"] == 7
+    assert out["long_words"]["mean_word_len"] > 10
+    assert out["symbols"]["symbol_word_ratio"] > 0.1
+    assert out["bullets"]["bullet_line_frac"] > 0.9
+    assert out["ellipses"]["ellipsis_line_frac"] > 0.3
+    assert out["digits"]["alpha_word_frac"] < 0.8
+    assert out["no_stops"]["n_stop_hits"] == 0
+    assert out["empty"]["n_words"] == 0 and out["empty"]["mean_word_len"] == 0.0
+
+
+def test_gopher_rules_counting_details(spark):
+    """Frozen counting spec: '...' counts once per three dots alongside
+    the single-char ellipsis; bullet/ellipsis fractions are over
+    NON-EMPTY trimmed lines; stop hits are distinct membership
+    (case-insensitive), capped at 8."""
+    from pyocr_spark.functions.text_stats import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 2 words; symbols: '#'=1, '…'=1, '......'=2 → ratio 4/2
+            ("sym", "a# b…......"),
+            # lines: 2 non-empty of 4 raw (blank + ws-only dropped);
+            # '  - x' trims to bullet; 'y …' ends with ellipsis char
+            ("ln", "  - x\n\n \t \ny …"),
+            ("stops", "THE the The of"),  # distinct hits: the, of → 2
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert out["sym"]["symbol_word_ratio"] == 2.0
+    assert out["ln"]["bullet_line_frac"] == 0.5
+    assert out["ln"]["ellipsis_line_frac"] == 0.5
+    assert out["stops"]["n_stop_hits"] == 2
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """Each C4 rule bites: terminal punctuation, min words, javascript
+    lines, lorem-ipsum / brace / min-kept page drops; cleaned_text keeps
+    original order and trims the full whitespace class."""
+    from pyocr_spark.functions.text_stats import c4_clean
+
+    good_lines = [
+        "This is a perfectly fine sentence.",
+        "  Another good line with enough words! ",   # trimmed, '!' ok
+        'He said "five words are here."',
+        "Is this a useful question?",
+    ]
+    docs = spark.createDataFrame(
+        [
+            ("good", "\n".join(good_lines)),
+            ("rules", "\n".join([
+                *good_lines[:3],
+                "no terminal punctuation here",        # dropped: ending
+                "Too few words.",                      # dropped: <5 words
+                "Enable JavaScript to view this page.",  # dropped: js
+                "",                                     # not a line
+            ])),
+            ("lorem", "\n".join(good_lines) + "\nLorem Ipsum dolor sit amet."),
+            ("brace", "\n".join(good_lines) + "\nfunction() { return 1; }"),
+            ("thin", good_lines[0] + "\n" + good_lines[1]),  # 2 kept < 3
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_clean(docs).collect()}
+    assert out["good"]["c4_keep"] is True
+    assert out["good"]["cleaned_text"] == "\n".join(
+        l.strip() for l in good_lines
+    )
+    r = out["rules"]
+    assert (r["n_lines"], r["n_kept_lines"], r["c4_keep"]) == (6, 3, True)
+    assert "JavaScript" not in r["cleaned_text"]
+    assert out["lorem"]["has_lorem_ipsum"] is True and out["lorem"]["c4_keep"] is False
+    assert out["brace"]["has_brace"] is True and out["brace"]["c4_keep"] is False
+    assert out["thin"]["c4_keep"] is False and out["thin"]["n_kept_lines"] == 2
