@@ -1174,6 +1174,29 @@ def _q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(links, _pages(spark, sf_dir).select("url"), ranks)
 
 
+def _q_unified_frontier(spark, sf_dir):
+    """Full discovery merge (operators/webgraph.unified_frontier):
+    link-graph frontier ∪ sitemap-advertised urls, deduped with
+    provenance flags, anti-joined against the crawl, rank-prioritized —
+    the scheduler's actual input. Oracle replays both candidate
+    aggregates, the full-outer merge, the anti-join, and the nested
+    10-iteration PageRank."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.webgraph import (
+        host_graph,
+        pagerank_hosts,
+        unified_frontier,
+    )
+
+    d = ensure_pages(sf_dir)
+    links = _outlinks(spark, sf_dir).localCheckpoint(eager=True)
+    ranks = pagerank_hosts(host_graph(links), iterations=10)
+    sitemaps = spark.read.parquet(str(d / "sitemaps.parquet"))
+    return unified_frontier(
+        links, _pages(spark, sf_dir).select("url"), ranks, sitemaps
+    )
+
+
 def _q_crawl_frontier_polite(spark, sf_dir):
     """The frontier a POLITE crawler may actually fetch: crawl_frontier
     candidates with the robots.txt protocol verdict applied to each
@@ -1220,6 +1243,21 @@ def _q_robots_sitemaps(spark, sf_dir):
     d = ensure_pages(sf_dir)
     robots = spark.read.parquet(str(d / "robots.parquet"))
     return robots_sitemaps(robots)
+
+
+def _q_robots_crawl_delay(spark, sf_dir):
+    """Politeness delay (operators/robotstxt.robots_crawl_delays):
+    group-scoped Crawl-delay per host for ROBOTS_AGENT — last valid
+    value in the selected group wins; invalid/negative ignored; an
+    agent-specific group with no valid delay yields NULL (no * fall-
+    back). Oracle = expected_robots_delays, the structural per-variant
+    map datagen rendered INTO the texts."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.robotstxt import robots_crawl_delays
+
+    d = ensure_pages(sf_dir)
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return robots_crawl_delays(robots, agent=ROBOTS_AGENT)
 
 
 def _q_sitemap_frontier(spark, sf_dir):
@@ -1450,12 +1488,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "crawl_frontier": _q_crawl_frontier,
+        "unified_frontier": _q_unified_frontier,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "crawl_fetch_rounds": _q_crawl_fetch_rounds,
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_stale": _q_sitemap_stale,
         "sitemap_frontier": _q_sitemap_frontier,
         "robots_sitemaps": _q_robots_sitemaps,
+        "robots_crawl_delay": _q_robots_crawl_delay,
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
@@ -2624,6 +2664,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sm.loc, sm.lastmod_epoch, c.crawled_epoch "
             "FROM sm JOIN c USING (loc) "
             "WHERE sm.lastmod_epoch > c.crawled_epoch"
+        ),
+        # full discovery merge: link candidates ∪ sitemap urls →
+        # anti-join crawled → host rank (nested PageRank replay)
+        "unified_frontier": (
+            f"WITH cand AS (SELECT target_url, count(*) AS n_refs "
+            f"FROM read_parquet('{E}/expected_links.parquet') GROUP BY 1), "
+            "sm AS (SELECT loc AS sm_url, max(priority) AS sitemap_priority "
+            f"FROM read_parquet('{E}/expected_sitemap.parquet') "
+            "WHERE entry_type = 'url' GROUP BY 1), "
+            "m AS (SELECT coalesce(c.target_url, s.sm_url) AS target_url, "
+            "coalesce(c.n_refs, CAST(0 AS BIGINT)) AS n_refs, "
+            "s.sitemap_priority, "
+            "c.target_url IS NOT NULL AS via_links, "
+            "s.sm_url IS NOT NULL AS via_sitemap "
+            "FROM cand c FULL JOIN sm s ON c.target_url = s.sm_url), "
+            "crawled AS (SELECT DISTINCT url AS target_url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "fresh AS (SELECT m.* FROM m ANTI JOIN crawled USING (target_url)), "
+            f"fh AS (SELECT *, {_host_sql('target_url')} AS host FROM fresh) "
+            "SELECT fh.target_url, fh.n_refs, fh.sitemap_priority, "
+            "fh.via_links, fh.via_sitemap, fh.host, "
+            "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
+            f"FROM fh LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = fh.host"
+        ),
+        # group-scoped Crawl-delay: structural per-variant map
+        "robots_crawl_delay": (
+            "SELECT host, crawl_delay "
+            f"FROM read_parquet('{E}/expected_robots_delays.parquet')"
         ),
         # Sitemap autodiscovery: structural per-variant directive lists
         "robots_sitemaps": (

@@ -96,6 +96,83 @@ def parse_robots_txt(text: str, agent: str) -> list[tuple[str, bool, int]]:
     return out
 
 
+def parse_crawl_delay(text: str, agent: str) -> float | None:
+    """``Crawl-delay`` (seconds) for ``agent`` — the de-facto politeness
+    knob (not part of RFC 9309; group-scoped by the same selection rule
+    as Allow/Disallow: exact product-token group beats ``*``).
+
+    Frozen spec: the delay is the LAST valid ``Crawl-delay`` value in
+    the selected group (later lines override — mirrors how crawlers
+    re-read config top-to-bottom); non-numeric or negative values are
+    ignored; no group / no valid line → None. Group structure (merge,
+    reset-after-rules) is IDENTICAL to ``parse_robots_txt`` — the two
+    walk the same line grammar.
+    """
+    groups: dict[str, float | None] = {}
+    current: list[str] = []
+    rules_started = False
+    agent_lc = agent.lower()
+    for raw in text.lstrip("\ufeff").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if rules_started:
+                current = []
+                rules_started = False
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, None)
+        elif key in ("allow", "disallow"):
+            rules_started = True
+        elif key == "crawl-delay":
+            rules_started = True  # a delay line is group content too
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay < 0:
+                continue
+            for a in current:
+                groups[a] = delay
+    if agent_lc in groups:
+        return groups[agent_lc]
+    return groups.get("*")
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → (host, crawl_delay double) for ``agent`` —
+    one Arrow-batched pass over the hosts-sized robots table (same
+    shape as ``parsed_robots``). NULL delay = no declared preference
+    (the consumer picks its default politeness). Feed into
+    ``operators/webgraph.fetch_rounds``' consumers to pace rounds
+    per host."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def delay_of(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if t is None else parse_crawl_delay(t, agent)
+                for t in texts
+            ],
+            dtype="float64",
+        )
+
+    return robots.select(
+        F.lower(F.col(host_col)).alias("host"),
+        delay_of(F.col(robots_col)).alias("crawl_delay"),
+    )
+
+
 def parsed_robots(
     robots: DataFrame,
     agent: str,

@@ -270,6 +270,72 @@ def crawl_frontier(
     return out
 
 
+def unified_frontier(
+    outlinks: DataFrame,
+    crawled_urls: DataFrame,
+    host_ranks: DataFrame,
+    sitemaps: DataFrame,
+    sitemap_host_col: str = "host",
+    sitemap_xml_col: str = "sitemap_xml",
+    k: int | None = None,
+) -> DataFrame:
+    """The full discovery merge: link-graph frontier candidates
+    (``crawl_frontier``'s substrate) UNIONED with sitemap-advertised
+    urls (``operators/sitemap``'s substrate) into one deduped,
+    rank-prioritized fetch list with per-source provenance flags —
+    what a production scheduler actually consumes.
+
+    Returns (target_url, n_refs, sitemap_priority, via_links,
+    via_sitemap, host, rank). ``n_refs`` is 0 for sitemap-only urls;
+    ``sitemap_priority`` is the MAX declared priority across sitemaps
+    advertising the url (NULL when absent or link-only). With ``k``:
+    top-k by (rank DESC, n_refs DESC, sitemap_priority DESC NULLS
+    LAST, target_url) — a total order, TakeOrderedAndProject.
+
+    Scale shape: both sides pre-aggregate to one row per url
+    (map-side combined) BEFORE the full-outer url merge, so the merge
+    and the not-yet-crawled anti-join are equi-shuffles on url —
+    bucket-co-locatable with the crawl; the rank lookup stays one host
+    equi-join (un-hinted: 10^8 hosts at web scale). The sitemap side
+    is hosts-sized; only the link candidates are crawl-sized.
+    """
+    from pyocr_spark.operators.sitemap import sitemap_entries
+
+    cand = outlinks.groupBy("target_url").agg(F.count(F.lit(1)).alias("n_refs"))
+    sm = (
+        sitemap_entries(sitemaps, host_col=sitemap_host_col, xml_col=sitemap_xml_col)
+        .filter(F.col("entry_type") == "url")
+        .groupBy(F.col("loc").alias("sm_url"))
+        .agg(F.max("priority").alias("sitemap_priority"))
+    )
+    c, s = cand.alias("c"), sm.alias("s")
+    merged = c.join(s, F.col("c.target_url") == F.col("s.sm_url"), "full").select(
+        F.coalesce(F.col("c.target_url"), F.col("s.sm_url")).alias("target_url"),
+        F.coalesce(F.col("c.n_refs"), F.lit(0).cast("bigint")).alias("n_refs"),
+        F.col("s.sitemap_priority").alias("sitemap_priority"),
+        F.col("c.target_url").isNotNull().alias("via_links"),
+        F.col("s.sm_url").isNotNull().alias("via_sitemap"),
+    )
+    crawled = crawled_urls.select(F.col("url").alias("target_url")).distinct()
+    fresh = merged.join(crawled, "target_url", "left_anti").withColumn(
+        "host", url_host(F.col("target_url"))
+    )
+    out = (
+        fresh.join(host_ranks, "host", "left")
+        .withColumn("rank", F.coalesce(F.col("rank"), F.lit(0).cast("bigint")))
+        .select(
+            "target_url", "n_refs", "sitemap_priority",
+            "via_links", "via_sitemap", "host", "rank",
+        )
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.desc("rank"), F.desc("n_refs"),
+            F.desc_nulls_last("sitemap_priority"), F.asc("target_url"),
+        ).limit(k)
+    return out
+
+
 def fetch_rounds(
     frontier: DataFrame,
     per_host_per_round: int = 8,

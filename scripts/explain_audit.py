@@ -493,6 +493,20 @@ def main() -> int:
     check("anchor_text_index", "partial aggregation before exchange",
           "partial" in p.lower(), "")
 
+    # unified discovery frontier: every join an equi-join (full-outer
+    # url merge, LeftAnti crawled check, host rank lookup) — never a
+    # cartesian; both candidate aggregates partial (map-side combined)
+    df = qs["unified_frontier"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("unified_frontier", p))
+    check("unified_frontier", "FullOuter url merge present", "FullOuter" in p, "")
+    check("unified_frontier", "LeftAnti not-yet-crawled join present", "LeftAnti" in p, "")
+    check("unified_frontier", "no cartesian/NLJ anywhere",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("unified_frontier", "partial aggregation on both candidate sides",
+          "partial" in p.lower(), "")
+    spark.catalog.clearCache()
+
     # sitemap autodiscovery: ZERO Python stages (split/regexp JVM-side);
     # non-directive lines filtered BEFORE the one hosts-sized window
     # Exchange, so only directive rows shuffle

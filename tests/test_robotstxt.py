@@ -320,3 +320,37 @@ def test_robots_sitemap_lines_do_not_disturb_rules():
         "anybot",
     )
     assert [(r[1], r[2]) for r in rules] == [(False, 6), (True, 7)]
+
+
+def test_parse_crawl_delay_group_scoped():
+    from pyocr_spark.operators.robotstxt import parse_crawl_delay
+
+    txt = (
+        "User-agent: bot\nDisallow: /x\nCrawl-delay: 2.5\n\n"
+        "User-agent: *\nCrawl-delay: 60\n"
+    )
+    assert parse_crawl_delay(txt, "BOT") == 2.5   # case-insensitive agent
+    assert parse_crawl_delay(txt, "other") == 60.0
+    # last valid value in the group wins; invalid/negative ignored
+    multi = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: oops\nCrawl-delay: -3\nCrawl-delay: 7\n"
+    assert parse_crawl_delay(multi, "any") == 7.0
+    # agent group EXISTS but has no valid delay → None, no * fallback
+    nofall = "User-agent: bot\nCrawl-delay: bad\n\nUser-agent: *\nCrawl-delay: 9\n"
+    assert parse_crawl_delay(nofall, "bot") is None
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n", "bot") is None
+
+
+def test_robots_crawl_delays_spark(spark):
+    from pyocr_spark.operators.robotstxt import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("A.com", "User-agent: bot\nCrawl-delay: 1.5\n"),
+            ("b.com", "User-agent: *\nDisallow: /\n"),
+            ("c.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"]
+           for r in robots_crawl_delays(robots, agent="bot").collect()}
+    assert got == {"a.com": 1.5, "b.com": None, "c.com": None}

@@ -371,3 +371,63 @@ def test_pagerank_validates_checkpoint_every(spark):
         pagerank_hosts(edges, iterations=2, checkpoint_every=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank_hosts(edges, iterations=2, checkpoint_every=-3)
+
+
+def test_unified_frontier_merges_links_and_sitemaps(spark):
+    """Discovery merge: provenance flags per source, max sitemap
+    priority across advertisers, crawled exclusion on BOTH sides,
+    rank-0 fallback, and the total top-k order."""
+    from pyocr_spark.operators.webgraph import unified_frontier
+
+    outlinks = spark.createDataFrame(
+        [
+            ("http://a.com/1", 0, "http://b.com/both", "x"),
+            ("http://a.com/1", 1, "http://b.com/link-only", "x"),
+            ("http://a.com/2", 0, "http://b.com/both", "x"),
+            ("http://a.com/1", 2, "http://b.com/crawled", "x"),
+        ],
+        "url string, link_idx int, target_url string, anchor_text string",
+    )
+    crawled = spark.createDataFrame(
+        [("http://a.com/1",), ("http://a.com/2",), ("http://b.com/crawled",),
+         ("http://b.com/sm-crawled",)],
+        "url string",
+    )
+    ranks = spark.createDataFrame(
+        [("b.com", 300), ("c.com", 900)], "host string, rank long"
+    )
+    sitemaps = spark.createDataFrame(
+        [
+            ("b.com", "<urlset>"
+                      "<url><loc>http://b.com/both</loc>"
+                      "<priority>0.4</priority></url>"
+                      "<url><loc>http://b.com/sm-crawled</loc></url>"
+                      "</urlset>"),
+            # a second advertiser declares a higher priority for /both
+            ("m.b.com", "<urlset><url><loc>http://b.com/both</loc>"
+                        "<priority>0.9</priority></url>"
+                        "<url><loc>http://c.com/sm-only</loc></url></urlset>"),
+        ],
+        "host string, sitemap_xml string",
+    )
+    rows = {
+        r["target_url"]: r
+        for r in unified_frontier(outlinks, crawled, ranks, sitemaps).collect()
+    }
+    assert set(rows) == {
+        "http://b.com/both", "http://b.com/link-only", "http://c.com/sm-only"
+    }
+    both = rows["http://b.com/both"]
+    assert (both["via_links"], both["via_sitemap"]) == (True, True)
+    assert both["n_refs"] == 2 and both["sitemap_priority"] == 0.9
+    lo = rows["http://b.com/link-only"]
+    assert (lo["via_links"], lo["via_sitemap"]) == (True, False)
+    assert lo["sitemap_priority"] is None
+    sm = rows["http://c.com/sm-only"]
+    assert (sm["via_links"], sm["via_sitemap"]) == (False, True)
+    assert sm["n_refs"] == 0 and sm["rank"] == 900
+    # top-k total order: rank 900 beats rank 300 regardless of source
+    top = unified_frontier(outlinks, crawled, ranks, sitemaps, k=2).collect()
+    assert [r["target_url"] for r in top] == [
+        "http://c.com/sm-only", "http://b.com/both"
+    ]
