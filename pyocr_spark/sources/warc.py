@@ -88,8 +88,16 @@ def _resync(data: bytes, pos: int) -> int:
         pos = nxt + 2
 
 
-def iter_warc_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
-    """Yield {'url', 'warc_ts', 'html'} per *response* record.
+def iter_warc_records(
+    data: bytes,
+    stats: dict | None = None,
+    record_types: tuple[str, ...] = ("response",),
+) -> Iterator[dict]:
+    """Yield {'url', 'warc_ts', 'html'} per record of the requested
+    WARC-Type(s) — default *response* (crawl archives); pass
+    ``("conversion",)`` for WET extracted-text archives. HTTP headers
+    are stripped from response bodies only; other types carry their
+    payload verbatim.
 
     Malformed records are skipped; parsing resumes at the next plausible
     record header (``_resync``) so one damaged record never loses the
@@ -137,15 +145,19 @@ def iter_warc_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
         # skip the record separator (tolerate a missing/short one)
         if data.startswith(_CRLF2, pos):
             pos += 4
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in record_types:
             continue  # request/metadata records are not damage
         url = headers.get("warc-target-uri")
         if not url:
             stats["skipped"] += 1
             continue
-        # body is an HTTP response: strip the status line + headers
-        http_split = body.find(_CRLF2)
-        html = body[http_split + 4 :] if http_split >= 0 else body
+        if rtype == "response":
+            # body is an HTTP response: strip the status line + headers
+            http_split = body.find(_CRLF2)
+            html = body[http_split + 4 :] if http_split >= 0 else body
+        else:
+            html = body  # conversion/resource payloads are verbatim
         yield {
             "url": url,
             "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
@@ -242,4 +254,170 @@ def read_warc_stream(
         reader.load(path)
         .select("content")
         .mapInPandas(make_warc_parse_fn(metrics), schema=PAGES_SCHEMA)
+    )
+
+
+def warc_record_bytes(
+    url: str,
+    ts,
+    payload: bytes | str,
+    record_type: str = "response",
+) -> bytes:
+    """ONE WARC/1.0 record, CRLF-framed, byte-deterministic.
+
+    ``response`` records wrap the payload in a minimal ``HTTP/1.1 200``
+    header block (what ``iter_warc_records`` strips back off);
+    ``conversion`` records (WET extracted text) carry the payload
+    verbatim as ``text/plain``. The record id is an md5 of (url, date)
+    — deterministic so re-exports are byte-identical (no uuid4, no
+    clock). ``ts`` is a datetime (naive = UTC) or None (epoch).
+    """
+    import hashlib
+
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    body = payload
+    if record_type == "response":
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Length: "
+            + str(len(payload)).encode("ascii")
+            + b"\r\n\r\n"
+            + payload
+        )
+        ctype = b"application/http; msgtype=response"
+    else:
+        ctype = b"text/plain"
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
+            else "1970-01-01T00:00:00Z")
+    rid = hashlib.md5((url + "\x00" + date).encode("utf-8")).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + record_type.encode("ascii") + b"\r\n"
+        b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">\r\n"
+        b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"Content-Type: " + ctype + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode("ascii") + b"\r\n\r\n"
+    )
+    return head + body + _CRLF2
+
+
+#: manifest row per written archive — the ACTION the caller triggers
+WARC_MANIFEST_DDL = "file string, n_records bigint, n_bytes bigint"
+
+
+def write_warc(
+    df,
+    out_dir: str,
+    record_type: str = "response",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+):
+    """Export rows as ``.warc.gz`` archives — ONE gzip member per record
+    (the Common-Crawl layout ``gunzip_members`` ingests), one file per
+    non-empty partition, named by partition id so a re-run overwrites
+    its own output (idempotent, same discipline as the bucket sink).
+    Returns the (file, n_records, n_bytes) manifest DataFrame — LAZY:
+    the caller triggers the write by consuming it.
+
+    Rows with a NULL url are skipped (a record needs a Target-URI);
+    NULL payloads export as empty bodies. gzip members use ``mtime=0``
+    so identical input produces byte-identical archives. Files are
+    written via tmp-then-rename so a killed task never leaves a partial
+    archive with the final name. Local/posix paths only in this repo
+    (local[...] mode); a cluster deployment points this at a shared
+    mount or swaps the open() for the Hadoop FS API — the record bytes
+    are transport-agnostic.
+    """
+    import gzip as _gzip
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_parts(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        members: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            for url, ts, payload in zip(
+                pdf["url"], pdf["ts"], pdf["payload"]
+            ):
+                if url is None or (isinstance(url, float) and pd.isna(url)):
+                    continue
+                t = None if ts is None or pd.isna(ts) else ts.to_pydatetime()
+                rec = warc_record_bytes(url, t, payload if payload is not None else b"", record_type)
+                members.append(_gzip.compress(rec, mtime=0))
+                n += 1
+        if n:
+            data = b"".join(members)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            yield pd.DataFrame(
+                {"file": [path], "n_records": [n], "n_bytes": [len(data)]}
+            )
+
+    cols = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(payload_col).alias("payload"),
+    )
+    return cols.mapInPandas(write_parts, schema=WARC_MANIFEST_DDL)
+
+
+def write_wet(docs, out_dir: str, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "extracted_text"):
+    """WET export: extracted text as ``conversion`` records — the
+    Common-Crawl WET convention for exactly this pipeline's output."""
+    return write_warc(
+        docs, out_dir, record_type="conversion",
+        url_col=url_col, ts_col=ts_col, payload_col=text_col,
+    )
+
+
+def read_wet(spark, path: str, metrics=None):
+    """WET archives → (url, warc_ts, text) — conversion records decoded
+    utf-8/replace (the engine-wide decode discipline). The round-trip
+    twin of ``write_wet``; same binaryFile parallelism as ``read_warc``.
+    """
+    import pandas as pd
+
+    def parse_files(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                stats = {"skipped": 0}
+                rows = list(
+                    iter_warc_records(
+                        bytes(content), stats, record_types=("conversion",)
+                    )
+                )
+                yield pd.DataFrame(
+                    {
+                        "url": [r["url"] for r in rows],
+                        "warc_ts": [r["warc_ts"] for r in rows],
+                        "text": [
+                            r["html"].decode("utf-8", "replace") for r in rows
+                        ],
+                    }
+                )
+                if metrics is not None:
+                    metrics.add(
+                        docs=len(rows),
+                        bytes_in=len(content),
+                        errors=stats["skipped"],
+                    )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse_files, schema="url string, warc_ts timestamp, text string")
     )

@@ -181,3 +181,93 @@ def test_resync_ignores_warc_magic_inside_body():
     # the embedded sample (no WARC-Type header) was not honored; the real
     # record after the damaged region survives
     assert [r["url"] for r in recs] == ["https://after/"]
+
+
+def test_warc_record_bytes_roundtrip_pure():
+    """A written response record parses back to the same url/ts/payload
+    through the reader (HTTP wrap stripped); a conversion record carries
+    its payload verbatim and is invisible to the default reader."""
+    from datetime import datetime, timezone
+
+    from pyocr_spark.sources.warc import warc_record_bytes
+
+    ts = datetime(2024, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+    resp = warc_record_bytes("https://h/a", ts, b"<p>hi\r\n\r\nbody</p>")
+    conv = warc_record_bytes("https://h/b", ts, "café text", "conversion")
+    data = resp + conv
+    got = list(iter_warc_records(data))
+    assert [(r["url"], r["html"]) for r in got] == [
+        ("https://h/a", b"<p>hi\r\n\r\nbody</p>")
+    ]
+    assert got[0]["warc_ts"] == ts
+    wet = list(iter_warc_records(data, record_types=("conversion",)))
+    assert [(r["url"], r["html"].decode()) for r in wet] == [
+        ("https://h/b", "café text")
+    ]
+    # deterministic bytes: same inputs → identical records
+    assert resp == warc_record_bytes("https://h/a", ts, b"<p>hi\r\n\r\nbody</p>")
+
+
+def test_write_warc_read_warc_roundtrip(spark, tmp_path):
+    """pages → write_warc → .warc.gz files → read_warc → same rows;
+    manifest counts match; NULL urls skipped; empty partitions write no
+    file; a re-run overwrites its own files (idempotent)."""
+    from datetime import datetime, timezone
+
+    from pyocr_spark.sources.warc import read_warc, write_warc
+
+    t = lambda d: datetime(2024, 1, d, tzinfo=timezone.utc)
+    rows = [
+        ("https://h/1", t(1), b"<p>one</p>"),
+        ("https://h/2", t(2), b"bytes \x00\xff ok"),
+        (None, t(3), b"dropped"),
+        ("https://h/4", t(4), None),  # NULL payload → empty body
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(3)
+    out = str(tmp_path / "warc-out")
+    manifest = write_warc(df, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 3
+    assert all(m["file"].endswith(".warc.gz") for m in manifest)
+    back = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]))
+        for r in read_warc(spark, out).collect()
+    }
+    assert back == {
+        "https://h/1": (t(1).replace(tzinfo=None), b"<p>one</p>"),
+        "https://h/2": (t(2).replace(tzinfo=None), b"bytes \x00\xff ok"),
+        "https://h/4": (t(4).replace(tzinfo=None), b""),
+    }
+    # idempotent re-run: same file set, same contents
+    import hashlib, pathlib
+    before = {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in pathlib.Path(out).glob("*.warc.gz")
+    }
+    write_warc(df, out).collect()
+    after = {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in pathlib.Path(out).glob("*.warc.gz")
+    }
+    assert before == after
+
+
+def test_write_wet_read_wet_roundtrip(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from pyocr_spark.sources.warc import read_wet, write_wet
+
+    ts = datetime(2024, 5, 6, tzinfo=timezone.utc)
+    docs = spark.createDataFrame(
+        [("https://h/a", ts, "first text\nline two"),
+         ("https://h/b", ts, "café — unicode")],
+        "url string, warc_ts timestamp, extracted_text string",
+    )
+    out = str(tmp_path / "wet-out")
+    assert sum(m["n_records"] for m in write_wet(docs, out).collect()) == 2
+    back = {r["url"]: r["text"] for r in read_wet(spark, out).collect()}
+    assert back == {
+        "https://h/a": "first text\nline two",
+        "https://h/b": "café — unicode",
+    }
