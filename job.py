@@ -89,6 +89,12 @@ def parse_args(argv=None):
         help="product token for robots.txt group selection (default '*')",
     )
     p.add_argument(
+        "--wet-output", default=None,
+        help="also export the extracted text as Common-Crawl-style WET "
+             "archives (conversion records, one gzip member per record) "
+             "to this directory after extraction",
+    )
+    p.add_argument(
         "--incremental", action="store_true",
         help="incremental re-extraction (plans/incremental): keep a per-url "
              "content-hash state table beside the output; re-extract only "
@@ -118,6 +124,12 @@ def main(argv=None) -> None:
         # each mode writes a different table shape to --output; silently
         # running only one of the requested modes would hide the conflict
         raise SystemExit(f"--{' and --'.join(picked)} are mutually exclusive")
+    if args.wet_output and (picked or "text" not in modes):
+        # WET exports the extraction output's extracted_text column
+        raise SystemExit(
+            "--wet-output requires the default extraction mode with 'text' "
+            "in --modes"
+        )
 
     spark = SparkSession.builder.appName("pyocr-spark-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -207,6 +219,28 @@ def main(argv=None) -> None:
         num_buckets=args.num_buckets,
         buckets_per_wave=args.buckets_per_wave,
     )
+    if args.wet_output:
+        from pyspark.sql import functions as F
+
+        from pyocr_spark.sources.warc import write_wet
+
+        ext = spark.read.parquet(args.output).filter(
+            (F.col("status") == "ok") & F.col("extracted_text").isNotNull()
+        )
+        # the extract stage prunes warc_ts before the UDF; recover the
+        # kept crawl's timestamp (keep-latest dedup = max per url) so
+        # WET records carry the SOURCE date, not a wall clock —
+        # deterministic re-exports
+        ts = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+        manifest = write_wet(
+            ext.select("url", "extracted_text").join(ts, "url", "left"),
+            args.wet_output,
+        ).collect()
+        report["wet"] = {
+            "files": len(manifest),
+            "records": sum(m["n_records"] for m in manifest),
+            "bytes": sum(m["n_bytes"] for m in manifest),
+        }
     print(json.dumps(report))
     spark.stop()
 

@@ -224,3 +224,53 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     assert out["content_hash"].is_unique and (out["n_tokens"] >= 20).all()
     # the blocklisted host contributed zero rows
     assert not out["url"].str.startswith("https://src0.example.com/").any()
+
+
+def test_spark_submit_wet_export(tmp_path):
+    """--wet-output exports extracted text as WET archives alongside the
+    parquet output; the WET records round-trip through read_wet with the
+    SOURCE crawl timestamps (deterministic — no wall clock)."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    pages = str(tmp_path / "pages.parquet")
+    _write_pages(pages, [
+        ("https://h/a", "2024-01-01", b"<p>alpha one</p>", None, "en"),
+        ("https://h/b", "2024-02-02", b"<p>beta two</p>", None, "en"),
+    ])
+    out_dir = str(tmp_path / "out")
+    wet_dir = str(tmp_path / "wet")
+    proc = _submit_job(zip_path, [
+        "--input", pages, "--output", out_dir, "--modes", "text",
+        "--num-buckets", "2", "--wet-output", wet_dir,
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["wet"]["records"] == 2 and report["wet"]["files"] >= 1
+
+    from pyocr_spark.sources.warc import iter_warc_records
+    import glob, pathlib
+
+    recs = []
+    for f in sorted(glob.glob(wet_dir + "/*.warc.gz")):
+        recs += list(iter_warc_records(
+            pathlib.Path(f).read_bytes(), record_types=("conversion",)
+        ))
+    got = {r["url"]: (r["html"].decode(), r["warc_ts"].strftime("%Y-%m-%d"))
+           for r in recs}
+    assert got == {
+        "https://h/a": ("alpha one", "2024-01-01"),
+        "https://h/b": ("beta two", "2024-02-02"),
+    }
+
+
+def test_wet_output_requires_text_mode(tmp_path):
+    from job import main as job_main
+    import pytest
+
+    with pytest.raises(SystemExit, match="wet-output"):
+        job_main([
+            "--input", "x", "--output", "y",
+            "--modes", "words", "--wet-output", "z",
+        ])
