@@ -648,6 +648,17 @@ def _q_doc_gopher(spark, sf_dir):
     return gopher_rules(_docs(spark, sf_dir))
 
 
+def _q_doc_gopher_rep(spark, sf_dir):
+    """Gopher line/paragraph repetition signals (functions/text_stats
+    .gopher_repetition): duplicate fractions by count AND char mass via
+    the sorted-neighbor dup-mass primitive — linear per doc, zero
+    shuffle. Oracle replays sort + neighbor test in DuckDB list ops
+    (engine sort order is irrelevant: any total order groups equals)."""
+    from pyocr_spark.functions.text_stats import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
 def _q_doc_c4(spark, sf_dir):
     """C4 line-level cleaning (functions/text_stats.c4_clean — Raffel
     et al. 2020 §2.2): terminal-punctuation / min-words / javascript
@@ -1440,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_gopher": _q_doc_gopher,
         "doc_c4": _q_doc_c4,
+        "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -2356,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_SQL,
         "doc_gopher": _GOPHER_SQL,
         "doc_c4": _C4_SQL,
+        "doc_gopher_rep": _GOPHER_REP_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": (
             "SELECT doc_id, md5(substr(lower(regexp_replace(text, '[\\t\\n\\f\\r ]+', ' ', 'g')), 1, 64) "
@@ -2845,6 +2858,52 @@ SELECT doc_id,
   (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
    AND NOT contains(text, '{')) AS c4_keep
 FROM k
+"""
+
+def _dup_mass_sql(elems: str) -> str:
+    """DuckDB twin of text_stats._dup_mass over a list expression:
+    (n, n_distinct, total_chars, dup_chars) columns as SQL fragments
+    keyed on a sorted alias the caller provides via ``{elems}``."""
+    s = f"list_sort({elems})"
+    dup = (
+        f"coalesce(list_sum(list_transform(range(1, len({s}) + 1), i -> "
+        f"CASE WHEN coalesce({s}[i] = {s}[i-1], false) "
+        f"OR coalesce({s}[i] = {s}[i+1], false) "
+        f"THEN length({s}[i]) ELSE 0 END)), 0)"
+    )
+    total = f"coalesce(list_sum(list_transform({s}, x -> length(x))), 0)"
+    return (
+        f"len({s}) AS n, len(list_distinct({s})) AS nd, "
+        f"CAST({total} AS BIGINT) AS total_chars, "
+        f"CAST({dup} AS BIGINT) AS dup_chars"
+    )
+
+
+_GOPHER_REP_SQL = f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, '\\r\\n|\\r', chr(10), 'g') AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+    [x FOR x IN list_transform(string_split(t, chr(10)),
+        y -> regexp_replace(y, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'))
+     IF x <> ''] AS lines,
+    [x FOR x IN list_transform(string_split_regex(t, '\\n\\n+'),
+        y -> regexp_replace(y, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'))
+     IF x <> ''] AS paras
+  FROM s
+), m AS (
+  SELECT doc_id, {_dup_mass_sql('lines')} FROM e
+), p AS (
+  SELECT doc_id, {_dup_mass_sql('paras')} FROM e
+)
+SELECT m.doc_id, m.n AS n_lines,
+  CASE WHEN m.n > 0 THEN (m.n - m.nd) / CAST(m.n AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN m.total_chars > 0 THEN m.dup_chars / CAST(m.total_chars AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+  p.n AS n_paras,
+  CASE WHEN p.n > 0 THEN (p.n - p.nd) / CAST(p.n AS DOUBLE) ELSE 0.0 END AS dup_para_frac,
+  CASE WHEN p.total_chars > 0 THEN p.dup_chars / CAST(p.total_chars AS DOUBLE) ELSE 0.0 END AS dup_para_char_frac
+FROM m JOIN p USING (doc_id)
 """
 
 _LANG_MARKERS_SQL = {

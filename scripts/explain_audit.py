@@ -493,6 +493,16 @@ def main() -> int:
     check("anchor_text_index", "partial aggregation before exchange",
           "partial" in p.lower(), "")
 
+    # named filter suites (Gopher rules / C4 / Gopher repetition): all
+    # document-local — narrow plans, zero Exchange, zero Python stages
+    for qname in ("doc_gopher", "doc_c4", "doc_gopher_rep"):
+        df = qs[qname](spark, SF_DIR)
+        p = plan_of(df)
+        sections.append((qname, p))
+        check(qname, "narrow plan (zero Exchange)", "Exchange" not in p, "")
+        check(qname, "zero Python stages (whole-stage codegen filters)",
+              not re.search(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M), "")
+
     # unified discovery frontier: every join an equi-join (full-outer
     # url merge, LeftAnti crawled check, host rank lookup) — never a
     # cartesian; both candidate aggregates partial (map-side combined)

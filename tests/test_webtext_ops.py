@@ -744,3 +744,36 @@ def test_c4_clean_line_and_page_rules(spark):
     assert out["lorem"]["has_lorem_ipsum"] is True and out["lorem"]["c4_keep"] is False
     assert out["brace"]["has_brace"] is True and out["brace"]["c4_keep"] is False
     assert out["thin"]["c4_keep"] is False and out["thin"]["n_kept_lines"] == 2
+
+
+def test_gopher_repetition_line_and_para_masses(spark):
+    """Duplicate line/paragraph fractions by count and char mass; CRLF
+    normalization; trimmed empties dropped; empty doc → zeros."""
+    from pyocr_spark.functions.text_stats import gopher_repetition
+
+    spam = "buy now\r\nbuy now\nunique line\n\nbuy now"
+    # lines: [buy now, buy now, unique line, buy now] → n=4, distinct=2
+    # dup mass: 3×7 of 7*3+11=32 chars; paras: [buy now\nbuy now\nunique line?]
+    docs = spark.createDataFrame(
+        [
+            ("spam", spam),
+            ("paras", "para one.\n\npara one.\n\n\npara two."),
+            ("clean", "alpha\nbeta\n\ngamma"),
+            ("empty", "  \n \n"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    s = out["spam"]
+    assert s["n_lines"] == 4
+    assert s["dup_line_frac"] == 0.5          # (4-2)/4
+    assert s["dup_line_char_frac"] == 21 / 32  # three 'buy now' of 32 chars
+    p = out["paras"]
+    # paragraphs split on blank-line runs: [para one., para one., para two.]
+    assert p["n_paras"] == 3
+    assert p["dup_para_frac"] == 1 / 3
+    assert p["dup_para_char_frac"] == 18 / 27
+    c = out["clean"]
+    assert c["dup_line_frac"] == 0.0 and c["dup_para_char_frac"] == 0.0
+    e = out["empty"]
+    assert e["n_lines"] == 0 and e["dup_line_char_frac"] == 0.0
