@@ -1132,6 +1132,15 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(_outlinks(spark, sf_dir))
 
 
+def _q_host_graph_follow(spark, sf_dir):
+    """Follow-only host graph: rel=nofollow edges are discovery hints,
+    not endorsements — rank computations consume THIS graph (the filter
+    is a narrow predicate before the same map-side-combined aggregate)."""
+    from pyocr_spark.operators.webgraph import host_graph
+
+    return host_graph(_outlinks(spark, sf_dir).filter(~F.col("nofollow")))
+
+
 def _q_host_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the host graph (10 iterations,
     damping 85/100, lost-mass dangling variant). Integer micro-units make
@@ -1498,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": _q_page_outlinks,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
+        "host_graph_follow": _q_host_graph_follow,
         "host_pagerank": _q_host_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "unified_frontier": _q_unified_frontier,
@@ -2617,8 +2627,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE node != comp) l ON d.doc_id = l.node"
         ),
         "page_outlinks": (
-            f"SELECT url, link_idx, target_url, anchor_text "
+            f"SELECT url, link_idx, target_url, anchor_text, nofollow "
             f"FROM read_parquet('{E}/expected_links.parquet')"
+        ),
+        # authority graph: nofollow edges carry discovery but not rank —
+        # the follow-filtered host graph is what PageRank should consume
+        "host_graph_follow": (
+            f"WITH hp AS (SELECT {_host_sql('url')} AS src_host, "
+            f"{_host_sql('target_url')} AS dst_host "
+            f"FROM read_parquet('{E}/expected_links.parquet') "
+            f"WHERE NOT nofollow AND {_host_sql('url')} != '' "
+            f"AND {_host_sql('target_url')} != '') "
+            "SELECT src_host, dst_host, count(*) AS n_links "
+            "FROM hp GROUP BY src_host, dst_host"
         ),
         "anchor_text_index": (
             f"WITH s AS (SELECT target_url, {_host_sql('url')} AS src_host, "

@@ -42,6 +42,7 @@ class _LinkParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.hrefs: list[str] = []  # raw hrefs in document order
         self.texts: list[str] = []  # anchor text per href (ws-normalized)
+        self.nofollow: list[bool] = []  # rel=nofollow flag per href
         self.base: str | None = None  # first <base href> wins
         # index into hrefs where the base starts applying (links BEFORE
         # the <base> tag resolve against the page url, per spec ordering)
@@ -63,12 +64,19 @@ class _LinkParser(HTMLParser):
                 self._close_anchor()
             self._a_buf = []
             self._a_open = None
+            href = rel = None
             for name, value in attrs:
-                if name == "href" and value is not None:
-                    self.hrefs.append(value.strip())
-                    self.texts.append("")
-                    self._a_open = len(self.hrefs) - 1
-                    break
+                if name == "href" and href is None and value is not None:
+                    href = value.strip()
+                elif name == "rel" and rel is None and value is not None:
+                    rel = value
+            if href is not None:
+                self.hrefs.append(href)
+                self.texts.append("")
+                # rel is a ws-separated, case-insensitive token list
+                # (HTML spec) — 'nofollow' anywhere in it marks the edge
+                self.nofollow.append("nofollow" in (rel or "").lower().split())
+                self._a_open = len(self.hrefs) - 1
         elif tag == "base" and self.base is None:
             for name, value in attrs:
                 if name == "href" and value is not None:
@@ -85,9 +93,15 @@ class _LinkParser(HTMLParser):
             self._a_buf.append(data)
 
 
-def parse_outlinks_text(html: bytes | str, page_url: str) -> list[tuple[str, str]]:
-    """All http(s) outlink targets of one page with their anchor text,
-    resolved + defragmented, document order, duplicates preserved.
+def parse_outlinks_text(
+    html: bytes | str, page_url: str
+) -> list[tuple[str, str, bool]]:
+    """All http(s) outlink targets of one page as (target, anchor_text,
+    nofollow), resolved + defragmented, document order, duplicates
+    preserved. ``nofollow`` is True when the anchor's ``rel`` token list
+    contains ``nofollow`` (case-insensitive, any position) — a crawl
+    HINT: the edge still exists for discovery, but rank computations
+    should not pass authority through it (consumers filter).
     Anchor text is whitespace-normalized ('' for image-only anchors; a
     nested/unclosed <a> closes implicitly, as browsers do). Oversized or
     unparseable input yields no links (an extraction-side error row
@@ -106,7 +120,7 @@ def parse_outlinks_text(html: bytes | str, page_url: str) -> list[tuple[str, str
         pass
     parser._close_anchor()  # unclosed trailing <a> keeps its text
     base = parser.base
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str, bool]] = []
     for i, href in enumerate(parser.hrefs):
         root = page_url if (base is None or i < parser.base_from) else urljoin(page_url, base)
         try:
@@ -114,10 +128,10 @@ def parse_outlinks_text(html: bytes | str, page_url: str) -> list[tuple[str, str
         except ValueError:
             continue  # malformed href (e.g. bad IPv6 literal) — not an edge
         if resolved.startswith(_KEPT_SCHEMES):
-            out.append((resolved, parser.texts[i]))
+            out.append((resolved, parser.texts[i], parser.nofollow[i]))
     return out
 
 
 def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
     """Targets only — see parse_outlinks_text."""
-    return [t for t, _ in parse_outlinks_text(html, page_url)]
+    return [t for t, _, _ in parse_outlinks_text(html, page_url)]

@@ -48,7 +48,10 @@ from pyspark.sql import functions as F
 
 from pyocr_spark.operators.urlnorm import url_host
 
-OUTLINKS_DDL = "url string, link_idx int, target_url string, anchor_text string"
+OUTLINKS_DDL = (
+    "url string, link_idx int, target_url string, anchor_text string, "
+    "nofollow boolean"
+)
 
 PAGERANK_SCALE = 10**12
 PAGERANK_DAMP_NUM = 85  # d = 85/100, frozen (oracle replays the literals)
@@ -63,16 +66,26 @@ def _outlink_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idxs: list[int] = []
         targets: list[str] = []
         anchors: list[str] = []
+        nofollows: list[bool] = []
         for url, html in zip(pdf["url"], pdf["html"]):
             if url is None:
                 continue  # an edge needs a source
-            for i, (target, anchor) in enumerate(parse_outlinks_text(html, url)):
+            for i, (target, anchor, nofollow) in enumerate(
+                parse_outlinks_text(html, url)
+            ):
                 urls.append(url)
                 idxs.append(i)
                 targets.append(target)
                 anchors.append(anchor)
+                nofollows.append(nofollow)
         yield pd.DataFrame(
-            {"url": urls, "link_idx": idxs, "target_url": targets, "anchor_text": anchors}
+            {
+                "url": urls,
+                "link_idx": idxs,
+                "target_url": targets,
+                "anchor_text": anchors,
+                "nofollow": nofollows,
+            }
         )
 
 

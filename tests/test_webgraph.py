@@ -255,13 +255,26 @@ class TestSparkGraph:
     def test_anchor_text_parsed(self):
         got = parse_outlinks_text_probe()
         assert got == [
-            ("https://host.example.com/a", "first link"),
-            ("https://host.example.com/b", ""),  # image-only anchor
+            ("https://host.example.com/a", "first link", False),
+            ("https://host.example.com/b", "", False),  # image-only anchor
             # the nested (href-less) <a> implicitly closed /c first, so
             # its text stops before "implicit"
-            ("https://host.example.com/c", "nested closes"),
-            ("https://host.example.com/d", "unclosed trailing anchor"),
+            ("https://host.example.com/c", "nested closes", False),
+            ("https://host.example.com/d", "unclosed trailing anchor", False),
         ]
+
+    def test_rel_nofollow_flag(self):
+        from pyocr_spark.core.links import parse_outlinks_text
+
+        html = _page(
+            '<a rel="nofollow" href="/a">plain</a>'
+            '<a href="/b" rel="ugc NOFOLLOW">multi token, any case</a>'
+            '<a href="/c" rel="sponsored">other rel tokens are not nofollow</a>'
+            '<a href="/d" rel="notnofollow">substring must not match</a>'
+            '<a href="/e">no rel</a>'
+        )
+        got = {t.rsplit("/", 1)[1]: nf for t, _, nf in parse_outlinks_text(html, BASE)}
+        assert got == {"a": True, "b": True, "c": False, "d": False, "e": False}
 
     def test_extract_plan_is_narrow_and_pruned(self, spark, pages_sf0001):
         from pyocr_spark.operators.webgraph import extract_outlinks
