@@ -1318,6 +1318,25 @@ def _q_crawl_fetch_rounds(spark, sf_dir):
     )
 
 
+def _q_crawl_fetch_schedule(spark, sf_dir):
+    """Delay-paced politeness schedule (operators/webgraph
+    .fetch_schedule): fetch rounds × the host's declared Crawl-delay →
+    not_before_s per candidate — rounds, protocol delays, and the
+    frontier composed into the fleet's actual drain plan. One
+    hosts-sized join over fetch_rounds' single window shuffle."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.robotstxt import robots_crawl_delays
+    from pyocr_spark.operators.webgraph import fetch_schedule
+
+    d = ensure_pages(sf_dir)
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return fetch_schedule(
+        _q_crawl_frontier_polite(spark, sf_dir),
+        robots_crawl_delays(robots, agent=ROBOTS_AGENT),
+        per_host_per_round=4,
+    )
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -1513,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_frontier": _q_unified_frontier,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "crawl_fetch_rounds": _q_crawl_fetch_rounds,
+        "crawl_fetch_schedule": _q_crawl_fetch_schedule,
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_stale": _q_sitemap_stale,
         "sitemap_frontier": _q_sitemap_frontier,
@@ -2748,6 +2768,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY rank DESC, n_refs DESC, target_url ASC) - 1) / 4.0) "
             "AS INT) AS fetch_round "
             f"FROM ({polite_frontier_sql})"
+        ),
+        # + Crawl-delay pacing: round × declared delay (default 1.0)
+        "crawl_fetch_schedule": (
+            "WITH r AS (SELECT target_url, n_refs, host, rank, "
+            "CAST(floor((row_number() OVER (PARTITION BY host "
+            "ORDER BY rank DESC, n_refs DESC, target_url ASC) - 1) / 4.0) "
+            "AS INT) AS fetch_round "
+            f"FROM ({polite_frontier_sql})) "
+            "SELECT r.*, d.crawl_delay, "
+            "CAST(r.fetch_round AS DOUBLE) * coalesce(d.crawl_delay, 1.0) "
+            "AS not_before_s FROM r LEFT JOIN "
+            f"read_parquet('{E}/expected_robots_delays.parquet') d "
+            "USING (host)"
         ),
         # weakly-connected host clusters: same recursive-CTE skeleton as
         # dup_components' oracle, over the host edge pairs; the star

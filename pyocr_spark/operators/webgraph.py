@@ -283,6 +283,37 @@ def crawl_frontier(
     return out
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    per_host_per_round: int = 8,
+    default_delay_s: float = 1.0,
+    url_col: str = "target_url",
+    host_col: str = "host",
+) -> DataFrame:
+    """``fetch_rounds`` + robots ``Crawl-delay`` pacing: each candidate
+    gains ``not_before_s`` — the earliest start offset (seconds from
+    wave start) of its round on its host, ``fetch_round × the host's
+    declared delay`` (``default_delay_s`` when the host declares none).
+    A fetch fleet draining round r of a host before ``not_before_s``
+    elapses is violating the host's declared politeness budget.
+
+    ``delays`` is ``operators/robotstxt.robots_crawl_delays`` output
+    (host, crawl_delay). Cost over fetch_rounds' single host window:
+    one hosts-sized LEFT equi-join — AQE broadcasts it beneath the
+    threshold; never a crawl-sized shuffle.
+    """
+    rounds = fetch_rounds(
+        frontier, per_host_per_round, url_col=url_col, host_col=host_col
+    )
+    d = delays.select(F.col("host").alias(host_col), "crawl_delay")
+    return rounds.join(d, host_col, "left").withColumn(
+        "not_before_s",
+        F.col("fetch_round").cast("double")
+        * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay_s))),
+    )
+
+
 def unified_frontier(
     outlinks: DataFrame,
     crawled_urls: DataFrame,

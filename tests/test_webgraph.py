@@ -444,3 +444,29 @@ def test_unified_frontier_merges_links_and_sitemaps(spark):
     assert [r["target_url"] for r in top] == [
         "http://c.com/sm-only", "http://b.com/both"
     ]
+
+
+def test_fetch_schedule_paces_by_crawl_delay(spark):
+    """not_before_s = fetch_round × the host's declared delay; hosts
+    with no declared delay pace at the default; round 0 is always 0."""
+    from pyocr_spark.operators.webgraph import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [(f"http://slow.com/{i}", 1, "slow.com", 100) for i in range(3)]
+        + [(f"http://fast.com/{i}", 1, "fast.com", 50) for i in range(2)],
+        "target_url string, n_refs long, host string, rank long",
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 10.0)], "host string, crawl_delay double"
+    )
+    got = {
+        r["target_url"]: (r["fetch_round"], r["not_before_s"])
+        for r in fetch_schedule(
+            frontier, delays, per_host_per_round=1, default_delay_s=2.0
+        ).collect()
+    }
+    assert got["http://slow.com/0"] == (0, 0.0)
+    assert got["http://slow.com/1"] == (1, 10.0)
+    assert got["http://slow.com/2"] == (2, 20.0)
+    assert got["http://fast.com/0"] == (0, 0.0)
+    assert got["http://fast.com/1"] == (1, 2.0)  # default pacing
