@@ -1337,6 +1337,45 @@ def _q_crawl_fetch_schedule(spark, sf_dir):
     )
 
 
+def _q_url_template_fanout(spark, sf_dir):
+    """URL-template fan-out (operators/urlpattern.template_fanout):
+    outlink targets collapsed to structural templates ({tok}/{hex}/{n}
+    placeholder cascade), distinct-url + reference counts per
+    (host, template) — the crawler-trap signal. Oracle replays the
+    cascade over expected_links with DuckDB 'g'-flagged replaces."""
+    from pyocr_spark.operators.urlpattern import template_fanout
+
+    return template_fanout(_outlinks(spark, sf_dir))
+
+
+def _q_crawler_traps(spark, sf_dir):
+    """Trap deny-list (operators/urlpattern.crawler_traps): templates
+    whose distinct-url fan-out exceeds the budget — the broadcastable
+    (host, template) set a scheduler refuses to admit."""
+    from pyocr_spark.operators.urlpattern import crawler_traps
+
+    return crawler_traps(_outlinks(spark, sf_dir), max_urls_per_template=50)
+
+
+def _q_crawl_frontier_trapsafe(spark, sf_dir):
+    """Frontier with the trap deny-list applied (operators/urlpattern
+    .trap_url_filter): candidates whose (host, template) fan-out
+    exploded are refused before scheduling — the survivors are the
+    low-fan-out singleton pages. Deny-list is broadcast; never a
+    frontier-sized shuffle."""
+    from pyocr_spark.operators.urlpattern import crawler_traps, trap_url_filter
+    from pyocr_spark.operators.webgraph import crawl_frontier, host_graph, pagerank_hosts
+
+    # links feeds pagerank, the frontier aggregate AND the trap miner —
+    # checkpoint once or the outlink UDF subtree executes three times
+    links = _outlinks(spark, sf_dir).localCheckpoint(eager=True)
+    ranks = pagerank_hosts(host_graph(links), iterations=10)
+    frontier = crawl_frontier(links, _pages(spark, sf_dir).select("url"), ranks)
+    return trap_url_filter(
+        frontier, crawler_traps(links, max_urls_per_template=50)
+    )
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host page stats over the crawl — parse_url stays JVM-side."""
     return (
@@ -1533,6 +1572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "crawl_fetch_rounds": _q_crawl_fetch_rounds,
         "crawl_fetch_schedule": _q_crawl_fetch_schedule,
+        "url_template_fanout": _q_url_template_fanout,
+        "crawler_traps": _q_crawler_traps,
+        "crawl_frontier_trapsafe": _q_crawl_frontier_trapsafe,
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_stale": _q_sitemap_stale,
         "sitemap_frontier": _q_sitemap_frontier,
@@ -1744,6 +1786,20 @@ def _host_sql(col: str) -> str:
     )
 
 
+def _template_sql(col: str) -> str:
+    """DuckDB replay of operators/urlpattern.url_template: path+query
+    with the fragment dropped and variable runs collapsed — {tok} (16+
+    url-safe chars) before {hex} (8+ hex) before {n} (digits), the same
+    cascade order as the Spark expression. DuckDB regexp_replace needs
+    the explicit 'g' flag where Spark replaces all matches by default."""
+    head = f"regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    t = f"regexp_replace(substr({col}, length({head}) + 1), '#.*$', '', 'g')"
+    t = f"regexp_replace({t}, '[A-Za-z0-9_-]{{16,}}', '{{tok}}', 'g')"
+    t = f"regexp_replace({t}, '[0-9a-fA-F]{{8,}}', '{{hex}}', 'g')"
+    t = f"regexp_replace({t}, '[0-9]+', '{{n}}', 'g')"
+    return f"CASE WHEN {t} = '' THEN '/' ELSE {t} END"
+
+
 def _host_edges_sql() -> str:
     """Shared CTE body: expected_links → host-pair rows (pre-aggregation)."""
     return (
@@ -1841,6 +1897,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT gated.target_url, gated.n_refs, gated.host, "
         "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
         f"FROM gated LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = gated.host"
+    )
+    # shared by url_template_fanout / crawler_traps /
+    # crawl_frontier_trapsafe — the (host, template) fan-out table
+    fanout_sql = (
+        f"SELECT {_host_sql('target_url')} AS host, "
+        f"{_template_sql('target_url')} AS template, "
+        "count(DISTINCT target_url) AS n_urls, count(*) AS n_refs "
+        f"FROM read_parquet('{E}/expected_links.parquet') "
+        f"WHERE {_host_sql('target_url')} != '' GROUP BY 1, 2"
     )
     return {
         "extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
@@ -2781,6 +2846,26 @@ def oracle_sql() -> dict[str, str]:
             "AS not_before_s FROM r LEFT JOIN "
             f"read_parquet('{E}/expected_robots_delays.parquet') d "
             "USING (host)"
+        ),
+        "url_template_fanout": fanout_sql,
+        "crawler_traps": f"SELECT * FROM ({fanout_sql}) WHERE n_urls > 50",
+        # frontier minus candidates whose (host, template) is in the
+        # trap deny-list — the same anti-join the Spark filter broadcasts
+        "crawl_frontier_trapsafe": (
+            f"WITH cand AS (SELECT target_url, count(*) AS n_refs "
+            f"FROM read_parquet('{E}/expected_links.parquet') GROUP BY 1), "
+            "crawled AS (SELECT DISTINCT url AS target_url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "fresh AS (SELECT c.target_url, c.n_refs FROM cand c "
+            "ANTI JOIN crawled USING (target_url)), "
+            f"fh AS (SELECT target_url, n_refs, {_host_sql('target_url')} AS host "
+            "FROM fresh), "
+            "f AS (SELECT fh.target_url, fh.n_refs, fh.host, "
+            "coalesce(r.rank, CAST(0 AS BIGINT)) AS rank "
+            f"FROM fh LEFT JOIN ({_pagerank_sql(10)}) r ON r.host = fh.host), "
+            f"tr AS (SELECT host, template FROM ({fanout_sql}) WHERE n_urls > 50) "
+            "SELECT f.* FROM f ANTI JOIN tr ON tr.host = f.host "
+            f"AND tr.template = {_template_sql('f.target_url')}"
         ),
         # weakly-connected host clusters: same recursive-CTE skeleton as
         # dup_components' oracle, over the host edge pairs; the star

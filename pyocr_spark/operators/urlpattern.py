@@ -1,0 +1,113 @@
+"""URL-template mining and crawler-trap detection for crawl frontiers.
+
+Infinite URL spaces — calendar pages, session-id links, faceted-search
+permutations — are the classic crawler trap: a handful of page templates
+generating unbounded distinct urls. The standard defense (Heydon &
+Najork, "Mercator: A scalable, extensible Web crawler", WWW 1999 §4;
+every production crawler since) is to collapse each url to a structural
+TEMPLATE (variable runs — numbers, hex ids, long opaque tokens —
+replaced by typed placeholders) and refuse to schedule templates whose
+distinct-url fan-out explodes.
+
+Everything here is whole-stage-codegen column expressions plus one
+map-side-combined aggregate over (host, template) — keys are bounded by
+the number of page TEMPLATES on the web (millions), not pages
+(trillions), so the fan-out table is dimension-sized and the trap set
+broadcasts. Spark ``regexp_replace`` is replace-all by default; the
+DuckDB oracle twin spells the same patterns with the ``'g'`` flag. All
+patterns stay inside the Java-regex/RE2 common subset (no
+backreferences, no lookarounds, explicit whitespace classes).
+
+Reference anchor: SURVEY.md §2.8 (web-graph / crawl-hygiene families);
+upstream pyocr has no crawler, so this family is engine-addition
+territory like robots.txt and sitemaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlnorm import url_host
+
+#: scheme://authority head (same capture as urlnorm)
+_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+#: placeholder cascade, applied in THIS order. Longest/most-specific
+#: first so a 32-char hex id becomes one {tok}, not four {hex}; the
+#: placeholder spellings contain no digit and no 8-run of hex chars, so
+#: later passes cannot re-match earlier replacements.
+_TOKEN_RE = r"[A-Za-z0-9_-]{16,}"  # session ids, uuids, base64 blobs
+_HEX_RE = r"[0-9a-fA-F]{8,}"  # shorter hashes / object ids
+_DIGITS_RE = r"[0-9]+"  # counters, dates, page numbers
+
+
+def url_template(url: Column) -> Column:
+    """Structural template of ``url``'s path+query: fragment dropped,
+    variable runs collapsed to ``{tok}`` (16+ url-safe chars), ``{hex}``
+    (8+ hex chars), ``{n}`` (digit runs) — in that order, so the most
+    specific class wins. The ``scheme://authority`` head is excluded
+    (hosts are keyed separately via :func:`urlnorm.url_host`); a url
+    with no scheme head templates its full text. Pure codegen — no UDF,
+    no shuffle."""
+    head = F.regexp_extract(url, _HEAD_RE, 1)
+    tail = F.substring(url, F.length(head) + F.lit(1), F.length(url))
+    t = F.regexp_replace(tail, "#.*$", "")
+    t = F.regexp_replace(t, _TOKEN_RE, "{tok}")
+    t = F.regexp_replace(t, _HEX_RE, "{hex}")
+    t = F.regexp_replace(t, _DIGITS_RE, "{n}")
+    return F.when(t == "", F.lit("/")).otherwise(t)
+
+
+def template_fanout(
+    links: DataFrame, url_col: str = "target_url"
+) -> DataFrame:
+    """Per ``(host, template)`` fan-out: ``n_urls`` distinct urls and
+    ``n_refs`` total references. THE trap signal — a template whose
+    ``n_urls`` keeps growing as the crawl deepens is generating its own
+    url space. One aggregate; distinct-count partials combine map-side;
+    rows with no parseable host are dropped (schemeless/garbage urls
+    carry no per-host scheduling decision)."""
+    u = F.col(url_col)
+    keyed = links.select(
+        url_host(u).alias("host"), url_template(u).alias("template"), u.alias("_u")
+    ).filter(F.col("host") != "")
+    return keyed.groupBy("host", "template").agg(
+        F.countDistinct("_u").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_refs"),
+    )
+
+
+def crawler_traps(
+    links: DataFrame,
+    max_urls_per_template: int = 1000,
+    url_col: str = "target_url",
+) -> DataFrame:
+    """Templates over the fan-out budget: ``(host, template, n_urls,
+    n_refs)`` for every template with more than ``max_urls_per_template``
+    distinct urls. The output is template-space-sized (small) — the
+    broadcastable deny-list a scheduler consults before admitting a url."""
+    return template_fanout(links, url_col=url_col).filter(
+        F.col("n_urls") > max_urls_per_template
+    )
+
+
+def trap_url_filter(
+    frontier: DataFrame, traps: DataFrame, url_col: str = "target_url"
+) -> DataFrame:
+    """Drop frontier candidates whose ``(host, template)`` is in the
+    trap deny-list. Template/host are recomputed per candidate (cheap
+    codegen — recomputing beats carrying two extra columns through the
+    frontier shuffle) and the deny-list is broadcast: never a
+    frontier-sized shuffle. Columns pass through unchanged."""
+    u = F.col(url_col)
+    keyed = frontier.withColumn("_h", url_host(u)).withColumn(
+        "_t", url_template(u)
+    )
+    deny = traps.select(
+        F.col("host").alias("_h"), F.col("template").alias("_t")
+    )
+    return (
+        keyed.join(F.broadcast(deny), ["_h", "_t"], "left_anti")
+        .drop("_h", "_t")
+    )

@@ -1,0 +1,92 @@
+"""URL-template mining / crawler-trap detection (operators/urlpattern)."""
+
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlpattern import (
+    crawler_traps,
+    template_fanout,
+    trap_url_filter,
+    url_template,
+)
+
+
+def _templates(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["t"] for r in df.select(url_template(F.col("url")).alias("t")).collect()
+    ]
+
+
+def test_url_template_placeholder_cascade(spark):
+    """Most-specific class wins: 16+ url-safe chars -> {tok}, 8+ hex ->
+    {hex}, digit runs -> {n}; fragment dropped; host excluded."""
+    got = _templates(
+        spark,
+        [
+            "https://a.com/doc/123",
+            "https://a.com/cal/2024/01/31?page=7",
+            "https://a.com/s/deadbeefcafe1234abcd",  # 20 url-safe chars
+            "https://a.com/h/deadbeef99",  # 10 hex chars
+            "https://a.com/x#frag",
+            "https://a.com",
+            "no-scheme/path/55",
+        ],
+    )
+    assert got == [
+        "/doc/{n}",
+        "/cal/{n}/{n}/{n}?page={n}",
+        "/s/{tok}",
+        "/h/{hex}",
+        "/x",
+        "/",
+        "no-scheme/path/{n}",
+    ]
+
+
+def test_url_template_no_placeholder_cascade_rematch(spark):
+    """Placeholder spellings must not feed later passes: a token inside
+    a path with digits nearby collapses once per class."""
+    (got,) = _templates(spark, ["https://a.com/AAAAAAAAAAAAAAAA/12abcdef99"])
+    assert got == "/{tok}/{hex}"
+
+
+def test_template_fanout_counts_distinct_urls(spark):
+    links = spark.createDataFrame(
+        [("https://a.com/doc/%d" % i,) for i in (1, 2, 3)]
+        + [("https://a.com/doc/1",)]  # duplicate ref, same url
+        + [("https://b.com/about",)],
+        "target_url string",
+    )
+    rows = {
+        (r["host"], r["template"]): (r["n_urls"], r["n_refs"])
+        for r in template_fanout(links).collect()
+    }
+    assert rows[("a.com", "/doc/{n}")] == (3, 4)
+    assert rows[("b.com", "/about")] == (1, 1)
+
+
+def test_crawler_traps_threshold_and_filter(spark):
+    links = spark.createDataFrame(
+        [("https://trap.com/cal/%d" % i,) for i in range(10)]
+        + [("https://ok.com/doc/%d" % i,) for i in range(3)],
+        "target_url string",
+    )
+    traps = crawler_traps(links, max_urls_per_template=5)
+    assert [(r["host"], r["template"]) for r in traps.collect()] == [
+        ("trap.com", "/cal/{n}")
+    ]
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://trap.com/cal/999", 7),
+            ("https://trap.com/about", 1),
+            ("https://ok.com/doc/55", 2),
+        ],
+        "target_url string, n_refs long",
+    )
+    kept = trap_url_filter(frontier, traps).collect()
+    assert sorted((r["target_url"], r["n_refs"]) for r in kept) == [
+        ("https://ok.com/doc/55", 2),
+        ("https://trap.com/about", 1),
+    ]
+    assert kept[0].asDict().keys() == {"target_url", "n_refs"}
