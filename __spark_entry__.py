@@ -453,6 +453,74 @@ def _q_pages_host_filter(spark, sf_dir):
     return out.select("host", "url")
 
 
+def _mangled_host(url) -> "F.Column":
+    """Deterministic host variant per url for the domains queries: the
+    testdata hosts are all *.example.com, so an md5-mod picks one of
+    five shapes — plain TLD, multi-label ccTLD suffix, private-section
+    suffix (blogspot), IPv4 literal, suffix-only host — exercising every
+    registered_domain rule. The 64-bit md5 prefix + conv is the portable
+    hash with an exact DuckDB twin (operators/dedup.py pattern)."""
+    from pyocr_spark.operators.urlnorm import url_host
+
+    hv = F.conv(F.substring(F.md5(url), 1, 15), 16, 10).cast("long") % 5
+    host = url_host(url)
+    return (
+        F.when(hv == 1, F.regexp_replace(host, r"example\.com$", "example.co.uk"))
+        .when(hv == 2, F.regexp_replace(host, r"example\.com$", "blogspot.com"))
+        .when(hv == 3, F.lit("192.168.0.1"))
+        .when(hv == 4, F.lit("co.uk"))
+        .otherwise(host)
+    )
+
+
+def _mangled_url(url) -> "F.Column":
+    """Rebuild the url around the mangled host (path+query preserved)."""
+    path = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    return F.concat(F.lit("https://"), _mangled_host(url), path)
+
+
+def _q_url_domains(spark, sf_dir):
+    """Registered-domain (eTLD+1) extraction (operators/domains.py):
+    derive the mangled host-variant url per distinct page url and extract
+    its registered domain — IP literals group as themselves, suffix-only
+    hosts map to NULL, multi-label suffixes keep three labels."""
+    from pyocr_spark.operators.domains import url_registered_domain
+
+    u = _pages(spark, sf_dir).select("url").distinct()
+    murl = _mangled_url(F.col("url"))
+    return u.select(
+        "url", murl.alias("murl"), url_registered_domain(murl).alias("domain")
+    )
+
+
+def _q_host_domains(spark, sf_dir):
+    """host -> registered-domain dimension table (operators/domains.py
+    host_domains): one aggregate over host-sized keys on the mangled
+    crawl, the join surface for every per-domain policy."""
+    from pyocr_spark.operators.domains import host_domains
+
+    pages = _pages(spark, sf_dir)
+    mangled = pages.select(_mangled_url(F.col("url")).alias("url"))
+    return host_domains(mangled).select("host", "n_pages", "domain")
+
+
+def _q_pages_domain_cap(spark, sf_dir):
+    """Per-domain corpus cap (operators/domains.py domain_cap): keep at
+    most 5 pages per registered domain on the mangled crawl, largest
+    pages first (url ascending as the deterministic tiebreak). Plans one
+    Exchange on the domain key with a map-side WindowGroupLimit, so each
+    mapper forwards at most cap rows per domain."""
+    from pyocr_spark.operators.domains import domain_cap
+
+    pages = _pages(spark, sf_dir)
+    mangled = pages.select(
+        _mangled_url(F.col("url")).alias("url"),
+        F.octet_length("html").alias("n_bytes"),
+    )
+    out = domain_cap(mangled, max_per_domain=5, order_by=[F.col("n_bytes").desc()])
+    return out.select("domain", "url", "n_bytes")
+
+
 def _q_incremental_extract(spark, sf_dir):
     """Incremental re-extraction (plans/incremental.py): reconstruct the
     'previous run' from the earliest version per url, extract only
@@ -1486,6 +1554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_docs": _q_bloom_probe_docs,
         "url_normalize": _q_url_normalize,
         "pages_host_filter": _q_pages_host_filter,
+        "url_domains": _q_url_domains,
+        "host_domains": _q_host_domains,
+        "pages_domain_cap": _q_pages_domain_cap,
         "incremental_extract": _q_incremental_extract,
         "doc_repetition": _q_doc_repetition,
         "docs_weighted_mix": _q_docs_weighted_mix,
@@ -1783,6 +1854,46 @@ def _host_sql(col: str) -> str:
     return (
         f"lower(CASE WHEN {a} LIKE '[%' THEN regexp_extract({a}, '^(\\[[^\\]]*\\])', 1) "
         f"ELSE regexp_replace({a}, ':[0-9]*$', '') END)"
+    )
+
+
+def _domain_sql(host: str) -> str:
+    """DuckDB replay of operators/domains.registered_domain: negative
+    list indexing is out-of-range->NULL on both engines (try_element_at
+    twin) and concat_ws skips NULL args on both, so the last-2/last-3
+    label joins agree rule-for-rule; the suffix snapshot is embedded
+    from the single source of truth."""
+    from pyocr_spark.operators.domains import MULTI_LABEL_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    ls = f"str_split({host}, '.')"
+    last2 = f"concat_ws('.', ({ls})[-2], ({ls})[-1])"
+    last3 = f"concat_ws('.', ({ls})[-3], ({ls})[-2], ({ls})[-1])"
+    return (
+        f"CASE WHEN {host} LIKE '[%' OR regexp_matches({host}, '^[0-9.]+$') THEN {host} "
+        f"WHEN len({ls}) <= 1 THEN {host} "
+        f"WHEN {last2} IN ({sufs}) AND len({ls}) = 2 THEN NULL "
+        f"WHEN {last2} IN ({sufs}) THEN {last3} "
+        f"ELSE {last2} END"
+    )
+
+
+def _mangle_cte_sql(src: str, extra_cols: str = "") -> str:
+    """Shared mangle prelude for the domains oracles: replay of the
+    entry-side _mangled_host/_mangled_url md5-mod host variants. Yields
+    CTE `mg(url, mh, pth{extra_cols})` over `src`."""
+    return (
+        f"mg0 AS (SELECT url{extra_cols}, "
+        "CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 5 AS hv, "
+        f"{_host_sql('url')} AS h0, "
+        "regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS pth "
+        f"FROM {src}), "
+        f"mg AS (SELECT url{extra_cols}, CASE "
+        "WHEN hv = 1 THEN regexp_replace(h0, 'example\\.com$', 'example.co.uk') "
+        "WHEN hv = 2 THEN regexp_replace(h0, 'example\\.com$', 'blogspot.com') "
+        "WHEN hv = 3 THEN '192.168.0.1' "
+        "WHEN hv = 4 THEN 'co.uk' "
+        "ELSE h0 END AS mh, pth FROM mg0)"
     )
 
 
@@ -2137,6 +2248,32 @@ def oracle_sql() -> dict[str, str]:
             "ELSE regexp_replace(a2, ':[0-9]*$', '') END) AS host FROM a), "
             "off AS (SELECT host FROM p GROUP BY host HAVING count(*) > 25) "
             "SELECT host, url FROM p ANTI JOIN off USING (host)"
+        ),
+        "url_domains": (
+            f"WITH u AS (SELECT DISTINCT url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            f"{_mangle_cte_sql('u')} "
+            "SELECT url, 'https://' || mh || pth AS murl, "
+            f"{_domain_sql('mh')} AS domain FROM mg"
+        ),
+        "host_domains": (
+            f"WITH p AS (SELECT url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            f"{_mangle_cte_sql('p')}, "
+            "h AS (SELECT mh AS host FROM mg WHERE mh != '') "
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+            f"{_domain_sql('host')} AS domain FROM h GROUP BY host"
+        ),
+        "pages_domain_cap": (
+            f"WITH p AS (SELECT url, octet_length(html) AS n_bytes "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            f"{_mangle_cte_sql('p', ', n_bytes')}, "
+            "d AS (SELECT 'https://' || mh || pth AS url, n_bytes, "
+            f"{_domain_sql('mh')} AS domain FROM mg), "
+            "f AS (SELECT * FROM d WHERE domain IS NOT NULL AND domain != ''), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY domain ORDER BY n_bytes DESC, url ASC) AS rn FROM f) "
+            "SELECT domain, url, n_bytes FROM r WHERE rn <= 5"
         ),
         "corpus_build_full": (
             f"WITH src AS (SELECT url, extracted_text "

@@ -1,0 +1,128 @@
+"""Registered-domain (eTLD+1) grouping and per-domain caps (operators/domains)."""
+
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.domains import (
+    domain_cap,
+    host_domains,
+    registered_domain,
+    url_registered_domain,
+)
+
+
+def _domains(spark, hosts):
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    return [
+        r["d"]
+        for r in df.select(registered_domain(F.col("host")).alias("d")).collect()
+    ]
+
+
+def test_registered_domain_rules(spark):
+    got = _domains(
+        spark,
+        [
+            "www.example.com",  # plain TLD: last 2 labels
+            "example.com",
+            "blog.shop.example.co.uk",  # multi-label suffix: last 3
+            "example.co.uk",
+            "co.uk",  # host IS a suffix: no registrable domain
+            "a.b.src.blogspot.com",  # private-section suffix
+            "localhost",  # single label groups as itself
+            "192.168.0.1",  # IPv4 literal is its own unit
+            "[2001:db8::1]",  # bracketed IPv6 ('.'-free but explicit rule)
+            "com",  # bare TLD: single label -> itself
+        ],
+    )
+    assert got == [
+        "example.com",
+        "example.com",
+        "example.co.uk",
+        "example.co.uk",
+        None,
+        "src.blogspot.com",
+        "localhost",
+        "192.168.0.1",
+        "[2001:db8::1]",
+        "com",
+    ]
+
+
+def test_url_registered_domain_composes_host_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://User@WWW.Shop.Example.CO.UK:8443/a?b=1#f",),
+            ("https://src3.example.com/doc/1",),
+            ("not-a-url",),
+        ],
+        "url string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(url_registered_domain(F.col("url")).alias("d")).collect()
+    ]
+    # no scheme head -> url_host yields '' -> n_labels==1 -> '' passthrough
+    assert got == ["example.co.uk", "example.com", ""]
+
+
+def test_host_domains_dimension(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/1",),
+            ("https://a.example.com/2",),
+            ("https://b.example.co.uk/1",),
+            ("no-scheme",),
+        ],
+        "url string",
+    )
+    rows = {r["host"]: (r["n_pages"], r["domain"]) for r in host_domains(df).collect()}
+    assert rows == {
+        "a.example.com": (2, "example.com"),
+        "b.example.co.uk": (1, "example.co.uk"),
+    }
+
+
+def test_domain_cap_keeps_best_rows_deterministically(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.site.com/1", 10),
+            ("https://b.site.com/2", 30),
+            ("https://c.site.com/3", 20),
+            ("https://x.other.org/1", 5),
+            ("bad-url", 99),
+        ],
+        "url string, score int",
+    )
+    out = domain_cap(df, max_per_domain=2, order_by=[F.col("score").desc()])
+    got = sorted((r["domain"], r["url"]) for r in out.collect())
+    # site.com keeps the two highest scores; other.org keeps its one row;
+    # the unparseable url is dropped
+    assert got == [
+        ("other.org", "https://x.other.org/1"),
+        ("site.com", "https://b.site.com/2"),
+        ("site.com", "https://c.site.com/3"),
+    ]
+
+
+def test_domain_cap_url_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("https://a.t.com/%d" % i,) for i in range(5)], "url string"
+    )
+    out = domain_cap(df, max_per_domain=3)
+    assert sorted(r["url"] for r in out.collect()) == [
+        "https://a.t.com/0",
+        "https://a.t.com/1",
+        "https://a.t.com/2",
+    ]
+
+
+def test_domain_cap_plan_has_partial_window_limit(spark):
+    """The rank-and-filter shape must plan a map-side WindowGroupLimit so
+    each mapper forwards <= cap rows per domain before the Exchange."""
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"), F.lit(".com/"), F.col("id").cast("string")).alias("url")
+    )
+    out = domain_cap(df, max_per_domain=3)
+    explained = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in explained
+    assert explained.count("Partial") >= 1
