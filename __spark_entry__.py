@@ -738,6 +738,22 @@ def _q_doc_c4(spark, sf_dir):
     return c4_clean(_docs(spark, sf_dir))
 
 
+def _q_docs_blockword(spark, sf_dir):
+    """Blockword page gate (functions/text_stats.blockword_gate — C4's
+    §2.2 bad-word page drop, with exact-token matching so a blockword
+    inside a longer token never fires). The demo list intersects the
+    synthetic vocabulary so both keep branches execute; the real list is
+    a caller policy input. Oracle: DuckDB list_filter token membership
+    plus literal-split phrase counts."""
+    from pyocr_spark.functions.text_stats import blockword_gate
+
+    return blockword_gate(
+        _docs(spark, sf_dir),
+        words=("spark", "vector"),
+        phrases=("fast table",),
+    )
+
+
 def _q_doc_lang_id(spark, sf_dir):
     from pyocr_spark.functions.text_stats import lang_id
 
@@ -1219,6 +1235,28 @@ def _q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=10)
 
 
+def _q_domain_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the registered-domain graph
+    (operators/domains.domain_graph feeding webgraph.pagerank_hosts):
+    link authority at the provenance unit — every host of a site
+    collapses to one node, so a link farm spread over subdomains cannot
+    multiply its rank. Runs on the mangled-host crawl so every suffix
+    rule shape appears in the node space; the oracle replays the domain
+    edge build plus all 10 integer iterations unrolled."""
+    from pyocr_spark.operators.domains import domain_graph
+    from pyocr_spark.operators.webgraph import pagerank_hosts
+
+    links = _outlinks(spark, sf_dir).select(
+        _mangled_url(F.col("url")).alias("url"),
+        _mangled_url(F.col("target_url")).alias("target_url"),
+    )
+    out = pagerank_hosts(
+        domain_graph(links), iterations=10,
+        src_col="src_domain", dst_col="dst_domain",
+    )
+    return out.select(F.col("host").alias("domain"), "rank")
+
+
 def _q_host_components(spark, sf_dir):
     """Weakly-connected host clusters (operators/dedup.dup_components over
     the host link graph): the site-cluster / link-farm detection signal —
@@ -1589,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_gopher": _q_doc_gopher,
         "doc_c4": _q_doc_c4,
+        "docs_blockword": _q_docs_blockword,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1638,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_graph_follow": _q_host_graph_follow,
         "host_pagerank": _q_host_pagerank,
+        "domain_pagerank": _q_domain_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "unified_frontier": _q_unified_frontier,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
@@ -1920,11 +1960,43 @@ def _host_edges_sql() -> str:
     )
 
 
-def _pagerank_sql(iterations: int = 10) -> str:
+def _mangle_host_expr_sql(col: str) -> str:
+    """Expression form of the md5-mod host mangle (see _mangle_cte_sql)
+    for SQL sites that mangle MORE than one url column per row."""
+    hv = f"CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT) % 5"
+    h0 = _host_sql(col)
+    return (
+        f"CASE WHEN ({hv}) = 1 THEN regexp_replace({h0}, 'example\\.com$', 'example.co.uk') "
+        f"WHEN ({hv}) = 2 THEN regexp_replace({h0}, 'example\\.com$', 'blogspot.com') "
+        f"WHEN ({hv}) = 3 THEN '192.168.0.1' "
+        f"WHEN ({hv}) = 4 THEN 'co.uk' "
+        f"ELSE {h0} END"
+    )
+
+
+def _domain_edges_sql() -> str:
+    """expected_links → registered-domain edge rows on the mangled-host
+    crawl (operators/domains.domain_graph replay): mangle both endpoint
+    hosts, extract each registered domain, drop edges with an endpoint
+    that has no registrable domain."""
+    return (
+        "SELECT src_host, dst_host FROM ("
+        f"SELECT {_domain_sql('smh')} AS src_host, {_domain_sql('dmh')} AS dst_host "
+        f"FROM (SELECT {_mangle_host_expr_sql('url')} AS smh, "
+        f"{_mangle_host_expr_sql('target_url')} AS dmh "
+        f"FROM read_parquet('{EXPECTED_001}/expected_links.parquet'))) "
+        "WHERE src_host IS NOT NULL AND src_host != '' "
+        "AND dst_host IS NOT NULL AND dst_host != ''"
+    )
+
+
+def _pagerank_sql(iterations: int = 10, edges_sql: str | None = None) -> str:
     """Unrolled integer PageRank replay (operators/webgraph.pagerank_hosts):
     one CTE per iteration, every term floor division on BIGINT — the
     arithmetic is associative, so Spark and DuckDB agree bit-for-bit.
-    sum() is CAST back to BIGINT (DuckDB sum(BIGINT) → HUGEINT)."""
+    sum() is CAST back to BIGINT (DuckDB sum(BIGINT) → HUGEINT).
+    ``edges_sql`` swaps the node space (default: host graph; the domain
+    queries pass _domain_edges_sql())."""
     from pyocr_spark.operators.webgraph import (
         PAGERANK_DAMP_DEN,
         PAGERANK_DAMP_NUM,
@@ -1933,7 +2005,7 @@ def _pagerank_sql(iterations: int = 10) -> str:
 
     num, den, scale = PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN, PAGERANK_SCALE
     parts = [
-        f"hp AS ({_host_edges_sql()})",
+        f"hp AS ({edges_sql or _host_edges_sql()})",
         "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp)",
         "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
@@ -2600,6 +2672,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _QUALITY_SQL,
         "doc_gopher": _GOPHER_SQL,
         "doc_c4": _C4_SQL,
+        "docs_blockword": (
+            "SELECT doc_id, bh AS blockword_hits, bh <= 0 AS blockword_keep "
+            "FROM (SELECT doc_id, CAST("
+            "len(list_filter(regexp_split_to_array(regexp_replace(lower(text), "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+            "w -> w IN ('spark', 'vector'))) "
+            "+ (len(string_split(lower(text), 'fast table')) - 1) "
+            "AS BIGINT) AS bh FROM documents) t"
+        ),
         "doc_gopher_rep": _GOPHER_REP_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": (
@@ -2882,6 +2963,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM hp GROUP BY src_host, dst_host"
         ),
         "host_pagerank": _pagerank_sql(10),
+        "domain_pagerank": (
+            "SELECT host AS domain, rank "
+            f"FROM ({_pagerank_sql(10, _domain_edges_sql())}) t"
+        ),
         # frontier: candidate agg + anti-join vs crawled urls + rank
         # lookup, with the full 10-iteration PageRank replay nested as a
         # derived table

@@ -257,6 +257,58 @@ def c4_clean(
     )
 
 
+def blockword_gate(
+    docs: DataFrame,
+    words: tuple[str, ...] = (),
+    phrases: tuple[str, ...] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Blockword page filter — C4's "bad word" page drop (Raffel et al.
+    2020 §2.2 drops any page containing a word from a public blocklist).
+    The list itself is a CALLER policy decision (jurisdiction- and
+    use-case-specific); this operator is the counting/gating machinery:
+
+    - ``words`` match as EXACT lowercase whitespace tokens (the
+      Scunthorpe guard — a blockword inside a longer token never fires),
+      counted via the engine-wide ``ws_tokens`` split so token identity
+      agrees with every other gate
+    - ``phrases`` match as lowercase substrings; occurrences are counted
+      by literal split (non-overlapping, left-to-right — the same
+      semantics both engines implement)
+    - ``blockword_keep`` = total hits ``<= max_hits`` (0 = any hit
+      drops, the C4 rule; raise it for a softer gate)
+
+    One codegen pass, no shuffle, no Python: the word filter is an
+    ``isin`` literal cascade inside a HOF filter, phrase counts are
+    literal splits. SQL twins: ``list_filter(toks, w -> w IN (...))``
+    and ``len(string_split(t, 'phrase')) - 1``.
+    """
+    import re as _re
+
+    if max_hits < 0:
+        raise ValueError(f"max_hits must be >= 0, got {max_hits}")
+    for w in words:
+        if not w or w != w.lower() or _re.search("[" + _WS + "]", w):
+            raise ValueError(f"blockwords must be non-empty lowercase tokens: {w!r}")
+    for p in phrases:
+        if not p or p != p.lower():
+            raise ValueError(f"block phrases must be non-empty lowercase: {p!r}")
+    t = F.lower(F.col(text_col))
+    hits: Column = F.lit(0).cast("long")
+    if words:
+        toks = ws_tokens(t)
+        hits = hits + F.size(F.filter(toks, lambda w: w.isin(*words))).cast("long")
+    for p in phrases:
+        hits = hits + (F.size(F.split(t, _re.escape(p), -1)) - 1).cast("long")
+    return docs.select(
+        id_col,
+        hits.alias("blockword_hits"),
+        (hits <= max_hits).alias("blockword_keep"),
+    )
+
+
 #: tiny frozen stopword lists per language for the n-gram/stopword
 #: language-ID heuristic. Counts are exact-match word counts for
 #: space-delimited scripts; space-free scripts (zh) count marker

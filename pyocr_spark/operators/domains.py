@@ -112,3 +112,34 @@ def domain_cap(
         .filter(F.col("_rn") <= max_per_domain)
         .drop("_rn")
     )
+
+
+def domain_graph(
+    outlinks: DataFrame,
+    src_col: str = "url",
+    dst_col: str = "target_url",
+) -> DataFrame:
+    """Registered-domain edge list ``(src_domain, dst_domain, n_links)``
+    from an outlinks table — the provenance-level link graph. Site
+    authority lives at the registrable domain, not the hostname: a link
+    farm spread over ``a.spam.com``/``b.spam.com`` collapses to ONE node
+    here where the host graph sees many. Domain extraction is the pure
+    codegen cascade above (no join); edges whose endpoint has no
+    registrable domain (IP literals keep theirs; suffix-only hosts have
+    none) are dropped; the aggregate is map-side combined on
+    domain-pair-sized keys. Feed the result to
+    ``webgraph.pagerank_hosts(edges, src_col="src_domain",
+    dst_col="dst_domain")`` for domain-level PageRank."""
+    src = registered_domain(url_host(F.col(src_col)))
+    dst = registered_domain(url_host(F.col(dst_col)))
+    edges = outlinks.select(
+        src.alias("src_domain"), dst.alias("dst_domain")
+    ).filter(
+        F.col("src_domain").isNotNull()
+        & (F.col("src_domain") != "")
+        & F.col("dst_domain").isNotNull()
+        & (F.col("dst_domain") != "")
+    )
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )

@@ -126,3 +126,28 @@ def test_domain_cap_plan_has_partial_window_limit(spark):
     explained = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in explained
     assert explained.count("Partial") >= 1
+
+
+def test_domain_graph_collapses_hosts_and_drops_unregistrable(spark):
+    """Hosts of one registrable domain collapse to one node; edges whose
+    endpoint has no registrable domain (suffix-only host) are dropped;
+    IP literals keep themselves as the provenance node."""
+    from pyocr_spark.operators.domains import domain_graph
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.spam.com/1", "https://www.example.co.uk/x"),
+            ("https://b.spam.com/2", "https://blog.example.co.uk/y"),
+            ("https://a.spam.com/3", "https://co.uk/"),  # dst unregistrable
+            ("https://192.168.0.1/p", "https://a.spam.com/4"),
+        ],
+        "url string, target_url string",
+    )
+    rows = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in domain_graph(links).collect()
+    }
+    assert rows == {
+        ("spam.com", "example.co.uk"): 2,  # two hosts, one node
+        ("192.168.0.1", "spam.com"): 1,
+    }

@@ -777,3 +777,51 @@ def test_gopher_repetition_line_and_para_masses(spark):
     assert c["dup_line_frac"] == 0.0 and c["dup_para_char_frac"] == 0.0
     e = out["empty"]
     assert e["n_lines"] == 0 and e["dup_line_char_frac"] == 0.0
+
+
+def test_blockword_gate_tokens_phrases_and_threshold(spark):
+    """Exact-token matching (no substring firing inside longer tokens),
+    phrase substring counts, case folding, and the max_hits threshold."""
+    import pytest
+
+    from pyocr_spark.functions.text_stats import blockword_gate
+
+    docs = spark.createDataFrame(
+        [
+            ("clean", "nothing objectionable in here at all"),
+            ("token", "the CASINO word appears twice casino yes"),
+            ("scunthorpe", "casinos and vectorize are different tokens"),
+            ("phrase", "a bad phrase a bad phrase split"),
+            ("mixed", "casino plus a bad phrase"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["blockword_hits"], r["blockword_keep"])
+        for r in blockword_gate(
+            docs, words=("casino", "vector"), phrases=("a bad phrase",)
+        ).collect()
+    }
+    assert out == {
+        "clean": (0, True),
+        "token": (2, False),       # case-folded exact tokens
+        "scunthorpe": (0, True),   # casinos/vectorize never fire
+        "phrase": (2, False),      # two non-overlapping occurrences
+        "mixed": (2, False),
+    }
+    soft = {
+        r["doc_id"]: r["blockword_keep"]
+        for r in blockword_gate(
+            docs, words=("casino", "vector"), phrases=("a bad phrase",),
+            max_hits=2,
+        ).collect()
+    }
+    assert soft == {k: True for k in soft}
+    with pytest.raises(ValueError):
+        blockword_gate(docs, words=("Casino",))
+    with pytest.raises(ValueError):
+        blockword_gate(docs, words=("two words",))
+    with pytest.raises(ValueError):
+        blockword_gate(docs, phrases=("",))
+    with pytest.raises(ValueError):
+        blockword_gate(docs, words=("x",), max_hits=-1)
