@@ -60,6 +60,11 @@ def parse_args(argv=None):
              "this bound (Gopher-style repetition gate)",
     )
     p.add_argument(
+        "--domain-cap", type=int, default=None,
+        help="--corpus: keep at most N deduped docs per registered domain "
+             "(eTLD+1 provenance-mix cap, longest docs kept)",
+    )
+    p.add_argument(
         "--pack", action="store_true",
         help="extract text, slice it into --chunk-tokens windows, and pack "
              "the chunks into --seq-tokens training sequences (bucket-"
@@ -204,6 +209,7 @@ def main(argv=None) -> None:
             sample_fraction=args.sample_fraction,
             line_dedup_docfreq=args.line_dedup_docfreq,
             max_dup_token_frac=args.max_dup_token_frac,
+            max_per_domain=args.domain_cap,
         )
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

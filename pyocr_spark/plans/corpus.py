@@ -35,6 +35,7 @@ def build_training_corpus(
     portable_sample: bool = False,
     line_dedup_docfreq: int | None = None,
     max_dup_token_frac: float | None = None,
+    max_per_domain: int | None = None,
 ) -> DataFrame:
     """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus.
 
@@ -52,6 +53,9 @@ def build_training_corpus(
     - ``max_dup_token_frac``: Gopher-style repetition gate — drops docs
       whose duplicate-token fraction exceeds the bound. Pure
       higher-order functions: a narrow filter, no extra shuffle.
+    - ``max_per_domain``: provenance-mix cap — at most N deduped docs
+      per registered domain (eTLD+1), longest kept. One extra window
+      Exchange on the domain key with a map-side group limit.
     """
     ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
     ok = ext.filter(
@@ -99,5 +103,17 @@ def build_training_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if max_per_domain is not None:
+        from pyocr_spark.operators.domains import domain_cap
+
+        # provenance-mix cap (C4/Gopher concern): at most N docs per
+        # registered domain, longest kept, AFTER content dedup (so the
+        # cap counts distinct content) and BEFORE sampling (so the
+        # sample rate applies to the balanced corpus). Rows whose host
+        # has no registrable domain (host IS a public suffix) are junk
+        # provenance and are dropped by the cap.
+        ded = domain_cap(
+            ded, max_per_domain, order_by=[F.col("n_tokens").desc()]
+        ).drop("domain")
     sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
     return sampled.select("url", "content_hash", "n_tokens")

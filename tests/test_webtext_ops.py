@@ -253,6 +253,21 @@ def test_corpus_full_hygiene_stages_bite(spark, pages_sf0001):
     assert base.columns == full.columns
 
 
+def test_corpus_domain_cap_bounds_provenance(spark, pages_sf0001):
+    """All synthetic hosts share one registered domain (example.com), so
+    a domain cap of 7 bounds the whole corpus to its 7 longest docs."""
+    from pyocr_spark.plans.corpus import build_training_corpus
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    base = build_training_corpus(pages, sample_fraction=1.0)
+    capped = build_training_corpus(pages, sample_fraction=1.0, max_per_domain=7)
+    got = sorted((r["n_tokens"] for r in capped.collect()), reverse=True)
+    top = sorted((r["n_tokens"] for r in base.collect()), reverse=True)[:7]
+    assert got == top
+    assert base.columns == capped.columns
+
+
 # ---------------------------------------------------------------------------
 # repetition_stats / vocab_docfreq
 # ---------------------------------------------------------------------------
