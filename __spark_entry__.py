@@ -291,6 +291,15 @@ def _q_doc_dup_spans(spark, sf_dir):
     )
 
 
+def _q_docs_span_removed(spark, sf_dir):
+    """Keep-first duplicate-span REMOVAL (the Lee-et-al cut pass):
+    duplicated 10-token spans survive only in the minimal doc_id; every
+    doc comes back with its rebuilt text + cut token count."""
+    from pyocr_spark.operators.spandedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(spark, sf_dir), window=10)
+
+
 def _q_extract_charset(spark, sf_dir):
     """Per-url sniffed charset (BOM / meta declaration / utf-8 fallback) —
     the decode leg of extraction, checked against the Python oracle's
@@ -1609,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_index": _q_doc_bm25_index,
         "doc_bm25": _q_doc_bm25,
         "doc_dup_spans": _q_doc_dup_spans,
+        "docs_span_removed": _q_docs_span_removed,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -2522,6 +2532,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS dup_windows, "
             "CAST(sum(GREATEST(0, pos + 10 - GREATEST(pos, prev_max))) AS BIGINT) AS dup_tokens "
             "FROM m GROUP BY doc_id"
+        ),
+        "docs_span_removed": (
+            # Keep-first removal replay: the min doc_id per duplicated
+            # fingerprint keeps its copy; everyone else cuts [pos, pos+10).
+            # Cut windows merge gaps-and-islands style into disjoint
+            # intervals; surviving tokens are re-joined positionally
+            # (string_agg ORDER BY p), untouched docs fall through the
+            # LEFT JOINs with cut=0 and their normalized text.
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "base AS (SELECT doc_id, w, len(w) AS n_tokens FROM tok), "
+            "wins AS (SELECT doc_id, i AS pos, "
+            "CAST(('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15)) AS BIGINT) AS fp "
+            "FROM base, LATERAL unnest(generate_series(1, n_tokens - 9)) t(i) "
+            "WHERE n_tokens >= 10), "
+            "d AS (SELECT doc_id, pos, "
+            "min(doc_id) OVER (PARTITION BY fp) AS mind, "
+            "max(doc_id) OVER (PARTITION BY fp) AS maxd FROM wins), "
+            "cuts AS (SELECT doc_id, pos FROM d WHERE mind != maxd AND doc_id != mind), "
+            "m AS (SELECT doc_id, pos, coalesce(max(pos + 10) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_max "
+            "FROM cuts), "
+            "isl AS (SELECT doc_id, pos, sum(CASE WHEN pos > prev_max THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM m), "
+            "iv AS (SELECT doc_id, island, min(pos) AS s, max(pos + 10) AS e "
+            "FROM isl GROUP BY doc_id, island), "
+            "cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS p FROM iv), "
+            "posx AS (SELECT doc_id, unnest(generate_series(1, n_tokens)) AS p "
+            "FROM base WHERE n_tokens >= 1), "
+            "keptpos AS (SELECT doc_id, p FROM posx ANTI JOIN cov USING (doc_id, p)), "
+            "kept AS (SELECT doc_id, coalesce(string_agg(b.w[k.p], ' ' ORDER BY k.p), '') AS cleaned_text "
+            "FROM keptpos k JOIN base b USING (doc_id) GROUP BY doc_id), "
+            "cut AS (SELECT doc_id, sum(e - s) AS cut_tokens FROM iv GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS cut_tokens, "
+            "coalesce(k.cleaned_text, '') AS cleaned_text "
+            "FROM base b LEFT JOIN cut c USING (doc_id) LEFT JOIN kept k USING (doc_id)"
         ),
         "docs_decontam": (
             # Same 3-gram builder as the ngram_jaccard oracle; eval slice =

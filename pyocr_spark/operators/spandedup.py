@@ -108,3 +108,136 @@ def dup_spans(
             F.sum("contrib").cast("bigint").alias("dup_tokens"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CUT pass ``dup_spans`` only measures: Lee et al. remove all but
+    one occurrence of each duplicated substring; the deterministic "one"
+    here is the smallest ``id_col`` containing the fingerprint. Every
+    window duplicated across >= 2 distinct documents is kept in that
+    minimal document and cut from its token range everywhere else; a
+    document's cut windows merge into disjoint intervals and the
+    surviving tokens are reassembled positionally.
+
+    Returns EVERY input document: (doc_id, n_tokens, cut_tokens,
+    cleaned_text) — cleaned_text is the space-join of surviving tokens
+    (whitespace is already normalized by the engine-wide tokenizer), so
+    untouched documents come back with cut_tokens = 0 and their
+    normalized text, and fully-duplicated non-canonical documents come
+    back empty (a downstream length gate drops them).
+
+    Shuffle shape: explode → ONE Exchange on fingerprint (keep/cut
+    marking) → ONE Exchange on doc for the interval windows + rollup
+    (island window, groupBy(id, island), groupBy(id) all share the doc
+    partitioning) → ONE doc equi-join back to the token arrays. The
+    rebuild itself is a per-row HOF fold over the (few) merged intervals
+    — linear, no per-token explode.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), toks.alias("w")).select(
+        F.col(id_col),
+        F.col("w"),
+        F.size("w").alias("n_tokens"),
+    )
+    pos_seq = F.when(
+        F.col("n_tokens") >= window,
+        F.sequence(
+            F.lit(1), F.col("n_tokens") - F.lit(window - 1), F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        F.col(id_col), F.col("w"), F.explode(pos_seq).alias("pos")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        _portable_hash64(
+            F.array_join(F.slice("w", F.col("pos"), window), " ")
+        ).alias("fp"),
+    )
+    by_fp = Window.partitionBy("fp")
+    # keep-first: the min doc for a duplicated fingerprint keeps its copy
+    cuts = (
+        wins.withColumn("min_doc", F.min(id_col).over(by_fp))
+        .withColumn("max_doc", F.max(id_col).over(by_fp))
+        .filter(
+            (F.col("min_doc") != F.col("max_doc"))
+            & (F.col(id_col) != F.col("min_doc"))
+        )
+        .select(id_col, "pos")
+    )
+    # merge overlapping/adjacent cut windows into disjoint intervals
+    # (gaps-and-islands on the running prev-max-end)
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = cuts.withColumn(
+        "prev_max",
+        F.coalesce(F.max(F.col("pos") + F.lit(window)).over(prev), F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum((F.col("pos") > F.col("prev_max")).cast("int")).over(run),
+    )
+    ivs = isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + F.lit(window)).alias("e"),
+    )
+    per_doc = ivs.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+    )
+    joined = base.join(per_doc, on=id_col, how="left")
+    ivs_arr = F.coalesce(
+        F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # positional rebuild: fold over sorted disjoint intervals, copying the
+    # token slice between the cursor and each interval start, then the tail
+    init = F.struct(
+        F.array().cast("array<string>").alias("toks"),
+        F.lit(1).alias("nxt"),
+    )
+    kept = F.aggregate(
+        ivs_arr,
+        init,
+        lambda acc, iv: F.struct(
+            F.concat(
+                acc["toks"],
+                F.slice(F.col("w"), acc["nxt"], iv["s"] - acc["nxt"]),
+            ).alias("toks"),
+            iv["e"].alias("nxt"),
+        ),
+        lambda acc: F.concat(
+            acc["toks"],
+            F.slice(
+                F.col("w"),
+                acc["nxt"],
+                F.col("n_tokens") - acc["nxt"] + F.lit(1),
+            ),
+        ),
+    )
+    cut_tokens = F.aggregate(
+        ivs_arr,
+        F.lit(0).cast("bigint"),
+        lambda a, iv: a + (iv["e"] - iv["s"]).cast("bigint"),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        cut_tokens.alias("cut_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

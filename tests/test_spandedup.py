@@ -4,7 +4,7 @@ import re
 
 import pytest
 
-from pyocr_spark.operators.spandedup import dup_spans
+from pyocr_spark.operators.spandedup import dup_spans, remove_dup_spans
 
 SHARED = "one two three four five six seven eight nine ten"  # 10-token passage
 DOCS = [
@@ -74,3 +74,62 @@ def test_dup_spans_args(spark, docs_df):
         dup_spans(docs_df, window=1)
     with pytest.raises(ValueError):
         dup_spans(docs_df, stride=0)
+
+
+def _reference_removed(docs, window=W, stride=1):
+    """Independent keep-first removal model: min-doc per duplicated window
+    keeps its copy; everyone else cuts the covered token range."""
+    toks = {d[0]: [t for t in re.split(r"[\t\n\f\r ]+", d[1].strip("\t\n\f\r ")) if t] for d in docs}
+    owners = {}  # fp -> min doc containing it
+    docsets = {}  # fp -> set(doc)
+    per_doc = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        per_doc[i] = []
+        for p in range(1, len(ts) - window + 2, stride):
+            fp = " ".join(ts[p - 1 : p - 1 + window])
+            docsets.setdefault(fp, set()).add(i)
+            owners[fp] = min(owners.get(fp, i), i)
+            per_doc[i].append((p, fp))
+    out = {}
+    for i, ts in toks.items():
+        cut = set()
+        for p, fp in per_doc[i]:
+            if len(docsets[fp]) >= 2 and owners[fp] != i:
+                cut.update(range(p, p + window))
+        kept = [t for j, t in enumerate(ts, start=1) if j not in cut]
+        out[i] = (i, len(ts), len(cut), " ".join(kept))
+    return out
+
+
+def test_remove_dup_spans_matches_reference(spark, docs_df):
+    got = {r.doc_id: tuple(r) for r in remove_dup_spans(docs_df, window=W).collect()}
+    assert got == _reference_removed(DOCS)
+
+
+def test_remove_dup_spans_semantics(spark, docs_df):
+    got = {r.doc_id: r for r in remove_dup_spans(docs_df, window=W).collect()}
+    # every input doc comes back, including untouched / short / empty ones
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    # doc 0 is the minimal owner of the shared passage: nothing cut
+    assert got[0].cut_tokens == 0
+    assert got[0].cleaned_text == DOCS[0][1]
+    # docs 1 and 3 lose every copy of the passage
+    assert got[1].cut_tokens == 10
+    assert got[1].cleaned_text == "zeta eta theta iota kappa"
+    assert got[3].cut_tokens == 20
+    assert got[3].cleaned_text == "pre mid post"
+    # untouched docs keep their (normalized) text; empty stays empty
+    assert got[2].cut_tokens == 0 and got[2].cleaned_text == DOCS[2][1]
+    assert got[4].cleaned_text == "short doc"
+    assert got[5].n_tokens == 0 and got[5].cleaned_text == ""
+
+
+def test_remove_dup_spans_partitioning_invariance(spark, docs_df):
+    a = remove_dup_spans(docs_df.repartition(1), window=W).collect()
+    b = remove_dup_spans(docs_df.repartition(5, "doc_id"), window=W).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        remove_dup_spans(docs_df, window=1)
+    with pytest.raises(ValueError):
+        remove_dup_spans(docs_df, stride=0)
