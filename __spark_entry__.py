@@ -300,6 +300,18 @@ def _q_docs_span_removed(spark, sf_dir):
     return remove_dup_spans(_docs(spark, sf_dir), window=10)
 
 
+def _q_doc_hash_embed(spark, sf_dir):
+    """Hashing-trick document embedding (portable hash family): signed
+    token counts in 64 components, posexploded to scalar rows so the
+    value gate checks every component."""
+    from pyocr_spark.operators.vectors import hash_embed
+
+    out = hash_embed(_docs(spark, sf_dir), dim=64, portable=True)
+    return out.select(
+        "doc_id", F.posexplode("vec").alias("i", "v")
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "v")
+
+
 def _q_extract_charset(spark, sf_dir):
     """Per-url sniffed charset (BOM / meta declaration / utf-8 fallback) —
     the decode leg of extraction, checked against the Python oracle's
@@ -1619,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": _q_doc_bm25,
         "doc_dup_spans": _q_doc_dup_spans,
         "docs_span_removed": _q_docs_span_removed,
+        "doc_hash_embed": _q_doc_hash_embed,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -2570,6 +2583,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS cut_tokens, "
             "coalesce(k.cleaned_text, '') AS cleaned_text "
             "FROM base b LEFT JOIN cut c USING (doc_id) LEFT JOIN kept k USING (doc_id)"
+        ),
+        "doc_hash_embed": (
+            # Hashing-trick replay: component = md5-60bit(token) % 64,
+            # sign from the independent md5 of token||'#s'; the grid
+            # LEFT JOIN zero-fills components no token landed in —
+            # mirroring Spark's dense array posexplode.
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "t AS (SELECT doc_id, unnest(w) AS tokn FROM tok), "
+            "e AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(tokn), 1, 15)) AS BIGINT) % 64 AS i, "
+            "CASE WHEN CAST(('0x' || substr(md5(tokn || '#s'), 1, 15)) AS BIGINT) % 2 = 0 "
+            "THEN 1 ELSE -1 END AS s FROM t), "
+            "g AS (SELECT doc_id, i, sum(s) AS v FROM e GROUP BY doc_id, i), "
+            "grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents) "
+            "SELECT grid.doc_id, CAST(grid.i AS INT) AS i, "
+            "CAST(coalesce(g.v, 0) AS BIGINT) AS v "
+            "FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.i = grid.i"
         ),
         "docs_decontam": (
             # Same 3-gram builder as the ngram_jaccard oracle; eval slice =

@@ -83,3 +83,65 @@ def quantize_int8(
             F.md5(F.array_join(F.transform(q, lambda x: x.cast("string")), ",")),
         ).alias("q_sig"),
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Hashing-trick document embedding (Weinberger et al. 2009): each
+    whitespace token lands in component ``hash(token) % dim`` with a
+    ±1 sign from an independent hash of ``token || '#s'``; the vector is
+    the signed count sum — an INTEGER vector, so the result is
+    bit-identical across partitionings and engines (no float order
+    sensitivity). This is the model-free text→vector bridge: its output
+    feeds the embedding operators (l2_normalize, ANN, SemDeDup) when no
+    learned embedding column exists.
+
+    Returns (id, n_tokens, vec: array<bigint>). Entirely per-row HOFs —
+    JVM-side, narrow, ZERO shuffle: at 100 TB this runs inside the scan
+    projection like the quality signals. Per-row cost is O(tokens × dim)
+    transform steps (the fold rewrites the accumulator array per token);
+    keep ``dim`` modest (<= 256) — the point of the hashing trick is a
+    small fixed dim.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash so
+    a DuckDB oracle replays the vector exactly; production keeps
+    xxhash64. Empty docs embed as the zero vector.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from pyocr_spark.functions.text_stats import ws_tokens
+    from pyocr_spark.operators.dedup import _portable_hash64
+
+    def h(col):
+        return _portable_hash64(col) if portable else F.xxhash64(col)
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(h(t), F.lit(dim)).cast("int").alias("i"),
+            F.when(F.pmod(h(F.concat(t, F.lit("#s"))), F.lit(2)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        ),
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    vec = F.aggregate(
+        pairs,
+        zero,
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, i: v + F.when(i == p["i"], p["s"]).otherwise(F.lit(0)),
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        vec.alias("vec"),
+    )

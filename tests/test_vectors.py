@@ -64,3 +64,67 @@ def test_vector_ops_are_narrow(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def _hash_model(text, dim):
+    """Independent Python replica of the portable hash_embed."""
+    import hashlib
+    import re
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = [t for t in re.split(r"[\t\n\f\r ]+", text.strip("\t\n\f\r ")) if t]
+    v = [0] * dim
+    for t in toks:
+        v[h64(t) % dim] += 1 if h64(t + "#s") % 2 == 0 else -1
+    return v
+
+
+def test_hash_embed_matches_reference_model(spark):
+    from pyocr_spark.operators.vectors import hash_embed
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "completely different words here now"),
+        (4, ""),
+        (5, "  padded \t whitespace\n tokens  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in hash_embed(df, dim=8, portable=True).collect()}
+    for i, text in rows:
+        assert got[i].vec == _hash_model(text, 8), i
+    # identical text -> identical vector; empty doc -> zero vector
+    assert got[1].vec == got[2].vec
+    assert got[4].n_tokens == 0 and got[4].vec == [0] * 8
+    # signed-count mass conservation: sum |v_i| <= n_tokens
+    assert sum(map(abs, got[1].vec)) <= got[1].n_tokens
+
+
+def test_hash_embed_narrow_and_composes_with_vector_ops(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest
+
+    from pyocr_spark.operators.vectors import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(df, dim=16)  # production (xxhash64) path
+    # zero shuffle, zero Python: the whole thing is a scan projection
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        emb.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    # feeds the embedding post-processing ops directly
+    unit = l2_normalize(
+        emb.select(F.col("doc_id").alias("vec_id"), F.col("vec").cast("array<double>").alias("embedding"))
+    ).collect()
+    assert all(r["norm"] > 0 for r in unit)
+    with pytest.raises(ValueError):
+        hash_embed(df, dim=0)
