@@ -300,6 +300,35 @@ def _q_docs_span_removed(spark, sf_dir):
     return remove_dup_spans(_docs(spark, sf_dir), window=10)
 
 
+def _cms_tokens(spark, sf_dir):
+    from pyocr_spark.functions.text_stats import ws_tokens
+
+    return _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+        ).alias("key")
+    )
+
+
+def _q_cms_sketch_tokens(spark, sf_dir):
+    """Count-min sketch CELLS over every document token occurrence
+    (depth 4 x width 512, portable hash family): the sketch table itself
+    is the checked value — collisions and all."""
+    from pyocr_spark.operators.cms import cms_build
+
+    return cms_build(_cms_tokens(spark, sf_dir), F.col("key"), depth=4, width=512)
+
+
+def _q_cms_token_est(spark, sf_dir):
+    """CMS frequency estimates for every distinct token: min over the
+    token's 4 cells — the overestimate-only approximate count."""
+    from pyocr_spark.operators.cms import cms_build, cms_probe
+
+    toks = _cms_tokens(spark, sf_dir)
+    sketch = cms_build(toks, F.col("key"), depth=4, width=512)
+    return cms_probe(sketch, toks.distinct(), F.col("key"), depth=4, width=512)
+
+
 def _q_doc_hash_embed(spark, sf_dir):
     """Hashing-trick document embedding (portable hash family): signed
     token counts in 64 components, posexploded to scalar rows so the
@@ -1632,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": _q_doc_dup_spans,
         "docs_span_removed": _q_docs_span_removed,
         "doc_hash_embed": _q_doc_hash_embed,
+        "cms_sketch_tokens": _q_cms_sketch_tokens,
+        "cms_token_est": _q_cms_token_est,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -2583,6 +2614,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS cut_tokens, "
             "coalesce(k.cleaned_text, '') AS cleaned_text "
             "FROM base b LEFT JOIN cut c USING (doc_id) LEFT JOIN kept k USING (doc_id)"
+        ),
+        "cms_sketch_tokens": (
+            # CMS build replay: cell col_d(token) = md5-60bit(token||':'||d)
+            # % 512 for d in 0..3; every token OCCURRENCE adds 1 to its 4
+            # cells. Sparse — only touched cells exist.
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "t AS (SELECT unnest(w) AS tokn FROM tok), "
+            "cells AS (SELECT ds.d, CAST(('0x' || substr(md5(tokn || ':' || "
+            "CAST(ds.d AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS col "
+            "FROM t, (SELECT unnest(generate_series(0, 3)) AS d) ds) "
+            "SELECT CAST(d AS INT) AS row_idx, col AS col_idx, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2"
+        ),
+        "cms_token_est": (
+            # CMS probe replay: est(token) = min over d of the cell count
+            # (absent cell = 0) — overestimate-only, collisions identical.
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "t AS (SELECT unnest(w) AS tokn FROM tok), "
+            "cells AS (SELECT ds.d, CAST(('0x' || substr(md5(tokn || ':' || "
+            "CAST(ds.d AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS col "
+            "FROM t, (SELECT unnest(generate_series(0, 3)) AS d) ds), "
+            "sk AS (SELECT d AS row_idx, col AS col_idx, count(*) AS cnt "
+            "FROM cells GROUP BY 1, 2), "
+            "dist AS (SELECT DISTINCT tokn FROM t), "
+            "pc AS (SELECT tokn, ds.d, CAST(('0x' || substr(md5(tokn || ':' || "
+            "CAST(ds.d AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS col "
+            "FROM dist, (SELECT unnest(generate_series(0, 3)) AS d) ds) "
+            "SELECT pc.tokn AS key, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est "
+            "FROM pc LEFT JOIN sk ON sk.row_idx = pc.d AND sk.col_idx = pc.col "
+            "GROUP BY 1"
         ),
         "doc_hash_embed": (
             # Hashing-trick replay: component = md5-60bit(token) % 64,

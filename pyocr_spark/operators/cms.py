@@ -1,0 +1,117 @@
+"""Mergeable count-min sketches — approximate frequencies at stream scale.
+
+Completes the sketch family (operators/sketches.py: HLL distinct counts,
+quantile sketches; operators/bloom.py: membership): the count-min sketch
+(Cormode & Muthukrishnan 2005) answers "roughly how often did this token /
+host / url occur?" over a 10^12-row corpus without a vocabulary-sized
+shuffle. The sketch is a DataFrame of cells — (row_idx INT, col_idx
+BIGINT, cnt BIGINT) — so it
+
+  * builds with ONE shuffle (groupBy cell + sum, map-side combined: the
+    key space is depth x width regardless of corpus size, so every mapper
+    emits at most depth x width rows no matter how many tokens it saw);
+  * merges across corpus shards / crawl snapshots by union + the same sum
+    rollup — CMS merge is EXACT cellwise addition, so
+    build(A ∪ B) == merge(build(A), build(B)) (property-tested);
+  * probes via an equi-join on the cell key — broadcast when depth x width
+    is small (the normal case: 4 x 2^20 cells = a few MB).
+
+Estimates NEVER undercount (est >= true count, the CMS guarantee —
+property-tested); overcount is bounded by collisions: with width w and
+total mass N, est <= true + 2N/w with probability 1 - 2^-depth.
+
+Hashing is the repo's portable 60-bit md5 scheme (operators/dedup.py
+``_portable_hash64``): col_d(key) = h64(key || ':' || d) % width — every
+cell and every estimate replays exactly in the DuckDB oracle, collisions
+included.
+
+pyocr has no such surface (SURVEY.md section 2.7 — no aggregations);
+engine addition in the section 2.8 crawl-hygiene family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import _portable_hash64
+
+
+def _cells(key: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` (row_idx, col_idx) cells for a key."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("row_idx"),
+                F.pmod(
+                    _portable_hash64(F.concat(key, F.lit(":"), F.lit(str(d)))),
+                    F.lit(width),
+                ).alias("col_idx"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def _check(depth: int, width: int) -> None:
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+
+
+def cms_build(
+    df: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Build the sketch: (row_idx, col_idx, cnt), one row per non-zero
+    cell (sparse — untouched cells are absent and read as 0). ``weight``
+    defaults to 1 per input row (occurrence counting); pass a column for
+    weighted mass (e.g. byte sizes per url).
+    """
+    _check(depth, width)
+    w = (weight if weight is not None else F.lit(1)).cast("bigint")
+    return (
+        df.select(F.explode(_cells(key, depth, width)).alias("cell"), w.alias("w"))
+        .select("cell.row_idx", "cell.col_idx", "w")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (depth, width): cellwise
+    addition — exact for CMS, so merging shard sketches equals sketching
+    the union (no approximation is introduced by distribution)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate each key's mass: min over the key's ``depth`` cells
+    (absent cell = 0). (depth, width) MUST match the build. Returns
+    (key, est). The join is on the cell key — broadcast-sized for any
+    sane sketch; duplicate probe keys collapse to one row.
+    """
+    _check(depth, width)
+    probes = keys.select(key.alias("key")).select(
+        "key", F.explode(_cells(F.col("key"), depth, width)).alias("cell")
+    )
+    return (
+        probes.select("key", "cell.row_idx", "cell.col_idx")
+        .join(sketch, ["row_idx", "col_idx"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )

@@ -1,0 +1,90 @@
+"""Count-min sketch vs an independent Python cell model + CMS properties."""
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.cms import cms_build, cms_merge, cms_probe
+
+WORDS = (
+    ["spam"] * 40 + ["ham"] * 7 + ["rare"] * 1 + ["mid"] * 12 + ["low"] * 3
+)
+DEPTH, WIDTH = 3, 16  # narrow on purpose: collisions must occur and match
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _model_cells(keys, depth=DEPTH, width=WIDTH, weights=None):
+    cells = Counter()
+    for j, k in enumerate(keys):
+        w = 1 if weights is None else weights[j]
+        for d in range(depth):
+            cells[(d, _h64(f"{k}:{d}") % width)] += w
+    return cells
+
+
+def _model_est(cells, key, depth=DEPTH, width=WIDTH):
+    return min(cells.get((d, _h64(f"{key}:{d}") % width), 0) for d in range(depth))
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    return spark.createDataFrame([(w,) for w in WORDS], "key string")
+
+
+def test_build_matches_model_cells(spark, words_df):
+    got = {
+        (r.row_idx, r.col_idx): r.cnt
+        for r in cms_build(words_df, F.col("key"), DEPTH, WIDTH).collect()
+    }
+    assert got == dict(_model_cells(WORDS))
+
+
+def test_probe_never_undercounts_and_matches_model(spark, words_df):
+    sketch = cms_build(words_df, F.col("key"), DEPTH, WIDTH)
+    keys = spark.createDataFrame([(k,) for k in set(WORDS)], "key string")
+    got = {r.key: r.est for r in cms_probe(sketch, keys, F.col("key"), DEPTH, WIDTH).collect()}
+    true = Counter(WORDS)
+    cells = _model_cells(WORDS)
+    for k, t in true.items():
+        assert got[k] >= t  # the CMS guarantee
+        assert got[k] == _model_est(cells, k)  # collisions replay exactly
+    # an absent key probes as its collision mass, never negative
+    absent = spark.createDataFrame([("neverseen",)], "key string")
+    est = cms_probe(sketch, absent, F.col("key"), DEPTH, WIDTH).head().est
+    assert est >= 0
+
+
+def test_merge_equals_build_of_union(spark):
+    a_words, b_words = WORDS[:30], WORDS[30:]
+    a = spark.createDataFrame([(w,) for w in a_words], "key string")
+    b = spark.createDataFrame([(w,) for w in b_words], "key string")
+    merged = cms_merge(
+        cms_build(a, F.col("key"), DEPTH, WIDTH),
+        cms_build(b, F.col("key"), DEPTH, WIDTH),
+    )
+    full = cms_build(a.unionByName(b), F.col("key"), DEPTH, WIDTH)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_weighted_build_and_partitioning_invariance(spark, words_df):
+    w = words_df.withColumn("wt", F.length("key").cast("bigint"))
+    got = {
+        (r.row_idx, r.col_idx): r.cnt
+        for r in cms_build(w.repartition(7), F.col("key"), DEPTH, WIDTH, weight=F.col("wt")).collect()
+    }
+    assert got == dict(_model_cells(WORDS, weights=[len(x) for x in WORDS]))
+    one = cms_build(words_df.repartition(1), F.col("key"), DEPTH, WIDTH).collect()
+    many = cms_build(words_df.repartition(7), F.col("key"), DEPTH, WIDTH).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_args_validation(spark, words_df):
+    with pytest.raises(ValueError):
+        cms_build(words_df, F.col("key"), depth=0)
+    with pytest.raises(ValueError):
+        cms_probe(words_df, words_df, F.col("key"), width=1)
