@@ -1285,6 +1285,15 @@ def _q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=10)
 
 
+def _q_host_hits(spark, sf_dir):
+    """Fixed-point integer HITS (hub/authority) over the same host graph
+    as host_pagerank — 4 iterations, L1 floor normalization per
+    half-step; the oracle unrolls every half-step in DuckDB SQL."""
+    from pyocr_spark.operators.webgraph import hits_hosts, host_graph
+
+    return hits_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=4)
+
+
 def _q_domain_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the registered-domain graph
     (operators/domains.domain_graph feeding webgraph.pagerank_hosts):
@@ -1731,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_graph_follow": _q_host_graph_follow,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "domain_pagerank": _q_domain_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "unified_frontier": _q_unified_frontier,
@@ -2079,6 +2089,47 @@ def _pagerank_sql(iterations: int = 10, edges_sql: str | None = None) -> str:
         )
     return (
         "WITH " + ", ".join(parts) + f" SELECT host, rank FROM r{iterations}"
+    )
+
+
+def _hits_sql(iterations: int = 4) -> str:
+    """Unrolled integer HITS replay (operators/webgraph.hits_hosts): per
+    iteration one authority half-step (in-edge hub mass, L1-floor-
+    normalized) and one hub half-step — every term BIGINT floor division,
+    bit-identical to Spark. sum() CAST back from DuckDB HUGEINT."""
+    from pyocr_spark.operators.webgraph import HITS_SCALE
+
+    scale = HITS_SCALE
+    # every CTE is MATERIALIZED: each half-step references the previous
+    # one twice (its sum + its join), so DuckDB's default CTE inlining
+    # would blow the expression tree up 2^(2*iterations)-fold
+    parts = [
+        f"hp AS MATERIALIZED ({_host_edges_sql()})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp)",
+        "nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT host, CAST({scale} AS BIGINT) // nn.n AS hub "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS host, CAST(sum(h.hub) AS BIGINT) AS raw "
+            f"FROM e JOIN h{i - 1} h ON h.host = e.src GROUP BY e.dst)",
+            f"as{i} AS MATERIALIZED (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS s FROM ar{i})",
+            f"a{i} AS MATERIALIZED (SELECT nd.host, coalesce(ar.raw, CAST(0 AS BIGINT)) "
+            f"* CAST({scale} AS BIGINT) // greatest(ss.s, CAST(1 AS BIGINT)) AS auth "
+            f"FROM nodes nd CROSS JOIN as{i} ss LEFT JOIN ar{i} ar ON ar.host = nd.host)",
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS host, CAST(sum(a.auth) AS BIGINT) AS raw "
+            f"FROM e JOIN a{i} a ON a.host = e.dst GROUP BY e.src)",
+            f"hs{i} AS MATERIALIZED (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS s FROM hr{i})",
+            f"h{i} AS MATERIALIZED (SELECT nd.host, coalesce(hr.raw, CAST(0 AS BIGINT)) "
+            f"* CAST({scale} AS BIGINT) // greatest(ss.s, CAST(1 AS BIGINT)) AS hub "
+            f"FROM nodes nd CROSS JOIN hs{i} ss LEFT JOIN hr{i} hr ON hr.host = nd.host)",
+        ]
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT h.host, h.hub, a.auth FROM h{iterations} h "
+        f"JOIN a{iterations} a ON a.host = h.host"
     )
 
 
@@ -3108,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM hp GROUP BY src_host, dst_host"
         ),
         "host_pagerank": _pagerank_sql(10),
+        "host_hits": _hits_sql(4),
         "domain_pagerank": (
             "SELECT host AS domain, rank "
             f"FROM ({_pagerank_sql(10, _domain_edges_sql())}) t"

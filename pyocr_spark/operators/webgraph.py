@@ -242,6 +242,98 @@ def pagerank_hosts(
     return out
 
 
+HITS_SCALE = 10**9
+
+
+def hits_hosts(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = HITS_SCALE,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999) over a (src, dst) edge
+    table — the hub/authority complement to ``pagerank_hosts``: directory
+    pages that LINK to good content score as hubs, linked-to content
+    scores as authority; PageRank conflates the two.
+
+    Same integer discipline as PageRank: scores live in micro-units of
+    ``scale`` and each half-step L1-normalizes by floor division
+    (``raw * scale div sum(raw)``), so every value is a BIGINT, integer
+    addition is associative, and the result is bit-identical across
+    partitionings and engines (the DuckDB oracle unrolls the same
+    iterations). Bounds: per-node raw mass <= scale (the L1 total), so
+    the multiply peaks at scale^2 = 10^18 < 2^63; ``scale`` must exceed
+    the node count or the initial ``scale div n`` rounds to zero.
+
+    Per iteration: 2 shuffles (groupBy dst for authority, groupBy src for
+    hub) + two broadcast 1-row sums — no collect; localCheckpoint
+    truncates the iterative lineage exactly as in PageRank. Returns
+    (host, hub, auth).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    simple = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        simple.select(F.col("src").alias("host"))
+        .union(simple.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    hub = nodes.crossJoin(n_df).selectExpr(
+        "host", f"CAST({scale} AS BIGINT) div n AS hub"
+    )
+    auth = None
+    for i in range(iterations):
+        # authority: in-edge hub mass, L1-renormalized to scale
+        araw = (
+            simple.join(hub, simple["src"] == hub["host"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        asum = F.broadcast(araw.agg(F.sum("raw").alias("s")))
+        auth = (
+            nodes.join(araw, nodes["host"] == araw["dst"], "left")
+            .crossJoin(asum)
+            .selectExpr(
+                "host",
+                f"coalesce(raw, CAST(0 AS BIGINT)) * {scale} "
+                "div greatest(s, CAST(1 AS BIGINT)) AS auth",
+            )
+        )
+        # hub: out-edge authority mass, L1-renormalized to scale
+        hraw = (
+            simple.join(auth, simple["dst"] == auth["host"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("raw"))
+        )
+        hsum = F.broadcast(hraw.agg(F.sum("raw").alias("s")))
+        hub = (
+            nodes.join(hraw, nodes["host"] == hraw["src"], "left")
+            .crossJoin(hsum)
+            .selectExpr(
+                "host",
+                f"coalesce(raw, CAST(0 AS BIGINT)) * {scale} "
+                "div greatest(s, CAST(1 AS BIGINT)) AS hub",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    out = hub.join(auth, "host").select("host", "hub", "auth")
+    simple.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def crawl_frontier(
     outlinks: DataFrame,
     crawled_urls: DataFrame,

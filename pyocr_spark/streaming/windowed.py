@@ -143,6 +143,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def click_attribution_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    watermark_delay: str = "30 minutes",
+    max_gap_seconds: int = 600,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join — the ad-attribution shape:
+    each click joins the same user's views at most ``max_gap_seconds``
+    older than the click.
+
+    This is the canonical bounded-state stream-stream join: BOTH sides
+    carry event-time watermarks and the join condition bounds
+    click_ts - view_ts to [0, max_gap], which is exactly what lets Spark
+    derive how long a buffered view (watermark + gap) or click
+    (watermark) can still find a partner and EVICT join state past that
+    horizon — without the time bound the buffers grow forever. Inner
+    join, append mode: a matched pair reaches the sink exactly once.
+
+    Returns (view_id, click_id, user_id, view_ts, click_ts). Plan
+    builder like the rest of this module — works identically on batch
+    DataFrames (tests prove stream ≡ batch join on the same rows).
+    """
+    if max_gap_seconds < 1:
+        raise ValueError(f"max_gap_seconds must be >= 1, got {max_gap_seconds}")
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("user_id"),
+    ).withWatermark("view_ts", watermark_delay)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("click_user"),
+    ).withWatermark("click_ts", watermark_delay)
+    cond = (
+        (v["user_id"] == c["click_user"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (
+            c["click_ts"]
+            <= v["view_ts"] + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS")
+        )
+    )
+    return v.join(c, cond, "inner").select(
+        "view_id", "click_id", "user_id", "view_ts", "click_ts"
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     watermark_delay: str = "30 minutes",

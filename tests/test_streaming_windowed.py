@@ -189,3 +189,78 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     # exactly one row per event_id: the within-watermark re-delivery of
     # event 1 was dropped, everything else emitted once
     assert sorted(got["event_id"]) == [1, 2, 3]
+
+
+def test_stream_stream_click_attribution(spark, tmp_path):
+    from pyocr_spark.streaming.windowed import click_attribution_stream
+
+    views_dir = tmp_path / "views"
+    clicks_dir = tmp_path / "clicks"
+    views_dir.mkdir()
+    clicks_dir.mkdir()
+    now = time.time()
+    # batch 1 on each side: views for users 1/2, one immediate click
+    _write_events(
+        views_dir / "a.parquet",
+        [
+            (10, _ts(10, 0), 1, "view", 0.0, "{}"),
+            (11, _ts(10, 0), 2, "view", 0.0, "{}"),
+        ],
+        now - 100,
+    )
+    _write_events(
+        clicks_dir / "a.parquet",
+        [(20, _ts(10, 5), 1, "click", 0.0, "{}")],  # within 10 min of view 10
+        now - 100,
+    )
+    # batch 2: a click arriving LATER than its view's batch still joins
+    # (buffered join state), one click outside the gap, one wrong-user
+    _write_events(
+        clicks_dir / "b.parquet",
+        [
+            (21, _ts(10, 8), 2, "click", 0.0, "{}"),  # joins view 11
+            (22, _ts(10, 30), 1, "click", 0.0, "{}"),  # > 10 min gap: no join
+            (23, _ts(10, 2), 3, "click", 0.0, "{}"),  # user 3 has no view
+        ],
+        now - 50,
+    )
+    _write_events(
+        views_dir / "b.parquet",
+        [(12, _ts(12, 0), 9, "view", 0.0, "{}")],  # advances view watermark
+        now - 50,
+    )
+
+    out = tmp_path / "out"
+    q = (
+        click_attribution_stream(
+            read_events_stream(spark, str(views_dir), max_files_per_trigger=1),
+            read_events_stream(spark, str(clicks_dir), max_files_per_trigger=1),
+            max_gap_seconds=600,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "streaming drain timed out"
+
+    got = {
+        (r["view_id"], r["click_id"]) for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {(10, 20), (11, 21)}
+
+    # stream plan ≡ batch join on the same rows (same plan builder)
+    all_views = spark.read.parquet(str(views_dir)).filter("event_type = 'view'")
+    all_clicks = spark.read.parquet(str(clicks_dir)).filter("event_type = 'click'")
+    batch = {
+        (r["view_id"], r["click_id"])
+        for r in click_attribution_stream(all_views, all_clicks).collect()
+    }
+    assert batch == got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        click_attribution_stream(all_views, all_clicks, max_gap_seconds=0)

@@ -470,3 +470,83 @@ def test_fetch_schedule_paces_by_crawl_delay(spark):
     assert got["http://slow.com/2"] == (2, 20.0)
     assert got["http://fast.com/0"] == (0, 0.0)
     assert got["http://fast.com/1"] == (1, 2.0)  # default pacing
+
+
+def _hits_reference(
+    edges: list[tuple[str, str]], iterations: int, scale: int = 10**9
+) -> dict[str, tuple[int, int]]:
+    """Independent dict-based replay of the frozen integer-HITS semantics."""
+    simple = sorted(set(edges))
+    nodes = sorted({s for s, _ in simple} | {d for _, d in simple})
+    n = len(nodes)
+    hub = {h: scale // n for h in nodes}
+    auth = {h: 0 for h in nodes}
+    for _ in range(iterations):
+        araw = {h: 0 for h in nodes}
+        for s, d in simple:
+            araw[d] += hub[s]
+        asum = max(sum(araw.values()), 1)
+        auth = {h: araw[h] * scale // asum for h in nodes}
+        hraw = {h: 0 for h in nodes}
+        for s, d in simple:
+            hraw[s] += auth[d]
+        hsum = max(sum(hraw.values()), 1)
+        hub = {h: hraw[h] * scale // hsum for h in nodes}
+    return {h: (hub[h], auth[h]) for h in nodes}
+
+
+class TestHits:
+    def _run(self, spark, edges, iterations=4):
+        from pyocr_spark.operators.webgraph import hits_hosts
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        got = {
+            r["host"]: (r["hub"], r["auth"])
+            for r in hits_hosts(df, iterations=iterations).collect()
+        }
+        assert got == _hits_reference(edges, iterations)
+        return got
+
+    def test_hub_vs_authority_separation(self, spark):
+        # directory page links out to three content pages that never link
+        # anywhere: the directory is pure hub, the targets pure authority
+        edges = [("dir", "c1"), ("dir", "c2"), ("dir", "c3"), ("x", "c1")]
+        got = self._run(spark, edges)
+        assert got["dir"][0] == max(h for h, _ in got.values())  # top hub
+        assert got["dir"][1] == 0  # no in-links -> zero authority
+        assert got["c1"][1] >= got["c2"][1]  # extra citer
+        assert got["c1"][0] == 0  # no out-links -> zero hub
+
+    def test_cycle_is_symmetric(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert len({v for v in got.values()}) == 1
+
+    def test_duplicate_edges_and_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import hits_hosts
+
+        edges = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        one = hits_hosts(df.repartition(1), iterations=3).collect()
+        many = hits_hosts(df.repartition(7, "src_host"), iterations=3).collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+        got = {r["host"]: (r["hub"], r["auth"]) for r in one}
+        assert got == _hits_reference(edges, 3)
+
+    def test_empty_graph_and_validation(self, spark):
+        import pytest
+
+        from pyocr_spark.operators.webgraph import hits_hosts
+
+        empty = spark.createDataFrame([], "src_host string, dst_host string")
+        assert hits_hosts(empty, iterations=2).collect() == []
+        df = spark.createDataFrame(
+            pd.DataFrame([("a", "b")], columns=["src_host", "dst_host"])
+        )
+        with pytest.raises(ValueError):
+            hits_hosts(df, iterations=0)
+        with pytest.raises(ValueError):
+            hits_hosts(df, checkpoint_every=0)
