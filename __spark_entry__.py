@@ -1585,6 +1585,16 @@ def _q_doc_unigram_nll(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_doc_bigram_nll(spark, sf_dir):
+    """Laplace-smoothed bigram LM quality proxy (functions/text_stats.
+    bigram_logprob): mean NLL of each token given its predecessor under
+    the corpus's own bigram model — catches shuffled word salad the
+    unigram filter passes. Integer micro-units, bit-identical."""
+    from pyocr_spark.functions.text_stats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_docs_nll_tiers(spark, sf_dir):
     """CCNet head/middle/tail corpus split (functions/text_stats.
     nll_quality_tiers): per-doc unigram NLL bucketed by exact corpus
@@ -1662,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_unigram_nll": _q_doc_unigram_nll,
+        "doc_bigram_nll": _q_doc_bigram_nll,
         "docs_nll_tiers": _q_docs_nll_tiers,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
         "doc_bpe_encode": _q_doc_bpe_encode,
@@ -2587,6 +2598,28 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
         ),
         "doc_unigram_nll": _UNIGRAM_NLL_SQL,
+        "doc_bigram_nll": (
+            # Laplace bigram replay: pair tf per doc; c(prev,cur) and
+            # c(prev) as sums over the pair-type table; V = distinct
+            # tokens in any bigram; per-pair term to micro BIGINT
+            # BEFORE tf multiply (round half-away, always >= 0).
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "base AS (SELECT doc_id, w, len(w) AS n FROM tok), "
+            "pp AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur "
+            "FROM base, LATERAL unnest(generate_series(1, n - 1)) t(i) WHERE n >= 2), "
+            "ptf AS (SELECT doc_id, prev, cur, count(*) AS tf FROM pp GROUP BY 1, 2, 3), "
+            "cb AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS cbig FROM ptf GROUP BY 1, 2), "
+            "cp AS (SELECT prev, CAST(sum(tf) AS BIGINT) AS cprev FROM ptf GROUP BY 1), "
+            "v AS (SELECT count(*) AS vs FROM (SELECT prev AS t FROM ptf UNION SELECT cur FROM ptf)), "
+            "sc AS (SELECT doc_id, CAST(sum(tf * CAST(round((ln(CAST(cprev + vs AS DOUBLE)) "
+            "- ln(CAST(cbig + 1 AS DOUBLE))) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS nll2 "
+            "FROM ptf JOIN cb USING (prev, cur) JOIN cp USING (prev) CROSS JOIN v GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, sc.nll2 AS nll2_micro, "
+            "CASE WHEN b.n >= 2 THEN CAST(sc.nll2 AS DOUBLE) / (b.n - 1) END AS mean_nll2_micro "
+            "FROM base b LEFT JOIN sc USING (doc_id)"
+        ),
         # CCNet head/middle/tail: discrete percentiles of the non-null
         # NLL means (quantile_disc = Spark percentile_disc: smallest
         # value with cumulative fraction >= p) — thresholds are actual

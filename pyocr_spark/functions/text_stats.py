@@ -981,6 +981,101 @@ def _unigram_logprob_cached(
     return out, tf
 
 
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram upgrade of :func:`unigram_logprob`: per-document mean
+    negative log-probability of each token given its PREDECESSOR, under
+    the corpus's own Laplace-smoothed bigram model
+
+        P(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V)
+
+    with c(prev,cur) the corpus bigram count, c(prev) the corpus history
+    count (= sum of bigram counts with that prev) and V the bigram
+    vocabulary size (distinct tokens occurring in any bigram — the
+    frozen smoothing spec). Word-salad that passes the unigram filter
+    (common words, shuffled) scores high here because its TRANSITIONS
+    are rare; fluent prose reuses common transitions.
+
+    Shape at 10^12 docs: ONE corpus explode into a (doc, prev, cur)
+    aggregate (map-side combined), persisted; both model statistics are
+    WINDOW sums over that already-unique table — the prev-keyed window
+    runs first, and the (prev,cur) window's clustering is satisfied by
+    the same hash(prev) Exchange, so the model costs ONE shuffle of
+    pair-type-sized data; V rides in as a broadcast 1-row aggregate of
+    the persisted table. Same cache trade-off as unigram_logprob: the
+    persisted pair table stays referenced by the lazy plan.
+
+    Determinism contract (identical to unigram): the per-pair-type term
+    ln(cprev + V) - ln(cbig + 1) — always >= 0, so HALF_UP and
+    half-away-from-zero agree — is rounded to BIGINT micro-units BEFORE
+    the tf multiply and per-doc sum; integer addition makes nll2_micro
+    bit-identical across partitionings and engines. Docs with < 2 tokens
+    have no bigrams: n_tokens kept, NULL scores.
+
+    Returns (doc_id, n_tokens, nll2_micro, mean_nll2_micro) where the
+    mean divides by (n_tokens - 1), the bigram-position count.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_w")
+    )
+    n1 = F.greatest(F.lit(0), F.col("n_tokens") - F.lit(1))
+    bigrams = F.zip_with(
+        F.slice("_w", 1, n1),
+        F.slice("_w", 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    pp = base.select(F.col(id_col), F.explode(bigrams).alias("b")).select(
+        id_col, "b.prev", "b.cur"
+    )
+    ptf = (
+        pp.groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    vdf = (
+        ptf.select(F.col("prev").alias("t"))
+        .union(ptf.select("cur"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("vs"))
+    )
+    # prev-keyed window FIRST: the (prev,cur) window rides its Exchange
+    cprev = F.sum("tf").over(Window.partitionBy("prev"))
+    cbig = F.sum("tf").over(Window.partitionBy("prev", "cur"))
+    term_micro = F.round(
+        (
+            F.log((F.col("cprev") + F.col("vs")).cast("double"))
+            - F.log((F.col("cbig") + F.lit(1)).cast("double"))
+        )
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("bigint")
+    scored = (
+        ptf.withColumn("cprev", cprev)
+        .withColumn("cbig", cbig)
+        .join(F.broadcast(vdf))
+        .select(F.col(id_col), (F.col("tf") * term_micro).alias("m"))
+        .groupBy(id_col)
+        .agg(F.sum("m").alias("nll2_micro"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "nll2_micro",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.col("nll2_micro").cast("double") / (F.col("n_tokens") - F.lit(1)),
+            ).alias("mean_nll2_micro"),
+        )
+    )
+
+
 def nll_quality_tiers(
     docs: DataFrame,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),

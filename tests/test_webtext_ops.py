@@ -840,3 +840,66 @@ def test_blockword_gate_tokens_phrases_and_threshold(spark):
         blockword_gate(docs, phrases=("",))
     with pytest.raises(ValueError):
         blockword_gate(docs, words=("x",), max_hits=-1)
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+
+    from pyocr_spark.functions.text_stats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; c(a)=3, c(b)=2;
+    # V = |{a, b, c}| = 3
+    def micro(cprev, cbig, v=3):
+        x = (math.log(cprev + v) - math.log(cbig + 1)) * 1_000_000.0
+        return int(math.floor(x + 0.5))
+
+    assert out[1]["n_tokens"] == 5
+    # doc 1 pairs: (a,b)x2, (b,a)x1, (b,c)x1
+    want1 = 2 * micro(3, 3) + micro(2, 1) + micro(2, 1)
+    assert out[1]["nll2_micro"] == want1
+    assert out[1]["mean_nll2_micro"] == want1 / 4
+    assert out[2]["nll2_micro"] == micro(3, 3)
+    # docs with < 2 tokens keep their rows with NULL scores
+    assert out[3]["n_tokens"] == 1 and out[3]["nll2_micro"] is None
+    assert out[4]["n_tokens"] == 0 and out[4]["mean_nll2_micro"] is None
+
+
+def test_bigram_logprob_catches_shuffled_word_salad(spark):
+    from pyocr_spark.functions.text_stats import bigram_logprob, unigram_logprob
+
+    fluent = " ".join(["the cat sat on the mat"] * 6)
+    # same TOKEN multiset per sentence, transitions scrambled
+    salad = " ".join(["mat the on sat cat the"] * 6)
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, fluent), (4, salad)],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["mean_nll_micro"] for r in unigram_logprob(docs).collect()}
+    big = {r["doc_id"]: r["mean_nll2_micro"] for r in bigram_logprob(docs).collect()}
+    # unigram model cannot separate them (identical token counts)...
+    assert abs(uni[4] - uni[1]) < 1e-6
+    # ...the bigram model can: scrambled transitions are rare
+    assert big[4] > big[1]
+
+
+def test_bigram_logprob_partitioning_invariance(spark):
+    from pyocr_spark.functions.text_stats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{(i + 1) % 4} w{i % 3} common tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = bigram_logprob(docs.repartition(1)).collect()
+    b = bigram_logprob(docs.repartition(7, "doc_id")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
