@@ -329,6 +329,15 @@ def _q_cms_token_est(spark, sf_dir):
     return cms_probe(sketch, toks.distinct(), F.col("key"), depth=4, width=512)
 
 
+def _q_docs_heavy_tokens(spark, sf_dir):
+    """Exact heavy-hitter tokens via the zero-shuffle nominate /
+    broadcast-verify pattern — output equals the plain GROUP BY ...
+    HAVING regardless of partitioning."""
+    from pyocr_spark.operators.cms import heavy_hitters
+
+    return heavy_hitters(_cms_tokens(spark, sf_dir), F.col("key"), threshold=100)
+
+
 def _q_doc_hash_embed(spark, sf_dir):
     """Hashing-trick document embedding (portable hash family): signed
     token counts in 64 components, posexploded to scalar rows so the
@@ -1683,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_embed": _q_doc_hash_embed,
         "cms_sketch_tokens": _q_cms_sketch_tokens,
         "cms_token_est": _q_cms_token_est,
+        "docs_heavy_tokens": _q_docs_heavy_tokens,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -2712,6 +2722,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, (SELECT unnest(generate_series(0, 3)) AS d) ds) "
             "SELECT CAST(d AS INT) AS row_idx, col AS col_idx, "
             "CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2"
+        ),
+        "docs_heavy_tokens": (
+            # the exact definition the two-pass operator must equal
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+            "t AS (SELECT unnest(w) AS tokn FROM tok) "
+            "SELECT tokn AS key, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM t GROUP BY 1 HAVING count(*) >= 100"
         ),
         "cms_token_est": (
             # CMS probe replay: est(token) = min over d of the cell count

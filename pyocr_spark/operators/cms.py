@@ -115,3 +115,57 @@ def cms_probe(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: Column,
+    threshold: int,
+) -> DataFrame:
+    """EXACT heavy hitters without the vocabulary-wide shuffle a plain
+    ``groupBy(key).count() HAVING cnt >= T`` pays — the two-pass
+    nominate-then-verify pattern:
+
+    pass 1 (ZERO shuffle): each partition counts its own keys locally
+    (Arrow-batched ``mapInPandas``, one Counter per partition) and
+    nominates keys with local count >= T / num_partitions. Pigeonhole
+    guarantees NO global heavy hitter is missed: if a key's global count
+    is >= T but every partition saw < T/P of it, the total is < T —
+    contradiction. The nominee set varies with partitioning; the OUTPUT
+    does not.
+
+    pass 2: exact count of the nominee keys alone, reached through a
+    BROADCAST semi-join (nominees are bounded by P x mass_p/(T/P) and in
+    practice tiny), then the true threshold drops false nominees. Only
+    nominee-keyed rows ever shuffle.
+
+    Returns the exact (key, cnt) for every key with true cnt >=
+    threshold — deterministic and oracle-replayable as the plain
+    GROUP BY ... HAVING. NULL keys are ignored (no NULL heavy hitter).
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    import pandas as pd
+
+    keyed = df.select(key.cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    n_parts = max(1, keyed.rdd.getNumPartitions())
+    local_min = max(1, -(-threshold // n_parts))  # ceil(T / P)
+
+    def nominate(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf["key"].value_counts().to_dict())
+        hits = [k for k, c in counts.items() if c >= local_min]
+        yield pd.DataFrame({"key": pd.Series(hits, dtype="object")})
+
+    nominees = keyed.mapInPandas(nominate, "key string").distinct()
+    return (
+        keyed.join(F.broadcast(nominees), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

@@ -88,3 +88,38 @@ def test_args_validation(spark, words_df):
         cms_build(words_df, F.col("key"), depth=0)
     with pytest.raises(ValueError):
         cms_probe(words_df, words_df, F.col("key"), width=1)
+
+
+def test_heavy_hitters_exact_and_partitioning_proof(spark):
+    from pyocr_spark.operators.cms import heavy_hitters
+
+    # skewed stream + a key spread EXACTLY evenly across partitions (the
+    # pigeonhole boundary case: local count == ceil(T/P) in every part)
+    rows = (
+        [("hot",)] * 50
+        + [("warm",)] * 10
+        + [("edge",)] * 10  # spread thin below
+        + [(f"cold{i}",) for i in range(40)]
+        + [(None,)] * 3
+    )
+    df = spark.createDataFrame(rows, "key string")
+    true = {"hot": 50, "warm": 10, "edge": 10}
+    for parts in (1, 5, 13):
+        got = {
+            r.key: r.cnt
+            for r in heavy_hitters(
+                df.repartition(parts), F.col("key"), threshold=10
+            ).collect()
+        }
+        assert got == true, parts
+    # tighter threshold drops the 10s
+    got = {
+        r.key: r.cnt
+        for r in heavy_hitters(df, F.col("key"), threshold=11).collect()
+    }
+    assert got == {"hot": 50}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        heavy_hitters(df, F.col("key"), threshold=0)
