@@ -329,6 +329,28 @@ def _q_cms_token_est(spark, sf_dir):
     return cms_probe(sketch, toks.distinct(), F.col("key"), depth=4, width=512)
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Point-in-interval join via the bucketized equi-join (operators/
+    intervaljoin.py): each click lands in every same-user 2-hour window
+    opened by a signup. The oracle is the plain range-predicate join —
+    bucketing must not change the result."""
+    from pyocr_spark.operators.intervaljoin import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("point_id"), "ts", "user_id"
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        "user_id",
+    )
+    return interval_join(points, intervals, keys=["user_id"]).select(
+        "point_id", "iv_id", "user_id"
+    )
+
+
 def _q_docs_heavy_tokens(spark, sf_dir):
     """Exact heavy-hitter tokens via the zero-shuffle nominate /
     broadcast-verify pattern — output equals the plain GROUP BY ...
@@ -1693,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch_tokens": _q_cms_sketch_tokens,
         "cms_token_est": _q_cms_token_est,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
+        "events_interval_join": _q_events_interval_join,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
@@ -2722,6 +2745,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, (SELECT unnest(generate_series(0, 3)) AS d) ds) "
             "SELECT CAST(d AS INT) AS row_idx, col AS col_idx, "
             "CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2"
+        ),
+        "events_interval_join": (
+            # the plain range-predicate definition the bucketized
+            # equi-join must reproduce exactly
+            "SELECT c.event_id AS point_id, s.event_id AS iv_id, c.user_id "
+            "FROM events c JOIN events s ON c.user_id = s.user_id "
+            "AND c.event_type = 'click' AND s.event_type = 'signup' "
+            "AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR"
         ),
         "docs_heavy_tokens": (
             # the exact definition the two-pass operator must equal

@@ -1,0 +1,73 @@
+"""Scalable interval (point-in-range) join.
+
+The relational shape neither the equi-join rim nor the as-of join covers:
+match each point-in-time row to EVERY interval containing it
+(``start <= ts < end``, half-open). Spark's planner turns a raw range
+predicate into BroadcastNestedLoopJoin — O(points x intervals), the
+classic scale killer. The Spark-native fix (same trick Databricks' range
+join hint and the IVF probe use): discretize time into ``bucket_seconds``
+buckets, explode each interval into the buckets it covers, map each point
+to its single bucket, then a plain shuffled EQUI-join on (bucket [+ keys])
+followed by the exact residual predicate.
+
+Cost model: interval explode factor = interval_length / bucket_seconds
+(+1); pick bucket_seconds near the median interval length so the factor
+is ~2. Every join row a bucket pair produces is checked by the residual,
+so the bucketing affects PERFORMANCE only, never the result — a
+(point, interval) pair appears in exactly one bucket (the point's), so no
+dedup pass is needed.
+
+pyocr has no joins at all (SURVEY.md section 2.7); engine addition in the
+section 2.8 events family beside the as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``start <= ts < end`` (and equal ``keys``, if given).
+
+    Column contract: the two frames' column names must be disjoint apart
+    from ``keys`` (select/alias before calling). Returns point columns +
+    interval columns (keys once). Intervals with ``end <= start`` are
+    empty and match nothing. Bucketing is on whole epoch seconds; the
+    residual compares full-precision timestamps.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    keys = list(keys or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"point/interval column names must be disjoint apart from keys; "
+            f"clash: {sorted(clash)}"
+        )
+    w = F.lit(bucket_seconds).cast("long")
+
+    def bucket(col):
+        return F.floor(F.unix_timestamp(F.col(col)).cast("long") / w).cast("long")
+
+    p = points.withColumn("_b", bucket(ts_col))
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn("_bs", bucket(start_col))
+        .withColumn("_be", bucket(end_col))
+        .withColumn("_b", F.explode(F.sequence("_bs", "_be")))
+        .drop("_bs", "_be")
+    )
+    joined = p.join(iv, ["_b"] + keys).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_b")

@@ -1,0 +1,88 @@
+"""Bucketized interval join vs the plain range-predicate definition."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.intervaljoin import interval_join
+
+
+def _ts(d, h, m=0, s=0, us=0):
+    return datetime(2024, 3, d, h, m, s, us)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts(1, 10, 0), 7),
+            (2, _ts(1, 10, 59, 59, 999_999), 7),  # just inside
+            (3, _ts(1, 11, 0), 7),  # exactly at end: excluded (half-open)
+            (4, _ts(1, 10, 30), 8),  # wrong key
+            (5, _ts(2, 9, 0), 7),  # covered by the long interval only
+            (6, _ts(1, 9, 59, 59), 7),  # just before start
+        ],
+        "point_id long, ts timestamp, user_id long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts(1, 10, 0), _ts(1, 11, 0), 7),  # 1h window
+            (101, _ts(1, 10, 15), _ts(1, 10, 45), 7),  # nested window
+            (102, _ts(1, 0, 0), _ts(3, 0, 0), 7),  # 2-day interval
+            (103, _ts(1, 10, 0), _ts(1, 10, 0), 7),  # empty: matches nothing
+            (104, _ts(1, 10, 0), _ts(1, 11, 0), 9),  # other key
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp, user_id long",
+    )
+    return points, intervals
+
+
+def _expected(spark, points, intervals, keyed=True):
+    cond = (
+        (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts"))
+    )
+    if keyed:
+        joined = points.join(intervals, "user_id").filter(cond)
+    else:
+        joined = points.crossJoin(intervals.drop("user_id")).filter(cond)
+    return {tuple(r) for r in joined.select("point_id", "iv_id").collect()}
+
+
+def test_matches_plain_range_join_keyed(spark, frames):
+    points, intervals = frames
+    want = _expected(spark, points, intervals)
+    for w in (60, 3600, 86400, 7 * 86400):
+        got = {
+            tuple(r)
+            for r in interval_join(
+                points, intervals, keys=["user_id"], bucket_seconds=w
+            )
+            .select("point_id", "iv_id")
+            .collect()
+        }
+        assert got == want, w
+    # spot semantics: half-open end, empty interval, key mismatch
+    assert (3, 100) not in want and (1, 100) in want and (2, 100) in want
+    assert all(iv != 103 for _, iv in want)
+    assert all(iv != 104 for _, iv in want)
+
+
+def test_unkeyed_and_no_duplicate_pairs(spark, frames):
+    points, intervals = frames
+    out = interval_join(
+        points, intervals.drop("user_id"), bucket_seconds=3600
+    ).select("point_id", "iv_id")
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # one row per matching pair
+    assert set(rows) == _expected(spark, points, intervals, keyed=False)
+
+
+def test_validation_and_column_clash(spark, frames):
+    points, intervals = frames
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, keys=["user_id"], bucket_seconds=0)
+    clash = intervals.withColumnRenamed("iv_id", "point_id")
+    with pytest.raises(ValueError):
+        interval_join(points, clash, keys=["user_id"])
