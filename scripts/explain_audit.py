@@ -550,6 +550,68 @@ def main() -> int:
     check("sitemap_frontier", "no cartesian/NLJ",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # bigram LM: the two model windows (prev; prev,cur) must share ONE
+    # prev-keyed Exchange — a (prev,cur)-keyed Exchange means the ride-
+    # along broke and the model pays a second pair-table shuffle
+    df = qs["doc_bigram_nll"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_bigram_nll", p))
+    exargs = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p)
+    check("doc_bigram_nll", "exactly one prev-keyed Exchange, none on (prev,cur)",
+          sum(1 for a in exargs if a.startswith("prev#") and ", cur#" not in a) == 1
+          and not any(a.startswith("prev#") and ", cur#" in a for a in exargs),
+          "; ".join(a[:40] for a in exargs))
+    check("doc_bigram_nll", "zero Python stages (JVM HOF bigrams)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 0, "")
+
+    # hashing-trick embedding: a pure scan projection
+    df = qs["doc_hash_embed"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_hash_embed", p))
+    check("doc_hash_embed", "narrow plan (zero Exchange, zero Python)",
+          "Exchange" not in p
+          and len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 0, "")
+
+    # span removal: fp Exchange + ONE doc Exchange that the island window,
+    # both groupBys and the join-back all reuse
+    df = qs["docs_span_removed"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_span_removed", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("docs_span_removed", "exactly 2 Exchanges (fp marking + doc-keyed chain)",
+          n_exchanges == 2, f"exchanges={n_exchanges}")
+    check("docs_span_removed", "no cartesian/NLJ",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # interval join: the whole point — an EQUI-join on the bucket, never
+    # the BroadcastNestedLoopJoin a raw range predicate plans to
+    df = qs["events_interval_join"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("events_interval_join", p))
+    check("events_interval_join", "equi-join on bucket (no NLJ/cartesian)",
+          ("BroadcastHashJoin" in p or "SortMergeJoin" in p)
+          and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, "")
+
+    # heavy hitters: one Python stage (per-partition nominate), nominees
+    # reach the stream through a BROADCAST join, only nominee rows shuffle
+    df = qs["docs_heavy_tokens"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_heavy_tokens", p))
+    check("docs_heavy_tokens", "exactly one Python stage (nominate pass)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 1, "")
+    check("docs_heavy_tokens", "nominee BroadcastHashJoin + exactly 2 nominee-sized Exchanges",
+          "BroadcastHashJoin" in p
+          and len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 2, "")
+
+    # CMS build: ONE Exchange whose key space is depth x width, map-side
+    # combined
+    df = qs["cms_sketch_tokens"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("cms_sketch_tokens", p))
+    check("cms_sketch_tokens", "exactly one Exchange (cell rollup) + partial agg",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 1
+          and "partial" in p.lower(), "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
