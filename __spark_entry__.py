@@ -351,6 +351,29 @@ def _q_events_interval_join(spark, sf_dir):
     )
 
 
+def _q_docs_sample_fixed(spark, sf_dir):
+    """Exact-size content-addressed sample (TakeOrderedAndProject, no
+    global sort): the first 50 docs by portable key-hash order."""
+    from pyocr_spark.operators.sampling import fixed_size_sample
+
+    return fixed_size_sample(
+        _docs(spark, sf_dir), 50, "doc_id", portable=True
+    ).select("doc_id", "source", "lang")
+
+
+def _q_docs_split(spark, sf_dir):
+    """Deterministic disjoint train/valid/test assignment by hash-bucket
+    range — stable under corpus growth (a row's split never changes)."""
+    from pyocr_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        "doc_id",
+        portable=True,
+    ).select("doc_id", "split")
+
+
 def _q_docs_heavy_tokens(spark, sf_dir):
     """Exact heavy-hitter tokens via the zero-shuffle nominate /
     broadcast-verify pattern — output equals the plain GROUP BY ...
@@ -1715,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch_tokens": _q_cms_sketch_tokens,
         "cms_token_est": _q_cms_token_est,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
+        "docs_sample_fixed": _q_docs_sample_fixed,
+        "docs_split": _q_docs_split,
         "events_interval_join": _q_events_interval_join,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
@@ -2753,6 +2778,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM events c JOIN events s ON c.user_id = s.user_id "
             "AND c.event_type = 'click' AND s.event_type = 'signup' "
             "AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR"
+        ),
+        "docs_sample_fixed": (
+            # portable-hash order + key tiebreak, LIMIT k — the exact
+            # TakeOrdered definition
+            "SELECT doc_id, source, lang FROM documents "
+            "ORDER BY CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), "
+            "chr(0) || 'null')), 1, 15)) AS BIGINT), doc_id LIMIT 50"
+        ),
+        "docs_split": (
+            # hash-bucket ranges: [0,.8) train, [.8,.9) valid, rest test
+            "SELECT doc_id, CASE "
+            "WHEN CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), "
+            "chr(0) || 'null')), 1, 15)) AS BIGINT) % 1000000 < 800000 THEN 'train' "
+            "WHEN CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), "
+            "chr(0) || 'null')), 1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'valid' "
+            "ELSE 'test' END AS split FROM documents"
         ),
         "docs_heavy_tokens": (
             # the exact definition the two-pass operator must equal

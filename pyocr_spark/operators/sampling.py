@@ -156,3 +156,74 @@ def stratified_sample(
         .filter(F.col(rn) <= n_per_stratum)
         .drop(rn)
     )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    k: int,
+    key: str,
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, rows) rows, chosen by hash order of the key (ties
+    broken by the key) — the fixed-SIZE counterpart to ``hash_sample``'s
+    fixed-fraction: same content-addressed determinism (membership
+    depends only on key values present, never on layout or seed), but
+    the budget is a row count ("give me 10k eval docs"), not a rate.
+
+    Plans as TakeOrderedAndProject — per-partition top-k heaps feeding
+    one k-sized merge on the driver side of the exchange, never a global
+    sort (asserted in scripts/explain_audit.py). ``salt`` decorrelates
+    independent carve-outs exactly as in hash_sample. Equivalent to a
+    distributed reservoir sample with a deterministic tiebreak.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # same salt convention as hash_sample: coalesce BEFORE the concat
+    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    if salt:
+        keyed = F.concat(keyed, F.lit(":" + salt))
+    return df.orderBy(_sample_hash(keyed, portable), F.col(key)).limit(k)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key: str,
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic disjoint train/valid/test assignment: adds a
+    ``split`` column by hash-bucket RANGE of the key, so the splits are
+    (a) exactly disjoint and exhaustive, (b) stable across re-runs and
+    layouts, and (c) monotone under growth — a row's split never changes
+    when other rows arrive, the property that keeps yesterday's eval set
+    out of tomorrow's training set. ``fractions`` maps split name →
+    fraction; they must sum to 1 (±1 bucket of rounding goes to the LAST
+    split in insertion order). Narrow — a pure scan projection.
+    """
+    if "split" in df.columns:
+        raise ValueError("df already has a 'split' column")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0, got {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    if salt:
+        keyed = F.concat(keyed, F.lit(":" + salt))
+    bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
+    names = list(fractions)
+    cuts: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cuts.append(int(round(acc * BUCKETS)))
+    expr = None
+    for name, cut in zip(names[:-1], cuts):  # chained when = else-if
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", split)

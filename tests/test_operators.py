@@ -786,3 +786,77 @@ def test_asof_join_prefix_clash_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, key="user_id", right_payload=["price"])
+
+
+def test_fixed_size_sample_exact_k_and_layout_invariance(spark):
+    from pyocr_spark.operators.sampling import fixed_size_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)] + [(None, "null key")],
+        "doc_id long, text string",
+    )
+    a = fixed_size_sample(docs.repartition(1), 10, "doc_id", portable=True)
+    b = fixed_size_sample(docs.repartition(9, "text"), 10, "doc_id", portable=True)
+    ra = sorted(r.doc_id for r in a.collect() if r.doc_id is not None)
+    rb = sorted(r.doc_id for r in b.collect() if r.doc_id is not None)
+    assert a.count() == 10 and ra == rb  # exact size, layout-independent
+    # monotone under growth: the 10-sample of a superset keeps membership
+    # rules (a row in the k-sample of S may leave when better-hashed rows
+    # arrive, but the selection rule itself is content-addressed)
+    small = fixed_size_sample(docs.filter("doc_id < 50"), 200, "doc_id", portable=True)
+    assert small.count() == 50  # min(k, rows)
+    # salt decorrelates
+    s1 = {r.doc_id for r in fixed_size_sample(docs, 20, "doc_id", portable=True, salt="a").collect()}
+    s2 = {r.doc_id for r in fixed_size_sample(docs, 20, "doc_id", portable=True, salt="b").collect()}
+    assert s1 != s2
+    import pytest
+
+    with pytest.raises(ValueError):
+        fixed_size_sample(docs, 0, "doc_id")
+
+
+def test_fixed_size_sample_plans_takeordered(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from pyocr_spark.operators.sampling import fixed_size_sample
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fixed_size_sample(docs, 5, "doc_id").explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p and "Sort" not in p.replace("TakeOrdered", "")
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from pyocr_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(500)] + [(None, "n")],
+        "doc_id long, text string",
+    )
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = hash_split(docs, fr, "doc_id", portable=True)
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 501 and set(got.values()) <= {"train", "valid", "test"}
+    counts = {s: list(got.values()).count(s) for s in fr}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # stability under growth: splits of the first 100 rows are unchanged
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs.filter("doc_id < 100"), fr, "doc_id", portable=True
+        ).collect()
+    }
+    assert all(got[i] == sub[i] for i in sub)
+    # production hash path runs; validation errors
+    hash_split(docs, fr, "doc_id").collect()
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(docs, {}, "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.6}, "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(out, fr, "doc_id", portable=True)  # 'split' clobber
