@@ -2784,7 +2784,8 @@ def oracle_sql() -> dict[str, str]:
             # TakeOrdered definition
             "SELECT doc_id, source, lang FROM documents "
             "ORDER BY CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), "
-            "chr(0) || 'null')), 1, 15)) AS BIGINT), doc_id LIMIT 50"
+            "chr(0) || 'null')), 1, 15)) AS BIGINT), "
+            "coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') LIMIT 50"
         ),
         "docs_split": (
             # hash-bucket ranges: [0,.8) train, [.8,.9) valid, rest test

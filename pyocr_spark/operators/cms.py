@@ -25,6 +25,10 @@ Hashing is the repo's portable 60-bit md5 scheme (operators/dedup.py
 cell and every estimate replays exactly in the DuckDB oracle, collisions
 included.
 
+NULL keys carry no cells — ``concat(NULL, ':', d)`` is NULL — so they
+are invisible to build, merge AND probe alike (a NULL probe key returns
+no row; ``heavy_hitters`` filters NULLs explicitly for the same reason).
+
 pyocr has no such surface (SURVEY.md section 2.7 — no aggregations);
 engine addition in the section 2.8 crawl-hygiene family.
 """

@@ -54,6 +54,11 @@ def interval_join(
             f"point/interval column names must be disjoint apart from keys; "
             f"clash: {sorted(clash)}"
         )
+    reserved = {"_b", "_bs", "_be"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        # withColumn would silently overwrite these and the final drop
+        # would remove the caller's column
+        raise ValueError(f"column names {sorted(reserved)} are reserved")
     w = F.lit(bucket_seconds).cast("long")
 
     def bucket(col):

@@ -45,6 +45,20 @@ def _sample_hash(col: Column, portable: bool) -> Column:
     return F.xxhash64(keyed)
 
 
+def _salted_key(key: str, salt: str) -> Column:
+    """The shared key-construction invariants every sampler must agree
+    on, in one place: (a) coalesce the NULL key to the sentinel BEFORE
+    the salt concat — concat(NULL, salt) is NULL, which would erase the
+    salt for NULL-key rows and correlate their membership across
+    supposedly-independent carve-outs; (b) the sentinel is applied
+    before hashing so portable and xxhash64 variants select the same
+    population (see _sample_hash)."""
+    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    if salt:
+        keyed = F.concat(keyed, F.lit(":" + salt))
+    return keyed
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,
@@ -67,12 +81,7 @@ def hash_sample(
     # round, not truncate: int(0.29 * 1e6) == 289999 under binary floats,
     # silently selecting one bucket fewer than the stated fraction
     cutoff = int(round(fraction * BUCKETS))
-    # coalesce BEFORE the salt concat: concat(NULL, salt) is NULL, which
-    # would erase the salt for NULL-key rows and correlate their
-    # membership across supposedly-independent carve-outs
-    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
-    if salt:
-        keyed = F.concat(keyed, F.lit(":" + salt))
+    keyed = _salted_key(key, salt)
     bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
     return df.filter(bucket < cutoff)
 
@@ -111,12 +120,7 @@ def weighted_sample(
         F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("int"),
         F.lit(int(round(default_fraction * BUCKETS))),
     )
-    # coalesce BEFORE the salt concat: concat(NULL, salt) is NULL, which
-    # would erase the salt for NULL-key rows and correlate their
-    # membership across supposedly-independent carve-outs
-    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
-    if salt:
-        keyed = F.concat(keyed, F.lit(":" + salt))
+    keyed = _salted_key(key, salt)
     bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
     return df.filter(bucket < cutoff)
 
@@ -166,10 +170,14 @@ def fixed_size_sample(
     salt: str = "",
 ) -> DataFrame:
     """EXACTLY min(k, rows) rows, chosen by hash order of the key (ties
-    broken by the key) — the fixed-SIZE counterpart to ``hash_sample``'s
-    fixed-fraction: same content-addressed determinism (membership
-    depends only on key values present, never on layout or seed), but
-    the budget is a row count ("give me 10k eval docs"), not a rate.
+    broken by the key's coalesced string form, so NULL keys order
+    identically in Spark and the SQL oracle) — the fixed-SIZE
+    counterpart to ``hash_sample``'s fixed-fraction: same
+    content-addressed determinism, but the budget is a row count ("give
+    me 10k eval docs"), not a rate. Fully deterministic when ``key`` is
+    unique per row (a primary id); with duplicate key values the
+    survivors at the k boundary among equal keys are
+    arbitrary-but-valid, exactly as in stratified_sample.
 
     Plans as TakeOrderedAndProject — per-partition top-k heaps feeding
     one k-sized merge on the driver side of the exchange, never a global
@@ -179,11 +187,13 @@ def fixed_size_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # same salt convention as hash_sample: coalesce BEFORE the concat
-    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
-    if salt:
-        keyed = F.concat(keyed, F.lit(":" + salt))
-    return df.orderBy(_sample_hash(keyed, portable), F.col(key)).limit(k)
+    keyed = _salted_key(key, salt)
+    # tiebreak on the coalesced STRING form, not the raw column: a NULL
+    # raw key sorts NULLS-FIRST in Spark but NULLS-LAST in DuckDB, so the
+    # raw column as tiebreaker would let the two engines pick different
+    # k-boundary rows
+    tie = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    return df.orderBy(_sample_hash(keyed, portable), tie).limit(k)
 
 
 def hash_split(
@@ -211,10 +221,7 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    keyed = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
-    if salt:
-        keyed = F.concat(keyed, F.lit(":" + salt))
-    bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
+    bucket = F.pmod(_sample_hash(_salted_key(key, salt), portable), F.lit(BUCKETS))
     names = list(fractions)
     cuts: list[int] = []
     acc = 0.0

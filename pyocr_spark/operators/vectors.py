@@ -110,7 +110,8 @@ def hash_embed(
 
     ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash so
     a DuckDB oracle replays the vector exactly; production keeps
-    xxhash64. Empty docs embed as the zero vector.
+    xxhash64. Empty and NULL docs embed as the zero vector (NULL text is
+    coalesced to "" so no row vanishes from the output).
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
@@ -120,7 +121,8 @@ def hash_embed(
     def h(col):
         return _portable_hash64(col) if portable else F.xxhash64(col)
 
-    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
     pairs = F.transform(
         toks,
         lambda t: F.struct(

@@ -603,6 +603,15 @@ def main() -> int:
           "BroadcastHashJoin" in p
           and len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 2, "")
 
+    # fixed-size sample: TakeOrderedAndProject (per-partition heaps),
+    # never a global Sort
+    df = qs["docs_sample_fixed"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_sample_fixed", p))
+    check("docs_sample_fixed", "TakeOrderedAndProject (no full Sort)",
+          "TakeOrderedAndProject" in p
+          and not re.search(r"^\(\d+\) Sort\b", p, flags=re.M), "")
+
     # CMS build: ONE Exchange whose key space is depth x width, map-side
     # combined
     df = qs["cms_sketch_tokens"](spark, SF_DIR)
