@@ -65,6 +65,12 @@ def parse_args(argv=None):
              "(eTLD+1 provenance-mix cap, longest docs kept)",
     )
     p.add_argument(
+        "--split", default=None,
+        help="--corpus: add a deterministic disjoint split column by url "
+             "hash, e.g. 'train=0.8,valid=0.1,test=0.1' (fractions must "
+             "sum to 1; a url's split never changes as the corpus grows)",
+    )
+    p.add_argument(
         "--pack", action="store_true",
         help="extract text, slice it into --chunk-tokens windows, and pack "
              "the chunks into --seq-tokens training sequences (bucket-"
@@ -211,6 +217,19 @@ def main(argv=None) -> None:
             max_dup_token_frac=args.max_dup_token_frac,
             max_per_domain=args.domain_cap,
         )
+        if args.split:
+            from pyocr_spark.operators.sampling import hash_split
+
+            try:
+                fractions = {
+                    name.strip(): float(frac)
+                    for name, frac in (
+                        part.split("=", 1) for part in args.split.split(",")
+                    )
+                }
+            except ValueError as exc:
+                raise SystemExit(f"bad --split spec {args.split!r}: {exc}")
+            out = hash_split(out, fractions, "url")
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "corpus", "rows": n, "output": args.output}))

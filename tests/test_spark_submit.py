@@ -213,6 +213,7 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
         "--corpus", "--min-tokens", "20", "--sample-fraction", "0.5",
         "--line-dedup-docfreq", "1", "--max-dup-token-frac", "0.9",
         "--blocklist", str(blocklist),
+        "--split", "train=0.8,valid=0.1,test=0.1",
     ], str(tmp_path))
     assert proc.returncode == 0, proc.stderr[-3000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -220,8 +221,9 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     import pandas as pd
 
     out = pd.read_parquet(out_dir)
-    assert list(out.columns) == ["url", "content_hash", "n_tokens"]
+    assert list(out.columns) == ["url", "content_hash", "n_tokens", "split"]
     assert out["content_hash"].is_unique and (out["n_tokens"] >= 20).all()
+    assert set(out["split"].unique()) <= {"train", "valid", "test"}
     # the blocklisted host contributed zero rows
     assert not out["url"].str.startswith("https://src0.example.com/").any()
 
