@@ -1678,6 +1678,46 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _q_lineitem_skew_join(spark, sf_dir):
+    """Salted skew-join (operators/skewjoin): lineitem⋈orders spread over
+    8 salt partitions — result must be bit-identical to the plain join
+    (the salt never reaches the output)."""
+    from pyocr_spark.operators.skewjoin import salted_skew_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = salted_skew_join(li, orders, on=("l_orderkey", "o_orderkey"), salt_factor=8)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+def _q_events_profile_skew_join(spark, sf_dir):
+    """Hot/cold split skew-join: events re-joined to a per-user profile
+    dim, with the heavy users (≥70 events) declared as skew keys so only
+    their rows pay the salt replication; cold keys join plain and the
+    union must equal the unsplit join."""
+    from pyocr_spark.operators.skewjoin import salted_skew_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    profile = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    hot = profile.filter(F.col("n_events") >= 70).select("user_id")
+    out = salted_skew_join(
+        ev, profile, on="user_id", how="left", salt_factor=4, skew_keys=hot
+    )
+    return out.select("event_id", "user_id", "event_type", "n_events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
@@ -1771,6 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_source": _q_top_docs_per_source,
         # relational rim
         "lineitem_pricing": _q_lineitem_pricing,
+        "lineitem_skew_join": _q_lineitem_skew_join,
+        "events_profile_skew_join": _q_events_profile_skew_join,
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
         "events_cube": _q_events_cube,
@@ -3048,6 +3090,17 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_disc_price, count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "lineitem_skew_join": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(l_quantity AS DOUBLE) AS quantity, o_orderstatus, o_orderpriority "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "events_profile_skew_join": (
+            "WITH profile AS (SELECT user_id, count(*) AS n_events "
+            "FROM events GROUP BY user_id) "
+            "SELECT e.event_id, e.user_id, e.event_type, p.n_events "
+            "FROM events e LEFT JOIN profile p ON e.user_id = p.user_id"
         ),
         "customer_order_totals": (
             "SELECT c_mktsegment, count(*) AS n_orders, "

@@ -1,0 +1,148 @@
+"""Explicit salted skew-join for hot-key equi-joins.
+
+AQE's skew-join rewrite only fires for sort-merge joins whose runtime
+shuffle statistics expose the skew — it cannot help when the skew
+appears downstream of a UDF stage, when the join is already a
+ShuffledHashJoin, or when one pathological key (a mega-host's pages, a
+bot user's events) exceeds a single executor's memory no matter how the
+planner splits partitions. This operator is the static counterpart: the
+caller *declares* the skew and the plan spreads each hot key over
+``salt_factor`` shuffle partitions by construction.
+
+Mechanics (the standard salt-and-replicate rewrite):
+
+- the LEFT (large, skewed) side gains a salt in ``[0, salt_factor)``
+  decorrelated from the join key — every hot key's rows spread over
+  ``salt_factor`` reducers instead of landing on one;
+- the RIGHT side is replicated ``salt_factor``× (one copy per salt via
+  ``explode(sequence(...))``) so every salted left row still meets every
+  matching right row exactly once;
+- the join becomes a plain equi-join on ``(key, salt)``.
+
+The result is *identical* to the unsalted join for ``inner`` and
+``left`` joins (each left row carries exactly one salt; the right copy
+set covers all salts). ``right``/``full`` joins are refused: a right
+row appears ``salt_factor`` times and its unmatched-ness is no longer
+well defined per copy.
+
+With ``skew_keys`` (a small DataFrame of known-hot keys — from
+``operators.cms.heavy_hitters`` or offline stats), only the hot slice
+pays the replication: the input splits into hot/cold by a broadcast
+semi-join, the cold slice joins plain, and the two unions back. Since
+the key itself decides hot/cold membership on BOTH sides, the split
+preserves exact join semantics for inner and left joins.
+
+Scale notes: right-side replication costs ``salt_factor × |right_hot|``
+rows — with declared skew keys that is `salt_factor ×` (rows of the few
+hot keys), not the whole dim table. The salt value never reaches the
+output, so the result is bit-identical across salt factors, partition
+layouts, and cluster sizes (asserted by tests sweeping salt_factor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__skew_salt"
+
+
+def _check_reserved(df: DataFrame, side: str) -> None:
+    if _SALT in df.columns:
+        raise ValueError(f"{side} side already has a column named {_SALT!r}")
+
+
+def _resolve_on(on: str | tuple[str, str]) -> tuple[str, str]:
+    if isinstance(on, str):
+        return on, on
+    lk, rk = on
+    return lk, rk
+
+
+def salted_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    how: str = "inner",
+    salt_factor: int = 8,
+    skew_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Equi-join ``left`` (large, key-skewed) with ``right``, spreading
+    each key over ``salt_factor`` shuffle partitions.
+
+    ``on``: join key — one shared column name, or ``(left_key,
+    right_key)`` when the names differ (the right key column is kept,
+    like a plain join with an explicit condition would).
+
+    ``skew_keys``: optional single-column DataFrame of the hot keys
+    (column name irrelevant — the first column is used). When given,
+    only rows whose key is hot are salted; everything else takes the
+    plain join path and the two results union.
+
+    The salt is ``monotonically_increasing_id() % salt_factor`` —
+    consecutive ids within a partition cycle through every salt value,
+    so even a partition holding a single hot key spreads evenly. The
+    salt assignment depends on the input layout, but the *result* never
+    does: any salt in range joins the same right rows (asserted by the
+    layout-invariance test).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_skew_join supports how='inner'|'left', got {how!r} "
+            "(a replicated right side has no well-defined unmatched rows)"
+        )
+    if salt_factor < 1:
+        raise ValueError(f"salt_factor must be >= 1, got {salt_factor}")
+    _check_reserved(left, "left")
+    _check_reserved(right, "right")
+    lk, rk = _resolve_on(on)
+
+    # pinned output column order — Spark's USING-join order for a shared
+    # key, plain left++right for differing names — enforced on EVERY path
+    # so the hot/cold split (whose semi-joins reorder columns) and the
+    # all-salted path produce interchangeable schemas
+    if lk == rk:
+        out_cols = (
+            [lk]
+            + [c for c in left.columns if c != lk]
+            + [c for c in right.columns if c != rk]
+        )
+    else:
+        out_cols = list(left.columns) + list(right.columns)
+
+    if skew_keys is not None:
+        hot = F.broadcast(
+            skew_keys.select(F.col(skew_keys.columns[0]).alias(lk)).distinct()
+        )
+        hot_r = hot.withColumnRenamed(lk, rk) if rk != lk else hot
+        left_hot = left.join(hot, on=lk, how="left_semi")
+        left_cold = left.join(hot, on=lk, how="left_anti")
+        right_hot = right.join(hot_r, on=rk, how="left_semi")
+        right_cold = right.join(hot_r, on=rk, how="left_anti")
+        salted = salted_skew_join(
+            left_hot, right_hot, on=on, how=how, salt_factor=salt_factor
+        )
+        plain = (
+            left_cold.join(right_cold, on=lk, how=how)
+            if lk == rk
+            else left_cold.join(
+                right_cold, on=left_cold[lk] == right_cold[rk], how=how
+            )
+        )
+        return salted.select(out_cols).unionByName(plain.select(out_cols))
+
+    l_salted = left.withColumn(
+        _SALT, (F.monotonically_increasing_id() % salt_factor).cast("int")
+    )
+    # int literals make sequence() an array<int>, so the exploded salt
+    # already matches the left side's int cast (a cast wrapped around
+    # explode() is an unsupported nested generator)
+    r_salted = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    )
+    if lk == rk:
+        joined = l_salted.join(r_salted, on=[lk, _SALT], how=how)
+    else:
+        cond = (l_salted[lk] == r_salted[rk]) & (l_salted[_SALT] == r_salted[_SALT])
+        joined = l_salted.join(r_salted, on=cond, how=how).drop(r_salted[_SALT])
+    return joined.drop(_SALT).select(out_cols)

@@ -1,0 +1,126 @@
+"""Salted skew-join: result ≡ plain join under every salt factor and
+layout, hot/cold split correctness, refusal of ill-defined join types."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.skewjoin import salted_skew_join
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    # one mega-hot key (42: 60 rows), a warm key, singletons, and a NULL
+    rows = (
+        [(i, 42, f"hot-{i}") for i in range(60)]
+        + [(100 + i, 7, f"warm-{i}") for i in range(5)]
+        + [(200, 1, "one"), (201, 2, "two"), (202, 99, "orphan")]
+        + [(203, None, "nullkey")]
+    )
+    return spark.createDataFrame(rows, "row_id long, k long, payload string")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [(42, "HOT"), (7, "WARM"), (1, "A"), (2, "B"), (3, "unreferenced")]
+    return spark.createDataFrame(rows, "k long, label string")
+
+
+def _sorted_rows(df):
+    # key=repr: None is not orderable against ints under the default key
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_inner_matches_plain_join_across_salt_factors(spark, fact, dim):
+    expected = _sorted_rows(fact.join(dim, on="k", how="inner"))
+    for s in (1, 2, 8, 31):
+        got = _sorted_rows(salted_skew_join(fact, dim, on="k", salt_factor=s))
+        assert got == expected, f"salt_factor={s}"
+
+
+def test_left_join_keeps_unmatched_and_null_keys(spark, fact, dim):
+    expected = _sorted_rows(fact.join(dim, on="k", how="left"))
+    got = _sorted_rows(salted_skew_join(fact, dim, on="k", how="left", salt_factor=4))
+    assert got == expected
+    # the orphan (k=99) and NULL-key rows survive with a null label
+    labels = {r["payload"]: r["label"] for r in
+              salted_skew_join(fact, dim, on="k", how="left", salt_factor=4).collect()}
+    assert labels["orphan"] is None and labels["nullkey"] is None
+
+
+def test_layout_invariance(spark, fact, dim):
+    expected = _sorted_rows(fact.join(dim, on="k", how="inner"))
+    for parts in (1, 7):
+        got = _sorted_rows(
+            salted_skew_join(fact.repartition(parts), dim, on="k", salt_factor=5)
+        )
+        assert got == expected
+
+
+def test_differing_key_names(spark, fact, dim):
+    dim2 = dim.withColumnRenamed("k", "dim_k")
+    expected = _sorted_rows(fact.join(dim2, fact["k"] == dim2["dim_k"], "inner"))
+    got = _sorted_rows(
+        salted_skew_join(fact, dim2, on=("k", "dim_k"), salt_factor=4)
+    )
+    assert got == expected
+
+
+def test_hot_cold_split_matches_plain_join(spark, fact, dim):
+    hot = spark.createDataFrame([(42,)], "k long")
+    for how in ("inner", "left"):
+        expected = _sorted_rows(fact.join(dim, on="k", how=how))
+        got = _sorted_rows(
+            salted_skew_join(fact, dim, on="k", how=how, salt_factor=8, skew_keys=hot)
+        )
+        assert got == expected, how
+
+
+def test_hot_cold_split_with_renamed_keys(spark, fact, dim):
+    dim2 = dim.withColumnRenamed("k", "dim_k")
+    hot = spark.createDataFrame([(42,), (7,)], "anyname long")
+    expected = _sorted_rows(fact.join(dim2, fact["k"] == dim2["dim_k"], "inner"))
+    got = _sorted_rows(
+        salted_skew_join(fact, dim2, on=("k", "dim_k"), salt_factor=3, skew_keys=hot)
+    )
+    assert got == expected
+
+
+def test_salt_spreads_hot_key_over_partitions(spark, fact, dim):
+    # the point of the operator: under a SHUFFLE join (broadcast off — at
+    # scale the right side is too big to broadcast; AQE coalescing off so
+    # tiny test partitions aren't merged back), the hot key's rows land
+    # on >1 reducer with the salt and exactly 1 without it.
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def parts_for_hot(df):
+            return (
+                df.filter(F.col("k") == 42)
+                .select(F.spark_partition_id().alias("pid"))
+                .distinct()
+                .count()
+            )
+
+        out = salted_skew_join(fact.repartition(4), dim, on="k", salt_factor=8)
+        assert parts_for_hot(out) > 1
+        plain = fact.repartition(4).join(dim, on="k", how="inner")
+        assert parts_for_hot(plain) == 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_guards(spark, fact, dim):
+    with pytest.raises(ValueError, match="inner"):
+        salted_skew_join(fact, dim, on="k", how="full")
+    with pytest.raises(ValueError, match="salt_factor"):
+        salted_skew_join(fact, dim, on="k", salt_factor=0)
+    bad = fact.withColumn("__skew_salt", F.lit(1))
+    with pytest.raises(ValueError, match="__skew_salt"):
+        salted_skew_join(bad, dim, on="k")
