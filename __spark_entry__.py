@@ -1678,6 +1678,27 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _q_docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir, Xie et al. 2023): every
+    document scored by hashed-ngram log p_target/p_raw with the English
+    slice of the corpus as the target distribution."""
+    from pyocr_spark.operators.dsir import dsir_logweights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_logweights(docs, target, buckets=4096, portable=True)
+
+
+def _q_docs_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k importance resample (content-addressed noise, so the
+    'random' draw is deterministic and layout-independent)."""
+    from pyocr_spark.operators.dsir import dsir_sample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_sample(docs, target, k=25, buckets=4096, portable=True)
+
+
 def _q_lineitem_skew_join(spark, sf_dir):
     """Salted skew-join (operators/skewjoin): lineitem⋈orders spread over
     8 salt partitions — result must be bit-identical to the plain join
@@ -1812,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational rim
         "lineitem_pricing": _q_lineitem_pricing,
         "lineitem_skew_join": _q_lineitem_skew_join,
+        "docs_dsir_weights": _q_docs_dsir_weights,
+        "docs_dsir_sample": _q_docs_dsir_sample,
         "events_profile_skew_join": _q_events_profile_skew_join,
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
@@ -2261,6 +2284,48 @@ _UNIGRAM_NLL_SQL = (
             "SELECT b.doc_id, b.n_tokens, a.nll_micro, "
             "CAST(a.nll_micro AS DOUBLE) / b.n_tokens AS mean_nll_micro "
             "FROM base b LEFT JOIN agg a USING (doc_id)"
+)
+
+
+_DSIR_WEIGHTS_CTE = (
+    # hashed unigram+bigram features over the engine-wide ws tokenization,
+    # md5 bucket hash (portable family), add-one smoothing — the exact
+    # replay of operators/dsir.dsir_logweights(buckets=4096, portable)
+    "tok AS (SELECT doc_id, list_filter(string_split_regex("
+    "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+    "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+    "gr AS (SELECT doc_id, list_concat(w, CASE WHEN len(w) >= 2 THEN "
+    "list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok), "
+    "rawx AS (SELECT doc_id, unnest(g) AS gram FROM gr), "
+    "rawf AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) "
+    "% 4096 AS INT) AS feat, count(*) AS cnt FROM rawx GROUP BY 1, 2), "
+    "qb AS (SELECT feat, CAST(sum(cnt) AS BIGINT) AS qn FROM rawf GROUP BY feat), "
+    "tb AS (SELECT feat, CAST(sum(cnt) AS BIGINT) AS tn FROM rawf "
+    "JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY feat), "
+    "qt AS (SELECT CAST(sum(cnt) AS BIGINT) AS q_total FROM rawf), "
+    "tt AS (SELECT CAST(sum(tn) AS BIGINT) AS t_total FROM tb), "
+    "sc AS (SELECT r.doc_id, r.cnt * CAST(round(("
+    "ln(CAST(COALESCE(t.tn, 0) AS DOUBLE) + 1.0) - ln(CAST(q.qn AS DOUBLE) + 1.0) "
+    "+ ln(CAST(qt.q_total AS DOUBLE) + 4096.0) - ln(CAST(tt.t_total AS DOUBLE) + 4096.0)"
+    ") * 1000000.0, 0) AS BIGINT) AS m, r.cnt FROM rawf r "
+    "JOIN qb q USING (feat) LEFT JOIN tb t USING (feat) CROSS JOIN qt CROSS JOIN tt), "
+    "agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS logw_micro, "
+    "CAST(sum(cnt) AS BIGINT) AS n_feats FROM sc GROUP BY doc_id), "
+    "dsir_w AS (SELECT d.doc_id, COALESCE(a.n_feats, 0) AS n_feats, a.logw_micro "
+    "FROM documents d LEFT JOIN agg a USING (doc_id))"
+)
+
+_DSIR_WEIGHTS_SQL = f"WITH {_DSIR_WEIGHTS_CTE} SELECT * FROM dsir_w"
+
+_DSIR_SAMPLE_SQL = (
+    f"WITH {_DSIR_WEIGHTS_CTE}, "
+    "keyed AS (SELECT doc_id, n_feats, logw_micro, logw_micro + CAST(round("
+    "-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15)) "
+    "AS BIGINT) % 1000000007 AS DOUBLE) + 0.5) / 1000000007.0)) * 1000000.0, 0) "
+    "AS BIGINT) AS key_micro FROM dsir_w WHERE logw_micro IS NOT NULL) "
+    "SELECT doc_id, n_feats, logw_micro, key_micro FROM keyed "
+    "ORDER BY key_micro DESC, doc_id LIMIT 25"
 )
 
 
@@ -3091,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "docs_dsir_weights": _DSIR_WEIGHTS_SQL,
+        "docs_dsir_sample": _DSIR_SAMPLE_SQL,
         "lineitem_skew_join": (
             "SELECT l_orderkey, l_linenumber, "
             "CAST(l_quantity AS DOUBLE) AS quantity, o_orderstatus, o_orderpriority "

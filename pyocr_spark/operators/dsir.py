@@ -1,0 +1,203 @@
+"""DSIR-style data selection via importance resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Given a huge RAW web corpus and a small TARGET corpus exemplifying the
+distribution you want (curated prose, a domain, a language register),
+DSIR scores every raw document by how much more likely its hashed-n-gram
+bag is under the target distribution than under the raw distribution,
+then samples documents with Gumbel-top-k on those log importance
+weights. The feature space is hashed to a fixed bucket count, so both
+"models" are just two bucket-count vectors — no training, no vocabulary
+state, nothing model-shaped crosses the driver.
+
+Spark shape at 10^12 raw docs:
+
+- ONE tokenize+explode pass over each corpus into a ``(doc, bucket)``
+  count aggregate (map-side combined) — the same single-corpus-pass
+  discipline as ``unigram_logprob``;
+- both bucket-probability tables are at most ``buckets`` rows (default
+  4096) — the λ (log-ratio) table BROADCASTS onto the raw feature
+  table; the target corpus is small by definition;
+- per-doc weight = one more map-side-combined aggregate;
+- Gumbel-top-k selection is ``TakeOrderedAndProject`` — never a global
+  sort.
+
+Determinism contract (the oracle gate hashes values): per-bucket λ is
+rounded to BIGINT micro-units BEFORE the count multiply and per-doc sum
+(integer addition is order-free → bit-identical across partitionings
+and engines); the Gumbel noise is CONTENT-ADDRESSED — derived from the
+portable hash of the doc id, not an RNG — so the "random" sample is
+reproducible across re-runs, resumes, and cluster sizes, exactly like
+``operators/sampling``. ln() of identical inputs agrees bitwise between
+the JVM and DuckDB (tfidf/unigram precedent).
+
+``portable=True`` uses the md5 hash family with an exact DuckDB oracle;
+production keeps xxhash64 (JVM-side, faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+#: default hashed-feature space. The paper uses 10^4; collisions bias
+#: both p and q the same way, so moderate bucket counts work.
+DEFAULT_BUCKETS = 4096
+
+_MICRO = 1_000_000.0
+#: modulus for the content-addressed uniform draw behind the Gumbel
+#: noise: prime, < 2^30, so (h % P + 0.5) / P is exact in doubles.
+_U_MOD = 1_000_000_007
+
+
+def _bucket_hash(col: Column, buckets: int, portable: bool) -> Column:
+    if portable:
+        from pyocr_spark.operators.dedup import _portable_hash64
+
+        return F.pmod(_portable_hash64(col), F.lit(buckets)).cast("int")
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document hashed unigram+bigram counts: ``(id, feat, cnt)``.
+
+    Tokenization is the engine-wide ``ws_tokens`` split (empty tokens
+    dropped), so DSIR's notion of a word cannot drift from the dedup
+    shingles or the token budgets. Unigrams and bigrams hash into the
+    same ``buckets``-sized space, as in the paper. Narrow until the one
+    map-side-combined count aggregate."""
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(id_col, _bucket_hash(F.col("_g"), buckets, portable).alias("feat"))
+        .groupBy(id_col, "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-raw-document log importance weight in micro-units:
+    ``(id, n_feats, logw_micro)``.
+
+    λ_f = ln(T_f + 1) − ln(Q_f + 1) + ln(Q + B) − ln(T + B) — the
+    Laplace-smoothed log p_target(f)/p_raw(f) — rounded to BIGINT
+    micro-units per bucket; logw = Σ_f cnt_f · λ_f. Docs with zero
+    features keep their row with NULL logw (a downstream gate decides).
+
+    The smoothing constant is fixed at 1 (add-one): it keeps every
+    intermediate ``ln`` argument an exact integer, which is what makes
+    the JVM and DuckDB agree bitwise.
+
+    Shape: the RAW corpus pass executes ONCE — the (doc, feat) count
+    table persists, the raw bucket count Q_f is a WINDOW over it (the
+    unigram_logprob trick: one feat-keyed shuffle of the already-unique
+    table), and the raw total rides in as a broadcast 1-row rollup of
+    the same cached table. The TARGET side is small by definition: its
+    ``buckets``-bounded count table and 1-row total both broadcast.
+    Cache lifecycle: held by CacheManager until unpersist()/session end
+    (the minhash_lsh_dedup trade-off)."""
+    from pyspark.sql import Window
+
+    rawf = hashed_ngram_features(raw, text_col, id_col, buckets, portable).persist()
+    tb = (
+        hashed_ngram_features(target, text_col, id_col, buckets, portable)
+        .groupBy("feat")
+        .agg(F.sum("cnt").alias("tn"))
+    )
+    # 1-row corpus totals ride in via broadcast (never a collect)
+    qt = rawf.agg(F.sum("cnt").alias("q_total"))
+    tt = tb.agg(F.sum("tn").alias("t_total"))
+
+    b = float(buckets)
+    qn = F.sum("cnt").over(Window.partitionBy("feat"))
+    lam_micro = (
+        F.round(
+            (
+                F.log(F.coalesce(F.col("tn"), F.lit(0)).cast("double") + F.lit(1.0))
+                - F.log(F.col("qn").cast("double") + F.lit(1.0))
+                + F.log(F.col("q_total").cast("double") + F.lit(b))
+                - F.log(F.col("t_total").cast("double") + F.lit(b))
+            )
+            * F.lit(_MICRO),
+            0,
+        )
+        .cast("bigint")
+        .alias("lam_micro")
+    )
+    scored = (
+        rawf.withColumn("qn", qn)
+        .join(F.broadcast(tb), "feat", "left")
+        .join(F.broadcast(qt))
+        .join(F.broadcast(tt))
+        .select(F.col(id_col), (F.col("cnt") * lam_micro).alias("m"), "cnt")
+        .groupBy(id_col)
+        .agg(F.sum("m").alias("logw_micro"), F.sum("cnt").alias("n_feats"))
+    )
+    spine = raw.select(id_col)
+    return spine.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        "logw_micro",
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: the k raw docs maximizing
+    ``logw + Gumbel(doc)`` — equivalent to sampling k docs without
+    replacement with probability ∝ exp(logw) (Gumbel-max trick), but
+    with CONTENT-ADDRESSED noise: u is derived from the portable hash
+    of ``id:salt``, so the draw is deterministic and layout-independent.
+    Distinct ``salt`` values give independent draws.
+
+    Selection is (key DESC, id) — a total order — via orderBy+limit =
+    ``TakeOrderedAndProject``; only k rows cross the network. Docs with
+    zero features are excluded (they have no weight).
+
+    Returns ``(id, n_feats, logw_micro, key_micro)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyocr_spark.operators.dedup import _portable_hash64
+
+    w = dsir_logweights(raw, target, text_col, id_col, buckets, portable).filter(
+        F.col("logw_micro").isNotNull()
+    )
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    u = (
+        F.pmod(_portable_hash64(keyed), F.lit(_U_MOD)).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_U_MOD))
+    gumbel_micro = F.round(-F.log(-F.log(u)) * F.lit(_MICRO), 0).cast("bigint")
+    out = w.withColumn("key_micro", F.col("logw_micro") + gumbel_micro)
+    return out.orderBy(F.desc("key_micro"), F.col(id_col)).limit(k)

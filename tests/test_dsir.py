@@ -1,0 +1,185 @@
+"""DSIR importance resampling: equality against an independent Python
+reference model, target-likeness discrimination, deterministic
+content-addressed Gumbel sampling, layout invariance."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dsir import (
+    DEFAULT_BUCKETS,
+    _U_MOD,
+    dsir_logweights,
+    dsir_sample,
+    hashed_ngram_features,
+)
+
+BUCKETS = 64  # small space so collisions actually happen in the test
+
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def _py_tokens(text):
+    return [t for t in _WS_RE.split(text.strip("\t\n\f\r ")) if t]
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_feats(text, buckets=BUCKETS):
+    w = _py_tokens(text)
+    grams = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+    out: dict[int, int] = {}
+    for g in grams:
+        f = _py_hash60(g) % buckets
+        out[f] = out.get(f, 0) + 1
+    return out
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _py_logweights(raw, target, buckets=BUCKETS):
+    """Independent model: raw/target are {id: text}."""
+    rawf = {i: _py_feats(t, buckets) for i, t in raw.items()}
+    q: dict[int, int] = {}
+    t: dict[int, int] = {}
+    for fs in rawf.values():
+        for f, c in fs.items():
+            q[f] = q.get(f, 0) + c
+    for txt in target.values():
+        for f, c in _py_feats(txt, buckets).items():
+            t[f] = t.get(f, 0) + c
+    qt, tt = sum(q.values()), sum(t.values())
+    b = float(buckets)
+    out = {}
+    for i, fs in rawf.items():
+        if not fs:
+            out[i] = (0, None)
+            continue
+        s = 0
+        for f, c in fs.items():
+            lam = (
+                math.log(float(t.get(f, 0)) + 1.0)
+                - math.log(float(q[f]) + 1.0)
+                + math.log(float(qt) + b)
+                - math.log(float(tt) + b)
+            )
+            s += c * _round_half_away(lam * 1_000_000.0)
+        out[i] = (sum(fs.values()), s)
+    return out
+
+
+PROSE = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a calm morning walk along the river with the dog and the fox",
+    "the lazy dog sleeps by the river while the fox watches quietly",
+]
+JUNK = [
+    "zqx vbn klm wrt yui opq asd fgh jkl zxc",
+    "buy cheap widgets now click here discount offer sale",
+]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw_rows = [(i, txt) for i, txt in enumerate(PROSE + JUNK)] + [(9, "")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, PROSE[0]), (101, PROSE[1])], "doc_id long, text string"
+    )
+    return raw, raw_rows, target
+
+
+def test_features_match_python_model(spark, corpora):
+    raw, raw_rows, _ = corpora
+    got = {
+        (r["doc_id"], r["feat"]): r["cnt"]
+        for r in hashed_ngram_features(raw, buckets=BUCKETS, portable=True).collect()
+    }
+    want = {}
+    for i, txt in raw_rows:
+        for f, c in _py_feats(txt).items():
+            want[(i, f)] = c
+    assert got == want
+
+
+def test_logweights_match_python_model(spark, corpora):
+    raw, raw_rows, target = corpora
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw_micro"])
+        for r in dsir_logweights(raw, target, buckets=BUCKETS, portable=True).collect()
+    }
+    want = _py_logweights(dict(raw_rows), {100: PROSE[0], 101: PROSE[1]})
+    assert got == want
+
+
+def test_prose_outweighs_junk(spark, corpora):
+    raw, _, target = corpora
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_logweights(raw, target, buckets=DEFAULT_BUCKETS, portable=True)
+        .filter(F.col("logw_micro").isNotNull())
+        .collect()
+    }
+    # per-feature mean, so doc length doesn't dominate the comparison;
+    # every prose doc must beat every junk doc under a prose target
+    n = {
+        r["doc_id"]: r["n_feats"]
+        for r in dsir_logweights(raw, target, buckets=DEFAULT_BUCKETS, portable=True).collect()
+    }
+    mean = {i: w[i] / n[i] for i in w}
+    assert min(mean[i] for i in (0, 1, 2)) > max(mean[i] for i in (3, 4))
+
+
+def test_zero_token_doc_has_null_weight(spark, corpora):
+    raw, _, target = corpora
+    row = (
+        dsir_logweights(raw, target, buckets=BUCKETS, portable=True)
+        .filter(F.col("doc_id") == 9)
+        .head()
+    )
+    assert row["n_feats"] == 0 and row["logw_micro"] is None
+
+
+def test_sample_is_gumbel_topk_and_layout_invariant(spark, corpora):
+    raw, raw_rows, target = corpora
+    got = dsir_sample(raw, target, k=3, buckets=BUCKETS, portable=True).collect()
+    assert len(got) == 3
+
+    # independent replay of the selection key
+    want_w = _py_logweights(dict(raw_rows), {100: PROSE[0], 101: PROSE[1]})
+    keys = {}
+    for i, (_nf, lw) in want_w.items():
+        if lw is None:
+            continue
+        u = (_py_hash60(f"{i}:") % _U_MOD + 0.5) / float(_U_MOD)
+        keys[i] = lw + _round_half_away(-math.log(-math.log(u)) * 1_000_000.0)
+    want_ids = [i for i, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    assert [r["doc_id"] for r in got] == want_ids
+    assert [r["key_micro"] for r in got] == [keys[i] for i in want_ids]
+
+    relaid = dsir_sample(
+        raw.repartition(7), target, k=3, buckets=BUCKETS, portable=True
+    ).collect()
+    assert [tuple(r) for r in relaid] == [tuple(r) for r in got]
+
+
+def test_distinct_salts_give_distinct_draws(spark, corpora):
+    raw, _, target = corpora
+    a = dsir_sample(raw, target, k=2, buckets=BUCKETS, portable=True, salt="a")
+    b = dsir_sample(raw, target, k=2, buckets=BUCKETS, portable=True, salt="b")
+    ka = [r["key_micro"] for r in a.collect()]
+    kb = [r["key_micro"] for r in b.collect()]
+    assert ka != kb  # same weights, different noise
+
+
+def test_sample_guard(spark, corpora):
+    raw, _, target = corpora
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_sample(raw, target, k=0, buckets=BUCKETS, portable=True)
