@@ -1678,6 +1678,65 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _cdx_recs(spark, sf_dir):
+    from pyocr_spark.datagen import ensure_pages_cdx
+    from pyocr_spark.sources.cdx import cdx_records, read_cdx
+
+    cdir = ensure_pages_cdx(sf_dir)
+    return cdx_records(read_cdx(spark, str(cdir)))
+
+
+_CDX_COLS = ["urlkey", "url", "mime", "status", "digest", "length", "offset", "filename"]
+
+
+def _cdx_project(df):
+    return df.select(
+        F.unix_timestamp("capture_ts").alias("capture_epoch"), *_CDX_COLS
+    )
+
+
+def _q_cdx_ingest(spark, sf_dir):
+    """CDXJ index ingestion (sources/cdx): every good line typed; checked
+    against the structural rows datagen rendered INTO the lines."""
+    return _cdx_project(_cdx_recs(spark, sf_dir))
+
+
+def _q_cdx_index_errors(spark, sf_dir):
+    """Damaged index lines routed with a reason, never dropped."""
+    from pyocr_spark.datagen import ensure_pages_cdx
+    from pyocr_spark.sources.cdx import cdx_errors, read_cdx
+
+    cdir = ensure_pages_cdx(sf_dir)
+    return cdx_errors(read_cdx(spark, str(cdir)))
+
+
+def _q_cdx_latest(spark, sf_dir):
+    """Newest capture per urlkey (the index-side dedup-latest twin)."""
+    from pyocr_spark.sources.cdx import cdx_latest_capture
+
+    return _cdx_project(cdx_latest_capture(_cdx_recs(spark, sf_dir)))
+
+
+def _q_cdx_fetch_plan(spark, sf_dir):
+    """Per-archive ranged-fetch summary — the selective-ingest unit that
+    makes 0.1% slices of a 100 TB crawl affordable."""
+    from pyocr_spark.sources.cdx import cdx_fetch_plan
+
+    return cdx_fetch_plan(_cdx_recs(spark, sf_dir))
+
+
+def _q_url_surt(spark, sf_dir):
+    """SURT urlkey as a pure column expression over the crawl's urls."""
+    from pyocr_spark.sources.cdx import surt_key
+
+    return (
+        _pages(spark, sf_dir)
+        .select("url")
+        .distinct()
+        .select("url", surt_key(F.col("url")).alias("urlkey"))
+    )
+
+
 def _q_docs_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir, Xie et al. 2023): every
     document scored by hashed-ngram log p_target/p_raw with the English
@@ -1766,6 +1825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
+        "cdx_ingest": _q_cdx_ingest,
+        "cdx_index_errors": _q_cdx_index_errors,
+        "cdx_latest": _q_cdx_latest,
+        "cdx_fetch_plan": _q_cdx_fetch_plan,
+        "url_surt": _q_url_surt,
         "corpus_build": _q_corpus_build,
         "corpus_build_full": _q_corpus_build_full,
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
@@ -2507,6 +2571,39 @@ def oracle_sql() -> dict[str, str]:
             "ELSE NULL END AS reason FROM l) "
             "SELECT reason, CAST(count(*) AS BIGINT) AS n_lines, "
             "min(line) AS sample FROM c WHERE reason IS NOT NULL GROUP BY reason"
+        ),
+        # the cdx oracles read the STRUCTURAL rows datagen rendered INTO
+        # the index lines (the sitemap pattern) — reader vs writer intent
+        "cdx_ingest": (
+            f"SELECT CAST(epoch(capture_ts) AS BIGINT) AS capture_epoch, "
+            f'urlkey, url, mime, status, digest, length, "offset", filename '
+            f"FROM read_parquet('{E}/expected_cdx.parquet')"
+        ),
+        "cdx_index_errors": (
+            f"SELECT raw, reason FROM read_parquet('{E}/expected_cdx_errors.parquet')"
+        ),
+        "cdx_latest": (
+            f"SELECT CAST(epoch(capture_ts) AS BIGINT) AS capture_epoch, "
+            f'urlkey, url, mime, status, digest, length, "offset", filename FROM ('
+            f"SELECT *, row_number() OVER (PARTITION BY urlkey "
+            f'ORDER BY capture_ts DESC, "offset" DESC, filename) AS rn '
+            f"FROM read_parquet('{E}/expected_cdx.parquet')) WHERE rn = 1"
+        ),
+        "cdx_fetch_plan": (
+            f"SELECT filename, CAST(count(*) AS BIGINT) AS n_records, "
+            f"CAST(sum(length) AS BIGINT) AS total_bytes, "
+            f'min("offset") AS first_offset, max("offset") AS last_offset '
+            f"FROM read_parquet('{E}/expected_cdx.parquet') GROUP BY filename"
+        ),
+        "url_surt": (
+            f"WITH u AS (SELECT DISTINCT url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            f"h AS (SELECT url, {_host_sql('url')} AS host, "
+            "lower(regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')) AS tail FROM u) "
+            "SELECT url, CASE WHEN host = '' THEN NULL ELSE "
+            "array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || "
+            "CASE WHEN tail = '' THEN '/' ELSE tail END END AS urlkey FROM h"
         ),
         "lines_dedup": (
             f"WITH src AS (SELECT url, extracted_text "

@@ -1,0 +1,179 @@
+"""CDX(J) capture-index ingestion — the selective-fetch path into a
+100 TB crawl.
+
+Common Crawl publishes a CDXJ index beside its WARC archives: one line
+per capture, ``<urlkey> <timestamp14> <json>``, where ``urlkey`` is the
+SURT form of the url and the JSON carries the capture's location inside
+the archive set (``filename``/``offset``/``length``) plus response
+metadata (``mime``/``status``/``digest``). Reading the INDEX first and
+fetching only matching byte ranges is how a real pipeline avoids
+scanning 100 TB of WARC for a 0.1% slice — the index is ~3 orders of
+magnitude smaller than the archives.
+
+Design (all JVM-side, the sources/jsonl.py discipline):
+
+- ``read_cdx``: line scan + one 3-way split + ``from_json`` with a
+  corrupt-record column; the parse is shared by the good-row and error
+  paths.
+- ``cdx_records``: typed good rows — urlkey, capture_ts (parsed from the
+  14-digit timestamp), url, mime, status:int, digest, length/offset
+  :bigint, filename.
+- ``cdx_errors``: damaged lines routed with a reason (``bad_line`` /
+  ``bad_json`` / ``missing_url`` / ``bad_timestamp``), never dropped.
+- ``surt_key``: the SURT urlkey as a pure column expression (bounded,
+  documented subset), for joining one's own url lists against the index.
+- ``cdx_latest_capture``: newest capture per urlkey — the index-side
+  twin of ``operators/dedup.dedup_latest_page``; ONE shuffle.
+- ``cdx_fetch_plan``: per-archive fetch summary (record count, byte
+  mass, offset span) — the unit a ranged-fetch fleet schedules on; one
+  map-side-combined aggregate over filename-sized keys.
+
+At scale the index is thousands of .cdx(.gz) shards; the text scan
+parallelizes over them, everything above is narrow until the one
+aggregate each in latest/fetch-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlnorm import url_host
+
+#: JSON fields, all read as strings — casts happen in cdx_records so a
+#: bad value damages one column, not the whole row
+CDX_FIELDS_DDL = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string"
+)
+
+_CORRUPT = "_corrupt"
+
+
+def surt_key(url: Column) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform), the key CDX
+    indexes sort by: host labels reversed and comma-joined, then ``)``,
+    then the lowercased path+query. ``https://Sub.Example.COM/A?b=1`` →
+    ``com,example,sub)/a?b=1``.
+
+    Documented subset of the full canonicalizer: scheme/userinfo/port and
+    the fragment are dropped (via urlnorm.url_host and a fragment strip),
+    query parameters are NOT re-sorted, and an empty path becomes ``/``.
+    Urls without a scheme head yield NULL (no host to reverse)."""
+    host = url_host(url)
+    tail = F.regexp_replace(
+        F.regexp_replace(url, "#.*$", ""), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    tail = F.when(tail == "", F.lit("/")).otherwise(F.lower(tail))
+    key = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), tail
+    )
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(key)
+
+
+def _parse_lines(lines: DataFrame) -> DataFrame:
+    """value:string lines → (raw, urlkey, ts, rec); ``rec`` is NULL when
+    the line has no third field, ``rec._corrupt`` set when the JSON
+    parser failed."""
+    ddl = f"{CDX_FIELDS_DDL}, {_CORRUPT} string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    # try_element_at: a short line has <3 fields, and ANSI mode makes
+    # plain element_at THROW instead of returning NULL
+    parts = F.split(F.col("value"), " ", 3)
+    return lines.select(
+        F.col("value").alias("raw"),
+        F.try_element_at(parts, F.lit(1)).alias("urlkey"),
+        F.try_element_at(parts, F.lit(2)).alias("ts"),
+        F.from_json(F.try_element_at(parts, F.lit(3)), ddl, opts).alias("rec"),
+    )
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Raw parse: one row per index line. Feed to cdx_records /
+    cdx_errors."""
+    return _parse_lines(spark.read.text(path))
+
+
+def _is_bad_line():
+    # fewer than 3 space-separated fields: from_json(NULL) is NULL
+    return F.col("rec").isNull()
+
+
+def _is_bad_json():
+    return F.col(f"rec.{_CORRUPT}").isNotNull()
+
+
+def _is_bad_ts():
+    return ~F.col("ts").rlike("^[0-9]{14}$")
+
+
+def _is_good():
+    return (
+        ~_is_bad_line()
+        & ~_is_bad_json()
+        & F.col("rec.url").isNotNull()
+        & ~_is_bad_ts()
+    )
+
+
+def cdx_records(parsed: DataFrame) -> DataFrame:
+    """Good index rows, typed. capture_ts parses the 14-digit UTC
+    timestamp (guarded by the good-row regex, so the ANSI-mode parse
+    cannot throw on damaged input)."""
+    return parsed.filter(_is_good()).select(
+        "urlkey",
+        F.to_timestamp(F.col("ts"), "yyyyMMddHHmmss").alias("capture_ts"),
+        F.col("rec.url").alias("url"),
+        F.col("rec.mime").alias("mime"),
+        F.col("rec.status").cast("int").alias("status"),
+        F.col("rec.digest").alias("digest"),
+        F.col("rec.length").cast("bigint").alias("length"),
+        F.col("rec.offset").cast("bigint").alias("offset"),
+        F.col("rec.filename").alias("filename"),
+    )
+
+
+def cdx_errors(parsed: DataFrame) -> DataFrame:
+    """Rejected lines with a reason — the audit/replay complement of
+    cdx_records. Reason order matters: a 2-field line is bad_line even
+    though its ts also fails the regex."""
+    return parsed.filter(~_is_good()).select(
+        "raw",
+        F.when(_is_bad_line(), F.lit("bad_line"))
+        .when(_is_bad_json(), F.lit("bad_json"))
+        .when(F.col("rec.url").isNull(), F.lit("missing_url"))
+        .otherwise(F.lit("bad_timestamp"))
+        .alias("reason"),
+    )
+
+
+def cdx_latest_capture(records: DataFrame) -> DataFrame:
+    """Newest capture per urlkey — what a re-crawl or a point-in-time
+    corpus actually wants from the index. ONE shuffle (the urlkey
+    window); tiebreak (capture_ts DESC, offset DESC, filename) is total
+    within one archive set, so the pick is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("urlkey").orderBy(
+        F.desc("capture_ts"), F.desc("offset"), F.col("filename")
+    )
+    return (
+        records.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdx_fetch_plan(records: DataFrame) -> DataFrame:
+    """Per-archive fetch summary: how many records, how many bytes, and
+    the offset span a ranged fetcher must cover in each WARC file. One
+    map-side-combined aggregate; keys = archive files (bounded by the
+    crawl's segment layout, orders of magnitude fewer than records).
+    Sequential-offset fetching inside one archive is the politeness/
+    throughput unit at deployment."""
+    return records.groupBy("filename").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("length").alias("total_bytes"),
+        F.min("offset").alias("first_offset"),
+        F.max("offset").alias("last_offset"),
+    )

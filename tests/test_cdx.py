@@ -1,0 +1,119 @@
+"""CDX index source: structural round-trip vs datagen's expected tables,
+error routing, SURT subset rules, latest-capture pick, fetch-plan math."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.sources.cdx import (
+    cdx_errors,
+    cdx_fetch_plan,
+    cdx_latest_capture,
+    cdx_records,
+    read_cdx,
+    surt_key,
+)
+
+
+@pytest.fixture(scope="module")
+def cdx_sf0001(spark):
+    from pyocr_spark.datagen import ensure_pages_cdx
+
+    cdir = ensure_pages_cdx("/root/testdata/sf0.001")
+    parsed = read_cdx(spark, str(cdir))
+    return cdir, parsed
+
+
+def test_records_match_structural_expected(spark, cdx_sf0001):
+    cdir, parsed = cdx_sf0001
+    got = (
+        cdx_records(parsed)
+        .toPandas()
+        .sort_values(["urlkey", "offset", "filename"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(cdir.parent / "expected_cdx.parquet")
+        .sort_values(["urlkey", "offset", "filename"])
+        .reset_index(drop=True)
+    )
+    # Spark returns tz-naive UTC timestamps from a UTC session
+    want["capture_ts"] = want["capture_ts"].dt.tz_localize(None)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_errors_routed_with_reasons(spark, cdx_sf0001):
+    cdir, parsed = cdx_sf0001
+    got = (
+        cdx_errors(parsed).toPandas().sort_values("raw").reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(cdir.parent / "expected_cdx_errors.parquet")
+        .sort_values("raw")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(want["reason"]) == {"bad_line", "bad_json", "missing_url", "bad_timestamp"}
+
+
+def test_good_plus_errors_cover_every_line(spark, cdx_sf0001):
+    _, parsed = cdx_sf0001
+    assert parsed.count() == cdx_records(parsed).count() + cdx_errors(parsed).count()
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        ("https://Sub.Example.COM/A/B?X=1", "com,example,sub)/a/b?x=1"),
+        ("http://example.com", "com,example)/"),
+        ("https://example.com:8443/Path", "com,example)/path"),
+        ("https://user@pass@Example.com/p#frag", "com,example)/p"),
+        ("https://example.com/p?q=1#frag", "com,example)/p?q=1"),
+        ("no-scheme/path", None),
+        ("https://[2001:DB8::1]/x", "[2001:db8::1])/x"),
+    ],
+)
+def test_surt_key_rules(spark, url, want):
+    from pyocr_spark.datagen import _surt_py
+
+    got = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(surt_key(F.col("url")).alias("k"))
+        .head()["k"]
+    )
+    assert got == want
+    assert _surt_py(url) == want  # the independent datagen mirror agrees
+
+
+def test_latest_capture_picks_max_ts(spark, cdx_sf0001):
+    _, parsed = cdx_sf0001
+    recs = cdx_records(parsed)
+    latest = cdx_latest_capture(recs)
+    # recrawled urls (doc_id % 100 == 7) have 2 captures; exactly one survives
+    assert latest.groupBy("urlkey").count().filter("count > 1").count() == 0
+    multi = (
+        recs.groupBy("urlkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("capture_ts").alias("max_ts"))
+        .filter("n > 1")
+    )
+    assert multi.count() > 0  # the scenario is actually exercised
+    joined = latest.join(multi, "urlkey").filter("capture_ts != max_ts")
+    assert joined.count() == 0
+
+
+def test_fetch_plan_math(spark):
+    rows = [
+        ("a)/", "2024-01-01 00:00:00", "u", "m", 200, "d", 100, 256, "w-0"),
+        ("b)/", "2024-01-01 00:00:00", "u", "m", 200, "d", 50, 4352, "w-0"),
+        ("c)/", "2024-01-01 00:00:00", "u", "m", 200, "d", 7, 256, "w-1"),
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "urlkey string, capture_ts string, url string, mime string, status int, "
+        "digest string, length long, offset long, filename string",
+    )
+    plan = {r["filename"]: r for r in cdx_fetch_plan(recs).collect()}
+    assert plan["w-0"]["n_records"] == 2
+    assert plan["w-0"]["total_bytes"] == 150
+    assert plan["w-0"]["first_offset"] == 256 and plan["w-0"]["last_offset"] == 4352
+    assert plan["w-1"]["n_records"] == 1 and plan["w-1"]["total_bytes"] == 7
