@@ -1678,6 +1678,37 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _q_extractor_agreement(spark, sf_dir):
+    """Extractor A/B report: the tag-based strip vs the density heuristic
+    over the SAME crawl, aggregated per language — the validation table a
+    team reads before switching extraction strategies at 100 TB. Both
+    pipelines are REAL (no expected tables on the Spark side); one url
+    equi-join + one small aggregate."""
+    from pyocr_spark.functions.maincontent import extract_main_density
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    pages = dedup_latest_page(_pages(spark, sf_dir))
+    tag = _extracted(spark, sf_dir, frozenset({"text"})).select("url", "extracted_text")
+    den = extract_main_density(pages).select("url", "main_text")
+    lang = pages.select("url", "lang")
+    ltag = F.coalesce(F.length("extracted_text"), F.lit(0))
+    lden = F.coalesce(F.length("main_text"), F.lit(0))
+    return (
+        tag.join(den, "url")
+        .join(lang, "url")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(
+                F.col("extracted_text").eqNullSafe(F.col("main_text")).cast("int")
+            ).alias("n_identical"),
+            F.sum(ltag).alias("sum_chars_tag"),
+            F.sum(lden).alias("sum_chars_density"),
+            F.sum((lden < ltag).cast("int")).alias("n_density_shorter"),
+        )
+    )
+
+
 def _cdx_recs(spark, sf_dir):
     from pyocr_spark.datagen import ensure_pages_cdx
     from pyocr_spark.sources.cdx import cdx_records, read_cdx
@@ -1825,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
+        "extractor_agreement": _q_extractor_agreement,
         "cdx_ingest": _q_cdx_ingest,
         "cdx_index_errors": _q_cdx_index_errors,
         "cdx_latest": _q_cdx_latest,
@@ -2571,6 +2603,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE NULL END AS reason FROM l) "
             "SELECT reason, CAST(count(*) AS BIGINT) AS n_lines, "
             "min(line) AS sample FROM c WHERE reason IS NOT NULL GROUP BY reason"
+        ),
+        "extractor_agreement": (
+            f"WITH p AS (SELECT url, lang FROM (SELECT url, lang, row_number() "
+            f"OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')) WHERE rn = 1), "
+            f"t AS (SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')), "
+            f"m AS (SELECT url, main_text FROM read_parquet('{E}/expected_main.parquet')) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(CASE WHEN t.extracted_text IS NOT DISTINCT FROM m.main_text "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_identical, "
+            "CAST(sum(coalesce(length(t.extracted_text), 0)) AS BIGINT) AS sum_chars_tag, "
+            "CAST(sum(coalesce(length(m.main_text), 0)) AS BIGINT) AS sum_chars_density, "
+            "CAST(sum(CASE WHEN coalesce(length(m.main_text), 0) < "
+            "coalesce(length(t.extracted_text), 0) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_density_shorter "
+            "FROM t JOIN m USING (url) JOIN p USING (url) GROUP BY lang"
         ),
         # the cdx oracles read the STRUCTURAL rows datagen rendered INTO
         # the index lines (the sitemap pattern) — reader vs writer intent
