@@ -1678,6 +1678,23 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _q_events_session_windows(spark, sf_dir):
+    """Spark's NATIVE session_window operator (dynamic gap-merged
+    windows), batch shape of streaming/windowed.session_event_stats —
+    the engine-native twin of the lag-window sessionize query."""
+    from pyocr_spark.streaming.windowed import session_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_event_stats(ev, gap_seconds=600)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_extractor_agreement(spark, sf_dir):
     """Extractor A/B report: the tag-based strip vs the density heuristic
     over the SAME crawl, aggregated per language — the validation table a
@@ -1856,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
+        "events_session_windows": _q_events_session_windows,
         "extractor_agreement": _q_extractor_agreement,
         "cdx_ingest": _q_cdx_ingest,
         "cdx_index_errors": _q_cdx_index_errors,
@@ -2603,6 +2621,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE NULL END AS reason FROM l) "
             "SELECT reason, CAST(count(*) AS BIGINT) AS n_lines, "
             "min(line) AS sample FROM c WHERE reason IS NOT NULL GROUP BY reason"
+        ),
+        "events_session_windows": (
+            # gaps-and-islands replay of the native session window:
+            # new session iff diff > gap (touching windows merge),
+            # end = last_ts + gap
+            "WITH s AS (SELECT user_id, ts, value, CASE WHEN "
+            "epoch(ts) - lag(epoch(ts)) OVER w IS NULL OR "
+            "epoch(ts) - lag(epoch(ts)) OVER w > 600 THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "i AS (SELECT user_id, ts, value, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+            "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch, "
+            "CAST(floor(epoch(max(ts))) + 600 AS BIGINT) AS end_epoch, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM i GROUP BY user_id, sid"
         ),
         "extractor_agreement": (
             f"WITH p AS (SELECT url, lang FROM (SELECT url, lang, row_number() "

@@ -36,6 +36,52 @@ def read_events_stream(
     return read_file_stream(spark, location, EVENTS_DDL, max_files_per_trigger)
 
 
+def session_event_stats(
+    events: DataFrame, gap_seconds: int = 600, watermark: str | None = None
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user sessions
+    that merge events closer than ``gap_seconds`` and close when the gap
+    is reached — Spark's own dynamic-window operator, the engine-native
+    twin of the lag-window sessionize query.
+
+    Session semantics (frozen, asserted by the boundary test): an event
+    EXTENDS the session when ``ts − prev_ts <= gap`` (an event landing
+    exactly on the session's end ``last_ts + gap`` still merges — Spark
+    merges overlapping-or-touching windows); only a strictly larger gap
+    starts a new session. Same boundary rule as the lag-window
+    sessionize query's ``diff > gap`` convention. Returns one row per
+    closed session: (user_id, session_start, session_end =
+    last_ts + gap, n_events, total_value).
+
+    Batch and streaming share this one plan builder. With ``watermark``
+    set on a streaming input, append mode emits a session exactly once —
+    after the watermark passes its end, when no late event can reopen
+    it; state for closed sessions is evicted at the same horizon. One
+    shuffle (the session-window aggregate)."""
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    df = events
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    sw = F.session_window("ts", f"{gap_seconds} seconds")
+    return (
+        df.groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

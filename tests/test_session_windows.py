@@ -1,0 +1,106 @@
+"""Native session-window operator: gap-boundary semantics, batch ≡
+stream equality, append-mode exactly-once session emission."""
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.streaming.windowed import read_events_stream, session_event_stats
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _write_events(path, rows, mtime):
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+    os.utime(path, (mtime, mtime))
+
+
+def _t(m, s=0):
+    return datetime(2024, 3, 1, 10, m, s)
+
+
+def _batch_df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
+
+
+ROWS = [
+    # user 1: events at 10:00:00, 10:04:00 (merge, diff < 300), then
+    # 10:09:00 (lands exactly on the session end 10:04+300 → still
+    # MERGES, the frozen touching-windows rule), then 10:20:00 (diff
+    # 660 > 300 → new session)
+    (1, _t(0), 1, "view", 1.0, "{}"),
+    (2, _t(4), 1, "view", 2.0, "{}"),
+    (3, _t(9), 1, "view", 4.0, "{}"),
+    (4, _t(20), 1, "view", 8.0, "{}"),
+    # user 2: one lone event
+    (5, _t(1), 2, "click", 16.0, "{}"),
+]
+
+
+def test_gap_boundary_semantics_batch(spark):
+    out = session_event_stats(_batch_df(spark, ROWS), gap_seconds=300)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in out.collect()
+    )
+    gap = timedelta(seconds=300)
+    want = sorted(
+        [
+            (1, _t(0), _t(9) + gap, 3, 7.0),    # 10:00+10:04+10:09 merged
+            (1, _t(20), _t(20) + gap, 1, 8.0),
+            (2, _t(1), _t(1) + gap, 1, 16.0),
+        ]
+    )
+    assert got == want
+
+
+def test_guard(spark):
+    with pytest.raises(ValueError, match="gap_seconds"):
+        session_event_stats(_batch_df(spark, ROWS), gap_seconds=0)
+
+
+def test_stream_equals_batch_and_appends_once(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    now = time.time()
+    # batch 1: the first three user-1 events (two sessions, one still open)
+    _write_events(src / "a.parquet", ROWS[:3], now - 100)
+    # batch 2: 10:20 event + a far-future event advancing the watermark
+    # past every earlier session's end → all four sessions finalize
+    _write_events(
+        src / "b.parquet",
+        [ROWS[3], ROWS[4], (9, datetime(2024, 3, 1, 13, 0), 3, "view", 0.5, "{}")],
+        now - 50,
+    )
+
+    out = tmp_path / "out"
+    q = (
+        session_event_stats(
+            read_events_stream(spark, str(src), max_files_per_trigger=1),
+            gap_seconds=300,
+            watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out)).filter("user_id != 3")
+    batch = session_event_stats(
+        _batch_df(spark, ROWS), gap_seconds=300
+    )
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in batch.collect())
+    assert got_rows == want_rows  # stream sessions ≡ batch sessions
+    # append mode: each session reached the sink exactly once
+    assert got.count() == got.distinct().count() == 3
