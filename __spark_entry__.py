@@ -1678,6 +1678,14 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _q_doc_gopher_ngram(spark, sf_dir):
+    """Gopher/RefinedWeb word-n-gram repetition fractions: top-gram
+    coverage (n=2..4) and duplicate-gram coverage (n=5..10)."""
+    from pyocr_spark.functions.text_stats import gopher_ngram_rep
+
+    return gopher_ngram_rep(_docs(spark, sf_dir))
+
+
 def _q_events_session_windows(spark, sf_dir):
     """Spark's NATIVE session_window operator (dynamic gap-merged
     windows), batch shape of streaming/windowed.session_event_stats —
@@ -1873,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
+        "doc_gopher_ngram": _q_doc_gopher_ngram,
         "events_session_windows": _q_events_session_windows,
         "extractor_agreement": _q_extractor_agreement,
         "cdx_ingest": _q_cdx_ingest,
@@ -2401,6 +2410,59 @@ _UNIGRAM_NLL_SQL = (
 )
 
 
+def _gopher_ngram_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+) -> str:
+    """DuckDB replay of functions/text_stats.gopher_ngram_rep: per n,
+    overlapping word n-grams via list slicing, counts per (doc, gram),
+    top pick by (count DESC, gram) and duplicate mass by count>=2 —
+    mechanism differs from the Spark sorted-run fold, values must not."""
+    ctes = [
+        "tok AS (SELECT doc_id, list_filter(string_split_regex("
+        "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+        "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents)"
+    ]
+    sels = ["d.doc_id"]
+    joins = []
+    for n in top_ns + dup_ns:
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, unnest(CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(generate_series(1, len(w)-{n}+1), "
+            f"i -> array_to_string(w[i:i+{n}-1], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END) AS gram FROM tok)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, gram, count(*) AS c, "
+            f"count(*)*length(gram) AS mass FROM g{n} GROUP BY 1, 2)"
+        )
+    for n in top_ns:
+        ctes.append(
+            f"t{n} AS (SELECT doc_id, mass, total FROM (SELECT doc_id, mass, "
+            f"sum(mass) OVER (PARTITION BY doc_id) AS total, "
+            f"row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn "
+            f"FROM c{n}) WHERE rn = 1)"
+        )
+        sels.append(
+            f"CAST(t{n}.mass AS DOUBLE) / CAST(t{n}.total AS DOUBLE) AS top_{n}_frac"
+        )
+        joins.append(f"LEFT JOIN t{n} ON d.doc_id = t{n}.doc_id")
+    for n in dup_ns:
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN mass ELSE 0 END) "
+            f"AS BIGINT) AS dupm, CAST(sum(mass) AS BIGINT) AS total "
+            f"FROM c{n} GROUP BY 1)"
+        )
+        sels.append(
+            f"CAST(s{n}.dupm AS DOUBLE) / CAST(s{n}.total AS DOUBLE) AS dup_{n}_frac"
+        )
+        joins.append(f"LEFT JOIN s{n} ON d.doc_id = s{n}.doc_id")
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT " + ", ".join(sels)
+        + " FROM documents d " + " ".join(joins)
+    )
+
+
 _DSIR_WEIGHTS_CTE = (
     # hashed unigram+bigram features over the engine-wide ws tokenization,
     # md5 bucket hash (portable family), add-one smoothing — the exact
@@ -2622,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT reason, CAST(count(*) AS BIGINT) AS n_lines, "
             "min(line) AS sample FROM c WHERE reason IS NOT NULL GROUP BY reason"
         ),
+        "doc_gopher_ngram": _gopher_ngram_sql(),
         "events_session_windows": (
             # gaps-and-islands replay of the native session window:
             # new session iff diff > gap (touching windows merge),

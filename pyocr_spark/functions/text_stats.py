@@ -449,6 +449,129 @@ def _dup_mass(elems):
     return n, F.size(F.array_distinct(s)), total, dup_chars
 
 
+def _run_stats(elems):
+    """(total_chars, dup_chars, best_cnt, best_gram) over a string array
+    via ONE fold over the sorted array: runs of equal elements are
+    adjacent after sorting, so the scan closes a run whenever the value
+    changes — duplicate char mass from runs ≥ 2, most-frequent element
+    from the longest run (strictly-greater update ⇒ the first, i.e.
+    smallest, max-count element wins ties). Linear per doc, no explode,
+    no shuffle.
+
+    Everything comes from a SINGLE F.aggregate whose input is the sorted
+    array: HOF lambdas INLINE their bound expressions, so an index-probe
+    formulation (aggregate over sequence(1,n) + element_at(sorted, i))
+    re-sorts the array per probe — measured ~2 s/doc on 100-token docs
+    across 9 n values; this shape is milliseconds."""
+    s = F.sort_array(elems)
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup"),
+        zero.alias("best_cnt"),
+        F.lit(None).cast("string").alias("best"),
+        zero.alias("total"),
+    )
+
+    def close(acc):
+        # fold the open run into (dup, best_cnt, best)
+        better = acc["run"] > acc["best_cnt"]
+        run_chars = acc["run"] * F.coalesce(F.length(acc["prev"]), F.lit(0))
+        return (
+            acc["dup"] + F.when(acc["run"] >= 2, run_chars).otherwise(F.lit(0)),
+            F.when(better, acc["run"]).otherwise(acc["best_cnt"]),
+            F.when(better, acc["prev"]).otherwise(acc["best"]),
+        )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        dup, bc, bg = close(acc)
+        one = F.lit(1).cast("bigint")
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(one).alias("run"),
+            F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
+            F.when(same, acc["best_cnt"]).otherwise(bc).alias("best_cnt"),
+            F.when(same, acc["best"]).otherwise(bg).alias("best"),
+            (acc["total"] + F.length(x)).alias("total"),
+        )
+
+    def finish(acc):
+        dup, bc, bg = close(acc)
+        return F.struct(
+            acc["total"].alias("total"),
+            dup.alias("dup"),
+            bc.alias("best_cnt"),
+            bg.alias("best"),
+        )
+
+    return F.aggregate(s, init, step, finish)
+
+
+def _word_ngrams(toks, n: int):
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_ngram_rep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher word-n-gram repetition fractions (Rae et al. 2021 §A1.1,
+    also the RefinedWeb filter set): for small n the fraction of
+    characters inside the MOST FREQUENT n-gram (``top_{n}_frac``), for
+    larger n the fraction of characters inside n-grams occurring ≥ 2
+    times (``dup_{n}_frac``) — the signals that catch phrase-level spam
+    loops token- and line-level repetition miss. One codegen pass, no
+    Python, no shuffle, no explode.
+
+    Frozen spec: tokens are the engine-wide ws split (empties dropped);
+    an n-gram's characters = length of the tokens joined by single
+    spaces; denominators count OVERLAPPING gram occurrences (every gram
+    window weighs its full length — the standard simplification of the
+    paper's coverage measure, same convention both fraction families);
+    top-count ties go to the lexicographically smallest gram; docs with
+    fewer than n tokens yield NULL for that n (no grams ≠ no
+    repetition). Fractions are bare IEEE divisions of exact integers.
+
+    Plan shape: tokens project ONCE into an attribute (so the gram
+    lambdas bind a column, not an inlined re-splitting expression), all
+    9 run-stat structs evaluate in one projection, fractions in a second
+    — still a single narrow stage, zero shuffle.
+    """
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), toks.alias("_w"))
+    mids = [F.col(id_col)]
+    for n in top_ns + dup_ns:
+        mids.append(_run_stats(_word_ngrams(F.col("_w"), n)).alias(f"_s{n}"))
+    mid = base.select(mids)
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        s = F.col(f"_s{n}")
+        cols.append(
+            frac(s["best_cnt"] * F.length(s["best"]), s["total"]).alias(
+                f"top_{n}_frac"
+            )
+        )
+    for n in dup_ns:
+        s = F.col(f"_s{n}")
+        cols.append(frac(s["dup"], s["total"]).alias(f"dup_{n}_frac"))
+    return mid.select(cols)
+
+
 def gopher_repetition(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

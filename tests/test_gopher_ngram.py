@@ -1,0 +1,97 @@
+"""Gopher n-gram repetition fractions: independent Python model
+equality, spam discrimination, tie-break, short-doc NULLs."""
+
+import re
+
+import pytest
+
+from pyocr_spark.functions.text_stats import gopher_ngram_rep
+
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def _py_fracs(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    toks = [t for t in _WS_RE.split(text.strip("\t\n\f\r ")) if t] if text else []
+    out = {}
+    for n in top_ns + dup_ns:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        total = sum(len(g) for g in grams)
+        counts: dict[str, int] = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        if n in top_ns:
+            key = f"top_{n}_frac"
+            if not grams:
+                out[key] = None
+            else:
+                cnt = max(counts.values())
+                # tie-break: smallest gram among max counts
+                best = min(g for g, c in counts.items() if c == cnt)
+                out[key] = (cnt * len(best)) / total
+        else:
+            key = f"dup_{n}_frac"
+            if not grams:
+                out[key] = None
+            else:
+                dup = sum(c * len(g) for g, c in counts.items() if c >= 2)
+                out[key] = dup / total
+    return out
+
+
+DOCS = [
+    (0, "buy now buy now buy now buy now buy now"),
+    (1, "the quick brown fox jumps over the lazy dog and then the quick brown fox naps"),
+    (2, "alpha beta alpha beta gamma gamma alpha beta"),
+    (3, "one two three"),          # too short for n >= 4
+    (4, ""),                        # empty
+    (5, None),                      # NULL text
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in gopher_ngram_rep(df).collect()}
+
+
+def test_matches_python_model(result):
+    for doc_id, text in DOCS:
+        want = _py_fracs(text or "")
+        got = result[doc_id]
+        for k, v in want.items():
+            if v is None:
+                assert got[k] is None, (doc_id, k, got[k])
+            else:
+                assert got[k] == pytest.approx(v, abs=1e-12), (doc_id, k)
+
+
+def test_spam_scores_higher_than_prose(result):
+    # "buy now" loop: its top bigram covers most of the doc and every
+    # 5-gram repeats; prose stays low on both
+    assert result[0]["top_2_frac"] > 0.5 > result[1]["top_2_frac"]
+    assert result[0]["dup_5_frac"] > 0.9
+    assert result[1]["dup_5_frac"] == 0.0
+
+
+def test_short_and_empty_docs_yield_null(result):
+    assert result[3]["top_4_frac"] is None  # 3 tokens, no 4-grams
+    assert result[3]["top_2_frac"] is not None
+    for n in (5, 6, 7, 8, 9, 10):
+        assert result[3][f"dup_{n}_frac"] is None
+    for k, v in result[4].items():
+        if k != "doc_id":
+            assert v is None
+    for k, v in result[5].items():
+        if k != "doc_id":
+            assert v is None
+
+
+def test_tie_break_smallest_gram(spark):
+    # bigrams: "b b" x2, "a a" x2 (plus bridges); tie → "a a" wins
+    df = spark.createDataFrame(
+        [(0, "b b b a a a")], "doc_id long, text string"
+    )
+    row = gopher_ngram_rep(df, top_ns=(2,), dup_ns=()).head()
+    # grams: "b b","b b","b a","a a","a a" → tie between "a a" and "b b"
+    # (2 each); smallest gram "a a" has len 3, total chars 15
+    assert row["top_2_frac"] == pytest.approx(2 * 3 / 15)
