@@ -1814,6 +1814,46 @@ def _q_docs_dsir_sample(spark, sf_dir):
     return dsir_sample(docs, target, k=25, buckets=4096, portable=True)
 
 
+def _q_docs_clf_weights(spark, sf_dir):
+    """GPT-3-style quality classifier (operators/qualityclf, Brown et
+    al. 2020 App. A): hashed-ngram logistic regression trained by
+    integer-deterministic full-batch GD, docs mentioning 'spark' as the
+    curated positive class (the synthetic corpus's lang label is
+    uncorrelated with its text, so the learnable marker is textual).
+    Output = the full (≤ buckets+1)-row weight table."""
+    from pyocr_spark.operators.qualityclf import train_quality_clf
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.filter(F.col("text").contains("spark")).select("doc_id")
+    return train_quality_clf(docs, pos, buckets=4096, iters=3, portable=True)
+
+
+def _q_docs_clf_scores(spark, sf_dir):
+    """Every document scored by the trained classifier — the corpus-wide
+    quality signal GPT-3 thresholds; micro-unit sigmoid, bit-identical
+    across partitionings."""
+    from pyocr_spark.operators.qualityclf import (
+        quality_clf_scores,
+        train_quality_clf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.filter(F.col("text").contains("spark")).select("doc_id")
+    w = train_quality_clf(docs, pos, buckets=4096, iters=3, portable=True)
+    return quality_clf_scores(docs, w, buckets=4096, portable=True)
+
+
+def _q_docs_clf_filter(spark, sf_dir):
+    """GPT-3's keep rule: admit iff Pareto(9) > 1 − score, with the
+    Pareto draw content-addressed so the admitted set is deterministic
+    and layout-independent."""
+    from pyocr_spark.operators.qualityclf import quality_clf_filter
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.filter(F.col("text").contains("spark")).select("doc_id")
+    return quality_clf_filter(docs, pos, buckets=4096, iters=3, portable=True)
+
+
 def _q_lineitem_skew_join(spark, sf_dir):
     """Salted skew-join (operators/skewjoin): lineitem⋈orders spread over
     8 salt partitions — result must be bit-identical to the plain join
@@ -1958,6 +1998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_skew_join": _q_lineitem_skew_join,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_dsir_sample": _q_docs_dsir_sample,
+        "docs_clf_weights": _q_docs_clf_weights,
+        "docs_clf_scores": _q_docs_clf_scores,
+        "docs_clf_filter": _q_docs_clf_filter,
         "events_profile_skew_join": _q_events_profile_skew_join,
         "customer_order_totals": _q_customer_order_totals,
         "events_hourly": _q_events_hourly,
@@ -2493,6 +2536,96 @@ _DSIR_WEIGHTS_CTE = (
 )
 
 _DSIR_WEIGHTS_SQL = f"WITH {_DSIR_WEIGHTS_CTE} SELECT * FROM dsir_w"
+
+def _clf_cte(iters: int = 3, buckets: int = 4096, lr: int = 500_000) -> str:
+    """DuckDB replay of operators/qualityclf.train_quality_clf: every GD
+    iteration unrolled as CTEs (the pagerank-unroll pattern). Floor
+    division is ``(a - ((a % b + b) % b)) // b`` — DuckDB's ``%`` takes
+    the dividend's sign, the double-mod makes it non-negative, and
+    truncating vs flooring division agree on the resulting exact
+    multiple. Positive class = text contains 'spark'."""
+    fd_n = "(({g} - (({g} % n + n) % n)) // n)"
+    parts = [
+        # hashed unigram+bigram features (the DSIR md5 family) + the
+        # per-doc intercept pseudo-feature -1
+        "tok AS (SELECT doc_id, list_filter(string_split_regex("
+        "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+        "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents)",
+        "gr AS (SELECT doc_id, list_concat(w, CASE WHEN len(w) >= 2 THEN "
+        "list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) "
+        "ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok)",
+        "rawx AS (SELECT doc_id, unnest(g) AS gram FROM gr)",
+        "rawf AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) "
+        f"% {buckets} AS INT) AS feat, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM rawx GROUP BY 1, 2)",
+        "feats AS (SELECT doc_id, feat, cnt FROM rawf UNION ALL "
+        "SELECT doc_id, -1, CAST(1 AS BIGINT) FROM documents)",
+        "lab AS (SELECT doc_id, CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END "
+        "AS y FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        # iteration 1: w ≡ 0 → p ≡ 500000 exactly
+        "r0 AS (SELECT doc_id, CAST(y * 1000000 - 500000 AS BIGINT) AS resid FROM lab)",
+        "g0 AS (SELECT feat, CAST(sum(cnt * resid) AS BIGINT) AS grad "
+        "FROM feats JOIN r0 USING (doc_id) GROUP BY feat)",
+    ]
+    upd = (
+        "CAST(((d2 - ((d2 % 1000000 + 1000000) % 1000000)) // 1000000) AS BIGINT)"
+    )
+    inner0 = fd_n.format(g="grad")
+    parts.append(
+        f"w1 AS (SELECT feat, {upd.replace('d2', f'({lr} * {inner0})')} AS w "
+        "FROM g0 CROSS JOIN nn)"
+    )
+    for t in range(1, iters):
+        parts.append(
+            f"l{t} AS (SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS logit "
+            f"FROM feats JOIN w{t} USING (feat) GROUP BY doc_id)"
+        )
+        parts.append(
+            f"p{t} AS (SELECT doc_id, CAST(round(1000000.0 / "
+            "(1.0 + exp(-CAST(logit AS DOUBLE) / 1000000.0)), 0) AS BIGINT) AS p "
+            f"FROM l{t})"
+        )
+        parts.append(
+            f"r{t} AS (SELECT lab.doc_id, CAST(y * 1000000 - p AS BIGINT) AS resid "
+            f"FROM lab JOIN p{t} USING (doc_id))"
+        )
+        parts.append(
+            f"g{t} AS (SELECT feat, CAST(sum(cnt * resid) AS BIGINT) AS grad "
+            f"FROM feats JOIN r{t} USING (doc_id) GROUP BY feat)"
+        )
+        innert = fd_n.format(g="grad")
+        parts.append(
+            f"w{t + 1} AS (SELECT feat, w + {upd.replace('d2', f'({lr} * {innert})')} "
+            f"AS w FROM g{t} JOIN w{t} USING (feat) CROSS JOIN nn)"
+        )
+    return ", ".join(parts)
+
+
+_CLF_WEIGHTS_SQL = (
+    f"WITH {_clf_cte()} SELECT feat, w AS w_micro FROM w3"
+)
+
+_CLF_SCORES_CTE = (
+    f"{_clf_cte()}, "
+    "sl AS (SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS logit "
+    "FROM feats JOIN w3 USING (feat) GROUP BY doc_id), "
+    "scores AS (SELECT doc_id, CAST(round(1000000.0 / "
+    "(1.0 + exp(-CAST(logit AS DOUBLE) / 1000000.0)), 0) AS BIGINT) AS score_micro "
+    "FROM sl)"
+)
+
+_CLF_SCORES_SQL = f"WITH {_CLF_SCORES_CTE} SELECT * FROM scores"
+
+_CLF_FILTER_SQL = (
+    f"WITH {_CLF_SCORES_CTE}, "
+    "drawn AS (SELECT doc_id, score_micro, CAST(round((pow(1.0 - "
+    "((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15)) "
+    "AS BIGINT) % 1000000007 AS DOUBLE) + 0.5) / 1000000007.0), "
+    "-1.0 / 9.0) - 1.0) * 1000000.0, 0) AS BIGINT) AS pareto_micro FROM scores) "
+    "SELECT doc_id, score_micro, pareto_micro FROM drawn "
+    "WHERE pareto_micro + score_micro > 1000000"
+)
 
 _DSIR_SAMPLE_SQL = (
     f"WITH {_DSIR_WEIGHTS_CTE}, "
@@ -3400,6 +3533,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_dsir_weights": _DSIR_WEIGHTS_SQL,
         "docs_dsir_sample": _DSIR_SAMPLE_SQL,
+        "docs_clf_weights": _CLF_WEIGHTS_SQL,
+        "docs_clf_scores": _CLF_SCORES_SQL,
+        "docs_clf_filter": _CLF_FILTER_SQL,
         "lineitem_skew_join": (
             "SELECT l_orderkey, l_linenumber, "
             "CAST(l_quantity AS DOUBLE) AS quantity, o_orderstatus, o_orderpriority "

@@ -1,0 +1,277 @@
+"""GPT-3-style quality classifier: hashed-ngram logistic regression
+trained distributedly, scored corpus-wide, Pareto-thresholded keep rule.
+
+Brown et al. 2020 (GPT-3, Appendix A) filtered Common Crawl with a
+logistic regression over hashed token features (Spark's HashingTF + LR
+in the original), trained to separate a curated high-quality corpus
+(positive) from raw web text (negative), then kept a raw document iff
+``np.random.pareto(9) > 1 - score`` — a soft threshold that admits some
+low-scoring docs to avoid distribution collapse. This module
+re-implements that pipeline from scratch on DataFrame primitives — no
+MLlib — because the engine's correctness gate demands bit-identical,
+oracle-replayable results, which an LBFGS fit cannot give.
+
+Spark shape at 10^12 raw docs:
+
+- features reuse ``operators/dsir.hashed_ngram_features`` — ONE
+  tokenize+explode pass into a persisted map-side-combined
+  ``(doc, feat, cnt)`` aggregate; an intercept pseudo-feature
+  (``feat = -1, cnt = 1``) is unioned in per doc so the bias trains
+  through the same path as every weight;
+- the weight table is at most ``buckets + 1`` rows and BROADCASTS onto
+  the feature table each iteration; per iteration the plan is two
+  map-side-combined aggregates (per-doc logit, per-feature gradient) —
+  the fixed 2-shuffles/iteration discipline of ``webgraph.pagerank``;
+- weights are ``localCheckpoint``-materialized per iteration so the
+  lineage stays O(1) deep, and the corpus explode never re-runs (the
+  feature table is the persisted substrate);
+- labels arrive as a broadcast semi-join against the positive-id set —
+  the curated corpus is small by definition;
+- scoring is one broadcast join + per-doc aggregate; the Pareto filter
+  is a narrow filter with CONTENT-ADDRESSED noise (hash-derived u, the
+  ``dsir_sample`` trick), so the "random" keep decision is reproducible
+  across re-runs, resumes, and cluster sizes.
+
+Determinism contract (the oracle gate hashes values): all arithmetic
+that crosses an aggregation boundary is BIGINT micro-units — the
+sigmoid output and the Pareto draw are rounded to micro BEFORE any
+comparison or sum, and the learning-rate update uses an explicit
+FLOOR division built from ``pmod`` (Spark's ``div`` truncates toward
+zero, DuckDB's ``//`` floors — both agree on exact multiples, so the
+``(a - pmod(a, b)) / b`` form is engine-portable for negative
+gradients). Gradient magnitudes are bounded by dividing by n BEFORE the
+learning-rate multiply: ``grad_f ≤ 10^6 · Σ_docs cnt_f`` can exceed
+2^63 at corpus scale, but ``floordiv(grad_f, n) ≤ 10^6 · max cnt``
+cannot. exp()/ln() of identical inputs agree bitwise between the JVM
+and DuckDB (tfidf/unigram/dsir precedent); a last-ulp divergence would
+need to land within ~1e-10 of a .5 micro boundary to flip a rounding.
+
+``portable=True`` uses the md5 hash family with an exact DuckDB oracle;
+production keeps xxhash64 (JVM-side, faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dsir import DEFAULT_BUCKETS, _U_MOD, hashed_ngram_features
+
+_MICRO = 1_000_000
+#: intercept pseudo-feature id — outside pmod's [0, buckets) range.
+INTERCEPT_FEAT = -1
+
+
+def _floordiv(a: Column, b: Column) -> Column:
+    """Exact floor division for BIGINT a, positive BIGINT b.
+
+    ``a - pmod(a, b)`` is an exact multiple of b, so its quotient is an
+    exact integer; the division runs in DECIMAL(38) (not double — a
+    double quotient loses exactness past 2^53) and the result survives
+    the 6-digit result scale unchanged because it has no fractional
+    part. The DuckDB replay is ``(a - ((a % b + b) % b)) // b`` —
+    truncating and flooring division agree on exact multiples."""
+    exact = (a - F.pmod(a, b)).cast("decimal(38,0)")
+    return (exact / b.cast("decimal(38,0)")).cast("bigint")
+
+
+def _sigmoid_micro(logit_micro: Column) -> Column:
+    """round(10^6 · σ(logit_micro / 10^6)) as BIGINT.
+
+    σ(0) = 0.5 rounds to exactly 500000; exp overflow for very negative
+    logits yields +inf → 0 identically on the JVM and DuckDB."""
+    p = F.lit(float(_MICRO)) / (
+        F.lit(1.0) + F.exp(-logit_micro.cast("double") / F.lit(float(_MICRO)))
+    )
+    return F.round(p, 0).cast("bigint")
+
+
+def _label_docs(docs: DataFrame, positive: DataFrame, id_col: str) -> DataFrame:
+    """(id, y) with y = 1 for ids present in ``positive``, else 0."""
+    pos = positive.select(F.col(id_col)).distinct().withColumn("_pos", F.lit(1))
+    return docs.select(id_col).join(F.broadcast(pos), id_col, "left").select(
+        id_col, F.coalesce(F.col("_pos"), F.lit(0)).alias("y")
+    )
+
+
+def _clf_features(
+    docs: DataFrame, text_col: str, id_col: str, buckets: int, portable: bool
+) -> DataFrame:
+    """Hashed unigram+bigram counts plus the per-doc intercept row."""
+    ngrams = hashed_ngram_features(docs, text_col, id_col, buckets, portable)
+    intercept = docs.select(
+        F.col(id_col),
+        F.lit(INTERCEPT_FEAT).alias("feat"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return ngrams.select(id_col, "feat", F.col("cnt").cast("long")).unionByName(
+        intercept
+    )
+
+
+def train_quality_clf(
+    docs: DataFrame,
+    positive: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    iters: int = 3,
+    lr_micro: int = 500_000,
+    portable: bool = False,
+) -> DataFrame:
+    """Full-batch logistic-regression training → ``(feat, w_micro)``.
+
+    Frozen update spec (replayed verbatim by the oracle and the pure-
+    Python reference model in ``test_qualityclf``), per iteration t:
+
+    - ``logit_d = Σ_f cnt_df · w_f``            (BIGINT micro; 0 at t=0)
+    - ``p_d = round(10^6 σ(logit_d / 10^6))``   (micro BIGINT)
+    - ``grad_f = Σ_d cnt_df · (y_d · 10^6 − p_d)``
+    - ``w_f += floordiv(lr_micro · floordiv(grad_f, n), 10^6)``
+
+    where n = document count (broadcast 1-row aggregate, never a
+    collect). Weights start at zero; every feature present in the
+    corpus receives a row each iteration (the gradient table is keyed
+    by the feature table's feats), so the returned table has one row
+    per distinct feature including the intercept.
+
+    Cache lifecycle: the feature substrate persists for the duration of
+    training and is unpersisted before returning; weights are
+    localCheckpoint-materialized per iteration (lineage truncation, the
+    pagerank discipline)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr_micro < 1:
+        raise ValueError(f"lr_micro must be >= 1, got {lr_micro}")
+    feats = _clf_features(docs, text_col, id_col, buckets, portable).persist()
+    labels = _label_docs(docs, positive, id_col)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+
+    weights: DataFrame | None = None
+    for _ in range(iters):
+        if weights is None:
+            # w ≡ 0 → logit ≡ 0 → p ≡ 500000 exactly; skip the join.
+            resid = labels.select(
+                id_col,
+                (F.col("y").cast("long") * _MICRO - F.lit(500_000)).alias("resid"),
+            )
+        else:
+            logits = (
+                feats.join(F.broadcast(weights), "feat")
+                .select(id_col, (F.col("cnt") * F.col("w_micro")).alias("m"))
+                .groupBy(id_col)
+                .agg(F.sum("m").alias("logit_micro"))
+            )
+            resid = labels.join(logits, id_col).select(
+                id_col,
+                (
+                    F.col("y").cast("long") * _MICRO
+                    - _sigmoid_micro(F.col("logit_micro"))
+                ).alias("resid"),
+            )
+        grads = (
+            feats.join(resid, id_col)
+            .select("feat", (F.col("cnt") * F.col("resid")).alias("g"))
+            .groupBy("feat")
+            .agg(F.sum("g").alias("grad"))
+        )
+        delta = grads.join(F.broadcast(n_docs)).select(
+            "feat",
+            _floordiv(
+                F.lit(lr_micro).cast("bigint")
+                * _floordiv(F.col("grad"), F.col("n").cast("bigint")),
+                F.lit(_MICRO).cast("bigint"),
+            ).alias("delta"),
+        )
+        if weights is None:
+            weights = delta.select("feat", F.col("delta").alias("w_micro"))
+        else:
+            weights = (
+                delta.join(F.broadcast(weights), "feat", "left")
+                .select(
+                    "feat",
+                    (
+                        F.coalesce(F.col("w_micro"), F.lit(0).cast("bigint"))
+                        + F.col("delta")
+                    ).alias("w_micro"),
+                )
+            )
+        weights = weights.localCheckpoint()
+    feats.unpersist()
+    return weights
+
+
+def quality_clf_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    portable: bool = False,
+) -> DataFrame:
+    """Score every document: ``(id, score_micro)``.
+
+    ``score_micro = round(10^6 σ(Σ_f cnt_f w_f / 10^6))`` — one
+    broadcast join of the (≤ buckets+1)-row weight table onto the
+    feature pass plus one map-side-combined per-doc aggregate. Features
+    hashed into buckets the weight table never saw score through w = 0
+    (the inner join simply drops them, matching Σ with a zero term).
+    Every doc keeps a row: the intercept row guarantees at least one
+    joined feature when the intercept trained, and a left join on the
+    doc spine covers pathological empty-weight tables (score = σ(0))."""
+    feats = _clf_features(docs, text_col, id_col, buckets, portable)
+    logits = (
+        feats.join(F.broadcast(weights), "feat")
+        .select(id_col, (F.col("cnt") * F.col("w_micro")).alias("m"))
+        .groupBy(id_col)
+        .agg(F.sum("m").alias("logit_micro"))
+    )
+    return docs.select(id_col).join(logits, id_col, "left").select(
+        id_col,
+        _sigmoid_micro(
+            F.coalesce(F.col("logit_micro"), F.lit(0).cast("bigint"))
+        ).alias("score_micro"),
+    )
+
+
+def quality_clf_filter(
+    docs: DataFrame,
+    positive: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    iters: int = 3,
+    lr_micro: int = 500_000,
+    alpha: int = 9,
+    salt: str = "",
+    portable: bool = False,
+) -> DataFrame:
+    """GPT-3's keep rule: train, score, keep iff
+    ``Pareto(alpha) > 1 - score``.
+
+    The Pareto draw is Lomax-shaped, ``x = (1-u)^(-1/alpha) - 1``
+    (numpy's ``np.random.pareto``), with u CONTENT-ADDRESSED from the
+    portable hash of ``id:salt`` — the same deterministic-noise trick
+    as ``dsir_sample``, so the admitted set is reproducible across
+    layouts and re-runs while still admitting a tail of low-scoring
+    docs. Both sides round to micro BIGINT before the strict compare.
+
+    Returns kept docs: ``(id, score_micro, pareto_micro)``."""
+    if alpha < 1:
+        raise ValueError(f"alpha must be >= 1, got {alpha}")
+    from pyocr_spark.operators.dedup import _portable_hash64
+
+    w = train_quality_clf(
+        docs, positive, text_col, id_col, buckets, iters, lr_micro, portable
+    )
+    scores = quality_clf_scores(docs, w, text_col, id_col, buckets, portable)
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    u = (
+        F.pmod(_portable_hash64(keyed), F.lit(_U_MOD)).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_U_MOD))
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
+    pareto_micro = F.round(pareto * F.lit(float(_MICRO)), 0).cast("bigint")
+    out = scores.withColumn("pareto_micro", pareto_micro)
+    return out.filter(
+        F.col("pareto_micro") + F.col("score_micro") > F.lit(_MICRO).cast("bigint")
+    )

@@ -621,6 +621,30 @@ def main() -> int:
           len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 1
           and "partial" in p.lower(), "")
 
+    # 39. quality-classifier scoring: the (≤ buckets+1)-row weight table
+    # must BROADCAST onto the feature pass (never a shuffled join of the
+    # corpus against a 4k-row table), with map-side partial aggregation
+    # of the per-doc logit sum. The weight table itself is materialized
+    # (localCheckpoint) by training, so the scoring plan is flat.
+    from pyocr_spark.operators.qualityclf import (
+        quality_clf_scores, train_quality_clf,
+    )
+    from pyspark.sql import functions as _F
+    _docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _w = train_quality_clf(
+        _docs_df, _docs_df.filter(_F.col("text").contains("spark")).select("doc_id"),
+        buckets=4096, iters=1, portable=False,
+    )
+    df = quality_clf_scores(_docs_df, _w, buckets=4096, portable=False)
+    p = plan_of(df)
+    sections.append(("docs_clf_scores", p))
+    check("docs_clf_scores", "weights join is BroadcastHashJoin",
+          "BroadcastHashJoin" in p, "")
+    check("docs_clf_scores", "partial aggregation of per-doc logits",
+          "partial" in p.lower(), "")
+    check("docs_clf_scores", "no NLJ/cartesian anywhere",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

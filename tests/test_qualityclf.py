@@ -1,0 +1,205 @@
+"""GPT-3-style quality classifier: equality against an independent
+pure-Python reference model, prose-vs-junk discrimination, layout
+invariance, deterministic Pareto filtering, validation guards."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.qualityclf import (
+    INTERCEPT_FEAT,
+    _U_MOD,
+    quality_clf_filter,
+    quality_clf_scores,
+    train_quality_clf,
+)
+
+BUCKETS = 64  # small space so hash collisions actually happen
+
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def _py_tokens(text):
+    return [t for t in _WS_RE.split(text.strip("\t\n\f\r ")) if t]
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_feats(text, buckets=BUCKETS):
+    w = _py_tokens(text)
+    grams = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+    out = {INTERCEPT_FEAT: 1}
+    for g in grams:
+        f = _py_hash60(g) % buckets
+        out[f] = out.get(f, 0) + 1
+    return out
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _py_sigmoid_micro(logit_micro: int) -> int:
+    try:
+        e = math.exp(-logit_micro / 1_000_000.0)
+    except OverflowError:
+        return 0
+    return _round_half_away(1_000_000.0 / (1.0 + e))
+
+
+def _py_train(docs, pos_ids, buckets=BUCKETS, iters=3, lr_micro=500_000):
+    """Independent model: docs is {id: text}; replays the frozen update
+    spec (micro-BIGINT rounding, floor divisions) with dict arithmetic."""
+    feats = {i: _py_feats(t, buckets) for i, t in docs.items()}
+    n = len(docs)
+    w: dict[int, int] = {}
+    for _ in range(iters):
+        grad: dict[int, int] = {}
+        for i, fs in feats.items():
+            logit = sum(c * w.get(f, 0) for f, c in fs.items())
+            p = 500_000 if not w else _py_sigmoid_micro(logit)
+            resid = (1_000_000 if i in pos_ids else 0) - p
+            for f, c in fs.items():
+                grad[f] = grad.get(f, 0) + c * resid
+        for f, g in grad.items():
+            w[f] = w.get(f, 0) + (lr_micro * (g // n)) // 1_000_000
+    return w
+
+
+def _py_scores(docs, w, buckets=BUCKETS):
+    out = {}
+    for i, t in docs.items():
+        logit = sum(c * w.get(f, 0) for f, c in _py_feats(t, buckets).items())
+        out[i] = _py_sigmoid_micro(logit)
+    return out
+
+
+PROSE = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a calm morning walk along the river with the dog and the fox",
+    "she read the book by the window while rain fell on the garden",
+    "the old clock on the wall ticked softly through the long evening",
+    "fresh bread and warm soup waited on the table by the fire",
+]
+
+JUNK = [
+    "click here buy now cheap cheap cheap discount offer offer",
+    "xz qq zz xx qq zz xz qq xx zz qq xz",
+    "win win win free free free casino casino jackpot jackpot",
+    "aaa bbb aaa bbb aaa bbb aaa bbb aaa bbb",
+    "lorem lorem lorem lorem lorem lorem lorem lorem",
+]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i, t in enumerate(PROSE):
+        rows.append((i, t, "en"))
+    for i, t in enumerate(JUNK):
+        rows.append((100 + i, t, "xx"))
+    return _docs_df(spark, rows)
+
+
+def test_weights_match_python_reference(spark, corpus):
+    pos = corpus.filter(F.col("lang") == "en").select("doc_id")
+    w = train_quality_clf(corpus, pos, buckets=BUCKETS, iters=3, portable=True)
+    got = {r["feat"]: r["w_micro"] for r in w.collect()}
+    docs = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    pos_ids = {r["doc_id"] for r in corpus.filter(F.col("lang") == "en").collect()}
+    want = _py_train(docs, pos_ids)
+    assert got == want
+
+
+def test_scores_match_python_reference(spark, corpus):
+    pos = corpus.filter(F.col("lang") == "en").select("doc_id")
+    w = train_quality_clf(corpus, pos, buckets=BUCKETS, iters=3, portable=True)
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in quality_clf_scores(corpus, w, buckets=BUCKETS, portable=True).collect()
+    }
+    docs = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    pos_ids = {i for i in docs if i < 100}
+    want = _py_scores(docs, _py_train(docs, pos_ids))
+    assert got == want
+
+
+def test_prose_scores_above_junk(spark, corpus):
+    """The trained classifier must separate the curated positives from
+    the junk negatives: every prose score above every junk score."""
+    pos = corpus.filter(F.col("lang") == "en").select("doc_id")
+    w = train_quality_clf(corpus, pos, buckets=BUCKETS, iters=3, portable=True)
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in quality_clf_scores(corpus, w, buckets=BUCKETS, portable=True).collect()
+    }
+    assert min(s for i, s in scores.items() if i < 100) > max(
+        s for i, s in scores.items() if i >= 100
+    )
+
+
+def test_layout_invariance(spark, corpus):
+    """Weights are bit-identical regardless of input partitioning —
+    the integer-sum discipline means Spark's aggregation order can't
+    leak into the result."""
+    pos = corpus.filter(F.col("lang") == "en").select("doc_id")
+    w1 = train_quality_clf(corpus, pos, buckets=BUCKETS, iters=2, portable=True)
+    w2 = train_quality_clf(
+        corpus.repartition(7, "text"), pos, buckets=BUCKETS, iters=2, portable=True
+    )
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_pareto_filter_matches_python_and_keeps_tail(spark, corpus):
+    pos = corpus.filter(F.col("lang") == "en").select("doc_id")
+    kept = quality_clf_filter(
+        corpus, pos, buckets=BUCKETS, iters=3, alpha=9, portable=True
+    ).collect()
+    docs = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    pos_ids = {i for i in docs if i < 100}
+    scores = _py_scores(docs, _py_train(docs, pos_ids))
+    want = set()
+    for i, s in scores.items():
+        u = (_py_hash60(f"{i}:") % _U_MOD + 0.5) / _U_MOD
+        x = _round_half_away(((1.0 - u) ** (-1.0 / 9.0) - 1.0) * 1_000_000.0)
+        if x + s > 1_000_000:
+            want.add(i)
+    kept_ids = {r["doc_id"] for r in kept}
+    assert kept_ids == want
+    # the soft threshold must favor the positives: prose keep-rate
+    # strictly above junk keep-rate (a score near 1 can still lose to a
+    # near-zero Pareto draw, so "all prose kept" would overclaim)
+    prose_rate = len([i for i in kept_ids if i < 100]) / len(PROSE)
+    junk_rate = len([i for i in kept_ids if i >= 100]) / len(JUNK)
+    assert prose_rate > junk_rate
+
+
+def test_intercept_only_doc_scores(spark):
+    """A zero-token doc still gets a row (intercept feature only)."""
+    rows = [(1, "good text here", "en"), (2, "", "xx")]
+    df = _docs_df(spark, rows)
+    pos = df.filter(F.col("lang") == "en").select("doc_id")
+    w = train_quality_clf(df, pos, buckets=BUCKETS, iters=2, portable=True)
+    s = quality_clf_scores(df, w, buckets=BUCKETS, portable=True)
+    got = {r["doc_id"]: r["score_micro"] for r in s.collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
+
+
+def test_validation_guards(spark, corpus):
+    pos = corpus.limit(1).select("doc_id")
+    with pytest.raises(ValueError):
+        train_quality_clf(corpus, pos, iters=0)
+    with pytest.raises(ValueError):
+        train_quality_clf(corpus, pos, lr_micro=0)
+    with pytest.raises(ValueError):
+        quality_clf_filter(corpus, pos, alpha=0)
