@@ -1814,6 +1814,15 @@ def _q_docs_dsir_sample(spark, sf_dir):
     return dsir_sample(docs, target, k=25, buckets=4096, portable=True)
 
 
+def _q_corpus_pmi_topk(spark, sf_dir):
+    """Top-25 collocations by pointwise mutual information (Church &
+    Hanks 1990) with the standard min-count floor — one corpus explode,
+    vocabulary-sized aggregates, TakeOrderedAndProject selection."""
+    from pyocr_spark.functions.text_stats import pmi_topk
+
+    return pmi_topk(_docs(spark, sf_dir), k=25, min_count=5)
+
+
 def _q_docs_clf_weights(spark, sf_dir):
     """GPT-3-style quality classifier (operators/qualityclf, Brown et
     al. 2020 App. A): hashed-ngram logistic regression trained by
@@ -1998,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_skew_join": _q_lineitem_skew_join,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_dsir_sample": _q_docs_dsir_sample,
+        "corpus_pmi_topk": _q_corpus_pmi_topk,
         "docs_clf_weights": _q_docs_clf_weights,
         "docs_clf_scores": _q_docs_clf_scores,
         "docs_clf_filter": _q_docs_clf_filter,
@@ -2536,6 +2546,33 @@ _DSIR_WEIGHTS_CTE = (
 )
 
 _DSIR_WEIGHTS_SQL = f"WITH {_DSIR_WEIGHTS_CTE} SELECT * FROM dsir_w"
+
+_PMI_TOPK_SQL = (
+    # DuckDB replay of functions/text_stats.pmi_topk(k=25, min_count=5):
+    # same addition ORDER inside the ln-sum (float addition is not
+    # associative), micro rounding before the (pmi DESC, bigram) cut
+    "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+    "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+    "'[\\t\\n\\f\\r ]+'), t -> t != '') AS w FROM documents), "
+    "u AS (SELECT unnest(w) AS tok FROM tok), "
+    "uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok), "
+    "bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+    "list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END) AS gram FROM tok), "
+    "bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY gram), "
+    "nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni), "
+    "nb AS (SELECT CAST(sum(c) AS BIGINT) AS n_bi FROM bi), "
+    "sc AS (SELECT b.gram AS bigram, b.c AS pair_count, "
+    "CAST(round((ln(CAST(b.c AS DOUBLE)) + 2.0 * ln(CAST(n_uni AS DOUBLE)) "
+    "- ln(CAST(ux.c AS DOUBLE)) - ln(CAST(uy.c AS DOUBLE)) "
+    "- ln(CAST(n_bi AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS pmi_micro "
+    "FROM bi b JOIN uni ux ON split_part(b.gram, ' ', 1) = ux.tok "
+    "JOIN uni uy ON split_part(b.gram, ' ', 2) = uy.tok "
+    "CROSS JOIN nu CROSS JOIN nb WHERE b.c >= 5) "
+    "SELECT bigram, pair_count, pmi_micro FROM sc "
+    "ORDER BY pmi_micro DESC, bigram LIMIT 25"
+)
+
 
 def _clf_cte(iters: int = 3, buckets: int = 4096, lr: int = 500_000) -> str:
     """DuckDB replay of operators/qualityclf.train_quality_clf: every GD
@@ -3533,6 +3570,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_dsir_weights": _DSIR_WEIGHTS_SQL,
         "docs_dsir_sample": _DSIR_SAMPLE_SQL,
+        "corpus_pmi_topk": _PMI_TOPK_SQL,
         "docs_clf_weights": _CLF_WEIGHTS_SQL,
         "docs_clf_scores": _CLF_SCORES_SQL,
         "docs_clf_filter": _CLF_FILTER_SQL,

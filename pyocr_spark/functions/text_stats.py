@@ -946,6 +946,110 @@ def tfidf_topk(
     )
 
 
+def pmi_topk(
+    docs: DataFrame,
+    k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    Church & Hanks 1990 association score over corpus-adjacent word
+    pairs:
+
+        PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+                 = ln(c_xy) + 2·ln(N_uni) − ln(c_x) − ln(c_y) − ln(N_bi)
+
+    with c_xy the corpus count of the adjacent pair, c_x/c_y unigram
+    counts, N_uni/N_bi the corpus unigram/bigram totals. The
+    ``min_count`` floor is the standard guard against PMI's
+    rare-pair bias (a hapax pair maximizes PMI by definition).
+
+    Shape at 10^12 docs: ONE corpus explode — unigrams and bigrams
+    leave the row as a single concatenated struct array, so the text
+    column is scanned once — into a persisted map-side-combined
+    ``(kind, gram)`` count table that is vocabulary/pair-type-sized,
+    never corpus-sized. The ``min_count`` filter applies BEFORE the two
+    token-keyed equi-joins that attach c_x/c_y (pair-type-sized shuffle
+    only); both corpus totals ride in as ONE broadcast 1-row
+    conditional-sum aggregate of the same cached table; selection is
+    (pmi DESC, bigram) via orderBy+limit = ``TakeOrderedAndProject`` —
+    only k rows cross the network. Cache lifecycle: held by
+    CacheManager until unpersist()/session end (the minhash trade-off).
+
+    Determinism contract: pmi is rounded to BIGINT micro-units before
+    ranking, and the (pmi_micro DESC, bigram) tie-break is a total
+    order, so the k-cut cannot flip on a last-ulp ln() divergence
+    (tfidf precedent). Returns (bigram, pair_count, pmi_micro)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(toks.alias("_w"))
+    n1 = F.greatest(F.lit(0), F.size("_w") - F.lit(1))
+    bigrams = F.zip_with(
+        F.slice("_w", 1, n1),
+        F.slice("_w", 2, n1),
+        lambda p, c: F.concat_ws(" ", p, c),
+    )
+    combined = F.concat(
+        F.transform(
+            F.col("_w"), lambda t: F.struct(F.lit(0).alias("kind"), t.alias("gram"))
+        ),
+        F.transform(
+            bigrams, lambda b: F.struct(F.lit(1).alias("kind"), b.alias("gram"))
+        ),
+    )
+    counts = (
+        base.select(F.explode(combined).alias("e"))
+        .select("e.kind", "e.gram")
+        .groupBy("kind", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    totals = counts.agg(
+        F.sum(F.when(F.col("kind") == 0, F.col("cnt"))).alias("n_uni"),
+        F.sum(F.when(F.col("kind") == 1, F.col("cnt"))).alias("n_bi"),
+    )
+    uni = counts.filter(F.col("kind") == 0).select(
+        F.col("gram").alias("_tok"), F.col("cnt").alias("_c")
+    )
+    bi = (
+        counts.filter(F.col("kind") == 1)
+        .filter(F.col("cnt") >= min_count)
+        .select(
+            F.col("gram").alias("bigram"),
+            F.col("cnt").alias("pair_count"),
+            F.split(F.col("gram"), " ", 2).alias("_xy"),
+        )
+    )
+    joined = (
+        bi.join(uni, bi["_xy"][0] == uni["_tok"])
+        .select("bigram", "pair_count", "_xy", F.col("_c").alias("_cx"))
+        .join(uni, F.element_at(F.col("_xy"), 2) == uni["_tok"])
+        .select("bigram", "pair_count", "_cx", F.col("_c").alias("_cy"))
+        .join(F.broadcast(totals))
+    )
+    pmi_micro = (
+        F.round(
+            (
+                F.log(F.col("pair_count").cast("double"))
+                + F.lit(2.0) * F.log(F.col("n_uni").cast("double"))
+                - F.log(F.col("_cx").cast("double"))
+                - F.log(F.col("_cy").cast("double"))
+                - F.log(F.col("n_bi").cast("double"))
+            )
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("pmi_micro")
+    )
+    scored = joined.select("bigram", "pair_count", pmi_micro)
+    return scored.orderBy(F.desc("pmi_micro"), F.col("bigram")).limit(k)
+
+
 def source_lang_matrix(
     docs: DataFrame, langs: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
 ) -> DataFrame:

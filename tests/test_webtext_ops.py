@@ -3,6 +3,7 @@ dedup, crawl-snapshot delta, url normalization/host filtering, repetition
 stats, and vocabulary docfreq."""
 
 import datetime as dt
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -437,6 +438,74 @@ def test_tfidf_topk_truncates_deterministically(spark):
     a = [r["token"] for r in tfidf_topk(docs, k=2).collect()]
     b = [r["token"] for r in tfidf_topk(docs.repartition(5), k=2).collect()]
     assert a == b == ["a", "b"]
+
+
+def test_pmi_topk_matches_python_reference(spark):
+    from math import log
+
+    from pyocr_spark.functions.text_stats import pmi_topk
+
+    texts = {
+        1: "new york is a big city",
+        2: "new york has a big port",
+        3: "a city has a port and new york",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = [
+        (r["bigram"], r["pair_count"], r["pmi_micro"])
+        for r in pmi_topk(docs, k=3, min_count=2).collect()
+    ]
+    # independent reference: collect corpus counts in plain Python
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    for t in texts.values():
+        w = t.split()
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for x, y in zip(w, w[1:]):
+            bi[f"{x} {y}"] = bi.get(f"{x} {y}", 0) + 1
+    nu, nb = sum(uni.values()), sum(bi.values())
+    scored = []
+    for g, c in bi.items():
+        if c < 2:
+            continue
+        x, y = g.split(" ", 1)
+        pmi = log(c) + 2 * log(nu) - log(uni[x]) - log(uni[y]) - log(nb)
+        scored.append((g, c, int(math.copysign(math.floor(abs(pmi * 1e6) + 0.5), pmi))))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    assert got == scored[:3]
+    # 'new york' is the strongest collocation: both words occur ONLY
+    # together, so PMI is maximal among pairs clearing the floor
+    assert got[0][0] == "new york"
+
+
+def test_pmi_topk_min_count_floor_and_cut_determinism(spark):
+    from pyocr_spark.functions.text_stats import pmi_topk
+
+    docs = spark.createDataFrame(
+        [(1, "p q p q r s"), (2, "p q r s")], "doc_id long, text string"
+    )
+    rows = pmi_topk(docs, k=10, min_count=2).collect()
+    # 'p q' (3×), 'q r' (2×), 'r s' (2×) clear the floor; 'q p' is hapax
+    assert {r["bigram"] for r in rows} == {"p q", "q r", "r s"}
+    a = [r["bigram"] for r in pmi_topk(docs, k=1, min_count=2).collect()]
+    b = [
+        r["bigram"]
+        for r in pmi_topk(docs.repartition(7), k=1, min_count=2).collect()
+    ]
+    assert a == b
+
+
+def test_pmi_topk_validation(spark):
+    from pyocr_spark.functions.text_stats import pmi_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pmi_topk(docs, k=0)
+    with pytest.raises(ValueError):
+        pmi_topk(docs, min_count=0)
 
 
 def test_source_lang_matrix_zero_fills(spark):
