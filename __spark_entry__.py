@@ -236,6 +236,25 @@ def _q_media_frames(spark, sf_dir):
     return sample_frames(_media(spark, sf_dir), every_n=16)
 
 
+def _q_media_phash(spark, sf_dir):
+    """Perceptual hash per media blob — two JVM HOF folds over the decoded
+    feature vector, no Python past the codec stage."""
+    from pyocr_spark.functions.multimodal import decode_media, media_phash
+
+    return media_phash(decode_media(_media(spark, sf_dir)))
+
+
+def _q_media_phash_dups(spark, sf_dir):
+    """Near-duplicate media by pHash Hamming ≤ 3 via 4-band bucket join;
+    the oracle is the brute-force all-pairs DuckDB self-join, which the
+    pigeonhole argument makes exactly equal."""
+    from pyocr_spark.functions.multimodal import decode_media, media_phash_pairs
+
+    return media_phash_pairs(
+        decode_media(_media(spark, sf_dir)), max_hamming=3, bands=4
+    )
+
+
 def _q_pages_jsonl_ingest(spark, sf_dir):
     """JSONL crawl-dump ingest (sources/jsonl.py): the parsed good rows
     must round-trip byte-identically to the pages.parquet the dump was
@@ -483,6 +502,49 @@ def _q_lines_dedup(spark, sf_dir):
         "url", "extracted_text"
     )
     return line_dedup(ext, text_col="extracted_text", id_col="url", max_docfreq=1)
+
+
+def _extracted_with_host(spark, sf_dir):
+    """url + host + extracted_text of the deduped crawl — shared input of
+    the per-site template surfaces; parse_url stays JVM-side."""
+    return _extracted(spark, sf_dir, frozenset({"text"})).select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        "extracted_text",
+    )
+
+
+def _q_host_template_lines(spark, sf_dir):
+    """Per-SITE template detection (operators/linededup.py): lines on
+    ≥2 pages and ≥30% of a host's pages — the host-local complement of
+    corpus-wide line dedup (a site's nav/footer repeats on ITS pages
+    while staying rare globally). Integer fraction test, no floats."""
+    from pyocr_spark.operators.linededup import host_template_lines
+
+    return host_template_lines(
+        _extracted_with_host(spark, sf_dir),
+        text_col="extracted_text",
+        id_col="url",
+        host_col="host",
+        min_pages=2,
+        min_frac_pct=30,
+    )
+
+
+def _q_docs_template_stripped(spark, sf_dir):
+    """Each host's template lines stripped from that host's pages —
+    (host, md5-line) anti-join, per-doc rebuild; same output contract
+    as lines_dedup."""
+    from pyocr_spark.operators.linededup import host_template_strip
+
+    return host_template_strip(
+        _extracted_with_host(spark, sf_dir),
+        text_col="extracted_text",
+        id_col="url",
+        host_col="host",
+        min_pages=2,
+        min_frac_pct=30,
+    )
 
 
 _BLOOM_M, _BLOOM_K = 1 << 14, 4
@@ -1287,6 +1349,18 @@ def _q_extract_main_density(spark, sf_dir):
     return extract_main_density(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_extract_markdown(spark, sf_dir):
+    """HTML→Markdown extraction (functions/markdown.py over the frozen
+    core/markdown.py converter): the portable-prose surface — headings,
+    lists, links, emphasis, code fences and pipe tables preserved as
+    Markdown structure instead of flattened to plain text. One narrow
+    Arrow-batched stage, no shuffle."""
+    from pyocr_spark.functions.markdown import extract_markdown
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_markdown(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _outlinks(spark, sf_dir):
     """Outlinks of the deduped crawl (latest page per url) — the shared
     substrate of the three web-graph queries."""
@@ -1921,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm6": _q_extract_text_psm6,
         "extract_text_psm7": _q_extract_text_psm7,
         "extract_main_density": _q_extract_main_density,
+        "extract_markdown": _q_extract_markdown,
         "extract_metadata": _q_extract_metadata,
         "pages_robots_gate": _q_pages_robots_gate,
         "pages_canonical_dedup": _q_pages_canonical_dedup,
@@ -1942,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_full": _q_corpus_build_full,
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
         "lines_dedup": _q_lines_dedup,
+        "host_template_lines": _q_host_template_lines,
+        "docs_template_stripped": _q_docs_template_stripped,
         "crawl_delta": _q_crawl_delta,
         "refetch_priority": _q_refetch_priority,
         "bloom_seen_filter": _q_bloom_seen_filter,
@@ -1981,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
+        "media_phash": _q_media_phash,
+        "media_phash_dups": _q_media_phash_dups,
         # text analysis (training-data pipeline surface)
         "doc_zlib_ratio": _q_doc_zlib_ratio,
         "docs_quality_gated": _q_docs_quality_gated,
@@ -2754,6 +2833,21 @@ def oracle_sql() -> dict[str, str]:
             f"width, height, thumb_sig "
             f"FROM read_parquet('{E}/expected_media_resize.parquet')"
         ),
+        "media_phash": (
+            f"SELECT media_id, phash "
+            f"FROM read_parquet('{E}/expected_media_phash.parquet')"
+        ),
+        # brute-force all-pairs Hamming — an INDEPENDENT computation of
+        # what the Spark side answers with a banded bucket join (exact by
+        # pigeonhole at max_hamming=3 < bands=4)
+        "media_phash_dups": (
+            f"SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, "
+            f"CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming "
+            f"FROM read_parquet('{E}/expected_media_phash.parquet') a "
+            f"JOIN read_parquet('{E}/expected_media_phash.parquet') b "
+            f"ON a.media_id < b.media_id "
+            f"WHERE bit_count(xor(a.phash, b.phash)) <= 3"
+        ),
         "extract_hocr": f"SELECT url, hocr FROM read_parquet('{E}/expected_hocr_out.parquet')",
         "extract_boxfmt": f"SELECT url, box_lines FROM read_parquet('{E}/expected_boxfmt.parquet')",
         "extract_orientation": (
@@ -2775,6 +2869,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_main_density": (
             f"SELECT url, main_text, n_blocks, n_kept "
             f"FROM read_parquet('{E}/expected_main.parquet')"
+        ),
+        "extract_markdown": (
+            f"SELECT url, markdown, n_md_chars "
+            f"FROM read_parquet('{E}/expected_markdown.parquet')"
         ),
         "extract_metadata": (
             f"SELECT url, title, description, robots, canonical, og_title, "
@@ -2934,6 +3032,43 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
             "count(*) AS n_kept FROM kept GROUP BY url) "
             "SELECT s.url, coalesce(a.clean_text, '') AS clean_text, "
+            "len(string_split(s.extracted_text, chr(10))) AS n_lines, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept "
+            "FROM src s LEFT JOIN agg a USING (url)"
+        ),
+        "host_template_lines": (
+            f"WITH src AS (SELECT url, "
+            f"regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            f"extracted_text FROM read_parquet('{E}/expected_text.parquet')), "
+            "lines AS (SELECT url, host, "
+            "unnest(string_split(extracted_text, chr(10))) AS line FROM src), "
+            "np AS (SELECT host, count(DISTINCT url) AS n_pages FROM src GROUP BY host), "
+            "freq AS (SELECT host, line, count(DISTINCT url) AS docfreq "
+            "FROM lines WHERE trim(line) != '' GROUP BY host, line) "
+            "SELECT f.host, f.line, CAST(f.docfreq AS BIGINT) AS docfreq, "
+            "CAST(np.n_pages AS BIGINT) AS n_pages "
+            "FROM freq f JOIN np USING (host) "
+            "WHERE f.docfreq >= 2 AND f.docfreq * 100 >= np.n_pages * 30"
+        ),
+        "docs_template_stripped": (
+            f"WITH src AS (SELECT url, "
+            f"regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            f"extracted_text FROM read_parquet('{E}/expected_text.parquet')), "
+            "lines AS (SELECT url, host, "
+            "unnest(string_split(extracted_text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
+            "FROM src), "
+            "np AS (SELECT host, count(DISTINCT url) AS n_pages FROM src GROUP BY host), "
+            "templ AS (SELECT f.host, f.line FROM "
+            "(SELECT host, line, count(DISTINCT url) AS docfreq "
+            "FROM lines WHERE trim(line) != '' GROUP BY host, line) f "
+            "JOIN np USING (host) "
+            "WHERE f.docfreq >= 2 AND f.docfreq * 100 >= np.n_pages * 30), "
+            "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
+            "ANTI JOIN templ t ON l.host = t.host AND l.line = t.line), "
+            "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
+            "count(*) AS n_kept FROM kept GROUP BY url) "
+            "SELECT s.url, s.host, coalesce(a.clean_text, '') AS clean_text, "
             "len(string_split(s.extracted_text, chr(10))) AS n_lines, "
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept "
             "FROM src s LEFT JOIN agg a USING (url)"

@@ -1,0 +1,398 @@
+"""HTML → Markdown conversion: the portable-prose extraction surface.
+
+Modern training-data pipelines increasingly keep documents as Markdown
+rather than stripped plain text — headings, lists, links, emphasis and
+tables carry signal an LLM can learn from, and Markdown is the common
+wire format for that structure. This module is the fourth extraction
+leg beside the boilerplate strip (core/htmltext.py), the density
+classify (core/maincontent.py) and the DOM-structure surface
+(core/dom.py): one frozen single-node converter, called identically by
+the Spark stage (functions/markdown.py) and by the datagen
+expected-table materializer, so the driver's oracle gate compares the
+distributed plumbing against this exact code byte-for-byte. pyocr has
+no Markdown surface (its input is pixels — SURVEY.md §2.7 absence
+table); this is an engine addition in the same discipline.
+
+All rules frozen:
+
+- decode: the engine-wide charset-sniffed replace discipline
+  (core.htmltext.decode_replace); same ``MAX_HTML_BYTES`` guard as every
+  other extraction leg (None in → None out, oversized → None).
+- dropped subtrees: <script> <style> <noscript> <template> <head>
+  always, plus the boilerplate containers <nav> <header> <footer>
+  <aside> — Markdown is a MAIN-CONTENT surface, matching the PSM-3
+  semantics of the flagship text extraction. Comments ignored.
+- blocks: block-level elements flush the current paragraph; paragraphs
+  join with a blank line ("\\n\\n"); the document never ends in a
+  newline. Inline text is whitespace-collapsed per block.
+- headings: <h1>–<h6> → ``#`` × level + space + text; empty dropped.
+- lists: <li> → one line per item; marker ``-`` under <ul>, ``N.``
+  under <ol> (N counts items within THAT list, 1-based); nesting
+  indents two spaces per ancestor list. A <li> outside any list gets
+  the ``-`` marker at depth 0. List items are single lines (inner <br>
+  collapses with the surrounding whitespace).
+- blockquote: every line of the quoted blocks prefixed with ``> ``
+  (bare ``>`` on blank separator lines); nested quotes stack prefixes.
+  The quote is ONE block in the parent.
+- pre: fenced code block — ``\\x60\\x60\\x60`` guard lines around the
+  verbatim (non-collapsed, entity-unescaped) content with leading and
+  trailing newlines trimmed; empty <pre> dropped.
+- hr → ``---``; <br> inside a paragraph → a hard newline within the
+  block (continuation lines of a blockquote keep their ``> ``).
+- inline emphasis: <strong>/<b> → ``**…**``, <em>/<i> → ``*…*``,
+  <code> → ``` `…` ```; the inner text is collapsed and stripped before
+  wrapping (``<b> x </b>`` → ``**x**``) and the wrapped run is spliced
+  into the surrounding text WITHOUT added spaces — the page's own
+  whitespace around the tag decides word separation; empty emphasis
+  vanishes.
+  Mismatched close tags close the nearest matching open frame; an
+  unmatched close is ignored; frames still open at a block flush emit
+  their content unwrapped (deterministic, never raises).
+- links: <a href> → ``[text](url)`` with the SAME urljoin+defrag
+  resolution and http/https-only rule as outlink extraction
+  (core/links.py) — the two url surfaces cannot drift; <base href>
+  rebinds SUBSEQUENT links (first <base> wins). Empty link text →
+  the bare resolved url in angle brackets ``<url>``; a non-resolvable
+  or non-http target emits just the text.
+- images: <img> → ``![alt](src)`` with the same resolution rule; no
+  src or non-http src → the alt text alone (possibly nothing). An
+  image inside a link nests: ``[![alt](src)](href)``.
+- tables: each <tr> → ``| c1 | c2 |`` (cells whitespace-collapsed;
+  ``|`` inside a cell becomes ``\\|`` so the row stays parseable); after
+  the FIRST row, if it contained any <th>, a ``| --- |…`` separator
+  row with the same cell count. Implicit closures per the HTML5 tree
+  builder exactly as core/dom.py (a new td/th closes the open cell, a
+  new tr closes the row, </table> closes everything); a nested table
+  emits as its own block — it completes, and is appended, BEFORE the
+  outer table's block (inner-first order) — and its text never leaks
+  into the parent cell. Rows with no cells
+  are not emitted; a table with no rows is dropped.
+- no escaping of Markdown metacharacters in prose (frozen v1 bound,
+  documented: a literal ``*`` in page text passes through) EXCEPT the
+  in-cell ``|`` rule above, without which table rows would be
+  structurally ambiguous.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urldefrag, urljoin
+
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+_DROP = frozenset({"script", "style", "noscript", "template", "head"})
+_BOILER = frozenset({"nav", "header", "footer", "aside"})
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_EMPH = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
+#: block-level tags that flush the open paragraph (shared vocabulary
+#: with core/htmltext.BLOCK_TAGS minus the ones handled structurally)
+_PARA_FLUSH = frozenset(
+    {
+        "p", "div", "section", "article", "main", "figure",
+        "figcaption", "form", "fieldset", "address", "details",
+        "summary", "dl", "dt", "dd", "body", "html",
+    }
+)
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _resolve(root: str, href: str) -> str | None:
+    """links.py's frozen resolution: urljoin + defrag, http/https only."""
+    try:
+        resolved = urldefrag(urljoin(root, href.strip()))[0]
+    except ValueError:
+        return None
+    if resolved.startswith(("http://", "https://")):
+        return resolved
+    return None
+
+
+class _MarkdownParser(HTMLParser):
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.base_from: int | None = None  # becomes link root once <base> seen
+        self.root = base_url
+        self.drop_depth = 0
+        self.containers: list[list[str]] = [[]]  # top = current block list
+        self.inline: list[dict] = []  # open inline frames (emph / links)
+        self.block_open = False
+        self.block_prefix = ""  # li marker / heading hashes for the open block
+        self.pre_depth = 0
+        self.pre_chunks: list[str] = []
+        self.lists: list[dict] = []  # {"ordered": bool, "n": int}
+        self.tables: list[dict] = []  # {"rows": [...], "cells": [...], ...}
+
+    # -- block plumbing -------------------------------------------------
+    def _open_block(self, prefix: str = "") -> None:
+        self._flush_block()
+        self.block_open = True
+        self.block_prefix = prefix
+        self.inline = [{"wrap": None, "chunks": []}]
+
+    def _ensure_block(self) -> None:
+        if not self.block_open:
+            self._open_block()
+
+    def _inline_text(self) -> str:
+        # unwind frames still open at flush: content emits unwrapped
+        while len(self.inline) > 1:
+            f = self.inline.pop()
+            self.inline[-1]["chunks"].extend(f["chunks"])
+        return _collapse("".join(self.inline[0]["chunks"])) if self.inline else ""
+
+    def _flush_block(self) -> None:
+        if not self.block_open:
+            return
+        text = self._inline_text()
+        self.block_open = False
+        self.inline = []
+        if "\x00" in text:  # <br> sentinel → hard newline within the block
+            parts = [p.strip() for p in text.split("\x00")]
+            text = "\n".join(p for p in parts if p)
+        if not text:
+            return
+        if self.tables and self.tables[-1]["in_cell"]:
+            # prose inside an open cell merges into the cell text
+            self.tables[-1]["cell_chunks"].append(text)
+            return
+        self.containers[-1].append(self.block_prefix + text)
+
+    # -- inline frames ---------------------------------------------------
+    def _push_frame(self, wrap: str, **meta) -> None:
+        self._ensure_block()
+        self.inline.append({"wrap": wrap, "chunks": [], **meta})
+
+    def _pop_frame(self, wrap: str) -> None:
+        for i in range(len(self.inline) - 1, 0, -1):
+            if self.inline[i]["wrap"] == wrap:
+                # frames opened after the match emit unwrapped (mismatch rule)
+                while len(self.inline) > i + 1:
+                    f = self.inline.pop()
+                    self.inline[-1]["chunks"].extend(f["chunks"])
+                f = self.inline.pop()
+                inner = _collapse("".join(f["chunks"])).strip()
+                out = ""
+                if wrap == "a":
+                    href = f.get("href")
+                    if inner and href:
+                        out = f"[{inner}]({href})"
+                    elif href:
+                        out = f"<{href}>"
+                    else:
+                        out = inner
+                elif inner:
+                    out = f"{wrap}{inner}{wrap}"
+                if out:
+                    # spliced without added spaces: the page's own
+                    # whitespace around the tag decides word separation
+                    self.inline[-1]["chunks"].append(out)
+                return
+        # no matching open frame: ignored
+
+    # -- handlers ---------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self.drop_depth:
+            if tag in _DROP or tag in _BOILER:
+                self.drop_depth += 1
+            return
+        if tag in _DROP or tag in _BOILER:
+            self.drop_depth = 1
+            return
+        if self.pre_depth:
+            if tag == "pre":
+                self.pre_depth += 1
+            return
+        a = {k.lower(): (v if v is not None else "") for k, v in attrs}
+        if tag == "base" and self.base_from is None and "href" in a:
+            self.base_from = 0
+            self.root = urljoin(self.base_url, a["href"].strip())
+        elif tag in _HEADINGS:
+            self._open_block("#" * _HEADINGS[tag] + " ")
+        elif tag == "pre":
+            self._flush_block()
+            self.pre_depth = 1
+            self.pre_chunks = []
+        elif tag in ("ul", "ol"):
+            self._flush_block()
+            self.lists.append({"ordered": tag == "ol", "n": 0})
+        elif tag == "li":
+            depth = max(len(self.lists) - 1, 0)
+            if self.lists and self.lists[-1]["ordered"]:
+                self.lists[-1]["n"] += 1
+                marker = f"{self.lists[-1]['n']}. "
+            else:
+                if self.lists:
+                    self.lists[-1]["n"] += 1
+                marker = "- "
+            self._open_block("  " * depth + marker)
+        elif tag == "blockquote":
+            self._flush_block()
+            self.containers.append([])
+        elif tag == "hr":
+            self._flush_block()
+            self.containers[-1].append("---")
+        elif tag == "br":
+            if self.block_open:
+                # sentinel survives whitespace collapse; becomes "\n" (or a
+                # space inside a table cell) at flush time
+                self.inline[-1]["chunks"].append("\x00")
+        elif tag in _EMPH:
+            self._push_frame(_EMPH[tag])
+        elif tag == "a":
+            # an <a> with NO href is a named anchor, not a link (links.py
+            # keeps empty href="" — it resolves to the page, a self-link)
+            href = _resolve(self.root, a["href"]) if "href" in a else None
+            self._push_frame("a", href=href)
+        elif tag == "img":
+            self._ensure_block()
+            src = _resolve(self.root, a["src"]) if a.get("src") else None
+            alt = _collapse(a.get("alt", "")).strip()
+            out = f"![{alt}]({src})" if src else alt
+            if out:
+                self.inline[-1]["chunks"].append(out)
+        elif tag == "table":
+            self._flush_block()
+            self.tables.append(
+                {
+                    "rows": [],
+                    "cells": [],
+                    "in_row": False,
+                    "in_cell": False,
+                    "cell_chunks": [],
+                    "first_row_th": False,
+                    "row_open_th": False,
+                }
+            )
+        elif tag == "tr" and self.tables:
+            self._end_row()
+            t = self.tables[-1]
+            t["in_row"] = True
+            t["row_open_th"] = False
+        elif tag in ("td", "th") and self.tables:
+            self._end_cell()
+            t = self.tables[-1]
+            t["in_row"] = True
+            t["in_cell"] = True
+            t["cell_chunks"] = []
+            if tag == "th":
+                t["row_open_th"] = True
+        elif tag in _PARA_FLUSH:
+            self._flush_block()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if self.drop_depth:
+            if tag in _DROP or tag in _BOILER:
+                self.drop_depth -= 1
+            return
+        if self.pre_depth:
+            if tag == "pre":
+                self.pre_depth -= 1
+                if self.pre_depth == 0:
+                    body = "".join(self.pre_chunks).strip("\n")
+                    if body.strip():
+                        self.containers[-1].append(f"```\n{body}\n```")
+            return
+        if tag in _HEADINGS or tag == "li" or tag in _PARA_FLUSH:
+            self._flush_block()
+        elif tag in ("ul", "ol"):
+            self._flush_block()
+            if self.lists:
+                self.lists.pop()
+        elif tag == "blockquote":
+            self._flush_block()
+            if len(self.containers) > 1:
+                blocks = self.containers.pop()
+                if blocks:
+                    quoted = "\n\n".join(blocks)
+                    self.containers[-1].append(
+                        "\n".join(
+                            ("> " + ln) if ln else ">"
+                            for ln in quoted.split("\n")
+                        )
+                    )
+        elif tag in _EMPH:
+            self._pop_frame(_EMPH[tag])
+        elif tag == "a":
+            self._pop_frame("a")
+        elif tag in ("td", "th") and self.tables:
+            self._end_cell()
+        elif tag == "tr" and self.tables:
+            self._end_row()
+        elif tag == "table" and self.tables:
+            self._end_row()
+            t = self.tables.pop()
+            lines = []
+            for i, row in enumerate(t["rows"]):
+                lines.append("| " + " | ".join(row) + " |")
+                if i == 0 and t["first_row_th"]:
+                    lines.append("| " + " | ".join("---" for _ in row) + " |")
+            if lines:
+                self.containers[-1].append("\n".join(lines))
+
+    def _end_cell(self) -> None:
+        t = self.tables[-1]
+        if t["in_cell"]:
+            self._flush_block()  # prose block still open inside the cell
+            t["in_cell"] = False
+            cell = _collapse(" ".join(t["cell_chunks"]))
+            # cells are single-line: a <br> inside one collapses to a space
+            cell = _collapse(cell.replace("\x00", " ")).replace("|", "\\|")
+            t["cells"].append(cell)
+            t["cell_chunks"] = []
+
+    def _end_row(self) -> None:
+        t = self.tables[-1]
+        self._end_cell()
+        if t["in_row"]:
+            t["in_row"] = False
+            if t["cells"]:
+                if not t["rows"]:
+                    t["first_row_th"] = t["row_open_th"]
+                t["rows"].append(t["cells"])
+            t["cells"] = []
+
+    def handle_data(self, data: str) -> None:
+        if self.drop_depth:
+            return
+        if self.pre_depth:
+            self.pre_chunks.append(data)
+            return
+        if self.tables and self.tables[-1]["in_cell"] and not self.block_open:
+            self.tables[-1]["cell_chunks"].append(data)
+            return
+        if data.strip():
+            self._ensure_block()
+            self.inline[-1]["chunks"].append(data)
+        elif self.block_open:
+            self.inline[-1]["chunks"].append(data)
+
+    def result(self) -> str:
+        self._flush_block()
+        while len(self.containers) > 1:  # unclosed blockquote: emit unquoted
+            blocks = self.containers.pop()
+            self.containers[-1].extend(blocks)
+        return "\n\n".join(self.containers[0])
+
+
+def html_to_markdown(html: bytes | str | None, base_url: str = "") -> str | None:
+    """Convert one page to Markdown under the frozen rules above.
+
+    ``None`` or oversized input → ``None`` (same guard as the other
+    extraction legs); never raises on malformed markup (stdlib parser
+    is non-throwing, mismatch rules are total).
+    """
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return None
+    text = decode_replace(html) if isinstance(html, (bytes, bytearray)) else html
+    p = _MarkdownParser(base_url)
+    p.feed(text)
+    p.close()
+    return p.result()

@@ -1,0 +1,42 @@
+"""Spark stage for HTML → Markdown extraction (core/markdown.py).
+
+Same shape as the flagship extraction, the density classify and the
+DOM-structure stages: prune to url+html, ONE Arrow-batched
+``mapInPandas`` over the frozen single-node converter, narrow plan —
+file splits provide the parallelism at crawl scale, no shuffle
+anywhere. At 10^12 pages this is a single shuffle-free mapPartitions
+over the scan, exactly like plans/pipeline.extract_df (PLANS.md).
+
+``n_md_chars`` rides along so downstream quality gates can filter on
+Markdown length without re-materializing the document column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+MARKDOWN_DDL = "url string, markdown string, n_md_chars int"
+
+
+def _markdown_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.markdown import html_to_markdown
+
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            md = html_to_markdown(html, base_url=url)
+            rows.append((url, md, None if md is None else len(md)))
+        out = pd.DataFrame(rows, columns=["url", "markdown", "n_md_chars"])
+        out["n_md_chars"] = out["n_md_chars"].astype("Int32")
+        yield out
+
+
+def extract_markdown(pages: DataFrame) -> DataFrame:
+    """``(url, markdown, n_md_chars)`` — one row per input page."""
+    return pages.select("url", "html").mapInPandas(
+        _markdown_batches, schema=MARKDOWN_DDL
+    )

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA_DDL = (
     "media_id long, kind string, content binary, "
@@ -220,3 +221,131 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> 
     return media.select("media_id", "kind", "content").mapInPandas(
         make_frames_fn(every_n, decode), schema="media_id long, frame_idx int, frame_sig string"
     )
+
+
+def phash_from_features(features) -> int:
+    """Pure-Python twin of :func:`media_phash`'s per-row bit rule, for
+    the datagen expected table and differential tests.
+
+    Replays the JVM arithmetic exactly: each float32 feature widens to
+    double (``np.float32`` round-trip — the Arrow array<float> storage
+    the Spark column carries), the total is a LEFT-TO-RIGHT sequential
+    double fold (the evaluation order of ``F.aggregate``), and bit i is
+    set iff ``f_i · DIM > total`` strictly."""
+    import numpy as np
+
+    fs = [float(np.float32(v)) for v in features]
+    total = 0.0
+    for v in fs:
+        total = total + v
+    h = 0
+    for i, v in enumerate(fs):
+        if v * float(FEATURE_DIM) > total:
+            h |= 1 << i
+    return h
+
+
+def media_phash(decoded: DataFrame) -> DataFrame:
+    """Perceptual hash over decoded feature vectors → ``(media_id,
+    phash)``.
+
+    The classic pHash recipe (Zauner 2010) thresholds a compact
+    transform of the image against its own mean; here the compact
+    transform is whatever the codec's feature vector is (16-d histogram
+    moments under the fake codec, DCT coefficients under a real one),
+    so the operator is codec-agnostic: bit i is set iff
+    ``features[i] · DIM > Σ features`` — strictly above the mean,
+    written multiply-vs-total so no division exists to round.
+
+    Purely JVM-side (two HOF folds over the array column, no Python,
+    no shuffle); float32 values widen to double and the total is a
+    sequential left-to-right fold, so the bits are deterministic and
+    engine-replayable. Error rows (status != 'ok') carry no features
+    and are dropped."""
+    # SQL HOFs rather than the Python lambda API: pyspark's F.shiftleft
+    # requires a literal shift amount, while SQL shiftleft takes the
+    # transform index column. Identical JVM plan either way.
+    total = (
+        "aggregate(features, cast(0 as double), "
+        "(acc, x) -> acc + cast(x as double))"
+    )
+    phash = F.expr(
+        f"aggregate(transform(features, (x, i) -> "
+        f"IF(cast(x as double) * {float(FEATURE_DIM)}D > _ph_total, "
+        f"shiftleft(cast(1 as bigint), i), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, b) -> acc + b)"
+    )
+    return (
+        decoded.filter(F.col("status") == "ok")
+        .withColumn("_ph_total", F.expr(total))
+        .select("media_id", phash.alias("phash"))
+    )
+
+
+def media_phash_pairs(
+    decoded: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance:
+    ``(media_id_a, media_id_b, hamming)`` with a < b.
+
+    Banded exact match, NEVER an all-pairs join: the DIM-bit hash
+    splits into ``bands`` equal slices, candidates pair only inside a
+    (band, slice-value) bucket (plain shuffled equi-join), and the
+    Hamming verify is one ``bit_count(xor)`` on the survivors. By
+    pigeonhole, a pair within ``max_hamming ≤ bands − 1`` bit flips
+    has at least one UNTOUCHED band, so the banded candidate set is
+    COMPLETE — this is the exact-recall regime the defaults pin
+    (3 ≤ 4 − 1), matching the Hamming-1 probe guarantee of
+    ``ann_topk_lsh``. A ``max_hamming ≥ bands`` request would silently
+    lose recall, so it raises instead.
+
+    Scale shape: bucket sizes are corpus-dependent but the join is an
+    equi-join (AQE-splittable if a bucket runs hot); candidates
+    surviving multiple bands dedup via distinct BEFORE the pair output,
+    and only (id, id, hamming) rows ever shuffle."""
+    if bands < 1 or FEATURE_DIM % bands != 0:
+        raise ValueError(f"bands must divide {FEATURE_DIM}, got {bands}")
+    if max_hamming < 0 or max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, bands-1] for exact recall "
+            f"(pigeonhole); got {max_hamming} with {bands} bands"
+        )
+    width = FEATURE_DIM // bands
+    mask = (1 << width) - 1
+    ph = media_phash(decoded)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bt = ph.select(
+        "media_id", "phash", F.explode(band_keys).alias("bk")
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    left = bt.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("phash").alias("_pa"),
+        "band",
+        "key",
+    )
+    right = bt.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("phash").alias("_pb"),
+        "band",
+        "key",
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "_pa", "_pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+    return cand.select(
+        "media_id_a", "media_id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -107,3 +107,112 @@ def line_dedup(
         "n_lines",
         F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
     )
+
+
+def host_template_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    min_pages: int = 2,
+    min_frac_pct: int = 50,
+) -> DataFrame:
+    """Per-SITE template lines: ``(host, line, docfreq, n_pages)``.
+
+    The corpus-wide pass (:func:`line_dedup`) catches boilerplate shared
+    across the whole crawl; a site template (this host's nav bar, its
+    cookie banner, its footer) repeats on most pages OF THAT HOST while
+    staying rare globally. A line is a template line iff it appears on
+    at least ``min_pages`` distinct pages of the host AND on at least
+    ``min_frac_pct`` percent of them — the fraction test is pure integer
+    arithmetic (``100·docfreq ≥ pct·n_pages``), so the SQL oracle replays
+    it exactly with no float rounding seam. Blank lines are exempt for
+    the same reason as :func:`line_dedup`.
+
+    Scale shape: one docfreq aggregate keyed (host, line) — partial-agg
+    combines map-side, output bounded by distinct lines per host — plus
+    a broadcast of the per-host page counts (one row per host; ~10^7
+    rows for the full web, well under the broadcast threshold at 8
+    bytes a count). No per-pair work, no window over the corpus.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+    )
+    n_pages = F.broadcast(
+        df.groupBy(F.col(host_col).alias("host")).agg(
+            F.countDistinct(id_col).alias("n_pages")
+        )
+    )
+    return (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("host", "line")
+        .agg(F.countDistinct(id_col).alias("docfreq"))
+        .join(n_pages, "host")
+        .filter(
+            (F.col("docfreq") >= min_pages)
+            & (F.col("docfreq") * 100 >= F.col("n_pages") * min_frac_pct)
+        )
+        .select("host", "line", "docfreq", "n_pages")
+    )
+
+
+def host_template_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    min_pages: int = 2,
+    min_frac_pct: int = 50,
+) -> DataFrame:
+    """Strip each host's template lines from that host's pages.
+
+    Returns one row per input document: ``(id_col, host, clean_text,
+    n_lines, n_lines_kept)`` — the per-site complement of
+    :func:`line_dedup`, same output contract (empty docs survive with
+    ``clean_text=''``; NULL text → NULL n_lines; exact ``\\n`` split,
+    limit -1).
+
+    The anti-join is keyed ``(host, md5(line))`` — per-host template
+    sets scale with host count, so unlike the corpus-wide pass the
+    frequent set is NOT broadcast; the equi-join on the compound key
+    distributes it, and only (host, hash) pairs shuffle. Two reads of
+    the input are inherent (docfreq pass + rebuild pass), exactly as
+    line_dedup documents — feed a materialized table when upstream is
+    expensive.
+    """
+    lines_arr = F.split(F.col(text_col), "\n", -1)
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.posexplode(lines_arr).alias("pos", "line"),
+    ).withColumn("k", F.md5("line"))
+    templ = host_template_lines(
+        df, text_col, id_col, host_col, min_pages, min_frac_pct
+    ).select("host", F.md5("line").alias("k"))
+    kept = lines.join(templ, ["host", "k"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(lines_arr))
+        .alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "host",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+    )

@@ -645,6 +645,51 @@ def main() -> int:
     check("docs_clf_scores", "no NLJ/cartesian anywhere",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 40. media perceptual hash: the bit fold is two JVM HOF aggregates —
+    # exactly one Python stage (the codec), narrow plan (zero Exchange);
+    # the near-dup pair query joins ONLY on the (band, key) bucket
+    # (equi-join, never NLJ) and dedups candidates before the verify.
+    df = qs["media_phash"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("media_phash", p))
+    check("media_phash", "narrow plan (zero Exchange)",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0, "")
+    check("media_phash", "exactly one Python stage (the codec; bit fold is JVM HOFs)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 1, "")
+    df = qs["media_phash_dups"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("media_phash_dups", p))
+    check("media_phash_dups", "band-bucket equi-join (no NLJ/cartesian)",
+          ("SortMergeJoin" in p or "BroadcastHashJoin" in p)
+          and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # 41. HTML→Markdown: the converter stage has the flagship-extraction
+    # shape — one Arrow-batched Python stage over the dedup window, no
+    # shuffle of its own past that window.
+    df = qs["extract_markdown"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("extract_markdown", p))
+    check("extract_markdown", "exactly one Python stage (the converter)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 1, "")
+    check("extract_markdown", "only the dedup window shuffles (<=1 Exchange)",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) <= 1, "")
+
+    # 42. per-host template strip: the per-host page counts join must be
+    # BROADCAST (one row per host), the anti-join an equi-join on
+    # (host, md5) — never NLJ/cartesian; docfreq agg partial-combines.
+    df = qs["host_template_lines"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("host_template_lines", p))
+    check("host_template_lines", "per-host page counts joined broadcast",
+          "BroadcastHashJoin" in p, "")
+    check("host_template_lines", "docfreq agg partial-combines map-side",
+          "partial_count" in p or "HashAggregate" in p, "")
+    df = qs["docs_template_stripped"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_template_stripped", p))
+    check("docs_template_stripped", "anti-join is an equi-join (no NLJ/cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

@@ -1,0 +1,90 @@
+"""Per-host template detection and stripping (operators/linededup.py)."""
+
+import pytest
+
+
+@pytest.fixture()
+def docs(spark):
+    # host a: 4 pages, "NAV" on all 4 (100%), "PROMO" on 2 (50%),
+    # "rare" on 1; host b: 2 pages sharing "NAV" (100% of b) — same
+    # text as a's template, counted independently per host; one NULL
+    # doc and one whose every line is template.
+    rows = [
+        ("a", "u1", "NAV\nbody one\nPROMO"),
+        ("a", "u2", "NAV\nbody two"),
+        ("a", "u3", "NAV\nPROMO\n\nbody three"),
+        ("a", "u4", "NAV"),
+        ("b", "v1", "NAV\nother"),
+        ("b", "v2", "NAV"),
+        ("b", "v3", None),
+    ]
+    return spark.createDataFrame(rows, "host string, url string, text string")
+
+
+def test_template_lines_integer_fraction(spark, docs):
+    from pyocr_spark.operators.linededup import host_template_lines
+
+    got = {
+        (r.host, r.line): (r.docfreq, r.n_pages)
+        for r in host_template_lines(
+            docs, text_col="text", id_col="url", min_pages=2, min_frac_pct=50
+        ).collect()
+    }
+    # host b has 3 pages (NULL doc counts as a page of the host); NAV on
+    # 2/3 = 66% >= 50. PROMO on 2/4 = exactly 50% — >= is inclusive.
+    assert got == {
+        ("a", "NAV"): (4, 4),
+        ("a", "PROMO"): (2, 4),
+        ("b", "NAV"): (2, 3),
+    }
+    # tighter fraction drops PROMO (50 < 60); blank lines never counted
+    keys = {
+        (r.host, r.line)
+        for r in host_template_lines(
+            docs, text_col="text", id_col="url", min_pages=2, min_frac_pct=60
+        ).collect()
+    }
+    assert keys == {("a", "NAV"), ("b", "NAV")}
+
+
+def test_strip_is_per_host_and_keeps_contract(spark, docs):
+    from pyocr_spark.operators.linededup import host_template_strip
+
+    out = {
+        r.url: r
+        for r in host_template_strip(
+            docs, text_col="text", id_col="url", min_pages=2, min_frac_pct=50
+        ).collect()
+    }
+    assert len(out) == 7
+    assert out["u1"].clean_text == "body one"
+    assert out["u3"].clean_text == "\nbody three"  # blank line survives
+    assert out["u4"].clean_text == "" and out["u4"].n_lines == 1
+    assert out["u4"].n_lines_kept == 0
+    assert out["v1"].clean_text == "other"
+    # NULL text: NULL n_lines, empty clean_text (lines_dedup contract)
+    assert out["v3"].n_lines is None and out["v3"].clean_text == ""
+    # counts: u1 had 3 lines, kept 1
+    assert out["u1"].n_lines == 3 and out["u1"].n_lines_kept == 1
+
+
+def test_rare_host_line_not_stripped_elsewhere(spark):
+    from pyocr_spark.operators.linededup import host_template_strip
+
+    # "SHARED" is a template on host a (2/2 pages) but appears once on
+    # host c — per-host scoping must keep it on c
+    rows = [
+        ("a", "u1", "SHARED\nx"),
+        ("a", "u2", "SHARED\ny"),
+        ("c", "w1", "SHARED\nz"),
+        ("c", "w2", "unrelated"),
+    ]
+    docs = spark.createDataFrame(rows, "host string, url string, text string")
+    out = {
+        r.url: r.clean_text
+        for r in host_template_strip(
+            docs, text_col="text", id_col="url", min_pages=2, min_frac_pct=50
+        ).collect()
+    }
+    assert out["u1"] == "x" and out["u2"] == "y"
+    assert out["w1"] == "SHARED\nz"

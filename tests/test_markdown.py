@@ -1,0 +1,161 @@
+"""HTML→Markdown converter (core/markdown.py) + Spark stage tests.
+
+Golden-string fixtures for every frozen rule, the guard contract, and
+the Spark stage checked row-for-row against the single-node converter
+over the real sf0.001 crawl pages.
+"""
+
+import pytest
+
+from pyocr_spark.core.markdown import html_to_markdown
+
+BASE = "http://site.example/dir/page.html"
+
+
+def md(html, base=BASE):
+    return html_to_markdown(html, base_url=base)
+
+
+def test_headings_and_paragraphs():
+    out = md(b"<h1>Top</h1><p>one</p><h3>Sub &amp; co</h3><p>two</p>")
+    assert out == "# Top\n\none\n\n### Sub & co\n\ntwo"
+
+
+def test_boilerplate_and_scriptish_dropped():
+    out = md(
+        b"<head><title>t</title></head><nav>menu</nav><p>keep</p>"
+        b"<script>var x=1;</script><footer>legal</footer>"
+    )
+    assert out == "keep"
+
+
+def test_emphasis_spliced_without_added_spaces():
+    out = md(b"<p>plus <code>c()</code>. And <b> padded </b>!</p>")
+    assert out == "plus `c()`. And **padded**!"
+    assert md(b"<p>foo<b>bar</b>baz</p>") == "foo**bar**baz"
+    # empty emphasis vanishes; mismatched close ignored
+    assert md(b"<p>a <em></em>b</p></i>") == "a b"
+
+
+def test_links_resolution_matches_outlink_rules():
+    out = md(b'<p><a href="/rel#frag">text</a></p>')
+    assert out == "[text](http://site.example/rel)"
+    # empty text -> bare url; non-http -> text only; no href -> text only
+    assert md(b'<p><a href="http://e.com/"></a></p>') == "<http://e.com/>"
+    assert md(b'<p><a href="mailto:x@y">mail</a></p>') == "mail"
+    assert md(b"<p><a>plain</a></p>") == "plain"
+    # <base> rebinds subsequent links, first base wins
+    out = md(
+        b'<base href="http://b.example/x/"><base href="http://c.example/">'
+        b'<p><a href="y">t</a></p>'
+    )
+    assert out == "[t](http://b.example/x/y)"
+
+
+def test_images_and_nested_image_link():
+    assert (
+        md(b'<p><img src="/i.png" alt="pic"></p>')
+        == "![pic](http://site.example/i.png)"
+    )
+    assert md(b'<p><img alt="alt only"></p>') == "alt only"
+    out = md(b'<p><a href="http://e.com/"><img src="/i.png" alt="a"></a></p>')
+    assert out == "[![a](http://site.example/i.png)](http://e.com/)"
+
+
+def test_lists_nested_and_ordered():
+    out = md(
+        b"<ul><li>first</li><li>second"
+        b"<ol><li>n1</li><li>n2</li></ol></li></ul>"
+    )
+    assert out == "- first\n\n- second\n\n  1. n1\n\n  2. n2"
+    # li outside any list: "- " at depth 0
+    assert md(b"<li>stray</li>") == "- stray"
+
+
+def test_blockquote_prefixes_every_line():
+    out = md(b"<blockquote><p>one</p><p>a<br>b</p></blockquote>")
+    assert out == "> one\n>\n> a\n> b"
+    # nesting stacks prefixes
+    out = md(b"<blockquote><blockquote><p>deep</p></blockquote></blockquote>")
+    assert out == "> > deep"
+
+
+def test_pre_fenced_verbatim():
+    out = md(b"<pre>\ndef f():\n    return  1\n</pre>")
+    assert out == "```\ndef f():\n    return  1\n```"
+    assert md(b"<pre>   \n</pre>") == ""
+
+
+def test_hr_and_br():
+    assert md(b"<p>a</p><hr><p>b</p>") == "a\n\n---\n\nb"
+    assert md(b"<p>one<br>two</p>") == "one\ntwo"
+    assert md(b"<p>end<br></p>") == "end"
+
+
+def test_tables_pipe_rows_and_header_separator():
+    out = md(
+        b"<table><tr><th>A</th><th>B|C</th></tr>"
+        b"<tr><td>1</td><td><b>2</b></td></tr></table>"
+    )
+    assert out == "| A | B\\|C |\n| --- | --- |\n| 1 | **2** |"
+    # no th -> no separator; implicit closures; empty table dropped
+    assert md(b"<table><tr><td>x<td>y<tr><td>z</table>") == "| x | y |\n| z |"
+    assert md(b"<table></table><p>after</p>") == "after"
+
+
+def test_nested_table_emits_inner_first():
+    out = md(
+        b"<table><tr><td>outer"
+        b"<table><tr><td>inner</td></tr></table>"
+        b"</td></tr></table>"
+    )
+    assert out == "| inner |\n\n| outer |"
+
+
+def test_guards_none_oversized_malformed():
+    from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+    assert md(None) is None
+    assert md(b"") == ""
+    assert html_to_markdown(b"x" * (MAX_HTML_BYTES + 1)) is None
+    # malformed nesting never raises and is deterministic
+    a = md(b"<b>unclosed <p>para</b> text")
+    assert a == md(b"<b>unclosed <p>para</b> text")
+
+
+def test_charset_replace_discipline():
+    # cp1252 declaration honored, same sniff as every extraction leg
+    h = b'<meta charset="iso-8859-1"><p>caf\xe9</p>'
+    assert md(h) == "café"
+
+
+@pytest.mark.usefixtures("pages_sf0001")
+def test_spark_stage_matches_converter(spark, pages_sf0001):
+    """The distributed stage must equal the single-node converter row
+    for row over the real crawl pages (same check the driver's oracle
+    gate performs against expected_markdown)."""
+    from pyocr_spark.functions.markdown import extract_markdown
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001)).limit(60)
+    got = (
+        extract_markdown(pages)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    src = pages.select("url", "html").toPandas()
+    want = {
+        url: html_to_markdown(html, base_url=url)
+        for url, html in zip(src["url"], src["html"])
+    }
+    import pandas as pd
+
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        w = want[row["url"]]
+        if w is None:
+            assert row["markdown"] is None and pd.isna(row["n_md_chars"])
+        else:
+            assert row["markdown"] == w
+            assert row["n_md_chars"] == len(w)

@@ -64,6 +64,63 @@ def test_frame_sampling_video_only(spark, media):
     assert frames["frame_sig"].nunique() == len(frames)
 
 
+def test_phash_matches_python_twin_and_drops_errors(spark, media):
+    from pyocr_spark.functions.multimodal import media_phash, phash_from_features
+
+    decoded = decode_media(media)
+    out = media_phash(decoded).toPandas().set_index("media_id").sort_index()
+    # error row (id 4) dropped; ok rows carry a 16-bit non-negative hash
+    assert sorted(out.index) == [1, 2, 3]
+    assert all(0 <= h < (1 << FEATURE_DIM) for h in out["phash"])
+    # bit-exact vs the pure-Python twin over the SAME decoded features
+    feats = decoded.toPandas().set_index("media_id")
+    for mid in (1, 2, 3):
+        assert out.loc[mid, "phash"] == phash_from_features(feats.loc[mid, "features"])
+    # similar blobs (same bytes repeated) share the hash; the rule is
+    # threshold-vs-mean so a uniform histogram would be all-zero bits
+    assert out.loc[1, "phash"] == phash_from_features(feats.loc[1, "features"])
+
+
+def test_phash_pairs_banded_equals_brute_force(spark):
+    import itertools
+
+    from pyocr_spark.functions.multimodal import (
+        media_phash,
+        media_phash_pairs,
+        phash_from_features,
+    )
+
+    # corpus of near-identical blobs: base content plus small byte tweaks
+    # so some pairs land within Hamming 3 and others far outside
+    base = b"The quick brown fox jumps over the lazy dog. " * 30
+    rows = [
+        (i, "image", base + bytes([i]) * (i % 7), ("s", "image/png"))
+        for i in range(1, 41)
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA_DDL)
+    decoded = decode_media(media)
+    got = (
+        media_phash_pairs(decoded, max_hamming=3, bands=4)
+        .toPandas()
+        .sort_values(["media_id_a", "media_id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force reference from the phash column itself
+    ph = media_phash(decoded).toPandas().set_index("media_id")["phash"].to_dict()
+    want = sorted(
+        (a, b, bin(ph[a] ^ ph[b]).count("1"))
+        for a, b in itertools.combinations(sorted(ph), 2)
+        if bin(ph[a] ^ ph[b]).count("1") <= 3
+    )
+    assert want, "fixture must produce at least one near-dup pair"
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # the guard: recall is only exact while max_hamming < bands
+    with pytest.raises(ValueError):
+        media_phash_pairs(decoded, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        media_phash_pairs(decoded, max_hamming=1, bands=3)  # 3 ∤ 16
+
+
 def test_resize_images_only_with_error_contract(spark, media):
     from pyocr_spark.functions.multimodal import resize_media
 
