@@ -255,6 +255,21 @@ def _q_media_phash_dups(spark, sf_dir):
     )
 
 
+def _q_pages_wat(spark, sf_dir):
+    """WAT metadata-sidecar envelopes (sources/wat.py): canonical-JSON
+    head metadata + document-order outlinks per page, byte-identical to
+    the pure-Python envelope twin — the Common-Crawl WAT convention
+    completing the WARC/WET export pair. The archive round trip
+    (write_wat → read_wat) is covered in test_wat; this gates the
+    envelope build through the real metadata + outlink stages."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.sources.wat import build_wat
+
+    return build_wat(dedup_latest_page(_pages(spark, sf_dir))).select(
+        "url", "wat_json"
+    )
+
+
 def _q_pages_jsonl_ingest(spark, sf_dir):
     """JSONL crawl-dump ingest (sources/jsonl.py): the parsed good rows
     must round-trip byte-identically to the pages.parquet the dump was
@@ -576,6 +591,17 @@ def _q_crawl_delta(spark, sf_dir):
     from pyocr_spark.operators.snapshot import crawl_delta
 
     return crawl_delta(_pages(spark, sf_dir))
+
+
+def _q_warc_revisit_plan(spark, sf_dir):
+    """WARC revisit planning (operators/snapshot.revisit_plan): first
+    capture of each content digest → response, later identical captures
+    → revisit pointing at the original (WARC 1.1 identical-payload-
+    digest profile; url-agnostic digest dedup like Common Crawl). One
+    digest min-aggregate + one equi-join back."""
+    from pyocr_spark.operators.snapshot import revisit_plan
+
+    return revisit_plan(_pages(spark, sf_dir))
 
 
 def _q_refetch_priority(spark, sf_dir):
@@ -1219,6 +1245,41 @@ def _q_doc_bm25_index(spark, sf_dir):
     path = str(DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-text-index"))
     build_text_index(docs, path, n_shards=16)
     return search_text_index(spark, path, _BM25_QUERY, k=10)
+
+
+_PHRASE = ("table", "hash")
+
+
+def _q_doc_phrase_match(spark, sf_dir):
+    """Exact-phrase retrieval, direct-scan baseline (functions/search.
+    phrase_match): one whole-stage-codegen pass, the phrase test an
+    unrolled HOF filter over candidate starts — no shuffle, no Python."""
+    from pyocr_spark.functions.search import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), _PHRASE)
+
+
+def _q_doc_phrase_index_search(spark, sf_dir):
+    """Exact-phrase search over the MATERIALIZED positional index
+    (functions/search.build_positional_index + search_phrase_index):
+    term-j positions shift left by j and intersect per doc; only the
+    phrase terms' shard dirs are listed. Must equal phrase_match over
+    the corpus — the index rides the same exact oracle (the
+    bm25-index / IVF full-probe≡exact trick)."""
+    import os
+
+    from pyocr_spark.datagen import DATA_ROOT
+    from pyocr_spark.functions.search import (
+        build_positional_index,
+        search_phrase_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = str(
+        DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-pos-index")
+    )
+    build_positional_index(docs, path, n_shards=16)
+    return search_phrase_index(spark, path, _PHRASE)
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -2003,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_headings": _q_extract_headings,
         "extract_tables": _q_extract_tables,
         "pages_dedup_latest": _q_pages_dedup_latest,
+        "pages_wat": _q_pages_wat,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
         "doc_gopher_ngram": _q_doc_gopher_ngram,
@@ -2020,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_lines": _q_host_template_lines,
         "docs_template_stripped": _q_docs_template_stripped,
         "crawl_delta": _q_crawl_delta,
+        "warc_revisit_plan": _q_warc_revisit_plan,
         "refetch_priority": _q_refetch_priority,
         "bloom_seen_filter": _q_bloom_seen_filter,
         "bloom_probe_docs": _q_bloom_probe_docs,
@@ -2041,6 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": _q_corpus_bpe_merges,
         "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_bm25_index": _q_doc_bm25_index,
+        "doc_phrase_match": _q_doc_phrase_match,
+        "doc_phrase_index_search": _q_doc_phrase_index_search,
         "doc_bm25": _q_doc_bm25,
         "doc_dup_spans": _q_doc_dup_spans,
         "docs_span_removed": _q_docs_span_removed,
@@ -2269,6 +2334,22 @@ _BM25_QUERY = ("spark", "customer", "window")
 # (IEEE doubles evaluate identically when the tree matches); constants embed
 # via repr() so both engines parse the exact same doubles; per-term scores go
 # to BIGINT micro-units BEFORE the per-doc sum (order-free integer addition).
+# exact-phrase retrieval: the direct-scan HOF filter replayed with
+# DuckDB list lambdas (1-based list indexing → 0-based positions via -1);
+# the positional-index search must equal the scan, so BOTH queries ride
+# this one oracle (the bm25-index / IVF full-probe≡exact trick)
+_PHRASE_SQL = (
+    "WITH tok AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(regexp_replace(text, "
+    "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+    "t -> t != '') AS w FROM documents WHERE text IS NOT NULL), "
+    "hits AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+    "list_filter(generate_series(1, len(w) - 1), "
+    "i -> w[i] = 'table' AND w[i+1] = 'hash') ELSE [] END AS pos FROM tok) "
+    "SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_hits, "
+    "CAST(pos[1] - 1 AS INTEGER) AS first_pos FROM hits WHERE len(pos) > 0"
+)
+
 _BM25_SQL = (
     "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
     "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
@@ -2931,6 +3012,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the ingest oracle is the SOURCE parquet itself: the JSONL dump is
         # derived from it, so parse+unbase64 must round-trip exactly
+        "pages_wat": (
+            f"SELECT url, wat_json FROM read_parquet('{E}/expected_wat.parquet')"
+        ),
         "pages_jsonl_ingest": (
             f"SELECT url, CAST(floor(epoch(warc_ts)) AS BIGINT) AS ts_epoch, "
             f"md5(lower(hex(html))) AS html_md5, "
@@ -3075,6 +3159,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_seen_filter": _BLOOM_FILTER_SQL,
         "bloom_probe_docs": _BLOOM_PROBE_SQL,
+        "warc_revisit_plan": (
+            f"WITH v AS (SELECT url, "
+            f"coalesce(CAST(floor(epoch(warc_ts)) AS BIGINT), 0) AS ts_epoch, "
+            f"md5(lower(hex(coalesce(html, ''::BLOB)))) AS digest "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "k AS (SELECT *, lpad(CAST(ts_epoch AS VARCHAR), 19, '0') || '|' || url AS kk FROM v), "
+            "f AS (SELECT digest, min(kk) AS first_k FROM k GROUP BY digest) "
+            "SELECT k.url, k.ts_epoch, k.digest, "
+            "CASE WHEN k.kk = f.first_k THEN 'response' ELSE 'revisit' END AS disposition, "
+            "CASE WHEN k.kk = f.first_k THEN NULL ELSE f.first_k[21:] END AS refers_to_url, "
+            "CASE WHEN k.kk = f.first_k THEN NULL "
+            "ELSE CAST(f.first_k[1:19] AS BIGINT) END AS refers_to_ts_epoch "
+            "FROM k JOIN f USING (digest)"
+        ),
         "crawl_delta": (
             f"WITH v AS (SELECT url, coalesce(CAST(floor(epoch(warc_ts)) AS BIGINT), 0) AS ts, "
             f"md5(lower(hex(coalesce(html, ''::BLOB)))) AS h "
@@ -3294,6 +3392,8 @@ def oracle_sql() -> dict[str, str]:
         # materialized-index search must equal the full-corpus BM25 scan
         # bit-for-bit (same factored score expression) — same oracle
         "doc_bm25_index": _BM25_SQL,
+        "doc_phrase_match": _PHRASE_SQL,
+        "doc_phrase_index_search": _PHRASE_SQL,
         # unigram NLL: same tok CTE as BM25; per-token micro-units rounded
         # BEFORE the tf multiply and per-doc sum (order-free integer math);
         # mean = ONE double division of exact integers

@@ -106,6 +106,19 @@ def parse_args(argv=None):
              "to this directory after extraction",
     )
     p.add_argument(
+        "--wat-output", default=None,
+        help="also export a Common-Crawl-style WAT metadata sidecar "
+             "(metadata records with a canonical-JSON envelope of head "
+             "metadata + document-order outlinks per page) to this "
+             "directory; independent of extraction modes — it reads the "
+             "deduped pages, not the extract output",
+    )
+    p.add_argument(
+        "--markdown-output", default=None,
+        help="also write the HTML→Markdown surface (url, markdown, "
+             "n_md_chars parquet) for the deduped pages to this directory",
+    )
+    p.add_argument(
         "--incremental", action="store_true",
         help="incremental re-extraction (plans/incremental): keep a per-url "
              "content-hash state table beside the output; re-extract only "
@@ -265,6 +278,27 @@ def main(argv=None) -> None:
             "files": len(manifest),
             "records": sum(m["n_records"] for m in manifest),
             "bytes": sum(m["n_bytes"] for m in manifest),
+        }
+    if args.wat_output:
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.sources.wat import build_wat, write_wat
+
+        manifest = write_wat(
+            build_wat(dedup_latest_page(pages)), args.wat_output
+        ).collect()
+        report["wat"] = {
+            "files": len(manifest),
+            "records": sum(m["n_records"] for m in manifest),
+            "bytes": sum(m["n_bytes"] for m in manifest),
+        }
+    if args.markdown_output:
+        from pyocr_spark.functions.markdown import extract_markdown
+        from pyocr_spark.operators.dedup import dedup_latest_page
+
+        md = extract_markdown(dedup_latest_page(pages))
+        md.write.mode("overwrite").parquet(args.markdown_output)
+        report["markdown"] = {
+            "rows": spark.read.parquet(args.markdown_output).count()
         }
     print(json.dumps(report))
     spark.stop()

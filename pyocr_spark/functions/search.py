@@ -218,3 +218,138 @@ def search_text_index(
         F.col(id_col), _term_micro(k1, b).alias("term_micro")
     )
     return _topk_by_score(scored, id_col, k)
+
+
+def _phrase_positions(toks: Column, phrase: tuple[str, ...]) -> Column:
+    """0-based start positions where the token sequence equals ``phrase``
+    — one unrolled JVM HOF filter over candidate starts, no Python, no
+    explode. Guarded for docs shorter than the phrase (F.sequence would
+    otherwise generate a DESCENDING range for start > stop)."""
+    n = F.size(toks)
+    L = len(phrase)
+    cond = lambda i: reduce(
+        lambda a, b: a & b,
+        [
+            F.element_at(toks, i + F.lit(j + 1)) == F.lit(term)
+            for j, term in enumerate(phrase)
+        ],
+    )
+    return F.when(
+        n >= L, F.filter(F.sequence(F.lit(0), n - F.lit(L)), cond)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval, direct-scan form: ``(doc_id, n_hits,
+    first_pos)`` for every document containing the consecutive token
+    sequence (engine-wide ws_tokens tokenization; 0-based positions;
+    overlapping occurrences each count).
+
+    This is the oracle-exact baseline the positional index
+    (:func:`search_phrase_index`) must reproduce — the same
+    direct-scan-vs-index contract as bm25_topk vs search_text_index.
+    Shape: one narrow whole-stage-codegen pass over the corpus (the
+    phrase test is an unrolled HOF filter) — no shuffle, no Python.
+    """
+    if not phrase:
+        raise ValueError("phrase_match needs at least one token")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    pos = _phrase_positions(toks, phrase)
+    return (
+        docs.select(F.col(id_col), pos.alias("pos"))
+        .filter(F.size("pos") > 0)
+        .select(
+            id_col,
+            F.size("pos").cast("long").alias("n_hits"),
+            F.element_at("pos", 1).cast("int").alias("first_pos"),
+        )
+    )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize POSITIONAL postings: (token, doc_id, positions[])
+    parquet-partitioned by ``shard = pmod(xxhash64(token), n_shards)``
+    — the phrase-query upgrade of :func:`build_text_index` (tf-only
+    postings cannot answer adjacency). Same layout discipline: postings
+    first, the 1-row stats table (carrying n_shards) LAST as the commit
+    record. Positions are 0-based token indexes, sorted, one posting
+    row per (token, doc): the aggregate combines map-side and each
+    shard stays a self-contained sub-index."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    postings = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "token"))
+        .groupBy("token", id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+        .withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)))
+    )
+    postings.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/postings"
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "n_shards", F.lit(n_shards)
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def search_phrase_index(
+    spark,
+    path: str,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search over the positional index — result IDENTICAL
+    to :func:`phrase_match` over the source corpus.
+
+    Classic positional-intersection: term j's positions shift left by j
+    (``transform(positions, p -> p - j)``), then the per-doc arrays
+    intersect pairwise — a surviving value is a start where EVERY term
+    sits at its offset. Only |distinct phrase-term shards| partition
+    directories are listed (driver-side XXH64 twin, the
+    search_text_index precedent); the L-way chain is doc_id equi-joins
+    between single-token posting slices, so the join input is the
+    phrase terms' postings, never the corpus. A repeated token reuses
+    the same posting row at two offsets — array_intersect handles it
+    (0-based positions are unique within a posting)."""
+    from pyocr_spark.core.xxh import xxh64_signed
+
+    if not phrase:
+        raise ValueError("search_phrase_index needs at least one token")
+    stats = spark.read.parquet(f"{path}/stats")
+    n_shards = stats.head()["n_shards"]
+    shards = sorted({xxh64_signed(t.encode("utf-8")) % n_shards for t in phrase})
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("shard").isin(shards)
+    )
+
+    def term_slice(j: int, term: str) -> DataFrame:
+        return post.filter(F.col("token") == term).select(
+            F.col(id_col),
+            F.transform("positions", lambda p: p - F.lit(j)).alias(f"adj{j}"),
+        )
+
+    acc = term_slice(0, phrase[0]).withColumnRenamed("adj0", "pos")
+    for j, term in enumerate(phrase[1:], start=1):
+        acc = acc.join(term_slice(j, term), id_col).select(
+            id_col, F.array_intersect("pos", f"adj{j}").alias("pos")
+        )
+    return (
+        acc.filter(F.size("pos") > 0)
+        .select(
+            id_col,
+            F.size("pos").cast("long").alias("n_hits"),
+            F.element_at("pos", 1).cast("int").alias("first_pos"),
+        )
+    )

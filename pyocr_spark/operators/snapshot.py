@@ -172,3 +172,68 @@ def refetch_priority(
     return agg.select(
         "url", "n_versions", "n_changes", rate.alias("change_rate"), "last_seen"
     )
+
+
+def revisit_plan(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """Plan WARC *revisit* records: one disposition per capture.
+
+    Crawl archives avoid storing a byte-identical payload twice: the
+    FIRST capture of a digest ships as a full ``response`` record, every
+    later capture of the same bytes ships as a tiny ``revisit`` record
+    pointing at the original (WARC 1.1 §6.7.2 identical-payload-digest
+    profile — the convention Common Crawl and Heritrix follow). This
+    operator computes that plan: one row per capture,
+    ``(url, ts_epoch, digest, disposition, refers_to_url,
+    refers_to_ts_epoch)`` with disposition ``response`` | ``revisit``
+    and refers_* NULL on originals.
+
+    The original of a digest is the capture with the MINIMUM
+    (ts, url) pair among captures sharing the digest — url breaks
+    same-instant ties, so the plan is deterministic under any
+    partitioning. Digest identity is the engine-wide
+    :func:`content_hash` (shared with crawl_delta and the incremental
+    state), URL-AGNOSTIC: the same bytes served by two urls dedup to
+    one stored payload, exactly like the Common-Crawl digest dedup.
+
+    Shape: one groupBy(digest) min-aggregate (partial SortAggregate,
+    one candidate row per digest per mapper — same trade as
+    crawl_delta's packed keys) + one equi-join back on the digest. No
+    window: a window would sort whole reduce partitions of capture
+    rows; the aggregate collapses map-side first. The join's build side
+    is one row per DISTINCT digest — smaller than the capture table by
+    exactly the dedup ratio the plan exists to exploit.
+    """
+    h = content_hash(content_col)
+    ts = F.coalesce(F.col(ts_col).cast("long"), F.lit(0))
+    # 19-digit zero-padded epoch + '|' + url: min() picks the earliest
+    # capture, url as tiebreak; parse positions are fixed (url may
+    # itself contain '|', so parse by offset, never by split)
+    packed = F.concat(F.lpad(ts.cast("string"), 19, "0"), F.lit("|"), F.col(url_col))
+    v = pages.select(
+        F.col(url_col).alias("url"),
+        ts.alias("ts_epoch"),
+        h.alias("digest"),
+        packed.alias("k"),
+    )
+    first = v.groupBy("digest").agg(F.min("k").alias("first_k"))
+    j = v.join(first, "digest")
+    is_original = F.col("k") == F.col("first_k")
+    return j.select(
+        "url",
+        "ts_epoch",
+        "digest",
+        F.when(is_original, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("disposition"),
+        F.when(is_original, F.lit(None).cast("string"))
+        .otherwise(F.substring("first_k", 21, 2147483647))
+        .alias("refers_to_url"),
+        F.when(is_original, F.lit(None).cast("long"))
+        .otherwise(F.substring("first_k", 1, 19).cast("long"))
+        .alias("refers_to_ts_epoch"),
+    )

@@ -268,7 +268,9 @@ def warc_record_bytes(
     ``response`` records wrap the payload in a minimal ``HTTP/1.1 200``
     header block (what ``iter_warc_records`` strips back off);
     ``conversion`` records (WET extracted text) carry the payload
-    verbatim as ``text/plain``. The record id is an md5 of (url, date)
+    verbatim as ``text/plain``; ``metadata`` records (WAT envelopes —
+    sources/wat.py) verbatim as ``application/json``. The record id is
+    an md5 of (url, date)
     — deterministic so re-exports are byte-identical (no uuid4, no
     clock). ``ts`` is a datetime (naive = UTC) or None (epoch).
     """
@@ -285,6 +287,8 @@ def warc_record_bytes(
             + payload
         )
         ctype = b"application/http; msgtype=response"
+    elif record_type == "metadata":
+        ctype = b"application/json"  # WAT convention (sources/wat.py)
     else:
         ctype = b"text/plain"
     date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
@@ -421,3 +425,121 @@ def read_wet(spark, path: str, metrics=None):
         .select("content")
         .mapInPandas(parse_files, schema="url string, warc_ts timestamp, text string")
     )
+
+
+def warc_revisit_record_bytes(
+    url: str,
+    ts,
+    refers_url: str,
+    refers_ts,
+    payload_digest: str,
+) -> bytes:
+    """ONE WARC/1.1 ``revisit`` record (identical-payload-digest profile,
+    WARC 1.1 §6.7.2): no payload — just the pointer at the original
+    capture plus the shared digest. Same deterministic framing rules as
+    :func:`warc_record_bytes` (md5 record id, CRLF, no wall clock)."""
+    import hashlib
+
+    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
+            else "1970-01-01T00:00:00Z")
+    rdate = (refers_ts.strftime("%Y-%m-%dT%H:%M:%SZ") if refers_ts is not None
+             else "1970-01-01T00:00:00Z")
+    rid = hashlib.md5((url + "\x00" + date).encode("utf-8")).hexdigest()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">\r\n"
+        b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n"
+        b"WARC-Refers-To-Target-URI: " + refers_url.encode("utf-8") + b"\r\n"
+        b"WARC-Refers-To-Date: " + rdate.encode("ascii") + b"\r\n"
+        b"WARC-Payload-Digest: md5:" + payload_digest.encode("ascii") + b"\r\n"
+        b"Content-Length: 0\r\n\r\n"
+    )
+    return head + _CRLF2
+
+
+def write_warc_deduped(pages, out_dir: str, url_col: str = "url",
+                       ts_col: str = "warc_ts", payload_col: str = "html"):
+    """Export captures as ``.warc.gz`` with payload dedup: the first
+    capture of each content digest writes a full ``response`` record,
+    every later identical capture a ``revisit`` pointer — the WARC-
+    standard answer to recrawl bloat (operators/snapshot.revisit_plan
+    computes the dispositions; this sink materializes them).
+
+    Same sink discipline as :func:`write_warc` (one gzip member per
+    record, mtime=0, per-partition part naming, tmp-then-rename,
+    lazy manifest). Returns (file, n_records, n_bytes) — the revisit
+    savings show up directly as smaller n_bytes for the same
+    n_records. Payload bytes ride ONLY on original rows: the plan join
+    prunes ``html`` off revisit rows before the shuffle, so the dedup
+    ratio is realized in the exchange too, not just on disk.
+    """
+    import gzip as _gzip
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyocr_spark.operators.snapshot import revisit_plan
+
+    os.makedirs(out_dir, exist_ok=True)
+    plan = revisit_plan(pages, url_col=url_col, ts_col=ts_col,
+                        content_col=payload_col)
+    ts = F.coalesce(F.col(ts_col).cast("long"), F.lit(0))
+    caps = pages.select(
+        F.col(url_col).alias("url"), ts.alias("ts_epoch"),
+        F.col(payload_col).alias("payload"),
+    )
+    # payload only where it will be written (responses) — revisit rows
+    # shuffle (url, ts, digest, refers) and nothing else
+    rows = plan.join(caps, ["url", "ts_epoch"]).select(
+        "url", "ts_epoch", "digest", "disposition",
+        "refers_to_url", "refers_to_ts_epoch",
+        F.when(F.col("disposition") == "response", F.col("payload"))
+        .alias("payload"),
+    )
+
+    def write_parts(batches):
+        import datetime
+
+        from pyspark import TaskContext
+
+        def _dt(epoch):
+            if epoch is None or pd.isna(epoch):
+                return None
+            return datetime.datetime.fromtimestamp(int(epoch), datetime.timezone.utc).replace(tzinfo=None)
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        members: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if r.url is None:
+                    continue
+                if r.disposition == "response":
+                    rec = warc_record_bytes(
+                        r.url, _dt(r.ts_epoch),
+                        r.payload if r.payload is not None else b"",
+                        "response",
+                    )
+                else:
+                    rec = warc_revisit_record_bytes(
+                        r.url, _dt(r.ts_epoch), r.refers_to_url,
+                        _dt(r.refers_to_ts_epoch), r.digest,
+                    )
+                members.append(_gzip.compress(rec, mtime=0))
+                n += 1
+        if n:
+            data = b"".join(members)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            yield pd.DataFrame(
+                {"file": [path], "n_records": [n], "n_bytes": [len(data)]}
+            )
+
+    return rows.mapInPandas(write_parts, schema=WARC_MANIFEST_DDL)

@@ -1,0 +1,187 @@
+"""WAT metadata sidecar export/ingest — completing the WARC/WAT/WET triple.
+
+Common Crawl ships every crawl three ways: WARC (raw responses —
+sources/warc.py read+write), WET (extracted text — ``write_wet``/
+``read_wet``) and WAT: one ``WARC-Type: metadata`` record per page whose
+payload is a JSON envelope of page metadata (head fields + outgoing
+links). Downstream consumers that only need the link graph or head
+metadata read the ~10×-smaller WAT instead of the raw crawl — the same
+selective-ingest economics as the CDX index (sources/cdx.py), applied
+to metadata instead of byte ranges.
+
+Envelope (frozen, deliberately a compatible subset of Common Crawl's
+``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata``):
+
+- ``Head``: Title / Description / Canonical / Lang — exactly the
+  core/dom.py metadata surface, so the WAT sidecar can never disagree
+  with ``extract_metadata``;
+- ``Links``: document-order ``{"url": target}`` objects from the SAME
+  parser as outlink extraction (core/links.py), duplicates preserved;
+- serialized ``json.dumps(sort_keys=True, separators=(",", ":"),
+  ensure_ascii=False)`` — canonical bytes, so identical input produces
+  byte-identical WAT archives and the datagen expected table replays
+  the envelope exactly.
+
+Scale shape: two Arrow-batched narrow parses (metadata + links — each a
+shuffle-free map) plus ONE shuffle to regroup links per page; the
+record write reuses ``write_warc``'s per-partition gzip-member sink
+(idempotent part naming, tmp-then-rename). The envelope build itself is
+an Arrow-batched pandas stage calling the same pure function the
+expected-table builder uses.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WAT_FORMAT = "pyocr-spark-WAT/1"
+WAT_DDL = "url string, warc_ts timestamp, wat_json string"
+
+
+def wat_envelope(
+    url: str,
+    title: str | None,
+    description: str | None,
+    canonical: str | None,
+    html_lang: str | None,
+    links: list[str],
+) -> str:
+    """Canonical JSON envelope for one page (shared by the Spark stage
+    and the datagen expected-table builder — bit-identical by
+    construction). Missing head fields serialize as JSON null; a page
+    with no links carries ``"Links": []``."""
+    env = {
+        "Envelope": {
+            "Format": WAT_FORMAT,
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Type": "metadata",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {
+                            "Title": title,
+                            "Description": description,
+                            "Canonical": canonical,
+                            "Lang": html_lang,
+                        },
+                        "Links": [{"url": t} for t in links],
+                    }
+                }
+            },
+        }
+    }
+    return json.dumps(env, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def _envelope_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        wat = [
+            wat_envelope(
+                url,
+                None if pd.isna(title) else title,
+                None if pd.isna(desc) else desc,
+                None if pd.isna(canon) else canon,
+                None if pd.isna(lang) else lang,
+                [] if links is None else list(links),
+            )
+            for url, title, desc, canon, lang, links in zip(
+                pdf["url"], pdf["title"], pdf["description"],
+                pdf["canonical"], pdf["html_lang"], pdf["links"],
+            )
+        ]
+        yield pd.DataFrame(
+            {"url": pdf["url"], "warc_ts": pdf["warc_ts"], "wat_json": wat}
+        )
+
+
+def build_wat(pages: DataFrame) -> DataFrame:
+    """``(url, warc_ts, wat_json)`` — one WAT envelope per input page.
+
+    Expects one row per url (feed it the dedup window's output). The
+    link regroup is the only shuffle: links collect as (link_idx,
+    target) structs and sort positionally so the envelope preserves
+    document order regardless of partitioning.
+    """
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.webgraph import extract_outlinks
+
+    meta = extract_metadata(pages).select(
+        "url", "title", "description", "canonical", "html_lang"
+    )
+    links = (
+        extract_outlinks(pages)
+        .groupBy("url")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("link_idx", "target_url"))),
+                lambda s: s["target_url"],
+            ).alias("links")
+        )
+    )
+    base = (
+        pages.select("url", "warc_ts")
+        .join(meta, "url")
+        .join(links, "url", "left")
+    )
+    return base.mapInPandas(_envelope_batches, schema=WAT_DDL)
+
+
+def write_wat(wat: DataFrame, out_dir: str):
+    """Export ``build_wat`` rows as ``.warc.gz`` metadata archives.
+
+    Reuses the WARC sink (one gzip member per record, idempotent part
+    naming, manifest-returning, lazy); records carry ``WARC-Type:
+    metadata`` + ``Content-Type: application/json`` per the WAT
+    convention."""
+    from pyocr_spark.sources.warc import write_warc
+
+    return write_warc(
+        wat, out_dir, record_type="metadata", payload_col="wat_json"
+    )
+
+
+def read_wat(spark, path: str, metrics=None) -> DataFrame:
+    """WAT archives → ``(url, warc_ts, wat_json)`` — the round-trip twin
+    of ``write_wat``; same binaryFile parallelism as ``read_warc``."""
+
+    def parse_files(batches):
+        from pyocr_spark.sources.warc import iter_warc_records
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                stats = {"skipped": 0}
+                rows = list(
+                    iter_warc_records(
+                        bytes(content), stats, record_types=("metadata",)
+                    )
+                )
+                yield pd.DataFrame(
+                    {
+                        "url": [r["url"] for r in rows],
+                        "warc_ts": [r["warc_ts"] for r in rows],
+                        "wat_json": [
+                            r["html"].decode("utf-8", "replace") for r in rows
+                        ],
+                    }
+                )
+                if metrics is not None:
+                    metrics.add(
+                        docs=len(rows),
+                        bytes_in=len(content),
+                        errors=stats["skipped"],
+                    )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse_files, schema=WAT_DDL)
+    )

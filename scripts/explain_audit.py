@@ -690,6 +690,47 @@ def main() -> int:
     check("docs_template_stripped", "anti-join is an equi-join (no NLJ/cartesian)",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 43. WAT sidecar: head-metadata and outlink parses are separate
+    # Arrow stages rejoined on url — all equi-joins, never NLJ; the
+    # link regroup is an aggregate (partial-combining collect_list).
+    df = qs["pages_wat"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pages_wat", p))
+    check("pages_wat", "url rejoins are equi-joins (no NLJ/cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("pages_wat", "three Python stages (meta parse, link parse, envelope)",
+          len(re.findall(r"^\(\d+\) .*(InPandas|ArrowEvalPython)", p, flags=re.M)) == 3, "")
+
+    # 44. revisit planning: digest originals via a partial-combining
+    # min-aggregate (no window sort of capture rows), one equi-join
+    # back on the digest — never NLJ.
+    df = qs["warc_revisit_plan"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("warc_revisit_plan", p))
+    check("warc_revisit_plan", "digest rejoin is an equi-join (no NLJ/cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("warc_revisit_plan", "no window over capture rows (aggregate instead)",
+          "Window" not in p, "")
+
+    # 45. exact-phrase retrieval: the direct scan is ONE narrow
+    # codegen pass (no shuffle, no Python, no explode); the positional
+    # index search prunes to the phrase terms' shard dirs and chains
+    # doc_id equi-joins.
+    df = qs["doc_phrase_match"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_phrase_match", p))
+    check("doc_phrase_match", "narrow scan (zero Exchange, no Python, no explode)",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
+          and "InPandas" not in p and "ArrowEvalPython" not in p
+          and "Generate" not in p, "")
+    df = qs["doc_phrase_index_search"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_phrase_index_search", p))
+    check("doc_phrase_index_search", "shard pruning reaches the file listing",
+          "PartitionFilters" in p and "shard" in p.split("PartitionFilters", 1)[1][:200], "")
+    check("doc_phrase_index_search", "position joins are equi-joins (no NLJ/cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

@@ -121,3 +121,72 @@ def test_text_index_build_validates_shards(spark, docs_df, tmp_path):
     build_text_index(docs_df, path, n_shards=4)
     with _pytest.raises(ValueError):
         search_text_index(spark, path, ())
+
+
+PHRASE_DOCS = [
+    (0, "a b c a b c a b", "en", "s"),          # "a b" x3 (one at tail)
+    (1, "a a a a", "en", "s"),                   # overlapping "a a" x3
+    (2, "b a", "en", "s"),                       # reversed: no hit
+    (3, "a", "en", "s"),                         # shorter than the phrase
+    (4, "", "en", "s"),                          # empty
+    (5, None, "en", "s"),                        # NULL text
+    (6, "  a\tb  ", "en", "s"),                  # messy whitespace: one hit
+]
+
+
+@pytest.fixture()
+def phrase_docs(spark):
+    return spark.createDataFrame(
+        PHRASE_DOCS, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_phrase_match_golden(spark, phrase_docs):
+    from pyocr_spark.functions.search import phrase_match
+
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in phrase_match(phrase_docs, ("a", "b")).collect()
+    }
+    assert got == {0: (3, 0), 6: (1, 0)}
+    # overlapping occurrences each count
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in phrase_match(phrase_docs, ("a", "a")).collect()
+    }
+    assert got == {1: (3, 0)}
+    # trigram, and a phrase longer than every doc
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in phrase_match(phrase_docs, ("c", "a", "b")).collect()
+    }
+    assert got == {0: (2, 2)}
+    assert phrase_match(phrase_docs, tuple("abcabcabcab")).count() == 0
+    with pytest.raises(ValueError):
+        phrase_match(phrase_docs, ())
+
+
+def test_phrase_index_equals_scan_and_prunes(spark, phrase_docs, tmp_path):
+    from pyocr_spark.core.xxh import xxh64_signed
+    from pyocr_spark.functions.search import (
+        build_positional_index,
+        phrase_match,
+        search_phrase_index,
+    )
+
+    path = str(tmp_path / "pos-index")
+    build_positional_index(phrase_docs, path, n_shards=8)
+    for phrase in [("a", "b"), ("a", "a"), ("c", "a", "b"), ("b",), ("z", "q")]:
+        got = sorted(
+            tuple(r) for r in search_phrase_index(spark, path, phrase).collect()
+        )
+        want = sorted(
+            tuple(r) for r in phrase_match(phrase_docs, phrase).collect()
+        )
+        assert got == want, phrase
+    # shard pruning reaches the file listing
+    df = search_phrase_index(spark, path, ("a", "b"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:200]
+    assert str(xxh64_signed(b"a") % 8) in tail

@@ -276,3 +276,60 @@ def test_wet_output_requires_text_mode(tmp_path):
             "--input", "x", "--output", "y",
             "--modes", "words", "--wet-output", "z",
         ])
+
+
+def test_spark_submit_wat_and_markdown_sidecars(tmp_path):
+    """--wat-output and --markdown-output write their sidecars from the
+    deduped pages alongside the extract output; the WAT records carry
+    the canonical envelope and the markdown parquet matches the frozen
+    converter."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    pages = str(tmp_path / "pages.parquet")
+    _write_pages(pages, [
+        ("https://h/a", "2024-01-01",
+         b"<head><title>T</title></head><h1>A</h1><a href='/x'>x</a>", None, "en"),
+        ("https://h/b", "2024-02-02", b"<p><b>beta</b> two</p>", None, "en"),
+    ])
+    out_dir = str(tmp_path / "out")
+    wat_dir = str(tmp_path / "wat")
+    md_dir = str(tmp_path / "md")
+    proc = _submit_job(zip_path, [
+        "--input", pages, "--output", out_dir, "--modes", "text",
+        "--num-buckets", "2", "--wat-output", wat_dir,
+        "--markdown-output", md_dir,
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["wat"]["records"] == 2 and report["markdown"]["rows"] == 2
+
+    import glob
+    import pathlib
+
+    from pyocr_spark.core.markdown import html_to_markdown
+    from pyocr_spark.sources.warc import iter_warc_records
+    from pyocr_spark.sources.wat import wat_envelope
+
+    recs = []
+    for f in sorted(glob.glob(wat_dir + "/*.warc.gz")):
+        recs += list(iter_warc_records(
+            pathlib.Path(f).read_bytes(), record_types=("metadata",)
+        ))
+    got = {r["url"]: r["html"].decode() for r in recs}
+    assert got["https://h/a"] == wat_envelope(
+        "https://h/a", "T", None, None, None, ["https://h/x"]
+    )
+    assert got["https://h/b"] == wat_envelope(
+        "https://h/b", None, None, None, None, []
+    )
+
+    import pandas as pd
+
+    md = pd.read_parquet(md_dir).set_index("url")
+    assert md.loc["https://h/a", "markdown"] == html_to_markdown(
+        b"<head><title>T</title></head><h1>A</h1><a href='/x'>x</a>",
+        base_url="https://h/a",
+    )
+    assert md.loc["https://h/b", "markdown"] == "**beta** two"

@@ -271,3 +271,78 @@ def test_write_wet_read_wet_roundtrip(spark, tmp_path):
         "https://h/a": "first text\nline two",
         "https://h/b": "café — unicode",
     }
+
+
+def test_revisit_plan_dedups_by_digest_url_agnostic(spark):
+    import datetime
+
+    from pyocr_spark.operators.snapshot import revisit_plan
+
+    t = datetime.datetime
+    rows = [
+        # url A captured twice with identical bytes, once changed
+        ("http://h/a", t(2024, 1, 1), b"same"),
+        ("http://h/a", t(2024, 2, 1), b"same"),
+        ("http://h/a", t(2024, 3, 1), b"new"),
+        # url B serves A's bytes — url-AGNOSTIC dedup points B at A
+        ("http://h/b", t(2024, 1, 15), b"same"),
+        # same-instant tie: url breaks it deterministically
+        ("http://h/c", t(2024, 1, 1), b"tie"),
+        ("http://h/d", t(2024, 1, 1), b"tie"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, ts, h, None, None) for u, ts, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {
+        (r.url, r.ts_epoch): (r.disposition, r.refers_to_url, r.refers_to_ts_epoch)
+        for r in revisit_plan(pages).collect()
+    }
+    e = lambda *a: int(t(*a, tzinfo=datetime.timezone.utc).timestamp())
+    assert got[("http://h/a", e(2024, 1, 1))] == ("response", None, None)
+    assert got[("http://h/a", e(2024, 2, 1))] == (
+        "revisit", "http://h/a", e(2024, 1, 1))
+    assert got[("http://h/a", e(2024, 3, 1))] == ("response", None, None)
+    assert got[("http://h/b", e(2024, 1, 15))] == (
+        "revisit", "http://h/a", e(2024, 1, 1))
+    assert got[("http://h/c", e(2024, 1, 1))] == ("response", None, None)
+    assert got[("http://h/d", e(2024, 1, 1))] == (
+        "revisit", "http://h/c", e(2024, 1, 1))
+
+
+def test_write_warc_deduped_round_trip_and_savings(spark, tmp_path):
+    import datetime
+    import glob
+    import pathlib
+
+    from pyocr_spark.sources.warc import iter_warc_records, write_warc_deduped
+
+    t = datetime.datetime
+    big = b"<p>" + b"payload " * 2000 + b"</p>"
+    pages = spark.createDataFrame(
+        [
+            ("http://h/a", t(2024, 1, 1), big, None, None),
+            ("http://h/a", t(2024, 2, 1), big, None, None),
+            ("http://h/a", t(2024, 3, 1), big, None, None),
+            ("http://h/z", t(2024, 1, 1), b"<p>other</p>", None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).repartition(1)
+    out = str(tmp_path / "arch")
+    manifest = write_warc_deduped(pages, out).collect()
+    assert sum(m.n_records for m in manifest) == 4
+    raw = b"".join(
+        pathlib.Path(f).read_bytes() for f in sorted(glob.glob(out + "/*.warc.gz"))
+    )
+    resp = list(iter_warc_records(raw, record_types=("response",)))
+    rev = list(iter_warc_records(raw, record_types=("revisit",)))
+    assert len(resp) == 2 and len(rev) == 2
+    # the big payload is stored ONCE; revisits carry no body
+    assert sum(1 for r in resp if r["html"] == big) == 1
+    assert all(r["html"] == b"" for r in rev)
+    from pyocr_spark.sources.warc import gunzip_members
+
+    plain = gunzip_members(raw)
+    assert plain.count(b"payload payload") <= big.count(b"payload payload")
+    assert b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest" in plain
+    assert b"WARC-Refers-To-Target-URI: http://h/a" in plain

@@ -1,0 +1,97 @@
+"""WAT metadata-sidecar export/ingest (sources/wat.py)."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def pages(spark):
+    import datetime
+
+    rows = [
+        (
+            "http://a.example/p1",
+            datetime.datetime(2024, 1, 2, 3, 4, 5),
+            b'<head><title>One &amp; only</title>'
+            b'<meta name="description" content="d1">'
+            b'<link rel="canonical" href="/canon"></head>'
+            b'<body><a href="/x">x</a><a href="/x">x again</a>'
+            b'<a href="mailto:no">skip</a></body>',
+            "t",
+            "en",
+        ),
+        (
+            "http://b.example/p2",
+            datetime.datetime(2024, 1, 2, 3, 4, 6),
+            b"<html lang='fr'><body>no head, no links</body></html>",
+            "t",
+            "fr",
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_envelope_matches_python_twin_and_is_canonical(spark, pages):
+    from pyocr_spark.sources.wat import build_wat, wat_envelope
+
+    got = {r.url: r.wat_json for r in build_wat(pages).collect()}
+    assert got["http://a.example/p1"] == wat_envelope(
+        "http://a.example/p1",
+        "One & only",
+        "d1",
+        "http://a.example/canon",
+        None,
+        ["http://a.example/x", "http://a.example/x"],
+    )
+    # linkless page carries Links: [] and null head fields, not missing keys
+    env = json.loads(got["http://b.example/p2"])
+    hm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Links"] == []
+    assert hm["Head"] == {
+        "Title": None, "Description": None, "Canonical": None, "Lang": "fr"
+    }
+    # canonical bytes: re-serializing the parsed envelope reproduces it
+    for s in got.values():
+        assert (
+            json.dumps(json.loads(s), sort_keys=True,
+                       separators=(",", ":"), ensure_ascii=False) == s
+        )
+
+
+def test_wat_archive_round_trip(spark, pages, tmp_path):
+    from pyocr_spark.sources.wat import build_wat, read_wat, write_wat
+
+    wat = build_wat(pages)
+    manifest = write_wat(wat, str(tmp_path)).collect()
+    assert sum(m.n_records for m in manifest) == 2
+    back = read_wat(spark, str(tmp_path / "*.warc.gz")).collect()
+    want = {(r.url, r.warc_ts, r.wat_json) for r in wat.collect()}
+    assert {(r.url, r.warc_ts, r.wat_json) for r in back} == want
+    # the records really are WARC-Type: metadata + application/json
+    raw_gz = next(tmp_path.glob("*.warc.gz")).read_bytes()
+    from pyocr_spark.sources.warc import gunzip_members
+
+    raw = gunzip_members(raw_gz)
+    assert b"WARC-Type: metadata" in raw
+    assert b"Content-Type: application/json" in raw
+    # response-type readers must NOT see metadata records
+    from pyocr_spark.sources.warc import iter_warc_records
+
+    assert list(iter_warc_records(raw_gz)) == []
+
+
+def test_rewrite_is_byte_identical(spark, pages, tmp_path):
+    from pyocr_spark.sources.wat import build_wat, write_wat
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    wat = build_wat(pages).repartition(1)
+    write_wat(wat, str(a)).collect()
+    write_wat(wat, str(b)).collect()
+    fa = sorted(p.name for p in a.glob("*.warc.gz"))
+    fb = sorted(p.name for p in b.glob("*.warc.gz"))
+    assert fa == fb
+    for name in fa:
+        assert (a / name).read_bytes() == (b / name).read_bytes()
