@@ -174,6 +174,13 @@ def build_text_index(
     postings.write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/postings"
     )
+    # per-doc length sidecar: the classic doc-length file. Postings alone
+    # cannot reconstruct corpus stats (a zero-token doc has NO postings
+    # but still counts for n_docs/avgdl), so incremental maintenance
+    # (update_text_index) merges THIS table and recomputes stats from it.
+    base.select(F.col(id_col), "dl").write.mode("overwrite").parquet(
+        f"{path}/doclens"
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -353,3 +360,80 @@ def search_phrase_index(
             F.element_at("pos", 1).cast("int").alias("first_pos"),
         )
     )
+
+
+def update_text_index(
+    docs_delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Merge a crawl delta into the materialized inverted index WITHOUT
+    re-reading the corpus: postings and doc-lengths for re-delivered
+    ``id_col`` values are REPLACED (recrawl semantics — the delta row is
+    the document now), new ids are appended, and the stats table is
+    recomputed from the merged doc-length sidecar.
+
+    Contract (driver-gated): ``search_text_index`` over the updated
+    index is IDENTICAL to a fresh ``build_text_index`` over the merged
+    corpus — same postings, same stats, same scores. The delta must
+    carry one row per id (dedup upstream; feed it the latest-capture
+    window's output).
+
+    Cost shape at 10^12 docs: one pass over the DELTA (tokenize) plus
+    one pass over the EXISTING postings/doclens (anti-join on the
+    broadcast-able delta id set + union) — never a corpus re-read;
+    that is the entire point versus rebuild. Writes go through
+    ``swap_write`` (write-aside, delete-and-rename) because the plan
+    reads the same directories it replaces — a naive overwrite would
+    truncate its own input mid-read. Swap order: postings, doclens,
+    stats LAST (n_shards never changes, so a crash between swaps leaves
+    a readable index with stale corpus stats; RE-RUNNING the update
+    converges — replace-then-union is idempotent for the same delta).
+    """
+    from pyocr_spark.plans.incremental import path_exists, swap_write
+
+    spark = docs_delta.sparkSession
+    if not path_exists(spark, f"{path}/doclens"):
+        raise ValueError(
+            f"update_text_index: {path} has no doclens sidecar — the index "
+            "predates incremental maintenance; rebuild once with "
+            "build_text_index to migrate"
+        )
+    stats = spark.read.parquet(f"{path}/stats")
+    n_shards = stats.head()["n_shards"]
+    delta_ids = docs_delta.select(F.col(id_col)).distinct()
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs_delta.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("toks")
+    )
+    new_postings = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("toks").alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)))
+    )
+    old_postings = spark.read.parquet(f"{path}/postings").select(
+        "token", id_col, "tf", "dl", "shard"
+    )
+    merged_postings = old_postings.join(
+        F.broadcast(delta_ids), id_col, "left_anti"
+    ).unionByName(new_postings)
+    swap_write(merged_postings, f"{path}/postings", partition_by=["shard"])
+
+    old_lens = spark.read.parquet(f"{path}/doclens")
+    merged_lens = old_lens.join(
+        F.broadcast(delta_ids), id_col, "left_anti"
+    ).unionByName(base.select(F.col(id_col), "dl"))
+    swap_write(merged_lens, f"{path}/doclens")
+
+    new_stats = (
+        spark.read.parquet(f"{path}/doclens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .withColumn("n_shards", F.lit(n_shards))
+    )
+    swap_write(new_stats, f"{path}/stats")

@@ -279,6 +279,72 @@ def simhash(
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance:
+    ``(id_a, id_b, hamming)`` with a < b — the classic Charikar/Manku
+    web-dedup pair step over :func:`simhash` fingerprints.
+
+    Banded exact match, NEVER an all-pairs join (the same machinery as
+    the media pHash pairs, functions/multimodal.media_phash_pairs): the
+    ``bits``-wide fingerprint splits into ``bands`` equal slices,
+    candidates pair only inside a (band, slice-value) bucket (plain
+    shuffled equi-join), and the Hamming verify is one
+    ``bit_count(xor)`` on the survivors. By pigeonhole a pair within
+    ``max_hamming ≤ bands − 1`` flips has an untouched band, so recall
+    is EXACT in that regime; a larger request would silently lose
+    recall, so it raises. Candidates surviving several bands dedup via
+    distinct BEFORE the verify; only (id, fingerprint) pairs shuffle.
+    """
+    if bands < 1 or bits % bands != 0:
+        raise ValueError(f"bands must divide {bits}, got {bands}")
+    if max_hamming < 0 or max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, bands-1] for exact recall "
+            f"(pigeonhole); got {max_hamming} with {bands} bands"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits, portable=portable)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bt = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_keys).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    left = bt.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "key"
+    )
+    right = bt.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

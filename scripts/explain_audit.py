@@ -731,6 +731,27 @@ def main() -> int:
     check("doc_phrase_index_search", "position joins are equi-joins (no NLJ/cartesian)",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 45b. incremental index maintenance: the updated index must search
+    # with the same pruned shape as a fresh build — shard pruning at the
+    # file listing, no NLJ anywhere in the merge/search path.
+    df = qs["doc_bm25_index_update"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_bm25_index_update", p))
+    check("doc_bm25_index_update", "shard pruning reaches the file listing",
+          "PartitionFilters" in p and "shard" in p.split("PartitionFilters", 1)[1][:200], "")
+    check("doc_bm25_index_update",
+          "no CartesianProduct (1-row stats broadcast is the only NLJ)",
+          "CartesianProduct" not in p, "")
+
+    # 46. SimHash near-dup pairs: same banded machinery as media_phash —
+    # candidates form only inside (band, key) buckets, never all-pairs.
+    df = qs["simhash_dups"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("simhash_dups", p))
+    check("simhash_dups", "band-bucket equi-join (no NLJ/cartesian)",
+          ("SortMergeJoin" in p or "BroadcastHashJoin" in p)
+          and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

@@ -860,3 +860,36 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
         hash_split(docs, {"a": 0.5, "b": 0.6}, "doc_id")
     with pytest.raises(ValueError):
         hash_split(out, fr, "doc_id", portable=True)  # 'split' clobber
+
+
+def test_simhash_dups_banded_equals_brute_force(spark):
+    import itertools
+
+    from pyocr_spark.operators.dedup import simhash, simhash_dups
+
+    # near-identical docs (small word tweaks) so some pairs land within
+    # Hamming 3 and others far outside
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, base + f"tail{i % 5} extra{i % 3}", "en", "s") for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in simhash_dups(docs, bits=32, max_hamming=3, bands=4).collect()
+    )
+    sig = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    want = sorted(
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    )
+    assert want, "fixture must produce at least one near-dup pair"
+    assert got == want
+    # recall guard: exact only while max_hamming < bands; bands must divide
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_dups(docs, bits=32, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError):
+        simhash_dups(docs, bits=32, bands=5)

@@ -190,3 +190,74 @@ def test_phrase_index_equals_scan_and_prunes(spark, phrase_docs, tmp_path):
     assert "PartitionFilters" in plan
     tail = plan.split("PartitionFilters", 1)[1][:200]
     assert str(xxh64_signed(b"a") % 8) in tail
+
+
+def test_update_text_index_equals_rebuild(spark, tmp_path):
+    from pyocr_spark.functions.search import (
+        build_text_index,
+        search_text_index,
+        update_text_index,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    old = spark.createDataFrame(
+        [
+            (0, "spark shuffle spark join", "en", "s"),
+            (1, "window table scan", "en", "s"),
+            (2, "customer order", "en", "s"),
+            (3, "", "en", "s"),  # zero-token doc: counts for stats
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "window window spark", "en", "s"),  # CHANGED text: replaced
+            (2, "", "en", "s"),                     # doc turned empty
+            (4, "spark customer window", "en", "s"),  # brand new
+            (5, "", "en", "s"),                     # new empty doc
+        ],
+        schema,
+    )
+    merged = spark.createDataFrame(
+        [
+            (0, "spark shuffle spark join", "en", "s"),
+            (1, "window window spark", "en", "s"),
+            (2, "", "en", "s"),
+            (3, "", "en", "s"),
+            (4, "spark customer window", "en", "s"),
+            (5, "", "en", "s"),
+        ],
+        schema,
+    )
+    upd, fresh = str(tmp_path / "upd"), str(tmp_path / "fresh")
+    build_text_index(old, upd, n_shards=8)
+    update_text_index(delta, upd)
+    build_text_index(merged, fresh, n_shards=8)
+    for q in [QUERY, ("spark",), ("window", "customer")]:
+        got = [tuple(r) for r in search_text_index(spark, upd, q, k=10).collect()]
+        want = [tuple(r) for r in search_text_index(spark, fresh, q, k=10).collect()]
+        assert got == want, q
+    # stats recomputed exactly (n_docs counts empty docs; avgdl over all)
+    s_upd = spark.read.parquet(upd + "/stats").head()
+    s_fresh = spark.read.parquet(fresh + "/stats").head()
+    assert (s_upd["n_docs"], s_upd["avgdl"]) == (s_fresh["n_docs"], s_fresh["avgdl"])
+    # re-running the SAME update converges (idempotent replace+union)
+    update_text_index(delta, upd)
+    got = [tuple(r) for r in search_text_index(spark, upd, QUERY, k=10).collect()]
+    want = [tuple(r) for r in search_text_index(spark, fresh, QUERY, k=10).collect()]
+    assert got == want
+
+
+def test_update_text_index_requires_doclens(spark, tmp_path):
+    import shutil
+
+    from pyocr_spark.functions.search import build_text_index, update_text_index
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    path = str(tmp_path / "legacy")
+    build_text_index(docs, path, n_shards=4)
+    shutil.rmtree(path + "/doclens")  # simulate a pre-sidecar index
+    with pytest.raises(ValueError, match="doclens"):
+        update_text_index(docs, path)
