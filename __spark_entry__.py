@@ -1276,6 +1276,22 @@ def _q_doc_bm25_index_update(spark, sf_dir):
     return search_text_index(spark, path, _BM25_QUERY, k=10)
 
 
+def _q_doc_hybrid_search(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval (functions/search.hybrid_topk):
+    BM25 top-10 and exact-cosine top-10 fused by reciprocal-rank fusion
+    (floor(1e6/(60+rank)) micro-units, rank-only — no score-scale
+    calibration). Legs run their own scale-safe plans; fusion touches
+    ≤20 rows."""
+    from pyocr_spark.functions.search import hybrid_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return hybrid_topk(
+        _docs(spark, sf_dir), emb, _BM25_QUERY, qvec, k=10, leg_k=10,
+        exclude_id=0,
+    )
+
+
 _PHRASE = ("table", "hash")
 
 
@@ -2146,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_bm25_index": _q_doc_bm25_index,
         "doc_bm25_index_update": _q_doc_bm25_index_update,
+        "doc_hybrid_search": _q_doc_hybrid_search,
         "doc_phrase_match": _q_doc_phrase_match,
         "doc_phrase_index_search": _q_doc_phrase_index_search,
         "doc_bm25": _q_doc_bm25,
@@ -3438,6 +3455,24 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit (same factored score expression) — same oracle
         "doc_bm25_index": _BM25_SQL,
         "doc_bm25_index_update": _BM25_SQL,
+        # RRF fusion of the two leg oracles: ranks from each leg's total
+        # order, floor(1e6/(60+rank)) micro-unit sum, absent leg → 0
+        "doc_hybrid_search": (
+            "WITH t AS (" + _BM25_SQL + "), "
+            "v AS (WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10), "
+            "tr AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank0 FROM t), "
+            "vr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank1 FROM v) "
+            "SELECT doc_id, rank0, rank1, "
+            "CAST(coalesce(CAST(floor(1000000 / (60 + rank0)) AS BIGINT), 0) "
+            "+ coalesce(CAST(floor(1000000 / (60 + rank1)) AS BIGINT), 0) AS BIGINT) AS rrf_micro "
+            "FROM tr FULL JOIN vr USING (doc_id) "
+            "ORDER BY rrf_micro DESC, doc_id LIMIT 10"
+        ),
         "doc_phrase_match": _PHRASE_SQL,
         "doc_phrase_index_search": _PHRASE_SQL,
         # unigram NLL: same tok CTE as BM25; per-token micro-units rounded

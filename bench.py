@@ -159,6 +159,15 @@ def main() -> None:
     timed("dedup_exact", lambda: exact_dedup(docs_df).count(), reps=3)
     timed("minhash_pairs", lambda: minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).count(), reps=3)
     timed("simhash", lambda: noop_write(simhash(docs_df)), reps=3)
+    # banded Hamming pair step over the fingerprints (production xxhash64
+    # path): fingerprint pass + bucket equi-join + bit_count verify
+    from pyocr_spark.operators.dedup import simhash_dups
+
+    timed(
+        "simhash_dups",
+        lambda: simhash_dups(docs_df, max_hamming=3, bands=4).count(),
+        reps=2,
+    )
     # exact n-gram Jaccard is the all-pairs-verify heavyweight by design
     # (LSH above is the scale path): candidate mass grows with the square
     # of shingle docfreq, and this synthetic corpus has a tiny vocabulary,
@@ -255,6 +264,28 @@ def main() -> None:
     timed(
         "extract_main_density",
         lambda: noop_write(extract_main_density(read_pages(spark, pages_path))),
+        reps=3,
+    )
+
+    # HTML→Markdown wall: the portable-prose surface — one Arrow-batched
+    # converter pass, same narrow shape as extract_text
+    from pyocr_spark.functions.markdown import extract_markdown
+
+    timed(
+        "extract_markdown",
+        lambda: noop_write(extract_markdown(read_pages(spark, pages_path))),
+        reps=3,
+    )
+
+    # hybrid retrieval: BM25 leg + cosine leg + RRF fusion of ≤20 rows
+    from pyocr_spark.functions.search import hybrid_topk
+
+    timed(
+        "hybrid_search",
+        lambda: hybrid_topk(
+            docs_df, emb, ("spark", "customer", "window"), qvec,
+            k=10, leg_k=10, exclude_id=0,
+        ).collect(),
         reps=3,
     )
 

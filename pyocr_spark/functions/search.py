@@ -437,3 +437,93 @@ def update_text_index(
         .withColumn("n_shards", F.lit(n_shards))
     )
     swap_write(new_stats, f"{path}/stats")
+
+
+def rrf_fuse(
+    legs: list[tuple[DataFrame, list]],
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-Rank Fusion over already-cut candidate lists.
+
+    ``legs`` = [(df, order_cols), ...]: each df is a SMALL top-K slice
+    (a leg's own retrieval cut — bm25_topk, topk_cosine, ...) and
+    order_cols its total order. Fusion: rank each leg 1-based, then
+    ``rrf = Σ_leg floor(1e6 / (k0 + rank))`` — the classic RRF sum
+    (Cormack et al. 2009) in BIGINT micro-units, floor()ed so the score
+    is engine-exact (double division of small integers is exact well
+    below 2^53; floor pins the rendering); an id absent from a leg
+    contributes 0. Final order (rrf_micro DESC, id) is total.
+
+    The per-leg ranking window is deliberately UNPARTITIONED: the input
+    is an already-cut top-K list (≤ K rows by construction), so the
+    single-partition sort touches K rows, never the corpus — the legs
+    themselves did the distributed work (TakeOrderedAndProject /
+    shard-pruned reads). Do not feed uncut corpus-sized legs.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    ranked = []
+    for i, (df, order_cols) in enumerate(legs):
+        w = Window.orderBy(*order_cols)
+        ranked.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias(f"rank{i}"))
+        )
+    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), ranked)
+    contribs = [
+        F.coalesce(
+            F.floor(F.lit(1_000_000) / (F.lit(k0) + F.col(f"rank{i}"))),
+            F.lit(0),
+        ).cast("long")
+        for i in range(len(legs))
+    ]
+    rrf = reduce(lambda a, b: a + b, contribs)
+    return (
+        joined.select(
+            id_col,
+            *[F.col(f"rank{i}") for i in range(len(legs))],
+            rrf.alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: tuple[str, ...],
+    query_vec: list[float],
+    k: int = 10,
+    leg_k: int = 10,
+    k0: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``leg_k`` and cosine
+    top-``leg_k`` fused by RRF → ``(doc_id, rank0=text, rank1=vector,
+    rrf_micro)``. The modern two-tower search shape: keyword precision
+    from the BM25 leg, paraphrase recall from the embedding leg, no
+    score-scale calibration needed (RRF uses only ranks).
+
+    Each leg runs its own scale-safe plan (corpus scan + TakeOrdered /
+    exact cosine cut); fusion then touches ≤ 2·leg_k rows. Embedding
+    ids join docs by equality (vec_id keyed to doc_id)."""
+    from pyocr_spark.operators.ann import topk_cosine
+
+    text_leg = bm25_topk(docs, query, k=leg_k, text_col=text_col, id_col=id_col)
+    vec_leg = topk_cosine(
+        emb, query_vec, k=leg_k, id_col=vec_id_col, exclude_id=exclude_id
+    ).withColumnRenamed(vec_id_col, id_col)
+    return rrf_fuse(
+        [
+            (text_leg, [F.col("score_micro").desc(), F.col(id_col)]),
+            (vec_leg, [F.col("cosine").desc(), F.col(id_col)]),
+        ],
+        k=k,
+        k0=k0,
+        id_col=id_col,
+    )

@@ -743,6 +743,17 @@ def main() -> int:
           "no CartesianProduct (1-row stats broadcast is the only NLJ)",
           "CartesianProduct" not in p, "")
 
+    # 45c. hybrid retrieval: fusion joins two ≤K-row legs — tiny
+    # full-outer join; the legs keep their own scale-safe shapes
+    # (TakeOrderedAndProject for bm25, exact-cosine cut).
+    df = qs["doc_hybrid_search"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_hybrid_search", p))
+    check("doc_hybrid_search", "legs end in TakeOrderedAndProject (no full sort)",
+          "TakeOrderedAndProject" in p, "")
+    check("doc_hybrid_search", "no CartesianProduct (1-row stats broadcast is the only NLJ)",
+          "CartesianProduct" not in p, "")
+
     # 46. SimHash near-dup pairs: same banded machinery as media_phash —
     # candidates form only inside (band, key) buckets, never all-pairs.
     df = qs["simhash_dups"](spark, SF_DIR)

@@ -261,3 +261,46 @@ def test_update_text_index_requires_doclens(spark, tmp_path):
     shutil.rmtree(path + "/doclens")  # simulate a pre-sidecar index
     with pytest.raises(ValueError, match="doclens"):
         update_text_index(docs, path)
+
+
+def test_rrf_fusion_semantics(spark, docs_df):
+    from pyspark.sql import functions as F
+
+    from pyocr_spark.functions.search import bm25_topk, rrf_fuse
+
+    # two hand-built legs: doc 0 is #1 in both; doc 1 only in leg A;
+    # doc 2 only in leg B; doc 3 is #2 in both → overlap beats solo
+    a = spark.createDataFrame([(0, 100), (3, 90), (1, 80)], "doc_id long, s long")
+    b = spark.createDataFrame([(0, 9), (3, 8), (2, 7)], "doc_id long, s long")
+    legs = [
+        (a, [F.col("s").desc(), F.col("doc_id")]),
+        (b, [F.col("s").desc(), F.col("doc_id")]),
+    ]
+    out = rrf_fuse(legs, k=10).collect()
+    order = [r.doc_id for r in out]
+    assert order[:2] == [0, 3]  # present in both, better ranks first
+    by_id = {r.doc_id: r for r in out}
+    # exact micro-units: floor(1e6/(60+rank)); absent leg contributes 0
+    assert by_id[0].rrf_micro == 1_000_000 // 61 + 1_000_000 // 61
+    assert by_id[3].rrf_micro == 1_000_000 // 62 + 1_000_000 // 62
+    assert by_id[1].rrf_micro == 1_000_000 // 63
+    assert by_id[1].rank1 is None and by_id[2].rank0 is None
+    # solo-leg tie (same rank 3 in one leg each) breaks on doc_id
+    assert order[2:] == [1, 2]
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+    # hybrid wrapper: text leg alone ranks like bm25; fused set is the
+    # union of the two legs' ids cut to k
+    from pyocr_spark.functions.search import hybrid_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == j) for j in range(4)], 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    fused = hybrid_topk(
+        docs_df, emb, QUERY, [1.0, 0.0, 0.0, 0.0], k=10, leg_k=3
+    ).collect()
+    text_ids = {r.doc_id for r in bm25_topk(docs_df, QUERY, k=3).collect()}
+    vec_ids = {0}  # exact-match vector ranks first; others cosine 0
+    got_ids = {r.doc_id for r in fused}
+    assert text_ids <= got_ids and vec_ids <= got_ids
