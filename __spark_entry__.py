@@ -1276,6 +1276,36 @@ def _q_doc_bm25_index_update(spark, sf_dir):
     return search_text_index(spark, path, _BM25_QUERY, k=10)
 
 
+def _q_doc_script_mix(spark, sf_dir):
+    """Unicode script composition per doc (functions/text_stats.script_mix):
+    literal code-point-range classes (the Java/RE2 common subset — named
+    script properties spell differently), floor-pinned ppm fractions."""
+    from pyocr_spark.functions.text_stats import script_mix
+
+    return script_mix(_docs(spark, sf_dir))
+
+
+def _q_doc_lexical_stats(spark, sf_dir):
+    """Lexical richness + readability (functions/text_stats.lexical_stats):
+    exact per-doc type-token ratio, vowel-group syllable proxy, Flesch
+    reading ease in floor-pinned micro-units — one codegen pass."""
+    from pyocr_spark.functions.text_stats import lexical_stats
+
+    return lexical_stats(_docs(spark, sf_dir))
+
+
+def _q_docs_token_budget(spark, sf_dir):
+    """Per-language token-budget corpus assembly (operators/tokenbudget):
+    hash-order prefix of ~2000 tokens per lang, two-phase bucketed
+    prefix sums (no whole-group sort partition at scale); keep rule is
+    strictly-fewer-than-budget so every group contributes ≥1 doc."""
+    from pyocr_spark.operators.tokenbudget import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), budget_tokens=2000, portable=True
+    ).select("doc_id", "lang", "n_tokens", "taken_before")
+
+
 def _q_doc_hybrid_search(spark, sf_dir):
     """Hybrid lexical+semantic retrieval (functions/search.hybrid_topk):
     BM25 top-10 and exact-cosine top-10 fused by reciprocal-rank fusion
@@ -2163,6 +2193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_index": _q_doc_bm25_index,
         "doc_bm25_index_update": _q_doc_bm25_index_update,
         "doc_hybrid_search": _q_doc_hybrid_search,
+        "docs_token_budget": _q_docs_token_budget,
+        "doc_lexical_stats": _q_doc_lexical_stats,
+        "doc_script_mix": _q_doc_script_mix,
         "doc_phrase_match": _q_doc_phrase_match,
         "doc_phrase_index_search": _q_doc_phrase_index_search,
         "doc_bm25": _q_doc_bm25,
@@ -3457,6 +3490,53 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_index_update": _BM25_SQL,
         # RRF fusion of the two leg oracles: ranks from each leg's total
         # order, floor(1e6/(60+rank)) micro-unit sum, absent leg → 0
+        # two-phase bucketed prefix sums replayed as ONE plain window:
+        # the frozen order leads with bucket = hash % 32, so the banked
+        # Spark plan and this window agree row-for-row
+        "doc_script_mix": (
+            "WITH s AS (SELECT doc_id, regexp_replace(text, '[\\t\\n\\f\\r ]+', '', 'g') AS t FROM documents), "
+            "b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars, "
+            "len(regexp_extract_all(t, '[A-Za-zÀ-ÖØ-öø-ÿ]')) AS c_latin, "
+            "len(regexp_extract_all(t, '[一-鿿]')) AS c_han, "
+            "len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS c_cyr, "
+            "len(regexp_extract_all(t, '[؀-ۿ]')) AS c_ar, "
+            "len(regexp_extract_all(t, '[0-9]')) AS c_dig FROM s) "
+            "SELECT doc_id, n_chars, "
+            "CASE WHEN n_chars > 0 THEN CAST(floor(1000000.0 * c_latin / n_chars) AS BIGINT) END AS latin_ppm, "
+            "CASE WHEN n_chars > 0 THEN CAST(floor(1000000.0 * c_han / n_chars) AS BIGINT) END AS han_ppm, "
+            "CASE WHEN n_chars > 0 THEN CAST(floor(1000000.0 * c_cyr / n_chars) AS BIGINT) END AS cyrillic_ppm, "
+            "CASE WHEN n_chars > 0 THEN CAST(floor(1000000.0 * c_ar / n_chars) AS BIGINT) END AS arabic_ppm, "
+            "CASE WHEN n_chars > 0 THEN CAST(floor(1000000.0 * c_dig / n_chars) AS BIGINT) END AS digit_ppm "
+            "FROM b"
+        ),
+        "doc_lexical_stats": (
+            "WITH s AS (SELECT doc_id, regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') AS t FROM documents), "
+            "b AS (SELECT doc_id, "
+            "CASE WHEN t = '' THEN 0 ELSE len(string_split_regex(t, '[\\t\\n\\f\\r ]+')) END AS n_tokens, "
+            "CASE WHEN t = '' THEN 0 ELSE len(list_distinct(string_split_regex(t, '[\\t\\n\\f\\r ]+'))) END AS n_types, "
+            "CASE WHEN t = '' THEN 0 ELSE greatest(len(regexp_extract_all(t, '[.!?]+')), 1) END AS n_sentences, "
+            "CASE WHEN t = '' THEN 0 ELSE len(regexp_extract_all(lower(t), '[aeiouy]+')) END AS n_syllables FROM s) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types, "
+            "CASE WHEN n_tokens > 0 THEN CAST(floor(1000000.0 * n_types / n_tokens) AS BIGINT) END AS ttr_micro, "
+            "CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, "
+            "CASE WHEN n_tokens > 0 THEN CAST(floor(1000000.0 * (206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences) "
+            "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))) AS BIGINT) END AS flesch_micro FROM b"
+        ),
+        "docs_token_budget": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "CAST(coalesce(len(list_filter(string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+            "t -> t != '')), 0) AS BIGINT) AS n_tokens, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h, "
+            "CAST(doc_id AS VARCHAR) AS tie, "
+            "coalesce(CAST(lang AS VARCHAR), chr(0) || 'null') AS gk "
+            "FROM documents), "
+            "p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY gk "
+            "ORDER BY h % 32, h, tie ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS taken_before FROM d) "
+            "SELECT doc_id, lang, n_tokens, CAST(taken_before AS BIGINT) AS taken_before "
+            "FROM p WHERE taken_before < 2000"
+        ),
         "doc_hybrid_search": (
             "WITH t AS (" + _BM25_SQL + "), "
             "v AS (WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

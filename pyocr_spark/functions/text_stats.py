@@ -1359,3 +1359,128 @@ def nll_quality_tiers(
     return nll.join(F.broadcast(th)).select(
         id_col, "n_tokens", "mean_nll_micro", tier.alias("tier")
     )
+
+
+def lexical_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical richness + readability per document — all codegen.
+
+    ``(id, n_tokens, n_types, ttr_micro, n_sentences, n_syllables,
+    flesch_micro)``:
+
+    - ``n_types`` = exact distinct whitespace tokens (JVM
+      ``array_distinct``, per-doc — no shuffle);
+    - ``ttr_micro`` = floor(1e6 · types/tokens), the type-token ratio —
+      the classic lexical-diversity signal (spam and template pages sit
+      low, natural prose high);
+    - ``n_sentences`` = terminal-punctuation runs ``[.!?]+``, floored at
+      1 for non-empty docs (Flesch needs ≥1);
+    - ``n_syllables`` = vowel-group runs ``[aeiouy]+`` over the
+      lowercased text — the standard cheap syllable proxy, counted
+      word-agnostically (frozen; exact syllabification needs a
+      dictionary);
+    - ``flesch_micro`` = floor(1e6 · Flesch reading ease) with the
+      textbook constants 206.835 − 1.015·(words/sentences) −
+      84.6·(syllables/words). Ratios of exact integers and literal
+      multiplies in one fixed expression tree, floor-pinned to the
+      micro unit — bit-identical across partitionings and engines (the
+      bm25/tfidf precedent).
+
+    NULL text → NULL stats (a fetch failure is not a zero-diversity
+    document); zero-token docs → 0 tokens/types/syllables, NULL ratios.
+    One narrow whole-stage-codegen pass, no shuffle, no Python.
+    """
+    stripped = docs.select(id_col, ws_strip(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    base = stripped.select(
+        id_col,
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(ws_tokens(t)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.array_distinct(ws_tokens(t))))
+        .cast("long")
+        .alias("n_types"),
+        F.when(
+            t == "", F.lit(0)
+        ).otherwise(
+            F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+        ).cast("long").alias("n_sentences"),
+        F.when(t == "", F.lit(0))
+        .otherwise(F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    w = F.col("n_tokens").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / w)
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.lit(1_000_000.0) * F.col("n_types") / F.col("n_tokens")),
+        ).cast("long").alias("ttr_micro"),
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_tokens") > 0, F.floor(F.lit(1_000_000.0) * flesch))
+        .cast("long")
+        .alias("flesch_micro"),
+    )
+
+
+#: script classes as LITERAL code-point ranges — the Java-regex/RE2
+#: common subset (named script properties spell differently in the two
+#: engines: Java `\p{IsHan}` vs RE2 `\p{Han}`; literal ranges parse
+#: identically in both)
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ÿ]"),
+    ("han", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_mix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode script composition — the lang-id support
+    signal (a page claiming lang=en that is 80% Han is mislabeled;
+    mixed-script spam shows as no dominant class).
+
+    ``(id, n_chars, latin_ppm, han_ppm, cyrillic_ppm, arabic_ppm,
+    digit_ppm)``: n_chars counts NON-WHITESPACE chars; each ppm =
+    floor(1e6 · class_chars / n_chars) — floor-pinned integers, exact
+    in both engines. Zero-char docs → 0 counts with NULL ppm; NULL text
+    → NULL row. One codegen pass, no shuffle, no Python."""
+    stripped = docs.select(
+        id_col,
+        F.regexp_replace(F.col(text_col), "[" + _WS + "]+", "").alias("_t"),
+    )
+    t = F.col("_t")
+    counts = [
+        (name, F.regexp_count(t, F.lit(cls)).cast("long"))
+        for name, cls in SCRIPT_CLASSES
+    ]
+    base = stripped.select(
+        id_col,
+        F.length(t).cast("long").alias("n_chars"),
+        *[c.alias(f"_{name}") for name, c in counts],
+    )
+    ppm = [
+        F.when(
+            F.col("n_chars") > 0,
+            F.floor(F.lit(1_000_000.0) * F.col(f"_{name}") / F.col("n_chars")),
+        )
+        .cast("long")
+        .alias(f"{name}_ppm")
+        for name, _ in SCRIPT_CLASSES
+    ]
+    return base.select(id_col, "n_chars", *ppm)

@@ -1,0 +1,111 @@
+"""Per-group token-budget corpus assembly.
+
+Training mixes are specified in TOKENS, not documents ("20B tokens of
+French, 5B of code"), so the corpus assembler needs: within each group,
+take documents in a deterministic content-addressed order until the
+token budget is exhausted. The per-document twin of the per-domain row
+cap (operators/domains.py) with the budget measured in the unit the
+training run actually consumes.
+
+Frozen semantics:
+
+- token count = the engine-wide whitespace tokenization
+  (functions/text_stats.ws_tokens, empty tokens dropped); NULL text
+  counts 0 tokens (the row still occupies its place in the order).
+- order within a group = (bucket, hash, tie) where hash is the
+  sampling-family hash of the salted id (operators/sampling._sample_hash
+  — same NULL-sentinel and salt rules as every other sampler),
+  bucket = pmod(hash, buckets), tie = the id's coalesced string form.
+  The bucket term exists for the two-phase plan below; it is PART OF
+  the frozen order, so the oracle replays it with one plain window.
+- keep rule: a document is kept iff STRICTLY FEWER than
+  ``budget_tokens`` tokens were already taken by earlier documents of
+  its group — every non-empty group contributes at least one document
+  and the overshoot is bounded by one document (a ≤-the-budget rule
+  would silently emit zero documents for a group whose first document
+  exceeds the budget).
+
+Scale shape (the reason this is not one window): a single
+``sum() OVER (PARTITION BY group ORDER BY hash)`` sorts EVERY row of a
+group in one task — a 100 TB English slice is one straggler partition.
+Instead: (1) within-(group, bucket) running sums — ``buckets``× smaller
+sort partitions; (2) a per-(group, bucket) subtotal table (groups ×
+buckets rows — tiny) gets its own running offset and BROADCAST-joins
+back; (3) taken_before = bucket offset + within-bucket prefix. Identical
+output to the one-window form by construction, because the frozen order
+leads with the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+from pyocr_spark.operators.sampling import _salted_key, _sample_hash
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each group's hash-order prefix of ~``budget_tokens`` tokens.
+
+    Returns the input columns plus ``n_tokens`` (this document) and
+    ``taken_before`` (tokens taken by earlier kept documents of the
+    group — the prefix sum the keep rule tested).
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    h = _sample_hash(_salted_key(id_col, salt), portable)
+    tie = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    ntok = F.coalesce(
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))),
+        F.lit(0),
+    ).cast("long")
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    base = df.select(
+        "*",
+        gk.alias("_gk"),
+        h.alias("_h"),
+        tie.alias("_tie"),
+        F.pmod(h, F.lit(buckets)).alias("_b"),
+        ntok.alias("n_tokens"),
+    )
+    # (1) within-bucket prefix (sum over PRECEDING rows only)
+    w_in = (
+        Window.partitionBy("_gk", "_b")
+        .orderBy("_h", "_tie")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = base.withColumn(
+        "_pre_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    # (2) per-(group, bucket) subtotals → running offset across buckets
+    # (groups × buckets rows — broadcastable at any corpus size)
+    w_off = (
+        Window.partitionBy("_gk")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_gk", "_b")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .withColumn("_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
+        .select("_gk", "_b", "_off")
+    )
+    out = base.join(F.broadcast(offsets), ["_gk", "_b"])
+    taken_before = (F.col("_off") + F.col("_pre_in")).alias("taken_before")
+    return (
+        out.withColumn("taken_before", taken_before)
+        .filter(F.col("taken_before") < budget_tokens)
+        .drop("_gk", "_h", "_tie", "_b", "_pre_in", "_off")
+    )

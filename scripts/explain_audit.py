@@ -754,6 +754,34 @@ def main() -> int:
     check("doc_hybrid_search", "no CartesianProduct (1-row stats broadcast is the only NLJ)",
           "CartesianProduct" not in p, "")
 
+    # 45d. token-budget sampling: the offsets table (groups × buckets
+    # rows) must come back BROADCAST; windows are the two partitioned
+    # prefix sums, never an NLJ.
+    df = qs["docs_token_budget"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_token_budget", p))
+    check("docs_token_budget", "bucket-offset table joined broadcast",
+          "BroadcastHashJoin" in p, "")
+    check("docs_token_budget", "no NLJ/cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # 45e. lexical stats: one narrow codegen pass — zero Exchange, zero
+    # Python, no explode (array_distinct happens per row).
+    df = qs["doc_lexical_stats"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_lexical_stats", p))
+    check("doc_lexical_stats", "narrow codegen pass (zero Exchange, no Python, no explode)",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
+          and "InPandas" not in p and "ArrowEvalPython" not in p
+          and "Generate" not in p, "")
+    df = qs["doc_script_mix"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_script_mix", p))
+    check("doc_script_mix", "narrow codegen pass (zero Exchange, no Python, no explode)",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
+          and "InPandas" not in p and "ArrowEvalPython" not in p
+          and "Generate" not in p, "")
+
     # 46. SimHash near-dup pairs: same banded machinery as media_phash —
     # candidates form only inside (band, key) buckets, never all-pairs.
     df = qs["simhash_dups"](spark, SF_DIR)

@@ -1,0 +1,59 @@
+"""Lexical richness + readability (functions/text_stats.lexical_stats)."""
+
+
+def test_lexical_stats_golden(spark):
+    from pyocr_spark.functions.text_stats import lexical_stats
+
+    rows = [
+        (0, "The cat sat. The cat ran!"),            # 6 tokens, 4 types
+        (1, "word word word word"),                  # TTR 0.25
+        (2, ""),                                     # empty
+        (3, None),                                   # NULL
+        (4, "no terminal punctuation here"),         # sentences floored at 1
+        (5, "aeiou xyz bcd"),                        # syllable runs: 1 + y run
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_stats(docs).collect()}
+
+    r0 = out[0]
+    assert (r0.n_tokens, r0.n_types, r0.n_sentences) == (6, 4, 2)
+    assert r0.ttr_micro == int(1_000_000 * 4 / 6)
+    # flesch with the textbook constants, floor-pinned
+    import math
+
+    w, s, sy = 6, 2, r0.n_syllables
+    assert r0.flesch_micro == math.floor(
+        1_000_000 * (206.835 - 1.015 * (w / s) - 84.6 * (sy / w))
+    )
+
+    assert out[1].ttr_micro == 250_000
+    # empty text: zero counts, NULL ratios; NULL text: all NULL
+    r2, r3 = out[2], out[3]
+    assert (r2.n_tokens, r2.n_types, r2.ttr_micro, r2.flesch_micro) == (0, 0, None, None)
+    assert (r3.n_tokens, r3.ttr_micro, r3.flesch_micro) == (None, None, None)
+    assert out[4].n_sentences == 1
+    # vowel-group proxy: "aeiou"=1 run, "xyz"=1 (y), "bcd"=0
+    assert out[5].n_syllables == 2
+
+
+def test_script_mix_golden(spark):
+    from pyocr_spark.functions.text_stats import script_mix
+
+    rows = [
+        (0, "hello 世界 мир 123"),   # 5 latin, 2 han, 3 cyr, 3 digit = 13 chars
+        (1, "مرحبا"),                # 5 arabic
+        (2, "   "),                  # whitespace-only → zero chars
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_mix(docs).collect()}
+    r0 = out[0]
+    assert r0.n_chars == 13
+    assert r0.latin_ppm == 1_000_000 * 5 // 13
+    assert r0.han_ppm == 1_000_000 * 2 // 13
+    assert r0.cyrillic_ppm == 1_000_000 * 3 // 13
+    assert r0.digit_ppm == 1_000_000 * 3 // 13
+    assert r0.arabic_ppm == 0
+    assert out[1].arabic_ppm == 1_000_000
+    assert (out[2].n_chars, out[2].latin_ppm) == (0, None)
+    assert out[3].n_chars is None and out[3].latin_ppm is None

@@ -1,0 +1,88 @@
+"""Per-group token-budget sampling (operators/tokenbudget.py)."""
+
+import pytest
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "a b c d e", "en", "s"),       # 5 tokens
+        (1, "f g h", "en", "s"),           # 3
+        (2, "i j k l m n o p q r", "en", "s"),  # 10
+        (3, "x y", "fr", "s"),             # 2
+        (4, None, "fr", "s"),              # NULL text: 0 tokens
+        (5, "one two three four five six seven eight nine ten "
+            "eleven twelve", "de", "s"),   # 12 — alone exceeds the budget
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _python_reference(rows, budget, buckets=32):
+    import hashlib
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    out = {}
+    by_lang = {}
+    for doc_id, text, lang, _ in rows:
+        n = len(text.split()) if text else 0
+        by_lang.setdefault(lang, []).append((h(doc_id) % buckets, h(doc_id), str(doc_id), doc_id, n))
+    for lang, items in by_lang.items():
+        taken = 0
+        for _, _, _, doc_id, n in sorted(items):
+            if taken < budget:
+                out[doc_id] = (n, taken)
+            taken += n
+    return out
+
+
+def test_budget_matches_reference_and_keep_rule(spark, docs):
+    from pyocr_spark.operators.tokenbudget import token_budget_sample
+
+    rows = [tuple(r) for r in docs.collect()]
+    for budget in (1, 6, 8, 100):
+        got = {
+            r.doc_id: (r.n_tokens, r.taken_before)
+            for r in token_budget_sample(
+                docs, budget_tokens=budget, portable=True
+            ).collect()
+        }
+        want = _python_reference(rows, budget)
+        assert got == want, budget
+    # budget 1: every group still contributes its first doc (keep rule
+    # is strictly-before, overshoot bounded by one document)
+    got1 = token_budget_sample(docs, budget_tokens=1, portable=True)
+    langs = {r.lang for r in got1.collect()}
+    assert langs == {"en", "fr", "de"}
+    # de's single 12-token doc survives a budget of 1
+    assert any(r.doc_id == 5 for r in got1.collect())
+
+
+def test_budget_bucket_invariance_and_guards(spark, docs):
+    from pyocr_spark.operators.tokenbudget import token_budget_sample
+
+    # two-phase bucketing is plumbing, not semantics: buckets=1 (single
+    # window) must equal the default (the frozen order leads with the
+    # bucket, and with buckets fixed the order is the same hash order)
+    a = {
+        (r.doc_id, r.taken_before)
+        for r in token_budget_sample(
+            docs, budget_tokens=8, buckets=1, portable=True
+        ).collect()
+    }
+    # NOTE: bucket count CHANGES the frozen order (bucket leads), so only
+    # same-bucket-count runs are comparable; assert determinism instead
+    b = {
+        (r.doc_id, r.taken_before)
+        for r in token_budget_sample(
+            docs, budget_tokens=8, buckets=1, portable=True
+        ).collect()
+    }
+    assert a == b and a
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, budget_tokens=5, buckets=0)
