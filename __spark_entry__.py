@@ -1276,6 +1276,27 @@ def _q_doc_bm25_index_update(spark, sf_dir):
     return search_text_index(spark, path, _BM25_QUERY, k=10)
 
 
+def _q_docs_theta_pairs(spark, sf_dir):
+    """Grid-partitioned theta-join (operators/thetajoin.py, 1-Bucket-
+    Theta): doc pairs whose char lengths agree within 1% — a predicate
+    with no equi/band structure, joined without a one-task cartesian
+    (every pair meets in exactly one grid cell)."""
+    from pyocr_spark.operators.thetajoin import theta_join
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.length("text").alias("len_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.length("text").alias("len_b")
+    )
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) * 100 <= F.col("len_a"))
+    )
+    return theta_join(a, b, cond, "id_a", "id_b", grid=(4, 4))
+
+
 def _q_doc_script_mix(spark, sf_dir):
     """Unicode script composition per doc (functions/text_stats.script_mix):
     literal code-point-range classes (the Java/RE2 common subset — named
@@ -2196,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": _q_docs_token_budget,
         "doc_lexical_stats": _q_doc_lexical_stats,
         "doc_script_mix": _q_doc_script_mix,
+        "docs_theta_pairs": _q_docs_theta_pairs,
         "doc_phrase_match": _q_doc_phrase_match,
         "doc_phrase_index_search": _q_doc_phrase_index_search,
         "doc_bm25": _q_doc_bm25,
@@ -3493,6 +3515,16 @@ def oracle_sql() -> dict[str, str]:
         # two-phase bucketed prefix sums replayed as ONE plain window:
         # the frozen order leads with bucket = hash % 32, so the banked
         # Spark plan and this window agree row-for-row
+        # brute-force DuckDB replay of the same predicate — an
+        # independent computation of what the grid-partitioned join
+        # answers cell-by-cell
+        "docs_theta_pairs": (
+            "WITH d AS (SELECT doc_id, len(text) AS l FROM documents WHERE text IS NOT NULL) "
+            "SELECT a.doc_id AS id_a, CAST(a.l AS INTEGER) AS len_a, "
+            "b.doc_id AS id_b, CAST(b.l AS INTEGER) AS len_b "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "AND abs(a.l - b.l) * 100 <= a.l"
+        ),
         "doc_script_mix": (
             "WITH s AS (SELECT doc_id, regexp_replace(text, '[\\t\\n\\f\\r ]+', '', 'g') AS t FROM documents), "
             "b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars, "

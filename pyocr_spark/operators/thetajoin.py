@@ -1,0 +1,70 @@
+"""Grid-partitioned theta-join: arbitrary-predicate joins without a
+single-task cartesian.
+
+Spark plans a join with no equi-key as BroadcastNestedLoopJoin (only if
+one side broadcasts) or a ONE-PARTITION CartesianProduct — the latter is
+the classic web-scale killer: |L|·|R| comparisons in one task. The
+1-Bucket-Theta construction (Okcan & Riedewald, "Processing Theta-Joins
+using MapReduce", SIGMOD 2011; efficiency analysis in Koumarelas et al.,
+EDBT 2014) tiles the |L|×|R| comparison matrix with an r×c grid: each
+left row hashes to ONE row-band and replicates across the ``c`` columns,
+each right row hashes to ONE column-band and replicates across the ``r``
+rows, and every (left, right) pair meets in EXACTLY one cell — the
+(row-band, column-band) cell — so the join is complete, duplicate-free,
+and parallel over r·c cells of expected size (|L|/r)·(|R|/c).
+
+This is the LAST-RESORT join: an equi predicate belongs in a plain join,
+a band/range predicate in operators/intervaljoin.py (bucketized, output
+proportional to matches), as-of in operators/asof.py. Reach for theta
+only when the predicate has no exploitable structure — the total work is
+irreducibly |L|·|R| comparisons; the grid buys parallelism and bounded
+task memory, never less work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    left_key: str,
+    right_key: str,
+    grid: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Inner join ``left`` × ``right`` on an arbitrary ``condition``.
+
+    ``left_key`` / ``right_key`` name columns whose hash assigns each
+    row its band — any column works for correctness (bands only need
+    determinism and spread); a high-cardinality id spreads best. Column
+    names must be disjoint between the two sides (alias beforehand, the
+    embedding-pairs convention). ``grid=(r, c)``: left replicates c×,
+    right replicates r× — size the grid so (|L|/r)·(|R|/c) comparisons
+    fit one task; r·c should be ≥ the parallelism you want.
+
+    Plan shape: explode the replication index (narrow), ONE shuffled
+    equi-join on the (row-band, column-band) cell id, predicate as a
+    post-join filter inside the join's codegen. Never a CartesianProduct
+    or BroadcastNestedLoopJoin (plan-audited).
+    """
+    r, c = grid
+    if r < 1 or c < 1:
+        raise ValueError(f"grid bands must be >= 1, got {grid}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"theta_join requires disjoint column names; both sides have "
+            f"{sorted(overlap)} — alias one side first"
+        )
+    lb = F.pmod(F.xxhash64(F.col(left_key)), F.lit(r))
+    rb = F.pmod(F.xxhash64(F.col(right_key)), F.lit(c))
+    L = left.withColumn("_rb", lb).withColumn(
+        "_cb", F.explode(F.sequence(F.lit(0), F.lit(c - 1)))
+    )
+    R = right.withColumn("_cb", rb).withColumn(
+        "_rb", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+    )
+    return L.join(R, ["_rb", "_cb"]).filter(condition).drop("_rb", "_cb")

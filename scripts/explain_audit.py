@@ -782,6 +782,15 @@ def main() -> int:
           and "InPandas" not in p and "ArrowEvalPython" not in p
           and "Generate" not in p, "")
 
+    # 45f. theta-join: the whole point is replacing the one-task
+    # CartesianProduct with a shuffled equi-join on the grid cell.
+    df = qs["docs_theta_pairs"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_theta_pairs", p))
+    check("docs_theta_pairs", "grid-cell equi-join (no CartesianProduct/NLJ)",
+          ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
+          and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     # 46. SimHash near-dup pairs: same banded machinery as media_phash —
     # candidates form only inside (band, key) buckets, never all-pairs.
     df = qs["simhash_dups"](spark, SF_DIR)

@@ -43,3 +43,34 @@ def test_columnar_equivalent_on_fuzzed_batch(pages, psm):
     for name in ("status", "error", "extracted_text", "word_boxes",
                  "line_boxes", "hocr", "box_fmt", "n_words"):
         assert cols[name].to_pylist() == [r[name] for r in ref], name
+
+
+# markdown-relevant soup: structural tags, emphasis/link/table fragments,
+# mismatched closes, nested quotes, raw pipes and backticks in prose
+_MD_FRAGMENTS = st.sampled_from([
+    b"<h1>", b"</h1>", b"<h6>", b"<p>", b"</p>", b"<ul>", b"<ol>", b"<li>",
+    b"</li>", b"</ul>", b"</ol>", b"<blockquote>", b"</blockquote>",
+    b"<pre>", b"</pre>", b"<code>", b"</code>", b"<b>", b"</b>", b"<em>",
+    b"</em>", b"<a href='/x'>", b"<a href='mailto:x'>", b"<a>", b"</a>",
+    b"<img src='/i.png' alt='a'>", b"<img>", b"<base href='http://b/'>",
+    b"<table>", b"<tr>", b"<td>", b"<th>", b"</td>", b"</tr>", b"</table>",
+    b"<hr>", b"<br>", b"text | with pipes", b"`ticks`", b"**stars**",
+    b"<nav>", b"</nav>", b"\xe9", b"\x00", b"&amp;", b"&bogus;", b"plain",
+])
+_MD_PAGES = st.lists(_MD_FRAGMENTS, min_size=0, max_size=40).map(b" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(page=_MD_PAGES)
+def test_markdown_never_raises_and_is_deterministic(page):
+    from pyocr_spark.core.markdown import html_to_markdown
+
+    a = html_to_markdown(page, base_url="http://h.example/d/p")
+    b = html_to_markdown(page, base_url="http://h.example/d/p")
+    assert a == b
+    assert isinstance(a, str)
+    # structural invariants of the frozen rules: no trailing newline, no
+    # NUL sentinel leakage, no blank block (nothing joins to "\n\n\n\n")
+    assert "\x00" not in a
+    assert not a.endswith("\n")
+    assert "\n\n\n" not in a

@@ -1,0 +1,53 @@
+"""Grid-partitioned theta-join (operators/thetajoin.py)."""
+
+import itertools
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(i, i * 3 % 17) for i in range(40)], "id_a long, va long"
+    )
+    right = spark.createDataFrame(
+        [(j, j * 5 % 13) for j in range(30)], "id_b long, vb long"
+    )
+    return left, right
+
+
+def test_theta_equals_brute_force_complete_and_dup_free(spark, sides):
+    from pyocr_spark.operators.thetajoin import theta_join
+
+    left, right = sides
+    cond = (F.col("va") + F.col("vb")) % 7 == 0  # no equi/band structure
+    for grid in [(1, 1), (4, 4), (3, 5), (8, 2)]:
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in theta_join(left, right, cond, "id_a", "id_b", grid=grid).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i in range(40)
+            for j in range(30)
+            if ((i * 3 % 17) + (j * 5 % 13)) % 7 == 0
+        )
+        assert got == want, grid  # complete AND duplicate-free per grid
+
+
+def test_theta_plan_never_cartesian_and_guards(spark, sides):
+    from pyocr_spark.operators.thetajoin import theta_join
+
+    left, right = sides
+    cond = (F.col("va") + F.col("vb")) % 7 == 0
+    df = theta_join(left, right, cond, "id_a", "id_b", grid=(4, 4))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # overlapping column names must be rejected, not silently joined
+    with pytest.raises(ValueError, match="disjoint"):
+        theta_join(left, left, cond, "id_a", "id_a")
+    with pytest.raises(ValueError):
+        theta_join(left, right, cond, "id_a", "id_b", grid=(0, 4))
