@@ -1848,6 +1848,35 @@ def _q_host_stats(spark, sf_dir):
     )
 
 
+def _hll_host_regs(spark, sf_dir):
+    from pyocr_spark.operators.sketches import portable_hll_registers
+
+    hosts = _pages(spark, sf_dir).select(
+        F.parse_url("url", F.lit("HOST")).alias("host"), "url"
+    )
+    return portable_hll_registers(hosts, key_col="url", group_col="host")
+
+
+def _q_host_url_hll_regs(spark, sf_dir):
+    """Portable-HLL register table per host (operators/sketches
+    .portable_hll_registers): md5-derived, integer/string-exact — the
+    stored mergeable artifact. ONE partial-aggregating shuffle; at most
+    m=256 rows per host regardless of page count."""
+    return _hll_host_regs(spark, sf_dir).withColumnRenamed("grp", "host")
+
+
+def _q_host_url_hll(spark, sf_dir):
+    """Distinct-url estimate per host from the register table alone
+    (portable_hll_estimate) — exact BIGINT anchors (v_empty, s_scaled)
+    plus the micro-floored estimate; the exact-oracle twin of the
+    DataSketches host_distinct_sketches path."""
+    from pyocr_spark.operators.sketches import portable_hll_estimate
+
+    return portable_hll_estimate(_hll_host_regs(spark, sf_dir)).withColumnRenamed(
+        "grp", "host"
+    )
+
+
 def _q_embedding_dups(spark, sf_dir):
     from pyocr_spark.operators.dedup import embedding_cosine_pairs
 
@@ -2303,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": _q_simhash_portable,
         "simhash_dups": _q_simhash_dups,
         "host_stats": _q_host_stats,
+        "host_url_hll_regs": _q_host_url_hll_regs,
+        "host_url_hll": _q_host_url_hll,
         # web graph (outlinks → host edges → integer PageRank)
         "page_outlinks": _q_page_outlinks,
         "anchor_text_index": _q_anchor_text_index,
@@ -4394,6 +4425,37 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') GROUP BY 1"
+        ),
+        # portable HLL: same md5→(reg, rank) derivation replayed with
+        # DuckDB's own bin()/lpad()/instr(); harmonic sum kept as exact
+        # scaled BIGINTs so fp summation order can never diverge
+        "host_url_hll_regs": (
+            f"WITH base AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            f"CAST(('0x' || substr(md5(url),1,15)) AS BIGINT) AS h "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "rr AS (SELECT host, h & 255 AS reg, h >> 8 AS rest FROM base), "
+            "rk AS (SELECT host, reg, CASE WHEN rest = 0 THEN 53 "
+            "ELSE instr(lpad(bin(rest), 52, '0'), '1') END AS rank FROM rr) "
+            "SELECT host, reg, max(rank) AS max_rank FROM rk GROUP BY host, reg"
+        ),
+        "host_url_hll": (
+            f"WITH base AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            f"CAST(('0x' || substr(md5(url),1,15)) AS BIGINT) AS h "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "rr AS (SELECT host, h & 255 AS reg, h >> 8 AS rest FROM base), "
+            "rk AS (SELECT host, reg, CASE WHEN rest = 0 THEN 53 "
+            "ELSE instr(lpad(bin(rest), 52, '0'), '1') END AS rank FROM rr), "
+            "regs AS (SELECT host, reg, max(rank) AS max_rank FROM rk GROUP BY host, reg), "
+            "per AS (SELECT host, count(*) AS n_regs, "
+            "CAST(sum(CAST(1 AS BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present "
+            "FROM regs GROUP BY host), "
+            "d AS (SELECT host, CAST(256 - n_regs AS BIGINT) AS v_empty, "
+            "CAST(s_present + (256 - n_regs) * 9007199254740992 AS BIGINT) AS s_scaled FROM per) "
+            "SELECT host, v_empty, s_scaled, "
+            "CAST(FLOOR((CASE WHEN (47072.71267120224e0 * 9007199254740992.0e0 / s_scaled) <= 640.0e0 "
+            "AND v_empty > 0 THEN 256.0e0 * ln(256.0e0 / v_empty) "
+            "ELSE 47072.71267120224e0 * 9007199254740992.0e0 / s_scaled END) * 10000.0e0) AS BIGINT) "
+            "AS est_micro FROM d"
         ),
         "embedding_dups": (
             "SELECT l.vec_id AS left_id, r.vec_id AS right_id, "

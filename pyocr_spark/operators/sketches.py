@@ -7,10 +7,13 @@ Apache DataSketches HLL (hll_sketch_agg / hll_union_agg /
 hll_sketch_estimate) — everything here is JVM-side partial-aggregating
 built-ins.
 
-Verification class: sketches are APPROXIMATE by construction, so these
-carry error-bound pytest gates against exact counts (HLL lgk=12 → ~1.6%
-RSE; asserted ≤3×RSE) instead of the exact-oracle gate every other
-operator has — documented in COVERAGE.md, deliberate.
+Verification class: sketches are APPROXIMATE by construction, so the
+DataSketches paths carry error-bound pytest gates against exact counts
+(HLL lgk=12 → ~1.6% RSE; asserted ≤3×RSE) — documented in COVERAGE.md,
+deliberate. The portable-HLL twin below additionally carries the EXACT
+DuckDB oracle gate (driver rows host_url_hll_regs / host_url_hll): its
+register derivation is pure integer/string arithmetic, so an
+independent engine replays the sketch bit-for-bit.
 """
 
 from __future__ import annotations
@@ -74,4 +77,107 @@ def length_quantile_sketch(
                 F.lit(accuracy),
             ).alias("length_quantiles"),
         )
+    )
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the exact-oracle twin of host_distinct_sketches.
+#
+# The DataSketches HLL above is the production path but its binary sketch
+# has no DuckDB twin, so the family's driver verification was error-bound
+# pytest only. This variant derives everything from md5 with EXACT integer
+# / string arithmetic so an independent SQL engine replays it bit-for-bit:
+#
+#   h    = lower 60 bits of md5(key)            (15 hex chars -> BIGINT)
+#   reg  = h & (m-1)                            (register index, m = 2^p)
+#   rest = h >> p                               (W = 60-p bit tail)
+#   rank = position of first '1' in the W-bit   (string ops on bin(), no
+#          zero-padded binary string, W+1 if 0)  floating point anywhere)
+#
+# Registers (group, reg, max_rank) are the stored, MERGEABLE artifact —
+# union two shards' registers and re-max to get the union sketch. The
+# estimate keeps the harmonic sum exact by scaling: sum(2^(W+1-M)) over
+# registers is pure BIGINT (order-free — fp summation order would not
+# be), absent registers contribute 2^(W+1) each; alpha*m^2 is inlined as
+# one double literal so both engines parse the identical constant; linear
+# counting applies below 2.5m when empty registers remain. The estimate
+# is emitted micro-floored (x10000, floor, BIGINT) so the only fp ops —
+# one division, one ln() — never meet a round-half tie.
+# ---------------------------------------------------------------------------
+
+PORTABLE_HLL_P = 8  # m = 256 registers; RSE = 1.04/sqrt(m) ~ 6.5%
+_HLL_M = 1 << PORTABLE_HLL_P
+_HLL_W = 60 - PORTABLE_HLL_P  # tail bits that feed the rank
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+_HLL_POW2_W1 = 1 << (_HLL_W + 1)  # scaled weight of an empty register
+
+
+def portable_hll_registers(
+    df: DataFrame, key_col: str, group_col: str = "host"
+) -> DataFrame:
+    """(group, reg, max_rank) register table — ONE partial-aggregating
+    shuffle on (group, reg); at most m rows survive per group no matter
+    how many keys fed it, which is the whole point at 100 TB."""
+    w = _HLL_W
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10).cast("long")
+    d = df.select(F.col(group_col).alias("grp"), h.alias("h"))
+    d = d.select(
+        "grp",
+        F.expr(f"h & {_HLL_M - 1}").alias("reg"),
+        F.expr(f"shiftright(h, {PORTABLE_HLL_P})").alias("rest"),
+    )
+    rank = F.expr(
+        f"CASE WHEN rest = 0 THEN {w + 1} "
+        f"ELSE instr(lpad(bin(rest), {w}, '0'), '1') END"
+    )
+    return (
+        d.select("grp", "reg", rank.alias("rank"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def portable_hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union shard register tables -> the union's register table (max per
+    (group, reg)) — mergeability is what lets shards be sketched
+    independently and combined driver-side-free."""
+    it = iter(register_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.groupBy("grp", "reg").agg(F.max("max_rank").alias("max_rank"))
+
+
+def portable_hll_estimate(registers: DataFrame) -> DataFrame:
+    """(grp, v_empty, s_scaled, est_micro): distinct-count estimate per
+    group from the register table alone. s_scaled and v_empty are exact
+    BIGINTs (the oracle's anchor); est_micro = floor(estimate*10^4)."""
+    m, w = _HLL_M, _HLL_W
+    per = registers.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rank)")).alias(
+            "s_present"
+        ),
+    )
+    s_scaled = F.expr(f"s_present + CAST({m} - n_regs AS BIGINT) * {_HLL_POW2_W1}")
+    v_empty = F.expr(f"CAST({m} - n_regs AS BIGINT)")
+    d = per.select(
+        "grp", v_empty.alias("v_empty"), s_scaled.alias("s_scaled")
+    )
+    # double-typed literals via F.lit — a bare SQL decimal literal parses
+    # as DECIMAL in both Spark and DuckDB and decimal arithmetic would
+    # overflow/diverge; the oracle twin forces DOUBLE with e0 suffixes
+    raw = (
+        F.lit(float(_HLL_ALPHA_M2))
+        * F.lit(float(_HLL_POW2_W1))
+        / F.col("s_scaled").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty").cast("double")),
+    ).otherwise(raw)
+    return d.select(
+        "grp",
+        "v_empty",
+        "s_scaled",
+        F.floor(est * F.lit(10000.0)).cast("long").alias("est_micro"),
     )

@@ -67,3 +67,50 @@ def test_length_quantile_sketch_brackets_exact(spark):
                 grp["n"], min(q + 0.01, 1)
             )
             assert lo - 1 <= got <= hi + 1, (lang, q, got, lo, hi)
+
+
+def test_portable_hll_registers_and_estimate(spark, pages_sf0001):
+    """Portable (md5-exact) HLL: registers are deterministic and bounded
+    (≤ m per host), the estimate lands within 3×RSE of exact, and
+    merging shard registers equals sketching the whole input — all with
+    integer/string arithmetic only, which is what gives it the exact
+    DuckDB oracle (host_url_hll / host_url_hll_regs driver rows)."""
+    from pyspark.sql import functions as F
+
+    from pyocr_spark.operators.sketches import (
+        PORTABLE_HLL_P,
+        portable_hll_estimate,
+        portable_hll_merge,
+        portable_hll_registers,
+    )
+    from pyocr_spark.sources.pages import read_pages
+
+    m = 1 << PORTABLE_HLL_P
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    hosts = pages.select(F.parse_url("url", F.lit("HOST")).alias("host"), "url")
+    regs = portable_hll_registers(hosts, key_col="url", group_col="host")
+    per_host = {r["grp"]: r for r in regs.groupBy("grp").count().collect()}
+    assert per_host and all(c["count"] <= m for c in per_host.values())
+
+    est = {r["grp"]: r["est_micro"] / 10000.0 for r in portable_hll_estimate(regs).collect()}
+    exact = {
+        r["host"]: r["n"]
+        for r in hosts.groupBy("host").agg(F.countDistinct("url").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    rse3 = 3 * 1.04 / (m ** 0.5)
+    for host, n in exact.items():
+        assert abs(est[host] - n) <= max(1.5, rse3 * n), (host, est[host], n)
+
+    # mergeability is EXACT on registers (max of maxes), not just within
+    # bound: shard registers merged == whole-input registers, row for row
+    a = portable_hll_registers(
+        hosts.filter(F.crc32(F.col("url")) % 2 == 0), "url", "host"
+    )
+    b = portable_hll_registers(
+        hosts.filter(F.crc32(F.col("url")) % 2 == 1), "url", "host"
+    )
+    merged = portable_hll_merge(a, b)
+    whole = regs
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
