@@ -964,6 +964,20 @@ def _q_dedup_exact_docs(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_docs_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over documents (operators/zorder):
+    quantize(n_chars in [0,8191]) interleaved with quantize(doc_id in
+    [0,65535]) at 16 bits/dim — the value zorder_layout range-partitions
+    files by so parquet min/max stats prune on EITHER dimension. Pure
+    BIGINT shifts/masks, whole-stage codegen; DuckDB replays the
+    identical quantize + interleave bit-for-bit."""
+    from pyocr_spark.operators.zorder import with_zorder
+
+    return with_zorder(
+        _docs(spark, sf_dir), [("n_chars", 0, 8191), ("doc_id", 0, 65535)]
+    ).select("doc_id", "zval")
+
+
 def _q_lang_doc_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -2284,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "docs_zorder": _q_docs_zorder,
         "doc_normalize": _q_doc_normalize,
         "doc_nfc": _q_doc_nfc,
         "doc_pii_mask": _q_doc_pii_mask,
@@ -2981,6 +2996,21 @@ _DSIR_SAMPLE_SQL = (
     "SELECT doc_id, n_feats, logw_micro, key_micro FROM keyed "
     "ORDER BY key_micro DESC, doc_id LIMIT 25"
 )
+
+
+def _docs_zorder_oracle_sql() -> str:
+    """DuckDB twin of _q_docs_zorder: quantize via true integer `//`
+    (DuckDB) vs the exactness-proved fp quotient (Spark); the bit
+    interleave is GENERATED by the same zorder_value_sql helper the
+    operator module owns, so the two engines can't drift apart."""
+    from pyocr_spark.operators.zorder import zorder_value_sql
+
+    q_chars = "((least(greatest(n_chars, 0), 8191)) * 65536) // 8192"
+    q_id = "least(greatest(doc_id, 0), 65535)"
+    return (
+        f"WITH q AS (SELECT doc_id, {q_chars} AS q0, {q_id} AS q1 FROM documents) "
+        f"SELECT doc_id, {zorder_value_sql(['q0', 'q1'])} AS zval FROM q"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4007,6 +4037,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"
         ),
+        # z-order: quantize replayed with DuckDB's true integer `//`
+        # (Spark side proves its fp-division quotient exact — see
+        # operators/zorder.quantize), interleave generated by the SAME
+        # helper both engines' expressions come from
+        "docs_zorder": _docs_zorder_oracle_sql(),
         "lang_doc_stats": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang"

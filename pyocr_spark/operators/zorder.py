@@ -1,0 +1,121 @@
+"""Z-order (Morton) multi-dimensional data layout.
+
+Single-dimension range layout (operators/maintenance.compact_table's
+``layout_key``) makes parquet min/max stats prune ONE predicate column;
+a crawl table is queried on several (host AND capture time, length AND
+language bucket). Z-ordering interleaves the bits of k quantized
+dimensions into one integer and lays files out by that value, so every
+dimension's min/max stays narrow in every file and a filter on ANY of
+them prunes row groups — the same layout knob Iceberg/Delta expose as
+``rewrite_data_files(strategy => 'sort', sort_order => 'zorder(a,b)')``;
+this is the engine-level equivalent for plain directories, built from
+pure integer built-ins.
+
+Scale notes: the z-value is ~2k shift/mask ops per row, whole-stage
+codegen, no Python; the layout itself is ONE repartitionByRange shuffle
+(sampled range boundaries) — the same cost as any sort-based rewrite.
+Quantization uses explicit per-column (lo, hi) bounds rather than a
+rank() pass: ranks would need a second global sort, and layout quality
+only needs monotone binning, not equal-frequency bins. Bounds can come
+from stats the caller already has (table_bytes-style footer reads or a
+1-row agg); rows outside [lo, hi] clamp to the edge bins, never error.
+
+Everything is exact integer arithmetic on BIGINTs, so the z-values have
+a bit-for-bit DuckDB twin (driver row ``docs_zorder``) — the oracle
+replays quantization and interleave with the same shifts and masks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension. 2 dims × 16 bits = 32-bit z-value; 4 dims still
+#: fit a BIGINT. Finer than 16 bits buys nothing once files hold ≥2^16
+#: distinct bins.
+DEFAULT_BITS = 16
+
+
+def quantize(col: Column, lo: int, hi: int, bits: int = DEFAULT_BITS) -> Column:
+    """Clamp ``col`` to [lo, hi] and scale to an integer bin in
+    [0, 2^bits): monotone, exact BIGINT arithmetic (floor division —
+    no doubles, so the SQL twin cannot drift)."""
+    if hi <= lo:
+        raise ValueError(f"quantize: need hi > lo, got [{lo}, {hi}]")
+    n_bins = 1 << bits
+    span = hi - lo + 1
+    # exactness bound: the scaled numerator must be a double-exact
+    # integer so the (num - num % span) / span division below is the
+    # EXACT floor quotient — Spark has no integer-div builtin, and a
+    # bare fp floor((v*n)/d) can round up across an integer boundary
+    # where DuckDB's true integer `//` would not
+    if (span - 1) * n_bins > (1 << 53):
+        raise ValueError(
+            f"quantize: range {span} x {n_bins} bins exceeds the "
+            f"double-exact bound; shrink bits or pre-scale the column"
+        )
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi), col.cast("long")))
+    num = (clamped - F.lit(lo)) * F.lit(n_bins)
+    # num % span is exact BIGINT; (num - num%span)/span divides exactly,
+    # and an exact-integer quotient survives fp division bit-for-bit
+    return ((num - num % F.lit(span)) / F.lit(span)).cast("long")
+
+
+def zorder_value(dims: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the low ``bits`` bits of each (already-quantized)
+    dimension into one BIGINT Morton code. dims[0] owns the least
+    significant interleaved bit. Pure shifts/masks — codegen'd, and
+    replayable verbatim in any SQL engine."""
+    k = len(dims)
+    if not 2 <= k <= 4:
+        raise ValueError(f"zorder_value: need 2-4 dimensions, got {k}")
+    if bits * k > 62:
+        raise ValueError(f"zorder_value: {k} dims x {bits} bits overflows BIGINT")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, col in enumerate(dims):
+            bit = F.shiftright(col.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + d)
+    return z
+
+
+def zorder_value_sql(dim_exprs: list[str], bits: int = DEFAULT_BITS) -> str:
+    """The ANSI-SQL twin of :func:`zorder_value` over pre-quantized
+    integer expressions — used verbatim by the DuckDB oracle so Spark
+    and the independent engine compute the identical interleave."""
+    terms = []
+    for i in range(bits):
+        for d, e in enumerate(dim_exprs):
+            # each term fully parenthesized: SQL's `+` binds TIGHTER than
+            # `<<`, so an unwrapped `a << 3 + b << 5` would parse as
+            # `a << (3 + b) << 5`
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * len(dim_exprs) + d})")
+    return " + ".join(terms)
+
+
+def with_zorder(
+    df: DataFrame,
+    dims: list[tuple[str, int, int]],
+    bits: int = DEFAULT_BITS,
+    out_col: str = "zval",
+) -> DataFrame:
+    """Attach the z-value of ``dims`` = [(col, lo, hi), ...]."""
+    qs = [quantize(F.col(c), lo, hi, bits) for c, lo, hi in dims]
+    return df.withColumn(out_col, zorder_value(qs, bits))
+
+
+def zorder_layout(
+    df: DataFrame,
+    dims: list[tuple[str, int, int]],
+    n_files: int,
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Rows arranged for a z-clustered write: ONE range shuffle on the
+    z-value (sampled boundaries → equal-sized files even when the key
+    space is skewed), then an in-partition sort so row groups within a
+    file cluster too. Write the result with any sink; every dimension's
+    parquet min/max is then narrow in every file."""
+    z = df.transform(with_zorder, dims, bits)
+    return z.repartitionByRange(n_files, F.col("zval")).sortWithinPartitions("zval").drop(
+        "zval"
+    )

@@ -1,0 +1,136 @@
+"""Z-order layout (operators/zorder): exact quantize/interleave math and
+the actual file-stats payoff — after zorder_layout, parquet min/max is
+narrow in EVERY dimension per file, where a single-dim sort leaves the
+other dimension spanning the whole range (no pruning possible)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.zorder import (
+    DEFAULT_BITS,
+    quantize,
+    with_zorder,
+    zorder_layout,
+    zorder_value,
+    zorder_value_sql,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_quantize_matches_integer_floor(spark):
+    lo, hi, bits = 10, 8201, 16
+    span, n_bins = hi - lo + 1, 1 << bits
+    vals = list(range(-5, 20)) + [4096, 8191, 8200, 8201, 8202, 99999]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["q"]
+        for r in df.select("v", quantize(F.col("v"), lo, hi, bits).alias("q")).collect()
+    }
+    for v in vals:
+        c = max(lo, min(hi, v))
+        assert got[v] == ((c - lo) * n_bins) // span, v
+        assert 0 <= got[v] < n_bins
+
+
+def test_quantize_and_zorder_guards(spark):
+    with pytest.raises(ValueError, match="hi > lo"):
+        quantize(F.col("x"), 5, 5)
+    with pytest.raises(ValueError, match="double-exact"):
+        quantize(F.col("x"), 0, 1 << 40, bits=16)
+    with pytest.raises(ValueError, match="2-4 dimensions"):
+        zorder_value([F.lit(1)])
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_value([F.lit(1)] * 4, bits=16)
+
+
+def test_zorder_value_known_interleave(spark):
+    # bits: z = ... y1 x1 y0 x0 (x = dims[0] least significant)
+    cases = [(0, 0, 0), (1, 0, 1), (0, 1, 2), (1, 1, 3), (3, 3, 15), (2, 1, 6)]
+    df = spark.createDataFrame([(x, y) for x, y, _ in cases], "x long, y long")
+    got = df.select(
+        "x", "y", zorder_value([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()
+    want = {(x, y): z for x, y, z in cases}
+    for r in got:
+        assert r["z"] == want[(r["x"], r["y"])], (r["x"], r["y"])
+
+
+def test_zorder_value_sql_twin_matches_spark(spark):
+    """The generated SQL interleave, evaluated BY SPARK, equals the
+    Column-built one — the same generator feeds the DuckDB oracle
+    (docs_zorder), so twin drift would fail here first."""
+    df = spark.range(0, 300).select(
+        (F.col("id") % 17).alias("a"), (F.col("id") % 13).alias("b")
+    )
+    expr = zorder_value_sql(["a", "b"], bits=5)
+    out = df.select(
+        zorder_value([F.col("a"), F.col("b")], bits=5).alias("z_col"),
+        F.expr(expr).alias("z_sql"),
+    )
+    assert out.filter(F.col("z_col") != F.col("z_sql")).count() == 0
+
+
+def _file_spans(path, col):
+    """(min, max) per parquet data file for one column, via footer stats
+    only — what a scan's row-group pruning actually consults."""
+    import pathlib
+
+    spans = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(
+                [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            ).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_zorder_layout_narrows_every_dim(spark, tmp_path):
+    """events laid out by z(user_id, event_id) into 8 files: BOTH
+    columns' per-file span shrinks well below the global range; the
+    same table sorted by event_id alone leaves user_id unprunable
+    (per-file span ~ global) — the single-dim layout's blind spot."""
+    ev = spark.read.parquet(f"{SF001}/events.parquet").select("event_id", "user_id")
+    row = ev.agg(
+        F.min("event_id"), F.max("event_id"), F.min("user_id"), F.max("user_id")
+    ).head()
+    e_lo, e_hi, u_lo, u_hi = row
+    dims = [("user_id", u_lo, u_hi), ("event_id", e_lo, e_hi)]
+
+    zdir = tmp_path / "z"
+    zorder_layout(ev, dims, n_files=8).write.parquet(str(zdir))
+    ldir = tmp_path / "linear"
+    ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id").write.parquet(
+        str(ldir)
+    )
+
+    def mean_frac(path, col, lo, hi):
+        spans = _file_spans(path, col)
+        assert len(spans) >= 4  # layout really produced multiple files
+        return sum(mx - mn for mn, mx in spans) / len(spans) / (hi - lo)
+
+    # z-layout: both dims cluster (quadrant structure → ≤ ~half range)
+    assert mean_frac(zdir, "user_id", u_lo, u_hi) <= 0.6
+    assert mean_frac(zdir, "event_id", e_lo, e_hi) <= 0.6
+    # linear layout: sorted dim razor-thin, OTHER dim spans ~everything
+    assert mean_frac(ldir, "event_id", e_lo, e_hi) <= 0.25
+    assert mean_frac(ldir, "user_id", u_lo, u_hi) >= 0.8
+
+
+def test_with_zorder_deterministic_and_bounded(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    dims = [("n_chars", 0, 8191), ("doc_id", 0, 65535)]
+    a = with_zorder(docs, dims).select("doc_id", "zval")
+    b = with_zorder(docs, dims).select("doc_id", "zval")
+    assert a.exceptAll(b).count() == 0
+    hi = a.agg(F.max("zval")).head()[0]
+    assert 0 <= hi < 1 << (2 * DEFAULT_BITS)
