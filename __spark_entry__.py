@@ -1532,6 +1532,37 @@ def _q_extract_main_density(spark, sf_dir):
     return extract_main_density(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_extract_jsonld(spark, sf_dir):
+    """JSON-LD structured-data items (functions/structdata over
+    core/structdata): schema.org blocks → typed rows with document-order
+    (block_idx, item_idx), canonical item_json. ONE narrow Arrow stage,
+    no shuffle — Web-Data-Commons-style mining of the crawl."""
+    from pyocr_spark.functions.structdata import extract_jsonld_df
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_jsonld_df(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_jsonld_errors(spark, sf_dir):
+    """The audit twin: damaged blocks (bad_json) and non-object items
+    route to rows, never raise — JSONL/CDX ingestion convention."""
+    from pyocr_spark.functions.structdata import jsonld_errors_df
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return jsonld_errors_df(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_extract_pubdate(spark, sf_dir):
+    """Publication date per page via the frozen htmldate-style cascade
+    (core/pubdate: OG meta > meta:date > <time> > JSON-LD > URL path) —
+    distinct from warc_ts, this is WHEN the page says it was published;
+    feeds freshness sampling and temporal train/eval splits."""
+    from pyocr_spark.functions.structdata import extract_pubdate_df
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_pubdate_df(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _q_extract_markdown(spark, sf_dir):
     """HTML→Markdown extraction (functions/markdown.py over the frozen
     core/markdown.py converter): the portable-prose surface — headings,
@@ -1754,6 +1785,36 @@ def _q_robots_crawl_delay(spark, sf_dir):
     d = ensure_pages(sf_dir)
     robots = spark.read.parquet(str(d / "robots.parquet"))
     return robots_crawl_delays(robots, agent=ROBOTS_AGENT)
+
+
+def _q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed ingestion (operators/feed): per-host feed XML →
+    (entry_idx, entry_type, title, link, guid, pub_epoch) in document
+    order — RSS <item> AND Atom <entry>, RFC 822 + W3C dates to UTC
+    epochs, rel=self/enclosure links skipped, linkless entries dropped
+    without consuming an index, malformed XML → zero rows. Oracle =
+    expected_feed, built from the structural entries datagen rendered
+    (epoch computed BEFORE the date text, so the parse is genuinely
+    checked)."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.feed import feed_entries
+
+    d = ensure_pages(sf_dir)
+    feeds = spark.read.parquet(str(d / "feeds.parquet"))
+    return feed_entries(feeds)
+
+
+def _q_feed_new_urls(spark, sf_dir):
+    """Push-announced frontier (operators/feed.feed_frontier): feed
+    entries never crawled — LEFT ANTI equi-join on url, the only
+    crawl-sized work. Oracle replays the anti-join over expected_feed
+    and the pages table."""
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.operators.feed import feed_frontier
+
+    d = ensure_pages(sf_dir)
+    feeds = spark.read.parquet(str(d / "feeds.parquet"))
+    return feed_frontier(feeds, _pages(spark, sf_dir))
 
 
 def _q_sitemap_frontier(spark, sf_dir):
@@ -2208,6 +2269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm7": _q_extract_text_psm7,
         "extract_main_density": _q_extract_main_density,
         "extract_markdown": _q_extract_markdown,
+        "extract_jsonld": _q_extract_jsonld,
+        "jsonld_errors": _q_jsonld_errors,
+        "extract_pubdate": _q_extract_pubdate,
         "extract_metadata": _q_extract_metadata,
         "pages_robots_gate": _q_pages_robots_gate,
         "pages_canonical_dedup": _q_pages_canonical_dedup,
@@ -2368,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_stale": _q_sitemap_stale,
         "sitemap_frontier": _q_sitemap_frontier,
+        "feed_entries": _q_feed_entries,
+        "feed_new_urls": _q_feed_new_urls,
         "robots_sitemaps": _q_robots_sitemaps,
         "robots_crawl_delay": _q_robots_crawl_delay,
         "host_components": _q_host_components,
@@ -3132,6 +3198,18 @@ def oracle_sql() -> dict[str, str]:
         "extract_markdown": (
             f"SELECT url, markdown, n_md_chars "
             f"FROM read_parquet('{E}/expected_markdown.parquet')"
+        ),
+        "extract_jsonld": (
+            f"SELECT url, block_idx, item_idx, ld_type, name, date_published, "
+            f"item_json FROM read_parquet('{E}/expected_jsonld.parquet')"
+        ),
+        "jsonld_errors": (
+            f"SELECT url, block_idx, item_idx, reason "
+            f"FROM read_parquet('{E}/expected_jsonld_errors.parquet')"
+        ),
+        "extract_pubdate": (
+            f"SELECT url, pub_date, pub_raw, pub_source "
+            f"FROM read_parquet('{E}/expected_pubdate.parquet')"
         ),
         "extract_metadata": (
             f"SELECT url, title, description, robots, canonical, og_title, "
@@ -4355,6 +4433,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, entry_idx, entry_type, loc, lastmod_epoch, "
             "changefreq, priority "
             f"FROM read_parquet('{E}/expected_sitemap.parquet')"
+        ),
+        "feed_entries": (
+            "SELECT host, entry_idx, entry_type, title, link, guid, pub_epoch "
+            f"FROM read_parquet('{E}/expected_feed.parquet')"
+        ),
+        # push frontier: announced links minus everything ever crawled
+        "feed_new_urls": (
+            "SELECT f.host, f.link, f.title, f.pub_epoch "
+            f"FROM read_parquet('{E}/expected_feed.parquet') f "
+            "ANTI JOIN (SELECT DISTINCT url "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet')) c "
+            "ON f.link = c.url"
         ),
         # staleness: declared lastmod vs our latest crawl of the url
         "sitemap_stale": (

@@ -1,0 +1,110 @@
+"""Publication-date extraction (htmldate-style frozen rule cascade).
+
+Knowing WHEN a page was published — as opposed to when it was crawled
+(``warc_ts``) — drives dedup keep-latest tie-breaks, freshness-weighted
+sampling, and train/eval temporal splits. Real extractors (htmldate,
+trafilatura) cascade from high-precision explicit markers down to URL
+guesses; this module freezes that cascade so the Spark stage and the
+datagen expected_pubdate fixture stay byte-identical (the core/dom
+contract).
+
+Frozen rule order — FIRST hit wins, document order within a rule:
+
+1. ``meta property="article:published_time"`` (Open Graph article);
+2. ``meta name=`` one of ``date`` / ``publish-date`` /
+   ``publication_date`` (lowercased);
+3. first ``<time datetime="...">`` element;
+4. first JSON-LD ``datePublished`` (block then item order, via
+   core/structdata);
+5. a ``/YYYY/MM/DD/`` segment in the URL path (19xx/20xx, month 01-12,
+   day 01-31) — the weakest signal, last.
+
+The raw matched string is kept as ``pub_raw``; ``pub_date`` is its
+normalized ``YYYY-MM-DD`` prefix when the raw value starts with one
+(ISO dates and ISO datetimes both normalize; anything else leaves
+``pub_date`` null with the raw value preserved for audit).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+from pyocr_spark.core.structdata import parse_jsonld
+
+_META_DATE_NAMES = frozenset({"date", "publish-date", "publication_date"})
+_ISO_PREFIX = re.compile(r"^(\d{4}-\d{2}-\d{2})")
+_URL_DATE = re.compile(r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])(?:/|$)")
+
+#: rule labels, strongest first — emitted as ``pub_source``
+SRC_OG = "meta:article:published_time"
+SRC_META = "meta:date"
+SRC_TIME = "time"
+SRC_JSONLD = "jsonld"
+SRC_URL = "url"
+
+
+class _DateMetaParser(HTMLParser):
+    """First-occurrence collectors for rules 1-3, one pass."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.og: str | None = None
+        self.meta: str | None = None
+        self.time: str | None = None
+
+    def _tag(self, tag, attrs):
+        a = {k.lower(): v for k, v in attrs}
+        if tag == "meta":
+            prop = (a.get("property") or "").lower()
+            name = (a.get("name") or "").lower()
+            content = a.get("content")
+            if prop == "article:published_time" and self.og is None and content:
+                self.og = content
+            elif name in _META_DATE_NAMES and self.meta is None and content:
+                self.meta = content
+        elif tag == "time":
+            dt = a.get("datetime")
+            if dt and self.time is None:
+                self.time = dt
+
+    def handle_starttag(self, tag, attrs):
+        self._tag(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        self._tag(tag, attrs)
+
+
+def _normalize(raw: str) -> str | None:
+    m = _ISO_PREFIX.match(raw)
+    return m.group(1) if m else None
+
+
+def extract_pubdate(html: bytes | str, url: str | None = None) -> dict:
+    """``{"pub_date": YYYY-MM-DD|None, "pub_raw": str|None,
+    "pub_source": rule|None}`` for one page. Never raises; oversized or
+    None input falls through to the URL rule alone."""
+    og = meta = time_dt = None
+    if html is not None and len(html) <= MAX_HTML_BYTES:
+        parser = _DateMetaParser()
+        try:
+            parser.feed(decode_replace(html))
+            parser.close()
+        except Exception:
+            pass
+        og, meta, time_dt = parser.og, parser.meta, parser.time
+    for raw, src in ((og, SRC_OG), (meta, SRC_META), (time_dt, SRC_TIME)):
+        if raw is not None:
+            return {"pub_date": _normalize(raw), "pub_raw": raw, "pub_source": src}
+    if html is not None and len(html) <= MAX_HTML_BYTES:
+        for _b, _i, _t, _n, dp, _j in parse_jsonld(html)["items"]:
+            if dp is not None:
+                return {"pub_date": _normalize(dp), "pub_raw": dp, "pub_source": SRC_JSONLD}
+    if url:
+        m = _URL_DATE.search(url.split("?", 1)[0].split("#", 1)[0])
+        if m:
+            d = f"{m.group(1)}-{m.group(2)}-{m.group(3)}"
+            return {"pub_date": d, "pub_raw": d, "pub_source": SRC_URL}
+    return {"pub_date": None, "pub_raw": None, "pub_source": None}

@@ -1,0 +1,128 @@
+"""JSON-LD structured-data extraction (schema.org blocks).
+
+Common-Crawl pages carry machine-readable metadata in
+``<script type="application/ld+json">`` blocks — the substrate the Web
+Data Commons corpus is mined from, and the highest-precision source of
+page facts (type, name, publication date) a training-data pipeline can
+get without NLP. This module is the single-node reference the Spark
+stage (functions/structdata.extract_jsonld_df) and datagen's
+expected_jsonld table both call, keeping the engine and its fixture
+oracle byte-identical by construction — the same contract as
+core/maincontent and core/dom.
+
+Frozen semantics (v1):
+
+- a block is any ``<script>`` whose ``type`` attribute, lowercased and
+  stripped of parameters (``;charset=...``), equals
+  ``application/ld+json``; block_idx counts them in document order;
+- script content is taken raw (html.parser CDATA mode — entities are
+  NOT decoded inside scripts, matching browsers);
+- a parsed block flattens to items: a top-level array yields its
+  elements; an object with a top-level ``@graph`` array yields the
+  graph members; any other object yields itself. One level only — no
+  recursive graph walking (frozen, documented);
+- per item: ``ld_type`` (``@type``; a list joins with ``,``), ``name``
+  and ``date_published`` (``datePublished``) when they are strings, and
+  ``item_json`` — the canonical re-serialization (sorted keys, compact
+  separators, ensure_ascii=False) so downstream dedup/compare is
+  representation-independent;
+- damage routes, never raises: unparseable JSON → ``bad_json`` error
+  row, a non-object item → ``non_object``; both keep (block_idx,
+  item_idx) so the audit trail points back into the page.
+"""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+LD_MIME = "application/ld+json"
+
+
+class _LdScriptParser(HTMLParser):
+    """Collect the raw text of every JSON-LD script, document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._in_ld = False
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script":
+            a = dict(attrs)
+            mime = (a.get("type") or "").split(";", 1)[0].strip().lower()
+            if mime == LD_MIME:
+                self._in_ld = True
+                self._buf = []
+
+    def handle_data(self, data):
+        if self._in_ld:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.blocks.append("".join(self._buf))
+
+
+def _flatten(doc) -> list:
+    if isinstance(doc, list):
+        return list(doc)
+    if isinstance(doc, dict) and isinstance(doc.get("@graph"), list):
+        return list(doc["@graph"])
+    return [doc]
+
+
+def _str_or_none(v) -> str | None:
+    return v if isinstance(v, str) else None
+
+
+def _ld_type(v) -> str | None:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list) and v and all(isinstance(x, str) for x in v):
+        return ",".join(v)
+    return None
+
+
+def parse_jsonld(html: bytes | str) -> dict:
+    """One page's JSON-LD: ``{"items": [(block_idx, item_idx, ld_type,
+    name, date_published, item_json)...], "errors": [(block_idx,
+    item_idx, reason)...]}``. Oversized/None input → empty (the shared
+    extraction-leg guard)."""
+    out: dict = {"items": [], "errors": []}
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return out
+    parser = _LdScriptParser()
+    try:
+        parser.feed(decode_replace(html))
+        parser.close()
+    except Exception:
+        pass  # pathological markup: keep the blocks already collected
+    for b_idx, raw in enumerate(parser.blocks):
+        try:
+            doc = json.loads(raw)
+        except ValueError:
+            out["errors"].append((b_idx, None, "bad_json"))
+            continue
+        for i_idx, item in enumerate(_flatten(doc)):
+            if not isinstance(item, dict):
+                out["errors"].append((b_idx, i_idx, "non_object"))
+                continue
+            out["items"].append(
+                (
+                    b_idx,
+                    i_idx,
+                    _ld_type(item.get("@type")),
+                    _str_or_none(item.get("name")),
+                    _str_or_none(item.get("datePublished")),
+                    json.dumps(
+                        item, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+                    ),
+                )
+            )
+    return out

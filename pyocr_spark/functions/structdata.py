@@ -1,0 +1,78 @@
+"""Spark stages for JSON-LD structured data and publication dates.
+
+Same shape as every extraction leg: prune to url+html, ONE Arrow-batched
+``mapInPandas`` over the single-node reference (core/structdata,
+core/pubdate), narrow output — file splits carry the parallelism at
+crawl scale, no shuffle anywhere. Items and errors are separate stages
+(not one exploded frame) so each keeps a tight schema and the error path
+can be routed to an audit sink independently, matching the JSONL/CDX
+ingestion convention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+JSONLD_DDL = (
+    "url string, block_idx int, item_idx int, ld_type string, "
+    "name string, date_published string, item_json string"
+)
+JSONLD_ERR_DDL = "url string, block_idx int, item_idx int, reason string"
+PUBDATE_DDL = "url string, pub_date string, pub_raw string, pub_source string"
+
+
+def _jsonld_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.structdata import parse_jsonld
+
+    cols = ["url", "block_idx", "item_idx", "ld_type", "name", "date_published", "item_json"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for item in parse_jsonld(html)["items"]:
+                rows.append((url, *item))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _jsonld_err_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.structdata import parse_jsonld
+
+    cols = ["url", "block_idx", "item_idx", "reason"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for err in parse_jsonld(html)["errors"]:
+                rows.append((url, *err))
+        yield pd.DataFrame(rows, columns=cols).astype({"item_idx": "Int32"})
+
+
+def _pubdate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.pubdate import extract_pubdate
+
+    cols = ["url", "pub_date", "pub_raw", "pub_source"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            out = extract_pubdate(html, url=url)
+            rows.append((url, out["pub_date"], out["pub_raw"], out["pub_source"]))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_jsonld_df(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per JSON-LD item (schema.org
+    block member), document order preserved via (block_idx, item_idx)."""
+    return pages.select("url", "html").mapInPandas(_jsonld_batches, schema=JSONLD_DDL)
+
+
+def jsonld_errors_df(pages: DataFrame) -> DataFrame:
+    """The audit twin: one row per damaged block / non-object item."""
+    return pages.select("url", "html").mapInPandas(_jsonld_err_batches, schema=JSONLD_ERR_DDL)
+
+
+def extract_pubdate_df(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, pub_date, pub_raw, pub_source) via
+    the frozen htmldate-style cascade (core/pubdate)."""
+    return pages.select("url", "html").mapInPandas(_pubdate_batches, schema=PUBDATE_DDL)

@@ -800,6 +800,35 @@ def main() -> int:
           ("SortMergeJoin" in p or "BroadcastHashJoin" in p)
           and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 47. JSON-LD extraction: narrow Arrow stage — the only Exchange is
+    # the keep-latest dedup window, and the UDF scan never reads text
+    df = qs["extract_jsonld"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("extract_jsonld", p))
+    check("extract_jsonld", "exactly one Exchange (dedup window), scan skips text",
+          p.count("Exchange") == 2 and (lambda ss: bool(ss) and not any(
+              re.search(r"[<,]text:", s) for s in ss
+          ))(re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
+          f"Exchange occurrences={p.count('Exchange')}")
+
+    # 48. feed frontier: the anti-join probes the crawl with a BROADCAST
+    # of the hosts-sized feed entries — never a crawl-sized shuffle
+    df = qs["feed_new_urls"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("feed_new_urls", p))
+    check("feed_new_urls", "LeftAnti via BroadcastHashJoin (feed side broadcast)",
+          "BroadcastHashJoin" in p and "LeftAnti" in p
+          and "CartesianProduct" not in p, "")
+
+    # 49. z-order key: pure codegen — zero Exchange, zero Python; the
+    # layout's single range shuffle is the WRITER's, not the key's
+    df = qs["docs_zorder"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_zorder", p))
+    check("docs_zorder", "narrow codegen pass (zero Exchange, no Python)",
+          len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
+          and "InPandas" not in p and "ArrowEvalPython" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

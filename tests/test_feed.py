@@ -1,0 +1,95 @@
+"""RSS/Atom feed ingestion (operators/feed): frozen parse-spec grid and
+the Spark stage vs the structural expected_feed fixture — the same
+equality the driver's exact oracles assert at sf0.01."""
+
+from __future__ import annotations
+
+from pyocr_spark.operators.feed import (
+    feed_entries,
+    feed_frontier,
+    parse_feed_xml,
+    parse_rfc822_datetime,
+)
+
+
+def test_rfc822_parse():
+    assert parse_rfc822_datetime("Mon, 01 Jan 2024 12:00:00 GMT") == 1704110400
+    # +0200 is the SAME instant as 10:00 UTC
+    assert parse_rfc822_datetime("Mon, 01 Jan 2024 12:00:00 +0200") == 1704103200
+    assert parse_rfc822_datetime("yesterday-ish") is None
+    assert parse_rfc822_datetime("") is None
+
+
+def test_rss_items_order_linkless_and_dates():
+    xml = (
+        '<rss version="2.0"><channel><title>t</title>'
+        "<item><title>a</title><link>https://h/1</link>"
+        "<guid>g1</guid><pubDate>Mon, 01 Jan 2024 12:00:00 GMT</pubDate></item>"
+        "<item><title>linkless</title></item>"
+        "<item><title>b</title><link> https://h/2 </link>"
+        "<pubDate>not a date</pubDate></item>"
+        "</channel></rss>"
+    )
+    got = parse_feed_xml(xml)
+    assert got == [
+        ("item", "a", "https://h/1", "g1", 1704110400),
+        ("item", "b", "https://h/2", None, None),
+    ]
+
+
+def test_atom_published_beats_updated_and_rel_links():
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><title>x</title><link rel="self" href="https://h/feed"/>'
+        '<link rel="alternate" href="https://h/1"/><id>u1</id>'
+        "<published>2024-01-01T10:00:00Z</published>"
+        "<updated>2024-01-01T11:00:00Z</updated></entry>"
+        '<entry><title>y</title><link href="https://h/2"/>'
+        "<updated>2024-01-02T00:00:00Z</updated></entry>"
+        '<entry><title>z</title><link rel="enclosure" href="https://h/a.mp3"/></entry>'
+        "</feed>"
+    )
+    got = parse_feed_xml(xml)
+    assert got == [
+        ("entry", "x", "https://h/1", "u1", 1704103200),
+        ("entry", "y", "https://h/2", None, 1704153600),
+    ]
+
+
+def test_damaged_and_foreign_documents_yield_zero_rows():
+    assert parse_feed_xml("<rss><channel><item><title>broken") == []
+    assert parse_feed_xml("<urlset><url><loc>https://h/1</loc></url></urlset>") == []
+    assert parse_feed_xml("<rss version='2.0'></rss>") == []  # no channel
+
+
+def test_spark_stage_matches_structural_fixture(spark, pages_sf0001):
+    """feed_entries over the feeds fixture == expected_feed row-for-row,
+    and feed_frontier == the pandas anti-join — mirroring the driver's
+    feed_entries / feed_new_urls oracles."""
+    import pandas as pd
+
+    feeds = spark.read.parquet(str(pages_sf0001 / "feeds.parquet"))
+    got = feed_entries(feeds).toPandas()
+    want = pd.read_parquet(pages_sf0001 / "expected_feed.parquet")
+
+    def canon(df):
+        return sorted(
+            (r.host, r.entry_idx, r.entry_type, r.title, r.link,
+             None if pd.isna(r.guid) else r.guid,
+             None if pd.isna(r.pub_epoch) else int(r.pub_epoch))
+            for r in df.itertuples()
+        )
+
+    assert canon(got) == canon(want)
+    # substrate really exercises both dialects and NULL epochs
+    assert {"item", "entry"} == set(want["entry_type"])
+    assert want["pub_epoch"].isna().any()
+
+    pages = spark.read.parquet(str(pages_sf0001 / "pages.parquet"))
+    front = feed_frontier(feeds, pages).toPandas()
+    crawled = set(pages.select("url").toPandas()["url"])
+    want_front = want[~want["link"].isin(crawled)]
+    assert sorted(front["link"]) == sorted(want_front["link"])
+    assert len(front) > 0
+    # every host with a well-formed feed announced exactly one fresh url
+    assert not front["link"].duplicated().any()

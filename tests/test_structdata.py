@@ -1,0 +1,198 @@
+"""JSON-LD extraction (core/structdata) + publication-date cascade
+(core/pubdate): frozen-semantics unit grid, damage routing, and the
+Spark stages' equality with the single-node reference on real datagen
+pages (the same equality the driver's exact oracles assert at sf0.01)."""
+
+from __future__ import annotations
+
+import json
+
+from pyocr_spark.core.pubdate import (
+    SRC_JSONLD,
+    SRC_META,
+    SRC_OG,
+    SRC_TIME,
+    SRC_URL,
+    extract_pubdate,
+)
+from pyocr_spark.core.structdata import parse_jsonld
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _page(body: str, head: str = "") -> bytes:
+    return f"<html><head>{head}</head><body>{body}</body></html>".encode()
+
+
+def _ld(block: str) -> bytes:
+    return _page(f'<script type="application/ld+json">{block}</script>')
+
+
+# ---------------------------------------------------------------- JSON-LD
+
+
+def test_single_object_block():
+    out = parse_jsonld(
+        _ld('{"@type":"Article","name":"A","datePublished":"2021-02-03"}')
+    )
+    assert out["errors"] == []
+    assert len(out["items"]) == 1
+    b, i, t, n, d, j = out["items"][0]
+    assert (b, i, t, n, d) == (0, 0, "Article", "A", "2021-02-03")
+    assert json.loads(j)["@type"] == "Article"
+
+
+def test_item_json_is_canonical():
+    a = parse_jsonld(_ld('{"name":"x","@type":"Thing"}'))["items"][0][5]
+    b = parse_jsonld(_ld('{"@type":"Thing", "name": "x"}'))["items"][0][5]
+    assert a == b == '{"@type":"Thing","name":"x"}'
+
+
+def test_graph_flattening_and_list_type():
+    out = parse_jsonld(
+        _ld(
+            '{"@graph":[{"@type":["Product","Thing"],"name":"W"},'
+            '{"@type":"BreadcrumbList"}]}'
+        )
+    )
+    assert [(i[1], i[2], i[3]) for i in out["items"]] == [
+        (0, "Product,Thing", "W"),
+        (1, "BreadcrumbList", None),
+    ]
+
+
+def test_top_level_array_and_non_object_routing():
+    out = parse_jsonld(_ld('[{"@type":"FAQPage","name":"f"},"stray",7]'))
+    assert len(out["items"]) == 1
+    assert out["errors"] == [(0, 1, "non_object"), (0, 2, "non_object")]
+
+
+def test_bad_json_routes_not_raises():
+    out = parse_jsonld(_ld('{"@type":"Article","name":"broken'))
+    assert out["items"] == []
+    assert out["errors"] == [(0, None, "bad_json")]
+
+
+def test_multiple_blocks_document_order_and_mime_filter():
+    html = _page(
+        '<script type="application/ld+json;charset=UTF-8">{"name":"first"}</script>'
+        '<script type="text/javascript">var x = {"name":"not ld"};</script>'
+        '<script type="APPLICATION/LD+JSON">{"name":"second"}</script>'
+        "<script>plain();</script>"
+    )
+    out = parse_jsonld(html)
+    assert [(i[0], i[3]) for i in out["items"]] == [(0, "first"), (1, "second")]
+
+
+def test_entities_not_decoded_inside_script():
+    # CDATA mode: &amp; stays literal inside the script, so the JSON
+    # payload is exactly what the author wrote
+    out = parse_jsonld(_ld('{"name":"a &amp; b"}'))
+    assert out["items"][0][3] == "a &amp; b"
+
+
+def test_empty_and_none_input():
+    assert parse_jsonld(b"") == {"items": [], "errors": []}
+    assert parse_jsonld(None) == {"items": [], "errors": []}
+
+
+# ---------------------------------------------------------------- pubdate
+
+
+def test_rule_order_og_beats_everything():
+    html = _page(
+        '<p><time datetime="2020-01-01"></time></p>'
+        '<script type="application/ld+json">{"datePublished":"2019-01-01"}</script>',
+        head='<meta property="article:published_time" '
+        'content="2022-05-06T07:00:00+00:00">'
+        '<meta name="date" content="2021-01-01">',
+    )
+    out = extract_pubdate(html, url="https://x.test/2018/01/02/post")
+    assert out == {
+        "pub_date": "2022-05-06",
+        "pub_raw": "2022-05-06T07:00:00+00:00",
+        "pub_source": SRC_OG,
+    }
+
+
+def test_meta_date_non_iso_keeps_raw_null_date():
+    out = extract_pubdate(_page("", head='<meta name="date" content="March 5, 2021">'))
+    assert out == {"pub_date": None, "pub_raw": "March 5, 2021", "pub_source": SRC_META}
+
+
+def test_time_element_then_jsonld_then_url():
+    t = extract_pubdate(_page('<time datetime="2023-04-05">x</time>'))
+    assert (t["pub_date"], t["pub_source"]) == ("2023-04-05", SRC_TIME)
+    j = extract_pubdate(
+        _ld('{"@type":"Article","datePublished":"2020-12-31T23:59:00Z"}')
+    )
+    assert (j["pub_date"], j["pub_raw"], j["pub_source"]) == (
+        "2020-12-31",
+        "2020-12-31T23:59:00Z",
+        SRC_JSONLD,
+    )
+    u = extract_pubdate(_page("no markers"), url="https://x.test/blog/2019/07/08/hi")
+    assert (u["pub_date"], u["pub_source"]) == ("2019-07-08", SRC_URL)
+
+
+def test_url_rule_rejects_invalid_calendar_and_query_noise():
+    assert extract_pubdate(_page(""), url="https://x.test/2019/13/08/")["pub_source"] is None
+    assert extract_pubdate(_page(""), url="https://x.test/2019/00/08/")["pub_source"] is None
+    assert extract_pubdate(_page(""), url="https://x.test/a?d=/2019/07/08/")["pub_source"] is None
+    assert (
+        extract_pubdate(_page(""), url="https://x.test/2019/07/32/")["pub_source"] is None
+    )
+
+
+def test_no_markers_all_null():
+    assert extract_pubdate(_page("plain"), url="https://x.test/doc/5") == {
+        "pub_date": None,
+        "pub_raw": None,
+        "pub_source": None,
+    }
+
+
+# ------------------------------------------------------------- Spark e2e
+
+
+def test_spark_stages_match_reference_on_datagen_pages(spark, pages_sf0001):
+    """The Arrow stages equal a pandas run of the same core functions on
+    the deduped sf0.001 pages — and the v26 substrate really exercises
+    every row kind (items, bad_json, non_object, all 4 reachable pubdate
+    sources)."""
+    import pandas as pd
+
+    from pyocr_spark.functions.structdata import (
+        extract_jsonld_df,
+        extract_pubdate_df,
+        jsonld_errors_df,
+    )
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = dedup_latest_page(read_pages(spark, str(pages_sf0001 / "pages.parquet")))
+    pdf = pages.select("url", "html").toPandas()
+
+    want_items, want_errs, want_pub = [], [], []
+    from pyocr_spark.core.pubdate import extract_pubdate as ref_pub
+    from pyocr_spark.core.structdata import parse_jsonld as ref_ld
+
+    for url, html in zip(pdf["url"], pdf["html"]):
+        out = ref_ld(bytes(html))
+        want_items += [(url, *i) for i in out["items"]]
+        want_errs += [(url, *e) for e in out["errors"]]
+        p = ref_pub(bytes(html), url=url)
+        want_pub.append((url, p["pub_date"], p["pub_raw"], p["pub_source"]))
+
+    got_items = [tuple(r) for r in extract_jsonld_df(pages).collect()]
+    got_errs = [tuple(r) for r in jsonld_errors_df(pages).collect()]
+    got_pub = [tuple(r) for r in extract_pubdate_df(pages).collect()]
+    assert sorted(got_items) == sorted(want_items)
+    assert sorted(map(repr, got_errs)) == sorted(map(repr, want_errs))
+    assert sorted(map(repr, got_pub)) == sorted(map(repr, want_pub))
+
+    # substrate coverage: every damage kind and every reachable source
+    assert {e[3] for e in want_errs} == {"bad_json", "non_object"}
+    srcs = {p[3] for p in want_pub}
+    assert {SRC_OG, SRC_META, SRC_TIME, SRC_JSONLD}.issubset(srcs)
+    assert len(want_items) > 0
