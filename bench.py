@@ -277,6 +277,21 @@ def main() -> None:
         reps=3,
     )
 
+    # JSON-LD + pubdate walls: the structured-metadata legs — same
+    # narrow Arrow shape as extract_text, different single-node parse
+    from pyocr_spark.functions.structdata import extract_jsonld_df, extract_pubdate_df
+
+    timed(
+        "extract_jsonld",
+        lambda: noop_write(extract_jsonld_df(read_pages(spark, pages_path))),
+        reps=3,
+    )
+    timed(
+        "extract_pubdate",
+        lambda: noop_write(extract_pubdate_df(read_pages(spark, pages_path))),
+        reps=3,
+    )
+
     # hybrid retrieval: BM25 leg + cosine leg + RRF fusion of ≤20 rows
     from pyocr_spark.functions.search import hybrid_topk
 
