@@ -763,6 +763,21 @@ def _q_docs_weighted_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _q_docs_temperature_mix(spark, sf_dir):
+    """Temperature-resampled language mix (operators/sampling.
+    temperature_sample, the mT5/XLM-R rule): per-language rates derived
+    from the data as n^0.5, one bounded count + one narrow filter. The
+    portable twin's cutoffs are pure integer arithmetic on
+    floor(sqrt(n)) — IEEE requires sqrt correctly rounded, so DuckDB
+    recomputes the identical cutoffs from the same table."""
+    from pyocr_spark.operators.sampling import temperature_sample
+
+    out = temperature_sample(
+        _docs(spark, sf_dir), "lang", key="doc_id", total=200, portable=True
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q_containment_dups(spark, sf_dir):
     """Shingle containment (doc-contains-doc detector, operators/dedup.py
     containment_pairs): same inverted-index plan as ngram_jaccard, score
@@ -2309,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_extract": _q_incremental_extract,
         "doc_repetition": _q_doc_repetition,
         "docs_weighted_mix": _q_docs_weighted_mix,
+        "docs_temperature_mix": _q_docs_temperature_mix,
         "containment_dups": _q_containment_dups,
         "corpus_length_stats": _q_corpus_length_stats,
         "vocab_topk": _q_vocab_topk,
@@ -3588,6 +3604,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
             "% 1000000 < CASE source WHEN 'src0' THEN 1000000 "
             "WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 ELSE 50000 END"
+        ),
+        "docs_temperature_mix": (
+            # exact replay of temperature_sample(portable=True, alpha=.5):
+            # floor(sqrt(n)) is bit-identical (IEEE correctly-rounded
+            # sqrt), then pure integer floor-div in HUGEINT mirrors the
+            # driver's Python-int arithmetic
+            "WITH g AS (SELECT COALESCE(lang, chr(0) || 'null') AS grp, "
+            "COUNT(*) AS n FROM documents GROUP BY 1), "
+            "w AS (SELECT grp, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wgt FROM g), "
+            "rates AS (SELECT grp, LEAST(CAST(1000000 AS HUGEINT), "
+            "(CAST(1000000 AS HUGEINT) * 200 * wgt) // (CAST(n AS HUGEINT) * (SELECT SUM(wgt) FROM w))) AS cutoff FROM w) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN rates r ON COALESCE(d.lang, chr(0) || 'null') = r.grp "
+            "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "% 1000000 < r.cutoff"
         ),
         "containment_dups": (
             "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w "

@@ -196,6 +196,90 @@ def fixed_size_sample(
     return df.orderBy(_sample_hash(keyed, portable), tie).limit(k)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    total: int,
+    alpha: float = 0.5,
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based group resampling (the mT5/XLM-R language-mix
+    rule): draw an expected ``total`` rows with per-group quotas
+    proportional to ``n_g ** alpha`` — ``alpha=1`` reproduces the natural
+    distribution, ``alpha -> 0`` flattens toward uniform, so low-resource
+    groups are upweighted RELATIVE to their share while high-resource
+    groups are downsampled. Unlike ``weighted_sample`` the rates are
+    DERIVED FROM THE DATA (one map-side-combined count per group), not
+    declared: quota_g = total * w_g / sum(w), rate_g = min(1, quota_g /
+    n_g), then membership is the same content-addressed hash filter as
+    ``hash_sample`` (stable across re-runs, layouts, cluster sizes).
+
+    Scale shape: one partial-aggregated ``groupBy(group).count()`` whose
+    result is group-cardinality-sized (languages/sources — hundreds, the
+    same bounded-driver-read contract as the ANN centroids), then one
+    narrow literal-map filter fused into the scan. No join, no second
+    shuffle at 10^12 rows.
+
+    ``portable=True`` is the exact-oracle twin and requires
+    ``alpha=0.5``: IEEE-754 requires sqrt (unlike pow/exp/ln) to be
+    correctly rounded, so ``floor(sqrt(n))`` is bit-identical between the
+    driver's Python and DuckDB, and every cutoff is then pure integer
+    arithmetic (floor-div, min) both engines replay exactly. Production
+    keeps arbitrary ``alpha`` via float pow and xxhash64.
+
+    NULL group values form their own group (coalesced to the same
+    sentinel used for NULL keys), so no row silently vanishes from the
+    mix accounting.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if portable and alpha != 0.5:
+        raise ValueError(
+            "portable temperature_sample supports only alpha=0.5: sqrt is "
+            "the one power IEEE 754 requires to be correctly rounded, so it "
+            "is the only exponent whose cutoffs replay bit-identically in "
+            f"SQL (got alpha={alpha})"
+        )
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    # group-cardinality-sized driver read (bounded: languages/sources)
+    counts = {
+        r["g"]: r["n"]
+        for r in df.select(grp.alias("g")).groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    import math
+
+    if portable:
+        # exact integer path: floor(correctly-rounded sqrt), then pure
+        # int floor-div — Python ints never overflow, DuckDB replays the
+        # same expression in HUGEINT
+        weights = {g: math.floor(math.sqrt(n)) for g, n in counts.items()}
+        sum_w = sum(weights.values())
+        cutoffs = {
+            g: min(BUCKETS, (BUCKETS * total * weights[g]) // (counts[g] * sum_w))
+            for g in counts
+        }
+    else:
+        weights_f = {g: float(n) ** alpha for g, n in counts.items()}
+        sum_wf = sum(weights_f.values())
+        cutoffs = {
+            g: int(round(BUCKETS * min(1.0, total * weights_f[g] / (counts[g] * sum_wf))))
+            for g in counts
+        }
+    pairs: list[Column] = []
+    for g in sorted(cutoffs):
+        pairs += [F.lit(g), F.lit(cutoffs[g])]
+    cutoff = F.create_map(*pairs)[grp]
+    keyed = _salted_key(key, salt)
+    bucket = F.pmod(_sample_hash(keyed, portable), F.lit(BUCKETS))
+    return df.filter(bucket < cutoff)
+
+
 def hash_split(
     df: DataFrame,
     fractions: dict[str, float],

@@ -893,3 +893,85 @@ def test_simhash_dups_banded_equals_brute_force(spark):
         simhash_dups(docs, bits=32, max_hamming=4, bands=4)
     with _pytest.raises(ValueError):
         simhash_dups(docs, bits=32, bands=5)
+
+
+def test_temperature_sample_portable_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from pyocr_spark.operators.sampling import BUCKETS, temperature_sample
+
+    # three groups with very different sizes: the whole point of
+    # temperature resampling is that "fr" (tiny) survives whole while
+    # "en" (huge) is cut back
+    rows = (
+        [(i, "en") for i in range(1500)]
+        + [(i + 10_000, "de") for i in range(100)]
+        + [(i + 20_000, "fr") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", total=300, portable=True)
+    got = sorted(r["doc_id"] for r in out.collect())
+
+    # exact replay: same integer cutoffs, same md5 bucket, in pure Python
+    counts = {"en": 1500, "de": 100, "fr": 4}
+    w = {g: math.floor(math.sqrt(n)) for g, n in counts.items()}
+    sw = sum(w.values())
+    cut = {g: min(BUCKETS, (BUCKETS * 300 * w[g]) // (counts[g] * sw)) for g in counts}
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % BUCKETS
+
+    want = sorted(i for i, g in rows if bucket(i) < cut[g])
+    assert got == want
+    # the tiny group's quota exceeds its size → rate capped at 1, all kept
+    assert cut["fr"] == BUCKETS
+    assert all(i in got for i in (20_000, 20_001, 20_002, 20_003))
+    # high-resource group is downsampled hardest (rate_en < rate_de < 1)
+    assert cut["en"] < cut["de"] < BUCKETS
+    # layout invariance: membership is content-addressed
+    got2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df.repartition(13), "lang", "doc_id", total=300, portable=True
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_temperature_sample_alpha_one_is_flat_rate(spark):
+    from pyocr_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i < 900 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1 → weights ∝ n → every group gets the same RATE (total/N):
+    # the natural distribution, i.e. plain hash_sample at 10%
+    out = temperature_sample(df, "lang", "doc_id", total=100, alpha=1.0)
+    from pyocr_spark.operators.sampling import hash_sample
+
+    flat = hash_sample(df, 0.1, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in flat.collect()
+    )
+
+
+def test_temperature_sample_null_group_and_validation(spark):
+    import pytest as _pytest
+
+    from pyocr_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 2 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # NULL group rows form their own group and are eligible — with a
+    # huge budget every row survives, including all NULL-lang ones
+    out = temperature_sample(df, "lang", "doc_id", total=10_000, portable=True)
+    assert out.count() == 200
+    # empty input: no groups, empty result, schema preserved
+    empty = temperature_sample(df.filter("doc_id < 0"), "lang", "doc_id", total=10)
+    assert empty.count() == 0 and empty.columns == df.columns
+    with _pytest.raises(ValueError, match="total"):
+        temperature_sample(df, "lang", "doc_id", total=-1)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "lang", "doc_id", total=10, alpha=0.0)
+    with _pytest.raises(ValueError, match="correctly rounded"):
+        temperature_sample(df, "lang", "doc_id", total=10, alpha=0.3, portable=True)
