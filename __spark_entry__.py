@@ -1241,6 +1241,83 @@ def _q_emb_quantize(spark, sf_dir):
     return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _pq_codebooks(spark, sf_dir):
+    """Train-once helper shared by the four PQ queries: the codebook is
+    cached per (session, sf_dir) so the gate does not retrain for every
+    entry (deterministic anyway — caching only saves jobs)."""
+    from pyocr_spark.operators.pq import train_pq_codebooks
+
+    cache = getattr(_pq_codebooks, "_cache", {})
+    key = (id(spark), sf_dir)
+    if key not in cache:
+        from pyocr_spark.datagen import ensure_pages
+
+        ensure_pages(sf_dir)  # the oracle reads expected_pq_*; idempotent
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cache[key] = train_pq_codebooks(emb)
+        _pq_codebooks._cache = cache
+    return cache[key]
+
+
+def _q_pq_codebook(spark, sf_dir):
+    """Product-quantization codebook (operators/pq.train_pq_codebooks):
+    deterministic fixed-point Lloyd's per subspace, all subspaces fused
+    into one distributed pass per iteration. Oracle = the independent
+    numpy twin's expected_pq_cb table (exact integer equality)."""
+    import pyspark.sql.functions as F
+
+    from pyocr_spark.operators.pq import codebook_df
+
+    cb = _pq_codebooks(spark, sf_dir)
+    return codebook_df(spark, cb).select(
+        "sub", "code", F.array_join("centroid", ",").alias("centroid_str")
+    )
+
+
+def _q_pq_codes(spark, sf_dir):
+    """PQ encoding (operators/pq.pq_encode): 64-dim float32 → 8 codes
+    (32× compression) via one vectorized pandas UDF; long form for the
+    gate. The argmin tie rule (lowest code) is frozen on every path."""
+    import pyspark.sql.functions as F
+
+    from pyocr_spark.operators.pq import pq_encode
+
+    cb = _pq_codebooks(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, cb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+def _q_pq_topk_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k (operators/pq.pq_topk_adc): the
+    m×ksub int64 LUT from query vec 0 embedded as a literal, scoring =
+    zip_with/element_at/aggregate (whole-stage codegen, M bytes read
+    per row) → TakeOrderedAndProject. Oracle replays the gather+sum in
+    SQL over expected_pq_codes × expected_pq_lut."""
+    import pyspark.sql.functions as F
+
+    from pyocr_spark.operators.pq import pq_encode, pq_topk_adc
+
+    cb = _pq_codebooks(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    codes = pq_encode(emb, cb).filter(F.col("vec_id") != 0)
+    return pq_topk_adc(codes, cb, qvec, k=10)
+
+
+def _q_pq_recon_error(spark, sf_dir):
+    """Exact int64 PQ reconstruction error per vector — the compression-
+    quality signal a 100 TB deployment monitors per shard. Oracle
+    RECOMPUTES every distance in SQL from the raw embeddings plus the
+    trained codebook table (not a stored-answer compare)."""
+    from pyocr_spark.operators.pq import pq_encode
+
+    cb = _pq_codebooks(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, cb).select("vec_id", "qerr")
+
+
 def _q_ann_topk_ivf_index(spark, sf_dir):
     """MATERIALIZED IVF index (operators/ann.build_ivf_index): assignment
     written once, partitioned by cluster; search prunes list directories.
@@ -2413,6 +2490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_index": _q_ann_topk_ivf_index,
+        "pq_codebook": _q_pq_codebook,
+        "pq_codes": _q_pq_codes,
+        "pq_topk_adc": _q_pq_topk_adc,
+        "pq_recon_error": _q_pq_recon_error,
         "emb_normalize": _q_emb_normalize,
         "emb_truncate": _q_emb_truncate,
         "emb_quantize": _q_emb_quantize,
@@ -4234,6 +4315,39 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cosine "
             "FROM embeddings, q WHERE vec_id <> 0 "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # product quantization: the fixed-point determinism contract
+        # (operators/pq docstring) makes all four oracles EXACT integer
+        # compares. codebook/codes come from the independent numpy twin;
+        # adc is a pure-SQL gather+sum over the twin's artifacts; recon
+        # error is RECOMPUTED from raw embeddings + the codebook table
+        # (list_slice is 1-based inclusive; dsub=8 for the 64-dim table)
+        "pq_codebook": (
+            f"SELECT sub, code, centroid_str FROM read_parquet('{E}/expected_pq_cb.parquet')"
+        ),
+        "pq_codes": (
+            f"SELECT vec_id, sub, code FROM read_parquet('{E}/expected_pq_codes.parquet')"
+        ),
+        "pq_topk_adc": (
+            f"WITH c AS (SELECT vec_id, sub, code FROM read_parquet('{E}/expected_pq_codes.parquet') WHERE vec_id <> 0), "
+            f"l AS (SELECT sub, code, val FROM read_parquet('{E}/expected_pq_lut.parquet')) "
+            "SELECT vec_id, CAST(sum(val) AS BIGINT) AS adc_dist "
+            "FROM c JOIN l USING (sub, code) GROUP BY vec_id "
+            "ORDER BY adc_dist, vec_id LIMIT 10"
+        ),
+        "pq_recon_error": (
+            f"WITH c AS (SELECT vec_id, sub, code FROM read_parquet('{E}/expected_pq_codes.parquet')), "
+            "x AS (SELECT c.vec_id, c.sub, c.code, "
+            "list_transform(list_slice(CAST(e.embedding AS DOUBLE[]), c.sub*8+1, c.sub*8+8), "
+            "v -> floor(v * 1000000.0 + 0.5)) AS xs "
+            "FROM c JOIN embeddings e USING (vec_id)), "
+            f"j AS (SELECT x.vec_id, list_dot_product(x.xs, x.xs) "
+            "- 2 * list_dot_product(x.xs, list_transform(cb.centroid, v -> CAST(v AS DOUBLE))) "
+            "+ list_dot_product(list_transform(cb.centroid, v -> CAST(v AS DOUBLE)), "
+            "list_transform(cb.centroid, v -> CAST(v AS DOUBLE))) AS d "
+            f"FROM x JOIN read_parquet('{E}/expected_pq_cb.parquet') cb "
+            "ON cb.sub = x.sub AND cb.code = x.code) "
+            "SELECT vec_id, CAST(sum(d) AS BIGINT) AS qerr FROM j GROUP BY vec_id"
         ),
         # vector post-processing: signatures are md5 over fixed-precision
         # renderings (array columns crash the driver's canonical sort);

@@ -1,0 +1,285 @@
+"""Product quantization (PQ) — compressed-domain ANN storage + scoring
+(Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011).
+
+IVF (operators/ann.py) prunes WHICH vectors get scored; PQ compresses
+HOW each vector is stored. The dim-D vector is split into M contiguous
+subspaces, each subspace gets its own KSUB-centroid codebook, and a
+vector is stored as M small codes — dim×4 bytes of float32 shrink to
+M bytes (64-dim → 8 bytes at M=8: 32×). At 10^9 vectors that is the
+difference between "codes fit in executor memory next to the scan" and
+"every probe re-reads full vectors from parquet".
+
+Query-time scoring is asymmetric distance computation (ADC): ONE
+M×KSUB lookup table is built from the query on the driver (tiny), and
+every row is scored by M table gathers + a sum — pure JVM higher-order
+functions (`zip_with`/`element_at`/`aggregate`) over the codes column.
+No Python executes in the scan, no shuffle: scoring is a narrow map
+feeding `TakeOrderedAndProject`.
+
+Determinism contract (the reason this file is exactly replayable by the
+DuckDB oracle): everything runs in FIXED-POINT integers. Vectors are
+quantized once as ``floor(x * 10^6 + 0.5)`` (int64); Lloyd's k-means
+accumulates per-(subspace, code, dim) SUMs as int64 — addition order
+cannot change the result — and the centroid update is exact integer
+floor-division on the driver. Squared distances, the ADC LUT, and the
+reconstruction error are all int64 (bounded by ~2^46 for unit-scale
+embeddings, far under both int64 and the 2^53 double mantissa DuckDB
+sums in), so Spark, the pure-numpy twin in datagen, and the DuckDB
+replay agree bit-for-bit. Ties in the argmin go to the LOWEST code on
+every path.
+
+Reference cost model being replaced: pyocr has no vector surface at
+all (SURVEY.md §2 scope note) — this is part of the training-data rim
+the north rule adds around extraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for the determinism contract (6 decimal places —
+#: matches the `round(x, 6)` rendering convention of the float surfaces)
+PQ_SCALE = 1_000_000
+#: default geometry for the 64-dim testdata embeddings: 8 subspaces ×
+#: 8 dims, 16 centroids each → 8-byte codes (32× vs float32)
+PQ_M = 8
+PQ_KSUB = 16
+PQ_MAX_ITER = 5
+
+
+def fixed_point(col: Column) -> Column:
+    """float array → int64 fixed-point array: floor(x*1e6 + 0.5).
+
+    `floor` (not `round`) on every engine: Spark's round() goes through
+    BigDecimal's shortest-repr of the double while DuckDB/numpy work on
+    the binary value — floor(x*S + 0.5) is the same IEEE operation
+    everywhere, including for negatives (half rounds toward +inf)."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(PQ_SCALE)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _fixed_point_np(vec) -> np.ndarray:
+    """numpy twin of fixed_point (same IEEE ops, same result)."""
+    x = np.asarray(vec, dtype="float64")
+    return np.floor(x * float(PQ_SCALE) + 0.5).astype("int64")
+
+
+def _codes_udf(cb: np.ndarray, with_err: bool):
+    """pandas UDF: fixed-point vector → M codes (+ optional int qerr).
+
+    cb is the (M, KSUB, dsub) int64 codebook tensor, broadcast in the
+    UDF closure (M*KSUB*dsub longs — a few KB). Per batch: one matmul
+    per subspace; argmin returns the FIRST minimum (lowest code) —
+    the tie rule every replay path shares."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = cb.shape
+    # ||c||^2 per (sub, code): constant across rows
+    cn2 = np.einsum("mkd,mkd->mk", cb, cb)
+
+    def _one(v):
+        """one vector → (codes list, int qerr) or (None, None)."""
+        if v is None:
+            return None, None
+        x = np.asarray(v, dtype="int64").reshape(m, dsub)
+        # d(x, c) = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant
+        # per subspace row, so argmin needs only the last two terms
+        dots = np.einsum("md,mkd->mk", x, cb)
+        part = cn2 - 2 * dots  # int64 exact
+        codes = part.argmin(axis=1)
+        xn2 = np.einsum("md,md->m", x, x)
+        qerr = int((xn2 + part[np.arange(m), codes]).sum())
+        return [int(c) for c in codes], qerr
+
+    if with_err:
+        # struct-returning scalar pandas UDF: must emit a DataFrame
+        @pandas_udf("codes array<int>, qerr bigint")
+        def enc_err(vecs: pd.Series) -> pd.DataFrame:
+            pairs = [_one(v) for v in vecs]
+            return pd.DataFrame(
+                {"codes": [p[0] for p in pairs], "qerr": [p[1] for p in pairs]}
+            )
+
+        return enc_err
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        return pd.Series([_one(v)[0] for v in vecs])
+
+    return enc
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    max_iter: int = PQ_MAX_ITER,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means per subspace, ALL subspaces fused
+    into one distributed pass per iteration.
+
+    Init = the ksub lowest-id vectors' subvectors (no RNG). Each
+    iteration runs ONE job: a pandas UDF assigns all m codes per row,
+    then a single groupBy((sub, code, dim)) aggregates int64 SUMs +
+    counts — order-independent, so the result is identical under any
+    partitioning — and only m*ksub*dsub tiny rows reach the driver,
+    where the centroid update is exact integer floor-division.
+    Empty clusters keep their previous centroid. Convergence is exact
+    integer equality (no epsilon needed).
+
+    Returns the (m, ksub, dsub) int64 codebook tensor.
+    """
+    rows = emb.filter(F.col(vec_col).isNotNull())
+    seed_rows = rows.orderBy(id_col).limit(ksub).collect()
+    if len(seed_rows) < ksub:
+        raise ValueError(
+            f"train_pq_codebooks: need >= {ksub} non-NULL vectors, got "
+            f"{len(seed_rows)}"
+        )
+    dim = len(seed_rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    bad = [r[id_col] for r in seed_rows if len(r[vec_col]) != dim]
+    if bad:
+        raise ValueError(
+            f"train_pq_codebooks: seed vectors {bad} have a different "
+            f"dimension than the min-id seed (dim={dim})"
+        )
+    cb = np.stack(
+        [_fixed_point_np(r[vec_col]).reshape(m, dsub) for r in seed_rows],
+        axis=1,
+    )  # (m, ksub, dsub) int64
+
+    v = rows.select(fixed_point(F.col(vec_col)).alias("xq"))
+    for _ in range(max_iter):
+        enc = _codes_udf(cb, with_err=False)
+        assigned = v.withColumn("codes", enc("xq"))
+        # ONE shuffle: (sub, code, dim) → int64 sum + count. dim is the
+        # WITHIN-subspace index; x position = sub*dsub + dim.
+        stats = (
+            assigned.select(
+                F.posexplode("codes").alias("sub", "code"),
+                F.col("xq"),
+            )
+            .select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        "xq", F.col("sub") * dsub + 1, dsub
+                    )
+                ).alias("d", "x"),
+            )
+            .groupBy("sub", "code", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = cb.copy()  # empty clusters keep their old centroid
+        for r in stats:
+            nxt[r["sub"], r["code"], r["d"]] = r["s"] // r["n"]
+        if (nxt == cb).all():
+            break
+        cb = nxt
+    return cb
+
+
+def pq_encode(
+    emb: DataFrame,
+    cb: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vector) → (id, codes array<int>, qerr bigint).
+
+    qerr is the exact int64 squared reconstruction error — the
+    compression-quality number a 100 TB pipeline monitors per shard
+    (rising qerr = the codebook no longer fits the data → retrain).
+    NULL vectors keep NULL codes/qerr and fall out of downstream joins.
+    """
+    enc = _codes_udf(np.asarray(cb, dtype="int64"), with_err=True)
+    v = emb.select(
+        F.col(id_col),
+        F.when(
+            F.col(vec_col).isNotNull(), fixed_point(F.col(vec_col))
+        ).alias("xq"),
+    )
+    return v.select(
+        id_col,
+        enc("xq").alias("r"),
+    ).select(
+        id_col,
+        F.col("r.codes").alias("codes"),
+        F.col("r.qerr").alias("qerr"),
+    )
+
+
+def adc_lut(cb: np.ndarray, query_vec) -> np.ndarray:
+    """(m, ksub) int64 ADC lookup table: lut[i][c] = ||q_i - cb[i][c]||²
+    in fixed-point. Driver-side, tiny, embedded as a literal column."""
+    cb = np.asarray(cb, dtype="int64")
+    m, ksub, dsub = cb.shape
+    q = _fixed_point_np(query_vec).reshape(m, 1, dsub)
+    diff = q - cb
+    return np.einsum("mkd,mkd->mk", diff, diff)
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    cb: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by asymmetric PQ distance: (id, adc_dist), ascending.
+
+    The LUT is an (m, ksub) int64 literal; the score is
+    ``aggregate(zip_with(codes, LUT, (c, row) -> row[c+1]), 0, +)`` —
+    whole-stage-codegen JVM expressions, then TakeOrderedAndProject.
+    At 10^9 rows this reads M bytes per row and shuffles only k rows.
+    """
+    lut = adc_lut(cb, query_vec)
+    lut_col = F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in row])
+            for row in lut
+        ]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_col,
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        codes_df.filter(F.col("codes").isNotNull())
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def codebook_df(spark, cb: np.ndarray) -> DataFrame:
+    """The trained codebook as a (sub, code, centroid array<long>) table
+    — the tiny sibling artifact a real deployment writes next to the
+    codes (same role as build_ivf_index's ``_centroids`` table)."""
+    cb = np.asarray(cb, dtype="int64")
+    rows = [
+        (int(s), int(c), [int(x) for x in cb[s, c]])
+        for s in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "sub int, code int, centroid array<bigint>"
+    )

@@ -829,6 +829,17 @@ def main() -> int:
           len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
           and "InPandas" not in p and "ArrowEvalPython" not in p, "")
 
+    # 50. PQ ADC top-k: scoring is JVM expressions over the codes column
+    # (one Python stage encodes; the LUT gather+sum is codegen) ending in
+    # TakeOrderedAndProject — no Exchange, no full Sort, no join
+    df = qs["pq_topk_adc"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("pq_topk_adc", p))
+    check("pq_topk_adc", "TakeOrderedAndProject, zero Exchange, no join",
+          "TakeOrderedAndProject" in p
+          and len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
+          and "Join" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

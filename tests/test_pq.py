@@ -1,0 +1,147 @@
+"""Product quantization (operators/pq): determinism contract + ADC.
+
+The load-bearing property is the fixed-point replay contract: Spark
+training/encoding must equal the independent numpy twin in datagen
+bit-for-bit, under ANY partitioning — that equality is what makes the
+DuckDB gate exact.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyocr_spark.datagen import _pq_twin_train
+from pyocr_spark.operators.pq import (
+    PQ_SCALE,
+    adc_lut,
+    codebook_df,
+    pq_encode,
+    pq_topk_adc,
+    train_pq_codebooks,
+)
+
+
+def _mk_emb(spark, n=40, dim=16, parts=1):
+    """Deterministic little embedding table: doc_id arithmetic only."""
+    rows = []
+    for i in range(n):
+        vec = [
+            round(((i * 37 + d * 11) % 97) / 97.0 - 0.5, 6) for d in range(dim)
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def _twin(n=40, dim=16, m=4, ksub=8, max_iter=5):
+    X = np.stack(
+        [
+            np.floor(
+                np.asarray(
+                    [
+                        round(((i * 37 + d * 11) % 97) / 97.0 - 0.5, 6)
+                        for d in range(dim)
+                    ],
+                    dtype="float64",
+                )
+                # float32 storage round-trip: Spark reads array<float>
+                .astype("float32")
+                .astype("float64")
+                * float(PQ_SCALE)
+                + 0.5
+            )
+            for i in range(n)
+        ]
+    ).astype("int64")
+    return _pq_twin_train(X, m, ksub, max_iter)
+
+
+def test_train_matches_numpy_twin(spark):
+    emb = _mk_emb(spark)
+    cb = train_pq_codebooks(emb, m=4, ksub=8)
+    cb_t, _, _ = _twin()
+    assert (np.asarray(cb) == cb_t).all()
+
+
+def test_codes_and_qerr_match_twin_under_any_partitioning(spark):
+    _, codes_t, qerr_t = _twin()
+    for parts in (1, 7):
+        emb = _mk_emb(spark, parts=parts)
+        cb = train_pq_codebooks(emb, m=4, ksub=8)
+        got = (
+            pq_encode(emb, cb)
+            .orderBy("vec_id")
+            .collect()
+        )
+        got_codes = np.asarray([r["codes"] for r in got])
+        got_qerr = np.asarray([r["qerr"] for r in got])
+        assert (got_codes == codes_t).all()
+        assert (got_qerr == qerr_t).all()
+
+
+def test_adc_topk_exact_gather(spark):
+    emb = _mk_emb(spark)
+    cb = train_pq_codebooks(emb, m=4, ksub=8)
+    codes = pq_encode(emb, cb)
+    qvec = [
+        round(((0 * 37 + d * 11) % 97) / 97.0 - 0.5, 6) for d in range(16)
+    ]
+    top = pq_topk_adc(codes, cb, qvec, k=5).collect()
+    # independent replay: LUT gather + sum per row over collected codes
+    # (same qvec object → same fixed-point quantization on both paths)
+    lut = adc_lut(cb, qvec)
+    all_codes = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    want = sorted(
+        (int(sum(lut[s, c] for s, c in enumerate(cs))), vid)
+        for vid, cs in all_codes.items()
+    )[:5]
+    got = [(r["adc_dist"], r["vec_id"]) for r in top]
+    assert got == want
+    # ascending, tie-broken by vec_id
+    assert got == sorted(got)
+
+
+def test_null_vectors_get_null_codes(spark):
+    emb = _mk_emb(spark).union(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    cb = train_pq_codebooks(emb, m=4, ksub=8)
+    row = pq_encode(emb, cb).filter("vec_id = 999").head()
+    assert row["codes"] is None and row["qerr"] is None
+    # and the NULL row falls out of scoring
+    assert (
+        pq_topk_adc(pq_encode(emb, cb), cb, [0.0] * 16, k=1000)
+        .filter("vec_id = 999")
+        .count()
+        == 0
+    )
+
+
+def test_dim_not_divisible_raises(spark):
+    emb = _mk_emb(spark, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=4, ksub=8)
+
+
+def test_codebook_df_shape(spark):
+    emb = _mk_emb(spark)
+    cb = train_pq_codebooks(emb, m=4, ksub=8)
+    pdf = codebook_df(spark, cb).toPandas()
+    assert len(pdf) == 4 * 8
+    assert sorted(pdf.columns) == ["centroid", "code", "sub"]
+    assert all(len(c) == 4 for c in pdf["centroid"])
+
+
+def test_fixed_point_half_rule(spark):
+    # floor(x*S + 0.5): +0.0000005 → 1, -0.0000005 → 0 (half toward +inf)
+    from pyspark.sql import functions as F
+
+    from pyocr_spark.operators.pq import fixed_point
+
+    df = spark.createDataFrame(
+        [([0.0000005, -0.0000005, 0.25, -0.25],)], "v array<double>"
+    )
+    got = df.select(fixed_point(F.col("v")).alias("q")).head()["q"]
+    assert got == [1, 0, 250000, -250000]
