@@ -1433,6 +1433,26 @@ def _q_docs_token_budget(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "taken_before")
 
 
+def _q_docs_shard_assign(spark, sf_dir):
+    """Balanced training-shard assignment (operators/sharding): snake
+    round-robin over (n_tokens DESC, doc_id) — token-balanced shards a
+    hash split can't give on heavy-tailed web docs. The global rank is
+    assembled from size-stratum windows + a broadcast offset table (no
+    single-partition sort); the oracle replays the equivalent ONE-window
+    form, which is exactly the equivalence the gate checks."""
+    from pyocr_spark.operators.sharding import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir), n_shards=4)
+
+
+def _q_docs_shard_manifest(spark, sf_dir):
+    """Per-shard balance report: (shard, n_docs, total_tokens) — the
+    number a training-pipeline owner watches per corpus build."""
+    from pyocr_spark.operators.sharding import shard_assign, shard_manifest
+
+    return shard_manifest(shard_assign(_docs(spark, sf_dir), n_shards=4))
+
+
 def _q_doc_hybrid_search(spark, sf_dir):
     """Hybrid lexical+semantic retrieval (functions/search.hybrid_topk):
     BM25 top-10 and exact-cosine top-10 fused by reciprocal-rank fusion
@@ -2415,6 +2435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_index_update": _q_doc_bm25_index_update,
         "doc_hybrid_search": _q_doc_hybrid_search,
         "docs_token_budget": _q_docs_token_budget,
+        "docs_shard_assign": _q_docs_shard_assign,
+        "docs_shard_manifest": _q_docs_shard_manifest,
         "doc_lexical_stats": _q_doc_lexical_stats,
         "doc_script_mix": _q_doc_script_mix,
         "docs_theta_pairs": _q_docs_theta_pairs,
@@ -3804,6 +3826,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, "
             "CASE WHEN n_tokens > 0 THEN CAST(floor(1000000.0 * (206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences) "
             "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))) AS BIGINT) END AS flesch_micro FROM b"
+        ),
+        # shard balancing: the oracle is the ONE-window form the two-
+        # phase stratum plan must equal by construction; snake fold =
+        # pos on even rounds, mirrored on odd rounds (// is DuckDB
+        # integer division)
+        "docs_shard_assign": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(coalesce(len(list_filter(string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+            "x -> x != '')), 0) AS BIGINT) AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r FROM t) "
+            "SELECT doc_id, n_tokens, CAST(CASE WHEN (r // 4) % 2 = 0 "
+            "THEN r % 4 ELSE 3 - (r % 4) END AS INT) AS shard FROM r"
+        ),
+        "docs_shard_manifest": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(coalesce(len(list_filter(string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+            "x -> x != '')), 0) AS BIGINT) AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r FROM t), "
+            "a AS (SELECT n_tokens, CAST(CASE WHEN (r // 4) % 2 = 0 "
+            "THEN r % 4 ELSE 3 - (r % 4) END AS INT) AS shard FROM r) "
+            "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM a GROUP BY shard"
         ),
         "docs_token_budget": (
             "WITH d AS (SELECT doc_id, lang, "

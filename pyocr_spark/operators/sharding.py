@@ -1,0 +1,108 @@
+"""Balanced training-shard assignment — size-aware, no global sort task.
+
+A training run reads the corpus as N shard files in parallel; if one
+shard carries 2× the tokens, every epoch waits on it. Hash splits
+(operators/sampling.hash_split) balance DOCUMENT counts but not token
+counts — web documents are heavy-tailed, so a hash shard that catches a
+few giants runs long. This operator assigns documents to shards by
+SNAKE (boustrophedon) round-robin over the size-descending order — the
+classic LPT-flavored folding: round r hands shard k the k-th largest
+document of the round, with direction alternating each round so the
+shard that got the round's largest gets the next round's smallest.
+
+Frozen semantics:
+
+- token count = the engine-wide whitespace tokenization
+  (functions/text_stats.ws_tokens, empty tokens dropped); NULL text
+  counts 0 tokens and still occupies a slot (every doc ships).
+- order = (n_tokens DESC, id ASC) — fully deterministic.
+- rank r (0-based) → round = r // n_shards, pos = r % n_shards;
+  shard = pos on even rounds, (n_shards-1-pos) on odd rounds.
+
+Scale shape (why this is NOT ``row_number() OVER (ORDER BY …)``): an
+unpartitioned window sorts the entire corpus in ONE task. Instead the
+rank is assembled from a size-stratum two-phase plan — the same trick
+as operators/tokenbudget.py, with the stratum chosen so it LEADS the
+frozen order: stratum = n_tokens // width (floor is monotone, so
+stratum-desc order is a prefix-preserving coarsening of tokens-desc
+order). (1) within-stratum row_number over (tokens DESC, id) — sort
+partitions are width-bounded slices, not the corpus; (2) per-stratum
+counts get a running offset (strata rows — tiny, broadcast back);
+(3) rank = offset + within-stratum rank. Identical to the one-window
+form by construction; the DuckDB oracle replays it AS the one-window
+form, which is the equivalence the gate checks.
+
+Stratum width is a knob: at 100 TB pick it so the heaviest stratum
+(short documents pile up at low token counts) still sorts comfortably
+per task — or pre-split hot strata by a secondary hash the way
+tokenbudget buckets do. The imbalance the snake achieves is reported by
+``shard_manifest`` — the number a pipeline owner actually watches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_width: int = 64,
+) -> DataFrame:
+    """(docs…) → (id, n_tokens, shard) — every input doc exactly once.
+
+    shard ∈ [0, n_shards): snake round-robin over (n_tokens DESC, id).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if stratum_width < 1:
+        raise ValueError(f"stratum_width must be >= 1, got {stratum_width}")
+    ntok = F.coalesce(
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))),
+        F.lit(0),
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+    ).withColumn("_s", (F.col("n_tokens") / stratum_width).cast("long"))
+    # (1) within-stratum 0-based rank; stratum slices sort independently
+    w_in = Window.partitionBy("_s").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    base = base.withColumn("_r_in", F.row_number().over(w_in) - 1)
+    # (2) per-stratum counts → running offset over HIGHER strata
+    # (strata rows — tiny at any corpus size, broadcast back)
+    w_off = (
+        Window.orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_s")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_s", "_off")
+    )
+    ranked = base.join(F.broadcast(offsets), "_s")
+    r = F.col("_off") + F.col("_r_in")
+    n = F.lit(n_shards)
+    rnd, pos = (r / n).cast("long"), F.pmod(r, n)
+    shard = F.when(rnd % 2 == 0, pos).otherwise(n - 1 - pos)
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        shard.cast("int").alias("shard"),
+    )
+
+
+def shard_manifest(assigned: DataFrame) -> DataFrame:
+    """Per-shard totals: (shard, n_docs, total_tokens) — the balance
+    report. One partial-agg shuffle of n_shards rows."""
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -1,0 +1,75 @@
+"""Balanced shard assignment (operators/sharding): the two-phase
+stratum plan must equal the one-window form exactly, under any
+partitioning and any stratum width — that equivalence IS the oracle."""
+
+import pytest
+
+from pyocr_spark.operators.sharding import shard_assign, shard_manifest
+
+N = 61
+
+
+def _tokens(i):
+    # heavy tail: every 17th doc is a giant (the imbalance hash splits
+    # can't fix); doc 60 is the NULL-text row (0 tokens, still ships)
+    if i == 60:
+        return 0
+    return ((i * 13) % 50) + 1 + (400 if i % 17 == 0 else 0)
+
+
+def _docs(spark, parts=1):
+    rows = [
+        (i, None if i == 60 else " ".join(["tok"] * _tokens(i)))
+        for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def _twin(n_shards):
+    """Independent replay: one sort, snake round-robin."""
+    order = sorted(range(N), key=lambda i: (-_tokens(i), i))
+    out = {}
+    for r, i in enumerate(order):
+        rnd, pos = divmod(r, n_shards)
+        out[i] = pos if rnd % 2 == 0 else n_shards - 1 - pos
+    return out
+
+
+def test_matches_twin_any_partitioning_any_width(spark):
+    want = _twin(4)
+    for parts, width in ((1, 64), (7, 64), (7, 1), (3, 10_000)):
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in shard_assign(
+                _docs(spark, parts), n_shards=4, stratum_width=width
+            ).collect()
+        }
+        assert got == want, (parts, width)
+
+
+def test_every_doc_exactly_once_in_range(spark):
+    rows = shard_assign(_docs(spark), n_shards=5).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(N))
+    assert all(0 <= r["shard"] < 5 for r in rows)
+    null_row = [r for r in rows if r["doc_id"] == 60][0]
+    assert null_row["n_tokens"] == 0
+
+
+def test_snake_balances_heavy_tail(spark):
+    m = {
+        r["shard"]: r["total_tokens"]
+        for r in shard_manifest(shard_assign(_docs(spark), n_shards=4)).collect()
+    }
+    assert len(m) == 4
+    assert sum(m.values()) == sum(_tokens(i) for i in range(N))
+    # snake bound on this deterministic corpus: spread under the largest
+    # document (a plain hash split leaves the giants wherever they land)
+    assert max(m.values()) - min(m.values()) <= max(_tokens(i) for i in range(N))
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assign(_docs(spark), n_shards=0)
+    with pytest.raises(ValueError, match="stratum_width"):
+        shard_assign(_docs(spark), n_shards=2, stratum_width=0)
