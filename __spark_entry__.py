@@ -1318,6 +1318,24 @@ def _q_pq_recon_error(spark, sf_dir):
     return pq_encode(emb, cb).select("vec_id", "qerr")
 
 
+def _q_pq_topk_ivfpq(spark, sf_dir):
+    """MATERIALIZED IVF-PQ index (operators/pq.build_ivfpq_index):
+    id+codes parquet partitioned by IVF cluster (the FAISS IVFADC
+    layout, raw-vector codes for the exact replay contract). Full probe
+    ≡ flat ADC, so build→write→probe→score rides pq_topk_adc's exact
+    SQL oracle; partial-probe pruning is plan-asserted in tests."""
+    import os
+
+    from pyocr_spark.datagen import DATA_ROOT
+    from pyocr_spark.operators.pq import build_ivfpq_index, search_ivfpq_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    path = str(DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-ivfpq-index"))
+    build_ivfpq_index(emb, path, nlist=8)
+    return search_ivfpq_index(spark, path, qvec, k=10, nprobe=8, exclude_id=0)
+
+
 def _q_ann_topk_ivf_index(spark, sf_dir):
     """MATERIALIZED IVF index (operators/ann.build_ivf_index): assignment
     written once, partitioned by cluster; search prunes list directories.
@@ -2515,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codebook": _q_pq_codebook,
         "pq_codes": _q_pq_codes,
         "pq_topk_adc": _q_pq_topk_adc,
+        "pq_topk_ivfpq": _q_pq_topk_ivfpq,
         "pq_recon_error": _q_pq_recon_error,
         "emb_normalize": _q_emb_normalize,
         "emb_truncate": _q_emb_truncate,
@@ -4377,6 +4396,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, sub, code FROM read_parquet('{E}/expected_pq_codes.parquet')"
         ),
         "pq_topk_adc": (
+            f"WITH c AS (SELECT vec_id, sub, code FROM read_parquet('{E}/expected_pq_codes.parquet') WHERE vec_id <> 0), "
+            f"l AS (SELECT sub, code, val FROM read_parquet('{E}/expected_pq_lut.parquet')) "
+            "SELECT vec_id, CAST(sum(val) AS BIGINT) AS adc_dist "
+            "FROM c JOIN l USING (sub, code) GROUP BY vec_id "
+            "ORDER BY adc_dist, vec_id LIMIT 10"
+        ),
+        # IVF-PQ full probe ≡ flat ADC (raw-vector codes), so the
+        # materialized index rides the identical replay
+        "pq_topk_ivfpq": (
             f"WITH c AS (SELECT vec_id, sub, code FROM read_parquet('{E}/expected_pq_codes.parquet') WHERE vec_id <> 0), "
             f"l AS (SELECT sub, code, val FROM read_parquet('{E}/expected_pq_lut.parquet')) "
             "SELECT vec_id, CAST(sum(val) AS BIGINT) AS adc_dist "

@@ -270,6 +270,98 @@ def pq_topk_adc(
     )
 
 
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Materialize an IVF-PQ index — the canonical billion-scale ANN
+    layout (FAISS IVFADC, Jégou et al. 2011 §V): the IVF coarse
+    quantizer decides WHICH rows a query reads (codes parquet
+    partitioned by cluster → probing = partition pruning at file
+    listing), PQ decides how little each row costs (id + M bytes of
+    codes — the full vector is NOT stored in the index).
+
+    Divergence from the classic recipe, on purpose: codes encode the
+    RAW vector, not the residual (x − centroid). Residual encoding
+    sharpens recall but runs through the float centroid, which would
+    break the integer replay contract that makes this engine's ADC
+    exactly oracle-checkable; with raw-vector codes, a full probe is
+    IDENTICAL to flat ADC (pq_topk_adc) — that equality is the gate.
+
+    Writes ``<path>`` (id, codes, partitioned by cluster),
+    ``<path>_centroids`` (nlist rows) and ``<path>_codebook``
+    (m×ksub rows). Returns (centroids, codebook tensor).
+    """
+    from pyocr_spark.operators.ann import _assign_clusters, train_ivf_centroids
+
+    cents = train_ivf_centroids(
+        emb, nlist=nlist, vec_col=vec_col, id_col=id_col
+    )
+    cb = train_pq_codebooks(emb, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col)
+    v = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        fixed_point(F.col(vec_col)).alias("xq"),
+    )
+    enc = _codes_udf(np.asarray(cb, dtype="int64"), with_err=False)
+    coded = _assign_clusters(v, np.asarray(cents, dtype="float64")).select(
+        F.col(id_col), enc("xq").alias("codes"), "cluster"
+    )
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}_centroids")
+    codebook_df(spark, cb).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}_codebook"
+    )
+    return cents, cb
+
+
+def read_codebook(spark, path: str) -> np.ndarray:
+    """``<path>_codebook`` parquet → the (m, ksub, dsub) int64 tensor."""
+    rows = spark.read.parquet(f"{path}_codebook").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    ksub = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    cb = np.zeros((m, ksub, dsub), dtype="int64")
+    for r in rows:
+        cb[r["sub"], r["code"]] = r["centroid"]
+    return cb
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k ADC over a materialized IVF-PQ index: rank the nlist
+    centroids driver-side (operators/ann._rank_probes — THE shared
+    probe ranking), scan only the nprobe cluster directories, score
+    codes via the JVM-side LUT gather. nprobe=nlist ≡ flat ADC."""
+    from pyocr_spark.operators.ann import _rank_probes
+
+    cents = spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
+    cmat = np.asarray([r["centroid"] for r in cents], dtype="float64")
+    ranked = _rank_probes(cmat, query_vec, nprobe)
+    probe = [int(cents[i]["cluster"]) for i in ranked]
+    cb = read_codebook(spark, path)
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    return pq_topk_adc(idx, cb, query_vec, k=k, id_col=id_col)
+
+
 def codebook_df(spark, cb: np.ndarray) -> DataFrame:
     """The trained codebook as a (sub, code, centroid array<long>) table
     — the tiny sibling artifact a real deployment writes next to the

@@ -145,3 +145,39 @@ def test_fixed_point_half_rule(spark):
     )
     got = df.select(fixed_point(F.col("v")).alias("q")).head()["q"]
     assert got == [1, 0, 250000, -250000]
+
+
+def test_ivfpq_index_full_probe_equals_flat_adc(spark, tmp_path):
+    from pyocr_spark.operators.pq import build_ivfpq_index, search_ivfpq_index
+
+    emb = _mk_emb(spark)
+    path = str(tmp_path / "ivfpq")
+    cents, cb = build_ivfpq_index(emb, path, nlist=4, m=4, ksub=8)
+    qvec = [
+        round(((5 * 37 + d * 11) % 97) / 97.0 - 0.5, 6) for d in range(16)
+    ]
+    full = search_ivfpq_index(spark, path, qvec, k=10, nprobe=4).collect()
+    flat = pq_topk_adc(pq_encode(emb, cb), cb, qvec, k=10).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in full] == [
+        (r["vec_id"], r["adc_dist"]) for r in flat
+    ]
+    # the index stores ONLY id + codes (+ the partition column):
+    # M bytes per row, never the vector
+    idx_cols = sorted(spark.read.parquet(path).columns)
+    assert idx_cols == ["cluster", "codes", "vec_id"]
+
+
+def test_ivfpq_partial_probe_prunes_partitions(spark, tmp_path):
+    from pyocr_spark.operators.pq import build_ivfpq_index, search_ivfpq_index
+
+    emb = _mk_emb(spark)
+    path = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(emb, path, nlist=4, m=4, ksub=8)
+    qvec = [0.1] * 16
+    df = search_ivfpq_index(spark, path, qvec, k=3, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters" in plan
+        and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    )
+    assert 0 < df.count() <= 3
