@@ -1538,6 +1538,16 @@ def _q_simhash_docs(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_docs_cosine_tf(spark, sf_dir):
+    """Sparse TF-cosine all-pairs (operators/sparsesim.cosine_tf_pairs):
+    inverted-index join with a deterministic docfreq cap (the exact-
+    replay stand-in for DIMSUM's magnitude sampling); integer micro
+    scores via correctly-rounded IEEE ops shared with the oracle."""
+    from pyocr_spark.operators.sparsesim import cosine_tf_pairs
+
+    return cosine_tf_pairs(_docs(spark, sf_dir), threshold_micro=300_000)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from pyocr_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2541,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "docs_cosine_tf": _q_docs_cosine_tf,
         "extract_pdf": _q_extract_pdf,
         "dup_components": _q_dup_components,
         "docs_neardup_pruned": _q_docs_neardup_pruned,
@@ -4545,6 +4556,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
+        ),
+        # sparse TF-cosine: int64 dot/ssq, then floor(1e6·dot/(√l·√r)) —
+        # sqrt/mul/div/floor are correctly-rounded IEEE doubles, so the
+        # identical expression shape is engine-exact (cap semantics: the
+        # >100-df band leaves the UNIVERSE — dots AND norms)
+        "docs_cosine_tf": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), x -> x != '')) AS t FROM documents), "
+            "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), "
+            "rare AS (SELECT t FROM tf GROUP BY t HAVING count(*) <= 100), "
+            "inv AS (SELECT tf.* FROM tf JOIN rare USING (t)), "
+            "norms AS (SELECT doc_id, sum(tf*tf) AS ssq FROM inv GROUP BY 1), "
+            "dots AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, "
+            "sum(l.tf*r.tf) AS dot FROM inv l JOIN inv r "
+            "ON l.t = r.t AND l.doc_id < r.doc_id GROUP BY 1, 2), "
+            "scored AS (SELECT left_id, right_id, "
+            "CAST(floor((1000000.0 * CAST(dot AS DOUBLE)) / "
+            "(sqrt(CAST(ln.ssq AS DOUBLE)) * sqrt(CAST(rn.ssq AS DOUBLE)))) AS BIGINT) AS cos_micro "
+            "FROM dots JOIN norms ln ON ln.doc_id = left_id "
+            "JOIN norms rn ON rn.doc_id = right_id) "
+            "SELECT left_id, right_id, cos_micro FROM scored WHERE cos_micro >= 300000"
         ),
         "ngram_jaccard": (
             "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), "

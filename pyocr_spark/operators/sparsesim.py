@@ -1,0 +1,115 @@
+"""Sparse cosine all-pairs similarity join over term-frequency vectors.
+
+The third member of the pair-similarity family: Jaccard/containment
+(operators/dedup._shingle_pair_counts) compare token SETS, embedding
+cosine (dedup.embedding_cosine_pairs) compares DENSE model vectors —
+this compares the sparse TF vectors themselves, the model-free weighted
+similarity that catches "same article, different boilerplate ratio"
+pairs a set measure flattens and a dense embedding needs a model for.
+
+Shape = the inverted-index join: only documents SHARING a term can have
+a nonzero dot product, so candidates form per term posting list and the
+dot product accumulates as one partial-agg sum of tf_l*tf_r — never an
+all-pairs product. The blowup control is the deterministic docfreq cap:
+a term in >max_docfreq documents is dropped from the UNIVERSE (dot
+products AND norms — the score stays self-consistent over the capped
+vocabulary). This is the determinism-preserving stand-in for DIMSUM's
+probabilistic magnitude sampling (Zadeh & Goel 2013, computed inside
+Spark's own RowMatrix.columnSimilarities): DIMSUM keeps high-magnitude
+coordinates with probability ∝ 1/(norm product) — great expected
+bounds, but randomized output has no exact oracle; the df cap bounds
+the same quadratic term (posting lists ≤ max_docfreq → candidate rows
+≤ Σ df² ≤ max_docfreq · Σ df) and is exactly replayable. The dropped
+mass is the stop-word band, which TF-IDF would down-weight anyway.
+
+Scores are integer micro-units: cos_micro = floor(1e6·dot/(‖l‖·‖r‖)).
+dot and the squared norms are int64 (exact, order-independent); sqrt,
+multiply, divide and floor are all correctly-rounded IEEE doubles, so
+Spark and DuckDB agree bit-for-bit when the expression shape matches —
+which the oracle keeps identical term by term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+
+def cosine_tf_pairs(
+    df: DataFrame,
+    threshold_micro: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docfreq: int = 100,
+) -> DataFrame:
+    """(docs…) → (left_id, right_id, cos_micro) for every pair with
+    cosine ≥ threshold_micro/1e6 over the df-capped TF vocabulary;
+    left_id < right_id. NULL/empty text has no terms and pairs with
+    nothing."""
+    if not 0 < threshold_micro <= 1_000_000:
+        raise ValueError(
+            f"threshold_micro must be in (0, 1e6], got {threshold_micro}"
+        )
+    if max_docfreq < 2:
+        raise ValueError(f"max_docfreq must be >= 2, got {max_docfreq}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+        ).alias("t"),
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    rare = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_docfreq)
+        .select("t")
+    )
+    # Materialize the capped index before norms + self-join (the
+    # ngram_jaccard pattern: both sides would re-tokenize the corpus).
+    # Cache lifecycle: held by CacheManager until unpersist()/session
+    # end — the returned plan references it lazily, so it cannot be
+    # released here; at cluster scale this is the inverted-index TABLE,
+    # written once and self-joined.
+    inv = tf.join(rare, "t").persist()
+    norms = inv.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
+    l, r = inv.alias("l"), inv.alias("r")
+    dots = (
+        l.join(
+            r,
+            on=[
+                F.col("l.t") == F.col("r.t"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .agg(F.sum(F.col("l.tf") * F.col("r.tf")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col(id_col).alias("left_id"), F.col("ssq").alias("lssq")),
+            "left_id",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("right_id"), F.col("ssq").alias("rssq")),
+            "right_id",
+        )
+        .withColumn(
+            "cos_micro",
+            F.floor(
+                (F.lit(1_000_000.0) * F.col("dot").cast("double"))
+                / (
+                    F.sqrt(F.col("lssq").cast("double"))
+                    * F.sqrt(F.col("rssq").cast("double"))
+                )
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_micro") >= threshold_micro).select(
+        "left_id", "right_id", "cos_micro"
+    )

@@ -1,0 +1,76 @@
+"""Sparse TF-cosine pairs (operators/sparsesim): exact scores vs an
+independent Python model, cap semantics, ordering/NULL rules."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from pyocr_spark.operators.sparsesim import cosine_tf_pairs
+
+DOCS = [
+    (0, "alpha beta gamma alpha"),
+    (1, "alpha beta gamma alpha"),          # exact dup of 0
+    (2, "alpha beta gamma delta"),           # near 0/1
+    (3, "epsilon zeta eta theta"),           # disjoint
+    (4, "alpha alpha alpha alpha"),          # heavy single term
+    (5, None),                               # NULL text
+    (6, ""),                                 # empty text
+]
+
+
+def _twin(threshold_micro, max_docfreq):
+    tf = {i: Counter(t.split()) for i, t in DOCS if t}
+    df = Counter(w for c in tf.values() for w in c)
+    keep = {w for w, n in df.items() if n <= max_docfreq}
+    tf = {i: Counter({w: n for w, n in c.items() if w in keep}) for i, c in tf.items()}
+    out = {}
+    ids = sorted(tf)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            dot = sum(tf[a][w] * tf[b][w] for w in tf[a])
+            if not dot:
+                continue
+            na = math.sqrt(float(sum(v * v for v in tf[a].values())))
+            nb = math.sqrt(float(sum(v * v for v in tf[b].values())))
+            cm = math.floor(1_000_000.0 * dot / (na * nb))
+            if cm >= threshold_micro:
+                out[(a, b)] = cm
+    return out
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_matches_python_model(spark, parts):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").repartition(parts)
+    got = {
+        (r["left_id"], r["right_id"]): r["cos_micro"]
+        for r in cosine_tf_pairs(df, threshold_micro=100_000).collect()
+    }
+    assert got == _twin(100_000, 100)
+    # the exact dup scores a hair under 1e6 only through float floor;
+    # dot==ssq here so it is exactly 1e6
+    assert got[(0, 1)] == 1_000_000
+    # disjoint doc 3 and empty/NULL docs pair with nothing
+    flat = {i for p in got for i in p}
+    assert 3 not in flat and 5 not in flat and 6 not in flat
+
+
+def test_docfreq_cap_changes_universe(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # alpha appears in 4 docs; cap at 3 removes it from vectors AND norms
+    got = {
+        (r["left_id"], r["right_id"]): r["cos_micro"]
+        for r in cosine_tf_pairs(df, threshold_micro=100_000, max_docfreq=3).collect()
+    }
+    assert got == _twin(100_000, 3)
+    # doc 4 was alpha-only: with alpha capped out it pairs with nothing
+    assert not any(4 in p for p in got)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold_micro"):
+        cosine_tf_pairs(df, threshold_micro=0)
+    with pytest.raises(ValueError, match="max_docfreq"):
+        cosine_tf_pairs(df, max_docfreq=1)
