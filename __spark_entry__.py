@@ -2145,6 +2145,38 @@ def _q_docs_nll_tiers(spark, sf_dir):
     return nll_quality_tiers(_docs(spark, sf_dir))
 
 
+def _unigram_trained(spark, sf_dir):
+    """Train-once cache for the two unigram queries (deterministic —
+    caching only saves the EM jobs, mirroring _pq_codebooks)."""
+    from pyocr_spark.operators.unigram import train_unigram
+
+    cache = getattr(_unigram_trained, "_cache", {})
+    key = (id(spark), sf_dir)
+    if key not in cache:
+        cache[key] = train_unigram(_docs(spark, sf_dir))
+        _unigram_trained._cache = cache
+    return cache[key]
+
+
+def _q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer training (operators/unigram.train_unigram,
+    Kudo 2018 / the SentencePiece default, hard-EM in integer micros):
+    seed substrings via nested HOFs + TakeOrdered cap, EM passes over
+    DISTINCT WORDS only. Oracle = the independent pure-Python twin
+    (datagen.build_unigram_expected), exact integer equality."""
+    vocab, _ = _unigram_trained(spark, sf_dir)
+    return vocab
+
+
+def _q_unigram_encoded(spark, sf_dir):
+    """Per-doc piece counts under the learned unigram vocabulary — the
+    third rung of the budget ladder (whitespace → BPE → unigram-LM)."""
+    from pyocr_spark.operators.unigram import unigram_encode_counts
+
+    _, lp = _unigram_trained(spark, sf_dir)
+    return unigram_encode_counts(_docs(spark, sf_dir), lp)
+
+
 def _q_corpus_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (operators/bpe.learn_bpe_merges):
     the tokenizer-training core — 30 merge rules from the corpus
@@ -2458,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_nll": _q_doc_bigram_nll,
         "docs_nll_tiers": _q_docs_nll_tiers,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
+        "unigram_vocab": _q_unigram_vocab,
+        "unigram_encoded": _q_unigram_encoded,
         "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_bm25_index": _q_doc_bm25_index,
         "doc_bm25_index_update": _q_doc_bm25_index_update,
@@ -3930,6 +3964,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_encode": (
             "SELECT doc_id, n_tokens, n_bpe_tokens "
             f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
+        ),
+        # unigram-LM tokenizer (Kudo 2018): expected tables from the
+        # independent pure-Python hard-EM twin in datagen — integer
+        # micro scores, so equality is exact
+        "unigram_vocab": (
+            "SELECT piece, count, lp_micro "
+            f"FROM read_parquet('{E}/expected_unigram_vocab.parquet')"
+        ),
+        "unigram_encoded": (
+            "SELECT doc_id, n_pieces "
+            f"FROM read_parquet('{E}/expected_unigram_encoded.parquet')"
         ),
         "doc_unigram_nll": _UNIGRAM_NLL_SQL,
         "doc_bigram_nll": (

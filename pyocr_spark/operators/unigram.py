@@ -1,0 +1,264 @@
+"""Unigram-LM subword tokenizer training (Kudo 2018, the SentencePiece
+default), distributed, beside BPE (operators/bpe.py).
+
+BPE grows a vocabulary bottom-up by merging; the unigram LM starts from
+a LARGE seed vocabulary and shrinks it with EM — the other major
+subword-tokenizer family, and the one SentencePiece ships as default.
+pyocr has no tokenizer surface (SURVEY.md §2.7); like BPE this is an
+engine addition in the §2.8 text-analysis family.
+
+Same tractability trick as BPE: everything derives from the corpus
+WORD-FREQUENCY table — 10^12 documents collapse to ~10^8 distinct words
+with counts, and every EM statistic is exact over that table, weighted
+by word count. Shapes:
+
+  * seed substring counts: per-word substring explosion is a pure HOF
+    (nested ``transform`` over start/length — JVM-side, narrow) +
+    ONE partial-agg aggregate; the seed CAP is orderBy+limit →
+    TakeOrderedAndProject (per-partition heaps, seed_size rows reach
+    the driver — the k-means-centroid precedent, never a table collect)
+  * each EM iteration: ONE vectorized pandas-UDF pass over DISTINCT
+    WORDS (Viterbi per word — string-local, no cross-row state) +
+    ONE int aggregate of piece counts (≤ seed_size rows to the driver).
+    EM cost scales with the vocabulary of the corpus, not the corpus.
+  * the piece table itself is driver-tiny BY DESIGN (seed_size ≈ 10^4
+    even for production vocabularies) and rides UDF closures the way
+    IVF centroids and the ADC LUT do.
+
+Determinism contract (exact-oracle gate, the integer-EM cousin of
+operators/pq's fixed-point k-means):
+
+  * hard (Viterbi) EM, not forward-backward: expected counts are the
+    piece counts along each word's BEST segmentation × wcount — pure
+    int64, order-independent sums.
+  * piece scores are integer micros: lp = floor(1e6 · ln(count/total)),
+    computed ONLY on the driver (executors compare ints; the pure-
+    Python twin calls the same CPython ``math.log``).
+  * Viterbi tie rule: scan split points ascending, accept only STRICTLY
+    better — the earliest split (longest last piece) wins ties.
+  * seed/prune selection: (count DESC, piece ASC) — a total order;
+    Spark's UTF-8 byte order and Python's code-point order agree.
+  * every single character seen in the corpus is force-kept through
+    seeding AND pruning (coverage guarantee: corpus words always
+    segment without UNK); when scores are computed, single-char counts
+    floor at 1 so ln is defined.
+  * characters outside the vocabulary (encode-time only) cost one UNK
+    piece at ``UNK_LP_MICRO`` per character.
+
+Frozen defaults: max_piece_len=4, min_count=2, seed_size=2000,
+vocab_size=500, em_iters=2, UNK_LP_MICRO=-20_000_000.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.bpe import word_freq_table
+
+UNK_LP_MICRO = -20_000_000
+
+#: vocab-table schema, frozen for the oracle gate
+VOCAB_SCHEMA = "piece string, count bigint, lp_micro bigint"
+
+
+def viterbi_pieces(word: str, lp: dict, max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under integer piece scores.
+
+    dp over end positions; split points scanned ASCENDING with a
+    strictly-greater accept, so the earliest split (longest last piece)
+    wins ties. Unknown single characters fall back to one UNK piece at
+    UNK_LP_MICRO (the character itself is emitted so counts stay
+    per-surface-form). Pure ints throughout."""
+    n = len(word)
+    dp = [0] + [None] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        bestj = -1
+        for j in range(max(0, i - max_len), i):
+            if dp[j] is None:
+                continue
+            s = lp.get(word[j:i])
+            if s is None:
+                if i - j != 1:
+                    continue
+                s = UNK_LP_MICRO
+            cand = dp[j] + s
+            if best is None or cand > best:
+                best, bestj = cand, j
+        dp[i] = best
+        back[i] = bestj
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _scores(counts: dict) -> dict:
+    """counts → integer micro log-probs; single-char counts floor at 1
+    so ln is defined (the frozen smoothing rule). Driver-only."""
+    eff = {p: (max(c, 1) if len(p) == 1 else c) for p, c in counts.items()}
+    total = sum(eff.values())
+    return {
+        p: math.floor(1_000_000.0 * math.log(c / total))
+        for p, c in eff.items()
+        if c > 0
+    }
+
+
+def _substring_counts(words: DataFrame, max_len: int) -> DataFrame:
+    """(word, wcount) → (piece, count): every substring occurrence of
+    length ≤ max_len, weighted by wcount. Nested HOF transforms —
+    JVM-side, narrow — then one partial-agg aggregate."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length("word") - s + 1),
+                ),
+                lambda l: F.substring(F.col("word"), s, l),
+            ),
+        )
+    )
+    return (
+        words.select(F.col("wcount"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("count"))
+    )
+
+
+def _estep(words: DataFrame, lp: dict, max_len: int) -> dict:
+    """One hard-EM expectation pass: Viterbi per distinct word (pandas
+    UDF), piece counts weighted by wcount — int64 partial-agg sums,
+    ≤ |lp| (+UNK surface forms) rows back to the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    lp_local = dict(lp)
+
+    @pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        return pd.Series([viterbi_pieces(w, lp_local, max_len) for w in ws])
+
+    rows = (
+        words.select(F.col("wcount"), F.explode(seg("word")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("c"))
+        .collect()
+    )
+    return {r["piece"]: r["c"] for r in rows}
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    seed_size: int = 2000,
+    em_iters: int = 2,
+    text_col: str = "text",
+):
+    """Learn the unigram-LM vocabulary from a document corpus.
+
+    Returns (vocab DataFrame ``VOCAB_SCHEMA``, lp dict used for the
+    final counts) — the DataFrame carries (piece, final Viterbi count,
+    the integer score the final E-step ran under).
+    """
+    if vocab_size < 2 or seed_size < vocab_size:
+        raise ValueError(
+            f"need seed_size >= vocab_size >= 2, got {seed_size}/{vocab_size}"
+        )
+    spark = docs.sparkSession
+    words = word_freq_table(docs, text_col=text_col).persist()
+    pieces = _substring_counts(words, max_piece_len)
+    # seed: every single char (coverage), plus the top multi-char
+    # substrings by (count DESC, piece ASC) — TakeOrderedAndProject
+    singles = {
+        r["piece"]: r["count"]
+        for r in pieces.filter(F.length("piece") == 1).collect()
+    }
+    n_multi = max(seed_size - len(singles), 0)
+    multi = (
+        pieces.filter(
+            (F.length("piece") > 1) & (F.col("count") >= min_count)
+        )
+        .orderBy(F.col("count").desc(), F.col("piece").asc())
+        .limit(n_multi)
+        .collect()
+    )
+    counts = dict(singles)
+    counts.update({r["piece"]: r["count"] for r in multi})
+    # EM: score → Viterbi counts → rescore; zero-count multi pieces drop
+    for _ in range(em_iters):
+        lp = _scores(counts)
+        got = _estep(words, lp, max_piece_len)
+        counts = {p: got.get(p, 0) for p in lp}
+        counts = {
+            p: c for p, c in counts.items() if c > 0 or len(p) == 1
+        }
+    # prune to vocab_size (singles always survive), final E-step reports
+    # the shipped vocabulary's counts under its own scores
+    singles_now = {p: c for p, c in counts.items() if len(p) == 1}
+    budget = max(vocab_size - len(singles_now), 0)
+    top_multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:budget]
+    counts = dict(singles_now)
+    counts.update(dict(top_multi))
+    lp = _scores(counts)
+    final = _estep(words, lp, max_piece_len)
+    words.unpersist()
+    rows = [
+        (p, int(final.get(p, 0)), int(lp[p]))
+        for p in sorted(lp)
+    ]
+    vocab = spark.createDataFrame(rows, VOCAB_SCHEMA)
+    return vocab, lp
+
+
+def unigram_encode_counts(
+    docs: DataFrame,
+    lp: dict,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc…) → (id, n_pieces): Viterbi piece count per document under a
+    learned vocabulary — the budget number a tokenizer change shifts.
+    NULL text → 0 pieces (the row still ships, matching token_count)."""
+    from pyspark.sql.functions import pandas_udf
+
+    lp_local = dict(lp)
+
+    import re
+
+    # THE engine tokenization, replicated exactly (functions/text_stats.
+    # ws_tokens): strip + split on the explicit class — Python's \s or
+    # str.split() would also split \x0B and unicode spaces
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    @pandas_udf("long")
+    def n_pieces(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            n = 0
+            for w in ws.split(str(t).strip("\t\n\f\r ")):
+                if w:
+                    n += len(viterbi_pieces(w, lp_local, max_piece_len))
+            out.append(n)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), n_pieces(F.col(text_col)).alias("n_pieces"))
