@@ -880,6 +880,22 @@ def _q_doc_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
 
 
+def _q_page_para_chunks(spark, sf_dir):
+    """Paragraph-preserving greedy chunking (operators/chunker.
+    paragraph_chunks) over the REAL extraction output: chunks break only
+    at the block boundaries the extractor emits — one HOF fold, zero
+    shuffle past the extraction stage. Oracle replays the greedy state
+    as a per-url recursive CTE over expected_text."""
+    from pyocr_spark.operators.chunker import paragraph_chunks
+
+    ex = _extracted(spark, sf_dir, frozenset({"text"})).select(
+        "url", "extracted_text"
+    )
+    return paragraph_chunks(
+        ex, chunk_tokens=40, text_col="extracted_text", id_col="url"
+    )
+
+
 def _q_doc_packed_seqs(spark, sf_dir):
     """Chunk → sequence packing (operators/chunker.pack_chunks): 32-token
     non-overlapping chunks concatenated into 128-token training sequences
@@ -2528,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_gated": _q_docs_quality_gated,
         "corpus_report": _q_corpus_report,
         "doc_chunks": _q_doc_chunks,
+        "page_para_chunks": _q_page_para_chunks,
         "doc_packed_seqs": _q_doc_packed_seqs,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -4262,6 +4279,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE q.n_tokens >= 5 AND q.quality_score >= 2.0 "
             "AND rep.dup_token_frac <= 0.5 AND z.zlib_ratio IS NOT NULL "
             "AND z.zlib_ratio >= 0.2 AND z.zlib_ratio <= 1.05"
+        ),
+        # greedy paragraph chunking: the fold's running state is not a
+        # window function — the oracle replays it as a per-url recursive
+        # CTE over the frozen extraction output (budget 40, the query's)
+        "page_para_chunks": (
+            "WITH RECURSIVE pl AS (SELECT url, string_split(extracted_text, chr(10)) AS ps "
+            f"FROM read_parquet('{E}/expected_text.parquet')), "
+            "p0 AS (SELECT url, unnest(list_transform(generate_series(1, len(ps)), "
+            "i -> {'rawidx': i - 1, 'p': ps[i]})) AS s FROM pl), "
+            "pt AS (SELECT url, s.rawidx AS rawidx, s.p AS p, "
+            "CASE WHEN regexp_replace(s.p, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(regexp_replace(s.p, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+')) END AS tok FROM p0), "
+            "np AS (SELECT url, p, CAST(tok AS BIGINT) AS tok, "
+            "row_number() OVER (PARTITION BY url ORDER BY rawidx) - 1 AS pidx "
+            "FROM pt WHERE tok > 0), "
+            "step AS (SELECT url, pidx, p, tok, 0 AS cid, tok AS cur FROM np WHERE pidx = 0 "
+            "UNION ALL SELECT n.url, n.pidx, n.p, n.tok, "
+            "CASE WHEN s.cur + n.tok <= 40 THEN s.cid ELSE s.cid + 1 END, "
+            "CASE WHEN s.cur + n.tok <= 40 THEN s.cur + n.tok ELSE n.tok END "
+            "FROM step s JOIN np n ON n.url = s.url AND n.pidx = s.pidx + 1) "
+            "SELECT url, CAST(cid AS INT) AS chunk_idx, "
+            "string_agg(p, chr(10) ORDER BY pidx) AS chunk_text, "
+            "CAST(sum(tok) AS BIGINT) AS n_tokens, CAST(count(*) AS INT) AS n_paras "
+            "FROM step GROUP BY url, cid"
         ),
         "doc_chunks": (
             # full-whitespace-class strip, mirroring chunk_documents (NOT

@@ -146,3 +146,82 @@ def pack_chunks(
             ),
         )
     )
+
+
+def paragraph_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-preserving greedy chunking: chunks break ONLY at
+    paragraph boundaries ('\\n' — the block separator the extraction
+    stage emits), the retrieval/RAG-friendly counterpart to
+    chunk_documents' fixed token windows.
+
+    Frozen semantics: whitespace-blank paragraphs are dropped; walking
+    the rest in order, a paragraph joins the current chunk iff the
+    chunk's tokens + its tokens <= chunk_tokens, else it STARTS a new
+    chunk — so a paragraph alone above the budget gets its own oversize
+    chunk (splitting inside a paragraph is chunk_documents' job, and a
+    downstream pass may re-window oversize chunks through it).
+
+    Shape: the greedy fold is ONE higher-order ``aggregate`` over the
+    paragraph array — per-row JVM expression, narrow, zero shuffle, no
+    Python. The running (current chunk, token count) state that makes
+    this inexpressible as a plain window lives inside the fold; the
+    DuckDB oracle replays it as a per-document recursive CTE.
+
+    Returns (id_col, chunk_idx, chunk_text, n_tokens, n_paras).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    t = F.col(text_col)
+    ptok = lambda p: F.size(  # noqa: E731 — engine tokenization per para
+        F.filter(ws_tokens(p), lambda x: x != F.lit(""))
+    ).cast("long")
+    paras = F.filter(
+        F.transform(
+            F.split(t, "\n"),
+            lambda p: F.struct(p.alias("p"), ptok(p).alias("tok")),
+        ),
+        lambda s: s["tok"] > 0,
+    )
+    chunk_t = "array<struct<text: string, tok: bigint, np: int>>"
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        fits = (F.size(acc) > 0) & (last["tok"] + s["tok"] <= chunk_tokens)
+        grown = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    F.concat(last["text"], F.lit("\n"), s["p"]).alias("text"),
+                    (last["tok"] + s["tok"]).alias("tok"),
+                    (last["np"] + 1).alias("np"),
+                )
+            ),
+        )
+        fresh = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["p"].alias("text"),
+                    s["tok"].alias("tok"),
+                    F.lit(1).alias("np"),
+                )
+            ),
+        )
+        return F.when(fits, grown).otherwise(fresh)
+
+    chunks = F.aggregate(paras, F.array().cast(chunk_t), step)
+    d = docs.filter(t.isNotNull()).select(F.col(id_col), chunks.alias("_c"))
+    return d.select(
+        id_col, F.posexplode("_c").alias("chunk_idx", "_s")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_s.text").alias("chunk_text"),
+        F.col("_s.tok").alias("n_tokens"),
+        F.col("_s.np").alias("n_paras"),
+    )

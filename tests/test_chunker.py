@@ -149,3 +149,80 @@ def test_pack_buckets_nonnegative_xxhash_path(spark):
     packed = pack_chunks(chunks, seq_tokens=8, n_buckets=7, portable=False)
     buckets = [r["bucket"] for r in packed.select("bucket").distinct().collect()]
     assert all(0 <= b < 7 for b in buckets)
+
+
+# --- paragraph_chunks (greedy paragraph-preserving) ---------------------
+
+def _pc_twin(texts, budget):
+    out = []
+    import re
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        # twin tokenization: explicit ws class, matching ws_tokens
+        paras = []
+        for p in t.split("\n"):
+            toks = [w for w in ws.split(p.strip("\t\n\f\r ")) if w]
+            if toks:
+                paras.append((p, len(toks)))
+        chunks = []
+        for p, n in paras:
+            if chunks and chunks[-1][1] + n <= budget:
+                chunks[-1] = (chunks[-1][0] + "\n" + p, chunks[-1][1] + n, chunks[-1][2] + 1)
+            else:
+                chunks.append((p, n, 1))
+        for ci, (txt, n, np_) in enumerate(chunks):
+            out.append((i, ci, txt, n, np_))
+    return sorted(out)
+
+
+def test_paragraph_chunks_matches_greedy_twin(spark):
+    from pyocr_spark.operators.chunker import paragraph_chunks
+
+    texts = [
+        "a b c\nd e\n\n \nf g h i j\nk",
+        None,
+        "   ",
+        "one two three four five six",  # oversize single paragraph
+        "x\n" * 30,                       # many tiny paragraphs
+        "\tpad\tme\t\nnext para",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(3)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"], r["n_paras"])
+        for r in paragraph_chunks(df, chunk_tokens=5).collect()
+    )
+    assert got == _pc_twin(texts, 5)
+    # oversize paragraph kept whole in its own chunk
+    over = [g for g in got if g[0] == 3]
+    assert len(over) == 1 and over[0][3] == 6
+
+
+def test_paragraph_chunks_never_splits_paragraphs(spark):
+    from pyocr_spark.operators.chunker import paragraph_chunks
+
+    df = spark.createDataFrame(
+        [(0, "p one has four tokens\np two also has five toks\nshort")],
+        "doc_id long, text string",
+    )
+    rows = paragraph_chunks(df, chunk_tokens=6).collect()
+    all_paras = [p for r in rows for p in r["chunk_text"].split("\n")]
+    assert all_paras == [
+        "p one has four tokens",
+        "p two also has five toks",
+        "short",
+    ]
+
+
+def test_paragraph_chunks_validation(spark):
+    import pytest as _pytest
+
+    from pyocr_spark.operators.chunker import paragraph_chunks
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        paragraph_chunks(df, chunk_tokens=0)
