@@ -1548,6 +1548,27 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
+def _q_minhash_pairs_delta(spark, sf_dir):
+    """Incremental cross-crawl near-dup (operators/deltadedup): docs
+    with doc_id%7==0 arrive as the NEW crawl against the stored band
+    state of the rest — pairs touching the delta only, at delta cost.
+    Banding determinism makes this ≡ the full-corpus LSH restricted to
+    new-id pairs, which is exactly what the oracle replays."""
+    from pyocr_spark.operators.deltadedup import (
+        banded_signatures,
+        incremental_neardup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter("doc_id % 7 != 0")
+    new = docs.filter("doc_id % 7 = 0")
+    return incremental_neardup_pairs(
+        banded_signatures(old, portable=True),
+        banded_signatures(new, portable=True),
+        jaccard_threshold=0.5,
+    )
+
+
 def _q_simhash_docs(spark, sf_dir):
     from pyocr_spark.operators.dedup import simhash
 
@@ -2600,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_truncate": _q_emb_truncate,
         "emb_quantize": _q_emb_quantize,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_delta": _q_minhash_pairs_delta,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
@@ -4686,6 +4708,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_sig_portable": _MINHASH_SIG_SQL,
         "minhash_pairs": _MINHASH_PAIRS_SQL,
+        # banding is per-document deterministic, so the incremental pass
+        # over the doc_id%7 delta equals the full-corpus pairs touching
+        # a new id — replay the full SQL, filter to the delta
+        "minhash_pairs_delta": (
+            f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
+            "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
         "ann_topk_lsh": _ann_lsh_sql(),
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),
         "emb_semdedup": _emb_semdedup_sql(),

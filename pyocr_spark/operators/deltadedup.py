@@ -1,0 +1,137 @@
+"""Incremental cross-crawl near-dup maintenance — dedup the DELTA, not
+the corpus.
+
+Re-running MinHash-LSH over the full corpus for every crawl re-pays the
+whole shingle→signature→band pipeline on 100 TB to find pairs that can
+only involve the new documents. This module keeps the banded signature
+table as persistent STATE (the same move plans/incremental.py makes for
+extraction with its content-hash state): each crawl signs and bands
+only its NEW documents, joins them against state ∪ new on the band key,
+and appends the new bands to state. Per-crawl cost scales with the
+delta (plus the band-bucket join fan-in), never the corpus.
+
+Correctness contract (what the exact oracle checks): banding is
+per-document deterministic — a document's bands do not depend on any
+other document — so
+
+    incremental_pairs(state_N, new)
+      == lsh_pairs(corpus_N ∪ new) restricted to pairs touching `new`
+
+and state_N ∪ bands(new) == bands(corpus_N ∪ new). The driver oracle
+replays the FULL-corpus portable LSH SQL filtered to new-id pairs; the
+pytest twin asserts the same equivalence against minhash_lsh_dedup.
+
+Band/signature construction reuses operators/dedup.minhash_signature
+and replicates its frozen band-key rule (portable = raw concatenated
+components; production = F.hash over components) so the two modules
+cannot produce different buckets for the same document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import minhash_signature
+
+#: state-table schema, frozen: one row per (doc, band)
+STATE_SCHEMA = "id, sig array<bigint>, band int, bkey"
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(docs…) → (id, sig, band, bkey): the near-dup STATE rows for a
+    document set. Same frozen banding as dedup.minhash_lsh_dedup."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, k, num_hashes, portable=portable)
+
+    def band_key(b: int):
+        comps = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.concat_ws("_", *[c.cast("string") for c in comps])
+        return F.hash(*comps)
+
+    return sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bkey")
+
+
+def incremental_neardup_pairs(
+    state: DataFrame,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the new crawl: new × (state ∪ new) band
+    join → signature-agreement Jaccard estimate → threshold.
+
+    Both inputs are (id, sig, band, bkey) tables (banded_signatures).
+    Returns (left_id, right_id, jaccard_est) with left < right — by the
+    banding determinism this equals the full-corpus LSH pair set
+    restricted to pairs with at least one new id. The join's small side
+    is the DELTA: at 10^12 stored docs and a 10^9 crawl, `new_bands`
+    broadcasts or shuffles cheaply while `state` streams — the whole
+    point of keeping state."""
+    every = state.unionByName(new_bands)
+    l, r = new_bands.alias("l"), every.alias("r")
+    # new×every with l<r misses (old < new) orientations — join both
+    # directions via id inequality only, then canonicalize
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col(f"l.{id_col}") != F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("left_id"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("right_id"),
+            F.when(
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("l.sig")
+            ).otherwise(F.col("r.sig")).alias("lsig"),
+            F.when(
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("r.sig")
+            ).otherwise(F.col("l.sig")).alias("rsig"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    jac = (
+        F.size(F.filter(F.zip_with("lsig", "rsig", lambda a, b: a == b), lambda x: x))
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.withColumn("jaccard_est", jac)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("left_id", "right_id", F.round("jaccard_est", 4).alias("jaccard_est"))
+    )
+
+
+def merge_neardup_state(state: DataFrame, new_bands: DataFrame) -> DataFrame:
+    """state_{N+1} = state_N ∪ bands(new): an append, never a rewrite —
+    at deployment this is one partitioned-parquet/Iceberg append of the
+    delta's band rows."""
+    return state.unionByName(new_bands)

@@ -1,0 +1,82 @@
+"""Incremental near-dup state (operators/deltadedup): the incremental
+pass over the delta must equal the full-corpus LSH restricted to pairs
+touching new docs — the equivalence the driver oracle also replays."""
+
+import pytest
+
+from pyocr_spark.operators.dedup import minhash_lsh_dedup
+from pyocr_spark.operators.deltadedup import (
+    banded_signatures,
+    incremental_neardup_pairs,
+    merge_neardup_state,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOCS = [
+    (0, BASE),
+    (1, BASE + " extra"),                          # near-dup of 0 (old×old)
+    (2, "completely different words in this one about spark and parquet"),
+    (3, BASE + " tail"),                            # NEW: near-dup of 0/1
+    (4, BASE),                                      # NEW: exact dup of 0
+    (5, "another unrelated new document about tokenizers and codebooks"),
+]
+NEW_IDS = {3, 4, 5}
+
+
+def _dfs(spark):
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    old = full.filter(~full.doc_id.isin(list(NEW_IDS)))
+    new = full.filter(full.doc_id.isin(list(NEW_IDS)))
+    return full, old, new
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_incremental_equals_filtered_full(spark, portable):
+    full, old, new = _dfs(spark)
+    want = {
+        (r["left_id"], r["right_id"]): r["jaccard_est"]
+        for r in minhash_lsh_dedup(
+            full, jaccard_threshold=0.5, portable=portable
+        ).collect()
+        if r["left_id"] in NEW_IDS or r["right_id"] in NEW_IDS
+    }
+    state = banded_signatures(old, portable=portable)
+    delta = banded_signatures(new, portable=portable)
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard_est"]
+        for r in incremental_neardup_pairs(
+            state, delta, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must actually produce new-touching pairs"
+    # new×new pair (3,4)-style and old×new orientation both present
+    assert any(a in NEW_IDS and b in NEW_IDS for a, b in got)
+    assert any((a in NEW_IDS) != (b in NEW_IDS) for a, b in got)
+
+
+def test_state_merge_equals_full_bands(spark):
+    full, old, new = _dfs(spark)
+    merged = merge_neardup_state(
+        banded_signatures(old), banded_signatures(new)
+    )
+    want = banded_signatures(full)
+    assert sorted(
+        map(tuple, merged.select("doc_id", "band", "bkey").collect())
+    ) == sorted(map(tuple, want.select("doc_id", "band", "bkey").collect()))
+
+
+def test_no_old_old_pairs_emitted(spark):
+    _, old, new = _dfs(spark)
+    got = incremental_neardup_pairs(
+        banded_signatures(old), banded_signatures(new), jaccard_threshold=0.1
+    ).collect()
+    assert all(
+        r["left_id"] in NEW_IDS or r["right_id"] in NEW_IDS for r in got
+    )
+
+
+def test_band_validation(spark):
+    _, old, _ = _dfs(spark)
+    with pytest.raises(ValueError, match="bands"):
+        banded_signatures(old, bands=5)
