@@ -1467,6 +1467,16 @@ def _q_docs_token_budget(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "taken_before")
 
 
+def _q_docs_robust_outliers(spark, sf_dir):
+    """Median/MAD outlier gate (operators/robust): per-lang robust
+    length screening (Hampel/Leys k=3.5·MAD) — exact type-7 percentiles
+    (the corpus_length_stats precedent), broadcast stats joins, flags as
+    a narrow projection."""
+    from pyocr_spark.operators.robust import robust_outlier_gate
+
+    return robust_outlier_gate(_docs(spark, sf_dir))
+
+
 def _q_docs_shard_assign(spark, sf_dir):
     """Balanced training-shard assignment (operators/sharding): snake
     round-robin over (n_tokens DESC, doc_id) — token-balanced shards a
@@ -2534,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_index_update": _q_doc_bm25_index_update,
         "doc_hybrid_search": _q_doc_hybrid_search,
         "docs_token_budget": _q_docs_token_budget,
+        "docs_robust_outliers": _q_docs_robust_outliers,
         "docs_shard_assign": _q_docs_shard_assign,
         "docs_shard_manifest": _q_docs_shard_manifest,
         "doc_lexical_stats": _q_doc_lexical_stats,
@@ -3929,6 +3940,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, "
             "CASE WHEN n_tokens > 0 THEN CAST(floor(1000000.0 * (206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences) "
             "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))) AS BIGINT) END AS flesch_micro FROM b"
+        ),
+        # robust gate: exact type-7 percentiles (quantile_cont ↔
+        # F.percentile), dev/compare with the identical expression shape
+        "docs_robust_outliers": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "CAST(coalesce(len(list_filter(string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+            "x -> x != '')), 0) AS BIGINT) AS n_tokens FROM documents), "
+            "m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med FROM t GROUP BY lang), "
+            "j AS (SELECT t.doc_id, t.lang, t.n_tokens, m.med, "
+            "abs(CAST(t.n_tokens AS DOUBLE) - m.med) AS dev FROM t "
+            "JOIN m ON t.lang IS NOT DISTINCT FROM m.lang), "
+            "md AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM j GROUP BY lang) "
+            "SELECT j.doc_id, j.lang, j.n_tokens, round(j.med, 4) AS med, "
+            "round(md.mad, 4) AS mad, j.dev > 3.5 * md.mad AS is_outlier "
+            "FROM j JOIN md ON j.lang IS NOT DISTINCT FROM md.lang"
         ),
         # shard balancing: the oracle is the ONE-window form the two-
         # phase stratum plan must equal by construction; snake fold =

@@ -1,0 +1,72 @@
+"""Robust per-group outlier gating — median/MAD, not mean/stddev.
+
+Length and quality distributions of web text are heavy-tailed, so a
+mean±k·σ gate is dragged by the very outliers it should catch (one 100×
+replicated page shifts σ corpus-wide). The robust version uses the
+median and the Median Absolute Deviation — 50% breakdown point: half
+the group can be garbage and the gate still stands. The standard
+robust-statistics practice (Hampel 1974; Leys et al. 2013 popularized
+k=3.5·MAD for exactly this screening use).
+
+Shape: two bounded aggregations — per-group exact ``percentile`` for
+the median (the corpus_length_stats precedent: group cardinality is
+langs/domains, so per-group sorts are bounded and both engines use
+type-7 interpolation bit-for-bit), a broadcast join back, then the same
+again for the MAD of |x − med|. Per-doc flags are a narrow projection.
+For a high-cardinality group key, swap in percentile_approx and drop
+the oracle to rows-only — same trade the length profiler documents.
+
+Determinism: x is int64 (token counts), med/mad are type-7
+interpolations of int64 (exact doubles under 2^53), |x−med| and the
+k·MAD compare are correctly-rounded IEEE ops — the DuckDB oracle
+replays the identical expression shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+
+def robust_outlier_gate(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 3.5,
+) -> DataFrame:
+    """(docs…) → (id, group, n_tokens, med, mad, is_outlier) — one row
+    per input doc; is_outlier ⇔ |n_tokens − median| > k·MAD within the
+    doc's group. NULL text counts 0 tokens (a legitimate outlier
+    candidate, not a dropped row); NULL group is its own group."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    ntok = F.coalesce(
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))),
+        F.lit(0),
+    ).cast("long")
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    base = docs.select(
+        F.col(id_col), F.col(group_col), gk.alias("_g"), ntok.alias("n_tokens")
+    )
+    med = base.groupBy("_g").agg(
+        F.percentile("n_tokens", F.lit(0.5)).alias("_med")
+    )
+    with_med = base.join(F.broadcast(med), "_g")
+    dev = F.abs(F.col("n_tokens").cast("double") - F.col("_med"))
+    mad = (
+        with_med.select("_g", dev.alias("_dev"))
+        .groupBy("_g")
+        .agg(F.percentile("_dev", F.lit(0.5)).alias("_mad"))
+    )
+    out = with_med.join(F.broadcast(mad), "_g")
+    return out.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.round("_med", 4).alias("med"),
+        F.round("_mad", 4).alias("mad"),
+        (dev > F.lit(float(k)) * F.col("_mad")).alias("is_outlier"),
+    )

@@ -1,0 +1,69 @@
+"""Median/MAD outlier gate (operators/robust): exact stats vs an
+independent Python model (statistics.median is type-7-equal on these
+inputs), breakdown behavior, NULL routing."""
+
+import statistics
+
+import pytest
+
+from pyocr_spark.operators.robust import robust_outlier_gate
+
+# lang 'en': tight cluster + one giant; 'de': all equal (MAD 0)
+DOCS = (
+    [(i, "en", "tok " * (10 + (i % 3))) for i in range(10)]
+    + [(99, "en", "tok " * 5000)]
+    + [(200 + i, "de", "wort " * 7) for i in range(4)]
+    + [(300, None, None)]
+)
+
+
+def _twin(k=3.5):
+    import re
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+    rows = []
+    for i, lang, t in DOCS:
+        n = len([w for w in ws.split(t.strip("\t\n\f\r "))] if t and t.strip("\t\n\f\r ") else []) if t else 0
+        rows.append((i, lang, n))
+    out = {}
+    for g in {r[1] for r in rows}:
+        xs = [r[2] for r in rows if r[1] == g]
+        med = statistics.median(xs)
+        mad = statistics.median([abs(x - med) for x in xs])
+        for i, lang, n in rows:
+            if lang == g:
+                out[i] = (n, med, mad, abs(n - med) > k * mad)
+    return out
+
+
+def test_matches_python_model(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["med"], r["mad"], r["is_outlier"])
+        for r in robust_outlier_gate(df).collect()
+    }
+    want = _twin()
+    assert set(got) == set(want)
+    for i in got:
+        n, med, mad, flag = want[i]
+        assert got[i][0] == n, i
+        assert got[i][1] == round(med, 4) and got[i][2] == round(mad, 4), i
+        assert got[i][3] == flag, i
+    # the giant is flagged; the cluster is not
+    assert got[99][3] is True
+    assert not any(got[i][3] for i in range(10))
+
+
+def test_mad_zero_group_flags_any_deviation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in robust_outlier_gate(df).collect()}
+    for i in (200, 201, 202, 203):
+        assert got[i]["mad"] == 0.0 and got[i]["is_outlier"] is False
+    # NULL lang is its own single-row group: med == own value, no flag
+    assert got[300]["n_tokens"] == 0 and got[300]["is_outlier"] is False
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        robust_outlier_gate(df, k=0)
