@@ -1558,6 +1558,16 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
+def _q_neardup_eval(spark, sf_dir):
+    """Estimator evaluation (operators/dedup_eval.neardup_eval): the
+    MinHash-LSH pair set scored against the exact capped-Jaccard pair
+    set — measured recall/precision in integer micros, the number to
+    re-check after touching bands/hash family/shingle width."""
+    from pyocr_spark.operators.dedup_eval import neardup_eval
+
+    return neardup_eval(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_minhash_pairs_delta(spark, sf_dir):
     """Incremental cross-crawl near-dup (operators/deltadedup): docs
     with doc_id%7==0 arrive as the NEW crawl against the stored band
@@ -2633,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_delta": _q_minhash_pairs_delta,
+        "neardup_eval": _q_neardup_eval,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
@@ -2848,6 +2859,27 @@ _MINHASH_PAIRS_SQL = (
     "FROM cand c JOIN sig ls ON ls.doc_id = c.left_id "
     "JOIN sig rs ON rs.doc_id = c.right_id AND rs.seed = ls.seed GROUP BY 1, 2) "
     "SELECT left_id, right_id, round(j, 4) AS jaccard_est FROM est WHERE j >= 0.5"
+)
+
+
+#: the exact capped-Jaccard PAIR SET (the ngram_jaccard entry's CTE
+#: chain up to the threshold) — shared by the neardup_eval oracle
+_NGRAM_PAIRS_SQL = (
+    "SELECT left_id, right_id FROM ("
+    "WITH words AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS w FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) "
+    "ELSE [array_to_string(w, ' ')] END AS g FROM words), "
+    "inv AS (SELECT doc_id, unnest(g) AS gram FROM sh), "
+    "rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 100), "
+    "inv2 AS (SELECT inv.* FROM inv JOIN rare USING (gram)), "
+    "sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id), "
+    "inter0 AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS i "
+    "FROM inv2 l JOIN inv2 r ON l.gram = r.gram AND l.doc_id < r.doc_id GROUP BY 1,2), "
+    "inter AS (SELECT left_id, right_id, ls.nsh AS lnsh, rs.nsh AS rnsh, i "
+    "FROM inter0 JOIN sizes ls ON ls.doc_id = left_id JOIN sizes rs ON rs.doc_id = right_id) "
+    "SELECT left_id, right_id FROM inter "
+    "WHERE round(CAST(i AS DOUBLE)/(lnsh+rnsh-i), 4) >= 0.5) ngp"
 )
 
 
@@ -4741,6 +4773,22 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_delta": (
             f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
             "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
+        # estimator eval: full-outer join of the two deployed operators'
+        # pair sets; micro ratios NULL on zero denominators
+        "neardup_eval": (
+            f"WITH truth AS ({_NGRAM_PAIRS_SQL}), "
+            f"est AS (SELECT left_id, right_id FROM ({_MINHASH_PAIRS_SQL}) mh), "
+            "j AS (SELECT t.left_id AS tl, e.left_id AS el "
+            "FROM truth t FULL OUTER JOIN est e "
+            "ON t.left_id = e.left_id AND t.right_id = e.right_id), "
+            "c AS (SELECT CAST(count(tl) AS BIGINT) AS n_truth, "
+            "CAST(count(el) AS BIGINT) AS n_est, "
+            "CAST(sum(CASE WHEN tl IS NOT NULL AND el IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit FROM j) "
+            "SELECT n_truth, n_est, n_hit, "
+            "CASE WHEN n_truth > 0 THEN CAST(floor(1000000.0 * CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)) AS BIGINT) END AS recall_micro, "
+            "CASE WHEN n_est > 0 THEN CAST(floor(1000000.0 * CAST(n_hit AS DOUBLE) / CAST(n_est AS DOUBLE)) AS BIGINT) END AS precision_micro "
+            "FROM c"
         ),
         "ann_topk_lsh": _ann_lsh_sql(),
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),

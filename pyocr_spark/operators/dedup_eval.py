@@ -1,0 +1,62 @@
+"""Near-dup estimator evaluation — measured recall/precision, not vibes.
+
+A dedup pipeline that swaps the exact pair operator for the MinHash-LSH
+estimate should know what that trade bought: this report joins the two
+DEPLOYED operators' outputs — truth = the exact docfreq-capped n-gram
+Jaccard (operators/dedup.ngram_jaccard_pairs), candidate = the
+MinHash-LSH estimate (minhash_lsh_dedup, portable family) — and counts
+hits/misses/false alarms end-to-end, cap and banding effects included.
+The number a pipeline owner re-checks after touching bands, hash
+family, shingle width, or the docfreq cap.
+
+One pair-keyed join over two already-scale-shaped operators; the report
+is a single row. recall/precision are integer micros via the same
+floor(1e6·a/b) rule every ratio surface uses (floor of one correctly-
+rounded division — engine-exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+
+def neardup_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ONE row (n_truth, n_est, n_hit, recall_micro, precision_micro).
+
+    recall = hit/truth, precision = hit/est — NULL when the denominator
+    is zero (no truth pairs / no estimates), never a fake 0 or 1."""
+    truth = ngram_jaccard_pairs(
+        docs, text_col=text_col, id_col=id_col, n=3, threshold=threshold
+    ).select("left_id", "right_id", F.lit(1).alias("_t"))
+    est = minhash_lsh_dedup(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=threshold,
+        portable=True,
+    ).select("left_id", "right_id", F.lit(1).alias("_e"))
+    j = truth.join(est, ["left_id", "right_id"], "full_outer")
+    micro = lambda a, b: F.when(  # noqa: E731
+        b > 0, F.floor(F.lit(1_000_000.0) * a.cast("double") / b.cast("double"))
+    )
+    agg = j.agg(
+        F.count("_t").alias("n_truth"),
+        F.count("_e").alias("n_est"),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_e").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_est",
+        "n_hit",
+        micro(F.col("n_hit"), F.col("n_truth")).alias("recall_micro"),
+        micro(F.col("n_hit"), F.col("n_est")).alias("precision_micro"),
+    )

@@ -1,0 +1,44 @@
+"""neardup_eval (operators/dedup_eval): counts reconcile with the two
+underlying operators; denominators-zero yields NULL ratios."""
+
+from pyocr_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+from pyocr_spark.operators.dedup_eval import neardup_eval
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today again"
+DOCS = [
+    (0, BASE),
+    (1, BASE + " extra"),
+    (2, BASE + " tail words"),
+    (3, "entirely different text about spark parquet shuffles and codegen"),
+    (4, BASE),
+]
+
+
+def test_counts_reconcile(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    row = neardup_eval(df, threshold=0.5).head()
+    truth = {
+        (r["left_id"], r["right_id"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    est = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_dedup(df, jaccard_threshold=0.5, portable=True).collect()
+    }
+    assert row["n_truth"] == len(truth) and row["n_est"] == len(est)
+    assert row["n_hit"] == len(truth & est)
+    assert truth, "fixture must have true near-dup pairs"
+    import math
+
+    assert row["recall_micro"] == math.floor(1e6 * row["n_hit"] / row["n_truth"])
+    assert row["precision_micro"] == math.floor(1e6 * row["n_hit"] / row["n_est"])
+
+
+def test_zero_denominators_are_null(spark):
+    df = spark.createDataFrame(
+        [(0, "unique alpha beta"), (1, "totally other gamma delta")],
+        "doc_id long, text string",
+    )
+    row = neardup_eval(df, threshold=0.9).head()
+    assert row["n_truth"] == 0
+    assert row["recall_micro"] is None
