@@ -152,10 +152,9 @@ def reduce_state(df: DataFrame) -> DataFrame:
     )
 
 
-def read_state(spark, location: str) -> DataFrame | None:
-    """Read a state-delta directory (``delta_id=N`` subdirs) down to the
-    reduced (url, ts_epoch, content_hash) table, or None when no
-    COMPLETE delta exists.
+def read_committed_deltas(spark, location: str) -> DataFrame | None:
+    """Union of the COMMITTED ``delta_id=N`` subdirs of a state
+    directory (raw rows, no reduction), or None when none exist.
 
     Only subdirectories holding a ``_SUCCESS`` marker are read: a crashed
     first delta write can leave the directory existing but containing no
@@ -180,7 +179,15 @@ def read_state(spark, location: str) -> DataFrame | None:
             complete.append(st.getPath().toString())
     if not complete:
         return None
-    return reduce_state(spark.read.parquet(*complete))
+    return spark.read.parquet(*complete)
+
+
+def read_state(spark, location: str) -> DataFrame | None:
+    """Read a state-delta directory (``delta_id=N`` subdirs) down to the
+    reduced (url, ts_epoch, content_hash) table, or None when no
+    COMPLETE delta exists (commit discipline: read_committed_deltas)."""
+    raw = read_committed_deltas(spark, location)
+    return None if raw is None else reduce_state(raw)
 
 
 def hadoop_path(spark, p: str):

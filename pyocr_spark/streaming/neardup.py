@@ -1,0 +1,128 @@
+"""Streaming incremental near-dup — the deltadedup state machine on a
+live crawl feed.
+
+Each micro-batch of pages is a crawl delta: its documents are signed
+and banded (operators/deltadedup.banded_signatures), joined against the
+persistent band state to emit the near-dup pairs the batch introduces,
+and appended to state — per-trigger cost scales with the batch, never
+with everything crawled so far. The streaming twin of
+``incremental_neardup_pairs`` exactly as start_incremental_stream is
+the streaming twin of ``job.py --incremental``.
+
+Frozen semantics:
+
+- a url already in state is NOT re-signed (first capture wins — an
+  id-level anti-join, mirroring how re-crawls are handled by the
+  snapshot operators; content-change policy belongs to crawl_delta,
+  not the dedup index);
+- within one batch, the latest row per url is the document (the same
+  dedup_latest rule the batch pipeline applies);
+- state lives as committed ``delta_id=N`` parquet dirs with the SAME
+  crash discipline as the incremental-extract state (_SUCCESS-guarded
+  writes, committed-dirs-only reads via
+  plans/incremental.read_committed_deltas, periodic compaction by
+  swap_write) — at-least-once, state-converging: a replayed batch
+  re-derives the same pairs (same overwrite target) or finds its urls
+  already in state and emits nothing new.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.deltadedup import (
+    banded_signatures,
+    incremental_neardup_pairs,
+)
+from pyocr_spark.plans.incremental import (
+    hadoop_path,
+    path_exists,
+    read_committed_deltas,
+    swap_write,
+)
+from pyocr_spark.streaming.stream import _start_pages_stream
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    input_location: str,
+    pairs_location: str,
+    state_location: str,
+    checkpoint_location: str,
+    jaccard_threshold: float = 0.8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int = 16,
+    portable: bool = False,
+):
+    """Run the incremental near-dup pipeline over a pages file stream.
+
+    Pairs for batch N land under ``<pairs_location>/batch_id=N``
+    (idempotent per-batch overwrite); band state advances under
+    ``<state_location>/delta_id=N``."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            # within-batch document = latest row per url (dedup_latest
+            # rule), carried as (doc id = url, text)
+            latest = (
+                batch_df.select(
+                    "url",
+                    "text",
+                    F.struct(F.col("warc_ts"), F.col("text").alias("t")).alias("_v"),
+                )
+                .groupBy("url")
+                .agg(F.max("_v").alias("_v"))
+                .select(F.col("url"), F.col("_v.t").alias("text"))
+            )
+            state = read_committed_deltas(spark, state_location)
+            if state is not None:
+                latest = latest.join(
+                    state.select(F.col("url")).distinct(), "url", "left_anti"
+                )
+            fresh = banded_signatures(
+                latest, text_col="text", id_col="url", portable=portable
+            ).persist()
+            try:
+                if not fresh.isEmpty():
+                    empty_state = fresh.filter(F.lit(False)) if state is None else state
+                    pairs = incremental_neardup_pairs(
+                        empty_state,
+                        fresh,
+                        id_col="url",
+                        jaccard_threshold=jaccard_threshold,
+                    )
+                    pairs.write.mode("overwrite").parquet(
+                        f"{pairs_location}/batch_id={batch_id}"
+                    )
+                    delta_dir = f"{state_location}/delta_id={batch_id}"
+                    if not path_exists(spark, f"{delta_dir}/_SUCCESS"):
+                        fresh.write.mode("overwrite").parquet(delta_dir)
+                if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                    _compact(spark, state_location, batch_id)
+            finally:
+                fresh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    def _compact(_spark, location: str, keep_id: int) -> None:
+        raw = read_committed_deltas(_spark, location)
+        if raw is None:
+            return
+        swap_write(raw, f"{location}/delta_id={keep_id}")
+        lp, fs = hadoop_path(_spark, location)
+        for st in fs.listStatus(lp):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("delta_id=")
+                and name != f"delta_id={keep_id}"
+            ):
+                fs.delete(st.getPath(), True)
+
+    return _start_pages_stream(
+        spark, input_location, checkpoint_location, process_batch,
+        available_now, max_files_per_trigger,
+    )

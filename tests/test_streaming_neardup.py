@@ -1,0 +1,104 @@
+"""Streaming incremental near-dup (streaming/neardup): micro-batched
+runs must converge to the batch operator's answer — pairs across
+batches appear exactly once, re-crawled urls are not re-signed."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pyocr_spark.streaming.neardup import start_neardup_stream
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today again"
+
+
+def _write_crawl_file(path, rows):
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": [b"<p>x</p>" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _ts(day):
+    import datetime
+
+    return datetime.datetime(2024, 1, day)
+
+
+def test_pairs_across_batches_once(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pairs = str(tmp_path / "pairs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_crawl_file(inp / "crawl1.parquet", [
+        ("https://h/a", _ts(1), BASE),
+        ("https://h/b", _ts(1), BASE + " extra"),
+        ("https://h/z", _ts(1), "completely unrelated words about parquet"),
+    ])
+    q = start_neardup_stream(
+        spark, str(inp), pairs, state, ckpt, jaccard_threshold=0.5
+    )
+    assert q.awaitTermination(300)
+    first = spark.read.parquet(f"{pairs}/batch_id=*")
+    got1 = {(r["left_id"], r["right_id"]) for r in first.collect()}
+    assert got1 == {("https://h/a", "https://h/b")}
+
+    # crawl 2: c is a near-dup of a/b (old×new pairs), a re-crawled
+    # (must NOT re-sign or re-pair), w unrelated
+    _write_crawl_file(inp / "crawl2.parquet", [
+        ("https://h/c", _ts(5), BASE + " tail"),
+        ("https://h/a", _ts(5), BASE),
+        ("https://h/w", _ts(5), "other text entirely about tokenizers"),
+    ])
+    q2 = start_neardup_stream(
+        spark, str(inp), pairs, state, ckpt, jaccard_threshold=0.5
+    )
+    assert q2.awaitTermination(300)
+    batch_dirs = sorted(glob.glob(os.path.join(pairs, "batch_id=*")))
+    assert len(batch_dirs) == 2
+    second = {
+        (r["left_id"], r["right_id"])
+        for r in spark.read.parquet(batch_dirs[-1]).collect()
+    }
+    # new pairs touch c only; the (a, b) pair is NOT re-emitted
+    assert second == {
+        ("https://h/a", "https://h/c"),
+        ("https://h/b", "https://h/c"),
+    }
+    # state holds every signed url exactly once (a not re-signed)
+    st = spark.read.parquet(f"{state}/delta_id=*")
+    per_url = st.groupBy("url").agg(F.countDistinct("band").alias("nb"))
+    assert {r["url"] for r in per_url.collect()} == {
+        "https://h/a", "https://h/b", "https://h/z", "https://h/c", "https://h/w"
+    }
+    assert st.count() == 5 * 4  # 4 bands per url, once each
+
+
+def test_restart_same_checkpoint_is_noop(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pairs = str(tmp_path / "pairs")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_crawl_file(inp / "c1.parquet", [
+        ("https://h/a", _ts(1), BASE),
+        ("https://h/b", _ts(1), BASE + " more"),
+    ])
+    q = start_neardup_stream(spark, str(inp), pairs, state, ckpt, jaccard_threshold=0.5)
+    assert q.awaitTermination(300)
+    n_pairs = spark.read.parquet(f"{pairs}/batch_id=*").count()
+    n_state = spark.read.parquet(f"{state}/delta_id=*").count()
+    q2 = start_neardup_stream(spark, str(inp), pairs, state, ckpt, jaccard_threshold=0.5)
+    assert q2.awaitTermination(300)
+    assert spark.read.parquet(f"{pairs}/batch_id=*").count() == n_pairs
+    assert spark.read.parquet(f"{state}/delta_id=*").count() == n_state
