@@ -2149,6 +2149,20 @@ def _q_host_url_hll(spark, sf_dir):
     )
 
 
+def _q_bitext_candidates(spark, sf_dir):
+    """Parallel-corpus mining (operators/bitext.bitext_candidates,
+    CCMatrix-style): cross-lingual embedding near-neighbors — the exact
+    pair join (oracle twin) filtered through the doc language table;
+    lsh_planes>0 is the bucketed scale path."""
+    from pyocr_spark.operators.bitext import bitext_candidates
+
+    return bitext_candidates(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _docs(spark, sf_dir),
+        threshold=0.4,
+    )
+
+
 def _q_embedding_dups(spark, sf_dir):
     from pyocr_spark.operators.dedup import embedding_cosine_pairs
 
@@ -2683,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
+        "bitext_candidates": _q_bitext_candidates,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "emb_semdedup": _q_emb_semdedup,
     }
@@ -5036,6 +5051,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
             "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
+        ),
+        # bitext mining: the exact pair join above + language attachment
+        "bitext_candidates": (
+            "WITH p AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id, "
+            "round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id), "
+            "lg AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL) "
+            "SELECT p.left_id, p.right_id, ll.lang AS lang_l, rl.lang AS lang_r, p.cosine "
+            "FROM p JOIN lg ll ON ll.doc_id = p.left_id "
+            "JOIN lg rl ON rl.doc_id = p.right_id "
+            "WHERE p.cosine >= 0.4 AND ll.lang <> rl.lang"
         ),
         # simhash_docs: DuckDB has no xxhash64, so the oracle is an
         # expected table computed by an INDEPENDENT pure-Python XXH64

@@ -1,0 +1,62 @@
+"""Parallel-corpus candidate mining — cross-lingual embedding matches.
+
+The CCMatrix/CCAligned move (Schwenk et al. 2021; El-Kishky et al.
+2020): translations of the same content land near each other in a
+multilingual embedding space, so candidate bitext pairs are embedding
+near-neighbors whose DOCUMENTS carry different languages. This operator
+is that composition — the embedding pair join (operators/dedup.
+embedding_cosine_pairs: exact baseline or hyperplane-LSH scale path)
+filtered through the document language table — emitting the candidate
+set a downstream aligner scores.
+
+Shape: the pair join does the heavy lifting under its existing scale
+contract (LSH buckets at 10^9 vectors, the exact path guarded by
+max_exact_rows); language attachment is two joins against the doc
+table projected to (id, lang) — broadcast-sized per partition of ids at
+any corpus scale since it carries two small columns. Same-language
+pairs are dropped BEFORE anything downstream pays for them; NULL-lang
+docs cannot be cross-lingual evidence and are dropped with them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import embedding_cosine_pairs
+
+
+def bitext_candidates(
+    emb: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.4,
+    lsh_planes: int = 0,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_exact_rows: int | None = 100_000,
+) -> DataFrame:
+    """→ (left_id, right_id, lang_l, lang_r, cosine), left < right,
+    lang_l != lang_r (both non-NULL)."""
+    pairs = embedding_cosine_pairs(
+        emb,
+        id_col=id_col,
+        threshold=threshold,
+        lsh_planes=lsh_planes,
+        max_exact_rows=max_exact_rows,
+    )
+    langs = docs.select(
+        F.col(doc_id_col).alias("_id"), F.col(lang_col).alias("_lang")
+    ).filter(F.col("_lang").isNotNull())
+    return (
+        pairs.join(langs.withColumnRenamed("_id", "left_id"), "left_id")
+        .withColumnRenamed("_lang", "lang_l")
+        .join(
+            langs.withColumnRenamed("_id", "right_id").withColumnRenamed(
+                "_lang", "lang_r"
+            ),
+            "right_id",
+        )
+        .filter(F.col("lang_l") != F.col("lang_r"))
+        .select("left_id", "right_id", "lang_l", "lang_r", "cosine")
+    )

@@ -1,0 +1,53 @@
+"""Bitext candidate mining (operators/bitext): cross-lingual filter
+semantics over the embedding pair join."""
+
+import pytest
+
+from pyocr_spark.operators.bitext import bitext_candidates
+
+
+def _fixtures(spark):
+    # vectors: 0/1 near-identical (en/de -> bitext), 2 near 0 but same
+    # lang (dropped), 3 distant, 4 near 0 with NULL lang (dropped)
+    base = [1.0, 0.2, 0.1, 0.0]
+    emb = spark.createDataFrame(
+        [
+            (0, [x + 0.00 for x in base]),
+            (1, [x + 0.01 for x in base]),
+            (2, [x + 0.02 for x in base]),
+            (3, [-1.0, 1.0, -1.0, 1.0]),
+            (4, [x + 0.03 for x in base]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "en"), (1, "de"), (2, "en"), (3, "fr"), (4, None)],
+        "doc_id long, lang string",
+    )
+    return emb, docs
+
+
+def test_cross_lingual_only(spark):
+    emb, docs = _fixtures(spark)
+    got = {
+        (r["left_id"], r["right_id"], r["lang_l"], r["lang_r"])
+        for r in bitext_candidates(emb, docs, threshold=0.9).collect()
+    }
+    assert (0, 1, "en", "de") in got
+    flat = {(a, b) for a, b, *_ in got}
+    assert (0, 2) not in flat  # same lang
+    assert not any(4 in p for p in flat)  # NULL lang
+    assert not any(3 in p for p in flat)  # below threshold
+
+
+def test_lsh_path_subset_of_exact(spark):
+    emb, docs = _fixtures(spark)
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in bitext_candidates(emb, docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["left_id"], r["right_id"])
+        for r in bitext_candidates(emb, docs, threshold=0.9, lsh_planes=2).collect()
+    }
+    assert lsh <= exact
