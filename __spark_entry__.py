@@ -2163,6 +2163,21 @@ def _q_bitext_candidates(spark, sf_dir):
     )
 
 
+def _q_emb_diverse_sample(spark, sf_dir):
+    """Diversity-preserving subsample (operators/sampling.
+    diversity_sample): hyperplane-LSH buckets as semantic strata,
+    per-bucket quota — caps head topics so tail regions survive the
+    downsample; portable hash family → exact SQL replay."""
+    from pyocr_spark.operators.sampling import diversity_sample
+
+    return diversity_sample(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_per_bucket=30,
+        lsh_planes=4,
+        portable=True,
+    )
+
+
 def _q_embedding_dups(spark, sf_dir):
     from pyocr_spark.operators.dedup import embedding_cosine_pairs
 
@@ -2698,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
+        "emb_diverse_sample": _q_emb_diverse_sample,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "emb_semdedup": _q_emb_semdedup,
     }
@@ -5051,6 +5067,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
             "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
+        ),
+        # diversity sample: plane-literal signature replay (the ANN-LSH
+        # family) + the portable-hash quota window
+        "emb_diverse_sample": (
+            "WITH s AS (SELECT vec_id, "
+            + _plane_sig_sql("CAST(embedding AS DOUBLE[])", 4)
+            + " AS bucket FROM embeddings WHERE embedding IS NOT NULL), "
+            "r AS (SELECT vec_id, bucket, row_number() OVER (PARTITION BY bucket "
+            "ORDER BY CAST(('0x' || substr(md5(coalesce(CAST(vec_id AS VARCHAR), chr(0) || 'null')), 1, 15)) AS BIGINT), "
+            "coalesce(CAST(vec_id AS VARCHAR), chr(0) || 'null')) AS rn FROM s) "
+            "SELECT vec_id, bucket FROM r WHERE rn <= 30"
         ),
         # bitext mining: the exact pair join above + language attachment
         "bitext_candidates": (

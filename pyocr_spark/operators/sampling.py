@@ -318,3 +318,53 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", split)
+
+
+def diversity_sample(
+    emb: DataFrame,
+    n_per_bucket: int,
+    lsh_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Diversity-preserving subsample: hyperplane-LSH buckets as
+    SEMANTIC strata, per-bucket quota in content-addressed hash order.
+
+    The cluster-stratified cousin of SemDeDup (operators/dedup.
+    semantic_dedup): instead of collapsing near-dup clusters, it CAPS
+    each semantic region's representation — a uniform hash sample of a
+    web corpus is dominated by its head topics, while this keeps at most
+    ``n_per_bucket`` per region so tail regions survive the downsample
+    (the coverage argument behind cluster-balanced data selection).
+
+    Shape: the signature is one vectorized pandas UDF over the vector
+    column (operators/ann.hyperplane_sig — deterministic md5-derived
+    planes, the exact-replay family the ANN oracles use); the quota is
+    stratified_sample's single rank-limit-pushdown shuffle. NULL vectors
+    have no semantic region and are dropped.
+
+    Returns (id, bucket) — join back by id for payload columns.
+    """
+    from pyocr_spark.operators.ann import hyperplane_sig, make_planes
+
+    if lsh_planes < 1:
+        raise ValueError(f"lsh_planes must be >= 1, got {lsh_planes}")
+    first = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, bucket int"
+        )
+    planes = make_planes(len(first[0]), lsh_planes)
+    sig = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            hyperplane_sig(F.col(vec_col).cast("array<double>"), planes).alias(
+                "bucket"
+            ),
+        )
+    )
+    return stratified_sample(
+        sig, "bucket", n_per_bucket, key=id_col, portable=portable
+    )

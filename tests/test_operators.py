@@ -975,3 +975,34 @@ def test_temperature_sample_null_group_and_validation(spark):
         temperature_sample(df, "lang", "doc_id", total=10, alpha=0.0)
     with _pytest.raises(ValueError, match="correctly rounded"):
         temperature_sample(df, "lang", "doc_id", total=10, alpha=0.3, portable=True)
+
+
+def test_diversity_sample_caps_buckets_and_keeps_tail(spark):
+    from pyocr_spark.operators.ann import hyperplane_sig, make_planes
+    from pyocr_spark.operators.sampling import diversity_sample
+    import pyspark.sql.functions as F
+
+    # a dominant head region (40 near-identical vectors) + 3 tail regions
+    rows = [(i, [1.0, 0.5 + i * 1e-4, 0.1, 0.0]) for i in range(40)]
+    rows += [(100, [-1.0, 1.0, -1.0, 1.0]), (101, [0.0, -1.0, 1.0, -1.0]),
+             (102, [-0.5, -0.5, -0.5, -0.5]), (103, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = diversity_sample(emb, n_per_bucket=3, lsh_planes=4, portable=True)
+    pdf = got.toPandas()
+    # every bucket capped; NULL vector dropped
+    assert pdf.groupby("bucket").size().max() <= 3
+    assert 103 not in set(pdf.vec_id)
+    # buckets match an independent signature computation
+    planes = make_planes(4, 4)
+    sigs = {
+        r["vec_id"]: r["s"]
+        for r in emb.filter("embedding is not null")
+        .select("vec_id", hyperplane_sig(F.col("embedding").cast("array<double>"), planes).alias("s"))
+        .collect()
+    }
+    assert all(sigs[r.vec_id] == r.bucket for r in pdf.itertuples())
+    # the head region was capped to 3; tail regions survive intact
+    head_bucket = sigs[0]
+    assert len(pdf[pdf.bucket == head_bucket]) == 3
+    for vid in (100, 101, 102):
+        assert vid in set(pdf.vec_id)
