@@ -593,6 +593,16 @@ def _q_crawl_delta(spark, sf_dir):
     return crawl_delta(_pages(spark, sf_dir))
 
 
+def _q_capture_churn(spark, sf_dir):
+    """Content-churn magnitude per re-crawled url (operators/snapshot.
+    capture_churn): line-set Jaccard oldest↔newest capture — the
+    how-much companion to crawl_delta's did-it-change bit. Oracle =
+    independent decode_replace/line-set twin (datagen expected_churn)."""
+    from pyocr_spark.operators.snapshot import capture_churn
+
+    return capture_churn(_pages(spark, sf_dir))
+
+
 def _q_warc_revisit_plan(spark, sf_dir):
     """WARC revisit planning (operators/snapshot.revisit_plan): first
     capture of each content digest → response, later identical captures
@@ -2555,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_lines": _q_host_template_lines,
         "docs_template_stripped": _q_docs_template_stripped,
         "crawl_delta": _q_crawl_delta,
+        "capture_churn": _q_capture_churn,
         "warc_revisit_plan": _q_warc_revisit_plan,
         "refetch_priority": _q_refetch_priority,
         "bloom_seen_filter": _q_bloom_seen_filter,
@@ -3724,6 +3735,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k.kk = f.first_k THEN NULL "
             "ELSE CAST(f.first_k[1:19] AS BIGINT) END AS refers_to_ts_epoch "
             "FROM k JOIN f USING (digest)"
+        ),
+        # churn: decode_replace needs Python (invalid-utf8 pages), so the
+        # oracle is the independent expected-table twin
+        "capture_churn": (
+            "SELECT url, n_lines_old, n_lines_new, jaccard_micro "
+            f"FROM read_parquet('{E}/expected_churn.parquet')"
         ),
         "crawl_delta": (
             f"WITH v AS (SELECT url, coalesce(CAST(floor(epoch(warc_ts)) AS BIGINT), 0) AS ts, "

@@ -14,6 +14,7 @@ partitions; the aggregate collapses map-side first.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -236,4 +237,83 @@ def revisit_plan(
         F.when(is_original, F.lit(None).cast("long"))
         .otherwise(F.substring("first_k", 1, 19).cast("long"))
         .alias("refers_to_ts_epoch"),
+    )
+
+
+def capture_churn(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Content-churn magnitude per re-crawled url: line-set Jaccard
+    between the OLDEST and NEWEST capture — the how-much companion to
+    crawl_delta's did-it-change bit, and the signal refetch_priority
+    upgrades on (a 2% boilerplate tweak and a rewritten article are
+    different revisit priorities).
+
+    Frozen semantics: only urls with ≥2 captures appear; each capture's
+    content is decode_replace'd (the engine's U+FFFD discipline —
+    core/htmltext), split on '\\n', DISTINCT lines md5-hashed;
+    jaccard_micro = floor(1e6·|∩|/|∪|), NULL when both captures are
+    empty/NULL. Returns (url, n_lines_old, n_lines_new, jaccard_micro).
+
+    Shape: ONE partial-agg shuffle (min/max (ts, html) struct per url —
+    captures collapse map-side), one vectorized pandas UDF per surviving
+    row pair, set algebra via array_intersect/union JVM-side. At crawl
+    scale the agg input is the pages scan; everything after is one row
+    per re-crawled url.
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from pyocr_spark.core.htmltext import decode_replace
+
+    @pandas_udf("array<string>")
+    def line_md5s(htmls: pd.Series) -> pd.Series:
+        out = []
+        for h in htmls:
+            if h is None:
+                out.append([])
+                continue
+            text = decode_replace(bytes(h))
+            out.append(
+                sorted(
+                    {
+                        hashlib.md5(ln.encode("utf-8")).hexdigest()
+                        for ln in text.split("\n")
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    v = pages.select(
+        F.col(url_col).alias("url"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(html_col).alias("h")).alias("_v"),
+    )
+    multi = (
+        v.groupBy("url")
+        .agg(
+            F.min("_v").alias("_a"),
+            F.max("_v").alias("_b"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    sets = multi.select(
+        "url",
+        line_md5s(F.col("_a.h")).alias("_la"),
+        line_md5s(F.col("_b.h")).alias("_lb"),
+    )
+    inter = F.size(F.array_intersect("_la", "_lb"))
+    union = F.size(F.array_union("_la", "_lb"))
+    return sets.select(
+        "url",
+        F.size("_la").alias("n_lines_old"),
+        F.size("_lb").alias("n_lines_new"),
+        F.when(
+            union > 0,
+            F.floor(F.lit(1_000_000.0) * inter.cast("double") / union.cast("double")),
+        ).alias("jaccard_micro"),
     )

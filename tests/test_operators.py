@@ -1006,3 +1006,32 @@ def test_diversity_sample_caps_buckets_and_keeps_tail(spark):
     assert len(pdf[pdf.bucket == head_bucket]) == 3
     for vid in (100, 101, 102):
         assert vid in set(pdf.vec_id)
+
+
+def test_capture_churn_magnitudes(spark):
+    import datetime
+
+    from pyocr_spark.operators.snapshot import capture_churn
+
+    t1, t2 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)
+    rows = [
+        ("u/append", t1, b"<p>a</p>\n<p>b</p>\n<p>c</p>", None, "en"),
+        ("u/append", t2, b"<p>a</p>\n<p>b</p>\n<p>c</p>\n<p>new</p>", None, "en"),
+        ("u/rewrite", t1, b"<p>x</p>\n<p>y</p>", None, "en"),
+        ("u/rewrite", t2, b"<p>q</p>\n<p>r</p>", None, "en"),
+        ("u/same", t1, b"<p>s</p>", None, "en"),
+        ("u/same", t2, b"<p>s</p>", None, "en"),
+        ("u/single", t1, b"<p>only once</p>", None, "en"),
+        ("u/nulls", t1, None, None, "en"),
+        ("u/nulls", t2, None, None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r["url"]: r for r in capture_churn(df).collect()}
+    assert "u/single" not in got  # one capture -> no churn row
+    assert got["u/same"]["jaccard_micro"] == 1_000_000
+    assert got["u/rewrite"]["jaccard_micro"] == 0
+    assert got["u/append"]["jaccard_micro"] == 750_000  # 3 of 4 lines shared
+    assert got["u/append"]["n_lines_old"] == 3 and got["u/append"]["n_lines_new"] == 4
+    assert got["u/nulls"]["jaccard_micro"] is None
