@@ -1568,6 +1568,19 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
+def _q_corpus_drift(spark, sf_dir):
+    """Token-distribution drift (operators/drift.token_kl_divergence):
+    add-1-smoothed KL both directions between the doc_id%7 'new crawl'
+    slice and the rest — per-term micro rounding before the int sum (the
+    doc_unigram_nll ln discipline)."""
+    from pyocr_spark.operators.drift import token_kl_divergence
+
+    docs = _docs(spark, sf_dir)
+    return token_kl_divergence(
+        docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0")
+    )
+
+
 def _q_neardup_eval(spark, sf_dir):
     """Estimator evaluation (operators/dedup_eval.neardup_eval): the
     MinHash-LSH pair set scored against the exact capped-Jaccard pair
@@ -2684,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_delta": _q_minhash_pairs_delta,
         "neardup_eval": _q_neardup_eval,
+        "corpus_drift": _q_corpus_drift,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
@@ -4821,6 +4835,30 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_delta": (
             f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
             "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
+        # corpus drift: per-term micro rounding before the int64 sum (the
+        # doc_unigram_nll ln discipline — a sub-micro ln ulp difference
+        # cannot accumulate)
+        "corpus_drift": (
+            "WITH ta AS (SELECT unnest(list_filter(string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), x -> x != '')) AS token "
+            "FROM documents WHERE doc_id % 7 != 0), "
+            "tb AS (SELECT unnest(list_filter(string_split_regex(regexp_replace(text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), x -> x != '')) AS token "
+            "FROM documents WHERE doc_id % 7 = 0), "
+            "ca AS (SELECT token, count(*) AS ca FROM ta GROUP BY 1), "
+            "cb AS (SELECT token, count(*) AS cb FROM tb GROUP BY 1), "
+            "j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb "
+            "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), "
+            "st AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j), "
+            "t AS (SELECT CAST(ca + 1 AS DOUBLE) / (na + v) AS p, "
+            "CAST(cb + 1 AS DOUBLE) / (nb + v) AS q FROM j, st) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_terms, "
+            "(SELECT CAST(na AS BIGINT) FROM st) AS n_a, "
+            "(SELECT CAST(nb AS BIGINT) FROM st) AS n_b, "
+            "CAST(sum(CAST(round(1000000.0 * p * (ln(p) - ln(q)), 0) AS BIGINT)) AS BIGINT) AS kl_ab_micro, "
+            "CAST(sum(CAST(round(1000000.0 * q * (ln(q) - ln(p)), 0) AS BIGINT)) AS BIGINT) AS kl_ba_micro "
+            "FROM t"
         ),
         # estimator eval: full-outer join of the two deployed operators'
         # pair sets; micro ratios NULL on zero denominators

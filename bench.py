@@ -257,6 +257,49 @@ def main() -> None:
         reps=3,
     )
 
+    # PQ walls: train once (amortized at deployment, untimed), then time
+    # (a) the encode pass — one vectorized UDF over all vectors, and
+    # (b) the compressed-domain ADC top-k over a prebuilt IVF-PQ index —
+    # codes-only scan + partition-pruned probe; contrast with ann_topk's
+    # full-vector scan
+    from pyocr_spark.operators.pq import (
+        build_ivfpq_index,
+        pq_encode,
+        search_ivfpq_index,
+        train_pq_codebooks,
+    )
+
+    pq_cb = train_pq_codebooks(emb)
+    timed("pq_encode", lambda: noop_write(pq_encode(emb, pq_cb)), reps=3)
+    ivfpq_path = str(emb_dir / "ivfpq-bench-index")
+    build_ivfpq_index(emb, ivfpq_path, nlist=32)
+    timed(
+        "pq_ivfpq_search",
+        lambda: search_ivfpq_index(
+            spark, ivfpq_path, qvec, k=10, nprobe=4, exclude_id=0
+        ).collect(),
+        reps=3,
+    )
+
+    # paragraph-chunking wall: the greedy HOF fold over the extracted
+    # corpus — narrow, zero shuffle past the text scan
+    from pyocr_spark.operators.chunker import paragraph_chunks
+
+    timed(
+        "para_chunks",
+        lambda: noop_write(paragraph_chunks(docs_df, chunk_tokens=128)),
+        reps=3,
+    )
+
+    # shard-balancing wall: size-stratum windows + broadcast offsets
+    from pyocr_spark.operators.sharding import shard_assign
+
+    timed(
+        "shard_assign",
+        lambda: noop_write(shard_assign(docs_df, n_shards=64)),
+        reps=3,
+    )
+
     # density main-content wall: the DOM-heuristic strategy — same narrow
     # shape as extract_text, different classify
     from pyocr_spark.functions.maincontent import extract_main_density

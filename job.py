@@ -85,6 +85,13 @@ def parse_args(argv=None):
              "is one window partition)",
     )
     p.add_argument(
+        "--shards", type=int, default=None,
+        help="--corpus: write the corpus partitioned into N token-"
+             "balanced shards (snake round-robin over size order — "
+             "operators/sharding); output gains a 'shard' column and is "
+             "partitioned by it",
+    )
+    p.add_argument(
         "--blocklist", default=None,
         help="text file of blocked hosts (one per line); pages from these "
              "hosts are dropped before any processing mode",
@@ -148,6 +155,8 @@ def main(argv=None) -> None:
         # each mode writes a different table shape to --output; silently
         # running only one of the requested modes would hide the conflict
         raise SystemExit(f"--{' and --'.join(picked)} are mutually exclusive")
+    if args.shards and not args.corpus:
+        raise SystemExit("--shards requires --corpus (it shards the corpus table)")
     if args.wet_output and (picked or "text" not in modes):
         # WET exports the extraction output's extracted_text column
         raise SystemExit(
@@ -243,7 +252,17 @@ def main(argv=None) -> None:
             except ValueError as exc:
                 raise SystemExit(f"bad --split spec {args.split!r}: {exc}")
             out = hash_split(out, fractions, "url")
-        out.write.mode("overwrite").parquet(args.output)
+        if args.shards:
+            from pyocr_spark.operators.sharding import shard_assign
+
+            # corpus rows already carry n_tokens — no re-tokenization
+            asg = shard_assign(
+                out, args.shards, id_col="url", tokens_col="n_tokens"
+            ).select("url", "shard")
+            out = out.join(asg, "url")
+            out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        else:
+            out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"mode": "corpus", "rows": n, "output": args.output}))
         spark.stop()

@@ -1,0 +1,69 @@
+"""Corpus distribution drift — smoothed token-level KL divergence
+between two corpus slices.
+
+The go/no-go number for "did this crawl change what the model will
+see": language drift, template takeovers, spam floods, and extractor
+regressions all move the unigram token distribution long before they
+move row counts. Computed between any two slices (crawl N vs N+1, one
+host vs the corpus, pre- vs post-filter) as add-1-smoothed KL in both
+directions over the union vocabulary.
+
+Definition (frozen): with token counts cA/cB, totals NA/NB and union
+vocabulary size V, p(t) = (cA(t)+1)/(NA+V), q(t) = (cB(t)+1)/(NB+V);
+KL(A‖B) = Σ_t p(t)·ln(p(t)/q(t)), reported as Σ of PER-TERM
+round(1e6·term) — the doc_unigram_nll micro discipline: both engines
+round each double term to integer micros before the (order-independent)
+int64 sum, so a sub-micro ln ulp difference cannot accumulate.
+
+Shape: one token-count aggregate per side (map-side combined), a full
+outer join on token (the union vocab), a narrow projection, one scalar
+agg. At 100 TB each side is its vocabulary, not its corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+
+def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def token_kl_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ ONE row (n_terms, n_a, n_b, kl_ab_micro, kl_ba_micro)."""
+    ca = _token_counts(df_a, text_col).withColumnRenamed("c", "ca")
+    cb = _token_counts(df_b, text_col).withColumnRenamed("c", "cb")
+    j = ca.join(cb, "token", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    # scalar side stats as a 1-row crossJoin (broadcast by size)
+    stats = j.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    t = j.crossJoin(F.broadcast(stats))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
+    term_ab = F.round(F.lit(1_000_000.0) * p * (F.log(p) - F.log(q)), 0).cast("long")
+    term_ba = F.round(F.lit(1_000_000.0) * q * (F.log(q) - F.log(p)), 0).cast("long")
+    return t.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(term_ab).alias("kl_ab_micro"),
+        F.sum(term_ba).alias("kl_ba_micro"),
+    )

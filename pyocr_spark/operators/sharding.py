@@ -53,19 +53,25 @@ def shard_assign(
     text_col: str = "text",
     id_col: str = "doc_id",
     stratum_width: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(docs…) → (id, n_tokens, shard) — every input doc exactly once.
 
     shard ∈ [0, n_shards): snake round-robin over (n_tokens DESC, id).
+    Pass ``tokens_col`` to reuse an existing token count (e.g. the
+    corpus plan's ``n_tokens``) instead of re-tokenizing ``text_col``.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if stratum_width < 1:
         raise ValueError(f"stratum_width must be >= 1, got {stratum_width}")
-    ntok = F.coalesce(
-        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))),
-        F.lit(0),
-    ).cast("long")
+    if tokens_col is not None:
+        ntok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    else:
+        ntok = F.coalesce(
+            F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))),
+            F.lit(0),
+        ).cast("long")
     base = df.select(
         F.col(id_col),
         ntok.alias("n_tokens"),

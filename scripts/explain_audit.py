@@ -840,6 +840,47 @@ def main() -> int:
           and len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
           and "Join" not in p, "")
 
+    # 51. shard balancing: the rank must NOT be one global window — the
+    # only SinglePartition exchange allowed is the tiny strata-offset
+    # table's; the join back is broadcast
+    df = qs["docs_shard_assign"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_shard_assign", p))
+    check("docs_shard_assign", "no corpus-wide single-partition sort (1 tiny offsets window) + broadcast join",
+          p.count("Exchange SinglePartition") <= 2  # tree+detail of ONE node
+          and "BroadcastHashJoin" in p, f"SinglePartition occurrences={p.count('Exchange SinglePartition')}")
+
+    # 52. sparse TF-cosine: inverted-index equi-join with partial aggs,
+    # never a cartesian/NLJ
+    df = qs["docs_cosine_tf"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_cosine_tf", p))
+    check("docs_cosine_tf", "term equi-join (no NLJ/cartesian) + partial aggregation",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and "partial" in p.lower(), "")
+
+    # 53. paragraph chunking: the greedy fold adds NO shuffle past the
+    # extraction's dedup window (exactly one Exchange in the whole plan)
+    df = qs["page_para_chunks"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("page_para_chunks", p))
+    check("page_para_chunks", "exactly one Exchange (extraction dedup window)",
+          p.count("Exchange") == 2, f"Exchange occurrences={p.count('Exchange')} (2 per node)")
+
+    # 54. robust gate: both stats joins broadcast (no sort-merge join)
+    df = qs["docs_robust_outliers"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_robust_outliers", p))
+    check("docs_robust_outliers", "stats joined broadcast, no SortMergeJoin",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p, "")
+
+    # 55. incremental near-dup: band equi-join, no NLJ/cartesian
+    df = qs["minhash_pairs_delta"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("minhash_pairs_delta", p))
+    check("minhash_pairs_delta", "band-bucket equi-join (no NLJ/cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)

@@ -1,0 +1,53 @@
+"""Token KL drift (operators/drift): exact vs an independent Python
+model; identical slices give zero divergence; drift is directional."""
+
+import math
+import re
+from collections import Counter
+
+from pyocr_spark.operators.drift import token_kl_divergence
+
+WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _counts(texts):
+    c = Counter()
+    for t in texts:
+        if t:
+            c.update(w for w in WS.split(t.strip("\t\n\f\r ")) if w)
+    return c
+
+
+def _twin(texts_a, texts_b):
+    ca, cb = _counts(texts_a), _counts(texts_b)
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    ab = ba = 0
+    def r(x):  # HALF away from zero, like both engines' round(x, 0)
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    for t in vocab:
+        p = (ca[t] + 1) / (na + v)
+        q = (cb[t] + 1) / (nb + v)
+        ab += r(1_000_000.0 * p * (math.log(p) - math.log(q)))
+        ba += r(1_000_000.0 * q * (math.log(q) - math.log(p)))
+    return v, na, nb, ab, ba
+
+
+def test_matches_python_model(spark):
+    a = ["alpha beta beta gamma", "alpha delta", None, ""]
+    b = ["alpha alpha epsilon", "zeta zeta zeta gamma"]
+    da = spark.createDataFrame([(t,) for t in a], "text string")
+    db = spark.createDataFrame([(t,) for t in b], "text string")
+    row = token_kl_divergence(da, db).head()
+    v, na, nb, ab, ba = _twin(a, b)
+    assert (row["n_terms"], row["n_a"], row["n_b"]) == (v, na, nb)
+    assert row["kl_ab_micro"] == ab and row["kl_ba_micro"] == ba
+    assert ab > 0 and ba > 0
+
+
+def test_identical_slices_zero(spark):
+    a = ["same words here", "and here too"]
+    da = spark.createDataFrame([(t,) for t in a], "text string")
+    row = token_kl_divergence(da, da).head()
+    assert row["kl_ab_micro"] == 0 and row["kl_ba_micro"] == 0

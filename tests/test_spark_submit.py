@@ -333,3 +333,47 @@ def test_spark_submit_wat_and_markdown_sidecars(tmp_path):
         base_url="https://h/a",
     )
     assert md.loc["https://h/b", "markdown"] == "**beta** two"
+
+
+def test_spark_submit_corpus_sharded(tmp_path, pages_sf0001):
+    """--corpus --shards N: output partitioned by token-balanced shard;
+    every row exactly once, shard totals within one max-doc of each
+    other (snake balance on this corpus)."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    out_dir = str(tmp_path / "corpus")
+    proc = _submit_job(zip_path, [
+        "--input", str(pages_sf0001 / "pages.parquet"),
+        "--output", out_dir,
+        "--corpus", "--min-tokens", "20", "--sample-fraction", "1.0",
+        "--shards", "4",
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "corpus" and report["rows"] > 0
+    import glob as _glob
+
+    import pandas as pd
+
+    shard_dirs = sorted(_glob.glob(os.path.join(out_dir, "shard=*")))
+    assert len(shard_dirs) == 4
+    out = pd.read_parquet(out_dir)
+    assert out["url"].is_unique and report["rows"] == len(out)
+    totals = out.groupby("shard")["n_tokens"].sum()
+    assert totals.max() - totals.min() <= out["n_tokens"].max()
+
+
+def test_spark_submit_shards_requires_corpus(tmp_path, pages_sf0001):
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    proc = _submit_job(zip_path, [
+        "--input", str(pages_sf0001 / "pages.parquet"),
+        "--output", str(tmp_path / "o"),
+        "--shards", "4",
+    ], str(tmp_path))
+    assert proc.returncode != 0
+    assert "--shards requires --corpus" in (proc.stderr + proc.stdout)
