@@ -1628,6 +1628,24 @@ def _q_docs_cosine_tf(spark, sf_dir):
     return cosine_tf_pairs(_docs(spark, sf_dir), threshold_micro=300_000)
 
 
+def _q_doc_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (operators/winnow, Schleimer et al. 2003
+    / MOSS): per-window minima of char-k-gram hashes — local copy
+    detection with the ≥ w+k−1 shared-substring guarantee; pure HOFs in
+    the scan projection."""
+    from pyocr_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), portable=True)
+
+
+def _q_doc_winnow_pairs(spark, sf_dir):
+    """Local-overlap candidates over winnowed fingerprints: inverted-
+    index equi-join with the deterministic docfreq cap."""
+    from pyocr_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), portable=True)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from pyocr_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2701,6 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
+        "doc_winnow_fps": _q_doc_winnow_fps,
+        "doc_winnow_pairs": _q_doc_winnow_pairs,
         "extract_pdf": _q_extract_pdf,
         "dup_components": _q_dup_components,
         "docs_neardup_pruned": _q_docs_neardup_pruned,
@@ -4786,6 +4806,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
+        ),
+        # winnowing: the identical HOF chain in DuckDB list ops —
+        # normalize, char-8-gram portable hashes, window-of-4 minima,
+        # distinct; short docs → one whole-text hash
+        "doc_winnow_fps": (
+            "WITH t0 AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS t FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, t, length(t) AS n, "
+            "list_transform(generate_series(1, length(t) - 7), "
+            "i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT)) AS hs FROM t0), "
+            "f AS (SELECT doc_id, CASE WHEN n >= 8 THEN "
+            "list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)), "
+            "i -> list_min(list_slice(hs, i, i + 3)))) "
+            "WHEN n > 0 THEN [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)] "
+            "ELSE [] END AS fps FROM g) "
+            "SELECT doc_id, unnest(fps) AS fp FROM f"
+        ),
+        "doc_winnow_pairs": (
+            "WITH t0 AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS t FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, t, length(t) AS n, "
+            "list_transform(generate_series(1, length(t) - 7), "
+            "i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT)) AS hs FROM t0), "
+            "f AS (SELECT doc_id, CASE WHEN n >= 8 THEN "
+            "list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)), "
+            "i -> list_min(list_slice(hs, i, i + 3)))) "
+            "WHEN n > 0 THEN [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)] "
+            "ELSE [] END AS fps FROM g), "
+            "inv AS (SELECT doc_id, unnest(fps) AS fp FROM f), "
+            "rare AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 100), "
+            "inv2 AS (SELECT inv.* FROM inv JOIN rare USING (fp)) "
+            "SELECT l.doc_id AS left_id, r.doc_id AS right_id, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM inv2 l JOIN inv2 r ON l.fp = r.fp AND l.doc_id < r.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         # sparse TF-cosine: int64 dot/ssq, then floor(1e6·dot/(√l·√r)) —
         # sqrt/mul/div/floor are correctly-rounded IEEE doubles, so the

@@ -1,0 +1,79 @@
+"""Winnowing (operators/winnow): detection guarantee, twin equality,
+normalization robustness, short-doc rules."""
+
+import hashlib
+import re
+
+import pytest
+
+from pyocr_spark.operators.winnow import winnow_fingerprints, winnow_pairs
+
+WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _phash(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _twin_fps(text, k=8, w=4):
+    if text is None:
+        return set()
+    t = WS.sub(" ", text.lower()).strip(" ")
+    n = len(t)
+    if n == 0:
+        return set()
+    if n < k:
+        return {_phash(t)}
+    hs = [_phash(t[i : i + k]) for i in range(n - k + 1)]
+    m = len(hs)
+    out = set()
+    for i in range(max(m - w + 1, 1)):
+        out.add(min(hs[i : i + w]))
+    return out
+
+
+SHARED = "a very distinctive quoted passage appears verbatim here"
+DOCS = [
+    (0, "intro text one. " + SHARED + " trailing remarks alpha."),
+    (1, "different opening. " + SHARED + " other ending entirely beta."),
+    (2, "nothing in common with the others at all, gamma delta epsilon."),
+    (3, "tiny"),
+    (4, ""),
+    (5, None),
+    (6, "INTRO   text\tone. " + SHARED.upper() + " trailing remarks alpha."),
+]
+
+
+def test_fingerprints_match_python_twin(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, portable=True).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in DOCS:
+        assert got.get(i, set()) == _twin_fps(t), i
+
+
+def test_local_overlap_detected_and_normalization_invariant(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {
+        (r["left_id"], r["right_id"]): r["n_shared"]
+        for r in winnow_pairs(df, portable=True).collect()
+    }
+    assert (0, 1) in pairs  # the shared passage survives winnowing
+    # doc 6 is doc 0 with case/whitespace churn: identical fingerprints
+    assert (0, 6) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_short_doc_single_fp(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = winnow_fingerprints(df, portable=True).filter("doc_id = 3").collect()
+    assert len(rows) == 1 and rows[0]["fp"] == _phash("tiny")
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="k >= 2"):
+        winnow_fingerprints(df, k=1)
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_pairs(df, min_shared=0)
