@@ -1568,6 +1568,32 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
+def _q_clf_auc(spark, sf_dir):
+    """Exact ROC-AUC of the quality classifier (operators/auceval.
+    roc_auc): Mann-Whitney rank statistic over the bounded integer-micro
+    score domain — per-score aggregate + tiny running-count window,
+    never a corpus sort. Labels = the same rule the classifier trained
+    on (the measured-separation report, like neardup_eval)."""
+    from pyocr_spark.operators.auceval import roc_auc
+    from pyocr_spark.operators.qualityclf import (
+        quality_clf_scores,
+        train_quality_clf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.filter(F.col("text").contains("spark")).select("doc_id")
+    w = train_quality_clf(docs, pos, buckets=4096, iters=3, portable=True)
+    scored = quality_clf_scores(docs, w, buckets=4096, portable=True)
+    labeled = scored.join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("y"),
+        ),
+        "doc_id",
+    )
+    return roc_auc(labeled)
+
+
 def _q_corpus_drift(spark, sf_dir):
     """Token-distribution drift (operators/drift.token_kl_divergence):
     add-1-smoothed KL both directions between the doc_id%7 'new crawl'
@@ -2716,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_delta": _q_minhash_pairs_delta,
         "neardup_eval": _q_neardup_eval,
         "corpus_drift": _q_corpus_drift,
+        "clf_auc": _q_clf_auc,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
@@ -4890,6 +4917,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_delta": (
             f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
             "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
+        # classifier AUC: rank-sum over the unrolled score CTE, doubled
+        # midranks keep ties exact, `//` = Spark's `div`
+        "clf_auc": (
+            f"WITH {_CLF_SCORES_CTE}, "
+            "auclab AS (SELECT s.score_micro AS sm, "
+            "CASE WHEN d.text LIKE '%spark%' THEN 1 ELSE 0 END AS y "
+            "FROM scores s JOIN documents d USING (doc_id)), "
+            "per AS (SELECT sm, count(*) AS n, sum(y) AS npos FROM auclab GROUP BY sm), "
+            "rk AS (SELECT sm, n, npos, coalesce(sum(n) OVER (ORDER BY sm "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less FROM per), "
+            "ag AS (SELECT sum(npos) AS n_pos, sum(n) - sum(npos) AS n_neg, "
+            "sum(npos * (2 * less + n + 1)) AS t2 FROM rk) "
+            "SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, "
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "CAST((1000000 * (t2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg) AS BIGINT) "
+            "END AS auc_micro FROM ag"
         ),
         # corpus drift: per-term micro rounding before the int64 sum (the
         # doc_unigram_nll ln discipline — a sub-micro ln ulp difference

@@ -1,0 +1,65 @@
+"""Exact ROC-AUC — classifier evaluation as a rank statistic.
+
+Every learned gate in the pipeline (the GPT-3-style quality classifier,
+DSIR weights, LM quality proxies) needs a measured answer to "does the
+score actually separate the classes". AUC is the threshold-free one,
+and it is exactly the Mann-Whitney U rank statistic — which makes it
+computable distributed WITHOUT sorting the corpus: scores here are
+integer micros (a bounded domain of ≤ ~2·10^6 distinct values), so the
+plan is one per-score-value aggregate over the corpus, a running-count
+window over the TINY distinct-score table, and one scalar aggregate.
+Ties use the standard midrank convention, kept exact by working in
+DOUBLED ranks (2·midrank = 2·cnt_less + cnt_tied + 1 — an integer).
+
+    AUC = (Σ_pos 2·midrank − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+reported as ``auc_micro = (10^6 · U2) div (2·n_pos·n_neg)`` — pure
+int64 arithmetic, engine-exact. int64 bound: 10^6·U2 fits while
+n_pos·n_total < ~9·10^12 — beyond that (a 10^9-row labeled eval set)
+evaluate on a deterministic hash sample; an eval set that size is a
+sampling decision, not a compute one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score_micro",
+    label_col: str = "y",
+) -> DataFrame:
+    """(…, score, label 0/1) → ONE row (n_pos, n_neg, auc_micro).
+
+    auc_micro is NULL when either class is empty (no ranking to score).
+    NULL scores/labels are rejected rows — drop or impute upstream;
+    silently ranking them would corrupt the statistic."""
+    per = (
+        scored.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos"))
+    )
+    # bounded score domain → the distinct-score table is tiny; the
+    # single-partition running count is over THAT table, not the corpus
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn("less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    term = F.col("npos") * (2 * F.col("less") + F.col("n") + 1)
+    agg = ranked.agg(
+        F.sum("npos").alias("n_pos"),
+        (F.sum("n") - F.sum("npos")).alias("n_neg"),
+        F.sum(term).alias("t2"),
+    ).withColumn("u2", F.col("t2") - F.col("n_pos") * (F.col("n_pos") + 1))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            # exact int64 floor division (u2 >= 0): `div`, not `/`
+            F.expr("(1000000 * u2) div (2 * n_pos * n_neg)"),
+        ).alias("auc_micro"),
+    )

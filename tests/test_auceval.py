@@ -1,0 +1,47 @@
+"""Exact ROC-AUC (operators/auceval): rank-sum vs an independent
+pairwise-comparison model, ties at midrank, degenerate classes NULL."""
+
+import math
+
+from pyocr_spark.operators.auceval import roc_auc
+
+
+def _pairwise_auc(rows):
+    """Independent model: AUC = P(score_pos > score_neg) + 0.5 P(=)."""
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    return math.floor(1_000_000 * wins * 2 / (2 * len(pos) * len(neg)))
+
+
+def _check(spark, rows):
+    df = spark.createDataFrame(rows, "score_micro long, y int")
+    got = roc_auc(df).head()
+    want = _pairwise_auc(rows)
+    assert got["auc_micro"] == want, (got, want)
+    return got
+
+
+def test_separable_ties_and_random(spark):
+    # perfectly separable
+    rows = [(i + 100, 1) for i in range(5)] + [(i, 0) for i in range(5)]
+    got = _check(spark, rows)
+    assert got["auc_micro"] == 1_000_000
+    # everything tied -> 0.5
+    rows = [(7, 1)] * 4 + [(7, 0)] * 6
+    got = _check(spark, rows)
+    assert got["auc_micro"] == 500_000
+    # mixed with ties at the boundary
+    rows = [(10, 1), (8, 1), (8, 0), (5, 1), (5, 0), (5, 0), (1, 0)]
+    _check(spark, rows)
+    # anti-correlated -> 0
+    rows = [(i, 1) for i in range(3)] + [(i + 10, 0) for i in range(3)]
+    got = _check(spark, rows)
+    assert got["auc_micro"] == 0
+
+
+def test_degenerate_classes_null(spark):
+    df = spark.createDataFrame([(5, 1), (3, 1)], "score_micro long, y int")
+    assert roc_auc(df).head()["auc_micro"] is None
