@@ -1654,6 +1654,18 @@ def _q_docs_cosine_tf(spark, sf_dir):
     return cosine_tf_pairs(_docs(spark, sf_dir), threshold_micro=300_000)
 
 
+def _q_doc_proximity(spark, sf_dir):
+    """Unordered proximity retrieval (functions/search.proximity_match,
+    SpanNear within-k): anchor term with every other query term within
+    ±6 tokens — per-row HOFs, no shuffle; the positional-index twin is
+    equality-gated in tests."""
+    from pyocr_spark.functions.search import proximity_match
+
+    return proximity_match(
+        _docs(spark, sf_dir), ("table", "scan", "sort"), window=6
+    )
+
+
 def _q_doc_winnow_fps(spark, sf_dir):
     """Winnowing fingerprints (operators/winnow, Schleimer et al. 2003
     / MOSS): per-window minima of char-k-gram hashes — local copy
@@ -2746,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
+        "doc_proximity": _q_doc_proximity,
         "doc_winnow_fps": _q_doc_winnow_fps,
         "doc_winnow_pairs": _q_doc_winnow_pairs,
         "extract_pdf": _q_extract_pdf,
@@ -4833,6 +4846,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
+        ),
+        # proximity: positions per term as list ops, anchor test with
+        # nested lambda capture (DuckDB supports outer-variable capture)
+        "doc_proximity": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), x -> x != '') AS w FROM documents WHERE text IS NOT NULL), "
+            "p AS (SELECT doc_id, "
+            "list_filter(list_transform(generate_series(1, len(w)), i -> "
+            "CASE WHEN w[i] = 'table' THEN i - 1 END), x -> x IS NOT NULL) AS p0, "
+            "list_filter(list_transform(generate_series(1, len(w)), i -> "
+            "CASE WHEN w[i] = 'scan' THEN i - 1 END), x -> x IS NOT NULL) AS p1, "
+            "list_filter(list_transform(generate_series(1, len(w)), i -> "
+            "CASE WHEN w[i] = 'sort' THEN i - 1 END), x -> x IS NOT NULL) AS p2 FROM tok), "
+            "a AS (SELECT doc_id, list_filter(p0, x -> "
+            "len(list_filter(p1, q -> abs(q - x) <= 6)) > 0 AND "
+            "len(list_filter(p2, q -> abs(q - x) <= 6)) > 0) AS anc FROM p) "
+            "SELECT doc_id, CAST(len(anc) AS BIGINT) AS n_anchors, "
+            "CAST(anc[1] AS INT) AS first_anchor FROM a WHERE len(anc) > 0"
         ),
         # winnowing: the identical HOF chain in DuckDB list ops —
         # normalize, char-8-gram portable hashes, window-of-4 minima,

@@ -527,3 +527,111 @@ def hybrid_topk(
         k0=k0,
         id_col=id_col,
     )
+
+
+def _anchor_hits(pos0: Column, others: list[Column], window: int) -> Column:
+    """Anchors in ``pos0`` with every other term within ±window."""
+    def ok(p):
+        cond = F.lit(True)
+        for pj in others:
+            cond = cond & F.exists(pj, lambda q: F.abs(q - p) <= window)
+        return cond
+
+    return F.filter(pos0, ok)
+
+
+def proximity_match(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered proximity retrieval (the SpanNear/within-k operator):
+    docs where every query term occurs within ±``window`` tokens of an
+    occurrence of ``terms[0]`` (the anchor). Returns (id, n_anchors,
+    first_anchor) — n_anchors counts anchor positions, the natural
+    proximity-evidence weight.
+
+    Frozen semantics: positions are 0-based indexes of the engine
+    tokenization; the anchor is the FIRST query term; a doc matches iff
+    ≥1 anchor has every other term within the window (each term
+    independently — terms may share a supporting position). Direct-scan
+    form: per-row HOFs over one posexplode-free token array — no
+    shuffle, no Python; :func:`search_proximity_index` is the
+    index-backed twin that must return the identical result."""
+    if not terms:
+        raise ValueError("proximity_match needs at least one term")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), toks.alias("_w"))
+    # positions per term, bound as columns (one pass over _w per term)
+    withpos = base
+    for j, t in enumerate(terms):
+        pos = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - 1),
+                lambda i: F.when(F.element_at("_w", i + 1) == t, i),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        withpos = withpos.withColumn(f"_p{j}", pos)
+    anchors = _anchor_hits(
+        F.col("_p0"), [F.col(f"_p{j}") for j in range(1, len(terms))], window
+    )
+    return (
+        withpos.select(F.col(id_col), anchors.alias("_a"))
+        .filter(F.size("_a") > 0)
+        .select(
+            id_col,
+            F.size("_a").cast("long").alias("n_anchors"),
+            F.element_at("_a", 1).cast("int").alias("first_anchor"),
+        )
+    )
+
+
+def search_proximity_index(
+    spark,
+    path: str,
+    terms: tuple[str, ...],
+    window: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity search over the positional index — result IDENTICAL to
+    :func:`proximity_match` on the source corpus. Same shard pruning and
+    doc-id equi-join chain as search_phrase_index; the anchor/window
+    test replaces the shift-intersect."""
+    from pyocr_spark.core.xxh import xxh64_signed
+
+    if not terms:
+        raise ValueError("search_proximity_index needs at least one term")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    stats = spark.read.parquet(f"{path}/stats")
+    n_shards = stats.head()["n_shards"]
+    shards = sorted({xxh64_signed(t.encode("utf-8")) % n_shards for t in terms})
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("shard").isin(shards)
+    )
+
+    def term_slice(j: int, term: str) -> DataFrame:
+        return post.filter(F.col("token") == term).select(
+            F.col(id_col), F.col("positions").alias(f"_p{j}")
+        )
+
+    acc = term_slice(0, terms[0])
+    for j, term in enumerate(terms[1:], start=1):
+        acc = acc.join(term_slice(j, term), id_col)
+    anchors = _anchor_hits(
+        F.col("_p0"), [F.col(f"_p{j}") for j in range(1, len(terms))], window
+    )
+    return (
+        acc.select(F.col(id_col), anchors.alias("_a"))
+        .filter(F.size("_a") > 0)
+        .select(
+            id_col,
+            F.size("_a").cast("long").alias("n_anchors"),
+            F.element_at("_a", 1).cast("int").alias("first_anchor"),
+        )
+    )

@@ -304,3 +304,73 @@ def test_rrf_fusion_semantics(spark, docs_df):
     vec_ids = {0}  # exact-match vector ranks first; others cosine 0
     got_ids = {r.doc_id for r in fused}
     assert text_ids <= got_ids and vec_ids <= got_ids
+
+
+# --- proximity (SpanNear within-k) ---------------------------------------
+
+def test_proximity_direct_scan_semantics(spark):
+    from pyocr_spark.functions.search import proximity_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha x x beta gamma"),          # beta@3, gamma@4 near alpha@0? window 3: beta yes(3), gamma no(4)
+            (1, "alpha beta gamma"),               # all adjacent
+            (2, "alpha x x x x x x x x x beta gamma"),  # beta@10 too far at window 3
+            (3, "beta gamma"),                     # no anchor
+            (4, "alpha beta alpha x x x x gamma"),  # anchor2? gamma@7 near alpha@2? window 5: yes
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_anchors"], r["first_anchor"])
+        for r in proximity_match(docs, ("alpha", "beta", "gamma"), window=3).collect()
+    }
+    assert 1 in got and got[1] == (1, 0)
+    assert 0 not in got  # gamma outside window of the only anchor
+    assert 2 not in got and 3 not in got and 5 not in got
+    got5 = {
+        r["doc_id"]: (r["n_anchors"], r["first_anchor"])
+        for r in proximity_match(docs, ("alpha", "beta", "gamma"), window=5).collect()
+    }
+    assert got5[4] == (1, 2)  # only the second alpha covers gamma
+    assert got5[0] == (1, 0)
+
+
+def test_proximity_index_identical_to_scan(spark, tmp_path):
+    from pyocr_spark.functions.search import (
+        build_positional_index,
+        proximity_match,
+        search_proximity_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"pad{i} alpha w{i % 3} beta gamma tail alpha beta")
+            for i in range(20)
+        ]
+        + [(99, "alpha only here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "posidx")
+    build_positional_index(docs, path, n_shards=8)
+    for w in (1, 2, 8):
+        scan = sorted(
+            map(tuple, proximity_match(docs, ("beta", "gamma", "alpha"), window=w).collect())
+        )
+        idx = sorted(
+            map(tuple, search_proximity_index(spark, path, ("beta", "gamma", "alpha"), window=w).collect())
+        )
+        assert scan == idx, w
+
+
+def test_proximity_validation(spark):
+    import pytest as _pytest
+
+    from pyocr_spark.functions.search import proximity_match
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="at least one term"):
+        proximity_match(docs, ())
+    with _pytest.raises(ValueError, match="window"):
+        proximity_match(docs, ("x",), window=0)
