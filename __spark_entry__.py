@@ -1594,6 +1594,30 @@ def _q_clf_auc(spark, sf_dir):
     return roc_auc(labeled)
 
 
+def _q_clf_calibration(spark, sf_dir):
+    """Reliability bins for the classifier (operators/auceval.
+    calibration_bins): per-decile mean score vs positive rate in exact
+    int64 micros — the does-0.9-mean-90% report beside clf_auc."""
+    from pyocr_spark.operators.auceval import calibration_bins
+    from pyocr_spark.operators.qualityclf import (
+        quality_clf_scores,
+        train_quality_clf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.filter(F.col("text").contains("spark")).select("doc_id")
+    w = train_quality_clf(docs, pos, buckets=4096, iters=3, portable=True)
+    scored = quality_clf_scores(docs, w, buckets=4096, portable=True)
+    labeled = scored.join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("y"),
+        ),
+        "doc_id",
+    )
+    return calibration_bins(labeled)
+
+
 def _q_corpus_drift(spark, sf_dir):
     """Token-distribution drift (operators/drift.token_kl_divergence):
     add-1-smoothed KL both directions between the doc_id%7 'new crawl'
@@ -2755,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_eval": _q_neardup_eval,
         "corpus_drift": _q_corpus_drift,
         "clf_auc": _q_clf_auc,
+        "clf_calibration": _q_clf_calibration,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
@@ -4966,6 +4991,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
             "CAST((1000000 * (t2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg) AS BIGINT) "
             "END AS auc_micro FROM ag"
+        ),
+        # calibration: same label rule, decile bins clamped at the top,
+        # all int64 floor divisions (// on nonnegative == div)
+        "clf_calibration": (
+            f"WITH {_CLF_SCORES_CTE}, "
+            "callab AS (SELECT s.score_micro AS sm, "
+            "CASE WHEN d.text LIKE '%spark%' THEN 1 ELSE 0 END AS y "
+            "FROM scores s JOIN documents d USING (doc_id)), "
+            "b AS (SELECT least(CAST(sm // 100000 AS INT), 9) AS bin, sm, y FROM callab), "
+            "per AS (SELECT bin, count(*) AS n, sum(sm) AS ss, sum(y) AS sy FROM b GROUP BY bin) "
+            "SELECT bin, CAST(n AS BIGINT) AS n, "
+            "CAST(ss // n AS BIGINT) AS mean_score_micro, "
+            "CAST((1000000 * sy) // n AS BIGINT) AS pos_rate_micro, "
+            "CAST(abs((1000000 * sy) // n - ss // n) AS BIGINT) AS gap_micro FROM per"
         ),
         # corpus drift: per-term micro rounding before the int64 sum (the
         # doc_unigram_nll ln discipline — a sub-micro ln ulp difference

@@ -63,3 +63,52 @@ def roc_auc(
             F.expr("(1000000 * u2) div (2 * n_pos * n_neg)"),
         ).alias("auc_micro"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score_micro",
+    label_col: str = "y",
+) -> DataFrame:
+    """Reliability report: (bin, n, mean_score_micro, pos_rate_micro,
+    gap_micro) — AUC says the ORDER is right; calibration says the
+    VALUE means what it claims (a 0.9 score should be positive ~90% of
+    the time), which is what makes a fixed threshold transferable
+    across crawls.
+
+    bin = score_micro div (1e6/n_bins) clamped to n_bins−1 (a perfect
+    1e6 score joins the top bin instead of an off-by-one 11th);
+    mean/rate/gap are exact int64 floor divisions, so the expected-
+    calibration-error summand |rate − mean| is engine-exact. One
+    partial-agg shuffle of ≤ n_bins rows."""
+    if n_bins < 2 or 1_000_000 % n_bins != 0:
+        raise ValueError(
+            f"n_bins must be >= 2 and divide 1e6, got {n_bins}"
+        )
+    width = 1_000_000 // n_bins
+    b = F.least(
+        F.expr(f"{score_col} div {width}").cast("int"), F.lit(n_bins - 1)
+    )
+    per = (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").alias("_ss"),
+            F.sum("y").alias("_sy"),
+        )
+    )
+    return per.select(
+        "bin",
+        "n",
+        F.expr("_ss div n").alias("mean_score_micro"),
+        F.expr("(1000000 * _sy) div n").alias("pos_rate_micro"),
+        F.abs(
+            F.expr("(1000000 * _sy) div n") - F.expr("_ss div n")
+        ).alias("gap_micro"),
+    )

@@ -45,3 +45,30 @@ def test_separable_ties_and_random(spark):
 def test_degenerate_classes_null(spark):
     df = spark.createDataFrame([(5, 1), (3, 1)], "score_micro long, y int")
     assert roc_auc(df).head()["auc_micro"] is None
+
+
+def test_calibration_bins_exact(spark):
+    from pyocr_spark.operators.auceval import calibration_bins
+
+    rows = (
+        [(950_000, 1)] * 9 + [(950_000, 0)]          # top bin: 90% pos
+        + [(50_000, 0)] * 9 + [(50_000, 1)]           # bottom bin: 10% pos
+        + [(1_000_000, 1)]                            # clamps into bin 9
+    )
+    df = spark.createDataFrame(rows, "score_micro long, y int")
+    got = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(got) == {0, 9}
+    assert got[9]["n"] == 11 and got[9]["pos_rate_micro"] == (1_000_000 * 10) // 11
+    assert got[0]["pos_rate_micro"] == 100_000
+    assert got[0]["mean_score_micro"] == 50_000
+    assert got[0]["gap_micro"] == 50_000
+
+
+def test_calibration_validation(spark):
+    import pytest as _pytest
+
+    from pyocr_spark.operators.auceval import calibration_bins
+
+    df = spark.createDataFrame([(1, 1)], "score_micro long, y int")
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, n_bins=7)
