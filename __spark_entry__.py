@@ -1568,6 +1568,23 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
+def _q_corpus_attrition(spark, sf_dir):
+    """The corpus funnel measured (plans/corpus.corpus_attrition): rows
+    surviving each hygiene stage of the FULL pipeline (line-dedup +
+    repetition gate on) — same frozen rules as corpus_build_full, so
+    stage 7 equals its row count."""
+    from pyocr_spark.plans.corpus import corpus_attrition
+
+    return corpus_attrition(
+        _pages(spark, sf_dir),
+        min_tokens=20,
+        sample_fraction=0.5,
+        portable_sample=True,
+        line_dedup_docfreq=1,
+        max_dup_token_frac=0.5,
+    )
+
+
 def _q_clf_auc(spark, sf_dir):
     """Exact ROC-AUC of the quality classifier (operators/auceval.
     roc_auc): Mann-Whitney rank statistic over the bounded integer-micro
@@ -2780,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _q_corpus_drift,
         "clf_auc": _q_clf_auc,
         "clf_calibration": _q_clf_calibration,
+        "corpus_attrition": _q_corpus_attrition,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
@@ -4974,6 +4992,45 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_delta": (
             f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
             "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
+        # attrition funnel: the corpus_build_full chain, counted per
+        # stage (token gate BEFORE the dedup window, mirroring the plan;
+        # n_tokens is constant within a digest group so the funnel is
+        # order-insensitive there, but the counts are not — match the
+        # engine's order exactly)
+        "corpus_attrition": (
+            f"WITH pg AS (SELECT url FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            f"src AS (SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet') "
+            "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
+            "lines AS (SELECT url, unnest(string_split(extracted_text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos FROM src), "
+            "freq AS (SELECT line FROM lines WHERE trim(line) != '' GROUP BY line "
+            "HAVING count(DISTINCT url) > 1), "
+            "kept AS (SELECT l.url, l.pos, l.line FROM lines l ANTI JOIN freq f USING (line)), "
+            "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean FROM kept GROUP BY url), "
+            "okc AS (SELECT url, clean AS extracted_text FROM agg WHERE clean != ''), "
+            "rep AS (SELECT url, extracted_text FROM (SELECT url, extracted_text, "
+            "regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+') AS t FROM okc) "
+            "WHERE (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) <= 0.5), "
+            "gated AS (SELECT * FROM (SELECT url, md5(extracted_text) AS content_hash, "
+            "CASE WHEN regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+')) END AS n_tokens FROM rep) "
+            "WHERE n_tokens >= 20), "
+            "ded AS (SELECT url, content_hash, n_tokens, "
+            "row_number() OVER (PARTITION BY content_hash ORDER BY url) AS rn FROM gated), "
+            "ded1 AS (SELECT url, content_hash, n_tokens FROM ded WHERE rn = 1), "
+            "samp AS (SELECT url FROM ded1 "
+            "WHERE CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000) "
+            "SELECT CAST(0 AS INT) AS stage, 'pages' AS name, CAST(count(*) AS BIGINT) AS n_rows FROM pg "
+            "UNION ALL SELECT 1, 'latest_per_url', count(DISTINCT url) FROM pg "
+            "UNION ALL SELECT 2, 'extracted_ok', count(*) FROM src "
+            "UNION ALL SELECT 3, 'line_dedup_nonempty', count(*) FROM okc "
+            "UNION ALL SELECT 4, 'repetition_gate', count(*) FROM rep "
+            "UNION ALL SELECT 5, 'token_gate', count(*) FROM gated "
+            "UNION ALL SELECT 6, 'content_dedup', count(*) FROM ded1 "
+            "UNION ALL SELECT 7, 'sampled', count(*) FROM samp"
         ),
         # classifier AUC: rank-sum over the unrolled score CTE, doubled
         # midranks keep ties exact, `//` = Spark's `div`

@@ -117,3 +117,94 @@ def build_training_corpus(
         ).drop("domain")
     sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
     return sampled.select("url", "content_hash", "n_tokens")
+
+
+def corpus_attrition(
+    pages: DataFrame,
+    min_tokens: int = 20,
+    sample_fraction: float = 0.5,
+    portable_sample: bool = False,
+    line_dedup_docfreq: int | None = None,
+    max_dup_token_frac: float | None = None,
+) -> DataFrame:
+    """The corpus funnel, measured: one row per hygiene stage with the
+    rows surviving it — (stage, name, n_rows). THE first question after
+    any corpus build ("where did the documents go?") answered by the
+    pipeline itself, with the SAME frozen rules as
+    :func:`build_training_corpus` (same params → stage 7 equals its
+    row count).
+
+    Stages: 0 pages → 1 latest-per-url → 2 extracted ok/nonempty →
+    [3 line-dedup nonempty] → [4 repetition gate] → 5 token gate →
+    6 content dedup → 7 sample (bracketed stages only when enabled;
+    disabled stages still emit a row, carrying the previous count, so
+    the report schema is configuration-independent).
+
+    Cost: a report, not a pipeline stage — it persists the extraction
+    once and pays one count per stage over cached intermediates. Run it
+    per corpus build, not per query.
+    """
+    from pyocr_spark.functions.text_stats import ws_tokens
+    from pyocr_spark.operators.sampling import hash_sample
+
+    rows: list[tuple[int, str, int]] = []
+    cached = []
+    rows.append((0, "pages", pages.count()))
+    rows.append((1, "latest_per_url", pages.select("url").distinct().count()))
+    ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
+    ok = ext.filter(
+        (F.col("status") == "ok")
+        & F.col("extracted_text").isNotNull()
+        & (F.col("extracted_text") != "")
+    ).select("url", "extracted_text").persist()
+    cached.append(ok)
+    rows.append((2, "extracted_ok", ok.count()))
+    cur = ok
+    if line_dedup_docfreq is not None:
+        from pyocr_spark.operators.linededup import line_dedup
+
+        cur = (
+            line_dedup(
+                cur,
+                text_col="extracted_text",
+                id_col="url",
+                max_docfreq=line_dedup_docfreq,
+                keep_empty_docs=False,
+            )
+            .filter(F.col("clean_text") != "")
+            .select("url", F.col("clean_text").alias("extracted_text"))
+            .persist()
+        )
+        cached.append(cur)
+        rows.append((3, "line_dedup_nonempty", cur.count()))
+    else:
+        rows.append((3, "line_dedup_nonempty", rows[-1][2]))
+    if max_dup_token_frac is not None:
+        t = ws_tokens(F.col("extracted_text"))
+        dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
+        cur = cur.filter(dup_frac <= max_dup_token_frac)
+        rows.append((4, "repetition_gate", cur.count()))
+    else:
+        rows.append((4, "repetition_gate", rows[-1][2]))
+    gated = cur.select(
+        "url",
+        F.md5("extracted_text").alias("content_hash"),
+        token_count(F.col("extracted_text")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= min_tokens).persist()
+    cached.append(gated)
+    rows.append((5, "token_gate", gated.count()))
+    w = Window.partitionBy("content_hash").orderBy("url")
+    ded = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    cached.append(ded)
+    rows.append((6, "content_dedup", ded.count()))
+    sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
+    rows.append((7, "sampled", sampled.count()))
+    for df in cached:
+        df.unpersist()
+    spark = pages.sparkSession
+    return spark.createDataFrame(rows, "stage int, name string, n_rows long")
