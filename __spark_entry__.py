@@ -2283,6 +2283,18 @@ def _q_bitext_candidates(spark, sf_dir):
     )
 
 
+def _q_emb_rand_project(spark, sf_dir):
+    """Sparse random projection (operators/vectors.sparse_random_project,
+    Achlioptas 2003 s=3): md5-derived ±1/0 matrix, fixed-point integer
+    sums — the cheap 64→16 squeeze before LSH/IVF/PQ, exactly
+    SQL-replayable."""
+    from pyocr_spark.operators.vectors import sparse_random_project
+
+    return sparse_random_project(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), out_dim=16
+    )
+
+
 def _q_emb_diverse_sample(spark, sf_dir):
     """Diversity-preserving subsample (operators/sampling.
     diversity_sample): hyperplane-LSH buckets as semantic strata,
@@ -2841,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
+        "emb_rand_project": _q_emb_rand_project,
         "emb_diverse_sample": _q_emb_diverse_sample,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "emb_semdedup": _q_emb_semdedup,
@@ -2882,6 +2895,28 @@ def _plane_sig_sql(vec_expr: str, n_planes: int, dim: int = 64) -> str:
             f"THEN {1 << p} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _rp_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """DuckDB replay of operators.vectors.sparse_random_project: the
+    md5-derived sign rows as int literals; fixed-point inputs make each
+    component an exact integer (values ≤ ~4e7 ≪ 2^53, so the double
+    list_dot_product is exact)."""
+    from pyocr_spark.operators.vectors import _rp_signs
+
+    signs = _rp_signs(in_dim, out_dim)
+    items = ", ".join(
+        "{'dim': %d, 'y': CAST(list_dot_product(xq, [%s]) AS BIGINT)}"
+        % (i, ", ".join(f"{s}.0" for s in signs[i]))
+        for i in range(out_dim)
+    )
+    return (
+        "WITH x AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "v -> floor(v * 1000000.0 + 0.5)) AS xq FROM embeddings "
+        "WHERE embedding IS NOT NULL), "
+        f"p AS (SELECT vec_id, unnest([{items}]) AS s FROM x) "
+        "SELECT vec_id, CAST(s.dim AS INT) AS dim, s.y AS y FROM p"
+    )
 
 
 def _ann_lsh_sql() -> str:
@@ -5350,6 +5385,8 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
         ),
+        # sparse random projection: sign-literal integer dot replay
+        "emb_rand_project": _rp_sql(16, 64),
         # diversity sample: plane-literal signature replay (the ANN-LSH
         # family) + the portable-hash quota window
         "emb_diverse_sample": (

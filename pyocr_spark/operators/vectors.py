@@ -147,3 +147,76 @@ def hash_embed(
         F.size(toks).cast("bigint").alias("n_tokens"),
         vec.alias("vec"),
     )
+
+
+def _rp_signs(in_dim: int, out_dim: int) -> list:
+    """Deterministic Achlioptas sign matrix (out_dim × in_dim) from the
+    md5 stream: md5('rp:<i>:<j>') mod 6 → {0: +1, 1: −1, else: 0} — the
+    s=3 sparse distribution (±1 w.p. 1/6 each, 0 w.p. 2/3)."""
+    import hashlib
+
+    rows = []
+    for i in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            h = int(
+                hashlib.md5(f"rp:{i}:{j}".encode("ascii")).hexdigest()[:15], 16
+            ) % 6
+            row.append(1 if h == 0 else (-1 if h == 1 else 0))
+        rows.append(row)
+    return rows
+
+
+def sparse_random_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003): JL-style dimension
+    reduction with a database-friendly matrix — entries ±1 w.p. 1/6, 0
+    w.p. 2/3 (s=3), so each output component reads ~1/3 of the input and
+    uses only additions. The cheap 64→16 squeeze BEFORE LSH/IVF/PQ when
+    the raw dimension is the cost driver.
+
+    Determinism contract: the matrix derives from the md5 stream (no
+    RNG); inputs are quantized to int64 micros (operators/pq.fixed_point
+    — the engine-wide rule) so each output component is an exact int64
+    signed sum and the SQL replay is bit-for-bit. The paper's √3 scale
+    factor is a corpus-wide constant and is omitted — distances scale
+    uniformly, comparisons are unchanged (documented, not hidden).
+
+    Returns long form (id, dim, y) — 0-based output dimension, exact
+    int64 component. NULL vectors are dropped (no projection exists).
+    """
+    from pyocr_spark.operators.pq import fixed_point
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    first = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, dim int, y long"
+        )
+    in_dim = len(first[0])
+    signs = _rp_signs(in_dim, out_dim)
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), fixed_point(F.col(vec_col)).alias("_xq")
+    )
+    comps = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_xq"),
+                    F.array(*[F.lit(int(s)) for s in signs[i]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            for i in range(out_dim)
+        ]
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(comps).alias("dim", "y")
+    )

@@ -1035,3 +1035,37 @@ def test_capture_churn_magnitudes(spark):
     assert got["u/append"]["jaccard_micro"] == 750_000  # 3 of 4 lines shared
     assert got["u/append"]["n_lines_old"] == 3 and got["u/append"]["n_lines_new"] == 4
     assert got["u/nulls"]["jaccard_micro"] is None
+
+
+def test_sparse_random_projection_exact_and_distance_order(spark):
+    import hashlib
+
+    import numpy as np
+
+    from pyocr_spark.operators.vectors import _rp_signs, sparse_random_project
+
+    base = [round(((7 * 37 + d * 11) % 97) / 97.0 - 0.5, 6) for d in range(24)]
+    near = [x + 0.001 for x in base]
+    far = [-x for x in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for r in sparse_random_project(emb, out_dim=8).collect():
+        got.setdefault(r["vec_id"], {})[r["dim"]] = r["y"]
+    assert 3 not in got and all(len(v) == 8 for v in got.values())
+    # exact twin: fixed-point quantize then integer signed sums
+    signs = np.asarray(_rp_signs(24, 8), dtype="int64")
+    for vid, vec in ((0, base), (1, near), (2, far)):
+        xq = np.floor(
+            np.asarray(vec, dtype="float32").astype("float64") * 1e6 + 0.5
+        ).astype("int64")
+        want = signs @ xq
+        assert [got[vid][d] for d in range(8)] == [int(x) for x in want], vid
+    # JL sanity: the projected near pair stays closer than the far pair
+    y = {v: np.array([got[v][d] for d in range(8)]) for v in (0, 1, 2)}
+    assert np.abs(y[0] - y[1]).sum() < np.abs(y[0] - y[2]).sum()
+    # matrix really is the s=3 sparse family
+    h = int(hashlib.md5(b"rp:0:0").hexdigest()[:15], 16) % 6
+    assert signs[0][0] == (1 if h == 0 else (-1 if h == 1 else 0))
