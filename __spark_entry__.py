@@ -1925,6 +1925,16 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(_outlinks(spark, sf_dir))
 
 
+def _q_host_reciprocity(spark, sf_dir):
+    """Link-reciprocity spam signal (operators/webgraph.host_reciprocity):
+    how much of each host's distinct cross-host out-neighborhood links
+    back — the link-exchange tell. One distinct-edge self-intersect +
+    partial-agg counts; exact int64 micro ratio."""
+    from pyocr_spark.operators.webgraph import host_reciprocity
+
+    return host_reciprocity(_outlinks(spark, sf_dir))
+
+
 def _q_host_graph_follow(spark, sf_dir):
     """Follow-only host graph: rel=nofollow edges are discovery hints,
     not endorsements — rank computations consume THIS graph (the filter
@@ -2830,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": _q_page_outlinks,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
+        "host_reciprocity": _q_host_reciprocity,
         "host_graph_follow": _q_host_graph_follow,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
@@ -5188,6 +5199,20 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rn = 1) "
             "SELECT stats.target_url, n_refs, n_src_hosts, m.top_anchor "
             "FROM stats LEFT JOIN m USING (target_url)"
+        ),
+        # reciprocity: distinct cross-host edges, reverse intersect,
+        # exact integer micro ratio
+        "host_reciprocity": (
+            f"WITH hp AS ({_host_edges_sql()}), "
+            "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp "
+            "WHERE src_host != dst_host), "
+            "m AS (SELECT e.src, e.dst FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src), "
+            "po AS (SELECT src, count(*) AS n_out FROM e GROUP BY src), "
+            "pm AS (SELECT src, count(*) AS n_mutual FROM m GROUP BY src) "
+            "SELECT po.src AS host, CAST(po.n_out AS BIGINT) AS n_out, "
+            "CAST(coalesce(pm.n_mutual, 0) AS BIGINT) AS n_mutual, "
+            "CAST((1000000 * coalesce(pm.n_mutual, 0)) // po.n_out AS BIGINT) AS reciprocity_micro "
+            "FROM po LEFT JOIN pm ON pm.src = po.src"
         ),
         "host_graph": (
             f"WITH hp AS ({_host_edges_sql()}) "

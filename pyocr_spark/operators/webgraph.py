@@ -517,3 +517,42 @@ def fetch_rounds(
         )
         .drop(rn)
     )
+
+
+def host_reciprocity(outlinks: DataFrame) -> DataFrame:
+    """Link-reciprocity spam signal per host: organic web linking is
+    strongly asymmetric, while link-exchange schemes ("you link me, I
+    link you") produce hosts whose out-neighbors mostly link back — the
+    classic farm tell (the ingredient TrustRank-era spam pipelines
+    threshold on).
+
+    → (host, n_out, n_mutual, reciprocity_micro) over the DISTINCT
+    cross-host graph: n_out = distinct hosts linked, n_mutual = how many
+    of those link back, reciprocity_micro = exact int64
+    (1e6·n_mutual) div n_out.
+
+    Shape: distinct cross-host edges once, ONE self-join on the reversed
+    pair (equi-join on both keys — never a cartesian), one partial-agg
+    count per src. At web scale the distinct host graph is ~10^8 rows —
+    the join is on (src,dst) pairs, not pages.
+    """
+    e = (
+        outlinks.select(
+            url_host(F.col("url")).alias("src"),
+            url_host(F.col("target_url")).alias("dst"),
+        )
+        .filter((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.intersect(rev)  # edge whose reverse also exists
+    per = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    per_m = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_mutual"))
+    out = per.join(per_m, "src", "left").select(
+        F.col("src").alias("host"),
+        "n_out",
+        F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+    )
+    return out.withColumn(
+        "reciprocity_micro", F.expr("(1000000 * n_mutual) div n_out")
+    )

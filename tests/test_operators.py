@@ -1069,3 +1069,29 @@ def test_sparse_random_projection_exact_and_distance_order(spark):
     # matrix really is the s=3 sparse family
     h = int(hashlib.md5(b"rp:0:0").hexdigest()[:15], 16) % 6
     assert signs[0][0] == (1 if h == 0 else (-1 if h == 1 else 0))
+
+
+def test_host_reciprocity_signal(spark):
+    from pyocr_spark.operators.webgraph import host_reciprocity
+
+    rows = [
+        # farm: a <-> b, a <-> c (full reciprocity for a)
+        ("https://a.example/p1", "https://b.example/x"),
+        ("https://b.example/p1", "https://a.example/y"),
+        ("https://a.example/p2", "https://c.example/x"),
+        ("https://c.example/p1", "https://a.example/z"),
+        # organic: d -> e, d -> f, nothing back; self-link ignored
+        ("https://d.example/p1", "https://e.example/x"),
+        ("https://d.example/p2", "https://f.example/x"),
+        ("https://d.example/p3", "https://d.example/inside"),
+        # duplicate page-level links collapse to one host edge
+        ("https://a.example/p3", "https://b.example/other"),
+    ]
+    links = spark.createDataFrame(rows, "url string, target_url string")
+    got = {r["host"]: r for r in host_reciprocity(links).collect()}
+    assert got["a.example"]["n_out"] == 2
+    assert got["a.example"]["n_mutual"] == 2
+    assert got["a.example"]["reciprocity_micro"] == 1_000_000
+    assert got["d.example"]["n_out"] == 2
+    assert got["d.example"]["reciprocity_micro"] == 0
+    assert got["b.example"]["reciprocity_micro"] == 1_000_000
