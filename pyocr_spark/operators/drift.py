@@ -37,14 +37,11 @@ def _token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def token_kl_divergence(
-    df_a: DataFrame,
-    df_b: DataFrame,
-    text_col: str = "text",
-) -> DataFrame:
-    """→ ONE row (n_terms, n_a, n_b, kl_ab_micro, kl_ba_micro)."""
-    ca = _token_counts(df_a, text_col).withColumnRenamed("c", "ca")
-    cb = _token_counts(df_b, text_col).withColumnRenamed("c", "cb")
+def kl_from_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """(token, ca) vs (token, cb) count tables → the same ONE-row report
+    as :func:`token_kl_divergence` — the entry point for callers that
+    keep a materialized vocabulary (the streaming drift monitor's
+    reference state)."""
     j = ca.join(cb, "token", "full_outer").select(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
@@ -66,4 +63,16 @@ def token_kl_divergence(
         F.max("nb").alias("n_b"),
         F.sum(term_ab).alias("kl_ab_micro"),
         F.sum(term_ba).alias("kl_ba_micro"),
+    )
+
+
+def token_kl_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ ONE row (n_terms, n_a, n_b, kl_ab_micro, kl_ba_micro)."""
+    return kl_from_counts(
+        _token_counts(df_a, text_col).withColumnRenamed("c", "ca"),
+        _token_counts(df_b, text_col).withColumnRenamed("c", "cb"),
     )

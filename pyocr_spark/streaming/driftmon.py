@@ -1,0 +1,107 @@
+"""Streaming drift monitor — per-batch token-KL against the crawl so far.
+
+The batch drift report (operators/drift) answers "did crawl N+1 move
+the distribution" after the fact; this runs the same number LIVE: every
+micro-batch is scored against the accumulated reference vocabulary
+BEFORE being folded into it, so a template takeover or language flood
+shows up as a KL spike in the batch it arrives, not at the next corpus
+build.
+
+State = the reference vocabulary as committed ``delta_id=N`` count
+tables (token, c) — the same crash discipline as the other streaming
+states (plans/incremental.read_committed_deltas, _SUCCESS-guarded
+writes, periodic swap-compaction; deltas REDUCE by summing counts, so
+compaction is one groupBy). Per-trigger cost: one token aggregate of
+the batch + one join against the reference vocabulary — both ∝
+vocabulary sizes, never the corpus.
+
+Report rows land under ``<report_location>/batch_id=N`` with the
+batch's id; the FIRST batch has no reference and reports NULL KLs
+(n_a = 0) rather than a fake zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.drift import _token_counts, kl_from_counts
+from pyocr_spark.plans.incremental import (
+    hadoop_path,
+    path_exists,
+    read_committed_deltas,
+    swap_write,
+)
+from pyocr_spark.streaming.stream import _start_pages_stream
+
+
+def start_drift_stream(
+    spark: SparkSession,
+    input_location: str,
+    report_location: str,
+    state_location: str,
+    checkpoint_location: str,
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int = 16,
+):
+    """Monitor a pages file stream for token-distribution drift."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta_dir = f"{state_location}/delta_id={batch_id}"
+        if path_exists(spark, f"{delta_dir}/_SUCCESS"):
+            # replayed batch whose counts ALREADY advanced the reference:
+            # recomputing the report would score the batch against a
+            # reference that includes itself — keep the earlier report
+            # (written before the delta, so it exists) and only finish
+            # any pending compaction
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                _compact(batch_id)
+            return
+        cb = _token_counts(batch_df, text_col).persist()
+        try:
+            raw = read_committed_deltas(spark, state_location)
+            if raw is not None:
+                ref = raw.groupBy("token").agg(F.sum("c").alias("ca"))
+                row = kl_from_counts(ref, cb.withColumnRenamed("c", "cb"))
+            else:
+                # no reference yet: an honest NULL-KL row, same schema
+                row = cb.agg(
+                    F.count(F.lit(1)).alias("n_terms"),
+                    F.lit(0).cast("long").alias("n_a"),
+                    F.coalesce(F.sum("c"), F.lit(0)).alias("n_b"),
+                    F.lit(None).cast("long").alias("kl_ab_micro"),
+                    F.lit(None).cast("long").alias("kl_ba_micro"),
+                )
+            row.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{report_location}/batch_id={batch_id}")
+            cb.write.mode("overwrite").parquet(delta_dir)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                _compact(batch_id)
+        finally:
+            cb.unpersist()
+
+    def _compact(keep_id: int) -> None:
+        raw = read_committed_deltas(spark, state_location)
+        if raw is None:
+            return
+        swap_write(
+            raw.groupBy("token").agg(F.sum("c").alias("c")),
+            f"{state_location}/delta_id={keep_id}",
+        )
+        lp, fs = hadoop_path(spark, state_location)
+        for st in fs.listStatus(lp):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("delta_id=")
+                and name != f"delta_id={keep_id}"
+            ):
+                fs.delete(st.getPath(), True)
+
+    return _start_pages_stream(
+        spark, input_location, checkpoint_location, process_batch,
+        available_now, max_files_per_trigger,
+    )

@@ -1,0 +1,64 @@
+"""Streaming drift monitor (streaming/driftmon): the per-batch report
+must equal the batch operator over the same slices; restart converges."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyocr_spark.operators.drift import token_kl_divergence
+from pyocr_spark.streaming.driftmon import start_drift_stream
+
+
+def _write_crawl_file(path, rows):
+    import datetime
+
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [datetime.datetime(2024, 1, 1)] * len(rows), pa.timestamp("us")
+            ),
+            "html": [b"<p>x</p>" for _ in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+B1 = [("https://h/a", "alpha beta beta gamma"), ("https://h/b", "alpha delta")]
+B2 = [("https://h/c", "alpha alpha epsilon"), ("https://h/d", "zeta zeta gamma")]
+
+
+def test_batch2_report_equals_batch_operator(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    rep = str(tmp_path / "rep")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_crawl_file(inp / "c1.parquet", B1)
+    q = start_drift_stream(spark, str(inp), rep, state, ckpt)
+    assert q.awaitTermination(300)
+    first = spark.read.parquet(f"{rep}/batch_id=0").head()
+    assert first["kl_ab_micro"] is None and first["n_a"] == 0
+
+    _write_crawl_file(inp / "c2.parquet", B2)
+    q2 = start_drift_stream(spark, str(inp), rep, state, ckpt)
+    assert q2.awaitTermination(300)
+    dirs = sorted(glob.glob(os.path.join(rep, "batch_id=*")))
+    assert len(dirs) == 2
+    got = spark.read.parquet(dirs[-1]).head()
+    da = spark.createDataFrame(B1, "url string, text string")
+    db = spark.createDataFrame(B2, "url string, text string")
+    want = token_kl_divergence(da, db).head()
+    for c in ("n_terms", "n_a", "n_b", "kl_ab_micro", "kl_ba_micro"):
+        assert got[c] == want[c], c
+
+    # restart on the same checkpoint: nothing re-scored, state stable
+    n_state = spark.read.parquet(f"{state}/delta_id=*").count()
+    q3 = start_drift_stream(spark, str(inp), rep, state, ckpt)
+    assert q3.awaitTermination(300)
+    assert spark.read.parquet(f"{state}/delta_id=*").count() == n_state
+    assert spark.read.parquet(dirs[-1]).head()["kl_ab_micro"] == want["kl_ab_micro"]
