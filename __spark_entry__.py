@@ -603,6 +603,19 @@ def _q_capture_churn(spark, sf_dir):
     return capture_churn(_pages(spark, sf_dir))
 
 
+def _q_retention_plan(spark, sf_dir):
+    """Archive retention planning (operators/snapshot.retention_plan):
+    keep-last-N per url + TTL against the CORPUS clock (max ts — a
+    replay always plans the same deletions). Timestamps projected to
+    epoch micros for the canonical compare."""
+    from pyocr_spark.operators.snapshot import retention_plan
+
+    plan = retention_plan(_pages(spark, sf_dir), keep_last=1, ttl_days=30)
+    return plan.select(
+        "url", F.unix_micros("warc_ts").alias("ts_us"), "keep", "reason"
+    )
+
+
 def _q_warc_revisit_plan(spark, sf_dir):
     """WARC revisit planning (operators/snapshot.revisit_plan): first
     capture of each content digest → response, later identical captures
@@ -2698,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_template_stripped": _q_docs_template_stripped,
         "crawl_delta": _q_crawl_delta,
         "capture_churn": _q_capture_churn,
+        "retention_plan": _q_retention_plan,
         "warc_revisit_plan": _q_warc_revisit_plan,
         "refetch_priority": _q_refetch_priority,
         "bloom_seen_filter": _q_bloom_seen_filter,
@@ -3898,6 +3912,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k.kk = f.first_k THEN NULL "
             "ELSE CAST(f.first_k[1:19] AS BIGINT) END AS refers_to_ts_epoch "
             "FROM k JOIN f USING (digest)"
+        ),
+        # retention: rank window + corpus clock, epoch-micro projection
+        "retention_plan": (
+            f"WITH p AS (SELECT url, warc_ts FROM read_parquet('{E}/pages.parquet/*.parquet')), "
+            "r AS (SELECT url, warc_ts, row_number() OVER (PARTITION BY url "
+            "ORDER BY warc_ts DESC NULLS LAST) AS rn FROM p), "
+            "c AS (SELECT max(warc_ts) AS maxts FROM p) "
+            "SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us, "
+            "(rn <= 1 OR warc_ts >= maxts - INTERVAL 30 DAY) AS keep, "
+            "CASE WHEN rn <= 1 THEN 'recent_rank' "
+            "WHEN warc_ts >= maxts - INTERVAL 30 DAY THEN 'ttl' "
+            "ELSE 'expired' END AS reason FROM r, c"
         ),
         # churn: decode_replace needs Python (invalid-utf8 pages), so the
         # oracle is the independent expected-table twin

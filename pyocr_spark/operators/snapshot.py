@@ -317,3 +317,57 @@ def capture_churn(
             F.floor(F.lit(1_000_000.0) * inter.cast("double") / union.cast("double")),
         ).alias("jaccard_micro"),
     )
+
+
+def retention_plan(
+    pages: DataFrame,
+    keep_last: int = 2,
+    ttl_days: int | None = None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Archive retention: one disposition per capture — (url, warc_ts,
+    keep, reason). At 100 TB of rolling crawls, storage policy is a
+    QUERY someone must be able to audit, not a cron script: this emits
+    the exact keep/drop decision per capture so the delete job is a
+    plain anti-join against its output.
+
+    Frozen rules: the newest ``keep_last`` captures per url are kept
+    (reason 'recent_rank'); with ``ttl_days`` set, older captures are
+    also kept while ts ≥ corpus_max_ts − ttl_days (reason 'ttl') — the
+    CORPUS clock, max(ts) over the table, never the wall clock (a replay
+    of the same table always plans the same deletions); everything else
+    drops (reason 'expired'). Rank ties cannot occur in a (url, ts)
+    capture log; NULL ts ranks last and can only survive via rank.
+
+    Shape: one window per url (rank) + a 1-row broadcast of the corpus
+    clock — the shuffle carries (url, ts), never payloads.
+    """
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    if ttl_days is not None and ttl_days < 0:
+        raise ValueError(f"ttl_days must be >= 0, got {ttl_days}")
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).desc_nulls_last())
+    ranked = pages.select(url_col, ts_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    by_rank = F.col("_rn") <= keep_last
+    if ttl_days is not None:
+        clock = pages.agg(F.max(ts_col).alias("_maxts"))
+        ranked = ranked.crossJoin(F.broadcast(clock))
+        by_ttl = F.col(ts_col) >= F.col("_maxts") - F.expr(
+            f"INTERVAL {int(ttl_days)} DAYS"
+        )
+    else:
+        by_ttl = F.lit(False)
+    reason = (
+        F.when(by_rank, F.lit("recent_rank"))
+        .when(by_ttl, F.lit("ttl"))
+        .otherwise(F.lit("expired"))
+    )
+    return ranked.select(
+        url_col,
+        ts_col,
+        (by_rank | by_ttl).alias("keep"),
+        reason.alias("reason"),
+    )

@@ -1095,3 +1095,39 @@ def test_host_reciprocity_signal(spark):
     assert got["d.example"]["n_out"] == 2
     assert got["d.example"]["reciprocity_micro"] == 0
     assert got["b.example"]["reciprocity_micro"] == 1_000_000
+
+
+def test_retention_plan_rules(spark):
+    import datetime
+
+    from pyocr_spark.operators.snapshot import retention_plan
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    rows = [
+        ("u/hot", ts(10), b"", None, "en"),
+        ("u/hot", ts(9), b"", None, "en"),
+        ("u/hot", ts(8), b"", None, "en"),   # rank 3: ttl decides
+        ("u/hot", ts(1), b"", None, "en"),   # rank 4, old: expired
+        ("u/one", ts(2), b"", None, "en"),   # single capture: kept by rank
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {
+        (r["url"], r["warc_ts"].day): (r["keep"], r["reason"])
+        for r in retention_plan(df, keep_last=2, ttl_days=3).collect()
+    }
+    assert got[("u/hot", 10)] == (True, "recent_rank")
+    assert got[("u/hot", 9)] == (True, "recent_rank")
+    # corpus clock = Jan 10; ttl 3 days keeps ts >= Jan 7
+    assert got[("u/hot", 8)] == (True, "ttl")
+    assert got[("u/hot", 1)] == (False, "expired")
+    assert got[("u/one", 2)] == (True, "recent_rank")
+    # without ttl: rank only
+    got2 = {
+        (r["url"], r["warc_ts"].day): r["keep"]
+        for r in retention_plan(df, keep_last=2).collect()
+    }
+    assert got2[("u/hot", 8)] is False
