@@ -603,6 +603,38 @@ def _q_capture_churn(spark, sf_dir):
     return capture_churn(_pages(spark, sf_dir))
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc, Gear CDC): boundaries
+    travel with the bytes, so edited re-crawls dedup at the chunk store.
+    64-tap vectorized rolling hash; oracle = the independent per-byte
+    twin (provably equal mod 2^64)."""
+    from pyocr_spark.operators.cdc import cdc_chunks
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return cdc_chunks(
+        dedup_latest_page(_pages(spark, sf_dir)),
+        avg_bits=6,
+        min_len=16,
+        max_len=256,
+    )
+
+
+def _q_cdc_dedup_stats(spark, sf_dir):
+    """Chunk-store report: bytes a content-addressed store would hold
+    vs raw — the dedup ratio CDC buys on this corpus."""
+    from pyocr_spark.operators.cdc import cdc_chunks, cdc_dedup_stats
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return cdc_dedup_stats(
+        cdc_chunks(
+            dedup_latest_page(_pages(spark, sf_dir)),
+            avg_bits=6,
+            min_len=16,
+            max_len=256,
+        )
+    )
+
+
 def _q_retention_plan(spark, sf_dir):
     """Archive retention planning (operators/snapshot.retention_plan):
     keep-last-N per url + TTL against the CORPUS clock (max ts — a
@@ -2712,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "capture_churn": _q_capture_churn,
         "retention_plan": _q_retention_plan,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
         "warc_revisit_plan": _q_warc_revisit_plan,
         "refetch_priority": _q_refetch_priority,
         "bloom_seen_filter": _q_bloom_seen_filter,
@@ -3912,6 +3946,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k.kk = f.first_k THEN NULL "
             "ELSE CAST(f.first_k[1:19] AS BIGINT) END AS refers_to_ts_epoch "
             "FROM k JOIN f USING (digest)"
+        ),
+        # CDC: expected table from the independent per-byte gear twin;
+        # the stats query replays its aggregate in SQL on top
+        "cdc_chunks": (
+            "SELECT url, chunk_idx, off, len, chunk_md5 "
+            f"FROM read_parquet('{E}/expected_cdc.parquet')"
+        ),
+        "cdc_dedup_stats": (
+            f"WITH c AS (SELECT len, chunk_md5 FROM read_parquet('{E}/expected_cdc.parquet')), "
+            "per AS (SELECT chunk_md5, count(*) AS n, max(len) AS ln FROM c GROUP BY chunk_md5) "
+            "SELECT CAST(sum(n) AS BIGINT) AS n_chunks, "
+            "CAST(count(*) AS BIGINT) AS n_unique, "
+            "CAST(sum(n * ln) AS BIGINT) AS total_bytes, "
+            "CAST(sum(ln) AS BIGINT) AS stored_bytes, "
+            "CAST((1000000 * sum(ln)) // sum(n * ln) AS BIGINT) AS dedup_ratio_micro "
+            "FROM per"
         ),
         # retention: rank window + corpus clock, epoch-micro projection
         "retention_plan": (

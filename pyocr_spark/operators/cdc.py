@@ -1,0 +1,160 @@
+"""Content-defined chunking (Gear CDC) — shift-resistant payload dedup.
+
+Fixed-offset chunking breaks the moment a page gains one byte: every
+later chunk boundary moves, so nothing dedups between crawls of an
+edited page. CDC cuts where a ROLLING hash of the content hits a
+pattern, so boundaries travel with the bytes — an insertion changes the
+chunks it touches and nothing else (the rsync/LBFS/FastCDC principle;
+Xia et al., FAST 2016). This is the storage-side complement of
+capture_churn: churn measures how much changed, CDC makes the unchanged
+majority DEDUPABLE at the chunk store.
+
+Frozen semantics (the independent datagen twin replays these exactly):
+
+- gear table: 256 deterministic 64-bit values, ``md5('gear:<b>')``
+  low-60-bits (no RNG);
+- rolling hash after byte i: h_i = Σ_{d=0}^{63} gear[b_{i−d}] · 2^d
+  (mod 2^64) — the classic gear recurrence h = (h<<1) + gear[b],
+  which only ever sees the last 64 bytes;
+- cut AFTER byte i when (h_i & (2^avg_bits − 1)) == 0 and the current
+  chunk is ≥ min_len; force a cut at max_len; the tail remainder is
+  the last chunk. Chunk identity = md5 of the chunk bytes.
+
+Shape: one vectorized pandas UDF per page — the rolling hash is NOT a
+per-byte Python loop: it is 64 shifted numpy adds over the byte array
+(the kernel is 64 taps of powers of two, exact in uint64 wraparound),
+then a sparse greedy pass over the ~n/2^avg_bits candidate positions.
+Dedup across captures is then a plain groupBy on chunk_md5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: frozen gear table (256 × uint64): md5-derived, shared with the twin
+GEAR = np.array(
+    [
+        int(hashlib.md5(f"gear:{b}".encode("ascii")).hexdigest()[:15], 16)
+        for b in range(256)
+    ],
+    dtype=np.uint64,
+)
+
+CHUNKS_DDL = "array<struct<off: int, len: int, chunk_md5: string>>"
+
+
+def _gear_hashes(data: bytes) -> np.ndarray:
+    """h_i for every position — 64 shifted vectorized adds, uint64
+    wraparound exact."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = GEAR[b]
+    h = np.zeros(len(b), dtype=np.uint64)
+    for d in range(min(64, len(b))):
+        # gear[b_{i-d}] << d added at position i
+        shifted = g[: len(b) - d] << np.uint64(d)
+        h[d:] += shifted
+    return h
+
+
+def cdc_boundaries(
+    data: bytes, avg_bits: int = 11, min_len: int = 512, max_len: int = 8192
+) -> list:
+    """(off, length) chunks of one payload under the frozen cut rule."""
+    n = len(data)
+    if n == 0:
+        return []
+    mask = np.uint64((1 << avg_bits) - 1)
+    h = _gear_hashes(data)
+    cand = np.nonzero((h & mask) == 0)[0]  # cut AFTER these positions
+    cuts = []
+    start = 0
+    ci = 0
+    while start < n:
+        end_forced = min(start + max_len, n)
+        # first candidate with chunk length >= min_len
+        ci = int(np.searchsorted(cand, start + min_len - 1))
+        cut = None
+        if ci < len(cand) and cand[ci] < end_forced:
+            cut = int(cand[ci]) + 1
+        else:
+            cut = end_forced
+        cuts.append((start, cut - start))
+        start = cut
+    return cuts
+
+
+def cdc_chunks(
+    pages: DataFrame,
+    avg_bits: int = 11,
+    min_len: int = 512,
+    max_len: int = 8192,
+    content_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """(pages…) → (id, chunk_idx, off, length, chunk_md5) — every
+    payload byte belongs to exactly one chunk; NULL/empty payloads
+    produce no chunks."""
+    if not 1 <= avg_bits <= 32:
+        raise ValueError(f"avg_bits must be in [1, 32], got {avg_bits}")
+    if not 1 <= min_len <= max_len:
+        raise ValueError(
+            f"need 1 <= min_len <= max_len, got {min_len}/{max_len}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(CHUNKS_DDL)
+    def chunks(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            if p is None or len(p) == 0:
+                out.append([])
+                continue
+            data = bytes(p)
+            rows = []
+            for off, ln in cdc_boundaries(data, avg_bits, min_len, max_len):
+                rows.append(
+                    {
+                        "off": off,
+                        "len": ln,
+                        "chunk_md5": hashlib.md5(
+                            data[off : off + ln]
+                        ).hexdigest(),
+                    }
+                )
+            out.append(rows)
+        return pd.Series(out)
+
+    return pages.select(F.col(id_col), chunks(F.col(content_col)).alias("_c")).select(
+        id_col, F.posexplode("_c").alias("chunk_idx", "_s")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_s.off").alias("off"),
+        F.col("_s.len").alias("len"),
+        F.col("_s.chunk_md5").alias("chunk_md5"),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Chunk-store report over a cdc_chunks table: ONE row —
+    (n_chunks, n_unique, total_bytes, stored_bytes, dedup_ratio_micro)
+    where stored_bytes counts each distinct chunk once (what a
+    content-addressed store would hold) and dedup_ratio_micro =
+    (1e6·stored) div total. One partial-agg shuffle on chunk_md5."""
+    per = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n"), F.max("len").alias("ln")
+    )
+    return per.agg(
+        F.sum("n").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n") * F.col("ln")).alias("total_bytes"),
+        F.sum("ln").alias("stored_bytes"),
+    ).withColumn(
+        "dedup_ratio_micro",
+        F.expr("(1000000 * stored_bytes) div total_bytes"),
+    )

@@ -1,0 +1,94 @@
+"""Content-defined chunking (operators/cdc): twin equality, coverage
+invariant, shift resistance, dedup stats."""
+
+import hashlib
+
+import pytest
+
+from pyocr_spark.operators.cdc import cdc_boundaries, cdc_chunks, cdc_dedup_stats
+
+M64 = (1 << 64) - 1
+GEAR_PY = [
+    int(hashlib.md5(f"gear:{b}".encode("ascii")).hexdigest()[:15], 16)
+    for b in range(256)
+]
+
+
+def _twin(data, avg_bits, min_len, max_len):
+    h, cuts = 0, set()
+    for i, b in enumerate(data):
+        h = ((h << 1) + GEAR_PY[b]) & M64
+        if (h & ((1 << avg_bits) - 1)) == 0:
+            cuts.add(i)
+    out, start = [], 0
+    while start < len(data):
+        end = min(start + max_len, len(data))
+        cut = end
+        for i in range(start + min_len - 1, end):
+            if i in cuts:
+                cut = i + 1
+                break
+        out.append((start, cut - start))
+        start = cut
+    return out
+
+
+def _payload(n, seed=7):
+    return bytes((i * seed + (i >> 3)) % 251 for i in range(n))
+
+
+def test_boundaries_match_per_byte_twin_and_cover(spark):
+    for n in (0, 5, 100, 4000):
+        data = _payload(n)
+        got = cdc_boundaries(data, avg_bits=6, min_len=16, max_len=256)
+        assert got == _twin(data, 6, 16, 256), n
+        # exact coverage, clamps respected
+        assert sum(l for _, l in got) == n
+        pos = 0
+        for off, ln in got:
+            assert off == pos and 1 <= ln <= 256
+            pos += ln
+        if got[:-1]:
+            assert all(ln >= 16 for _, ln in got[:-1] if ln != 256)
+
+
+def test_shift_resistance(spark):
+    a = _payload(4000)
+    b = b"INSERTED##" + a  # 10-byte front insertion
+    ca = {hashlib.md5(a[o : o + l]).hexdigest() for o, l in cdc_boundaries(a, 6, 16, 256)}
+    cb = {hashlib.md5(b[o : o + l]).hexdigest() for o, l in cdc_boundaries(b, 6, 16, 256)}
+    # the overwhelming majority of chunks survive the shift
+    assert len(ca & cb) / len(ca) > 0.8
+
+
+def test_spark_chunks_and_stats(spark):
+    a = _payload(3000)
+    b = b"XX" + a
+    df = spark.createDataFrame(
+        [("u/a", a), ("u/b", b), ("u/n", None), ("u/e", b"")],
+        "url string, html binary",
+    )
+    ch = cdc_chunks(df, avg_bits=6, min_len=16, max_len=256)
+    rows = ch.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["url"], []).append((r["chunk_idx"], r["off"], r["len"], r["chunk_md5"]))
+    assert "u/n" not in per and "u/e" not in per
+    want = _twin(a, 6, 16, 256)
+    got_a = sorted(per["u/a"])
+    assert [(o, l) for _, o, l, _ in got_a] == want
+    assert all(
+        h == hashlib.md5(a[o : o + l]).hexdigest() for _, o, l, h in got_a
+    )
+    st = cdc_dedup_stats(ch).head()
+    assert st["total_bytes"] == 3000 + 3002
+    assert st["stored_bytes"] < st["total_bytes"]  # shared chunks stored once
+    assert st["dedup_ratio_micro"] == (1_000_000 * st["stored_bytes"]) // st["total_bytes"]
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("u", b"x")], "url string, html binary")
+    with pytest.raises(ValueError, match="avg_bits"):
+        cdc_chunks(df, avg_bits=0)
+    with pytest.raises(ValueError, match="min_len"):
+        cdc_chunks(df, min_len=10, max_len=5)
