@@ -603,6 +603,16 @@ def _q_capture_churn(spark, sf_dir):
     return capture_churn(_pages(spark, sf_dir))
 
 
+def _q_docs_checksum(spark, sf_dir):
+    """Order-independent table checksum (operators/checksum.
+    table_checksum): portable per-row hashes XOR-folded — the one-number
+    cross-engine migration audit (DuckDB computes the identical value
+    from the identical rendering; that equality IS this gate)."""
+    from pyocr_spark.operators.checksum import table_checksum
+
+    return table_checksum(_docs(spark, sf_dir), ["doc_id", "text", "lang", "source"])
+
+
 def _q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (operators/cdc, Gear CDC): boundaries
     travel with the bytes, so edited re-crawls dedup at the chunk store.
@@ -2744,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "capture_churn": _q_capture_churn,
         "retention_plan": _q_retention_plan,
+        "docs_checksum": _q_docs_checksum,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "warc_revisit_plan": _q_warc_revisit_plan,
@@ -3946,6 +3957,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k.kk = f.first_k THEN NULL "
             "ELSE CAST(f.first_k[1:19] AS BIGINT) END AS refers_to_ts_epoch "
             "FROM k JOIN f USING (digest)"
+        ),
+        # checksum: the point of the operator — DuckDB derives the SAME
+        # number from the SAME frozen rendering
+        "docs_checksum": (
+            "WITH h AS (SELECT CAST(('0x' || substr(md5(concat_ws(chr(31), "
+            "coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'), "
+            "coalesce(text, chr(0) || 'null'), "
+            "coalesce(lang, chr(0) || 'null'), "
+            "coalesce(source, chr(0) || 'null'))), 1, 15)) AS BIGINT) AS h "
+            "FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(bit_xor(h) AS BIGINT) AS checksum FROM h"
         ),
         # CDC: expected table from the independent per-byte gear twin;
         # the stats query replays its aggregate in SQL on top

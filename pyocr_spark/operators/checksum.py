@@ -1,0 +1,51 @@
+"""Order-independent table checksums — migration and replication audit.
+
+Moving a 100 TB table between clusters, formats, or engines ends with
+one question: is it the SAME table? Row counts pass when content
+differs; sorting both sides to diff them costs more than the copy. The
+checksum here is order-independent by construction — per-row hashes
+combined with XOR, an abelian fold — so any partitioning, any engine,
+any row order produces the same value, and two sides compare with one
+number each.
+
+Frozen rendering contract (what makes the hash portable): each audited
+column is rendered as its string cast, NULL as the ``\\x00null``
+sentinel (the sampling-family convention), columns joined by the unit
+separator \\x1f in the CALLER'S column order; row hash = the portable
+md5-low-60 bigint; table checksum = bit_xor of row hashes. Restrict the
+column list to types whose string cast is engine-stable (ints, strings,
+booleans) — floats and timestamps render differently across engines;
+cast them to micros/epoch upstream first (the engine's own micro
+discipline exists for exactly this reason).
+
+XOR caveat, documented not hidden: a row appearing an EVEN number of
+times cancels out of the fold. The report therefore carries n_rows
+beside the checksum — a duplicated+dropped row pair flips the count —
+and a distinct-rows variant is one dropDuplicates upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.dedup import _portable_hash64
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """→ ONE row (n_rows, checksum): bit_xor of portable per-row hashes
+    over the frozen rendering of ``cols`` (in the given order)."""
+    if not cols:
+        raise ValueError("table_checksum needs at least one column")
+    rendered = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
+    h = _portable_hash64(rendered)
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )

@@ -1,0 +1,54 @@
+"""Table checksum (operators/checksum): order/partitioning invariance,
+sensitivity, NULL rendering, the documented even-duplicate caveat."""
+
+import pytest
+
+from pyocr_spark.operators.checksum import table_checksum
+
+ROWS = [(1, "a", None), (2, "b", "x"), (3, None, "y"), (4, "d", "z")]
+SCHEMA = "id long, s1 string, s2 string"
+
+
+def test_invariant_under_order_and_partitioning(spark):
+    a = spark.createDataFrame(ROWS, SCHEMA)
+    b = spark.createDataFrame(list(reversed(ROWS)), SCHEMA).repartition(7)
+    ca, cb = table_checksum(a, ["id", "s1", "s2"]).head(), table_checksum(
+        b, ["id", "s1", "s2"]
+    ).head()
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+
+
+def test_sensitive_to_any_cell_and_column_order(spark):
+    a = spark.createDataFrame(ROWS, SCHEMA)
+    mutated = [(1, "a", None), (2, "b", "x"), (3, None, "y"), (4, "d", "Z")]
+    m = spark.createDataFrame(mutated, SCHEMA)
+    assert (
+        table_checksum(a, ["id", "s1", "s2"]).head()["checksum"]
+        != table_checksum(m, ["id", "s1", "s2"]).head()["checksum"]
+    )
+    # column order is part of the contract
+    assert (
+        table_checksum(a, ["id", "s1", "s2"]).head()["checksum"]
+        != table_checksum(a, ["id", "s2", "s1"]).head()["checksum"]
+    )
+    # NULL is not the string 'null'
+    lit = spark.createDataFrame([(1, "a", "\x00null")], SCHEMA)
+    nul = spark.createDataFrame([(1, "a", None)], SCHEMA)
+    assert (
+        table_checksum(lit, ["id", "s1", "s2"]).head()["checksum"]
+        == table_checksum(nul, ["id", "s1", "s2"]).head()["checksum"]
+    )  # the sentinel collision is the documented boundary of the contract
+
+
+def test_even_duplicates_cancel_but_count_catches(spark):
+    a = spark.createDataFrame(ROWS, SCHEMA)
+    dup = spark.createDataFrame(ROWS + [ROWS[0], ROWS[0]], SCHEMA)
+    ca, cd = table_checksum(a, ["id"]).head(), table_checksum(dup, ["id"]).head()
+    assert ca["checksum"] == cd["checksum"]  # XOR cancels the even pair
+    assert ca["n_rows"] != cd["n_rows"]      # the count does not
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="at least one column"):
+        table_checksum(df, [])
