@@ -2460,6 +2460,58 @@ def _q_unigram_encoded(spark, sf_dir):
     return unigram_encode_counts(_docs(spark, sf_dir), lp)
 
 
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — THE tokenizer-selection metric
+    (pieces per word; high fertility = a language pays more sequence
+    budget per word): the whitespace / learned-BPE / unigram-LM ladders
+    aggregated per lang with exact int64 micro ratios. Composes the two
+    trained tokenizers' encode passes with the doc table."""
+    from pyocr_spark.operators.bpe import bpe_encode_counts, learn_bpe_merges
+    from pyocr_spark.operators.unigram import unigram_encode_counts
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe_merges(docs, n_merges=30, min_count=2)
+    bpe = bpe_encode_counts(docs, merges).select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe"),
+    )
+    _, lp = _unigram_trained(spark, sf_dir)
+    uni = unigram_encode_counts(docs, lp)
+    j = (
+        docs.select(
+            "doc_id", "lang", F.coalesce(F.length("text"), F.lit(0)).alias("n_chars")
+        )
+        .join(bpe, "doc_id")
+        .join(uni, "doc_id")
+    )
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe"),
+        F.sum("n_pieces").alias("n_pieces"),
+    )
+    nz = F.col("n_words") > 0
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_bpe",
+        "n_pieces",
+        F.when(nz, F.expr("(1000000 * n_chars) div n_words")).alias(
+            "chars_per_word_micro"
+        ),
+        F.when(nz, F.expr("(1000000 * n_bpe) div n_words")).alias(
+            "bpe_per_word_micro"
+        ),
+        F.when(nz, F.expr("(1000000 * n_pieces) div n_words")).alias(
+            "pieces_per_word_micro"
+        ),
+    )
+
+
 def _q_corpus_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (operators/bpe.learn_bpe_merges):
     the tokenizer-training core — 30 merge rules from the corpus
@@ -2779,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_nll_tiers": _q_docs_nll_tiers,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
         "unigram_vocab": _q_unigram_vocab,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "unigram_encoded": _q_unigram_encoded,
         "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_bm25_index": _q_doc_bm25_index,
@@ -4372,6 +4425,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_encode": (
             "SELECT doc_id, n_tokens, n_bpe_tokens "
             f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
+        ),
+        # fertility: joins the two expected encode tables with documents;
+        # ratios as exact integer floor division
+        "tokenizer_fertility": (
+            "WITH j AS (SELECT d.lang, coalesce(length(d.text), 0) AS n_chars, "
+            "coalesce(b.n_tokens, 0) AS n_words, coalesce(b.n_bpe_tokens, 0) AS n_bpe, "
+            "u.n_pieces FROM documents d "
+            f"JOIN read_parquet('{E}/expected_bpe_encoded.parquet') b ON b.doc_id = d.doc_id "
+            f"JOIN read_parquet('{E}/expected_unigram_encoded.parquet') u ON u.doc_id = d.doc_id), "
+            "a AS (SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars, "
+            "sum(n_words) AS n_words, sum(n_bpe) AS n_bpe, sum(n_pieces) AS n_pieces "
+            "FROM j GROUP BY lang) "
+            "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(n_words AS BIGINT) AS n_words, CAST(n_bpe AS BIGINT) AS n_bpe, "
+            "CAST(n_pieces AS BIGINT) AS n_pieces, "
+            "CASE WHEN n_words > 0 THEN CAST((1000000 * n_chars) // n_words AS BIGINT) END AS chars_per_word_micro, "
+            "CASE WHEN n_words > 0 THEN CAST((1000000 * n_bpe) // n_words AS BIGINT) END AS bpe_per_word_micro, "
+            "CASE WHEN n_words > 0 THEN CAST((1000000 * n_pieces) // n_words AS BIGINT) END AS pieces_per_word_micro "
+            "FROM a"
         ),
         # unigram-LM tokenizer (Kudo 2018): expected tables from the
         # independent pure-Python hard-EM twin in datagen — integer
