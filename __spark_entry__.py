@@ -1980,6 +1980,21 @@ def _q_host_graph(spark, sf_dir):
     return host_graph(_outlinks(spark, sf_dir))
 
 
+def _q_anchor_consistency(spark, sf_dir):
+    """Anchor↔title agreement per crawled target (operators/webgraph.
+    anchor_title_consistency) — the anchor-stuffing tell that
+    triangulates with host_reciprocity. Composes the REAL outlink and
+    head-metadata extractions; exact int64 micro overlap."""
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.webgraph import anchor_title_consistency
+
+    meta = extract_metadata(dedup_latest_page(_pages(spark, sf_dir))).select(
+        "url", "title"
+    )
+    return anchor_title_consistency(_outlinks(spark, sf_dir), meta)
+
+
 def _q_host_reciprocity(spark, sf_dir):
     """Link-reciprocity spam signal (operators/webgraph.host_reciprocity):
     how much of each host's distinct cross-host out-neighborhood links
@@ -2953,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_reciprocity": _q_host_reciprocity,
+        "anchor_consistency": _q_anchor_consistency,
         "host_graph_follow": _q_host_graph_follow,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
@@ -5370,6 +5386,25 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rn = 1) "
             "SELECT stats.target_url, n_refs, n_src_hosts, m.top_anchor "
             "FROM stats LEFT JOIN m USING (target_url)"
+        ),
+        # anchor consistency: token-set overlap via list ops over the
+        # two expected extraction tables; int64 floor divisions
+        "anchor_consistency": (
+            f"WITH lk AS (SELECT target_url, list_distinct(list_filter("
+            "string_split_regex(regexp_replace(lower(anchor_text), "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), x -> x != '')) AS a "
+            f"FROM read_parquet('{E}/expected_links.parquet')), "
+            "lk2 AS (SELECT * FROM lk WHERE len(a) > 0), "
+            "ti AS (SELECT url AS target_url, list_distinct(list_filter("
+            "string_split_regex(regexp_replace(lower(coalesce(title, '')), "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), x -> x != '')) AS t "
+            f"FROM read_parquet('{E}/expected_meta.parquet')), "
+            "ov AS (SELECT lk2.target_url, "
+            "(1000000 * len(list_intersect(lk2.a, ti.t))) // len(lk2.a) AS o "
+            "FROM lk2 JOIN ti USING (target_url)) "
+            "SELECT target_url, CAST(count(*) AS BIGINT) AS n_links, "
+            "CAST(sum(o) // count(*) AS BIGINT) AS avg_consistency_micro "
+            "FROM ov GROUP BY target_url"
         ),
         # reciprocity: distinct cross-host edges, reverse intersect,
         # exact integer micro ratio

@@ -556,3 +556,52 @@ def host_reciprocity(outlinks: DataFrame) -> DataFrame:
     return out.withColumn(
         "reciprocity_micro", F.expr("(1000000 * n_mutual) div n_out")
     )
+
+
+def anchor_title_consistency(
+    outlinks: DataFrame, meta: DataFrame
+) -> DataFrame:
+    """Anchor↔title agreement per crawled target — the anchor-stuffing
+    tell: organic inbound anchors describe the page (tokens overlap its
+    title); SEO-farmed anchors repeat money keywords the page never
+    mentions, so consistency collapses exactly where reciprocity
+    (host_reciprocity) spikes — the two signals triangulate.
+
+    Per inbound link with a NON-EMPTY anchor: overlap_micro =
+    floor(1e6·|A∩T|/|A|) over lowercased DISTINCT ws-token sets (A =
+    anchor, T = target title; a missing title is an empty set — zero
+    consistency is the honest value for a page with nothing to agree
+    with). Per target: (target_url, n_links, avg_consistency_micro =
+    Σoverlap div n) — exact int64.
+
+    Shape: one equi-join of outlinks onto the (url, title) table
+    projected to token sets (JVM transforms), one partial-agg per
+    target. Only crawled targets appear (inner join — external targets
+    carry no title evidence)."""
+    from pyocr_spark.functions.text_stats import ws_tokens
+
+    a_toks = F.array_distinct(
+        F.filter(ws_tokens(F.lower(F.col("anchor_text"))), lambda t: t != F.lit(""))
+    )
+    t_toks = F.array_distinct(
+        F.filter(
+            ws_tokens(F.lower(F.coalesce(F.col("title"), F.lit("")))),
+            lambda t: t != F.lit(""),
+        )
+    )
+    links = outlinks.select(
+        F.col("target_url"), a_toks.alias("_a")
+    ).filter(F.size("_a") > 0)
+    titles = meta.select(F.col("url").alias("target_url"), t_toks.alias("_t"))
+    ov = F.expr(
+        "(1000000 * size(array_intersect(_a, _t))) div size(_a)"
+    )
+    return (
+        links.join(titles, "target_url")
+        .select("target_url", ov.alias("_ov"))
+        .groupBy("target_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.expr("sum(_ov) div count(1)").alias("avg_consistency_micro"),
+        )
+    )

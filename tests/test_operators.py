@@ -1131,3 +1131,33 @@ def test_retention_plan_rules(spark):
         for r in retention_plan(df, keep_last=2).collect()
     }
     assert got2[("u/hot", 8)] is False
+
+
+def test_anchor_title_consistency(spark):
+    from pyocr_spark.operators.webgraph import anchor_title_consistency
+
+    links = spark.createDataFrame(
+        [
+            ("https://s/1", 0, "https://t/good", "Great Apple Pie recipe", False),
+            ("https://s/2", 0, "https://t/good", "apple pie", False),
+            ("https://s/3", 0, "https://t/good", "CHEAP pills casino", False),
+            ("https://s/4", 0, "https://t/good", "   ", False),       # empty anchor: skipped
+            ("https://s/5", 0, "https://t/none", "anything", False),   # target w/o title row: dropped
+            ("https://s/6", 0, "https://t/notitle", "words here", False),
+        ],
+        "url string, link_idx int, target_url string, anchor_text string, nofollow boolean",
+    )
+    meta = spark.createDataFrame(
+        [
+            ("https://t/good", "Apple Pie Recipe"),
+            ("https://t/notitle", None),
+        ],
+        "url string, title string",
+    )
+    got = {r["target_url"]: r for r in anchor_title_consistency(links, meta).collect()}
+    g = got["https://t/good"]
+    # overlaps: 3/4, 2/2, 0/3 -> micro 750000, 1000000, 0; avg = sum div 3
+    assert g["n_links"] == 3
+    assert g["avg_consistency_micro"] == (750_000 + 1_000_000 + 0) // 3
+    assert got["https://t/notitle"]["avg_consistency_micro"] == 0
+    assert "https://t/none" not in got
