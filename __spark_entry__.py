@@ -1713,6 +1713,26 @@ def _q_neardup_eval(spark, sf_dir):
     return neardup_eval(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_bbit_sigs(spark, sf_dir):
+    """b-bit minwise signatures (operators/dedup.bbit_minhash, Li &
+    König 2010): 16×64-bit minhash → ONE bigint (b=2) — the 32× storage
+    cut that makes billion-doc signature tables broadcastable; portable
+    family so the pack replays in SQL bit arithmetic."""
+    from pyocr_spark.operators.dedup import bbit_minhash
+
+    return bbit_minhash(_docs(spark, sf_dir), b=2, portable=True)
+
+
+def _q_bbit_pairs(spark, sf_dir):
+    """Collision-corrected Jaccard estimates from packed b-bit
+    signatures — XOR lane counting on one bigint per side; quadratic
+    baseline form (the bucketed variant is the scale path)."""
+    from pyocr_spark.operators.dedup import bbit_minhash, bbit_similarity_pairs
+
+    sigs = bbit_minhash(_docs(spark, sf_dir), b=2, portable=True)
+    return bbit_similarity_pairs(sigs, threshold=0.5)
+
+
 def _q_minhash_pairs_delta(spark, sf_dir):
     """Incremental cross-crawl near-dup (operators/deltadedup): docs
     with doc_id%7==0 arrive as the NEW crawl against the stored band
@@ -2942,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_delta": _q_minhash_pairs_delta,
+        "bbit_sigs": _q_bbit_sigs,
+        "bbit_pairs": _q_bbit_pairs,
         "neardup_eval": _q_neardup_eval,
         "corpus_drift": _q_corpus_drift,
         "clf_auc": _q_clf_auc,
@@ -5225,6 +5247,24 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_delta": (
             f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
             "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
+        # b-bit pack/compare in SQL bit arithmetic over the portable sigs
+        "bbit_sigs": (
+            f"WITH sig AS ({_MINHASH_SIG_SQL}) "
+            "SELECT doc_id, CAST(sum((minhash & 3) << (2 * seed)) AS BIGINT) AS bbit_sig "
+            "FROM sig GROUP BY doc_id"
+        ),
+        "bbit_pairs": (
+            f"WITH sig AS ({_MINHASH_SIG_SQL}), "
+            "p AS (SELECT doc_id, CAST(sum((minhash & 3) << (2 * seed)) AS BIGINT) AS s "
+            "FROM sig GROUP BY doc_id), "
+            "pr AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, "
+            "xor(l.s, r.s) AS x FROM p l JOIN p r ON l.doc_id < r.doc_id), "
+            "m AS (SELECT left_id, right_id, "
+            "len(list_filter(generate_series(0, 15), i -> ((x >> (2*i)) & 3) = 0)) AS mm FROM pr) "
+            "SELECT left_id, right_id, "
+            "CAST(floor(greatest(0, 1000000 * (mm * 4 - 16)) / 48.0) AS BIGINT) AS jaccard_bbit_micro "
+            "FROM m WHERE floor(greatest(0, 1000000 * (mm * 4 - 16)) / 48.0) >= 500000"
         ),
         # attrition funnel: the corpus_build_full chain, counted per
         # stage (token gate BEFORE the dedup window, mirroring the plan;

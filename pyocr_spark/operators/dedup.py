@@ -785,3 +785,96 @@ def semantic_dedup(
         lsh_planes=lsh_planes,
     )
     return dedup_by_components(emb, pairs, id_col=id_col)
+
+
+def bbit_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    b: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW 2010): keep only the low
+    ``b`` bits of each minhash component — a 16×64-bit signature packs
+    into ONE bigint at b≤4 (32× storage), which is what makes
+    billion-document signature tables broadcastable/cacheable. The
+    price is quantified, not vague: two unrelated components still
+    agree with probability ~1/2^b, so the similarity estimate applies
+    the paper's collision correction
+    ``Ĵ = (frac_match − c)/(1 − c)``, c = 2^-b.
+
+    Returns (id, bbit_sig) where bbit_sig packs component i's low bits
+    at offset i·b (component order preserved — two tables built with the
+    same parameters compare componentwise by XOR/mask arithmetic).
+    Built entirely from minhash_signature's output via one HOF fold —
+    same narrow scan shape, no Python.
+    """
+    if not 1 <= b <= 8:
+        raise ValueError(f"b must be in [1, 8], got {b}")
+    if num_hashes * b > 63:
+        raise ValueError(
+            f"num_hashes*b must fit a signed bigint (<= 63), got "
+            f"{num_hashes}*{b}"
+        )
+    sig = minhash_signature(df, text_col, id_col, k, num_hashes, portable=portable)
+    mask = (1 << b) - 1
+    # unrolled shift-or: num_hashes is a small constant, and the static
+    # shift amounts keep the whole pack inside one codegen expression
+    packed = None
+    for i in range(num_hashes):
+        lane = F.shiftleft(
+            F.element_at(F.col("sig"), i + 1).bitwiseAND(F.lit(mask)), i * b
+        )
+        packed = lane if packed is None else packed + lane
+    return sig.select(F.col(id_col), packed.alias("bbit_sig"))
+
+
+def bbit_similarity_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    b: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corrected Jaccard estimates from packed b-bit signatures:
+    (left_id, right_id, jaccard_bbit_micro) for pairs above threshold.
+
+    Quadratic self-join BY DESIGN — the correctness baseline over the
+    compressed signatures (mirror of embedding_cosine_pairs' exact
+    variant); the scale path buckets on signature bytes first. Match
+    counting is pure bit arithmetic on ONE bigint per side: component i
+    matches iff the XOR has no bits in its b-bit lane.
+    """
+    mask = (1 << b) - 1
+    l, r = sigs.alias("l"), sigs.alias("r")
+    x = F.col("l.bbit_sig").bitwiseXOR(F.col("r.bbit_sig"))
+    matches = sum(
+        (
+            F.when(
+                F.shiftrightunsigned(x, i * b).bitwiseAND(F.lit(mask)) == 0, 1
+            ).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        F.lit(0),
+    )
+    # Ĵ = (m/n − c)/(1 − c) in micros: c = 1/2^b ⇒ numerator
+    # 1e6·(m·2^b − n) clamped at 0 (int64), then floor of ONE
+    # correctly-rounded double division — floor, not a cast: Spark's
+    # long cast truncates while DuckDB's rounds, floor agrees everywhere
+    two_b = 1 << b
+    num = F.greatest(
+        F.lit(0).cast("long"),
+        (F.lit(1_000_000) * (matches * two_b - F.lit(num_hashes))).cast("long"),
+    )
+    est = F.floor(num / F.lit(float(num_hashes * (two_b - 1)))).cast("long")
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            est.alias("jaccard_bbit_micro"),
+        )
+        .filter(F.col("jaccard_bbit_micro") >= int(threshold * 1_000_000))
+    )

@@ -1161,3 +1161,40 @@ def test_anchor_title_consistency(spark):
     assert g["avg_consistency_micro"] == (750_000 + 1_000_000 + 0) // 3
     assert got["https://t/notitle"]["avg_consistency_micro"] == 0
     assert "https://t/none" not in got
+
+
+def test_bbit_minhash_packing_and_correction(spark):
+    from pyocr_spark.operators.dedup import (
+        bbit_minhash,
+        bbit_similarity_pairs,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " extra"), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    sigs = bbit_minhash(df, b=2, portable=True)
+    # packing matches an independent fold over the full signature
+    full = {r["doc_id"]: r["sig"] for r in minhash_signature(df, portable=True).collect()}
+    got = {r["doc_id"]: r["bbit_sig"] for r in sigs.collect()}
+    for i, s in full.items():
+        want = sum((h & 3) << (2 * j) for j, h in enumerate(s))
+        assert got[i] == want, i
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard_bbit_micro"]
+        for r in bbit_similarity_pairs(sigs, threshold=0.0).collect()
+    }
+    # exact dup: all 16 lanes match -> corrected estimate = 1.0
+    assert pairs[(0, 1)] == 1_000_000
+    # the near pair scores far above the unrelated pair, which the
+    # collision correction pulls toward 0
+    assert pairs[(0, 2)] > pairs.get((0, 3), 0)
+    # independent correction replay for one pair
+    import math
+
+    x = got[0] ^ got[3]
+    m = sum(1 for i in range(16) if (x >> (2 * i)) & 3 == 0)
+    want = math.floor(max(0, 1_000_000 * (m * 4 - 16)) / (16 * 3))
+    assert pairs.get((0, 3), 0) == max(want, 0) or (0, 3) not in pairs
