@@ -1532,6 +1532,16 @@ def _q_docs_token_budget(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens", "taken_before")
 
 
+def _q_doc_pii_cards(spark, sf_dir):
+    """Luhn-validated card detection (functions/text_stats.pii_cards):
+    13–19 digit runs checksum-validated with higher-order expressions —
+    the upgrade over raw digit-run masking (an order number is not a
+    card)."""
+    from pyocr_spark.functions.text_stats import pii_cards
+
+    return pii_cards(_docs(spark, sf_dir))
+
+
 def _q_docs_robust_outliers(spark, sf_dir):
     """Median/MAD outlier gate (operators/robust): per-lang robust
     length screening (Hampel/Leys k=3.5·MAD) — exact type-7 percentiles
@@ -2873,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_index_update": _q_doc_bm25_index_update,
         "doc_hybrid_search": _q_doc_hybrid_search,
         "docs_token_budget": _q_docs_token_budget,
+        "doc_pii_cards": _q_doc_pii_cards,
         "docs_robust_outliers": _q_docs_robust_outliers,
         "docs_shard_assign": _q_docs_shard_assign,
         "docs_shard_manifest": _q_docs_shard_manifest,
@@ -4373,6 +4384,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, "
             "CASE WHEN n_tokens > 0 THEN CAST(floor(1000000.0 * (206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences) "
             "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))) AS BIGINT) END AS flesch_micro FROM b"
+        ),
+        # Luhn cards: identical HOF chain in DuckDB list ops
+        "doc_pii_cards": (
+            "WITH c AS (SELECT doc_id, list_filter(list_transform("
+            "regexp_extract_all(coalesce(text, ''), '[0-9][0-9 -]{11,22}[0-9]'), "
+            "s -> regexp_replace(s, '[ -]', '', 'g')), "
+            "s -> length(s) BETWEEN 13 AND 19) AS cands FROM documents), "
+            "v AS (SELECT doc_id, cands, list_filter(cands, s -> "
+            "(list_sum(list_transform(generate_series(1, length(s)), i -> "
+            "CASE WHEN (length(s) - i) % 2 = 1 THEN "
+            "CASE WHEN CAST(s[i] AS INT) * 2 > 9 THEN CAST(s[i] AS INT) * 2 - 9 "
+            "ELSE CAST(s[i] AS INT) * 2 END ELSE CAST(s[i] AS INT) END)) % 10) = 0) AS valid FROM c) "
+            "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates, "
+            "CAST(len(valid) AS BIGINT) AS n_valid_cards FROM v"
         ),
         # robust gate: exact type-7 percentiles (quantile_cont ↔
         # F.percentile), dev/compare with the identical expression shape

@@ -1484,3 +1484,46 @@ def script_mix(
         for name, _ in SCRIPT_CLASSES
     ]
     return base.select(id_col, "n_chars", *ppm)
+
+
+def pii_cards(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Payment-card detection with Luhn VALIDATION — the upgrade over
+    pii_mask's raw digit-run heuristic: a 16-digit order number is not a
+    card, and masking it anyway destroys legitimate text. Candidates are
+    13–19 digit runs (spaces/dashes allowed inside); each is checksum-
+    validated (Luhn mod-10, the ISO/IEC 7812 rule) entirely with
+    higher-order expressions — per-digit doubling from the right, digit
+    sum, mod 10 — no Python, exact SQL twin.
+
+    Returns (id, n_candidates, n_valid_cards). Masking valid cards is
+    one regexp_replace guarded by this count downstream; the report
+    form keeps the operator a narrow scan projection.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    raw = F.regexp_extract_all(t, F.lit(r"[0-9][0-9 -]{11,22}[0-9]"), F.lit(0))
+    norm = F.transform(raw, lambda c: F.regexp_replace(c, "[ -]", ""))
+    cands = F.filter(
+        norm, lambda c: (F.length(c) >= 13) & (F.length(c) <= 19)
+    )
+
+    def luhn_ok(c):
+        n = F.length(c)
+        digits = F.transform(
+            F.sequence(F.lit(1), n),
+            # from the RIGHT: double every second digit, subtract 9 on overflow
+            lambda i: F.when(
+                (n - i) % 2 == 1,
+                F.when(
+                    F.substring(c, i, 1).cast("int") * 2 > 9,
+                    F.substring(c, i, 1).cast("int") * 2 - 9,
+                ).otherwise(F.substring(c, i, 1).cast("int") * 2),
+            ).otherwise(F.substring(c, i, 1).cast("int")),
+        )
+        return F.aggregate(digits, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+    valid = F.filter(cands, luhn_ok)
+    return docs.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_valid_cards"),
+    )

@@ -1198,3 +1198,19 @@ def test_bbit_minhash_packing_and_correction(spark):
     m = sum(1 for i in range(16) if (x >> (2 * i)) & 3 == 0)
     want = math.floor(max(0, 1_000_000 * (m * 4 - 16)) / (16 * 3))
     assert pairs.get((0, 3), 0) == max(want, 0) or (0, 3) not in pairs
+
+
+def test_pii_cards_luhn(spark):
+    from pyocr_spark.functions.text_stats import pii_cards
+
+    df = spark.createDataFrame(
+        [
+            (0, "pay with 4539 1488 0343 6467 now"),   # valid Luhn
+            (1, "order no 1234 5678 9012 3456 thanks"),  # invalid Luhn
+            (2, "short 079-1234-5678"),                   # too short
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_candidates"], r["n_valid_cards"]) for r in pii_cards(df).collect()}
+    assert got == {0: (1, 1), 1: (1, 0), 2: (0, 0), 3: (0, 0)}
