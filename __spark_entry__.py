@@ -603,6 +603,21 @@ def _q_capture_churn(spark, sf_dir):
     return capture_churn(_pages(spark, sf_dir))
 
 
+def _q_docs_split_manifest(spark, sf_dir):
+    """Publishable-dataset manifest (operators/checksum.split_manifest):
+    per-split rows + order-independent checksum — what a consumer
+    verifies a delivered train/valid/test split against."""
+    from pyocr_spark.operators.checksum import split_manifest
+
+    return split_manifest(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        "doc_id",
+        ["doc_id", "text", "lang"],
+        portable=True,
+    )
+
+
 def _q_docs_checksum(spark, sf_dir):
     """Order-independent table checksum (operators/checksum.
     table_checksum): portable per-row hashes XOR-folded — the one-number
@@ -2852,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_churn": _q_capture_churn,
         "retention_plan": _q_retention_plan,
         "docs_checksum": _q_docs_checksum,
+        "docs_split_manifest": _q_docs_split_manifest,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "warc_revisit_plan": _q_warc_revisit_plan,
@@ -4059,6 +4075,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k.kk = f.first_k THEN NULL "
             "ELSE CAST(f.first_k[1:19] AS BIGINT) END AS refers_to_ts_epoch "
             "FROM k JOIN f USING (digest)"
+        ),
+        # split manifest: the docs_split rule + per-split XOR checksums
+        "docs_split_manifest": (
+            "WITH s AS (SELECT doc_id, text, lang, "
+            "CASE WHEN CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15)) AS BIGINT) % 1000000 < 800000 THEN 'train' "
+            "WHEN CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'valid' "
+            "ELSE 'test' END AS split FROM documents), "
+            "h AS (SELECT split, CAST(('0x' || substr(md5(concat_ws(chr(31), "
+            "coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'), "
+            "coalesce(text, chr(0) || 'null'), "
+            "coalesce(lang, chr(0) || 'null'))), 1, 15)) AS BIGINT) AS h FROM s) "
+            "SELECT split, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(bit_xor(h) AS BIGINT) AS checksum FROM h GROUP BY split"
         ),
         # checksum: the point of the operator — DuckDB derives the SAME
         # number from the SAME frozen rendering

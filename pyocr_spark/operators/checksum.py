@@ -49,3 +49,38 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(h)").alias("checksum"),
     )
+
+
+def split_manifest(
+    df: DataFrame,
+    fractions: dict,
+    key: str,
+    cols: list[str],
+    portable: bool = False,
+) -> DataFrame:
+    """Publishable-dataset manifest: (split, n_rows, checksum) — the
+    three numbers a consumer verifies a delivered split against, built
+    from the SAME frozen pieces the pipeline ships (hash_split's
+    monotone assignment + table_checksum's rendering contract). One
+    narrow projection + one partial-agg shuffle of |splits| rows."""
+    from pyocr_spark.operators.sampling import hash_split
+
+    if not cols:
+        raise ValueError("split_manifest needs at least one column")
+    s = hash_split(df, fractions, key, portable=portable)
+    rendered = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
+    h = _portable_hash64(rendered)
+    return (
+        s.select(F.col("split"), h.alias("h"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )

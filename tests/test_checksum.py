@@ -52,3 +52,20 @@ def test_validation(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError, match="at least one column"):
         table_checksum(df, [])
+
+
+def test_split_manifest_reconciles(spark):
+    from pyocr_spark.operators.checksum import split_manifest, table_checksum
+    from pyocr_spark.operators.sampling import hash_split
+
+    rows = [(i, f"t{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    man = {r["split"]: r for r in split_manifest(df, fr, "doc_id", ["doc_id", "text"], portable=True).collect()}
+    s = hash_split(df, fr, "doc_id", portable=True)
+    for name in fr:
+        part = s.filter(s.split == name).drop("split")
+        want = table_checksum(part, ["doc_id", "text"]).head()
+        assert man[name]["n_rows"] == want["n_rows"], name
+        assert man[name]["checksum"] == want["checksum"], name
+    assert sum(r["n_rows"] for r in man.values()) == 200
