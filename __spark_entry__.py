@@ -1557,6 +1557,15 @@ def _q_doc_pii_cards(spark, sf_dir):
     return pii_cards(_docs(spark, sf_dir))
 
 
+def _q_docs_key_skew(spark, sf_dir):
+    """Shuffle-key skew diagnosis (operators/skewjoin.key_skew_report):
+    max/mean key ratio + the literal hot-key list — the number that
+    says whether salting is worth its shuffle BEFORE paying for it."""
+    from pyocr_spark.operators.skewjoin import key_skew_report
+
+    return key_skew_report(_docs(spark, sf_dir), "lang", top_n=3)
+
+
 def _q_docs_robust_outliers(spark, sf_dir):
     """Median/MAD outlier gate (operators/robust): per-lang robust
     length screening (Hampel/Leys k=3.5·MAD) — exact type-7 percentiles
@@ -2900,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_search": _q_doc_hybrid_search,
         "docs_token_budget": _q_docs_token_budget,
         "doc_pii_cards": _q_doc_pii_cards,
+        "docs_key_skew": _q_docs_key_skew,
         "docs_robust_outliers": _q_docs_robust_outliers,
         "docs_shard_assign": _q_docs_shard_assign,
         "docs_shard_manifest": _q_docs_shard_manifest,
@@ -4413,6 +4423,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, "
             "CASE WHEN n_tokens > 0 THEN CAST(floor(1000000.0 * (206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences) "
             "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens))) AS BIGINT) END AS flesch_micro FROM b"
+        ),
+        # key skew: per-key counts, ordered top list, integer ratio
+        "docs_key_skew": (
+            "WITH per AS (SELECT coalesce(CAST(lang AS VARCHAR), chr(0) || 'null') AS k, "
+            "count(*) AS n FROM documents GROUP BY 1), "
+            "top AS (SELECT k, n FROM per ORDER BY n DESC, k LIMIT 3), "
+            "tl AS (SELECT string_agg(k, ',' ORDER BY n DESC, k) AS top_keys FROM top), "
+            "a AS (SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS max_key_count FROM per) "
+            "SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys, "
+            "CAST(max_key_count AS BIGINT) AS max_key_count, tl.top_keys, "
+            "CAST((1000000 * max_key_count * n_keys) // n_rows AS BIGINT) AS skew_ratio_micro "
+            "FROM a, tl"
         ),
         # Luhn cards: identical HOF chain in DuckDB list ops
         "doc_pii_cards": (

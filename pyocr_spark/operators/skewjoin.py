@@ -146,3 +146,45 @@ def salted_skew_join(
         cond = (l_salted[lk] == r_salted[rk]) & (l_salted[_SALT] == r_salted[_SALT])
         joined = l_salted.join(r_salted, on=cond, how=how).drop(r_salted[_SALT])
     return joined.drop(_SALT).select(out_cols)
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
+    """Shuffle-key skew diagnosis — the first query to run when a
+    join/groupBy straggles: per distinct key count → ONE row
+    (n_rows, n_keys, max_key_count, top_keys, skew_ratio_micro) where
+    skew_ratio = max_key_count / mean_key_count (1.0 = perfectly
+    uniform; the number that says whether salting (salted_repartition /
+    salted_skew_join) is worth its shuffle BEFORE paying for it).
+
+    top_keys is the comma-joined top-``top_n`` keys by (count DESC, key)
+    — the literal hot-key list salted_skew_join wants as its declared
+    set. Shapes: one partial-agg count per key, one TakeOrdered for the
+    top list, one scalar agg; exact int64 micro ratio
+    (1e6·max·n_keys) div n_rows.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    kc = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    per = df.select(kc.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = [
+        r["k"]
+        for r in per.orderBy(F.col("n").desc(), F.col("k").asc())
+        .limit(top_n)
+        .collect()
+    ]
+    agg = per.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_count"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_key_count",
+        F.lit(",".join(top)).alias("top_keys"),
+        F.expr("(1000000 * max_key_count * n_keys) div n_rows").alias(
+            "skew_ratio_micro"
+        ),
+    )

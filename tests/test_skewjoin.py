@@ -124,3 +124,21 @@ def test_guards(spark, fact, dim):
     bad = fact.withColumn("__skew_salt", F.lit(1))
     with pytest.raises(ValueError, match="__skew_salt"):
         salted_skew_join(bad, dim, on="k")
+
+
+def test_key_skew_report(spark):
+    from pyocr_spark.operators.skewjoin import key_skew_report
+
+    rows = [(i, "hot") for i in range(90)] + [(100 + i, f"cold{i}") for i in range(10)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = key_skew_report(df, "k", top_n=3).head()
+    assert got["n_rows"] == 101 and got["n_keys"] == 12
+    assert got["max_key_count"] == 90
+    assert got["top_keys"].split(",")[0] == "hot"
+    assert len(got["top_keys"].split(",")) == 3
+    # skew = 1e6 * 90 * 12 div 101
+    assert got["skew_ratio_micro"] == (1_000_000 * 90 * 12) // 101
+    # uniform data ~ 1.0
+    u = spark.createDataFrame([(i, str(i)) for i in range(50)], "id long, k string")
+    assert key_skew_report(u, "k").head()["skew_ratio_micro"] == 1_000_000
