@@ -2417,6 +2417,18 @@ def _q_bitext_candidates(spark, sf_dir):
     )
 
 
+def _q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/bitext.hard_negatives,
+    DPR-style): per vector, the most similar DIFFERENT-label vector —
+    exact pair join baseline (LSH is the scale path), one max-struct agg
+    per anchor, lowest-id tie rule."""
+    from pyocr_spark.operators.bitext import hard_negatives
+
+    return hard_negatives(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.0
+    )
+
+
 def _q_emb_rand_project(spark, sf_dir):
     """Sparse random projection (operators/vectors.sparse_random_project,
     Achlioptas 2003 s=3): md5-derived ±1/0 matrix, fixed-point integer
@@ -3051,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components_star": _q_host_components_star,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
+        "emb_hard_negatives": _q_emb_hard_negatives,
         "emb_rand_project": _q_emb_rand_project,
         "emb_diverse_sample": _q_emb_diverse_sample,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
@@ -5731,6 +5744,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
             "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
             "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) >= 0.4"
+        ),
+        # hard negatives: exact pair join + arg-max replay per anchor
+        "emb_hard_negatives": (
+            "WITH p AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id, "
+            "round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id), "
+            "lb AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL), "
+            "b AS (SELECT p.left_id, p.right_id, p.cosine FROM p "
+            "JOIN lb a ON a.vec_id = p.left_id JOIN lb c ON c.vec_id = p.right_id "
+            "WHERE p.cosine >= 0.0 AND a.label <> c.label), "
+            "d AS (SELECT left_id AS id, right_id AS nid, cosine FROM b "
+            "UNION ALL SELECT right_id, left_id, cosine FROM b), "
+            "rk AS (SELECT id, nid, cosine, row_number() OVER (PARTITION BY id "
+            "ORDER BY cosine DESC, nid ASC) AS rn FROM d) "
+            "SELECT id AS vec_id, nid AS hard_neg_id, cosine FROM rk WHERE rn = 1"
         ),
         # sparse random projection: sign-literal integer dot replay
         "emb_rand_project": _rp_sql(16, 64),

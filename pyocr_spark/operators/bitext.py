@@ -60,3 +60,68 @@ def bitext_candidates(
         .filter(F.col("lang_l") != F.col("lang_r"))
         .select("left_id", "right_id", "lang_l", "lang_r", "cosine")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    threshold: float = 0.0,
+    lsh_planes: int = 0,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_exact_rows: int | None = 100_000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, its MOST
+    similar vector carrying a DIFFERENT label — the negatives that
+    actually move an embedding model (random negatives are trivially
+    separable; the hard ones sit just across the boundary; cf. the
+    in-batch/ANN mining recipe of DPR, Karpukhin et al. 2020).
+
+    Same chassis as bitext_candidates: the embedding pair join (exact
+    baseline / hyperplane-LSH scale path, guards inherited) filtered to
+    cross-label pairs, then ONE max-struct aggregate per vector —
+    no window, ties broken toward the LOWER candidate id via the packed
+    (cosine, -id) ordering. Returns (id, hard_neg_id, cosine);
+    NULL-label vectors carry no label evidence and are dropped.
+    """
+    pairs = embedding_cosine_pairs(
+        emb,
+        id_col=id_col,
+        threshold=threshold,
+        lsh_planes=lsh_planes,
+        max_exact_rows=max_exact_rows,
+    )
+    labels = emb.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lab")
+    ).filter(F.col("_lab").isNotNull())
+    both = (
+        pairs.join(labels.withColumnRenamed("_id", "left_id"), "left_id")
+        .withColumnRenamed("_lab", "lab_l")
+        .join(
+            labels.withColumnRenamed("_id", "right_id").withColumnRenamed(
+                "_lab", "lab_r"
+            ),
+            "right_id",
+        )
+        .filter(F.col("lab_l") != F.col("lab_r"))
+    )
+    # orient both directions, then per-anchor max of (cosine, -cand_id):
+    # struct ordering gives highest cosine, lowest candidate id on ties
+    directed = both.select(
+        F.col("left_id").alias("id"),
+        F.struct(
+            F.col("cosine").alias("c"), (-F.col("right_id")).alias("negid")
+        ).alias("_v"),
+    ).unionByName(
+        both.select(
+            F.col("right_id").alias("id"),
+            F.struct(
+                F.col("cosine").alias("c"), (-F.col("left_id")).alias("negid")
+            ).alias("_v"),
+        )
+    )
+    best = directed.groupBy("id").agg(F.max("_v").alias("_b"))
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("_b.negid")).alias("hard_neg_id"),
+        F.col("_b.c").alias("cosine"),
+    )

@@ -51,3 +51,25 @@ def test_lsh_path_subset_of_exact(spark):
         for r in bitext_candidates(emb, docs, threshold=0.9, lsh_planes=2).collect()
     }
     assert lsh <= exact
+
+
+def test_hard_negatives_pick_nearest_cross_label(spark):
+    from pyocr_spark.operators.bitext import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1),
+            (1, [0.99, 0.1, 0.0, 0.0], 1),   # same label as 0: never its negative
+            (2, [0.9, 0.2, 0.0, 0.0], 2),    # nearest cross-label to 0/1
+            (3, [0.0, 1.0, 0.0, 0.0], 2),
+            (4, [0.5, 0.5, 0.0, 0.0], None), # NULL label: excluded
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["vec_id"]: (r["hard_neg_id"], r["cosine"]) for r in hard_negatives(emb).collect()}
+    assert got[0][0] == 2 and got[1][0] == 2
+    assert got[2][0] in (0, 1)  # whichever scores higher
+    assert 4 not in got
+    assert not any(n == 4 for n, _ in got.values())
+    # anchor 3's hardest negative is 0 or 1 (cross-label only)
+    assert got[3][0] in (0, 1)
