@@ -55,3 +55,33 @@ class StageMetrics:
 
     def report(self) -> str:
         return json.dumps(self.snapshot())
+
+
+def observed_extract(ext_df, name: str = "extract"):
+    """Attach a Spark ``Observation`` to an extraction output: returns
+    (df, observation) where ``observation.get`` — available after ANY
+    action on the returned df — carries exact per-action metrics
+    (n_rows, n_errors, n_chars_out) computed inside the plan itself.
+
+    The exactly-once complement to StageMetrics' accumulators: observe()
+    metrics are aggregate expressions evaluated by the query, so task
+    retries and speculation cannot double-count — accumulators answer
+    "how far along is the stage" DURING the run, the observation answers
+    "what exactly did this action produce" AFTER it, with no second
+    pass over the output.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    out = ext_df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("status") != "ok", 1).otherwise(0)
+        ).alias("n_errors"),
+        F.sum(
+            F.coalesce(F.length("extracted_text"), F.lit(0)).cast("long")
+        ).alias("n_chars_out"),
+    )
+    return out, obs

@@ -152,3 +152,22 @@ def test_build_training_corpus_end_to_end(spark, pages_sf0001):
     pages2 = read_pages(spark, str(pages_sf0001 / "pages.parquet")).repartition(7)
     out2 = build_training_corpus(pages2, min_tokens=20, sample_fraction=0.5).toPandas()
     assert sorted(out["url"]) == sorted(out2["url"])
+
+
+def test_observed_extract_exact_counts(spark, pages_sf0001):
+    from pyocr_spark.plans.metrics import observed_extract
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.pages import read_pages
+
+    ext = extract_df(
+        read_pages(spark, str(pages_sf0001 / "pages.parquet")),
+        modes=frozenset({"text"}),
+    )
+    out, obs = observed_extract(ext)
+    rows = out.collect()
+    got = obs.get
+    assert got["n_rows"] == len(rows)
+    assert got["n_errors"] == sum(1 for r in rows if r["status"] != "ok")
+    assert got["n_chars_out"] == sum(
+        len(r["extracted_text"]) for r in rows if r["extracted_text"] is not None
+    )
