@@ -1576,6 +1576,20 @@ def _q_docs_robust_outliers(spark, sf_dir):
     return robust_outlier_gate(_docs(spark, sf_dir))
 
 
+def _q_docs_mixing_plan(spark, sf_dir):
+    """Training-mix waterfilling (operators/mixing.mixing_plan): target
+    shares vs finite sources — src0's over-ask caps at its corpus and
+    the deficit flows to the others at the closed-form water level;
+    windows over the per-source table only."""
+    from pyocr_spark.operators.mixing import mixing_plan
+
+    return mixing_plan(
+        _docs(spark, sf_dir),
+        {"src0": 800_000, "src1": 100_000, "src2": 100_000},
+        budget_tokens=4000,
+    )
+
+
 def _q_docs_shard_assign(spark, sf_dir):
     """Balanced training-shard assignment (operators/sharding): snake
     round-robin over (n_tokens DESC, doc_id) — token-balanced shards a
@@ -2923,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_cards": _q_doc_pii_cards,
         "docs_key_skew": _q_docs_key_skew,
         "docs_robust_outliers": _q_docs_robust_outliers,
+        "docs_mixing_plan": _q_docs_mixing_plan,
         "docs_shard_assign": _q_docs_shard_assign,
         "docs_shard_manifest": _q_docs_shard_manifest,
         "doc_lexical_stats": _q_doc_lexical_stats,
@@ -4478,6 +4493,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT j.doc_id, j.lang, j.n_tokens, round(j.med, 4) AS med, "
             "round(md.mad, 4) AS mad, j.dev > 3.5 * md.mad AS is_outlier "
             "FROM j JOIN md ON j.lang IS NOT DISTINCT FROM md.lang"
+        ),
+        # mixing plan: the closed-form waterfilling replayed with the
+        # same windows; level = λ of the last capped row (scalar subquery)
+        "docs_mixing_plan": (
+            "WITH per AS (SELECT source, CAST(sum(coalesce(len(list_filter("
+            "string_split_regex(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+'), x -> x != '')), 0)) AS BIGINT) AS n_tokens "
+            "FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY source), "
+            "w AS (SELECT source, n_tokens, CASE source WHEN 'src0' THEN 800000 "
+            "WHEN 'src1' THEN 100000 ELSE 100000 END AS w FROM per), "
+            "rk AS (SELECT *, row_number() OVER (ORDER BY CAST(n_tokens AS DOUBLE)/CAST(w AS DOUBLE), source) AS k, "
+            "sum(n_tokens) OVER (ORDER BY CAST(n_tokens AS DOUBLE)/CAST(w AS DOUBLE), source) AS cum_t, "
+            "sum(w) OVER (ORDER BY CAST(n_tokens AS DOUBLE)/CAST(w AS DOUBLE), source) AS cum_w FROM w), "
+            "l AS (SELECT *, CASE WHEN cum_w < 1000000 THEN "
+            "(4000.0 - CAST(cum_t AS DOUBLE)) / CAST(1000000 - cum_w AS DOUBLE) END AS lam_k FROM rk), "
+            "c AS (SELECT *, lam_k IS NOT NULL AND CAST(n_tokens AS DOUBLE) <= CAST(w AS DOUBLE) * lam_k AS capped0 FROM l), "
+            "lv AS (SELECT coalesce((SELECT lam_k FROM c WHERE capped0 ORDER BY k DESC LIMIT 1), 4000.0 / 1000000.0) AS level), "
+            "fin AS (SELECT c.source, c.n_tokens, "
+            "c.capped0 OR CAST(c.n_tokens AS DOUBLE) <= CAST(c.w AS DOUBLE) * lv.level AS capped, "
+            "CASE WHEN c.capped0 OR CAST(c.n_tokens AS DOUBLE) <= CAST(c.w AS DOUBLE) * lv.level "
+            "THEN c.n_tokens ELSE least(c.n_tokens, CAST(floor(CAST(c.w AS DOUBLE) * lv.level) AS BIGINT)) END AS alloc_tokens "
+            "FROM c, lv) "
+            "SELECT source, n_tokens, capped, alloc_tokens, "
+            "CASE WHEN n_tokens > 0 THEN CAST((1000000 * alloc_tokens) // n_tokens AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS rate_micro FROM fin"
         ),
         # shard balancing: the oracle is the ONE-window form the two-
         # phase stratum plan must equal by construction; snake fold =

@@ -1,0 +1,140 @@
+"""Training-mix allocation — closed-form waterfilling over sources.
+
+A training mix is specified as target SHARES ("30% web, 30% code, …")
+against a token BUDGET, but sources are finite: when a source's corpus
+cannot fill its share, its deficit must flow to the others in
+proportion — by hand this is the spreadsheet every pretraining run
+re-invents. The exact solution is waterfilling: alloc_s =
+min(tokens_s, w_s·λ) with the water level λ chosen so Σ alloc = budget.
+
+Closed form, not iteration: sort sources by capacity ratio
+tokens_s/w_s ascending; with the k tightest sources capped,
+λ(k) = (budget − Σ_capped tokens)/(Σ_uncapped w); the unique valid k
+satisfies ratio_k ≤ λ(k) < ratio_{k+1} (standard water-filling
+optimality — e.g. Boyd & Vandenberghe §5.5.3). That is ONE sort +
+prefix sums + a sandwich filter — window functions over the PER-SOURCE
+table, which is tiny at any corpus scale (sources are languages/
+domains/registries, not documents); only the token-count aggregate
+touches the corpus.
+
+Weights are integer micros (must sum to 1e6 — shares are a contract,
+not a suggestion); token counts and prefix sums are int64; λ is the one
+double (correctly-rounded ops shared with the SQL twin); allocations
+floor back to int64 tokens. If budget ≥ total tokens every source caps
+and the plan says so (rate 1e6) instead of inventing tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+
+def mixing_plan(
+    docs: DataFrame,
+    weights_micro: dict,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ one row per weighted source: (source, n_tokens, capped,
+    alloc_tokens, rate_micro). Sources absent from ``weights_micro`` are
+    excluded (weight 0 ⇒ no allocation, by definition)."""
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if not weights_micro:
+        raise ValueError("weights_micro must be non-empty")
+    if any(w <= 0 for w in weights_micro.values()):
+        raise ValueError("weights must be positive (drop zero-weight sources)")
+    if sum(weights_micro.values()) != 1_000_000:
+        raise ValueError(
+            f"weights_micro must sum to 1e6, got {sum(weights_micro.values())}"
+        )
+    ntok = F.coalesce(
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))),
+        F.lit(0),
+    ).cast("long")
+    per = (
+        docs.select(F.col(source_col).alias("source"), ntok.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    wmap = F.create_map(
+        *[x for s, w in sorted(weights_micro.items()) for x in (F.lit(s), F.lit(int(w)))]
+    )
+    base = per.withColumn("w", wmap[F.col("source")]).filter(
+        F.col("w").isNotNull()
+    )
+    # ratio = capacity per weight unit; the sort key of the closed form.
+    # Single-partition windows are over the per-source table — tiny by
+    # construction (see module docstring)
+    ratio = F.col("n_tokens").cast("double") / F.col("w").cast("double")
+    wo = Window.orderBy(ratio.asc(), F.col("source").asc())
+    ranked = base.withColumn("k", F.row_number().over(wo)).withColumn(
+        "cum_t", F.sum("n_tokens").over(wo)
+    ).withColumn("cum_w", F.sum("w").over(wo))
+    b = F.lit(int(budget_tokens)).cast("double")
+    lam_k = F.when(
+        F.col("cum_w") < 1_000_000,
+        (b - F.col("cum_t").cast("double"))
+        / ((F.lit(1_000_000) - F.col("cum_w")).cast("double")),
+    )
+    # a source is capped iff its ratio fits under the level computed
+    # WITH it capped: tokens_k ≤ w_k·λ(k) — capped rows are exactly the
+    # ratio-sorted prefix (λ(k) non-increasing over the valid region)
+    ranked = ranked.withColumn("_lam_k", lam_k).withColumn(
+        "capped",
+        F.col("_lam_k").isNotNull()
+        & (
+            F.col("n_tokens").cast("double")
+            <= F.col("w").cast("double") * F.col("_lam_k")
+        ),
+    )
+    # when cum_w hits 1e6 (all weight capped) λ(k) is NULL: those rows
+    # cap iff the budget covers the whole table, handled by the level
+    # fallback below. Operative level = λ of the LAST capped row (the
+    # struct-max trick: max over (k, λ)), else λ(0) = budget/1e6
+    lam0 = float(budget_tokens) / 1_000_000.0
+    wfull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lam_last = F.max(
+        F.when(
+            F.col("capped") & F.col("_lam_k").isNotNull(),
+            F.struct(F.col("k").alias("k"), F.col("_lam_k").alias("lam")),
+        )
+    ).over(wfull)
+    planned = (
+        ranked.withColumn("_level", F.coalesce(lam_last["lam"], F.lit(lam0)))
+        .withColumn(
+            "capped",
+            F.col("capped")
+            | (
+                F.col("n_tokens").cast("double")
+                <= F.col("w").cast("double") * F.col("_level")
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("n_tokens")).otherwise(
+                F.least(
+                    F.col("n_tokens"),
+                    F.floor(F.col("w").cast("double") * F.col("_level")).cast(
+                        "long"
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "rate_micro",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(1000000 * alloc_tokens) div n_tokens"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return planned.select(
+        "source", "n_tokens", "capped", "alloc_tokens", "rate_micro"
+    )

@@ -1,0 +1,85 @@
+"""Waterfilling mix planner (operators/mixing): allocations vs an
+independent iterative solver; budget conservation; cap semantics."""
+
+import math
+
+import pytest
+
+from pyocr_spark.operators.mixing import mixing_plan
+
+
+def _iterative_twin(tokens, w_micro, budget):
+    """Independent ITERATIVE waterfilling (the closed form must agree)."""
+    capped = set()
+    while True:
+        t_cap = sum(tokens[s] for s in capped)
+        w_un = sum(w for s, w in w_micro.items() if s not in capped)
+        if w_un == 0:
+            lam = None
+            break
+        lam = (budget - t_cap) / w_un
+        newly = {
+            s
+            for s in w_micro
+            if s not in capped and tokens[s] <= w_micro[s] * lam
+        }
+        if not newly:
+            break
+        capped |= newly
+    out = {}
+    for s, w in w_micro.items():
+        if s in capped or lam is None or tokens[s] <= w * lam:
+            out[s] = tokens[s]
+        else:
+            out[s] = min(tokens[s], math.floor(w * lam))
+    return out
+
+
+def _docs(spark, tokens):
+    rows = []
+    i = 0
+    for s, n in tokens.items():
+        # one doc per 10 tokens keeps datasets small
+        while n > 0:
+            take = min(n, 10)
+            rows.append((i, s, " ".join(["t"] * take)))
+            n -= take
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@pytest.mark.parametrize(
+    "tokens,weights,budget",
+    [
+        # web is short of its share -> deficit flows to code/books
+        ({"web": 100, "code": 1000, "books": 1000}, {"web": 500_000, "code": 250_000, "books": 250_000}, 900),
+        # budget exceeds everything -> all capped
+        ({"a": 50, "b": 70}, {"a": 500_000, "b": 500_000}, 1000),
+        # nothing caps
+        ({"a": 1000, "b": 1000}, {"a": 500_000, "b": 500_000}, 600),
+    ],
+)
+def test_matches_iterative_twin(spark, tokens, weights, budget):
+    df = _docs(spark, tokens)
+    got = {
+        r["source"]: (r["alloc_tokens"], r["capped"])
+        for r in mixing_plan(df, weights, budget).collect()
+    }
+    want = _iterative_twin(tokens, weights, budget)
+    for s in weights:
+        assert got[s][0] == want[s], (s, got, want)
+    total = sum(a for a, _ in got.values())
+    assert total <= min(budget, sum(tokens.values()))
+    # floor slack below budget is bounded by one token per uncapped source
+    if budget < sum(tokens.values()):
+        assert total >= budget - sum(1 for _, c in got.values() if not c)
+
+
+def test_unweighted_sources_excluded_and_validation(spark):
+    df = _docs(spark, {"a": 100, "b": 100, "junk": 50})
+    got = {r["source"] for r in mixing_plan(df, {"a": 500_000, "b": 500_000}, 100).collect()}
+    assert got == {"a", "b"}
+    with pytest.raises(ValueError, match="sum to 1e6"):
+        mixing_plan(df, {"a": 1}, 10)
+    with pytest.raises(ValueError, match="budget"):
+        mixing_plan(df, {"a": 1_000_000}, 0)
