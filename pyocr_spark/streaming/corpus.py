@@ -1,0 +1,129 @@
+"""Streaming corpus builder — the batch hygiene pipeline as a live feed.
+
+plans/corpus.build_training_corpus answers "build me a clean corpus
+from this crawl"; this answers the continuous form: every micro-batch
+of pages is extracted, token-gated, and content-deduped against
+EVERYTHING already accepted — so the output directory is an
+append-only, already-clean corpus and no later job re-pays hygiene over
+the accumulated crawl.
+
+Per micro-batch:
+
+1. extract (TEXT_ONLY, within-batch keep-latest dedup — the batch
+   pipeline's own stage), keep status='ok' non-empty;
+2. token gate: n_tokens ≥ min_tokens (the engine tokenization);
+3. content dedup, within-batch first (min url per digest — the
+   build_training_corpus window rule at batch scope), then an ANTI-JOIN
+   against the persistent digest state — a document seen in ANY earlier
+   batch under any url is dropped;
+4. survivors land under ``<output>/batch_id=N`` (url, content_hash,
+   n_tokens) and their digests append to state (``delta_id=N``).
+
+State = committed digest deltas (ONE column), reduced by distinct and
+swap-compacted — the by-now-standard streaming crash discipline
+(plans/incremental.read_committed_deltas): a replayed batch whose delta
+committed is a no-op; a replay before the delta re-derives identical
+output bytes into the same directory. Per-trigger cost: extraction of
+the batch + one digest anti-join (state side is one slim column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyocr_spark.functions.extract import TEXT_ONLY
+from pyocr_spark.functions.text_stats import token_count
+from pyocr_spark.plans.incremental import (
+    hadoop_path,
+    path_exists,
+    read_committed_deltas,
+    swap_write,
+)
+from pyocr_spark.plans.pipeline import extract_df
+from pyocr_spark.streaming.stream import _start_pages_stream
+
+
+def start_corpus_stream(
+    spark: SparkSession,
+    input_location: str,
+    output_location: str,
+    state_location: str,
+    checkpoint_location: str,
+    min_tokens: int = 20,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int = 16,
+):
+    """Run the hygiene pipeline per micro-batch against digest state."""
+    if min_tokens < 0:
+        raise ValueError(f"min_tokens must be >= 0, got {min_tokens}")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta_dir = f"{state_location}/delta_id={batch_id}"
+        if path_exists(spark, f"{delta_dir}/_SUCCESS"):
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                _compact(batch_id)
+            return
+        ext = extract_df(batch_df, modes=TEXT_ONLY, dedup=True)
+        gated = (
+            ext.filter(
+                (F.col("status") == "ok")
+                & F.col("extracted_text").isNotNull()
+                & (F.col("extracted_text") != "")
+            )
+            .select(
+                "url",
+                F.md5("extracted_text").alias("content_hash"),
+                token_count(F.col("extracted_text")).alias("n_tokens"),
+            )
+            .filter(F.col("n_tokens") >= min_tokens)
+        )
+        w = Window.partitionBy("content_hash").orderBy("url")
+        fresh = (
+            gated.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        state = read_committed_deltas(spark, state_location)
+        if state is not None:
+            fresh = fresh.join(
+                state.select("content_hash").distinct(),
+                "content_hash",
+                "left_anti",
+            )
+        fresh = fresh.persist()
+        try:
+            if not fresh.isEmpty():
+                fresh.write.mode("overwrite").parquet(
+                    f"{output_location}/batch_id={batch_id}"
+                )
+            # the delta commits even when empty: it is the replay marker
+            fresh.select("content_hash").write.mode("overwrite").parquet(
+                delta_dir
+            )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                _compact(batch_id)
+        finally:
+            fresh.unpersist()
+
+    def _compact(keep_id: int) -> None:
+        raw = read_committed_deltas(spark, state_location)
+        if raw is None:
+            return
+        swap_write(raw.distinct(), f"{state_location}/delta_id={keep_id}")
+        lp, fs = hadoop_path(spark, state_location)
+        for st in fs.listStatus(lp):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("delta_id=")
+                and name != f"delta_id={keep_id}"
+            ):
+                fs.delete(st.getPath(), True)
+
+    return _start_pages_stream(
+        spark, input_location, checkpoint_location, process_batch,
+        available_now, max_files_per_trigger,
+    )

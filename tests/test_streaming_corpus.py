@@ -1,0 +1,67 @@
+"""Streaming corpus builder (streaming/corpus): cross-batch content
+dedup, gates, replay convergence."""
+
+import datetime
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyocr_spark.streaming.corpus import start_corpus_stream
+
+LONG = " ".join(f"tok{i}" for i in range(30))
+OTHER = " ".join(f"other{i}" for i in range(30))
+
+
+def _page(url, text_words):
+    html = ("<html><body><article><p>" + text_words + "</p></article></body></html>").encode()
+    return (url, datetime.datetime(2024, 1, 1), html, None, "en")
+
+
+def _write(path, rows):
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_cross_batch_content_dedup_and_gate(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write(inp / "c1.parquet", [
+        _page("https://h/a", LONG),
+        _page("https://h/short", "too short"),  # fails min_tokens
+    ])
+    q = start_corpus_stream(spark, str(inp), out, state, ckpt, min_tokens=20)
+    assert q.awaitTermination(300)
+    first = spark.read.parquet(f"{out}/batch_id=*")
+    assert {r["url"] for r in first.collect()} == {"https://h/a"}
+
+    # batch 2: b duplicates a's CONTENT under a new url; c is new
+    _write(inp / "c2.parquet", [
+        _page("https://h/b", LONG),
+        _page("https://h/c", OTHER),
+    ])
+    q2 = start_corpus_stream(spark, str(inp), out, state, ckpt, min_tokens=20)
+    assert q2.awaitTermination(300)
+    dirs = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert len(dirs) == 2
+    second = {r["url"] for r in spark.read.parquet(dirs[-1]).collect()}
+    assert second == {"https://h/c"}  # b's content already accepted
+
+    # replay: nothing changes
+    q3 = start_corpus_stream(spark, str(inp), out, state, ckpt, min_tokens=20)
+    assert q3.awaitTermination(300)
+    total = spark.read.parquet(f"{out}/batch_id=*")
+    assert total.count() == 2
+    assert spark.read.parquet(f"{state}/delta_id=*").distinct().count() == 2
