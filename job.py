@@ -136,6 +136,19 @@ def parse_args(argv=None):
         "--state", default=None,
         help="state table path for --incremental (default: <output>_state)",
     )
+    p.add_argument(
+        "--stream", default=None, choices=["extract", "corpus"],
+        help="run as a Structured Streaming job over --input as a file "
+             "stream (availableNow: drains what exists, then stops — "
+             "rerun to pick up new crawl files): 'extract' appends "
+             "extraction output per micro-batch; 'corpus' runs the "
+             "hygiene pipeline against persistent digest state "
+             "(streaming/corpus) writing an append-only clean corpus",
+    )
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="--stream: checkpoint location (default: <output>_ckpt)",
+    )
     return p.parse_args(argv)
 
 
@@ -198,6 +211,36 @@ def main(argv=None) -> None:
         pages = robots_txt_gate(
             pages, spark.read.parquet(args.robots), agent=args.robots_agent
         )
+    if args.stream:
+        # streaming reads --input as a file-discovery source itself; the
+        # batch-side pages DataFrame (and its blocklist/robots gates,
+        # which are batch joins) does not apply here
+        if args.blocklist or args.robots:
+            raise SystemExit(
+                "--stream does not take --blocklist/--robots (batch "
+                "gates); filter in a downstream batch pass"
+            )
+        ckpt = args.checkpoint or f"{args.output}_ckpt"
+        if args.stream == "extract":
+            from pyocr_spark.streaming.stream import start_extract_stream
+
+            q = start_extract_stream(
+                spark, args.input, args.output, ckpt, modes=modes,
+                available_now=True,
+            )
+        else:
+            from pyocr_spark.streaming.corpus import start_corpus_stream
+
+            q = start_corpus_stream(
+                spark, args.input, args.output,
+                args.state or f"{args.output}_state", ckpt,
+                min_tokens=args.min_tokens, available_now=True,
+            )
+        ok = q.awaitTermination(24 * 3600)
+        n = spark.read.parquet(f"{args.output}/batch_id=*").count()
+        print(json.dumps({"mode": f"stream:{args.stream}", "drained": bool(ok), "rows": n}))
+        spark.stop()
+        return
     if args.incremental:
         run_incremental(spark, pages, args, modes)
         spark.stop()

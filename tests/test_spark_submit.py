@@ -377,3 +377,44 @@ def test_spark_submit_shards_requires_corpus(tmp_path, pages_sf0001):
     ], str(tmp_path))
     assert proc.returncode != 0
     assert "--shards requires --corpus" in (proc.stderr + proc.stdout)
+
+
+def test_spark_submit_stream_corpus(tmp_path, pages_sf0001):
+    """--stream corpus: drain the existing crawl files through the
+    streaming hygiene pipeline; rows appear under batch_id dirs and the
+    digest state commits."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    out_dir = str(tmp_path / "scorpus")
+    proc = _submit_job(zip_path, [
+        "--input", str(pages_sf0001 / "pages.parquet"),
+        "--output", out_dir,
+        "--stream", "corpus", "--min-tokens", "20",
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "stream:corpus" and report["drained"] and report["rows"] > 0
+    import pandas as pd
+
+    got = pd.read_parquet(out_dir)
+    assert got["content_hash"].is_unique
+    assert (got["n_tokens"] >= 20).all()
+    assert os.path.exists(os.path.join(f"{out_dir}_state"))
+
+
+def test_spark_submit_stream_rejects_batch_gates(tmp_path, pages_sf0001):
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    bl = tmp_path / "b.txt"
+    bl.write_text("x.example\n")
+    proc = _submit_job(zip_path, [
+        "--input", str(pages_sf0001 / "pages.parquet"),
+        "--output", str(tmp_path / "o"),
+        "--stream", "extract", "--blocklist", str(bl),
+    ], str(tmp_path))
+    assert proc.returncode != 0
+    assert "does not take --blocklist" in (proc.stderr + proc.stdout)
