@@ -1761,6 +1761,19 @@ def _q_neardup_eval(spark, sf_dir):
     return neardup_eval(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_editdist_pairs(spark, sf_dir):
+    """Candidate→verify dedup (operators/dedup.editdist_verified_pairs):
+    MinHash-LSH proposes, exact Levenshtein disposes — the short-text
+    verify stage; both engines share the built-in distance so the gate
+    is exact."""
+    from pyocr_spark.operators.dedup import editdist_verified_pairs
+
+    return editdist_verified_pairs(
+        _docs(spark, sf_dir), jaccard_threshold=0.5, max_dist_frac=0.2,
+        portable=True,
+    )
+
+
 def _q_bbit_sigs(spark, sf_dir):
     """b-bit minwise signatures (operators/dedup.bbit_minhash, Li &
     König 2010): 16×64-bit minhash → ONE bigint (b=2) — the 32× storage
@@ -3026,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_delta": _q_minhash_pairs_delta,
+        "editdist_pairs": _q_editdist_pairs,
         "bbit_sigs": _q_bbit_sigs,
         "bbit_pairs": _q_bbit_pairs,
         "neardup_eval": _q_neardup_eval,
@@ -5376,6 +5390,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_delta": (
             f"SELECT * FROM ({_MINHASH_PAIRS_SQL}) "
             "WHERE left_id % 7 = 0 OR right_id % 7 = 0"
+        ),
+        # editdist verify: LSH candidates + DuckDB's own levenshtein
+        "editdist_pairs": (
+            f"WITH cand AS (SELECT left_id, right_id FROM ({_MINHASH_PAIRS_SQL}) mh), "
+            "t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), "
+            "j AS (SELECT c.left_id, c.right_id, "
+            "CAST(levenshtein(tl.text, tr.text) AS BIGINT) AS dist, "
+            "CAST(greatest(length(tl.text), length(tr.text)) AS BIGINT) AS mx "
+            "FROM cand c JOIN t tl ON tl.doc_id = c.left_id "
+            "JOIN t tr ON tr.doc_id = c.right_id) "
+            "SELECT left_id, right_id, dist, "
+            "CASE WHEN mx > 0 THEN CAST((1000000 * dist) // mx AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS dist_frac_micro "
+            "FROM j WHERE CAST(dist AS DOUBLE) <= CAST(mx AS DOUBLE) * 0.2"
         ),
         # b-bit pack/compare in SQL bit arithmetic over the portable sigs
         "bbit_sigs": (

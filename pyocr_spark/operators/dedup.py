@@ -878,3 +878,68 @@ def bbit_similarity_pairs(
         )
         .filter(F.col("jaccard_bbit_micro") >= int(threshold * 1_000_000))
     )
+
+
+def editdist_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_dist_frac: float = 0.2,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate → VERIFY: MinHash-LSH proposes, exact edit distance
+    disposes — the standard two-stage a production dedup runs when the
+    sketch estimate alone is too blunt (short docs, titles, product
+    names: one token swapped flips Jaccard wildly while the string is
+    97% identical).
+
+    Pairs come from minhash_lsh_dedup (banded equi-join, never
+    all-pairs); each surviving pair is re-scored with the true
+    Levenshtein distance — a JVM built-in on both engines, so the gate
+    is exact — and kept iff dist ≤ max_dist_frac · max(len_l, len_r).
+    The verify join re-attaches the two text payloads by id; at scale
+    that is two hash joins against the corpus table, sized by the
+    CANDIDATE set, not the corpus. Levenshtein cost is quadratic in
+    string length — this verify stage is for the short-text regime; gate
+    long docs with the shingle operators instead (documented trade).
+
+    Returns (left_id, right_id, dist, dist_frac_micro) with
+    dist_frac_micro = (1e6·dist) div max(len_l, len_r).
+    """
+    if not 0 < max_dist_frac <= 1:
+        raise ValueError(f"max_dist_frac must be in (0, 1], got {max_dist_frac}")
+    cand = minhash_lsh_dedup(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        portable=portable,
+    ).select("left_id", "right_id")
+    texts = df.select(F.col(id_col), F.col(text_col).alias("_t")).filter(
+        F.col("_t").isNotNull()
+    )
+    j = (
+        cand.join(
+            texts.withColumnRenamed(id_col, "left_id").withColumnRenamed("_t", "_tl"),
+            "left_id",
+        )
+        .join(
+            texts.withColumnRenamed(id_col, "right_id").withColumnRenamed("_t", "_tr"),
+            "right_id",
+        )
+    )
+    out = (
+        j.withColumn("dist", F.levenshtein("_tl", "_tr").cast("long"))
+        .withColumn("_mx", F.greatest(F.length("_tl"), F.length("_tr")).cast("long"))
+        .withColumn(
+            "dist_frac_micro",
+            F.when(F.col("_mx") > 0, F.expr("(1000000 * dist) div _mx")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    return out.filter(
+        F.col("dist").cast("double")
+        <= F.col("_mx").cast("double") * F.lit(float(max_dist_frac))
+    ).select("left_id", "right_id", "dist", "dist_frac_micro")

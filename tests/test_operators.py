@@ -1214,3 +1214,29 @@ def test_pii_cards_luhn(spark):
     )
     got = {r["doc_id"]: (r["n_candidates"], r["n_valid_cards"]) for r in pii_cards(df).collect()}
     assert got == {0: (1, 1), 1: (1, 0), 2: (0, 0), 3: (0, 0)}
+
+
+def test_editdist_verified_pairs(spark):
+    from pyocr_spark.operators.dedup import editdist_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("lazy", "hazy")),        # 1 char apart
+            (2, base + " with a moderately long different tail appended here"),
+            (3, "entirely different content about parquet and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (r["dist"], r["dist_frac_micro"])
+        for r in editdist_verified_pairs(
+            docs, jaccard_threshold=0.3, max_dist_frac=0.1
+        ).collect()
+    }
+    assert got[(0, 1)][0] == 1
+    assert got[(0, 1)][1] == (1_000_000 * 1) // len(base)
+    # the long-tail pair survives LSH candidacy but fails the 10% verify
+    assert (0, 2) not in got
+    assert not any(3 in p for p in got)
