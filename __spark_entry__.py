@@ -1831,6 +1831,31 @@ def _q_docs_cosine_tf(spark, sf_dir):
     return cosine_tf_pairs(_docs(spark, sf_dir), threshold_micro=300_000)
 
 
+def _q_page_bm25_fielded(spark, sf_dir):
+    """Field-weighted retrieval over the REAL crawl (functions/search.
+    bm25_fielded_topk, the Lucene boosted-fields form of BM25F): title
+    from the head-metadata extraction at 2×, extracted body at 1× —
+    each field scored with its OWN statistics, combined in exact
+    micros."""
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.functions.search import bm25_fielded_topk
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    pages = dedup_latest_page(_pages(spark, sf_dir))
+    meta = extract_metadata(pages).select("url", "title")
+    body = _extracted(spark, sf_dir, frozenset({"text"})).select(
+        "url", "extracted_text"
+    )
+    docs = meta.join(body, "url")
+    return bm25_fielded_topk(
+        docs,
+        ("doc", "table", "scan"),
+        {"title": 2_000_000, "extracted_text": 1_000_000},
+        k=10,
+        id_col="url",
+    )
+
+
 def _q_doc_proximity(spark, sf_dir):
     """Unordered proximity retrieval (functions/search.proximity_match,
     SpanNear within-k): anchor term with every other query term within
@@ -3050,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
         "docs_cosine_tf": _q_docs_cosine_tf,
+        "page_bm25_fielded": _q_page_bm25_fielded,
         "doc_proximity": _q_doc_proximity,
         "doc_winnow_fps": _q_doc_winnow_fps,
         "doc_winnow_pairs": _q_doc_winnow_pairs,
@@ -5287,6 +5313,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY "
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn "
             "FROM documents) WHERE rn <= 3"
+        ),
+        # fielded BM25: two per-field chains (each with its OWN stats)
+        # over the joined extraction outputs, combined in exact micros
+        "page_bm25_fielded": (
+            f"WITH src AS (SELECT m.url, m.title, t.extracted_text "
+            f"FROM read_parquet('{E}/expected_meta.parquet') m "
+            f"JOIN read_parquet('{E}/expected_text.parquet') t USING (url)), "
+            "tt AS (SELECT url, list_filter(string_split_regex(regexp_replace(title, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), x -> x != '') AS w FROM src), "
+            "bt AS (SELECT url, len(w) AS dl, list_filter(w, x -> x IN ('doc', 'table', 'scan')) AS q FROM tt), "
+            "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bt), "
+            "mt AS (SELECT url, dl, unnest(q) AS token FROM bt), "
+            "pt AS (SELECT url, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl FROM mt GROUP BY 1, 2), "
+            "dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pt GROUP BY token), "
+            "sct AS (SELECT url, CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+            "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))) * 1000000.0, 0) AS BIGINT) AS tm "
+            "FROM pt JOIN dft USING (token), st), "
+            "att AS (SELECT url, CAST(sum(tm) AS BIGINT) AS s FROM sct GROUP BY url), "
+            "tb AS (SELECT url, list_filter(string_split_regex(regexp_replace(extracted_text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), x -> x != '') AS w FROM src), "
+            "bb AS (SELECT url, len(w) AS dl, list_filter(w, x -> x IN ('doc', 'table', 'scan')) AS q FROM tb), "
+            "sb AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bb), "
+            "mb AS (SELECT url, dl, unnest(q) AS token FROM bb), "
+            "pb AS (SELECT url, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl FROM mb GROUP BY 1, 2), "
+            "dfb AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pb GROUP BY token), "
+            "scb AS (SELECT url, CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+            "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))) * 1000000.0, 0) AS BIGINT) AS tm "
+            "FROM pb JOIN dfb USING (token), sb), "
+            "ab AS (SELECT url, CAST(sum(tm) AS BIGINT) AS s FROM scb GROUP BY url), "
+            "fin AS (SELECT coalesce(att.url, ab.url) AS url, "
+            "CAST(coalesce(ab.s, 0) AS BIGINT) AS score_extracted_text_micro, "
+            "CAST(coalesce(att.s, 0) AS BIGINT) AS score_title_micro "
+            "FROM att FULL OUTER JOIN ab ON att.url = ab.url) "
+            "SELECT url, score_extracted_text_micro, score_title_micro, "
+            "CAST((1000000 * score_extracted_text_micro + 2000000 * score_title_micro) // 1000000 AS BIGINT) AS score_micro "
+            "FROM fin ORDER BY score_micro DESC, url LIMIT 10"
         ),
         # proximity: positions per term as list ops, anchor test with
         # nested lambda capture (DuckDB supports outer-variable capture)

@@ -104,6 +104,98 @@ def bm25_topk(
     return _topk_by_score(scored, id_col, k)
 
 
+def bm25_doc_scores(
+    docs: DataFrame,
+    query: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL matching documents' BM25 aggregates — (id, n_terms,
+    score_micro), no top-k cut: the per-field building block
+    bm25_fielded_topk combines (a field's full scores are needed before
+    weighting; cutting per field first would drop docs strong in the
+    OTHER field). Same frozen scoring as bm25_topk."""
+    if not query:
+        raise ValueError("bm25_doc_scores needs at least one query term")
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    is_query_term = lambda t: reduce(or_, [t == F.lit(q) for q in query])  # noqa: E731
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, is_query_term).alias("qtoks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    per = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("qtoks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    per = per.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    scored = (
+        per.join(F.broadcast(stats))
+        .select(F.col(id_col), _term_micro(k1, b).alias("term_micro"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_micro").alias("score_micro"),
+    )
+
+
+def bm25_fielded_topk(
+    docs: DataFrame,
+    query: tuple[str, ...],
+    field_weights: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field-weighted retrieval (the BM25F idea in its widely-deployed
+    linear form): each field scores with its OWN statistics (its df,
+    dl, avgdl — a title is not a short body), then fields combine as
+    Σ w_f·score_f with integer micro weights. A title hit should
+    outrank the same words buried in a footer — that is what the
+    weights buy. NOTE: this is the per-field-saturation linear
+    combination (what Lucene calls boosted fields), not Robertson's
+    original shared-saturation BM25F — the distinction is documented,
+    not blurred.
+
+    ``field_weights`` maps text column → weight_micro. Combined score =
+    (Σ_f w_f·s_f) div 1e6 — exact int64. Docs matching NO field are
+    absent; per-field scores ride along as score_<field>_micro.
+    Returns top-k by (combined desc, id)."""
+    if not field_weights:
+        raise ValueError("field_weights must be non-empty")
+    if any(w <= 0 for w in field_weights.values()):
+        raise ValueError("field weights must be positive")
+    acc = None
+    for col, w in sorted(field_weights.items()):
+        s = bm25_doc_scores(
+            docs, query, k1=k1, b=b, text_col=col, id_col=id_col
+        ).select(
+            F.col(id_col), F.col("score_micro").alias(f"score_{col}_micro")
+        )
+        acc = s if acc is None else acc.join(s, id_col, "full_outer")
+    for col in field_weights:
+        acc = acc.withColumn(
+            f"score_{col}_micro", F.coalesce(f"score_{col}_micro", F.lit(0))
+        )
+    expr = " + ".join(
+        f"{int(w)} * score_{col}_micro" for col, w in sorted(field_weights.items())
+    )
+    acc = acc.withColumn(
+        "score_micro", F.expr(f"({expr}) div 1000000")
+    )
+    return acc.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
+
+
 def _term_micro(k1: float, b: float):
     """THE per-(doc, term) BM25 partial score in BIGINT micro-units, from
     columns (tf, df, dl, n_docs, avgdl). Factored so bm25_topk and the

@@ -374,3 +374,30 @@ def test_proximity_validation(spark):
         proximity_match(docs, ())
     with _pytest.raises(ValueError, match="window"):
         proximity_match(docs, ("x",), window=0)
+
+
+def test_bm25_fielded_title_boost(spark):
+    from pyocr_spark.functions.search import bm25_doc_scores, bm25_fielded_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple pie", "a long body " + "filler " * 30 + "about other things"),
+            (1, "unrelated title", "apple pie mentioned once " + "filler " * 30),
+            (2, "nothing here", "still nothing here"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    q = ("apple", "pie")
+    top = bm25_fielded_topk(
+        docs, q, {"title": 2_000_000, "body": 1_000_000}, k=5
+    ).collect()
+    ids = [r["doc_id"] for r in top]
+    assert ids[0] == 0 and set(ids) == {0, 1}
+    # combined = (2e6*title + 1e6*body) div 1e6 — reconcile per field
+    ts = {r["doc_id"]: r["score_micro"] for r in bm25_doc_scores(docs, q, text_col="title").collect()}
+    bs = {r["doc_id"]: r["score_micro"] for r in bm25_doc_scores(docs, q, text_col="body").collect()}
+    for r in top:
+        want = (2_000_000 * ts.get(r["doc_id"], 0) + 1_000_000 * bs.get(r["doc_id"], 0)) // 1_000_000
+        assert r["score_micro"] == want
+    # per-field columns ride along
+    assert top[0]["score_title_micro"] > 0 and top[0]["score_body_micro"] == 0
