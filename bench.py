@@ -257,6 +257,28 @@ def main() -> None:
         reps=3,
     )
 
+    # winnowing wall: char-k-gram HOF fingerprinting over the corpus —
+    # the local copy-detection scan (production xxhash64 family)
+    from pyocr_spark.operators.winnow import winnow_fingerprints
+
+    timed(
+        "winnow_fps",
+        lambda: noop_write(winnow_fingerprints(docs_df)),
+        reps=2,
+    )
+
+    # sparse TF-cosine wall: inverted-index self-join with the docfreq
+    # cap — the weighted pair-similarity leg beside ngram_jaccard
+    from pyocr_spark.operators.sparsesim import cosine_tf_pairs
+
+    timed(
+        "cosine_tf_pairs",
+        lambda: noop_write(
+            cosine_tf_pairs(docs_ngram, threshold_micro=300_000)
+        ),
+        reps=2,
+    )
+
     # PQ walls: train once (amortized at deployment, untimed), then time
     # (a) the encode pass — one vectorized UDF over all vectors, and
     # (b) the compressed-domain ADC top-k over a prebuilt IVF-PQ index —
