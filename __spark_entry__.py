@@ -450,6 +450,18 @@ def _q_extract_metadata(spark, sf_dir):
     return extract_metadata(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_extract_microdata(spark, sf_dir):
+    """schema.org microdata extraction (functions/structdata.
+    extract_microdata_df) — the attribute-embedded sibling of JSON-LD:
+    itemscope/itemprop walk with per-element value rules (meta→content,
+    a→href, time→datetime, else collapsed text); one Arrow-batched pass,
+    document order preserved."""
+    from pyocr_spark.functions.structdata import extract_microdata_df
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_microdata_df(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _q_extract_headings(spark, sf_dir):
     """Heading-outline surface (h1–h6, document order)."""
     from pyocr_spark.functions.dom import extract_headings
@@ -2917,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_canonical_dedup": _q_pages_canonical_dedup,
         "pages_robots_txt": _q_pages_robots_txt,
         "extract_headings": _q_extract_headings,
+        "extract_microdata": _q_extract_microdata,
         "extract_tables": _q_extract_tables,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_wat": _q_pages_wat,
@@ -3939,6 +3952,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_metadata": (
             f"SELECT url, title, description, robots, canonical, og_title, "
             f"og_description, html_lang FROM read_parquet('{E}/expected_meta.parquet')"
+        ),
+        "extract_microdata": (
+            "SELECT url, item_idx, itemtype, prop_idx, prop, value "
+            f"FROM read_parquet('{E}/expected_microdata.parquet')"
         ),
         "extract_headings": (
             f"SELECT url, idx, level, text "

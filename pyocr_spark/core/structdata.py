@@ -126,3 +126,127 @@ def parse_jsonld(html: bytes | str) -> dict:
                 )
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# schema.org microdata (the attribute-embedded sibling of JSON-LD)
+# ---------------------------------------------------------------------------
+
+_WS_RE = None
+
+
+def _collapse_ws(s: str) -> str:
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"[ \t\n\f\r]+")
+    return _WS_RE.sub(" ", s).strip(" ")
+
+
+class _MicrodataParser(HTMLParser):
+    """One pass collecting microdata items (bounded subset, frozen):
+
+    - an element with ``itemscope`` starts an item (``itemtype`` kept);
+      if it ALSO carries ``itemprop`` and an item is open, the parent
+      records (prop, itemtype-or-'') — the nested item itself is still
+      emitted as its own row group;
+    - ``itemprop`` inside an open item records a value by element kind:
+      meta→content, a/link/area→href, img/audio/video/source/embed→src,
+      time→datetime (else its text), else the element's text with
+      whitespace collapsed (the engine ws class);
+    - properties attach to the INNERMOST open item (the common web case;
+      full itemref graphs are out of scope and documented so).
+    """
+
+    _URL_SRC = {"img", "audio", "video", "source", "embed", "iframe"}
+    _VOID = {"meta", "link", "img", "br", "hr", "input", "area", "source", "embed"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.items: list[dict] = []
+        self._scope_stack: list[int] = []  # item index per open itemscope
+        self._depths: list[int] = []       # element depth of each scope
+        self._depth = 0
+        # open text-valued itemprop collectors: (item_idx, prop, depth, buf)
+        self._collect: list[list] = []
+
+    def _attr(self, attrs, name):
+        for k, v in attrs:
+            if k == name:
+                return v if v is not None else ""
+        return None
+
+    def handle_starttag(self, tag, attrs):
+        self._depth += 1
+        scope = self._attr(attrs, "itemscope")
+        prop = self._attr(attrs, "itemprop")
+        if scope is not None:
+            itype = self._attr(attrs, "itemtype") or ""
+            if prop is not None and self._scope_stack:
+                self.items[self._scope_stack[-1]]["props"].append(
+                    (prop, itype)
+                )
+            self.items.append({"type": itype, "props": []})
+            self._scope_stack.append(len(self.items) - 1)
+            self._depths.append(self._depth)
+        elif prop is not None and self._scope_stack:
+            item = self._scope_stack[-1]
+            if tag == "meta":
+                self.items[item]["props"].append(
+                    (prop, self._attr(attrs, "content") or "")
+                )
+            elif tag in ("a", "link", "area"):
+                self.items[item]["props"].append(
+                    (prop, self._attr(attrs, "href") or "")
+                )
+            elif tag in self._URL_SRC:
+                self.items[item]["props"].append(
+                    (prop, self._attr(attrs, "src") or "")
+                )
+            elif tag == "time" and self._attr(attrs, "datetime") is not None:
+                self.items[item]["props"].append(
+                    (prop, self._attr(attrs, "datetime"))
+                )
+            elif tag not in self._VOID:
+                self._collect.append([item, prop, self._depth, []])
+        if tag in self._VOID:
+            # void elements never see an endtag in sloppy HTML
+            self._depth -= 1
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in self._VOID:
+            self.handle_endtag(tag)
+
+    def handle_data(self, data):
+        for c in self._collect:
+            c[3].append(data)
+
+    def handle_endtag(self, tag):
+        if tag in self._VOID:
+            return
+        while self._collect and self._collect[-1][2] == self._depth:
+            item, prop, _, buf = self._collect.pop()
+            self.items[item]["props"].append(
+                (prop, _collapse_ws("".join(buf)))
+            )
+        while self._depths and self._depths[-1] == self._depth:
+            self._depths.pop()
+            self._scope_stack.pop()
+        self._depth = max(self._depth - 1, 0)
+
+
+def parse_microdata(html: bytes | str) -> list[dict]:
+    """→ [{"type": itemtype, "props": [(prop, value)…]}…] in document
+    order; oversized/None input → [] (the shared extraction guard);
+    pathological markup keeps whatever was collected."""
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return []
+    parser = _MicrodataParser()
+    try:
+        parser.feed(decode_replace(html) if isinstance(html, (bytes, bytearray)) else html)
+        parser.close()
+    except Exception:
+        pass
+    return parser.items

@@ -76,3 +76,35 @@ def extract_pubdate_df(pages: DataFrame) -> DataFrame:
     """pages(url, html, ...) → (url, pub_date, pub_raw, pub_source) via
     the frozen htmldate-style cascade (core/pubdate)."""
     return pages.select("url", "html").mapInPandas(_pubdate_batches, schema=PUBDATE_DDL)
+
+
+MICRODATA_DDL = (
+    "url string, item_idx int, itemtype string, prop_idx int, "
+    "prop string, value string"
+)
+
+
+def _microdata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.structdata import parse_microdata
+
+    cols = ["url", "item_idx", "itemtype", "prop_idx", "prop", "value"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for i, item in enumerate(parse_microdata(html)):
+                for j, (prop, value) in enumerate(item["props"]):
+                    rows.append((url, i, item["type"], j, prop, value))
+        yield pd.DataFrame(rows, columns=cols).astype(
+            {"item_idx": "Int32", "prop_idx": "Int32"}
+        )
+
+
+def extract_microdata_df(pages: DataFrame) -> DataFrame:
+    """pages(url, html, …) → one row per microdata PROPERTY (items and
+    props in document order) — the attribute-embedded schema.org sibling
+    of extract_jsonld_df; value rules per element kind live in
+    core/structdata._MicrodataParser. Items with zero properties emit no
+    rows (their type is still visible via nested-item parent props)."""
+    return pages.select("url", "html").mapInPandas(
+        _microdata_batches, schema=MICRODATA_DDL
+    )

@@ -196,3 +196,44 @@ def test_spark_stages_match_reference_on_datagen_pages(spark, pages_sf0001):
     srcs = {p[3] for p in want_pub}
     assert {SRC_OG, SRC_META, SRC_TIME, SRC_JSONLD}.issubset(srcs)
     assert len(want_items) > 0
+
+
+# --- microdata ------------------------------------------------------------
+
+def test_parse_microdata_value_rules():
+    from pyocr_spark.core.structdata import parse_microdata
+
+    html = b"""<html><body>
+    <article itemscope itemtype="https://schema.org/Article">
+      <meta itemprop="datePublished" content="2024-01-02">
+      <h2 itemprop="headline">Big\t  News</h2>
+      <span itemscope itemprop="author" itemtype="https://schema.org/Person">
+        <meta itemprop="name" content="Ada"></span>
+      <a itemprop="url" href="/story">link text ignored</a>
+      <img itemprop="image" src="/pic.png">
+      <time itemprop="dateModified" datetime="2024-02-03">Feb 3</time>
+    </article>
+    <div itemprop="orphan">outside any scope: dropped</div>
+    </body></html>"""
+    items = parse_microdata(html)
+    assert [i["type"] for i in items] == [
+        "https://schema.org/Article",
+        "https://schema.org/Person",
+    ]
+    art = dict(items[0]["props"])
+    assert art["datePublished"] == "2024-01-02"
+    assert art["headline"] == "Big News"          # ws collapsed
+    assert art["author"] == "https://schema.org/Person"  # nested item ref
+    assert art["url"] == "/story"
+    assert art["image"] == "/pic.png"
+    assert art["dateModified"] == "2024-02-03"
+    assert dict(items[1]["props"]) == {"name": "Ada"}
+
+
+def test_parse_microdata_guards():
+    from pyocr_spark.core.structdata import parse_microdata
+
+    assert parse_microdata(None) == []
+    assert parse_microdata(b"<p>no items at all</p>") == []
+    # pathological markup: keep what was collected, never raise
+    assert isinstance(parse_microdata(b"<div itemscope><span itemprop='x'>y"), list)
