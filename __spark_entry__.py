@@ -450,6 +450,16 @@ def _q_extract_metadata(spark, sf_dir):
     return extract_metadata(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_extract_hreflang(spark, sf_dir):
+    """hreflang alternate clusters (functions/dom.extract_hreflang):
+    the site-declared translation graph — the publisher-claim twin of
+    embedding bitext mining; targets share the outlink resolve rule."""
+    from pyocr_spark.functions.dom import extract_hreflang
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return extract_hreflang(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _q_extract_microdata(spark, sf_dir):
     """schema.org microdata extraction (functions/structdata.
     extract_microdata_df) — the attribute-embedded sibling of JSON-LD:
@@ -2930,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_robots_txt": _q_pages_robots_txt,
         "extract_headings": _q_extract_headings,
         "extract_microdata": _q_extract_microdata,
+        "extract_hreflang": _q_extract_hreflang,
         "extract_tables": _q_extract_tables,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_wat": _q_pages_wat,
@@ -3952,6 +3963,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_metadata": (
             f"SELECT url, title, description, robots, canonical, og_title, "
             f"og_description, html_lang FROM read_parquet('{E}/expected_meta.parquet')"
+        ),
+        "extract_hreflang": (
+            "SELECT url, idx, hreflang, target_url "
+            f"FROM read_parquet('{E}/expected_hreflang.parquet')"
         ),
         "extract_microdata": (
             "SELECT url, item_idx, itemtype, prop_idx, prop, value "

@@ -94,6 +94,7 @@ class _DomParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.meta: dict[str, str | None] = {k: None for k in META_FIELDS}
         self.headings: list[tuple[int, str]] = []  # (level, text)
+        self.alternates: list[tuple[str, str]] = []  # (hreflang, href)
         self.cells: list[tuple[int, int, int, bool, str]] = []
         self._drop_depth = 0
         self._title_buf: list[str] | None = None
@@ -151,6 +152,10 @@ class _DomParser(HTMLParser):
             rels = (a.get("rel") or "").lower().split()
             if "canonical" in rels:
                 self._set_once("canonical", a.get("href"))
+            if "alternate" in rels and a.get("hreflang") and a.get("href"):
+                # hreflang cluster member: (lang tag as written, href raw
+                # — resolution happens at the Spark layer like outlinks)
+                self.alternates.append((a["hreflang"], a["href"]))
         elif tag == "title":
             if not self._title_done:
                 self._title_buf = []
@@ -247,6 +252,7 @@ def parse_dom(html: bytes | str, base_url: str | None = None) -> dict:
         "meta": {k: None for k in META_FIELDS},
         "headings": [],
         "cells": [],
+        "alternates": [],
     }
     if html is None or len(html) > MAX_HTML_BYTES:
         return empty
@@ -260,7 +266,12 @@ def parse_dom(html: bytes | str, base_url: str | None = None) -> dict:
     meta = parser.meta
     if meta["canonical"] is not None and base_url:
         meta["canonical"] = _resolve_canonical(base_url, meta["canonical"])
-    return {"meta": meta, "headings": parser.headings, "cells": parser.cells}
+    return {
+        "meta": meta,
+        "headings": parser.headings,
+        "cells": parser.cells,
+        "alternates": parser.alternates,
+    }
 
 
 def _resolve_canonical(base_url: str, href: str) -> str | None:

@@ -127,3 +127,34 @@ def extract_tables(pages: DataFrame) -> DataFrame:
     (innermost-table assignment, HTML5 implicit closures — core/dom.py
     frozen rules)."""
     return pages.select("url", "html").mapInPandas(_tables_batches, schema=TABLES_DDL)
+
+
+HREFLANG_DDL = "url string, idx int, hreflang string, target_url string"
+
+
+def _hreflang_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.dom import _resolve_canonical, parse_dom
+
+    cols = ["url", "idx", "hreflang", "target_url"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for idx, (lang, href) in enumerate(parse_dom(html)["alternates"]):
+                target = _resolve_canonical(url, href)
+                if target is not None:
+                    rows.append((url, idx, lang, target))
+        yield pd.DataFrame(rows, columns=cols).astype({"idx": "Int32"})
+
+
+def extract_hreflang(pages: DataFrame) -> DataFrame:
+    """pages(url, html, …) → (url, idx, hreflang, target_url): the
+    rel=alternate hreflang cluster — the SITE-declared translation graph
+    that pairs with embedding-based bitext mining (operators/bitext):
+    one is what publishers claim, the other what the vectors say; their
+    agreement is the quality check on both. Targets resolve with the
+    same urljoin+defrag+http(s) rule as outlinks/canonicals (one url
+    surface, no drift); unresolvable hrefs are dropped, document order
+    kept via idx."""
+    return pages.select("url", "html").mapInPandas(
+        _hreflang_batches, schema=HREFLANG_DDL
+    )

@@ -204,3 +204,34 @@ class TestSparkStages:
         got_t = extract_tables(pages).toPandas()
         n_exp_t = sum(len(parse_dom(h)["cells"]) for h in local["html"])
         assert len(got_t) == n_exp_t
+
+
+def test_hreflang_alternates_collected_and_resolved(spark):
+    from pyocr_spark.core.dom import parse_dom
+    from pyocr_spark.functions.dom import extract_hreflang
+
+    html = (
+        b'<html><head>'
+        b'<link rel="alternate" hreflang="de" href="https://de.ex.com/d">'
+        b'<link rel="alternate" hreflang="fr" href="/fr/d#frag">'
+        b'<link rel="alternate" href="/no-lang">'          # no hreflang: skip
+        b'<link rel="alternate" hreflang="zz" href="ftp://x/y">'  # scheme: drop
+        b'<link rel="stylesheet" href="/s.css">'
+        b'</head><body><p>x</p></body></html>'
+    )
+    assert parse_dom(html)["alternates"] == [
+        ("de", "https://de.ex.com/d"),
+        ("fr", "/fr/d#frag"),
+        ("zz", "ftp://x/y"),
+    ]
+    pages = spark.createDataFrame(
+        [("https://src.ex.com/a", html)], "url string, html binary"
+    )
+    rows = sorted(
+        (r["idx"], r["hreflang"], r["target_url"])
+        for r in extract_hreflang(pages).collect()
+    )
+    assert rows == [
+        (0, "de", "https://de.ex.com/d"),
+        (1, "fr", "https://src.ex.com/fr/d"),  # resolved + defragged
+    ]
