@@ -2161,6 +2161,36 @@ def _q_host_hits(spark, sf_dir):
     return hits_hosts(host_graph(_outlinks(spark, sf_dir)), iterations=4)
 
 
+def _q_host_trustrank(spark, sf_dir):
+    """Fixed-point integer TrustRank (seed-biased PageRank, Gyöngyi et
+    al. 2004) over the host graph — 10 iterations, same damping/scale
+    literals as host_pagerank, seeds = top-3 hosts by distinct in-degree
+    (lexicographic tiebreak). The oracle replays the seed pick AND all
+    10 iterations in unrolled DuckDB SQL."""
+    from pyocr_spark.operators.webgraph import (
+        host_graph,
+        top_indegree_seeds,
+        trustrank_hosts,
+    )
+
+    edges = host_graph(_outlinks(spark, sf_dir))
+    return trustrank_hosts(edges, top_indegree_seeds(edges, k=3), iterations=10)
+
+
+def _q_host_spam_mass(spark, sf_dir):
+    """Spam mass per host: PageRank minus seed-propagated TrustRank as
+    exact clamped parts-per-million — the link-farm demotion signal
+    (an isolated spam cluster scores 1,000,000; the trusted core 0)."""
+    from pyocr_spark.operators.webgraph import (
+        host_graph,
+        spam_mass_hosts,
+        top_indegree_seeds,
+    )
+
+    edges = host_graph(_outlinks(spark, sf_dir))
+    return spam_mass_hosts(edges, top_indegree_seeds(edges, k=3), iterations=10)
+
+
 def _q_domain_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the registered-domain graph
     (operators/domains.domain_graph feeding webgraph.pagerank_hosts):
@@ -3122,6 +3152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_follow": _q_host_graph_follow,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "host_trustrank": _q_host_trustrank,
+        "host_spam_mass": _q_host_spam_mass,
         "domain_pagerank": _q_domain_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "unified_frontier": _q_unified_frontier,
@@ -3537,6 +3569,49 @@ def _pagerank_sql(iterations: int = 10, edges_sql: str | None = None) -> str:
         )
     return (
         "WITH " + ", ".join(parts) + f" SELECT host, rank FROM r{iterations}"
+    )
+
+
+def _trustrank_sql(iterations: int = 10, k: int = 3) -> str:
+    """Unrolled integer TrustRank replay (operators/webgraph.
+    trustrank_hosts + top_indegree_seeds): the deterministic seed pick
+    (top-k distinct in-degree, host ASC tiebreak) plus one CTE per
+    iteration, every term BIGINT floor division on non-negative operands
+    — bit-identical to Spark. MATERIALIZED because seeds/nodes/deg are
+    referenced once per iteration."""
+    from pyocr_spark.operators.webgraph import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_SCALE,
+    )
+
+    num, den, scale = PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN, PAGERANK_SCALE
+    parts = [
+        f"hp AS MATERIALIZED ({_host_edges_sql()})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp)",
+        "nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"seeds AS MATERIALIZED (SELECT dst AS host FROM e "
+        f"GROUP BY dst ORDER BY count(*) DESC, dst ASC LIMIT {k})",
+        "sn AS MATERIALIZED (SELECT count(*) AS ns FROM seeds)",
+        f"t0 AS MATERIALIZED (SELECT nd.host, CASE WHEN s.host IS NOT NULL "
+        f"THEN CAST({scale} AS BIGINT) // sn.ns ELSE CAST(0 AS BIGINT) END AS trust "
+        "FROM nodes nd CROSS JOIN sn LEFT JOIN seeds s ON s.host = nd.host)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"t{i + 1} AS MATERIALIZED (SELECT nd.host, "
+            f"CASE WHEN s.host IS NOT NULL THEN (CAST({scale} AS BIGINT) "
+            f"* {den - num} // {den}) // sn.ns ELSE CAST(0 AS BIGINT) END "
+            "+ coalesce(m.c, CAST(0 AS BIGINT)) AS trust "
+            "FROM nodes nd CROSS JOIN sn LEFT JOIN seeds s ON s.host = nd.host "
+            "LEFT JOIN ("
+            f"SELECT e.dst, CAST(sum((t{i}.trust * {num} // {den}) // deg.d) "
+            f"AS BIGINT) AS c FROM t{i} JOIN deg ON deg.src = t{i}.host "
+            f"JOIN e ON e.src = t{i}.host GROUP BY e.dst) m ON m.dst = nd.host)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT host, trust FROM t{iterations}"
     )
 
 
@@ -5718,6 +5793,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_pagerank": _pagerank_sql(10),
         "host_hits": _hits_sql(4),
+        "host_trustrank": _trustrank_sql(10, k=3),
+        "host_spam_mass": (
+            "SELECT p.host, p.rank, t.trust, "
+            "CASE WHEN p.rank > 0 THEN greatest(p.rank - t.trust, "
+            "CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT) // p.rank "
+            "ELSE CAST(0 AS BIGINT) END AS spam_ppm "
+            f"FROM ({_pagerank_sql(10)}) p "
+            f"JOIN ({_trustrank_sql(10, k=3)}) t ON t.host = p.host"
+        ),
         "domain_pagerank": (
             "SELECT host AS domain, rank "
             f"FROM ({_pagerank_sql(10, _domain_edges_sql())}) t"

@@ -242,6 +242,163 @@ def pagerank_hosts(
     return out
 
 
+def top_indegree_seeds(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Deterministic trust-seed pick: the k hosts with the most DISTINCT
+    in-linking hosts, ties broken lexicographically. In-degree on the
+    simple digraph is the cheapest robust authority proxy (TrustRank's
+    paper uses inverse PageRank or manual review; at pipeline scale the
+    seed list is normally curated — this is the automated stand-in).
+    One partial-agg shuffle + TakeOrderedAndProject: only k rows survive.
+    Returns a 1-column (host) DataFrame.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    simple = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    return (
+        simple.groupBy(F.col("dst").alias("host"))
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .orderBy(F.desc("indeg"), F.asc("host"))
+        .limit(k)
+        .select("host")
+    )
+
+
+def trustrank_hosts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    scale: int = PAGERANK_SCALE,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed-point integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004) — PageRank with the teleport vector concentrated on a
+    trusted seed set, so trust flows OUT along links and link-farm spam
+    (which good hosts rarely link to) receives almost none.
+
+    Identical integer discipline to ``pagerank_hosts`` (same damping
+    literals, floor division everywhere, lost-mass dangling variant,
+    simple digraph); only the base term differs: ``(scale*15//100)//ns``
+    lands on the ``ns`` seed hosts and 0 elsewhere. Seeds outside the
+    node set are ignored. Per iteration: one map-side-combined
+    groupBy(dst) shuffle + one left join from the static node set; the
+    seed flag is a broadcast-sized join (k rows). Returns (host, trust)
+    in integer micro-units; totals sum to <= scale.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    num, den = PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN
+    simple = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        simple.select(F.col("src").alias("host"))
+        .union(simple.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outdeg = simple.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    seedset = (
+        seeds.select(F.col("host")).distinct().join(nodes, "host").persist()
+    )
+    # tiny action (<= |seeds| rows): a zero-seed run would floor-divide
+    # by zero below — refuse loudly instead of emitting NULL trust
+    ns = seedset.count()
+    if ns == 0:
+        for df in (simple, nodes, outdeg, seedset):
+            df.unpersist()
+        raise ValueError("trustrank_hosts: no seed intersects the graph's nodes")
+    flagged = nodes.join(
+        F.broadcast(seedset.select("host", F.lit(1).alias("is_seed"))),
+        "host",
+        "left",
+    )
+    # static per-node teleport terms; ns is a Python int (exact, tiny)
+    base = flagged.selectExpr(
+        "host",
+        f"CASE WHEN is_seed IS NOT NULL THEN (CAST({scale} AS BIGINT) "
+        f"* {den - num} div {den}) div {ns} ELSE CAST(0 AS BIGINT) END AS base",
+    ).persist()
+    ranks = flagged.selectExpr(
+        "host",
+        f"CASE WHEN is_seed IS NOT NULL THEN CAST({scale} AS BIGINT) div {ns} "
+        "ELSE CAST(0 AS BIGINT) END AS trust",
+    )
+    for i in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks["host"] == outdeg["src"])
+            .join(simple, "src")
+            .selectExpr(
+                "dst",
+                f"(trust * {num} div {den}) div outdeg AS c",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            base.join(contribs, base["host"] == contribs["dst"], "left")
+            .selectExpr(
+                "host",
+                "base + coalesce(in_mass, CAST(0 AS BIGINT)) AS trust",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("host", "trust")
+    simple.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    seedset.unpersist()
+    base.unpersist()
+    return out
+
+
+def spam_mass_hosts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    scale: int = PAGERANK_SCALE,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Spam mass (Gyöngyi et al. 2006): the fraction of a host's PageRank
+    NOT accounted for by trust flowing from the seed set —
+    ``max(0, rank - trust) * 10^6 div rank`` in exact parts-per-million
+    (clamped at 0: a seed can hold more trust than rank, which means
+    "not spam", and the clamp keeps every operand non-negative so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree). Hosts whose
+    rank floors to 0 report 0. Multiply peaks at scale*10^6 = 10^18 <
+    2^63. Returns (host, rank, trust, spam_ppm); one equi-join on host
+    between the two fixed points.
+    """
+    pr = pagerank_hosts(
+        edges, iterations=iterations, scale=scale, src_col=src_col, dst_col=dst_col
+    )
+    tr = trustrank_hosts(
+        edges, seeds, iterations=iterations, scale=scale,
+        src_col=src_col, dst_col=dst_col,
+    )
+    return pr.join(tr, "host").selectExpr(
+        "host",
+        "rank",
+        "trust",
+        "CASE WHEN rank > 0 THEN greatest(rank - trust, CAST(0 AS BIGINT)) "
+        "* CAST(1000000 AS BIGINT) div rank ELSE CAST(0 AS BIGINT) END AS spam_ppm",
+    )
+
+
 HITS_SCALE = 10**9
 
 

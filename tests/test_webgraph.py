@@ -550,3 +550,128 @@ class TestHits:
             hits_hosts(df, iterations=0)
         with pytest.raises(ValueError):
             hits_hosts(df, checkpoint_every=0)
+
+
+def _trustrank_reference(
+    edges: list[tuple[str, str]],
+    seeds: list[str],
+    iterations: int,
+    scale: int = 10**12,
+) -> dict[str, int]:
+    """Independent dict-based replay of the frozen TrustRank semantics."""
+    simple = sorted(set(edges))
+    nodes = sorted({s for s, _ in simple} | {d for _, d in simple})
+    seedset = sorted(set(seeds) & set(nodes))
+    ns = len(seedset)
+    outdeg: dict[str, int] = {}
+    for s, _ in simple:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    trust = {h: (scale // ns if h in seedset else 0) for h in nodes}
+    for _ in range(iterations):
+        incoming = {h: 0 for h in nodes}
+        for s, d in simple:
+            incoming[d] += (trust[s] * 85 // 100) // outdeg[s]
+        trust = {
+            h: ((scale * 15 // 100) // ns if h in seedset else 0) + incoming[h]
+            for h in nodes
+        }
+    return trust
+
+
+class TestTrustrank:
+    def _run(self, spark, edges, seeds, iterations=5):
+        from pyocr_spark.operators.webgraph import trustrank_hosts
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        sdf = spark.createDataFrame(pd.DataFrame({"host": seeds}))
+        got = {
+            r["host"]: r["trust"]
+            for r in trustrank_hosts(df, sdf, iterations=iterations).collect()
+        }
+        assert got == _trustrank_reference(edges, seeds, iterations)
+        return got
+
+    def test_trust_flows_from_seed_not_to_unreachable(self, spark):
+        # seed -> a -> b chain plus an isolated spam pair: spam gets zero
+        got = self._run(
+            spark,
+            [("seed", "a"), ("a", "b"), ("spam1", "spam2"), ("spam2", "spam1")],
+            ["seed"],
+        )
+        assert got["spam1"] == 0 and got["spam2"] == 0
+        assert got["seed"] > got["a"] > got["b"] > 0
+
+    def test_seed_outside_graph_ignored(self, spark):
+        got_with = self._run(spark, [("s", "a"), ("a", "s")], ["s", "ghost"])
+        got_without = self._run(spark, [("s", "a"), ("a", "s")], ["s"])
+        assert got_with == got_without
+
+    def test_all_seeds_reduces_to_pagerank(self, spark):
+        # teleporting uniformly to every node IS PageRank
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        nodes = sorted({h for e in edges for h in e})
+        got = self._run(spark, edges, nodes, iterations=4)
+        assert got == _pagerank_reference(edges, 4)
+
+    def test_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import trustrank_hosts
+
+        edges = [(f"h{i}", f"h{(i * 5 + 2) % 17}") for i in range(17)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        sdf = spark.createDataFrame(pd.DataFrame({"host": ["h0", "h3"]}))
+        a = {
+            r["host"]: r["trust"]
+            for r in trustrank_hosts(df, sdf, iterations=6).collect()
+        }
+        b = {
+            r["host"]: r["trust"]
+            for r in trustrank_hosts(df.repartition(11), sdf, iterations=6).collect()
+        }
+        assert a == b == _trustrank_reference(edges, ["h0", "h3"], 6)
+
+    def test_no_effective_seed_rejected(self, spark):
+        import pytest as _pytest
+
+        from pyocr_spark.operators.webgraph import trustrank_hosts
+
+        df = spark.createDataFrame(
+            pd.DataFrame([("a", "b")], columns=["src_host", "dst_host"])
+        )
+        sdf = spark.createDataFrame(pd.DataFrame({"host": ["ghost"]}))
+        with _pytest.raises(ValueError, match="seed"):
+            trustrank_hosts(df, sdf, iterations=2)
+
+    def test_top_indegree_seeds_deterministic_ties(self, spark):
+        from pyocr_spark.operators.webgraph import top_indegree_seeds
+
+        # b and c each have indegree 2 (ties), a has 1: lexicographic pick
+        edges = [("x", "b"), ("y", "b"), ("x", "c"), ("y", "c"), ("x", "a")]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        got = [r["host"] for r in top_indegree_seeds(df, k=2).collect()]
+        assert sorted(got) == ["b", "c"]
+
+    def test_spam_mass_flags_unreachable_cluster(self, spark):
+        from pyocr_spark.operators.webgraph import spam_mass_hosts
+
+        edges = [
+            ("seed", "good"), ("good", "seed"),
+            ("spam1", "spam2"), ("spam2", "spam1"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        sdf = spark.createDataFrame(pd.DataFrame({"host": ["seed"]}))
+        got = {
+            r["host"]: (r["rank"], r["trust"], r["spam_ppm"])
+            for r in spam_mass_hosts(df, sdf, iterations=5).collect()
+        }
+        # untrusted cluster: full spam mass; trusted side: near zero
+        assert got["spam1"][2] == 1_000_000
+        assert got["seed"][2] == 0  # clamped (trust > rank on the seed)
+        assert got["good"][2] < 100_000
