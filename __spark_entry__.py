@@ -2238,6 +2238,20 @@ def _q_host_components_star(spark, sf_dir):
     return components_star(edges, left_col="src_host", right_col="dst_host")
 
 
+def _q_host_communities(spark, sf_dir):
+    """Synchronous weighted label-propagation communities over the host
+    graph (operators/webgraph.label_propagation_hosts, 4 rounds):
+    site-cluster detection that — unlike host_components — is NOT merged
+    by a single bridge link; internal link weight outvotes it. Frozen
+    deterministic semantics (max-weight label, lexicographic tiebreak,
+    synchronous rounds) let the oracle unroll all 4 rounds in SQL."""
+    from pyocr_spark.operators.webgraph import host_graph, label_propagation_hosts
+
+    return label_propagation_hosts(
+        host_graph(_outlinks(spark, sf_dir)), iterations=4
+    )
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -3172,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawl_delay": _q_robots_crawl_delay,
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
+        "host_communities": _q_host_communities,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -3569,6 +3584,44 @@ def _pagerank_sql(iterations: int = 10, edges_sql: str | None = None) -> str:
         )
     return (
         "WITH " + ", ".join(parts) + f" SELECT host, rank FROM r{iterations}"
+    )
+
+
+def _lpa_sql(iterations: int = 4) -> str:
+    """Unrolled label-propagation replay (operators/webgraph.
+    label_propagation_hosts): undirected weighted merge of the host
+    graph, then one CTE per synchronous round — per node the
+    max-total-weight neighbor label, ties to the lexicographically
+    smallest, isolated nodes coalesce to their current label. All
+    weights are BIGINT sums of exact link counts, so Spark and DuckDB
+    agree bit-for-bit."""
+    parts = [
+        f"hp AS MATERIALIZED ({_host_edges_sql()})",
+        "w AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, "
+        "count(*) AS w FROM hp GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w "
+        "FROM (SELECT src, dst, w FROM w UNION ALL "
+        "SELECT dst AS src, src AS dst, w FROM w) "
+        "GROUP BY src, dst HAVING src != dst)",
+        "nodes AS MATERIALIZED (SELECT src AS host FROM w UNION SELECT dst FROM w)",
+        "l0 AS (SELECT host, host AS label FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT nd.host, "
+            "coalesce(p.lbl, cur.label) AS label "
+            f"FROM nodes nd JOIN l{i} cur ON cur.host = nd.host "
+            "LEFT JOIN (SELECT src, lbl FROM ("
+            f"SELECT u.src, li.label AS lbl, row_number() OVER ("
+            "PARTITION BY u.src ORDER BY CAST(sum(u.w) AS BIGINT) DESC, "
+            "li.label ASC) AS rn "
+            f"FROM und u JOIN l{i} li ON li.host = u.dst "
+            "GROUP BY u.src, li.label) WHERE rn = 1) p ON p.src = nd.host)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT host, label AS community FROM l{iterations}"
     )
 
 
@@ -5945,6 +5998,7 @@ def oracle_sql() -> dict[str, str]:
         # variant runs a different algorithm against the SAME oracle
         "host_components": host_components_sql,
         "host_components_star": host_components_sql,
+        "host_communities": _lpa_sql(4),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

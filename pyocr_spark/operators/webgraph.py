@@ -762,3 +762,104 @@ def anchor_title_consistency(
             F.expr("sum(_ov) div count(1)").alias("avg_consistency_micro"),
         )
     )
+
+
+def label_propagation_hosts(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    semi-synchronous deterministic variant) over the undirected host
+    graph: community detection for site-cluster discovery, the
+    modularity-flavored complement to connected components (which only
+    sees reachability — one bridge link merges two communities; LPA
+    does not).
+
+    Determinism (frozen, oracle replays it): every node starts labeled
+    with itself; each round EVERY node simultaneously adopts the label
+    carrying the maximum total incident edge weight among its
+    neighbors, ties broken by lexicographically smallest label; a node
+    with no neighbors keeps its current label. Fixed ``iterations``
+    rounds (no convergence test — synchronous LPA can 2-cycle on
+    bipartite structures, so a fixed horizon is the only deterministic
+    contract). Returns (host, community).
+
+    Scale shape: the undirected weighted graph is built once and
+    persisted (one shuffle); each round is one equi-join of the static
+    edge table against the current label table plus one
+    max(struct)-aggregated groupBy — map-side combined, no windows.
+    Lineage is truncated with localCheckpoint every round (the
+    pagerank_hosts pattern), so the plan stays bounded at 10^8 hosts ×
+    20 rounds. Label payloads are host strings (bounded length), so
+    the per-round shuffle is O(|E|) — same cost class as one PageRank
+    iteration.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    directed = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    # undirected weighted merge: each directed edge votes both ways, a
+    # reciprocal pair (a->b, b->a) sums its two weights; self-edges are
+    # dropped AFTER the node set is taken (a self-linking-only host is
+    # still a node, it just never receives neighbor votes)
+    und = (
+        directed.union(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    nodes = (
+        directed.select(F.col("src").alias("host"))
+        .union(directed.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("host", F.col("host").alias("label"))
+    for i in range(iterations):
+        nbr = labels.select(
+            F.col("host").alias("dst"), F.col("label").alias("nbr_label")
+        )
+        # min(struct(-w, label)) = "max weight, then lexicographically
+        # smallest label" in ONE partial-aggregable pass — no window,
+        # no row_number shuffle-sort
+        votes = (
+            und.join(nbr, "dst")
+            .groupBy("src", "nbr_label")
+            .agg(F.sum("w").alias("wt"))
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("wt")).alias("nw"),
+                        F.col("nbr_label").alias("lbl"),
+                    )
+                ).alias("win")
+            )
+            .select(F.col("src").alias("host"), F.col("win.lbl").alias("picked"))
+        )
+        labels = (
+            labels.join(votes, "host", "left")
+            .select(
+                "host", F.coalesce(F.col("picked"), F.col("label")).alias("label")
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels.select("host", F.col("label").alias("community"))
+    und.unpersist()
+    nodes.unpersist()
+    return out

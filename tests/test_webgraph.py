@@ -675,3 +675,105 @@ class TestTrustrank:
         assert got["spam1"][2] == 1_000_000
         assert got["seed"][2] == 0  # clamped (trust > rank on the seed)
         assert got["good"][2] < 100_000
+
+
+def _lpa_reference(wedges, iterations):
+    """Independent dict-loop replay of the frozen LPA semantics:
+    undirected weighted votes, max-weight-then-min-label, synchronous
+    rounds, isolated nodes keep their label."""
+    from collections import defaultdict
+
+    und = defaultdict(int)
+    nodes = set()
+    for s, d, w in wedges:
+        nodes.add(s)
+        nodes.add(d)
+        if s != d:
+            und[(s, d)] += w
+            und[(d, s)] += w
+    adj = defaultdict(list)
+    for (s, d), w in und.items():
+        adj[s].append((d, w))
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            votes = defaultdict(int)
+            for d, w in adj.get(n, []):
+                votes[labels[d]] += w
+            if votes:
+                new[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            else:
+                new[n] = labels[n]
+        labels = new
+    return labels
+
+
+class TestLabelPropagation:
+    def _run(self, spark, wedges, iterations=4):
+        from pyocr_spark.operators.webgraph import label_propagation_hosts
+
+        df = spark.createDataFrame(
+            pd.DataFrame(wedges, columns=["src_host", "dst_host", "n_links"])
+        )
+        got = {
+            r["host"]: r["community"]
+            for r in label_propagation_hosts(df, iterations=iterations).collect()
+        }
+        assert got == _lpa_reference(wedges, iterations)
+        return got
+
+    def test_two_cliques_one_bridge_stay_separate(self, spark):
+        # components would merge these; LPA must not — the bridge is
+        # outvoted by each side's internal weight
+        left = [(a, b, 3) for a in ("a1", "a2", "a3") for b in ("a1", "a2", "a3") if a < b]
+        right = [(a, b, 3) for a in ("b1", "b2", "b3") for b in ("b1", "b2", "b3") if a < b]
+        got = self._run(spark, left + right + [("a3", "b1", 1)], iterations=6)
+        assert len({got["a1"], got["a2"], got["a3"]}) == 1
+        assert len({got["b1"], got["b2"], got["b3"]}) == 1
+        assert got["a1"] != got["b1"]
+
+    def test_tie_breaks_to_lexicographically_smallest(self, spark):
+        # 'm' sees labels 'a' and 'z' with equal weight -> adopts 'a'
+        got = self._run(spark, [("a", "m", 2), ("z", "m", 2)], iterations=1)
+        assert got["m"] == "a"
+
+    def test_self_edge_only_host_keeps_own_label(self, spark):
+        got = self._run(spark, [("s", "s", 9), ("a", "b", 1)], iterations=3)
+        assert got["s"] == "s"
+
+    def test_reciprocal_edges_sum_their_weights(self, spark):
+        # m: 'a' votes 2+2=4 undirected, 'z' votes 3 -> 'a' wins only
+        # if reciprocal weights sum
+        got = self._run(
+            spark, [("a", "m", 2), ("m", "a", 2), ("z", "m", 3)], iterations=1
+        )
+        assert got["m"] == "a"
+
+    def test_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import label_propagation_hosts
+
+        wedges = [(f"h{i}", f"h{(i * 7 + 3) % 23}", 1 + i % 4) for i in range(23)]
+        df = spark.createDataFrame(
+            pd.DataFrame(wedges, columns=["src_host", "dst_host", "n_links"])
+        )
+        a = {
+            r["host"]: r["community"]
+            for r in label_propagation_hosts(df, iterations=5).collect()
+        }
+        b = {
+            r["host"]: r["community"]
+            for r in label_propagation_hosts(df.repartition(13), iterations=5).collect()
+        }
+        assert a == b == _lpa_reference(wedges, 5)
+
+    def test_bad_args_rejected(self, spark):
+        from pyocr_spark.operators.webgraph import label_propagation_hosts
+
+        df = spark.createDataFrame(
+            pd.DataFrame([("a", "b", 1)], columns=["src_host", "dst_host", "n_links"])
+        )
+        with pytest.raises(ValueError, match="iterations"):
+            label_propagation_hosts(df, iterations=0)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            label_propagation_hosts(df, checkpoint_every=0)
