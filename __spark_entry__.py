@@ -2252,6 +2252,18 @@ def _q_host_communities(spark, sf_dir):
     )
 
 
+def _q_host_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality over the host graph (operators/
+    webgraph.hyperball_harmonic, radius 4, Boldi-Vigna 2013): per host
+    the harmonic sum of ball-size deltas, balls estimated with the
+    portable md5 HLL counters — the geometric-centrality complement to
+    PageRank that needs no damping prior. All integer anchors; the
+    oracle unrolls every register round AND every estimate in SQL."""
+    from pyocr_spark.operators.webgraph import host_graph, hyperball_harmonic
+
+    return hyperball_harmonic(host_graph(_outlinks(spark, sf_dir)), radius=4)
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -3187,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": _q_host_components,
         "host_components_star": _q_host_components_star,
         "host_communities": _q_host_communities,
+        "host_harmonic": _q_host_harmonic,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -3622,6 +3635,65 @@ def _lpa_sql(iterations: int = 4) -> str:
         "WITH "
         + ", ".join(parts)
         + f" SELECT host, label AS community FROM l{iterations}"
+    )
+
+
+def _hyperball_sql(radius: int = 4) -> str:
+    """Unrolled HyperBall replay (operators/webgraph.hyperball_harmonic):
+    portable-HLL register seed per host, one register-merge CTE + one
+    estimate CTE per round (the host_url_hll estimate tail verbatim),
+    then clamped per-round deltas floor-divided by the round index. All
+    comparisons integer except the single frozen double division /
+    ln() inside the estimator — identical literals both engines."""
+
+    def est(i: int) -> str:
+        return (
+            f"est{i} AS MATERIALIZED (SELECT host, {i} AS round, "
+            "CAST(FLOOR((CASE WHEN (47072.71267120224e0 * 9007199254740992.0e0 "
+            "/ s_scaled) <= 640.0e0 AND v_empty > 0 "
+            "THEN 256.0e0 * ln(256.0e0 / v_empty) "
+            "ELSE 47072.71267120224e0 * 9007199254740992.0e0 / s_scaled END) "
+            "* 10000.0e0) AS BIGINT) AS est "
+            "FROM (SELECT host, CAST(256 - count(*) AS BIGINT) AS v_empty, "
+            "CAST(CAST(sum(CAST(1 AS BIGINT) << (53 - max_rank)) AS BIGINT) "
+            "+ (256 - count(*)) * 9007199254740992 AS BIGINT) AS s_scaled "
+            f"FROM r{i} GROUP BY host))"
+        )
+
+    parts = [
+        f"hp AS MATERIALIZED ({_host_edges_sql()})",
+        "e AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp)",
+        "nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT host, CAST(('0x' || substr(md5(host),1,15)) AS BIGINT) AS h "
+        "FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT host, h & 255 AS reg, "
+        "CASE WHEN (h >> 8) = 0 THEN 53 "
+        "ELSE instr(lpad(bin(h >> 8), 52, '0'), '1') END AS max_rank FROM h0)",
+        est(0),
+    ]
+    for t in range(1, radius + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT host, reg, max(max_rank) AS max_rank "
+            f"FROM (SELECT host, reg, max_rank FROM r{t - 1} "
+            f"UNION ALL SELECT e.src AS host, r.reg, r.max_rank "
+            f"FROM e JOIN r{t - 1} r ON r.host = e.dst) GROUP BY host, reg)"
+        )
+        parts.append(est(t))
+    ests_union = " UNION ALL ".join(
+        f"SELECT * FROM est{t}" for t in range(radius + 1)
+    )
+    parts.append(f"ests AS ({ests_union})")
+    parts.append(
+        "fin AS (SELECT a.host, CAST(sum(greatest(a.est - b.est, 0) // a.round) "
+        "AS BIGINT) AS hm FROM ests a JOIN ests b "
+        "ON b.host = a.host AND b.round = a.round - 1 GROUP BY a.host)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT f.host, CAST(coalesce(fin.hm, 0) AS BIGINT) AS harmonic_micro, "
+        f"f.est AS reach_est_micro FROM est{radius} f "
+        "LEFT JOIN fin ON fin.host = f.host"
     )
 
 
@@ -5999,6 +6071,7 @@ def oracle_sql() -> dict[str, str]:
         "host_components": host_components_sql,
         "host_components_star": host_components_sql,
         "host_communities": _lpa_sql(4),
+        "host_harmonic": _hyperball_sql(4),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

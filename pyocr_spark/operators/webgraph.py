@@ -863,3 +863,106 @@ def label_propagation_hosts(
     und.unpersist()
     nodes.unpersist()
     return out
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    radius: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+    of Geometric Centralities with HyperBall", 2013): per host, the
+    harmonic sum Σ_t (|B_t| − |B_{t−1}|)/t over ball sizes |B_t| = nodes
+    reachable FROM the host within t hops, each estimated by the
+    portable HLL counter (operators/sketches) — i.e. harmonic centrality
+    of the host in the transpose graph, the standard HyperBall framing.
+
+    Frozen deterministic semantics (the oracle unrolls every round):
+    counters are the md5-derived portable-HLL register tables kept
+    EXPLODED as (host, reg, max_rank) rows; round t max-merges each
+    host's registers with its out-neighbors' round-(t−1) registers —
+    one union + one partial-aggregated max groupBy, the same cost class
+    as a PageRank iteration × m register fan-out. Ball estimates are
+    portable_hll_estimate's est_micro (exact integer anchors, one
+    double division, micro-floored); per-round deltas are clamped at 0
+    (the raw estimator is monotone, the linear-counting handoff need
+    not be) and floor-divided by t — BIGINT end-to-end, so Spark and
+    DuckDB agree bit-for-bit.
+
+    Returns (host, harmonic_micro, reach_est_micro) where
+    reach_est_micro is the radius-ball estimate (≈ reachable set size).
+
+    Scale: register state is O(m·|V|) rows of three small ints; each
+    round shuffles O(m·|E|) register rows with map-side max-combine —
+    HyperBall's real cost profile, tunable via PORTABLE_HLL_P. Lineage
+    truncated per round with localCheckpoint (pagerank_hosts pattern).
+    """
+    from pyocr_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_merge,
+        portable_hll_registers,
+    )
+
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    regs = portable_hll_registers(
+        nodes, key_col="host", group_col="host"
+    ).localCheckpoint(eager=True)
+    per_round = [
+        portable_hll_estimate(regs).select(
+            "grp", F.lit(0).alias("round"), "est_micro"
+        )
+    ]
+    for t in range(1, radius + 1):
+        propagated = e.join(regs, regs["grp"] == e["dst"]).select(
+            F.col("src").alias("grp"), "reg", "max_rank"
+        )
+        regs = portable_hll_merge(regs, propagated)
+        if t % checkpoint_every == 0 or t == radius:
+            regs = regs.localCheckpoint(eager=True)
+        per_round.append(
+            portable_hll_estimate(regs).select(
+                "grp", F.lit(t).alias("round"), "est_micro"
+            )
+        )
+    ests = per_round[0]
+    for d in per_round[1:]:
+        ests = ests.unionByName(d)
+    contrib = ests.select(
+        "grp",
+        "round",
+        "est_micro",
+        F.expr(
+            "greatest(est_micro - lag(est_micro) OVER "
+            "(PARTITION BY grp ORDER BY round), CAST(0 AS BIGINT))"
+        ).alias("delta"),
+    ).select(
+        "grp",
+        "round",
+        "est_micro",
+        F.expr("CASE WHEN round >= 1 THEN delta div round END").alias("c"),
+    )
+    out = contrib.groupBy("grp").agg(
+        F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(
+            "harmonic_micro"
+        ),
+        F.max(
+            F.when(F.col("round") == radius, F.col("est_micro"))
+        ).alias("reach_est_micro"),
+    ).select(F.col("grp").alias("host"), "harmonic_micro", "reach_est_micro")
+    e.unpersist()
+    return out

@@ -777,3 +777,115 @@ class TestLabelPropagation:
             label_propagation_hosts(df, iterations=0)
         with pytest.raises(ValueError, match="checkpoint_every"):
             label_propagation_hosts(df, checkpoint_every=0)
+
+
+def _hll_regs_reference(keys, p=8, w=52):
+    """Pure-hashlib replica of the portable-HLL register derivation."""
+    import hashlib
+
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        reg = h & ((1 << p) - 1)
+        rest = h >> p
+        rank = (w + 1) if rest == 0 else w - rest.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rank)
+    return regs
+
+
+def _hyperball_reference_regs(edges, radius):
+    """Dict-loop replay of the HyperBall register rounds: ball of each
+    node grows along OUT-edges; registers are the md5 portable-HLL ones."""
+    nodes = sorted({x for e in edges for x in e})
+    out = {n: set() for n in nodes}
+    for s, d in edges:
+        out[s].add(d)
+    ball = {n: {n} for n in nodes}
+    for _ in range(radius):
+        ball = {n: ball[n] | set().union(*(ball[d] for d in out[n])) if out[n] else set(ball[n]) for n in nodes}
+    return {n: _hll_regs_reference(sorted(b)) for n, b in ball.items()}
+
+
+class TestHyperballHarmonic:
+    def _edges_df(self, spark, edges):
+        return spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+
+    def test_registers_match_ball_semantics(self, spark):
+        """The final counter of each node must equal the portable-HLL
+        registers of its exact radius-ball (merge of md5 registers is
+        the registers of the union)."""
+        from pyocr_spark.operators.sketches import (
+            portable_hll_estimate,
+            portable_hll_registers,
+        )
+        from pyocr_spark.operators.webgraph import hyperball_harmonic
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "a")]
+        radius = 3
+        got = {
+            r["host"]: (r["harmonic_micro"], r["reach_est_micro"])
+            for r in hyperball_harmonic(
+                self._edges_df(spark, edges), radius=radius
+            ).collect()
+        }
+        # independent expectation: per node, estimate each exact ball
+        # with the SAME Spark estimator (isolates the propagation logic)
+        ref_balls = {}
+        nodes = sorted({x for e in edges for x in e})
+        out = {n: set() for n in nodes}
+        for s, d in edges:
+            out[s].add(d)
+        ball = {n: {n} for n in nodes}
+        hist = {n: [1] for n in nodes}
+        for _ in range(radius):
+            ball = {
+                n: ball[n] | set().union(*(ball[d] for d in out[n] or [n] if d in ball))
+                for n in nodes
+            }
+            for n in nodes:
+                hist[n].append(len(ball[n]))
+        rows = [(n, m) for n, b in ball.items() for m in sorted(b)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["grp", "member"]))
+        est = {
+            r["grp"]: r["est_micro"]
+            for r in portable_hll_estimate(
+                portable_hll_registers(df, key_col="member", group_col="grp")
+            ).collect()
+        }
+        for n in nodes:
+            assert got[n][1] == est[n], n
+
+    def test_star_center_most_central_in_transpose(self, spark):
+        # leaves all link INTO hub; harmonic here follows OUT-edges, so
+        # each leaf reaches hub at distance 1 and hub reaches nothing
+        from pyocr_spark.operators.webgraph import hyperball_harmonic
+
+        edges = [("l1", "hub"), ("l2", "hub"), ("l3", "hub")]
+        got = {
+            r["host"]: r["harmonic_micro"]
+            for r in hyperball_harmonic(self._edges_df(spark, edges), radius=2).collect()
+        }
+        assert got["hub"] == 0  # no out-edges: ball never grows
+        assert got["l1"] > 0 and got["l1"] == got["l2"] == got["l3"]
+
+    def test_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import hyperball_harmonic
+
+        edges = [(f"h{i}", f"h{(i * 5 + 2) % 17}") for i in range(17)]
+        df = self._edges_df(spark, edges)
+        a = sorted(map(tuple, hyperball_harmonic(df, radius=3).collect()))
+        b = sorted(
+            map(tuple, hyperball_harmonic(df.repartition(7), radius=3).collect())
+        )
+        assert a == b
+
+    def test_bad_args_rejected(self, spark):
+        from pyocr_spark.operators.webgraph import hyperball_harmonic
+
+        df = self._edges_df(spark, [("a", "b")])
+        with pytest.raises(ValueError, match="radius"):
+            hyperball_harmonic(df, radius=0)
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            hyperball_harmonic(df, checkpoint_every=0)
