@@ -2264,6 +2264,17 @@ def _q_host_harmonic(spark, sf_dir):
     return hyperball_harmonic(host_graph(_outlinks(spark, sf_dir)), radius=4)
 
 
+def _q_host_neighborhood_fn(spark, sf_dir):
+    """Graph neighborhood function + effective diameter (operators/
+    webgraph.neighborhood_function, ANF/HyperBall): N(t) = reachable
+    pairs within t hops summed from the per-host HyperBall rounds, with
+    the integer 90%-effective-diameter flag per round. radius+1 rows
+    out regardless of graph size — the crawl-health dashboard query."""
+    from pyocr_spark.operators.webgraph import host_graph, neighborhood_function
+
+    return neighborhood_function(host_graph(_outlinks(spark, sf_dir)), radius=4)
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -3200,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components_star": _q_host_components_star,
         "host_communities": _q_host_communities,
         "host_harmonic": _q_host_harmonic,
+        "host_neighborhood_fn": _q_host_neighborhood_fn,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -3638,13 +3650,10 @@ def _lpa_sql(iterations: int = 4) -> str:
     )
 
 
-def _hyperball_sql(radius: int = 4) -> str:
-    """Unrolled HyperBall replay (operators/webgraph.hyperball_harmonic):
-    portable-HLL register seed per host, one register-merge CTE + one
-    estimate CTE per round (the host_url_hll estimate tail verbatim),
-    then clamped per-round deltas floor-divided by the round index. All
-    comparisons integer except the single frozen double division /
-    ln() inside the estimator — identical literals both engines."""
+def _hyperball_parts(radius: int) -> list[str]:
+    """Shared CTE prefix for the HyperBall oracles: register seed, one
+    register-merge + one estimate CTE per round, the per-(host, round)
+    estimate union. Yields CTEs through ``ests(host, round, est)``."""
 
     def est(i: int) -> str:
         return (
@@ -3683,6 +3692,17 @@ def _hyperball_sql(radius: int = 4) -> str:
         f"SELECT * FROM est{t}" for t in range(radius + 1)
     )
     parts.append(f"ests AS ({ests_union})")
+    return parts
+
+
+def _hyperball_sql(radius: int = 4) -> str:
+    """Unrolled HyperBall replay (operators/webgraph.hyperball_harmonic):
+    portable-HLL register seed per host, one register-merge CTE + one
+    estimate CTE per round (the host_url_hll estimate tail verbatim),
+    then clamped per-round deltas floor-divided by the round index. All
+    comparisons integer except the single frozen double division /
+    ln() inside the estimator — identical literals both engines."""
+    parts = _hyperball_parts(radius)
     parts.append(
         "fin AS (SELECT a.host, CAST(sum(greatest(a.est - b.est, 0) // a.round) "
         "AS BIGINT) AS hm FROM ests a JOIN ests b "
@@ -3694,6 +3714,29 @@ def _hyperball_sql(radius: int = 4) -> str:
         + " SELECT f.host, CAST(coalesce(fin.hm, 0) AS BIGINT) AS harmonic_micro, "
         f"f.est AS reach_est_micro FROM est{radius} f "
         "LEFT JOIN fin ON fin.host = f.host"
+    )
+
+
+def _hyperball_nf_sql(radius: int = 4, eff_pct: int = 90) -> str:
+    """Unrolled neighborhood-function replay (operators/webgraph.
+    neighborhood_function): the shared HyperBall rounds summed per
+    round, clamped lag growth, integer effective-diameter flag."""
+    parts = _hyperball_parts(radius)
+    parts.append(
+        "nf AS (SELECT round, CAST(sum(est) AS BIGINT) AS nf_micro "
+        "FROM ests GROUP BY round)"
+    )
+    parts.append(
+        f"fin AS (SELECT nf_micro AS nf_final FROM nf WHERE round = {radius})"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT n.round, n.nf_micro, "
+        "CAST(coalesce(greatest(n.nf_micro - lag(n.nf_micro) "
+        "OVER (ORDER BY n.round), 0), 0) AS BIGINT) AS pair_growth_micro, "
+        f"(n.nf_micro * 100 >= f.nf_final * {eff_pct}) AS reached_eff "
+        "FROM nf n CROSS JOIN fin f"
     )
 
 
@@ -6072,6 +6115,7 @@ def oracle_sql() -> dict[str, str]:
         "host_components_star": host_components_sql,
         "host_communities": _lpa_sql(4),
         "host_harmonic": _hyperball_sql(4),
+        "host_neighborhood_fn": _hyperball_nf_sql(4),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

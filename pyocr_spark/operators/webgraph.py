@@ -865,40 +865,17 @@ def label_propagation_hosts(
     return out
 
 
-def hyperball_harmonic(
+def hyperball_round_estimates(
     edges: DataFrame,
     radius: int = 4,
     src_col: str = "src_host",
     dst_col: str = "dst_host",
     checkpoint_every: int = 1,
 ) -> DataFrame:
-    """HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
-    of Geometric Centralities with HyperBall", 2013): per host, the
-    harmonic sum Σ_t (|B_t| − |B_{t−1}|)/t over ball sizes |B_t| = nodes
-    reachable FROM the host within t hops, each estimated by the
-    portable HLL counter (operators/sketches) — i.e. harmonic centrality
-    of the host in the transpose graph, the standard HyperBall framing.
-
-    Frozen deterministic semantics (the oracle unrolls every round):
-    counters are the md5-derived portable-HLL register tables kept
-    EXPLODED as (host, reg, max_rank) rows; round t max-merges each
-    host's registers with its out-neighbors' round-(t−1) registers —
-    one union + one partial-aggregated max groupBy, the same cost class
-    as a PageRank iteration × m register fan-out. Ball estimates are
-    portable_hll_estimate's est_micro (exact integer anchors, one
-    double division, micro-floored); per-round deltas are clamped at 0
-    (the raw estimator is monotone, the linear-counting handoff need
-    not be) and floor-divided by t — BIGINT end-to-end, so Spark and
-    DuckDB agree bit-for-bit.
-
-    Returns (host, harmonic_micro, reach_est_micro) where
-    reach_est_micro is the radius-ball estimate (≈ reachable set size).
-
-    Scale: register state is O(m·|V|) rows of three small ints; each
-    round shuffles O(m·|E|) register rows with map-side max-combine —
-    HyperBall's real cost profile, tunable via PORTABLE_HLL_P. Lineage
-    truncated per round with localCheckpoint (pagerank_hosts pattern).
-    """
+    """The HyperBall engine shared by ``hyperball_harmonic`` and
+    ``neighborhood_function``: per (host, round 0..radius) the portable
+    md5-HLL ball-size estimate ``est_micro``. See hyperball_harmonic's
+    docstring for the frozen register/merge/estimate semantics."""
     from pyocr_spark.operators.sketches import (
         portable_hll_estimate,
         portable_hll_merge,
@@ -942,6 +919,110 @@ def hyperball_harmonic(
     ests = per_round[0]
     for d in per_round[1:]:
         ests = ests.unionByName(d)
+    # the register rounds are all checkpointed; the edge cache has served
+    ests = ests.localCheckpoint(eager=True)
+    e.unpersist()
+    return ests
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 1,
+    eff_pct: int = 90,
+) -> DataFrame:
+    """Graph neighborhood function N(t) + effective-diameter flag from
+    the HyperBall rounds (Boldi-Vigna 2013 §4; ANF, Palmer et al. 2002):
+    N(t) = Σ_v |B_t(v)| — the number of reachable pairs within distance
+    t. Returns one row per round: (round, nf_micro, pair_growth_micro,
+    reached_eff) where reached_eff marks rounds with N(t)·100 ≥
+    N(radius)·eff_pct — the SMALLEST flagged round is the (integer)
+    effective diameter at eff_pct%. Integer compare only, no
+    interpolation, no floats beyond the frozen per-ball estimator —
+    bit-identical across engines.
+
+    Scale: one groupBy(round) over the per-host round table — radius+1
+    output rows regardless of graph size."""
+    ests = hyperball_round_estimates(
+        edges,
+        radius=radius,
+        src_col=src_col,
+        dst_col=dst_col,
+        checkpoint_every=checkpoint_every,
+    )
+    nf = ests.groupBy("round").agg(F.sum("est_micro").alias("nf_micro"))
+    final = F.broadcast(
+        nf.filter(F.col("round") == radius).select(
+            F.col("nf_micro").alias("nf_final")
+        )
+    )
+    return (
+        nf.crossJoin(final)
+        .select(
+            "round",
+            "nf_micro",
+            F.expr(
+                "greatest(nf_micro - lag(nf_micro) OVER (ORDER BY round), "
+                "CAST(0 AS BIGINT))"
+            ).alias("pair_growth_micro"),
+            (F.col("nf_micro") * 100 >= F.col("nf_final") * eff_pct).alias(
+                "reached_eff"
+            ),
+        )
+        .select(
+            "round",
+            "nf_micro",
+            F.coalesce(
+                F.col("pair_growth_micro"), F.lit(0).cast("long")
+            ).alias("pair_growth_micro"),
+            "reached_eff",
+        )
+    )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    radius: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+    of Geometric Centralities with HyperBall", 2013): per host, the
+    harmonic sum Σ_t (|B_t| − |B_{t−1}|)/t over ball sizes |B_t| = nodes
+    reachable FROM the host within t hops, each estimated by the
+    portable HLL counter (operators/sketches) — i.e. harmonic centrality
+    of the host in the transpose graph, the standard HyperBall framing.
+
+    Frozen deterministic semantics (the oracle unrolls every round):
+    counters are the md5-derived portable-HLL register tables kept
+    EXPLODED as (host, reg, max_rank) rows; round t max-merges each
+    host's registers with its out-neighbors' round-(t−1) registers —
+    one union + one partial-aggregated max groupBy, the same cost class
+    as a PageRank iteration × m register fan-out. Ball estimates are
+    portable_hll_estimate's est_micro (exact integer anchors, one
+    double division, micro-floored); per-round deltas are clamped at 0
+    (the raw estimator is monotone, the linear-counting handoff need
+    not be) and floor-divided by t — BIGINT end-to-end, so Spark and
+    DuckDB agree bit-for-bit.
+
+    Returns (host, harmonic_micro, reach_est_micro) where
+    reach_est_micro is the radius-ball estimate (≈ reachable set size).
+
+    Scale: register state is O(m·|V|) rows of three small ints; each
+    round shuffles O(m·|E|) register rows with map-side max-combine —
+    HyperBall's real cost profile, tunable via PORTABLE_HLL_P. Lineage
+    truncated per round with localCheckpoint (pagerank_hosts pattern).
+    """
+    ests = hyperball_round_estimates(
+        edges,
+        radius=radius,
+        src_col=src_col,
+        dst_col=dst_col,
+        checkpoint_every=checkpoint_every,
+    )
     contrib = ests.select(
         "grp",
         "round",
@@ -964,5 +1045,4 @@ def hyperball_harmonic(
             F.when(F.col("round") == radius, F.col("est_micro"))
         ).alias("reach_est_micro"),
     ).select(F.col("grp").alias("host"), "harmonic_micro", "reach_est_micro")
-    e.unpersist()
     return out

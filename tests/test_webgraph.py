@@ -889,3 +889,44 @@ class TestHyperballHarmonic:
             hyperball_harmonic(df, radius=0)
         with pytest.raises(ValueError, match="checkpoint_every"):
             hyperball_harmonic(df, checkpoint_every=0)
+
+
+class TestNeighborhoodFunction:
+    def test_path_graph_growth_and_eff_radius(self, spark):
+        from pyocr_spark.operators.webgraph import (
+            hyperball_round_estimates,
+            neighborhood_function,
+        )
+
+        # directed path a->b->c->d: balls keep growing until radius 3
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        nf = {r["round"]: r for r in neighborhood_function(df, radius=3).collect()}
+        assert sorted(nf) == [0, 1, 2, 3]
+        # N(t) must equal the per-host round table summed — same engine
+        per = hyperball_round_estimates(df, radius=3).collect()
+        for t in range(4):
+            assert nf[t]["nf_micro"] == sum(
+                r["est_micro"] for r in per if r["round"] == t
+            )
+        # strictly growing on a path; final round flagged; round 0 not
+        assert nf[3]["nf_micro"] > nf[0]["nf_micro"]
+        assert nf[3]["reached_eff"] is True
+        assert nf[0]["reached_eff"] is False
+        assert nf[0]["pair_growth_micro"] == 0
+        assert nf[2]["pair_growth_micro"] == nf[2]["nf_micro"] - nf[1]["nf_micro"]
+
+    def test_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import neighborhood_function
+
+        edges = [(f"h{i}", f"h{(i * 5 + 2) % 17}") for i in range(17)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        a = sorted(map(tuple, neighborhood_function(df, radius=3).collect()))
+        b = sorted(
+            map(tuple, neighborhood_function(df.repartition(5), radius=3).collect())
+        )
+        assert a == b
