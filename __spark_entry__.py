@@ -2275,6 +2275,16 @@ def _q_host_neighborhood_fn(spark, sf_dir):
     return neighborhood_function(host_graph(_outlinks(spark, sf_dir)), radius=4)
 
 
+def _q_host_triangles(spark, sf_dir):
+    """Exact triangle count + local clustering coefficient per host
+    (operators/webgraph.host_triangles, degree-ordered edge iterator —
+    Schank-Wagner / Suri-Vassilvitskii): the link-farm geometry signal;
+    farm cliques score lcc ≈ 10^6, organic hubs ≈ 0. Integer-exact."""
+    from pyocr_spark.operators.webgraph import host_graph, host_triangles
+
+    return host_triangles(host_graph(_outlinks(spark, sf_dir)))
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -3212,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": _q_host_communities,
         "host_harmonic": _q_host_harmonic,
         "host_neighborhood_fn": _q_host_neighborhood_fn,
+        "host_triangles": _q_host_triangles,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -6116,6 +6127,34 @@ def oracle_sql() -> dict[str, str]:
         "host_communities": _lpa_sql(4),
         "host_harmonic": _hyperball_sql(4),
         "host_neighborhood_fn": _hyperball_nf_sql(4),
+        # triangles: degree-ordered edge-iterator replay — orientation,
+        # wedge self-join, closing-edge probe, 3-corner credit
+        "host_triangles": (
+            f"WITH hp AS MATERIALIZED ({_host_edges_sql()}), "
+            "und AS MATERIALIZED (SELECT DISTINCT "
+            "least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b "
+            "FROM hp WHERE src_host != dst_host), "
+            "deg AS MATERIALIZED (SELECT host, count(*) AS degree FROM "
+            "(SELECT a AS host FROM und UNION ALL SELECT b FROM und) GROUP BY host), "
+            "o AS MATERIALIZED (SELECT CASE WHEN da.degree < db.degree "
+            "OR (da.degree = db.degree AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
+            "CASE WHEN da.degree < db.degree "
+            "OR (da.degree = db.degree AND u.a < u.b) THEN u.b ELSE u.a END AS v "
+            "FROM und u JOIN deg da ON da.host = u.a JOIN deg db ON db.host = u.b), "
+            "wed AS (SELECT l.u, l.v AS w1, r.v AS w2 FROM o l "
+            "JOIN o r ON l.u = r.u AND l.v < r.v), "
+            "tri AS (SELECT w.u, w.w1, w.w2 FROM wed w "
+            "JOIN und c ON c.a = w.w1 AND c.b = w.w2), "
+            "corners AS (SELECT host, count(*) AS triangles FROM "
+            "(SELECT u AS host FROM tri UNION ALL SELECT w1 FROM tri "
+            "UNION ALL SELECT w2 FROM tri) GROUP BY host) "
+            "SELECT d.host, d.degree, "
+            "CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles, "
+            "CAST(CASE WHEN d.degree >= 2 THEN (1000000 * 2 * "
+            "coalesce(c.triangles, 0)) // (d.degree * (d.degree - 1)) "
+            "ELSE 0 END AS BIGINT) AS lcc_micro "
+            "FROM deg d LEFT JOIN corners c ON c.host = d.host"
+        ),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

@@ -930,3 +930,78 @@ class TestNeighborhoodFunction:
             map(tuple, neighborhood_function(df.repartition(5), radius=3).collect())
         )
         assert a == b
+
+
+def _triangles_reference(edges):
+    """Brute-force per-node triangle count + lcc over the undirected
+    simple graph (itertools, no Spark)."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    out = {}
+    for n in nodes:
+        d = len(adj[n])
+        lcc = (1000000 * 2 * tri[n]) // (d * (d - 1)) if d >= 2 else 0
+        out[n] = (d, tri[n], lcc)
+    return out
+
+
+class TestHostTriangles:
+    def _run(self, spark, edges):
+        from pyocr_spark.operators.webgraph import host_triangles
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        got = {
+            r["host"]: (r["degree"], r["triangles"], r["lcc_micro"])
+            for r in host_triangles(df).collect()
+        }
+        assert got == _triangles_reference(edges)
+        return got
+
+    def test_clique_vs_star(self, spark):
+        clique = [("a", "b"), ("b", "c"), ("a", "c")]
+        star = [("s1", "hub"), ("s2", "hub"), ("s3", "hub")]
+        got = self._run(spark, clique + star)
+        assert got["a"] == (2, 1, 1000000)  # closed wedge: lcc = 1
+        assert got["hub"] == (3, 0, 0)  # open star: no triangles
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        base = [("a", "b"), ("b", "c"), ("c", "a")]
+        rev = [("b", "a"), ("c", "b"), ("a", "c")]
+        assert self._run(spark, base + rev + base) == self._run(spark, base)
+
+    def test_self_edges_dropped(self, spark):
+        got = self._run(spark, [("a", "a"), ("a", "b"), ("b", "c"), ("c", "a")])
+        assert got["a"][1] == 1
+
+    def test_random_graph_matches_bruteforce(self, spark):
+        edges = [
+            (f"h{i}", f"h{(i * i + 3) % 13}")
+            for i in range(40)
+            if i % 13 != (i * i + 3) % 13
+        ]
+        self._run(spark, edges)
+
+    def test_partitioning_invariance(self, spark):
+        from pyocr_spark.operators.webgraph import host_triangles
+
+        edges = [(f"h{i}", f"h{(i * 5 + 2) % 11}") for i in range(22)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        a = sorted(map(tuple, host_triangles(df).collect()))
+        b = sorted(map(tuple, host_triangles(df.repartition(7)).collect()))
+        assert a == b
