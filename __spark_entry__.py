@@ -2285,6 +2285,16 @@ def _q_host_triangles(spark, sf_dir):
     return host_triangles(host_graph(_outlinks(spark, sf_dir)))
 
 
+def _q_host_degree_knn(spark, sf_dir):
+    """Degree-correlation curve knn(k) over the host graph (operators/
+    webgraph.degree_correlation, Pastor-Satorras 2001): per degree the
+    host count and exact micro mean-neighbor-degree — the assortativity
+    diagnostic that separates organic hub-leaf webs from farm cliques."""
+    from pyocr_spark.operators.webgraph import degree_correlation, host_graph
+
+    return degree_correlation(host_graph(_outlinks(spark, sf_dir)))
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier candidates (operators/webgraph.crawl_frontier):
     outlink targets not yet crawled, deduped, prioritized by target-host
@@ -3223,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_harmonic": _q_host_harmonic,
         "host_neighborhood_fn": _q_host_neighborhood_fn,
         "host_triangles": _q_host_triangles,
+        "host_degree_knn": _q_host_degree_knn,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -6127,6 +6138,24 @@ def oracle_sql() -> dict[str, str]:
         "host_communities": _lpa_sql(4),
         "host_harmonic": _hyperball_sql(4),
         "host_neighborhood_fn": _hyperball_nf_sql(4),
+        # knn(k): undirected-both-ways edge list, double degree join,
+        # exact micro mean per degree
+        "host_degree_knn": (
+            f"WITH hp AS MATERIALIZED ({_host_edges_sql()}), "
+            "und AS MATERIALIZED (SELECT DISTINCT "
+            "least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b "
+            "FROM hp WHERE src_host != dst_host), "
+            "bo AS MATERIALIZED (SELECT a, b FROM und "
+            "UNION ALL SELECT b AS a, a AS b FROM und), "
+            "deg AS MATERIALIZED (SELECT a, count(*) AS degree FROM bo GROUP BY a), "
+            "curve AS (SELECT du.degree AS deg_u, "
+            "CAST((1000000 * sum(dv.degree)) // count(*) AS BIGINT) AS knn_micro "
+            "FROM bo JOIN deg du ON du.a = bo.a JOIN deg dv ON dv.a = bo.b "
+            "GROUP BY du.degree), "
+            "counts AS (SELECT degree, count(*) AS n_hosts FROM deg GROUP BY degree) "
+            "SELECT c.degree, c.n_hosts, k.knn_micro "
+            "FROM counts c JOIN curve k ON k.deg_u = c.degree"
+        ),
         # triangles: degree-ordered edge-iterator replay — orientation,
         # wedge self-join, closing-edge probe, 3-corner credit
         "host_triangles": (

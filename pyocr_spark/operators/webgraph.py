@@ -1141,3 +1141,52 @@ def host_triangles(
     deg.unpersist()
     oriented.unpersist()
     return out
+
+
+def degree_correlation(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Degree-correlation curve knn(k) (Pastor-Satorras et al. 2001)
+    over the undirected simple host graph: for each degree k, how many
+    hosts have it and the mean degree of their neighbors — the
+    assortativity diagnostic (organic webs are disassortative: hubs
+    link to leaves; farm cliques are assortative: k ≈ knn(k)).
+
+    Returns (degree, n_hosts, knn_micro) with knn_micro =
+    10^6·Σ(neighbor degree) div (#endpoint pairs) — exact BIGINT.
+    Shape: degree agg (one shuffle), double degree join onto the
+    directed-both-ways edge list, one groupBy(degree) — all
+    partial-aggregable; output rows = distinct degrees only."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    both = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    deg = (
+        both.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    du = deg.select(F.col("a"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("a").alias("b"), F.col("degree").alias("deg_v"))
+    pairs = both.join(du, "a").join(dv, "b")
+    curve = pairs.groupBy("deg_u").agg(
+        F.expr("(1000000 * sum(deg_v)) div count(1)").alias("knn_micro")
+    )
+    counts = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_hosts"))
+    out = (
+        counts.join(curve, counts["degree"] == curve["deg_u"])
+        .select("degree", "n_hosts", "knn_micro")
+        .localCheckpoint(eager=True)
+    )
+    both.unpersist()
+    deg.unpersist()
+    return out

@@ -1005,3 +1005,56 @@ class TestHostTriangles:
         a = sorted(map(tuple, host_triangles(df).collect()))
         b = sorted(map(tuple, host_triangles(df.repartition(7)).collect()))
         assert a == b
+
+
+class TestDegreeCorrelation:
+    def _ref(self, edges):
+        from collections import defaultdict
+
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj = defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        by_deg = defaultdict(lambda: [0, 0, 0])  # n_hosts, sum_nbr_deg, n_pairs
+        seen = set()
+        for n, nbrs in adj.items():
+            k = len(nbrs)
+            if n not in seen:
+                by_deg[k][0] += 1
+                seen.add(n)
+            for m in nbrs:
+                by_deg[k][1] += len(adj[m])
+                by_deg[k][2] += 1
+        return {
+            k: (v[0], (1000000 * v[1]) // v[2]) for k, v in by_deg.items()
+        }
+
+    def _run(self, spark, edges):
+        from pyocr_spark.operators.webgraph import degree_correlation
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        got = {
+            r["degree"]: (r["n_hosts"], r["knn_micro"])
+            for r in degree_correlation(df).collect()
+        }
+        assert got == self._ref(edges)
+        return got
+
+    def test_star_is_disassortative(self, spark):
+        got = self._run(spark, [("s1", "hub"), ("s2", "hub"), ("s3", "hub")])
+        # leaves (deg 1) see the hub (deg 3); hub sees leaves (deg 1)
+        assert got[1] == (3, 3000000)
+        assert got[3] == (1, 1000000)
+
+    def test_clique_is_assortative(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d"), ("a", "d")]
+        got = self._run(spark, edges)
+        assert got[3] == (4, 3000000)  # k == knn(k)
+
+    def test_direction_duplicates_selfloops_collapsed(self, spark):
+        base = [("a", "b"), ("b", "c")]
+        noisy = base + [("b", "a"), ("a", "a")] + base
+        assert self._run(spark, noisy) == self._run(spark, base)
