@@ -2091,6 +2091,33 @@ def _q_page_outlinks(spark, sf_dir):
     return _outlinks(spark, sf_dir)
 
 
+def _q_page_images(spark, sf_dir):
+    """Per-page image-reference harvest (operators/images.
+    extract_image_refs): document-order http(s) <img> src targets with
+    normalized alt/title and pure-decimal dims, base/relative
+    resolution, data: URIs dropped — the LAION-style multimodal
+    pair-mining substrate (the harvested src_urls are what a fetch
+    stage turns into the media binary table)."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import extract_image_refs
+
+    return extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_image_alt_pairs(spark, sf_dir):
+    """Per-image candidate caption table (operators/images.
+    image_alt_pairs): reference/page/host counts + modal non-empty alt
+    per distinct image url — alt-less and declared-decorative (alt="")
+    references count but never caption. anchor_text_index's audited
+    single-pass window shape."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import extract_image_refs, image_alt_pairs
+
+    return image_alt_pairs(
+        extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    )
+
+
 def _q_anchor_text_index(spark, sf_dir):
     """Per-target anchor-text index (operators/webgraph.anchor_text_index):
     reference count, distinct referring hosts, modal anchor — what the
@@ -3202,6 +3229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_hll": _q_host_url_hll,
         # web graph (outlinks → host edges → integer PageRank)
         "page_outlinks": _q_page_outlinks,
+        "page_images": _q_page_images,
+        "image_alt_pairs": _q_image_alt_pairs,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_reciprocity": _q_host_reciprocity,
@@ -5918,6 +5947,27 @@ def oracle_sql() -> dict[str, str]:
         "page_outlinks": (
             f"SELECT url, link_idx, target_url, anchor_text, nofollow "
             f"FROM read_parquet('{E}/expected_links.parquet')"
+        ),
+        "page_images": (
+            "SELECT url, img_idx, src_url, alt_text, title, width, height "
+            f"FROM read_parquet('{E}/expected_images.parquet')"
+        ),
+        # image pair mining: stats + modal-alt replay (the
+        # anchor_text_index skeleton keyed by image src)
+        "image_alt_pairs": (
+            f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
+            "src_host, alt_text "
+            f"FROM read_parquet('{E}/expected_images.parquet')), "
+            "stats AS (SELECT src_url, count(*) AS n_refs, "
+            "count(DISTINCT page) AS n_pages, "
+            "count(DISTINCT src_host) AS n_src_hosts FROM s GROUP BY 1), "
+            "m AS (SELECT src_url, alt_text AS top_alt FROM ("
+            "SELECT src_url, alt_text, row_number() OVER ("
+            "PARTITION BY src_url ORDER BY count(*) DESC, alt_text ASC) AS rn "
+            "FROM s WHERE alt_text != '' GROUP BY src_url, alt_text"
+            ") WHERE rn = 1) "
+            "SELECT stats.src_url, n_refs, n_pages, n_src_hosts, m.top_alt "
+            "FROM stats LEFT JOIN m USING (src_url)"
         ),
         # authority graph: nofollow edges carry discovery but not rank —
         # the follow-filtered host graph is what PageRank should consume

@@ -1,0 +1,123 @@
+"""Image-reference extraction from crawled pages — the image/alt-text
+pair-mining substrate (the harvesting step of a LAION-style multimodal
+corpus build: at deployment the harvested ``src_url``s are fetched into
+the ``media`` binary table that functions/multimodal decodes).
+
+Single-node reference parser, same contract as core/links: the Spark
+operator (operators/images.py) and the datagen expected-table
+materializer both call exactly this function, so the driver's oracle
+gate checks the distributed plumbing bit-for-bit.
+
+Semantics (frozen):
+
+- decode with the engine's utf-8/replace discipline, same size guard as
+  extraction (oversized/None pages yield no refs);
+- stdlib html.parser walk collecting ``<img>`` tags in document order,
+  duplicates preserved (the pair-miner dedups downstream where it can
+  weigh modal alt text);
+- first ``<base href>`` rebinds resolution for SUBSEQUENT tags, exactly
+  the core/links rule;
+- ``src`` resolved via urljoin against the page url (or base), fragment
+  dropped; only http(s) results kept — ``data:`` inline images are not
+  harvestable pairs and carry no fetchable url;
+- ``alt`` and ``title`` whitespace-normalized; missing attr -> '' (alt)
+  / None (title): an empty alt is a DECLARED decorative image (HTML
+  spec) and downstream pair mining must distinguish it from an absent
+  title;
+- ``width``/``height`` kept only when the attribute is a pure decimal
+  token (the common case); percentage/px-suffixed values -> None.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urldefrag, urljoin
+
+from pyocr_spark.core.htmltext import decode_replace
+from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+_KEPT_SCHEMES = ("http://", "https://")
+
+
+def _dim(value: str | None) -> int | None:
+    if value is None:
+        return None
+    v = value.strip()
+    return int(v) if v.isdigit() else None
+
+
+class _ImgParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        # (src, alt, title, width, height) raw rows in document order
+        self.rows: list[tuple[str, str, str | None, int | None, int | None]] = []
+        self.base: str | None = None
+        self.base_from: int = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "img":
+            src = alt = title = width = height = None
+            for name, value in attrs:
+                if name == "src" and src is None and value is not None:
+                    src = value.strip()
+                elif name == "alt" and alt is None and value is not None:
+                    alt = value
+                elif name == "title" and title is None and value is not None:
+                    title = value
+                elif name == "width" and width is None:
+                    width = value
+                elif name == "height" and height is None:
+                    height = value
+            if src is not None:
+                self.rows.append(
+                    (
+                        src,
+                        " ".join((alt or "").split()),
+                        " ".join(title.split()) if title is not None else None,
+                        _dim(width),
+                        _dim(height),
+                    )
+                )
+        elif tag == "base" and self.base is None:
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.base = value.strip()
+                    self.base_from = len(self.rows)
+                    break
+
+    # <img> is a void element; browsers treat <img/> identically
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+
+def parse_image_refs(
+    html: bytes | str, page_url: str
+) -> list[tuple[str, str, str | None, int | None, int | None]]:
+    """All http(s) image references of one page as (src_url, alt_text,
+    title, width, height), resolved + defragmented, document order,
+    duplicates preserved. See module docstring for the frozen rules."""
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return []
+    text = decode_replace(html)
+    parser = _ImgParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # tolerant parser; a raise keeps the deterministic prefix
+        pass
+    base = parser.base
+    out: list[tuple[str, str, str | None, int | None, int | None]] = []
+    for i, (src, alt, title, width, height) in enumerate(parser.rows):
+        root = (
+            page_url
+            if (base is None or i < parser.base_from)
+            else urljoin(page_url, base)
+        )
+        try:
+            resolved = urldefrag(urljoin(root, src))[0]
+        except ValueError:
+            continue
+        if resolved.startswith(_KEPT_SCHEMES):
+            out.append((resolved, alt, title, width, height))
+    return out

@@ -1,0 +1,135 @@
+"""Image/alt-text pair mining over crawled pages (LAION-style harvest).
+
+Two layers:
+
+1. ``extract_image_refs`` — pages(url, html) → one row per ``<img>``
+   reference via the single-node parser (core/images.parse_image_refs)
+   inside an Arrow-batched ``mapInPandas`` stage. Narrow (no shuffle),
+   columns pruned to url+html before the UDF — the extract_outlinks
+   shape exactly.
+2. ``image_alt_pairs`` — refs → one row per distinct image url: how
+   many pages reference it, from how many hosts, and the modal
+   non-empty alt text — the candidate (image, caption) table a
+   multimodal corpus build fetches and filters. Alt-less and
+   declared-decorative (alt="") references count as references but
+   never contribute a caption.
+
+Scale notes: the harvest is the cheap narrow stage; the pair table is
+ONE 3-key partial-aggregated shuffle + per-target windows over the
+collapsed aggregate (anchor_text_index's audited single-pass shape —
+no upstream-UDF double execution). At 10^12 pages the pair table is
+bounded by distinct image urls, and the downstream fetch joins it
+against robots/politeness gates exactly like the crawl frontier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlnorm import url_host
+
+IMAGE_REFS_DDL = (
+    "url string, img_idx int, src_url string, alt_text string, "
+    "title string, width int, height int"
+)
+
+
+def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.images import parse_image_refs
+
+    for pdf in batches:
+        urls: list[str] = []
+        idxs: list[int] = []
+        srcs: list[str] = []
+        alts: list[str] = []
+        titles: list[str | None] = []
+        widths: list[int | None] = []
+        heights: list[int | None] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if url is None:
+                continue
+            for i, (src, alt, title, width, height) in enumerate(
+                parse_image_refs(html, url)
+            ):
+                urls.append(url)
+                idxs.append(i)
+                srcs.append(src)
+                alts.append(alt)
+                titles.append(title)
+                widths.append(width)
+                heights.append(height)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "img_idx": idxs,
+                "src_url": srcs,
+                "alt_text": alts,
+                "title": pd.Series(titles, dtype=object),
+                "width": pd.Series(widths, dtype="Int32"),
+                "height": pd.Series(heights, dtype="Int32"),
+            }
+        )
+
+
+def extract_image_refs(pages: DataFrame) -> DataFrame:
+    """(url, img_idx, src_url, alt_text, title, width, height) rows for
+    every http(s) <img> reference, document order per page, duplicates
+    preserved. Columns pruned before the UDF (scan reads url+html)."""
+    return pages.select("url", "html").mapInPandas(
+        _image_batches, schema=IMAGE_REFS_DDL
+    )
+
+
+def image_alt_pairs(refs: DataFrame) -> DataFrame:
+    """Per-image candidate caption table: (src_url, n_refs, n_pages,
+    n_src_hosts, top_alt) — reference count, distinct referencing pages
+    and hosts, and the modal NON-EMPTY alt text (ties by count desc
+    then alt asc — total-order deterministic). top_alt is NULL when no
+    reference carries a non-empty alt (nothing to caption with).
+
+    Single-pass shape (audited on anchor_text_index): one (src_url,
+    page, host, alt) aggregate, then every per-image stat as windows
+    over that collapsed table — 2 Exchanges total."""
+    from pyspark.sql import Window
+
+    lvl = (
+        refs.select(
+            "src_url",
+            F.col("url").alias("page"),
+            url_host(F.col("url")).alias("src_host"),
+            "alt_text",
+        )
+        .groupBy("src_url", "page", "src_host", "alt_text")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_i = Window.partitionBy("src_url")
+    w_ia = Window.partitionBy("src_url", "alt_text")
+    enriched = lvl.select(
+        "src_url",
+        "alt_text",
+        F.sum("c").over(w_i).alias("n_refs"),
+        F.size(F.collect_set("page").over(w_i)).alias("n_pages"),
+        F.size(F.collect_set("src_host").over(w_i)).alias("n_src_hosts"),
+        F.when(F.col("alt_text") != "", F.sum("c").over(w_ia)).alias("n_alt"),
+    )
+    pick = Window.partitionBy("src_url").orderBy(
+        F.desc_nulls_last("n_alt"), F.asc("alt_text")
+    )
+    return (
+        enriched.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "src_url",
+            "n_refs",
+            "n_pages",
+            "n_src_hosts",
+            F.when(F.col("n_alt").isNotNull(), F.col("alt_text")).alias(
+                "top_alt"
+            ),
+        )
+    )

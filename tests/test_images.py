@@ -1,0 +1,138 @@
+"""Image/alt-text pair-mining suite: core parser rules + Spark plumbing
+(core/images.parse_image_refs, operators/images)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.core.images import parse_image_refs
+
+BASE = "https://host.example.com/dir/page.html"
+
+
+def _page(body: str) -> bytes:
+    return f"<html><body>{body}</body></html>".encode()
+
+
+class TestParseImageRefs:
+    def test_resolution_absolute_relative_root(self):
+        html = _page(
+            '<img src="https://cdn.example.org/a.jpg" alt="a">'
+            '<img src="/b.png" alt="b">'
+            '<img src="c.gif" alt="c">'
+            '<img src="../up.webp" alt="d">'
+        )
+        assert [r[0] for r in parse_image_refs(html, BASE)] == [
+            "https://cdn.example.org/a.jpg",
+            "https://host.example.com/b.png",
+            "https://host.example.com/dir/c.gif",
+            "https://host.example.com/up.webp",
+        ]
+
+    def test_data_uri_and_srcless_dropped(self):
+        html = _page(
+            '<img src="data:image/gif;base64,R0lGOD" alt="x">'
+            '<img alt="no src"><img src="/keep.jpg" alt="y">'
+        )
+        assert [r[0] for r in parse_image_refs(html, BASE)] == [
+            "https://host.example.com/keep.jpg"
+        ]
+
+    def test_alt_title_normalization_and_empty_vs_missing(self):
+        html = _page(
+            '<img src="/a.jpg" alt="  two   words ">'
+            '<img src="/b.jpg" alt="">'
+            '<img src="/c.jpg" title=" site   logo ">'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert rows[0][1] == "two words"
+        assert rows[1][1] == "" and rows[1][2] is None
+        assert rows[2][1] == "" and rows[2][2] == "site logo"
+
+    def test_dims_pure_decimal_only(self):
+        html = _page(
+            '<img src="/a.jpg" alt="a" width="640" height="480">'
+            '<img src="/b.jpg" alt="b" width="100%" height="90px">'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert rows[0][3:] == (640, 480)
+        assert rows[1][3:] == (None, None)
+
+    def test_base_rebinds_subsequent_only(self):
+        html = _page(
+            '<img src="pre.jpg" alt="">'
+            '<base href="https://other.org/x/">'
+            '<img src="post.jpg" alt="">'
+        )
+        assert [r[0] for r in parse_image_refs(html, BASE)] == [
+            "https://host.example.com/dir/pre.jpg",
+            "https://other.org/x/post.jpg",
+        ]
+
+    def test_self_closing_duplicates_fragment_entities(self):
+        html = _page(
+            '<img src="/a.jpg#frag" alt="caf&eacute; one"/>'
+            '<img src="/a.jpg" alt="dup">'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert len(rows) == 2
+        assert rows[0][0] == rows[1][0] == "https://host.example.com/a.jpg"
+        assert rows[0][1] == "café one"
+
+    def test_oversized_none_and_invalid_inputs(self):
+        from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+        assert parse_image_refs(None, BASE) == []
+        assert parse_image_refs(b"x" * (MAX_HTML_BYTES + 1), BASE) == []
+        assert parse_image_refs(b"\xe9<img src='/a.jpg' alt=''>", BASE) == [
+            ("https://host.example.com/a.jpg", "", None, None, None)
+        ]
+
+
+class TestSparkImagePairs:
+    def test_extract_matches_expected_table(self, spark, pages_sf0001):
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.images import extract_image_refs
+        from pyocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+        got = (
+            extract_image_refs(dedup_latest_page(pages))
+            .toPandas()
+            .sort_values(["url", "img_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.read_parquet(pages_sf0001 / "expected_images.parquet")
+            .sort_values(["url", "img_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        for col in ["url", "img_idx", "src_url", "alt_text"]:
+            assert got[col].tolist() == want[col].tolist(), col
+
+    def test_alt_pairs_modal_pick(self, spark):
+        from pyocr_spark.operators.images import image_alt_pairs
+
+        refs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://p1/a", 0, "https://i/x.jpg", "cat photo", None, None, None),
+                    ("https://p2/b", 0, "https://i/x.jpg", "cat photo", None, None, None),
+                    ("https://p2/b", 1, "https://i/x.jpg", "a cat", None, None, None),
+                    ("https://p3/c", 0, "https://i/x.jpg", "", None, None, None),
+                    ("https://p1/a", 1, "https://i/y.png", "", None, None, None),
+                ],
+                columns=[
+                    "url", "img_idx", "src_url", "alt_text",
+                    "title", "width", "height",
+                ],
+            )
+        )
+        got = {r["src_url"]: r for r in image_alt_pairs(refs).collect()}
+        x = got["https://i/x.jpg"]
+        assert (x["n_refs"], x["n_pages"], x["n_src_hosts"]) == (4, 3, 3)
+        assert x["top_alt"] == "cat photo"
+        y = got["https://i/y.png"]
+        assert y["n_refs"] == 1 and y["top_alt"] is None
