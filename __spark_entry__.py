@@ -2118,6 +2118,29 @@ def _q_image_alt_pairs(spark, sf_dir):
     )
 
 
+def _q_image_fetch_plan(spark, sf_dir):
+    """The polite multimodal fetch list (operators/images.
+    image_fetch_plan): image_alt_pairs candidates robots-gated on each
+    image url, then per-image-host politeness queue positions (n_pages
+    desc, n_refs desc, src_url asc). Oracle composes the pair SQL with
+    datagen's independent-matcher expected_robots verdicts — the
+    image-side twin of crawl_frontier_polite."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import (
+        extract_image_refs,
+        image_alt_pairs,
+        image_fetch_plan,
+    )
+
+    d = ensure_pages(sf_dir)
+    pairs = image_alt_pairs(
+        extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    )
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return image_fetch_plan(pairs, robots, agent=ROBOTS_AGENT)
+
+
 def _q_anchor_text_index(spark, sf_dir):
     """Per-target anchor-text index (operators/webgraph.anchor_text_index):
     reference count, distinct referring hosts, modal anchor — what the
@@ -3231,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": _q_page_outlinks,
         "page_images": _q_page_images,
         "image_alt_pairs": _q_image_alt_pairs,
+        "image_fetch_plan": _q_image_fetch_plan,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_reciprocity": _q_host_reciprocity,
@@ -5951,6 +5975,31 @@ def oracle_sql() -> dict[str, str]:
         "page_images": (
             "SELECT url, img_idx, src_url, alt_text, title, width, height "
             f"FROM read_parquet('{E}/expected_images.parquet')"
+        ),
+        # polite image fetch: pair replay + expected_robots verdict +
+        # per-host queue window
+        "image_fetch_plan": (
+            f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
+            "src_host, alt_text "
+            f"FROM read_parquet('{E}/expected_images.parquet')), "
+            "stats AS (SELECT src_url, count(*) AS n_refs, "
+            "count(DISTINCT page) AS n_pages, "
+            "count(DISTINCT src_host) AS n_src_hosts FROM s GROUP BY 1), "
+            "m AS (SELECT src_url, alt_text AS top_alt FROM ("
+            "SELECT src_url, alt_text, row_number() OVER ("
+            "PARTITION BY src_url ORDER BY count(*) DESC, alt_text ASC) AS rn "
+            "FROM s WHERE alt_text != '' GROUP BY src_url, alt_text"
+            ") WHERE rn = 1), "
+            "pairs AS (SELECT stats.src_url, n_refs, n_pages, n_src_hosts, "
+            "m.top_alt FROM stats LEFT JOIN m USING (src_url)), "
+            "gated AS (SELECT p.* FROM pairs p "
+            f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
+            "ON er.url = p.src_url WHERE coalesce(er.robots_allowed, TRUE)) "
+            f"SELECT src_url, {_host_sql('src_url')} AS img_host, "
+            "CAST(row_number() OVER (PARTITION BY "
+            f"{_host_sql('src_url')} ORDER BY n_pages DESC, n_refs DESC, "
+            "src_url ASC) AS INT) AS fetch_order, "
+            "n_refs, n_pages, n_src_hosts, top_alt FROM gated"
         ),
         # image pair mining: stats + modal-alt replay (the
         # anchor_text_index skeleton keyed by image src)

@@ -380,6 +380,19 @@ def main() -> None:
 
     timed("webgraph_pagerank", _webgraph, reps=2)
 
+    # image pair-mining wall: the multimodal harvest path (img-ref UDF
+    # once, pair stats as windows over one aggregate — the audited
+    # anchor_text_index shape keyed by image src)
+    from pyocr_spark.operators.images import extract_image_refs, image_alt_pairs
+
+    timed(
+        "image_pairs",
+        lambda: noop_write(
+            image_alt_pairs(extract_image_refs(read_pages(spark, pages_path)))
+        ),
+        reps=2,
+    )
+
     # anchor-text index wall: pins the single-pass shape (outlink UDF
     # executes ONCE; all stats as windows over one aggregate) — the
     # join-back regression this replaced would roughly double this wall

@@ -133,3 +133,38 @@ def image_alt_pairs(refs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def image_fetch_plan(
+    pairs: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+) -> DataFrame:
+    """The image fetch list a POLITE multimodal harvester may actually
+    download: ``image_alt_pairs`` candidates gated by the robots.txt
+    protocol verdict on each image url, then ordered per image host by
+    evidence (n_pages desc, n_refs desc, src_url asc — deterministic):
+    fetch_order is the position in that host's politeness queue, so a
+    fetcher honoring Crawl-delay streams each host's queue in order.
+
+    Composition: the robots gate is operators/robotstxt.robots_txt_gate
+    (JVM-side HOF matcher) on src_url; the ordering is one window per
+    img_host over the (already tiny) per-image table. The expensive
+    part — the fetch itself — is exactly what this plan bounds.
+    """
+    from pyspark.sql import Window
+
+    from pyocr_spark.operators.robotstxt import robots_txt_gate
+
+    gated = robots_txt_gate(pairs, robots, agent=agent, url_col="src_url")
+    w = Window.partitionBy("img_host").orderBy(
+        F.desc("n_pages"), F.desc("n_refs"), F.asc("src_url")
+    )
+    return (
+        gated.withColumn("img_host", url_host(F.col("src_url")))
+        .withColumn("fetch_order", F.row_number().over(w))
+        .select(
+            "src_url", "img_host", "fetch_order",
+            "n_refs", "n_pages", "n_src_hosts", "top_alt",
+        )
+    )

@@ -136,3 +136,40 @@ class TestSparkImagePairs:
         assert x["top_alt"] == "cat photo"
         y = got["https://i/y.png"]
         assert y["n_refs"] == 1 and y["top_alt"] is None
+
+
+class TestImageFetchPlan:
+    def test_gate_and_per_host_order(self, spark):
+        from pyocr_spark.operators.images import image_fetch_plan
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://img.a.com/1.jpg", 5, 3, 2, "one"),
+                    ("https://img.a.com/2.jpg", 9, 3, 3, "two"),
+                    ("https://img.a.com/3.jpg", 1, 1, 1, None),
+                    ("https://img.b.com/private/x.jpg", 7, 7, 7, "hidden"),
+                    ("https://img.b.com/pub/y.jpg", 2, 2, 2, "open"),
+                ],
+                columns=["src_url", "n_refs", "n_pages", "n_src_hosts", "top_alt"],
+            )
+        )
+        robots = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("img.b.com", "User-agent: *\nDisallow: /private/\n"),
+                ],
+                columns=["host", "robots_txt"],
+            )
+        )
+        got = {
+            r["src_url"]: r for r in image_fetch_plan(pairs, robots).collect()
+        }
+        assert "https://img.b.com/private/x.jpg" not in got  # robots-gated
+        # host a: order by n_pages desc (3,3,1), then n_refs desc (9 vs 5)
+        assert got["https://img.a.com/2.jpg"]["fetch_order"] == 1
+        assert got["https://img.a.com/1.jpg"]["fetch_order"] == 2
+        assert got["https://img.a.com/3.jpg"]["fetch_order"] == 3
+        # host b restarts its queue
+        assert got["https://img.b.com/pub/y.jpg"]["fetch_order"] == 1
+        assert got["https://img.a.com/2.jpg"]["img_host"] == "img.a.com"
