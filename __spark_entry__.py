@@ -5973,14 +5973,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{E}/expected_links.parquet')"
         ),
         "page_images": (
-            "SELECT url, img_idx, src_url, alt_text, title, width, height "
-            f"FROM read_parquet('{E}/expected_images.parquet')"
+            "SELECT url, img_idx, src_url, alt_text, title, width, height, "
+            f"caption FROM read_parquet('{E}/expected_images.parquet')"
         ),
         # polite image fetch: pair replay + expected_robots verdict +
         # per-host queue window
         "image_fetch_plan": (
             f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
-            "src_host, alt_text "
+            "src_host, alt_text, caption "
             f"FROM read_parquet('{E}/expected_images.parquet')), "
             "stats AS (SELECT src_url, count(*) AS n_refs, "
             "count(DISTINCT page) AS n_pages, "
@@ -5990,8 +5990,14 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY src_url ORDER BY count(*) DESC, alt_text ASC) AS rn "
             "FROM s WHERE alt_text != '' GROUP BY src_url, alt_text"
             ") WHERE rn = 1), "
+            "mc AS (SELECT src_url, caption AS top_caption FROM ("
+            "SELECT src_url, caption, row_number() OVER ("
+            "PARTITION BY src_url ORDER BY count(*) DESC, caption ASC) AS rn "
+            "FROM s WHERE caption IS NOT NULL AND caption != '' "
+            "GROUP BY src_url, caption) WHERE rn = 1), "
             "pairs AS (SELECT stats.src_url, n_refs, n_pages, n_src_hosts, "
-            "m.top_alt FROM stats LEFT JOIN m USING (src_url)), "
+            "m.top_alt, mc.top_caption FROM stats LEFT JOIN m USING (src_url) "
+            "LEFT JOIN mc USING (src_url)), "
             "gated AS (SELECT p.* FROM pairs p "
             f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
             "ON er.url = p.src_url WHERE coalesce(er.robots_allowed, TRUE)) "
@@ -5999,13 +6005,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY "
             f"{_host_sql('src_url')} ORDER BY n_pages DESC, n_refs DESC, "
             "src_url ASC) AS INT) AS fetch_order, "
-            "n_refs, n_pages, n_src_hosts, top_alt FROM gated"
+            "n_refs, n_pages, n_src_hosts, top_alt, top_caption FROM gated"
         ),
         # image pair mining: stats + modal-alt replay (the
         # anchor_text_index skeleton keyed by image src)
         "image_alt_pairs": (
             f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
-            "src_host, alt_text "
+            "src_host, alt_text, caption "
             f"FROM read_parquet('{E}/expected_images.parquet')), "
             "stats AS (SELECT src_url, count(*) AS n_refs, "
             "count(DISTINCT page) AS n_pages, "
@@ -6014,9 +6020,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src_url, alt_text, row_number() OVER ("
             "PARTITION BY src_url ORDER BY count(*) DESC, alt_text ASC) AS rn "
             "FROM s WHERE alt_text != '' GROUP BY src_url, alt_text"
-            ") WHERE rn = 1) "
-            "SELECT stats.src_url, n_refs, n_pages, n_src_hosts, m.top_alt "
-            "FROM stats LEFT JOIN m USING (src_url)"
+            ") WHERE rn = 1), "
+            "mc AS (SELECT src_url, caption AS top_caption FROM ("
+            "SELECT src_url, caption, row_number() OVER ("
+            "PARTITION BY src_url ORDER BY count(*) DESC, caption ASC) AS rn "
+            "FROM s WHERE caption IS NOT NULL AND caption != '' "
+            "GROUP BY src_url, caption) WHERE rn = 1) "
+            "SELECT stats.src_url, n_refs, n_pages, n_src_hosts, m.top_alt, "
+            "mc.top_caption FROM stats LEFT JOIN m USING (src_url) "
+            "LEFT JOIN mc USING (src_url)"
         ),
         # authority graph: nofollow edges carry discovery but not rank —
         # the follow-filtered host graph is what PageRank should consume

@@ -25,7 +25,13 @@ Semantics (frozen):
   spec) and downstream pair mining must distinguish it from an absent
   title;
 - ``width``/``height`` kept only when the attribute is a pure decimal
-  token (the common case); percentage/px-suffixed values -> None.
+  token (the common case); percentage/px-suffixed values -> None;
+- ``caption``: the whitespace-normalized ``<figcaption>`` text of the
+  image's INNERMOST enclosing ``<figure>`` (the caption may precede or
+  follow the img — assignment happens when the figure closes, or at
+  EOF for an unclosed figure); None outside a figure or when the figure
+  has no figcaption; an empty figcaption is '' (declared-empty, same
+  distinction as alt).
 """
 
 from __future__ import annotations
@@ -38,6 +44,10 @@ from pyocr_spark.core.oracle import MAX_HTML_BYTES
 
 _KEPT_SCHEMES = ("http://", "https://")
 
+ImageRef = tuple[
+    str, str, "str | None", "int | None", "int | None", "str | None"
+]
+
 
 def _dim(value: str | None) -> int | None:
     if value is None:
@@ -46,13 +56,24 @@ def _dim(value: str | None) -> int | None:
     return int(v) if v.isdigit() else None
 
 
+class _Figure:
+    __slots__ = ("img_rows", "cap_parts", "in_cap")
+
+    def __init__(self) -> None:
+        self.img_rows: list[int] = []  # indices into parser.rows
+        self.cap_parts: list[str] | None = None  # None = no figcaption seen
+        self.in_cap = False
+
+
 class _ImgParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         # (src, alt, title, width, height) raw rows in document order
         self.rows: list[tuple[str, str, str | None, int | None, int | None]] = []
+        self.captions: dict[int, str | None] = {}  # row idx -> figure caption
         self.base: str | None = None
         self.base_from: int = 0
+        self._figs: list[_Figure] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "img":
@@ -78,6 +99,15 @@ class _ImgParser(HTMLParser):
                         _dim(height),
                     )
                 )
+                if self._figs:
+                    self._figs[-1].img_rows.append(len(self.rows) - 1)
+        elif tag == "figure":
+            self._figs.append(_Figure())
+        elif tag == "figcaption" and self._figs:
+            fig = self._figs[-1]
+            if fig.cap_parts is None:  # first figcaption wins
+                fig.cap_parts = []
+                fig.in_cap = True
         elif tag == "base" and self.base is None:
             for name, value in attrs:
                 if name == "href" and value is not None:
@@ -85,17 +115,41 @@ class _ImgParser(HTMLParser):
                     self.base_from = len(self.rows)
                     break
 
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "figcaption" and self._figs:
+            self._figs[-1].in_cap = False
+        elif tag == "figure" and self._figs:
+            self._close_figure()
+
+    def handle_data(self, data: str) -> None:
+        if self._figs and self._figs[-1].in_cap:
+            self._figs[-1].cap_parts.append(data)
+
+    def _close_figure(self) -> None:
+        fig = self._figs.pop()
+        cap = (
+            " ".join("".join(fig.cap_parts).split())
+            if fig.cap_parts is not None
+            else None
+        )
+        for idx in fig.img_rows:
+            self.captions[idx] = cap
+
+    def finalize(self) -> None:
+        """Unclosed trailing figures still caption their images."""
+        while self._figs:
+            self._close_figure()
+
     # <img> is a void element; browsers treat <img/> identically
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
 
 
-def parse_image_refs(
-    html: bytes | str, page_url: str
-) -> list[tuple[str, str, str | None, int | None, int | None]]:
+def parse_image_refs(html: bytes | str, page_url: str) -> list[ImageRef]:
     """All http(s) image references of one page as (src_url, alt_text,
-    title, width, height), resolved + defragmented, document order,
-    duplicates preserved. See module docstring for the frozen rules."""
+    title, width, height, caption), resolved + defragmented, document
+    order, duplicates preserved. See module docstring for the frozen
+    rules."""
     if html is None or len(html) > MAX_HTML_BYTES:
         return []
     text = decode_replace(html)
@@ -106,8 +160,9 @@ def parse_image_refs(
     except Exception:
         # tolerant parser; a raise keeps the deterministic prefix
         pass
+    parser.finalize()
     base = parser.base
-    out: list[tuple[str, str, str | None, int | None, int | None]] = []
+    out: list[ImageRef] = []
     for i, (src, alt, title, width, height) in enumerate(parser.rows):
         root = (
             page_url
@@ -119,5 +174,7 @@ def parse_image_refs(
         except ValueError:
             continue
         if resolved.startswith(_KEPT_SCHEMES):
-            out.append((resolved, alt, title, width, height))
+            out.append(
+                (resolved, alt, title, width, height, parser.captions.get(i))
+            )
     return out

@@ -9,10 +9,10 @@ Two layers:
    shape exactly.
 2. ``image_alt_pairs`` — refs → one row per distinct image url: how
    many pages reference it, from how many hosts, and the modal
-   non-empty alt text — the candidate (image, caption) table a
-   multimodal corpus build fetches and filters. Alt-less and
-   declared-decorative (alt="") references count as references but
-   never contribute a caption.
+   non-empty alt text AND figcaption — the candidate (image, caption)
+   table a multimodal corpus build fetches and filters. Alt-less and
+   declared-decorative (alt=""/empty figcaption) references count as
+   references but never contribute a caption.
 
 Scale notes: the harvest is the cheap narrow stage; the pair table is
 ONE 3-key partial-aggregated shuffle + per-target windows over the
@@ -35,7 +35,7 @@ from pyocr_spark.operators.urlnorm import url_host
 
 IMAGE_REFS_DDL = (
     "url string, img_idx int, src_url string, alt_text string, "
-    "title string, width int, height int"
+    "title string, width int, height int, caption string"
 )
 
 
@@ -50,10 +50,11 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         titles: list[str | None] = []
         widths: list[int | None] = []
         heights: list[int | None] = []
+        captions: list[str | None] = []
         for url, html in zip(pdf["url"], pdf["html"]):
             if url is None:
                 continue
-            for i, (src, alt, title, width, height) in enumerate(
+            for i, (src, alt, title, width, height, caption) in enumerate(
                 parse_image_refs(html, url)
             ):
                 urls.append(url)
@@ -63,6 +64,7 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 titles.append(title)
                 widths.append(width)
                 heights.append(height)
+                captions.append(caption)
         yield pd.DataFrame(
             {
                 "url": urls,
@@ -72,6 +74,7 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "title": pd.Series(titles, dtype=object),
                 "width": pd.Series(widths, dtype="Int32"),
                 "height": pd.Series(heights, dtype="Int32"),
+                "caption": pd.Series(captions, dtype=object),
             }
         )
 
@@ -103,35 +106,56 @@ def image_alt_pairs(refs: DataFrame) -> DataFrame:
             F.col("url").alias("page"),
             url_host(F.col("url")).alias("src_host"),
             "alt_text",
+            "caption",
         )
-        .groupBy("src_url", "page", "src_host", "alt_text")
+        .groupBy("src_url", "page", "src_host", "alt_text", "caption")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w_i = Window.partitionBy("src_url")
     w_ia = Window.partitionBy("src_url", "alt_text")
+    w_ic = Window.partitionBy("src_url", "caption")
     enriched = lvl.select(
         "src_url",
         "alt_text",
+        "caption",
         F.sum("c").over(w_i).alias("n_refs"),
         F.size(F.collect_set("page").over(w_i)).alias("n_pages"),
         F.size(F.collect_set("src_host").over(w_i)).alias("n_src_hosts"),
         F.when(F.col("alt_text") != "", F.sum("c").over(w_ia)).alias("n_alt"),
+        F.when(
+            F.col("caption").isNotNull() & (F.col("caption") != ""),
+            F.sum("c").over(w_ic),
+        ).alias("n_cap"),
     )
-    pick = Window.partitionBy("src_url").orderBy(
+    pick_a = Window.partitionBy("src_url").orderBy(
         F.desc_nulls_last("n_alt"), F.asc("alt_text")
     )
-    return (
-        enriched.withColumn("_rn", F.row_number().over(pick))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "src_url",
-            "n_refs",
-            "n_pages",
-            "n_src_hosts",
-            F.when(F.col("n_alt").isNotNull(), F.col("alt_text")).alias(
-                "top_alt"
-            ),
-        )
+    pick_c = Window.partitionBy("src_url").orderBy(
+        F.desc_nulls_last("n_cap"), F.asc_nulls_last("caption")
+    )
+    ranked = enriched.select(
+        "src_url",
+        "n_refs",
+        "n_pages",
+        "n_src_hosts",
+        F.when(
+            F.row_number().over(pick_a) == 1,
+            F.when(F.col("n_alt").isNotNull(), F.col("alt_text")),
+        ).alias("_alt_pick"),
+        F.when(
+            F.row_number().over(pick_c) == 1,
+            F.when(F.col("n_cap").isNotNull(), F.col("caption")),
+        ).alias("_cap_pick"),
+    )
+    # the two modal picks land on (possibly) different rows of the same
+    # per-image partition: ONE more aggregate collapses them — still a
+    # single src_url exchange end-to-end
+    return ranked.groupBy("src_url").agg(
+        F.max("n_refs").alias("n_refs"),
+        F.max("n_pages").alias("n_pages"),
+        F.max("n_src_hosts").alias("n_src_hosts"),
+        F.max("_alt_pick").alias("top_alt"),
+        F.max("_cap_pick").alias("top_caption"),
     )
 
 
@@ -165,6 +189,6 @@ def image_fetch_plan(
         .withColumn("fetch_order", F.row_number().over(w))
         .select(
             "src_url", "img_host", "fetch_order",
-            "n_refs", "n_pages", "n_src_hosts", "top_alt",
+            "n_refs", "n_pages", "n_src_hosts", "top_alt", "top_caption",
         )
     )

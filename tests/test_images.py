@@ -56,8 +56,8 @@ class TestParseImageRefs:
             '<img src="/b.jpg" alt="b" width="100%" height="90px">'
         )
         rows = parse_image_refs(html, BASE)
-        assert rows[0][3:] == (640, 480)
-        assert rows[1][3:] == (None, None)
+        assert rows[0][3:5] == (640, 480)
+        assert rows[1][3:5] == (None, None)
 
     def test_base_rebinds_subsequent_only(self):
         html = _page(
@@ -80,13 +80,44 @@ class TestParseImageRefs:
         assert rows[0][0] == rows[1][0] == "https://host.example.com/a.jpg"
         assert rows[0][1] == "café one"
 
+    def test_figcaption_attaches_before_and_after(self):
+        html = _page(
+            '<figure><img src="/a.jpg" alt="">'
+            "<figcaption> plate   one </figcaption></figure>"
+            "<figure><figcaption>two</figcaption>"
+            '<img src="/b.jpg" alt=""></figure>'
+            '<img src="/c.jpg" alt="">'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert [r[5] for r in rows] == ["plate one", "two", None]
+
+    def test_figcaption_nested_innermost_and_unclosed(self):
+        html = _page(
+            "<figure><figcaption>outer</figcaption>"
+            '<figure><img src="/in.jpg" alt=""><figcaption>inner</figcaption>'
+            "</figure>"
+            '<img src="/out.jpg" alt="">'
+            # outer figure never closes: EOF finalize still captions
+        )
+        rows = parse_image_refs(html, BASE)
+        by_src = {r[0].rsplit("/", 1)[1]: r[5] for r in rows}
+        assert by_src == {"in.jpg": "inner", "out.jpg": "outer"}
+
+    def test_figcaption_empty_vs_absent(self):
+        html = _page(
+            '<figure><img src="/e.jpg" alt=""><figcaption></figcaption></figure>'
+            '<figure><img src="/n.jpg" alt=""></figure>'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert rows[0][5] == "" and rows[1][5] is None
+
     def test_oversized_none_and_invalid_inputs(self):
         from pyocr_spark.core.oracle import MAX_HTML_BYTES
 
         assert parse_image_refs(None, BASE) == []
         assert parse_image_refs(b"x" * (MAX_HTML_BYTES + 1), BASE) == []
         assert parse_image_refs(b"\xe9<img src='/a.jpg' alt=''>", BASE) == [
-            ("https://host.example.com/a.jpg", "", None, None, None)
+            ("https://host.example.com/a.jpg", "", None, None, None, None)
         ]
 
 
@@ -109,7 +140,7 @@ class TestSparkImagePairs:
             .reset_index(drop=True)
         )
         assert len(got) == len(want) > 0
-        for col in ["url", "img_idx", "src_url", "alt_text"]:
+        for col in ["url", "img_idx", "src_url", "alt_text", "caption"]:
             assert got[col].tolist() == want[col].tolist(), col
 
     def test_alt_pairs_modal_pick(self, spark):
@@ -118,15 +149,15 @@ class TestSparkImagePairs:
         refs = spark.createDataFrame(
             pd.DataFrame(
                 [
-                    ("https://p1/a", 0, "https://i/x.jpg", "cat photo", None, None, None),
-                    ("https://p2/b", 0, "https://i/x.jpg", "cat photo", None, None, None),
-                    ("https://p2/b", 1, "https://i/x.jpg", "a cat", None, None, None),
-                    ("https://p3/c", 0, "https://i/x.jpg", "", None, None, None),
-                    ("https://p1/a", 1, "https://i/y.png", "", None, None, None),
+                    ("https://p1/a", 0, "https://i/x.jpg", "cat photo", None, None, None, "a fine cat"),
+                    ("https://p2/b", 0, "https://i/x.jpg", "cat photo", None, None, None, None),
+                    ("https://p2/b", 1, "https://i/x.jpg", "a cat", None, None, None, "a fine cat"),
+                    ("https://p3/c", 0, "https://i/x.jpg", "", None, None, None, ""),
+                    ("https://p1/a", 1, "https://i/y.png", "", None, None, None, None),
                 ],
                 columns=[
                     "url", "img_idx", "src_url", "alt_text",
-                    "title", "width", "height",
+                    "title", "width", "height", "caption",
                 ],
             )
         )
@@ -134,8 +165,10 @@ class TestSparkImagePairs:
         x = got["https://i/x.jpg"]
         assert (x["n_refs"], x["n_pages"], x["n_src_hosts"]) == (4, 3, 3)
         assert x["top_alt"] == "cat photo"
+        assert x["top_caption"] == "a fine cat"  # empty caption never wins
         y = got["https://i/y.png"]
         assert y["n_refs"] == 1 and y["top_alt"] is None
+        assert y["top_caption"] is None
 
 
 class TestImageFetchPlan:
@@ -145,13 +178,16 @@ class TestImageFetchPlan:
         pairs = spark.createDataFrame(
             pd.DataFrame(
                 [
-                    ("https://img.a.com/1.jpg", 5, 3, 2, "one"),
-                    ("https://img.a.com/2.jpg", 9, 3, 3, "two"),
-                    ("https://img.a.com/3.jpg", 1, 1, 1, None),
-                    ("https://img.b.com/private/x.jpg", 7, 7, 7, "hidden"),
-                    ("https://img.b.com/pub/y.jpg", 2, 2, 2, "open"),
+                    ("https://img.a.com/1.jpg", 5, 3, 2, "one", "cap one"),
+                    ("https://img.a.com/2.jpg", 9, 3, 3, "two", None),
+                    ("https://img.a.com/3.jpg", 1, 1, 1, None, None),
+                    ("https://img.b.com/private/x.jpg", 7, 7, 7, "hidden", None),
+                    ("https://img.b.com/pub/y.jpg", 2, 2, 2, "open", "cap y"),
                 ],
-                columns=["src_url", "n_refs", "n_pages", "n_src_hosts", "top_alt"],
+                columns=[
+                    "src_url", "n_refs", "n_pages", "n_src_hosts",
+                    "top_alt", "top_caption",
+                ],
             )
         )
         robots = spark.createDataFrame(
@@ -173,3 +209,4 @@ class TestImageFetchPlan:
         # host b restarts its queue
         assert got["https://img.b.com/pub/y.jpg"]["fetch_order"] == 1
         assert got["https://img.a.com/2.jpg"]["img_host"] == "img.a.com"
+        assert got["https://img.b.com/pub/y.jpg"]["top_caption"] == "cap y"
