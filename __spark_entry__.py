@@ -2101,7 +2101,15 @@ def _q_page_images(spark, sf_dir):
     from pyocr_spark.operators.dedup import dedup_latest_page
     from pyocr_spark.operators.images import extract_image_refs
 
-    return extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    refs = extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    # srcset_urls is array<string>: the driver's canonical sort cannot
+    # hash list cells (the media_decode lesson) — project to a joined
+    # scalar; '|' cannot appear in an http(s) url token
+    return refs.select(
+        "url", "img_idx", "src_url", "alt_text", "title", "width",
+        "height", "caption",
+        F.concat_ws("|", "srcset_urls").alias("srcset_joined"),
+    )
 
 
 def _q_image_alt_pairs(spark, sf_dir):
@@ -5974,7 +5982,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_images": (
             "SELECT url, img_idx, src_url, alt_text, title, width, height, "
-            f"caption FROM read_parquet('{E}/expected_images.parquet')"
+            "caption, array_to_string(srcset_urls, '|') AS srcset_joined "
+            f"FROM read_parquet('{E}/expected_images.parquet')"
         ),
         # polite image fetch: pair replay + expected_robots verdict +
         # per-host queue window

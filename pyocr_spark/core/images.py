@@ -31,7 +31,17 @@ Semantics (frozen):
   follow the img — assignment happens when the figure closes, or at
   EOF for an unclosed figure); None outside a figure or when the figure
   has no figcaption; an empty figcaption is '' (declared-empty, same
-  distinction as alt).
+  distinction as alt);
+- ``srcset_urls``: the responsive-image candidate urls from the
+  ``srcset`` attribute, tokenized with the HTML-spec candidate scanner
+  (urls may embed commas; descriptors — ``2x``/``640w``, possibly
+  parenthesized — are dropped: candidate SELECTION is a client concern,
+  the harvester wants every fetchable variant), each resolved exactly
+  like ``src`` and kept only when http(s); document order, duplicates
+  preserved; always a list ([] when the attribute is absent/empty).
+  An ``<img>`` with srcset but NO src is still emitted (src_url = the
+  first kept srcset candidate) — srcset-only imgs are common in
+  responsive markup and dropping them would lose the pair.
 """
 
 from __future__ import annotations
@@ -45,7 +55,8 @@ from pyocr_spark.core.oracle import MAX_HTML_BYTES
 _KEPT_SCHEMES = ("http://", "https://")
 
 ImageRef = tuple[
-    str, str, "str | None", "int | None", "int | None", "str | None"
+    str, str, "str | None", "int | None", "int | None", "str | None",
+    "list[str]",
 ]
 
 
@@ -54,6 +65,45 @@ def _dim(value: str | None) -> int | None:
         return None
     v = value.strip()
     return int(v) if v.isdigit() else None
+
+
+_WS = " \t\n\r\f"
+
+
+def _parse_srcset(value: str) -> list[str]:
+    """HTML-spec srcset candidate scanner, urls only: skip ws/commas,
+    take the maximal non-ws run as the url (trailing commas terminate
+    the candidate — a url CAN embed commas mid-token), then skip the
+    descriptor up to the next top-level comma (parentheses nest)."""
+    out: list[str] = []
+    i, n = 0, len(value)
+    while i < n:
+        while i < n and (value[i] in _WS or value[i] == ","):
+            i += 1
+        start = i
+        while i < n and value[i] not in _WS:
+            i += 1
+        url = value[start:i]
+        if not url:
+            continue
+        if url.endswith(","):
+            url = url.rstrip(",")
+            if url:
+                out.append(url)
+            continue
+        out.append(url)
+        paren = 0
+        while i < n:
+            c = value[i]
+            if c == "(":
+                paren += 1
+            elif c == ")" and paren > 0:
+                paren -= 1
+            elif c == "," and paren == 0:
+                break
+            i += 1
+        i += 1  # past the comma (or EOF)
+    return out
 
 
 class _Figure:
@@ -68,8 +118,11 @@ class _Figure:
 class _ImgParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        # (src, alt, title, width, height) raw rows in document order
-        self.rows: list[tuple[str, str, str | None, int | None, int | None]] = []
+        # (src, alt, title, width, height, srcset_raw) raw rows in
+        # document order; src is None for srcset-only imgs
+        self.rows: list[
+            tuple[str | None, str, str | None, int | None, int | None, str | None]
+        ] = []
         self.captions: dict[int, str | None] = {}  # row idx -> figure caption
         self.base: str | None = None
         self.base_from: int = 0
@@ -77,10 +130,12 @@ class _ImgParser(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "img":
-            src = alt = title = width = height = None
+            src = alt = title = width = height = srcset = None
             for name, value in attrs:
                 if name == "src" and src is None and value is not None:
                     src = value.strip()
+                elif name == "srcset" and srcset is None and value is not None:
+                    srcset = value
                 elif name == "alt" and alt is None and value is not None:
                     alt = value
                 elif name == "title" and title is None and value is not None:
@@ -89,7 +144,7 @@ class _ImgParser(HTMLParser):
                     width = value
                 elif name == "height" and height is None:
                     height = value
-            if src is not None:
+            if src is not None or srcset is not None:
                 self.rows.append(
                     (
                         src,
@@ -97,6 +152,7 @@ class _ImgParser(HTMLParser):
                         " ".join(title.split()) if title is not None else None,
                         _dim(width),
                         _dim(height),
+                        srcset,
                     )
                 )
                 if self._figs:
@@ -162,19 +218,44 @@ def parse_image_refs(html: bytes | str, page_url: str) -> list[ImageRef]:
         pass
     parser.finalize()
     base = parser.base
+
+    def _resolve(root: str, raw: str) -> str | None:
+        try:
+            resolved = urldefrag(urljoin(root, raw))[0]
+        except ValueError:
+            return None
+        return resolved if resolved.startswith(_KEPT_SCHEMES) else None
+
     out: list[ImageRef] = []
-    for i, (src, alt, title, width, height) in enumerate(parser.rows):
+    for i, (src, alt, title, width, height, srcset) in enumerate(parser.rows):
         root = (
             page_url
             if (base is None or i < parser.base_from)
             else urljoin(page_url, base)
         )
-        try:
-            resolved = urldefrag(urljoin(root, src))[0]
-        except ValueError:
-            continue
-        if resolved.startswith(_KEPT_SCHEMES):
-            out.append(
-                (resolved, alt, title, width, height, parser.captions.get(i))
+        srcset_urls = [
+            u
+            for u in (
+                _resolve(root, c) for c in _parse_srcset(srcset or "")
             )
+            if u is not None
+        ]
+        src_url = _resolve(root, src) if src is not None else None
+        if src_url is None:
+            # srcset-only (or unusable src): the first kept candidate IS
+            # the fetchable representative
+            src_url = srcset_urls[0] if srcset_urls else None
+        if src_url is None:
+            continue
+        out.append(
+            (
+                src_url,
+                alt,
+                title,
+                width,
+                height,
+                parser.captions.get(i),
+                srcset_urls,
+            )
+        )
     return out

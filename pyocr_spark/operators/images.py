@@ -35,7 +35,8 @@ from pyocr_spark.operators.urlnorm import url_host
 
 IMAGE_REFS_DDL = (
     "url string, img_idx int, src_url string, alt_text string, "
-    "title string, width int, height int, caption string"
+    "title string, width int, height int, caption string, "
+    "srcset_urls array<string>"
 )
 
 
@@ -51,12 +52,13 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         widths: list[int | None] = []
         heights: list[int | None] = []
         captions: list[str | None] = []
+        srcsets: list[list[str]] = []
         for url, html in zip(pdf["url"], pdf["html"]):
             if url is None:
                 continue
-            for i, (src, alt, title, width, height, caption) in enumerate(
-                parse_image_refs(html, url)
-            ):
+            for i, (
+                src, alt, title, width, height, caption, srcset_urls,
+            ) in enumerate(parse_image_refs(html, url)):
                 urls.append(url)
                 idxs.append(i)
                 srcs.append(src)
@@ -65,6 +67,7 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 widths.append(width)
                 heights.append(height)
                 captions.append(caption)
+                srcsets.append(srcset_urls)
         yield pd.DataFrame(
             {
                 "url": urls,
@@ -75,6 +78,7 @@ def _image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": pd.Series(widths, dtype="Int32"),
                 "height": pd.Series(heights, dtype="Int32"),
                 "caption": pd.Series(captions, dtype=object),
+                "srcset_urls": pd.Series(srcsets, dtype=object),
             }
         )
 

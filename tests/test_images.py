@@ -111,13 +111,41 @@ class TestParseImageRefs:
         rows = parse_image_refs(html, BASE)
         assert rows[0][5] == "" and rows[1][5] is None
 
+    def test_srcset_candidates_resolved_and_srcset_only(self):
+        html = _page(
+            '<img src="/s.jpg" srcset="/a.jpg 1x, b.jpg 2x" alt="r">'
+            '<img srcset="data:x 1x, /only.png 640w" alt="o">'
+            '<img srcset="data:x 1x" alt="gone">'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert len(rows) == 2
+        assert rows[0][0] == "https://host.example.com/s.jpg"
+        assert rows[0][6] == [
+            "https://host.example.com/a.jpg",
+            "https://host.example.com/dir/b.jpg",
+        ]
+        # srcset-only: first kept candidate becomes src_url
+        assert rows[1][0] == "https://host.example.com/only.png"
+        assert rows[1][6] == ["https://host.example.com/only.png"]
+
+    def test_srcset_embedded_comma_and_paren_descriptor(self):
+        from pyocr_spark.core.images import _parse_srcset
+
+        assert _parse_srcset("a,b.jpg 1x, c.jpg (min-width: 60em), d.jpg") == [
+            "a,b.jpg", "c.jpg", "d.jpg",
+        ]
+        # a comma INSIDE the non-ws run is part of the url (only a
+        # TRAILING comma terminates a candidate, per the spec scanner)
+        assert _parse_srcset("a.jpg,b.jpg 2x") == ["a.jpg,b.jpg"]
+        assert _parse_srcset("a.jpg, b.jpg 2x") == ["a.jpg", "b.jpg"]
+
     def test_oversized_none_and_invalid_inputs(self):
         from pyocr_spark.core.oracle import MAX_HTML_BYTES
 
         assert parse_image_refs(None, BASE) == []
         assert parse_image_refs(b"x" * (MAX_HTML_BYTES + 1), BASE) == []
         assert parse_image_refs(b"\xe9<img src='/a.jpg' alt=''>", BASE) == [
-            ("https://host.example.com/a.jpg", "", None, None, None, None)
+            ("https://host.example.com/a.jpg", "", None, None, None, None, [])
         ]
 
 
