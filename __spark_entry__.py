@@ -5982,7 +5982,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_images": (
             "SELECT url, img_idx, src_url, alt_text, title, width, height, "
-            "caption, array_to_string(srcset_urls, '|') AS srcset_joined "
+            # DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+            "caption, coalesce(array_to_string(srcset_urls, '|'), '') "
+            "AS srcset_joined "
             f"FROM read_parquet('{E}/expected_images.parquet')"
         ),
         # polite image fetch: pair replay + expected_robots verdict +
