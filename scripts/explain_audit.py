@@ -881,6 +881,49 @@ def main() -> int:
     check("minhash_pairs_delta", "band-bucket equi-join (no NLJ/cartesian)",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 56. image harvest: narrow UDF stage over a pruned scan (the
+    # extract_outlinks contract), html never read by the pair aggregate
+    df = qs["page_images"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("page_images", p))
+    check(
+        "page_images",
+        "img-ref UDF scan pruned to url/html(/warc_ts for dedup)",
+        (lambda schemas: bool(schemas) and not any(
+            re.search(r"[<,]text:", s) for s in schemas
+        ))(re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
+        "; ".join(re.findall(r"ReadSchema: (struct<[^>]*>)", p))[:100],
+    )
+    check("page_images", "exactly one Exchange (the dedup window)",
+          p.count("Exchange") == 2, f"Exchange occurrences={p.count('Exchange')}")
+
+    # 57. image pair table: single src_url exchange serves every window
+    # and the final modal collapse — no upstream-UDF double execution
+    df = qs["image_alt_pairs"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("image_alt_pairs", p))
+    check("image_alt_pairs", "partial aggregation before the exchange",
+          "partial" in p.lower(), "")
+    check("image_alt_pairs", "ONE img-ref UDF execution (no shared-subtree replay)",
+          p.count("MapInPandas") in (1, 2),
+          f"MapInPandas occurrences={p.count('MapInPandas')} (2 per physical node)")
+
+    # 58. HyperBall harmonic: register merges stay partial-aggregated
+    df = qs["host_harmonic"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("host_harmonic", p))
+    check("host_harmonic", "partial aggregation on register max-merge",
+          "partial" in p.lower(), "")
+    check("host_harmonic", "no cartesian/NLJ anywhere in the rounds",
+          "CartesianProduct" not in p, "")
+
+    # 59. triangles: every join an equi-join (degree-ordered wedges)
+    df = qs["host_triangles"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("host_triangles", p))
+    check("host_triangles", "wedge + closing-edge joins are equi-joins",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
