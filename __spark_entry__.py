@@ -2149,6 +2149,27 @@ def _q_image_fetch_plan(spark, sf_dir):
     return image_fetch_plan(pairs, robots, agent=ROBOTS_AGENT)
 
 
+def _q_image_caption_quality(spark, sf_dir):
+    """The multimodal caption gate (operators/images.caption_quality):
+    per image candidate the chosen caption (figcaption preferred over
+    alt), ws token count, char length, and the SAME heuristic lang-ID
+    the document gates use — captions and documents are scored by one
+    set of functions. Oracle nests the pair replay inside the lang-ID
+    replay via the FROM-rebind trick."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import (
+        caption_quality,
+        extract_image_refs,
+        image_alt_pairs,
+    )
+
+    return caption_quality(
+        image_alt_pairs(
+            extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+        )
+    )
+
+
 def _q_anchor_text_index(spark, sf_dir):
     """Per-target anchor-text index (operators/webgraph.anchor_text_index):
     reference count, distinct referring hosts, modal anchor — what the
@@ -3263,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_images": _q_page_images,
         "image_alt_pairs": _q_image_alt_pairs,
         "image_fetch_plan": _q_image_fetch_plan,
+        "image_caption_quality": _q_image_caption_quality,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_reciprocity": _q_host_reciprocity,
@@ -4151,6 +4173,34 @@ def _docs_zorder_oracle_sql() -> str:
     return (
         f"WITH q AS (SELECT doc_id, {q_chars} AS q0, {q_id} AS q1 FROM documents) "
         f"SELECT doc_id, {zorder_value_sql(['q0', 'q1'])} AS zval FROM q"
+    )
+
+
+def _image_pairs_sql() -> str:
+    """image_alt_pairs replay: pair stats + modal alt + modal caption
+    over expected_images — shared by the pairs oracle and the caption
+    gate (which nests it as a CTE)."""
+    E = EXPECTED_001
+    return (
+        f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
+        "src_host, alt_text, caption "
+        f"FROM read_parquet('{E}/expected_images.parquet')), "
+        "stats AS (SELECT src_url, count(*) AS n_refs, "
+        "count(DISTINCT page) AS n_pages, "
+        "count(DISTINCT src_host) AS n_src_hosts FROM s GROUP BY 1), "
+        "m AS (SELECT src_url, alt_text AS top_alt FROM ("
+        "SELECT src_url, alt_text, row_number() OVER ("
+        "PARTITION BY src_url ORDER BY count(*) DESC, alt_text ASC) AS rn "
+        "FROM s WHERE alt_text != '' GROUP BY src_url, alt_text"
+        ") WHERE rn = 1), "
+        "mc AS (SELECT src_url, caption AS top_caption FROM ("
+        "SELECT src_url, caption, row_number() OVER ("
+        "PARTITION BY src_url ORDER BY count(*) DESC, caption ASC) AS rn "
+        "FROM s WHERE caption IS NOT NULL AND caption != '' "
+        "GROUP BY src_url, caption) WHERE rn = 1) "
+        "SELECT stats.src_url, n_refs, n_pages, n_src_hosts, m.top_alt, "
+        "mc.top_caption FROM stats LEFT JOIN m USING (src_url) "
+        "LEFT JOIN mc USING (src_url)"
     )
 
 
@@ -6020,26 +6070,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         # image pair mining: stats + modal-alt replay (the
         # anchor_text_index skeleton keyed by image src)
-        "image_alt_pairs": (
-            f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
-            "src_host, alt_text, caption "
-            f"FROM read_parquet('{E}/expected_images.parquet')), "
-            "stats AS (SELECT src_url, count(*) AS n_refs, "
-            "count(DISTINCT page) AS n_pages, "
-            "count(DISTINCT src_host) AS n_src_hosts FROM s GROUP BY 1), "
-            "m AS (SELECT src_url, alt_text AS top_alt FROM ("
-            "SELECT src_url, alt_text, row_number() OVER ("
-            "PARTITION BY src_url ORDER BY count(*) DESC, alt_text ASC) AS rn "
-            "FROM s WHERE alt_text != '' GROUP BY src_url, alt_text"
-            ") WHERE rn = 1), "
-            "mc AS (SELECT src_url, caption AS top_caption FROM ("
-            "SELECT src_url, caption, row_number() OVER ("
-            "PARTITION BY src_url ORDER BY count(*) DESC, caption ASC) AS rn "
-            "FROM s WHERE caption IS NOT NULL AND caption != '' "
-            "GROUP BY src_url, caption) WHERE rn = 1) "
-            "SELECT stats.src_url, n_refs, n_pages, n_src_hosts, m.top_alt, "
-            "mc.top_caption FROM stats LEFT JOIN m USING (src_url) "
-            "LEFT JOIN mc USING (src_url)"
+        "image_alt_pairs": _image_pairs_sql(),
+        # caption gate: pairs replay nested as a CTE, lang-ID replay
+        # rebound onto the caption candidates (the FROM-rebind trick)
+        "image_caption_quality": (
+            f"WITH pairs AS ({_image_pairs_sql()}), "
+            "src AS (SELECT src_url AS doc_id, "
+            "coalesce(top_caption, top_alt) AS text FROM pairs "
+            "WHERE coalesce(top_caption, top_alt) IS NOT NULL), "
+            "lid AS (SELECT * FROM ("
+            + _LANG_ID_SQL.replace("FROM documents", "FROM src")
+            + ")) SELECT s.doc_id AS src_url, s.text AS caption_text, "
+            "CASE WHEN regexp_replace(s.text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(regexp_replace(s.text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+')) END AS n_tokens, "
+            "length(s.text) AS n_chars, lid.lang_pred, lid.best_hits "
+            "FROM src s JOIN lid ON lid.doc_id = s.doc_id"
         ),
         # authority graph: nofollow edges carry discovery but not rank —
         # the follow-filtered host graph is what PageRank should consume

@@ -352,11 +352,13 @@ def _marker_count(lang: str, t: Column, words: tuple[str, ...]) -> Column:
     return _token_hits(t, words)
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Heuristic language-ID: argmax of per-language stopword hits.
 
     Ties (incl. zero hits everywhere) → 'und', deterministically. Returns
-    (doc_id, lang_pred, best_hits).
+    (doc_id, *keep, lang_pred, best_hits) — ``keep`` passes input columns
+    through so callers (e.g. the caption gate) never need a join-back
+    that would re-execute the upstream subtree.
     """
     t = ws_strip(F.col("text"))
     hits = [(lang, _marker_count(lang, t, words)) for lang, words in sorted(LANG_MARKERS.items())]
@@ -364,7 +366,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.lit("und")
     for lang, h in reversed(hits):  # earlier langs win ties → reversed fold
         pred = F.when((best > 0) & (h == best), F.lit(lang)).otherwise(pred)
-    return docs.select("doc_id", pred.alias("lang_pred"), best.alias("best_hits"))
+    return docs.select(
+        "doc_id", *keep, pred.alias("lang_pred"), best.alias("best_hits")
+    )
 
 
 #: GPT-2-style pre-tokenizer pattern, restricted to the regex subset that

@@ -196,3 +196,36 @@ def image_fetch_plan(
             "n_refs", "n_pages", "n_src_hosts", "top_alt", "top_caption",
         )
     )
+
+
+def caption_quality(pairs: DataFrame) -> DataFrame:
+    """The caption gate of the multimodal corpus build (the LAION-style
+    filter step): per image candidate, the caption text a trainer would
+    pair with the fetched bytes — figcaption preferred over alt (richer,
+    author-written prose beats accessibility strings) — plus the
+    signals the mix policy filters on: whitespace token count, char
+    length, and the engine's heuristic language-ID. Images with no
+    caption evidence at all (both modal columns NULL) are dropped —
+    there is nothing to train on.
+
+    All JVM column expressions except nothing: lang_id/token_count are
+    the SAME functions the document gates use (functions/text_stats),
+    so a caption and a document are scored identically. ``keep``
+    passthrough on lang_id avoids the join-back that would re-execute
+    the whole pair-mining subtree.
+    """
+    from pyocr_spark.functions.text_stats import lang_id, token_count
+
+    cand = pairs.select(
+        F.col("src_url").alias("doc_id"),
+        F.coalesce(F.col("top_caption"), F.col("top_alt")).alias("text"),
+    ).filter(F.col("text").isNotNull())
+    scored = lang_id(cand, keep=("text",))
+    return scored.select(
+        F.col("doc_id").alias("src_url"),
+        F.col("text").alias("caption_text"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        "lang_pred",
+        "best_hits",
+    )

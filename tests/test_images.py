@@ -238,3 +238,33 @@ class TestImageFetchPlan:
         assert got["https://img.b.com/pub/y.jpg"]["fetch_order"] == 1
         assert got["https://img.a.com/2.jpg"]["img_host"] == "img.a.com"
         assert got["https://img.b.com/pub/y.jpg"]["top_caption"] == "cap y"
+
+
+class TestCaptionQuality:
+    def test_caption_preference_and_scoring(self, spark):
+        from pyocr_spark.operators.images import caption_quality
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    # figcaption preferred over alt
+                    ("https://i/a.jpg", 2, 2, 1, "the alt", "the good caption here"),
+                    # alt fallback
+                    ("https://i/b.jpg", 1, 1, 1, "the of and alt text", None),
+                    # no caption evidence -> dropped
+                    ("https://i/c.jpg", 1, 1, 1, None, None),
+                ],
+                columns=[
+                    "src_url", "n_refs", "n_pages", "n_src_hosts",
+                    "top_alt", "top_caption",
+                ],
+            )
+        )
+        got = {r["src_url"]: r for r in caption_quality(pairs).collect()}
+        assert set(got) == {"https://i/a.jpg", "https://i/b.jpg"}
+        a = got["https://i/a.jpg"]
+        assert a["caption_text"] == "the good caption here"
+        assert a["n_tokens"] == 4 and a["n_chars"] == 21
+        b = got["https://i/b.jpg"]
+        assert b["caption_text"] == "the of and alt text"
+        assert b["lang_pred"] == "en" and b["best_hits"] >= 3
