@@ -121,6 +121,13 @@ def parse_args(argv=None):
              "deduped pages, not the extract output",
     )
     p.add_argument(
+        "--images-output", default=None,
+        help="also mine the image/alt-text pair table (LAION-style "
+             "harvest): per distinct image url the reference stats, "
+             "modal alt AND modal figcaption, written as parquet to "
+             "this directory; reads the deduped pages like --wat-output",
+    )
+    p.add_argument(
         "--markdown-output", default=None,
         help="also write the HTML→Markdown surface (url, markdown, "
              "n_md_chars parquet) for the deduped pages to this directory",
@@ -361,6 +368,24 @@ def main(argv=None) -> None:
         md.write.mode("overwrite").parquet(args.markdown_output)
         report["markdown"] = {
             "rows": spark.read.parquet(args.markdown_output).count()
+        }
+    if args.images_output:
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.images import (
+            extract_image_refs,
+            image_alt_pairs,
+        )
+
+        pairs = image_alt_pairs(
+            extract_image_refs(dedup_latest_page(pages))
+        )
+        pairs.write.mode("overwrite").parquet(args.images_output)
+        out = spark.read.parquet(args.images_output)
+        report["images"] = {
+            "images": out.count(),
+            "with_caption": out.filter(
+                "top_caption IS NOT NULL OR top_alt IS NOT NULL"
+            ).count(),
         }
     print(json.dumps(report))
     spark.stop()

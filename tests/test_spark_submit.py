@@ -335,6 +335,43 @@ def test_spark_submit_wat_and_markdown_sidecars(tmp_path):
     assert md.loc["https://h/b", "markdown"] == "**beta** two"
 
 
+def test_spark_submit_images_sidecar(tmp_path):
+    """--images-output mines the image/alt-text pair table from the
+    deduped pages: modal alt + figcaption, srcset-only imgs included."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    pages = str(tmp_path / "pages.parquet")
+    _write_pages(pages, [
+        ("https://h/a", "2024-01-01",
+         b"<figure><img src='/i/x.jpg' alt='cat photo'>"
+         b"<figcaption>a fine cat</figcaption></figure>", None, "en"),
+        ("https://h/b", "2024-02-02",
+         b"<img src='/i/x.jpg' alt='cat photo'>"
+         b"<img srcset='/i/only.png 1x' alt=''>", None, "en"),
+    ])
+    out_dir = str(tmp_path / "out")
+    img_dir = str(tmp_path / "img")
+    proc = _submit_job(zip_path, [
+        "--input", pages, "--output", out_dir, "--modes", "text",
+        "--num-buckets", "2", "--images-output", img_dir,
+    ], str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["images"]["images"] == 2
+    assert report["images"]["with_caption"] == 1
+
+    import pandas as pd
+
+    got = pd.read_parquet(img_dir).set_index("src_url")
+    x = got.loc["https://h/i/x.jpg"]
+    assert x["n_refs"] == 2 and x["n_pages"] == 2
+    assert x["top_alt"] == "cat photo" and x["top_caption"] == "a fine cat"
+    only = got.loc["https://h/i/only.png"]
+    assert only["top_alt"] is None or pd.isna(only["top_alt"])
+
+
 def test_spark_submit_corpus_sharded(tmp_path, pages_sf0001):
     """--corpus --shards N: output partitioned by token-balanced shard;
     every row exactly once, shard totals within one max-doc of each
