@@ -2364,6 +2364,17 @@ def _q_host_triangles(spark, sf_dir):
     return host_triangles(host_graph(_outlinks(spark, sf_dir)))
 
 
+def _q_host_coreness(spark, sf_dir):
+    """k-core coreness per host (operators/webgraph.host_coreness,
+    8 synchronous h-index rounds — Lü et al. 2016): the dense-core spam
+    signal; equals true peeling coreness once converged (unit-tested
+    against an independent peeling reference). Oracle unrolls every
+    round's window + max in SQL."""
+    from pyocr_spark.operators.webgraph import host_coreness, host_graph
+
+    return host_coreness(host_graph(_outlinks(spark, sf_dir)), rounds=8)
+
+
 def _q_host_degree_knn(spark, sf_dir):
     """Degree-correlation curve knn(k) over the host graph (operators/
     webgraph.degree_correlation, Pastor-Satorras 2001): per degree the
@@ -3317,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_neighborhood_fn": _q_host_neighborhood_fn,
         "host_triangles": _q_host_triangles,
         "host_degree_knn": _q_host_degree_knn,
+        "host_coreness": _q_host_coreness,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -3842,6 +3854,34 @@ def _hyperball_nf_sql(radius: int = 4, eff_pct: int = 90) -> str:
         "OVER (ORDER BY n.round), 0), 0) AS BIGINT) AS pair_growth_micro, "
         f"(n.nf_micro * 100 >= f.nf_final * {eff_pct}) AS reached_eff "
         "FROM nf n CROSS JOIN fin f"
+    )
+
+
+def _coreness_sql(rounds: int = 8) -> str:
+    """Unrolled h-index-iteration replay (operators/webgraph.
+    host_coreness): undirected simple merge, degree seed, one window +
+    max CTE per synchronous round — all BIGINT."""
+    parts = [
+        f"hp AS MATERIALIZED ({_host_edges_sql()})",
+        "und AS MATERIALIZED (SELECT DISTINCT "
+        "least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b "
+        "FROM hp WHERE src_host != dst_host)",
+        "bo AS MATERIALIZED (SELECT a, b FROM und "
+        "UNION ALL SELECT b AS a, a AS b FROM und)",
+        "v0 AS MATERIALIZED (SELECT a AS host, count(*) AS val "
+        "FROM bo GROUP BY a)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT a AS host, "
+            "CAST(max(least(rn, val)) AS BIGINT) AS val FROM ("
+            "SELECT bo.a, CAST(row_number() OVER (PARTITION BY bo.a "
+            "ORDER BY v.val DESC, bo.b ASC) AS BIGINT) AS rn, v.val "
+            f"FROM bo JOIN v{t} v ON v.host = bo.b) GROUP BY a)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT host, val AS coreness FROM v{rounds}"
     )
 
 
@@ -6306,6 +6346,7 @@ def oracle_sql() -> dict[str, str]:
         "host_components": host_components_sql,
         "host_components_star": host_components_sql,
         "host_communities": _lpa_sql(4),
+        "host_coreness": _coreness_sql(8),
         "host_harmonic": _hyperball_sql(4),
         "host_neighborhood_fn": _hyperball_nf_sql(4),
         # knn(k): undirected-both-ways edge list, double degree join,

@@ -41,7 +41,13 @@ Semantics (frozen):
   preserved; always a list ([] when the attribute is absent/empty).
   An ``<img>`` with srcset but NO src is still emitted (src_url = the
   first kept srcset candidate) — srcset-only imgs are common in
-  responsive markup and dropping them would lose the pair.
+  responsive markup and dropping them would lose the pair;
+- ``<picture>`` support: ``<source srcset>`` candidates accumulated in
+  document order inside an open picture are PREPENDED to the next
+  ``<img>``'s own srcset candidates (the spec places sources before the
+  fallback img and the img consumes them); the picture's source list
+  resets when the picture closes or a new one opens; a source outside
+  any picture is ignored (spec: picture children only).
 """
 
 from __future__ import annotations
@@ -127,6 +133,9 @@ class _ImgParser(HTMLParser):
         self.base: str | None = None
         self.base_from: int = 0
         self._figs: list[_Figure] = []
+        # open <picture> state: accumulated <source srcset> raw values;
+        # None = not inside a picture
+        self._picture_srcsets: list[str] | None = None
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "img":
@@ -144,7 +153,18 @@ class _ImgParser(HTMLParser):
                     width = value
                 elif name == "height" and height is None:
                     height = value
-            if src is not None or srcset is not None:
+            pic = self._picture_srcsets
+            if pic:
+                # sources come first in document order; the img's own
+                # srcset follows; consume the picture's list ONCE (a
+                # second img in the same picture is fallback-only)
+                # ", " (comma+space) keeps the scanner's candidate
+                # boundaries intact — a bare "," would fuse a trailing
+                # url with the next source's leading url into one token
+                merged = ", ".join(pic + ([srcset] if srcset else []))
+                srcset = merged
+                self._picture_srcsets = []
+            if src is not None or srcset:
                 self.rows.append(
                     (
                         src,
@@ -157,6 +177,13 @@ class _ImgParser(HTMLParser):
                 )
                 if self._figs:
                     self._figs[-1].img_rows.append(len(self.rows) - 1)
+        elif tag == "picture":
+            self._picture_srcsets = []
+        elif tag == "source" and self._picture_srcsets is not None:
+            for name, value in attrs:
+                if name == "srcset" and value is not None:
+                    self._picture_srcsets.append(value)
+                    break
         elif tag == "figure":
             self._figs.append(_Figure())
         elif tag == "figcaption" and self._figs:
@@ -172,7 +199,9 @@ class _ImgParser(HTMLParser):
                     break
 
     def handle_endtag(self, tag: str) -> None:
-        if tag == "figcaption" and self._figs:
+        if tag == "picture":
+            self._picture_srcsets = None
+        elif tag == "figcaption" and self._figs:
             self._figs[-1].in_cap = False
         elif tag == "figure" and self._figs:
             self._close_figure()

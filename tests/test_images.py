@@ -139,6 +139,24 @@ class TestParseImageRefs:
         assert _parse_srcset("a.jpg,b.jpg 2x") == ["a.jpg,b.jpg"]
         assert _parse_srcset("a.jpg, b.jpg 2x") == ["a.jpg", "b.jpg"]
 
+    def test_picture_sources_feed_first_img_only(self):
+        html = _page(
+            '<picture><source srcset="/a.avif 1x, /b.avif 2x">'
+            '<source srcset="/c.webp">'
+            '<img src="/fall.jpg" srcset="/d.jpg 2x" alt="pic">'
+            '<img src="/fb2.jpg" alt="fb"></picture>'
+            '<source srcset="/outside.png"><img src="/plain.jpg" alt="x">'
+        )
+        rows = parse_image_refs(html, BASE)
+        assert rows[0][6] == [
+            "https://host.example.com/a.avif",
+            "https://host.example.com/b.avif",
+            "https://host.example.com/c.webp",
+            "https://host.example.com/d.jpg",
+        ]
+        assert rows[1][6] == []  # second img in the picture: fallback only
+        assert rows[2][6] == []  # source outside a picture is ignored
+
     def test_oversized_none_and_invalid_inputs(self):
         from pyocr_spark.core.oracle import MAX_HTML_BYTES
 

@@ -1058,3 +1058,78 @@ class TestDegreeCorrelation:
         base = [("a", "b"), ("b", "c")]
         noisy = base + [("b", "a"), ("a", "a")] + base
         assert self._run(spark, noisy) == self._run(spark, base)
+
+
+def _coreness_reference(edges):
+    """Independent peeling (Batagelj-Zaversnik style, dict loops): the
+    TRUE coreness the h-index iteration must converge to."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    core = {}
+    live = dict(deg)
+    while live:
+        n = min(live, key=lambda x: (live[x], x))
+        k = live[n]
+        core[n] = k
+        del live[n]
+        for m in adj[n]:
+            if m in live:
+                # a neighbor's remaining degree never drops below the
+                # current peel level — the Batagelj-Zaversnik clamp
+                live[m] = max(live[m] - 1, k)
+    return core
+
+
+class TestHostCoreness:
+    def _run(self, spark, edges, rounds=8):
+        from pyocr_spark.operators.webgraph import host_coreness
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        got = {
+            r["host"]: r["coreness"]
+            for r in host_coreness(df, rounds=rounds).collect()
+        }
+        assert got == _coreness_reference(edges)
+        return got
+
+    def test_clique_plus_tail(self, spark):
+        clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+        tail = [("d", "e"), ("e", "f")]
+        got = self._run(spark, clique + tail)
+        assert got["a"] == got["b"] == got["c"] == got["d"] == 3
+        assert got["e"] == got["f"] == 1
+
+    def test_cycle_is_2core(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+        assert set(got.values()) == {2}
+
+    def test_star_is_1core(self, spark):
+        got = self._run(spark, [("s1", "hub"), ("s2", "hub"), ("s3", "hub")])
+        assert set(got.values()) == {1}
+
+    def test_random_graph_converges_to_peeling(self, spark):
+        edges = [
+            (f"h{i}", f"h{(i * i + 5) % 17}")
+            for i in range(60)
+            if i % 17 != (i * i + 5) % 17
+        ]
+        self._run(spark, edges, rounds=8)
+
+    def test_partitioning_invariance_and_bad_args(self, spark):
+        from pyocr_spark.operators.webgraph import host_coreness
+
+        edges = [(f"h{i}", f"h{(i * 3 + 1) % 13}") for i in range(26)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src_host", "dst_host"])
+        )
+        a = sorted(map(tuple, host_coreness(df, rounds=6).collect()))
+        b = sorted(map(tuple, host_coreness(df.repartition(5), rounds=6).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="rounds"):
+            host_coreness(df, rounds=0)
