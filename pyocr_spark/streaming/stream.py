@@ -194,3 +194,37 @@ def start_incremental_stream(
         spark, input_location, checkpoint_location, process_batch,
         available_now, max_files_per_trigger,
     )
+
+
+def start_image_refs_stream(
+    spark: SparkSession,
+    input_location: str,
+    output_location: str,
+    checkpoint_location: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming image/alt-text harvest: as crawl files land, run the
+    img-ref extraction (operators/images.extract_image_refs — the same
+    narrow Arrow stage the batch path uses) per micro-batch and append
+    the refs partitioned by batch_id (whole-dir overwrite per batch —
+    the start_extract_stream idempotent-replay contract).
+
+    The per-image PAIR table (modal alt/figcaption) is a global
+    aggregate and is NOT maintained incrementally here: it recomputes
+    cheaply as a periodic batch over the harvested refs — the same
+    Kappa split the incremental near-dup pipeline uses (state where the
+    semantics need it, replayable batch where they don't).
+    """
+    from pyocr_spark.operators.images import extract_image_refs
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_image_refs(batch_df)
+        out.write.mode("overwrite").parquet(
+            f"{output_location}/batch_id={batch_id}"
+        )
+
+    return _start_pages_stream(
+        spark, input_location, checkpoint_location, process_batch,
+        available_now, max_files_per_trigger,
+    )

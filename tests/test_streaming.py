@@ -174,3 +174,39 @@ def test_read_state_ignores_uncommitted_debris(spark, tmp_path):
     (state / "delta_id=1" / "_SUCCESS").touch()
     st = read_state(spark, str(state))
     assert [r["url"] for r in st.collect()] == ["u"]
+
+
+def test_image_refs_stream_equals_batch(spark, pages_sf0001, tmp_path):
+    """The streaming harvest over micro-batches yields EXACTLY the batch
+    harvest rows (the extraction is per-page — no cross-page state, so
+    micro-batching cannot change the result), and the downstream pair
+    aggregate over the streamed refs equals the batch pair table."""
+    from pyocr_spark.operators.images import extract_image_refs, image_alt_pairs
+    from pyocr_spark.sources.pages import read_pages
+    from pyocr_spark.streaming.stream import start_image_refs_stream
+
+    src = str(pages_sf0001 / "pages.parquet")
+    out = str(tmp_path / "refs")
+    q = start_image_refs_stream(
+        spark, src, out, str(tmp_path / "ckpt"),
+        available_now=True, max_files_per_trigger=8,
+    )
+    assert q.awaitTermination(300), "streaming drain timed out"
+
+    streamed = spark.read.parquet(out).drop("batch_id")
+    batch = extract_image_refs(read_pages(spark, src))
+    key = ["url", "img_idx", "src_url", "alt_text"]
+    assert sorted(map(tuple, streamed.select(key).collect())) == sorted(
+        map(tuple, batch.select(key).collect())
+    )
+
+    # the downstream pair aggregate over the streamed refs equals the
+    # same aggregate over the batch refs — the periodic-batch half of
+    # the Kappa split consumes either side identically. (Capture-level
+    # dedup belongs BEFORE the harvest — refs carry no warc_ts — which
+    # is why the batch query path harvests dedup_latest_page(pages).)
+    pairs_stream = image_alt_pairs(streamed)
+    pairs_batch = image_alt_pairs(batch)
+    assert sorted(map(tuple, pairs_stream.collect())) == sorted(
+        map(tuple, pairs_batch.collect())
+    )
