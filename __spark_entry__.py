@@ -2149,6 +2149,17 @@ def _q_image_fetch_plan(spark, sf_dir):
     return image_fetch_plan(pairs, robots, agent=ROBOTS_AGENT)
 
 
+def _q_page_av_refs(spark, sf_dir):
+    """Audio/video target harvest (operators/images.extract_av_refs):
+    per <video>/<audio> element the fetchable src (own attr, else first
+    <source> child — the browser pick) + resolved poster; the AV half
+    of the multimodal harvest feeding media_frames/media_decode."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import extract_av_refs
+
+    return extract_av_refs(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _q_image_caption_quality(spark, sf_dir):
     """The multimodal caption gate (operators/images.caption_quality):
     per image candidate the chosen caption (figcaption preferred over
@@ -3296,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_alt_pairs": _q_image_alt_pairs,
         "image_fetch_plan": _q_image_fetch_plan,
         "image_caption_quality": _q_image_caption_quality,
+        "page_av_refs": _q_page_av_refs,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_reciprocity": _q_host_reciprocity,
@@ -6111,6 +6123,10 @@ def oracle_sql() -> dict[str, str]:
         # image pair mining: stats + modal-alt replay (the
         # anchor_text_index skeleton keyed by image src)
         "image_alt_pairs": _image_pairs_sql(),
+        "page_av_refs": (
+            "SELECT url, av_idx, kind, src_url, poster_url "
+            f"FROM read_parquet('{E}/expected_av.parquet')"
+        ),
         # caption gate: pairs replay nested as a CTE, lang-ID replay
         # rebound onto the caption candidates (the FROM-rebind trick)
         "image_caption_quality": (

@@ -288,3 +288,109 @@ def parse_image_refs(html: bytes | str, page_url: str) -> list[ImageRef]:
             )
         )
     return out
+
+
+AvRef = tuple[str, str, "str | None", "str | None"]
+
+
+class _AvParser(HTMLParser):
+    """<video>/<audio> harvest twin of _ImgParser (kept separate: av
+    elements nest <source src> — NOT srcset — and captions come from
+    the surrounding figure exactly like images)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        # (kind, src_raw, poster_raw) rows in document order
+        self.rows: list[tuple[str, str, str | None]] = []
+        self.base: str | None = None
+        self.base_from: int = 0
+        # open <video>/<audio>: (kind, poster, own_src_emitted_rows)
+        self._av: list[tuple[str, str | None]] | None = None
+        self._av_kind: str | None = None
+        self._av_poster: str | None = None
+        self._av_emitted = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("video", "audio"):
+            src = poster = None
+            for name, value in attrs:
+                if name == "src" and src is None and value is not None:
+                    src = value.strip()
+                elif name == "poster" and poster is None and value is not None:
+                    poster = value.strip()
+            self._av_kind = tag
+            self._av_poster = poster if tag == "video" else None
+            self._av_emitted = False
+            if src is not None:
+                self.rows.append((tag, src, self._av_poster))
+                self._av_emitted = True
+        elif tag == "source" and self._av_kind is not None:
+            # first <source src> wins only if the element had no own src
+            # and no earlier source emitted (browsers pick ONE source)
+            if not self._av_emitted:
+                for name, value in attrs:
+                    if name == "src" and value is not None:
+                        self.rows.append(
+                            (self._av_kind, value.strip(), self._av_poster)
+                        )
+                        self._av_emitted = True
+                        break
+        elif tag == "base" and self.base is None:
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.base = value.strip()
+                    self.base_from = len(self.rows)
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("video", "audio"):
+            self._av_kind = None
+            self._av_poster = None
+            self._av_emitted = False
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+
+def parse_av_refs(html: bytes | str, page_url: str) -> list[AvRef]:
+    """All http(s) <video>/<audio> targets of one page as (kind,
+    src_url, poster_url), document order, duplicates preserved.
+
+    Frozen rules (shared with parse_image_refs where they overlap):
+    same decode/size guard; same first-<base> rebinding; src from the
+    element's own ``src`` attr, else the FIRST ``<source src>`` child
+    (browsers pick one source — emitting all would fabricate refs);
+    ``poster`` resolved like src, video only, None when absent or not
+    http(s); non-http(s) src drops the row."""
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return []
+    text = decode_replace(html)
+    parser = _AvParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass
+    base = parser.base
+
+    def _resolve(root: str, raw: str | None) -> str | None:
+        if raw is None:
+            return None
+        try:
+            resolved = urldefrag(urljoin(root, raw))[0]
+        except ValueError:
+            return None
+        return resolved if resolved.startswith(_KEPT_SCHEMES) else None
+
+    out: list[AvRef] = []
+    for i, (kind, src, poster) in enumerate(parser.rows):
+        root = (
+            page_url
+            if (base is None or i < parser.base_from)
+            else urljoin(page_url, base)
+        )
+        src_url = _resolve(root, src)
+        if src_url is None:
+            continue
+        out.append((kind, src_url, _resolve(root, poster)))
+    return out

@@ -229,3 +229,45 @@ def caption_quality(pairs: DataFrame) -> DataFrame:
         "lang_pred",
         "best_hits",
     )
+
+
+AV_REFS_DDL = "url string, av_idx int, kind string, src_url string, poster_url string"
+
+
+def _av_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.images import parse_av_refs
+
+    for pdf in batches:
+        urls: list[str] = []
+        idxs: list[int] = []
+        kinds: list[str] = []
+        srcs: list[str] = []
+        posters: list[str | None] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if url is None:
+                continue
+            for i, (kind, src, poster) in enumerate(parse_av_refs(html, url)):
+                urls.append(url)
+                idxs.append(i)
+                kinds.append(kind)
+                srcs.append(src)
+                posters.append(poster)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "av_idx": idxs,
+                "kind": kinds,
+                "src_url": srcs,
+                "poster_url": pd.Series(posters, dtype=object),
+            }
+        )
+
+
+def extract_av_refs(pages: DataFrame) -> DataFrame:
+    """(url, av_idx, kind, src_url, poster_url) rows for every http(s)
+    <video>/<audio> target — the audio/video half of the multimodal
+    harvest (core/images.parse_av_refs rules). Same narrow Arrow shape
+    as extract_image_refs."""
+    return pages.select("url", "html").mapInPandas(
+        _av_batches, schema=AV_REFS_DDL
+    )

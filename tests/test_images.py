@@ -286,3 +286,45 @@ class TestCaptionQuality:
         b = got["https://i/b.jpg"]
         assert b["caption_text"] == "the of and alt text"
         assert b["lang_pred"] == "en" and b["best_hits"] >= 3
+
+
+class TestAvRefs:
+    def test_parser_rules(self):
+        from pyocr_spark.core.images import parse_av_refs
+
+        html = _page(
+            '<video src="/v.mp4" poster="/p.jpg"><source src="/ign.webm"></video>'
+            '<video poster="pp.png"><source src="/s1.webm"><source src="/s2.mp4"></video>'
+            '<audio><source src="/a.ogg"></audio>'
+            '<audio src="data:audio/ogg;base64,x"></audio>'
+            "<video></video>"
+            '<source src="/orphan.mp4">'
+        )
+        assert parse_av_refs(html, BASE) == [
+            ("video", "https://host.example.com/v.mp4",
+             "https://host.example.com/p.jpg"),
+            ("video", "https://host.example.com/s1.webm",
+             "https://host.example.com/dir/pp.png"),
+            ("audio", "https://host.example.com/a.ogg", None),
+        ]
+
+    def test_spark_matches_expected_table(self, spark, pages_sf0001):
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.images import extract_av_refs
+        from pyocr_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+        got = (
+            extract_av_refs(dedup_latest_page(pages))
+            .toPandas()
+            .sort_values(["url", "av_idx"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.read_parquet(pages_sf0001 / "expected_av.parquet")
+            .sort_values(["url", "av_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        for col in ["url", "av_idx", "kind", "src_url", "poster_url"]:
+            assert got[col].tolist() == want[col].tolist(), col
