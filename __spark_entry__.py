@@ -2149,6 +2149,29 @@ def _q_image_fetch_plan(spark, sf_dir):
     return image_fetch_plan(pairs, robots, agent=ROBOTS_AGENT)
 
 
+def _q_multimodal_manifest(spark, sf_dir):
+    """The image-side corpus deliverable (operators/images.
+    multimodal_manifest): robots-gated polite fetch queue × caption
+    gate (≥2 ws tokens, lang en) on ONE materialized pair table —
+    localCheckpoint so the pair-mining subtree executes once, not once
+    per branch (the crawl_frontier discipline). Oracle composes the
+    pair, robots-verdict, window and lang replays."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import (
+        extract_image_refs,
+        image_alt_pairs,
+        multimodal_manifest,
+    )
+
+    d = ensure_pages(sf_dir)
+    pairs = image_alt_pairs(
+        extract_image_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    ).localCheckpoint(eager=True)
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return multimodal_manifest(pairs, robots, agent=ROBOTS_AGENT)
+
+
 def _q_page_av_refs(spark, sf_dir):
     """Audio/video target harvest (operators/images.extract_av_refs):
     per <video>/<audio> element the fetchable src (own attr, else first
@@ -3308,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fetch_plan": _q_image_fetch_plan,
         "image_caption_quality": _q_image_caption_quality,
         "page_av_refs": _q_page_av_refs,
+        "multimodal_manifest": _q_multimodal_manifest,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
         "host_reciprocity": _q_host_reciprocity,
@@ -6126,6 +6150,33 @@ def oracle_sql() -> dict[str, str]:
         "page_av_refs": (
             "SELECT url, av_idx, kind, src_url, poster_url "
             f"FROM read_parquet('{E}/expected_av.parquet')"
+        ),
+        "multimodal_manifest": (
+            f"WITH pairs AS ({_image_pairs_sql()}), "
+            "gated AS (SELECT p.* FROM pairs p "
+            f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
+            "ON er.url = p.src_url WHERE coalesce(er.robots_allowed, TRUE)), "
+            f"fp AS (SELECT src_url, {_host_sql('src_url')} AS img_host, "
+            "CAST(row_number() OVER (PARTITION BY "
+            f"{_host_sql('src_url')} ORDER BY n_pages DESC, n_refs DESC, "
+            "src_url ASC) AS INT) AS fetch_order, n_pages FROM gated), "
+            "src AS (SELECT src_url AS doc_id, "
+            "coalesce(top_caption, top_alt) AS text FROM pairs "
+            "WHERE coalesce(top_caption, top_alt) IS NOT NULL), "
+            "lid AS (SELECT * FROM ("
+            + _LANG_ID_SQL.replace("FROM documents", "FROM src")
+            + ")), "
+            "q AS (SELECT s.doc_id AS src_url, s.text AS caption_text, "
+            "CASE WHEN regexp_replace(s.text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(regexp_replace(s.text, "
+            "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+            "'[\\t\\n\\f\\r ]+')) END AS n_tokens, lid.lang_pred "
+            "FROM src s JOIN lid ON lid.doc_id = s.doc_id) "
+            "SELECT fp.src_url, fp.img_host, fp.fetch_order, fp.n_pages, "
+            "q.caption_text, q.n_tokens, q.lang_pred "
+            "FROM fp JOIN q ON q.src_url = fp.src_url "
+            "WHERE q.n_tokens >= 2 AND q.lang_pred IN ('en')"
         ),
         # caption gate: pairs replay nested as a CTE, lang-ID replay
         # rebound onto the caption candidates (the FROM-rebind trick)

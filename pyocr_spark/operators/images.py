@@ -271,3 +271,33 @@ def extract_av_refs(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(
         _av_batches, schema=AV_REFS_DDL
     )
+
+
+def multimodal_manifest(
+    pairs: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    min_tokens: int = 2,
+    langs: tuple = ("en",),
+) -> DataFrame:
+    """The deliverable of the image side: one row per image the corpus
+    build should FETCH, with the caption it will train against —
+    ``image_fetch_plan``'s polite queue joined to ``caption_quality``'s
+    gate (caption present, ≥ min_tokens whitespace tokens, language in
+    the accepted set). The join key is src_url on two tables derived
+    from the SAME pair table — callers pass a materialized ``pairs``
+    (localCheckpoint / written parquet) so the pair-mining subtree runs
+    once, not once per branch (the crawl_frontier discipline).
+
+    Returns (src_url, img_host, fetch_order, n_pages, caption_text,
+    n_tokens, lang_pred) ordered by nothing (deterministic content,
+    order-free compare)."""
+    fetch = image_fetch_plan(pairs, robots, agent=agent)
+    qual = caption_quality(pairs).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & F.col("lang_pred").isin(list(langs))
+    )
+    return fetch.join(qual, "src_url").select(
+        "src_url", "img_host", "fetch_order", "n_pages",
+        "caption_text", "n_tokens", "lang_pred",
+    )
