@@ -128,6 +128,12 @@ def parse_args(argv=None):
              "this directory; reads the deduped pages like --wat-output",
     )
     p.add_argument(
+        "--av-output", default=None,
+        help="also harvest <video>/<audio> targets (kind, src_url, "
+             "poster_url per element, browser first-source pick) as "
+             "parquet to this directory; reads the deduped pages",
+    )
+    p.add_argument(
         "--markdown-output", default=None,
         help="also write the HTML→Markdown surface (url, markdown, "
              "n_md_chars parquet) for the deduped pages to this directory",
@@ -369,6 +375,13 @@ def main(argv=None) -> None:
         report["markdown"] = {
             "rows": spark.read.parquet(args.markdown_output).count()
         }
+    if args.av_output:
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.images import extract_av_refs
+
+        av = extract_av_refs(dedup_latest_page(pages))
+        av.write.mode("overwrite").parquet(args.av_output)
+        report["av"] = {"refs": spark.read.parquet(args.av_output).count()}
     if args.images_output:
         from pyocr_spark.operators.dedup import dedup_latest_page
         from pyocr_spark.operators.images import (

@@ -349,13 +349,16 @@ def test_spark_submit_images_sidecar(tmp_path):
          b"<figcaption>a fine cat</figcaption></figure>", None, "en"),
         ("https://h/b", "2024-02-02",
          b"<img src='/i/x.jpg' alt='cat photo'>"
-         b"<img srcset='/i/only.png 1x' alt=''>", None, "en"),
+         b"<img srcset='/i/only.png 1x' alt=''>"
+         b"<video src='/v/clip.mp4' poster='/v/clip.jpg'></video>", None, "en"),
     ])
     out_dir = str(tmp_path / "out")
     img_dir = str(tmp_path / "img")
+    av_dir = str(tmp_path / "av")
     proc = _submit_job(zip_path, [
         "--input", pages, "--output", out_dir, "--modes", "text",
         "--num-buckets", "2", "--images-output", img_dir,
+        "--av-output", av_dir,
     ], str(tmp_path))
     assert proc.returncode == 0, proc.stderr[-3000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -370,6 +373,12 @@ def test_spark_submit_images_sidecar(tmp_path):
     assert x["top_alt"] == "cat photo" and x["top_caption"] == "a fine cat"
     only = got.loc["https://h/i/only.png"]
     assert only["top_alt"] is None or pd.isna(only["top_alt"])
+
+    assert report["av"]["refs"] == 1
+    av = pd.read_parquet(av_dir)
+    assert av.iloc[0]["kind"] == "video"
+    assert av.iloc[0]["src_url"] == "https://h/v/clip.mp4"
+    assert av.iloc[0]["poster_url"] == "https://h/v/clip.jpg"
 
 
 def test_spark_submit_corpus_sharded(tmp_path, pages_sf0001):
