@@ -2172,6 +2172,20 @@ def _q_multimodal_manifest(spark, sf_dir):
     return multimodal_manifest(pairs, robots, agent=ROBOTS_AGENT)
 
 
+def _q_og_image_pairs(spark, sf_dir):
+    """Social-card (og:image, caption) evidence (operators/images.
+    og_image_pairs): per declared card image the page count and modal
+    og_title/title caption — the highest-precision pair source, meant
+    to merge with the in-body harvest on src_url."""
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import og_image_pairs
+
+    return og_image_pairs(
+        extract_metadata(dedup_latest_page(_pages(spark, sf_dir)))
+    )
+
+
 def _q_page_av_refs(spark, sf_dir):
     """Audio/video target harvest (operators/images.extract_av_refs):
     per <video>/<audio> element the fetchable src (own attr, else first
@@ -3331,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fetch_plan": _q_image_fetch_plan,
         "image_caption_quality": _q_image_caption_quality,
         "page_av_refs": _q_page_av_refs,
+        "og_image_pairs": _q_og_image_pairs,
         "multimodal_manifest": _q_multimodal_manifest,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
@@ -4414,7 +4429,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_metadata": (
             f"SELECT url, title, description, robots, canonical, og_title, "
-            f"og_description, html_lang FROM read_parquet('{E}/expected_meta.parquet')"
+            f"og_description, og_image, html_lang "
+            f"FROM read_parquet('{E}/expected_meta.parquet')"
         ),
         "extract_hreflang": (
             "SELECT url, idx, hreflang, target_url "
@@ -6150,6 +6166,21 @@ def oracle_sql() -> dict[str, str]:
         "page_av_refs": (
             "SELECT url, av_idx, kind, src_url, poster_url "
             f"FROM read_parquet('{E}/expected_av.parquet')"
+        ),
+        "og_image_pairs": (
+            "WITH s AS (SELECT og_image AS src_url, "
+            "coalesce(og_title, title) AS cap "
+            f"FROM read_parquet('{E}/expected_meta.parquet') "
+            "WHERE og_image IS NOT NULL), "
+            "lvl AS (SELECT src_url, cap, count(*) AS c FROM s GROUP BY 1, 2), "
+            "stats AS (SELECT src_url, CAST(sum(c) AS BIGINT) AS n_pages "
+            "FROM lvl GROUP BY 1), "
+            "m AS (SELECT src_url, cap AS top_caption FROM ("
+            "SELECT src_url, cap, row_number() OVER (PARTITION BY src_url "
+            "ORDER BY c DESC, cap ASC) AS rn FROM lvl WHERE cap IS NOT NULL"
+            ") WHERE rn = 1) "
+            "SELECT stats.src_url, n_pages, m.top_caption "
+            "FROM stats LEFT JOIN m USING (src_url)"
         ),
         "multimodal_manifest": (
             f"WITH pairs AS ({_image_pairs_sql()}), "

@@ -26,7 +26,10 @@ All rules frozen:
   * ``canonical``    — <link rel=canonical href=...>, resolved against
     the page url with the SAME urljoin+defrag rule as outlink extraction
     (core/links.py) so the two url surfaces cannot drift;
-  * ``og_title`` / ``og_description`` — <meta property="og:...">;
+  * ``og_title`` / ``og_description`` / ``og_image`` — <meta
+    property="og:...">; og_image resolved+defragged like canonical
+    (it names a fetchable resource — the social-card image, a
+    high-precision caption-pair evidence source);
   * ``html_lang``    — lang attribute of the <html> tag.
 - headings: every <h1>–<h6> outside <script>/<style>/<noscript>/
   <template> subtrees, document order, whitespace-normalized text;
@@ -64,6 +67,7 @@ META_FIELDS = (
     "canonical",
     "og_title",
     "og_description",
+    "og_image",
     "html_lang",
 )
 
@@ -148,6 +152,8 @@ class _DomParser(HTMLParser):
                 self._set_once("og_title", a.get("content"))
             elif prop == "og:description":
                 self._set_once("og_description", a.get("content"))
+            elif prop == "og:image":
+                self._set_once("og_image", a.get("content"))
         elif tag == "link":
             rels = (a.get("rel") or "").lower().split()
             if "canonical" in rels:
@@ -266,6 +272,11 @@ def parse_dom(html: bytes | str, base_url: str | None = None) -> dict:
     meta = parser.meta
     if meta["canonical"] is not None and base_url:
         meta["canonical"] = _resolve_canonical(base_url, meta["canonical"])
+    if meta["og_image"] is not None and base_url:
+        # the social-card image is a fetchable url like canonical: same
+        # resolve+defrag+scheme rule (spec says absolute; the wild web
+        # ships relative ones)
+        meta["og_image"] = _resolve_canonical(base_url, meta["og_image"])
     return {
         "meta": meta,
         "headings": parser.headings,

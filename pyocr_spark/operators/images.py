@@ -301,3 +301,41 @@ def multimodal_manifest(
         "src_url", "img_host", "fetch_order", "n_pages",
         "caption_text", "n_tokens", "lang_pred",
     )
+
+
+def og_image_pairs(meta: DataFrame) -> DataFrame:
+    """Social-card evidence for the pair miner: per distinct ``og:image``
+    url, how many pages declare it and the modal caption candidate
+    (og_title preferred over title — the author's card text). og:image
+    is the highest-precision (image, caption) evidence on the page —
+    one editorially-chosen image per document — and complements the
+    in-body harvest: the fetch plan can merge both tables on src_url.
+
+    Input: the extract_metadata table (url, ..., title, og_title,
+    og_image). One partial-aggregated shuffle + one modal window."""
+    from pyspark.sql import Window
+
+    cand = meta.filter(F.col("og_image").isNotNull()).select(
+        F.col("og_image").alias("src_url"),
+        F.coalesce(F.col("og_title"), F.col("title")).alias("cap"),
+    )
+    lvl = cand.groupBy("src_url", "cap").agg(F.count(F.lit(1)).alias("c"))
+    w_i = Window.partitionBy("src_url")
+    pick = Window.partitionBy("src_url").orderBy(
+        F.desc_nulls_last("n_cap"), F.asc_nulls_last("cap")
+    )
+    return (
+        lvl.select(
+            "src_url",
+            "cap",
+            F.sum("c").over(w_i).alias("n_pages"),
+            F.when(F.col("cap").isNotNull(), F.col("c")).alias("n_cap"),
+        )
+        .withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "src_url",
+            "n_pages",
+            F.when(F.col("n_cap").isNotNull(), F.col("cap")).alias("top_caption"),
+        )
+    )

@@ -35,6 +35,19 @@ class TestMetadata:
         assert m["og_description"] == "OG D"
         assert m["html_lang"] == "en-US"
 
+    def test_og_image_resolved_like_canonical(self):
+        m = meta(b'<meta property="og:image" content="/card/7.png#f">')
+        assert m["og_image"] == "http://ex.com/card/7.png"
+        m = meta(
+            b'<meta property="og:image" '
+            b'content="https://cdn.ex.org/c.jpg">'
+        )
+        assert m["og_image"] == "https://cdn.ex.org/c.jpg"
+        # non-http(s) scheme drops the value; absent stays None
+        m = meta(b'<meta property="og:image" content="data:image/png;base64,x">')
+        assert m["og_image"] is None
+        assert meta(b"<p>x</p>")["og_image"] is None
+
     def test_first_occurrence_wins(self):
         html = (
             b"<title>first</title><title>second</title>"

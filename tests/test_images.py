@@ -328,3 +328,28 @@ class TestAvRefs:
         assert len(got) == len(want) > 0
         for col in ["url", "av_idx", "kind", "src_url", "poster_url"]:
             assert got[col].tolist() == want[col].tolist(), col
+
+
+class TestOgImagePairs:
+    def test_modal_caption_and_counts(self, spark):
+        from pyocr_spark.operators.images import og_image_pairs
+
+        meta = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://p/1", "T1", "OG one", "https://i/c.png"),
+                    ("https://p/2", "T2", "OG one", "https://i/c.png"),
+                    ("https://p/3", "T3", None, "https://i/c.png"),
+                    ("https://p/4", None, None, "https://i/d.png"),
+                    ("https://p/5", "T5", "OG5", None),
+                ],
+                columns=["url", "title", "og_title", "og_image"],
+            )
+        )
+        got = {r["src_url"]: r for r in og_image_pairs(meta).collect()}
+        assert set(got) == {"https://i/c.png", "https://i/d.png"}
+        c = got["https://i/c.png"]
+        assert c["n_pages"] == 3
+        assert c["top_caption"] == "OG one"  # og_title beats title, modal
+        d = got["https://i/d.png"]
+        assert d["n_pages"] == 1 and d["top_caption"] is None
