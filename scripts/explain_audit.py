@@ -924,6 +924,37 @@ def main() -> int:
     check("host_triangles", "wedge + closing-edge joins are equi-joins",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 60. og:image evidence: pruned scan feeding the meta UDF, one
+    # modal window — no html column beyond the UDF input
+    df = qs["og_image_pairs"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("og_image_pairs", p))
+    check("og_image_pairs", "partial aggregation before the modal window",
+          "partial" in p.lower(), "")
+
+    # 61. multimodal manifest: both branches read the checkpointed pair
+    # table — the img-ref UDF must NOT appear in this plan at all
+    df = qs["multimodal_manifest"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("multimodal_manifest", p))
+    check("multimodal_manifest",
+          "pair subtree materialized once (no MapInPandas in the plan)",
+          "MapInPandas" not in p, f"MapInPandas occurrences={p.count('MapInPandas')}")
+    check("multimodal_manifest", "no cartesian/NLJ",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # 62. coreness: the returned plan is a checkpoint scan — every
+    # h-index round already materialized, lineage truncated (the plan
+    # property that keeps 8 rounds × 10^8 hosts schedulable); no
+    # residual joins/aggregates may remain
+    df = qs["host_coreness"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("host_coreness", p))
+    check("host_coreness", "rounds materialized, lineage truncated "
+          "(checkpoint scan, no residual join/aggregate)",
+          "Scan ExistingRDD" in p and "Join" not in p, p.splitlines()[1][:80] if p else "")
+    check("host_coreness", "no cartesian/NLJ", "CartesianProduct" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
