@@ -353,3 +353,49 @@ class TestOgImagePairs:
         assert c["top_caption"] == "OG one"  # og_title beats title, modal
         d = got["https://i/d.png"]
         assert d["n_pages"] == 1 and d["top_caption"] is None
+
+
+class TestFuzzHarvestParsers:
+    """Property fuzz: the harvest parsers share the extraction error
+    contract — no page may raise, every emitted url is http(s)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _FRAGMENTS = st.sampled_from([
+        b"<img", b"<img src=", b"<img src='", b"src='/a.jpg'", b"alt='",
+        b"srcset='a.jpg 1x,", b"b.jpg 2x'", b"width='640%'", b"height=",
+        b"<picture>", b"</picture>", b"<source srcset='", b"<source",
+        b"<figure>", b"</figure>", b"<figcaption>", b"</figcaption>",
+        b"<video", b"<audio>", b"poster='p.jpg'", b"src='data:x,y'",
+        b"<base href='https://o.org/x/'>", b"<base href='%%'>",
+        b"'>", b'">', b">", b"<!--", b"-->", b"\xff\xfe", b"\xe9", b"\x00",
+        b"&amp;", b"&#x41;", b"&bogus;", b"http://[::1]:80/x",
+        b"src='http://[bad'", b"caf\xc3\xa9", b"\r\n", b",,", b"(min-width:",
+    ])
+    _PAGES = st.lists(_FRAGMENTS, min_size=0, max_size=40).map(b" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(page=_PAGES)
+    def test_parse_image_refs_never_raises(self, page):
+        from pyocr_spark.core.images import parse_image_refs
+
+        for src, alt, title, w, h, cap, srcset in parse_image_refs(
+            page, "https://h.example.com/d/p.html"
+        ):
+            assert src.startswith(("http://", "https://"))
+            assert isinstance(alt, str)
+            assert all(u.startswith(("http://", "https://")) for u in srcset)
+            assert w is None or isinstance(w, int)
+
+    @settings(max_examples=200, deadline=None)
+    @given(page=_PAGES)
+    def test_parse_av_refs_never_raises(self, page):
+        from pyocr_spark.core.images import parse_av_refs
+
+        for kind, src, poster in parse_av_refs(
+            page, "https://h.example.com/d/p.html"
+        ):
+            assert kind in ("video", "audio")
+            assert src.startswith(("http://", "https://"))
+            assert poster is None or poster.startswith(("http://", "https://"))
