@@ -2186,6 +2186,30 @@ def _q_og_image_pairs(spark, sf_dir):
     )
 
 
+def _q_image_evidence(spark, sf_dir):
+    """Merged caption evidence (operators/images.merge_pair_evidence):
+    in-body pairs full-outer social-card pairs per image url — additive
+    evidence volume, precedence-ordered caption pick (figcaption >
+    card text > alt). Oracle composes both replays around the same
+    full-outer join."""
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import (
+        extract_image_refs,
+        image_alt_pairs,
+        merge_pair_evidence,
+        og_image_pairs,
+    )
+
+    latest = dedup_latest_page(_pages(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    return merge_pair_evidence(
+        image_alt_pairs(extract_image_refs(latest)),
+        og_image_pairs(extract_metadata(latest)),
+    )
+
+
 def _q_page_av_refs(spark, sf_dir):
     """Audio/video target harvest (operators/images.extract_av_refs):
     per <video>/<audio> element the fetchable src (own attr, else first
@@ -3346,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_quality": _q_image_caption_quality,
         "page_av_refs": _q_page_av_refs,
         "og_image_pairs": _q_og_image_pairs,
+        "image_evidence": _q_image_evidence,
         "multimodal_manifest": _q_multimodal_manifest,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
@@ -6166,6 +6191,30 @@ def oracle_sql() -> dict[str, str]:
         "page_av_refs": (
             "SELECT url, av_idx, kind, src_url, poster_url "
             f"FROM read_parquet('{E}/expected_av.parquet')"
+        ),
+        "image_evidence": (
+            f"WITH b AS ({_image_pairs_sql()}), "
+            "s2 AS (SELECT og_image AS src_url, "
+            "coalesce(og_title, title) AS cap "
+            f"FROM read_parquet('{E}/expected_meta.parquet') "
+            "WHERE og_image IS NOT NULL), "
+            "lvl AS (SELECT src_url, cap, count(*) AS c FROM s2 GROUP BY 1, 2), "
+            "ostats AS (SELECT src_url, CAST(sum(c) AS BIGINT) AS n_pages "
+            "FROM lvl GROUP BY 1), "
+            "om AS (SELECT src_url, cap AS top_caption FROM ("
+            "SELECT src_url, cap, row_number() OVER (PARTITION BY src_url "
+            "ORDER BY c DESC, cap ASC) AS rn FROM lvl WHERE cap IS NOT NULL"
+            ") WHERE rn = 1), "
+            "o AS (SELECT ostats.src_url, n_pages, om.top_caption "
+            "FROM ostats LEFT JOIN om USING (src_url)) "
+            "SELECT coalesce(b.src_url, o.src_url) AS src_url, "
+            "CASE WHEN b.src_url IS NOT NULL AND o.src_url IS NOT NULL "
+            "THEN 'both' WHEN b.src_url IS NOT NULL THEN 'body' "
+            "ELSE 'og' END AS evidence, "
+            "CAST(coalesce(b.n_pages, 0) + coalesce(o.n_pages, 0) AS BIGINT) "
+            "AS n_evidence, "
+            "coalesce(b.top_caption, o.top_caption, b.top_alt) AS caption_text "
+            "FROM b FULL OUTER JOIN o ON o.src_url = b.src_url"
         ),
         "og_image_pairs": (
             "WITH s AS (SELECT og_image AS src_url, "

@@ -339,3 +339,49 @@ def og_image_pairs(meta: DataFrame) -> DataFrame:
             F.when(F.col("n_cap").isNotNull(), F.col("cap")).alias("top_caption"),
         )
     )
+
+
+def merge_pair_evidence(pairs: DataFrame, og: DataFrame) -> DataFrame:
+    """One candidate table from BOTH caption-evidence sources: the
+    in-body pair table (``image_alt_pairs`` — modal alt/figcaption of
+    embedded <img>s) full-outer-joined on src_url with the social-card
+    table (``og_image_pairs`` — modal og_title/title of pages declaring
+    the image as their card). The two measure different editorial acts
+    (embedding vs electing), so evidence volumes ADD and the caption
+    pick is precedence-ordered: figcaption (author prose) > social-card
+    text > alt string.
+
+    Returns (src_url, evidence 'body'|'og'|'both', n_evidence,
+    caption_text). One full-outer equi-join of two already-collapsed
+    per-image tables — no window, partial-agg upstream."""
+    b = pairs.select(
+        "src_url",
+        F.col("n_pages").alias("_b_pages"),
+        F.col("top_alt").alias("_b_alt"),
+        F.col("top_caption").alias("_b_cap"),
+    )
+    o = og.select(
+        "src_url",
+        F.col("n_pages").alias("_o_pages"),
+        F.col("top_caption").alias("_o_cap"),
+    )
+    j = b.join(o, "src_url", "full_outer")
+    evidence = (
+        F.when(
+            F.col("_b_pages").isNotNull() & F.col("_o_pages").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("_b_pages").isNotNull(), F.lit("body"))
+        .otherwise(F.lit("og"))
+    )
+    return j.select(
+        "src_url",
+        evidence.alias("evidence"),
+        (
+            F.coalesce(F.col("_b_pages"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("_o_pages"), F.lit(0).cast("long"))
+        ).alias("n_evidence"),
+        F.coalesce(
+            F.col("_b_cap"), F.col("_o_cap"), F.col("_b_alt")
+        ).alias("caption_text"),
+    )

@@ -399,3 +399,41 @@ class TestFuzzHarvestParsers:
             assert kind in ("video", "audio")
             assert src.startswith(("http://", "https://"))
             assert poster is None or poster.startswith(("http://", "https://"))
+
+
+class TestMergePairEvidence:
+    def test_union_precedence_and_volume(self, spark):
+        from pyocr_spark.operators.images import merge_pair_evidence
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://i/a.jpg", 3, 3, 1, "alt a", "fig a"),
+                    ("https://i/b.jpg", 2, 2, 1, "alt b", None),
+                    ("https://i/c.jpg", 1, 1, 1, None, None),
+                ],
+                columns=[
+                    "src_url", "n_refs", "n_pages", "n_src_hosts",
+                    "top_alt", "top_caption",
+                ],
+            )
+        )
+        og = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://i/a.jpg", 2, "card a"),
+                    ("https://i/d.jpg", 1, "card d"),
+                ],
+                columns=["src_url", "n_pages", "top_caption"],
+            )
+        )
+        got = {r["src_url"]: r for r in merge_pair_evidence(pairs, og).collect()}
+        a = got["https://i/a.jpg"]
+        assert (a["evidence"], a["n_evidence"]) == ("both", 5)
+        assert a["caption_text"] == "fig a"  # figcaption beats card text
+        b = got["https://i/b.jpg"]
+        assert (b["evidence"], b["caption_text"]) == ("body", "alt b")
+        c = got["https://i/c.jpg"]
+        assert c["evidence"] == "body" and c["caption_text"] is None
+        d = got["https://i/d.jpg"]
+        assert (d["evidence"], d["n_evidence"], d["caption_text"]) == ("og", 1, "card d")
