@@ -2186,6 +2186,21 @@ def _q_og_image_pairs(spark, sf_dir):
     )
 
 
+def _q_image_pairs_sized(spark, sf_dir):
+    """The fetchworthy pair table (image_alt_pairs(min_dim=64)): any
+    reference DECLARING a dimension below 64px is dropped before
+    aggregation — the pre-fetch tracking-pixel/icon gate that keeps
+    beacons out of a 100 TB fetch budget; undeclared dims pass to the
+    post-fetch decode gate."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import extract_image_refs, image_alt_pairs
+
+    return image_alt_pairs(
+        extract_image_refs(dedup_latest_page(_pages(spark, sf_dir))),
+        min_dim=64,
+    )
+
+
 def _q_image_evidence(spark, sf_dir):
     """Merged caption evidence (operators/images.merge_pair_evidence):
     in-body pairs full-outer social-card pairs per image url — additive
@@ -3371,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_av_refs": _q_page_av_refs,
         "og_image_pairs": _q_og_image_pairs,
         "image_evidence": _q_image_evidence,
+        "image_pairs_sized": _q_image_pairs_sized,
         "multimodal_manifest": _q_multimodal_manifest,
         "anchor_text_index": _q_anchor_text_index,
         "host_graph": _q_host_graph,
@@ -4292,15 +4308,21 @@ def _docs_zorder_oracle_sql() -> str:
     )
 
 
-def _image_pairs_sql() -> str:
+def _image_pairs_sql(min_dim: int | None = None) -> str:
     """image_alt_pairs replay: pair stats + modal alt + modal caption
-    over expected_images — shared by the pairs oracle and the caption
-    gate (which nests it as a CTE)."""
+    over expected_images — shared by the pairs oracle, the caption
+    gate (which nests it as a CTE) and the min_dim-gated variant."""
     E = EXPECTED_001
+    dim = (
+        f"WHERE (width IS NULL OR width >= {min_dim}) "
+        f"AND (height IS NULL OR height >= {min_dim}) "
+        if min_dim is not None
+        else ""
+    )
     return (
         f"WITH s AS (SELECT src_url, url AS page, {_host_sql('url')} AS "
         "src_host, alt_text, caption "
-        f"FROM read_parquet('{E}/expected_images.parquet')), "
+        f"FROM read_parquet('{E}/expected_images.parquet') {dim}), "
         "stats AS (SELECT src_url, count(*) AS n_refs, "
         "count(DISTINCT page) AS n_pages, "
         "count(DISTINCT src_host) AS n_src_hosts FROM s GROUP BY 1), "
@@ -6188,6 +6210,7 @@ def oracle_sql() -> dict[str, str]:
         # image pair mining: stats + modal-alt replay (the
         # anchor_text_index skeleton keyed by image src)
         "image_alt_pairs": _image_pairs_sql(),
+        "image_pairs_sized": _image_pairs_sql(min_dim=64),
         "page_av_refs": (
             "SELECT url, av_idx, kind, src_url, poster_url "
             f"FROM read_parquet('{E}/expected_av.parquet')"

@@ -92,18 +92,29 @@ def extract_image_refs(pages: DataFrame) -> DataFrame:
     )
 
 
-def image_alt_pairs(refs: DataFrame) -> DataFrame:
+def image_alt_pairs(refs: DataFrame, min_dim: int | None = None) -> DataFrame:
     """Per-image candidate caption table: (src_url, n_refs, n_pages,
     n_src_hosts, top_alt) — reference count, distinct referencing pages
     and hosts, and the modal NON-EMPTY alt text (ties by count desc
     then alt asc — total-order deterministic). top_alt is NULL when no
     reference carries a non-empty alt (nothing to caption with).
 
+    ``min_dim`` drops references whose DECLARED width or height is
+    below the bound before any aggregation — the pre-fetch tracking-
+    pixel/icon gate (a 1×1 beacon or 16×16 favicon never becomes a
+    fetch candidate; undeclared dims pass — absence of evidence is not
+    a verdict, the post-fetch decode gate re-checks real dims).
+
     Single-pass shape (audited on anchor_text_index): one (src_url,
     page, host, alt) aggregate, then every per-image stat as windows
     over that collapsed table — 2 Exchanges total."""
     from pyspark.sql import Window
 
+    if min_dim is not None:
+        refs = refs.filter(
+            (F.col("width").isNull() | (F.col("width") >= min_dim))
+            & (F.col("height").isNull() | (F.col("height") >= min_dim))
+        )
     lvl = (
         refs.select(
             "src_url",

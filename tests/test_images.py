@@ -437,3 +437,33 @@ class TestMergePairEvidence:
         assert c["evidence"] == "body" and c["caption_text"] is None
         d = got["https://i/d.jpg"]
         assert (d["evidence"], d["n_evidence"], d["caption_text"]) == ("og", 1, "card d")
+
+
+class TestMinDimGate:
+    def test_declared_small_refs_dropped_undeclared_pass(self, spark):
+        from pyocr_spark.operators.images import image_alt_pairs
+
+        refs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    # 1x1 beacon: declared tiny -> dropped
+                    ("https://p/1", 0, "https://i/px.gif", "x", None, 1, 1, None),
+                    # favicon-sized -> dropped
+                    ("https://p/1", 1, "https://i/ico.png", "x", None, 16, 16, None),
+                    # one small dim is enough to drop
+                    ("https://p/1", 2, "https://i/thin.png", "x", None, 640, 2, None),
+                    # undeclared dims pass
+                    ("https://p/1", 3, "https://i/real.jpg", "photo", None, None, None, None),
+                    # declared large pass
+                    ("https://p/2", 0, "https://i/big.jpg", "big", None, 640, 480, None),
+                ],
+                columns=[
+                    "url", "img_idx", "src_url", "alt_text",
+                    "title", "width", "height", "caption",
+                ],
+            )
+        )
+        gated = {r["src_url"] for r in image_alt_pairs(refs, min_dim=64).collect()}
+        assert gated == {"https://i/real.jpg", "https://i/big.jpg"}
+        ungated = {r["src_url"] for r in image_alt_pairs(refs).collect()}
+        assert len(ungated) == 5
