@@ -2233,7 +2233,12 @@ def _q_page_av_refs(spark, sf_dir):
     from pyocr_spark.operators.dedup import dedup_latest_page
     from pyocr_spark.operators.images import extract_av_refs
 
-    return extract_av_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    refs = extract_av_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    # array column -> joined scalar (the srcset_joined discipline)
+    return refs.select(
+        "url", "av_idx", "kind", "src_url", "poster_url",
+        F.concat_ws("|", "track_urls").alias("tracks_joined"),
+    )
 
 
 def _q_image_caption_quality(spark, sf_dir):
@@ -6212,7 +6217,8 @@ def oracle_sql() -> dict[str, str]:
         "image_alt_pairs": _image_pairs_sql(),
         "image_pairs_sized": _image_pairs_sql(min_dim=64),
         "page_av_refs": (
-            "SELECT url, av_idx, kind, src_url, poster_url "
+            "SELECT url, av_idx, kind, src_url, poster_url, "
+            "coalesce(array_to_string(track_urls, '|'), '') AS tracks_joined "
             f"FROM read_parquet('{E}/expected_av.parquet')"
         ),
         "image_evidence": (

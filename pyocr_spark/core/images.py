@@ -290,7 +290,7 @@ def parse_image_refs(html: bytes | str, page_url: str) -> list[ImageRef]:
     return out
 
 
-AvRef = tuple[str, str, "str | None", "str | None"]
+AvRef = tuple[str, str, "str | None", "str | None", "list[str]"]
 
 
 class _AvParser(HTMLParser):
@@ -302,13 +302,14 @@ class _AvParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         # (kind, src_raw, poster_raw) rows in document order
         self.rows: list[tuple[str, str, str | None]] = []
+        self.tracks: dict[int, list[str]] = {}  # row idx -> raw track srcs
         self.base: str | None = None
         self.base_from: int = 0
-        # open <video>/<audio>: (kind, poster, own_src_emitted_rows)
-        self._av: list[tuple[str, str | None]] | None = None
         self._av_kind: str | None = None
         self._av_poster: str | None = None
         self._av_emitted = False
+        self._av_row_idx: int | None = None
+        self._pending_tracks: list[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in ("video", "audio"):
@@ -321,9 +322,12 @@ class _AvParser(HTMLParser):
             self._av_kind = tag
             self._av_poster = poster if tag == "video" else None
             self._av_emitted = False
+            self._av_row_idx = None
+            self._pending_tracks = []
             if src is not None:
                 self.rows.append((tag, src, self._av_poster))
                 self._av_emitted = True
+                self._av_row_idx = len(self.rows) - 1
         elif tag == "source" and self._av_kind is not None:
             # first <source src> wins only if the element had no own src
             # and no earlier source emitted (browsers pick ONE source)
@@ -334,7 +338,24 @@ class _AvParser(HTMLParser):
                             (self._av_kind, value.strip(), self._av_poster)
                         )
                         self._av_emitted = True
+                        self._av_row_idx = len(self.rows) - 1
+                        if self._pending_tracks:
+                            self.tracks[self._av_row_idx] = list(
+                                self._pending_tracks
+                            )
                         break
+        elif tag == "track" and self._av_kind is not None:
+            # subtitle/caption track of the open av element — tracks may
+            # precede the source that emits the row, so buffer until then
+            for name, value in attrs:
+                if name == "src" and value is not None:
+                    if self._av_row_idx is not None:
+                        self.tracks.setdefault(self._av_row_idx, []).append(
+                            value.strip()
+                        )
+                    else:
+                        self._pending_tracks.append(value.strip())
+                    break
         elif tag == "base" and self.base is None:
             for name, value in attrs:
                 if name == "href" and value is not None:
@@ -347,6 +368,8 @@ class _AvParser(HTMLParser):
             self._av_kind = None
             self._av_poster = None
             self._av_emitted = False
+            self._av_row_idx = None
+            self._pending_tracks = []
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -361,7 +384,11 @@ def parse_av_refs(html: bytes | str, page_url: str) -> list[AvRef]:
     element's own ``src`` attr, else the FIRST ``<source src>`` child
     (browsers pick one source — emitting all would fabricate refs);
     ``poster`` resolved like src, video only, None when absent or not
-    http(s); non-http(s) src drops the row."""
+    http(s); non-http(s) src drops the row; ``track_urls`` = the
+    element's ``<track src>`` subtitle/caption urls (ALL of them —
+    unlike sources, every track is fetchable text, the AV-text
+    alignment substrate), document order, resolved+filtered like src,
+    [] when none."""
     if html is None or len(html) > MAX_HTML_BYTES:
         return []
     text = decode_replace(html)
@@ -392,5 +419,10 @@ def parse_av_refs(html: bytes | str, page_url: str) -> list[AvRef]:
         src_url = _resolve(root, src)
         if src_url is None:
             continue
-        out.append((kind, src_url, _resolve(root, poster)))
+        track_urls = [
+            u
+            for u in (_resolve(root, t) for t in parser.tracks.get(i, []))
+            if u is not None
+        ]
+        out.append((kind, src_url, _resolve(root, poster), track_urls))
     return out

@@ -242,7 +242,10 @@ def caption_quality(pairs: DataFrame) -> DataFrame:
     )
 
 
-AV_REFS_DDL = "url string, av_idx int, kind string, src_url string, poster_url string"
+AV_REFS_DDL = (
+    "url string, av_idx int, kind string, src_url string, "
+    "poster_url string, track_urls array<string>"
+)
 
 
 def _av_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,15 +257,19 @@ def _av_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds: list[str] = []
         srcs: list[str] = []
         posters: list[str | None] = []
+        trackss: list[list[str]] = []
         for url, html in zip(pdf["url"], pdf["html"]):
             if url is None:
                 continue
-            for i, (kind, src, poster) in enumerate(parse_av_refs(html, url)):
+            for i, (kind, src, poster, tracks) in enumerate(
+                parse_av_refs(html, url)
+            ):
                 urls.append(url)
                 idxs.append(i)
                 kinds.append(kind)
                 srcs.append(src)
                 posters.append(poster)
+                trackss.append(tracks)
         yield pd.DataFrame(
             {
                 "url": urls,
@@ -270,6 +277,7 @@ def _av_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "kind": kinds,
                 "src_url": srcs,
                 "poster_url": pd.Series(posters, dtype=object),
+                "track_urls": pd.Series(trackss, dtype=object),
             }
         )
 

@@ -302,10 +302,30 @@ class TestAvRefs:
         )
         assert parse_av_refs(html, BASE) == [
             ("video", "https://host.example.com/v.mp4",
-             "https://host.example.com/p.jpg"),
+             "https://host.example.com/p.jpg", []),
             ("video", "https://host.example.com/s1.webm",
-             "https://host.example.com/dir/pp.png"),
-            ("audio", "https://host.example.com/a.ogg", None),
+             "https://host.example.com/dir/pp.png", []),
+            ("audio", "https://host.example.com/a.ogg", None, []),
+        ]
+
+    def test_tracks_collected_before_and_after_source(self):
+        from pyocr_spark.core.images import parse_av_refs
+
+        html = _page(
+            '<video src="/v.mp4"><track src="/en.vtt"><track src="de.vtt">'
+            '<track src="data:text/vtt,x"></video>'
+            '<video><track src="/pre.vtt"><source src="/s.webm">'
+            '<track src="/post.vtt"></video>'
+            '<track src="/orphan.vtt">'
+        )
+        rows = parse_av_refs(html, BASE)
+        assert rows[0][3] == [
+            "https://host.example.com/en.vtt",
+            "https://host.example.com/dir/de.vtt",
+        ]
+        assert rows[1][3] == [
+            "https://host.example.com/pre.vtt",
+            "https://host.example.com/post.vtt",
         ]
 
     def test_spark_matches_expected_table(self, spark, pages_sf0001):
@@ -328,6 +348,9 @@ class TestAvRefs:
         assert len(got) == len(want) > 0
         for col in ["url", "av_idx", "kind", "src_url", "poster_url"]:
             assert got[col].tolist() == want[col].tolist(), col
+        assert [list(x) for x in got["track_urls"]] == [
+            list(x) for x in want["track_urls"]
+        ]
 
 
 class TestOgImagePairs:
@@ -368,6 +391,7 @@ class TestFuzzHarvestParsers:
         b"<picture>", b"</picture>", b"<source srcset='", b"<source",
         b"<figure>", b"</figure>", b"<figcaption>", b"</figcaption>",
         b"<video", b"<audio>", b"poster='p.jpg'", b"src='data:x,y'",
+        b"<track src='/t.vtt'", b"<track", b"srclang='en'",
         b"<base href='https://o.org/x/'>", b"<base href='%%'>",
         b"'>", b'">', b">", b"<!--", b"-->", b"\xff\xfe", b"\xe9", b"\x00",
         b"&amp;", b"&#x41;", b"&bogus;", b"http://[::1]:80/x",
@@ -393,12 +417,13 @@ class TestFuzzHarvestParsers:
     def test_parse_av_refs_never_raises(self, page):
         from pyocr_spark.core.images import parse_av_refs
 
-        for kind, src, poster in parse_av_refs(
+        for kind, src, poster, tracks in parse_av_refs(
             page, "https://h.example.com/d/p.html"
         ):
             assert kind in ("video", "audio")
             assert src.startswith(("http://", "https://"))
             assert poster is None or poster.startswith(("http://", "https://"))
+            assert all(t.startswith(("http://", "https://")) for t in tracks)
 
 
 class TestMergePairEvidence:
