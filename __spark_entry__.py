@@ -2467,6 +2467,22 @@ def _q_host_coreness(spark, sf_dir):
     return host_coreness(host_graph(_outlinks(spark, sf_dir)), rounds=8)
 
 
+def _q_host_quality_report(spark, sf_dir):
+    """The spam-triage dashboard (operators/webgraph.host_quality_report):
+    rank + coreness + triangles/lcc + reciprocity joined per host — the
+    signals triangulate farms vs organic hubs. Oracle nests the four
+    replays (pagerank, coreness, triangles, reciprocity) around the
+    same left joins."""
+    from pyocr_spark.operators.webgraph import (
+        host_graph,
+        host_quality_report,
+        host_reciprocity,
+    )
+
+    links = _outlinks(spark, sf_dir).localCheckpoint(eager=True)
+    return host_quality_report(host_graph(links), host_reciprocity(links))
+
+
 def _q_host_degree_knn(spark, sf_dir):
     """Degree-correlation curve knn(k) over the host graph (operators/
     webgraph.degree_correlation, Pastor-Satorras 2001): per degree the
@@ -3426,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": _q_host_triangles,
         "host_degree_knn": _q_host_degree_knn,
         "host_coreness": _q_host_coreness,
+        "host_quality_report": _q_host_quality_report,
         "embedding_dups": _q_embedding_dups,
         "bitext_candidates": _q_bitext_candidates,
         "emb_hard_negatives": _q_emb_hard_negatives,
@@ -4310,6 +4327,56 @@ def _docs_zorder_oracle_sql() -> str:
     return (
         f"WITH q AS (SELECT doc_id, {q_chars} AS q0, {q_id} AS q1 FROM documents) "
         f"SELECT doc_id, {zorder_value_sql(['q0', 'q1'])} AS zval FROM q"
+    )
+
+
+def _reciprocity_sql() -> str:
+    """host_reciprocity replay — shared by its own oracle and the
+    host_quality_report join."""
+    return (
+
+            f"WITH hp AS ({_host_edges_sql()}), "
+            "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp "
+            "WHERE src_host != dst_host), "
+            "m AS (SELECT e.src, e.dst FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src), "
+            "po AS (SELECT src, count(*) AS n_out FROM e GROUP BY src), "
+            "pm AS (SELECT src, count(*) AS n_mutual FROM m GROUP BY src) "
+            "SELECT po.src AS host, CAST(po.n_out AS BIGINT) AS n_out, "
+            "CAST(coalesce(pm.n_mutual, 0) AS BIGINT) AS n_mutual, "
+            "CAST((1000000 * coalesce(pm.n_mutual, 0)) // po.n_out AS BIGINT) AS reciprocity_micro "
+            "FROM po LEFT JOIN pm ON pm.src = po.src"
+    )
+
+
+def _triangles_sql() -> str:
+    """host_triangles replay (degree-ordered edge iterator) — shared by
+    its own oracle and the host_quality_report join."""
+    return (
+
+            f"WITH hp AS MATERIALIZED ({_host_edges_sql()}), "
+            "und AS MATERIALIZED (SELECT DISTINCT "
+            "least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b "
+            "FROM hp WHERE src_host != dst_host), "
+            "deg AS MATERIALIZED (SELECT host, count(*) AS degree FROM "
+            "(SELECT a AS host FROM und UNION ALL SELECT b FROM und) GROUP BY host), "
+            "o AS MATERIALIZED (SELECT CASE WHEN da.degree < db.degree "
+            "OR (da.degree = db.degree AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
+            "CASE WHEN da.degree < db.degree "
+            "OR (da.degree = db.degree AND u.a < u.b) THEN u.b ELSE u.a END AS v "
+            "FROM und u JOIN deg da ON da.host = u.a JOIN deg db ON db.host = u.b), "
+            "wed AS (SELECT l.u, l.v AS w1, r.v AS w2 FROM o l "
+            "JOIN o r ON l.u = r.u AND l.v < r.v), "
+            "tri AS (SELECT w.u, w.w1, w.w2 FROM wed w "
+            "JOIN und c ON c.a = w.w1 AND c.b = w.w2), "
+            "corners AS (SELECT host, count(*) AS triangles FROM "
+            "(SELECT u AS host FROM tri UNION ALL SELECT w1 FROM tri "
+            "UNION ALL SELECT w2 FROM tri) GROUP BY host) "
+            "SELECT d.host, d.degree, "
+            "CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles, "
+            "CAST(CASE WHEN d.degree >= 2 THEN (1000000 * 2 * "
+            "coalesce(c.triangles, 0)) // (d.degree * (d.degree - 1)) "
+            "ELSE 0 END AS BIGINT) AS lcc_micro "
+            "FROM deg d LEFT JOIN corners c ON c.host = d.host"
     )
 
 
@@ -6350,18 +6417,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # reciprocity: distinct cross-host edges, reverse intersect,
         # exact integer micro ratio
-        "host_reciprocity": (
-            f"WITH hp AS ({_host_edges_sql()}), "
-            "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hp "
-            "WHERE src_host != dst_host), "
-            "m AS (SELECT e.src, e.dst FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src), "
-            "po AS (SELECT src, count(*) AS n_out FROM e GROUP BY src), "
-            "pm AS (SELECT src, count(*) AS n_mutual FROM m GROUP BY src) "
-            "SELECT po.src AS host, CAST(po.n_out AS BIGINT) AS n_out, "
-            "CAST(coalesce(pm.n_mutual, 0) AS BIGINT) AS n_mutual, "
-            "CAST((1000000 * coalesce(pm.n_mutual, 0)) // po.n_out AS BIGINT) AS reciprocity_micro "
-            "FROM po LEFT JOIN pm ON pm.src = po.src"
-        ),
+        "host_reciprocity": _reciprocity_sql(),
         "host_graph": (
             f"WITH hp AS ({_host_edges_sql()}) "
             "SELECT src_host, dst_host, count(*) AS n_links "
@@ -6523,6 +6579,21 @@ def oracle_sql() -> dict[str, str]:
         "host_components_star": host_components_sql,
         "host_communities": _lpa_sql(4),
         "host_coreness": _coreness_sql(8),
+        "host_quality_report": (
+            f"WITH rk AS ({_pagerank_sql(10)}), "
+            f"co AS ({_coreness_sql(8)}), "
+            f"tr AS ({_triangles_sql()}), "
+            f"re AS ({_reciprocity_sql()}) "
+            "SELECT rk.host, rk.rank, "
+            "CAST(coalesce(co.coreness, 0) AS BIGINT) AS coreness, "
+            "CAST(coalesce(tr.degree, 0) AS BIGINT) AS degree, "
+            "CAST(coalesce(tr.triangles, 0) AS BIGINT) AS triangles, "
+            "CAST(coalesce(tr.lcc_micro, 0) AS BIGINT) AS lcc_micro, "
+            "re.reciprocity_micro "
+            "FROM rk LEFT JOIN co ON co.host = rk.host "
+            "LEFT JOIN tr ON tr.host = rk.host "
+            "LEFT JOIN re ON re.host = rk.host"
+        ),
         "host_harmonic": _hyperball_sql(4),
         "host_neighborhood_fn": _hyperball_nf_sql(4),
         # knn(k): undirected-both-ways edge list, double degree join,
@@ -6545,32 +6616,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # triangles: degree-ordered edge-iterator replay — orientation,
         # wedge self-join, closing-edge probe, 3-corner credit
-        "host_triangles": (
-            f"WITH hp AS MATERIALIZED ({_host_edges_sql()}), "
-            "und AS MATERIALIZED (SELECT DISTINCT "
-            "least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b "
-            "FROM hp WHERE src_host != dst_host), "
-            "deg AS MATERIALIZED (SELECT host, count(*) AS degree FROM "
-            "(SELECT a AS host FROM und UNION ALL SELECT b FROM und) GROUP BY host), "
-            "o AS MATERIALIZED (SELECT CASE WHEN da.degree < db.degree "
-            "OR (da.degree = db.degree AND u.a < u.b) THEN u.a ELSE u.b END AS u, "
-            "CASE WHEN da.degree < db.degree "
-            "OR (da.degree = db.degree AND u.a < u.b) THEN u.b ELSE u.a END AS v "
-            "FROM und u JOIN deg da ON da.host = u.a JOIN deg db ON db.host = u.b), "
-            "wed AS (SELECT l.u, l.v AS w1, r.v AS w2 FROM o l "
-            "JOIN o r ON l.u = r.u AND l.v < r.v), "
-            "tri AS (SELECT w.u, w.w1, w.w2 FROM wed w "
-            "JOIN und c ON c.a = w.w1 AND c.b = w.w2), "
-            "corners AS (SELECT host, count(*) AS triangles FROM "
-            "(SELECT u AS host FROM tri UNION ALL SELECT w1 FROM tri "
-            "UNION ALL SELECT w2 FROM tri) GROUP BY host) "
-            "SELECT d.host, d.degree, "
-            "CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles, "
-            "CAST(CASE WHEN d.degree >= 2 THEN (1000000 * 2 * "
-            "coalesce(c.triangles, 0)) // (d.degree * (d.degree - 1)) "
-            "ELSE 0 END AS BIGINT) AS lcc_micro "
-            "FROM deg d LEFT JOIN corners c ON c.host = d.host"
-        ),
+        "host_triangles": _triangles_sql(),
         "host_stats": (
             f"SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_pages, CAST(sum(octet_length(html)) AS BIGINT) AS total_html_bytes "

@@ -1266,3 +1266,54 @@ def host_coreness(
     out = vals.select("host", F.col("val").alias("coreness"))
     both.unpersist()
     return out
+
+
+def host_quality_report(
+    edges: DataFrame,
+    reciprocity: DataFrame,
+    pagerank_iterations: int = 10,
+    coreness_rounds: int = 8,
+) -> DataFrame:
+    """The spam-triage dashboard: every link-analysis signal of this
+    module joined into one row per host — rank (authority), coreness
+    (dense-core membership), degree + triangles + lcc (farm-clique
+    geometry), reciprocity (link-exchange tell). The signals
+    triangulate: a link farm scores high coreness/lcc/reciprocity with
+    modest rank; an organic hub scores high rank with lcc ≈ 0.
+
+    ``reciprocity`` is the host_reciprocity table (computed from
+    outlinks — it needs distinct TARGET counts the collapsed edge
+    table no longer has); rank/coreness/triangles run over ONE
+    persisted copy of ``edges``. Three left equi-joins from the rank
+    table (rank covers every host). Missing triangle/coreness rows
+    coalesce to 0 (no wedge ≠ unknown); reciprocity stays NULL for
+    hosts with no out-edges — "never links out" is itself a signal and
+    0 would forge "links out, never reciprocated"."""
+    e = edges.persist()
+    rank = pagerank_hosts(e, iterations=pagerank_iterations)
+    core = host_coreness(e, rounds=coreness_rounds)
+    tri = host_triangles(e)
+    rec = reciprocity.select("host", "reciprocity_micro")
+    out = (
+        rank.join(core, "host", "left")
+        .join(tri, "host", "left")
+        .join(rec, "host", "left")
+        .select(
+            "host",
+            "rank",
+            F.coalesce(F.col("coreness"), F.lit(0).cast("long")).alias(
+                "coreness"
+            ),
+            F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            F.coalesce(F.col("lcc_micro"), F.lit(0).cast("long")).alias(
+                "lcc_micro"
+            ),
+            "reciprocity_micro",
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    return out

@@ -1133,3 +1133,48 @@ class TestHostCoreness:
         assert a == b
         with pytest.raises(ValueError, match="rounds"):
             host_coreness(df, rounds=0)
+
+
+class TestHostQualityReport:
+    def test_signals_triangulate(self, spark):
+        from pyocr_spark.operators.webgraph import (
+            host_quality_report,
+            host_reciprocity,
+        )
+
+        # farm: a reciprocal triangle; organic: leaves -> hub, hub -> out
+        farm = [("f1", "f2"), ("f2", "f1"), ("f2", "f3"), ("f3", "f2"),
+                ("f3", "f1"), ("f1", "f3")]
+        organic = [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("hub", "ext")]
+        links = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (f"https://{s}/p", 0, f"https://{d}/x", "", False)
+                    for s, d in farm + organic
+                ],
+                columns=["url", "link_idx", "target_url", "anchor_text", "nofollow"],
+            )
+        )
+        from pyocr_spark.operators.webgraph import host_graph
+
+        got = {
+            r["host"]: r
+            for r in host_quality_report(
+                host_graph(links), host_reciprocity(links), pagerank_iterations=4,
+                coreness_rounds=4,
+            ).collect()
+        }
+        f = got["f1"]
+        assert f["coreness"] == 2 and f["triangles"] == 1
+        assert f["lcc_micro"] == 1000000
+        assert f["reciprocity_micro"] == 1000000
+        h = got["hub"]
+        assert h["triangles"] == 0 and h["lcc_micro"] == 0
+        assert h["reciprocity_micro"] == 0  # links out, never reciprocated
+        l = got["l1"]
+        assert l["coreness"] == 1
+        e = got["ext"]
+        assert e["reciprocity_micro"] is None  # never links out: NULL, not 0
+        # every host in the graph has a row + a rank
+        assert set(got) == {"f1", "f2", "f3", "l1", "l2", "l3", "hub", "ext"}
+        assert all(r["rank"] > 0 for r in got.values())
