@@ -2172,6 +2172,18 @@ def _q_multimodal_manifest(spark, sf_dir):
     return multimodal_manifest(pairs, robots, agent=ROBOTS_AGENT)
 
 
+def _q_av_track_pairs(spark, sf_dir):
+    """AV-text alignment manifest (operators/images.av_track_pairs):
+    (subtitle url, media url, kind, n_pages) — the third modality's
+    pair table beside image/caption and og-card evidence."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import av_track_pairs, extract_av_refs
+
+    return av_track_pairs(
+        extract_av_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    )
+
+
 def _q_og_image_pairs(spark, sf_dir):
     """Social-card (og:image, caption) evidence (operators/images.
     og_image_pairs): per declared card image the page count and modal
@@ -3406,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_quality": _q_image_caption_quality,
         "page_av_refs": _q_page_av_refs,
         "og_image_pairs": _q_og_image_pairs,
+        "av_track_pairs": _q_av_track_pairs,
         "image_evidence": _q_image_evidence,
         "image_pairs_sized": _q_image_pairs_sized,
         "multimodal_manifest": _q_multimodal_manifest,
@@ -6311,6 +6324,13 @@ def oracle_sql() -> dict[str, str]:
             "AS n_evidence, "
             "coalesce(b.top_caption, o.top_caption, b.top_alt) AS caption_text "
             "FROM b FULL OUTER JOIN o ON o.src_url = b.src_url"
+        ),
+        "av_track_pairs": (
+            "WITH x AS (SELECT unnest(track_urls) AS track_url, "
+            "src_url AS media_url, kind, url "
+            f"FROM read_parquet('{E}/expected_av.parquet')) "
+            "SELECT track_url, media_url, kind, "
+            "count(DISTINCT url) AS n_pages FROM x GROUP BY 1, 2, 3"
         ),
         "og_image_pairs": (
             "WITH s AS (SELECT og_image AS src_url, "

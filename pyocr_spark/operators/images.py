@@ -404,3 +404,20 @@ def merge_pair_evidence(pairs: DataFrame, og: DataFrame) -> DataFrame:
             F.col("_b_cap"), F.col("_o_cap"), F.col("_b_alt")
         ).alias("caption_text"),
     )
+
+
+def av_track_pairs(refs: DataFrame) -> DataFrame:
+    """The AV-text alignment manifest: every (subtitle url, media url)
+    pair with page-evidence counts — the fetch list for ASR/AV-caption
+    training data, the third modality beside (image, alt/figcaption)
+    and (og:image, card text). One explode + one partial-agg groupBy
+    over the already-narrow refs table."""
+    x = refs.select(
+        "kind",
+        F.col("src_url").alias("media_url"),
+        F.col("url").alias("page"),
+        F.explode("track_urls").alias("track_url"),
+    )
+    return x.groupBy("track_url", "media_url", "kind").agg(
+        F.countDistinct("page").alias("n_pages")
+    )
