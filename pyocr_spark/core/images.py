@@ -312,7 +312,15 @@ class _AvParser(HTMLParser):
         self._pending_tracks: list[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in ("video", "audio"):
+        if tag == "iframe":
+            # platform embeds (the dominant AV source on the real web —
+            # a crawl sees far more youtube iframes than native <video>):
+            # kind='embed', no poster, no tracks
+            for name, value in attrs:
+                if name == "src" and value is not None:
+                    self.rows.append(("embed", value.strip(), None))
+                    break
+        elif tag in ("video", "audio"):
             src = poster = None
             for name, value in attrs:
                 if name == "src" and src is None and value is not None:
@@ -384,7 +392,10 @@ def parse_av_refs(html: bytes | str, page_url: str) -> list[AvRef]:
     element's own ``src`` attr, else the FIRST ``<source src>`` child
     (browsers pick one source — emitting all would fabricate refs);
     ``poster`` resolved like src, video only, None when absent or not
-    http(s); non-http(s) src drops the row; ``track_urls`` = the
+    http(s); non-http(s) src drops the row; ``<iframe src>`` emits a
+    kind='embed' row (platform AV embeds — no poster/tracks; fragment
+    dropped, scheme-filtered like everything else; about:/javascript:
+    and srcdoc-only iframes never become rows); ``track_urls`` = the
     element's ``<track src>`` subtitle/caption urls (ALL of them —
     unlike sources, every track is fetchable text, the AV-text
     alignment substrate), document order, resolved+filtered like src,

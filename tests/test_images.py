@@ -328,6 +328,21 @@ class TestAvRefs:
             "https://host.example.com/post.vtt",
         ]
 
+    def test_iframe_embeds_and_srcdoc(self):
+        from pyocr_spark.core.images import parse_av_refs
+
+        html = _page(
+            '<iframe src="https://tube.example/embed/a1?rel=0#t"></iframe>'
+            '<iframe src="/f.html"></iframe>'
+            '<iframe srcdoc="<p>x</p>"></iframe>'
+            '<iframe src="about:blank"></iframe>'
+            '<iframe src="javascript:void(0)"></iframe>'
+        )
+        assert parse_av_refs(html, BASE) == [
+            ("embed", "https://tube.example/embed/a1?rel=0", None, []),
+            ("embed", "https://host.example.com/f.html", None, []),
+        ]
+
     def test_spark_matches_expected_table(self, spark, pages_sf0001):
         from pyocr_spark.operators.dedup import dedup_latest_page
         from pyocr_spark.operators.images import extract_av_refs
