@@ -2184,6 +2184,20 @@ def _q_av_track_pairs(spark, sf_dir):
     )
 
 
+def _q_av_fetch_plan(spark, sf_dir):
+    """Polite AV fetch list (operators/images.av_fetch_plan): distinct
+    media/embed urls with evidence counts, robots-gated, per-media-host
+    queue — image_fetch_plan's twin for the AV modality."""
+    from pyocr_spark.datagen import ROBOTS_AGENT, ensure_pages
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.images import av_fetch_plan, extract_av_refs
+
+    d = ensure_pages(sf_dir)
+    refs = extract_av_refs(dedup_latest_page(_pages(spark, sf_dir)))
+    robots = spark.read.parquet(str(d / "robots.parquet"))
+    return av_fetch_plan(refs, robots, agent=ROBOTS_AGENT)
+
+
 def _q_og_image_pairs(spark, sf_dir):
     """Social-card (og:image, caption) evidence (operators/images.
     og_image_pairs): per declared card image the page count and modal
@@ -3419,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_av_refs": _q_page_av_refs,
         "og_image_pairs": _q_og_image_pairs,
         "av_track_pairs": _q_av_track_pairs,
+        "av_fetch_plan": _q_av_fetch_plan,
         "image_evidence": _q_image_evidence,
         "image_pairs_sized": _q_image_pairs_sized,
         "multimodal_manifest": _q_multimodal_manifest,
@@ -6324,6 +6339,18 @@ def oracle_sql() -> dict[str, str]:
             "AS n_evidence, "
             "coalesce(b.top_caption, o.top_caption, b.top_alt) AS caption_text "
             "FROM b FULL OUTER JOIN o ON o.src_url = b.src_url"
+        ),
+        "av_fetch_plan": (
+            "WITH cand AS (SELECT kind, src_url, "
+            "count(DISTINCT url) AS n_pages "
+            f"FROM read_parquet('{E}/expected_av.parquet') GROUP BY 1, 2), "
+            "gated AS (SELECT c.* FROM cand c "
+            f"LEFT JOIN read_parquet('{E}/expected_robots.parquet') er "
+            "ON er.url = c.src_url WHERE coalesce(er.robots_allowed, TRUE)) "
+            f"SELECT src_url, kind, {_host_sql('src_url')} AS media_host, "
+            "CAST(row_number() OVER (PARTITION BY "
+            f"{_host_sql('src_url')} ORDER BY n_pages DESC, src_url ASC) "
+            "AS INT) AS fetch_order, n_pages FROM gated"
         ),
         "av_track_pairs": (
             "WITH x AS (SELECT unnest(track_urls) AS track_url, "

@@ -421,3 +421,34 @@ def av_track_pairs(refs: DataFrame) -> DataFrame:
     return x.groupBy("track_url", "media_url", "kind").agg(
         F.countDistinct("page").alias("n_pages")
     )
+
+
+def av_fetch_plan(
+    refs: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+) -> DataFrame:
+    """The polite AV fetch list — image_fetch_plan's twin for media:
+    distinct (kind, src_url) candidates with page-evidence counts,
+    robots-gated on the media url, ordered per media host by evidence
+    (n_pages desc, src_url asc). Embeds rank beside native sources —
+    the fetcher decides per kind what "fetch" means (bytes vs oEmbed).
+
+    One partial-agg collapse + the JVM robots gate + one window per
+    media host."""
+    from pyspark.sql import Window
+
+    from pyocr_spark.operators.robotstxt import robots_txt_gate
+
+    cand = refs.groupBy("kind", "src_url").agg(
+        F.countDistinct("url").alias("n_pages")
+    )
+    gated = robots_txt_gate(cand, robots, agent=agent, url_col="src_url")
+    w = Window.partitionBy("media_host").orderBy(
+        F.desc("n_pages"), F.asc("src_url")
+    )
+    return (
+        gated.withColumn("media_host", url_host(F.col("src_url")))
+        .withColumn("fetch_order", F.row_number().over(w))
+        .select("src_url", "kind", "media_host", "fetch_order", "n_pages")
+    )

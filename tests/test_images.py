@@ -507,3 +507,32 @@ class TestMinDimGate:
         assert gated == {"https://i/real.jpg", "https://i/big.jpg"}
         ungated = {r["src_url"] for r in image_alt_pairs(refs).collect()}
         assert len(ungated) == 5
+
+
+class TestAvFetchPlan:
+    def test_gate_and_queue(self, spark):
+        from pyocr_spark.operators.images import av_fetch_plan
+
+        refs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("https://p/1", 0, "video", "https://m.a/v1.mp4", None, []),
+                    ("https://p/2", 0, "video", "https://m.a/v1.mp4", None, []),
+                    ("https://p/2", 1, "embed", "https://m.a/e1", None, []),
+                    ("https://p/1", 1, "audio", "https://m.b/private/a.ogg", None, []),
+                ],
+                columns=["url", "av_idx", "kind", "src_url", "poster_url", "track_urls"],
+            )
+        )
+        robots = spark.createDataFrame(
+            pd.DataFrame(
+                [("m.b", "User-agent: *\nDisallow: /private/\n")],
+                columns=["host", "robots_txt"],
+            )
+        )
+        got = {r["src_url"]: r for r in av_fetch_plan(refs, robots).collect()}
+        assert "https://m.b/private/a.ogg" not in got
+        v = got["https://m.a/v1.mp4"]
+        assert (v["n_pages"], v["fetch_order"], v["kind"]) == (2, 1, "video")
+        e = got["https://m.a/e1"]
+        assert (e["n_pages"], e["fetch_order"]) == (1, 2)
