@@ -1085,6 +1085,58 @@ def _q_doc_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def _mixed_lang_docs(spark, sf_dir):
+    """Derived mixed-language documents table: the raw documents are
+    single-paragraph (and predict only en/und), so marker paragraphs are
+    appended deterministically by doc_id — 2-paragraph de-mixed docs,
+    3-paragraph fr+de docs, zh-appended docs, and untouched solo docs.
+    Replayed literally in the oracle (chr(10) newlines)."""
+    d = _docs(spark, sf_dir)
+    extra = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("\n\nder hund und die katze und der vogel"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit(
+                "\n\nle chat et les chiens et le chien"
+                "\n\nder hund und die katze"
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 3, F.lit("\n\n的是了的是"))
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+
+
+def _q_doc_para_lang(spark, sf_dir):
+    """Per-paragraph language ID (functions/paralang.paragraph_lang):
+    CCNet-style paragraph-granular lang routing over mixed-language
+    docs — narrow explode + codegen marker argmax, no shuffle."""
+    from pyocr_spark.functions.paralang import paragraph_lang
+
+    return paragraph_lang(_mixed_lang_docs(spark, sf_dir))
+
+
+def _q_doc_lang_profile(spark, sf_dir):
+    """Doc mixed-language profile (functions/paralang.doc_lang_profile):
+    token-mass majority language, purity fraction, distinct-language
+    count — the paragraph gate's decision surface."""
+    from pyocr_spark.functions.paralang import doc_lang_profile
+
+    return doc_lang_profile(_mixed_lang_docs(spark, sf_dir))
+
+
+def _q_docs_majority_lang(spark, sf_dir):
+    """The CCNet keep rule materialized (filter_majority_lang): each doc
+    rebuilt from only its majority-language paragraphs, document order
+    preserved; und-majority docs pass through whole."""
+    from pyocr_spark.functions.paralang import filter_majority_lang
+
+    return filter_majority_lang(_mixed_lang_docs(spark, sf_dir))
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from pyocr_spark.functions.text_stats import fingerprint
 
@@ -3352,6 +3404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_blockword": _q_docs_blockword,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_para_lang": _q_doc_para_lang,
+        "doc_lang_profile": _q_doc_lang_profile,
+        "docs_majority_lang": _q_docs_majority_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "docs_zorder": _q_docs_zorder,
@@ -5684,6 +5739,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_gopher_rep": _GOPHER_REP_SQL,
         "doc_lang_id": _LANG_ID_SQL,
+        "doc_para_lang": _DOC_PARA_LANG_SQL,
+        "doc_lang_profile": _DOC_LANG_PROFILE_SQL,
+        "docs_majority_lang": _DOCS_MAJORITY_LANG_SQL,
         "doc_fingerprint": (
             "SELECT doc_id, md5(substr(lower(regexp_replace(text, '[\\t\\n\\f\\r ]+', ' ', 'g')), 1, 64) "
             "|| '|' || CAST(length(lower(regexp_replace(text, '[\\t\\n\\f\\r ]+', ' ', 'g'))) AS VARCHAR)) "
@@ -6920,19 +6978,20 @@ _LANG_MARKERS_SQL = {
 }
 
 
-def _lang_hits_sql(lang: str, words: tuple[str, ...]) -> str:
+def _lang_hits_sql(lang: str, words: tuple[str, ...], col: str = "text") -> str:
     """Replays text_stats._marker_count: exact-token membership for
     space-delimited scripts, substring occurrence counting for zh (a
-    tokenizer split can never see a marker inside unsegmented CJK)."""
+    tokenizer split can never see a marker inside unsegmented CJK).
+    ``col`` selects the scored column (whole doc, or one paragraph)."""
     if lang == "zh":
         terms = " + ".join(
-            f"(length(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) - length(replace(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '{w}', ''))) / {len(w)}"
+            f"(length(regexp_replace({col}, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g')) - length(replace(regexp_replace({col}, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '{w}', ''))) / {len(w)}"
             for w in words
         )
         return f"CAST({terms} AS INT) AS h_{lang}"
     in_list = ",".join(f"'{w}'" for w in words)
     return (
-        "len(list_filter(regexp_split_to_array(regexp_replace(text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
+        f"len(list_filter(regexp_split_to_array(regexp_replace({col}, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+'), "
         f"x -> list_contains([{in_list}], x))) AS h_{lang}"
     )
 
@@ -6949,4 +7008,72 @@ _LANG_ID_SQL = (
     " WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'"
     " WHEN h_fr = best THEN 'fr' WHEN h_zh = best THEN 'zh' ELSE 'und' END AS lang_pred,"
     " best AS best_hits FROM g"
+)
+
+# paragraph-level language ID (functions/paralang): the mixed-docs
+# derivation, the frozen paragraph split, and the per-paragraph marker
+# argmax — shared WITH-prefix for the three paralang oracles.
+_PARA_WS_STRIP = "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$'"
+_PARALANG_PREFIX_SQL = (
+    "WITH mixed AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 1 THEN chr(10)||chr(10)||'der hund und die katze und der vogel'"
+    " WHEN 2 THEN chr(10)||chr(10)||'le chat et les chiens et le chien'"
+    "||chr(10)||chr(10)||'der hund und die katze'"
+    " WHEN 3 THEN chr(10)||chr(10)||'的是了的是'"
+    " ELSE '' END AS text FROM documents),"
+    " parr AS (SELECT doc_id, list_filter(list_transform("
+    "regexp_split_to_array(regexp_replace(text, '\\r\\n|\\r', chr(10), 'g'), '\\n\\n+'),"
+    f" x -> regexp_replace(x, {_PARA_WS_STRIP}, '', 'g')), x -> x != '') AS ps FROM mixed),"
+    " paras AS (SELECT doc_id, CAST(generate_subscripts(ps, 1) - 1 AS INT) AS para_idx,"
+    " unnest(ps) AS para FROM parr),"
+    " ph AS (SELECT doc_id, para_idx, para, "
+    + ", ".join(
+        _lang_hits_sql(lang, words, col="para")
+        for lang, words in sorted(_LANG_MARKERS_SQL.items())
+    )
+    + " FROM paras),"
+    " pl AS (SELECT doc_id, para_idx, para,"
+    " len(regexp_split_to_array(para, '[\\t\\n\\f\\r ]+')) AS para_tokens,"
+    " CASE WHEN best = 0 THEN 'und' WHEN h_de = best THEN 'de'"
+    " WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'"
+    " WHEN h_fr = best THEN 'fr' WHEN h_zh = best THEN 'zh' ELSE 'und' END AS para_lang,"
+    " best AS para_hits FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS best FROM ph))"
+)
+
+_DOC_PARA_LANG_SQL = (
+    _PARALANG_PREFIX_SQL
+    + " SELECT doc_id, para_idx, para, para_tokens, para_lang, para_hits FROM pl"
+)
+
+_PARALANG_PROFILE_CTES = (
+    ", per AS (SELECT doc_id, para_lang, CAST(sum(para_tokens) AS BIGINT) AS lang_tokens"
+    " FROM pl GROUP BY 1, 2),"
+    " mj AS (SELECT doc_id, para_lang AS major_lang, lang_tokens AS major_tokens,"
+    " row_number() OVER (PARTITION BY doc_id ORDER BY lang_tokens DESC, para_lang ASC) AS rn"
+    " FROM per WHERE para_lang != 'und'),"
+    " tot AS (SELECT doc_id, CAST(sum(para_tokens) AS BIGINT) AS doc_tokens,"
+    " count(*) AS n_paras,"
+    " count(DISTINCT CASE WHEN para_lang != 'und' THEN para_lang END) AS n_langs"
+    " FROM pl GROUP BY 1),"
+    " prof AS (SELECT t.doc_id, coalesce(m.major_lang, 'und') AS major_lang,"
+    " coalesce(m.major_tokens, 0) AS major_tokens, t.doc_tokens, t.n_paras, t.n_langs,"
+    " CASE WHEN t.doc_tokens > 0 THEN coalesce(m.major_tokens, 0) / CAST(t.doc_tokens AS DOUBLE)"
+    " ELSE 0.0 END AS major_token_frac, t.n_langs >= 2 AS mixed"
+    " FROM tot t LEFT JOIN (SELECT * FROM mj WHERE rn = 1) m USING (doc_id))"
+)
+
+_DOC_LANG_PROFILE_SQL = (
+    _PARALANG_PREFIX_SQL + _PARALANG_PROFILE_CTES + " SELECT * FROM prof"
+)
+
+_DOCS_MAJORITY_LANG_SQL = (
+    _PARALANG_PREFIX_SQL
+    + _PARALANG_PROFILE_CTES
+    + ", keep AS (SELECT p.doc_id, p.para_idx, p.para, p.para_tokens, f.major_lang"
+    " FROM pl p JOIN prof f USING (doc_id)"
+    " WHERE f.major_lang = 'und' OR p.para_lang = f.major_lang)"
+    " SELECT doc_id, major_lang,"
+    " string_agg(para, chr(10)||chr(10) ORDER BY para_idx) AS text,"
+    " count(*) AS kept_paras, CAST(sum(para_tokens) AS BIGINT) AS kept_tokens"
+    " FROM keep GROUP BY 1, 2"
 )

@@ -1,0 +1,191 @@
+"""Paragraph-level language ID and mixed-language document handling.
+
+Web pages mix languages — navigation in one language, body in another,
+quoted passages in a third — and a document-level language gate either
+drops the whole page or keeps the foreign boilerplate. CCNet (Wenzek et
+al. 2020 §4.2) therefore runs its language ID *after* splitting pages
+into paragraphs and keeps only the target-language portion; this module
+is that step as pure Spark built-ins (whole-stage codegen, no Python,
+no UDF):
+
+- ``split_paragraphs`` — THE frozen paragraph rule, shared with
+  ``text_stats.gopher_repetition``: ``\\r\\n|\\r → \\n``, split on
+  ``\\n\\n+``, full-whitespace-class strip per paragraph, empties
+  dropped.
+- ``paragraph_lang`` — per-paragraph stopword-marker language ID, the
+  paragraph twin of ``text_stats.lang_id`` (same markers, same argmax,
+  same tie rule: alphabetically earliest language wins ties, zero hits
+  everywhere → 'und').
+- ``doc_lang_profile`` — per-document majority language by token mass,
+  mixed-language fraction, and distinct-language count: the gate's
+  decision surface.
+- ``filter_majority_lang`` — the CCNet keep rule materialized: each
+  document rebuilt from only its majority-language paragraphs (document
+  order preserved); documents whose majority is 'und' (nothing
+  identified anywhere) pass through unchanged.
+
+Scale shape: ``paragraph_lang`` is a narrow explode (no shuffle);
+``doc_lang_profile`` scans the corpus ONCE — a partial-aggregated
+groupBy(doc_id, para_lang) collapses the explode to ≤ |LANG_MARKERS|+1
+rows per doc on the map side, and the majority argmax + doc fold run
+over that tiny table. ``filter_majority_lang`` joins the paragraphs
+back to the profile on doc_id (its two branches re-derive the explode
+from the same scan — at deployment, persist the paragraph frame if the
+input scan dominates); every shuffle keys on doc_id.
+
+Reference semantics: pyocr has no language gate (SURVEY.md E12's
+``get_available_languages`` only routes); this is pipeline surface, per
+the engine-addition pattern of functions/text_stats.lang_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import (
+    LANG_MARKERS,
+    _marker_count,
+    split_paragraphs,
+    ws_tokens,
+)
+
+
+def _para_lang_cols() -> tuple[Column, Column]:
+    """(para_lang, para_hits) over the ``para`` column — the lang_id
+    argmax replayed per paragraph: greatest marker count wins, earlier
+    (alphabetically sorted) languages win ties, best=0 → 'und'."""
+    t = F.col("para")
+    hits = [
+        (lang, _marker_count(lang, t, words))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[h for _, h in hits])
+    pred: Column = F.lit("und")
+    for lang, h in reversed(hits):  # earlier langs win ties → reversed fold
+        pred = F.when((best > 0) & (h == best), F.lit(lang)).otherwise(pred)
+    return pred, best
+
+
+def paragraph_lang(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-paragraph language ID: (doc_id, para_idx, para, para_tokens,
+    para_lang, para_hits), one row per non-empty paragraph, ``para_idx``
+    0-based in document order (index within the cleaned paragraph
+    array). Narrow: scan → explode → codegen expressions, no shuffle."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(split_paragraphs(F.col(text_col))).alias("para_idx", "para"),
+    )
+    pred, best = _para_lang_cols()
+    return paras.select(
+        "doc_id",
+        "para_idx",
+        "para",
+        F.size(ws_tokens(F.col("para"))).alias("para_tokens"),
+        pred.alias("para_lang"),
+        best.alias("para_hits"),
+    )
+
+
+def _profile_from_paras(paras: DataFrame) -> DataFrame:
+    """Profile from an existing ``paragraph_lang`` frame — ONE pass over
+    the paragraphs: partial-aggregated groupBy(doc_id, para_lang) (≤
+    |LANG_MARKERS|+1 rows per doc survive the map side), then a per-doc
+    argmax window and a final doc_id fold over that tiny table. The
+    corpus is scanned once; everything after the first aggregate is
+    negligible."""
+    per_lang = paras.groupBy("doc_id", "para_lang").agg(
+        F.sum("para_tokens").alias("lang_tokens"),
+        F.count("*").alias("lang_paras"),
+    )
+    # non-'und' rows first, then most tokens, then alphabetically
+    # earliest language — row 1 is the majority candidate
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc(F.col("para_lang") == "und"),
+        F.desc("lang_tokens"),
+        F.asc("para_lang"),
+    )
+    maj1 = (F.col("rn") == 1) & (F.col("para_lang") != "und")
+    return (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lang_tokens").alias("doc_tokens"),
+            F.sum("lang_paras").alias("n_paras"),
+            F.count_distinct(
+                F.when(F.col("para_lang") != "und", F.col("para_lang"))
+            ).alias("n_langs"),
+            F.max(F.when(maj1, F.col("para_lang"))).alias("_maj"),
+            F.max(F.when(maj1, F.col("lang_tokens"))).alias("_majtok"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_maj"), F.lit("und")).alias("major_lang"),
+            F.coalesce(F.col("_majtok"), F.lit(0).cast("long")).alias(
+                "major_tokens"
+            ),
+            "doc_tokens",
+            "n_paras",
+            "n_langs",
+            F.when(
+                F.col("doc_tokens") > 0,
+                F.coalesce(F.col("_majtok"), F.lit(0).cast("long"))
+                / F.col("doc_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("major_token_frac"),
+            (F.col("n_langs") >= 2).alias("mixed"),
+        )
+    )
+
+
+def doc_lang_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document mixed-language profile over ``paragraph_lang``:
+
+    - ``major_lang`` — the non-'und' language carrying the most
+      paragraph tokens (ties → alphabetically earliest; no identified
+      language anywhere → 'und' with major_tokens 0)
+    - ``major_token_frac`` — major-language tokens / all paragraph
+      tokens (0.0 for token-less docs): the CCNet-style purity signal
+    - ``n_langs`` — distinct identified (non-'und') paragraph languages
+    - ``mixed`` — n_langs ≥ 2, the mixed-language flag
+
+    Documents with no non-empty paragraphs produce no row (consistent
+    with the explode; there is nothing to profile)."""
+    return _profile_from_paras(
+        paragraph_lang(docs, text_col=text_col, id_col=id_col)
+    )
+
+
+def filter_majority_lang(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The CCNet keep rule materialized: rebuild each document from only
+    its majority-language paragraphs, joined back with ``\\n\\n`` in
+    document order. Documents whose majority is 'und' pass through with
+    ALL paragraphs kept (nothing was identified, so nothing is
+    stripped); 'und' paragraphs inside an identified document are
+    dropped with the other minority paragraphs. Returns (doc_id,
+    major_lang, text, kept_paras, kept_tokens); paragraph-less documents
+    produce no row."""
+    paras = paragraph_lang(docs, text_col=text_col, id_col=id_col)
+    prof = _profile_from_paras(paras).select("doc_id", "major_lang")
+    kept = paras.join(prof, "doc_id").filter(
+        (F.col("major_lang") == "und")
+        | (F.col("para_lang") == F.col("major_lang"))
+    )
+    return kept.groupBy("doc_id", "major_lang").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text"),
+        F.count("*").alias("kept_paras"),
+        F.sum("para_tokens").alias("kept_tokens"),
+    )

@@ -576,6 +576,25 @@ def gopher_ngram_rep(
     return mid.select(cols)
 
 
+def split_paragraphs(text: Column) -> Column:
+    """THE frozen paragraph rule (shared by gopher_repetition's ``paras``
+    leg and functions/paralang): normalize ``\\r\\n|\\r → \\n``, split on
+    one-or-more blank lines (``\\n\\n+``), strip the full explicit
+    whitespace class from each paragraph, drop empties. Returns
+    array<string> of stripped non-empty paragraphs in document order.
+    SQL twin: list_filter(list_transform(regexp_split_to_array(
+    regexp_replace(text, '\\r\\n|\\r', chr(10), 'g'), '\\n\\n+'),
+    x -> regexp_replace(x, '^[ws]+|[ws]+$', '', 'g')), x -> x != '')."""
+    strip_re = "^[" + _WS + "]+|[" + _WS + "]+$"
+    norm = F.regexp_replace(text, r"\r\n|\r", "\n")
+    return F.filter(
+        F.transform(
+            F.split(norm, "\n\n+"), lambda x: F.regexp_replace(x, strip_re, "")
+        ),
+        lambda x: x != "",
+    )
+
+
 def gopher_repetition(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -602,6 +621,9 @@ def gopher_repetition(
         )
 
     lines = clean(F.split(norm, "\n"))
+    # identical to split_paragraphs(text_col) — the re-normalization
+    # inside that helper is idempotent; kept inline here so lines and
+    # paras visibly share ONE normalized source
     paras = clean(F.split(norm, "\n\n+"))
     nl, dl, tl, dcl = _dup_mass(lines)
     np_, dp, tp, dcp = _dup_mass(paras)

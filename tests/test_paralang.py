@@ -1,0 +1,106 @@
+"""Paragraph-level language ID (functions/paralang) — CCNet-style
+mixed-language segmentation: frozen paragraph rule, per-paragraph argmax,
+majority profile, and the rebuild-from-majority keep rule."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.functions.paralang import (
+    doc_lang_profile,
+    filter_majority_lang,
+    paragraph_lang,
+)
+
+MIXED = (
+    "the cat and the dog of the house\n\n"
+    "der hund und die katze und der vogel\n\n"
+    "xyzzy plugh qwerty\n\n"
+    "the end of the story and the rest"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_split_and_lang(spark):
+    out = (
+        paragraph_lang(_docs(spark, [(1, MIXED)]))
+        .orderBy("para_idx")
+        .collect()
+    )
+    assert [r.para_idx for r in out] == [0, 1, 2, 3]
+    assert [r.para_lang for r in out] == ["en", "de", "und", "en"]
+    # marker hits: exact-token counts, not substring (no 'the' inside words)
+    assert out[0].para_hits == 5  # the×3, and×1, of×1
+    assert out[2].para_hits == 0
+    assert [r.para_tokens for r in out] == [8, 8, 3, 8]
+
+
+def test_crlf_and_blank_run_normalization(spark):
+    text = "the and of\r\n\r\n\r\nder und die\r\rle et les"
+    out = paragraph_lang(_docs(spark, [(1, text)])).orderBy("para_idx").collect()
+    # \r\n\r\n\r\n collapses to one break; \r\r is also a blank-line run
+    assert [r.para_lang for r in out] == ["en", "de", "fr"]
+
+
+def test_empty_paragraphs_dropped(spark):
+    out = paragraph_lang(_docs(spark, [(1, "\n\n  \n\n the and of \n\n\t\n\n")])).collect()
+    assert len(out) == 1 and out[0].para_lang == "en" and out[0].para_idx == 0
+
+
+def test_doc_profile_majority_and_mixed(spark):
+    prof = doc_lang_profile(_docs(spark, [(1, MIXED)])).collect()[0]
+    assert prof.major_lang == "en"
+    assert prof.major_tokens == 16 and prof.doc_tokens == 27
+    assert prof.n_paras == 4 and prof.n_langs == 2 and bool(prof.mixed)
+    assert prof.major_token_frac == pytest.approx(16 / 27)
+
+
+def test_profile_tie_breaks_alphabetically(spark):
+    # en and de paragraphs with equal token mass → 'de' (earliest) wins
+    text = "the cat and a dog\n\nder hund und die kuh"
+    prof = doc_lang_profile(_docs(spark, [(1, text)])).collect()[0]
+    assert prof.major_lang == "de"
+
+
+def test_profile_all_und(spark):
+    prof = doc_lang_profile(_docs(spark, [(1, "xyzzy plugh\n\nqwerty corge")])).collect()[0]
+    assert prof.major_lang == "und" and prof.major_tokens == 0
+    assert prof.n_langs == 0 and not prof.mixed
+
+
+def test_filter_majority_rebuilds_in_document_order(spark):
+    out = filter_majority_lang(_docs(spark, [(1, MIXED)])).collect()[0]
+    assert out.major_lang == "en"
+    # de and und paragraphs stripped; the two en paragraphs rejoined in order
+    assert out.text == (
+        "the cat and the dog of the house\n\nthe end of the story and the rest"
+    )
+    assert out.kept_paras == 2 and out.kept_tokens == 16
+
+
+def test_filter_und_doc_passes_through(spark):
+    out = filter_majority_lang(_docs(spark, [(1, "xyzzy plugh\n\nqwerty corge")])).collect()[0]
+    assert out.major_lang == "und"
+    assert out.text == "xyzzy plugh\n\nqwerty corge" and out.kept_paras == 2
+
+
+def test_paragraphless_doc_emits_no_row(spark):
+    assert filter_majority_lang(_docs(spark, [(1, "   \n\n \t ")])).count() == 0
+    assert doc_lang_profile(_docs(spark, [(1, "")])).count() == 0
+
+
+def test_zh_substring_markers_per_paragraph(spark):
+    text = "the and of the\n\n的是了的是"
+    out = paragraph_lang(_docs(spark, [(1, text)])).orderBy("para_idx").collect()
+    assert out[1].para_lang == "zh" and out[1].para_hits == 5
+    prof = doc_lang_profile(_docs(spark, [(1, text)])).collect()[0]
+    # zh paragraph is ONE whitespace token but five marker hits; majority
+    # is decided on token mass → en
+    assert prof.major_lang == "en" and bool(prof.mixed)
