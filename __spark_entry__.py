@@ -450,6 +450,45 @@ def _q_extract_metadata(spark, sf_dir):
     return extract_metadata(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _soft404_input(spark, sf_dir):
+    """(url, extracted_text, title) per deduped page — the extraction
+    outputs the soft-404 gate runs on (oracle: expected_text ⋈
+    expected_meta)."""
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.plans.pipeline import extract_df
+
+    pages = dedup_latest_page(_pages(spark, sf_dir))
+    text = extract_df(pages, modes=frozenset({"text"})).select(
+        "url", "extracted_text"
+    )
+    meta = extract_metadata(pages).select("url", "title")
+    return text.join(meta, "url")
+
+
+def _q_soft404_pages(spark, sf_dir):
+    """Soft-404 page verdicts (operators/soft404.soft404_report): frozen
+    phrase markers over title+body, plus the host-template signal — one
+    (host, digest) groupBy and a broadcast join of the flagged-template
+    set."""
+    from pyocr_spark.operators.soft404 import soft404_report
+
+    return soft404_report(
+        _soft404_input(spark, sf_dir), text_col="extracted_text"
+    )
+
+
+def _q_soft404_templates(spark, sf_dir):
+    """Per-host error templates (operators/soft404.soft404_templates):
+    extracted-text digests served at ≥2 distinct urls of one host with
+    phrase evidence on ≥1 member."""
+    from pyocr_spark.operators.soft404 import soft404_templates
+
+    return soft404_templates(
+        _soft404_input(spark, sf_dir), text_col="extracted_text"
+    )
+
+
 def _q_extract_hreflang(spark, sf_dir):
     """hreflang alternate clusters (functions/dom.extract_hreflang):
     the site-declared translation graph — the publisher-claim twin of
@@ -3298,6 +3337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_errors": _q_jsonld_errors,
         "extract_pubdate": _q_extract_pubdate,
         "extract_metadata": _q_extract_metadata,
+        "soft404_pages": _q_soft404_pages,
+        "soft404_templates": _q_soft404_templates,
         "pages_robots_gate": _q_pages_robots_gate,
         "pages_canonical_dedup": _q_pages_canonical_dedup,
         "pages_robots_txt": _q_pages_robots_txt,
@@ -3793,6 +3834,45 @@ def _host_sql(col: str) -> str:
         f"lower(CASE WHEN {a} LIKE '[%' THEN regexp_extract({a}, '^(\\[[^\\]]*\\])', 1) "
         f"ELSE regexp_replace({a}, ':[0-9]*$', '') END)"
     )
+
+
+def _soft404_sqls(E: str) -> tuple[str, str]:
+    """(soft404_pages, soft404_templates) oracle SQL: the operator's
+    frozen marker sets imported from operators/soft404 (no drift), the
+    phrase/template signals replayed over expected_text ⋈ expected_meta."""
+    from pyocr_spark.operators.soft404 import BODY_MARKERS, TITLE_MARKERS
+
+    title = " OR ".join(f"contains(lt, '{m}')" for m in TITLE_MARKERS)
+    body = " + ".join(
+        f"(length(lb) - length(replace(lb, '{m}', ''))) / {len(m)}"
+        for m in BODY_MARKERS
+    )
+    prefix = (
+        f"WITH base AS (SELECT t.url, {_host_sql('t.url')} AS host, "
+        "md5(coalesce(t.extracted_text, '')) AS digest, "
+        "lower(coalesce(m.title, '')) AS lt, "
+        "lower(coalesce(t.extracted_text, '')) AS lb "
+        f"FROM read_parquet('{E}/expected_text.parquet') t "
+        f"LEFT JOIN read_parquet('{E}/expected_meta.parquet') m USING (url)), "
+        f"sig AS (SELECT url, host, digest, ({title}) AS title_hit, "
+        f"CAST({body} AS INT) AS body_hits FROM base), "
+        "sig2 AS (SELECT *, (title_hit OR body_hits >= 2) AS phrase_flag FROM sig), "
+        "tpl AS (SELECT host, digest, count(DISTINCT url) AS n_urls, "
+        "CAST(sum(CASE WHEN phrase_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_phrase "
+        "FROM sig2 GROUP BY 1, 2), "
+        "etpl AS (SELECT host, digest, n_urls, n_phrase FROM tpl "
+        "WHERE n_urls >= 2 AND n_phrase > 0)"
+    )
+    pages_sql = (
+        prefix
+        + " SELECT s.url, s.host, s.title_hit, s.body_hits, s.phrase_flag,"
+        " coalesce(e.hit, false) AS template_hit,"
+        " (s.phrase_flag OR coalesce(e.hit, false)) AS is_soft404"
+        " FROM sig2 s LEFT JOIN (SELECT host, digest, true AS hit FROM etpl) e"
+        " USING (host, digest)"
+    )
+    templates_sql = prefix + " SELECT host, digest, n_urls, n_phrase FROM etpl"
+    return pages_sql, templates_sql
 
 
 def _domain_sql(host: str) -> str:
@@ -4634,6 +4714,8 @@ def oracle_sql() -> dict[str, str]:
             f"og_description, og_image, html_lang "
             f"FROM read_parquet('{E}/expected_meta.parquet')"
         ),
+        "soft404_pages": _soft404_sqls(E)[0],
+        "soft404_templates": _soft404_sqls(E)[1],
         "extract_hreflang": (
             "SELECT url, idx, hreflang, target_url "
             f"FROM read_parquet('{E}/expected_hreflang.parquet')"

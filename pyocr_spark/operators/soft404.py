@@ -1,0 +1,157 @@
+"""Soft-404 / error-page detection — crawl hygiene for 200-OK error pages.
+
+A large fraction of dead web urls answer 200 with an HTML "page not
+found" body instead of an HTTP 404 (the *soft 404*, Bar-Yossef et al.
+2004, "Sic transit gloria telae"); left in a corpus they contribute
+millions of near-identical junk documents and poison per-host quality
+stats. Detection uses two complementary signals, both pure built-ins
+(whole-stage codegen, no Python):
+
+1. **Phrase signal** (per page, narrow): frozen lowercase marker sets
+   over the extracted title and body — a title marker hit, or ≥ 2 body
+   marker occurrences, flags the page directly.
+2. **Host-template signal** (per host): error pages are served from ONE
+   template, so the same extracted-text digest appears under many
+   distinct urls of a host. A (host, digest) group with ≥
+   ``min_template_urls`` urls, at least one of which carries the phrase
+   signal, is an *error template*; every member page is then flagged —
+   including phrase-less variants the marker list alone would miss.
+   (A multi-url digest group with no phrase evidence anywhere is left
+   alone: that is ordinary mirrored content, not an error template.)
+
+Scale shape: one partial-aggregated groupBy on (host, digest) — the map
+side collapses each template to one row per mapper — then one equi-join
+of the pages against the flagged-template set on the same key. The
+flagged set is bounded by (hosts × error templates per host), orders of
+magnitude smaller than the corpus, so the join side is
+broadcast-hinted; AQE demotes it if a pathological corpus inflates it.
+
+Reference: pyocr has no crawl surface (SURVEY.md §2 ends at builders);
+this is pipeline surface beside operators/urlnorm.host_spam_filter and
+operators/metagate.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlnorm import url_host
+
+#: frozen lowercase title markers — any substring hit flags the page
+TITLE_MARKERS: tuple[str, ...] = (
+    "404",
+    "page not found",
+    "file not found",
+    "page cannot be found",
+    "page does not exist",
+)
+
+#: frozen lowercase body markers — counted as substring occurrences,
+#: ≥ 2 total flags the page (one marker alone is common in prose)
+BODY_MARKERS: tuple[str, ...] = (
+    "page not found",
+    "does not exist",
+    "no longer available",
+    "has been removed",
+    "check the url",
+    "return to the homepage",
+)
+
+
+def _substr_count(t: Column, marker: str) -> Column:
+    """Occurrences of ``marker`` in ``t`` as a length delta under
+    deletion — replayable in SQL as (length(t) -
+    length(replace(t, m, ''))) / length(m)."""
+    return (F.length(t) - F.length(F.replace(t, F.lit(marker), F.lit("")))) / F.lit(
+        len(marker)
+    )
+
+
+def soft404_signals(
+    docs: DataFrame,
+    url_col: str = "url",
+    title_col: str = "title",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-page phrase signal: (url, host, digest, title_hit, body_hits,
+    phrase_flag). ``digest`` is the md5 of the raw extracted text — the
+    template identity used by :func:`soft404_report`. Null title/text
+    count as empty. Narrow (no shuffle)."""
+    lt = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    lb = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    title_hit = reduce(
+        lambda a, b: a | b, [lt.contains(m) for m in TITLE_MARKERS]
+    )
+    body_hits = reduce(
+        lambda a, b: a + b, [_substr_count(lb, m) for m in BODY_MARKERS]
+    ).cast("int")
+    return docs.select(
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
+        title_hit.alias("title_hit"),
+        body_hits.alias("body_hits"),
+        (title_hit | (body_hits >= 2)).alias("phrase_flag"),
+    )
+
+
+def soft404_templates(
+    docs: DataFrame,
+    url_col: str = "url",
+    title_col: str = "title",
+    text_col: str = "text",
+    min_template_urls: int = 2,
+) -> DataFrame:
+    """Error templates per host: (host, digest, n_urls, n_phrase) for
+    every extracted-text digest served at ≥ ``min_template_urls``
+    distinct urls of one host with phrase evidence on ≥ 1 member. One
+    partial-aggregated shuffle on (host, digest)."""
+    sig = soft404_signals(docs, url_col=url_col, title_col=title_col, text_col=text_col)
+    return (
+        sig.groupBy("host", "digest")
+        .agg(
+            F.count_distinct("url").alias("n_urls"),
+            F.sum(F.col("phrase_flag").cast("long")).alias("n_phrase"),
+        )
+        .filter(
+            (F.col("n_urls") >= min_template_urls) & (F.col("n_phrase") > 0)
+        )
+    )
+
+
+def soft404_report(
+    docs: DataFrame,
+    url_col: str = "url",
+    title_col: str = "title",
+    text_col: str = "text",
+    min_template_urls: int = 2,
+) -> DataFrame:
+    """Page-level verdicts: (url, host, title_hit, body_hits,
+    phrase_flag, template_hit, is_soft404). ``template_hit`` marks
+    members of a flagged error template (see module docstring);
+    ``is_soft404`` = phrase_flag OR template_hit — the drop set for the
+    corpus gate."""
+    sig = soft404_signals(docs, url_col=url_col, title_col=title_col, text_col=text_col)
+    tpl = soft404_templates(
+        docs,
+        url_col=url_col,
+        title_col=title_col,
+        text_col=text_col,
+        min_template_urls=min_template_urls,
+    ).select("host", "digest", F.lit(True).alias("template_hit"))
+    out = sig.join(F.broadcast(tpl), ["host", "digest"], "left")
+    return out.select(
+        "url",
+        "host",
+        "title_hit",
+        "body_hits",
+        "phrase_flag",
+        F.coalesce(F.col("template_hit"), F.lit(False)).alias("template_hit"),
+        (
+            F.col("phrase_flag")
+            | F.coalesce(F.col("template_hit"), F.lit(False))
+        ).alias("is_soft404"),
+    )

@@ -1,0 +1,90 @@
+"""Soft-404 detection (operators/soft404): frozen phrase markers,
+host-template signal, and the rescue of phrase-less template members."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyocr_spark.operators.soft404 import (
+    soft404_report,
+    soft404_signals,
+    soft404_templates,
+)
+
+ERR_TEXT = "sorry\nthe page you requested does not exist on h1.com. please try again later."
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "title", "text"]),
+        "url string, title string, text string",
+    )
+
+
+def test_phrase_signal_title_and_body(spark):
+    rows = [
+        ("https://a.com/1", "404 page not found", "hello world"),
+        ("https://a.com/2", "welcome", "this page does not exist and is no longer available"),
+        ("https://a.com/3", "welcome", "the product does not exist in stock"),
+        ("https://a.com/4", "welcome", "plain article text"),
+    ]
+    out = {r.url: r for r in soft404_signals(_df(spark, rows)).collect()}
+    assert out["https://a.com/1"].title_hit and out["https://a.com/1"].phrase_flag
+    # two body markers → flagged
+    assert out["https://a.com/2"].body_hits == 2 and out["https://a.com/2"].phrase_flag
+    # one body marker alone is common prose → NOT flagged
+    assert out["https://a.com/3"].body_hits == 1 and not out["https://a.com/3"].phrase_flag
+    assert not out["https://a.com/4"].phrase_flag
+    assert out["https://a.com/1"].host == "a.com"
+
+
+def test_template_rescues_phrase_less_members(spark):
+    rows = [
+        # one host template: marker title on /1, 'oops' on /2 and /3 —
+        # same extracted text, one body marker (below threshold)
+        ("https://h1.com/1", "404 page not found", ERR_TEXT),
+        ("https://h1.com/2", "oops", ERR_TEXT),
+        ("https://h1.com/3", "oops", ERR_TEXT),
+        ("https://h1.com/4", "welcome", "real article body"),
+    ]
+    rep = {r.url: r for r in soft404_report(_df(spark, rows)).collect()}
+    assert rep["https://h1.com/1"].phrase_flag
+    # /2 and /3 carry no phrase signal of their own…
+    assert not rep["https://h1.com/2"].phrase_flag
+    # …but the template signal catches them
+    assert rep["https://h1.com/2"].template_hit and rep["https://h1.com/2"].is_soft404
+    assert rep["https://h1.com/3"].is_soft404
+    assert not rep["https://h1.com/4"].is_soft404
+    tpl = soft404_templates(_df(spark, rows)).collect()
+    assert len(tpl) == 1 and tpl[0].n_urls == 3 and tpl[0].n_phrase == 1
+
+
+def test_mirrored_content_without_phrase_is_not_a_template(spark):
+    rows = [
+        ("https://h1.com/a", "welcome", "the same syndicated article"),
+        ("https://h1.com/b", "welcome", "the same syndicated article"),
+        ("https://h1.com/c", "welcome", "the same syndicated article"),
+    ]
+    assert soft404_templates(_df(spark, rows)).count() == 0
+    rep = soft404_report(_df(spark, rows)).collect()
+    assert all(not r.is_soft404 for r in rep)
+
+
+def test_template_is_per_host(spark):
+    rows = [
+        # identical error text on two hosts, but each host has only ONE
+        # url → below min_template_urls, no template on either host
+        ("https://h1.com/x", "404 page not found", ERR_TEXT),
+        ("https://h2.com/x", "oops", ERR_TEXT),
+    ]
+    assert soft404_templates(_df(spark, rows)).count() == 0
+    rep = {r.url: r for r in soft404_report(_df(spark, rows)).collect()}
+    # phrase still flags the marker-titled page; the other stays clean
+    assert rep["https://h1.com/x"].is_soft404
+    assert not rep["https://h2.com/x"].is_soft404
+
+
+def test_null_title_and_text(spark):
+    rows = [("https://h1.com/x", None, None)]
+    out = soft404_report(_df(spark, rows)).collect()[0]
+    assert not out.is_soft404 and out.body_hits == 0
