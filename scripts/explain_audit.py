@@ -955,6 +955,39 @@ def main() -> int:
           "Scan ExistingRDD" in p and "Join" not in p, p.splitlines()[1][:80] if p else "")
     check("host_coreness", "no cartesian/NLJ", "CartesianProduct" not in p, "")
 
+    # 63. paragraph langid: a narrow explode — zero Exchange
+    df = qs["doc_para_lang"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_para_lang", p))
+    check("doc_para_lang", "narrow plan (explode + codegen, zero Exchange)",
+          "Exchange" not in p, "")
+    check("doc_para_lang", "scan pruned to doc_id,text",
+          "lang" not in p.split("ReadSchema:")[-1].splitlines()[0],
+          p.split("ReadSchema:")[-1].splitlines()[0][:120])
+
+    # 64. doc lang profile: ONE corpus scan (map-side combine collapses
+    # the explode before the shuffle), partial aggregation present
+    df = qs["doc_lang_profile"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("doc_lang_profile", p))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M))
+    check("doc_lang_profile", "single corpus scan", n_scans == 1,
+          f"scans={n_scans}")
+    check("doc_lang_profile", "partial aggregation before the exchange",
+          "partial" in p.lower(), "")
+
+    # 65. soft-404: the flagged-template set joins back by BROADCAST
+    # (bounded by hosts × templates), never a corpus-wide sort-merge
+    df = qs["soft404_pages"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("soft404_pages", p))
+    check("soft404_pages", "template set broadcast to the verdict join",
+          "BroadcastExchange" in p, "")
+    check("soft404_pages", "partial aggregation on (host, digest)",
+          "partial" in p.lower(), "")
+    check("soft404_pages", "no cartesian/NLJ",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
