@@ -466,6 +466,34 @@ def _soft404_input(spark, sf_dir):
     return text.join(meta, "url")
 
 
+def _q_host_mirrors(spark, sf_dir):
+    """Cross-host mirror pairs (operators/mirrors.host_mirror_pairs):
+    derived mirrored corpus — every source host plus an 'm-' twin
+    carrying the docs with doc_id%7==0 (a period decorrelated
+    from the source assignment, so every host gets a partial mirror) — so each (src, m-src) pair is a
+    partial mirror with containment 1.0; replayed literally in the
+    oracle."""
+    from pyocr_spark.operators.mirrors import host_mirror_pairs
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    murl = F.concat(
+        F.lit("https://m-"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    inp = d.select(url.alias("url"), "text").unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select(murl.alias("url"), "text")
+    )
+    return host_mirror_pairs(inp)
+
+
 def _q_soft404_pages(spark, sf_dir):
     """Soft-404 page verdicts (operators/soft404.soft404_report): frozen
     phrase markers over title+body, plus the host-template signal — one
@@ -3339,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": _q_extract_metadata,
         "soft404_pages": _q_soft404_pages,
         "soft404_templates": _q_soft404_templates,
+        "host_mirrors": _q_host_mirrors,
         "pages_robots_gate": _q_pages_robots_gate,
         "pages_canonical_dedup": _q_pages_canonical_dedup,
         "pages_robots_txt": _q_pages_robots_txt,
@@ -3873,6 +3902,22 @@ def _soft404_sqls(E: str) -> tuple[str, str]:
     )
     templates_sql = prefix + " SELECT host, digest, n_urls, n_phrase FROM etpl"
     return pages_sql, templates_sql
+
+
+_HOST_MIRRORS_SQL = (
+    "WITH inp AS (SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text FROM documents"
+    " UNION ALL SELECT 'https://m-' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id % 7 = 0),"
+    f" sig AS (SELECT DISTINCT {_host_sql('url')} AS host, md5(coalesce(text, '')) AS digest FROM inp),"
+    " sizes AS (SELECT host, count(*) AS n FROM sig GROUP BY 1),"
+    " freq AS (SELECT digest FROM sig GROUP BY digest HAVING count(*) BETWEEN 2 AND 50),"
+    " inv AS (SELECT s.host, s.digest FROM sig s JOIN freq USING (digest)),"
+    " pairs AS (SELECT l.host AS host_a, r.host AS host_b, count(*) AS shared_digests"
+    " FROM inv l JOIN inv r ON l.digest = r.digest AND l.host < r.host GROUP BY 1, 2)"
+    " SELECT * FROM (SELECT p.host_a, p.host_b, p.shared_digests, sa.n AS n_a, sb.n AS n_b,"
+    " p.shared_digests / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment"
+    " FROM pairs p JOIN sizes sa ON sa.host = p.host_a JOIN sizes sb ON sb.host = p.host_b"
+    " WHERE p.shared_digests >= 2) WHERE containment >= 0.5"
+)
 
 
 def _domain_sql(host: str) -> str:
@@ -4716,6 +4761,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "soft404_pages": _soft404_sqls(E)[0],
         "soft404_templates": _soft404_sqls(E)[1],
+        "host_mirrors": _HOST_MIRRORS_SQL,
         "extract_hreflang": (
             "SELECT url, idx, hreflang, target_url "
             f"FROM read_parquet('{E}/expected_hreflang.parquet')"

@@ -1,0 +1,106 @@
+"""Cross-host mirror detection — content-overlap pairs over the host axis.
+
+Mirror sites (CDNs with vanity hosts, scraped re-publishers, m./www.
+twins that escape canonical declarations) multiply every document they
+carry; per-host corpus caps and link-analysis signals are all distorted
+until the mirrors are identified. ``operators/metagate.canonical_dedup``
+collapses mirrors that DECLARE themselves; this operator finds the ones
+that don't, from content alone: two hosts are mirror candidates when a
+large fraction of the smaller host's distinct extracted-text digests
+also appear on the other host (containment, not Jaccard — a partial
+mirror of a big site is still a mirror).
+
+Scale design (the ngram-Jaccard inverted-index shape at host
+granularity, operators/dedup.ngram_jaccard_pairs):
+
+1. distinct (host, digest) — one partial-aggregated shuffle; repeats of
+   a digest within a host collapse on the map side.
+2. digest frequency cap — a digest on > ``max_digest_hosts`` hosts is
+   ubiquitous boilerplate (empty pages, error stubs), not mirror
+   evidence; it would create a |hosts|² clique, so it is DROPPED before
+   the self-join. Digests on a single host prove nothing and are
+   dropped too. The cap is the quadratic guard: every pair forms inside
+   a ≤ cap-sized digest group.
+3. digest-bucket self-join (equi-join) → per-pair shared counts
+   (partial-aggregated).
+4. two host-keyed equi-joins attach profile sizes; containment =
+   shared / min(|A|, |B|).
+
+Reference: pyocr has no crawl surface; this is pipeline surface beside
+operators/urlnorm.host_spam_filter and operators/domains (which decide
+what to DO with a detected mirror: cap or collapse by registered
+domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.operators.urlnorm import url_host
+
+
+def host_content_profile(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (host, digest) pairs — the content profile the mirror
+    join runs on. ``digest`` is md5 of the raw text (null → '')."""
+    return docs.select(
+        url_host(F.col(url_col)).alias("host"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
+    ).distinct()
+
+
+def host_mirror_pairs(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_digest_hosts: int = 50,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Mirror-candidate host pairs: (host_a, host_b, shared_digests,
+    n_a, n_b, containment), host_a < host_b, kept when shared ≥
+    ``min_shared`` AND containment ≥ ``min_containment``. See module
+    docstring for the shuffle budget."""
+    sig = host_content_profile(docs, url_col=url_col, text_col=text_col)
+    sizes = sig.groupBy("host").agg(F.count("*").alias("n"))
+    shared_digests = (
+        sig.groupBy("digest")
+        .agg(F.count("*").alias("n_hosts"))
+        .filter(F.col("n_hosts").between(2, max_digest_hosts))
+        .select("digest")
+    )
+    # pairs can only form inside a ≤ max_digest_hosts digest group —
+    # persist the pruned index so the self-join's two branches don't
+    # re-derive it (cache entry lives until session end unless the
+    # caller unpersists; the pruned index is ~|corpus| × 50 bytes, far
+    # smaller than the input it replaces)
+    inv = sig.join(shared_digests, "digest").persist()
+    pairs = (
+        inv.alias("l")
+        .join(inv.alias("r"), "digest")
+        .filter(F.col("l.host") < F.col("r.host"))
+        .groupBy(
+            F.col("l.host").alias("host_a"), F.col("r.host").alias("host_b")
+        )
+        .agg(F.count("*").alias("shared_digests"))
+        .filter(F.col("shared_digests") >= min_shared)
+    )
+    out = (
+        pairs.join(sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")), "host_a")
+        .join(sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared_digests",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_digests")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+    return out

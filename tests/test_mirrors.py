@@ -1,0 +1,78 @@
+"""Cross-host mirror detection (operators/mirrors): containment
+semantics, the digest-frequency quadratic guard, and pair ordering."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyocr_spark.operators.mirrors import host_content_profile, host_mirror_pairs
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"]),
+        "url string, text string",
+    )
+
+
+def _site(host, texts):
+    return [(f"https://{host}/p/{i}", t) for i, t in enumerate(texts)]
+
+
+def test_partial_mirror_flagged_by_containment(spark):
+    big = [f"article number {i}" for i in range(10)]
+    rows = (
+        _site("big.com", big)
+        # mirror carries 3 of big.com's 10 pages and nothing else:
+        # Jaccard = 3/10 would miss it; containment = 3/3 = 1.0
+        + _site("mirror.com", big[:3])
+        + _site("other.com", ["totally different content"])
+    )
+    out = host_mirror_pairs(_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.host_a, r.host_b) == ("big.com", "mirror.com")  # a < b
+    assert r.shared_digests == 3 and r.n_a == 10 and r.n_b == 3
+    assert r.containment == 1.0
+
+
+def test_min_shared_suppresses_single_coincidence(spark):
+    rows = _site("a.com", ["same page", "own a"]) + _site(
+        "b.com", ["same page", "own b"]
+    )
+    # 1 shared digest, containment 0.5 — below min_shared=2
+    assert host_mirror_pairs(_df(spark, rows)).count() == 0
+    out = host_mirror_pairs(_df(spark, rows), min_shared=1).collect()
+    assert len(out) == 1 and out[0].shared_digests == 1
+
+
+def test_ubiquitous_digest_dropped_by_cap(spark):
+    # the same stub text on 5 hosts: with the cap below 5 no pair may
+    # form from it (boilerplate, not mirroring)
+    rows = [
+        (f"https://h{i}.com/x", "cookie banner stub") for i in range(5)
+    ]
+    assert (
+        host_mirror_pairs(
+            _df(spark, rows), min_shared=1, max_digest_hosts=4
+        ).count()
+        == 0
+    )
+    # raising the cap lets all 10 pairs through
+    assert (
+        host_mirror_pairs(
+            _df(spark, rows), min_shared=1, max_digest_hosts=5
+        ).count()
+        == 10
+    )
+
+
+def test_profile_collapses_within_host_repeats(spark):
+    rows = [
+        ("https://a.com/1", "dup text"),
+        ("https://a.com/2", "dup text"),
+        ("https://a.com/3", None),
+    ]
+    prof = host_content_profile(_df(spark, rows)).collect()
+    # two distinct digests on a.com: md5('dup text') and md5('')
+    assert len(prof) == 2 and all(p.host == "a.com" for p in prof)
