@@ -1204,6 +1204,28 @@ def _q_docs_majority_lang(spark, sf_dir):
     return filter_majority_lang(_mixed_lang_docs(spark, sf_dir))
 
 
+def _q_doc_mojibake(spark, sf_dir):
+    """Encoding-damage signal (text_stats.mojibake_stats) over a derived
+    corpus where two doc slices carry planted double-UTF-8 artifacts
+    (only cp1252-PRINTABLE artifact sequences — 'Ã©', 'â€œ', 'â€”' — so
+    the literals replay byte-identically in the SQL oracle)."""
+    from pyocr_spark.functions.text_stats import mojibake_stats
+
+    d = _docs(spark, sf_dir)
+    damaged = (
+        F.when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.col("text"), F.lit(" caffÃ© latte Ã¼ber straÃŸe")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.col("text"), F.lit(" â€œquoted â€” dash Â demo")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return mojibake_stats(d.select("doc_id", damaged.alias("text")))
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from pyocr_spark.functions.text_stats import fingerprint
 
@@ -3474,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_blockword": _q_docs_blockword,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_mojibake": _q_doc_mojibake,
         "doc_para_lang": _q_doc_para_lang,
         "doc_lang_profile": _q_doc_lang_profile,
         "docs_majority_lang": _q_docs_majority_lang,
@@ -3902,6 +3925,30 @@ def _soft404_sqls(E: str) -> tuple[str, str]:
     )
     templates_sql = prefix + " SELECT host, digest, n_urls, n_phrase FROM etpl"
     return pages_sql, templates_sql
+
+
+def _mojibake_sql() -> str:
+    """doc_mojibake oracle: the damaged-docs derivation + the marker
+    length-delta counts, markers imported from text_stats (no drift)."""
+    from pyocr_spark.functions.text_stats import MOJIBAKE_MARKERS
+
+    body = " + ".join(
+        f"(length(t2) - length(replace(t2, '{m}', ''))) / {len(m)}"
+        for m in MOJIBAKE_MARKERS
+    )
+    return (
+        "WITH dmg AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT)"
+        " WHEN 1 THEN text || ' caffÃ© latte Ã¼ber straÃŸe'"
+        " WHEN 3 THEN text || ' â€œquoted â€” dash Â demo'"
+        " ELSE text END AS t FROM documents),"
+        " h AS (SELECT doc_id, length(coalesce(t, '')) AS n,"
+        f" CAST({body} AS INT) AS hits FROM"
+        " (SELECT doc_id, t, coalesce(t, '') AS t2 FROM dmg))"
+        " SELECT doc_id, hits AS mojibake_hits,"
+        " CASE WHEN n > 0 THEN hits * 1000.0 / n ELSE 0.0 END AS mojibake_per_kchar,"
+        " (CASE WHEN n > 0 THEN hits * 1000.0 / n ELSE 0.0 END) <= 2.0 AS mojibake_keep"
+        " FROM h"
+    )
 
 
 _HOST_MIRRORS_SQL = (
@@ -5867,6 +5914,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_gopher_rep": _GOPHER_REP_SQL,
         "doc_lang_id": _LANG_ID_SQL,
+        "doc_mojibake": _mojibake_sql(),
         "doc_para_lang": _DOC_PARA_LANG_SQL,
         "doc_lang_profile": _DOC_LANG_PROFILE_SQL,
         "docs_majority_lang": _DOCS_MAJORITY_LANG_SQL,

@@ -686,6 +686,47 @@ def normalize_text_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", _nfc(F.col(text_col)).alias("text_nfc"))
 
 
+#: frozen mojibake artifact markers — the lead characters produced when
+#: UTF-8 bytes are mis-decoded as cp1252/latin-1 (the dominant web
+#: encoding damage): 'Ã' (mis-decoded 2-byte letter lead 0xC3), 'â€'
+#: (mis-decoded 3-byte punctuation lead 0xE2 0x80 → curly quotes and
+#: dashes), 'Â' (mis-decoded NBSP/degree lead 0xC2). Counted as raw
+#: substring occurrences — in clean text these sequences are vanishingly
+#: rare ('Ã' exists in Portuguese, but not at mojibake densities).
+MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€", "Â")
+
+
+def mojibake_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_per_kchar: float = 2.0,
+) -> DataFrame:
+    """Encoding-damage (mojibake) signal: double-encoded UTF-8 — bytes
+    decoded once as cp1252 and re-encoded — litters text with 'Ã©'-style
+    artifacts that survive every later gate and poison the token
+    distribution (the failure ftfy exists for). Per doc: artifact count
+    over the frozen marker set, density per 1000 chars, and a keep flag
+    at ``max_per_kchar``. Pure codegen, narrow, exact-SQL-replayable
+    (length-delta substring counts)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    hits: Column = F.lit(0.0)
+    for m in MOJIBAKE_MARKERS:
+        hits = hits + (
+            F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+    hits = hits.cast("int")
+    density = F.when(
+        F.length(t) > 0, hits * F.lit(1000.0) / F.length(t)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        id_col,
+        hits.alias("mojibake_hits"),
+        density.alias("mojibake_per_kchar"),
+        (density <= max_per_kchar).alias("mojibake_keep"),
+    )
+
+
 def zlib_ratio(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
 ) -> DataFrame:

@@ -1,0 +1,36 @@
+"""Mojibake detection (text_stats.mojibake_stats): artifact counts,
+density gate, clean-text zero-hit, nulls."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyocr_spark.functions.text_stats import mojibake_stats
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+
+
+def test_artifact_counts_and_gate(spark):
+    rows = [
+        (1, "clean English prose with nothing odd at all"),
+        # double-encoded é, ü, “, —: 3×'Ã' + 2×'â€' + 0×'Â' = 5 hits in
+        # a short string → dense → dropped
+        (2, "caffÃ© Ã¼ber Ã© â€œquote â€” end"),
+        # one stray 'Ã' in a long doc → sparse → kept
+        (3, "SÃ£o Paulo " + "word " * 200),
+        (4, None),
+        (5, ""),
+    ]
+    out = {r.doc_id: r for r in mojibake_stats(_df(spark, rows)).collect()}
+    assert out[1].mojibake_hits == 0 and out[1].mojibake_keep
+    assert out[2].mojibake_hits == 5 and not out[2].mojibake_keep
+    assert out[2].mojibake_per_kchar == pytest.approx(5 * 1000.0 / len(rows[1][1]))
+    assert out[3].mojibake_hits == 1 and out[3].mojibake_keep
+    assert out[4].mojibake_hits == 0 and out[4].mojibake_keep
+    assert out[5].mojibake_per_kchar == 0.0 and out[5].mojibake_keep
