@@ -224,6 +224,42 @@ def _q_corpus_build_full(spark, sf_dir):
     )
 
 
+def _q_corpus_build_hygiene_plus(spark, sf_dir):
+    """Full-hygiene corpus construction PLUS the crawl-junk gates: the
+    corpus_build_full chain with 200-OK error pages dropped first
+    (operators/soft404) and the encoding-damage density gate
+    (text_stats.mojibake_signals) — every hygiene operator composed in
+    ONE plan. Line docfreq 30 / min_tokens 10 are the production-shaped
+    settings under which the junk pages SURVIVE the generic stages (a
+    5-url error template is below any realistic boilerplate docfreq):
+    here the dedicated gates are what removes them — verified non-vacuous
+    in tests/test_corpus_hygiene_gates.py."""
+    from pyocr_spark.plans.corpus import build_training_corpus
+
+    return build_training_corpus(
+        _pages(spark, sf_dir),
+        min_tokens=10,
+        sample_fraction=0.5,
+        portable_sample=True,
+        line_dedup_docfreq=30,
+        max_dup_token_frac=0.5,
+        drop_soft404=True,
+        max_mojibake_per_kchar=2.0,
+    )
+
+
+def _q_mojibake_pages(spark, sf_dir):
+    """Page-level encoding-damage report (text_stats.mojibake_stats over
+    the extraction): datagen v45 plants double-encoded pages
+    (doc_id%100==81) whose artifact density clears the gate."""
+    from pyocr_spark.functions.text_stats import mojibake_stats
+
+    ext = _extracted(spark, sf_dir, frozenset({"text"})).select(
+        "url", "extracted_text"
+    )
+    return mojibake_stats(ext, text_col="extracted_text", id_col="url")
+
+
 def _q_media_resize(spark, sf_dir):
     from pyocr_spark.functions.multimodal import resize_media
 
@@ -3411,6 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt": _q_url_surt,
         "corpus_build": _q_corpus_build,
         "corpus_build_full": _q_corpus_build_full,
+        "corpus_build_hygiene_plus": _q_corpus_build_hygiene_plus,
+        "mojibake_pages": _q_mojibake_pages,
         # web-crawl corpus hygiene (line dedup, recrawl delta, url/host ops)
         "lines_dedup": _q_lines_dedup,
         "host_template_lines": _q_host_template_lines,
@@ -3925,6 +3963,61 @@ def _soft404_sqls(E: str) -> tuple[str, str]:
     )
     templates_sql = prefix + " SELECT host, digest, n_urls, n_phrase FROM etpl"
     return pages_sql, templates_sql
+
+
+def _mojibake_hits_sql(col: str) -> str:
+    """Marker length-delta hit count over ``col`` as one CAST-to-INT SQL
+    expression — markers imported from text_stats (no drift)."""
+    from pyocr_spark.functions.text_stats import MOJIBAKE_MARKERS
+
+    body = " + ".join(
+        f"(length({col}) - length(replace({col}, '{m}', ''))) / {len(m)}"
+        for m in MOJIBAKE_MARKERS
+    )
+    return f"CAST({body} AS INT)"
+
+
+def _corpus_full_sql(
+    E: str,
+    extra_src_filter: str = "",
+    line_docfreq: int = 1,
+    min_tokens: int = 20,
+) -> str:
+    """The corpus_build_full replay (line dedup → repetition gate →
+    content dedup → token gate → portable sample), parameterized on
+    extra src-level predicates and the stage knobs so the hygiene-plus
+    variant (soft-404 drop + mojibake gate, production-shaped docfreq)
+    shares the whole body."""
+    return (
+        f"WITH src AS (SELECT url, extracted_text "
+        f"FROM read_parquet('{E}/expected_text.parquet') "
+        "WHERE extracted_text IS NOT NULL AND extracted_text != ''"
+        + extra_src_filter
+        + "), "
+        "lines AS (SELECT url, "
+        "unnest(string_split(extracted_text, chr(10))) AS line, "
+        "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
+        "FROM src), "
+        "freq AS (SELECT line FROM lines WHERE trim(line) != '' "
+        f"GROUP BY line HAVING count(DISTINCT url) > {line_docfreq}), "
+        "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
+        "ANTI JOIN freq f USING (line)), "
+        "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean "
+        "FROM kept GROUP BY url), "
+        "ok AS (SELECT url, clean AS extracted_text FROM agg WHERE clean != ''), "
+        "rep AS (SELECT url, extracted_text FROM (SELECT url, extracted_text, "
+        "regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS t FROM ok) "
+        "WHERE (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) <= 0.5), "
+        "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
+        "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn "
+        "FROM rep), "
+        "gated AS (SELECT url, content_hash, "
+        "CASE WHEN regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
+        "FROM ded WHERE rn = 1) "
+        f"SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= {min_tokens} "
+        "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
+    )
 
 
 def _mojibake_sql() -> str:
@@ -5190,33 +5283,19 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY domain ORDER BY n_bytes DESC, url ASC) AS rn FROM f) "
             "SELECT domain, url, n_bytes FROM r WHERE rn <= 5"
         ),
-        "corpus_build_full": (
-            f"WITH src AS (SELECT url, extracted_text "
-            f"FROM read_parquet('{E}/expected_text.parquet') "
-            "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
-            "lines AS (SELECT url, "
-            "unnest(string_split(extracted_text, chr(10))) AS line, "
-            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos "
-            "FROM src), "
-            "freq AS (SELECT line FROM lines WHERE trim(line) != '' "
-            "GROUP BY line HAVING count(DISTINCT url) > 1), "
-            "kept AS (SELECT l.url, l.pos, l.line FROM lines l "
-            "ANTI JOIN freq f USING (line)), "
-            "agg AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean "
-            "FROM kept GROUP BY url), "
-            "ok AS (SELECT url, clean AS extracted_text FROM agg WHERE clean != ''), "
-            "rep AS (SELECT url, extracted_text FROM (SELECT url, extracted_text, "
-            "regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+') AS t FROM ok) "
-            "WHERE (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) <= 0.5), "
-            "ded AS (SELECT url, extracted_text, md5(extracted_text) AS content_hash, "
-            "row_number() OVER (PARTITION BY md5(extracted_text) ORDER BY url) AS rn "
-            "FROM rep), "
-            "gated AS (SELECT url, content_hash, "
-            "CASE WHEN regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g') = '' THEN 0 ELSE "
-            "len(regexp_split_to_array(regexp_replace(extracted_text, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), '[\\t\\n\\f\\r ]+')) END AS n_tokens "
-            "FROM ded WHERE rn = 1) "
-            "SELECT url, content_hash, n_tokens FROM gated WHERE n_tokens >= 20 "
-            "AND CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) % 1000000 < 500000"
+        "corpus_build_full": _corpus_full_sql(E),
+        "corpus_build_hygiene_plus": _corpus_full_sql(
+            E,
+            extra_src_filter=(
+                " AND url NOT IN (SELECT url FROM ("
+                + _soft404_sqls(E)[0]
+                + ") WHERE is_soft404)"
+                + " AND (CASE WHEN length(extracted_text) > 0 THEN "
+                + _mojibake_hits_sql("extracted_text")
+                + " * 1000.0 / length(extracted_text) ELSE 0.0 END) <= 2.0"
+            ),
+            line_docfreq=30,
+            min_tokens=10,
         ),
         # the incremental path must reproduce the full re-extraction
         # byte-identically — the oracle IS the full-extraction table
@@ -5915,6 +5994,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_rep": _GOPHER_REP_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_mojibake": _mojibake_sql(),
+        "mojibake_pages": (
+            "WITH h AS (SELECT url, length(t2) AS n, "
+            + _mojibake_hits_sql("t2")
+            + " AS hits FROM (SELECT url, coalesce(extracted_text, '') AS t2 "
+            f"FROM read_parquet('{E}/expected_text.parquet'))) "
+            "SELECT url, hits AS mojibake_hits, "
+            "CASE WHEN n > 0 THEN hits * 1000.0 / n ELSE 0.0 END AS mojibake_per_kchar, "
+            "(CASE WHEN n > 0 THEN hits * 1000.0 / n ELSE 0.0 END) <= 2.0 AS mojibake_keep "
+            "FROM h"
+        ),
         "doc_para_lang": _DOC_PARA_LANG_SQL,
         "doc_lang_profile": _DOC_LANG_PROFILE_SQL,
         "docs_majority_lang": _DOCS_MAJORITY_LANG_SQL,

@@ -696,6 +696,24 @@ def normalize_text_nfc(docs: DataFrame, text_col: str = "text") -> DataFrame:
 MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€", "Â")
 
 
+def mojibake_signals(text: Column) -> tuple[Column, Column]:
+    """(hits, density-per-kchar) over the frozen marker set — the shared
+    expression used by ``mojibake_stats`` and the corpus plan's gate
+    (plans/corpus.py), so the two cannot drift. Null text counts as
+    empty."""
+    t = F.coalesce(text, F.lit(""))
+    hits: Column = F.lit(0.0)
+    for m in MOJIBAKE_MARKERS:
+        hits = hits + (
+            F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+    hits = hits.cast("int")
+    density = F.when(
+        F.length(t) > 0, hits * F.lit(1000.0) / F.length(t)
+    ).otherwise(F.lit(0.0))
+    return hits, density
+
+
 def mojibake_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -709,16 +727,7 @@ def mojibake_stats(
     over the frozen marker set, density per 1000 chars, and a keep flag
     at ``max_per_kchar``. Pure codegen, narrow, exact-SQL-replayable
     (length-delta substring counts)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    hits: Column = F.lit(0.0)
-    for m in MOJIBAKE_MARKERS:
-        hits = hits + (
-            F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))
-        ) / F.lit(len(m))
-    hits = hits.cast("int")
-    density = F.when(
-        F.length(t) > 0, hits * F.lit(1000.0) / F.length(t)
-    ).otherwise(F.lit(0.0))
+    hits, density = mojibake_signals(F.col(text_col))
     return docs.select(
         id_col,
         hits.alias("mojibake_hits"),

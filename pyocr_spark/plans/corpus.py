@@ -36,6 +36,8 @@ def build_training_corpus(
     line_dedup_docfreq: int | None = None,
     max_dup_token_frac: float | None = None,
     max_per_domain: int | None = None,
+    drop_soft404: bool = False,
+    max_mojibake_per_kchar: float | None = None,
 ) -> DataFrame:
     """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus.
 
@@ -56,6 +58,12 @@ def build_training_corpus(
     - ``max_per_domain``: provenance-mix cap — at most N deduped docs
       per registered domain (eTLD+1), longest kept. One extra window
       Exchange on the domain key with a map-side group limit.
+    - ``drop_soft404``: 200-OK error pages out before any statistics
+      (operators/soft404: phrase markers + host-template rescue). Adds
+      the head-metadata UDF pass, one (host, digest) aggregate and two
+      url equi-joins.
+    - ``max_mojibake_per_kchar``: encoding-damage gate
+      (text_stats.mojibake_signals) — a narrow filter, no shuffle.
     """
     ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
     ok = ext.filter(
@@ -63,6 +71,31 @@ def build_training_corpus(
         & F.col("extracted_text").isNotNull()
         & (F.col("extracted_text") != "")
     )
+    if drop_soft404:
+        # 200-OK error pages out FIRST — junk urls must not feed the
+        # line-frequency statistics or the dedup groups. The title comes
+        # from the head-metadata UDF over the same deduped pages; the
+        # flagged set anti-joins back on url (operators/soft404).
+        from pyocr_spark.functions.dom import extract_metadata
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.soft404 import soft404_report
+
+        meta = extract_metadata(dedup_latest_page(pages)).select("url", "title")
+        bad = (
+            soft404_report(
+                ok.select("url", "extracted_text").join(meta, "url"),
+                text_col="extracted_text",
+            )
+            .filter(F.col("is_soft404"))
+            .select("url")
+        )
+        ok = ok.join(bad, "url", "left_anti")
+    if max_mojibake_per_kchar is not None:
+        # encoding-damage gate — a narrow filter, no extra shuffle
+        from pyocr_spark.functions.text_stats import mojibake_signals
+
+        _, density = mojibake_signals(F.col("extracted_text"))
+        ok = ok.filter(density <= max_mojibake_per_kchar)
     if line_dedup_docfreq is not None:
         from pyocr_spark.operators.linededup import line_dedup
 
