@@ -1872,9 +1872,9 @@ def _q_minhash_pairs(spark, sf_dir):
 
 def _q_corpus_attrition(spark, sf_dir):
     """The corpus funnel measured (plans/corpus.corpus_attrition): rows
-    surviving each hygiene stage of the FULL pipeline (line-dedup +
-    repetition gate on) — same frozen rules as corpus_build_full, so
-    stage 7 equals its row count."""
+    surviving each hygiene stage with EVERY stage on — soft-404 and
+    mojibake junk gates included — same frozen rules as
+    build_training_corpus at the same parameters."""
     from pyocr_spark.plans.corpus import corpus_attrition
 
     return corpus_attrition(
@@ -1884,6 +1884,8 @@ def _q_corpus_attrition(spark, sf_dir):
         portable_sample=True,
         line_dedup_docfreq=1,
         max_dup_token_frac=0.5,
+        drop_soft404=True,
+        max_mojibake_per_kchar=2.0,
     )
 
 
@@ -6464,8 +6466,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH pg AS (SELECT url FROM read_parquet('{E}/pages.parquet/*.parquet')), "
             f"src AS (SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet') "
             "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
+            "s404 AS (SELECT * FROM src WHERE url NOT IN "
+            "(SELECT url FROM (" + _soft404_sqls(E)[0] + ") WHERE is_soft404)), "
+            "moj AS (SELECT * FROM s404 WHERE (CASE WHEN length(extracted_text) > 0 THEN "
+            + _mojibake_hits_sql("extracted_text")
+            + " * 1000.0 / length(extracted_text) ELSE 0.0 END) <= 2.0), "
             "lines AS (SELECT url, unnest(string_split(extracted_text, chr(10))) AS line, "
-            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos FROM src), "
+            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos FROM moj), "
             "freq AS (SELECT line FROM lines WHERE trim(line) != '' GROUP BY line "
             "HAVING count(DISTINCT url) > 1), "
             "kept AS (SELECT l.url, l.pos, l.line FROM lines l ANTI JOIN freq f USING (line)), "
@@ -6488,11 +6495,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS INT) AS stage, 'pages' AS name, CAST(count(*) AS BIGINT) AS n_rows FROM pg "
             "UNION ALL SELECT 1, 'latest_per_url', count(DISTINCT url) FROM pg "
             "UNION ALL SELECT 2, 'extracted_ok', count(*) FROM src "
-            "UNION ALL SELECT 3, 'line_dedup_nonempty', count(*) FROM okc "
-            "UNION ALL SELECT 4, 'repetition_gate', count(*) FROM rep "
-            "UNION ALL SELECT 5, 'token_gate', count(*) FROM gated "
-            "UNION ALL SELECT 6, 'content_dedup', count(*) FROM ded1 "
-            "UNION ALL SELECT 7, 'sampled', count(*) FROM samp"
+            "UNION ALL SELECT 3, 'soft404_gate', count(*) FROM s404 "
+            "UNION ALL SELECT 4, 'mojibake_gate', count(*) FROM moj "
+            "UNION ALL SELECT 5, 'line_dedup_nonempty', count(*) FROM okc "
+            "UNION ALL SELECT 6, 'repetition_gate', count(*) FROM rep "
+            "UNION ALL SELECT 7, 'token_gate', count(*) FROM gated "
+            "UNION ALL SELECT 8, 'content_dedup', count(*) FROM ded1 "
+            "UNION ALL SELECT 9, 'sampled', count(*) FROM samp"
         ),
         # classifier AUC: rank-sum over the unrolled score CTE, doubled
         # midranks keep ties exact, `//` = Spark's `div`

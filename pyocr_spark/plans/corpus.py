@@ -159,19 +159,22 @@ def corpus_attrition(
     portable_sample: bool = False,
     line_dedup_docfreq: int | None = None,
     max_dup_token_frac: float | None = None,
+    drop_soft404: bool = False,
+    max_mojibake_per_kchar: float | None = None,
 ) -> DataFrame:
     """The corpus funnel, measured: one row per hygiene stage with the
     rows surviving it — (stage, name, n_rows). THE first question after
     any corpus build ("where did the documents go?") answered by the
     pipeline itself, with the SAME frozen rules as
-    :func:`build_training_corpus` (same params → stage 7 equals its
-    row count).
+    :func:`build_training_corpus` (same params → the final stage equals
+    its row count).
 
     Stages: 0 pages → 1 latest-per-url → 2 extracted ok/nonempty →
-    [3 line-dedup nonempty] → [4 repetition gate] → 5 token gate →
-    6 content dedup → 7 sample (bracketed stages only when enabled;
-    disabled stages still emit a row, carrying the previous count, so
-    the report schema is configuration-independent).
+    [3 soft-404 gate] → [4 mojibake gate] → [5 line-dedup nonempty] →
+    [6 repetition gate] → 7 token gate → 8 content dedup → 9 sample
+    (bracketed stages only when enabled; disabled stages still emit a
+    row, carrying the previous count, so the report schema is
+    configuration-independent).
 
     Cost: a report, not a pipeline stage — it persists the extraction
     once and pays one count per stage over cached intermediates. Run it
@@ -193,6 +196,30 @@ def corpus_attrition(
     cached.append(ok)
     rows.append((2, "extracted_ok", ok.count()))
     cur = ok
+    if drop_soft404:
+        from pyocr_spark.functions.dom import extract_metadata
+        from pyocr_spark.operators.dedup import dedup_latest_page
+        from pyocr_spark.operators.soft404 import soft404_report
+
+        meta = extract_metadata(dedup_latest_page(pages)).select("url", "title")
+        bad = (
+            soft404_report(cur.join(meta, "url"), text_col="extracted_text")
+            .filter(F.col("is_soft404"))
+            .select("url")
+        )
+        cur = cur.join(bad, "url", "left_anti").persist()
+        cached.append(cur)
+        rows.append((3, "soft404_gate", cur.count()))
+    else:
+        rows.append((3, "soft404_gate", rows[-1][2]))
+    if max_mojibake_per_kchar is not None:
+        from pyocr_spark.functions.text_stats import mojibake_signals
+
+        _, density = mojibake_signals(F.col("extracted_text"))
+        cur = cur.filter(density <= max_mojibake_per_kchar)
+        rows.append((4, "mojibake_gate", cur.count()))
+    else:
+        rows.append((4, "mojibake_gate", rows[-1][2]))
     if line_dedup_docfreq is not None:
         from pyocr_spark.operators.linededup import line_dedup
 
@@ -209,23 +236,23 @@ def corpus_attrition(
             .persist()
         )
         cached.append(cur)
-        rows.append((3, "line_dedup_nonempty", cur.count()))
+        rows.append((5, "line_dedup_nonempty", cur.count()))
     else:
-        rows.append((3, "line_dedup_nonempty", rows[-1][2]))
+        rows.append((5, "line_dedup_nonempty", rows[-1][2]))
     if max_dup_token_frac is not None:
         t = ws_tokens(F.col("extracted_text"))
         dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
         cur = cur.filter(dup_frac <= max_dup_token_frac)
-        rows.append((4, "repetition_gate", cur.count()))
+        rows.append((6, "repetition_gate", cur.count()))
     else:
-        rows.append((4, "repetition_gate", rows[-1][2]))
+        rows.append((6, "repetition_gate", rows[-1][2]))
     gated = cur.select(
         "url",
         F.md5("extracted_text").alias("content_hash"),
         token_count(F.col("extracted_text")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens).persist()
     cached.append(gated)
-    rows.append((5, "token_gate", gated.count()))
+    rows.append((7, "token_gate", gated.count()))
     w = Window.partitionBy("content_hash").orderBy("url")
     ded = (
         gated.withColumn("_rn", F.row_number().over(w))
@@ -234,9 +261,9 @@ def corpus_attrition(
         .persist()
     )
     cached.append(ded)
-    rows.append((6, "content_dedup", ded.count()))
+    rows.append((8, "content_dedup", ded.count()))
     sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
-    rows.append((7, "sampled", sampled.count()))
+    rows.append((9, "sampled", sampled.count()))
     for df in cached:
         df.unpersist()
     spark = pages.sparkSession
