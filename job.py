@@ -65,6 +65,16 @@ def parse_args(argv=None):
              "(eTLD+1 provenance-mix cap, longest docs kept)",
     )
     p.add_argument(
+        "--drop-soft404", action="store_true",
+        help="--corpus: drop 200-OK error pages (phrase markers + "
+             "host-template signal) before any corpus statistics",
+    )
+    p.add_argument(
+        "--max-mojibake-per-kchar", type=float, default=None,
+        help="--corpus: drop docs whose double-encoded-UTF-8 artifact "
+             "density (per 1000 chars) exceeds this bound",
+    )
+    p.add_argument(
         "--split", default=None,
         help="--corpus: add a deterministic disjoint split column by url "
              "hash, e.g. 'train=0.8,valid=0.1,test=0.1' (fractions must "
@@ -294,6 +304,8 @@ def main(argv=None) -> None:
             line_dedup_docfreq=args.line_dedup_docfreq,
             max_dup_token_frac=args.max_dup_token_frac,
             max_per_domain=args.domain_cap,
+            drop_soft404=args.drop_soft404,
+            max_mojibake_per_kchar=args.max_mojibake_per_kchar,
         )
         if args.split:
             from pyocr_spark.operators.sampling import hash_split

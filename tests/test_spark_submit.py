@@ -210,8 +210,15 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     proc = _submit_job(zip_path, [
         "--input", str(pages_sf0001 / "pages.parquet"),
         "--output", out_dir,
-        "--corpus", "--min-tokens", "20", "--sample-fraction", "0.5",
-        "--line-dedup-docfreq", "1", "--max-dup-token-frac", "0.9",
+        # min-tokens 10 + sample 1.0 + line docfreq 30: the soft-404
+        # template pages SURVIVE every generic stage, and content dedup
+        # keeps the lexicographic-min url per host template — doc/121
+        # (src1) and doc/171 (src11), both 'oops'-titled, so their
+        # removal below is the TEMPLATE rescue, not the phrase marker
+        # (verified present without the flag)
+        "--corpus", "--min-tokens", "10", "--sample-fraction", "1.0",
+        "--line-dedup-docfreq", "30", "--max-dup-token-frac", "0.9",
+        "--drop-soft404", "--max-mojibake-per-kchar", "2.0",
         "--blocklist", str(blocklist),
         "--split", "train=0.8,valid=0.1,test=0.1",
     ], str(tmp_path))
@@ -222,10 +229,14 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
 
     out = pd.read_parquet(out_dir)
     assert list(out.columns) == ["url", "content_hash", "n_tokens", "split"]
-    assert out["content_hash"].is_unique and (out["n_tokens"] >= 20).all()
+    assert out["content_hash"].is_unique and (out["n_tokens"] >= 10).all()
     assert set(out["split"].unique()) <= {"train", "valid", "test"}
     # the blocklisted host contributed zero rows
     assert not out["url"].str.startswith("https://src0.example.com/").any()
+    # the soft-404 gate dropped the planted error templates (the kept
+    # dedup representatives are the template-rescued 'oops' pages)
+    assert not out["url"].str.endswith("/doc/121").any()
+    assert not out["url"].str.endswith("/doc/171").any()
 
 
 def test_spark_submit_wet_export(tmp_path):
