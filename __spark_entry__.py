@@ -502,6 +502,56 @@ def _soft404_input(spark, sf_dir):
     return text.join(meta, "url")
 
 
+def _q_page_rel_next(spark, sf_dir):
+    """Pagination-successor harvest (operators/pagination
+    .harvest_rel_next): one (url, next_url) edge per declaring page —
+    first <link rel=next> wins, else first <a rel=next>
+    (core/links.parse_rel_next; datagen v46 plants 31→32→33→34 link
+    chains incl. a first-wins decoy, 57→58 anchor chains, and rel=prev
+    back-links that must be ignored)."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.pagination import harvest_rel_next
+
+    return harvest_rel_next(dedup_latest_page(_pages(spark, sf_dir)))
+
+
+def _q_article_chains(spark, sf_dir):
+    """Chain membership (operators/pagination.paginate_chains): BFS from
+    chain heads over the harvested edges, ≤8 hops, one membership per
+    url — replayed as a recursive CTE."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.pagination import (
+        harvest_rel_next,
+        paginate_chains,
+    )
+
+    return paginate_chains(
+        harvest_rel_next(dedup_latest_page(_pages(spark, sf_dir)))
+    )
+
+
+def _q_stitched_articles(spark, sf_dir):
+    """Multi-page articles reassembled (operators/pagination
+    .stitch_chains): chain pages' extracted text joined with blank
+    lines in chain order — the anti-truncation step a training corpus
+    needs for paginated long-form content."""
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.operators.pagination import (
+        harvest_rel_next,
+        paginate_chains,
+        stitch_chains,
+    )
+
+    pages = dedup_latest_page(_pages(spark, sf_dir))
+    ext = (
+        _extracted(spark, sf_dir, frozenset({"text"}))
+        .select("url", "extracted_text")
+        .filter(F.col("extracted_text").isNotNull())
+    )
+    chains = paginate_chains(harvest_rel_next(pages))
+    return stitch_chains(ext, chains, text_col="extracted_text")
+
+
 def _q_host_mirrors(spark, sf_dir):
     """Cross-host mirror pairs (operators/mirrors.host_mirror_pairs):
     derived mirrored corpus — every source host plus an 'm-' twin
@@ -3428,6 +3478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_pages": _q_soft404_pages,
         "soft404_templates": _q_soft404_templates,
         "host_mirrors": _q_host_mirrors,
+        "page_rel_next": _q_page_rel_next,
+        "article_chains": _q_article_chains,
+        "stitched_articles": _q_stitched_articles,
         "pages_robots_gate": _q_pages_robots_gate,
         "pages_canonical_dedup": _q_pages_canonical_dedup,
         "pages_robots_txt": _q_pages_robots_txt,
@@ -4043,6 +4096,24 @@ def _mojibake_sql() -> str:
         " CASE WHEN n > 0 THEN hits * 1000.0 / n ELSE 0.0 END AS mojibake_per_kchar,"
         " (CASE WHEN n > 0 THEN hits * 1000.0 / n ELSE 0.0 END) <= 2.0 AS mojibake_keep"
         " FROM h"
+    )
+
+
+def _paginate_walk_sql(E: str) -> str:
+    """Shared recursive-CTE prefix for the pagination oracles: BFS from
+    chain heads over expected_relnext, ≤8 hops, one membership per url
+    (smallest pos, then smallest chain) — the paginate_chains replay.
+    Yields CTE ``mem(url, chain_id, pos)``."""
+    return (
+        "WITH RECURSIVE e AS (SELECT url, next_url FROM "
+        f"read_parquet('{E}/expected_relnext.parquet')), "
+        "heads AS (SELECT url FROM e WHERE url NOT IN (SELECT next_url FROM e)), "
+        "walk AS (SELECT url, url AS chain_id, 0 AS pos FROM heads "
+        "UNION ALL SELECT e.next_url, w.chain_id, w.pos + 1 FROM walk w "
+        "JOIN e ON e.url = w.url WHERE w.pos < 8), "
+        "mem AS (SELECT url, chain_id, pos FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY url ORDER BY pos ASC, chain_id ASC) AS rn FROM walk) "
+        "WHERE rn = 1)"
     )
 
 
@@ -4904,6 +4975,21 @@ def oracle_sql() -> dict[str, str]:
         "soft404_pages": _soft404_sqls(E)[0],
         "soft404_templates": _soft404_sqls(E)[1],
         "host_mirrors": _HOST_MIRRORS_SQL,
+        "page_rel_next": (
+            f"SELECT url, next_url FROM read_parquet('{E}/expected_relnext.parquet')"
+        ),
+        "article_chains": _paginate_walk_sql(E) + (
+            " SELECT url, chain_id, CAST(pos AS INT) AS pos FROM mem"
+        ),
+        "stitched_articles": _paginate_walk_sql(E) + (
+            ", j AS (SELECT m.chain_id, m.pos, t.extracted_text FROM mem m"
+            f" JOIN read_parquet('{E}/expected_text.parquet') t ON t.url = m.url"
+            " WHERE t.extracted_text IS NOT NULL),"
+            " agg AS (SELECT chain_id,"
+            " string_agg(extracted_text, chr(10)||chr(10) ORDER BY pos) AS article_text,"
+            " count(*) AS n_pages FROM j GROUP BY 1)"
+            " SELECT chain_id, article_text, n_pages, length(article_text) AS n_chars FROM agg"
+        ),
         "extract_hreflang": (
             "SELECT url, idx, hreflang, target_url "
             f"FROM read_parquet('{E}/expected_hreflang.parquet')"

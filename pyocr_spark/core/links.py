@@ -135,3 +135,70 @@ def parse_outlinks_text(
 def parse_outlinks(html: bytes | str, page_url: str) -> list[str]:
     """Targets only — see parse_outlinks_text."""
     return [t for t, _, _ in parse_outlinks_text(html, page_url)]
+
+
+class _RelNextParser(HTMLParser):
+    """Collects rel=next declarations: ``<link rel="next" href>`` and
+    ``<a rel="next" href>`` candidates in document order, plus the
+    first-wins <base> (same ordering rule as _LinkParser)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        # (href, kind, seen_base) — kind 0 = <link> (preferred), 1 = <a>
+        self.cands: list[tuple[str, int, bool]] = []
+        self.base: str | None = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "base" and self.base is None:
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.base = value.strip()
+                    break
+            return
+        if tag not in ("link", "a"):
+            return
+        href = rel = None
+        for name, value in attrs:
+            if name == "href" and href is None and value is not None:
+                href = value.strip()
+            elif name == "rel" and rel is None and value is not None:
+                rel = value
+        if href is not None and "next" in (rel or "").lower().split():
+            self.cands.append((href, 0 if tag == "link" else 1, self.base is not None))
+
+
+def parse_rel_next(html: bytes | str, page_url: str) -> str | None:
+    """The page's pagination successor, or None.
+
+    Frozen semantics: the FIRST ``<link rel="next" href>`` wins
+    (pagination metadata belongs in the head); if no <link> declares
+    one, the first ``<a rel="next" href>`` does (the visible "next
+    page" anchor). ``rel`` is the HTML ws-separated case-insensitive
+    token list — 'next' anywhere in it counts. Resolution follows the
+    outlink rules: urljoin against the page url (or the <base> if one
+    appeared before the element), fragment dropped, http(s) only;
+    rel=prev is ignored. Oversized/unparseable input → None."""
+    if html is None or len(html) > MAX_HTML_BYTES:
+        return None
+    parser = _RelNextParser()
+    try:
+        parser.feed(decode_replace(html))
+        parser.close()
+    except Exception:
+        pass  # tolerant: whatever was collected before the failure
+    for want_kind in (0, 1):
+        for href, kind, seen_base in parser.cands:
+            if kind != want_kind:
+                continue
+            root = (
+                urljoin(page_url, parser.base)
+                if (seen_base and parser.base is not None)
+                else page_url
+            )
+            try:
+                resolved = urldefrag(urljoin(root, href))[0]
+            except ValueError:
+                continue
+            if resolved.startswith(_KEPT_SCHEMES):
+                return resolved
+    return None

@@ -1,0 +1,137 @@
+"""Pagination stitching — rel=next chains → whole articles.
+
+Long-form web content is routinely split across pages ("page 2 of 7");
+extracting each crawl page separately yields truncated training
+documents AND near-dup fragments (every page shares the site chrome).
+The standard signal is the page's own declaration: ``<link rel="next">``
+in the head (the pagination metadata convention) or an ``<a rel="next">``
+anchor. This module harvests those edges, assembles bounded chains, and
+stitches the extracted text back into one document per article.
+
+Three layers:
+
+1. ``harvest_rel_next`` — pages(url, html) → (url, next_url) edges, one
+   per declaring page (core/links.parse_rel_next is the frozen parser:
+   first <link rel=next> wins, else first <a rel=next>; outlink
+   resolution rules).
+2. ``paginate_chains`` — edges → (url, chain_id, pos): BFS from chain
+   HEADS (pages nobody declares as next), following at most
+   ``max_hops`` hops. chain_id is the head's url; pure cycles have no
+   head and are dropped (frozen — malformed circular pagination is not
+   an article); if two heads reach the same page (two pages declare the
+   same next), the page joins the lexicographically-smallest chain at
+   its smallest position (one membership per url).
+3. ``stitch_chains`` — chains ⋈ extracted text → one row per chain:
+   (chain_id, article_text, n_pages, n_chars), pages joined with
+   ``\\n\\n`` in chain order. Pages outside any chain are untouched —
+   callers union them back as single-page documents.
+
+Scale shape: the edge table is tiny relative to the corpus (only
+declaring pages emit a row), so the ``max_hops`` BFS is that many
+equi-joins over the EDGE table only, then one url equi-join attaches
+text and one partial-aggregated groupBy stitches. The bounded unrolled
+plan keeps lineage static; the membership dedup is one window over the
+chain rows.
+
+Reference: pyocr has no crawl surface; pipeline surface beside
+operators/webgraph (which consumes ALL outlinks; this consumes the one
+typed pagination edge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+REL_NEXT_DDL = "url string, next_url string"
+
+
+def _relnext_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyocr_spark.core.links import parse_rel_next
+
+    for pdf in batches:
+        urls: list[str] = []
+        nexts: list[str] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if url is None:
+                continue
+            nxt = parse_rel_next(html, url)
+            if nxt is not None and nxt != url:  # a self-loop is not pagination
+                urls.append(url)
+                nexts.append(nxt)
+        yield pd.DataFrame({"url": urls, "next_url": nexts})
+
+
+def harvest_rel_next(pages: DataFrame) -> DataFrame:
+    """(url, next_url) for every page declaring a pagination successor.
+    Columns pruned before the UDF (scan reads url+html only)."""
+    return pages.select("url", "html").mapInPandas(
+        _relnext_batches, schema=REL_NEXT_DDL
+    )
+
+
+def paginate_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Chain membership (url, chain_id, pos) — see module docstring.
+    ``max_hops`` bounds article length (pos ≤ max_hops); the tail of a
+    longer chain is left out rather than looping forever."""
+    e = edges.select("url", "next_url")
+    heads = e.select("url").join(
+        e.select(F.col("next_url").alias("url")), "url", "left_anti"
+    )
+    cur = heads.select(
+        "url", F.col("url").alias("chain_id"), F.lit(0).alias("pos")
+    )
+    parts = [cur]
+    for k in range(1, max_hops + 1):
+        cur = cur.join(e, "url").select(
+            F.col("next_url").alias("url"),
+            "chain_id",
+            F.lit(k).alias("pos"),
+        )
+        parts.append(cur)
+    allpos = parts[0]
+    for p in parts[1:]:
+        allpos = allpos.unionAll(p)
+    # one membership per url: smallest position, then smallest chain
+    w = Window.partitionBy("url").orderBy(F.asc("pos"), F.asc("chain_id"))
+    return (
+        allpos.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stitch_chains(
+    docs: DataFrame,
+    chains: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per article: (chain_id, article_text, n_pages, n_chars).
+    ``docs`` provides the per-page extracted text; chain pages missing
+    from ``docs`` (extraction error, crawl gap) are simply absent from
+    the stitch — the article keeps its remaining pages in order."""
+    joined = chains.join(
+        docs.select(
+            F.col(url_col).alias("url"), F.col(text_col).alias("_text")
+        ),
+        "url",
+    )
+    return joined.groupBy("chain_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_text"))),
+                lambda s: s["_text"],
+            ),
+            "\n\n",
+        ).alias("article_text"),
+        F.count("*").alias("n_pages"),
+    ).select(
+        "chain_id",
+        "article_text",
+        "n_pages",
+        F.length("article_text").alias("n_chars"),
+    )

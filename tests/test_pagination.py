@@ -1,0 +1,114 @@
+"""Pagination stitching (core/links.parse_rel_next +
+operators/pagination): harvest rules, chain assembly, stitching."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyocr_spark.core.links import parse_rel_next
+from pyocr_spark.operators.pagination import (
+    harvest_rel_next,
+    paginate_chains,
+    stitch_chains,
+)
+
+U = "https://h.com/article"
+
+
+class TestParseRelNext:
+    def test_link_head_declaration(self):
+        html = b'<html><head><link rel="next" href="/article?page=2"></head><body>x</body></html>'
+        assert parse_rel_next(html, U) == "https://h.com/article?page=2"
+
+    def test_first_link_wins(self):
+        html = (
+            b'<head><link rel="next" href="/p2">'
+            b'<link rel="next" href="/bogus"></head>'
+        )
+        assert parse_rel_next(html, U) == "https://h.com/p2"
+
+    def test_link_preferred_over_anchor_even_if_later(self):
+        html = (
+            b'<body><a rel="next" href="/from-anchor">next</a></body>'
+            b'<link rel="next" href="/from-link">'
+        )
+        assert parse_rel_next(html, U) == "https://h.com/from-link"
+
+    def test_anchor_fallback_and_rel_token_list(self):
+        html = b'<body><a rel="nofollow NEXT" href="/p2#frag">next page</a></body>'
+        assert parse_rel_next(html, U) == "https://h.com/p2"
+
+    def test_prev_ignored_and_none_cases(self):
+        assert parse_rel_next(b'<link rel="prev" href="/p1">', U) is None
+        assert parse_rel_next(b"<p>no pagination</p>", U) is None
+        assert parse_rel_next(b'<a rel="next">no href</a>', U) is None
+        assert parse_rel_next(b'<link rel="next" href="mailto:x@y">', U) is None
+
+    def test_base_applies_when_seen_first(self):
+        html = b'<base href="https://other.com/dir/"><link rel="next" href="p2">'
+        assert parse_rel_next(html, U) == "https://other.com/dir/p2"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["url", "next_url"]),
+        "url string, next_url string",
+    )
+
+
+def test_harvest_skips_self_loop_and_emits_edges(spark):
+    rows = [
+        ("https://h/1", b'<link rel="next" href="/2">'),
+        ("https://h/2", b'<link rel="next" href="https://h/2">'),  # self
+        ("https://h/3", b"<p>none</p>"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "html"]), "url string, html binary"
+    )
+    out = harvest_rel_next(df).collect()
+    assert [(r.url, r.next_url) for r in out] == [("https://h/1", "https://h/2")]
+
+
+def test_chain_assembly_and_positions(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    rows = {r.url: (r.chain_id, r.pos) for r in paginate_chains(e).collect()}
+    assert rows == {
+        "a": ("a", 0), "b": ("a", 1), "c": ("a", 2),
+        "x": ("x", 0), "y": ("x", 1),
+    }
+
+
+def test_cycle_has_no_head_and_is_dropped(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    assert paginate_chains(e).count() == 0
+
+
+def test_max_hops_bounds_chain(spark):
+    e = _edges(spark, [(f"p{i}", f"p{i+1}") for i in range(10)])
+    out = paginate_chains(e, max_hops=3).collect()
+    assert max(r.pos for r in out) == 3 and len(out) == 4
+
+
+def test_merging_chains_pick_smallest(spark):
+    # two heads declare the same next page: it joins the earlier chain
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("c", "d")])
+    rows = {r.url: (r.chain_id, r.pos) for r in paginate_chains(e).collect()}
+    assert rows["c"] == ("a", 1) and rows["d"] == ("a", 2)
+    assert rows["a"] == ("a", 0) and rows["b"] == ("b", 0)
+
+
+def test_stitch_order_and_missing_page(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    chains = paginate_chains(e)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "first part"), ("c", "third part")],  # b missing
+            columns=["url", "text"],
+        ),
+        "url string, text string",
+    )
+    out = stitch_chains(docs, chains).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.chain_id == "a" and r.article_text == "first part\n\nthird part"
+    assert r.n_pages == 2 and r.n_chars == len("first part\n\nthird part")
