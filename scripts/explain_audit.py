@@ -988,6 +988,20 @@ def main() -> int:
     check("soft404_pages", "no cartesian/NLJ",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 66. pagination: chain BFS joins run over the EDGE table only (the
+    # corpus scan appears once per branch of the harvest, never inside
+    # the unrolled hop joins), and membership dedup is one window
+    df = qs["article_chains"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("article_chains", p))
+    check("article_chains", "no cartesian/NLJ in the hop joins",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("article_chains", "harvest scan pruned to url/html(/warc_ts)",
+          (lambda schemas: bool(schemas) and not any(
+              re.search(r"[<,]text:", s) for s in schemas
+          ))(re.findall(r"ReadSchema: (struct<[^>]*>)", p)),
+          "; ".join(re.findall(r"ReadSchema: (struct<[^>]*>)", p))[:100])
+
     spark.stop()
 
     ok_all = all(ok for _, _, ok, _ in checks)
