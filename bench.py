@@ -440,6 +440,53 @@ def main() -> None:
 
     timed("unigram_nll", _unigram, reps=2)
 
+    # junk-gate walls: the soft-404 verdict join (extract text + head
+    # meta + (host,digest) template agg + broadcast join) and the
+    # host-mirror containment pairs — the crawl-hygiene legs
+    from pyocr_spark.functions.dom import extract_metadata
+    from pyocr_spark.operators.soft404 import soft404_report
+
+    def _soft404():
+        pages = read_pages(spark, pages_path)
+        ext = extract_df(pages, modes=TEXT_ONLY, dedup=False).select(
+            "url", "extracted_text"
+        )
+        meta = extract_metadata(pages).select("url", "title")
+        noop_write(soft404_report(ext.join(meta, "url"), text_col="extracted_text"))
+
+    timed("soft404_report", _soft404, reps=2)
+
+    from pyocr_spark.operators.mirrors import host_mirror_pairs
+
+    timed(
+        "host_mirrors",
+        lambda: host_mirror_pairs(
+            docs_df.selectExpr(
+                "concat('https://m', cast(doc_id % 97 as string), '.example.com/d/', cast(doc_id as string)) AS url",
+                "text",
+            )
+        ).count(),
+        reps=2,
+    )
+
+    # pagination wall: rel-next harvest (narrow Arrow stage) + bounded
+    # chain BFS + the stitch groupBy — the article-reassembly path
+    from pyocr_spark.operators.pagination import (
+        harvest_rel_next,
+        paginate_chains,
+        stitch_chains,
+    )
+
+    def _paginate():
+        pages = read_pages(spark, pages_path)
+        ext = extract_df(pages, modes=TEXT_ONLY, dedup=False).select(
+            "url", "extracted_text"
+        )
+        chains = paginate_chains(harvest_rel_next(pages))
+        noop_write(stitch_chains(ext, chains, text_col="extracted_text"))
+
+    timed("paginate_stitch", _paginate, reps=2)
+
     import __spark_entry__ as entrymod
 
     timed("lineitem_pricing", lambda: entrymod._q_lineitem_pricing(spark, SF_DIR).collect(), reps=3)
