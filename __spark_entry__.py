@@ -552,6 +552,42 @@ def _q_stitched_articles(spark, sf_dir):
     return stitch_chains(ext, chains, text_col="extracted_text")
 
 
+def _q_url_page_chains(spark, sf_dir):
+    """URL-pattern pagination fallback (operators/pagination
+    .paginate_by_url): chains recovered from trailing ?page=N / /page/N
+    url shapes alone (rel=next absent) — derived url table: every doc a
+    base url, %3==0 docs get ?page=2/3 variants, %3==1 docs a /page/2
+    variant, %3==2 stay singletons (dropped by min_members)."""
+    from pyocr_spark.operators.pagination import paginate_by_url
+
+    d = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("https://s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/art/"),
+        F.col("doc_id").cast("string"),
+    )
+    u = (
+        d.select(base.alias("url"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.concat(base, F.lit("?page=2")).alias("url")
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.concat(base, F.lit("?page=3")).alias("url")
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                F.concat(base, F.lit("/page/2")).alias("url")
+            )
+        )
+    )
+    return paginate_by_url(u)
+
+
 def _q_host_mirrors(spark, sf_dir):
     """Cross-host mirror pairs (operators/mirrors.host_mirror_pairs):
     derived mirrored corpus — every source host plus an 'm-' twin
@@ -3479,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_templates": _q_soft404_templates,
         "host_mirrors": _q_host_mirrors,
         "page_rel_next": _q_page_rel_next,
+        "url_page_chains": _q_url_page_chains,
         "article_chains": _q_article_chains,
         "stitched_articles": _q_stitched_articles,
         "pages_robots_gate": _q_pages_robots_gate,
@@ -4115,6 +4152,36 @@ def _paginate_walk_sql(E: str) -> str:
         "(PARTITION BY url ORDER BY pos ASC, chain_id ASC) AS rn FROM walk) "
         "WHERE rn = 1)"
     )
+
+
+_URL_PAGE_CHAINS_SQL = (
+    "WITH b AS (SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR) ||"
+    " '.example.com/art/' || CAST(doc_id AS VARCHAR) AS base, doc_id FROM documents),"
+    " u AS (SELECT base AS url FROM b"
+    " UNION ALL SELECT base || '?page=2' FROM b WHERE doc_id % 3 = 0"
+    " UNION ALL SELECT base || '?page=3' FROM b WHERE doc_id % 3 = 0"
+    " UNION ALL SELECT base || '/page/2' FROM b WHERE doc_id % 3 = 1),"
+    " du AS (SELECT DISTINCT url FROM u),"
+    " m AS (SELECT url,"
+    " CASE WHEN regexp_matches(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$')"
+    " THEN regexp_extract(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$', 1)"
+    " WHEN regexp_matches(url, '^(.*)/page/([0-9]+)/?$')"
+    " THEN regexp_extract(url, '^(.*)/page/([0-9]+)/?$', 1) END AS chain_id,"
+    " CASE WHEN regexp_matches(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$')"
+    " THEN CAST(regexp_extract(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$', 2) AS INT)"
+    " WHEN regexp_matches(url, '^(.*)/page/([0-9]+)/?$')"
+    " THEN CAST(regexp_extract(url, '^(.*)/page/([0-9]+)/?$', 2) AS INT) END AS page_no"
+    " FROM du),"
+    " mm AS (SELECT * FROM m WHERE chain_id IS NOT NULL AND chain_id != ''),"
+    " br AS (SELECT du.url, du.url AS chain_id, 1 AS page_no FROM du"
+    " JOIN (SELECT DISTINCT chain_id AS url FROM mm) c ON c.url = du.url),"
+    " am AS (SELECT * FROM mm UNION ALL SELECT * FROM br),"
+    " rk AS (SELECT url, chain_id, row_number() OVER (PARTITION BY chain_id"
+    " ORDER BY page_no ASC, url ASC) - 1 AS pos, page_no FROM am),"
+    " sz AS (SELECT chain_id FROM am GROUP BY 1 HAVING count(*) >= 2)"
+    " SELECT r.url, r.chain_id, CAST(r.pos AS INT) AS pos, r.page_no"
+    " FROM rk r JOIN sz USING (chain_id)"
+)
 
 
 _HOST_MIRRORS_SQL = (
@@ -4978,6 +5045,7 @@ def oracle_sql() -> dict[str, str]:
         "page_rel_next": (
             f"SELECT url, next_url FROM read_parquet('{E}/expected_relnext.parquet')"
         ),
+        "url_page_chains": _URL_PAGE_CHAINS_SQL,
         "article_chains": _paginate_walk_sql(E) + (
             " SELECT url, chain_id, CAST(pos AS INT) AS pos FROM mem"
         ),

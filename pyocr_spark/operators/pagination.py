@@ -104,6 +104,67 @@ def paginate_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     )
 
 
+#: frozen url pagination patterns (Java-regex/RE2 common subset, both
+#: anchored so base extraction is unambiguous):
+#: A — trailing query param ?page=N / &page=N (synonyms p, pg,
+#:     case-insensitive); base = everything before the separator
+#: B — trailing path segment /page/N with optional trailing slash
+_URL_PAGE_QUERY = r"(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$"
+_URL_PAGE_PATH = r"^(.*)/page/([0-9]+)/?$"
+
+
+def paginate_by_url(
+    urls: DataFrame, url_col: str = "url", min_members: int = 2
+) -> DataFrame:
+    """URL-pattern pagination fallback — chains WITHOUT rel markup.
+
+    rel=next is widely absent (Google deprecated it in 2019); the
+    remaining signal is the url shape itself: pages differing only in a
+    trailing page counter. Frozen rule: a url matching pattern A or B
+    (see constants) is a member of the chain keyed by its BASE (the url
+    minus the counter); the base url itself, when present in the input,
+    joins as page 1. Members order by (page_no, url); ``pos`` is the
+    0-based rank. Groups smaller than ``min_members`` are dropped (a
+    lone ``?page=7`` url is not a chain). Pure codegen: two
+    regexp_extracts, one distinct, one window — no UDF, no join against
+    the corpus body.
+
+    Returns (url, chain_id, pos, page_no); combine with
+    :func:`stitch_chains` exactly like the rel-next chains."""
+    u = urls.select(F.col(url_col).alias("url")).distinct()
+    qa_base = F.regexp_extract("url", _URL_PAGE_QUERY, 1)
+    qa_no = F.regexp_extract("url", _URL_PAGE_QUERY, 2)
+    pb_base = F.regexp_extract("url", _URL_PAGE_PATH, 1)
+    pb_no = F.regexp_extract("url", _URL_PAGE_PATH, 2)
+    members = u.select(
+        "url",
+        F.when(qa_no != "", qa_base)
+        .when(pb_no != "", pb_base)
+        .alias("chain_id"),
+        F.when(qa_no != "", qa_no.cast("int"))
+        .when(pb_no != "", pb_no.cast("int"))
+        .alias("page_no"),
+    ).filter(F.col("chain_id").isNotNull() & (F.col("chain_id") != ""))
+    base_rows = (
+        u.join(
+            members.select(F.col("chain_id").alias("url")).distinct(), "url"
+        )
+        .select(
+            "url",
+            F.col("url").alias("chain_id"),
+            F.lit(1).alias("page_no"),
+        )
+    )
+    allm = members.unionAll(base_rows)
+    w = Window.partitionBy("chain_id").orderBy(F.asc("page_no"), F.asc("url"))
+    ranked = allm.withColumn("pos", F.row_number().over(w) - F.lit(1))
+    sizes = allm.groupBy("chain_id").agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(sizes.filter(F.col("_n") >= min_members), "chain_id")
+        .select("url", "chain_id", "pos", "page_no")
+    )
+
+
 def stitch_chains(
     docs: DataFrame,
     chains: DataFrame,

@@ -112,3 +112,74 @@ def test_stitch_order_and_missing_page(spark):
     r = out[0]
     assert r.chain_id == "a" and r.article_text == "first part\n\nthird part"
     assert r.n_pages == 2 and r.n_chars == len("first part\n\nthird part")
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        pd.DataFrame({"url": urls}), "url string"
+    )
+
+
+class TestPaginateByUrl:
+    def test_query_param_chain_with_base(self, spark):
+        from pyocr_spark.operators.pagination import paginate_by_url
+
+        out = paginate_by_url(
+            _urls(spark, [
+                "https://h/a",
+                "https://h/a?page=2",
+                "https://h/a?page=3",
+                "https://h/other",
+            ])
+        ).collect()
+        rows = {r.url: (r.chain_id, r.pos, r.page_no) for r in out}
+        assert rows == {
+            "https://h/a": ("https://h/a", 0, 1),
+            "https://h/a?page=2": ("https://h/a", 1, 2),
+            "https://h/a?page=3": ("https://h/a", 2, 3),
+        }
+
+    def test_other_params_kept_in_base_and_synonyms(self, spark):
+        from pyocr_spark.operators.pagination import paginate_by_url
+
+        out = paginate_by_url(
+            _urls(spark, [
+                "https://h/l?sort=new&P=2",
+                "https://h/l?sort=new&p=3",
+                "https://h/l?sort=new",
+            ])
+        ).collect()
+        assert {(r.url, r.pos) for r in out} == {
+            ("https://h/l?sort=new", 0),
+            ("https://h/l?sort=new&P=2", 1),
+            ("https://h/l?sort=new&p=3", 2),
+        }
+
+    def test_path_segment_chain_without_base(self, spark):
+        from pyocr_spark.operators.pagination import paginate_by_url
+
+        out = paginate_by_url(
+            _urls(spark, ["https://h/blog/page/2", "https://h/blog/page/3/"])
+        ).collect()
+        rows = {r.url: (r.chain_id, r.pos) for r in out}
+        assert rows == {
+            "https://h/blog/page/2": ("https://h/blog", 0),
+            "https://h/blog/page/3/": ("https://h/blog", 1),
+        }
+
+    def test_lone_page_url_is_not_a_chain(self, spark):
+        from pyocr_spark.operators.pagination import paginate_by_url
+
+        assert paginate_by_url(_urls(spark, ["https://h/x?page=7"])).count() == 0
+
+    def test_mid_url_page_param_not_matched(self, spark):
+        from pyocr_spark.operators.pagination import paginate_by_url
+
+        # the counter must be TRAILING — ?page=2&sort=x is ambiguous and
+        # excluded by the frozen rule
+        assert (
+            paginate_by_url(
+                _urls(spark, ["https://h/a?page=2&sort=x", "https://h/a?page=3&sort=x"])
+            ).count()
+            == 0
+        )
