@@ -1326,6 +1326,16 @@ def _q_docs_majority_lang(spark, sf_dir):
     return filter_majority_lang(_mixed_lang_docs(spark, sf_dir))
 
 
+def _q_lsh_s_curve(spark, sf_dir):
+    """The MinHash-LSH tuning surface (operators/dedup
+    .lsh_candidate_curve): P(candidate | Jaccard s) for the production
+    defaults (16 hashes = 4 bands × 4 rows), powers unrolled as plain
+    multiplication chains so DuckDB replays them bit-identically."""
+    from pyocr_spark.operators.dedup import lsh_candidate_curve
+
+    return lsh_candidate_curve(spark, bands=4, rows=4)
+
+
 def _q_doc_mojibake(spark, sf_dir):
     """Encoding-damage signal (text_stats.mojibake_stats) over a derived
     corpus where two doc slices carry planted double-UTF-8 artifacts
@@ -3626,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_blockword": _q_docs_blockword,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
+        "lsh_s_curve": _q_lsh_s_curve,
         "doc_mojibake": _q_doc_mojibake,
         "doc_para_lang": _q_doc_para_lang,
         "doc_lang_profile": _q_doc_lang_profile,
@@ -6149,6 +6160,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_gopher_rep": _GOPHER_REP_SQL,
         "doc_lang_id": _LANG_ID_SQL,
+        "lsh_s_curve": (
+            "WITH g AS (SELECT CAST(range AS INT) AS i FROM range(0, 101)), "
+            "c AS (SELECT i, i / 100.0 AS s FROM g) "
+            "SELECT i, s, 1.0 - ((1.0 - s*s*s*s) * (1.0 - s*s*s*s) * "
+            "(1.0 - s*s*s*s) * (1.0 - s*s*s*s)) AS p_candidate FROM c"
+        ),
         "doc_mojibake": _mojibake_sql(),
         "mojibake_pages": (
             "WITH h AS (SELECT url, length(t2) AS n, "

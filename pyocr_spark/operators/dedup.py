@@ -9,7 +9,7 @@ happens inside small candidate buckets, never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,6 +123,47 @@ def minhash_signature(
         df.select(F.col(id_col), _shingles(text_col, k).alias("_sh"))
         .select(F.col(id_col), sigs.alias("sig"))
     )
+
+
+def lsh_candidate_curve(
+    spark, bands: int = 4, rows: int = 4, n_points: int = 101
+) -> DataFrame:
+    """The LSH S-curve, materialized: P(candidate pair | Jaccard = s) =
+    1 − (1 − s^rows)^bands over an even s grid — the tuning surface for
+    (bands, rows) choices (Leskovec/Rajaraman/Ullman, MMDS §3.4). Powers
+    are UNROLLED as left-associated multiplication chains (no ``pow``),
+    so the arithmetic is plain IEEE multiply/subtract and a SQL oracle
+    replays it bit-identically — libm ``pow`` differs across engines in
+    the last ulp. Returns (i, s, p_candidate), i = 0..n_points−1."""
+    grid = spark.range(n_points).select(F.col("id").cast("int").alias("i"))
+    s = F.col("i") / F.lit(float(n_points - 1))
+    p1: Column = s
+    for _ in range(rows - 1):
+        p1 = p1 * s
+    q = F.lit(1.0) - p1
+    qb: Column = q
+    for _ in range(bands - 1):
+        qb = qb * q
+    return grid.select("i", s.alias("s"), (F.lit(1.0) - qb).alias("p_candidate"))
+
+
+def lsh_plan(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Pick (bands, rows) with bands × rows = num_hashes whose S-curve
+    midpoint sits closest to the target Jaccard ``threshold`` — i.e.
+    minimize |P(candidate | s=threshold) − 0.5|; ties → more bands
+    (higher recall at the threshold). Pure driver-side math: the plan is
+    chosen once, the cluster never sees it."""
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        p = 1.0 - (1.0 - threshold**rows) ** bands
+        key = (abs(p - 0.5), -bands)
+        if best is None or key < (best[0], -best[1]):
+            best = (key[0], bands, rows)
+    assert best is not None
+    return best[1], best[2]
 
 
 def minhash_lsh_dedup(

@@ -1240,3 +1240,24 @@ def test_editdist_verified_pairs(spark):
     # the long-tail pair survives LSH candidacy but fails the 10% verify
     assert (0, 2) not in got
     assert not any(3 in p for p in got)
+
+
+def test_lsh_plan_and_curve(spark):
+    from pyocr_spark.operators.dedup import lsh_candidate_curve, lsh_plan
+
+    # the MMDS rule of thumb: threshold ~ (1/b)^(1/r); for 16 hashes at
+    # 0.5 the balanced choice is 4x4
+    assert lsh_plan(16, 0.5) == (4, 4)
+    b, r = lsh_plan(64, 0.8)
+    assert (b, r) == (8, 8)  # the midpoint-closest split at 0.8
+    # low threshold -> more, shorter bands (recall-heavy)
+    b2, r2 = lsh_plan(64, 0.2)
+    assert b2 * r2 == 64 and b2 > r2
+    curve = {row.i: row for row in lsh_candidate_curve(spark, 4, 4).collect()}
+    assert len(curve) == 101
+    assert curve[0].p_candidate == 0.0 and curve[100].p_candidate == 1.0
+    p50 = curve[50].p_candidate
+    assert abs(p50 - (1 - (1 - 0.5**4) ** 4)) < 1e-12
+    # monotone non-decreasing in s
+    ps = [curve[i].p_candidate for i in range(101)]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
