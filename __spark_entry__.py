@@ -502,6 +502,17 @@ def _soft404_input(spark, sf_dir):
     return text.join(meta, "url")
 
 
+def _q_page_fetch_quality(spark, sf_dir):
+    """Truncated-fetch report (functions/extract.fetch_quality_df): raw
+    byte signals per page — looks_html / has_close / truncated (datagen
+    v47 cuts doc_id%100==87 pages mid-stream; PDF and ALTO payloads are
+    non-HTML and never miscalled)."""
+    from pyocr_spark.functions.extract import fetch_quality_df
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return fetch_quality_df(dedup_latest_page(_pages(spark, sf_dir)))
+
+
 def _q_page_rel_next(spark, sf_dir):
     """Pagination-successor harvest (operators/pagination
     .harvest_rel_next): one (url, next_url) edge per declaring page —
@@ -3524,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_pages": _q_soft404_pages,
         "soft404_templates": _q_soft404_templates,
         "host_mirrors": _q_host_mirrors,
+        "page_fetch_quality": _q_page_fetch_quality,
         "page_rel_next": _q_page_rel_next,
         "url_page_chains": _q_url_page_chains,
         "article_chains": _q_article_chains,
@@ -5055,6 +5067,10 @@ def oracle_sql() -> dict[str, str]:
         "host_mirrors": _HOST_MIRRORS_SQL,
         "page_rel_next": (
             f"SELECT url, next_url FROM read_parquet('{E}/expected_relnext.parquet')"
+        ),
+        "page_fetch_quality": (
+            "SELECT url, n_bytes, looks_html, has_close, truncated "
+            f"FROM read_parquet('{E}/expected_fetchq.parquet')"
         ),
         "url_page_chains": _URL_PAGE_CHAINS_SQL,
         "article_chains": _paginate_walk_sql(E) + (

@@ -202,3 +202,29 @@ def word_lines_to_lineboxes(word_lines: list[list[str]]) -> list[LineBox]:
         (_, _), (x2, y2) = boxes[-1].position
         lines.append(LineBox(boxes, ((x1, y1), (x2, y2))))
     return lines
+
+
+def fetch_quality(html: bytes | None) -> tuple[int, bool, bool, bool]:
+    """Truncated-fetch signal over RAW page bytes (no decode): a crawl
+    that hit a timeout/size cap mid-response stores a 200-OK page whose
+    document never closes — the extracted text silently ends mid-article
+    and poisons a training corpus with cut-off documents.
+
+    Frozen spec (pure byte ops, case-insensitive ASCII):
+    - ``looks_html`` — the first 1024 bytes contain ``<html`` or
+      ``<!doctype html`` (PDF payloads, ALTO XML and other non-HTML
+      pages are NOT judged);
+    - ``has_close`` — the last 1024 bytes contain ``</html>``;
+    - ``truncated`` — looks_html and not has_close.
+
+    Returns (n_bytes, looks_html, has_close, truncated); None input →
+    (0, False, False, False)."""
+    if html is None:
+        return (0, False, False, False)
+    if isinstance(html, str):
+        html = html.encode("utf-8", errors="replace")
+    head = html[:1024].lower()
+    tail = html[-1024:].lower()
+    looks_html = b"<html" in head or b"<!doctype html" in head
+    has_close = b"</html>" in tail
+    return (len(html), looks_html, has_close, looks_html and not has_close)

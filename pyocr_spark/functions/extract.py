@@ -221,3 +221,34 @@ def charset_udf():
         return htmls.map(lambda b: None if b is None else sniff_charset(bytes(b)))
 
     return _charset
+
+
+FETCHQ_DDL = "url string, n_bytes int, looks_html boolean, has_close boolean, truncated boolean"
+
+
+def fetch_quality_df(pages):
+    """Truncated-fetch report per page (core.htmltext.fetch_quality):
+    (url, n_bytes, looks_html, has_close, truncated) — the 200-OK
+    mid-response cutoff signal, judged on RAW bytes so non-HTML payloads
+    (PDF, ALTO XML) are never miscalled. One Arrow-batched narrow pass;
+    scan pruned to url+html."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyocr_spark.core.htmltext import fetch_quality
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (url, *fetch_quality(None if html is None else bytes(html)))
+                for url, html in zip(pdf["url"], pdf["html"])
+                if url is not None
+            ]
+            out = pd.DataFrame(
+                rows, columns=["url", "n_bytes", "looks_html", "has_close", "truncated"]
+            )
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
+
+    return pages.select("url", "html").mapInPandas(_batches, schema=FETCHQ_DDL)

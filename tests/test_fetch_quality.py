@@ -1,0 +1,47 @@
+"""Truncated-fetch detection (core/htmltext.fetch_quality +
+functions/extract.fetch_quality_df)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyocr_spark.core.htmltext import fetch_quality
+
+
+def test_complete_html_page():
+    n, looks, close, trunc = fetch_quality(b"<!DOCTYPE html>\n<html><body>hi</body></html>")
+    assert looks and close and not trunc
+
+
+def test_truncated_html_page():
+    page = b"<html><head><title>t</title></head><body>" + b"x" * 3000
+    n, looks, close, trunc = fetch_quality(page)
+    assert looks and not close and trunc and n == len(page)
+
+
+def test_case_insensitive_and_close_in_tail_window():
+    page = b"<HTML>" + b"y" * 2000 + b"</HtMl>\n"
+    assert fetch_quality(page) == (len(page), True, True, False)
+
+
+def test_non_html_payloads_not_judged():
+    assert fetch_quality(b"%PDF-1.4 ...")[3] is False
+    assert fetch_quality(b"<?xml version='1.0'?><alto>...</alto>")[3] is False
+    assert fetch_quality(None) == (0, False, False, False)
+
+
+def test_spark_report(spark):
+    from pyocr_spark.functions.extract import fetch_quality_df
+
+    rows = [
+        ("https://h/full", b"<html><body>ok</body></html>"),
+        ("https://h/cut", b"<html><body>" + b"z" * 2000),
+        ("https://h/pdf", b"%PDF-1.4 payload"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "html"]), "url string, html binary"
+    )
+    out = {r.url: r for r in fetch_quality_df(df).collect()}
+    assert not out["https://h/full"].truncated
+    assert out["https://h/cut"].truncated and out["https://h/cut"].looks_html
+    assert not out["https://h/pdf"].looks_html and not out["https://h/pdf"].truncated
