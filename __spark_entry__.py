@@ -245,6 +245,7 @@ def _q_corpus_build_hygiene_plus(spark, sf_dir):
         max_dup_token_frac=0.5,
         drop_soft404=True,
         max_mojibake_per_kchar=2.0,
+        drop_truncated=True,
     )
 
 
@@ -5476,6 +5477,8 @@ def oracle_sql() -> dict[str, str]:
                 + " AND (CASE WHEN length(extracted_text) > 0 THEN "
                 + _mojibake_hits_sql("extracted_text")
                 + " * 1000.0 / length(extracted_text) ELSE 0.0 END) <= 2.0"
+                + " AND url NOT IN (SELECT url FROM "
+                f"read_parquet('{E}/expected_fetchq.parquet') WHERE truncated)"
             ),
             line_docfreq=30,
             min_tokens=10,

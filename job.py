@@ -75,6 +75,11 @@ def parse_args(argv=None):
              "density (per 1000 chars) exceeds this bound",
     )
     p.add_argument(
+        "--drop-truncated", action="store_true",
+        help="--corpus: drop pages whose fetch was cut mid-response "
+             "(html opens but never closes — raw-byte signal)",
+    )
+    p.add_argument(
         "--split", default=None,
         help="--corpus: add a deterministic disjoint split column by url "
              "hash, e.g. 'train=0.8,valid=0.1,test=0.1' (fractions must "
@@ -306,6 +311,7 @@ def main(argv=None) -> None:
             max_per_domain=args.domain_cap,
             drop_soft404=args.drop_soft404,
             max_mojibake_per_kchar=args.max_mojibake_per_kchar,
+            drop_truncated=args.drop_truncated,
         )
         if args.split:
             from pyocr_spark.operators.sampling import hash_split

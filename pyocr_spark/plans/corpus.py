@@ -38,6 +38,7 @@ def build_training_corpus(
     max_per_domain: int | None = None,
     drop_soft404: bool = False,
     max_mojibake_per_kchar: float | None = None,
+    drop_truncated: bool = False,
 ) -> DataFrame:
     """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus.
 
@@ -64,6 +65,9 @@ def build_training_corpus(
       url equi-joins.
     - ``max_mojibake_per_kchar``: encoding-damage gate
       (text_stats.mojibake_signals) — a narrow filter, no shuffle.
+    - ``drop_truncated``: mid-response cutoff pages out
+      (core/htmltext.fetch_quality raw-byte signal) — one url anti-join
+      against the flagged set.
     """
     ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
     ok = ext.filter(
@@ -90,6 +94,18 @@ def build_training_corpus(
             .select("url")
         )
         ok = ok.join(bad, "url", "left_anti")
+    if drop_truncated:
+        # a 200-OK page cut mid-response yields a silently-shortened
+        # document; flag on RAW bytes (non-HTML payloads never judged)
+        from pyocr_spark.functions.extract import fetch_quality_df
+        from pyocr_spark.operators.dedup import dedup_latest_page
+
+        cut = (
+            fetch_quality_df(dedup_latest_page(pages))
+            .filter(F.col("truncated"))
+            .select("url")
+        )
+        ok = ok.join(cut, "url", "left_anti")
     if max_mojibake_per_kchar is not None:
         # encoding-damage gate — a narrow filter, no extra shuffle
         from pyocr_spark.functions.text_stats import mojibake_signals

@@ -219,6 +219,7 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
         "--corpus", "--min-tokens", "10", "--sample-fraction", "1.0",
         "--line-dedup-docfreq", "30", "--max-dup-token-frac", "0.9",
         "--drop-soft404", "--max-mojibake-per-kchar", "2.0",
+        "--drop-truncated",
         "--blocklist", str(blocklist),
         "--split", "train=0.8,valid=0.1,test=0.1",
     ], str(tmp_path))
@@ -237,6 +238,8 @@ def test_spark_submit_corpus_mode(tmp_path, pages_sf0001):
     # dedup representatives are the template-rescued 'oops' pages)
     assert not out["url"].str.endswith("/doc/121").any()
     assert not out["url"].str.endswith("/doc/171").any()
+    # the truncation gate dropped the planted mid-stream cutoffs
+    assert not out["url"].str.endswith("/doc/187").any()
 
 
 def test_spark_submit_wet_export(tmp_path):
