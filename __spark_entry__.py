@@ -1980,8 +1980,8 @@ def _q_minhash_pairs(spark, sf_dir):
 
 def _q_corpus_attrition(spark, sf_dir):
     """The corpus funnel measured (plans/corpus.corpus_attrition): rows
-    surviving each hygiene stage with EVERY stage on — soft-404 and
-    mojibake junk gates included — same frozen rules as
+    surviving each hygiene stage with EVERY stage on — soft-404,
+    truncation and mojibake junk gates included — same frozen rules as
     build_training_corpus at the same parameters."""
     from pyocr_spark.plans.corpus import corpus_attrition
 
@@ -1994,6 +1994,7 @@ def _q_corpus_attrition(spark, sf_dir):
         max_dup_token_frac=0.5,
         drop_soft404=True,
         max_mojibake_per_kchar=2.0,
+        drop_truncated=True,
     )
 
 
@@ -6658,7 +6659,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
             "s404 AS (SELECT * FROM src WHERE url NOT IN "
             "(SELECT url FROM (" + _soft404_sqls(E)[0] + ") WHERE is_soft404)), "
-            "moj AS (SELECT * FROM s404 WHERE (CASE WHEN length(extracted_text) > 0 THEN "
+            "tcut AS (SELECT * FROM s404 WHERE url NOT IN (SELECT url FROM "
+            f"read_parquet('{E}/expected_fetchq.parquet') WHERE truncated)), "
+            "moj AS (SELECT * FROM tcut WHERE (CASE WHEN length(extracted_text) > 0 THEN "
             + _mojibake_hits_sql("extracted_text")
             + " * 1000.0 / length(extracted_text) ELSE 0.0 END) <= 2.0), "
             "lines AS (SELECT url, unnest(string_split(extracted_text, chr(10))) AS line, "
@@ -6686,12 +6689,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 1, 'latest_per_url', count(DISTINCT url) FROM pg "
             "UNION ALL SELECT 2, 'extracted_ok', count(*) FROM src "
             "UNION ALL SELECT 3, 'soft404_gate', count(*) FROM s404 "
-            "UNION ALL SELECT 4, 'mojibake_gate', count(*) FROM moj "
-            "UNION ALL SELECT 5, 'line_dedup_nonempty', count(*) FROM okc "
-            "UNION ALL SELECT 6, 'repetition_gate', count(*) FROM rep "
-            "UNION ALL SELECT 7, 'token_gate', count(*) FROM gated "
-            "UNION ALL SELECT 8, 'content_dedup', count(*) FROM ded1 "
-            "UNION ALL SELECT 9, 'sampled', count(*) FROM samp"
+            "UNION ALL SELECT 4, 'truncation_gate', count(*) FROM tcut "
+            "UNION ALL SELECT 5, 'mojibake_gate', count(*) FROM moj "
+            "UNION ALL SELECT 6, 'line_dedup_nonempty', count(*) FROM okc "
+            "UNION ALL SELECT 7, 'repetition_gate', count(*) FROM rep "
+            "UNION ALL SELECT 8, 'token_gate', count(*) FROM gated "
+            "UNION ALL SELECT 9, 'content_dedup', count(*) FROM ded1 "
+            "UNION ALL SELECT 10, 'sampled', count(*) FROM samp"
         ),
         # classifier AUC: rank-sum over the unrolled score CTE, doubled
         # midranks keep ties exact, `//` = Spark's `div`

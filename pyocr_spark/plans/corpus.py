@@ -177,6 +177,7 @@ def corpus_attrition(
     max_dup_token_frac: float | None = None,
     drop_soft404: bool = False,
     max_mojibake_per_kchar: float | None = None,
+    drop_truncated: bool = False,
 ) -> DataFrame:
     """The corpus funnel, measured: one row per hygiene stage with the
     rows surviving it — (stage, name, n_rows). THE first question after
@@ -186,11 +187,11 @@ def corpus_attrition(
     its row count).
 
     Stages: 0 pages → 1 latest-per-url → 2 extracted ok/nonempty →
-    [3 soft-404 gate] → [4 mojibake gate] → [5 line-dedup nonempty] →
-    [6 repetition gate] → 7 token gate → 8 content dedup → 9 sample
-    (bracketed stages only when enabled; disabled stages still emit a
-    row, carrying the previous count, so the report schema is
-    configuration-independent).
+    [3 soft-404 gate] → [4 truncation gate] → [5 mojibake gate] →
+    [6 line-dedup nonempty] → [7 repetition gate] → 8 token gate →
+    9 content dedup → 10 sample (bracketed stages only when enabled;
+    disabled stages still emit a row, carrying the previous count, so
+    the report schema is configuration-independent).
 
     Cost: a report, not a pipeline stage — it persists the extraction
     once and pays one count per stage over cached intermediates. Run it
@@ -228,14 +229,28 @@ def corpus_attrition(
         rows.append((3, "soft404_gate", cur.count()))
     else:
         rows.append((3, "soft404_gate", rows[-1][2]))
+    if drop_truncated:
+        from pyocr_spark.functions.extract import fetch_quality_df
+        from pyocr_spark.operators.dedup import dedup_latest_page
+
+        cut = (
+            fetch_quality_df(dedup_latest_page(pages))
+            .filter(F.col("truncated"))
+            .select("url")
+        )
+        cur = cur.join(cut, "url", "left_anti").persist()
+        cached.append(cur)
+        rows.append((4, "truncation_gate", cur.count()))
+    else:
+        rows.append((4, "truncation_gate", rows[-1][2]))
     if max_mojibake_per_kchar is not None:
         from pyocr_spark.functions.text_stats import mojibake_signals
 
         _, density = mojibake_signals(F.col("extracted_text"))
         cur = cur.filter(density <= max_mojibake_per_kchar)
-        rows.append((4, "mojibake_gate", cur.count()))
+        rows.append((5, "mojibake_gate", cur.count()))
     else:
-        rows.append((4, "mojibake_gate", rows[-1][2]))
+        rows.append((5, "mojibake_gate", rows[-1][2]))
     if line_dedup_docfreq is not None:
         from pyocr_spark.operators.linededup import line_dedup
 
@@ -252,23 +267,23 @@ def corpus_attrition(
             .persist()
         )
         cached.append(cur)
-        rows.append((5, "line_dedup_nonempty", cur.count()))
+        rows.append((6, "line_dedup_nonempty", cur.count()))
     else:
-        rows.append((5, "line_dedup_nonempty", rows[-1][2]))
+        rows.append((6, "line_dedup_nonempty", rows[-1][2]))
     if max_dup_token_frac is not None:
         t = ws_tokens(F.col("extracted_text"))
         dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
         cur = cur.filter(dup_frac <= max_dup_token_frac)
-        rows.append((6, "repetition_gate", cur.count()))
+        rows.append((7, "repetition_gate", cur.count()))
     else:
-        rows.append((6, "repetition_gate", rows[-1][2]))
+        rows.append((7, "repetition_gate", rows[-1][2]))
     gated = cur.select(
         "url",
         F.md5("extracted_text").alias("content_hash"),
         token_count(F.col("extracted_text")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens).persist()
     cached.append(gated)
-    rows.append((7, "token_gate", gated.count()))
+    rows.append((8, "token_gate", gated.count()))
     w = Window.partitionBy("content_hash").orderBy("url")
     ded = (
         gated.withColumn("_rn", F.row_number().over(w))
@@ -277,9 +292,9 @@ def corpus_attrition(
         .persist()
     )
     cached.append(ded)
-    rows.append((8, "content_dedup", ded.count()))
+    rows.append((9, "content_dedup", ded.count()))
     sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
-    rows.append((9, "sampled", sampled.count()))
+    rows.append((10, "sampled", sampled.count()))
     for df in cached:
         df.unpersist()
     spark = pages.sparkSession
