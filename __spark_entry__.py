@@ -3276,6 +3276,20 @@ def _q_corpus_bpe_merges(spark, sf_dir):
     return learn_bpe_merges(_docs(spark, sf_dir), n_merges=30, min_count=2)
 
 
+def _q_corpus_bpe_merges_hybrid(spark, sf_dir):
+    """Hybrid top-M BPE learning (operators/bpe.learn_bpe_merges_hybrid):
+    the production-merge-count path — ONE distributed word-frequency
+    pass, top-M words to the driver via TakeOrderedAndProject, classic
+    heap-based in-memory learner. top_m here covers the whole sf vocab,
+    so the result is provably identical to the distributed loop and
+    shares its exact oracle (datagen.build_bpe_expected)."""
+    from pyocr_spark.operators.bpe import learn_bpe_merges_hybrid
+
+    return learn_bpe_merges_hybrid(
+        _docs(spark, sf_dir), n_merges=30, min_count=2, top_m=1_000_000
+    )
+
+
 def _q_doc_bpe_encode(spark, sf_dir):
     """Learned-tokenizer token counts (operators/bpe.bpe_encode_counts):
     learn the merge table, broadcast it as ranks, Arrow-batched encode —
@@ -3597,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_nll": _q_doc_bigram_nll,
         "docs_nll_tiers": _q_docs_nll_tiers,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
+        "corpus_bpe_merges_hybrid": _q_corpus_bpe_merges_hybrid,
         "unigram_vocab": _q_unigram_vocab,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "unigram_encoded": _q_unigram_encoded,
@@ -5769,6 +5784,13 @@ def oracle_sql() -> dict[str, str]:
         # greedy fold, implemented from the Sennrich 2016 algorithm, not
         # from the Spark code). left/right quoted: SQL keywords in DuckDB.
         "corpus_bpe_merges": (
+            'SELECT step, "left", "right", pair_count '
+            f"FROM read_parquet('{E}/expected_bpe.parquet')"
+        ),
+        # hybrid top-M learner: top_m covers the whole sf vocab, so the
+        # exact result is identical to the distributed loop's — the SAME
+        # independent oracle gates both learner implementations
+        "corpus_bpe_merges_hybrid": (
             'SELECT step, "left", "right", pair_count '
             f"FROM read_parquet('{E}/expected_bpe.parquet')"
         ),

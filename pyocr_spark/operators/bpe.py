@@ -27,11 +27,15 @@ and every merge decision is exact over that table. Shapes:
 
 Honest scale bound: the loop costs O(n_merges) Spark jobs. For the
 hundreds of merges an analysis vocabulary needs, that is fine; for a
-production 30k-100k-merge tokenizer, the documented path is hybrid —
-this module's distributed pass builds the exact word-frequency table,
-then the classic heap-based in-memory learner runs on the top-M words
-(which carry >99.9% of token mass), because 10^5 cluster-wide barriers
-cannot beat one machine scanning 10^8 rows.
+production 30k-100k-merge tokenizer the path is
+``learn_bpe_merges_hybrid`` — the same distributed pass builds the
+exact word-frequency table, then the classic heap-based in-memory
+learner (incremental pair index + lazy-deletion heap, ``_heap_learn``)
+runs on the top-M words (which carry >99.9% of token mass), because
+10^5 cluster-wide barriers cannot beat one machine scanning 10^8 rows.
+The two learners share every frozen semantic (tokenization, code-point
+symbols, tie-break, merge fold) and are equivalence-gated against each
+other and against the same pure-Python oracle.
 
 Determinism contract (exact-oracle gate): pair selection orders by
 (count DESC, left ASC, right ASC) — a total order; Spark compares
@@ -141,6 +145,130 @@ def learn_bpe_merges(
             "wcount", _merge_fold(left, right)(F.col("syms")).alias("syms")
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def _heap_learn(
+    vocab: list[tuple[list[str], int]], n_merges: int, min_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact in-memory Sennrich learner over a (symbols, wcount) vocab —
+    the classic fast implementation: a pair->count index maintained
+    INCREMENTALLY (only words containing the merged pair are revisited,
+    via a pair->word-ids inverted index) plus a lazy-deletion max-heap,
+    so each merge step costs O(words containing the pair), not O(vocab).
+
+    Selection order is the frozen engine contract: (count DESC, left ASC,
+    right ASC) — the heap key (-count, left, right) realizes exactly
+    that total order; stale heap entries (count since changed) are
+    discarded on pop by comparing against the live index. The merge
+    application is the same greedy left-to-right non-overlapping fold as
+    the distributed path, so this learner is provably equivalent to
+    ``learn_bpe_merges``'s recount loop (equivalence-gated in
+    tests/test_bpe.py and by the shared exact oracle).
+    """
+    import heapq
+    from collections import Counter
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    # superset index: pair -> ids of words that contained the pair at
+    # some point (never misses a current occurrence; stale ids are
+    # skipped cheaply when revisited)
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if pair_counts.get((l, r), 0) == -negc:
+                best = (l, r, -negc)
+                break
+        if best is None or best[2] < min_count:
+            break
+        left, right, cnt = best
+        merges.append((step, left, right, cnt))
+        del pair_counts[(left, right)]
+        touched: set[tuple[str, str]] = set()
+        for idx in pair_words.pop((left, right), ()):
+            syms, c = vocab[idx]
+            old = Counter(zip(syms, syms[1:]))
+            if (left, right) not in old:
+                continue  # stale index entry
+            out: list[str] = []
+            for tok in syms:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            vocab[idx] = (out, c)
+            new = Counter(zip(out, out[1:]))
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                # the merged pair cannot survive the fold (left+right !=
+                # left), so its post-merge count is exactly 0 everywhere
+                if d == 0 or p == (left, right):
+                    continue
+                nc = pair_counts.get(p, 0) + d * c
+                if nc <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = nc
+                    touched.add(p)
+                if d > 0:
+                    pair_words.setdefault(p, set()).add(idx)
+        # every changed-and-alive count gets a fresh heap entry; the
+        # outdated ones die in the lazy-deletion pop loop above
+        for p in touched:
+            if p in pair_counts:
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    return merges
+
+
+def learn_bpe_merges_hybrid(
+    docs: DataFrame,
+    n_merges: int = 30,
+    min_count: int = 2,
+    top_m: int = 1_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The production-scale BPE path the module docstring documents:
+    ONE distributed corpus pass builds the exact word-frequency table,
+    the top ``top_m`` words by (wcount DESC, word ASC) come to the
+    driver via TakeOrderedAndProject (bounded by construction — the
+    k-means-centroid precedent), and the classic heap-based in-memory
+    learner (``_heap_learn``) runs the merge loop locally. 10^5
+    cluster-wide barriers cannot beat one machine scanning 10^8 rows —
+    this replaces O(n_merges) Spark jobs with O(1).
+
+    Exactness contract: when ``top_m`` covers the whole vocabulary the
+    result is IDENTICAL to ``learn_bpe_merges`` (equivalence-gated in
+    tests and by the shared exact oracle — same tokenization, symbol,
+    tie-break, and fold semantics). When ``top_m`` truncates, the
+    learner is exact over the top-M sub-vocabulary — the documented
+    production trade: the top ~10^6 of ~10^8 web-corpus words carry
+    >99.9% of token mass, and the selection (wcount DESC, word ASC) is
+    a deterministic total order, so the result is still reproducible
+    bit-for-bit across cluster sizes.
+
+    Returns (step, left, right, pair_count) in learning order — the
+    same frozen MERGES_SCHEMA as the distributed loop.
+    """
+    spark = docs.sparkSession
+    top = (
+        word_freq_table(docs, text_col)
+        .orderBy(F.desc("wcount"), F.asc("word"))
+        .limit(top_m)
+        .collect()
+    )
+    vocab = [(list(r["word"]), int(r["wcount"])) for r in top]
+    return spark.createDataFrame(
+        _heap_learn(vocab, n_merges, min_count), MERGES_SCHEMA
+    )
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -140,6 +140,89 @@ def test_bpe_encode_counts_agrees_with_reference(spark):
     assert list(got["n_tokens"]) == [int(x) for x in want["n_tokens"]]
 
 
+def _reference_heap_input(texts):
+    """(word, wcount) the way word_freq_table computes it, as a vocab."""
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+    wc = Counter()
+    for t in texts:
+        for w in ws.split(t.strip("\t\n\f\r ")):
+            if w:
+                wc[w] += 1
+    return wc
+
+
+def _learn_hybrid(spark, texts, n_merges, **kw):
+    from pyocr_spark.operators.bpe import learn_bpe_merges_hybrid
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = learn_bpe_merges_hybrid(docs, n_merges=n_merges, **kw).collect()
+    return [(r["step"], r["left"], r["right"], r["pair_count"]) for r in got]
+
+
+def test_hybrid_equals_distributed_when_top_m_covers_vocab(spark):
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest widest widest widest",
+        "the quick brown fox jumps over the lazy dog the the",
+    ]
+    want = _learn(spark, texts, 12)
+    got = _learn_hybrid(spark, texts, 12, top_m=1_000_000)
+    assert got == want
+    assert got == _reference_bpe(texts, 12)
+
+
+def test_hybrid_equals_distributed_on_edge_corpora(spark):
+    # unicode line-terminator symbols, greedy-overlap, min_count stop —
+    # the same frozen semantics the distributed loop is fixtured on
+    for texts, n in [
+        (["a b a b xq xq"], 4),
+        (["aaaa aaaa aaaa"], 3),
+        (["abc def ghi"], 5),
+        (["xy xy ab ab"], 1),
+    ]:
+        assert _learn_hybrid(spark, texts, n, top_m=100) == _learn(spark, texts, n)
+
+
+def test_hybrid_top_m_truncation_is_exact_over_sub_vocab(spark):
+    # top_m=2 keeps the two most frequent words (ties broken word ASC);
+    # the result must equal the reference learner run on ONLY those words
+    texts = ["zz zz zz zz yy yy yy xx xx ww"]
+    wc = _reference_heap_input(texts)
+    top2 = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    sub_texts = [" ".join(w for w, c in top2 for _ in range(c))]
+    assert _learn_hybrid(spark, texts, 5, top_m=2) == _reference_bpe(sub_texts, 5)
+
+
+def test_heap_learner_matches_naive_recount_property():
+    """Property: the incremental heap learner and the naive
+    recount-every-step learner agree on random small vocabularies —
+    the incremental pair-count maintenance is the risky part."""
+    import random
+
+    from pyocr_spark.operators.bpe import _heap_learn
+
+    rng = random.Random(1234)
+    alphabet = "abcX "
+    for trial in range(60):
+        n_words = rng.randint(1, 8)
+        words = {}
+        for _ in range(n_words):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 7))
+            )
+            words[w] = rng.randint(1, 5)
+        texts = [" ".join(w for w, c in words.items() for _ in range(c))]
+        want = _reference_bpe(texts, 15, min_count=1)
+        vocab = [(list(w), c) for w, c in words.items()]
+        got = _heap_learn(vocab, 15, min_count=1)
+        assert got == want, (trial, words)
+
+
 def test_bpe_symbols_keep_unicode_line_terminators(spark):
     # U+2028 survives the [\t\n\f\r ] tokenizer split, so it must be a
     # SYMBOL (DOTALL extract) exactly like the oracle's list(word) —
