@@ -564,6 +564,43 @@ def _q_stitched_articles(spark, sf_dir):
     return stitch_chains(ext, chains, text_col="extracted_text")
 
 
+def _q_stream_extract_text(spark, sf_dir):
+    """Streaming exactness gate (streaming/stream.start_extract_stream):
+    drain the pages table in MULTIPLE micro-batches (maxFilesPerTrigger=2
+    over the ≥10-file table), then apply the documented downstream
+    reconciliation — keep-latest dedup on the passed-through warc_ts —
+    and the result must be byte-identical to the batch extract_text
+    (same expected_text oracle). This promotes the pytest batch≡stream
+    assertion to a driver-checked exact oracle."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.streaming.stream import start_extract_stream
+
+    pages_dir = ensure_pages(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_extract_")
+    q = start_extract_stream(
+        spark,
+        str(pages_dir / "pages.parquet"),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        modes=frozenset({"text"}),
+        available_now=True,
+        max_files_per_trigger=2,
+        keep_ts=True,
+    )
+    assert q.awaitTermination(600), "streaming drain timed out"
+    got = spark.read.parquet(f"{tmp}/out")
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "extracted_text")
+    )
+
+
 def _q_url_page_chains(spark, sf_dir):
     """URL-pattern pagination fallback (operators/pagination
     .paginate_by_url): chains recovered from trailing ?page=N / /page/N
@@ -3554,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_fetch_quality": _q_page_fetch_quality,
         "page_rel_next": _q_page_rel_next,
         "url_page_chains": _q_url_page_chains,
+        "stream_extract_text": _q_stream_extract_text,
         "article_chains": _q_article_chains,
         "stitched_articles": _q_stitched_articles,
         "pages_robots_gate": _q_pages_robots_gate,
@@ -4190,7 +4228,15 @@ def _paginate_walk_sql(E: str) -> str:
         "JOIN e ON e.url = w.url WHERE w.pos < 8), "
         "mem AS (SELECT url, chain_id, pos FROM (SELECT *, row_number() OVER "
         "(PARTITION BY url ORDER BY pos ASC, chain_id ASC) AS rn FROM walk) "
-        "WHERE rn = 1)"
+        "WHERE rn = 1), "
+        # a member whose declared next is owned by another chain (or by
+        # none: hop bound / dropped cycle) => the chain is incomplete
+        "lost AS (SELECT DISTINCT m.chain_id FROM mem m "
+        "JOIN e ON e.url = m.url "
+        "LEFT JOIN mem m2 ON m2.url = e.next_url "
+        "WHERE m2.chain_id IS NULL OR m2.chain_id <> m.chain_id), "
+        "memt AS (SELECT m.url, m.chain_id, m.pos, "
+        "(m.chain_id IN (SELECT chain_id FROM lost)) AS truncated FROM mem m)"
     )
 
 
@@ -4203,12 +4249,12 @@ _URL_PAGE_CHAINS_SQL = (
     " UNION ALL SELECT base || '/page/2' FROM b WHERE doc_id % 3 = 1),"
     " du AS (SELECT DISTINCT url FROM u),"
     " m AS (SELECT url,"
-    " CASE WHEN regexp_matches(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$')"
-    " THEN regexp_extract(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$', 1)"
+    " CASE WHEN regexp_matches(url, '(?i)^(.*)[?&](?:page|pg)=([0-9]+)$')"
+    " THEN regexp_extract(url, '(?i)^(.*)[?&](?:page|pg)=([0-9]+)$', 1)"
     " WHEN regexp_matches(url, '^(.*)/page/([0-9]+)/?$')"
     " THEN regexp_extract(url, '^(.*)/page/([0-9]+)/?$', 1) END AS chain_id,"
-    " CASE WHEN regexp_matches(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$')"
-    " THEN CAST(regexp_extract(url, '(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$', 2) AS INT)"
+    " CASE WHEN regexp_matches(url, '(?i)^(.*)[?&](?:page|pg)=([0-9]+)$')"
+    " THEN CAST(regexp_extract(url, '(?i)^(.*)[?&](?:page|pg)=([0-9]+)$', 2) AS INT)"
     " WHEN regexp_matches(url, '^(.*)/page/([0-9]+)/?$')"
     " THEN CAST(regexp_extract(url, '^(.*)/page/([0-9]+)/?$', 2) AS INT) END AS page_no"
     " FROM du),"
@@ -4986,6 +5032,9 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
+        # streaming drain + keep-latest reconcile ≡ the batch extract:
+        # the SAME independent expected table gates both execution modes
+        "stream_extract_text": f"SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet')",
         "extract_charset": f"SELECT url, charset FROM read_parquet('{E}/expected_charset.parquet')",
         "extract_digits": f"SELECT url, digits_text FROM read_parquet('{E}/expected_digits.parquet')",
         "extract_words": (
@@ -5091,16 +5140,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_page_chains": _URL_PAGE_CHAINS_SQL,
         "article_chains": _paginate_walk_sql(E) + (
-            " SELECT url, chain_id, CAST(pos AS INT) AS pos FROM mem"
+            " SELECT url, chain_id, CAST(pos AS INT) AS pos, truncated FROM memt"
         ),
         "stitched_articles": _paginate_walk_sql(E) + (
-            ", j AS (SELECT m.chain_id, m.pos, t.extracted_text FROM mem m"
+            ", j AS (SELECT m.chain_id, m.pos, m.truncated, t.extracted_text FROM memt m"
             f" JOIN read_parquet('{E}/expected_text.parquet') t ON t.url = m.url"
             " WHERE t.extracted_text IS NOT NULL),"
             " agg AS (SELECT chain_id,"
             " string_agg(extracted_text, chr(10)||chr(10) ORDER BY pos) AS article_text,"
-            " count(*) AS n_pages FROM j GROUP BY 1)"
-            " SELECT chain_id, article_text, n_pages, length(article_text) AS n_chars FROM agg"
+            " count(*) AS n_pages, bool_or(truncated) AS truncated FROM j GROUP BY 1)"
+            " SELECT chain_id, article_text, n_pages, length(article_text) AS n_chars, truncated FROM agg"
         ),
         "extract_hreflang": (
             "SELECT url, idx, hreflang, target_url "

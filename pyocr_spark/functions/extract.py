@@ -171,11 +171,24 @@ def make_extract_arrow_fn(
 
     from pyocr_spark.core.columnar import extract_batch
 
-    schema = output_schema_arrow(modes, passthrough)
+    # a passthrough type of Ellipsis means "copy the INPUT field's arrow
+    # type" — resolved from the first record batch. Needed for timestamp
+    # passthrough (warc_ts): Spark's arrow timestamp carries the session
+    # timezone, so a statically-declared tz could mismatch what Spark
+    # actually ships; copying the input type is consistent by definition.
+    static = not any(t is Ellipsis for _, t in passthrough)
+    schema0 = output_schema_arrow(modes, passthrough) if static else None
     pass_names = [n for n, _ in passthrough]
 
     def extract_batches_arrow(batches):
+        schema = schema0
         for rb in batches:
+            if schema is None:
+                resolved = tuple(
+                    (n, rb.schema.field(n).type if t is Ellipsis else t)
+                    for n, t in passthrough
+                )
+                schema = output_schema_arrow(modes, resolved)
             names = rb.schema.names
             htmls = rb.column(names.index("html")).to_pylist()
             if "lang" in names:

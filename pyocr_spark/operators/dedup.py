@@ -175,6 +175,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     jaccard_threshold: float = 0.8,
     portable: bool = False,
+    signature_path: str | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
 
@@ -188,6 +189,15 @@ def minhash_lsh_dedup(
     — every step then has an exact DuckDB twin (the production band key
     stays hashed: a compact long beats a 4×20-char string as a shuffle
     key at 10^12 rows).
+
+    ``signature_path`` is the CLUSTER-SCALE materialization form: the
+    signature table is written once to that path (parquet; on a real
+    deployment an Iceberg table) and the self-join reads it back — a
+    plain scan on both sides, NO cache entry, no lifecycle to leak. This
+    is the default recommendation for long-lived sessions and the only
+    form that survives executor loss without recomputing the shingle →
+    minhash pipeline. When unset, the signatures persist() in memory
+    (the interactive/analysis form; see lifecycle note below).
     """
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # bands > num_hashes would make rows_per_band 0: an empty band key
@@ -216,7 +226,14 @@ def minhash_lsh_dedup(
     # session end. Long-lived sessions making many calls should
     # spark.catalog.clearCache() between batches (or write/join the
     # signature table, the cluster-scale form, which has no cache at all).
-    banded = sig.persist()
+    if signature_path is not None:
+        # write-once materialization: the two join sides become parquet
+        # scans of the written table (plan shows Scan parquet, never
+        # InMemoryRelation) — zero cache footprint, resume-friendly
+        sig.write.mode("overwrite").parquet(signature_path)
+        banded = df.sparkSession.read.parquet(signature_path)
+    else:
+        banded = sig.persist()
     banded = banded.select(
         F.col(id_col),
         F.col("sig"),

@@ -58,11 +58,23 @@ def host_mirror_pairs(
     min_shared: int = 2,
     max_digest_hosts: int = 50,
     min_containment: float = 0.5,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Mirror-candidate host pairs: (host_a, host_b, shared_digests,
     n_a, n_b, containment), host_a < host_b, kept when shared ≥
     ``min_shared`` AND containment ≥ ``min_containment``. See module
-    docstring for the shuffle budget."""
+    docstring for the shuffle budget.
+
+    ``index_path`` is the cluster-scale / long-lived-session form: the
+    pruned inverted index is written once to that path (parquet;
+    Iceberg on a real deployment) and the self-join reads it back —
+    plain scans, zero cache footprint, nothing to unpersist (the
+    minhash_lsh_dedup ``signature_path`` pattern). When unset, the
+    index ``persist()``s for the duration of the returned frame's
+    lifetime — the interactive form; the cache entry cannot be released
+    from inside this function because the result references it lazily,
+    so sessions making many calls should pass ``index_path`` or
+    ``spark.catalog.clearCache()`` between batches."""
     sig = host_content_profile(docs, url_col=url_col, text_col=text_col)
     sizes = sig.groupBy("host").agg(F.count("*").alias("n"))
     shared_digests = (
@@ -72,11 +84,15 @@ def host_mirror_pairs(
         .select("digest")
     )
     # pairs can only form inside a ≤ max_digest_hosts digest group —
-    # persist the pruned index so the self-join's two branches don't
-    # re-derive it (cache entry lives until session end unless the
-    # caller unpersists; the pruned index is ~|corpus| × 50 bytes, far
+    # materialize the pruned index so the self-join's two branches don't
+    # re-derive it (the pruned index is ~|corpus| × 50 bytes, far
     # smaller than the input it replaces)
-    inv = sig.join(shared_digests, "digest").persist()
+    inv = sig.join(shared_digests, "digest")
+    if index_path is not None:
+        inv.write.mode("overwrite").parquet(index_path)
+        inv = docs.sparkSession.read.parquet(index_path)
+    else:
+        inv = inv.persist()
     pairs = (
         inv.alias("l")
         .join(inv.alias("r"), "digest")

@@ -74,9 +74,18 @@ def harvest_rel_next(pages: DataFrame) -> DataFrame:
 
 
 def paginate_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
-    """Chain membership (url, chain_id, pos) — see module docstring.
-    ``max_hops`` bounds article length (pos ≤ max_hops); the tail of a
-    longer chain is left out rather than looping forever."""
+    """Chain membership (url, chain_id, pos, truncated) — see module
+    docstring. ``max_hops`` bounds article length (pos ≤ max_hops); the
+    tail of a longer chain is left out rather than looping forever.
+
+    ``truncated`` marks chains that are INCOMPLETE: some member still
+    declares a next page that the chain does not own — either the
+    membership dedup handed it to another chain (two pages declared the
+    same next; the losing chain keeps a stub) or the ``max_hops`` bound
+    cut the walk. Without the flag, ``stitch_chains`` would emit those
+    stubs as silently truncated "articles" — the exact failure mode this
+    module exists to prevent. Detection is two equi-joins over the tiny
+    member/edge tables only (scale shape unchanged)."""
     e = edges.select("url", "next_url")
     heads = e.select("url").join(
         e.select(F.col("next_url").alias("url")), "url", "left_anti"
@@ -97,19 +106,46 @@ def paginate_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
         allpos = allpos.unionAll(p)
     # one membership per url: smallest position, then smallest chain
     w = Window.partitionBy("url").orderBy(F.asc("pos"), F.asc("chain_id"))
-    return (
+    mem = (
         allpos.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+    # a member whose declared next is owned by ANOTHER chain (or by no
+    # chain at all — beyond the hop bound / inside a dropped cycle)
+    # means this chain is missing its downstream: flag the whole chain
+    owner = mem.select(
+        F.col("url").alias("next_url"), F.col("chain_id").alias("_next_chain")
+    )
+    lost = (
+        mem.join(e, "url")
+        .join(owner, "next_url", "left")
+        .filter(
+            F.col("_next_chain").isNull()
+            | (F.col("_next_chain") != F.col("chain_id"))
+        )
+        .select("chain_id")
+        .distinct()
+        .withColumn("truncated", F.lit(True))
+    )
+    return mem.join(lost, "chain_id", "left").select(
+        "url",
+        "chain_id",
+        "pos",
+        F.coalesce("truncated", F.lit(False)).alias("truncated"),
     )
 
 
 #: frozen url pagination patterns (Java-regex/RE2 common subset, both
 #: anchored so base extraction is unambiguous):
-#: A — trailing query param ?page=N / &page=N (synonyms p, pg,
-#:     case-insensitive); base = everything before the separator
+#: A — trailing query param ?page=N / &page=N (synonym pg,
+#:     case-insensitive); base = everything before the separator.
+#:     Deliberately NOT `p`: ?p=N commonly encodes post/product ids
+#:     (forums, shops) — treating it as pagination would stitch
+#:     distinct documents into one false "article" and conscript the
+#:     base url as its page 1.
 #: B — trailing path segment /page/N with optional trailing slash
-_URL_PAGE_QUERY = r"(?i)^(.*)[?&](?:page|p|pg)=([0-9]+)$"
+_URL_PAGE_QUERY = r"(?i)^(.*)[?&](?:page|pg)=([0-9]+)$"
 _URL_PAGE_PATH = r"^(.*)/page/([0-9]+)/?$"
 
 
@@ -171,17 +207,22 @@ def stitch_chains(
     url_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
-    """One row per article: (chain_id, article_text, n_pages, n_chars).
-    ``docs`` provides the per-page extracted text; chain pages missing
-    from ``docs`` (extraction error, crawl gap) are simply absent from
-    the stitch — the article keeps its remaining pages in order."""
+    """One row per article: (chain_id, article_text, n_pages, n_chars
+    [, truncated]). ``docs`` provides the per-page extracted text; chain
+    pages missing from ``docs`` (extraction error, crawl gap) are simply
+    absent from the stitch — the article keeps its remaining pages in
+    order. When ``chains`` carries the ``truncated`` flag
+    (:func:`paginate_chains`), it propagates to the article level so
+    downstream corpus builds can drop or down-weight incomplete
+    articles instead of training on silently cut-off text."""
+    has_flag = "truncated" in chains.columns
     joined = chains.join(
         docs.select(
             F.col(url_col).alias("url"), F.col(text_col).alias("_text")
         ),
         "url",
     )
-    return joined.groupBy("chain_id").agg(
+    aggs = [
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "_text"))),
@@ -190,9 +231,15 @@ def stitch_chains(
             "\n\n",
         ).alias("article_text"),
         F.count("*").alias("n_pages"),
-    ).select(
-        "chain_id",
-        "article_text",
-        "n_pages",
+    ]
+    if has_flag:
+        aggs.append(F.bool_or("truncated").alias("truncated"))
+    out_cols = [
+        F.col("chain_id"),
+        F.col("article_text"),
+        F.col("n_pages"),
         F.length("article_text").alias("n_chars"),
-    )
+    ]
+    if has_flag:
+        out_cols.append(F.col("truncated"))
+    return joined.groupBy("chain_id").agg(*aggs).select(*out_cols)

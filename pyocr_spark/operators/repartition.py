@@ -26,18 +26,56 @@ def with_bucket(df: DataFrame, num_buckets: int = DEFAULT_BUCKETS, key: str = "u
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int"))
 
 
+#: giant-page threshold for the size-tier salt component (SURVEY.md P3
+#: "+ size-tier salt for giant pages", §7.3 risk 3). 1 MiB ≈ the p99.9 of
+#: Common-Crawl html sizes; pages above it dominate partition cost.
+DEFAULT_TIER_BYTES = 1 << 20
+
+
+def size_tier(size_col, tier_bytes: int = DEFAULT_TIER_BYTES):
+    """Log2 size-tier id: 0 for pages under ``tier_bytes``, then
+    1 + floor(log2(bytes / tier_bytes)) — each doubling of giant size is
+    its own tier, so the salt stream distinguishes 1 MB pages from
+    64 MB pages (whose stacking is 64× worse per collision)."""
+    b = F.octet_length(size_col)
+    return (
+        F.when(b < F.lit(tier_bytes), F.lit(0))
+        .otherwise((F.floor(F.log2(b / F.lit(tier_bytes))) + F.lit(1)).cast("int"))
+        .cast("int")
+    )
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int | None = None,
     key: str = "url",
+    size_col: str | None = None,
+    tier_bytes: int = DEFAULT_TIER_BYTES,
 ) -> DataFrame:
     """Shuffle rows so partition ↔ page-size correlation is destroyed.
 
     Keyed on xxhash64(url) rather than raw url so pathological url
     distributions (one host crawled depth-first → lexically adjacent urls
     → same partition range under file order) still spread uniformly.
+
+    With ``size_col`` set, the salt gains a SIZE-TIER component
+    (SURVEY.md P3): ``xxhash64(url, tier)`` where tier buckets pages by
+    log2 of size above ``tier_bytes``. Giant pages then draw from their
+    own independent placement stream — a url-hash pattern that happens
+    to stack giants under the plain salt is re-rolled per tier, and
+    giant placement is statistically independent of where the small-page
+    mass lands. Honest bound: rows are atomic, so one page bigger than
+    the ideal per-partition share defines max-partition-bytes no matter
+    the salt; the production pairing for that tail is the Arrow
+    batch-row cap (sources/session.py) + per-row size caps with error
+    routing, and a partition count sized to bytes, not rows (at 10^12
+    docs: N ≈ total_bytes / a-few-hundred-MB). Still exactly ONE
+    Exchange — the tier expression rides inside the repartition key.
     """
-    salt = F.xxhash64(F.col(key))
+    if size_col is not None:
+        salt = F.xxhash64(F.col(key), size_tier(F.col(size_col), tier_bytes))
+    else:
+        salt = F.xxhash64(F.col(key))
     if num_partitions is None:
         return df.repartition(salt)  # let AQE/shuffle.partitions decide count
     return df.repartition(num_partitions, salt)

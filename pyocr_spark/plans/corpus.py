@@ -87,7 +87,11 @@ def build_training_corpus(
         meta = extract_metadata(dedup_latest_page(pages)).select("url", "title")
         bad = (
             soft404_report(
-                ok.select("url", "extracted_text").join(meta, "url"),
+                # LEFT join (matching the oracle): a page missing from
+                # extract_metadata (oversized html, head parse error)
+                # must still be judged by its body markers — an inner
+                # join would let it silently escape the gate
+                ok.select("url", "extracted_text").join(meta, "url", "left"),
                 text_col="extracted_text",
             )
             .filter(F.col("is_soft404"))

@@ -31,6 +31,7 @@ def extract_df(
     keep_bucket: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
     use_arrow: bool = True,
+    keep_ts: bool = False,
 ) -> DataFrame:
     """pages DataFrame → extraction output DataFrame (lazy; no action).
 
@@ -38,11 +39,18 @@ def extract_df(
     with columnar output construction (core.columnar) — row-identical to
     the mapInPandas path (``use_arrow=False``), which remains as the
     reference/fallback.
+
+    ``keep_ts=True`` passes ``warc_ts`` through the UDF — the handle a
+    downstream keep-latest reconciliation needs when this plan runs
+    per micro-batch (streaming at-least-once → exactly-the-batch-result
+    after the warc_ts dedup; see streaming/stream.py).
     """
     df = with_page_filters(pages)
     if dedup:
         df = dedup_latest_page(df)
     cols = ["url", "html", "lang"]  # prune BEFORE the UDF: Arrow ships only these
+    if keep_ts:
+        cols.append("warc_ts")
     if keep_bucket:
         df = with_bucket(df, num_buckets)
         cols.append("bucket")
@@ -54,31 +62,46 @@ def extract_df(
     # shuffle of the html column (measured: the shuffle is the only
     # non-scaling component on a single box).
     if repartition_to is not None:
-        df = salted_repartition(df, repartition_to)
-    passthrough = "url string" + (", bucket int" if keep_bucket else "")
+        # size-tiered: giant pages draw from their own placement stream
+        # (SURVEY.md P3 "+ size-tier salt"), still one Exchange
+        df = salted_repartition(df, repartition_to, size_col="html")
+    passthrough = (
+        "url string"
+        + (", warc_ts timestamp" if keep_ts else "")
+        + (", bucket int" if keep_bucket else "")
+    )
     schema = output_schema_ddl(modes, passthrough=passthrough)
     if use_arrow:
         import pyarrow as pa
 
         from pyocr_spark.functions.extract import make_extract_arrow_fn
 
-        pass_fields = [("url", None)] + ([("bucket", pa.int32())] if keep_bucket else [])
+        pass_fields = [("url", None)]
+        if keep_ts:
+            pass_fields.append(("warc_ts", ...))  # copy input arrow type
+        if keep_bucket:
+            pass_fields.append(("bucket", pa.int32()))
         afn = make_extract_arrow_fn(
             modes=modes, psm=psm, metrics=metrics, passthrough=tuple(pass_fields)
         )
         return df.mapInArrow(afn, schema=schema)
-    if keep_bucket:
-        # bucket must survive the UDF for partitioned/idempotent writes
+    if keep_bucket or keep_ts:
+        # passthrough columns must survive the UDF (bucket: partitioned/
+        # idempotent writes; warc_ts: downstream keep-latest reconcile)
         inner = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
+        extra = (["warc_ts"] if keep_ts else []) + (
+            ["bucket"] if keep_bucket else []
+        )
 
-        def fn_with_bucket(batches):
+        def fn_with_extra(batches):
             for pdf in batches:
-                buckets = pdf["bucket"].values
+                vals = {c: pdf[c].values for c in extra}
                 for out in inner(iter([pdf])):
-                    out.insert(1, "bucket", buckets[: len(out)])
+                    for i, c in enumerate(extra):
+                        out.insert(1 + i, c, vals[c][: len(out)])
                     yield out
 
-        return df.mapInPandas(fn_with_bucket, schema=schema)
+        return df.mapInPandas(fn_with_extra, schema=schema)
     fn = make_extract_fn(modes=modes, psm=psm, metrics=metrics)
     return df.mapInPandas(fn, schema=schema)
 

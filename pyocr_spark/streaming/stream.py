@@ -54,15 +54,22 @@ def start_extract_stream(
     modes: frozenset = ALL_MODES,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    keep_ts: bool = False,
 ):
     """Start the streaming extraction; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in the table then
     stops — the batch-equivalent trigger used in tests; pass False for a
     continuous query.
+
+    ``keep_ts=True`` passes warc_ts through to the output — the handle
+    the documented downstream reconciliation needs: a keep-latest dedup
+    on (url, warc_ts) over the drained output turns the at-least-once
+    stream result into EXACTLY the batch extract result (gated by the
+    ``stream_extract_text`` exact-oracle entry).
     """
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_df(batch_df, modes=modes, dedup=True)
+        out = extract_df(batch_df, modes=modes, dedup=True, keep_ts=keep_ts)
         # one directory per batch_id, overwritten whole: if the driver
         # dies between the parquet commit and the checkpoint commit,
         # Spark replays this batch and the overwrite makes the replay

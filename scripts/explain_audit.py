@@ -116,6 +116,25 @@ def main() -> int:
     check("minhash_pairs", "equi-join (SortMerge or Hash) on band bucket — not NLJ",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 6b. minhash LSH with signature_path: the cluster-scale write-once
+    # materialization — both join sides are parquet scans of the written
+    # signature table; NO InMemoryRelation (no cache entry to leak)
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as _sigdir:
+        from pyocr_spark.operators.dedup import minhash_lsh_dedup as _mld
+
+        _docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = _mld(_docs, jaccard_threshold=0.8, signature_path=_sigdir + "/sigs")
+        p = plan_of(df)
+        sections.append(("minhash_pairs_sigtable", p))
+        check("minhash_pairs_sigtable", "join sides Scan parquet (write-once signature table)",
+              "Scan parquet" in p, "")
+        check("minhash_pairs_sigtable", "no InMemoryRelation (zero cache footprint)",
+              "InMemoryRelation" not in p and "InMemoryTableScan" not in p, "")
+        check("minhash_pairs_sigtable", "band-bucket equi-join (no NLJ/cartesian)",
+              "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
     # 7. as-of join: the union-window form — exactly ONE shuffle (the
     # window partition over the union), never a join operator at all
     df = qs["events_asof_click"](spark, SF_DIR)

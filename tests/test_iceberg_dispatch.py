@@ -1,0 +1,121 @@
+"""Iceberg dispatch contract (sources/pages.read_pages / write_output).
+
+No Iceberg runtime jar ships in this sandbox, so the catalog path has
+never executed here; this test pins the DISPATCH contract instead —
+which reader/writer API each (fmt, mode, env) combination must hit —
+via recording fakes, so a regression in the routing logic is caught
+without the jar. Jar-present behavior (documented, exercised only on
+real deployments): ``read.format("iceberg").load(table)`` scans the
+catalog table; ``df.writeTo(table).overwritePartitions()`` is the
+idempotent per-bucket resume unit (dynamic partition overwrite);
+``.append()`` is the plain append.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyocr_spark.sources.pages import PAGES_SCHEMA, read_pages, write_output
+
+
+class _FakeReader:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def format(self, f):
+        self.calls.append(("format", f))
+        return self
+
+    def load(self, loc):
+        self.calls.append(("load", loc))
+        return "ICEBERG_DF"
+
+    def schema(self, s):
+        self.calls.append(("schema", s))
+        return self
+
+    def parquet(self, loc):
+        self.calls.append(("parquet", loc))
+        return "PARQUET_DF"
+
+
+class _FakeSpark:
+    def __init__(self):
+        self.calls = []
+
+    @property
+    def read(self):
+        return _FakeReader(self.calls)
+
+
+class _FakeWriteTo:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def overwritePartitions(self):
+        self.calls.append("overwritePartitions")
+
+    def append(self):
+        self.calls.append("append")
+
+
+class _FakeDF:
+    def __init__(self):
+        self.calls = []
+
+    def writeTo(self, location):
+        self.calls.append(("writeTo", location))
+        return _FakeWriteTo(self.calls)
+
+
+def test_read_dispatches_iceberg_catalog_load():
+    s = _FakeSpark()
+    out = read_pages(s, "cat.db.pages", fmt="iceberg")
+    assert out == "ICEBERG_DF"
+    assert s.calls == [("format", "iceberg"), ("load", "cat.db.pages")]
+
+
+def test_read_default_is_parquet_with_explicit_schema():
+    s = _FakeSpark()
+    out = read_pages(s, "/data/pages")
+    assert out == "PARQUET_DF"
+    # schema is ALWAYS explicit — inference at 10^12 rows is a full scan
+    assert s.calls == [("schema", PAGES_SCHEMA), ("parquet", "/data/pages")]
+
+
+def test_read_env_var_routes_to_iceberg(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    s = _FakeSpark()
+    read_pages(s, "cat.db.pages")
+    assert s.calls == [("format", "iceberg"), ("load", "cat.db.pages")]
+
+
+def test_write_iceberg_overwrite_is_dynamic_partition_overwrite():
+    df = _FakeDF()
+    write_output(df, "cat.db.out", fmt="iceberg", mode="overwrite")
+    assert df.calls == [("writeTo", "cat.db.out"), "overwritePartitions"]
+
+
+def test_write_iceberg_append_is_plain_append():
+    df = _FakeDF()
+    write_output(df, "cat.db.out", fmt="iceberg", mode="append")
+    assert df.calls == [("writeTo", "cat.db.out"), "append"]
+
+
+def test_write_iceberg_rejects_other_modes():
+    # silently appending on an unknown mode would duplicate every output
+    # row on a re-run — the contract is an explicit error
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_output(_FakeDF(), "cat.db.out", fmt="iceberg", mode="ignore")
+
+
+def test_write_parquet_path_untouched_by_env(monkeypatch, tmp_path, spark):
+    # explicit fmt="parquet" wins over the env flag
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    df = spark.createDataFrame([(1, "a")], "bucket int, v string")
+    write_output(
+        df, str(tmp_path / "out"), fmt="parquet",
+        partition_by=["bucket"], mode="overwrite",
+    )
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 1

@@ -36,6 +36,21 @@ def test_partial_mirror_flagged_by_containment(spark):
     assert r.containment == 1.0
 
 
+def test_index_path_materializes_no_cache(spark, tmp_path):
+    # the write-once form: identical pairs, parquet scans on the join
+    # sides, no InMemoryRelation (no cache entry to leak)
+    big = [f"article number {i}" for i in range(10)]
+    rows = _site("big.com", big) + _site("mirror.com", big[:3])
+    want = host_mirror_pairs(_df(spark, rows)).collect()
+    out = host_mirror_pairs(
+        _df(spark, rows), index_path=str(tmp_path / "inv")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert "Scan parquet" in plan
+
+
 def test_min_shared_suppresses_single_coincidence(spark):
     rows = _site("a.com", ["same page", "own a"]) + _site(
         "b.com", ["same page", "own b"]

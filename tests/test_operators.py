@@ -121,6 +121,62 @@ def test_salted_repartition_defeats_size_skew(spark):
     assert skew_after < skew_before / 2  # salting spreads the giants
 
 
+def test_size_tier_salt_bounds_giant_stacking(spark):
+    # SURVEY.md §5.2.6: 1000× size outliers. 24 giants (500 KB) among
+    # 976 small pages (500 B), crawl-order adjacent. The size-tiered
+    # salt must keep max-partition-bytes / median under a bound AND no
+    # partition may stack a disproportionate share of the giants.
+    rows = [
+        (f"https://h/{i:05d}", b"x" * (500_000 if i < 24 else 500))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    correlated = df.repartitionByRange(8, "url")
+    salted = salted_repartition(correlated, 8, size_col="html")
+
+    per = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.sum(F.length("html")).alias("bytes"),
+            F.sum((F.length("html") > 100_000).cast("int")).alias("giants"),
+        )
+        .toPandas()
+    )
+    # every partition present (no empty bins), giants spread: with 24
+    # giants over 8 partitions ideal is 3; assert nobody hoards
+    assert len(per) == 8
+    assert per["giants"].max() <= 7
+    # byte balance: max/median bounded (ideal 1.0; pure chance stacking
+    # of the 500 KB rows is what the tier salt keeps in check)
+    assert per["bytes"].max() / per["bytes"].median() < 3.0
+
+
+def test_size_tier_salt_plan_is_one_exchange(spark):
+    df = spark.createDataFrame(
+        [("u1", b"x"), ("u2", b"y" * 2_000_000)], "url string, html binary"
+    )
+    plan = (
+        salted_repartition(df, 8, size_col="html")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # tier expr rides inside the key
+
+
+def test_size_tier_ids(spark):
+    from pyocr_spark.operators.repartition import size_tier
+
+    df = spark.createDataFrame(
+        [(b"x" * n,) for n in [0, 1, (1 << 20) - 1, 1 << 20, (1 << 21) - 1, 1 << 21, 1 << 26]],
+        "html binary",
+    )
+    tiers = [
+        r["t"] for r in df.select(size_tier(F.col("html")).alias("t")).collect()
+    ]
+    # <1MiB -> 0; [1,2)MiB -> 1; [2,4)MiB -> 2; 64MiB -> 7
+    assert tiers == [0, 0, 0, 1, 1, 2, 7]
+
+
 def test_quality_and_langid_shapes(spark, docs):
     from pyocr_spark.functions.text_stats import lang_id, quality_score, token_count
 
@@ -330,6 +386,30 @@ def test_pii_mask_and_normalize(spark):
 
     n = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
     assert n[2] == "no pii here just spaces"
+
+
+def test_minhash_lsh_signature_path_materializes_no_cache(spark, docs, tmp_path):
+    # the cluster-scale form: signature table written once, self-join
+    # reads the written parquet — identical pairs, a Scan on both join
+    # sides, and NO InMemoryRelation (no cache entry to leak)
+    from pyocr_spark.operators.dedup import minhash_lsh_dedup
+
+    want = (
+        minhash_lsh_dedup(docs, jaccard_threshold=0.9)
+        .toPandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    sigdir = str(tmp_path / "sigs")
+    out = minhash_lsh_dedup(docs, jaccard_threshold=0.9, signature_path=sigdir)
+    got = out.toPandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert got.equals(want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert "Scan parquet" in plan
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(sigdir))
 
 
 def test_minhash_lsh_portable_matches_production_semantics(spark, docs):

@@ -76,6 +76,8 @@ def test_chain_assembly_and_positions(spark):
         "a": ("a", 0), "b": ("a", 1), "c": ("a", 2),
         "x": ("x", 0), "y": ("x", 1),
     }
+    # both chains are complete: no member declares an unowned next
+    assert all(not r.truncated for r in paginate_chains(e).collect())
 
 
 def test_cycle_has_no_head_and_is_dropped(spark):
@@ -87,14 +89,37 @@ def test_max_hops_bounds_chain(spark):
     e = _edges(spark, [(f"p{i}", f"p{i+1}") for i in range(10)])
     out = paginate_chains(e, max_hops=3).collect()
     assert max(r.pos for r in out) == 3 and len(out) == 4
+    # the hop bound cut the walk: p3 still declares p4 -> flagged
+    assert all(r.truncated for r in out)
 
 
-def test_merging_chains_pick_smallest(spark):
-    # two heads declare the same next page: it joins the earlier chain
+def test_merging_chains_pick_smallest_and_loser_is_flagged(spark):
+    # two heads declare the same next page: it joins the earlier chain;
+    # the losing chain keeps a head-only stub and MUST carry the
+    # truncated flag (its downstream was reassigned)
     e = _edges(spark, [("a", "c"), ("b", "c"), ("c", "d")])
-    rows = {r.url: (r.chain_id, r.pos) for r in paginate_chains(e).collect()}
-    assert rows["c"] == ("a", 1) and rows["d"] == ("a", 2)
-    assert rows["a"] == ("a", 0) and rows["b"] == ("b", 0)
+    rows = {
+        r.url: (r.chain_id, r.pos, r.truncated)
+        for r in paginate_chains(e).collect()
+    }
+    assert rows["c"] == ("a", 1, False) and rows["d"] == ("a", 2, False)
+    assert rows["a"] == ("a", 0, False)
+    assert rows["b"] == ("b", 0, True)  # the stub, flagged
+
+
+def test_truncated_flag_propagates_to_stitched_articles(spark):
+    e = _edges(spark, [("a", "c"), ("b", "c")])
+    chains = paginate_chains(e)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "A text"), ("b", "B text"), ("c", "C text")],
+            columns=["url", "text"],
+        ),
+        "url string, text string",
+    )
+    out = {r.chain_id: r for r in stitch_chains(docs, chains).collect()}
+    assert out["a"].article_text == "A text\n\nC text" and not out["a"].truncated
+    assert out["b"].article_text == "B text" and out["b"].truncated
 
 
 def test_stitch_order_and_missing_page(spark):
@@ -144,16 +169,29 @@ class TestPaginateByUrl:
 
         out = paginate_by_url(
             _urls(spark, [
-                "https://h/l?sort=new&P=2",
-                "https://h/l?sort=new&p=3",
+                "https://h/l?sort=new&PG=2",
+                "https://h/l?sort=new&pg=3",
                 "https://h/l?sort=new",
             ])
         ).collect()
         assert {(r.url, r.pos) for r in out} == {
             ("https://h/l?sort=new", 0),
-            ("https://h/l?sort=new&P=2", 1),
-            ("https://h/l?sort=new&p=3", 2),
+            ("https://h/l?sort=new&PG=2", 1),
+            ("https://h/l?sort=new&pg=3", 2),
         }
+
+    def test_p_param_is_not_pagination(self, spark):
+        # ?p=N commonly encodes post/product ids (forums, shops):
+        # stitching ?p=17 and ?p=23 would weld distinct documents into
+        # one false article — `p` is deliberately NOT a synonym
+        from pyocr_spark.operators.pagination import paginate_by_url
+
+        assert (
+            paginate_by_url(
+                _urls(spark, ["https://h/forum?p=17", "https://h/forum?p=23", "https://h/forum"])
+            ).count()
+            == 0
+        )
 
     def test_path_segment_chain_without_base(self, spark):
         from pyocr_spark.operators.pagination import paginate_by_url
