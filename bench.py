@@ -181,6 +181,20 @@ def main() -> None:
     timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_ngram, threshold=0.5).count(), reps=2)
     timed("quality_score", lambda: noop_write(quality_score(docs_df)), reps=3)
 
+    # tokenizer training, production shape: ONE distributed word-freq
+    # pass + in-memory heap loop — merge count is nearly free (500 here
+    # vs the distributed loop's 1-Spark-job-per-merge), so this wall is
+    # dominated by the corpus pass and holds at any production vocab
+    from pyocr_spark.operators.bpe import learn_bpe_merges_hybrid
+
+    timed(
+        "bpe_merges_hybrid",
+        lambda: learn_bpe_merges_hybrid(
+            docs_df, n_merges=500, min_count=2, top_m=1_000_000
+        ).count(),
+        reps=2,
+    )
+
     from pyocr_spark.functions.text_stats import repetition_stats, vocab_docfreq
     from pyocr_spark.operators.snapshot import crawl_delta
     from pyocr_spark.operators.linededup import line_dedup
@@ -466,6 +480,16 @@ def main() -> None:
                 "text",
             )
         ).count(),
+        reps=2,
+    )
+
+    # paragraph-level lang-ID: explode to paragraphs + marker argmax +
+    # token-mass majority profile — the CCNet segmentation wall
+    from pyocr_spark.functions.paralang import doc_lang_profile
+
+    timed(
+        "paralang_profile",
+        lambda: noop_write(doc_lang_profile(docs_df)),
         reps=2,
     )
 

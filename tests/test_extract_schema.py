@@ -43,3 +43,33 @@ def test_extract_df_rejects_unknown_modes(spark, pages_sf0001):
     pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
     with pytest.raises(ValueError, match="unknown extraction modes"):
         extract_df(pages, modes=frozenset({"text", "digit_line"}))
+
+
+def test_keep_ts_passthrough_arrow_pandas_identical(spark, pages_sf0001):
+    # warc_ts passthrough (the stream-reconcile handle) must be
+    # row-identical between the mapInArrow default and the mapInPandas
+    # fallback, and must carry the INPUT timestamp values
+    from pyspark.sql import functions as F
+
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.pages import read_pages
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet")).limit(40)
+    a = (
+        extract_df(pages, modes=frozenset({"text"}), keep_ts=True, use_arrow=True)
+        .select("url", "warc_ts", "extracted_text")
+        .sort("url")
+        .collect()
+    )
+    p = (
+        extract_df(pages, modes=frozenset({"text"}), keep_ts=True, use_arrow=False)
+        .select("url", "warc_ts", "extracted_text")
+        .sort("url")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in p]
+    want_ts = {
+        r["url"]: r["warc_ts"]
+        for r in pages.select("url", F.col("warc_ts")).collect()
+    }
+    assert all(r["warc_ts"] == want_ts[r["url"]] for r in a)
