@@ -2347,6 +2347,24 @@ def _q_docs_neardup_pruned(spark, sf_dir):
     return dedup_by_components(docs, pairs).select("doc_id", "lang", "source")
 
 
+def _q_docs_neardup_best(spark, sf_dir):
+    """Quality-aware dedup end product (operators/dedup
+    .dedup_by_components_best): every ngram-Jaccard near-dup cluster
+    keeps its LONGEST member (score = char length, ties → min id,
+    NULLS LAST) instead of the arbitrary min-id pick — a cluster of one
+    full article and its truncated mirrors keeps the full one."""
+    from pyocr_spark.operators.dedup import (
+        dedup_by_components_best,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup_by_components_best(docs, pairs, score_col="n_chars").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_extract_main_density(spark, sf_dir):
     """Density-based main-content extraction (functions/maincontent):
     the DOM-heuristic strategy — block text-length + link-density
@@ -3773,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": _q_extract_pdf,
         "dup_components": _q_dup_components,
         "docs_neardup_pruned": _q_docs_neardup_pruned,
+        "docs_neardup_best": _q_docs_neardup_best,
         "corpus_neardup_pruned": _q_corpus_neardup_pruned,
         "minhash_sig_portable": _q_minhash_sig_portable,
         "simhash_portable": _q_simhash_portable,
@@ -6861,6 +6880,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang, d.source FROM documents d "
             f"ANTI JOIN (SELECT node FROM ({_NGRAM_COMPONENTS_SQL}) c "
             "WHERE node != comp) l ON d.doc_id = l.node"
+        ),
+        # quality-aware pick: rank cluster members by char length DESC
+        # NULLS LAST, node ASC (the frozen tie order on both engines)
+        "docs_neardup_best": (
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "ANTI JOIN (SELECT node FROM ("
+            "SELECT c.node, row_number() OVER (PARTITION BY c.comp "
+            "ORDER BY length(d2.text) DESC NULLS LAST, c.node ASC) AS rn "
+            f"FROM ({_NGRAM_COMPONENTS_SQL}) c "
+            "JOIN documents d2 ON d2.doc_id = c.node"
+            ") WHERE rn > 1) l ON d.doc_id = l.node"
         ),
         "page_outlinks": (
             f"SELECT url, link_idx, target_url, anchor_text, nofollow "

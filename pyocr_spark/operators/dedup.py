@@ -808,6 +808,43 @@ def dedup_by_components(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_by_components_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware variant of :func:`dedup_by_components`: each
+    near-dup cluster keeps its BEST member by ``score_col`` (ties → the
+    smallest id; null scores sort last on both engines — frozen
+    NULLS LAST so the SQL oracle replays the pick exactly) instead of
+    the arbitrary min-id representative. At training-corpus scale the
+    min-id pick throws away quality for free: a cluster of one clean
+    article and four boilerplate-ridden mirrors keeps whichever crawled
+    first — this keeps the clean one.
+
+    Scale shape: the component table is pair-mass-sized (near-dup mass,
+    not corpus mass); ONE id equi-join attaches scores to cluster
+    members (AQE broadcasts the component side once measured small),
+    one window over the tiny member table ranks within cluster, and the
+    loser set anti-joins back exactly like ``dedup_by_components``.
+    """
+    comps = dup_components(pairs)
+    members = comps.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col).alias("_score")),
+        "node",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc_nulls_last("_score"), F.asc("node")
+    )
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",

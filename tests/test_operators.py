@@ -1341,3 +1341,24 @@ def test_lsh_plan_and_curve(spark):
     # monotone non-decreasing in s
     ps = [curve[i].p_candidate for i in range(101)]
     assert all(a <= b for a, b in zip(ps, ps[1:]))
+
+
+def test_dedup_by_components_best_keeps_highest_score(spark):
+    from pyocr_spark.operators.dedup import dedup_by_components_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10), (2, 99), (3, 99),      # cluster {1,2,3}: 2 and 3 tie -> 2 wins
+            (4, None), (5, 7),              # cluster {4,5}: null loses to 7
+            (6, 1),                         # singleton, untouched
+        ],
+        "doc_id long, score int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "left_id long, right_id long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_by_components_best(docs, pairs, score_col="score").collect()
+    )
+    assert kept == [2, 5, 6]
