@@ -3345,6 +3345,18 @@ def _q_corpus_bpe_merges_hybrid(spark, sf_dir):
     )
 
 
+def _q_corpus_bpe_vocab(spark, sf_dir):
+    """Tokenizer vocab artifact (operators/bpe.bpe_vocab_table): every
+    subword the learned merge table produces, with corpus frequency —
+    what a trained BPE tokenizer ships alongside its merges. Computed
+    over the word-frequency table, never the raw corpus."""
+    from pyocr_spark.operators.bpe import bpe_vocab_table, learn_bpe_merges_hybrid
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe_merges_hybrid(docs, n_merges=30, min_count=2)
+    return bpe_vocab_table(docs, merges)
+
+
 def _q_doc_bpe_encode(spark, sf_dir):
     """Learned-tokenizer token counts (operators/bpe.bpe_encode_counts):
     learn the merge table, broadcast it as ranks, Arrow-batched encode —
@@ -3668,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_nll_tiers": _q_docs_nll_tiers,
         "corpus_bpe_merges": _q_corpus_bpe_merges,
         "corpus_bpe_merges_hybrid": _q_corpus_bpe_merges_hybrid,
+        "corpus_bpe_vocab": _q_corpus_bpe_vocab,
         "unigram_vocab": _q_unigram_vocab,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "unigram_encoded": _q_unigram_encoded,
@@ -5865,6 +5878,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_encode": (
             "SELECT doc_id, n_tokens, n_bpe_tokens "
             f"FROM read_parquet('{E}/expected_bpe_encoded.parquet')"
+        ),
+        # vocab artifact: independent pure-Python encode replay over the
+        # word-frequency table ("count" quoted: SQL keyword)
+        "corpus_bpe_vocab": (
+            'SELECT token, "count" '
+            f"FROM read_parquet('{E}/expected_bpe_vocab.parquet')"
         ),
         # fertility: joins the two expected encode tables with documents;
         # ratios as exact integer floor division

@@ -297,6 +297,45 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def bpe_vocab_table(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The tokenizer's VOCAB artifact: (token, count) — every subword
+    the learned merge table produces over the corpus, with its corpus
+    frequency. Together with the merge table this is what a trained
+    BPE tokenizer ships as.
+
+    Shape: computed over the word-frequency table (vocab-sized), never
+    the raw corpus — the same collapse ``learn_bpe_merges`` exploits.
+    The merge table broadcasts as a rank dict (n_merges rows, bounded);
+    ONE Arrow-batched encode pass over the distinct words (the honest
+    Python cost — BPE encode is inherently sequential per word, the
+    bpe_encode_counts precedent), then explode + map-side-combined sum
+    of wcount. Two shuffles total: the word-freq groupBy and the final
+    token groupBy.
+    """
+    import pandas as pd
+
+    rank_rows = merges.select("step", "left", "right").collect()
+    ranks = {(r["left"], r["right"]): r["step"] for r in rank_rows}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("array<string>")
+    def enc(words):
+        rk = bc.value
+        return pd.Series([encode_word(w, rk) for w in words])
+
+    wf = word_freq_table(docs, text_col)
+    return (
+        wf.select(F.col("wcount"), enc(F.col("word")).alias("toks"))
+        .select(F.explode("toks").alias("token"), "wcount")
+        .groupBy("token")
+        .agg(F.sum("wcount").alias("count"))
+    )
+
+
 def bpe_encode_counts(
     docs: DataFrame,
     merges: DataFrame,

@@ -231,3 +231,33 @@ def test_bpe_symbols_keep_unicode_line_terminators(spark):
     assert _learn(spark, texts, 4) == _reference_bpe(texts, 4)
     got = _learn(spark, texts, 1)
     assert got == [(0, "a", "\u2028", 2)]
+
+
+def test_bpe_vocab_table_matches_reference(spark):
+    import pandas as pd
+
+    from pyocr_spark.datagen import build_bpe_vocab_expected
+    from pyocr_spark.operators.bpe import bpe_vocab_table, learn_bpe_merges
+
+    texts = [
+        "low low low lowest lowest newest newest newest widest",
+        "the quick brown fox the the",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want = build_bpe_vocab_expected(pdf, n_merges=8)
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=8)
+    got = (
+        bpe_vocab_table(docs, merges)
+        .orderBy("token")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert list(got["token"]) == list(want["token"])
+    assert [int(x) for x in got["count"]] == [int(x) for x in want["count"]]
+    # total token mass equals the corpus's encoded token count
+    from pyocr_spark.operators.bpe import bpe_encode_counts
+
+    enc = bpe_encode_counts(docs, merges).toPandas()
+    assert int(got["count"].sum()) == int(enc["n_bpe_tokens"].dropna().sum())
