@@ -135,6 +135,40 @@ def main() -> int:
         check("minhash_pairs_sigtable", "band-bucket equi-join (no NLJ/cartesian)",
               "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 6c. BPE vocab artifact: word-freq groupBy + token groupBy only —
+    # the corpus collapses to the vocab table before any Python runs
+    df = qs["corpus_bpe_vocab"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("corpus_bpe_vocab", p))
+    check("corpus_bpe_vocab", "partial aggregation (map-side combine on both groupBys)",
+          "partial" in p.lower(), "")
+    check("corpus_bpe_vocab", "no join/cartesian (vocab-table collapse, broadcast ranks)",
+          "Join" not in p and "CartesianProduct" not in p, "")
+
+    # 6d. quality-aware dedup representative: component table joins are
+    # equi-joins; the final prune is a LeftAnti — never a cartesian
+    df = qs["docs_neardup_best"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("docs_neardup_best", p))
+    check("docs_neardup_best", "LeftAnti prune against the loser set",
+          "LeftAnti" in p, "")
+    check("docs_neardup_best", "no cartesian/NLJ anywhere",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+
+    # 6e. size-tier salted extraction: tier expr rides inside the ONE
+    # repartition Exchange (plus the dedup window's) — no extra shuffle
+    from pyocr_spark.plans.pipeline import extract_df as _xdf
+    from pyocr_spark.sources.pages import read_pages as _rp
+
+    _pg = _rp(spark, os.path.join(REPO, ".data", "pages",
+                                  os.path.basename(SF_DIR), "pages.parquet"))
+    df = _xdf(_pg, modes=frozenset({"text"}), dedup=False, repartition_to=8)
+    p = plan_of(df)
+    sections.append(("extract_text_sizetier_salt", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("extract_text_sizetier_salt", "exactly 1 Exchange (the size-tiered salt)",
+          n_exchanges == 1, f"exchanges={n_exchanges}")
+
     # 7. as-of join: the union-window form — exactly ONE shuffle (the
     # window partition over the union), never a join operator at all
     df = qs["events_asof_click"](spark, SF_DIR)
