@@ -1648,6 +1648,24 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return topk_cosine_lsh(emb, qvec, k=10)
 
 
+def _q_emb_knn_join(spark, sf_dir):
+    """Batched k-NN (operators/ann.knn_join): every vec_id %29==0 row
+    as a query, top-5 corpus neighbors each via the hyperplane-LSH
+    bucket join with Hamming-1 probing — candidates only form inside a
+    bucket, never queries × corpus. Oracled with the same plane
+    literals + probe set + frozen rank order in SQL."""
+    from pyocr_spark.operators.ann import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(
+        emb.filter(F.col("vec_id") % 29 == 0),
+        emb,
+        k=5,
+        lsh_planes=4,
+        hamming_probes=1,
+    )
+
+
 def _q_ann_topk_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN with FULL probe (nprobe=nlist): result is
     provably identical to the exact scan, so the whole IVF machinery
@@ -3774,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / near-dup
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "emb_knn_join": _q_emb_knn_join,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_index": _q_ann_topk_ivf_index,
         "pq_codebook": _q_pq_codebook,
@@ -3940,6 +3959,24 @@ def _ann_lsh_sql() -> str:
         "FROM s, q, qs "
         "WHERE s.sig IN (qs.qsig, xor(qs.qsig, 1), xor(qs.qsig, 2), xor(qs.qsig, 4), xor(qs.qsig, 8)) "
         "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _emb_knn_join_sql() -> str:
+    """Batched k-NN replay: same plane literals, the query's own bucket
+    plus all four Hamming-1 probes, rank window frozen to (cosine DESC
+    NULLS LAST, corpus_id ASC) — the knn_join contract."""
+    sig_v = _plane_sig_sql("CAST(embedding AS DOUBLE[])", 4)
+    return (
+        f"WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig_v} AS sig FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM s WHERE vec_id % 29 = 0), "
+        "cand AS (SELECT q.query_id, s.vec_id AS corpus_id, "
+        "round(list_dot_product(q.qv, s.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS cosine "
+        "FROM q JOIN s ON s.sig IN (q.qsig, xor(q.qsig, 1), xor(q.qsig, 2), xor(q.qsig, 4), xor(q.qsig, 8))), "
+        "r AS (SELECT cand.*, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank FROM cand) "
+        "SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
     )
 
 
@@ -6878,6 +6915,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c"
         ),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "emb_knn_join": _emb_knn_join_sql(),
         "embedding_dups_lsh": _embedding_dups_lsh_sql(),
         "emb_semdedup": _emb_semdedup_sql(),
         "simhash_portable": _SIMHASH_PORTABLE_SQL,

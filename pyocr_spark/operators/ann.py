@@ -138,6 +138,88 @@ def topk_cosine_lsh(
 # IVF (inverted-file) index — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_planes: int = 8,
+    hamming_probes: int = 1,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Batched k-NN: for EVERY query row, the top-k corpus rows by
+    cosine — the all-queries-at-once substrate of retrieval evaluation,
+    SemDeDup-style clustering, and curriculum/mixing ops (single-query
+    search is :func:`topk_cosine` / :func:`search_ivf_index`).
+
+    Scale shape: both sides sign against the SAME deterministic
+    hyperplanes; the query side explodes its probe list (its own bucket
+    plus, with ``hamming_probes=1``, each Hamming-1 neighbor) and joins
+    the corpus on the bucket equi-key — candidates only form inside a
+    bucket, never queries × corpus. A corpus row owns exactly one
+    bucket and the probe sigs are distinct, so no (query, corpus) pair
+    can form twice. Per-query top-k is one rank window over the
+    candidate set (cosine DESC NULLS LAST, corpus id ASC — the frozen
+    order the SQL oracle replays). ``lsh_planes=0`` is the guarded
+    exact baseline: a true cross join, oracle-scale inputs only.
+
+    Returns (query_id, corpus_id, cosine, rank), rank 1-based.
+    """
+    from pyspark.sql import Window
+
+    if hamming_probes not in (0, 1):
+        raise ValueError(
+            f"hamming_probes must be 0 or 1 (got {hamming_probes}); "
+            "wider probing multiplies candidate mass quadratically — "
+            "raise lsh_planes instead"
+        )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cv = corpus.select(
+        F.col(corpus_id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if lsh_planes > 0:
+        first = corpus.select(vec_col).head()
+        if first is None or first[0] is None:
+            raise ValueError(
+                f"knn_join: corpus {vec_col!r} has no non-NULL first row — "
+                "cannot infer the embedding dimension for LSH planes"
+            )
+        planes = make_planes(len(first[0]), lsh_planes)
+        cv = cv.withColumn("sig", hyperplane_sig(F.col("cv"), planes))
+        qs = qv.withColumn("sig0", hyperplane_sig(F.col("qv"), planes))
+        probes = [F.col("sig0")]
+        if hamming_probes == 1:
+            probes += [
+                F.col("sig0").bitwiseXOR(F.lit(1 << i))
+                for i in range(lsh_planes)
+            ]
+        qv = qs.select(
+            "query_id", "qv", F.explode(F.array(*probes)).alias("sig")
+        )
+        cand = qv.join(cv, "sig")
+    else:
+        cand = qv.crossJoin(cv)
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     nlist: int = 16,

@@ -1362,3 +1362,56 @@ def test_dedup_by_components_best_keeps_highest_score(spark):
         for r in dedup_by_components_best(docs, pairs, score_col="score").collect()
     )
     assert kept == [2, 5, 6]
+
+
+def test_knn_join_matches_exact_baseline_and_shapes(spark):
+    from pyocr_spark.operators.ann import knn_join, make_planes
+
+    import math
+    import pandas as pd
+
+    # deterministic 8-dim vectors in a few directions
+    rows = []
+    for i in range(40):
+        # +1 offsets keep every vector away from the zero norm (cosine
+        # shares the engine-wide no-zero-vector contract)
+        v = [math.sin(0.37 * (i + 1) * (d + 1)) + 0.01 for d in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    qs = emb.filter("vec_id % 10 = 0")
+    # exact baseline (guarded cross join) = ground truth
+    exact = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in knn_join(qs, emb, k=3, lsh_planes=0).collect()
+    }
+    assert len(exact) == 12  # 4 queries x 3 ranks
+    # every query's rank-1 neighbor is itself (cosine 1.0)
+    for q in (0, 10, 20, 30):
+        assert exact[(q, 1)] == q
+    # LSH path: recall<1 by design, but returned ranks must be correctly
+    # ordered and the self-match must survive (same bucket trivially)
+    lsh = knn_join(qs, emb, k=3, lsh_planes=4, hamming_probes=1).collect()
+    by_q = {}
+    for r in lsh:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert rs[0][0] == 1
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+    assert all(
+        any(c == q and rk == 1 for rk, c in [(r["rank"], r["corpus_id"])])
+        for r in lsh if r["query_id"] == r["corpus_id"]
+        for q in [r["query_id"]]
+    )
+
+
+def test_knn_join_probe_width_guard(spark):
+    import pytest
+
+    from pyocr_spark.operators.ann import knn_join
+
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="hamming_probes"):
+        knn_join(emb, emb, hamming_probes=2)
