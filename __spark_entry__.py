@@ -574,8 +574,6 @@ def _q_stream_extract_text(spark, sf_dir):
     assertion to a driver-checked exact oracle."""
     import tempfile
 
-    from pyspark.sql import Window
-
     from pyocr_spark.datagen import ensure_pages
     from pyocr_spark.streaming.stream import start_extract_stream
 
@@ -592,13 +590,10 @@ def _q_stream_extract_text(spark, sf_dir):
         keep_ts=True,
     )
     assert q.awaitTermination(600), "streaming drain timed out"
-    got = spark.read.parquet(f"{tmp}/out")
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (
-        got.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("url", "extracted_text")
-    )
+    from pyocr_spark.streaming.stream import reconcile_stream_output
+
+    got = reconcile_stream_output(spark.read.parquet(f"{tmp}/out"))
+    return got.select("url", "extracted_text")
 
 
 def _q_url_page_chains(spark, sf_dir):
@@ -1810,6 +1805,27 @@ def _q_ann_topk_ivf_index(spark, sf_dir):
     path = str(DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-ivf-index"))
     build_ivf_index(emb, path, nlist=8)
     return search_ivf_index(spark, path, qvec, k=10, nprobe=8, exclude_id=0)
+
+
+def _q_emb_knn_ivf_index(spark, sf_dir):
+    """Batched k-NN over the materialized IVF index (operators/ann
+    .knn_join_ivf_index): every vec_id %29==0 row as a query, full
+    probe (nprobe = nlist) so the result is provably the exact per-query
+    top-k — the whole centroid-rank → partition-pruned list read →
+    cluster equi-join → rank-window path rides the plain exact SQL
+    oracle (the ann_topk_ivf_index trick, batched); partial-probe
+    pruning is unit-tested."""
+    import os
+
+    from pyocr_spark.datagen import DATA_ROOT
+    from pyocr_spark.operators.ann import build_ivf_index, knn_join_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(DATA_ROOT / (os.path.basename(sf_dir.rstrip("/")) + "-ivf-index"))
+    build_ivf_index(emb, path, nlist=8)
+    return knn_join_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 29 == 0), k=5, nprobe=8
+    )
 
 
 def _q_doc_bm25_index(spark, sf_dir):
@@ -3795,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": _q_emb_knn_join,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_index": _q_ann_topk_ivf_index,
+        "emb_knn_ivf_index": _q_emb_knn_ivf_index,
         "pq_codebook": _q_pq_codebook,
         "pq_codes": _q_pq_codes,
         "pq_topk_adc": _q_pq_topk_adc,
@@ -6530,6 +6547,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN amax > 0 THEN md5(array_to_string("
             "list_transform(v, x -> CAST(CAST(round(x * (127.0 / amax)) AS INT) AS VARCHAR)), "
             "',')) END AS q_sig FROM a"
+        ),
+        # batched full probe over the MATERIALIZED index ≡ the exact
+        # per-query top-k (the same identity, all queries at once)
+        "emb_knn_ivf_index": (
+            "WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id % 29 = 0), "
+            "cand AS (SELECT q.query_id, s.vec_id AS corpus_id, "
+            "round(list_dot_product(q.qv, s.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS cosine "
+            "FROM q, s), "
+            "r AS (SELECT cand.*, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rank FROM cand) "
+            "SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
         ),
         # full probe over the MATERIALIZED index ≡ the exact scan
         "ann_topk_ivf_index": (

@@ -445,6 +445,19 @@ def main() -> None:
         reps=3,
     )
 
+    # all-pairs kNN graph: every embedding row is a query — the
+    # bucket-join batched form (never queries × corpus)
+    from pyocr_spark.operators.ann import knn_join
+
+    emb_all = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "emb_knn_graph",
+        lambda: knn_join(
+            emb_all, emb_all, k=10, lsh_planes=8, exclude_same_id=True
+        ).count(),
+        reps=2,
+    )
+
     # unigram_logprob persists its tf table: clear it inside the timed
     # body so every rep pays the real corpus pass (a warm cache would
     # make best-of-N report the cached replay, not the operator)

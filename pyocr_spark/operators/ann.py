@@ -399,6 +399,89 @@ def search_ivf_index(
     return _score_topk(idx, query_vec, k, id_col)
 
 
+def knn_join_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Batched k-NN over a MATERIALIZED IVF index (build_ivf_index): the
+    all-queries-at-once twin of :func:`search_ivf_index`, and the
+    partition-pruned alternative to :func:`knn_join`'s LSH buckets when
+    an index table already exists.
+
+    Shape: the centroid table loads driver-side (nlist rows, bounded);
+    each query ranks its ``nprobe`` nearest lists in ONE Arrow-batched
+    pass (the same squared-L2 stable order as ``_rank_probes``, so the
+    single-query and batched paths cannot drift); the UNION of probed
+    cluster ids — at most nlist values — comes back as a literal
+    ``isin`` on the partition column, so file listing prunes to the
+    probed directories before any IO; the per-query candidate set then
+    forms via the cluster equi-join (a corpus row lives in exactly one
+    list, so no pair forms twice) and one rank window cuts top-k with
+    the frozen (cosine DESC NULLS LAST, id ASC) order.
+
+    Full probe (nprobe = nlist) is provably the exact result — the
+    oracle rides that identity; partial-probe recall is unit-tested.
+    Returns (query_id, corpus_id, cosine, rank), rank 1-based.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    cents = spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
+    cmat = np.asarray([r["centroid"] for r in cents], dtype="float64")
+    cluster_ids = np.asarray([int(r["cluster"]) for r in cents], dtype="int32")
+    cnorm2 = (cmat * cmat).sum(axis=1)
+    np_ = min(nprobe, len(cents))
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        out = []
+        for x in vecs:
+            if x is None:
+                out.append(None)
+                continue
+            q = np.asarray(x, dtype="float64")
+            d = cnorm2 - 2.0 * (cmat @ q)
+            order = np.argsort(d, kind="stable")[:np_]
+            out.append([int(cluster_ids[i]) for i in order])
+        return pd.Series(out)
+
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("probes", probes(F.col("qv")))
+    # bounded driver read: the union of probed lists is ≤ nlist values,
+    # and as a LITERAL filter on the partition column it prunes file
+    # listing — a dynamic join key alone would scan every directory
+    probe_union = [
+        r["c"]
+        for r in qv.select(F.explode("probes").alias("c")).distinct().collect()
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe_union))
+    cand = qv.select(
+        "query_id", "qv", F.explode("probes").alias("cluster")
+    ).join(idx, "cluster")
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("corpus_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("cosine"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def topk_cosine_ivf(
     emb: DataFrame,
     query_vec: list[float],

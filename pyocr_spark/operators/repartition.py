@@ -45,12 +45,31 @@ def size_tier(size_col, tier_bytes: int = DEFAULT_TIER_BYTES):
     )
 
 
+def partitions_for_bytes(
+    df: DataFrame,
+    size_col: str = "html",
+    target_partition_bytes: int = 256 << 20,
+) -> int:
+    """Partition count sized to BYTES, not rows — the number the
+    docstring below calls for at 10^12 docs (N ≈ total_bytes /
+    a-few-hundred-MB). One cheap columnar stats pass (sum of
+    octet_length — only the size column's pages are read); the result
+    feeds ``salted_repartition``'s ``num_partitions``. Always ≥ 1."""
+    total = df.select(
+        F.sum(F.octet_length(F.col(size_col))).alias("b")
+    ).head()["b"]
+    if not total:
+        return 1
+    return max(1, -(-int(total) // int(target_partition_bytes)))
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int | None = None,
     key: str = "url",
     size_col: str | None = None,
     tier_bytes: int = DEFAULT_TIER_BYTES,
+    target_partition_bytes: int | None = None,
 ) -> DataFrame:
     """Shuffle rows so partition ↔ page-size correlation is destroyed.
 
@@ -76,6 +95,16 @@ def salted_repartition(
         salt = F.xxhash64(F.col(key), size_tier(F.col(size_col), tier_bytes))
     else:
         salt = F.xxhash64(F.col(key))
+    if target_partition_bytes is not None:
+        if size_col is None:
+            raise ValueError(
+                "target_partition_bytes needs size_col (the column whose "
+                "bytes define partition cost)"
+            )
+        # byte-aware count: one stats pass, then the one Exchange
+        num_partitions = partitions_for_bytes(
+            df, size_col, target_partition_bytes
+        )
     if num_partitions is None:
         return df.repartition(salt)  # let AQE/shuffle.partitions decide count
     return df.repartition(num_partitions, salt)

@@ -82,6 +82,32 @@ def start_extract_stream(
     )
 
 
+def reconcile_stream_output(out: DataFrame) -> DataFrame:
+    """The documented downstream reconciliation for ``keep_ts=True``
+    stream output: keep-latest per url on the passed-through warc_ts,
+    turning the stream's at-least-once rows (cross-batch re-crawls may
+    appear once per batch) into EXACTLY the batch extract result — the
+    equivalence the ``stream_extract_text`` exact oracle gates. One
+    window shuffle on url; drops the warc_ts handle after use."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if "warc_ts" not in out.columns:
+        raise ValueError(
+            "reconcile_stream_output needs the warc_ts column — run the "
+            "stream with keep_ts=True"
+        )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    rn = "_rn"
+    while rn in out.columns:
+        rn += "_"
+    return (
+        out.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn, "warc_ts")
+    )
+
+
 def _start_pages_stream(
     spark: SparkSession,
     input_location: str,

@@ -1415,3 +1415,63 @@ def test_knn_join_probe_width_guard(spark):
     emb = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="hamming_probes"):
         knn_join(emb, emb, hamming_probes=2)
+
+
+def test_partitions_for_bytes_and_target_sizing(spark):
+    from pyocr_spark.operators.repartition import (
+        partitions_for_bytes,
+        salted_repartition,
+    )
+
+    rows = [(f"u{i}", b"x" * 1000) for i in range(100)]  # 100 KB total
+    df = spark.createDataFrame(rows, "url string, html binary")
+    assert partitions_for_bytes(df, "html", target_partition_bytes=30_000) == 4
+    assert partitions_for_bytes(df.limit(0), "html", 30_000) == 1
+    out = salted_repartition(
+        df, size_col="html", target_partition_bytes=30_000
+    )
+    assert out.rdd.getNumPartitions() == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="size_col"):
+        salted_repartition(df, target_partition_bytes=30_000)
+
+
+def test_knn_join_ivf_index_full_probe_equals_exact(spark, tmp_path):
+    import math
+    import pandas as pd
+
+    from pyocr_spark.operators.ann import (
+        build_ivf_index,
+        knn_join,
+        knn_join_ivf_index,
+    )
+
+    rows = []
+    for i in range(60):
+        v = [math.sin(0.29 * (i + 1) * (d + 1)) + 0.02 for d in range(6)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=4)
+    qs = emb.filter("vec_id % 15 = 0")
+    got = {
+        (r["query_id"], r["rank"]): (r["corpus_id"], r["cosine"])
+        for r in knn_join_ivf_index(spark, path, qs, k=4, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["corpus_id"], r["cosine"])
+        for r in knn_join(qs, emb, k=4, lsh_planes=0).collect()
+    }
+    assert got == want  # full probe == exact, per query
+
+    # partial probe: literal isin on the partition column -> the scan
+    # prunes file listing to the probed directories
+    out = knn_join_ivf_index(spark, path, qs, k=4, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
+        "cluster #", "cluster#"
+    ) or "PartitionFilters" in plan
+    # every query still finds itself at rank 1 (its own list is probed)
+    r1 = {r["query_id"]: r["corpus_id"] for r in out.collect() if r["rank"] == 1}
+    assert all(q == c for q, c in r1.items())

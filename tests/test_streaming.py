@@ -210,3 +210,24 @@ def test_image_refs_stream_equals_batch(spark, pages_sf0001, tmp_path):
     assert sorted(map(tuple, pairs_stream.collect())) == sorted(
         map(tuple, pairs_batch.collect())
     )
+
+
+def test_reconcile_stream_output_keep_latest(spark):
+    from pyocr_spark.streaming.stream import reconcile_stream_output
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", "old text"),
+        ("u1", "2024-01-02 00:00:00", "new text"),
+        ("u2", "2024-01-01 00:00:00", "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, extracted_text string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = {r["url"]: r["extracted_text"] for r in reconcile_stream_output(df).collect()}
+    assert out == {"u1": "new text", "u2": "only"}
+    assert "warc_ts" not in reconcile_stream_output(df).columns
+
+    import pytest
+
+    with pytest.raises(ValueError, match="warc_ts"):
+        reconcile_stream_output(df.drop("warc_ts"))
