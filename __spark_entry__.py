@@ -1168,6 +1168,37 @@ def _q_docs_decontam(spark, sf_dir):
     return contamination_report(corpus, ev, n=3)
 
 
+def _q_fuzzy_contam_pairs(spark, sf_dir):
+    """Fuzzy train/eval contamination (operators/decontam
+    .fuzzy_contamination_report): MinHash-LSH candidate pairs ACROSS
+    the split boundary — the paraphrased/edited benchmark leakage the
+    exact n-gram overlap (docs_decontam) misses. Eval slice =
+    doc_id %13 == 5, corpus = the rest; portable hash family so every
+    step has an exact DuckDB twin."""
+    from pyocr_spark.operators.decontam import fuzzy_contamination_report
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 13 == 5)
+    corpus = docs.filter(F.col("doc_id") % 13 != 5)
+    return fuzzy_contamination_report(
+        corpus, ev, jaccard_threshold=0.5, portable=True
+    )
+
+
+def _q_docs_fuzzy_decontam(spark, sf_dir):
+    """The fuzzy-decontaminated corpus (operators/decontam
+    .fuzzy_decontaminate): the %13!=5 training slice minus every doc
+    whose estimated Jaccard vs ANY eval doc clears the threshold."""
+    from pyocr_spark.operators.decontam import fuzzy_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 13 == 5)
+    corpus = docs.filter(F.col("doc_id") % 13 != 5)
+    return fuzzy_decontaminate(
+        corpus, ev, jaccard_threshold=0.5, portable=True
+    ).select("doc_id", "lang", "source")
+
+
 def _q_events_rolling(spark, sf_dir):
     from pyocr_spark.operators.rolling import rolling_user_activity
 
@@ -3746,6 +3777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,
         "docs_lang_pivot": _q_docs_lang_pivot,
         "docs_decontam": _q_docs_decontam,
+        "fuzzy_contam_pairs": _q_fuzzy_contam_pairs,
+        "docs_fuzzy_decontam": _q_docs_fuzzy_decontam,
         # multimodal plumbing (fake codec — deterministic, exact oracles
         # via expected_media_* tables built from the same batch functions)
         "media_decode": _q_media_decode,
@@ -4116,6 +4149,27 @@ _MINHASH_PAIRS_SQL = (
     "FROM cand c JOIN sig ls ON ls.doc_id = c.left_id "
     "JOIN sig rs ON rs.doc_id = c.right_id AND rs.seed = ls.seed GROUP BY 1, 2) "
     "SELECT left_id, right_id, round(j, 4) AS jaccard_est FROM est WHERE j >= 0.5"
+)
+
+
+#: fuzzy decontamination CTE chain: the portable minhash signatures
+#: split at the %13 boundary, banded per side, candidates ONLY across
+#: the band equi-join, estimated Jaccard from the signatures — the
+#: fuzzy_contamination_report replay (same family, bands, tie rules)
+_FUZZY_CONTAM_SQL_CORE = (
+    f"WITH sig AS ({_MINHASH_SIG_SQL}), "
+    "tb AS (SELECT doc_id, seed // 4 AS band, "
+    "string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bkey "
+    "FROM sig WHERE doc_id % 13 != 5 GROUP BY doc_id, seed // 4), "
+    "eb AS (SELECT doc_id, seed // 4 AS band, "
+    "string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bkey "
+    "FROM sig WHERE doc_id % 13 = 5 GROUP BY doc_id, seed // 4), "
+    "cand AS (SELECT DISTINCT t.doc_id AS corpus_id, e.doc_id AS eval_id "
+    "FROM tb t JOIN eb e ON t.band = e.band AND t.bkey = e.bkey), "
+    "est AS (SELECT c.corpus_id, c.eval_id, "
+    "sum(CASE WHEN ls.minhash = rs.minhash THEN 1 ELSE 0 END) / 16.0 AS j "
+    "FROM cand c JOIN sig ls ON ls.doc_id = c.corpus_id "
+    "JOIN sig rs ON rs.doc_id = c.eval_id AND rs.seed = ls.seed GROUP BY 1, 2)"
 )
 
 
@@ -6170,6 +6224,16 @@ def oracle_sql() -> dict[str, str]:
             "cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 != 0 AND gram != '') "
             "SELECT doc_id, count(*) AS n_shared_grams "
             "FROM cg JOIN eg USING (gram) GROUP BY doc_id HAVING count(*) >= 1"
+        ),
+        "fuzzy_contam_pairs": _FUZZY_CONTAM_SQL_CORE + (
+            " SELECT corpus_id, eval_id, round(j, 4) AS jaccard_est "
+            "FROM est WHERE j >= 0.5"
+        ),
+        "docs_fuzzy_decontam": _FUZZY_CONTAM_SQL_CORE + (
+            ", bad AS (SELECT DISTINCT corpus_id FROM est WHERE j >= 0.5) "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "ANTI JOIN bad b ON d.doc_id = b.corpus_id "
+            "WHERE d.doc_id % 13 != 5"
         ),
         "docs_lang_pivot": (
             "SELECT source, "

@@ -75,6 +75,126 @@ def contamination_report(
     )
 
 
+def fuzzy_contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(corpus_id, eval_id, jaccard_est) MinHash-LSH candidate pairs
+    ACROSS the train/eval boundary — the FUZZY contamination the exact
+    n-gram overlap misses (paraphrased or lightly-edited benchmark
+    leakage; the Llama-style near-dup decontamination pass).
+
+    The cross-table twin of ``dedup.minhash_lsh_dedup``: both sides
+    sign with the SAME deterministic hash family (identical shingles →
+    identical minhashes, so cross-table banding is sound by
+    construction), band keys form on both, and candidates only meet in
+    an equi-join on (band, band-hash) — never corpus × eval. The eval
+    side is benchmark-sized (thousands of docs vs 10^12), so its banded
+    table broadcasts by default; estimated Jaccard then confirms each
+    candidate from the signatures already in hand. ``portable=True``
+    swaps in the md5 family + string band keys for the exact SQL twin.
+    """
+    from pyocr_spark.operators.dedup import minhash_signature
+
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        def band_key(b: int):
+            comps = [
+                F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+            ]
+            if portable:
+                return F.concat_ws("_", *[c.cast("string") for c in comps])
+            return F.hash(*comps)
+
+        sig = minhash_signature(
+            df, text_col, id_col, k, num_hashes, portable=portable
+        )
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.col("sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, "sig", "bb.band", "bb.bkey")
+
+    c = banded(corpus, "corpus_id").alias("c")
+    e = banded(eval_docs, "eval_id")
+    if broadcast_eval:
+        e = F.broadcast(e)
+    e = e.alias("e")
+    cand = (
+        c.join(
+            e,
+            on=[
+                F.col("c.band") == F.col("e.band"),
+                F.col("c.bkey") == F.col("e.bkey"),
+            ],
+        )
+        .select(
+            F.col("c.corpus_id").alias("corpus_id"),
+            F.col("e.eval_id").alias("eval_id"),
+            F.col("c.sig").alias("csig"),
+            F.col("e.sig").alias("esig"),
+        )
+        .dropDuplicates(["corpus_id", "eval_id"])
+    )
+    jac = (
+        F.size(F.filter(F.zip_with("csig", "esig", lambda a, b: a == b), lambda x: x))
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("jaccard_est", jac)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("corpus_id", "eval_id", F.round("jaccard_est", 4).alias("jaccard_est"))
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The corpus minus near-dup-contaminated documents: distinct
+    flagged corpus ids from :func:`fuzzy_contamination_report`,
+    anti-joined back (the ``decontaminate`` shape — the flagged side is
+    contamination-mass-sized, AQE broadcasts it once measured small)."""
+    bad = (
+        fuzzy_contamination_report(
+            corpus, eval_docs, k, num_hashes, bands, jaccard_threshold,
+            text_col, id_col, portable, broadcast_eval,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -972,3 +972,62 @@ def test_bigram_logprob_partitioning_invariance(spark):
     a = bigram_logprob(docs.repartition(1)).collect()
     b = bigram_logprob(docs.repartition(7, "doc_id")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fuzzy_decontamination_catches_paraphrase_edits(spark):
+    # the exact n-gram gate needs shared 3-grams; a light edit every few
+    # words destroys most of them while MinHash similarity survives
+    from pyocr_spark.operators.decontam import (
+        contamination_report,
+        fuzzy_contamination_report,
+        fuzzy_decontaminate,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    edited = base.replace("jumps", "leaps").replace("today", "now")
+    corpus = spark.createDataFrame(
+        [(1, edited), (2, "completely different text about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    fuzzy = fuzzy_contamination_report(
+        corpus, ev, jaccard_threshold=0.4, bands=8, num_hashes=16
+    ).collect()
+    assert {(r["corpus_id"], r["eval_id"]) for r in fuzzy} == {(1, 100)}
+    assert all(0.0 <= r["jaccard_est"] <= 1.0 for r in fuzzy)
+    clean = fuzzy_decontaminate(
+        corpus, ev, jaccard_threshold=0.4, bands=8, num_hashes=16
+    ).collect()
+    assert [r["doc_id"] for r in clean] == [2]
+
+
+def test_fuzzy_decontamination_portable_matches_production_semantics(spark):
+    from pyocr_spark.operators.decontam import fuzzy_contamination_report
+
+    texts = [(i, f"shared news article body number {i % 3} with common words") for i in range(12)]
+    corpus = spark.createDataFrame(texts[:9], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100 + i, t) for i, (_, t) in enumerate(texts[9:])],
+        "doc_id long, text string",
+    )
+    prod = {
+        (r["corpus_id"], r["eval_id"])
+        for r in fuzzy_contamination_report(corpus, ev, jaccard_threshold=0.9).collect()
+    }
+    port = {
+        (r["corpus_id"], r["eval_id"])
+        for r in fuzzy_contamination_report(
+            corpus, ev, jaccard_threshold=0.9, portable=True
+        ).collect()
+    }
+    assert prod == port and prod  # same verdicts, and non-vacuous
+
+
+def test_fuzzy_decontamination_bands_guard(spark):
+    import pytest
+
+    from pyocr_spark.operators.decontam import fuzzy_contamination_report
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        fuzzy_contamination_report(df, df, bands=5, num_hashes=16)
