@@ -445,6 +445,20 @@ def main() -> None:
         reps=3,
     )
 
+    # fuzzy decontamination: cross-table LSH banding against a
+    # benchmark-sized eval slice (broadcast), production hash family
+    from pyocr_spark.operators.decontam import fuzzy_decontaminate
+
+    timed(
+        "fuzzy_decontam",
+        lambda: fuzzy_decontaminate(
+            docs_df.filter("doc_id % 13 != 5"),
+            docs_df.filter("doc_id % 13 = 5"),
+            jaccard_threshold=0.5,
+        ).count(),
+        reps=2,
+    )
+
     # all-pairs kNN graph: every embedding row is a query — the
     # bucket-join batched form (never queries × corpus)
     from pyocr_spark.operators.ann import knn_join

@@ -169,6 +169,26 @@ def main() -> int:
     check("extract_text_sizetier_salt", "exactly 1 Exchange (the size-tiered salt)",
           n_exchanges == 1, f"exchanges={n_exchanges}")
 
+    # 6f. fuzzy decontamination: candidates only via the cross-table
+    # band equi-join; the benchmark-sized eval banding broadcasts
+    df = qs["fuzzy_contam_pairs"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("fuzzy_contam_pairs", p))
+    check("fuzzy_contam_pairs", "no cartesian/NLJ (band equi-join only)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("fuzzy_contam_pairs", "eval side broadcast (BroadcastHashJoin)",
+          "BroadcastHashJoin" in p, "")
+
+    # 6g. batched LSH kNN: bucket equi-join + per-query rank window —
+    # the window cut pushes a partial group limit before the shuffle
+    df = qs["emb_knn_join"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("emb_knn_join", p))
+    check("emb_knn_join", "no cartesian/NLJ (bucket equi-join only)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, "")
+    check("emb_knn_join", "map-side WindowGroupLimit before the rank shuffle",
+          "WindowGroupLimit" in p, "")
+
     # 7. as-of join: the union-window form — exactly ONE shuffle (the
     # window partition over the union), never a join operator at all
     df = qs["events_asof_click"](spark, SF_DIR)
