@@ -80,7 +80,7 @@ def fuzzy_contamination_report(
     eval_docs: DataFrame,
     k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | str = 4,
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -104,6 +104,10 @@ def fuzzy_contamination_report(
     """
     from pyocr_spark.operators.dedup import minhash_signature
 
+    if bands == "auto":
+        from pyocr_spark.operators.dedup import lsh_plan
+
+        bands, _ = lsh_plan(num_hashes, jaccard_threshold)
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             f"bands must divide num_hashes (got bands={bands}, "
@@ -173,7 +177,7 @@ def fuzzy_decontaminate(
     eval_docs: DataFrame,
     k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | str = 4,
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -172,7 +172,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | str = 4,
     jaccard_threshold: float = 0.8,
     portable: bool = False,
     signature_path: str | None = None,
@@ -190,6 +190,10 @@ def minhash_lsh_dedup(
     stays hashed: a compact long beats a 4×20-char string as a shuffle
     key at 10^12 rows).
 
+    ``bands="auto"`` delegates the (bands, rows) choice to
+    :func:`lsh_plan` — the S-curve midpoint closest to
+    ``jaccard_threshold`` (driver-side math, chosen once).
+
     ``signature_path`` is the CLUSTER-SCALE materialization form: the
     signature table is written once to that path (parquet; on a real
     deployment an Iceberg table) and the self-join reads it back — a
@@ -199,6 +203,8 @@ def minhash_lsh_dedup(
     minhash pipeline. When unset, the signatures persist() in memory
     (the interactive/analysis form; see lifecycle note below).
     """
+    if bands == "auto":
+        bands, _ = lsh_plan(num_hashes, jaccard_threshold)
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # bands > num_hashes would make rows_per_band 0: an empty band key
         # puts EVERY document in one LSH bucket — the quadratic self-join

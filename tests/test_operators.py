@@ -1475,3 +1475,15 @@ def test_knn_join_ivf_index_full_probe_equals_exact(spark, tmp_path):
     # every query still finds itself at rank 1 (its own list is probed)
     r1 = {r["query_id"]: r["corpus_id"] for r in out.collect() if r["rank"] == 1}
     assert all(q == c for q, c in r1.items())
+
+
+def test_minhash_bands_auto_uses_lsh_plan(spark, docs):
+    from pyocr_spark.operators.dedup import lsh_plan, minhash_lsh_dedup
+
+    want_bands, _ = lsh_plan(16, 0.5)
+    auto = minhash_lsh_dedup(docs, bands="auto", jaccard_threshold=0.5).toPandas()
+    explicit = minhash_lsh_dedup(
+        docs, bands=want_bands, jaccard_threshold=0.5
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(auto) == key(explicit)
