@@ -2471,6 +2471,21 @@ def _q_extract_pubdate(spark, sf_dir):
     return extract_pubdate_df(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_markdown_sections(spark, sf_dir):
+    """Heading-boundary sectioning (functions/markdown.markdown_sections)
+    over the real Markdown extraction: one row per ATX-heading section
+    in document order — the semantic-boundary chunking a training/RAG
+    pipeline prefers to mid-thought token windows. Oracled by replaying
+    the split + cumulative section id + join rule in SQL over
+    expected_markdown."""
+    from pyocr_spark.functions.markdown import extract_markdown, markdown_sections
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return markdown_sections(
+        extract_markdown(dedup_latest_page(_pages(spark, sf_dir)))
+    )
+
+
 def _q_extract_markdown(spark, sf_dir):
     """HTML→Markdown extraction (functions/markdown.py over the frozen
     core/markdown.py converter): the portable-prose surface — headings,
@@ -3676,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_psm7": _q_extract_text_psm7,
         "extract_main_density": _q_extract_main_density,
         "extract_markdown": _q_extract_markdown,
+        "markdown_sections": _q_markdown_sections,
         "extract_jsonld": _q_extract_jsonld,
         "jsonld_errors": _q_jsonld_errors,
         "extract_pubdate": _q_extract_pubdate,
@@ -5250,6 +5266,29 @@ def oracle_sql() -> dict[str, str]:
         "extract_markdown": (
             f"SELECT url, markdown, n_md_chars "
             f"FROM read_parquet('{E}/expected_markdown.parquet')"
+        ),
+        # heading-boundary sectioning replay: same split, same ^#{1,6}
+        # boundary rule, same cumulative section id, same NULL-skipping
+        # join of non-heading lines, same empty-preamble drop
+        "markdown_sections": (
+            "WITH md AS (SELECT url, markdown FROM "
+            f"read_parquet('{E}/expected_markdown.parquet') "
+            "WHERE markdown IS NOT NULL), "
+            "a AS (SELECT url, string_split(markdown, chr(10)) AS arr FROM md), "
+            "l AS (SELECT url, unnest(list_transform(generate_series(1, len(arr)), "
+            "i -> {'i': i, 'ln': arr[i]})) AS e FROM a), "
+            "l2 AS (SELECT url, e.i AS i, e.ln AS ln, "
+            "regexp_matches(e.ln, '^#{1,6} ') AS is_h FROM l), "
+            "s AS (SELECT url, i, ln, is_h, "
+            "sum(CASE WHEN is_h THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY url ORDER BY i) AS section FROM l2), "
+            "g AS (SELECT url, section, "
+            "max(CASE WHEN is_h THEN ln END) AS heading, "
+            "coalesce(string_agg(CASE WHEN NOT is_h THEN ln END, chr(10) ORDER BY i), '') AS section_text "
+            "FROM s GROUP BY url, section) "
+            "SELECT url, CAST(section AS INT) AS section, heading, section_text, "
+            "CAST(length(section_text) AS INT) AS n_chars FROM g "
+            "WHERE section > 0 OR section_text != ''"
         ),
         "extract_jsonld": (
             f"SELECT url, block_idx, item_idx, ld_type, name, date_published, "

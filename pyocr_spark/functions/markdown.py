@@ -40,3 +40,69 @@ def extract_markdown(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(
         _markdown_batches, schema=MARKDOWN_DDL
     )
+
+
+def markdown_sections(md: DataFrame, url_col: str = "url", md_col: str = "markdown") -> DataFrame:
+    """Heading-boundary document sectioning: (url, section, heading,
+    section_text, n_chars) — the Markdown output split at ATX heading
+    lines, one row per section, in document order.
+
+    Token-window chunking (operators/chunker) cuts mid-thought; a
+    training/RAG pipeline prefers SEMANTIC boundaries when the document
+    declares them. Frozen rules: a section boundary is a line matching
+    ``^#{1,6} `` (exactly the converter's ATX output); section 0 is the
+    preamble before the first heading (heading NULL, dropped when
+    empty); a section's text is its non-heading lines joined by
+    ``\\n`` (blank lines preserved); back-to-back headings yield an
+    empty-text section (kept — the heading itself is signal).
+
+    Shape: split + posexplode (narrow), ONE window shuffle on (url,
+    line order) for the cumulative section id, one partial-aggregated
+    groupBy builds the sections. All built-in functions — the SQL
+    oracle replays the split, the cumsum and the join rule exactly.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = (
+        md.filter(F.col(md_col).isNotNull())
+        .select(
+            F.col(url_col).alias("url"),
+            F.posexplode(F.split(F.col(md_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("is_h", F.col("line").rlike("^#{1,6} "))
+    )
+    w = Window.partitionBy("url").orderBy("pos")
+    sec = lines.withColumn(
+        "section", F.sum(F.col("is_h").cast("int")).over(w)
+    )
+    out = (
+        sec.groupBy("url", "section")
+        .agg(
+            F.max(F.when(F.col("is_h"), F.col("line"))).alias("heading"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "is_h", "line"))
+                        ),
+                        lambda s: ~s["is_h"],
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("section_text"),
+        )
+        .select(
+            "url",
+            F.col("section").cast("int").alias("section"),
+            "heading",
+            "section_text",
+            F.length("section_text").alias("n_chars"),
+        )
+    )
+    # drop an EMPTY preamble (no heading, no text) — documents that
+    # start with a heading would otherwise all carry a blank section 0
+    return out.filter(
+        (F.col("section") > 0) | (F.col("section_text") != "")
+    )

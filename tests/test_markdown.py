@@ -159,3 +159,42 @@ def test_spark_stage_matches_converter(spark, pages_sf0001):
         else:
             assert row["markdown"] == w
             assert row["n_md_chars"] == len(w)
+
+
+class TestMarkdownSections:
+    def _sections(self, spark, mds):
+        from pyocr_spark.functions.markdown import markdown_sections
+
+        df = spark.createDataFrame(
+            [(f"u{i}", m) for i, m in enumerate(mds)],
+            "url string, markdown string",
+        )
+        out = markdown_sections(df).collect()
+        return {
+            (r["url"], r["section"]): (r["heading"], r["section_text"], r["n_chars"])
+            for r in out
+        }
+
+    def test_preamble_headings_and_order(self, spark):
+        md = "intro line\n\n# One\nbody a\nbody b\n## Two\nbody c"
+        got = self._sections(spark, [md])
+        assert got[("u0", 0)] == (None, "intro line\n", 11)
+        assert got[("u0", 1)] == ("# One", "body a\nbody b", 13)
+        assert got[("u0", 2)] == ("## Two", "body c", 6)
+
+    def test_empty_preamble_dropped_and_back_to_back_headings_kept(self, spark):
+        md = "# A\n## B\ntext"
+        got = self._sections(spark, [md])
+        assert ("u0", 0) not in got  # doc starts with a heading
+        assert got[("u0", 1)] == ("# A", "", 0)  # heading-only section kept
+        assert got[("u0", 2)] == ("## B", "text", 4)
+
+    def test_hashes_without_space_are_not_headings(self, spark):
+        md = "#nospace\n####### seven\n# real\nbody"
+        got = self._sections(spark, [md])
+        assert got[("u0", 0)][1] == "#nospace\n####### seven"
+        assert got[("u0", 1)] == ("# real", "body", 4)
+
+    def test_null_markdown_contributes_nothing(self, spark):
+        got = self._sections(spark, [None, "# H\nx"])
+        assert set(u for u, _ in got) == {"u1"}
