@@ -3447,6 +3447,53 @@ def _q_doc_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, learn_bpe_merges(docs, n_merges=30, min_count=2))
 
 
+def _q_doc_stopword_lang(spark, sf_dir):
+    """Language-aware stopword-ratio gate (text_stats
+    .stopword_ratio_by_lang): the document's own lang picks its frozen
+    stopword list, fixing the Gopher list's English-only blind spot for
+    the multilingual half of a web corpus. Exact integer micro ratio;
+    oracled by a per-language CASE replay generated from the SAME
+    frozen lists (single source of truth)."""
+    from pyocr_spark.functions.text_stats import stopword_ratio_by_lang
+
+    return stopword_ratio_by_lang(_docs(spark, sf_dir))
+
+
+def _stopword_lang_sql() -> str:
+    """DuckDB replay generated from STOPWORDS_BY_LANG itself — the list
+    literals cannot drift from the Spark side."""
+    from pyocr_spark.functions.text_stats import STOPWORDS_BY_LANG, _SUBSTR_LANGS
+
+    unit_arms = []
+    stop_arms = []
+    for lang, words in STOPWORDS_BY_LANG.items():
+        if lang in _SUBSTR_LANGS:
+            unit_arms.append(f"WHEN '{lang}' THEN length(t)")
+            mass = " + ".join(
+                f"(length(t) - length(replace(t, '{m}', '')))" for m in words
+            )
+            stop_arms.append(f"WHEN '{lang}' THEN {mass}")
+        else:
+            unit_arms.append(f"WHEN '{lang}' THEN len(w)")
+            lst = ", ".join(f"'{m}'" for m in words)
+            stop_arms.append(
+                f"WHEN '{lang}' THEN len(list_filter(w, x -> x IN ({lst})))"
+            )
+    return (
+        "WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents), "
+        "tok AS (SELECT doc_id, lang, t, list_filter(string_split_regex("
+        "regexp_replace(t, '^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+        "'[\\t\\n\\f\\r ]+'), x -> x != '') AS w FROM base), "
+        "u AS (SELECT doc_id, lang, "
+        f"CAST(CASE lang {' '.join(unit_arms)} END AS BIGINT) AS n_units, "
+        f"CAST(CASE lang {' '.join(stop_arms)} END AS BIGINT) AS n_stop FROM tok), "
+        "r AS (SELECT u.*, CASE WHEN n_units IS NOT NULL AND n_units > 0 "
+        "THEN CAST((1000000 * n_stop) // n_units AS BIGINT) END AS stop_ratio_micro FROM u) "
+        "SELECT doc_id, lang, n_units, n_stop, stop_ratio_micro, "
+        "coalesce(stop_ratio_micro >= 10000, TRUE) AS stop_keep FROM r"
+    )
+
+
 def _q_doc_gopher_ngram(spark, sf_dir):
     """Gopher/RefinedWeb word-n-gram repetition fractions: top-gram
     coverage (n=2..4) and duplicate-gram coverage (n=5..10)."""
@@ -3717,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
         "pages_jsonl_errors": _q_pages_jsonl_errors,
         "doc_gopher_ngram": _q_doc_gopher_ngram,
+        "doc_stopword_lang": _q_doc_stopword_lang,
         "events_session_windows": _q_events_session_windows,
         "extractor_agreement": _q_extractor_agreement,
         "cdx_ingest": _q_cdx_ingest,
@@ -5416,6 +5464,7 @@ def oracle_sql() -> dict[str, str]:
             "min(line) AS sample FROM c WHERE reason IS NOT NULL GROUP BY reason"
         ),
         "doc_gopher_ngram": _gopher_ngram_sql(),
+        "doc_stopword_lang": _stopword_lang_sql(),
         "events_session_windows": (
             # gaps-and-islands replay of the native session window:
             # new session iff diff > gap (touching windows merge),

@@ -57,3 +57,28 @@ def test_script_mix_golden(spark):
     assert out[1].arabic_ppm == 1_000_000
     assert (out[2].n_chars, out[2].latin_ppm) == (0, None)
     assert out[3].n_chars is None and out[3].latin_ppm is None
+
+
+def test_stopword_ratio_by_lang(spark):
+    from pyocr_spark.functions.text_stats import stopword_ratio_by_lang
+
+    rows = [
+        (0, "en", "the cat and the dog of note"),         # 4 stop / 7 toks
+        (1, "de", "der hund und die katze"),              # 3 stop / 5 toks
+        (2, "zh", "的的 xx 是"),                            # 3 marker chars / 7 chars
+        (3, "xx", "unknown language words here"),          # unlisted -> NULL, keep
+        (4, "en", None),                                   # null text -> 0 units
+        (5, "en", "zz qq ww rr"),                          # 0 stop -> gated out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in stopword_ratio_by_lang(df).collect()}
+    assert (got[0]["n_units"], got[0]["n_stop"]) == (7, 4)
+    assert got[0]["stop_ratio_micro"] == (1_000_000 * 4) // 7
+    assert got[0]["stop_keep"]
+    assert (got[1]["n_units"], got[1]["n_stop"]) == (5, 3)
+    assert (got[2]["n_units"], got[2]["n_stop"]) == (7, 3)
+    assert got[3]["n_units"] is None and got[3]["stop_ratio_micro"] is None
+    assert got[3]["stop_keep"]  # no evidence is not negative evidence
+    assert got[4]["n_units"] == 0 and got[4]["stop_ratio_micro"] is None
+    assert got[4]["stop_keep"]
+    assert got[5]["stop_ratio_micro"] == 0 and not got[5]["stop_keep"]
