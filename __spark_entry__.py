@@ -722,6 +722,17 @@ def _q_extract_tables(spark, sf_dir):
     return extract_tables(dedup_latest_page(_pages(spark, sf_dir)))
 
 
+def _q_tables_csv(spark, sf_dir):
+    """Table grids rendered to CSV documents (functions/dom
+    .tables_to_csv): frozen RFC-4180-ish quoting, col-order comma join,
+    row-order newline join, ragged rows unpadded — the delivery format
+    for the structured-table surface."""
+    from pyocr_spark.functions.dom import extract_tables, tables_to_csv
+    from pyocr_spark.operators.dedup import dedup_latest_page
+
+    return tables_to_csv(extract_tables(dedup_latest_page(_pages(spark, sf_dir))))
+
+
 def _q_pages_robots_gate(spark, sf_dir):
     """Robots noindex/none gate (operators/metagate.py) over the deduped
     crawl: pages the publisher opted out of indexing are dropped; the
@@ -3759,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_microdata": _q_extract_microdata,
         "extract_hreflang": _q_extract_hreflang,
         "extract_tables": _q_extract_tables,
+        "tables_csv": _q_tables_csv,
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_wat": _q_pages_wat,
         "pages_jsonl_ingest": _q_pages_jsonl_ingest,
@@ -5429,6 +5441,23 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables": (
             f"SELECT url, table_idx, row_idx, col_idx, is_header, cell_text "
             f"FROM read_parquet('{E}/expected_tables.parquet')"
+        ),
+        # CSV rendering replay: same quoting rule, same join orders
+        "tables_csv": (
+            "WITH c AS (SELECT url, table_idx, row_idx, col_idx, is_header, "
+            "CASE WHEN regexp_matches(coalesce(cell_text, ''), '[\",\\n\\r]') "
+            "THEN '\"' || replace(coalesce(cell_text, ''), '\"', '\"\"') || '\"' "
+            "ELSE coalesce(cell_text, '') END AS r "
+            f"FROM read_parquet('{E}/expected_tables.parquet')), "
+            "rws AS (SELECT url, table_idx, row_idx, "
+            "string_agg(r, ',' ORDER BY col_idx) AS rowstr, "
+            "max(CASE WHEN is_header THEN 1 ELSE 0 END) AS hdr, "
+            "max(col_idx) AS maxc FROM c GROUP BY 1, 2, 3) "
+            "SELECT url, table_idx, CAST(count(*) AS INT) AS n_rows, "
+            "CAST(max(maxc) + 1 AS INT) AS n_cols, "
+            "CAST(sum(hdr) AS INT) AS n_header_rows, "
+            "string_agg(rowstr, chr(10) ORDER BY row_idx) AS csv "
+            "FROM rws GROUP BY url, table_idx"
         ),
         "pages_dedup_latest": (
             # floor before CAST: Spark's timestamp->long truncates while a

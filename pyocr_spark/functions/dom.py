@@ -158,3 +158,59 @@ def extract_hreflang(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(
         _hreflang_batches, schema=HREFLANG_DDL
     )
+
+
+def tables_to_csv(cells: DataFrame) -> DataFrame:
+    """Table cell grid → one CSV document per table: (url, table_idx,
+    n_rows, n_cols, n_header_rows, csv) — the delivery format for the
+    structured-table mining surface (a consumer of extract_tables wants
+    files, not a cell relation).
+
+    Frozen RFC-4180-ish rendering: a cell containing a comma, double
+    quote, CR or LF is wrapped in quotes with internal quotes doubled;
+    NULL cells render empty; cells join by ``,`` in col order, rows by
+    ``\\n`` in row order; ragged rows are NOT padded (the grid is
+    emitted as parsed — the honest form; consumers pad to n_cols if
+    they need a rectangle). Two partial-aggregated groupBys (row, then
+    table) — all built-in functions, exactly replayable in SQL.
+    """
+    from pyspark.sql import functions as F
+
+    raw = F.coalesce(F.col("cell_text"), F.lit(""))
+    rendered = F.when(
+        raw.rlike('[",\\n\\r]'),
+        F.concat(F.lit('"'), F.replace(raw, F.lit('"'), F.lit('""')), F.lit('"')),
+    ).otherwise(raw)
+    rows = (
+        cells.select(
+            "url", "table_idx", "row_idx", "col_idx", "is_header",
+            rendered.alias("r"),
+        )
+        .groupBy("url", "table_idx", "row_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("col_idx", "r"))),
+                    lambda s: s["r"],
+                ),
+                ",",
+            ).alias("rowstr"),
+            F.max(F.col("is_header").cast("int")).alias("hdr"),
+            F.max("col_idx").alias("maxc"),
+        )
+    )
+    return (
+        rows.groupBy("url", "table_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
+            (F.max("maxc") + F.lit(1)).cast("int").alias("n_cols"),
+            F.sum("hdr").cast("int").alias("n_header_rows"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("row_idx", "rowstr"))),
+                    lambda s: s["rowstr"],
+                ),
+                "\n",
+            ).alias("csv"),
+        )
+    )

@@ -248,3 +248,27 @@ def test_hreflang_alternates_collected_and_resolved(spark):
         (0, "de", "https://de.ex.com/d"),
         (1, "fr", "https://src.ex.com/fr/d"),  # resolved + defragged
     ]
+
+
+def test_tables_to_csv_quoting_and_order(spark):
+    import pandas as pd
+
+    from pyocr_spark.functions.dom import tables_to_csv
+
+    cells = [
+        # table 0: header row + data row with comma/quote/newline cells
+        ("u", 0, 0, 0, True, "name"), ("u", 0, 0, 1, True, "note"),
+        ("u", 0, 1, 0, False, 'say "hi"'), ("u", 0, 1, 1, False, "a,b\nc"),
+        # table 1: ragged rows, null cell
+        ("u", 1, 0, 0, False, "x"), ("u", 1, 1, 0, False, None),
+        ("u", 1, 1, 1, False, "y"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(cells, columns=["url", "table_idx", "row_idx", "col_idx", "is_header", "cell_text"])
+    )
+    got = {r["table_idx"]: r for r in tables_to_csv(df).collect()}
+    assert got[0]["csv"] == 'name,note\n"say ""hi""","a,b\nc"'
+    assert (got[0]["n_rows"], got[0]["n_cols"], got[0]["n_header_rows"]) == (2, 2, 1)
+    # ragged: row 0 has one cell, row 1 two; null renders empty, unpadded
+    assert got[1]["csv"] == "x\n,y"
+    assert (got[1]["n_rows"], got[1]["n_cols"], got[1]["n_header_rows"]) == (2, 2, 0)
