@@ -593,7 +593,15 @@ def _q_stream_extract_text(spark, sf_dir):
     from pyocr_spark.streaming.stream import reconcile_stream_output
 
     got = reconcile_stream_output(spark.read.parquet(f"{tmp}/out"))
-    return got.select("url", "extracted_text")
+    # materialize off the tmp parquet so the sink/checkpoint dirs can be
+    # deleted NOW — without this, repeated board runs leak one
+    # stream_extract_* tree per run into /tmp (the returned DataFrame
+    # would otherwise lazily re-read the files at driver-collect time)
+    got = got.select("url", "extracted_text").localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return got
 
 
 def _q_url_page_chains(spark, sf_dir):

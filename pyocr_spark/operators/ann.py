@@ -148,6 +148,7 @@ def knn_join(
     lsh_planes: int = 8,
     hamming_probes: int = 1,
     exclude_same_id: bool = False,
+    max_exact_rows: int | None = 100_000,
 ) -> DataFrame:
     """Batched k-NN: for EVERY query row, the top-k corpus rows by
     cosine — the all-queries-at-once substrate of retrieval evaluation,
@@ -162,8 +163,13 @@ def knn_join(
     bucket and the probe sigs are distinct, so no (query, corpus) pair
     can form twice. Per-query top-k is one rank window over the
     candidate set (cosine DESC NULLS LAST, corpus id ASC — the frozen
-    order the SQL oracle replays). ``lsh_planes=0`` is the guarded
-    exact baseline: a true cross join, oracle-scale inputs only.
+    order the SQL oracle replays). ``lsh_planes=0`` is the exact
+    baseline: a true queries × corpus cross join, guarded by
+    ``max_exact_rows`` — it refuses (via an early-stopping
+    ``limit(n+1).count()`` probe on each side) when either input
+    exceeds the bound, the same probe-and-refuse contract as
+    :func:`pyocr_spark.operators.dedup.embedding_cosine_pairs`. Pass
+    ``max_exact_rows=None`` only after checking the sizes yourself.
 
     Returns (query_id, corpus_id, cosine, rank), rank 1-based.
     """
@@ -204,6 +210,17 @@ def knn_join(
         )
         cand = qv.join(cv, "sig")
     else:
+        if max_exact_rows is not None:
+            for side_name, side in (("queries", qv), ("corpus", cv)):
+                probe = side.limit(max_exact_rows + 1).count()
+                if probe > max_exact_rows:
+                    raise ValueError(
+                        f"knn_join(lsh_planes=0) is the exact quadratic "
+                        f"baseline; {side_name} exceeds "
+                        f"max_exact_rows={max_exact_rows}. Use "
+                        f"lsh_planes>0 (bucketed LSH, the scale path) or "
+                        f"raise max_exact_rows explicitly."
+                    )
         cand = qv.crossJoin(cv)
     scored = cand.select(
         "query_id",
@@ -456,6 +473,13 @@ def knn_join_ivf_index(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("probes", probes(F.col("qv")))
+    # materialize the probe assignment ONCE: probe_union is collected
+    # from qv and qv is then re-used as the candidate-join left side —
+    # without the checkpoint the pandas UDF (and the whole queries
+    # lineage) would run twice, and a non-deterministic queries input
+    # (sample/limit without order) could probe clusters on the second
+    # evaluation that the literal filter below never loaded
+    qv = qv.localCheckpoint(eager=True)
     # bounded driver read: the union of probed lists is ≤ nlist values,
     # and as a LITERAL filter on the partition column it prunes file
     # listing — a dynamic join key alone would scan every directory

@@ -1,0 +1,36 @@
+"""Shared write-once materialization helper (the minhash_lsh_dedup
+``signature_path`` / host_mirror_pairs ``index_path`` pattern, SURVEY.md
+§7.3 "cache lifecycle" risk).
+
+Several operators compute an intermediate table that multiple downstream
+branches (or a self-join's two sides) would otherwise each recompute —
+an inverted index, a signature table, a term-frequency table. Two
+materialization forms exist:
+
+- ``path=None`` → ``persist()``: the interactive/analysis form. The
+  returned lazy plan references the cache entry, so it CANNOT be
+  released by the operator itself — Spark's CacheManager holds it until
+  an explicit ``unpersist()`` or session end. Long-lived sessions making
+  many operator calls accumulate these; ``spark.catalog.clearCache()``
+  between batches is the blunt remedy.
+- ``path="…"`` → write-once parquet (an Iceberg table on a real
+  deployment) + read back: the CLUSTER-SCALE form. Every consumer is a
+  plain file scan — zero cache footprint, nothing to unpersist, and the
+  intermediate survives executor loss without recomputing its lineage
+  (resume-friendly). Plans show ``Scan parquet``, never
+  ``InMemoryRelation``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, path: str | None) -> DataFrame:
+    """Materialize ``df`` once: to parquet at ``path`` (write-once,
+    zero-cache cluster form) when given, else ``persist()`` (interactive
+    form; see module docstring for the lifecycle trade-off)."""
+    if path is None:
+        return df.persist()
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -49,18 +49,24 @@ def partitions_for_bytes(
     df: DataFrame,
     size_col: str = "html",
     target_partition_bytes: int = 256 << 20,
+    total_bytes: int | None = None,
 ) -> int:
     """Partition count sized to BYTES, not rows — the number the
     docstring below calls for at 10^12 docs (N ≈ total_bytes /
-    a-few-hundred-MB). One cheap columnar stats pass (sum of
-    octet_length — only the size column's pages are read); the result
-    feeds ``salted_repartition``'s ``num_partitions``. Always ≥ 1."""
-    total = df.select(
-        F.sum(F.octet_length(F.col(size_col))).alias("b")
-    ).head()["b"]
-    if not total:
+    a-few-hundred-MB). EAGER: runs one columnar stats pass (sum of
+    octet_length — only the size column's pages are read) as its own
+    Spark job, re-executing the upstream lineage of ``df``; the real
+    action pays that lineage again. Callers composing lazy pipelines
+    should either persist ``df`` first or pass ``total_bytes``
+    precomputed (e.g. from source-table metadata / a prior
+    Observation), which skips the scan entirely. Always ≥ 1."""
+    if total_bytes is None:
+        total_bytes = df.select(
+            F.sum(F.octet_length(F.col(size_col))).alias("b")
+        ).head()["b"]
+    if not total_bytes:
         return 1
-    return max(1, -(-int(total) // int(target_partition_bytes)))
+    return max(1, -(-int(total_bytes) // int(target_partition_bytes)))
 
 
 def salted_repartition(
@@ -70,8 +76,16 @@ def salted_repartition(
     size_col: str | None = None,
     tier_bytes: int = DEFAULT_TIER_BYTES,
     target_partition_bytes: int | None = None,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Shuffle rows so partition ↔ page-size correlation is destroyed.
+
+    NOTE on laziness: with ``target_partition_bytes`` set (and no
+    ``total_bytes``), this call is NOT purely lazy — it runs one eager
+    stats job over ``df`` (see :func:`partitions_for_bytes`) to size
+    the partition count, and the later real action re-executes the
+    same upstream lineage. Pass ``total_bytes`` (precomputed) or a
+    plain ``num_partitions`` to keep the builder fully lazy.
 
     Keyed on xxhash64(url) rather than raw url so pathological url
     distributions (one host crawled depth-first → lexically adjacent urls
@@ -101,9 +115,10 @@ def salted_repartition(
                 "target_partition_bytes needs size_col (the column whose "
                 "bytes define partition cost)"
             )
-        # byte-aware count: one stats pass, then the one Exchange
+        # byte-aware count: one stats pass (skipped when total_bytes is
+        # precomputed), then the one Exchange
         num_partitions = partitions_for_bytes(
-            df, size_col, target_partition_bytes
+            df, size_col, target_partition_bytes, total_bytes=total_bytes
         )
     if num_partitions is None:
         return df.repartition(salt)  # let AQE/shuffle.partitions decide count

@@ -1417,6 +1417,51 @@ def test_knn_join_probe_width_guard(spark):
         knn_join(emb, emb, hamming_probes=2)
 
 
+def test_knn_join_exact_baseline_refuses_big_inputs(spark):
+    """lsh_planes=0 is a true cross join; the max_exact_rows
+    probe-and-refuse (same contract as embedding_cosine_pairs) must
+    fire on EITHER side exceeding the bound, and max_exact_rows=None
+    must opt out."""
+    import pytest
+
+    from pyocr_spark.operators.ann import knn_join
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    small = emb.limit(2)
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        knn_join(small, emb, lsh_planes=0, max_exact_rows=5)
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        knn_join(emb, small, lsh_planes=0, max_exact_rows=5)
+    # at/below the bound: runs; None: explicit opt-out also runs
+    assert knn_join(small, small, k=1, lsh_planes=0, max_exact_rows=2).count() == 2
+    assert knn_join(small, emb, k=1, lsh_planes=0, max_exact_rows=None).count() == 2
+
+
+def test_partitions_for_bytes_precomputed_total_skips_scan(spark):
+    """total_bytes= keeps the builder lazy: the count must come from the
+    precomputed figure, not a scan (verified by passing a total that
+    contradicts the actual data)."""
+    from pyocr_spark.operators.repartition import (
+        partitions_for_bytes,
+        salted_repartition,
+    )
+
+    rows = [(f"u{i}", b"x" * 1000) for i in range(100)]  # 100 KB actual
+    df = spark.createDataFrame(rows, "url string, html binary")
+    # pretend 300 KB precomputed → 10 partitions at 30 KB target
+    assert (
+        partitions_for_bytes(df, "html", 30_000, total_bytes=300_000) == 10
+    )
+    assert partitions_for_bytes(df, "html", 30_000, total_bytes=0) == 1
+    out = salted_repartition(
+        df, size_col="html", target_partition_bytes=30_000, total_bytes=300_000
+    )
+    assert out.rdd.getNumPartitions() == 10
+
+
 def test_partitions_for_bytes_and_target_sizing(spark):
     from pyocr_spark.operators.repartition import (
         partitions_for_bytes,
