@@ -1028,6 +1028,7 @@ def pmi_topk(
     min_count: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts_path: str | None = None,
 ) -> DataFrame:
     """Top-k collocations by pointwise mutual information — the classic
     Church & Hanks 1990 association score over corpus-adjacent word
@@ -1050,8 +1051,11 @@ def pmi_topk(
     only); both corpus totals ride in as ONE broadcast 1-row
     conditional-sum aggregate of the same cached table; selection is
     (pmi DESC, bigram) via orderBy+limit = ``TakeOrderedAndProject`` —
-    only k rows cross the network. Cache lifecycle: held by
-    CacheManager until unpersist()/session end (the minhash trade-off).
+    only k rows cross the network. Cache lifecycle: ``counts_path``
+    writes the (kind, gram) count table once to parquet — plain scans,
+    zero cache footprint (operators/materialize.py); unset → persist(),
+    held by CacheManager until unpersist()/session end (the minhash
+    trade-off).
 
     Determinism contract: pmi is rounded to BIGINT micro-units before
     ranking, and the (pmi_micro DESC, bigram) tie-break is a total
@@ -1077,12 +1081,14 @@ def pmi_topk(
             bigrams, lambda b: F.struct(F.lit(1).alias("kind"), b.alias("gram"))
         ),
     )
-    counts = (
+    from pyocr_spark.operators.materialize import materialize
+
+    counts = materialize(
         base.select(F.explode(combined).alias("e"))
         .select("e.kind", "e.gram")
         .groupBy("kind", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        counts_path,
     )
     totals = counts.agg(
         F.sum(F.when(F.col("kind") == 0, F.col("cnt"))).alias("n_uni"),
@@ -1196,17 +1202,25 @@ def pii_mask(docs: DataFrame) -> DataFrame:
 
 
 def unigram_logprob(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf_path: str | None = None,
 ) -> DataFrame:
     """Public face of :func:`_unigram_logprob_cached` (full contract
-    there); the internal `(doc, token)` tf cache stays referenced by the
-    returned lazy plan, so no handle is needed here."""
-    out, _tf = _unigram_logprob_cached(docs, text_col, id_col)
+    there). ``tf_path`` writes the internal `(doc, token)` tf table once
+    to parquet — every consumer a plain scan, zero cache entry
+    (operators/materialize.py); unset → persist(), which stays
+    referenced by the returned lazy plan until session end."""
+    out, _tf = _unigram_logprob_cached(docs, text_col, id_col, tf_path)
     return out
 
 
 def _unigram_logprob_cached(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """CCNet-style language-model quality proxy: per-document mean
     negative log-probability under the corpus's own unigram model.
@@ -1251,7 +1265,11 @@ def _unigram_logprob_cached(
     toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
     base = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_w"))
     pt = base.select(id_col, F.explode("_w").alias("token"))
-    tf = pt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    from pyocr_spark.operators.materialize import materialize
+
+    tf = materialize(
+        pt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")), tf_path
+    )
     total = tf.agg(F.sum("tf").alias("t_total"))
     cnt = F.sum("tf").over(Window.partitionBy("token"))
     token_micro = (
@@ -1285,7 +1303,10 @@ def _unigram_logprob_cached(
 
 
 def bigram_logprob(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf_path: str | None = None,
 ) -> DataFrame:
     """Bigram upgrade of :func:`unigram_logprob`: per-document mean
     negative log-probability of each token given its PREDECESSOR, under
@@ -1306,8 +1327,9 @@ def bigram_logprob(
     runs first, and the (prev,cur) window's clustering is satisfied by
     the same hash(prev) Exchange, so the model costs ONE shuffle of
     pair-type-sized data; V rides in as a broadcast 1-row aggregate of
-    the persisted table. Same cache trade-off as unigram_logprob: the
-    persisted pair table stays referenced by the lazy plan.
+    the persisted table. Same cache trade-off as unigram_logprob (and
+    the same ``tf_path`` write-once escape): the persisted pair table
+    stays referenced by the lazy plan.
 
     Determinism contract (identical to unigram): the per-pair-type term
     ln(cprev + V) - ln(cbig + 1) — always >= 0, so HALF_UP and
@@ -1334,10 +1356,11 @@ def bigram_logprob(
     pp = base.select(F.col(id_col), F.explode(bigrams).alias("b")).select(
         id_col, "b.prev", "b.cur"
     )
-    ptf = (
-        pp.groupBy(id_col, "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    from pyocr_spark.operators.materialize import materialize
+
+    ptf = materialize(
+        pp.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("tf")),
+        tf_path,
     )
     vdf = (
         ptf.select(F.col("prev").alias("t"))

@@ -232,14 +232,13 @@ def minhash_lsh_dedup(
     # session end. Long-lived sessions making many calls should
     # spark.catalog.clearCache() between batches (or write/join the
     # signature table, the cluster-scale form, which has no cache at all).
-    if signature_path is not None:
-        # write-once materialization: the two join sides become parquet
-        # scans of the written table (plan shows Scan parquet, never
-        # InMemoryRelation) — zero cache footprint, resume-friendly
-        sig.write.mode("overwrite").parquet(signature_path)
-        banded = df.sparkSession.read.parquet(signature_path)
-    else:
-        banded = sig.persist()
+    # write-once materialization when signature_path is set: the two
+    # join sides become parquet scans of the written table (plan shows
+    # Scan parquet, never InMemoryRelation) — zero cache footprint,
+    # resume-friendly (operators/materialize.py)
+    from pyocr_spark.operators.materialize import materialize
+
+    banded = materialize(sig, signature_path)
     banded = banded.select(
         F.col(id_col),
         F.col("sig"),
@@ -416,6 +415,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_docfreq: int = 100,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a rare shingle.
 
@@ -431,8 +431,15 @@ def ngram_jaccard_pairs(
     self-consistent rather than mixing a filtered intersection with
     unfiltered sizes — stop-shingles carry no discriminative signal
     either way, they just inflate every set equally.
+
+    ``index_path`` writes the filtered inverted index once to parquet
+    and self-joins the written table — zero cache footprint (the
+    ``signature_path`` pattern; see operators/materialize.py). Unset →
+    in-memory persist, held by CacheManager until session end.
     """
-    inter = _shingle_pair_counts(df, text_col, id_col, n, max_docfreq)
+    inter = _shingle_pair_counts(
+        df, text_col, id_col, n, max_docfreq, index_path=index_path
+    )
     jac = F.col("inter") / (F.col("lnsh") + F.col("rnsh") - F.col("inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
@@ -442,7 +449,12 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_pair_counts(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_docfreq: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_docfreq: int,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Shared inverted-index skeleton for the exact set-overlap family:
     (left_id, right_id, inter, lnsh, rnsh) for every pair sharing a
@@ -458,12 +470,13 @@ def _shingle_pair_counts(
     )
     # Materialize the filtered inverted index before the self-join: both
     # sides would otherwise recompute the full shingle explosion + docfreq
-    # aggregation (measured 97s vs 8s at 40k docs). At cluster scale this
-    # is writing the inverted-index table once and self-joining it.
-    # Cache lifecycle: held by CacheManager until unpersist()/session end
-    # (the returned plan references it lazily, so it cannot be released
-    # here) — see the note in minhash_lsh_dedup.
-    inv = inv.join(rare.select("g"), "g").persist()
+    # aggregation (measured 97s vs 8s at 40k docs). index_path= is the
+    # write-once cluster-scale / long-lived-session form (zero cache
+    # footprint); unset → persist() with the lifecycle trade-off in
+    # operators/materialize.py.
+    from pyocr_spark.operators.materialize import materialize
+
+    inv = materialize(inv.join(rare.select("g"), "g"), index_path)
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     l, r = inv.alias("l"), inv.alias("r")
     return (
@@ -485,6 +498,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_docfreq: int = 100,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Shingle containment |A∩B| / min(|A|, |B|): the doc-contains-doc
     detector Jaccard structurally misses — a page quoted whole inside a
@@ -493,11 +507,14 @@ def containment_pairs(
     scraped aggregators, boilerplate-wrapped reposts).
 
     Same inverted-index plan (and the same ``max_docfreq``
-    shuffle-volume knob) as ngram_jaccard_pairs; only the score differs.
+    shuffle-volume knob and ``index_path`` write-once materialization
+    form) as ngram_jaccard_pairs; only the score differs.
     Returns (left_id, right_id, containment) for pairs at or above the
     threshold.
     """
-    inter = _shingle_pair_counts(df, text_col, id_col, n, max_docfreq)
+    inter = _shingle_pair_counts(
+        df, text_col, id_col, n, max_docfreq, index_path=index_path
+    )
     cont = F.col("inter") / F.least(F.col("lnsh"), F.col("rnsh"))
     return (
         inter.withColumn("containment", F.round(cont, 4))

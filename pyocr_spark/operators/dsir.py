@@ -99,6 +99,7 @@ def dsir_logweights(
     id_col: str = "doc_id",
     buckets: int = DEFAULT_BUCKETS,
     portable: bool = False,
+    features_path: str | None = None,
 ) -> DataFrame:
     """Per-raw-document log importance weight in micro-units:
     ``(id, n_feats, logw_micro)``.
@@ -118,11 +119,19 @@ def dsir_logweights(
     table), and the raw total rides in as a broadcast 1-row rollup of
     the same cached table. The TARGET side is small by definition: its
     ``buckets``-bounded count table and 1-row total both broadcast.
-    Cache lifecycle: held by CacheManager until unpersist()/session end
-    (the minhash_lsh_dedup trade-off)."""
+    Cache lifecycle: ``features_path`` writes the (doc, feat) count
+    table once to parquet — every consumer a plain scan, zero cache
+    footprint (the ``signature_path`` pattern; operators/materialize.py).
+    Unset → persist(), held by CacheManager until unpersist()/session
+    end (the minhash_lsh_dedup trade-off)."""
     from pyspark.sql import Window
 
-    rawf = hashed_ngram_features(raw, text_col, id_col, buckets, portable).persist()
+    from pyocr_spark.operators.materialize import materialize
+
+    rawf = materialize(
+        hashed_ngram_features(raw, text_col, id_col, buckets, portable),
+        features_path,
+    )
     tb = (
         hashed_ngram_features(target, text_col, id_col, buckets, portable)
         .groupBy("feat")

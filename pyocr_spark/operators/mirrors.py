@@ -87,12 +87,9 @@ def host_mirror_pairs(
     # materialize the pruned index so the self-join's two branches don't
     # re-derive it (the pruned index is ~|corpus| × 50 bytes, far
     # smaller than the input it replaces)
-    inv = sig.join(shared_digests, "digest")
-    if index_path is not None:
-        inv.write.mode("overwrite").parquet(index_path)
-        inv = docs.sparkSession.read.parquet(index_path)
-    else:
-        inv = inv.persist()
+    from pyocr_spark.operators.materialize import materialize
+
+    inv = materialize(sig.join(shared_digests, "digest"), index_path)
     pairs = (
         inv.alias("l")
         .join(inv.alias("r"), "digest")

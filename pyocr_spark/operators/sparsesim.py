@@ -43,11 +43,13 @@ def cosine_tf_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_docfreq: int = 100,
+    index_path: str | None = None,
 ) -> DataFrame:
     """(docs…) → (left_id, right_id, cos_micro) for every pair with
     cosine ≥ threshold_micro/1e6 over the df-capped TF vocabulary;
     left_id < right_id. NULL/empty text has no terms and pairs with
-    nothing."""
+    nothing. ``index_path`` writes the capped TF index once to parquet
+    (the ``signature_path`` pattern; see operators/materialize.py)."""
     if not 0 < threshold_micro <= 1_000_000:
         raise ValueError(
             f"threshold_micro must be in (0, 1e6], got {threshold_micro}"
@@ -69,11 +71,13 @@ def cosine_tf_pairs(
     )
     # Materialize the capped index before norms + self-join (the
     # ngram_jaccard pattern: both sides would re-tokenize the corpus).
-    # Cache lifecycle: held by CacheManager until unpersist()/session
-    # end — the returned plan references it lazily, so it cannot be
-    # released here; at cluster scale this is the inverted-index TABLE,
-    # written once and self-joined.
-    inv = tf.join(rare, "t").persist()
+    # index_path= is the write-once cluster-scale form (the table,
+    # written once and self-joined as plain scans — zero cache
+    # footprint); unset → persist() with the lifecycle trade-off in
+    # operators/materialize.py.
+    from pyocr_spark.operators.materialize import materialize
+
+    inv = materialize(tf.join(rare, "t"), index_path)
     norms = inv.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
     l, r = inv.alias("l"), inv.alias("r")
     dots = (

@@ -1,0 +1,94 @@
+"""The write-once materialization sweep (round-4 cache-lifecycle item):
+every operator that used to hold an irreleasable persist() now accepts a
+``*_path=`` form — written parquet, plain scans, NO InMemoryRelation —
+and the path form must be value-identical to the persist form.
+
+(minhash_lsh_dedup signature_path and host_mirror_pairs index_path have
+their own tests in test_operators.py / test_mirrors.py; this file covers
+the round-4 additions.)
+"""
+
+import pandas as pd
+import pytest
+
+
+def _plan_has_no_cache(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert "Scan parquet" in plan
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a completely different document about spark shuffle behavior"),
+        (3, "the quick brown fox jumps over one lazy dog again and again"),
+        (4, "spark shuffle behavior differs across completely different runs"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sorted(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("fn_name", ["ngram_jaccard_pairs", "containment_pairs"])
+def test_shingle_family_index_path(spark, tmp_path, fn_name):
+    import pyocr_spark.operators.dedup as d
+
+    fn = getattr(d, fn_name)
+    docs = _docs(spark)
+    want = _sorted(fn(docs, threshold=0.1))
+    out = fn(docs, threshold=0.1, index_path=str(tmp_path / "inv"))
+    assert _sorted(out).equals(want)
+    _plan_has_no_cache(out)
+
+
+def test_cosine_tf_pairs_index_path(spark, tmp_path):
+    from pyocr_spark.operators.sparsesim import cosine_tf_pairs
+
+    docs = _docs(spark)
+    want = _sorted(cosine_tf_pairs(docs, threshold_micro=100_000))
+    out = cosine_tf_pairs(
+        docs, threshold_micro=100_000, index_path=str(tmp_path / "tfidx")
+    )
+    assert _sorted(out).equals(want)
+    _plan_has_no_cache(out)
+
+
+def test_dsir_logweights_features_path(spark, tmp_path):
+    from pyocr_spark.operators.dsir import dsir_logweights
+
+    docs = _docs(spark)
+    target = docs.filter("doc_id < 2")
+    want = _sorted(dsir_logweights(docs, target))
+    out = dsir_logweights(
+        docs, target, features_path=str(tmp_path / "feats")
+    )
+    assert _sorted(out).equals(want)
+    _plan_has_no_cache(out)
+
+
+def test_pmi_topk_counts_path(spark, tmp_path):
+    from pyocr_spark.functions.text_stats import pmi_topk
+
+    docs = _docs(spark)
+    want = _sorted(pmi_topk(docs, k=5, min_count=2))
+    out = pmi_topk(docs, k=5, min_count=2, counts_path=str(tmp_path / "cnt"))
+    assert _sorted(out).equals(want)
+    _plan_has_no_cache(out)
+
+
+@pytest.mark.parametrize("fn_name", ["unigram_logprob", "bigram_logprob"])
+def test_logprob_tf_path(spark, tmp_path, fn_name):
+    import pyocr_spark.functions.text_stats as ts
+
+    fn = getattr(ts, fn_name)
+    docs = _docs(spark)
+    want = _sorted(fn(docs))
+    out = fn(docs, tf_path=str(tmp_path / "tf"))
+    assert _sorted(out).equals(want)
+    _plan_has_no_cache(out)
