@@ -1,0 +1,243 @@
+"""Structured random-markup property suite (round-4 verdict item 8):
+a deterministic recursive generator of realistic nested HTML / hOCR /
+ALTO documents — with deliberate corruption (unclosed tags, truncation,
+invalid UTF-8 splices, entity soup) — asserting the columnar
+``extract_batch`` twin stays byte-equivalent to the ``extract_page``
+oracle on EVERY generated page. This is the cheap strong protection for
+the per-url byte-identical contract as the corpus keeps hardening: the
+fragment-soup fuzz (test_fuzz_extract.py) explores token-level chaos;
+this suite explores TREE-level chaos the segmenter actually walks.
+
+Deterministic: hypothesis derandomized via the project profile
+(conftest), ≥200 seeded cases on the core equivalence property.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+settings.register_profile("tree", derandomize=True, deadline=None)
+settings.load_profile("tree")
+
+from pyocr_spark.core.columnar import extract_batch  # noqa: E402
+from pyocr_spark.core.oracle import ALL_MODES, extract_page  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# recursive HTML tree generator
+# ---------------------------------------------------------------------------
+
+_WORDS = st.sampled_from(
+    ["alpha", "beta", "42", "wörd", "x&y", "a<b", "", "tail text",
+     "&amp;", "&bogus;", "&#x41;", "line\nbreak", "  spaced  "]
+)
+
+_BLOCK_TAGS = ["div", "p", "section", "article", "blockquote", "ul", "li",
+               "table", "tr", "td", "h1", "h3", "main"]
+_INLINE_TAGS = ["span", "b", "em", "a", "code", "sup"]
+_BOILER_TAGS = ["nav", "header", "footer", "aside", "script", "style"]
+_VOID_TAGS = ["br", "hr", "img", "meta", "input"]
+
+_ATTR = st.sampled_from(
+    ["", " class='x'", " id=\"q\"", " title='bbox 1 2 3 4'",
+     " class='ocr_line'", " data-x='1'", " href='/p?page=2'",
+     " style='display:none'", " lang='fr'", " title='unterminated"]
+)
+
+
+@st.composite
+def _html_tree(draw, depth=0):
+    """One node: text, a nested element (possibly unclosed), a void tag,
+    a comment, or boilerplate. Recursion bounded at depth 5."""
+    kind = draw(
+        st.sampled_from(
+            ["text", "elem", "elem", "unclosed", "void", "comment", "boiler"]
+            if depth < 5
+            else ["text", "void", "comment"]
+        )
+    )
+    if kind == "text":
+        return draw(_WORDS)
+    if kind == "void":
+        return f"<{draw(st.sampled_from(_VOID_TAGS))}{draw(_ATTR)}>"
+    if kind == "comment":
+        return draw(st.sampled_from(["<!-- c -->", "<!--", "-->", "<!doctype html>"]))
+    tag = draw(
+        st.sampled_from(
+            _BOILER_TAGS if kind == "boiler" else _BLOCK_TAGS + _INLINE_TAGS
+        )
+    )
+    kids = draw(st.lists(_html_tree(depth=depth + 1), min_size=0, max_size=3))
+    inner = " ".join(kids)
+    if kind == "unclosed":
+        return f"<{tag}{draw(_ATTR)}> {inner}"
+    return f"<{tag}{draw(_ATTR)}> {inner} </{tag}>"
+
+
+@st.composite
+def html_page(draw):
+    body = " ".join(draw(st.lists(_html_tree(), min_size=1, max_size=8)))
+    shell = draw(
+        st.sampled_from(
+            [
+                "<html><head><title>t</title></head><body>{}</body></html>",
+                "<body>{}</body>",
+                "{}",  # no shell at all
+                "<html><body>{}",  # unclosed document
+            ]
+        )
+    )
+    raw = shell.format(body).encode("utf-8")
+    # deliberate corruption: truncate mid-byte-stream and/or splice
+    # invalid utf-8 at a deterministic offset
+    cut = draw(st.integers(min_value=0, max_value=3))
+    if cut == 1 and len(raw) > 10:
+        raw = raw[: len(raw) * 2 // 3]
+    elif cut == 2 and len(raw) > 10:
+        off = len(raw) // 2
+        raw = raw[:off] + b"\xe9\xff" + raw[off:]
+    elif cut == 3:
+        raw = b"\xef\xbb\xbf" + raw  # BOM prefix
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# structured hOCR generator (tesseract dialect: ocr_page/ocr_line/ocrx_word)
+# ---------------------------------------------------------------------------
+
+_COORD = st.integers(min_value=-5, max_value=4000)
+
+
+@st.composite
+def hocr_page(draw):
+    n_lines = draw(st.integers(min_value=0, max_value=4))
+    lines = []
+    for li in range(n_lines):
+        n_words = draw(st.integers(min_value=0, max_value=4))
+        words = []
+        for wi in range(n_words):
+            x1, y1, x2, y2 = (draw(_COORD) for _ in range(4))
+            conf = draw(st.sampled_from(["90", "-3", "200", "1.5", "nan", ""]))
+            title = draw(
+                st.sampled_from(
+                    [
+                        f"bbox {x1} {y1} {x2} {y2}; x_wconf {conf}",
+                        f"bbox {x1} {y1} {x2} {y2}",
+                        f"bbox {x1} {y1} {x2}",  # short bbox
+                        "x_wconf 77",  # bbox missing entirely
+                        "",
+                    ]
+                )
+            )
+            word = draw(_WORDS)
+            words.append(
+                f"<span class='ocrx_word' title='{title}'>{word}</span>"
+            )
+        lines.append(
+            "<span class='ocr_line' title='bbox 0 {} 100 {}'>{}</span>".format(
+                li * 10, li * 10 + 9, " ".join(words)
+            )
+        )
+    page = "<div class='ocr_page' title='bbox 0 0 4000 4000'>{}</div>".format(
+        " ".join(lines)
+    )
+    raw = f"<html><body>{page}</body></html>".encode("utf-8")
+    if draw(st.booleans()) and len(raw) > 20:
+        raw = raw[: len(raw) - draw(st.integers(min_value=1, max_value=15))]
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# structured ALTO generator
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def alto_page(draw):
+    n_lines = draw(st.integers(min_value=0, max_value=3))
+    lines = []
+    for li in range(n_lines):
+        n_strings = draw(st.integers(min_value=0, max_value=3))
+        strings = []
+        for si in range(n_strings):
+            content = draw(st.sampled_from(["Alpha", "x&amp;y", "", "42", "wörd"]))
+            wc = draw(st.sampled_from(["0.9", "1.5", "-1", "", "nan"]))
+            attrs = draw(
+                st.sampled_from(
+                    [
+                        f'CONTENT="{content}" HPOS="{si*50}" VPOS="{li*20}" WIDTH="40" HEIGHT="15" WC="{wc}"',
+                        f'CONTENT="{content}" HPOS="{si*50}" VPOS="{li*20}"',
+                        f'CONTENT="{content}"',
+                        'HPOS="1" VPOS="2" WIDTH="3" HEIGHT="4"',  # no CONTENT
+                    ]
+                )
+            )
+            strings.append(f"<String {attrs}/>")
+        lines.append(
+            '<TextLine HPOS="0" VPOS="{}" WIDTH="500" HEIGHT="18">{}</TextLine>'.format(
+                li * 20, "".join(strings)
+            )
+        )
+    shell = draw(
+        st.sampled_from(
+            [
+                '<?xml version="1.0" encoding="UTF-8"?><alto xmlns="http://www.loc.gov/standards/alto/ns-v3#"><Layout><Page><PrintSpace><TextBlock>{}</TextBlock></PrintSpace></Page></Layout></alto>',
+                "<alto><Layout><Page>{}</Page></Layout></alto>",
+                "<alto><Layout><Page>{}",  # unclosed
+            ]
+        )
+    )
+    return shell.format("".join(lines)).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# the properties
+# ---------------------------------------------------------------------------
+
+
+def _assert_batch_equals_oracle(pages, psm=3):
+    langs = ["en"] * len(pages)
+    cols, metrics = extract_batch(pages, langs, modes=ALL_MODES, psm=psm)
+    ref = [extract_page(p, "en", psm=psm, modes=ALL_MODES) for p in pages]
+    assert metrics["docs"] == len(pages)
+    for name in (
+        "status", "error", "extracted_text", "word_boxes", "line_boxes",
+        "hocr", "box_fmt", "n_words",
+    ):
+        assert cols[name].to_pylist() == [r[name] for r in ref], name
+
+
+@settings(max_examples=200, deadline=None)
+@given(page=html_page(), psm=st.sampled_from([0, 3, 6, 7]))
+def test_html_tree_batch_equals_oracle(page, psm):
+    _assert_batch_equals_oracle([page], psm=psm)
+
+
+@settings(max_examples=100, deadline=None)
+@given(page=hocr_page())
+def test_hocr_tree_batch_equals_oracle(page):
+    _assert_batch_equals_oracle([page])
+
+
+@settings(max_examples=100, deadline=None)
+@given(page=alto_page())
+def test_alto_tree_batch_equals_oracle(page):
+    _assert_batch_equals_oracle([page])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pages=st.lists(
+        st.one_of(html_page(), hocr_page(), alto_page()), min_size=2, max_size=6
+    )
+)
+def test_mixed_dialect_batch_equals_oracle(pages):
+    """One Arrow batch mixing all three dialects — the shape a real
+    partition has (datagen interleaves dialect classes by doc_id)."""
+    _assert_batch_equals_oracle(pages)
+
+
+@settings(max_examples=200, deadline=None)
+@given(page=st.one_of(html_page(), hocr_page(), alto_page()))
+def test_tree_pages_never_raise_and_are_deterministic(page):
+    a = extract_page(page, "en", modes=ALL_MODES)
+    b = extract_page(page, "en", modes=ALL_MODES)
+    assert a == b
+    assert a["status"] in ("ok", "error")
