@@ -1,22 +1,37 @@
 """Local replica of the driver's correctness gate: run every queries()
-entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
-row-count + schema-width + order-insensitive values.
+entry on Spark and its oracle_sql() on DuckDB, compare row-count +
+schema-width + order-insensitive values.
 
-Usage: python scripts/check_oracle.py [query ...]
+Usage: python scripts/check_oracle.py [--sf-dir DIR] [--json-out F]
+                                      [--skip q ...] [query ...]
+
+Default scale is sf0.01 (the driver's gate scale); --sf-dir runs the
+same board at another scale (the round-4 sf0.1 full-board item).
+--json-out writes the CORRECTNESS_full_r{N}.json-shaped artifact.
 """
 
 from __future__ import annotations
 
+import argparse
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+_ap.add_argument("--json-out", default=None)
+_ap.add_argument("--skip", nargs="*", default=[],
+                 help="query names to skip (documented sf-scale skip list)")
+_ap.add_argument("names", nargs="*")
+ARGS = _ap.parse_args()
 
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = ARGS.sf_dir
 
 
 def _canon(v):
@@ -84,7 +99,7 @@ def main() -> int:
     # a typo otherwise surfaces minutes later as a misleading
     # "spark error KeyError"
     known = set(entrymod.queries())
-    unknown = [n for n in sys.argv[1:] if n not in known]
+    unknown = [n for n in ARGS.names + ARGS.skip if n not in known]
     if unknown:
         print(f"unknown queries: {unknown}; valid: {sorted(known)}")
         return 2
@@ -102,38 +117,45 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    names = ARGS.names or [n for n in qs if n not in set(ARGS.skip)]
     failures = 0
     rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         try:
             got = qs[name](spark, SF_DIR).toPandas()
         except Exception as exc:
             print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail", "err": f"spark {type(exc).__name__}"}
             failures += 1
             continue
         if name not in oracles:
             rows_only += 1
             print(f"rows-only {name}: {len(got)} rows, cols={list(got.columns)}")
+            results[name] = {"status": "rows-only", "rows": len(got)}
             continue
         try:
             want = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error {exc}")
+            results[name] = {"status": "fail", "err": "duckdb"}
             failures += 1
             continue
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            results[name] = {"status": "fail", "err": "columns"}
             failures += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            results[name] = {"status": "fail", "err": f"rows {len(got)} != {len(want)}"}
             failures += 1
             continue
         g, w = normalize_pair(got, want)
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"OK   {name}: {len(got)} rows")
+            print(f"OK   {name}: {len(got)} rows", flush=True)
+            results[name] = {"status": "exact-oracle-pass", "rows": len(got)}
         except AssertionError as exc:
             print(f"FAIL {name}: value mismatch\n{str(exc)[:500]}")
             diff = (g != w) & ~(g.isna() & w.isna())
@@ -142,12 +164,29 @@ def main() -> int:
                 idx = list(bad_rows[bad_rows].index[:3])
                 print("  got:", g.loc[idx].to_dict("records"))
                 print("  want:", w.loc[idx].to_dict("records"))
+            results[name] = {"status": "fail", "err": "value mismatch"}
             failures += 1
     spark.stop()
     print(
         f"\n{len(names) - failures}/{len(names)} passed "
         f"({len(names) - failures - rows_only} exact-oracle, {rows_only} rows-only)"
     )
+    if ARGS.json_out:
+        import json
+
+        sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+        art = {
+            "sf": float(sf) if sf else None,
+            "total_queries": len(names),
+            "exact_oracle_pass": len(names) - failures - rows_only,
+            "rows_only": rows_only,
+            "fail": failures,
+            "skipped": sorted(ARGS.skip),
+            "queries": results,
+        }
+        with open(ARGS.json_out, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"written: {ARGS.json_out}")
     return 1 if failures else 0
 
 

@@ -1,0 +1,151 @@
+"""The per-round measurement protocol as ONE command (round-4 verdict
+item 9): interleaved full-suite bench rounds with the no-framework
+multiprocessing ceiling measured between rounds as the HOST control.
+
+Why this shape (BENCH/BASELINE.md protocol, prose → code):
+
+- The box has documented multi-minute co-tenant throttle phases (2.4–10×
+  swings measured on the no-framework baseline). A single bench run that
+  lands in a slow phase produces walls that read as code regressions.
+- INTERLEAVING whole suite rounds means every query samples several
+  phases; the per-query BEST across rounds is the capability number.
+- The mp_ceiling control (raw multiprocessing, no Spark) measured
+  before/between/after rounds gives the host's own trajectory: if a
+  query's wall is bad in the same round the ceiling dipped, the host is
+  the cause, not the code.
+
+Usage:
+    python scripts/remeasure.py [--rounds 3] [--out BENCH_remeasure.json]
+
+Output: one JSON file with
+- per-query walls per round + the best-of (same schema as bench.py's
+  "queries" dict, suitable for BENCH_r{N}.json),
+- the ceiling trajectory (docs/sec at 32 workers per checkpoint),
+- verdicts: for each query, wall_best and the round it came from.
+
+The box must be otherwise idle (round-workflow memory: never run
+CPU-heavy work alongside interleaved measurements).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_bench_once(env: dict) -> dict:
+    """One full bench.py round in a fresh process; returns the parsed
+    JSON line (fresh JVM per round, per the BASELINE.md protocol)."""
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env={**os.environ, **env},
+        cwd=REPO,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"bench.py failed rc={p.returncode}:\n{p.stderr[-2000:]}")
+    for line in reversed(p.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            return json.loads(line)
+    raise RuntimeError(f"no JSON line in bench.py output:\n{p.stdout[-2000:]}")
+
+
+def ceiling_checkpoint(pages_path: str, workers: int = 32) -> float:
+    """Host-control measurement in a fresh process (the pool must not
+    inherit this process's state)."""
+    code = (
+        "import sys; sys.path.insert(0, {repo!r});"
+        "from scripts.scaling_bench import mp_ceiling;"
+        "print(mp_ceiling({p!r}, {w}))"
+    ).format(repo=REPO, p=pages_path, w=workers)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"mp_ceiling failed:\n{out.stderr[-1000:]}")
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "remeasure.json"))
+    ap.add_argument("--skip-ceiling", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # locate the bench pages table for the ceiling control (same table
+    # bench.py uses; ensure_pages is idempotent)
+    from pyocr_spark.datagen import ensure_pages
+
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    pages_path = str(
+        ensure_pages(sf_dir, replicate=replicate, expected=False) / "pages.parquet"
+    )
+
+    ceilings: list[dict] = []
+    rounds: list[dict] = []
+
+    def ceiling(tag: str):
+        if args.skip_ceiling:
+            return
+        t0 = time.monotonic()
+        dps = ceiling_checkpoint(pages_path)
+        ceilings.append(
+            {"tag": tag, "docs_per_sec": dps, "wall": round(time.monotonic() - t0, 1)}
+        )
+        print(f"[ceiling {tag}] {dps} docs/sec", flush=True)
+
+    ceiling("pre")
+    for r in range(args.rounds):
+        t0 = time.monotonic()
+        parsed = run_bench_once({})
+        wall = round(time.monotonic() - t0, 1)
+        rounds.append(parsed)
+        print(
+            f"[round {r + 1}/{args.rounds}] suite={parsed['value']}s "
+            f"(process {wall}s)",
+            flush=True,
+        )
+        ceiling(f"after_r{r + 1}")
+
+    # combine: per-query best across rounds; rate extras take the max
+    queries: dict[str, float] = {}
+    best_round: dict[str, int] = {}
+    for i, rnd in enumerate(rounds):
+        for q, w in rnd["queries"].items():
+            if q not in queries or w < queries[q]:
+                queries[q] = w
+                best_round[q] = i + 1
+    combined = dict(rounds[-1])  # counts/sf/cpus from any round (identical)
+    combined["queries"] = queries
+    combined["value"] = round(sum(queries.values()), 3)
+    for k in ("docs_per_sec_text", "docs_per_sec_full", "docs_per_sec_pipeline"):
+        if k in combined:
+            combined[k] = max(r.get(k, 0.0) for r in rounds)
+    combined["remeasure"] = {
+        "rounds": args.rounds,
+        "protocol": "interleaved full-suite best-of with mp_ceiling host control",
+        "ceilings": ceilings,
+        "per_round_suite_wall": [r["value"] for r in rounds],
+        "best_round": best_round,
+    }
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(combined, f, indent=1)
+    print(json.dumps({k: v for k, v in combined.items() if k != "remeasure"}))
+    print(f"written: {args.out}")
+
+
+if __name__ == "__main__":
+    main()
