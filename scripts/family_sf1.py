@@ -1,0 +1,119 @@
+"""~sf1 family bench for the heavy hygiene path (round-4 verdict item
+5): `lines_dedup` and `corpus_build_full` — the two bench queries with
+no 10×-scale data point in FAMILY_SF1_r3.md — at 404,000 pages
+(sf0.1 ×80), same protocol as that artifact (local[32], best-of-2,
+noop sink, shuffle_partitions=64, maxPartitionBytes=16m).
+
+Usage: python scripts/family_sf1.py [--replicate 80] [--reps 2]
+Appends a round-4 section to BENCH/FAMILY_SF1_r4.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=80)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out-md", default=os.path.join(REPO, "BENCH", "FAMILY_SF1_r4.md"))
+    args = ap.parse_args()
+
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.functions.extract import TEXT_ONLY
+    from pyocr_spark.operators.linededup import line_dedup
+    from pyocr_spark.plans.corpus import build_training_corpus
+    from pyocr_spark.plans.pipeline import extract_df
+    from pyocr_spark.sources.pages import read_pages
+    from pyocr_spark.sources.session import build_session
+
+    pages_dir = ensure_pages(
+        "/root/testdata/sf0.1", replicate=args.replicate, expected=False
+    )
+    pages_path = str(pages_dir / "pages.parquet")
+
+    spark = build_session(
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.files.maxPartitionBytes": "16m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    pages = read_pages(spark, pages_path)
+    n = pages.count()
+    # warm workers over the full table (bench.py discipline)
+    noop(extract_df(pages, modes=TEXT_ONLY, dedup=False))
+
+    def _lines_dedup():
+        ext = extract_df(
+            read_pages(spark, pages_path), modes=TEXT_ONLY, dedup=False
+        ).select("url", "extracted_text")
+        noop(line_dedup(ext, text_col="extracted_text", id_col="url", max_docfreq=1))
+
+    def _corpus_build_full():
+        noop(
+            build_training_corpus(
+                read_pages(spark, pages_path),
+                min_tokens=20,
+                sample_fraction=0.5,
+                line_dedup_docfreq=1,
+                max_dup_token_frac=0.5,
+            )
+        )
+
+    walls = {}
+    for name, fn in (("lines_dedup", _lines_dedup), ("corpus_build_full", _corpus_build_full)):
+        best = None
+        for _ in range(args.reps):
+            t0 = time.monotonic()
+            fn()
+            w = time.monotonic() - t0
+            best = w if best is None else min(best, w)
+        walls[name] = round(best, 2)
+        print(f"{name}: {walls[name]} s over {n} pages", flush=True)
+
+    spark.stop()
+
+    md = f"""# Heavy hygiene path at ~sf1 — round 4 ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})
+
+The two bench queries with no prior 10×-scale data point
+(FAMILY_SF1_r3.md covered soft404/mirrors/pagination/paralang):
+**{n:,} pages** (sf0.1 ×{args.replicate}), local[32], best-of-{args.reps},
+noop sink, shuffle_partitions=64, maxPartitionBytes=16m — the
+FAMILY_SF1_r3 protocol exactly.
+
+| query | ~sf1 wall (this run) | pages |
+|---|---|---|
+| lines_dedup | {walls['lines_dedup']} s | {n:,} |
+| corpus_build_full | {walls['corpus_build_full']} s | {n:,} |
+
+Compare against the same-session sf0.1 wall (40,400 pages) in
+BENCH/remeasure_r4.json / BENCH_r04.json for the 10×-data ratio; the
+linearity bound claimed in the operator docstrings is ≤10× (partial
+aggregation + broadcast anti-join for lines_dedup; the 6-Exchange
+corpus plan). Walls measured in the same host phase as that remeasure
+run are directly comparable; cross-session absolute walls are not
+(BENCH/BASELINE.md protocol).
+"""
+    os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
+    with open(args.out_md, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
