@@ -51,6 +51,10 @@ def _spark_submit(pages: str, out: str, robots: str) -> list[str]:
     return [
         submit,
         "--master", "local[32]",
+        # local mode: driver == executor; spark-submit's 1g default heap
+        # dies (rc=52, JVM OOM) at 32 threads on the 404k-page table —
+        # match sources/session.py's sizing
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.ui.enabled=false",
@@ -102,7 +106,12 @@ def main() -> None:
         "/root/testdata/sf0.1", replicate=args.replicate, expected=False
     )
     pages = str(pages_dir / "pages.parquet")
-    robots = str(pages_dir / "robots.parquet")
+    # the replicated bench dir carries only pages.parquet; the robots
+    # table lives with the base (expected) artifacts — hosts without a
+    # robots row default to allow (RFC 9309), so partial coverage still
+    # exercises the gate
+    base_dir = ensure_pages("/root/testdata/sf0.1")
+    robots = str(base_dir / "robots.parquet")
     n_pages = None
 
     shutil.rmtree(args.workdir, ignore_errors=True)
