@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF001 = "/root/testdata/sf0.001"
-EXPECTED_001 = "/root/repo/.data/pages/sf0.01"  # driver compares at sf0.01
+# the expected-table dir the oracle SQL reads. The driver compares at
+# sf0.01; scripts/check_oracle.py repoints this module global per
+# --sf-dir (every oracle builder reads it at call time) to board other
+# scales against the matching expected tables.
+EXPECTED_001 = "/root/repo/.data/pages/sf0.01"
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,7 +104,12 @@ def main() -> int:
         print(f"unknown queries: {unknown}; valid: {sorted(known)}")
         return 2
 
-    ensure_pages(SF_DIR)
+    pages_dir = ensure_pages(SF_DIR)
+    # oracle_sql() bakes the expected-table directory into its SQL via
+    # the module-level EXPECTED_001 (read at call time); repoint it at
+    # the scale under test so --sf-dir boards replay against the
+    # matching expected tables, not the sf0.01 ones
+    entrymod.EXPECTED_001 = str(pages_dir)
     spark = build_session(
         master="local[8]", shuffle_partitions=8,
         extra_conf={"spark.ui.enabled": "false", "spark.speculation": "false"},
