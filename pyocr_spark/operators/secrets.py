@@ -1,0 +1,113 @@
+"""Credential/secret scanning and masking — the training-data hygiene
+gate PII masking (functions/text_stats pii_*) does not cover: live
+credentials leaking into a web corpus (AWS access keys, GitHub/Slack
+tokens, JWTs, PEM private-key blocks, bare 40-hex API tokens) must be
+found and neutralized BEFORE a model memorizes them.
+
+Reference scope: pyocr has no such surface (it wraps an OCR binary);
+this is part of the §2.8 LLM-pipeline surface the brief adds. Detector
+set follows the public secret-scanning conventions (AWS `AKIA…` key ids,
+GitHub `ghp_`-family tokens, Slack `xox?-` tokens, three-part base64url
+JWTs, PEM BEGIN headers, 40-hex SHA1-shaped tokens).
+
+Scale shape: every detector is ONE JVM regexp over the text column —
+narrow, zero-shuffle, whole-stage-codegen; no Python touches the corpus.
+Patterns are RE2-safe (no lookaround, no backreferences) so the DuckDB
+oracle replays them byte-for-byte, and masking applies detectors in a
+FIXED order so overlapping matches resolve deterministically (JWT before
+hex40, PEM header as a literal line) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ordered (kind, pattern, replacement): masking applies top to bottom,
+#: so earlier kinds win overlapping spans. RE2-portable syntax only.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b", "<GITHUB_TOKEN>"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b", "<SLACK_TOKEN>"),
+    (
+        "jwt",
+        r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}\b",
+        "<JWT>",
+    ),
+    (
+        "pem_block",
+        r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+        "<PEM_PRIVATE_KEY>",
+    ),
+    ("hex40", r"\b[0-9a-f]{40}\b", "<HEX_TOKEN>"),
+]
+
+
+def secret_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document detector counts: (id, n_<kind>… , n_secrets).
+
+    Counts are raw per-detector match counts over the ORIGINAL text
+    (kinds can overlap — a JWT's middle segment can also contain a
+    40-hex run; the masking order in :func:`mask_secrets` is what
+    resolves overlaps, not the scan). NULL text → zero counts, row kept
+    (gate semantics decided downstream). One narrow projection, no
+    shuffle; every count is `size(regexp_extract_all(...))` in
+    whole-stage codegen.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col)]
+    total = F.lit(0)
+    for kind, pat, _repl in SECRET_PATTERNS:
+        n = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        cols.append(n.alias(f"n_{kind}"))
+        total = total + n
+    cols.append(total.alias("n_secrets"))
+    return docs.select(*cols)
+
+
+def mask_secrets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_masked, n_masked): every detector match replaced by its
+    typed placeholder, detectors applied in SECRET_PATTERNS order (fixed
+    — overlapping spans resolve identically on every engine; a masked
+    span cannot re-match a later detector because placeholders contain
+    no detector alphabet runs of sufficient length).
+
+    n_masked counts the placeholders actually present AFTER masking (=
+    matches the replacement consumed), which under overlap can be less
+    than the raw scan total — the honest number for "how many secrets
+    did we neutralize". NULL text stays NULL with n_masked 0.
+    """
+    masked = F.col(text_col)
+    for _kind, pat, repl in SECRET_PATTERNS:
+        masked = F.regexp_replace(masked, pat, repl)
+    # placeholders are regex-literal ([A-Z_<>] only) — safe to union
+    placeholder = "|".join(repl for _k, _p, repl in SECRET_PATTERNS)
+    n = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.regexp_extract_all(masked, F.lit(placeholder), F.lit(0))))
+    return docs.select(
+        F.col(id_col),
+        masked.alias("text_masked"),
+        n.cast("int").alias("n_masked"),
+    )
+
+
+def secret_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_secrets: int = 0,
+) -> DataFrame:
+    """Rows whose detector total is ≤ ``max_secrets`` (default: drop any
+    document containing a detected credential — the conservative corpus
+    default; masking is the recall-preserving alternative)."""
+    scan = secret_scan(docs, text_col, id_col).select(id_col, "n_secrets")
+    return (
+        docs.join(scan, id_col)
+        .filter(F.col("n_secrets") <= max_secrets)
+        .drop("n_secrets")
+    )
