@@ -2106,8 +2106,10 @@ def _q_minhash_pairs(spark, sf_dir):
 def _q_corpus_attrition(spark, sf_dir):
     """The corpus funnel measured (plans/corpus.corpus_attrition): rows
     surviving each hygiene stage with EVERY stage on — soft-404,
-    truncation and mojibake junk gates included — same frozen rules as
-    build_training_corpus at the same parameters."""
+    truncation, mojibake and leaked-credential junk gates included —
+    same frozen rules as build_training_corpus at the same parameters.
+    Non-vacuous per class: datagen plants soft-404 (%50==21), truncated
+    (%100==87), mojibake (%100==81) and credential (%100==63) pages."""
     from pyocr_spark.plans.corpus import corpus_attrition
 
     return corpus_attrition(
@@ -2120,6 +2122,7 @@ def _q_corpus_attrition(spark, sf_dir):
         drop_soft404=True,
         max_mojibake_per_kchar=2.0,
         drop_truncated=True,
+        max_secret_hits=0,
     )
 
 
@@ -3800,6 +3803,18 @@ def _secrets_scan_sql() -> str:
         f"WITH t AS (SELECT doc_id, {_SECRET_PLANT_EXPR} AS text FROM documents) "
         f"SELECT doc_id, {cols}, {total} AS n_secrets FROM t"
     )
+
+
+def _secret_total_sql(col: str) -> str:
+    """Total detector-match count over ``col`` (the corpus secret-gate
+    expression, composed from the same SECRET_PATTERNS the Spark side
+    compiles)."""
+    from pyocr_spark.operators.secrets import SECRET_PATTERNS
+
+    return "(" + " + ".join(
+        f"len(regexp_extract_all(coalesce({col}, ''), '{pat}'))"
+        for _k, pat, _r in SECRET_PATTERNS
+    ) + ")"
 
 
 def _secrets_mask_sql() -> str:
@@ -7111,8 +7126,11 @@ def oracle_sql() -> dict[str, str]:
             "moj AS (SELECT * FROM tcut WHERE (CASE WHEN length(extracted_text) > 0 THEN "
             + _mojibake_hits_sql("extracted_text")
             + " * 1000.0 / length(extracted_text) ELSE 0.0 END) <= 2.0), "
+            "sec AS (SELECT * FROM moj WHERE "
+            + _secret_total_sql("extracted_text")
+            + " <= 0), "
             "lines AS (SELECT url, unnest(string_split(extracted_text, chr(10))) AS line, "
-            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos FROM moj), "
+            "unnest(generate_series(1, len(string_split(extracted_text, chr(10))))) AS pos FROM sec), "
             "freq AS (SELECT line FROM lines WHERE trim(line) != '' GROUP BY line "
             "HAVING count(DISTINCT url) > 1), "
             "kept AS (SELECT l.url, l.pos, l.line FROM lines l ANTI JOIN freq f USING (line)), "
@@ -7138,11 +7156,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 3, 'soft404_gate', count(*) FROM s404 "
             "UNION ALL SELECT 4, 'truncation_gate', count(*) FROM tcut "
             "UNION ALL SELECT 5, 'mojibake_gate', count(*) FROM moj "
-            "UNION ALL SELECT 6, 'line_dedup_nonempty', count(*) FROM okc "
-            "UNION ALL SELECT 7, 'repetition_gate', count(*) FROM rep "
-            "UNION ALL SELECT 8, 'token_gate', count(*) FROM gated "
-            "UNION ALL SELECT 9, 'content_dedup', count(*) FROM ded1 "
-            "UNION ALL SELECT 10, 'sampled', count(*) FROM samp"
+            "UNION ALL SELECT 6, 'secret_gate', count(*) FROM sec "
+            "UNION ALL SELECT 7, 'line_dedup_nonempty', count(*) FROM okc "
+            "UNION ALL SELECT 8, 'repetition_gate', count(*) FROM rep "
+            "UNION ALL SELECT 9, 'token_gate', count(*) FROM gated "
+            "UNION ALL SELECT 10, 'content_dedup', count(*) FROM ded1 "
+            "UNION ALL SELECT 11, 'sampled', count(*) FROM samp"
         ),
         # classifier AUC: rank-sum over the unrolled score CTE, doubled
         # midranks keep ties exact, `//` = Spark's `div`

@@ -75,6 +75,13 @@ def parse_args(argv=None):
              "density (per 1000 chars) exceeds this bound",
     )
     p.add_argument(
+        "--max-secret-hits", type=int, default=None,
+        help="--corpus: drop docs whose leaked-credential detector total "
+             "(operators/secrets: AWS keys, GitHub/Slack tokens, JWTs, "
+             "PEM headers, 40-hex tokens) exceeds N (0 = drop any "
+             "credential-bearing page)",
+    )
+    p.add_argument(
         "--drop-truncated", action="store_true",
         help="--corpus: drop pages whose fetch was cut mid-response "
              "(html opens but never closes — raw-byte signal)",
@@ -343,6 +350,7 @@ def main(argv=None) -> None:
             drop_soft404=args.drop_soft404,
             max_mojibake_per_kchar=args.max_mojibake_per_kchar,
             drop_truncated=args.drop_truncated,
+            max_secret_hits=args.max_secret_hits,
             extracted=extracted,
         )
         if args.split:

@@ -43,6 +43,18 @@ SECRET_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def secret_total_expr(col):
+    """Column expression: total detector matches over ``col`` (NULL-safe,
+    zero for NULL text). The inline form the corpus gate uses — a narrow
+    codegen filter, no join; :func:`secret_scan` is its per-kind
+    wide-table face."""
+    t = F.coalesce(col, F.lit(""))
+    total = F.lit(0)
+    for _kind, pat, _repl in SECRET_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+    return total
+
+
 def secret_scan(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

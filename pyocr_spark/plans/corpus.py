@@ -39,6 +39,7 @@ def build_training_corpus(
     drop_soft404: bool = False,
     max_mojibake_per_kchar: float | None = None,
     drop_truncated: bool = False,
+    max_secret_hits: int | None = None,
     extracted: DataFrame | None = None,
 ) -> DataFrame:
     """Lazy plan: (url, content_hash, n_tokens) for the sampled corpus.
@@ -80,6 +81,13 @@ def build_training_corpus(
     - ``drop_truncated``: mid-response cutoff pages out
       (core/htmltext.fetch_quality raw-byte signal) — one url anti-join
       against the flagged set.
+    - ``max_secret_hits``: leaked-credential gate (operators/secrets) —
+      drops docs whose total detector count (AWS keys, GitHub/Slack
+      tokens, JWTs, PEM headers, 40-hex tokens) exceeds the bound; 0 =
+      drop any credential-bearing page, the conservative default for a
+      training corpus (masking is the recall-preserving alternative,
+      applied OUTSIDE this plan so content hashes stay pre-mask). A
+      narrow codegen filter, no shuffle.
     """
     ext = (
         extracted
@@ -132,6 +140,15 @@ def build_training_corpus(
 
         _, density = mojibake_signals(F.col("extracted_text"))
         ok = ok.filter(density <= max_mojibake_per_kchar)
+    if max_secret_hits is not None:
+        # leaked-credential gate — a narrow filter, no extra shuffle;
+        # runs BEFORE line dedup so credential lines never feed the
+        # line-frequency statistics
+        from pyocr_spark.operators.secrets import secret_total_expr
+
+        ok = ok.filter(
+            secret_total_expr(F.col("extracted_text")) <= max_secret_hits
+        )
     if line_dedup_docfreq is not None:
         from pyocr_spark.operators.linededup import line_dedup
 
@@ -198,6 +215,7 @@ def corpus_attrition(
     drop_soft404: bool = False,
     max_mojibake_per_kchar: float | None = None,
     drop_truncated: bool = False,
+    max_secret_hits: int | None = None,
 ) -> DataFrame:
     """The corpus funnel, measured: one row per hygiene stage with the
     rows surviving it — (stage, name, n_rows). THE first question after
@@ -208,10 +226,10 @@ def corpus_attrition(
 
     Stages: 0 pages → 1 latest-per-url → 2 extracted ok/nonempty →
     [3 soft-404 gate] → [4 truncation gate] → [5 mojibake gate] →
-    [6 line-dedup nonempty] → [7 repetition gate] → 8 token gate →
-    9 content dedup → 10 sample (bracketed stages only when enabled;
-    disabled stages still emit a row, carrying the previous count, so
-    the report schema is configuration-independent).
+    [6 secret gate] → [7 line-dedup nonempty] → [8 repetition gate] →
+    9 token gate → 10 content dedup → 11 sample (bracketed stages only
+    when enabled; disabled stages still emit a row, carrying the
+    previous count, so the report schema is configuration-independent).
 
     Cost: a report, not a pipeline stage — it persists the extraction
     once and pays one count per stage over cached intermediates. Run it
@@ -271,6 +289,15 @@ def corpus_attrition(
         rows.append((5, "mojibake_gate", cur.count()))
     else:
         rows.append((5, "mojibake_gate", rows[-1][2]))
+    if max_secret_hits is not None:
+        from pyocr_spark.operators.secrets import secret_total_expr
+
+        cur = cur.filter(
+            secret_total_expr(F.col("extracted_text")) <= max_secret_hits
+        )
+        rows.append((6, "secret_gate", cur.count()))
+    else:
+        rows.append((6, "secret_gate", rows[-1][2]))
     if line_dedup_docfreq is not None:
         from pyocr_spark.operators.linededup import line_dedup
 
@@ -287,23 +314,23 @@ def corpus_attrition(
             .persist()
         )
         cached.append(cur)
-        rows.append((6, "line_dedup_nonempty", cur.count()))
+        rows.append((7, "line_dedup_nonempty", cur.count()))
     else:
-        rows.append((6, "line_dedup_nonempty", rows[-1][2]))
+        rows.append((7, "line_dedup_nonempty", rows[-1][2]))
     if max_dup_token_frac is not None:
         t = ws_tokens(F.col("extracted_text"))
         dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
         cur = cur.filter(dup_frac <= max_dup_token_frac)
-        rows.append((7, "repetition_gate", cur.count()))
+        rows.append((8, "repetition_gate", cur.count()))
     else:
-        rows.append((7, "repetition_gate", rows[-1][2]))
+        rows.append((8, "repetition_gate", rows[-1][2]))
     gated = cur.select(
         "url",
         F.md5("extracted_text").alias("content_hash"),
         token_count(F.col("extracted_text")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens).persist()
     cached.append(gated)
-    rows.append((8, "token_gate", gated.count()))
+    rows.append((9, "token_gate", gated.count()))
     w = Window.partitionBy("content_hash").orderBy("url")
     ded = (
         gated.withColumn("_rn", F.row_number().over(w))
@@ -312,9 +339,9 @@ def corpus_attrition(
         .persist()
     )
     cached.append(ded)
-    rows.append((9, "content_dedup", ded.count()))
+    rows.append((10, "content_dedup", ded.count()))
     sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
-    rows.append((10, "sampled", sampled.count()))
+    rows.append((11, "sampled", sampled.count()))
     for df in cached:
         df.unpersist()
     spark = pages.sparkSession

@@ -33,20 +33,26 @@ def test_junk_gates_remove_exactly_the_planted_slots(spark):
             drop_soft404=True,
             max_mojibake_per_kchar=2.0,
             drop_truncated=True,
+            max_secret_hits=0,
             **KW,
         )
     )
     assert gated <= base
     removed = base - gated
     ids = [int(u.rsplit("/doc/", 1)[1]) for u in removed]
-    # every removed url is a planted junk slot (datagen v45/v47) — or an
-    # organic phrase hit: page titles are 'doc {id}', so doc 404's title
-    # legitimately trips the frozen '404' marker (the classic soft-404
-    # heuristic false positive, identical in both engines)
+    # every removed url is a planted junk slot (datagen v45/v47/v49) —
+    # or an organic phrase hit: page titles are 'doc {id}', so doc 404's
+    # title legitimately trips the frozen '404' marker (the classic
+    # soft-404 heuristic false positive, identical in both engines)
     assert ids and all(
-        i % 50 == 21 or i % 100 == 81 or i % 100 == 87 or "404" in str(i)
+        i % 50 == 21
+        or i % 100 == 81
+        or i % 100 == 87
+        or i % 100 == 63
+        or "404" in str(i)
         for i in ids
     )
     assert any(i % 50 == 21 for i in ids), "soft-404 gate removed nothing"
     assert any(i % 100 == 81 for i in ids), "mojibake gate removed nothing"
     assert any(i % 100 == 87 for i in ids), "truncation gate removed nothing"
+    assert any(i % 100 == 63 for i in ids), "secret gate removed nothing"
