@@ -3831,6 +3831,31 @@ def _secrets_mask_sql() -> str:
     )
 
 
+
+def _q_host_quality_shrunk(spark, sf_dir):
+    """Empirical-Bayes host quality (operators/hostquality
+    .host_score_shrunk): per-source mean quality_score shrunk toward
+    the corpus mean by sample size (k=20 pseudo-docs) — the
+    domain-level gate signal. All-integer micro-unit arithmetic
+    (g floors first, div everywhere), so the oracle replays it with
+    DuckDB's `//` bit-identically."""
+    from pyocr_spark.functions.text_stats import quality_score
+    from pyocr_spark.operators.hostquality import host_score_shrunk
+
+    d = _docs(spark, sf_dir)
+    scored = (
+        quality_score(d)
+        .select(
+            "doc_id",
+            (F.col("quality_score") * 1_000_000).cast("bigint").alias(
+                "score_micro"
+            ),
+        )
+        .join(d.select("doc_id", F.col("source").alias("host")), "doc_id")
+    )
+    return host_score_shrunk(scored, prior_strength=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
@@ -3977,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4": _q_doc_c4,
         "docs_blockword": _q_docs_blockword,
         "docs_secret_scan": _q_docs_secret_scan,
+        "host_quality_shrunk": _q_host_quality_shrunk,
         "docs_secret_masked": _q_docs_secret_masked,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
@@ -6627,6 +6653,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_gopher_rep": _GOPHER_REP_SQL,
         "docs_secret_scan": _secrets_scan_sql(),
+        "host_quality_shrunk": (
+            "WITH q AS (" + _QUALITY_SQL + "), "
+            "j AS (SELECT d.source AS host, "
+            "CAST(q.quality_score * 1000000 AS BIGINT) AS s "
+            "FROM q JOIN documents d USING (doc_id) WHERE q.quality_score IS NOT NULL), "
+            "g AS (SELECT sum(s) // count(*) AS g_micro FROM j), "
+            "p AS (SELECT host, count(*) AS n_docs, sum(s) AS sum_micro FROM j GROUP BY host) "
+            "SELECT host, n_docs, sum_micro, "
+            "CAST(sum_micro // n_docs AS BIGINT) AS mean_micro, "
+            "CAST((sum_micro + 20 * g_micro) // (n_docs + 20) AS BIGINT) AS shrunk_micro "
+            "FROM p, g"
+        ),
         "docs_secret_masked": _secrets_mask_sql(),
         "doc_lang_id": _LANG_ID_SQL,
         "lsh_s_curve": (

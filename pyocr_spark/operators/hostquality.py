@@ -1,0 +1,68 @@
+"""Host-level quality aggregation with empirical-Bayes shrinkage — the
+crawl-prioritization / domain-filtering signal (FineWeb-style pipelines
+gate whole hosts, not documents): a host with 3 sampled pages and a
+perfect mean must NOT outrank a host with 10,000 pages at a slightly
+lower mean, so per-host means shrink toward the corpus mean by sample
+size:
+
+    shrunk = (s_h + k·g) / (n_h + k)
+
+with s_h the host's score sum, n_h its doc count, g the corpus mean and
+k the prior strength (the "pseudo-documents at the corpus mean" added to
+every host).
+
+Scale/determinism shape: scores enter as BIGINT micro-units; ONE
+map-side-combined (host) aggregate + a broadcast 1-row corpus rollup —
+no collect, no second shuffle. All arithmetic is integer: g_micro =
+S div N first (bounded magnitude — avoids the s·N product that would
+overflow int64 at 10^12 docs), then (s_h + k·g_micro) div (n_h + k).
+Integer division is `div` on Spark and `//` on DuckDB (the clf_auc
+precedent), so shrunk_micro is bit-identical across partitionings and
+engines; the ≤1-micro flooring bias of computing g first is frozen into
+the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_score_shrunk(
+    scored: DataFrame,
+    host_col: str = "host",
+    score_micro_col: str = "score_micro",
+    prior_strength: int = 20,
+) -> DataFrame:
+    """(host, n_docs, sum_micro, mean_micro, shrunk_micro) per host.
+
+    ``scored``: one row per document with a host key and a BIGINT
+    micro-unit score (NULL scores are dropped — no evidence, not zero
+    evidence). ``prior_strength`` = k pseudo-docs at the corpus mean;
+    k=0 degenerates to the raw mean. Ordering is the caller's choice —
+    the table is small (host-granularity) and deterministic.
+    """
+    if prior_strength < 0:
+        raise ValueError(f"prior_strength must be >= 0, got {prior_strength}")
+    rows = scored.filter(F.col(score_micro_col).isNotNull()).select(
+        F.col(host_col).alias("host"),
+        F.col(score_micro_col).cast("bigint").alias("_s"),
+    )
+    per_host = rows.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_s").alias("sum_micro")
+    )
+    # corpus totals ride in as ONE broadcast 1-row aggregate (never a
+    # driver collect); g_micro floors ONCE so later products stay small
+    glob = rows.agg(
+        F.expr("sum(_s) div count(1)").cast("bigint").alias("_g_micro")
+    )
+    k = int(prior_strength)
+    return per_host.join(F.broadcast(glob)).select(
+        "host",
+        "n_docs",
+        "sum_micro",
+        F.expr("sum_micro div n_docs").cast("bigint").alias("mean_micro"),
+        F.expr(f"(sum_micro + {k} * _g_micro) div (n_docs + {k})")
+        .cast("bigint")
+        .alias("shrunk_micro"),
+    )

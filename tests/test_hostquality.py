@@ -1,0 +1,44 @@
+"""Empirical-Bayes host score shrinkage (operators/hostquality)."""
+
+import pytest
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "host string, score_micro long")
+
+
+def test_small_host_shrinks_toward_corpus_mean(spark):
+    from pyocr_spark.operators.hostquality import host_score_shrunk
+
+    # big.com: 8 docs at 1.0 (1_000_000 micro); tiny.com: 1 doc at 3.0
+    rows = [("big.com", 1_000_000)] * 8 + [("tiny.com", 3_000_000)]
+    out = {r["host"]: r.asDict() for r in host_score_shrunk(_df(spark, rows), prior_strength=4).collect()}
+    # corpus mean g = 11_000_000 div 9 = 1_222_222
+    assert out["big.com"]["mean_micro"] == 1_000_000
+    assert out["tiny.com"]["mean_micro"] == 3_000_000
+    # tiny's shrunk = (3_000_000 + 4*1_222_222) div 5 = 1_577_777
+    assert out["tiny.com"]["shrunk_micro"] == (3_000_000 + 4 * 1_222_222) // 5
+    # the 1-doc outlier lands far closer to the corpus mean than its raw
+    # mean; the 8-doc host barely moves
+    assert abs(out["tiny.com"]["shrunk_micro"] - 1_222_222) < abs(
+        3_000_000 - 1_222_222
+    ) // 2
+    assert abs(out["big.com"]["shrunk_micro"] - 1_000_000) < 120_000
+
+
+def test_k_zero_is_raw_mean_and_nulls_dropped(spark):
+    from pyocr_spark.operators.hostquality import host_score_shrunk
+
+    rows = [("a.com", 1_000_000), ("a.com", 2_000_000), ("a.com", None)]
+    out = host_score_shrunk(_df(spark, rows), prior_strength=0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 2  # NULL row dropped
+    assert r["mean_micro"] == r["shrunk_micro"] == 1_500_000
+
+
+def test_negative_prior_rejected(spark):
+    from pyocr_spark.operators.hostquality import host_score_shrunk
+
+    with pytest.raises(ValueError, match="prior_strength"):
+        host_score_shrunk(_df(spark, [("a", 1)]), prior_strength=-1)
