@@ -165,6 +165,14 @@ def parse_args(argv=None):
              "parquet to this directory; reads the deduped pages",
     )
     p.add_argument(
+        "--masked-output", default=None,
+        help="also write a credential-masked copy of the extraction "
+             "output (operators/secrets: every detector match replaced "
+             "by its typed placeholder, + n_secrets_masked per url) as "
+             "parquet to this directory; requires 'text' in --modes — "
+             "the safe-to-train text table",
+    )
+    p.add_argument(
         "--markdown-output", default=None,
         help="also write the HTML→Markdown surface (url, markdown, "
              "n_md_chars parquet) for the deduped pages to this directory",
@@ -219,6 +227,11 @@ def main(argv=None) -> None:
         raise SystemExit(
             "--wet-output requires the default extraction mode with 'text' "
             "in --modes"
+        )
+    if args.masked_output and (picked or "text" not in modes):
+        raise SystemExit(
+            "--masked-output requires the default extraction mode with "
+            "'text' in --modes"
         )
 
     spark = SparkSession.builder.appName("pyocr-spark-extract").getOrCreate()
@@ -423,6 +436,28 @@ def main(argv=None) -> None:
             "files": len(manifest),
             "records": sum(m["n_records"] for m in manifest),
             "bytes": sum(m["n_bytes"] for m in manifest),
+        }
+    if args.masked_output:
+        from pyspark.sql import functions as F
+
+        from pyocr_spark.operators.secrets import (
+            mask_text_expr,
+            masked_count_expr,
+        )
+
+        ext = spark.read.parquet(args.output)
+        mcol = mask_text_expr(F.col("extracted_text"))
+        masked = ext.withColumn(
+            "n_secrets_masked",
+            masked_count_expr(mcol, F.col("extracted_text").isNull()).cast("int"),
+        ).withColumn("extracted_text", mcol)
+        masked.write.mode("overwrite").parquet(args.masked_output)
+        mdf = spark.read.parquet(args.masked_output)
+        report["masked"] = {
+            "rows": mdf.count(),
+            "secrets_masked": mdf.agg(
+                F.sum("n_secrets_masked")
+            ).head()[0],
         }
     if args.markdown_output:
         from pyocr_spark.functions.markdown import extract_markdown

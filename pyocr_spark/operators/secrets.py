@@ -79,6 +79,28 @@ def secret_scan(
     return docs.select(*cols)
 
 
+def mask_text_expr(col):
+    """Column expression: ``col`` with every detector match replaced by
+    its typed placeholder, SECRET_PATTERNS order (the composable form —
+    job.py's ``--masked-output`` swaps it in for extracted_text; NULL
+    stays NULL)."""
+    masked = col
+    for _kind, pat, repl in SECRET_PATTERNS:
+        masked = F.regexp_replace(masked, pat, repl)
+    return masked
+
+
+def masked_count_expr(masked_col, was_null):
+    """Placeholders present in an already-masked column — the number of
+    secrets actually neutralized (≤ the raw scan total under overlap).
+    ``was_null`` guards the NULL-text row to 0."""
+    # placeholders are regex-literal ([A-Z_<>] only) — safe to union
+    placeholder = "|".join(repl for _k, _p, repl in SECRET_PATTERNS)
+    return F.when(was_null, F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(masked_col, F.lit(placeholder), F.lit(0)))
+    )
+
+
 def mask_secrets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -93,14 +115,8 @@ def mask_secrets(
     than the raw scan total — the honest number for "how many secrets
     did we neutralize". NULL text stays NULL with n_masked 0.
     """
-    masked = F.col(text_col)
-    for _kind, pat, repl in SECRET_PATTERNS:
-        masked = F.regexp_replace(masked, pat, repl)
-    # placeholders are regex-literal ([A-Z_<>] only) — safe to union
-    placeholder = "|".join(repl for _k, _p, repl in SECRET_PATTERNS)
-    n = F.when(
-        F.col(text_col).isNull(), F.lit(0)
-    ).otherwise(F.size(F.regexp_extract_all(masked, F.lit(placeholder), F.lit(0))))
+    masked = mask_text_expr(F.col(text_col))
+    n = masked_count_expr(masked, F.col(text_col).isNull())
     return docs.select(
         F.col(id_col),
         masked.alias("text_masked"),
