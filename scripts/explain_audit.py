@@ -301,6 +301,44 @@ def main() -> int:
     check("corpus_build_full", "broadcast anti-join for the frequent-line set",
           bool(re.search(r"BroadcastHashJoin[\s\S]{0,200}LeftAnti", p)), "")
 
+    # 15a3 (r4). corpus with the secret gate ON: the credential filter
+    # is pure codegen — it must add ZERO Exchanges to the full-hygiene
+    # plan (same 6 as corpus_build_full) and no Python stage
+    from pyocr_spark.plans.corpus import build_training_corpus
+    from pyocr_spark.sources.pages import read_pages as _rp
+
+    _pages_df = _rp(spark, f"{ensure_pages(SF_DIR)}/pages.parquet")
+    df = build_training_corpus(
+        _pages_df, min_tokens=20, sample_fraction=0.5,
+        line_dedup_docfreq=1, max_dup_token_frac=0.5, max_secret_hits=0,
+    )
+    p = plan_of(df)
+    sections.append(("corpus_build_secret_gate", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("corpus_build_secret_gate",
+          "secret gate adds ZERO Exchanges (still the corpus_build_full 6)",
+          n_exchanges == 6, f"exchanges={n_exchanges}")
+    check("corpus_build_secret_gate", "no extra Python stage for the gate",
+          p.count("ArrowEvalPython") + p.count("BatchEvalPython")
+          <= plan_of(build_training_corpus(
+              _pages_df, min_tokens=20, sample_fraction=0.5,
+              line_dedup_docfreq=1, max_dup_token_frac=0.5,
+          )).count("ArrowEvalPython"), "")
+
+    # 15a4 (r4). host quality shrinkage: ONE host-keyed Exchange with
+    # partial aggregation; the corpus rollup rides in as a broadcast
+    df = qs["host_quality_shrunk"](spark, SF_DIR)
+    p = plan_of(df)
+    sections.append(("host_quality_shrunk", p))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    check("host_quality_shrunk",
+          "host aggregate + 1-row rollup only (<= 3 Exchanges, no extra shuffle of doc rows)",
+          n_exchanges <= 3, f"exchanges={n_exchanges}")
+    check("host_quality_shrunk", "partial aggregation before the exchange",
+          "partial" in p.lower(), "")
+    check("host_quality_shrunk", "corpus rollup joins via broadcast (no SortMerge)",
+          "SortMergeJoin" not in p, "")
+
     # 15b2. weighted mix: rate-based training-mix sampling must stay a
     # narrow filter — zero Exchange, fused with the scan
     df = qs["docs_weighted_mix"](spark, SF_DIR)
