@@ -3856,6 +3856,64 @@ def _q_host_quality_shrunk(spark, sf_dir):
     return host_score_shrunk(scored, prior_strength=20)
 
 
+
+#: planted homoglyph-spoof expression, shared verbatim by Spark (F.expr)
+#: and the DuckDB oracle: class 0 two mixed-script tokens (Cyrillic
+#: р/а/і inside Latin words), class 2 one, classes 1/3 doc-level-only
+#: mixing (pure Cyrillic / Greek+Latin as SEPARATE tokens — must keep),
+#: class 4 clean.
+_SPOOF_PLANT_EXPR = (
+    "concat(coalesce(text, ''), CASE doc_id % 5 "
+    "WHEN 0 THEN ' sраrk vіagra' "
+    "WHEN 1 THEN ' привет мир' "
+    "WHEN 2 THEN ' раypal' "
+    "WHEN 3 THEN ' ελληνικά plus' "
+    "ELSE '' END)"
+)
+
+
+def _q_doc_script_spoof(spark, sf_dir):
+    """Token-level mixed-script spoof stats (functions/confusables
+    .mixed_script_stats): UTS#39-style homoglyph detection — a token
+    mixing Latin with Greek/Cyrillic letters is the high-precision spam
+    signal doc-level script composition misses. Planted corpus covers
+    hit / doc-level-only / clean classes; oracle replays the frozen
+    ranges + translate map literally."""
+    from pyocr_spark.functions.confusables import mixed_script_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPOOF_PLANT_EXPR).alias("text")
+    )
+    return mixed_script_stats(d)
+
+
+def _script_spoof_sql() -> str:
+    from pyocr_spark.functions.confusables import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_SCRIPT_RE,
+        LATIN_RE,
+    )
+
+    toks = (
+        "list_filter(regexp_split_to_array(regexp_replace(text, "
+        "'^[\\t\\n\\f\\r ]+|[\\t\\n\\f\\r ]+$', '', 'g'), "
+        "'[\\t\\n\\f\\r ]+'), x -> x != '')"
+    )
+    conf_re = CONFUSABLE_SCRIPT_RE.replace("\\x", "\\x")
+    return (
+        f"WITH t0 AS (SELECT doc_id, {_SPOOF_PLANT_EXPR} AS text FROM documents), "
+        f"b AS (SELECT doc_id, text, {toks} AS tk FROM t0), "
+        "c AS (SELECT doc_id, len(tk) AS n_tokens, "
+        f"len(list_filter(tk, x -> regexp_matches(x, '{LATIN_RE}') AND "
+        f"regexp_matches(x, '{conf_re}'))) AS n_mixed_tokens, "
+        f"length(text) - length(translate(text, '{CONFUSABLE_FROM}', '')) AS n_confusable_chars "
+        "FROM b) "
+        "SELECT doc_id, n_tokens, n_mixed_tokens, "
+        "CASE WHEN n_tokens > 0 THEN CAST((1000000 * n_mixed_tokens) // n_tokens AS BIGINT) END AS mixed_ppm, "
+        "n_confusable_chars, n_mixed_tokens = 0 AS confusable_keep FROM c"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
@@ -4003,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_blockword": _q_docs_blockword,
         "docs_secret_scan": _q_docs_secret_scan,
         "host_quality_shrunk": _q_host_quality_shrunk,
+        "doc_script_spoof": _q_doc_script_spoof,
         "docs_secret_masked": _q_docs_secret_masked,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
@@ -6666,6 +6725,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM p, g"
         ),
         "docs_secret_masked": _secrets_mask_sql(),
+        "doc_script_spoof": _script_spoof_sql(),
         "doc_lang_id": _LANG_ID_SQL,
         "lsh_s_curve": (
             "WITH g AS (SELECT CAST(range AS INT) AS i FROM range(0, 101)), "

@@ -1,0 +1,110 @@
+"""Token-level mixed-script / homoglyph-spoof detection (UTS #39
+"confusables" family): spam that writes ``v1аgrа`` with Cyrillic а, or
+``раypal`` links, passes document-level script composition checks
+(functions/text_stats.script_mix — a Russian page with English brand
+names is NORMAL at doc level) but almost never legitimately mixes Latin
+and Cyrillic/Greek letters INSIDE one token. The per-token test is the
+high-precision spoof signal.
+
+Surface:
+- :func:`mixed_script_stats` — per-doc count/ppm of mixed-script tokens
+  and confusable-character mass, plus the keep flag.
+- :func:`confusable_skeleton_expr` — the frozen homoglyph→Latin skeleton
+  (UTS#39-style fold over a documented subset), for digest/dedup use:
+  two spellings of the same spoofed token share a skeleton.
+
+Scale/determinism shape: everything is JVM codegen — one higher-order
+``filter`` over the engine-wide whitespace tokenization with two
+``rlike`` probes per token, one ``translate`` fold; no Python, no
+shuffle. The script ranges and the confusable map are frozen constants
+replayed literally by the DuckDB oracle (``translate`` and
+``list_filter``/``regexp_matches`` exist on both engines); ppm is
+integer ``div`` arithmetic, bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyocr_spark.functions.text_stats import ws_tokens
+
+#: Latin letter probe and the confusable foreign-script probe (Greek +
+#: Cyrillic letter blocks). RE2/Java-common syntax.
+LATIN_RE = "[A-Za-z]"
+CONFUSABLE_SCRIPT_RE = "[\\x{0370}-\\x{03FF}\\x{0400}-\\x{04FF}]"
+
+#: frozen homoglyph → Latin skeleton map (a documented UTS#39 subset:
+#: the Cyrillic and Greek letters visually identical to Latin in common
+#: fonts). Explicit pairs, compiled into translate()'s parallel strings
+#: so the two can never drift out of alignment.
+CONFUSABLE_PAIRS: list[tuple[str, str]] = [
+    # Cyrillic lowercase
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+    ("у", "y"), ("х", "x"), ("і", "i"), ("ј", "j"), ("ѕ", "s"),
+    # Cyrillic uppercase
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"), ("М", "M"),
+    ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"), ("Т", "T"),
+    ("Х", "X"),
+    # Greek lowercase
+    ("α", "a"), ("ο", "o"), ("ε", "e"), ("ρ", "p"), ("υ", "u"),
+    ("ν", "v"), ("ι", "i"), ("κ", "k"),
+    # Greek uppercase
+    ("Α", "A"), ("Β", "B"), ("Ε", "E"), ("Ζ", "Z"), ("Η", "H"),
+    ("Ι", "I"), ("Κ", "K"), ("Μ", "M"), ("Ν", "N"), ("Ο", "O"),
+    ("Ρ", "P"), ("Τ", "T"), ("Υ", "Y"), ("Χ", "X"),
+]
+CONFUSABLE_FROM = "".join(f for f, _ in CONFUSABLE_PAIRS)
+CONFUSABLE_TO = "".join(t for _, t in CONFUSABLE_PAIRS)
+
+
+def confusable_skeleton_expr(col):
+    """``col`` with every mapped homoglyph replaced by its Latin
+    skeleton letter, lowercased — the canonical form under which spoofed
+    variants collide (feed it to a digest/dedup key)."""
+    return F.lower(F.translate(col, CONFUSABLE_FROM, CONFUSABLE_TO))
+
+
+def mixed_script_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_mixed_tokens, mixed_ppm, n_confusable_chars,
+    confusable_keep) per document.
+
+    A token is *mixed* when it contains BOTH a Latin letter and a
+    Greek/Cyrillic letter. ``mixed_ppm`` = 1e6·mixed/total via integer
+    ``div`` (NULL when the doc has no tokens). ``n_confusable_chars``
+    counts mapped homoglyphs over the whole text (translate-delete
+    length difference). ``confusable_keep`` = no mixed token — the
+    conservative gate; plain foreign-language text (zero Latin inside
+    its tokens) passes untouched.
+    """
+    # NULL-safe: a NULL doc tokenizes to zero tokens (gate keeps it —
+    # no evidence is not spoof evidence)
+    toks = F.filter(
+        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
+    mixed = F.filter(
+        toks,
+        lambda t: t.rlike(LATIN_RE) & t.rlike(CONFUSABLE_SCRIPT_RE),
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(mixed).alias("n_mixed_tokens"),
+        (
+            F.length(t) - F.length(F.translate(t, CONFUSABLE_FROM, ""))
+        ).alias("n_confusable_chars"),
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_mixed_tokens",
+        F.expr("CASE WHEN n_tokens > 0 THEN (1000000 * n_mixed_tokens) div n_tokens END")
+        .cast("bigint")
+        .alias("mixed_ppm"),
+        "n_confusable_chars",
+        (F.col("n_mixed_tokens") == 0).alias("confusable_keep"),
+    )

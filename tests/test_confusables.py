@@ -1,0 +1,63 @@
+"""Token-level mixed-script spoof detection (functions/confusables)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "perfectly normal english text"),
+        # 'sраrk' with Cyrillic р+а, 'vіagra' with Cyrillic і
+        (1, "buy sраrk tokens and vіagra now"),
+        # pure Russian: Cyrillic only, NO Latin inside tokens -> keep
+        (2, "привет мир это нормальный текст"),
+        # Greek word + separate Latin word on the same line -> keep
+        (3, "ελληνικά words side by side"),
+        # one mixed token among many ('раypal' with Cyrillic ра)
+        (4, "send money via раypal today please thanks much"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_mixed_script_stats(spark, docs):
+    from pyocr_spark.functions.confusables import mixed_script_stats
+
+    by_id = {r["doc_id"]: r.asDict() for r in mixed_script_stats(docs).collect()}
+    assert by_id[0]["n_mixed_tokens"] == 0 and by_id[0]["confusable_keep"]
+    assert by_id[1]["n_mixed_tokens"] == 2 and not by_id[1]["confusable_keep"]
+    assert by_id[1]["mixed_ppm"] == (1_000_000 * 2) // 6
+    # doc-level mixing without token-level mixing is NOT flagged
+    assert by_id[2]["n_mixed_tokens"] == 0 and by_id[2]["confusable_keep"]
+    assert by_id[2]["n_confusable_chars"] > 0  # chars counted regardless
+    assert by_id[3]["n_mixed_tokens"] == 0 and by_id[3]["confusable_keep"]
+    assert by_id[4]["n_mixed_tokens"] == 1
+    assert by_id[5]["n_tokens"] == 0 and by_id[5]["mixed_ppm"] is None
+    assert by_id[6]["n_tokens"] == 0 and by_id[6]["confusable_keep"]
+
+
+def test_skeleton_collapses_spoof_to_latin(spark):
+    from pyocr_spark.functions.confusables import confusable_skeleton_expr
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("sраrk",), ("SPARK",), ("νote",)], "t string"
+    )
+    out = [
+        r["s"]
+        for r in df.select(confusable_skeleton_expr(F.col("t")).alias("s")).collect()
+    ]
+    assert out == ["spark", "spark", "vote"]
+
+
+def test_from_to_alignment():
+    from pyocr_spark.functions.confusables import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+    )
+
+    assert len(CONFUSABLE_FROM) == len(CONFUSABLE_TO)
+    assert len(set(CONFUSABLE_FROM)) == len(CONFUSABLE_FROM)  # no dup keys
+    assert all(ord(c) < 128 for c in CONFUSABLE_TO)
