@@ -3914,6 +3914,28 @@ def _script_spoof_sql() -> str:
     )
 
 
+
+def _q_docs_leakage_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split (operators/sampling
+    .leakage_safe_split): near-dup components (n-gram Jaccard pairs →
+    connected components) travel together — each doc splits by its
+    component representative's hash, so a near-dup pair can never
+    straddle train/eval. Oracle composes the recursive-CTE components
+    replay with the portable md5 bucket-range split on the
+    coalesced representative."""
+    from pyocr_spark.operators.dedup import ngram_jaccard_pairs
+    from pyocr_spark.operators.sampling import leakage_safe_split
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return leakage_safe_split(
+        d.select("doc_id"),
+        pairs,
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        portable=True,
+    ).select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction surface (byte-identical gate via expected_* parquet)
@@ -4062,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_secret_scan": _q_docs_secret_scan,
         "host_quality_shrunk": _q_host_quality_shrunk,
         "doc_script_spoof": _q_doc_script_spoof,
+        "docs_leakage_split": _q_docs_leakage_split,
         "docs_secret_masked": _q_docs_secret_masked,
         "doc_gopher_rep": _q_doc_gopher_rep,
         "doc_lang_id": _q_doc_lang_id,
@@ -6726,6 +6749,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_secret_masked": _secrets_mask_sql(),
         "doc_script_spoof": _script_spoof_sql(),
+        "docs_leakage_split": _NGRAM_COMPONENTS_SQL.replace(
+            ') SELECT node, min(comp) AS comp FROM reach GROUP BY node',
+            "), cmp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node) SELECT d.doc_id, CASE WHEN CAST(('0x' || substr(md5(coalesce(CAST(coalesce(cmp.comp, d.doc_id) AS VARCHAR), chr(0) || 'null')), 1, 15)) AS BIGINT) % 1000000 < 800000 THEN 'train' WHEN CAST(('0x' || substr(md5(coalesce(CAST(coalesce(cmp.comp, d.doc_id) AS VARCHAR), chr(0) || 'null')), 1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'valid' ELSE 'test' END AS split FROM documents d LEFT JOIN cmp ON cmp.node = d.doc_id",
+        ),
         "doc_lang_id": _LANG_ID_SQL,
         "lsh_s_curve": (
             "WITH g AS (SELECT CAST(range AS INT) AS i FROM range(0, 101)), "

@@ -368,3 +368,44 @@ def diversity_sample(
     return stratified_sample(
         sig, "bucket", n_per_bucket, key=id_col, portable=portable
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    key: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    portable: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """:func:`hash_split` where near-duplicate clusters travel TOGETHER:
+    every row's split is decided by its dup-component REPRESENTATIVE id
+    (component min over the ``pairs`` graph; rows in no pair keep their
+    own key), so a near-dup pair can never straddle train/eval — the
+    split-leakage hole a per-document hash split leaves open (a
+    paraphrased eval answer sitting in train still leaks even after
+    exact decontamination).
+
+    Shape: connected components over the pair list (bounded min-label
+    propagation, operators/dedup.dup_components), ONE left equi-join
+    docs→component, then the same monotone hash-bucket range split on
+    the representative key — all of hash_split's guarantees (disjoint,
+    exhaustive, growth-monotone) hold at component granularity. Adds
+    the components cost only; the split itself stays a narrow
+    projection.
+    """
+    from pyocr_spark.operators.dedup import dup_components
+
+    comps = dup_components(pairs, left_col, right_col).withColumnRenamed(
+        "node", "_lss_node"
+    )
+    joined = df.join(
+        comps, F.col(key) == F.col("_lss_node"), "left"
+    ).drop("_lss_node")
+    rep = F.coalesce(F.col("comp"), F.col(key)).cast("string")
+    tmp = joined.withColumn("_rep", rep).drop("comp")
+    return hash_split(tmp, fractions, "_rep", portable=portable, salt=salt).drop(
+        "_rep"
+    )

@@ -1,0 +1,63 @@
+"""Leakage-safe splits (operators/sampling.leakage_safe_split):
+near-dup components must land in ONE split."""
+
+import pytest
+
+
+FRACS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _setup(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # dup graph: chains {0,1,2}, {10,11}, and a 3-cluster via transitivity
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51), (51, 52)],
+        "left_id long, right_id long",
+    )
+    return docs, pairs
+
+
+def test_components_land_in_one_split(spark):
+    from pyocr_spark.operators.sampling import leakage_safe_split
+
+    docs, pairs = _setup(spark)
+    out = leakage_safe_split(docs, pairs, FRACS, portable=True)
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(by_id) == 200  # exhaustive, no dup rows
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    assert by_id[50] == by_id[51] == by_id[52]  # transitive closure
+
+
+def test_matches_plain_hash_split_on_singletons(spark):
+    """Rows in no pair must get exactly the split a plain hash_split of
+    the representative (their own id, string form) would give."""
+    from pyocr_spark.operators.sampling import hash_split, leakage_safe_split
+
+    docs, pairs = _setup(spark)
+    out = {r["doc_id"]: r["split"]
+           for r in leakage_safe_split(docs, pairs, FRACS, portable=True).collect()}
+    import pyspark.sql.functions as F
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs.withColumn("_rep", F.col("doc_id").cast("string")),
+            FRACS, "_rep", portable=True,
+        ).collect()
+    }
+    clustered = {0, 1, 2, 10, 11, 50, 51, 52}
+    for i in set(out) - clustered:
+        assert out[i] == plain[i]
+    # and every cluster's split equals its representative's own split
+    assert out[1] == plain[0] and out[11] == plain[10] and out[52] == plain[50]
+
+
+def test_all_splits_populated(spark):
+    from pyocr_spark.operators.sampling import leakage_safe_split
+
+    docs, pairs = _setup(spark)
+    got = {r["split"] for r in leakage_safe_split(docs, pairs, FRACS, portable=True).collect()}
+    assert got == {"train", "valid", "test"}
