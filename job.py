@@ -292,6 +292,8 @@ def main(argv=None) -> None:
                 spark, args.input, args.output,
                 args.state or f"{args.output}_state", ckpt,
                 min_tokens=args.min_tokens, available_now=True,
+                max_mojibake_per_kchar=args.max_mojibake_per_kchar,
+                max_secret_hits=args.max_secret_hits,
             )
         ok = q.awaitTermination(24 * 3600)
         n = spark.read.parquet(f"{args.output}/batch_id=*").count()

@@ -55,8 +55,17 @@ def start_corpus_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int = 16,
+    max_mojibake_per_kchar: float | None = None,
+    max_secret_hits: int | None = None,
 ):
-    """Run the hygiene pipeline per micro-batch against digest state."""
+    """Run the hygiene pipeline per micro-batch against digest state.
+
+    ``max_mojibake_per_kchar`` / ``max_secret_hits`` enable the NARROW
+    junk gates (encoding damage, leaked credentials) — per-row codegen
+    filters, so batch ≡ stream trivially; the corpus-GLOBAL stages
+    (line dedup, soft-404 template rescue) stay batch-only by design:
+    their statistics are corpus-wide and a per-micro-batch version
+    would silently change semantics."""
     if min_tokens < 0:
         raise ValueError(f"min_tokens must be >= 0, got {min_tokens}")
 
@@ -67,12 +76,24 @@ def start_corpus_stream(
                 _compact(batch_id)
             return
         ext = extract_df(batch_df, modes=TEXT_ONLY, dedup=True)
-        gated = (
-            ext.filter(
-                (F.col("status") == "ok")
-                & F.col("extracted_text").isNotNull()
-                & (F.col("extracted_text") != "")
+        ok = ext.filter(
+            (F.col("status") == "ok")
+            & F.col("extracted_text").isNotNull()
+            & (F.col("extracted_text") != "")
+        )
+        if max_mojibake_per_kchar is not None:
+            from pyocr_spark.functions.text_stats import mojibake_signals
+
+            _, density = mojibake_signals(F.col("extracted_text"))
+            ok = ok.filter(density <= max_mojibake_per_kchar)
+        if max_secret_hits is not None:
+            from pyocr_spark.operators.secrets import secret_total_expr
+
+            ok = ok.filter(
+                secret_total_expr(F.col("extracted_text")) <= max_secret_hits
             )
+        gated = (
+            ok
             .select(
                 "url",
                 F.md5("extracted_text").alias("content_hash"),
