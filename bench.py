@@ -181,6 +181,46 @@ def main() -> None:
     timed("ngram_jaccard", lambda: ngram_jaccard_pairs(docs_ngram, threshold=0.5).count(), reps=2)
     timed("quality_score", lambda: noop_write(quality_score(docs_df)), reps=3)
 
+    # round-4 hygiene ops: credential scan + homoglyph spoof stats are
+    # narrow codegen passes (their walls bound the per-row regex cost);
+    # host shrinkage adds the host aggregate; leakage-safe split rides
+    # the minhash pair graph + components + narrow split
+    from pyocr_spark.functions.confusables import mixed_script_stats
+    from pyocr_spark.operators.hostquality import host_score_shrunk
+    from pyocr_spark.operators.sampling import leakage_safe_split
+    from pyocr_spark.operators.secrets import secret_scan
+
+    timed("secret_scan", lambda: noop_write(secret_scan(docs_df)), reps=3)
+    timed("script_spoof", lambda: noop_write(mixed_script_stats(docs_df)), reps=3)
+
+    def _host_shrunk():
+        scored = (
+            quality_score(docs_df)
+            .selectExpr(
+                "doc_id", "CAST(quality_score * 1000000 AS BIGINT) AS score_micro"
+            )
+            .join(
+                docs_df.selectExpr("doc_id", "concat('h', cast(doc_id % 97 as string)) AS host"),
+                "doc_id",
+            )
+        )
+        noop_write(host_score_shrunk(scored, prior_strength=20))
+
+    timed("host_quality_shrunk", _host_shrunk, reps=2)
+
+    def _leakage_split():
+        pairs = minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).select(
+            "left_id", "right_id"
+        )
+        noop_write(
+            leakage_safe_split(
+                docs_df.select("doc_id"), pairs,
+                {"train": 0.9, "valid": 0.1}, portable=False,
+            )
+        )
+
+    timed("leakage_split", _leakage_split, reps=2)
+
     # tokenizer training, production shape: ONE distributed word-freq
     # pass + in-memory heap loop — merge count is nearly free (500 here
     # vs the distributed loop's 1-Spark-job-per-merge), so this wall is
