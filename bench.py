@@ -94,6 +94,18 @@ def main() -> None:
     # allocator/page-cache growth for the big nested outputs
     noop_write(extract_df(pages.limit(1024), modes=ALL_MODES, dedup=False))
 
+    # host-phase control (round-4 verdict item 2): the no-framework
+    # multiprocessing ceiling measured immediately BEFORE and AFTER the
+    # suite, recorded in the output JSON — a recording taken in a
+    # co-tenant throttle window is then self-evident from the artifact
+    # itself (compare mp_ceiling_pre/post against BENCH/BASELINE.md's
+    # healthy range) instead of needing a separate re-measure session.
+    measure_ceiling = os.environ.get("SPARK_GRAFT_BENCH_CEILING", "1") != "0"
+    if measure_ceiling:
+        from scripts.scaling_bench import mp_ceiling
+
+        extras["mp_ceiling_pre"] = mp_ceiling(pages_path, CPUS)
+
     # Headline (north-star metric): docs/sec on the narrow extraction path —
     # scan → prune → one Arrow-batched UDF, no shuffle. File splits provide
     # the parallelism, exactly as a real crawl layout does at scale.
@@ -208,18 +220,34 @@ def main() -> None:
 
     timed("host_quality_shrunk", _host_shrunk, reps=2)
 
-    def _leakage_split():
-        pairs = minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).select(
+    # split the two stages so the suite's slowest wall is attributable
+    # (round-4 verdict item 4): (a) the MinHash-LSH pair graph — the
+    # dedup-pass cost — materialized once, (b) the split assembly itself
+    # (components + representative + narrow hash split) over the
+    # materialized pairs, which is what a production run re-pays per
+    # re-split while the pair graph is write-once
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _pairs_dir = os.path.join(_tempfile.mkdtemp(prefix="bench_leakage_"), "pairs")
+
+    def _leakage_pairs():
+        minhash_lsh_dedup(docs_df, jaccard_threshold=0.5).select(
             "left_id", "right_id"
-        )
+        ).write.mode("overwrite").parquet(_pairs_dir)
+
+    timed("leakage_pairs", _leakage_pairs, reps=2)
+
+    def _leakage_split():
         noop_write(
             leakage_safe_split(
-                docs_df.select("doc_id"), pairs,
+                docs_df.select("doc_id"), spark.read.parquet(_pairs_dir),
                 {"train": 0.9, "valid": 0.1}, portable=False,
             )
         )
 
     timed("leakage_split", _leakage_split, reps=2)
+    _shutil.rmtree(os.path.dirname(_pairs_dir), ignore_errors=True)
 
     # tokenizer training, production shape: ONE distributed word-freq
     # pass + in-memory heap loop — merge count is nearly free (500 here
@@ -584,6 +612,9 @@ def main() -> None:
     timed("events_hourly", lambda: entrymod._q_events_hourly(spark, SF_DIR).collect(), reps=3)
 
     spark.stop()
+
+    if measure_ceiling:
+        extras["mp_ceiling_post"] = mp_ceiling(pages_path, CPUS)
 
     total = round(sum(timings.values()), 3)
     print(

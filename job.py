@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from pyspark.sql import SparkSession
 
@@ -198,6 +199,12 @@ def parse_args(argv=None):
              "(streaming/corpus) writing an append-only clean corpus",
     )
     p.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="--stream: bound each micro-batch to N input files (smaller "
+             "batches = finer-grained recovery; also what the chaos test "
+             "uses to force many micro-batches)",
+    )
+    p.add_argument(
         "--checkpoint", default=None,
         help="--stream: checkpoint location (default: <output>_ckpt)",
     )
@@ -234,8 +241,38 @@ def main(argv=None) -> None:
             "'text' in --modes"
         )
 
-    spark = SparkSession.builder.appName("pyocr-spark-extract").getOrCreate()
+    # spark.driver.memory only takes effect when THIS process launches the
+    # JVM (plain `python job.py`); under spark-submit the driver JVM
+    # already exists, so the heap check below is the real guard
+    spark = (
+        SparkSession.builder.appName("pyocr-spark-extract")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    master = spark.sparkContext.master
+    if (
+        master.startswith("local")
+        and heap < (4 << 30)
+        and not os.environ.get("SPARK_GRAFT_ALLOW_SMALL_HEAP")
+    ):
+        # spark-submit's 1g default is a silent rc-52 JVM OOM at local[32]:
+        # in local mode the driver IS every executor, and skewed
+        # full-surface rows carry ~MB hOCR strings + box arrays each.
+        # Refuse early with the fix instead of dying mid-extraction.
+        raise SystemExit(
+            f"driver JVM heap is {heap / (1 << 30):.1f} GiB under "
+            f"master={master}: local mode runs every executor thread in "
+            "the driver JVM and the extract stage needs tens of GiB "
+            "(spark-submit's 1g default exits rc 52 mid-job). Pass "
+            "--driver-memory 48g to spark-submit (a builder conf cannot "
+            "resize an already-launched JVM), or set "
+            "SPARK_GRAFT_ALLOW_SMALL_HEAP=1 for a deliberately small run."
+        )
     if args.fresh:
         # delete output + lineage through the Hadoop FS API so --fresh
         # works on any filesystem (a local shutil.rmtree silently no-ops
@@ -245,7 +282,25 @@ def main(argv=None) -> None:
         hpath = jvm.org.apache.hadoop.fs.Path(args.output)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
+        # --corpus --resumable-extract stages into the sibling dir
+        # f"{output}_extract" (its own lineage table); leaving it behind
+        # would let a --fresh corpus re-run silently resume stale
+        # committed buckets — delete it with the output it belongs to
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{args.output}_extract"), True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
+    # input identity for the resume lineage: file listing of the input
+    # (metadata-only) + everything that gates which pages reach the
+    # extractor — a resume against a changed input/blocklist/robots is
+    # refused by completed_buckets instead of stitching mismatched buckets
+    from pyocr_spark.plans.resume import input_fingerprint
+
+    _fp_extra = {"table_format": args.table_format or None}
+    if args.blocklist:
+        _fp_extra["blocklist_fp"] = input_fingerprint(spark, args.blocklist)
+    if args.robots:
+        _fp_extra["robots_fp"] = input_fingerprint(spark, args.robots)
+        _fp_extra["robots_agent"] = args.robots_agent
+    input_fp = input_fingerprint(spark, args.input, _fp_extra)
     if args.blocklist:
         from pyspark.sql import functions as F
 
@@ -284,6 +339,7 @@ def main(argv=None) -> None:
             q = start_extract_stream(
                 spark, args.input, args.output, ckpt, modes=modes,
                 available_now=True,
+                max_files_per_trigger=args.max_files_per_trigger,
             )
         else:
             from pyocr_spark.streaming.corpus import start_corpus_stream
@@ -292,6 +348,7 @@ def main(argv=None) -> None:
                 spark, args.input, args.output,
                 args.state or f"{args.output}_state", ckpt,
                 min_tokens=args.min_tokens, available_now=True,
+                max_files_per_trigger=args.max_files_per_trigger,
                 max_mojibake_per_kchar=args.max_mojibake_per_kchar,
                 max_secret_hits=args.max_secret_hits,
             )
@@ -349,6 +406,7 @@ def main(argv=None) -> None:
                 psm=args.psm,
                 num_buckets=args.num_buckets,
                 buckets_per_wave=args.buckets_per_wave,
+                input_fp=input_fp,
             )
             print(json.dumps({"mode": "corpus_extract_stage", **{
                 k: report[k] for k in
@@ -404,6 +462,7 @@ def main(argv=None) -> None:
         psm=args.psm,
         num_buckets=args.num_buckets,
         buckets_per_wave=args.buckets_per_wave,
+        input_fp=input_fp,
     )
     if args.wet_output:
         from pyspark.sql import functions as F
@@ -451,7 +510,7 @@ def main(argv=None) -> None:
         mcol = mask_text_expr(F.col("extracted_text"))
         masked = ext.withColumn(
             "n_secrets_masked",
-            masked_count_expr(mcol, F.col("extracted_text").isNull()).cast("int"),
+            masked_count_expr(mcol, F.col("extracted_text")).cast("int"),
         ).withColumn("extracted_text", mcol)
         masked.write.mode("overwrite").parquet(args.masked_output)
         mdf = spark.read.parquet(args.masked_output)

@@ -216,6 +216,14 @@ def _empty_result(status: str, error: str | None) -> dict:
     return out
 
 
+def oversize_result(n_bytes: int) -> dict:
+    """The row the in-kernel size guard produces, for callers that
+    pre-empt it JVM-side (plans/pipeline blanks giant html before the
+    Arrow batch and passes the original length through) — one message
+    format wherever the row errors."""
+    return _empty_result("error", f"html too large: {n_bytes} bytes")
+
+
 def extract_page(
     html: bytes | str | None,
     lang: str | None,

@@ -83,11 +83,23 @@ def make_extract_fn(
     out_cols = _columns_for(modes)
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyocr_spark.core.oracle import oversize_result
+
         for pdf in batches:
             langs = pdf["lang"] if "lang" in pdf.columns else [None] * len(pdf)
+            # JVM-side size routing (plans/pipeline): blanked html + the
+            # original length in oversize_bytes → pre-empt with the same
+            # error row the in-kernel guard emits, no page bytes shipped
+            overs = (
+                pdf["oversize_bytes"]
+                if "oversize_bytes" in pdf.columns
+                else [None] * len(pdf)
+            )
             results = [
-                extract_page(html, lang, psm=psm, modes=modes)
-                for html, lang in zip(pdf["html"], langs)
+                oversize_result(int(ob))
+                if ob is not None and not pd.isna(ob)
+                else extract_page(html, lang, psm=psm, modes=modes)
+                for html, lang, ob in zip(pdf["html"], langs, overs)
             ]
             out = pd.DataFrame(
                 {
@@ -196,6 +208,19 @@ def make_extract_arrow_fn(
             else:
                 langs = [None] * rb.num_rows
             cols, m = extract_batch(htmls, langs, modes=modes, psm=psm)
+            # JVM-side size routing (plans/pipeline): a blanked-html row
+            # already errored as 'null html' inside extract_batch — patch
+            # in the in-kernel guard's message with the ORIGINAL length so
+            # the output is identical to the unblanked path (the giant
+            # page itself never rode the Arrow batch)
+            if "oversize_bytes" in names:
+                overs = rb.column(names.index("oversize_bytes")).to_pylist()
+                if any(o is not None for o in overs):
+                    err = cols["error"].to_pylist()
+                    for i, o in enumerate(overs):
+                        if o is not None:
+                            err[i] = f"html too large: {int(o)} bytes"
+                    cols["error"] = pa.array(err, type=pa.string())
             if metrics is not None:
                 metrics.add(**m)
             arrays = [rb.column(names.index(p)) for p in pass_names]

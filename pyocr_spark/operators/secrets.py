@@ -90,14 +90,23 @@ def mask_text_expr(col):
     return masked
 
 
-def masked_count_expr(masked_col, was_null):
-    """Placeholders present in an already-masked column — the number of
-    secrets actually neutralized (≤ the raw scan total under overlap).
-    ``was_null`` guards the NULL-text row to 0."""
+def masked_count_expr(masked_col, raw_col):
+    """Number of secrets actually NEUTRALIZED: placeholder occurrences in
+    the masked column minus placeholder literals already present in the
+    raw text. Prose *about* masking (a literal ``<JWT>`` in a doc) must
+    not count as a neutralized secret — placeholders contain ``<``/``>``
+    which no detector alphabet includes, so pre-existing literals survive
+    masking unchanged and the difference is exactly the number of
+    replacements made (≤ the raw scan total under overlap). NULL raw
+    text → 0."""
     # placeholders are regex-literal ([A-Z_<>] only) — safe to union
-    placeholder = "|".join(repl for _k, _p, repl in SECRET_PATTERNS)
-    return F.when(was_null, F.lit(0)).otherwise(
-        F.size(F.regexp_extract_all(masked_col, F.lit(placeholder), F.lit(0)))
+    placeholder = F.lit("|".join(repl for _k, _p, repl in SECRET_PATTERNS))
+
+    def n(c):
+        return F.size(F.regexp_extract_all(c, placeholder, F.lit(0)))
+
+    return F.when(raw_col.isNull(), F.lit(0)).otherwise(
+        n(masked_col) - n(raw_col)
     )
 
 
@@ -110,13 +119,14 @@ def mask_secrets(
     span cannot re-match a later detector because placeholders contain
     no detector alphabet runs of sufficient length).
 
-    n_masked counts the placeholders actually present AFTER masking (=
-    matches the replacement consumed), which under overlap can be less
-    than the raw scan total — the honest number for "how many secrets
-    did we neutralize". NULL text stays NULL with n_masked 0.
+    n_masked counts the placeholders masking ADDED (present after −
+    present before), which under overlap can be less than the raw scan
+    total and ignores placeholder literals the raw text already carried —
+    the honest number for "how many secrets did we neutralize". NULL text
+    stays NULL with n_masked 0.
     """
     masked = mask_text_expr(F.col(text_col))
-    n = masked_count_expr(masked, F.col(text_col).isNull())
+    n = masked_count_expr(masked, F.col(text_col))
     return docs.select(
         F.col(id_col),
         masked.alias("text_masked"),
@@ -132,10 +142,12 @@ def secret_gate(
 ) -> DataFrame:
     """Rows whose detector total is ≤ ``max_secrets`` (default: drop any
     document containing a detected credential — the conservative corpus
-    default; masking is the recall-preserving alternative)."""
-    scan = secret_scan(docs, text_col, id_col).select(id_col, "n_secrets")
-    return (
-        docs.join(scan, id_col)
-        .filter(F.col("n_secrets") <= max_secrets)
-        .drop("n_secrets")
-    )
+    default; masking is the recall-preserving alternative).
+
+    A NARROW filter — the same zero-shuffle, whole-stage-codegen shape
+    plans/corpus.py inlines — never a scan+self-join (which would add an
+    Exchange and silently multiply rows on a non-unique ``id_col``).
+    ``id_col`` is kept for signature compatibility; the gate never
+    touches it."""
+    del id_col  # narrow filter: no join key needed
+    return docs.filter(secret_total_expr(F.col(text_col)) <= max_secrets)

@@ -224,12 +224,16 @@ def corpus_attrition(
     :func:`build_training_corpus` (same params → the final stage equals
     its row count).
 
-    Stages: 0 pages → 1 latest-per-url → 2 extracted ok/nonempty →
-    [3 soft-404 gate] → [4 truncation gate] → [5 mojibake gate] →
-    [6 secret gate] → [7 line-dedup nonempty] → [8 repetition gate] →
-    9 token gate → 10 content dedup → 11 sample (bracketed stages only
-    when enabled; disabled stages still emit a row, carrying the
-    previous count, so the report schema is configuration-independent).
+    Stages: 0 pages → 1 latest-per-url → 2 size-cap ok (urls whose kept
+    crawl has html under the kernel's MAX_HTML_BYTES — oversize pages
+    are ROUTED to the error column by the extract stage, so this row
+    makes that attrition visible instead of burying it in extracted_ok)
+    → 3 extracted ok/nonempty → [4 soft-404 gate] → [5 truncation gate]
+    → [6 mojibake gate] → [7 secret gate] → [8 line-dedup nonempty] →
+    [9 repetition gate] → 10 token gate → 11 content dedup → 12 sample
+    (bracketed stages only when enabled; disabled stages still emit a
+    row, carrying the previous count, so the report schema is
+    configuration-independent).
 
     Cost: a report, not a pipeline stage — it persists the extraction
     once and pays one count per stage over cached intermediates. Run it
@@ -242,6 +246,21 @@ def corpus_attrition(
     cached = []
     rows.append((0, "pages", pages.count()))
     rows.append((1, "latest_per_url", pages.select("url").distinct().count()))
+    # size-cap visibility: the extract stage ROUTES oversize pages to the
+    # error column (plans/pipeline max_html_bytes); this row counts the
+    # urls whose kept (latest non-null-html) crawl is under the kernel
+    # cap, so "how many documents did the size cap cost" is answerable
+    # from the funnel instead of hidden inside extracted_ok
+    from pyocr_spark.core.oracle import MAX_HTML_BYTES
+    from pyocr_spark.operators.dedup import dedup_latest_page
+    from pyocr_spark.sources.pages import with_page_filters
+
+    size_ok = (
+        dedup_latest_page(with_page_filters(pages))
+        .filter(F.length("html") <= MAX_HTML_BYTES)
+        .count()
+    )
+    rows.append((2, "size_cap_ok", size_ok))
     ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
     ok = ext.filter(
         (F.col("status") == "ok")
@@ -249,7 +268,7 @@ def corpus_attrition(
         & (F.col("extracted_text") != "")
     ).select("url", "extracted_text").persist()
     cached.append(ok)
-    rows.append((2, "extracted_ok", ok.count()))
+    rows.append((3, "extracted_ok", ok.count()))
     cur = ok
     if drop_soft404:
         from pyocr_spark.functions.dom import extract_metadata
@@ -264,9 +283,9 @@ def corpus_attrition(
         )
         cur = cur.join(bad, "url", "left_anti").persist()
         cached.append(cur)
-        rows.append((3, "soft404_gate", cur.count()))
+        rows.append((4, "soft404_gate", cur.count()))
     else:
-        rows.append((3, "soft404_gate", rows[-1][2]))
+        rows.append((4, "soft404_gate", rows[-1][2]))
     if drop_truncated:
         from pyocr_spark.functions.extract import fetch_quality_df
         from pyocr_spark.operators.dedup import dedup_latest_page
@@ -278,26 +297,26 @@ def corpus_attrition(
         )
         cur = cur.join(cut, "url", "left_anti").persist()
         cached.append(cur)
-        rows.append((4, "truncation_gate", cur.count()))
+        rows.append((5, "truncation_gate", cur.count()))
     else:
-        rows.append((4, "truncation_gate", rows[-1][2]))
+        rows.append((5, "truncation_gate", rows[-1][2]))
     if max_mojibake_per_kchar is not None:
         from pyocr_spark.functions.text_stats import mojibake_signals
 
         _, density = mojibake_signals(F.col("extracted_text"))
         cur = cur.filter(density <= max_mojibake_per_kchar)
-        rows.append((5, "mojibake_gate", cur.count()))
+        rows.append((6, "mojibake_gate", cur.count()))
     else:
-        rows.append((5, "mojibake_gate", rows[-1][2]))
+        rows.append((6, "mojibake_gate", rows[-1][2]))
     if max_secret_hits is not None:
         from pyocr_spark.operators.secrets import secret_total_expr
 
         cur = cur.filter(
             secret_total_expr(F.col("extracted_text")) <= max_secret_hits
         )
-        rows.append((6, "secret_gate", cur.count()))
+        rows.append((7, "secret_gate", cur.count()))
     else:
-        rows.append((6, "secret_gate", rows[-1][2]))
+        rows.append((7, "secret_gate", rows[-1][2]))
     if line_dedup_docfreq is not None:
         from pyocr_spark.operators.linededup import line_dedup
 
@@ -314,23 +333,23 @@ def corpus_attrition(
             .persist()
         )
         cached.append(cur)
-        rows.append((7, "line_dedup_nonempty", cur.count()))
+        rows.append((8, "line_dedup_nonempty", cur.count()))
     else:
-        rows.append((7, "line_dedup_nonempty", rows[-1][2]))
+        rows.append((8, "line_dedup_nonempty", rows[-1][2]))
     if max_dup_token_frac is not None:
         t = ws_tokens(F.col("extracted_text"))
         dup_frac = (F.size(t) - F.size(F.array_distinct(t))) / F.size(t)
         cur = cur.filter(dup_frac <= max_dup_token_frac)
-        rows.append((8, "repetition_gate", cur.count()))
+        rows.append((9, "repetition_gate", cur.count()))
     else:
-        rows.append((8, "repetition_gate", rows[-1][2]))
+        rows.append((9, "repetition_gate", rows[-1][2]))
     gated = cur.select(
         "url",
         F.md5("extracted_text").alias("content_hash"),
         token_count(F.col("extracted_text")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens).persist()
     cached.append(gated)
-    rows.append((9, "token_gate", gated.count()))
+    rows.append((10, "token_gate", gated.count()))
     w = Window.partitionBy("content_hash").orderBy("url")
     ded = (
         gated.withColumn("_rn", F.row_number().over(w))
@@ -339,9 +358,9 @@ def corpus_attrition(
         .persist()
     )
     cached.append(ded)
-    rows.append((10, "content_dedup", ded.count()))
+    rows.append((11, "content_dedup", ded.count()))
     sampled = hash_sample(ded, sample_fraction, "url", portable=portable_sample)
-    rows.append((11, "sampled", sampled.count()))
+    rows.append((12, "sampled", sampled.count()))
     for df in cached:
         df.unpersist()
     spark = pages.sparkSession

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyocr_spark.core.oracle import ALL_MODES
+from pyocr_spark.core.oracle import ALL_MODES, MAX_HTML_BYTES
 from pyocr_spark.functions.extract import make_extract_fn, output_schema_ddl
 from pyocr_spark.operators.dedup import dedup_latest_page
 from pyocr_spark.operators.repartition import DEFAULT_BUCKETS, salted_repartition, with_bucket
@@ -32,6 +32,7 @@ def extract_df(
     num_buckets: int = DEFAULT_BUCKETS,
     use_arrow: bool = True,
     keep_ts: bool = False,
+    max_html_bytes: int | None = MAX_HTML_BYTES,
 ) -> DataFrame:
     """pages DataFrame → extraction output DataFrame (lazy; no action).
 
@@ -44,6 +45,16 @@ def extract_df(
     downstream keep-latest reconciliation needs when this plan runs
     per micro-batch (streaming at-least-once → exactly-the-batch-result
     after the warc_ts dedup; see streaming/stream.py).
+
+    ``max_html_bytes`` (default: the kernel's MAX_HTML_BYTES cap) routes
+    oversize pages to the per-row error column JVM-SIDE (SURVEY.md
+    §7.4.3): the html is blanked in a narrow projection BEFORE the UDF,
+    so a 100 MB page never enters an Arrow batch (the batch-size bound
+    holds regardless of the page-size tail), and the row still lands in
+    the output as status='error' with the kernel's exact "html too
+    large" message — visible in attrition, never silently dropped.
+    ``None`` disables the JVM-side routing (the in-kernel guard still
+    applies, but the blob then rides the Arrow batch).
     """
     df = with_page_filters(pages)
     if dedup:
@@ -54,6 +65,19 @@ def extract_df(
     if keep_bucket:
         df = with_bucket(df, num_buckets)
         cols.append("bucket")
+    if max_html_bytes is not None:
+        # F.length = chars for string html, bytes for binary — exactly
+        # the kernel guard's len(html), so the error message (and the
+        # byte-identity contract) is unchanged by where the row errors
+        blen = F.length("html")
+        df = df.withColumn(
+            "oversize_bytes",
+            F.when(blen > F.lit(max_html_bytes), blen).cast("long"),
+        ).withColumn(
+            "html",
+            F.when(F.col("oversize_bytes").isNull(), F.col("html")),
+        )
+        cols.append("oversize_bytes")
     df = df.select(*cols)
     # repartition_to=None → NO shuffle: the map stage parallelizes on file
     # splits, which real crawl layouts provide in the thousands. Salting is

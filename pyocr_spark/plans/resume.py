@@ -39,12 +39,53 @@ from pyocr_spark.plans.pipeline import extract_df
 
 LINEAGE_SCHEMA = (
     "bucket int, status string, rows long, run_id string, finished_at double, "
-    "num_buckets int, modes string, psm int"
+    "num_buckets int, modes string, psm int, input_fp string"
 )
 
 
 def _lineage_path(output_location: str) -> str:
     return os.path.join(output_location, "_lineage")
+
+
+def input_fingerprint(spark: SparkSession, location: str, extra: dict | None = None) -> str:
+    """Stable fingerprint of a job's INPUT identity, recorded in lineage so
+    a resume against a *different* input (new crawl dropped at the same
+    path, changed blocklist/robots) is refused instead of silently reusing
+    buckets extracted from the old data.
+
+    Fingerprints the Hadoop FS file listing — (path, length, mtime) per
+    data file — plus any ``extra`` params that shape the input (blocklist
+    fingerprint, robots path, agent). A listing is metadata-only (no data
+    scan) and catches file replacement at 10^12-row scale for the cost of
+    a NameNode/manifest listing; for an Iceberg table name (no FS path)
+    it degrades to the name + extras, where the snapshot id in ``extra``
+    is the right upgrade on a real catalog.
+    """
+    import hashlib
+    import json
+
+    entries: list[tuple[str, int, int]] = []
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(location)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith(("_", ".")):  # _SUCCESS, checksums, hidden
+                continue
+            entries.append((p, int(st.getLen()), int(st.getModificationTime())))
+    except Exception:
+        # not a listable FS path (catalog table name) — identity is the
+        # name + extras only
+        entries = []
+    payload = json.dumps(
+        {"location": location, "files": sorted(entries), "extra": extra or {}},
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:32]
 
 
 def completed_buckets(
@@ -53,18 +94,22 @@ def completed_buckets(
     num_buckets: int | None = None,
     modes_str: str | None = None,
     psm: int | None = None,
+    input_fp: str | None = None,
 ) -> list[int]:
     """Bucket ids recorded 'done' in the lineage table.
 
     Only a MISSING lineage table reads as "first run" — a real storage
     error (corrupt footer, transient FS failure) propagates, because
     silently returning [] would re-extract a mostly-complete job.
-    ``num_buckets``/``modes_str``/``psm`` (when given) are validated
-    against the recorded scheme: bucket ids do not transfer between
-    bucket counts, and resuming with DIFFERENT extraction parameters
+    ``num_buckets``/``modes_str``/``psm``/``input_fp`` (when given) are
+    validated against the recorded scheme: bucket ids do not transfer
+    between bucket counts, resuming with DIFFERENT extraction parameters
     would leave the already-done bucket partitions with a different
     schema/content than the remainder — a silently half-converted output
-    table.
+    table — and resuming against a CHANGED input (``input_fp`` mismatch)
+    would stitch old-crawl buckets onto new-crawl buckets with no error.
+    Lineage written before the ``input_fp`` column existed reads as NULL
+    and is accepted (cannot be validated retroactively).
     """
     from pyspark.errors import AnalysisException
 
@@ -74,7 +119,7 @@ def completed_buckets(
             spark.read.schema(LINEAGE_SCHEMA)
             .parquet(path)
             .filter("status = 'done'")
-            .select("bucket", "num_buckets", "modes", "psm")
+            .select("bucket", "num_buckets", "modes", "psm", "input_fp")
             .distinct()
             .collect()
         )
@@ -93,6 +138,7 @@ def completed_buckets(
     _check("num_buckets", num_buckets, {r.num_buckets for r in rows if r.num_buckets is not None})
     _check("modes", modes_str, {r.modes for r in rows if r.modes is not None})
     _check("psm", psm, {r.psm for r in rows if r.psm is not None})
+    _check("input_fp", input_fp, {r.input_fp for r in rows if r.input_fp is not None})
     return sorted({r.bucket for r in rows})
 
 
@@ -105,6 +151,7 @@ def run_resumable_extract(
     num_buckets: int = DEFAULT_BUCKETS,
     buckets_per_wave: int | None = None,
     fail_after_waves: int | None = None,
+    input_fp: str | None = None,
 ) -> dict:
     """Extract with per-bucket checkpointing; safe to re-run after a crash.
 
@@ -112,6 +159,10 @@ def run_resumable_extract(
     (each wave commits its buckets' output + lineage atomically-enough:
     output first, lineage last, so a crash between the two re-does that
     wave idempotently). ``fail_after_waves`` injects a crash for tests.
+    ``input_fp`` (see :func:`input_fingerprint`) is recorded per lineage
+    row; a resume whose fingerprint differs from the recorded one is
+    REFUSED — committed buckets extracted from a different input cannot
+    be stitched onto this run's output.
     """
     from pyocr_spark.operators.dedup import dedup_latest_page
     from pyocr_spark.operators.repartition import with_bucket
@@ -125,7 +176,8 @@ def run_resumable_extract(
     modes_str = ",".join(sorted(modes))
     metrics = StageMetrics(spark, f"extract-resume-{run_id}")
     done = completed_buckets(
-        spark, output_location, num_buckets=num_buckets, modes_str=modes_str, psm=psm
+        spark, output_location, num_buckets=num_buckets, modes_str=modes_str,
+        psm=psm, input_fp=input_fp,
     )
     # bucket is computed BEFORE the UDF so a wave's bucket filter prunes the
     # extraction itself (filtering the UDF's output would re-extract every
@@ -164,7 +216,8 @@ def run_resumable_extract(
         write_output(wave_df, output_location, partition_by=["bucket"], mode="overwrite")
         lineage = spark.createDataFrame(
             [
-                (b, "done", -1, run_id, time.time(), num_buckets, modes_str, psm)
+                (b, "done", -1, run_id, time.time(), num_buckets, modes_str,
+                 psm, input_fp)
                 for b in wave
             ],
             schema=LINEAGE_SCHEMA,

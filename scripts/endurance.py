@@ -37,6 +37,7 @@ CORPUS_FLAGS = [
     "--drop-soft404",
     "--max-mojibake-per-kchar", "10",
     "--drop-truncated",
+    "--max-secret-hits", "0",
     "--split", "train=0.9,val=0.1",
     "--num-buckets", "64",
     "--buckets-per-wave", "8",

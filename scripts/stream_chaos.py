@@ -1,0 +1,235 @@
+"""Streaming chaos test (round-4 verdict item 8): SIGKILL the streaming
+corpus job mid-micro-batch, restart the same command, and assert the
+checkpoint-recovered output is byte-identical to an uninterrupted
+control run — the streaming leg of the batch endurance proof
+(scripts/endurance.py).
+
+Both runs ship as the north rule says (`spark-submit --py-files
+dist/pyocr_spark.zip job.py --stream corpus …`) over the same multi-file
+input with --max-files-per-trigger bounding each micro-batch, so the
+kill lands between (or inside) real micro-batch commits and recovery is
+exercised through the Structured Streaming checkpoint + the digest-state
+delta discipline (streaming/corpus: a replayed batch whose delta
+committed is a no-op; a replay before the delta re-derives identical
+bytes).
+
+Also cross-checks the recovered stream's digest set against the BATCH
+corpus pipeline at the same gates (content-dedup semantics agree at the
+digest level; url choice within a digest group is batch-boundary
+dependent by design, so the byte-level gate is stream-vs-stream).
+
+Usage: python scripts/stream_chaos.py [--files 24] [--files-per-trigger 2]
+                                      [--kill-after-batches 4]
+Writes BENCH/STREAM_CHAOS_r5.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STREAM_FLAGS = ["--stream", "corpus", "--min-tokens", "20", "--max-secret-hits", "0"]
+
+
+def _spark_submit(inp: str, out: str, extra: list[str]) -> list[str]:
+    submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or "/usr/bin/pyspark"),
+        "spark-submit",
+    )
+    return [
+        submit,
+        "--master", "local[16]",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "--conf", "spark.sql.shuffle.partitions=16",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", os.path.join(REPO, "dist", "pyocr_spark.zip"),
+        os.path.join(REPO, "job.py"),
+        "--input", inp,
+        "--output", out,
+        *extra,
+    ]
+
+
+def _batches_done(out: str) -> int:
+    return len(glob.glob(os.path.join(out, "batch_id=*", "_SUCCESS")))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=24)
+    ap.add_argument("--files-per-trigger", type=int, default=2)
+    ap.add_argument("--kill-after-batches", type=int, default=4)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--workdir", default="/tmp/stream_chaos_r5")
+    ap.add_argument(
+        "--out-md", default=os.path.join(REPO, "BENCH", "STREAM_CHAOS_r5.md")
+    )
+    args = ap.parse_args()
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        check=True, cwd=REPO,
+    )
+
+    # deterministic multi-file input: the sf pages table re-laid-out as
+    # --files parquet files (file-count = micro-batch granularity)
+    from pyocr_spark.datagen import ensure_pages
+    from pyocr_spark.sources.pages import read_pages
+    from pyocr_spark.sources.session import build_session
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir)
+    inp = os.path.join(args.workdir, "pages_in")
+    pages_dir = ensure_pages(args.sf_dir)
+    prep = build_session(
+        master="local[8]", app_name="stream-chaos-prep", shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    read_pages(prep, str(pages_dir / "pages.parquet")).repartition(
+        args.files
+    ).write.parquet(inp)
+    n_pages = prep.read.parquet(inp).count()
+    prep.stop()
+
+    def stream_cmd(out: str) -> list[str]:
+        return _spark_submit(
+            inp, out,
+            STREAM_FLAGS
+            + ["--max-files-per-trigger", str(args.files_per_trigger),
+               "--state", out + "_state", "--checkpoint", out + "_ckpt"],
+        )
+
+    # --- run A: uninterrupted control stream ---
+    out_a = os.path.join(args.workdir, "control")
+    t0 = time.monotonic()
+    pa = subprocess.run(stream_cmd(out_a), capture_output=True, text=True)
+    wall_a = round(time.monotonic() - t0, 1)
+    if pa.returncode != 0:
+        sys.exit(f"control stream failed rc={pa.returncode}\n{pa.stderr[-3000:]}")
+    batches_a = _batches_done(out_a)
+    print(f"[control] {wall_a}s, {batches_a} micro-batches", flush=True)
+
+    # --- run B: SIGKILL mid-stream, restart the same command ---
+    out_b = os.path.join(args.workdir, "killed")
+    t0 = time.monotonic()
+    pb = subprocess.Popen(
+        stream_cmd(out_b),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    killed_at = None
+    while pb.poll() is None:
+        done = _batches_done(out_b)
+        if done >= args.kill_after_batches:
+            # small delay so the NEXT micro-batch is in flight — the kill
+            # lands mid-batch, not politely between commits
+            time.sleep(1.0)
+            os.killpg(os.getpgid(pb.pid), signal.SIGKILL)
+            killed_at = _batches_done(out_b)
+            break
+        time.sleep(0.5)
+    pb.wait()
+    wall_b1 = round(time.monotonic() - t0, 1)
+    if killed_at is None:
+        sys.exit("stream drained before the kill threshold — lower --kill-after-batches")
+    print(f"[killed] after {killed_at} committed micro-batches at {wall_b1}s", flush=True)
+
+    t0 = time.monotonic()
+    pb2 = subprocess.run(stream_cmd(out_b), capture_output=True, text=True)
+    wall_b2 = round(time.monotonic() - t0, 1)
+    if pb2.returncode != 0:
+        sys.exit(f"recovery stream failed rc={pb2.returncode}\n{pb2.stderr[-3000:]}")
+    batches_b = _batches_done(out_b)
+    print(f"[recovered] {wall_b2}s, {batches_b} total micro-batches", flush=True)
+
+    # --- compare: recovered ≡ control, byte-identical rows (order-free) ---
+    import duckdb
+
+    cols = "url, content_hash, n_tokens"
+    n_a, n_b, amb, bma = duckdb.sql(
+        f"""
+        SELECT
+          (SELECT count(*) FROM read_parquet('{out_a}/batch_id=*/*.parquet')) AS n_a,
+          (SELECT count(*) FROM read_parquet('{out_b}/batch_id=*/*.parquet')) AS n_b,
+          (SELECT count(*) FROM
+            (SELECT {cols} FROM read_parquet('{out_a}/batch_id=*/*.parquet')
+             EXCEPT SELECT {cols} FROM read_parquet('{out_b}/batch_id=*/*.parquet'))),
+          (SELECT count(*) FROM
+            (SELECT {cols} FROM read_parquet('{out_b}/batch_id=*/*.parquet')
+             EXCEPT SELECT {cols} FROM read_parquet('{out_a}/batch_id=*/*.parquet')))
+        """
+    ).fetchone()
+    identical = n_a == n_b and amb == 0 and bma == 0
+
+    # --- cross-check: digest set ≡ the batch pipeline at the same gates ---
+    out_c = os.path.join(args.workdir, "batch")
+    pc = subprocess.run(
+        _spark_submit(
+            inp, out_c,
+            ["--corpus", "--min-tokens", "20", "--max-secret-hits", "0",
+             "--sample-fraction", "1.0"],
+        ),
+        capture_output=True, text=True,
+    )
+    if pc.returncode != 0:
+        sys.exit(f"batch corpus failed rc={pc.returncode}\n{pc.stderr[-3000:]}")
+    d_sb, d_bs = duckdb.sql(
+        f"""
+        SELECT
+          (SELECT count(*) FROM
+            (SELECT content_hash FROM read_parquet('{out_b}/batch_id=*/*.parquet')
+             EXCEPT SELECT content_hash FROM read_parquet('{out_c}/*.parquet'))),
+          (SELECT count(*) FROM
+            (SELECT content_hash FROM read_parquet('{out_c}/*.parquet')
+             EXCEPT SELECT content_hash FROM read_parquet('{out_b}/batch_id=*/*.parquet')))
+        """
+    ).fetchone()
+    digests_match = d_sb == 0 and d_bs == 0
+
+    md = f"""# Streaming chaos test — round 5 ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})
+
+Streaming corpus job (`job.py --stream corpus --min-tokens 20
+--max-secret-hits 0 --max-files-per-trigger {args.files_per_trigger}`) over the
+{args.sf_dir} pages table re-laid-out as {args.files} files
+({n_pages:,} pages), via `spark-submit --py-files dist/pyocr_spark.zip`.
+The chaos run is SIGKILLed (whole process group, 1 s AFTER the
+{args.kill_after_batches}th micro-batch commit — i.e. with the next batch in
+flight), then the identical command is re-run and recovers through the
+Structured Streaming checkpoint + digest-state deltas.
+
+| run | wall | micro-batches | outcome |
+|---|---|---|---|
+| control (uninterrupted) | {wall_a} s | {batches_a} | {n_a} corpus rows |
+| chaos (SIGKILL mid-batch) | {wall_b1} s | {killed_at} committed at kill | — |
+| recovered (same command) | {wall_b2} s | {batches_b} total | {n_b} corpus rows |
+
+**Recovered ≡ control (order-free, both directions, url+content_hash+n_tokens):**
+control−recovered = {amb}, recovered−control = {bma} →
+**{"IDENTICAL — PASS" if identical else "MISMATCH — FAIL"}**.
+
+**Recovered stream ≡ batch pipeline at the digest level** (same token +
+secret gates, sample 1.0; url choice within a digest group is
+batch-boundary dependent by design): stream−batch = {d_sb},
+batch−stream = {d_bs} → **{"MATCH — PASS" if digests_match else "MISMATCH — FAIL"}**.
+"""
+    os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
+    with open(args.out_md, "w") as f:
+        f.write(md)
+    print(md)
+    if not (identical and digests_match):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,3 +68,52 @@ def test_corpus_extracted_requires_status_column(spark, pages_sf0001, tmp_path):
     bogus = pages.select("url")
     with pytest.raises(Exception):
         build_training_corpus(pages, extracted=bogus).collect()
+
+
+def test_job_fresh_clears_extract_sibling_and_input_change_refused(
+    spark, pages_sf0001, tmp_path, capsys, monkeypatch
+):
+    """The round-4 ADVICE medium: --corpus --resumable-extract stages into
+    f"{output}_extract"; a changed input at the same path must REFUSE to
+    resume (input_fp lineage mismatch), and --fresh must delete the
+    sibling too — a fresh run re-executes every bucket instead of
+    silently reusing stale committed ones."""
+    import json
+    import shutil
+
+    import job
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def _extract_stage():
+        lines = [
+            json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        return [ln for ln in lines if ln.get("mode") == "corpus_extract_stage"][0]
+
+    src = tmp_path / "pages"
+    shutil.copytree(str(pages_sf0001 / "pages.parquet"), str(src))
+    out = str(tmp_path / "corpus")
+    argv = [
+        "--input", str(src), "--output", out,
+        "--corpus", "--resumable-extract", "--num-buckets", "4",
+    ]
+    job.main(argv)
+    first = _extract_stage()
+    assert first["buckets_executed"] == 4
+
+    # change the input AT THE SAME PATH (new file → new listing →
+    # new fingerprint): a bare re-run must refuse to resume
+    part = next(p for p in src.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(str(part), str(src / "part-extra.parquet"))
+    with pytest.raises(ValueError, match="input_fp"):
+        job.main(argv)
+    capsys.readouterr()
+
+    # --fresh: output AND the _extract sibling are deleted → full re-run
+    job.main(argv + ["--fresh"])
+    fresh = _extract_stage()
+    assert fresh["resumed_buckets_skipped"] == 0
+    assert fresh["buckets_executed"] == 4

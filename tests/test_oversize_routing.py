@@ -1,0 +1,143 @@
+"""Oversize-page routing (SURVEY.md §7.4.3 risk 3): a giant page lands in
+the extraction output as an error ROW carrying the kernel's exact "html
+too large" message — never silently dropped — and its bytes are blanked
+JVM-SIDE before the Arrow batch, so the batch-size bound holds no matter
+the page-size tail."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+OK_HTML = b"<html><body><p>hello world over here</p></body></html>"
+
+
+def test_pandas_udf_preempts_blanked_rows():
+    """make_extract_fn: a row with blanked html + oversize_bytes set is
+    pre-empted with the in-kernel guard's message — extract_page never
+    runs for it."""
+    from pyocr_spark.functions.extract import make_extract_fn
+
+    fn = make_extract_fn(modes=frozenset({"text"}))
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2"],
+            "html": [OK_HTML, None],
+            "lang": [None, None],
+            "oversize_bytes": [None, 123456789],
+        }
+    )
+    out = pd.concat(list(fn(iter([pdf]))))
+    by_url = out.set_index("url")
+    assert by_url.loc["u1", "status"] == "ok"
+    assert by_url.loc["u2", "status"] == "error"
+    assert by_url.loc["u2", "error"] == "html too large: 123456789 bytes"
+
+
+def test_arrow_udf_preempts_blanked_rows():
+    import pyarrow as pa
+
+    from pyocr_spark.functions.extract import make_extract_arrow_fn
+
+    fn = make_extract_arrow_fn(modes=frozenset({"text"}))
+    rb = pa.RecordBatch.from_pydict(
+        {
+            "url": pa.array(["u1", "u2"], type=pa.string()),
+            "html": pa.array([OK_HTML, None], type=pa.binary()),
+            "lang": pa.array([None, None], type=pa.string()),
+            "oversize_bytes": pa.array([None, 123], type=pa.int64()),
+        }
+    )
+    (out,) = list(fn(iter([rb])))
+    rows = {
+        u: (s, e)
+        for u, s, e in zip(
+            out.column(out.schema.get_field_index("url")).to_pylist(),
+            out.column(out.schema.get_field_index("status")).to_pylist(),
+            out.column(out.schema.get_field_index("error")).to_pylist(),
+        )
+    }
+    assert rows["u1"][0] == "ok"
+    assert rows["u2"] == ("error", "html too large: 123 bytes")
+
+
+def test_oversize_routed_not_dropped(spark):
+    """e2e through extract_df: the oversize row is IN the output (error
+    column), the blanking projection is in the plan before the Python
+    stage, and arrow ≡ pandas on the routed row."""
+    from pyocr_spark.plans.pipeline import extract_df
+
+    big = b"<html><body>" + b"x" * 5000 + b"</body></html>"
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/ok", TS, OK_HTML, None, None),
+            ("http://a.example/big", TS, big, None, None),
+        ],
+        PAGES_DDL,
+    )
+    for use_arrow in (True, False):
+        out = {
+            r["url"]: r
+            for r in extract_df(
+                df,
+                modes=frozenset({"text"}),
+                max_html_bytes=1000,
+                use_arrow=use_arrow,
+            ).collect()
+        }
+        assert out["http://a.example/ok"]["status"] == "ok", use_arrow
+        r = out["http://a.example/big"]
+        assert r["status"] == "error", use_arrow
+        assert r["error"] == f"html too large: {len(big)} bytes", use_arrow
+        assert r["extracted_text"] is None, use_arrow
+    # the blanking happens JVM-side: the UDF's input projection carries
+    # oversize_bytes and the html CASE — giant blobs never enter Arrow
+    plan = (
+        extract_df(df, modes=frozenset({"text"}), max_html_bytes=1000)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "oversize_bytes" in plan
+
+
+def test_100mb_page_stress(spark):
+    """One 100 MB page at the production default cap (64 MiB): the job
+    completes with the row routed to the error column — the Arrow batch
+    bound holds because the blob is blanked before the batch."""
+    from pyocr_spark.plans.pipeline import extract_df
+
+    giant = b"<html><body>" + b"y" * (100 * 1024 * 1024) + b"</body></html>"
+    df = spark.createDataFrame(
+        [
+            ("http://big.example/100mb", TS, giant, None, None),
+            ("http://big.example/ok", TS, OK_HTML, None, None),
+        ],
+        PAGES_DDL,
+    )
+    out = {r["url"]: r for r in extract_df(df, modes=frozenset({"text"})).collect()}
+    assert len(out) == 2  # routed, not dropped
+    r = out["http://big.example/100mb"]
+    assert r["status"] == "error"
+    assert r["error"] == f"html too large: {len(giant)} bytes"
+    assert out["http://big.example/ok"]["status"] == "ok"
+
+
+def test_attrition_funnel_has_size_cap_stage(spark):
+    """corpus_attrition emits the size_cap_ok stage (stage 2) and it
+    counts exactly the under-cap urls."""
+    from pyocr_spark.plans.corpus import corpus_attrition
+
+    df = spark.createDataFrame(
+        [
+            ("http://f.example/a", TS, OK_HTML, None, None),
+            ("http://f.example/b", TS, OK_HTML + b" more", None, None),
+            ("http://f.example/nul", TS, None, None, None),
+        ],
+        PAGES_DDL,
+    )
+    rows = {r["name"]: (r["stage"], r["n_rows"]) for r in corpus_attrition(df).collect()}
+    assert rows["size_cap_ok"] == (2, 2)  # null-html out, both others under cap
+    assert rows["pages"][1] == 3

@@ -126,3 +126,49 @@ def test_fully_resumed_run_appends_no_lineage(spark, pages_sf0001, out_dir):
     assert report["buckets_executed"] == 0
     # zero waves ran: no empty lineage part files accumulate per re-run
     assert set(glob.glob(os.path.join(out_dir, "_lineage", "*.parquet"))) == files_before
+
+
+def test_resume_rejects_changed_input_fp(spark, pages_sf0001, tmp_path):
+    """A resume whose input fingerprint differs from the recorded one is
+    refused — committed buckets from a different crawl cannot be stitched
+    onto this run's output."""
+    import pytest
+
+    pages = read_pages(spark, str(pages_sf0001 / "pages.parquet"))
+    out = str(tmp_path / "out")
+    run_resumable_extract(
+        spark, pages, out, modes=MODES, num_buckets=4, input_fp="fp-old"
+    )
+    with pytest.raises(ValueError, match="input_fp"):
+        run_resumable_extract(
+            spark, pages, out, modes=MODES, num_buckets=4, input_fp="fp-new"
+        )
+    # same fingerprint resumes cleanly (0 buckets left)
+    rep = run_resumable_extract(
+        spark, pages, out, modes=MODES, num_buckets=4, input_fp="fp-old"
+    )
+    assert rep["buckets_executed"] == 0
+    # None (caller opted out) is accepted against recorded lineage
+    rep2 = run_resumable_extract(spark, pages, out, modes=MODES, num_buckets=4)
+    assert rep2["buckets_executed"] == 0
+
+
+def test_input_fingerprint_tracks_file_changes(spark, pages_sf0001, tmp_path):
+    """input_fingerprint changes when the input files change (listing
+    metadata), and when the extras change; stable otherwise."""
+    from pyocr_spark.plans.resume import input_fingerprint
+
+    src = str(pages_sf0001 / "pages.parquet")
+    a = input_fingerprint(spark, src)
+    assert a == input_fingerprint(spark, src)  # deterministic
+    assert a != input_fingerprint(spark, src, {"blocklist_fp": "x"})
+
+    d = tmp_path / "inp"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"AAAA")
+    f1 = input_fingerprint(spark, str(d))
+    (d / "part-1.parquet").write_bytes(b"BBBB")
+    f2 = input_fingerprint(spark, str(d))
+    assert f1 != f2  # new file → new identity
+    # a catalog-style name (no FS path) degrades to name+extras, no error
+    assert input_fingerprint(spark, "catalog.db.pages") != a

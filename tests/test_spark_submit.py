@@ -14,7 +14,11 @@ def test_spark_submit_pyfiles_job(tmp_path, pages_sf0001):
         capture_output=True, text=True, check=True, cwd=REPO,
     ).stdout.strip()
     out_dir = str(tmp_path / "out")
-    env = {**os.environ, "PYTHONPATH": ""}
+    # deliberately-small run: the 1g-default local-mode heap guard
+    # (job.py refuses rc≠0 with the --driver-memory fix message) is
+    # overridden here; the refusal itself is pinned in
+    # test_spark_submit_small_heap_refused
+    env = {**os.environ, "PYTHONPATH": "", "SPARK_GRAFT_ALLOW_SMALL_HEAP": "1"}
     proc = subprocess.run(
         [
             "spark-submit",
@@ -54,7 +58,9 @@ def _write_pages(path, rows):
 
 
 def _submit_job(zip_path, extra_args, cwd):
-    env = {**os.environ, "PYTHONPATH": ""}
+    # deliberately-small e2e runs; the 1g-heap refusal is pinned in
+    # test_spark_submit_small_heap_refused
+    env = {**os.environ, "PYTHONPATH": "", "SPARK_GRAFT_ALLOW_SMALL_HEAP": "1"}
     return subprocess.run(
         [
             "spark-submit",
@@ -478,3 +484,34 @@ def test_spark_submit_stream_rejects_batch_gates(tmp_path, pages_sf0001):
     ], str(tmp_path))
     assert proc.returncode != 0
     assert "does not take --blocklist" in (proc.stderr + proc.stdout)
+
+
+def test_spark_submit_small_heap_refused(tmp_path, pages_sf0001):
+    """Bare spark-submit (1g default driver heap) in local mode must be
+    REFUSED early with the --driver-memory fix message — not die rc 52
+    mid-extraction (round-4 verdict item 6)."""
+    zip_path = subprocess.run(
+        ["python", os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    ).stdout.strip()
+    env = {**os.environ, "PYTHONPATH": ""}
+    env.pop("SPARK_GRAFT_ALLOW_SMALL_HEAP", None)
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "job.py"),
+            "--input", str(pages_sf0001 / "pages.parquet"),
+            "--output", str(tmp_path / "out"),
+            "--modes", "text",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode != 0
+    # the SystemExit message rides stdout under the spark-submit launcher
+    assert "--driver-memory 48g" in proc.stdout + proc.stderr
+    # refused BEFORE any work: no output/lineage dirs created
+    assert not os.path.exists(str(tmp_path / "out"))
