@@ -2103,6 +2103,24 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5, portable=True)
 
 
+def _q_pages_size_audit(spark, sf_dir):
+    """Size-cap audit (SURVEY.md §7.4.3, round-5 oversize routing): per
+    url the LARGEST html across its crawls and whether any crawl would be
+    routed to the error column by the kernel cap (core.oracle
+    .MAX_HTML_BYTES — plans/pipeline blanks such pages JVM-side before
+    the Arrow batch). One groupBy aggregate, no window — tie-safe on
+    duplicate warc_ts by construction."""
+    from pyocr_spark.core.oracle import MAX_HTML_BYTES
+
+    return (
+        _pages(spark, sf_dir)
+        .filter(F.col("html").isNotNull())
+        .groupBy("url")
+        .agg(F.max(F.length("html")).cast("long").alias("max_html_bytes"))
+        .withColumn("oversize", F.col("max_html_bytes") > F.lit(MAX_HTML_BYTES))
+    )
+
+
 def _q_corpus_attrition(spark, sf_dir):
     """The corpus funnel measured (plans/corpus.corpus_attrition): rows
     surviving each hygiene stage with EVERY stage on — soft-404,
@@ -4158,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _q_corpus_drift,
         "clf_auc": _q_clf_auc,
         "clf_calibration": _q_clf_calibration,
+        "pages_size_audit": _q_pages_size_audit,
         "corpus_attrition": _q_corpus_attrition,
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -7243,6 +7262,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT left_id, right_id, "
             "CAST(floor(greatest(0, 1000000 * (mm * 4 - 16)) / 48.0) AS BIGINT) AS jaccard_bbit_micro "
             "FROM m WHERE floor(greatest(0, 1000000 * (mm * 4 - 16)) / 48.0) >= 500000"
+        ),
+        # size-cap audit: max html bytes per url + the kernel-cap verdict
+        # (octet_length on BLOB = Spark length on binary, bytes both ways)
+        "pages_size_audit": (
+            f"SELECT url, max(octet_length(html)) AS max_html_bytes, "
+            "max(octet_length(html)) > 67108864 AS oversize "
+            f"FROM read_parquet('{E}/pages.parquet/*.parquet') "
+            "WHERE html IS NOT NULL GROUP BY url"
         ),
         # attrition funnel: the corpus_build_full chain, counted per
         # stage (token gate BEFORE the dedup window, mirroring the plan;

@@ -115,6 +115,14 @@ def parse_args(argv=None):
              "partitioned by it",
     )
     p.add_argument(
+        "--attrition-report", default=None,
+        help="--corpus: also write the measured hygiene funnel "
+             "(plans/corpus.corpus_attrition — one row per stage, same "
+             "frozen rules and parameters as the build) to this parquet "
+             "path and include the per-stage counts in the report JSON; "
+             "answers 'where did the documents go?' from the job itself",
+    )
+    p.add_argument(
         "--resumable-extract", action="store_true",
         help="--corpus: run the extraction stage through the kill-safe "
              "wave path (plans/resume, per-bucket lineage) into "
@@ -229,6 +237,8 @@ def main(argv=None) -> None:
         raise SystemExit(f"--{' and --'.join(picked)} are mutually exclusive")
     if args.shards and not args.corpus:
         raise SystemExit("--shards requires --corpus (it shards the corpus table)")
+    if args.attrition_report and not args.corpus:
+        raise SystemExit("--attrition-report requires --corpus (it measures the corpus funnel)")
     if args.wet_output and (picked or "text" not in modes):
         # WET exports the extraction output's extracted_text column
         raise SystemExit(
@@ -451,7 +461,31 @@ def main(argv=None) -> None:
         else:
             out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
-        print(json.dumps({"mode": "corpus", "rows": n, "output": args.output}))
+        out_json = {"mode": "corpus", "rows": n, "output": args.output}
+        if args.attrition_report:
+            from pyocr_spark.plans.corpus import corpus_attrition
+
+            # a report, not a pipeline stage: one count per funnel stage
+            # over cached intermediates, SAME frozen rules + parameters
+            # as the build above — the final stage equals the corpus size
+            # (modulo the domain cap, which the funnel does not model)
+            att = corpus_attrition(
+                pages,
+                min_tokens=args.min_tokens,
+                sample_fraction=args.sample_fraction,
+                line_dedup_docfreq=args.line_dedup_docfreq,
+                max_dup_token_frac=args.max_dup_token_frac,
+                drop_soft404=args.drop_soft404,
+                max_mojibake_per_kchar=args.max_mojibake_per_kchar,
+                drop_truncated=args.drop_truncated,
+                max_secret_hits=args.max_secret_hits,
+            )
+            att.write.mode("overwrite").parquet(args.attrition_report)
+            out_json["attrition"] = {
+                r["name"]: r["n_rows"]
+                for r in spark.read.parquet(args.attrition_report).collect()
+            }
+        print(json.dumps(out_json))
         spark.stop()
         return
     report = run_resumable_extract(

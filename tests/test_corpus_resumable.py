@@ -117,3 +117,38 @@ def test_job_fresh_clears_extract_sibling_and_input_change_refused(
     fresh = _extract_stage()
     assert fresh["resumed_buckets_skipped"] == 0
     assert fresh["buckets_executed"] == 4
+
+
+def test_job_corpus_attrition_report(spark, pages_sf0001, tmp_path, capsys, monkeypatch):
+    """--corpus --attrition-report writes the measured funnel beside the
+    corpus and its final stage equals the corpus row count (same frozen
+    rules, same parameters, no domain cap)."""
+    import json
+
+    import job
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "corpus")
+    rep = str(tmp_path / "funnel")
+    job.main(
+        ["--input", str(pages_sf0001 / "pages.parquet"), "--output", out,
+         "--corpus", "--attrition-report", rep, "--max-secret-hits", "0"]
+    )
+    j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    att = j["attrition"]
+    assert att["pages"] >= att["size_cap_ok"] >= att["sampled"]
+    assert att["sampled"] == j["rows"]
+    assert spark.read.parquet(rep).count() == 13  # all stages present
+
+
+def test_job_attrition_report_requires_corpus(tmp_path):
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "job.py", "--input", "x", "--output", str(tmp_path / "o"),
+         "--attrition-report", str(tmp_path / "r")],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode != 0
+    assert "requires --corpus" in proc.stderr
