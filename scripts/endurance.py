@@ -189,11 +189,11 @@ def main() -> None:
     ).fetchone()[0]
 
     stage_b = next((r for r in rows_b if r.get("mode") == "corpus_extract_stage"), {})
-    md = f"""# Endurance run — round 4 ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})
+    md = f"""# Endurance run — ~sf{0.1 * args.replicate / 8:g} ({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})
 
 Full corpus job (soft-404 + truncation + mojibake + line-dedup +
 repetition + token gates, --robots RFC-9309 gate, train/val --split) at
-~sf1 (**{n_pages:,} pages**, sf0.1 ×{args.replicate}), shipped exactly as the
+~sf{0.1 * args.replicate / 8:g} (**{n_pages:,} pages**, sf0.1 ×{args.replicate}), shipped exactly as the
 north rule says: `spark-submit --master local[32] --py-files
 dist/pyocr_spark.zip job.py --corpus --resumable-extract …`, 64 url-hash
 buckets, 8 buckets/wave.
