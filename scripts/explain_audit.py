@@ -73,6 +73,16 @@ def main() -> int:
     n_exchanges = p.count("Exchange")
     check("extract_text", "exactly one Exchange (the dedup window), none for the UDF",
           n_exchanges == 2, f"Exchange occurrences={n_exchanges} (2 per physical node)")
+    # 1b (r5). oversize routing (SURVEY §7.4.3): the size cap is a NARROW
+    # JVM-side projection feeding the UDF — the blanking CASE + the
+    # oversize_bytes control column are in the plan (giant blobs never
+    # enter an Arrow batch) and routing adds neither an Exchange nor a
+    # second Python stage beyond the extraction itself
+    check("extract_text", "oversize routing present and narrow (blank-html projection)",
+          "oversize_bytes" in p and n_exchanges == 2,
+          f"oversize_bytes in plan={('oversize_bytes' in p)}")
+    check("extract_text", "exactly one Python stage (routing pre-empts inside it)",
+          len(re.findall(r"^\(\d+\) MapInArrow", p, flags=re.M)) == 1, "")
 
     # 2. analytics scan pruning: token count must not read html/text beyond text
     df = qs["doc_token_count"](spark, SF_DIR)
