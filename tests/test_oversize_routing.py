@@ -141,3 +141,29 @@ def test_attrition_funnel_has_size_cap_stage(spark):
     rows = {r["name"]: (r["stage"], r["n_rows"]) for r in corpus_attrition(df).collect()}
     assert rows["size_cap_ok"] == (2, 2)  # null-html out, both others under cap
     assert rows["pages"][1] == 3
+
+
+def test_cap_boundary_is_inclusive(spark):
+    """length == cap extracts normally; cap+1 routes — the boundary must
+    agree between the JVM-side routing and the in-kernel guard (both use
+    strict >)."""
+    from pyocr_spark.plans.pipeline import extract_df
+
+    body = b"<p>" + b"a" * 100 + b"</p>"
+    cap = len(body)
+    df = spark.createDataFrame(
+        [
+            ("http://b.example/at-cap", TS, body, None, None),
+            ("http://b.example/over", TS, body + b"!", None, None),
+        ],
+        PAGES_DDL,
+    )
+    out = {
+        r["url"]: r
+        for r in extract_df(
+            df, modes=frozenset({"text"}), max_html_bytes=cap
+        ).collect()
+    }
+    assert out["http://b.example/at-cap"]["status"] == "ok"
+    assert out["http://b.example/over"]["status"] == "error"
+    assert out["http://b.example/over"]["error"] == f"html too large: {cap + 1} bytes"
