@@ -7278,13 +7278,15 @@ def oracle_sql() -> dict[str, str]:
         # engine's order exactly)
         "corpus_attrition": (
             f"WITH pg AS (SELECT url FROM read_parquet('{E}/pages.parquet/*.parquet')), "
-            # size_cap_ok: urls whose kept (latest non-null-html) crawl is
-            # under the kernel MAX_HTML_BYTES cap — mirrors with_page_filters
-            # → dedup_latest_page → length(html) <= cap exactly
+            # size_cap_ok: urls whose latest non-null-html crawl is under
+            # the kernel MAX_HTML_BYTES cap, TIE-SAFE (largest html among
+            # rows tied at max warc_ts decides) — mirrors the engine's
+            # window-max + group-max exactly, no arbitrary tie pick
             f"szok AS (SELECT count(*) AS c FROM ("
-            "SELECT html, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn "
+            "SELECT url, max(octet_length(html)) AS mhb FROM ("
+            "SELECT url, html, warc_ts, max(warc_ts) OVER (PARTITION BY url) AS mts "
             f"FROM read_parquet('{E}/pages.parquet/*.parquet') WHERE html IS NOT NULL"
-            ") WHERE rn = 1 AND octet_length(html) <= 67108864), "
+            ") WHERE warc_ts = mts GROUP BY url) WHERE mhb <= 67108864), "
             f"src AS (SELECT url, extracted_text FROM read_parquet('{E}/expected_text.parquet') "
             "WHERE extracted_text IS NOT NULL AND extracted_text != ''), "
             "s404 AS (SELECT * FROM src WHERE url NOT IN "

@@ -295,8 +295,12 @@ def main(argv=None) -> None:
         # --corpus --resumable-extract stages into the sibling dir
         # f"{output}_extract" (its own lineage table); leaving it behind
         # would let a --fresh corpus re-run silently resume stale
-        # committed buckets — delete it with the output it belongs to
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{args.output}_extract"), True)
+        # committed buckets — delete it with the output it belongs to.
+        # Gated on the mode that CREATES it: other modes never write the
+        # sibling, and an unrelated dataset parked at that path must not
+        # be destroyed by their --fresh.
+        if args.corpus and args.resumable_extract:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{args.output}_extract"), True)
     pages = read_pages(spark, args.input, fmt=args.table_format)
     # input identity for the resume lineage: file listing of the input
     # (metadata-only) + everything that gates which pages reach the
@@ -471,6 +475,7 @@ def main(argv=None) -> None:
             # (modulo the domain cap, which the funnel does not model)
             att = corpus_attrition(
                 pages,
+                extracted=extracted,
                 min_tokens=args.min_tokens,
                 sample_fraction=args.sample_fraction,
                 line_dedup_docfreq=args.line_dedup_docfreq,

@@ -216,6 +216,7 @@ def corpus_attrition(
     max_mojibake_per_kchar: float | None = None,
     drop_truncated: bool = False,
     max_secret_hits: int | None = None,
+    extracted: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus funnel, measured: one row per hygiene stage with the
     rows surviving it — (stage, name, n_rows). THE first question after
@@ -248,20 +249,36 @@ def corpus_attrition(
     rows.append((1, "latest_per_url", pages.select("url").distinct().count()))
     # size-cap visibility: the extract stage ROUTES oversize pages to the
     # error column (plans/pipeline max_html_bytes); this row counts the
-    # urls whose kept (latest non-null-html) crawl is under the kernel
-    # cap, so "how many documents did the size cap cost" is answerable
-    # from the funnel instead of hidden inside extracted_ok
+    # urls whose latest crawl is under the kernel cap, so "how many
+    # documents did the size cap cost" is answerable from the funnel
+    # instead of hidden inside extracted_ok. TIE-SAFE definition: among
+    # rows tied at max(warc_ts) the LARGEST html decides — a count based
+    # on dedup_latest_page's arbitrary tie pick would be nondeterministic
+    # (and un-oracleable) exactly when tied crawls straddle the cap.
     from pyocr_spark.core.oracle import MAX_HTML_BYTES
-    from pyocr_spark.operators.dedup import dedup_latest_page
     from pyocr_spark.sources.pages import with_page_filters
 
+    fp = with_page_filters(pages).select(
+        "url", "warc_ts", F.length("html").alias("_hb")
+    )
+    w_url = Window.partitionBy("url")
     size_ok = (
-        dedup_latest_page(with_page_filters(pages))
-        .filter(F.length("html") <= MAX_HTML_BYTES)
+        fp.withColumn("_mts", F.max("warc_ts").over(w_url))
+        .filter(F.col("warc_ts") == F.col("_mts"))
+        .groupBy("url")
+        .agg(F.max("_hb").alias("_mhb"))
+        .filter(F.col("_mhb") <= MAX_HTML_BYTES)
         .count()
     )
     rows.append((2, "size_cap_ok", size_ok))
-    ext = extract_df(pages, modes=TEXT_ONLY, dedup=True)
+    # same contract as build_training_corpus: feed the MATERIALIZED
+    # extraction (the --resumable-extract table) instead of re-running
+    # the job's most expensive stage a second time just for the report
+    ext = (
+        extracted
+        if extracted is not None
+        else extract_df(pages, modes=TEXT_ONLY, dedup=True)
+    )
     ok = ext.filter(
         (F.col("status") == "ok")
         & F.col("extracted_text").isNotNull()

@@ -77,9 +77,25 @@ def input_fingerprint(spark: SparkSession, location: str, extra: dict | None = N
             if name.startswith(("_", ".")):  # _SUCCESS, checksums, hidden
                 continue
             entries.append((p, int(st.getLen()), int(st.getModificationTime())))
-    except Exception:
-        # not a listable FS path (catalog table name) — identity is the
-        # name + extras only
+    except Exception as exc:
+        # ONLY "this isn't a listable FS path" degrades to name+extras
+        # (catalog table name → FileNotFound / IllegalArgument /
+        # URISyntax). A transient storage failure must PROPAGATE —
+        # silently degrading the fingerprint would either refuse a valid
+        # resume or, worse, let a replaced input resume (the exact bug
+        # this function exists to refuse) — mirroring completed_buckets'
+        # "a real storage error propagates" rule.
+        msg = str(exc)
+        if not any(
+            k in msg
+            for k in (
+                "FileNotFoundException",
+                "IllegalArgumentException",
+                "URISyntaxException",
+                "No FileSystem for scheme",
+            )
+        ):
+            raise
         entries = []
     payload = json.dumps(
         {"location": location, "files": sorted(entries), "extra": extra or {}},

@@ -135,14 +135,24 @@ def main() -> None:
             # small delay so the NEXT micro-batch is in flight — the kill
             # lands mid-batch, not politely between commits
             time.sleep(1.0)
-            os.killpg(os.getpgid(pb.pid), signal.SIGKILL)
+            try:
+                os.killpg(os.getpgid(pb.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                break  # drained inside the sleep — no kill happened
             killed_at = _batches_done(out_b)
             break
         time.sleep(0.5)
-    pb.wait()
+    rc = pb.wait()
     wall_b1 = round(time.monotonic() - t0, 1)
+    # a PASS must mean crash recovery was EXERCISED, not that the stream
+    # politely finished: the process must have died by OUR SIGKILL with
+    # work still outstanding — otherwise the equality check is vacuous
     if killed_at is None:
         sys.exit("stream drained before the kill threshold — lower --kill-after-batches")
+    if rc != -signal.SIGKILL:
+        sys.exit(f"chaos run exited rc={rc}, not SIGKILL — nothing was recovered; re-run")
+    if killed_at >= args.files // args.files_per_trigger + (args.files % args.files_per_trigger > 0):
+        sys.exit("all micro-batches had committed before the kill — raise --files or lower --kill-after-batches")
     print(f"[killed] after {killed_at} committed micro-batches at {wall_b1}s", flush=True)
 
     t0 = time.monotonic()
@@ -152,6 +162,11 @@ def main() -> None:
         sys.exit(f"recovery stream failed rc={pb2.returncode}\n{pb2.stderr[-3000:]}")
     batches_b = _batches_done(out_b)
     print(f"[recovered] {wall_b2}s, {batches_b} total micro-batches", flush=True)
+    if batches_b <= killed_at:
+        sys.exit(
+            f"recovery committed no new micro-batches ({batches_b} ≤ {killed_at}) "
+            "— the kill left nothing to recover; the equality check would be vacuous"
+        )
 
     # --- compare: recovered ≡ control, byte-identical rows (order-free) ---
     import duckdb
